@@ -1,0 +1,156 @@
+"""Spark pushed-filter → NumPy chunk-pruning predicates.
+
+Re-implements the reference's chunk-granular filter pruning
+(``/root/reference/crates/arrow-zarr/src/table/datafusion_filters.rs:95-157``
+and ``filter.rs:61-83``): a chunk is *kept* iff at least one row
+satisfies every supported conjunct; all filters are reported back to
+Spark as unhandled so exact row-level filtering happens upstream —
+the reference's ``Inexact`` contract (``table_provider.rs:91-96``).
+
+Predicates are small picklable dataclasses (the reader, with its
+compiled predicates, ships to executors).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Sequence, Set, Tuple
+
+import numpy as np
+
+from pyspark.sql.datasource import (
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
+
+__all__ = ["ChunkPredicate", "compile_chunk_filters"]
+
+
+@dataclass(frozen=True)
+class ChunkPredicate:
+    """One supported conjunct: op(column, value) evaluable on a decoded
+    chunk column vector."""
+
+    column: str
+    op: str  # eq, lt, le, gt, ge, isin, notnull, isnull, neq
+    value: Any = None
+
+    def mask(self, cols: Dict[str, np.ndarray]) -> np.ndarray:
+        v = cols[self.column]
+        if self.op == "eq":
+            return v == self.value
+        if self.op == "neq":
+            return v != self.value
+        if self.op == "lt":
+            return v < self.value
+        if self.op == "le":
+            return v <= self.value
+        if self.op == "gt":
+            return v > self.value
+        if self.op == "ge":
+            return v >= self.value
+        if self.op == "isin":
+            return np.isin(v, np.asarray(list(self.value)))
+        if self.op == "notnull":
+            # decoded zarr chunks never contain nulls (missing chunks
+            # materialize as fill values, zarr_data_stream.rs:388-398)
+            return np.ones(v.shape, dtype=bool)
+        if self.op == "isnull":
+            return np.zeros(v.shape, dtype=bool)
+        raise ValueError(f"unknown op {self.op}")
+
+
+_SIMPLE = {
+    EqualTo: "eq",
+    EqualNullSafe: "eq",
+    GreaterThan: "gt",
+    GreaterThanOrEqual: "ge",
+    LessThan: "lt",
+    LessThanOrEqual: "le",
+}
+
+_NEGATED = {"eq": "neq", "neq": "eq", "lt": "ge", "ge": "lt", "gt": "le",
+            "le": "gt", "isnull": "notnull", "notnull": "isnull"}
+
+
+def _attr_name(f: Filter) -> str | None:
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None  # nested paths never occur: zarr schemas are flat
+    return attr[0]
+
+
+def _compile_one(f: Filter, columns: Set[str]) -> ChunkPredicate | None:
+    if isinstance(f, Not):
+        child = _compile_one(f.child, columns)
+        if child is None or child.op not in _NEGATED:
+            return None
+        return ChunkPredicate(child.column, _NEGATED[child.op], child.value)
+    name = _attr_name(f)
+    if name is None or name not in columns:
+        return None
+    t = type(f)
+    if t in _SIMPLE:
+        if f.value is None:
+            return None
+        return ChunkPredicate(name, _SIMPLE[t], f.value)
+    if t is In:
+        vals = [v for v in f.value if v is not None]
+        if not vals:
+            return None
+        return ChunkPredicate(name, "isin", tuple(vals))
+    if t is IsNotNull:
+        return ChunkPredicate(name, "notnull")
+    if t is IsNull:
+        return ChunkPredicate(name, "isnull")
+    # StringContains/StartsWith/EndsWith: string chunks aren't decodable
+    # in this environment, so never claim them for pruning
+    return None
+
+
+def compile_chunk_filters(
+    filters: Sequence[Filter], columns: Sequence[str]
+) -> Tuple[List[ChunkPredicate], List[str]]:
+    """Compile the prunable subset of Spark's conjuncts.
+
+    Returns (predicates, referenced column names). Unsupported conjuncts
+    are simply not used for pruning — correct because pruning semantics
+    are conservative (keep chunk unless provably row-free under the
+    supported conjuncts).
+    """
+    colset = set(columns)
+    preds = []
+    for f in filters:
+        p = _compile_one(f, colset)
+        if p is not None:
+            preds.append(p)
+    ref_cols = sorted({p.column for p in preds})
+    return preds, ref_cols
+
+
+def chunk_survives(
+    preds: Sequence[ChunkPredicate], cols: Dict[str, np.ndarray]
+) -> bool:
+    """True iff some row satisfies ALL predicates (``filter.rs:61-83``:
+    AND-combined masks, chunk skipped only when no row matches)."""
+    if not preds:
+        return True
+    mask = None
+    for p in preds:
+        m = p.mask(cols)
+        mask = m if mask is None else (mask & m)
+        if not mask.any():
+            return False
+    return bool(mask.any())

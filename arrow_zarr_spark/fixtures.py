@@ -1,0 +1,154 @@
+"""Deterministic test fixtures reproducing the reference's synthetic
+stores (see /root/repo/FIXTURES.md; writers at
+``/root/reference/crates/arrow-zarr/src/lib.rs:287-448``).
+
+Used by the unit tests and by the correctness-harness zarr queries
+(which verify the scan against DuckDB-generated equivalents).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .zarr.writer import write_store
+
+__all__ = [
+    "write_lat_lon_store",
+    "write_lat_lon_missing_store",
+    "write_no_coords_store",
+    "write_mixed_dims_store",
+    "write_bench_store",
+    "fixture_dir",
+]
+
+_FIXTURE_ROOT = os.environ.get(
+    "ARROW_ZARR_SPARK_FIXTURES", "/tmp/arrow_zarr_spark_fixtures"
+)
+
+
+def fixture_dir(name: str) -> str:
+    return os.path.join(_FIXTURE_ROOT, name)
+
+
+def _done(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, ".complete"))
+
+
+def _mark_done(path: str) -> None:
+    with open(os.path.join(path, ".complete"), "w") as f:
+        f.write("ok")
+
+
+def write_lat_lon_store(path: str | None = None) -> str:
+    """F1 — lat f64[8]/3 coord 35..42, lon f64[8]/3 coord -120..-113,
+    data f64[8,8]/3x3 = 0..63 row-major (``lib.rs:287-333``)."""
+    path = path or fixture_dir("lat_lon")
+    if _done(path):
+        return path
+    write_store(
+        path,
+        arrays={
+            "lat": np.arange(35.0, 43.0),
+            "lon": np.arange(-120.0, -112.0),
+            "data": np.arange(64.0).reshape(8, 8),
+        },
+        chunk_shapes={"lat": (3,), "lon": (3,), "data": (3, 3)},
+        dimension_names={
+            "lat": ("lat",),
+            "lon": ("lon",),
+            "data": ("lat", "lon"),
+        },
+    )
+    _mark_done(path)
+    return path
+
+
+def write_lat_lon_missing_store(path: str | None = None) -> str:
+    """F2 — same as F1 but no data chunks written, fill 1234.0
+    (``lib.rs:318-332`` with write_data=false)."""
+    path = path or fixture_dir("lat_lon_missing")
+    if _done(path):
+        return path
+    write_store(
+        path,
+        arrays={
+            "lat": np.arange(35.0, 43.0),
+            "lon": np.arange(-120.0, -112.0),
+            "data": np.zeros((8, 8)),
+        },
+        chunk_shapes={"lat": (3,), "lon": (3,), "data": (3, 3)},
+        dimension_names={
+            "lat": ("lat",),
+            "lon": ("lon",),
+            "data": ("lat", "lon"),
+        },
+        fill_values={"data": 1234.0},
+        skip_data=("data",),
+    )
+    _mark_done(path)
+    return path
+
+
+def write_no_coords_store(path: str | None = None) -> str:
+    """F3 — data_1 f64[8]/3 = 0..7, data_2 f64[8]/3 = 100..107, no
+    dimension names (``lib.rs:335-344``)."""
+    path = path or fixture_dir("no_coords")
+    if _done(path):
+        return path
+    write_store(
+        path,
+        arrays={
+            "data_1": np.arange(8.0),
+            "data_2": np.arange(100.0, 108.0),
+        },
+        chunk_shapes={"data_1": (3,), "data_2": (3,)},
+    )
+    _mark_done(path)
+    return path
+
+
+def write_mixed_dims_store(path: str | None = None) -> str:
+    """F4 — lat stored pre-broadcast as 2-D (rows constant 35..42),
+    lon 1-D coord, data 2-D (``lib.rs:346-397``). Output must equal F1."""
+    path = path or fixture_dir("mixed_dims")
+    if _done(path):
+        return path
+    lat2d = np.repeat(np.arange(35.0, 43.0), 8).reshape(8, 8)
+    write_store(
+        path,
+        arrays={
+            "lat": lat2d,
+            "lon": np.arange(-120.0, -112.0),
+            "data": np.arange(64.0).reshape(8, 8),
+        },
+        chunk_shapes={"lat": (3, 3), "lon": (3,), "data": (3, 3)},
+        dimension_names={
+            "lat": ("lat", "lon"),
+            "lon": ("lon",),
+            "data": ("lat", "lon"),
+        },
+    )
+    _mark_done(path)
+    return path
+
+
+def write_bench_store(
+    path: str | None = None, side: int = 512, chunk: int = 32, n_vars: int = 8
+) -> str:
+    """F6-shaped bench store — var1..var8 int64 [side,side], values
+    0..side²-1 row-major (``benches/s3_bench.rs:70-109``; the reference
+    uses chunk 8x8 on S3 — locally we default to 32x32 to keep object
+    counts sane; pass chunk=8 for the exact reference layout)."""
+    path = path or fixture_dir(f"bench_{side}_{chunk}_{n_vars}")
+    if _done(path):
+        return path
+    base = np.arange(side * side, dtype=np.int64).reshape(side, side)
+    write_store(
+        path,
+        arrays={f"var{i}": base for i in range(1, n_vars + 1)},
+        chunk_shapes={f"var{i}": (chunk, chunk) for i in range(1, n_vars + 1)},
+    )
+    _mark_done(path)
+    return path

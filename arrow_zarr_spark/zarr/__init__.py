@@ -1,0 +1,30 @@
+"""Pure-Python Zarr v3 format layer (no zarr-python dependency).
+
+Submodules: :mod:`meta` (zarr.json + type map), :mod:`codecs`,
+:mod:`store`, :mod:`array` (chunk reads), :mod:`table` (chunk-grid
+planning + coordinate broadcast), :mod:`writer`.
+"""
+
+from .array import ZarrArray, infer_store_arrays, open_array
+from .meta import ArrayMeta, ZarrFormatError, parse_array_meta
+from .store import LocalStore, Store, open_store
+from .table import ChunkPlan
+from .writer import create_array, write_array_data, write_chunk, write_root_group, write_store
+
+__all__ = [
+    "ArrayMeta",
+    "ChunkPlan",
+    "LocalStore",
+    "Store",
+    "ZarrArray",
+    "ZarrFormatError",
+    "create_array",
+    "infer_store_arrays",
+    "open_array",
+    "open_store",
+    "parse_array_meta",
+    "write_array_data",
+    "write_chunk",
+    "write_root_group",
+    "write_store",
+]

@@ -1,0 +1,89 @@
+"""Chunk-level array reads: edge handling, missing-chunk fill values.
+
+Re-implements the semantics of the reference's chunk reader
+(``zarr_data_stream.rs:335-398``): interior chunks decode whole; edge
+chunks are sliced to the in-bounds region ``0..min(shape - i*chunk,
+chunk)`` per dimension; an absent chunk object materializes as a
+constant array of the fill value (``zarr_data_stream.rs:388-398``).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from .codecs import decode_chunk
+from .meta import ArrayMeta, ZarrFormatError, parse_array_meta
+from .store import Store
+
+__all__ = ["ZarrArray", "open_array", "infer_store_arrays"]
+
+
+class ZarrArray:
+    """One Zarr v3 array bound to a store prefix."""
+
+    def __init__(self, store: Store, meta: ArrayMeta, prefix: str = ""):
+        self.store = store
+        self.meta = meta
+        self.prefix = prefix.strip("/")
+
+    def _key(self, chunk_idx: Sequence[int]) -> str:
+        parts = [p for p in (self.prefix, self.meta.name) if p]
+        parts.append(self.meta.chunk_key(chunk_idx))
+        return "/".join(parts)
+
+    def read_chunk(self, chunk_idx: Sequence[int]) -> np.ndarray:
+        """Decode chunk ``chunk_idx``, returning only the in-bounds region."""
+        valid = self.meta.valid_chunk_shape(chunk_idx)
+        raw = self.store.get(self._key(chunk_idx))
+        if raw is None:
+            fv = self.meta.fill_value
+            if fv is None:
+                fv = 0
+            return np.full(valid, fv, dtype=self.meta.dtype)
+        full = decode_chunk(self.meta, raw)
+        if valid != tuple(self.meta.chunk_shape):
+            slices = tuple(slice(0, v) for v in valid)
+            full = np.ascontiguousarray(full[slices])
+        return full
+
+    def read_all(self) -> np.ndarray:
+        """Assemble the full array (test/debug helper, not the scan path)."""
+        out = np.full(
+            self.meta.shape,
+            self.meta.fill_value if self.meta.fill_value is not None else 0,
+            dtype=self.meta.dtype,
+        )
+        for idx in itertools.product(
+            *(range(g) for g in self.meta.chunk_grid_shape)
+        ):
+            chunk = self.read_chunk(idx)
+            slices = tuple(
+                slice(i * c, i * c + v)
+                for i, c, v in zip(idx, self.meta.chunk_shape, chunk.shape)
+            )
+            out[slices] = chunk
+        return out
+
+
+def open_array(store: Store, name: str, prefix: str = "") -> ZarrArray:
+    parts = [p for p in (prefix.strip("/"), name) if p]
+    key = "/".join(parts + ["zarr.json"])
+    raw = store.get(key)
+    if raw is None:
+        raise ZarrFormatError(f"No zarr.json found for array {name!r} ({key})")
+    return ZarrArray(store, parse_array_meta(name, raw), prefix=prefix)
+
+
+def infer_store_arrays(store: Store, prefix: str = "") -> list:
+    """Discover and parse every array in the store (schema inference, A2).
+
+    Reference: ``table/config.rs:201-258`` — list the store, parse each
+    ``zarr.json``, field name = parent directory name.
+    """
+    names = store.list_array_names()
+    if not names:
+        raise ZarrFormatError("No zarr arrays found in store")
+    return [open_array(store, n, prefix=prefix) for n in names]

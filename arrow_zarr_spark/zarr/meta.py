@@ -1,0 +1,278 @@
+"""Zarr v3 metadata parsing and the Zarr→NumPy→Spark type map.
+
+Re-implements (from the public Zarr v3 spec, not by translation) the
+semantics of the reference's schema layer:
+
+- type map: ``/root/reference/crates/arrow-zarr/src/table/config.rs:261-282``
+  and decode dispatch ``zarr_data_stream.rs:418-434``
+- v3-only acceptance: ``config.rs:242-247``
+- fill values: ``zarr_data_stream.rs:388-398``
+
+Spark has no unsigned integer types, so unsigned Zarr types widen
+(uint8→short, uint16→int, uint32→long, uint64→decimal(20,0)) — a
+documented divergence (SURVEY §7 "What's hard" #2).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "ZarrFormatError",
+    "ArrayMeta",
+    "ZARR_TO_NUMPY",
+    "zarr_dtype_to_numpy",
+    "numpy_to_zarr_dtype",
+    "parse_array_meta",
+]
+
+
+class ZarrFormatError(ValueError):
+    """Raised for malformed / unsupported Zarr metadata or data."""
+
+
+#: Zarr v3 core data_type name → numpy dtype (little-endian storage decided
+#: by the ``bytes`` codec configuration, not the dtype itself).
+ZARR_TO_NUMPY = {
+    "bool": np.dtype(np.bool_),
+    "int8": np.dtype(np.int8),
+    "int16": np.dtype(np.int16),
+    "int32": np.dtype(np.int32),
+    "int64": np.dtype(np.int64),
+    "uint8": np.dtype(np.uint8),
+    "uint16": np.dtype(np.uint16),
+    "uint32": np.dtype(np.uint32),
+    "uint64": np.dtype(np.uint64),
+    "float32": np.dtype(np.float32),
+    "float64": np.dtype(np.float64),
+    # zarr v3 extension type used by zarr-python for variable-length text
+    "string": np.dtype(object),
+}
+
+_NUMPY_TO_ZARR = {
+    np.dtype(np.bool_): "bool",
+    np.dtype(np.int8): "int8",
+    np.dtype(np.int16): "int16",
+    np.dtype(np.int32): "int32",
+    np.dtype(np.int64): "int64",
+    np.dtype(np.uint8): "uint8",
+    np.dtype(np.uint16): "uint16",
+    np.dtype(np.uint32): "uint32",
+    np.dtype(np.uint64): "uint64",
+    np.dtype(np.float32): "float32",
+    np.dtype(np.float64): "float64",
+}
+
+
+def zarr_dtype_to_numpy(name: str) -> np.dtype:
+    try:
+        return ZARR_TO_NUMPY[name]
+    except KeyError:
+        # mirrors the reference's "Unsupported type ..." error
+        # (config.rs:278-281, zarr_data_stream.rs:431-434)
+        raise ZarrFormatError(f"Unsupported type {name} for zarr array")
+
+
+def numpy_to_zarr_dtype(dtype: np.dtype) -> str:
+    dtype = np.dtype(dtype)
+    if dtype.kind in ("U", "O", "S", "T"):
+        return "string"
+    try:
+        return _NUMPY_TO_ZARR[dtype.newbyteorder("=")]
+    except KeyError:
+        raise ZarrFormatError(f"Unsupported numpy dtype {dtype} for zarr")
+
+
+def _parse_fill_value(raw: Any, dtype: np.dtype) -> Any:
+    """JSON fill_value → python scalar of the array dtype.
+
+    Handles the v3 spec's special float encodings ("NaN", "Infinity",
+    "-Infinity", hex strings) plus plain numbers / bools / strings.
+    """
+    if raw is None:
+        return None
+    if dtype == np.dtype(object):  # string
+        return str(raw)
+    if dtype.kind == "f" and isinstance(raw, str):
+        if raw == "NaN":
+            return math.nan
+        if raw == "Infinity":
+            return math.inf
+        if raw == "-Infinity":
+            return -math.inf
+        if raw.startswith("0x"):
+            nbytes = dtype.itemsize
+            as_int = int(raw, 16)
+            return float(
+                np.frombuffer(
+                    as_int.to_bytes(nbytes, "big"), dtype=dtype.newbyteorder(">")
+                )[0]
+            )
+        raise ZarrFormatError(f"Unsupported float fill_value {raw!r}")
+    if dtype.kind == "b":
+        return bool(raw)
+    if dtype.kind in ("i", "u"):
+        return int(raw)
+    return float(raw)
+
+
+@dataclass
+class ArrayMeta:
+    """Parsed zarr.json for one array (one table column)."""
+
+    name: str
+    shape: tuple
+    chunk_shape: tuple
+    zarr_dtype: str
+    fill_value: Any
+    codecs: list = field(default_factory=list)
+    dimension_names: Optional[tuple] = None
+    separator: str = "/"
+    key_encoding: str = "default"  # "default" (c/0/0) or "v2" (0.0)
+    attributes: dict = field(default_factory=dict)
+
+    @property
+    def dtype(self) -> np.dtype:
+        return zarr_dtype_to_numpy(self.zarr_dtype)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def chunk_grid_shape(self) -> tuple:
+        return tuple(
+            -(-s // c) for s, c in zip(self.shape, self.chunk_shape)
+        )
+
+    @property
+    def n_chunks(self) -> int:
+        n = 1
+        for g in self.chunk_grid_shape:
+            n *= g
+        return n
+
+    def is_coordinate(self) -> bool:
+        """xarray-style coordinate: 1-D and named after its own single
+        dimension (reference: ``zarr_data_stream.rs:109-215``)."""
+        return (
+            self.ndim == 1
+            and self.dimension_names is not None
+            and tuple(self.dimension_names) == (self.name,)
+        )
+
+    def chunk_key(self, idx: Sequence[int]) -> str:
+        if self.key_encoding == "v2":
+            return ".".join(str(i) for i in idx) if idx else "0"
+        parts = ["c"] + [str(i) for i in idx]
+        return self.separator.join(parts)
+
+    def valid_chunk_shape(self, idx: Sequence[int]) -> tuple:
+        """Shape of the in-bounds region of chunk ``idx`` — edge chunks
+        are smaller (reference: ``zarr_data_stream.rs:335-372, 577-594``)."""
+        return tuple(
+            min(s - i * c, c)
+            for s, c, i in zip(self.shape, self.chunk_shape, idx)
+        )
+
+    def to_json(self) -> dict:
+        doc = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": list(self.shape),
+            "data_type": self.zarr_dtype,
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": list(self.chunk_shape)},
+            },
+            "chunk_key_encoding": {
+                "name": "default" if self.key_encoding == "default" else "v2",
+                "configuration": {"separator": self.separator},
+            },
+            "fill_value": _fill_value_to_json(self.fill_value, self.dtype),
+            "codecs": self.codecs,
+            "attributes": self.attributes,
+        }
+        if self.dimension_names is not None:
+            doc["dimension_names"] = list(self.dimension_names)
+        return doc
+
+
+def _fill_value_to_json(value: Any, dtype: np.dtype) -> Any:
+    if value is None:
+        return None
+    if dtype.kind == "f":
+        v = float(value)
+        if math.isnan(v):
+            return "NaN"
+        if v == math.inf:
+            return "Infinity"
+        if v == -math.inf:
+            return "-Infinity"
+        return v
+    if dtype.kind == "b":
+        return bool(value)
+    if dtype == np.dtype(object):
+        return str(value)
+    return int(value)
+
+
+def parse_array_meta(name: str, raw: bytes) -> ArrayMeta:
+    """Parse one ``zarr.json`` document into :class:`ArrayMeta`.
+
+    Only Zarr **v3** array metadata is accepted, mirroring the
+    reference (``config.rs:242-247``).
+    """
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise ZarrFormatError(f"Invalid zarr.json for array {name}: {e}")
+
+    if doc.get("zarr_format") != 3:
+        raise ZarrFormatError(
+            f"Only zarr v3 metadata is supported (array {name})"
+        )
+    if doc.get("node_type") != "array":
+        raise ZarrFormatError(f"zarr.json for {name} is not an array node")
+
+    grid = doc.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise ZarrFormatError(
+            f"Only regular chunk grids are supported (array {name})"
+        )
+    chunk_shape = tuple(grid["configuration"]["chunk_shape"])
+
+    cke = doc.get(
+        "chunk_key_encoding", {"name": "default", "configuration": {}}
+    )
+    key_encoding = "v2" if cke.get("name") == "v2" else "default"
+    separator = cke.get("configuration", {}).get(
+        "separator", "." if key_encoding == "v2" else "/"
+    )
+
+    zarr_dtype = doc["data_type"]
+    if isinstance(zarr_dtype, dict):  # extension object form
+        zarr_dtype = zarr_dtype.get("name", str(zarr_dtype))
+    np_dtype = zarr_dtype_to_numpy(zarr_dtype)  # validates
+
+    dim_names = doc.get("dimension_names")
+    if dim_names is not None:
+        dim_names = tuple(dim_names)
+
+    return ArrayMeta(
+        name=name,
+        shape=tuple(doc["shape"]),
+        chunk_shape=chunk_shape,
+        zarr_dtype=zarr_dtype,
+        fill_value=_parse_fill_value(doc.get("fill_value"), np_dtype),
+        codecs=list(doc.get("codecs", [])),
+        dimension_names=dim_names,
+        separator=separator,
+        key_encoding=key_encoding,
+        attributes=doc.get("attributes", {}) or {},
+    )

@@ -1,0 +1,146 @@
+"""Store abstraction: key→bytes access to a Zarr v3 store.
+
+Mirrors the reference's backend matrix (``table/config.rs:103-199``):
+local filesystem (``file://`` / bare paths) fully supported; ``s3://``
+and other remote schemes via fsspec when available (not installed in
+this environment — gated behind an import-try); Icechunk repos gated
+the same way.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+from urllib.parse import urlparse
+
+from .meta import ZarrFormatError
+
+__all__ = ["Store", "LocalStore", "FsspecStore", "open_store"]
+
+
+class Store:
+    """Minimal key-value store interface over a Zarr store root."""
+
+    def get(self, key: str) -> Optional[bytes]:
+        raise NotImplementedError
+
+    def set(self, key: str, value: bytes) -> None:
+        raise NotImplementedError
+
+    def exists(self, key: str) -> bool:
+        return self.get(key) is not None
+
+    def walk_keys(self) -> Iterator[str]:
+        """Yield every key under the root (relative, '/'-separated)."""
+        raise NotImplementedError
+
+    def list_array_names(self) -> list:
+        """Immediate array nodes: keys ``<name>/zarr.json`` one level down.
+
+        Column discovery mirrors ``config.rs:207-255``: walk the listing
+        for zarr.json documents and take the parent directory name as the
+        field name. Sorted for a deterministic schema order.
+        """
+        names = set()
+        for key in self.walk_keys():
+            parts = key.split("/")
+            if len(parts) == 2 and parts[1] == "zarr.json":
+                names.add(parts[0])
+        return sorted(names)
+
+
+class LocalStore(Store):
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, *key.split("/"))
+
+    def get(self, key: str) -> Optional[bytes]:
+        p = self._path(key)
+        try:
+            with open(p, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+        except IsADirectoryError:
+            return None
+
+    def set(self, key: str, value: bytes) -> None:
+        p = self._path(key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(value)
+        os.replace(tmp, p)
+
+    def exists(self, key: str) -> bool:
+        return os.path.isfile(self._path(key))
+
+    def walk_keys(self) -> Iterator[str]:
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            rel = os.path.relpath(dirpath, self.root)
+            for fn in filenames:
+                if rel == ".":
+                    yield fn
+                else:
+                    yield "/".join(rel.split(os.sep) + [fn])
+
+
+class FsspecStore(Store):
+    """Remote object-store backend via fsspec (s3://, gs://, ...).
+
+    fsspec/s3fs are not installed in this environment; constructing this
+    store without them raises a clear error. Credentials come from the
+    environment, as in the reference (``AmazonS3Builder::from_env``,
+    ``config.rs:126-132``).
+    """
+
+    def __init__(self, url: str):
+        try:
+            import fsspec  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise ZarrFormatError(
+                f"Remote store {url!r} requires fsspec (not installed)"
+            ) from e
+        self.fs, self.root = fsspec.core.url_to_fs(url)  # pragma: no cover
+
+    def get(self, key: str) -> Optional[bytes]:  # pragma: no cover
+        path = f"{self.root}/{key}"
+        try:
+            with self.fs.open(path, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def set(self, key: str, value: bytes) -> None:  # pragma: no cover
+        with self.fs.open(f"{self.root}/{key}", "wb") as f:
+            f.write(value)
+
+    def exists(self, key: str) -> bool:  # pragma: no cover
+        return self.fs.exists(f"{self.root}/{key}")
+
+    def walk_keys(self) -> Iterator[str]:  # pragma: no cover
+        for path in self.fs.find(self.root):
+            yield path[len(self.root) :].lstrip("/")
+
+
+def open_store(path: str, *, icechunk: bool = False) -> Store:
+    """Resolve a table URL to a Store (reference: ``config.rs:103-199``).
+
+    Unknown schemes error out, matching ``config.rs:133-136, 179-184``.
+    """
+    if icechunk:
+        # Icechunk pinned to (branch "main", now) in the reference
+        # (``config.rs:186-196``); icechunk-python is not installed here.
+        raise ZarrFormatError(
+            "Icechunk repos require the icechunk package (not installed)"
+        )
+    parsed = urlparse(path)
+    scheme = parsed.scheme
+    if scheme in ("", "file"):
+        local = parsed.path if scheme == "file" else path
+        return LocalStore(local)
+    if scheme in ("s3", "gs", "gcs", "abfs", "az"):
+        return FsspecStore(path)
+    raise ZarrFormatError(f"Unsupported store scheme {scheme!r} for {path!r}")

