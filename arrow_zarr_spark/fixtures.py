@@ -134,6 +134,42 @@ def write_mixed_dims_store(path: str | None = None) -> str:
     return path
 
 
+def write_typed_store(path: str | None = None, n: int = 24) -> str:
+    """All supported primitive types in one store (values i = 0..n-1,
+    chunk 7 so edge chunks are exercised). Verifies the full type map of
+    SURVEY §1.3 (reference ``config.rs:261-282``) including the unsigned
+    widening divergence."""
+    path = path or fixture_dir(f"typed_{n}")
+    if _done(path):
+        return path
+    i = np.arange(n)
+    write_store(
+        path,
+        arrays={
+            "t_bool": (i % 2 == 0),
+            "t_i8": i.astype(np.int8),
+            "t_i16": i.astype(np.int16),
+            "t_i32": i.astype(np.int32),
+            "t_i64": i.astype(np.int64),
+            "t_u8": i.astype(np.uint8),
+            "t_u16": i.astype(np.uint16),
+            "t_u32": i.astype(np.uint32),
+            "t_u64": i.astype(np.uint64),
+            "t_f32": i.astype(np.float32),
+            "t_f64": i.astype(np.float64),
+        },
+        chunk_shapes={
+            k: (7,)
+            for k in [
+                "t_bool", "t_i8", "t_i16", "t_i32", "t_i64",
+                "t_u8", "t_u16", "t_u32", "t_u64", "t_f32", "t_f64",
+            ]
+        },
+    )
+    _mark_done(path)
+    return path
+
+
 def write_bench_store(
     path: str | None = None, side: int = 512, chunk: int = 32, n_vars: int = 8
 ) -> str:

@@ -1,0 +1,572 @@
+"""The correctness-harness query suite.
+
+Each entry pairs a Spark query (DataFrame API or Spark SQL) with an
+equivalent ANSI-SQL oracle that DuckDB runs over the same parquet
+tables; the driver hash-compares the two (order-insensitive). Where a
+query is expressible in the SQL subset both engines share, the SAME
+string is used for both sides so they cannot drift.
+
+Naming: ``b*`` = SURVEY §2 Tier-B shapes the reference exercises
+end-to-end (evidence cited per query); ``r*`` = relational operators
+absent from the reference but delegated-to-Catalyst (SURVEY §2
+"Absent" list — aggregations, windows, sorts, set ops, outer/semi/
+anti joins, subqueries, HAVING, DISTINCT...); ``z*`` = Zarr-scan
+semantics queries whose oracles reconstruct the store's values with
+DuckDB ``range()``; dedup/similarity/text/multimodal ops live in
+:mod:`arrow_zarr_spark.operators` and are registered here too.
+
+Determinism conventions (so hashes can match bit-for-bit):
+- every computed column is aliased identically on both sides
+- float aggregates go through DECIMAL(18,2) accumulation then CAST to
+  DOUBLE (order-independent, exact)
+- LIMIT always carries a total ORDER BY with a unique tiebreak
+- timestamps are reduced to integer parts (year/month/hour) — the
+  session timezone is pinned UTC to match DuckDB's naive timestamps
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fixtures
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
+
+
+def register_query(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
+    _REGISTRY[name] = (fn, oracle)
+
+
+def queries() -> Dict[str, QueryFn]:
+    _ensure_populated()
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    _ensure_populated()
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view named like the oracle's.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects; read nanos as long and convert losslessly
+    (integer DIV, not float division — ns-since-epoch overflows a
+    double's 53-bit mantissa)."""
+    if getattr(spark, "_azs_views_dir", None) == sf_dir:
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        df.createOrReplaceTempView(t)
+    spark._azs_views_dir = sf_dir
+
+
+def _sql_pair(name: str, sql: str) -> None:
+    """Register a query that runs the SAME SQL text on Spark and DuckDB."""
+
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    register_query(name, fn, sql)
+
+
+# ---------------------------------------------------------------------------
+# Tier B — query shapes the reference exercises (SURVEY §2 Tier B)
+# ---------------------------------------------------------------------------
+
+def _populate_tier_b() -> None:
+    # B1 projection list (table_provider.rs:280-281)
+    _sql_pair(
+        "b01_projection",
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    )
+    # B2/B3 scalar expr + alias (table_provider.rs:316-318)
+    _sql_pair(
+        "b02_scalar_expr_alias",
+        "SELECT l_orderkey, l_linenumber, l_extendedprice * 2 AS price2, "
+        "l_quantity + 1 AS qty1, l_quantity - 1 AS qtym1 FROM lineitem",
+    )
+    # B4 WHERE conjunction of range predicates (table_provider.rs:417-422)
+    _sql_pair(
+        "b04_where_range_conj",
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_discount "
+        "FROM lineitem WHERE l_quantity < 10 AND l_discount > 0.05",
+    )
+    # B5/B6 comparison ops incl <=, >=, =, OR (datafusion_filters.rs:188-287)
+    _sql_pair(
+        "b05_comparisons_or",
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "WHERE l_quantity <= 5 OR l_tax >= 0.07",
+    )
+    _sql_pair(
+        "b06_equality_pred",
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "WHERE l_returnflag = 'R' AND l_linestatus = 'F'",
+    )
+    # B7 modulo arithmetic in predicate (s3_bench.rs:226)
+    _sql_pair(
+        "b07_modulo_pred",
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "WHERE l_orderkey % 12 = 0",
+    )
+    # B8 equi inner join (table_provider.rs:310-327) — DataFrame API with
+    # explicit broadcast of the small dims (100-TB posture: nation/region
+    # are tiny; never shuffle the fact side for them)
+    def b08(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        ensure_views(spark, sf_dir)
+        customer = spark.table("customer")
+        nation = spark.table("nation")
+        region = spark.table("region")
+        return (
+            customer.join(
+                F.broadcast(nation),
+                customer.c_nationkey == nation.n_nationkey,
+            )
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .select(
+                "c_custkey",
+                "c_name",
+                F.col("n_name").alias("nation_name"),
+                F.col("r_name").alias("region_name"),
+            )
+        )
+
+    register_query(
+        "b08_equi_join",
+        b08,
+        "SELECT c_custkey, c_name, n_name AS nation_name, r_name AS region_name "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey",
+    )
+    # B9 theta/range self-join (s3_bench.rs:222-229) — broadcast NLJ on the
+    # small supplier table, the join the reference benchmarks
+    _sql_pair(
+        "b09_theta_self_join",
+        "SELECT t1.s_suppkey AS k1, t2.s_suppkey AS k2 "
+        "FROM supplier t1 JOIN supplier t2 "
+        "ON t1.s_suppkey % 12 = 0 AND t1.s_suppkey < t2.s_suppkey + 1 "
+        "AND t1.s_suppkey >= t2.s_suppkey - 1",
+    )
+    # B10/B11 CTE + self-join (table_provider.rs:310-321)
+    _sql_pair(
+        "b10_cte_self_join",
+        "WITH d1 AS (SELECT o_orderkey, o_totalprice FROM orders), "
+        "d2 AS (SELECT o_orderkey, o_totalprice * 2 AS price2 FROM orders) "
+        "SELECT d1.o_orderkey AS o_orderkey, d1.o_totalprice AS o_totalprice, "
+        "d2.price2 AS price2 FROM d1 JOIN d2 ON d1.o_orderkey = d2.o_orderkey",
+    )
+    _sql_pair(
+        "b11_self_join_equi",
+        "SELECT a.l_orderkey AS l_orderkey, a.l_linenumber AS l_linenumber, "
+        "a.l_quantity AS q1, b.l_quantity AS q2 "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber",
+    )
+    # B12 UNION ALL (s3_bench.rs:236-244)
+    _sql_pair(
+        "b12_union_all",
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "UNION ALL "
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    )
+    # B13 LIMIT (table_provider.rs:300-307) — deterministic via total order
+    _sql_pair(
+        "b13_limit_topk",
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10",
+    )
+    # B14 SELECT * (s3_bench.rs:237-243)
+    _sql_pair("b14_select_star", "SELECT * FROM nation")
+
+
+# ---------------------------------------------------------------------------
+# Relational operators beyond the reference (SURVEY §2 "Absent" list —
+# delegated to Catalyst; exercised here against the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+def _populate_relational() -> None:
+    # aggregation: TPC-H Q1 shape (decimal accumulation => exact, then
+    # DOUBLE for a stable comparison type)
+    _sql_pair(
+        "r01_groupby_agg",
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    )
+    _sql_pair(
+        "r02_count_distinct",
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts, "
+        "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+    )
+    _sql_pair(
+        "r03_avg_minmax",
+        "SELECT l_linestatus, AVG(l_quantity) AS avg_qty, "
+        "MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price "
+        "FROM lineitem GROUP BY l_linestatus",
+    )
+    _sql_pair(
+        "r04_having",
+        "SELECT o_custkey, COUNT(*) AS n_orders FROM orders "
+        "GROUP BY o_custkey HAVING COUNT(*) > 12",
+    )
+    _sql_pair(
+        "r05_distinct",
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    )
+    # sorts / top-k per group (window function with deterministic tiebreak)
+    _sql_pair(
+        "r06_window_topk_per_group",
+        "SELECT o_custkey, o_orderkey, rn FROM ("
+        "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER ("
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders) t WHERE rn <= 3",
+    )
+    _sql_pair(
+        "r07_window_running_sum",
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "AS running_total FROM orders",
+    )
+    _sql_pair(
+        "r08_window_lag_rank",
+        "SELECT o_custkey, o_orderkey, "
+        "LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) "
+        "AS prev_order, "
+        "RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority, "
+        "o_orderkey) AS prio_rank FROM orders",
+    )
+    # joins beyond inner
+    _sql_pair(
+        "r09_left_outer_join",
+        "SELECT c.c_custkey, o.o_orderkey FROM customer c "
+        "LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000",
+    )
+    # semi/anti joins — DataFrame API (left_semi/left_anti), EXISTS oracle
+    def r10(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        customer = spark.table("customer")
+        orders = spark.table("orders")
+        return customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_semi"
+        ).select("c_custkey", "c_name")
+
+    register_query(
+        "r10_semi_join",
+        r10,
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    )
+
+    def r11(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        customer = spark.table("customer")
+        orders = spark.table("orders")
+        return customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        ).select("c_custkey", "c_name")
+
+    register_query(
+        "r11_anti_join",
+        r11,
+        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    )
+    # set operators
+    _sql_pair(
+        "r12_intersect",
+        "SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer",
+    )
+    _sql_pair(
+        "r13_except",
+        "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+    )
+    _sql_pair(
+        "r14_union_distinct",
+        "SELECT o_custkey AS k FROM orders UNION SELECT c_custkey AS k FROM customer",
+    )
+    # subqueries
+    _sql_pair(
+        "r15_scalar_subquery",
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)",
+    )
+    _sql_pair(
+        "r16_in_subquery",
+        "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')",
+    )
+    # grouping sets / rollup
+    _sql_pair(
+        "r17_rollup",
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    )
+    # scalar function library: string / date / math / conditional
+    _sql_pair(
+        "r18_string_funcs",
+        "SELECT c_custkey, UPPER(c_name) AS upper_name, "
+        "LENGTH(c_name) AS name_len, SUBSTR(c_name, 1, 8) AS name_prefix, "
+        "CONCAT(c_mktsegment, '-', c_name) AS seg_name FROM customer",
+    )
+    _sql_pair(
+        "r19_date_parts",
+        "SELECT YEAR(o_orderdate) AS order_year, MONTH(o_orderdate) AS "
+        "order_month, COUNT(*) AS n FROM orders "
+        "GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)",
+    )
+    _sql_pair(
+        "r20_math_case",
+        "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS dev, "
+        "CEIL(l_extendedprice) AS price_ceil, FLOOR(l_extendedprice) AS "
+        "price_floor, ROUND(l_tax * 100) AS tax_pct, "
+        "CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' "
+        "ELSE 'high' END AS qty_band FROM lineitem",
+    )
+    # multi-way join + agg (TPC-H Q5 shape, the scale-out headline)
+    _sql_pair(
+        "r21_multiway_join_agg",
+        "SELECT n_name, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+        "COUNT(*) AS n FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' GROUP BY n_name",
+    )
+    # events: time bucketing
+    _sql_pair(
+        "r22_events_time_agg",
+        "SELECT YEAR(ts) AS y, MONTH(ts) AS m, DAY(ts) AS d, event_type, "
+        "COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
+        "FROM events GROUP BY YEAR(ts), MONTH(ts), DAY(ts), event_type",
+    )
+    _sql_pair(
+        "r23_events_user_sessions",
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "COUNT(DISTINCT event_type) AS n_types "
+        "FROM events GROUP BY user_id HAVING COUNT(*) >= 5",
+    )
+    # pivot expressed portably via conditional aggregation
+    _sql_pair(
+        "r24_pivot_conditional",
+        "SELECT l_returnflag, "
+        "COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open, "
+        "COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_filled "
+        "FROM lineitem GROUP BY l_returnflag",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zarr-scan queries — oracles reconstruct store values with DuckDB range()
+# ---------------------------------------------------------------------------
+
+def _zarr_df(spark: SparkSession, path: str, view: str) -> DataFrame:
+    df = spark.read.format("zarr").load(path)
+    df.createOrReplaceTempView(view)
+    return df
+
+
+# F1 values: data = i, lat = 35 + i/8, lon = -120 + i%8  (i = 0..63)
+_F1_GEN = (
+    "SELECT CAST(i AS DOUBLE) AS data, "
+    "CAST(35 + i // 8 AS DOUBLE) AS lat, "
+    "CAST(-120 + i % 8 AS DOUBLE) AS lon FROM range(64) t(i)"
+)
+
+
+def _populate_zarr() -> None:
+
+
+    def z01(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = fixtures.write_lat_lon_store()
+        return _zarr_df(spark, path, "zarr_f1").select("data", "lat", "lon")
+
+    register_query(
+        "z01_scan_full",
+        z01,
+        f"SELECT data, lat, lon FROM ({_F1_GEN})",
+    )
+
+    def z02(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = fixtures.write_lat_lon_store()
+        return _zarr_df(spark, path, "zarr_f1").select("lat", "lon")
+
+    register_query(
+        "z02_coords_cartesian",
+        z02,
+        "SELECT CAST(35 + i // 8 AS DOUBLE) AS lat, "
+        "CAST(-120 + i % 8 AS DOUBLE) AS lon FROM range(64) t(i)",
+    )
+
+    def z03(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = fixtures.write_lat_lon_store()
+        df = _zarr_df(spark, path, "zarr_f1")
+        return df.filter((F.col("lat") < 38.1) & (F.col("lon") > -116.9)).select(
+            "data", "lat", "lon"
+        )
+
+    register_query(
+        "z03_where_pushdown",
+        z03,
+        f"SELECT data, lat, lon FROM ({_F1_GEN}) "
+        "WHERE lat < 38.1 AND lon > -116.9",
+    )
+
+    def z04(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = fixtures.write_lat_lon_store()
+        _zarr_df(spark, path, "zarr_f1")
+        return spark.sql(
+            "WITH d1 AS (SELECT lat, lon, data FROM zarr_f1), "
+            "d2 AS (SELECT lat, lon, data * 2 AS data2 FROM zarr_f1) "
+            "SELECT d1.lat AS lat, d1.lon AS lon, d1.data AS data, "
+            "d2.data2 AS data2 "
+            "FROM d1 JOIN d2 ON d1.lat = d2.lat AND d1.lon = d2.lon"
+        )
+
+    register_query(
+        "z04_cte_self_join",
+        z04,
+        f"SELECT lat, lon, data, data * 2 AS data2 FROM ({_F1_GEN})",
+    )
+
+    def z05(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = fixtures.write_lat_lon_missing_store()
+        return _zarr_df(spark, path, "zarr_f2").select("data", "lat", "lon")
+
+    register_query(
+        "z05_missing_chunk_fill",
+        z05,
+        "SELECT CAST(1234.0 AS DOUBLE) AS data, "
+        "CAST(35 + i // 8 AS DOUBLE) AS lat, "
+        "CAST(-120 + i % 8 AS DOUBLE) AS lon FROM range(64) t(i)",
+    )
+
+    def z06(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = fixtures.write_mixed_dims_store()
+        return _zarr_df(spark, path, "zarr_f4").select("data", "lat", "lon")
+
+    register_query(
+        "z06_mixed_dims",
+        z06,
+        f"SELECT data, lat, lon FROM ({_F1_GEN})",
+    )
+
+    def z07(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = fixtures.write_lat_lon_store()
+        df = _zarr_df(spark, path, "zarr_f1")
+        return df.select("data", "lat", "lon").orderBy("data").limit(10)
+
+    register_query(
+        "z07_order_limit",
+        z07,
+        f"SELECT data, lat, lon FROM ({_F1_GEN}) ORDER BY data LIMIT 10",
+    )
+
+    def z08(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = fixtures.write_lat_lon_store()
+        df = _zarr_df(spark, path, "zarr_f1").select("data", "lat", "lon")
+        return df.unionAll(df)
+
+    register_query(
+        "z08_union_all",
+        z08,
+        f"SELECT data, lat, lon FROM ({_F1_GEN}) "
+        f"UNION ALL SELECT data, lat, lon FROM ({_F1_GEN})",
+    )
+
+    def z09(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = fixtures.write_no_coords_store()
+        return _zarr_df(spark, path, "zarr_f3").select("data_1", "data_2")
+
+    register_query(
+        "z09_no_coords",
+        z09,
+        "SELECT CAST(i AS DOUBLE) AS data_1, CAST(100 + i AS DOUBLE) AS data_2 "
+        "FROM range(8) t(i)",
+    )
+
+    def z10(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = fixtures.write_typed_store()
+        return _zarr_df(spark, path, "zarr_typed")
+
+    register_query(
+        "z10_type_map",
+        z10,
+        "SELECT CAST(i % 2 = 0 AS BOOLEAN) AS t_bool, "
+        "CAST(i AS REAL) AS t_f32, CAST(i AS DOUBLE) AS t_f64, "
+        "CAST(i AS SMALLINT) AS t_i16, CAST(i AS INT) AS t_i32, "
+        "CAST(i AS BIGINT) AS t_i64, CAST(i AS TINYINT) AS t_i8, "
+        "CAST(i AS INT) AS t_u16, CAST(i AS BIGINT) AS t_u32, "
+        "CAST(i AS DECIMAL(20,0)) AS t_u64, CAST(i AS SMALLINT) AS t_u8 "
+        "FROM range(24) t(i)",
+    )
+
+    # the reference's theta/range self-join bench shape on a zarr store
+    def z11(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = fixtures.write_lat_lon_store()
+        _zarr_df(spark, path, "zarr_f1")
+        return spark.sql(
+            "SELECT t1.data AS d1, t2.data AS d2 FROM zarr_f1 t1 "
+            "JOIN zarr_f1 t2 ON t1.data % 12 = 0 "
+            "AND t1.data < t2.data + 1 AND t1.data >= t2.data - 1"
+        )
+
+    register_query(
+        "z11_theta_self_join",
+        z11,
+        f"SELECT t1.data AS d1, t2.data AS d2 FROM ({_F1_GEN}) t1 "
+        f"JOIN ({_F1_GEN}) t2 ON t1.data % 12 = 0 "
+        "AND t1.data < t2.data + 1 AND t1.data >= t2.data - 1",
+    )
+
+
+_populated = False
+
+
+def _ensure_populated() -> None:
+    global _populated
+    if _populated:
+        return
+    _populate_tier_b()
+    _populate_relational()
+    _populate_zarr()
+    try:
+        from .operators.suite_entries import populate_operator_queries
+
+        populate_operator_queries(register_query)
+    except ImportError:
+        pass
+    _populated = True

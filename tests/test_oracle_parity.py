@@ -1,0 +1,92 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same parquet tables, compare row count, column names, and an
+order-insensitive value hash."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    try:  # Decimal → str for stable compare
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+    except ImportError:
+        pass
+    return v
+
+
+def _canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES.keys()))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = _QUERIES[name](spark, SF_DIR)
+    spark_cols = [f.name for f in sdf.schema.fields]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(_ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+    a = _canon(spark_rows, spark_cols)
+    b = _canon(duck_rows, duck_cols)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_every_query_has_callable():
+    assert set(_ORACLES) <= set(_QUERIES)
+    assert len(_QUERIES) >= 40
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "region_name" in df.columns
