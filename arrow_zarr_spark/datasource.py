@@ -248,8 +248,30 @@ class ZarrReader(DataSourceReader):
         if n_opt:
             groups = self.plan.split_cells(int(n_opt))
         else:
-            chunks_per = int(self.options.get("chunks_per_partition", 1) or 1)
+            chunks_per_opt = self.options.get("chunks_per_partition")
             cells = self.plan.cells()
+            if chunks_per_opt:
+                chunks_per = max(1, int(chunks_per_opt))
+            else:
+                # Auto-grouping: one tiny chunk per Spark task wastes a
+                # Python-worker round trip per chunk; one huge range
+                # starves the scheduler. Target ~64k rows per task but
+                # keep at least 2 partitions per local core so the
+                # scheduler (and AQE) has room — on a cluster, callers
+                # size explicitly via num_partitions/chunks_per_partition.
+                rows_per_cell = 1
+                for c in (
+                    self.plan._rep.meta.chunk_shape
+                    if self.plan.kind == "data"
+                    else [a.meta.chunk_shape[0] for a in self.plan.arrays]
+                ):
+                    rows_per_cell *= int(c)
+                chunks_per = max(1, 65536 // max(rows_per_cell, 1))
+                min_parts = 2 * (os.cpu_count() or 8)
+                if len(cells) >= min_parts:
+                    chunks_per = min(
+                        chunks_per, max(1, len(cells) // min_parts)
+                    )
             groups = [
                 cells[i : i + chunks_per]
                 for i in range(0, len(cells), chunks_per)

@@ -47,6 +47,7 @@ def get_spark(app_name: str = "arrow_zarr_spark", cpus: int | None = None) -> Sp
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )

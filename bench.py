@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Query set = the reference's two bench shapes (theta/range self-join and
+UNION ALL double scan, ``benches/s3_bench.rs:214-247``) run against a
+zarr store, plus the relational headliners (TPC-H Q1/Q5 shapes, window
+top-k, fact self-join) and the data-pipeline operators at sf scale.
+
+Each query is forced with a noop sink (full execution, no driver
+collect) after a warm-up of the input metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from arrow_zarr_spark import register, suite  # noqa: E402
+from arrow_zarr_spark import fixtures  # noqa: E402
+from arrow_zarr_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df) -> int:
+    """Execute the full plan without collecting to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def bench_queries(spark):
+    """name -> thunk executing the query end-to-end."""
+    from pyspark.sql import functions as F
+
+    suite.ensure_views(spark, SF_DIR)
+
+    # zarr bench store: 8 int64 arrays 512x512 (reference layout,
+    # s3_bench.rs:70-109; 32x32 chunks locally)
+    zpath = fixtures.write_bench_store()
+    spark.read.format("zarr").load(zpath).createOrReplaceTempView("zarr_bench")
+    # smaller store for the quadratic theta join (see comment below)
+    zsmall = fixtures.write_bench_store(side=128, n_vars=2, chunk=32)
+    spark.read.format("zarr").load(zsmall).createOrReplaceTempView(
+        "zarr_bench_small"
+    )
+
+    qs = {}
+
+    # -- reference bench shapes --
+    qs["zarr_full_scan"] = lambda: _force(spark.table("zarr_bench"))
+    qs["zarr_union_all"] = lambda: _force(
+        spark.sql(
+            "SELECT * FROM zarr_bench UNION ALL SELECT * FROM zarr_bench"
+        )
+    )
+    # the reference's theta/range self-join is O(n*m) nested-loop; at the
+    # full 262k-row store that is 5.7e9 predicate evals — run it on the
+    # 16k-row store (matching shape, tractable locally; the reference
+    # benchmarked on S3 with criterion and published no numbers)
+    qs["zarr_theta_self_join"] = lambda: _force(
+        spark.sql(
+            "SELECT t1.var1 AS v1, t2.var1 AS v2 FROM zarr_bench_small t1 "
+            "JOIN zarr_bench_small t2 ON t1.var1 % 12 = 0 "
+            "AND t1.var1 < t2.var1 + 1 AND t1.var1 >= t2.var1 - 1"
+        )
+    )
+    qs["zarr_filter_agg"] = lambda: _force(
+        spark.sql(
+            "SELECT SUM(var1) AS s, COUNT(*) AS n FROM zarr_bench "
+            "WHERE var2 % 2 = 0 AND var1 < 100000"
+        )
+    )
+
+    # -- relational headliners on the sf tables --
+    qs["tpch_q1_agg"] = lambda: _force(
+        spark.sql(
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            "SUM(l_extendedprice) AS sum_price, "
+            "SUM(l_extendedprice * (1 - l_discount)) AS revenue, "
+            "AVG(l_quantity) AS avg_qty, COUNT(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        )
+    )
+    qs["tpch_q5_join_agg"] = lambda: _force(
+        spark.sql(
+            "SELECT n_name, SUM(l_extendedprice) AS revenue, COUNT(*) AS n "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name"
+        )
+    )
+    qs["window_topk"] = lambda: _force(
+        spark.sql(
+            "SELECT * FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) "
+            "AS rn FROM orders) t WHERE rn <= 3"
+        )
+    )
+    qs["fact_self_join"] = lambda: _force(
+        spark.sql(
+            "SELECT a.l_orderkey, a.l_linenumber, a.l_quantity AS q1, "
+            "b.l_quantity AS q2 FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_linenumber = b.l_linenumber"
+        )
+    )
+
+    # -- data-pipeline operators (registered once implemented) --
+    try:
+        from arrow_zarr_spark.operators import bench_entries
+
+        bench_entries.add_bench_queries(qs, spark, SF_DIR)
+    except ImportError:
+        pass
+
+    return qs
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count()
+    spark = get_spark(app_name="arrow_zarr_spark_bench", cpus=cpus)
+    register(spark)
+
+    qs = bench_queries(spark)
+    timings = {}
+    for name, thunk in qs.items():
+        t0 = time.perf_counter()
+        thunk()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "arrow_zarr_spark headline queries wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
