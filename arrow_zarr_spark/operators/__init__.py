@@ -1,0 +1,15 @@
+"""Large-scale data-pipeline operators (beyond the reference's surface).
+
+All operators are DataFrame-native compositions of built-in
+``pyspark.sql.functions`` wherever the semantics allow (JVM-side,
+whole-stage-codegen'd, shuffle-aware); Pandas UDFs appear only where a
+per-row bit-manipulation or vector kernel genuinely can't be expressed
+(simhash, byte-level feature extraction) — and those are Arrow-batched,
+never row-at-a-time.
+
+Modules: :mod:`dedup` (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine), :mod:`similarity` (brute-force cosine top-k, LSH
+ANN), :mod:`text` (tokenization, language ID, quality scoring, token
+counting, fingerprinting), :mod:`multimodal` (binary payload columns +
+stubbed decoders over mapInPandas).
+"""

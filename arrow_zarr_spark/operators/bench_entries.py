@@ -1,0 +1,45 @@
+"""Bench registrations for the pipeline operators (called by bench.py).
+
+Each thunk executes a full operator pipeline with a noop sink at the
+bench scale factor — these are the 100-TB-path kernels, so their
+throughput matters as much as the relational queries'."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import dedup, multimodal, similarity, text
+
+__all__ = ["add_bench_queries"]
+
+
+def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+        return 0
+
+    qs["dedup_minhash_lsh"] = lambda: force(
+        dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.05)
+    )
+    qs["dedup_exact"] = lambda: force(dedup.exact_dedup(docs))
+    qs["dedup_simhash"] = lambda: force(dedup.simhash_dedup(docs))
+    qs["ann_cosine_topk"] = lambda: force(
+        similarity.cosine_topk(embs, embs.filter(F.col("vec_id") < 100), k=10)
+    )
+    qs["ann_lsh"] = lambda: force(
+        similarity.hyperplane_lsh_ann(
+            embs, embs.filter(F.col("vec_id") < 100), k=10
+        )
+    )
+    qs["text_pipeline"] = lambda: force(
+        text.token_count(docs)
+        .join(text.language_id(docs), "doc_id")
+        .join(text.quality_score(docs), "doc_id")
+        .join(text.document_fingerprint(docs), "doc_id")
+    )
+    qs["multimodal_features"] = lambda: force(
+        multimodal.byte_features(multimodal.with_binary_payload(docs))
+    )

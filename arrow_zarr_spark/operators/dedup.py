@@ -1,0 +1,309 @@
+"""Deduplication operators: exact, normalized, MinHash+LSH, SimHash,
+exact n-gram Jaccard, embedding-cosine near-dup.
+
+Design for 100 TB (the reason each shape was chosen):
+
+- **exact**: groupBy on the full text (or a digest) — one shuffle,
+  uniform keys (hashes don't skew), map-side combine.
+- **MinHash+LSH**: shingle explode → one groupBy(doc) computing the
+  whole signature as n_hashes min-aggregates (single shuffle, partial
+  aggregation) → band explode → band-bucket self-join (equi join on
+  (band, signature-slice), AQE-skew-safe) → distinct pairs. No pairwise
+  O(n²) stage ever materializes; cost is data-linear + bucket-local.
+- **SimHash**: Arrow-batched pandas_udf computing the 64-bit signature
+  (bit-twiddling isn't expressible in SQL functions), then dedup is an
+  exact groupBy on the signature or a banded Hamming join.
+- **n-gram Jaccard**: exact verification operator — shingle sets,
+  shared-count via equi-join on the shingle string, Jaccard from set
+  sizes. Quadratic only within identical-shingle buckets.
+- **embedding cosine**: see :mod:`similarity`; near-dup = threshold
+  variant of the same kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .text import words_col
+
+__all__ = [
+    "exact_dedup",
+    "normalized_dedup",
+    "shingles",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_dedup",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+]
+
+_MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the smallest id per exact text; report the copy count."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
+    )
+
+
+def normalized_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup after lowercase + whitespace collapse + trim."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.col(id_col), norm.alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(text_col, k: int = 3):
+    """Word k-gram shingles as strings (empty array when < k words)."""
+    words = words_col(text_col)
+    return F.when(
+        F.size(words) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    )
+
+
+def _hash_params(n_hashes: int, seed: int = 42):
+    """Deterministic (a, b) pairs for the universal-hash family
+    h_i(x) = (a_i * x + b_i) mod (2^31-1)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE31, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE31, size=n_hashes, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) MinHash signature via shingle explode + one
+    groupBy with n min-aggregates (single shuffle, map-side combine)."""
+    a, b = _hash_params(n_hashes, seed)
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    # base shingle hash: xxhash64 (JVM, codegen) folded into [0, p)
+    h = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE31))
+    hashed = sh.select(id_col, h.alias("h"))
+    aggs = [
+        F.min((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % _MERSENNE31).alias(
+            f"mh_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    verify_jaccard: bool = True,
+    jaccard_threshold: Optional[float] = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH, optionally
+    verified with exact shingle Jaccard.
+
+    Returns (id_a, id_b[, jaccard]) with id_a < id_b."""
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{bi * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col).alias("bid"), F.explode(band_structs).alias("bs")
+    ).select("bid", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.bid") < F.col("r.bid")),
+        )
+        .select(F.col("l.bid").alias("id_a"), F.col("r.bid").alias("id_b"))
+        .distinct()
+    )
+    if not verify_jaccard:
+        return pairs
+
+    jac = ngram_jaccard_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        k=shingle_k,
+        threshold=0.0,
+        candidate_pairs=pairs,
+    )
+    if jaccard_threshold is not None:
+        jac = jac.filter(F.col("jaccard") >= jaccard_threshold)
+    return jac
+
+
+@F.pandas_udf(LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (FNV-1a per token).
+
+    Arrow-batched: the bit-accumulation kernel is numpy over the whole
+    batch's token set. Engine-independent FNV keeps it reproducible."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in t.split(" "):
+            h = np.uint64(14695981039346656037)
+            for ch in tok.encode("utf-8"):
+                h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        sig = 0
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= 1 << b
+        # fold to signed 64-bit
+        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical SimHashes (Hamming distance 0). For distance ≤ d
+    banding, split the 64 bits into d+1 bands and equi-join per band —
+    same LSH shape as MinHash, reusing minhash_lsh_pairs' plan."""
+    sig = simhash(df, id_col, text_col)
+    return sig.groupBy("simhash").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_docs")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+    candidate_pairs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity pairs (id_a < id_b,
+    jaccard ≥ threshold, rounded to 6 for deterministic comparison).
+
+    Shared-shingle counting via equi-join on the shingle string: the
+    O(n²) blowup is confined to docs sharing a shingle. When
+    ``candidate_pairs`` is given (e.g. from LSH), only those pairs are
+    scored — the verification path of a dedup pipeline."""
+    sh = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    )
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("n_sh"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .groupBy(
+            F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    if candidate_pairs is not None:
+        shared = shared.join(candidate_pairs, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+
+    Brute-force kernel (exact): higher-order array functions, JVM-side.
+    At 100-TB scale, gate this behind LSH bucketing
+    (:func:`similarity.hyperplane_lsh_ann`) so the cross product never
+    materializes; this exact form is the verifier/baseline."""
+    from .similarity import cosine_expr
+
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr("va", "vb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,189 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode / feature-extraction / resize / frame-sampling as Arrow-batched
+mapInPandas operators.
+
+The image/audio libraries are not in this container, so the *decode
+kernels* are stubbed — either a clearly-marked NotImplementedError (real
+codecs) or a deterministic fake (byte-level features). The Spark-side
+plumbing is real and tested: schema shape, binary columns, batch
+iteration, partitioning, and UDF signatures are exactly what a
+Pillow/torchaudio-backed kernel would drop into.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "with_binary_payload",
+    "byte_features",
+    "decode_image",
+    "resize_images",
+    "sample_frames",
+]
+
+#: Canonical multimodal column group: payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("media_type", StringType(), True),  # image/audio/video
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def with_binary_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Derive a media-shaped frame from the documents table (payload =
+    UTF-8 bytes of the text; a deterministic stand-in for image bytes)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+    )
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("first_byte", IntegerType(), True),
+        StructField("last_byte", IntegerType(), True),
+        StructField("byte_sum_mod", LongType(), True),
+    ]
+)
+
+
+def byte_features(df: DataFrame) -> DataFrame:
+    """Deterministic fake "decoder": byte-level features via mapInPandas.
+
+    This is the real plumbing for a decode step — Arrow batches in,
+    numpy kernel, Arrow batches out, no driver involvement, partition-
+    parallel. Swap the kernel body for Pillow/librosa when available."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n = len(pdf)
+            n_bytes = np.zeros(n, dtype=np.int64)
+            first = np.zeros(n, dtype=np.int32)
+            last = np.zeros(n, dtype=np.int32)
+            bsum = np.zeros(n, dtype=np.int64)
+            for i, p in enumerate(payloads):
+                if p is None:
+                    continue
+                buf = np.frombuffer(p, dtype=np.uint8)
+                n_bytes[i] = buf.size
+                if buf.size:
+                    first[i] = int(buf[0])
+                    last[i] = int(buf[-1])
+                    bsum[i] = int(buf.sum()) % 1000003
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_bytes": n_bytes,
+                    "first_byte": first,
+                    "last_byte": last,
+                    "byte_sum_mod": bsum,
+                }
+            )
+
+    return df.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("pixels", ArrayType(DoubleType()), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode image payloads to pixel arrays.
+
+    ``fake=True`` produces a deterministic 4x4 grayscale thumbnail from
+    the byte stream (so the downstream plumbing — schema, batching,
+    joins on media_id — is exercised end-to-end). ``fake=False`` is the
+    real-codec path: STUB, raises NotImplementedError (no Pillow in
+    this environment)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires Pillow; install it and "
+                    "replace this kernel (see module docstring)"
+                )
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    rows.append((mid, None, None, None))
+                    continue
+                buf = np.frombuffer(p, dtype=np.uint8)
+                # deterministic 4x4 "thumbnail": mean of 16 equal byte spans
+                spans = np.array_split(buf.astype(np.float64), 16)
+                pix = [float(np.round(s.mean(), 6)) if s.size else 0.0 for s in spans]
+                rows.append((mid, pix, 4, 4))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "pixels", "width", "height"]
+            )
+
+    return df.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB: real resize needs an image library. The operator signature,
+    schema, and partition behavior are final; the kernel raises."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image resize requires Pillow/opencv; not in this environment"
+        )
+        yield  # pragma: no cover
+
+    return df.mapInPandas(kernel, schema=_DECODE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """STUB: video frame sampling requires a video decoder. Signature and
+    output schema are final; the kernel raises."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "video frame sampling requires pyav/ffmpeg; not in this "
+            "environment"
+        )
+        yield  # pragma: no cover
+
+    return df.mapInPandas(kernel, schema=schema)

@@ -1,0 +1,254 @@
+"""Correctness-harness registrations for the pipeline operators.
+
+Every SQL-expressible operator gets a DuckDB oracle (engine-
+independent arithmetic only — see :mod:`text` for the word-code
+convention). Operators built on engine-specific hashing (xxhash64
+MinHash, FNV SimHash) or seeded projections (LSH/IVF ANN) register
+without an oracle → the driver records the weaker rows-only check;
+their *verification* story is covered by the exact operators they
+approximate (d04 exact Jaccard verifies d03's candidates, s01 exact
+top-k verifies s02/s03)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..suite import ensure_views
+from . import dedup, multimodal, similarity, text
+
+__all__ = ["populate_operator_queries"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+#: DuckDB list-comprehension trigram shingles (WITH ORDINALITY is not
+#: available in DuckDB 1.0; list_transform over range is)
+_TRI_CTE = (
+    "tri AS ("
+    "  SELECT doc_id, t.sh AS sh FROM ("
+    "    SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),"
+    "      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shl"
+    "    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"
+    "  ), UNNEST(shl) AS t(sh))"
+)
+
+
+def populate_operator_queries(register) -> None:
+    # ---------------- dedup ----------------
+    def d01(spark, sf_dir):
+        return dedup.exact_dedup(_docs(spark, sf_dir))
+
+    register(
+        "d01_exact_dedup",
+        d01,
+        "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY text",
+    )
+
+    def d02(spark, sf_dir):
+        return dedup.normalized_dedup(_docs(spark, sf_dir))
+
+    register(
+        "d02_normalized_dedup",
+        d02,
+        "SELECT TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS "
+        "norm_text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY 1",
+    )
+
+    def d03(spark, sf_dir):
+        # LSH candidates verified with exact Jaccard (rows-only check:
+        # xxhash64-based signatures aren't reproducible in the oracle;
+        # d04 verifies the same pair set independently)
+        return dedup.minhash_lsh_pairs(
+            _docs(spark, sf_dir), jaccard_threshold=0.05
+        )
+
+    register("d03_minhash_lsh_pairs", d03, None)
+
+    def d04(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+
+    register(
+        "d04_ngram_jaccard_pairs",
+        d04,
+        "WITH "
+        + _TRI_CTE
+        + ", sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tri GROUP BY doc_id)"
+        ", shared AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared"
+        "  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2) "
+        "SELECT id_a, id_b, j AS jaccard FROM ("
+        "  SELECT id_a, id_b, "
+        "  ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) AS j"
+        "  FROM shared JOIN sizes sa ON sa.doc_id = shared.id_a"
+        "  JOIN sizes sb ON sb.doc_id = shared.id_b"
+        ") WHERE j >= 0.05",
+    )
+
+    def d05(spark, sf_dir):
+        return dedup.simhash_dedup(_docs(spark, sf_dir))
+
+    register("d05_simhash_dedup", d05, None)
+
+    def d06(spark, sf_dir):
+        return dedup.embedding_cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+    register(
+        "d06_embedding_neardup",
+        d06,
+        "SELECT id_a, id_b, c AS cosine FROM ("
+        "  SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "  CAST(b.embedding AS DOUBLE[])), 6) AS c "
+        "  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+        ") WHERE c >= 0.4",
+    )
+
+    # ---------------- similarity search ----------------
+    def s01(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        out = similarity.cosine_topk(
+            embs, embs.filter(F.col("vec_id") < 20), k=5
+        )
+        return out.withColumn("rank", F.col("rank").cast("long"))
+
+    register(
+        "s01_cosine_topk",
+        s01,
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) "
+        "AS qv FROM embeddings WHERE vec_id < 20), "
+        "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) "
+        "AS cv FROM embeddings), "
+        "s AS (SELECT query_id, neighbor_id, "
+        "ROUND(list_cosine_similarity(qv, cv), 6) AS cosine "
+        "FROM q, c WHERE query_id <> neighbor_id), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
+        "SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank "
+        "FROM r WHERE rank <= 5",
+    )
+
+    def s02(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        out = similarity.hyperplane_lsh_ann(
+            embs, embs.filter(F.col("vec_id") < 20), k=5
+        )
+        return out.withColumn("rank", F.col("rank").cast("long"))
+
+    register("s02_lsh_ann_topk", s02, None)
+
+    def s03(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        out = similarity.ivf_ann(embs, embs.filter(F.col("vec_id") < 20), k=5)
+        return out.withColumn("rank", F.col("rank").cast("long"))
+
+    register("s03_ivf_ann_topk", s03, None)
+
+    # ---------------- text analysis ----------------
+    def t01(spark, sf_dir):
+        return text.token_count(_docs(spark, sf_dir))
+
+    register(
+        "t01_token_count",
+        t01,
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS "
+        "n_tokens, CAST(list_sum(list_transform(string_split(text, ' '), "
+        "w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS BIGINT) AS "
+        "n_subwords, CAST(LENGTH(text) AS INTEGER) AS n_chars_measured "
+        "FROM documents",
+    )
+
+    def t02(spark, sf_dir):
+        return text.language_id(_docs(spark, sf_dir))
+
+    _en = "['the','a','of','and','to','in','is']"
+    _es = "['el','la','de','que','y','en','un']"
+    _fr = "['le','la','de','et','un','une','est']"
+    register(
+        "t02_language_id",
+        t02,
+        "SELECT doc_id, hits_en, hits_es, hits_fr, "
+        "CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en > 0 "
+        "THEN 'en' WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es' "
+        "WHEN hits_fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM ("
+        "SELECT doc_id, "
+        f"CAST(len(list_intersect(ws, {_en})) AS INTEGER) AS hits_en, "
+        f"CAST(len(list_intersect(ws, {_es})) AS INTEGER) AS hits_es, "
+        f"CAST(len(list_intersect(ws, {_fr})) AS INTEGER) AS hits_fr "
+        "FROM (SELECT doc_id, string_split(LOWER(text), ' ') AS ws "
+        "FROM documents))",
+    )
+
+    def t03(spark, sf_dir):
+        return text.quality_score(_docs(spark, sf_dir))
+
+    register(
+        "t03_quality_score",
+        t03,
+        "SELECT doc_id, n_words, n_distinct_words, "
+        "ROUND(avg_word_len, 6) AS avg_word_len, "
+        "ROUND(diversity, 6) AS diversity, "
+        "ROUND(0.4 * len_ok + 0.3 * wordlen_ok + 0.3 * diversity, 6) AS "
+        "quality FROM ("
+        "SELECT doc_id, n_words, n_distinct_words, avg_word_len, "
+        "n_distinct_words / (n_words * 1.0) AS diversity, "
+        "CASE WHEN n_words >= 10 AND n_words <= 1000 THEN 1.0 ELSE 0.3 END "
+        "AS len_ok, "
+        "CASE WHEN avg_word_len >= 2.0 AND avg_word_len <= 12.0 THEN 1.0 "
+        "ELSE 0.4 END AS wordlen_ok FROM ("
+        "SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words, "
+        "CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct_words, "
+        "(LENGTH(text) - (len(ws) - 1)) / (len(ws) * 1.0) AS avg_word_len "
+        "FROM (SELECT doc_id, text, string_split(text, ' ') AS ws "
+        "FROM documents)))",
+    )
+
+    def t04(spark, sf_dir):
+        return text.document_fingerprint(_docs(spark, sf_dir))
+
+    register(
+        "t04_document_fingerprint",
+        t04,
+        "SELECT doc_id, CAST(list_sum(list_transform(range(1, len(ws)+1), "
+        "i -> ((LENGTH(ws[i]) * 31 + ASCII(SUBSTR(ws[i], 1, 1))) * 31 "
+        "+ ASCII(SUBSTR(ws[i], LENGTH(ws[i]), 1))) "
+        "* ((i * 2654435761) % 1000003))) % 2147483647 AS BIGINT) AS "
+        "fingerprint FROM "
+        "(SELECT doc_id, string_split(text, ' ') AS ws FROM documents)",
+    )
+
+    # ---------------- multimodal ----------------
+    def m01(spark, sf_dir):
+        media = multimodal.with_binary_payload(_docs(spark, sf_dir))
+        return multimodal.byte_features(media)
+
+    # documents text is pure ASCII (verified: octet_length == length), so
+    # byte-level features are reconstructable from chars in the oracle
+    register(
+        "m01_byte_features",
+        m01,
+        "SELECT doc_id AS media_id, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "ascii(substr(text, 1, 1)) AS first_byte, "
+        "ascii(substr(text, length(text), 1)) AS last_byte, "
+        "CAST(list_sum(list_transform(string_split(text, ''), "
+        "c -> ascii(c))) % 1000003 AS BIGINT) AS byte_sum_mod "
+        "FROM documents",
+    )
+
+    def m02(spark, sf_dir):
+        media = multimodal.with_binary_payload(_docs(spark, sf_dir))
+        return multimodal.decode_image(media, fake=True)
+
+    register("m02_decode_image_fake", m02, None)

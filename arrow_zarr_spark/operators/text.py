@@ -1,0 +1,154 @@
+"""Text-analysis operators: tokenization, token counting, language ID,
+quality scoring, document fingerprinting.
+
+Everything here is built-in-function compositions (JVM-side, codegen)
+— no Python in the hot path. The deterministic "word code" arithmetic
+is chosen to be expressible in both Spark SQL and the DuckDB oracle so
+the correctness harness can verify it (engine hash functions like
+xxhash64 differ across engines and would defeat the oracle).
+
+Scale notes: every operator is a narrow per-row projection or a single
+explode+groupBy — no joins, no driver collection; at 100 TB these
+pipeline at input-scan speed with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "words_col",
+    "token_count",
+    "bpe_ish_token_count",
+    "language_id",
+    "quality_score",
+    "document_fingerprint",
+    "word_code_sql",
+]
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est"],
+}
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokenization (single-space split matches the oracle)."""
+    return F.split(text, " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate
+    (word-piece count approximated by ceil(len/4), the common
+    tokens≈chars/4 rule)."""
+    words = words_col(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+        ).alias("n_subwords"),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+    )
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex-based token split closer to a BPE pre-tokenizer: words,
+    numbers, and punctuation runs each count as a token."""
+    return df.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"\s+|(?=[^\w\s])"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language heuristic. Deterministic argmax with a
+    fixed preference order on ties (en > es > fr > und)."""
+    words = words_col(F.lower(F.col(text_col)))
+    hits = {
+        lang: F.size(
+            F.array_intersect(
+                words, F.array(*[F.lit(w) for w in vocab])
+            )
+        )
+        for lang, vocab in STOPWORDS.items()
+    }
+    en, es, fr = hits["en"], hits["es"], hits["fr"]
+    pred = (
+        F.when((en >= es) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((es >= fr) & (es > 0), F.lit("es"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return df.select(
+        "doc_id",
+        en.alias("hits_en"),
+        es.alias("hits_es"),
+        fr.alias("hits_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / lexical-diversity / word-shape quality signals with a
+    combined score in [0,1]. Pure arithmetic so the oracle can replay it
+    bit-for-bit (rounded to 6 places)."""
+    text = F.col(text_col)
+    words = words_col(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    n_distinct = F.size(F.array_distinct(words))
+    avg_word_len = (n_chars - (n_words - 1)) / n_words  # exact: single spaces
+    diversity = n_distinct / n_words
+    len_ok = F.when((n_words >= 10) & (n_words <= 1000), 1.0).otherwise(0.3)
+    wordlen_ok = F.when(
+        (avg_word_len >= 2.0) & (avg_word_len <= 12.0), 1.0
+    ).otherwise(0.4)
+    score = F.round(
+        0.4 * len_ok + 0.3 * wordlen_ok + 0.3 * diversity, 6
+    )
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(diversity, 6).alias("diversity"),
+        score.alias("quality"),
+    )
+
+
+#: SQL fragment for the engine-independent word code (see module doc):
+#: ((len(w)*31 + first_char_code) * 31 + last_char_code)
+def word_code_sql(w: str) -> str:
+    return (
+        f"((LENGTH({w}) * 31 + ASCII(SUBSTR({w}, 1, 1))) * 31 "
+        f"+ ASCII(SUBSTR({w}, LENGTH({w}), 1)))"
+    )
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling fingerprint: sum over word positions of
+    word_code(w) * ((pos * 2654435761) % 1000003), all mod 2^31-1.
+
+    A rolling polynomial hash over engine-independent word codes —
+    deterministic, positional (reordered words change it), and
+    expressible in the DuckDB oracle. Implemented as posexplode +
+    groupBy sum (map-side combine, single shuffle on doc_id)."""
+    words = words_col(F.col(text_col))
+    exploded = df.select("doc_id", F.posexplode(words).alias("pos", "w"))
+    wc = F.expr(word_code_sql("w"))
+    contrib = (wc * (((F.col("pos") + 1) * F.lit(2654435761)) % 1000003))
+    return (
+        exploded.groupBy("doc_id")
+        .agg((F.sum(contrib) % F.lit(2147483647)).alias("fingerprint"))
+    )

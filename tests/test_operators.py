@@ -1,0 +1,153 @@
+"""Behavioral tests for the data-pipeline operators (the rows-only
+queries the oracle can't verify: MinHash LSH, SimHash, ANN variants,
+multimodal decode plumbing)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_zarr_spark.operators import dedup, multimodal, similarity, text
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+class TestMinHashLSH:
+    def test_candidates_cover_high_jaccard_pairs(self, spark, docs):
+        """LSH with 16 bands of 4 rows catches essentially every pair
+        with J >= 0.7 (P_detect = 1-(1-J^4)^16 > 0.998)."""
+        exact = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.7).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(
+                docs, jaccard_threshold=0.7
+            ).collect()
+        }
+        assert exact, "fixture should contain near-duplicate documents"
+        assert exact == lsh
+
+    def test_signature_shape(self, spark, docs):
+        sig = dedup.minhash_signatures(docs.limit(10), n_hashes=16)
+        row = sig.first()
+        assert len([c for c in sig.columns if c.startswith("mh_")]) == 16
+        assert all(0 <= row[f"mh_{i}"] < 2147483647 for i in range(16))
+
+
+class TestSimHash:
+    def test_identical_texts_same_hash(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+        assert rows[1] == rows[2]
+        assert rows[1] != rows[3]
+
+    def test_near_texts_close_hamming(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog " * 3),
+             (2, "the quick brown fox jumps over the lazy cat " * 3)],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+        ham = bin((rows[1] ^ rows[2]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 16  # near-duplicates land close in Hamming space
+
+
+class TestANN:
+    def test_lsh_ann_recall(self, spark, embs):
+        queries = embs.filter(F.col("vec_id") < 10)
+        exact = similarity.cosine_topk(embs, queries, k=5).collect()
+        # these embeddings are near-random (top-1 cosine ~0.4 => ~63%
+        # per-bit agreement): use short signatures + many tables so the
+        # collision probability theory gives ~88% expected top-1 recall
+        approx = similarity.hyperplane_lsh_ann(
+            embs, queries, k=5, n_planes=4, n_tables=12
+        ).collect()
+        exact_top1 = {r.query_id: r.neighbor_id for r in exact if r.rank == 1}
+        approx_by_q = {}
+        for r in approx:
+            approx_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(
+            1
+            for q, n in exact_top1.items()
+            if n in approx_by_q.get(q, set())
+        )
+        # top-1 recall@5 should be decent even with tiny tables
+        assert hits >= len(exact_top1) * 0.5
+
+    def test_ivf_ann_runs(self, spark, embs):
+        out = similarity.ivf_ann(
+            embs, embs.filter(F.col("vec_id") < 5), k=3
+        ).collect()
+        assert len(out) > 0
+        assert all(r.rank <= 3 for r in out)
+
+    def test_exact_topk_deterministic(self, spark, embs):
+        q = embs.filter(F.col("vec_id") < 5)
+        a = similarity.cosine_topk(embs, q, k=3).collect()
+        b = similarity.cosine_topk(embs, q, k=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestMultimodal:
+    def test_byte_features_roundtrip(self, spark, docs):
+        media = multimodal.with_binary_payload(docs.limit(20))
+        feats = multimodal.byte_features(media).collect()
+        texts = {r.doc_id: r.text for r in docs.limit(20).collect()}
+        for r in feats:
+            t = texts[r.media_id].encode()
+            assert r.n_bytes == len(t)
+            assert r.first_byte == t[0]
+            assert r.last_byte == t[-1]
+            assert r.byte_sum_mod == sum(t) % 1000003
+
+    def test_decode_image_fake(self, spark, docs):
+        media = multimodal.with_binary_payload(docs.limit(5))
+        out = multimodal.decode_image(media, fake=True).collect()
+        assert len(out) == 5
+        assert all(len(r.pixels) == 16 for r in out)
+        assert all(r.width == 4 and r.height == 4 for r in out)
+
+    def test_real_decode_is_stubbed(self, spark, docs):
+        media = multimodal.with_binary_payload(docs.limit(2))
+        with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+            multimodal.decode_image(media, fake=False).collect()
+
+
+class TestTextOps:
+    def test_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha")],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r.doc_id: r.fingerprint
+            for r in text.document_fingerprint(df).collect()
+        }
+        assert rows[1] != rows[2]
+
+    def test_language_id_sanity(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the house of the king and a dog"),
+             (2, "el perro de la casa y que bonito"),
+             (3, "zzz qqq www")],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r.lang_pred for r in text.language_id(df).collect()}
+        assert rows[1] == "en"
+        assert rows[2] == "es"
+        assert rows[3] == "und"
