@@ -1,0 +1,209 @@
+"""Distributed Zarr writer: DataFrame → Zarr v3 store.
+
+The reference is read-only (its fixtures write with raw zarrs,
+``/root/reference/crates/arrow-zarr/src/lib.rs:170-240``); a writer is
+the north-star addition. Layout produced: one 1-D array per column,
+uniform ``chunk_rows`` chunking — the no-coordinates store shape (F3)
+that the reader round-trips.
+
+Scale design (why two passes):
+
+Zarr's regular chunk grid needs every row to know its *global* index,
+but Spark partitions only know local order. So:
+
+1. **Count pass** — one job computes per-partition row counts (a
+   count-only scan; columnar sources prune to zero columns). The
+   cumulative offsets are broadcast — thousands of longs, not data.
+2. **Write pass** — ``mapInPandas`` tags each row with
+   ``offset[partition] + local_position`` (TaskContext gives the
+   partition id), rows are hash-shuffled on their target chunk id, and
+   ``applyInPandas`` writes each chunk object directly from its
+   executor. No driver data movement; the only full shuffle is the
+   chunk-id co-location, which is unavoidable for a deterministic
+   global layout and is exactly one pass over the data.
+
+The input is persisted between the two passes so both jobs observe the
+same partitioning (recomputation of a nondeterministic upstream —
+e.g. a shuffle with ties — could otherwise reorder rows).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark import StorageLevel, TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .zarr.meta import ArrayMeta, ZarrFormatError
+from .zarr.store import open_store
+from .zarr.writer import create_array, write_chunk, write_root_group
+
+__all__ = ["write_zarr", "SPARK_TO_ZARR"]
+
+SPARK_TO_ZARR = {
+    T.BooleanType(): "bool",
+    T.ByteType(): "int8",
+    T.ShortType(): "int16",
+    T.IntegerType(): "int32",
+    T.LongType(): "int64",
+    T.FloatType(): "float32",
+    T.DoubleType(): "float64",
+}
+
+
+def _zarr_dtype_for(field: T.StructField) -> str:
+    try:
+        return SPARK_TO_ZARR[field.dataType]
+    except KeyError:
+        raise ZarrFormatError(
+            f"Column {field.name}: Spark type {field.dataType.simpleString()} "
+            "has no Zarr mapping (numeric/boolean columns only)"
+        )
+
+
+def write_zarr(
+    df: DataFrame,
+    path: str,
+    chunk_rows: int = 65536,
+    columns: Optional[Sequence[str]] = None,
+    compression: str = "zstd",
+    mode: str = "error",
+    fill_value=0,
+) -> int:
+    """Write ``df``'s numeric/boolean columns as a Zarr v3 store.
+
+    Returns the number of rows written. ``mode``: "error" (default) or
+    "overwrite". Row order in the store is the DataFrame's partition
+    order (partition 0's rows first, in-partition order preserved) —
+    deterministic for sources with stable splits."""
+    if columns:
+        df = df.select(*columns)
+    for field in df.schema.fields:
+        _zarr_dtype_for(field)  # validate before any work
+    if chunk_rows <= 0:
+        raise ZarrFormatError("chunk_rows must be positive")
+
+    store = open_store(path)
+    if store.exists("zarr.json"):
+        if mode != "overwrite":
+            raise ZarrFormatError(
+                f"Store already exists at {path!r} (mode='error')"
+            )
+        # drop stale metadata/chunks by key walk (cheap for our stores)
+        for key in list(store.walk_keys()):
+            try:
+                import os as _os
+
+                _os.remove(store._path(key))  # LocalStore only
+            except (AttributeError, OSError):
+                break
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # pass 1: per-partition counts -> global offsets
+        counts = {
+            r["pid"]: r["n"]
+            for r in df.select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_parts = (max(counts) + 1) if counts else 0
+        offsets: List[int] = []
+        acc = 0
+        for pid in range(n_parts):
+            offsets.append(acc)
+            acc += counts.get(pid, 0)
+        total_rows = acc
+
+        spark = df.sparkSession
+        b_offsets = spark.sparkContext.broadcast(offsets)
+
+        # driver writes metadata first (array shape now known)
+        write_root_group(store)
+        metas: Dict[str, ArrayMeta] = {}
+        for field in df.schema.fields:
+            metas[field.name] = create_array(
+                store,
+                field.name,
+                shape=(total_rows,),
+                chunk_shape=(min(chunk_rows, max(total_rows, 1)),),
+                dtype=np.dtype(
+                    {
+                        "bool": np.bool_,
+                        "int8": np.int8,
+                        "int16": np.int16,
+                        "int32": np.int32,
+                        "int64": np.int64,
+                        "float32": np.float32,
+                        "float64": np.float64,
+                    }[_zarr_dtype_for(field)]
+                ),
+                fill_value=fill_value,
+                compression=compression,
+            )
+        if total_rows == 0:
+            return 0
+        eff_chunk = min(chunk_rows, total_rows)
+
+        # pass 2: global index -> chunk co-location -> chunk writes
+        idx_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("__row_idx", T.LongType(), False)]
+        )
+
+        def assign_index(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            pid = TaskContext.get().partitionId()
+            base = b_offsets.value[pid] if pid < len(b_offsets.value) else 0
+            seen = 0
+            for pdf in batches:
+                idx = base + seen + np.arange(len(pdf), dtype=np.int64)
+                seen += len(pdf)
+                out = pdf.copy()
+                out["__row_idx"] = idx
+                yield out
+
+        indexed = df.mapInPandas(assign_index, schema=idx_schema)
+        with_cid = indexed.withColumn(
+            "__cid", (F.col("__row_idx") / eff_chunk).cast("long")
+        )
+
+        col_names = [f.name for f in df.schema.fields]
+        path_for_task = path
+        metas_b = spark.sparkContext.broadcast(metas)
+
+        def write_chunk_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            cid = int(pdf["__cid"].iloc[0])
+            pdf = pdf.sort_values("__row_idx")
+            task_store = open_store(path_for_task)
+            for name in col_names:
+                meta = metas_b.value[name]
+                data = np.asarray(pdf[name].values, dtype=meta.dtype)
+                write_chunk(task_store, meta, (cid,), data)
+            return pd.DataFrame(
+                {"cid": [cid], "rows": [len(pdf)]}
+            )
+
+        result = (
+            with_cid.groupBy("__cid")
+            .applyInPandas(write_chunk_group, schema="cid long, rows long")
+            .agg(F.sum("rows").alias("written"))
+            .first()
+        )
+        written = int(result["written"])
+        if written != total_rows:
+            raise ZarrFormatError(
+                f"write_zarr wrote {written} rows, expected {total_rows}"
+            )
+        return written
+    finally:
+        df.unpersist()

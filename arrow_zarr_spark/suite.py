@@ -553,6 +553,27 @@ def _populate_zarr() -> None:
     )
 
 
+def _populate_writer() -> None:
+    def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Distributed writer round-trip: orders → zarr store → scan.
+        The oracle reads the same columns straight from parquet, so a
+        hash match proves the writer preserves every value."""
+        from .io import write_zarr
+
+        ensure_views(spark, sf_dir)
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w01_{token}"
+        src = spark.table("orders").select("o_orderkey", "o_totalprice")
+        write_zarr(src, path, chunk_rows=4096, mode="overwrite")
+        return spark.read.format("zarr").load(path)
+
+    register_query(
+        "w01_writer_roundtrip",
+        w01,
+        "SELECT o_orderkey, o_totalprice FROM orders",
+    )
+
+
 _populated = False
 
 
@@ -563,6 +584,7 @@ def _ensure_populated() -> None:
     _populate_tier_b()
     _populate_relational()
     _populate_zarr()
+    _populate_writer()
     try:
         from .operators.suite_entries import populate_operator_queries
 

@@ -1,0 +1,93 @@
+"""Round-trip tests for the distributed Zarr writer."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_zarr_spark.io import write_zarr
+from arrow_zarr_spark.zarr import ZarrFormatError, infer_store_arrays, open_store
+
+
+def test_roundtrip_lineitem_subset(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "li")
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    n = write_zarr(src, path, chunk_rows=1000)
+    assert n == src.count()
+
+    back = spark.read.format("zarr").load(path)
+    assert sorted(back.columns) == sorted(src.columns)  # store sorts by name
+    assert back.count() == n
+    cols = sorted(src.columns)
+    a = sorted(map(tuple, src.select(*cols).collect()))
+    b = sorted(map(tuple, back.select(*cols).collect()))
+    assert a == b
+
+
+def test_roundtrip_preserves_row_order(spark, tmp_path):
+    path = str(tmp_path / "ordered")
+    df = spark.range(0, 5000, 1, 8).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    write_zarr(df, path, chunk_rows=700)
+    back = spark.read.format("zarr").load(path)
+    # global order: partition 0 rows first; spark.range partitions are
+    # contiguous id ranges, so the store should hold ids 0..4999 in order
+    arrays = {a.meta.name: a for a in infer_store_arrays(open_store(path))}
+    ks = arrays["k"].read_all()
+    assert ks.tolist() == list(range(5000))
+    assert arrays["k"].meta.chunk_shape == (700,)
+    assert back.count() == 5000
+
+
+def test_all_numeric_types(spark, tmp_path):
+    path = str(tmp_path / "typed")
+    df = spark.range(0, 100).select(
+        F.col("id").cast("byte").alias("b"),
+        F.col("id").cast("short").alias("s"),
+        F.col("id").cast("int").alias("i"),
+        F.col("id").cast("long").alias("l"),
+        F.col("id").cast("float").alias("f"),
+        F.col("id").cast("double").alias("d"),
+        (F.col("id") % 2 == 0).alias("bl"),
+    )
+    write_zarr(df, path, chunk_rows=32)
+    back = spark.read.format("zarr").load(path)
+    assert dict(back.dtypes) == {
+        "b": "tinyint", "s": "smallint", "i": "int", "l": "bigint",
+        "f": "float", "d": "double", "bl": "boolean",
+    }
+    row = back.orderBy("l").collect()[41]
+    assert (row.b, row.s, row.i, row.l) == (41, 41, 41, 41)
+    assert row.bl is False
+
+
+def test_mode_error_and_overwrite(spark, tmp_path):
+    path = str(tmp_path / "twice")
+    df = spark.range(0, 10).select(F.col("id").alias("x"))
+    write_zarr(df, path, chunk_rows=4)
+    with pytest.raises(ZarrFormatError, match="already exists"):
+        write_zarr(df, path, chunk_rows=4)
+    write_zarr(
+        spark.range(0, 7).select(F.col("id").alias("x")),
+        path,
+        chunk_rows=4,
+        mode="overwrite",
+    )
+    assert spark.read.format("zarr").load(path).count() == 7
+
+
+def test_string_column_rejected(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], ["i", "t"])
+    with pytest.raises(ZarrFormatError, match="no Zarr mapping"):
+        write_zarr(df, str(tmp_path / "bad"))
+
+
+def test_empty_dataframe(spark, tmp_path):
+    path = str(tmp_path / "empty")
+    df = spark.range(0, 0).select(F.col("id").alias("x"))
+    assert write_zarr(df, path) == 0
+    arrays = infer_store_arrays(open_store(path))
+    assert arrays[0].meta.shape == (0,)
