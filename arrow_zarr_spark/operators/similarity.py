@@ -90,27 +90,81 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact top-k, Arrow-vectorized: the query matrix is broadcast to
+    every partition, each partition computes a NumPy/BLAS matmul against
+    its corpus slab and keeps a partition-local top-k, and a final
+    window merges the per-partition candidates.
+
+    Same output contract as :func:`cosine_topk` (rounded cosine,
+    deterministic tiebreaks). This is the throughput kernel: one matmul
+    per (partition × query set) instead of per-pair expression
+    evaluation, and the shuffle carries only n_partitions*k rows per
+    query — the scalable exact-ANN shape."""
+    import pandas as pd
+
+    query_id_col = query_id_col or id_col
+    qrows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+    spark = corpus.sparkSession
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def local_topk(batches):
+        q_ids_l, q_mat_l, q_norm_l = b_q.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm[c_norm == 0] = 1.0
+            cos = (q_mat_l @ c_mat.T) / np.outer(q_norm_l, c_norm)
+            cos = np.round(cos, 6)
+            for qi, qid in enumerate(q_ids_l):
+                row = cos[qi]
+                mask = c_ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                take = min(k, len(cand_idx))
+                # lexsort: primary cosine desc, tiebreak neighbor id asc
+                order = cand_idx[
+                    np.lexsort((c_ids[cand_idx], -row[cand_idx]))
+                ][:take]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qid, dtype=np.int64),
+                        "neighbor_id": c_ids[order],
+                        "cosine": row[order],
+                    }
+                )
+
+    local = corpus.mapInPandas(local_topk, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _planes(dim: int, n_planes: int, table: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed + 1000 * table)
     return rng.standard_normal((n_planes, dim))
-
-
-def _signature_col(vec_col: str, planes: np.ndarray):
-    """Bit-pack sign(plane · v) into a long, all JVM-side: each plane's
-    dot product is a zip_with/aggregate against a literal array."""
-    bits = []
-    for i, plane in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), lit, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig.cast("long")
 
 
 def hyperplane_lsh_ann(
@@ -131,25 +185,53 @@ def hyperplane_lsh_ann(
     equi-join on (table, signature); candidates are exact-cosine scored
     and top-k'd. Recall grows with tables, cost with bucket occupancy —
     both data-linear, no cross product."""
+    import pandas as pd
+
     query_id_col = query_id_col or id_col
     dim = len(corpus.select(vec_col).first()[0])
+    # all tables' planes stacked: (n_tables*n_planes, dim)
+    planes_all = np.vstack(
+        [_planes(dim, n_planes, t, seed) for t in range(n_tables)]
+    )
+    spark = corpus.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes_all)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     def sig_table(df, ident, idc):
-        parts = []
-        for t in range(n_tables):
-            planes = _planes(dim, n_planes, t, seed)
-            parts.append(
-                df.select(
-                    F.col(idc).alias(ident),
-                    F.col(vec_col).alias(f"{ident}_v"),
-                    F.lit(t).alias("tbl"),
-                    _signature_col(vec_col, planes).alias("sig"),
+        """(id, vec, tbl, sig) — one NumPy matmul per batch computes
+        every table's bit signature at once (Arrow in/out, no shuffle)."""
+        schema = (
+            f"{ident} long, {ident}_v array<float>, tbl int, sig long"
+        )
+
+        def kernel(batches):
+            pl = b_planes.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                bits = (mat @ pl.T) >= 0  # (n, n_tables*n_planes)
+                n = len(pdf)
+                sigs = (
+                    bits.reshape(n, n_tables, n_planes) @ weights
+                ).astype(np.int64)
+                ids = pdf[idc].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        ident: np.repeat(ids, n_tables),
+                        f"{ident}_v": [
+                            v
+                            for v in pdf[vec_col]
+                            for _ in range(n_tables)
+                        ],
+                        "tbl": np.tile(
+                            np.arange(n_tables, dtype=np.int32), n
+                        ),
+                        "sig": sigs.ravel(),
+                    }
                 )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        return out
+
+        return df.mapInPandas(kernel, schema=schema)
 
     csig = sig_table(corpus, "neighbor_id", id_col)
     qsig = sig_table(queries, "query_id", query_id_col)

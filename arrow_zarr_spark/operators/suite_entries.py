@@ -252,3 +252,57 @@ def populate_operator_queries(register) -> None:
         return multimodal.decode_image(media, fake=True)
 
     register("m02_decode_image_fake", m02, None)
+
+    # ---------------- custom joins ----------------
+    def j01(spark, sf_dir):
+        from . import joins
+
+        ensure_views(spark, sf_dir)
+        supplier = spark.table("supplier")
+        left = supplier.select(
+            F.col("s_suppkey").alias("k1"), F.col("s_acctbal").alias("b1")
+        )
+        right = supplier.select(
+            F.col("s_suppkey").alias("k2"), F.col("s_acctbal").alias("b2")
+        )
+        return joins.range_join(
+            left, right, "b1", "b2", lower=0.0, upper=100.0, band=100.0
+        ).select("k1", "k2")
+
+    register(
+        "j01_range_join",
+        j01,
+        "SELECT a.s_suppkey AS k1, b.s_suppkey AS k2 FROM supplier a, "
+        "supplier b WHERE b.s_acctbal - a.s_acctbal BETWEEN 0 AND 100",
+    )
+
+    def j02(spark, sf_dir):
+        from . import joins
+
+        ensure_views(spark, sf_dir)
+        events = spark.table("events")
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        views = events.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        out = joins.asof_join(clicks, views, on="ts", by=["user_id"])
+        return out.select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("r_event_id").alias("view_id"),
+            F.col("r_value").alias("view_value"),
+        )
+
+    register(
+        "j02_asof_join",
+        j02,
+        "SELECT l.user_id AS user_id, l.event_id AS click_id, "
+        "r.event_id AS view_id, r.value AS view_value "
+        "FROM (SELECT user_id, ts, event_id FROM events "
+        "WHERE event_type = 'click') l "
+        "ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events "
+        "WHERE event_type = 'view') r "
+        "ON l.user_id = r.user_id AND r.ts <= l.ts",
+    )

@@ -1,0 +1,133 @@
+"""Event-stream operators: windowed aggregation, sessionization,
+custom stateful processing.
+
+Each operator works on both a batch DataFrame and a streaming one
+(identical plan shape — Structured Streaming's contract); watermarks
+only attach on streams. Scale notes: all state is keyed by
+(user/window), so it shards across executors; watermarks bound state
+size; sessionization uses session_window (native state merge) rather
+than a global sort."""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = [
+    "windowed_event_stats",
+    "sessionize_batch",
+    "sessionize_stream",
+    "stateful_user_counts",
+]
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding event-time window stats per event_type."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return df.groupBy(win.alias("win"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("total_value"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: per-user gap>threshold starts a session.
+
+    lag + cumulative-sum over a per-user window — state shards by
+    user_id (no global ordering)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = gap_minutes * 60
+    with_gap = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    with_sid = with_gap.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_sid.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("session_value"),
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming sessionization via native session_window (state merged
+    by the engine, bounded by the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("session"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+    )
+
+
+_STATE_SCHEMA = StructType([StructField("total", LongType(), True)])
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("total_events", LongType(), True),
+    ]
+)
+
+
+def _update_counts(
+    key: Tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n = sum(len(pdf) for pdf in batches)
+    total = (state.get[0] if state.exists else 0) + n
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "total_events": [total]})
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event totals via
+    applyInPandasWithState (the arbitrary-state API — the shape any
+    bespoke streaming accumulator takes)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_counts,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

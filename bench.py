@@ -134,6 +134,14 @@ def main() -> None:
     register(spark)
 
     qs = bench_queries(spark)
+
+    # warm up the JVM, Python workers, and the zarr reader path so the
+    # first timed query doesn't absorb one-time startup costs
+    from pyspark.sql import functions as F
+
+    spark.range(1000).select(F.sum("id")).collect()
+    spark.read.format("zarr").load(fixtures.write_lat_lon_store()).count()
+
     timings = {}
     for name, thunk in qs.items():
         t0 = time.perf_counter()

@@ -96,6 +96,12 @@ class TestANN:
         assert len(out) > 0
         assert all(r.rank <= 3 for r in out)
 
+    def test_vectorized_topk_equals_expression_topk(self, spark, embs):
+        q = embs.filter(F.col("vec_id") < 10)
+        expr = similarity.cosine_topk(embs, q, k=5).collect()
+        vec = similarity.cosine_topk_vectorized(embs, q, k=5).collect()
+        assert sorted(map(tuple, expr)) == sorted(map(tuple, vec))
+
     def test_exact_topk_deterministic(self, spark, embs):
         q = embs.filter(F.col("vec_id") < 5)
         a = similarity.cosine_topk(embs, q, k=3).collect()
