@@ -61,14 +61,17 @@ class ZarrStreamReader(SimpleDataSourceStreamReader):
                 hi = min(end - ci * chunk, len(block))
                 vals.extend(block[lo:hi].tolist())
             cols.append(vals)
-        return (tuple(row) for row in zip(*cols)) if cols else iter(())
+        # a list_iterator, not a generator: the prefetch wrapper both
+        # calls next() on it and pickles it for replay caching, and
+        # generators don't pickle
+        return iter([tuple(row) for row in zip(*cols)] if cols else [])
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         arrays = self._arrays()
         current = min(a.meta.shape[0] for a in arrays)
         lo = int(start.get("row", 0))
         if current <= lo:
-            return iter(()), {"row": lo}
+            return iter([]), {"row": lo}
         return self._read_range(lo, current), {"row": current}
 
     def readBetweenOffsets(

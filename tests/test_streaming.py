@@ -1,0 +1,155 @@
+"""Streaming operator tests: batch/stream parity for windowed stats and
+sessionization, stateful processing, and the zarr-stream source."""
+
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_zarr_spark.streaming import (
+    ZarrStreamDataSource,
+    sessionize_batch,
+    sessionize_stream,
+    stateful_user_counts,
+    windowed_event_stats,
+)
+from arrow_zarr_spark.suite import ensure_views
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    ensure_views(spark, sf_dir)
+    return spark.table("events")
+
+
+def test_windowed_stats_batch(spark, events):
+    out = windowed_event_stats(events, window="1 hour").collect()
+    assert len(out) > 0
+    total = sum(r.n for r in out)
+    assert total == events.count()
+
+
+def test_sessionize_batch(spark, events):
+    sessions = sessionize_batch(events, gap_minutes=30)
+    rows = sessions.collect()
+    assert sum(r.n_events for r in rows) == events.count()
+    assert all(r.session_start <= r.session_end for r in rows)
+    # sessions for one user must not overlap
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user_rows in by_user.values():
+        user_rows.sort(key=lambda r: r.session_seq)
+        for a, b in zip(user_rows, user_rows[1:]):
+            assert a.session_end < b.session_start
+
+
+def test_windowed_stats_streaming_matches_batch(spark, events, tmp_path):
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema).parquet(src)
+    )
+    agg = windowed_event_stats(stream, window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT sum(n) AS total FROM win_out"
+        ).first()["total"]
+    finally:
+        q.stop()
+    assert got == events.count()
+
+
+def test_sessionize_stream_runs(spark, events, tmp_path):
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT sum(n_events) AS s FROM sess_out").first()["s"]
+    finally:
+        q.stop()
+    assert n == events.count()
+
+
+def test_stateful_user_counts(spark, events, tmp_path):
+    src = str(tmp_path / "state_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stateful_user_counts(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, max(total_events) AS n FROM state_out "
+            "GROUP BY user_id"
+        ).collect()
+    finally:
+        q.stop()
+    got = {r.user_id: r.n for r in rows}
+    expect = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expect
+
+
+def test_zarr_stream_source(spark, tmp_path):
+    from arrow_zarr_spark.zarr import open_store
+    from arrow_zarr_spark.zarr.writer import (
+        create_array,
+        write_array_data,
+        write_root_group,
+    )
+
+    path = str(tmp_path / "growing")
+    store = open_store(path)
+    write_root_group(store)
+    meta = create_array(
+        store, "x", shape=(6,), chunk_shape=(4,), dtype=np.float64
+    )
+    write_array_data(store, meta, np.arange(6.0))
+
+    spark.dataSource.register(ZarrStreamDataSource)
+    stream = spark.readStream.format("zarr-stream").load(path)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zs_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.x for r in spark.sql("SELECT x FROM zs_out").collect()}
+        assert first == {0.0, 1.0, 2.0, 3.0, 4.0, 5.0}
+
+        # grow the store: larger shape + more chunks
+        meta2 = create_array(
+            store, "x", shape=(10,), chunk_shape=(4,), dtype=np.float64
+        )
+        write_array_data(store, meta2, np.arange(10.0))
+        q.processAllAvailable()
+        grown = {r.x for r in spark.sql("SELECT x FROM zs_out").collect()}
+        assert grown == {float(i) for i in range(10)}
+    finally:
+        q.stop()
