@@ -45,7 +45,7 @@ from .zarr.meta import ArrayMeta, ZarrFormatError
 from .zarr.store import open_store
 from .zarr.writer import create_array, write_chunk, write_root_group
 
-__all__ = ["write_zarr", "SPARK_TO_ZARR"]
+__all__ = ["write_zarr", "write_zarr_grid", "SPARK_TO_ZARR"]
 
 SPARK_TO_ZARR = {
     T.BooleanType(): "bool",
@@ -207,3 +207,155 @@ def write_zarr(
         return written
     finally:
         df.unpersist()
+
+
+def write_zarr_grid(
+    df: DataFrame,
+    path: str,
+    dims: Sequence[str],
+    chunk_shape: Sequence[int],
+    compression: str = "zstd",
+    mode: str = "error",
+    fill_value=0,
+) -> int:
+    """Write a coordinate-gridded DataFrame as an N-D Zarr store — the
+    inverse of the reader's coordinate broadcast (A14).
+
+    ``dims`` names the coordinate columns; every other numeric column
+    becomes an N-D data array over the Cartesian grid of the sorted
+    distinct coordinate values. Cells absent from the DataFrame stay at
+    the fill value (the reader materializes them back, so a sparse
+    frame round-trips losslessly up to fill-cells). Reading this store
+    back broadcasts the 1-D coordinates over the data arrays again.
+
+    Scale shape: the coordinate vocabularies are collected (they are
+    the *axes* — small by construction; a 100k x 100k grid is two 100k
+    collects), positions attach via broadcast joins, rows shuffle once
+    on their target chunk cell, and each cell's chunk objects are
+    written executor-side with scatter into the chunk block.
+    """
+    dims = list(dims)
+    if not dims:
+        raise ZarrFormatError("write_zarr_grid needs at least one dim")
+    if len(dims) != len(chunk_shape):
+        raise ZarrFormatError("chunk_shape must have one entry per dim")
+    data_cols = [f.name for f in df.schema.fields if f.name not in dims]
+    if not data_cols:
+        raise ZarrFormatError("no data columns besides dims")
+    for field in df.schema.fields:
+        _zarr_dtype_for(field)
+
+    store = open_store(path)
+    if store.exists("zarr.json"):
+        if mode != "overwrite":
+            raise ZarrFormatError(
+                f"Store already exists at {path!r} (mode='error')"
+            )
+        for key in list(store.walk_keys()):
+            try:
+                import os as _os
+
+                _os.remove(store._path(key))
+            except (AttributeError, OSError):
+                break
+
+    spark = df.sparkSession
+
+    # axes: sorted distinct coordinate values (collected — they are the
+    # grid axes, orders of magnitude smaller than the data)
+    axes = {}
+    for d in dims:
+        axes[d] = [
+            r[0] for r in df.select(d).distinct().orderBy(d).collect()
+        ]
+    shape = tuple(len(axes[d]) for d in dims)
+
+    np_dtypes = {}
+    write_root_group(store)
+    metas: Dict[str, ArrayMeta] = {}
+    for field in df.schema.fields:
+        zd = _zarr_dtype_for(field)
+        np_dtypes[field.name] = np.dtype(
+            {
+                "bool": np.bool_, "int8": np.int8, "int16": np.int16,
+                "int32": np.int32, "int64": np.int64,
+                "float32": np.float32, "float64": np.float64,
+            }[zd]
+        )
+    for d, cs in zip(dims, chunk_shape):
+        meta = create_array(
+            store, d,
+            shape=(len(axes[d]),), chunk_shape=(int(cs),),
+            dtype=np_dtypes[d], fill_value=fill_value,
+            dimension_names=(d,), compression=compression,
+        )
+        # coordinate arrays are tiny: write driver-side
+        from .zarr.writer import write_array_data
+
+        write_array_data(
+            store, meta, np.asarray(axes[d], dtype=np_dtypes[d])
+        )
+    for c in data_cols:
+        metas[c] = create_array(
+            store, c,
+            shape=shape, chunk_shape=tuple(int(x) for x in chunk_shape),
+            dtype=np_dtypes[c], fill_value=fill_value,
+            dimension_names=tuple(dims), compression=compression,
+        )
+
+    # map coordinate values -> positions via broadcast joins
+    pos_cols = []
+    out = df
+    for d in dims:
+        pos_df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(axes[d])], [d, f"__pos_{d}"]
+        )
+        out = out.join(F.broadcast(pos_df), d)
+        pos_cols.append(f"__pos_{d}")
+
+    # chunk cell id per row, then one shuffle to co-locate cells
+    cell_expr = None
+    grid = [
+        -(-len(axes[d]) // int(cs)) for d, cs in zip(dims, chunk_shape)
+    ]
+    for i, (d, cs) in enumerate(zip(dims, chunk_shape)):
+        c = (F.col(f"__pos_{d}") / int(cs)).cast("long")
+        cell_expr = c if cell_expr is None else cell_expr * grid[i] + c
+    out = out.withColumn("__cell", cell_expr)
+
+    metas_b = spark.sparkContext.broadcast(metas)
+    chunk_shape_t = tuple(int(x) for x in chunk_shape)
+    dims_t = list(dims)
+    data_cols_t = list(data_cols)
+    grid_t = list(grid)
+    fill = fill_value
+
+    def write_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["__cell"].iloc[0])
+        # decompose flat cell id back to per-dim chunk indices
+        idx = []
+        rem = cell
+        for g in reversed(grid_t):
+            idx.append(rem % g)
+            rem //= g
+        idx = tuple(reversed(idx))
+        task_store = open_store(path)
+        local = [
+            pdf[f"__pos_{d}"].to_numpy() - i * cs
+            for d, i, cs in zip(dims_t, idx, chunk_shape_t)
+        ]
+        for c in data_cols_t:
+            meta = metas_b.value[c]
+            valid = meta.valid_chunk_shape(idx)
+            block = np.full(valid, fill, dtype=meta.dtype)
+            block[tuple(local)] = pdf[c].to_numpy()
+            write_chunk(task_store, meta, idx, block)
+        return pd.DataFrame({"cell": [cell], "rows": [len(pdf)]})
+
+    result = (
+        out.groupBy("__cell")
+        .applyInPandas(write_cell, schema="cell long, rows long")
+        .agg(F.sum("rows").alias("written"))
+        .first()
+    )
+    return int(result["written"] or 0)

@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for the Zarr format layer — the
+reference tests only golden values (SURVEY §5); randomized coverage of
+the codec chain, chunk math, and broadcast semantics goes beyond it.
+
+No Spark session needed: these run against the pure-Python layer."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arrow_zarr_spark.zarr import (
+    ChunkPlan,
+    infer_store_arrays,
+    open_store,
+    write_store,
+)
+from arrow_zarr_spark.zarr.codecs import decode_chunk, encode_chunk
+from arrow_zarr_spark.zarr.meta import ArrayMeta
+
+_DTYPES = ["int8", "int16", "int32", "int64", "float32", "float64", "bool"]
+
+
+@st.composite
+def chunk_arrays(draw):
+    dtype = draw(st.sampled_from(_DTYPES))
+    ndim = draw(st.integers(1, 3))
+    shape = tuple(draw(st.integers(1, 8)) for _ in range(ndim))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    if dtype == "bool":
+        arr = rng.rand(*shape) > 0.5
+    elif dtype.startswith("float"):
+        arr = rng.standard_normal(shape).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.randint(
+            info.min, int(info.max) + 1 if info.bits < 64 else info.max,
+            size=shape,
+        ).astype(dtype)
+    return arr
+
+
+@given(
+    arr=chunk_arrays(),
+    compression=st.sampled_from(["zstd", "gzip", "none"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_codec_roundtrip(arr, compression):
+    from arrow_zarr_spark.zarr.codecs import default_codecs
+
+    meta = ArrayMeta(
+        name="x",
+        shape=arr.shape,
+        chunk_shape=arr.shape,
+        zarr_dtype={
+            "b": "bool", "i": f"int{arr.dtype.itemsize * 8}",
+            "f": f"float{arr.dtype.itemsize * 8}",
+        }[arr.dtype.kind],
+        fill_value=0,
+        codecs=default_codecs(compression),
+    )
+    out = decode_chunk(meta, encode_chunk(meta, arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+@given(
+    n=st.integers(1, 40),
+    chunk=st.integers(1, 12),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_1d_store_roundtrip(tmp_path_factory, n, chunk, seed):
+    rng = np.random.RandomState(seed)
+    data = rng.standard_normal(n)
+    path = str(tmp_path_factory.mktemp("prop") / f"s_{n}_{chunk}_{seed}")
+    write_store(path, arrays={"v": data}, chunk_shapes={"v": (chunk,)})
+    arrays = infer_store_arrays(open_store(path))
+    np.testing.assert_array_equal(arrays[0].read_all(), data)
+    plan = ChunkPlan(arrays)
+    flat = np.concatenate([plan.evaluate(c)["v"] for c in plan.cells()])
+    np.testing.assert_array_equal(flat, data)
+
+
+@given(
+    rows=st.integers(1, 12),
+    cols=st.integers(1, 12),
+    cr=st.integers(1, 6),
+    cc=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_2d_broadcast_matches_numpy(tmp_path_factory, rows, cols, cr, cc, seed):
+    """For any grid geometry: concatenated (data, lat, lon) vectors from
+    all cells must equal the numpy meshgrid flattening, cell by cell."""
+    rng = np.random.RandomState(seed)
+    data = rng.standard_normal((rows, cols))
+    lat = np.arange(rows, dtype=np.float64)
+    lon = np.arange(100, 100 + cols, dtype=np.float64)
+    path = str(
+        tmp_path_factory.mktemp("prop2")
+        / f"g_{rows}_{cols}_{cr}_{cc}_{seed}"
+    )
+    write_store(
+        path,
+        arrays={"data": data, "lat": lat, "lon": lon},
+        chunk_shapes={"data": (cr, cc), "lat": (cr,), "lon": (cc,)},
+        dimension_names={
+            "data": ("lat", "lon"), "lat": ("lat",), "lon": ("lon",)
+        },
+    )
+    plan = ChunkPlan(infer_store_arrays(open_store(path)))
+    for cell in plan.cells():
+        got = plan.evaluate(cell)
+        r0, c0 = cell[0] * cr, cell[1] * cc
+        sub = data[r0 : r0 + cr, c0 : c0 + cc]
+        la = lat[r0 : r0 + cr]
+        lo = lon[c0 : c0 + cc]
+        np.testing.assert_array_equal(got["data"], sub.ravel())
+        np.testing.assert_array_equal(
+            got["lat"], np.repeat(la, sub.shape[1])
+        )
+        np.testing.assert_array_equal(got["lon"], np.tile(lo, sub.shape[0]))

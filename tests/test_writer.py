@@ -91,3 +91,58 @@ def test_empty_dataframe(spark, tmp_path):
     assert write_zarr(df, path) == 0
     arrays = infer_store_arrays(open_store(path))
     assert arrays[0].meta.shape == (0,)
+
+
+class TestGridWriter:
+    def test_latlon_roundtrip(self, spark, tmp_path):
+        """Read F1 (broadcast coords), write back as a grid store, and
+        the new store must scan identically — broadcast inverse."""
+        from arrow_zarr_spark.fixtures import write_lat_lon_store
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        src = spark.read.format("zarr").load(write_lat_lon_store())
+        out = str(tmp_path / "grid")
+        n = write_zarr_grid(
+            src, out, dims=["lat", "lon"], chunk_shape=(3, 3)
+        )
+        assert n == 64
+        back = spark.read.format("zarr").load(out)
+        a = sorted(map(tuple, src.select("data", "lat", "lon").collect()))
+        b = sorted(map(tuple, back.select("data", "lat", "lon").collect()))
+        assert a == b
+
+    def test_sparse_grid_fill(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        df = spark.createDataFrame(
+            [(0.0, 0.0, 1.0), (1.0, 1.0, 2.0)], ["x", "y", "v"]
+        )
+        out = str(tmp_path / "sparse")
+        write_zarr_grid(
+            df, out, dims=["x", "y"], chunk_shape=(2, 2), fill_value=-1.0
+        )
+        back = spark.read.format("zarr").load(out)
+        rows = {(r.x, r.y): r.v for r in back.collect()}
+        assert rows[(0.0, 0.0)] == 1.0 and rows[(1.0, 1.0)] == 2.0
+        assert rows[(0.0, 1.0)] == -1.0  # absent cell -> fill
+        assert len(rows) == 4  # full Cartesian grid
+
+    def test_3d_grid(self, spark, tmp_path):
+        import itertools
+
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        data = [
+            (float(t), float(x), float(y), float(t * 100 + x * 10 + y))
+            for t, x, y in itertools.product(range(4), range(3), range(5))
+        ]
+        df = spark.createDataFrame(data, ["t", "x", "y", "v"])
+        out = str(tmp_path / "g3")
+        n = write_zarr_grid(
+            df, out, dims=["t", "x", "y"], chunk_shape=(2, 2, 2)
+        )
+        assert n == 60
+        back = spark.read.format("zarr").load(out)
+        got = {(r.t, r.x, r.y): r.v for r in back.collect()}
+        for t, x, y in itertools.product(range(4), range(3), range(5)):
+            assert got[(float(t), float(x), float(y))] == t * 100 + x * 10 + y
