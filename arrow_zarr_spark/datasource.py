@@ -267,7 +267,11 @@ class ZarrReader(DataSourceReader):
                 ):
                     rows_per_cell *= int(c)
                 chunks_per = max(1, 65536 // max(rows_per_cell, 1))
-                min_parts = 2 * (os.cpu_count() or 8)
+                # floor of 1 partition per local core: each Python-DS
+                # task pays a worker round trip, so fewer/bigger
+                # partitions beat 2x-cores slack (measured 2x on the
+                # 512x512 bench store)
+                min_parts = os.cpu_count() or 8
                 if len(cells) >= min_parts:
                     chunks_per = min(
                         chunks_per, max(1, len(cells) // min_parts)

@@ -36,12 +36,7 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
             embs, embs.filter(F.col("vec_id") < 100), k=10
         )
     )
-    qs["text_pipeline"] = lambda: force(
-        text.token_count(docs)
-        .join(text.language_id(docs), "doc_id")
-        .join(text.quality_score(docs), "doc_id")
-        .join(text.document_fingerprint(docs), "doc_id")
-    )
+    qs["text_pipeline"] = lambda: force(text.text_features(docs))
     qs["multimodal_features"] = lambda: force(
         multimodal.byte_features(multimodal.with_binary_payload(docs))
     )

@@ -295,6 +295,37 @@ def populate_operator_queries(register) -> None:
             F.col("r_value").alias("view_value"),
         )
 
+    def j03(spark, sf_dir):
+        """The reference's theta/range self-join (s3_bench.rs:222-229)
+        executed via the banded range join instead of a nested loop —
+        same oracle as z11 proves plan-level equivalence."""
+        from ..fixtures import write_lat_lon_store
+        from . import joins
+
+        df = spark.read.format("zarr").load(write_lat_lon_store())
+        left = df.select(F.col("data").alias("d1")).filter(
+            F.col("d1") % 12 == 0
+        )
+        right = df.select(F.col("data").alias("d2"))
+        return joins.range_join(
+            left, right, "d1", "d2", lower=-1.0, upper=1.0, band=1.0
+        ).filter(
+            # reference predicate: d1 < d2 + 1 AND d1 >= d2 - 1
+            (F.col("d1") < F.col("d2") + 1)
+            & (F.col("d1") >= F.col("d2") - 1)
+        ).select("d1", "d2")
+
+    _f1_gen = (
+        "SELECT CAST(i AS DOUBLE) AS data FROM range(64) t(i)"
+    )
+    register(
+        "j03_theta_join_banded",
+        j03,
+        f"SELECT t1.data AS d1, t2.data AS d2 FROM ({_f1_gen}) t1 "
+        f"JOIN ({_f1_gen}) t2 ON t1.data % 12 = 0 "
+        "AND t1.data < t2.data + 1 AND t1.data >= t2.data - 1",
+    )
+
     register(
         "j02_asof_join",
         j02,

@@ -127,6 +127,62 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text signals in ONE narrow projection — token counts,
+    language hits, quality, and the positional fingerprint computed
+    per-row with higher-order functions (no explode, no joins, no
+    shuffle). The single-pass shape for a 100-TB featurization sweep;
+    the individual operators remain for composability and the oracle
+    suite."""
+    text = F.col(text_col)
+    words = words_col(text)
+    lwords = words_col(F.lower(text))
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    n_distinct = F.size(F.array_distinct(words))
+    avg_word_len = (n_chars - (n_words - 1)) / n_words
+    diversity = n_distinct / n_words
+    len_ok = F.when((n_words >= 10) & (n_words <= 1000), 1.0).otherwise(0.3)
+    wordlen_ok = F.when(
+        (avg_word_len >= 2.0) & (avg_word_len <= 12.0), 1.0
+    ).otherwise(0.4)
+    hits = {
+        lang: F.size(
+            F.array_intersect(lwords, F.array(*[F.lit(w) for w in vocab]))
+        )
+        for lang, vocab in STOPWORDS.items()
+    }
+    # positional fingerprint without explode: aggregate over positions
+    def _contrib(w, i):
+        code = (
+            F.length(w) * 31 + F.ascii(w.substr(F.lit(1), F.lit(1)))
+        ) * 31 + F.ascii(w.substr(F.length(w), F.lit(1)))
+        return code.cast("long") * (
+            (i.cast("long") * F.lit(2654435761)) % 1000003
+        )
+
+    fingerprint = F.aggregate(
+        F.zip_with(words, F.sequence(F.lit(1), n_words), _contrib),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ) % F.lit(2147483647)
+    en, es, fr = hits["en"], hits["es"], hits["fr"]
+    return df.select(
+        "doc_id",
+        n_words.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(0.4 * len_ok + 0.3 * wordlen_ok + 0.3 * diversity, 6).alias(
+            "quality"
+        ),
+        en.alias("hits_en"),
+        es.alias("hits_es"),
+        fr.alias("hits_fr"),
+        fingerprint.alias("fingerprint"),
+    )
+
+
 #: SQL fragment for the engine-independent word code (see module doc):
 #: ((len(w)*31 + first_char_code) * 31 + last_char_code)
 def word_code_sql(w: str) -> str:

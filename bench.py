@@ -73,6 +73,29 @@ def bench_queries(spark):
             "AND t1.var1 < t2.var1 + 1 AND t1.var1 >= t2.var1 - 1"
         )
     )
+    # the same theta join via the banded range-join operator (hash join
+    # on derived buckets instead of a nested loop) — the engine's
+    # optimized path for the reference's bench query
+    def theta_banded():
+        from arrow_zarr_spark.operators.joins import range_join
+
+        left = (
+            spark.table("zarr_bench_small")
+            .select(F.col("var1").alias("v1"))
+            .filter(F.col("v1") % 12 == 0)
+        )
+        right = spark.table("zarr_bench_small").select(
+            F.col("var1").alias("v2")
+        )
+        return _force(
+            range_join(left, right, "v1", "v2", -1.0, 1.0, band=1.0).filter(
+                (F.col("v1") < F.col("v2") + 1)
+                & (F.col("v1") >= F.col("v2") - 1)
+            )
+        )
+
+    qs["zarr_theta_join_banded"] = theta_banded
+
     qs["zarr_filter_agg"] = lambda: _force(
         spark.sql(
             "SELECT SUM(var1) AS s, COUNT(*) AS n FROM zarr_bench "

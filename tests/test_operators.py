@@ -157,3 +157,23 @@ class TestTextOps:
         assert rows[1] == "en"
         assert rows[2] == "es"
         assert rows[3] == "und"
+
+
+class TestTextFeaturesSinglePass:
+    def test_matches_individual_operators(self, spark, docs):
+        combined = {
+            r.doc_id: r for r in text.text_features(docs).collect()
+        }
+        fp = {
+            r.doc_id: r.fingerprint
+            for r in text.document_fingerprint(docs).collect()
+        }
+        qs = {r.doc_id: r for r in text.quality_score(docs).collect()}
+        li = {r.doc_id: r for r in text.language_id(docs).collect()}
+        for doc_id, row in combined.items():
+            assert row.fingerprint == fp[doc_id]
+            assert row.quality == qs[doc_id].quality
+            assert row.diversity == qs[doc_id].diversity
+            assert (row.hits_en, row.hits_es, row.hits_fr) == (
+                li[doc_id].hits_en, li[doc_id].hits_es, li[doc_id].hits_fr,
+            )
