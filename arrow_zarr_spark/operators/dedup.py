@@ -354,6 +354,61 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) where component = min id reachable through the
+    pair graph — the transitive-closure step that turns near-dup PAIRS
+    into dedup GROUPS (docs in no pair stay singleton components).
+
+    Label propagation: each round every node takes the min label among
+    itself and its neighbors; converges in O(diameter) rounds. Each
+    round is one equi-join + groupBy — all shuffle-parallel, no driver
+    data; rounds are capped and terminate early on fixpoint (the one
+    driver-side signal is the per-round change count)."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = nodes.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    ).persist()
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                    ).alias("component"),
+                    (
+                        F.coalesce(F.col("nbr_min"), F.col("component"))
+                        < F.col("component")
+                    ).alias("changed"),
+                )
+            ).persist()
+            changed = new_labels.filter("changed").count()
+            labels.unpersist()
+            labels = new_labels.drop("changed")
+            if changed == 0:
+                break
+        return labels.select(F.col("id").alias(id_col), "component")
+    finally:
+        edges.unpersist()
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -96,6 +96,38 @@ def populate_operator_queries(register) -> None:
         ") WHERE j >= 0.05",
     )
 
+    def d07(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.7).select(
+            "id_a", "id_b"
+        )
+        return dedup.connected_components(docs, pairs)
+
+    register(
+        "d07_dedup_components",
+        d07,
+        "WITH RECURSIVE "
+        + _TRI_CTE
+        + ", sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tri GROUP BY doc_id)"
+        ", shared AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared"
+        "  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2), "
+        "pairs AS (SELECT id_a, id_b FROM ("
+        "  SELECT id_a, id_b, "
+        "  shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS j"
+        "  FROM shared JOIN sizes sa ON sa.doc_id = shared.id_a"
+        "  JOIN sizes sb ON sb.doc_id = shared.id_b) WHERE j >= 0.7), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "reach AS ("
+        "  SELECT doc_id AS id, doc_id AS label FROM documents "
+        "  UNION "
+        "  SELECT e.dst AS id, r.label FROM reach r "
+        "  JOIN edges e ON e.src = r.id) "
+        "SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id",
+    )
+
     def d05(spark, sf_dir):
         return dedup.simhash_dedup(_docs(spark, sf_dir))
 

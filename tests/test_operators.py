@@ -177,3 +177,33 @@ class TestTextFeaturesSinglePass:
             assert (row.hits_en, row.hits_es, row.hits_fr) == (
                 li[doc_id].hits_en, li[doc_id].hits_es, li[doc_id].hits_fr,
             )
+
+
+class TestConnectedComponents:
+    def test_chain_cycle_singleton(self, spark):
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, 10)], ["doc_id"]
+        )
+        # chain 1-2-3-4, cycle 5-6-7-5, pair 8-9... wait 8-9 pair; none: 8,9 pair
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7), (8, 9)],
+            ["id_a", "id_b"],
+        )
+        from arrow_zarr_spark.operators.dedup import connected_components
+
+        out = {
+            r.doc_id: r.component
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+    def test_all_singletons(self, spark):
+        nodes = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        from arrow_zarr_spark.operators.dedup import connected_components
+
+        out = {
+            r.doc_id: r.component
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert out == {i: i for i in range(5)}
