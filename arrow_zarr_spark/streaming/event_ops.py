@@ -56,13 +56,14 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     lag + cumulative-sum over a per-user window — state shards by
     user_id (no global ordering)."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000  # microseconds: exact, no
+    # second-truncation boundary flips
     with_gap = events.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w)
-            > gap_s,
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            > gap_us,
             1,
         )
         .otherwise(0)

@@ -379,6 +379,52 @@ def _populate_relational() -> None:
         "COUNT(DISTINCT event_type) AS n_types "
         "FROM events GROUP BY user_id HAVING COUNT(*) >= 5",
     )
+    # sessionization (the batch operator from the streaming module),
+    # verified against the same gap/cumsum logic in DuckDB SQL
+    def r25(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .streaming.event_ops import sessionize_batch
+
+        ensure_views(spark, sf_dir)
+        out = sessionize_batch(spark.table("events"), gap_minutes=30)
+        return out.select(
+            "user_id",
+            "session_seq",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("session_value", 6).alias("session_value"),
+        )
+
+    register_query(
+        "r25_sessionization",
+        r25,
+        "WITH g AS (SELECT user_id, ts, value, CASE WHEN "
+        "epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts) > 1800000000 THEN 1 ELSE 0 "
+        "END AS new_session FROM events), "
+        "s AS (SELECT user_id, ts, value, SUM(new_session) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS session_seq FROM g) "
+        "SELECT user_id, session_seq, epoch_us(MIN(ts)) AS start_us, "
+        "epoch_us(MAX(ts)) AS end_us, COUNT(*) AS n_events, "
+        "ROUND(SUM(value), 6) AS session_value "
+        "FROM s GROUP BY user_id, session_seq",
+    )
+
+    # approximate aggregates: sketch implementations differ per engine,
+    # so these register without an oracle (rows-only check); their exact
+    # counterparts (r02) are hash-verified
+    def r26(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        return spark.sql(
+            "SELECT l_returnflag, "
+            "approx_count_distinct(l_partkey) AS approx_parts, "
+            "percentile_approx(l_extendedprice, 0.5) AS approx_median "
+            "FROM lineitem GROUP BY l_returnflag"
+        )
+
+    register_query("r26_approx_aggregates", r26, None)
+
     # pivot expressed portably via conditional aggregation
     _sql_pair(
         "r24_pivot_conditional",

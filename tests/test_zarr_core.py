@@ -222,3 +222,57 @@ class TestErrors:
             b' "codecs": []}',
         )
         assert np.isnan(meta.fill_value)
+
+
+class TestChunkKeyEncodings:
+    def test_default_encoding(self):
+        meta = ArrayMeta(
+            name="x", shape=(8, 8), chunk_shape=(4, 4),
+            zarr_dtype="float64", fill_value=0.0,
+        )
+        assert meta.chunk_key((1, 2)) == "c/1/2"
+
+    def test_default_custom_separator(self):
+        meta = ArrayMeta(
+            name="x", shape=(8,), chunk_shape=(4,),
+            zarr_dtype="float64", fill_value=0.0, separator=".",
+        )
+        assert meta.chunk_key((3,)) == "c.3"
+
+    def test_v2_encoding(self):
+        meta = ArrayMeta(
+            name="x", shape=(8, 8), chunk_shape=(4, 4),
+            zarr_dtype="float64", fill_value=0.0,
+            key_encoding="v2", separator=".",
+        )
+        assert meta.chunk_key((1, 2)) == "1.2"
+
+    def test_v2_zero_dim(self):
+        meta = ArrayMeta(
+            name="x", shape=(), chunk_shape=(),
+            zarr_dtype="float64", fill_value=0.0, key_encoding="v2",
+        )
+        assert meta.chunk_key(()) == "0"
+
+    def test_v2_roundtrip_store(self, tmp_path):
+        """A store written with v2 chunk keys reads back correctly."""
+        import json
+
+        import numpy as np
+
+        from arrow_zarr_spark.zarr import LocalStore, open_array
+        from arrow_zarr_spark.zarr.codecs import encode_chunk
+
+        store = LocalStore(str(tmp_path / "v2k"))
+        meta = ArrayMeta(
+            name="x", shape=(6,), chunk_shape=(3,),
+            zarr_dtype="float64", fill_value=0.0,
+            key_encoding="v2", separator=".",
+            codecs=[{"name": "bytes", "configuration": {"endian": "little"}}],
+        )
+        store.set("x/zarr.json", json.dumps(meta.to_json()).encode())
+        store.set("x/0", encode_chunk(meta, np.array([1.0, 2.0, 3.0])))
+        store.set("x/1", encode_chunk(meta, np.array([4.0, 5.0, 6.0])))
+        arr = open_array(store, "x")
+        assert arr.meta.key_encoding == "v2"
+        assert arr.read_all().tolist() == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
