@@ -22,11 +22,18 @@ from arrow_zarr_spark import register, suite  # noqa: E402
 
 def _prepare(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    except Exception:
-        pass  # non-modifiable at runtime on some builds; reader degrades
-    register(spark)
+    for key, value in [
+        # right-size shuffles for the harness scale (the 200-partition
+        # default costs more in task overhead than it buys)
+        ("spark.sql.shuffle.partitions", str(os.cpu_count() or 32)),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
+    register(spark)  # also enables python filter pushdown + ships the pkg
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -372,6 +372,37 @@ class ZarrReader(DataSourceReader):
             yield self._to_batch(buffered)
 
 
+def _ship_package(spark) -> None:
+    """Make ``arrow_zarr_spark`` importable by every Spark Python worker
+    (data-source planning workers AND executors), regardless of how the
+    session was created: zip the package and addPyFile it. Needed
+    because workers are separate processes that don't inherit the
+    driver's ``sys.path``; harmless if PYTHONPATH already covers it."""
+    sc = spark.sparkContext
+    if getattr(sc, "_azs_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"arrow_zarr_spark_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        zip_base, "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_path)
+    sc._azs_shipped = True
+
+
 def register(spark) -> None:
-    """Register the zarr format on a SparkSession."""
+    """Register the zarr format on a SparkSession (and enable the
+    Python-data-source filter pushdown it relies on)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static on some builds; get_spark() sets it at startup
+    _ship_package(spark)
     spark.dataSource.register(ZarrDataSource)
