@@ -379,6 +379,32 @@ def _populate_relational() -> None:
         "COUNT(DISTINCT event_type) AS n_types "
         "FROM events GROUP BY user_id HAVING COUNT(*) >= 5",
     )
+    # TPC-H Q13 shape: left join + count distribution
+    _sql_pair(
+        "r27_count_distribution",
+        "SELECT c_count, COUNT(*) AS custdist FROM ("
+        "SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer "
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) t "
+        "GROUP BY c_count",
+    )
+    # TPC-H Q18 shape: IN over a grouped HAVING subquery
+    _sql_pair(
+        "r28_having_in_subquery",
+        "SELECT c_custkey, o_orderkey, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 120) "
+        "GROUP BY c_custkey, o_orderkey",
+    )
+    # correlated scalar subquery (decorrelation path)
+    _sql_pair(
+        "r29_correlated_min",
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+        "WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice) "
+        "FROM lineitem l2 WHERE l2.l_orderkey = lineitem.l_orderkey)",
+    )
     # sessionization (the batch operator from the streaming module),
     # verified against the same gap/cumsum logic in DuckDB SQL
     def r25(spark: SparkSession, sf_dir: str) -> DataFrame:
