@@ -220,6 +220,10 @@ def minhash_lsh_pairs(
     if not verify_jaccard:
         return pairs
 
+    # the candidate set feeds the verifier twice (doc semi-join + final
+    # pair semi-join): persist it so the signature/band pipeline runs
+    # once, not three times
+    pairs = pairs.persist()
     jac = ngram_jaccard_pairs(
         df,
         id_col=id_col,
