@@ -181,6 +181,18 @@ class ZarrDataSource(DataSource):
     def schema(self) -> StructType:
         return _infer_struct(self._arrays())
 
+    def writer(self, schema: StructType, overwrite: bool):
+        """``df.write.format("zarr").save(path)`` — single-pass sink
+        (staged chunks + driver commit; row order across tasks not
+        preserved — see :mod:`arrow_zarr_spark.sinks`; use
+        :func:`arrow_zarr_spark.io.write_zarr` for order-preserving
+        writes)."""
+        from .sinks import ZarrWriter
+
+        if not self.path:
+            raise ZarrFormatError("zarr writer requires a path")
+        return ZarrWriter(self.path, schema, dict(self.options), overwrite)
+
     def reader(self, schema: StructType) -> "ZarrReader":
         arrays = self._arrays()
         by_name = {a.meta.name: a for a in arrays}

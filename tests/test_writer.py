@@ -146,3 +146,75 @@ class TestGridWriter:
         got = {(r.t, r.x, r.y): r.v for r in back.collect()}
         for t, x, y in itertools.product(range(4), range(3), range(5)):
             assert got[(float(t), float(x), float(y))] == t * 100 + x * 10 + y
+
+
+class TestFormatWriter:
+    """df.write.format('zarr') — the DataSource sink."""
+
+    def test_roundtrip_values(self, spark, sf_dir, tmp_path):
+        path = str(tmp_path / "fmt")
+        src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        (
+            src.write.format("zarr")
+            .mode("append")  # Spark's python-DS write offers append/overwrite
+            .option("chunk_rows", "500")
+            .save(path)
+        )
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == src.count()
+        a = sorted(map(tuple, src.collect()))
+        b = sorted(
+            map(tuple, back.select("o_orderkey", "o_totalprice").collect())
+        )
+        assert a == b  # values identical; order not guaranteed
+        from arrow_zarr_spark.zarr import infer_store_arrays, open_store
+
+        metas = infer_store_arrays(open_store(path))
+        assert all(a.meta.chunk_shape == (500,) for a in metas)
+        assert not any(
+            k.startswith("__stage__")
+            for k in open_store(path).walk_keys()
+        )
+
+    def test_mode_error_then_overwrite(self, spark, tmp_path):
+        path = str(tmp_path / "fmt2")
+        df = spark.range(0, 100).select(F.col("id").alias("x"))
+        df.write.format("zarr").mode("append").option(
+            "chunk_rows", "32"
+        ).save(path)
+        # append to an aligned store extends it; misaligned chunk errors
+        with pytest.raises(Exception, match="chunk_rows"):
+            df.write.format("zarr").mode("append").option(
+                "chunk_rows", "99"
+            ).save(path)
+        spark.range(0, 7).select(F.col("id").alias("x")).write.format(
+            "zarr"
+        ).mode("overwrite").option("chunk_rows", "32").save(path)
+        back = spark.read.format("zarr").load(path)
+        assert sorted(r.x for r in back.collect()) == list(range(7))
+
+    def test_small_rows_only_leftovers(self, spark, tmp_path):
+        path = str(tmp_path / "fmt3")
+        df = spark.range(0, 10, 1, 4).select(F.col("id").alias("x"))
+        df.write.format("zarr").mode("append").option(
+            "chunk_rows", "100000"
+        ).save(path)
+        back = spark.read.format("zarr").load(path)
+        assert sorted(r.x for r in back.collect()) == list(range(10))
+
+
+    def test_append_extends_aligned_store(self, spark, tmp_path):
+        path = str(tmp_path / "fmt4")
+        a = spark.range(0, 64).select(F.col("id").alias("x"))
+        a.write.format("zarr").mode("append").option(
+            "chunk_rows", "32"
+        ).save(path)
+        b = spark.range(100, 110).select(F.col("id").alias("x"))
+        b.write.format("zarr").mode("append").option(
+            "chunk_rows", "32"
+        ).save(path)
+        back = spark.read.format("zarr").load(path)
+        got = sorted(r.x for r in back.collect())
+        assert got == list(range(64)) + list(range(100, 110))
