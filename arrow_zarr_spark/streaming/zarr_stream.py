@@ -2,6 +2,10 @@
 
 A Zarr store "grows" by rewriting each array's zarr.json with a larger
 shape and adding chunk objects (the append pattern of zarr writers).
+Appenders must write chunk objects BEFORE the enlarged metadata —
+the stream polls continuously and trusts the advertised shape, so
+metadata-first appends expose a window where new rows read as fill
+values.
 This source polls the store's current length and emits the new row
 range each microbatch — offset = row position, exactly-once replay via
 readBetweenOffsets.

@@ -143,11 +143,21 @@ def test_zarr_stream_source(spark, tmp_path):
         first = {r.x for r in spark.sql("SELECT x FROM zs_out").collect()}
         assert first == {0.0, 1.0, 2.0, 3.0, 4.0, 5.0}
 
-        # grow the store: larger shape + more chunks
-        meta2 = create_array(
-            store, "x", shape=(10,), chunk_shape=(4,), dtype=np.float64
-        )
-        write_array_data(store, meta2, np.arange(10.0))
+        # grow the store, CHUNKS FIRST then metadata: the stream polls
+        # continuously, and metadata-first would expose a window where
+        # the shape says 10 rows but chunks 1-2 are stale/missing
+        # (read as fill values)
+        from dataclasses import replace
+
+        from arrow_zarr_spark.zarr.writer import write_chunk
+
+        meta2 = replace(meta, shape=(10,))
+        data10 = np.arange(10.0)
+        for ci in range(3):
+            write_chunk(store, meta2, (ci,), data10[ci * 4 : (ci + 1) * 4])
+        import json
+
+        store.set("x/zarr.json", json.dumps(meta2.to_json()).encode())
         q.processAllAvailable()
         grown = {r.x for r in spark.sql("SELECT x FROM zs_out").collect()}
         assert grown == {float(i) for i in range(10)}
