@@ -68,6 +68,31 @@ def _zarr_dtype_for(field: T.StructField) -> str:
         )
 
 
+def _np_dtype_for(field: T.StructField) -> np.dtype:
+    from .zarr.meta import zarr_dtype_to_numpy
+
+    return zarr_dtype_to_numpy(_zarr_dtype_for(field))
+
+
+def _reject_nulls(values, dtype: np.dtype, name: str) -> np.ndarray:
+    """Zarr has no null representation; converting a null to an int dtype
+    silently yields INT64_MIN garbage — reject instead."""
+    if dtype.kind in ("i", "u", "b"):
+        if pd.isna(values).any():
+            raise ZarrFormatError(
+                f"Column {name!r} contains NULLs; Zarr has no null "
+                "representation — fillna()/dropna() before writing"
+            )
+    return np.asarray(values, dtype=dtype)
+
+
+def _clear_store(store, keep_staging: bool = False) -> None:
+    for key in list(store.walk_keys()):
+        if keep_staging and key.startswith("__stage__"):
+            continue
+        store.delete(key)
+
+
 def write_zarr(
     df: DataFrame,
     path: str,
@@ -96,14 +121,7 @@ def write_zarr(
             raise ZarrFormatError(
                 f"Store already exists at {path!r} (mode='error')"
             )
-        # drop stale metadata/chunks by key walk (cheap for our stores)
-        for key in list(store.walk_keys()):
-            try:
-                import os as _os
-
-                _os.remove(store._path(key))  # LocalStore only
-            except (AttributeError, OSError):
-                break
+        _clear_store(store)
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -135,17 +153,7 @@ def write_zarr(
                 field.name,
                 shape=(total_rows,),
                 chunk_shape=(min(chunk_rows, max(total_rows, 1)),),
-                dtype=np.dtype(
-                    {
-                        "bool": np.bool_,
-                        "int8": np.int8,
-                        "int16": np.int16,
-                        "int32": np.int32,
-                        "int64": np.int64,
-                        "float32": np.float32,
-                        "float64": np.float64,
-                    }[_zarr_dtype_for(field)]
-                ),
+                dtype=_np_dtype_for(field),
                 fill_value=fill_value,
                 compression=compression,
             )
@@ -187,7 +195,7 @@ def write_zarr(
             task_store = open_store(path_for_task)
             for name in col_names:
                 meta = metas_b.value[name]
-                data = np.asarray(pdf[name].values, dtype=meta.dtype)
+                data = _reject_nulls(pdf[name].values, meta.dtype, name)
                 write_chunk(task_store, meta, (cid,), data)
             return pd.DataFrame(
                 {"cid": [cid], "rows": [len(pdf)]}
@@ -251,13 +259,7 @@ def write_zarr_grid(
             raise ZarrFormatError(
                 f"Store already exists at {path!r} (mode='error')"
             )
-        for key in list(store.walk_keys()):
-            try:
-                import os as _os
-
-                _os.remove(store._path(key))
-            except (AttributeError, OSError):
-                break
+        _clear_store(store)
 
     spark = df.sparkSession
 
@@ -270,18 +272,11 @@ def write_zarr_grid(
         ]
     shape = tuple(len(axes[d]) for d in dims)
 
-    np_dtypes = {}
     write_root_group(store)
     metas: Dict[str, ArrayMeta] = {}
-    for field in df.schema.fields:
-        zd = _zarr_dtype_for(field)
-        np_dtypes[field.name] = np.dtype(
-            {
-                "bool": np.bool_, "int8": np.int8, "int16": np.int16,
-                "int32": np.int32, "int64": np.int64,
-                "float32": np.float32, "float64": np.float64,
-            }[zd]
-        )
+    np_dtypes = {
+        field.name: _np_dtype_for(field) for field in df.schema.fields
+    }
     for d, cs in zip(dims, chunk_shape):
         meta = create_array(
             store, d,
@@ -348,7 +343,9 @@ def write_zarr_grid(
             meta = metas_b.value[c]
             valid = meta.valid_chunk_shape(idx)
             block = np.full(valid, fill, dtype=meta.dtype)
-            block[tuple(local)] = pdf[c].to_numpy()
+            block[tuple(local)] = _reject_nulls(
+                pdf[c].to_numpy(), meta.dtype, c
+            )
             write_chunk(task_store, meta, idx, block)
         return pd.DataFrame({"cell": [cell], "rows": [len(pdf)]})
 

@@ -339,7 +339,11 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("shared"))
     )
     if candidate_pairs is not None:
-        shared = shared.join(candidate_pairs, ["id_a", "id_b"], "left_semi")
+        # outer-join the candidates so a pair with ZERO shared shingles
+        # still scores jaccard=0 instead of silently vanishing
+        shared = candidate_pairs.select("id_a", "id_b").join(
+            shared, ["id_a", "id_b"], "left"
+        ).withColumn("shared", F.coalesce(F.col("shared"), F.lit(0)))
     sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
@@ -382,6 +386,7 @@ def connected_components(
     labels = nodes.select(F.col(id_col).alias("id")).distinct().withColumn(
         "component", F.col("id")
     ).persist()
+    prev_cached = labels  # the persisted frame of the previous round
     try:
         for _ in range(max_iterations):
             neighbor_min = (
@@ -389,7 +394,7 @@ def connected_components(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("component").alias("nbr_min"))
             )
-            new_labels = (
+            new_cached = (
                 labels.join(neighbor_min, "id", "left")
                 .select(
                     "id",
@@ -403,11 +408,16 @@ def connected_components(
                     ).alias("changed"),
                 )
             ).persist()
-            changed = new_labels.filter("changed").count()
-            labels.unpersist()
-            labels = new_labels.drop("changed")
+            changed = new_cached.filter("changed").count()
+            # unpersist the PERSISTED frame, not a derived projection —
+            # Spark uncaches by plan identity
+            prev_cached.unpersist()
+            prev_cached = new_cached
+            labels = new_cached.drop("changed")
             if changed == 0:
                 break
+        # the final cached labels stay persisted for the caller's
+        # consumption (LRU-evicted later)
         return labels.select(F.col("id").alias(id_col), "component")
     finally:
         edges.unpersist()

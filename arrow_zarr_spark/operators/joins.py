@@ -105,6 +105,15 @@ def asof_join(
 
     # right rows sort before left rows at equal timestamps so a left row
     # can match a right row with the exact same time
+    if not by:
+        import warnings
+
+        warnings.warn(
+            "asof_join without 'by' keys needs a global time order and "
+            "collapses to a single partition — fine for small inputs, "
+            "not for the 100-TB path; provide per-entity keys",
+            stacklevel=2,
+        )
     w = (
         Window.partitionBy(*by)
         if by

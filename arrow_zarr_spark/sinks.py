@@ -8,22 +8,30 @@ tasks can't know while writing independently. Two sinks exist:
   matters (it reproduces the DataFrame's partition order).
 - this module — single-pass `df.write.format("zarr")`: each task
   streams its Arrow batches into full ``chunk_rows``-sized chunks
-  written immediately under staged names, plus one small leftover
-  buffer; ``commit()`` assigns global chunk positions (renames staged
-  full chunks — metadata-only on object stores that support it, a
-  byte move locally), packs all leftovers into tail chunks, and writes
-  the final metadata. Rows land whole, but ROW ORDER ACROSS TASKS IS
-  NOT PRESERVED (like most distributed sinks). Data volume moved at
-  commit ≤ tasks × chunk_rows — bounded, not data-scale.
+  written immediately under a job+task-scoped staging prefix, plus one
+  small leftover buffer; ``commit()`` assigns global chunk positions
+  (an ``os.replace`` rename on local stores — no byte copy; a
+  get+set fallback on backends without renames), packs all leftovers
+  into tail chunks, then publishes the metadata LAST (readers and the
+  zarr-stream source trust the advertised shape, so chunks must land
+  first), and clears this job's staging. Rows land whole, but ROW
+  ORDER ACROSS TASKS IS NOT PRESERVED (like most distributed sinks).
+  Bytes moved through the driver at commit: only the leftovers
+  (≤ tasks × chunk_rows); full chunks move by rename.
+
+Append mode extends an existing store and validates the full layout
+first — column set, dtype, chunk size, chunk-multiple row count, codec
+chain, fill value, and key encoding must match, because staged chunks
+are encoded with this writer's settings and become part of the store
+as-is.
 """
 
 from __future__ import annotations
 
 import io as _io
-import json
 import uuid
 from dataclasses import dataclass
-from typing import Dict, Iterator, List
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -33,19 +41,13 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from .io import SPARK_TO_ZARR, _zarr_dtype_for
-from .zarr.codecs import encode_chunk
+from .io import _clear_store, _np_dtype_for, _zarr_dtype_for
+from .zarr.codecs import default_codecs, encode_chunk
 from .zarr.meta import ArrayMeta, ZarrFormatError
 from .zarr.store import open_store
-from .zarr.writer import create_array, write_chunk, write_root_group
+from .zarr.writer import write_chunk, write_root_group
 
 __all__ = ["ZarrWriter", "ZarrCommitMessage"]
-
-_NP = {
-    "bool": np.bool_, "int8": np.int8, "int16": np.int16,
-    "int32": np.int32, "int64": np.int64,
-    "float32": np.float32, "float64": np.float64,
-}
 
 
 @dataclass
@@ -55,19 +57,87 @@ class ZarrCommitMessage(WriterCommitMessage):
     leftover_rows: int
 
 
-def _stage_prefix(task_id: str) -> str:
-    return f"__stage__/{task_id}"
+def _final_metas(schema, total_rows, eff_chunk, fill_value, compression):
+    return {
+        f.name: ArrayMeta(
+            name=f.name,
+            shape=(total_rows,),
+            chunk_shape=(eff_chunk,),
+            zarr_dtype=_zarr_dtype_for(f),
+            fill_value=fill_value,
+            codecs=default_codecs(compression),
+        )
+        for f in schema.fields
+    }
+
+
+def _existing_layout(store, schema, chunk_rows, fill_value, compression):
+    """For append mode: (existing_rows, existing_chunks) of a layout-
+    compatible existing store, or (0, 0) for a fresh path. Any layout
+    difference errors — staged chunks are encoded with THIS writer's
+    settings and must be byte-compatible with the store."""
+    if not store.exists("zarr.json"):
+        return 0, 0
+    from .zarr.array import infer_store_arrays
+
+    arrays = infer_store_arrays(store)
+    by_name = {a.meta.name: a for a in arrays}
+    names = [f.name for f in schema.fields]
+    if sorted(by_name) != sorted(names):
+        raise ZarrFormatError(
+            "Append schema mismatch: store has "
+            f"{sorted(by_name)}, writing {sorted(names)}"
+        )
+    want = _final_metas(schema, 0, chunk_rows, fill_value, compression)
+    rows = by_name[names[0]].meta.shape[0]
+    for a in arrays:
+        m, w = a.meta, want[a.meta.name]
+        if m.ndim != 1 or m.shape[0] != rows:
+            raise ZarrFormatError("Append target must be a 1-D table store")
+        if m.chunk_shape[0] != chunk_rows:
+            raise ZarrFormatError(
+                f"Append chunk_rows {chunk_rows} != store chunk size "
+                f"{m.chunk_shape[0]}"
+            )
+        if m.zarr_dtype != w.zarr_dtype:
+            raise ZarrFormatError(
+                f"Append dtype mismatch for {m.name!r}: store has "
+                f"{m.zarr_dtype}, writing {w.zarr_dtype}"
+            )
+        if m.codecs != w.codecs:
+            raise ZarrFormatError(
+                f"Append codec mismatch for {m.name!r}: store uses "
+                f"{m.codecs}, writer configured {w.codecs} — pass the "
+                "store's compression option"
+            )
+        if m.fill_value != w.fill_value:
+            raise ZarrFormatError(
+                f"Append fill_value mismatch for {m.name!r}"
+            )
+        if m.key_encoding != "default":
+            raise ZarrFormatError(
+                "Append target uses non-default chunk-key encoding"
+            )
+    if rows % chunk_rows != 0:
+        raise ZarrFormatError(
+            "Append target's row count is not a chunk multiple "
+            f"({rows} % {chunk_rows} != 0); rewrite with mode('overwrite')"
+        )
+    return rows, rows // chunk_rows
 
 
 class ZarrWriter(DataSourceArrowWriter):
     """write() runs per task on executors; commit()/abort() on the
-    driver with every task's commit message."""
+    driver with every task's commit message. Staging is scoped by a
+    per-job id so concurrent writers to one path can't clobber each
+    other's staged data."""
 
     def __init__(
         self, path: str, schema, options: Dict[str, str], overwrite: bool
     ):
         self.path = path
         self.schema = schema
+        self.job_id = uuid.uuid4().hex
         self.chunk_rows = int(options.get("chunk_rows", 65536) or 65536)
         if self.chunk_rows <= 0:
             raise ZarrFormatError("chunk_rows must be positive")
@@ -75,49 +145,34 @@ class ZarrWriter(DataSourceArrowWriter):
         self.fill_value = float(options.get("fill_value", 0) or 0)
         self.compression = options.get("compression", "zstd")
         self.fields = list(schema.fields)
-        self.zarr_dtypes = {f.name: _zarr_dtype_for(f) for f in self.fields}
+        for f in self.fields:
+            _zarr_dtype_for(f)  # validate types before any work
         if not overwrite:
-            # Spark only offers Append/Overwrite for Python data sources.
-            # Append extends an existing aligned store (or creates a new
-            # one); validate alignment at plan time, not at commit.
+            # Spark only offers Append/Overwrite for Python data
+            # sources; append extends an aligned existing store (or
+            # creates a fresh one). Validate at plan time, not commit.
             _existing_layout(
-                open_store(path), [f.name for f in self.fields], self.chunk_rows
+                open_store(path),
+                schema,
+                self.chunk_rows,
+                self.fill_value,
+                self.compression,
             )
 
-    def commit(self, messages) -> None:
-        commit_write(
-            self.path,
-            messages,
-            self.schema,
-            self.chunk_rows,
-            self.compression,
-            self.fill_value,
-            self.overwrite,
-        )
-
-    def abort(self, messages) -> None:
-        abort_write(self.path, [m for m in messages if m is not None])
-
-    def _chunk_meta(self, name: str) -> ArrayMeta:
-        """Meta used only for encoding staged chunks (shape unknown yet —
-        finalized at commit)."""
-        from .zarr.codecs import default_codecs
-        from .zarr.meta import ArrayMeta
-
-        return ArrayMeta(
-            name=name,
-            shape=(self.chunk_rows,),
-            chunk_shape=(self.chunk_rows,),
-            zarr_dtype=self.zarr_dtypes[name],
-            fill_value=self.fill_value,
-            codecs=default_codecs(self.compression),
-        )
+    def _stage(self, task_id: str) -> str:
+        return f"__stage__/{self.job_id}/{task_id}"
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> ZarrCommitMessage:
         task_id = uuid.uuid4().hex
         store = open_store(self.path)
         names = [f.name for f in self.fields]
-        metas = {n: self._chunk_meta(n) for n in names}
+        metas = _final_metas(
+            self.schema,
+            self.chunk_rows,
+            self.chunk_rows,
+            self.fill_value,
+            self.compression,
+        )
         buffers: Dict[str, List[np.ndarray]] = {n: [] for n in names}
         buffered = 0
         n_full = 0
@@ -133,185 +188,146 @@ class ZarrWriter(DataSourceArrowWriter):
                     )
                     buffers[n] = [rest]
                     store.set(
-                        f"{_stage_prefix(task_id)}/{n_full}/{n}",
+                        f"{self._stage(task_id)}/{n_full}/{n}",
                         encode_chunk(
-                            metas[n],
-                            np.ascontiguousarray(
-                                head, dtype=metas[n].dtype
-                            ),
+                            metas[n], np.ascontiguousarray(head)
                         ),
                     )
                 buffered -= self.chunk_rows
                 n_full += 1
 
         for batch in iterator:
-            cols = {
-                name: batch.column(i).to_numpy(zero_copy_only=False)
-                for i, name in enumerate(batch.schema.names)
-            }
-            n_rows = batch.num_rows
-            for n in names:
-                buffers[n].append(
-                    np.asarray(cols[n], dtype=metas[n].dtype)
+            for i, name in enumerate(batch.schema.names):
+                col = batch.column(i)
+                if col.null_count:
+                    raise ZarrFormatError(
+                        f"Column {name!r} contains NULLs; Zarr has no "
+                        "null representation — fillna()/dropna() before "
+                        "writing"
+                    )
+                buffers[name].append(
+                    np.asarray(
+                        col.to_numpy(zero_copy_only=False),
+                        dtype=metas[name].dtype,
+                    )
                 )
-            buffered += n_rows
+            buffered += batch.num_rows
             flush_full()
 
         leftover = 0
         if buffered:
             out = _io.BytesIO()
             np.savez(
-                out,
-                **{n: np.concatenate(buffers[n]) for n in names},
+                out, **{n: np.concatenate(buffers[n]) for n in names}
             )
-            store.set(
-                f"{_stage_prefix(task_id)}/leftover", out.getvalue()
-            )
+            store.set(f"{self._stage(task_id)}/leftover", out.getvalue())
             leftover = buffered
         return ZarrCommitMessage(task_id, n_full, leftover)
 
+    def commit(self, messages) -> None:
+        store = open_store(self.path)
+        msgs = [m for m in messages if m is not None]
+        names = [f.name for f in self.fields]
 
-def _existing_layout(store, names, chunk_rows):
-    """For append mode: (existing_rows, existing_chunks) of an aligned
-    existing store, or (0, 0) for a fresh path. Misaligned stores (chunk
-    size mismatch, partial last chunk, column mismatch) error."""
-    if not store.exists("zarr.json"):
-        return 0, 0
-    from .zarr.array import infer_store_arrays
-
-    arrays = infer_store_arrays(store)
-    by_name = {a.meta.name: a for a in arrays}
-    if sorted(by_name) != sorted(names):
-        raise ZarrFormatError(
-            "Append schema mismatch: store has "
-            f"{sorted(by_name)}, writing {sorted(names)}"
-        )
-    rows = by_name[names[0]].meta.shape[0]
-    for a in arrays:
-        if a.meta.ndim != 1 or a.meta.shape[0] != rows:
-            raise ZarrFormatError("Append target must be a 1-D table store")
-        if a.meta.chunk_shape[0] != chunk_rows:
-            raise ZarrFormatError(
-                f"Append chunk_rows {chunk_rows} != store chunk size "
-                f"{a.meta.chunk_shape[0]}"
+        base_rows, base_chunks = (
+            (0, 0)
+            if self.overwrite
+            else _existing_layout(
+                store,
+                self.schema,
+                self.chunk_rows,
+                self.fill_value,
+                self.compression,
             )
-    if rows % chunk_rows != 0:
-        raise ZarrFormatError(
-            "Append target's row count is not a chunk multiple "
-            f"({rows} % {chunk_rows} != 0); rewrite with mode('overwrite')"
         )
-    return rows, rows // chunk_rows
-
-
-def commit_write(
-    path: str,
-    messages,
-    schema,
-    chunk_rows: int,
-    compression: str,
-    fill_value,
-    overwrite: bool,
-) -> None:
-    """Driver-side: assign global chunk positions, pack leftovers, write
-    final metadata, clear staging."""
-    store = open_store(path)
-    msgs = [m for m in messages if m is not None]
-    names = [f.name for f in schema.fields]
-    dtypes = {f.name: _NP[_zarr_dtype_for(f)] for f in schema.fields}
-
-    base_rows, base_chunks = (
-        (0, 0) if overwrite else _existing_layout(store, names, chunk_rows)
-    )
-    total_full = sum(m.n_full_chunks for m in msgs)
-    total_leftover = sum(m.leftover_rows for m in msgs)
-    new_rows = total_full * chunk_rows + total_leftover
-    total_rows = base_rows + new_rows
-    # appends must keep the existing chunk size; fresh writes may shrink
-    # the chunk to the data size
-    eff_chunk = (
-        chunk_rows
-        if base_rows
-        else min(chunk_rows, max(total_rows, 1))
-    )
-
-    if overwrite:
-        import os as _os
-
-        for key in list(store.walk_keys()):
-            if not key.startswith("__stage__"):
-                try:
-                    _os.remove(store._path(key))
-                except (AttributeError, OSError):
-                    break
-
-    write_root_group(store)
-    metas: Dict[str, ArrayMeta] = {}
-    for f in schema.fields:
-        metas[f.name] = create_array(
-            store,
-            f.name,
-            shape=(total_rows,),
-            chunk_shape=(eff_chunk,),
-            dtype=dtypes[f.name],
-            fill_value=fill_value,
-            compression=compression,
+        total_full = sum(m.n_full_chunks for m in msgs)
+        total_leftover = sum(m.leftover_rows for m in msgs)
+        total_rows = base_rows + total_full * self.chunk_rows + total_leftover
+        # appends must keep the existing chunk size; fresh writes may
+        # shrink the chunk to the data size
+        eff_chunk = (
+            self.chunk_rows
+            if base_rows
+            else min(self.chunk_rows, max(total_rows, 1))
         )
 
-    # 1) staged full chunks -> global positions (byte move; on stores
-    #    with server-side copy this is a metadata rename)
-    next_chunk = base_chunks
-    for m in msgs:
-        for i in range(m.n_full_chunks):
-            for n in names:
-                data = store.get(f"{_stage_prefix(m.task_id)}/{i}/{n}")
-                if data is None:
-                    raise ZarrFormatError(
-                        f"Missing staged chunk {m.task_id}/{i}/{n}"
+        if self.overwrite:
+            _clear_store(store, keep_staging=True)
+
+        metas = _final_metas(
+            self.schema,
+            total_rows,
+            eff_chunk,
+            self.fill_value,
+            self.compression,
+        )
+
+        # 1) staged full chunks -> global positions (rename, no copy)
+        next_chunk = base_chunks
+        for m in msgs:
+            for i in range(m.n_full_chunks):
+                for n in names:
+                    store.move(
+                        f"{self._stage(m.task_id)}/{i}/{n}",
+                        f"{n}/{metas[n].chunk_key((next_chunk,))}",
                     )
-                store.set(f"{n}/{metas[n].chunk_key((next_chunk,))}", data)
-            next_chunk += 1
+                next_chunk += 1
 
-    # 2) leftovers (each < chunk_rows) -> packed tail chunks
-    tails: Dict[str, List[np.ndarray]] = {n: [] for n in names}
-    for m in msgs:
-        if not m.leftover_rows:
-            continue
-        raw = store.get(f"{_stage_prefix(m.task_id)}/leftover")
-        if raw is None:
-            raise ZarrFormatError(f"Missing staged leftover {m.task_id}")
-        npz = np.load(_io.BytesIO(raw))
-        for n in names:
-            tails[n].append(npz[n])
-    if total_leftover:
-        packed = {n: np.concatenate(tails[n]) for n in names}
-        pos = 0
-        while pos < total_leftover:
-            take = min(eff_chunk, total_leftover - pos)
-            for n in names:
-                write_chunk(
-                    store,
-                    metas[n],
-                    (next_chunk,),
-                    packed[n][pos : pos + take],
+        # 2) leftovers (each < chunk_rows) -> packed tail chunks
+        tails: Dict[str, List[np.ndarray]] = {n: [] for n in names}
+        for m in msgs:
+            if not m.leftover_rows:
+                continue
+            raw = store.get(f"{self._stage(m.task_id)}/leftover")
+            if raw is None:
+                raise ZarrFormatError(
+                    f"Missing staged leftover {m.task_id}"
                 )
-            next_chunk += 1
-            pos += take
+            npz = np.load(_io.BytesIO(raw))
+            for n in names:
+                tails[n].append(npz[n])
+        if total_leftover:
+            packed = {n: np.concatenate(tails[n]) for n in names}
+            pos = 0
+            while pos < total_leftover:
+                take = min(eff_chunk, total_leftover - pos)
+                for n in names:
+                    write_chunk(
+                        store,
+                        metas[n],
+                        (next_chunk,),
+                        packed[n][pos : pos + take],
+                    )
+                next_chunk += 1
+                pos += take
 
-    abort_write(path, msgs)  # clear staging
+        # 3) metadata LAST — concurrent readers / the zarr-stream source
+        #    trust the advertised shape, so every chunk must land first
+        import json
 
+        write_root_group(store)
+        for n in names:
+            store.set(f"{n}/zarr.json", json.dumps(metas[n].to_json()).encode())
 
-def abort_write(path: str, messages) -> None:
-    import os as _os
-    import shutil as _shutil
+        self.abort(msgs)  # clear this job's staging
 
-    store = open_store(path)
-    stage_dir = getattr(store, "_path", lambda k: None)("__stage__")
-    if stage_dir and _os.path.isdir(stage_dir):
-        _shutil.rmtree(stage_dir, ignore_errors=True)
-        return
-    for key in list(store.walk_keys()):  # non-local stores: per-key
-        if key.startswith("__stage__"):
+    def abort(self, messages) -> None:
+        store = open_store(self.path)
+        prefix = f"__stage__/{self.job_id}/"
+        for key in list(store.walk_keys()):
+            if key.startswith(prefix):
+                store.delete(key)
+        # tidy empty local staging dirs (best effort)
+        import os as _os
+        import shutil as _shutil
+
+        job_dir = getattr(store, "_path", lambda k: None)(
+            f"__stage__/{self.job_id}"
+        )
+        if job_dir and _os.path.isdir(job_dir):
+            _shutil.rmtree(job_dir, ignore_errors=True)
+            stage_root = store._path("__stage__")
             try:
-                _os.remove(store._path(key))
-            except (AttributeError, OSError):
-                break
+                _os.rmdir(stage_root)  # only if now empty
+            except OSError:
+                pass

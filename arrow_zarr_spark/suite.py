@@ -379,6 +379,25 @@ def _populate_relational() -> None:
         "COUNT(DISTINCT event_type) AS n_types "
         "FROM events GROUP BY user_id HAVING COUNT(*) >= 5",
     )
+    # grouping sets via CUBE (rollup is r17)
+    _sql_pair(
+        "r30_cube",
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+    )
+    # stddev from exact decimal moments (stddev_samp directly would be
+    # FP-order-dependent; identical double math from exact inputs isn't)
+    _sql_pair(
+        "r31_stddev_from_moments",
+        "SELECT l_returnflag, ROUND(SQRT((sumsq - s * s / n) / (n - 1)), 6) "
+        "AS qty_stddev FROM ("
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * "
+        "CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sumsq "
+        "FROM lineitem GROUP BY l_returnflag) t",
+    )
     # TPC-H Q13 shape: left join + count distribution
     _sql_pair(
         "r27_count_distribution",

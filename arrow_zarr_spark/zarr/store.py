@@ -30,6 +30,19 @@ class Store:
     def exists(self, key: str) -> bool:
         return self.get(key) is not None
 
+    def delete(self, key: str) -> None:
+        """Remove a key; missing keys are a no-op."""
+        raise NotImplementedError
+
+    def move(self, src: str, dst: str) -> None:
+        """Move a key. Default is read+write; backends with renames
+        override (LocalStore uses os.replace — no byte copy)."""
+        data = self.get(src)
+        if data is None:
+            raise ZarrFormatError(f"move: missing source key {src!r}")
+        self.set(dst, data)
+        self.delete(src)
+
     def walk_keys(self) -> Iterator[str]:
         """Yield every key under the root (relative, '/'-separated)."""
         raise NotImplementedError
@@ -77,6 +90,20 @@ class LocalStore(Store):
     def exists(self, key: str) -> bool:
         return os.path.isfile(self._path(key))
 
+    def delete(self, key: str) -> None:
+        try:
+            os.remove(self._path(key))
+        except FileNotFoundError:
+            pass
+
+    def move(self, src: str, dst: str) -> None:
+        dst_path = self._path(dst)
+        os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+        try:
+            os.replace(self._path(src), dst_path)
+        except FileNotFoundError:
+            raise ZarrFormatError(f"move: missing source key {src!r}")
+
     def walk_keys(self) -> Iterator[str]:
         for dirpath, _dirnames, filenames in os.walk(self.root):
             rel = os.path.relpath(dirpath, self.root)
@@ -119,6 +146,12 @@ class FsspecStore(Store):
 
     def exists(self, key: str) -> bool:  # pragma: no cover
         return self.fs.exists(f"{self.root}/{key}")
+
+    def delete(self, key: str) -> None:  # pragma: no cover
+        try:
+            self.fs.rm(f"{self.root}/{key}")
+        except FileNotFoundError:
+            pass
 
     def walk_keys(self) -> Iterator[str]:  # pragma: no cover
         for path in self.fs.find(self.root):

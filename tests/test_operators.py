@@ -207,3 +207,18 @@ class TestConnectedComponents:
             for r in connected_components(nodes, pairs).collect()
         }
         assert out == {i: i for i in range(5)}
+
+
+class TestJaccardCandidateContract:
+    def test_zero_shared_candidates_score_zero(self, spark):
+        """A candidate pair with no common shingle must appear with
+        jaccard=0, not vanish (LSH false positives need explicit 0s)."""
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "v w x y z")], ["doc_id", "text"]
+        )
+        cands = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        out = dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, candidate_pairs=cands
+        ).collect()
+        assert len(out) == 1
+        assert out[0].jaccard == 0.0

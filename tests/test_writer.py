@@ -218,3 +218,66 @@ class TestFormatWriter:
         back = spark.read.format("zarr").load(path)
         got = sorted(r.x for r in back.collect())
         assert got == list(range(64)) + list(range(100, 110))
+
+
+class TestNullAndLayoutGuards:
+    """Regression tests for review findings: silent NULL corruption and
+    append-layout clobbering."""
+
+    def test_write_zarr_rejects_nulls_in_int_column(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1,), (None,)], "x long"
+        )
+        with pytest.raises(Exception, match="NULL"):
+            write_zarr(df, str(tmp_path / "n1"), chunk_rows=10)
+
+    def test_format_writer_rejects_nulls(self, spark, tmp_path):
+        df = spark.createDataFrame([(1,), (None,)], "x long")
+        with pytest.raises(Exception, match="NULL"):
+            df.write.format("zarr").mode("append").save(str(tmp_path / "n2"))
+
+    def test_float_nan_is_allowed(self, spark, tmp_path):
+        import math
+
+        path = str(tmp_path / "n3")
+        df = spark.createDataFrame([(1.5,), (float("nan"),)], "x double")
+        write_zarr(df, path, chunk_rows=10)
+        vals = [
+            r.x for r in spark.read.format("zarr").load(path).collect()
+        ]
+        assert 1.5 in vals and any(math.isnan(v) for v in vals)
+
+    def test_append_codec_mismatch_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "c1")
+        df = spark.range(0, 4).select(F.col("id").alias("x"))
+        df.write.format("zarr").mode("append").option(
+            "chunk_rows", "2"
+        ).option("compression", "gzip").save(path)
+        with pytest.raises(Exception, match="codec mismatch"):
+            df.write.format("zarr").mode("append").option(
+                "chunk_rows", "2"
+            ).save(path)  # default zstd != existing gzip
+
+    def test_append_dtype_mismatch_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "c2")
+        spark.range(0, 4).select(F.col("id").alias("x")).write.format(
+            "zarr"
+        ).mode("append").option("chunk_rows", "2").save(path)
+        with pytest.raises(Exception, match="dtype mismatch"):
+            spark.range(0, 2).select(
+                F.col("id").cast("double").alias("x")
+            ).write.format("zarr").mode("append").option(
+                "chunk_rows", "2"
+            ).save(path)
+
+    def test_overwrite_removes_stale_columns(self, spark, tmp_path):
+        path = str(tmp_path / "c3")
+        spark.range(0, 4).select(
+            F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+        ).write.format("zarr").mode("overwrite").save(path)
+        spark.range(0, 3).select(F.col("id").alias("a")).write.format(
+            "zarr"
+        ).mode("overwrite").save(path)
+        back = spark.read.format("zarr").load(path)
+        assert back.columns == ["a"]
+        assert back.count() == 3
