@@ -260,6 +260,16 @@ def populate_operator_queries(register) -> None:
         "(SELECT doc_id, string_split(text, ' ') AS ws FROM documents)",
     )
 
+    def t05(spark, sf_dir):
+        from .packing import pack_sequences
+
+        return pack_sequences(_docs(spark, sf_dir), max_tokens=256)
+
+    # greedy packing is stateful-sequential per group — not expressible
+    # in the oracle SQL subset; budget/partition invariants are pytest-
+    # verified against a python reference
+    register("t05_pack_sequences", t05, None)
+
     # ---------------- multimodal ----------------
     def m01(spark, sf_dir):
         media = multimodal.with_binary_payload(_docs(spark, sf_dir))

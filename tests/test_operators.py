@@ -222,3 +222,44 @@ class TestJaccardCandidateContract:
         ).collect()
         assert len(out) == 1
         assert out[0].jaccard == 0.0
+
+
+class TestSequencePacking:
+    def test_budget_respected(self, spark, docs):
+        from arrow_zarr_spark.operators.packing import pack_sequences
+
+        out = pack_sequences(docs, max_tokens=256).collect()
+        assert len(out) == docs.count()
+        # no multi-doc pack exceeds the budget; oversize docs are alone
+        for r in out:
+            if r.pack_docs > 1:
+                assert r.pack_tokens <= 256
+            else:
+                assert r.pack_tokens == r.n_tokens
+
+    def test_matches_python_reference(self, spark):
+        from arrow_zarr_spark.operators.packing import pack_sequences
+
+        rows = [(i, "w " * n) for i, n in enumerate([10, 20, 100, 5, 120, 3])]
+        df = spark.createDataFrame(
+            [(i, t.strip(), "s") for i, t in rows],
+            ["doc_id", "text", "source"],
+        )
+        got = {
+            r.doc_id: r.pack_id
+            for r in pack_sequences(df, max_tokens=128).collect()
+        }
+        # greedy in id order: [10,20,100]=130>128 -> 100 starts pack 1;
+        # [100,5]=105, +120 exceeds -> pack 2; [120,3]=123 fits
+        assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2}
+
+    def test_oversize_error_mode(self, spark):
+        from arrow_zarr_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, "w " * 300, "s")], ["doc_id", "text", "source"]
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="max_tokens"):
+            pack_sequences(df, max_tokens=128, oversize="error").collect()
