@@ -398,6 +398,29 @@ def _populate_relational() -> None:
         "CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sumsq "
         "FROM lineitem GROUP BY l_returnflag) t",
     )
+    # exact interpolated percentile (order-independent, unlike
+    # percentile_approx which is r26's rows-only sketch)
+    _sql_pair(
+        "r32_percentile_cont",
+        "SELECT l_returnflag, "
+        "PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity) "
+        "AS median_qty FROM lineitem GROUP BY l_returnflag",
+    )
+    # regexp extraction (arg forms differ: Spark needs a group index)
+    def r33(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        return spark.sql(
+            "SELECT c_custkey, "
+            "CAST(REGEXP_EXTRACT(c_name, '[0-9]+', 0) AS BIGINT) "
+            "AS name_num FROM customer"
+        )
+
+    register_query(
+        "r33_regexp_extract",
+        r33,
+        "SELECT c_custkey, CAST(REGEXP_EXTRACT(c_name, '[0-9]+') AS BIGINT) "
+        "AS name_num FROM customer",
+    )
     # TPC-H Q13 shape: left join + count distribution
     _sql_pair(
         "r27_count_distribution",
