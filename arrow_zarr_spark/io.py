@@ -86,6 +86,48 @@ def _reject_nulls(values, dtype: np.dtype, name: str) -> np.ndarray:
     return np.asarray(values, dtype=dtype)
 
 
+def _validate_append_target(
+    store, schema, chunk_rows: int, compression: str = "zstd"
+) -> int:
+    """Append must extend a layout-compatible 1-D store (chunk size,
+    dtype, columns). Returns the existing row count. Unlike the format
+    sink, a partial tail chunk is fine — the boundary chunk is merged
+    in place."""
+    from .zarr.array import infer_store_arrays
+
+    arrays = infer_store_arrays(store)
+    by_name = {a.meta.name: a for a in arrays}
+    names = [f.name for f in schema.fields]
+    if sorted(by_name) != sorted(names):
+        raise ZarrFormatError(
+            f"Append schema mismatch: store has {sorted(by_name)}, "
+            f"writing {sorted(names)}"
+        )
+    rows = by_name[names[0]].meta.shape[0]
+    for f in schema.fields:
+        m = by_name[f.name].meta
+        if m.ndim != 1 or m.shape[0] != rows:
+            raise ZarrFormatError("Append target must be a 1-D table store")
+        if m.chunk_shape[0] != chunk_rows:
+            raise ZarrFormatError(
+                f"Append chunk_rows {chunk_rows} != store chunk size "
+                f"{m.chunk_shape[0]}"
+            )
+        if m.zarr_dtype != _zarr_dtype_for(f):
+            raise ZarrFormatError(
+                f"Append dtype mismatch for {f.name!r}: store has "
+                f"{m.zarr_dtype}, writing {_zarr_dtype_for(f)}"
+            )
+        from .zarr.codecs import default_codecs
+
+        if m.codecs != default_codecs(compression):
+            raise ZarrFormatError(
+                f"Append codec mismatch for {f.name!r}: store uses "
+                f"{m.codecs} — pass the store's compression option"
+            )
+    return rows
+
+
 def _clear_store(store, keep_staging: bool = False) -> None:
     for key in list(store.walk_keys()):
         if keep_staging and key.startswith("__stage__"):
@@ -104,10 +146,13 @@ def write_zarr(
 ) -> int:
     """Write ``df``'s numeric/boolean columns as a Zarr v3 store.
 
-    Returns the number of rows written. ``mode``: "error" (default) or
-    "overwrite". Row order in the store is the DataFrame's partition
-    order (partition 0's rows first, in-partition order preserved) —
-    deterministic for sources with stable splits."""
+    Returns the number of rows written. ``mode``: "error" (default),
+    "overwrite", or "append" (extend an existing store in place — the
+    boundary chunk merges old tail rows with new head rows, so appends
+    need no chunk alignment; layout must otherwise match). Row order in
+    the store is the DataFrame's partition order (partition 0's rows
+    first, in-partition order preserved) — deterministic for sources
+    with stable splits."""
     if columns:
         df = df.select(*columns)
     for field in df.schema.fields:
@@ -116,12 +161,18 @@ def write_zarr(
         raise ZarrFormatError("chunk_rows must be positive")
 
     store = open_store(path)
+    base_rows = 0
     if store.exists("zarr.json"):
-        if mode != "overwrite":
+        if mode == "append":
+            base_rows = _validate_append_target(
+                store, df.schema, chunk_rows, compression
+            )
+        elif mode != "overwrite":
             raise ZarrFormatError(
                 f"Store already exists at {path!r} (mode='error')"
             )
-        _clear_store(store)
+        else:
+            _clear_store(store)
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -135,31 +186,53 @@ def write_zarr(
         }
         n_parts = (max(counts) + 1) if counts else 0
         offsets: List[int] = []
-        acc = 0
+        acc = base_rows  # global row positions continue after any append base
         for pid in range(n_parts):
             offsets.append(acc)
             acc += counts.get(pid, 0)
         total_rows = acc
+        new_rows = total_rows - base_rows
 
         spark = df.sparkSession
         b_offsets = spark.sparkContext.broadcast(offsets)
 
-        # driver writes metadata first (array shape now known)
-        write_root_group(store)
-        metas: Dict[str, ArrayMeta] = {}
-        for field in df.schema.fields:
-            metas[field.name] = create_array(
-                store,
-                field.name,
+        # appends must keep the existing chunk size (validated); fresh
+        # writes may shrink the chunk to the data size
+        eff_chunk = (
+            chunk_rows
+            if base_rows
+            else min(chunk_rows, max(total_rows, 1))
+        )
+        from .zarr.codecs import default_codecs
+
+        metas: Dict[str, ArrayMeta] = {
+            field.name: ArrayMeta(
+                name=field.name,
                 shape=(total_rows,),
-                chunk_shape=(min(chunk_rows, max(total_rows, 1)),),
-                dtype=_np_dtype_for(field),
+                chunk_shape=(eff_chunk,),
+                zarr_dtype=_zarr_dtype_for(field),
                 fill_value=fill_value,
-                compression=compression,
+                codecs=default_codecs(compression),
             )
-        if total_rows == 0:
+            for field in df.schema.fields
+        }
+
+        def publish_metadata():
+            # metadata LAST: concurrent readers (incl. the zarr-stream
+            # source) trust the advertised shape, so chunks must land
+            # first; until then they see the consistent pre-append store
+            import json as _json
+
+            write_root_group(store)
+            for name, meta in metas.items():
+                store.set(
+                    f"{name}/zarr.json", _json.dumps(meta.to_json()).encode()
+                )
+
+        if new_rows == 0:
+            if not base_rows:
+                publish_metadata()  # create a valid empty store
             return 0
-        eff_chunk = min(chunk_rows, total_rows)
 
         # pass 2: global index -> chunk co-location -> chunk writes
         idx_schema = T.StructType(
@@ -188,14 +261,30 @@ def write_zarr(
         col_names = [f.name for f in df.schema.fields]
         path_for_task = path
         metas_b = spark.sparkContext.broadcast(metas)
+        base_rows_b = base_rows
 
         def write_chunk_group(pdf: pd.DataFrame) -> pd.DataFrame:
             cid = int(pdf["__cid"].iloc[0])
             pdf = pdf.sort_values("__row_idx")
             task_store = open_store(path_for_task)
+            # append-boundary chunk: rows already stored in this chunk
+            # are re-read and prepended, so the rewrite is value-
+            # preserving even for concurrent readers (store.set is an
+            # atomic replace; old metadata only covers the old rows)
+            start = max(0, base_rows_b - cid * eff_chunk)
             for name in col_names:
                 meta = metas_b.value[name]
                 data = _reject_nulls(pdf[name].values, meta.dtype, name)
+                if 0 < start < eff_chunk:
+                    from dataclasses import replace as _replace
+
+                    from .zarr.array import ZarrArray
+
+                    old_meta = _replace(meta, shape=(base_rows_b,))
+                    existing = ZarrArray(task_store, old_meta).read_chunk(
+                        (cid,)
+                    )[:start]
+                    data = np.concatenate([existing, data])
                 write_chunk(task_store, meta, (cid,), data)
             return pd.DataFrame(
                 {"cid": [cid], "rows": [len(pdf)]}
@@ -208,10 +297,11 @@ def write_zarr(
             .first()
         )
         written = int(result["written"])
-        if written != total_rows:
+        if written != new_rows:
             raise ZarrFormatError(
-                f"write_zarr wrote {written} rows, expected {total_rows}"
+                f"write_zarr wrote {written} rows, expected {new_rows}"
             )
+        publish_metadata()
         return written
     finally:
         df.unpersist()

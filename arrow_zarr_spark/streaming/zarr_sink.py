@@ -1,0 +1,66 @@
+"""Streaming Zarr sink: writeStream → a growing Zarr store.
+
+Each microbatch appends through :func:`arrow_zarr_spark.io.write_zarr`
+in append mode — the boundary chunk merges in place, chunks land before
+the enlarged metadata publishes, so a concurrent ``zarr-stream`` reader
+(or any batch scan) always sees a consistent store. Exactly-once under
+retries comes from Structured Streaming's batch-id contract: a replayed
+``foreachBatch`` invocation with an already-applied batch id is skipped
+via a high-water-mark key stored alongside the data.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+from ..io import write_zarr
+from ..zarr.store import open_store
+
+__all__ = ["stream_to_zarr"]
+
+_MARKER_KEY = "__stream_sink_state__"
+
+
+def stream_to_zarr(
+    stream_df: DataFrame,
+    path: str,
+    chunk_rows: int = 65536,
+    compression: str = "zstd",
+    **start_kwargs,
+):
+    """Start a streaming query appending microbatches to a Zarr store.
+
+    Returns the StreamingQuery. Example::
+
+        q = stream_to_zarr(events_stream, "/data/events_zarr",
+                           chunk_rows=65536,
+                           checkpointLocation="/data/ckpt")
+    """
+    checkpoint = start_kwargs.pop("checkpointLocation", None)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        store = open_store(path)
+        raw = store.get(_MARKER_KEY)
+        state = json.loads(raw) if raw else {"last_batch": -1}
+        if batch_id <= state["last_batch"]:
+            return  # replayed batch after recovery: already applied
+        mode = "append" if store.exists("zarr.json") else "error"
+        write_zarr(
+            batch_df,
+            path,
+            chunk_rows=chunk_rows,
+            compression=compression,
+            mode=mode,
+        )
+        store.set(
+            _MARKER_KEY, json.dumps({"last_batch": batch_id}).encode()
+        )
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    for k, v in start_kwargs.items():
+        writer = writer.option(k, v)
+    return writer.start()

@@ -281,3 +281,59 @@ class TestNullAndLayoutGuards:
         back = spark.read.format("zarr").load(path)
         assert back.columns == ["a"]
         assert back.count() == 3
+
+
+class TestWriteZarrAppend:
+    """write_zarr(mode='append') — boundary-chunk merge, no alignment
+    requirement."""
+
+    def test_append_with_partial_tail(self, spark, tmp_path):
+        path = str(tmp_path / "ap1")
+        a = spark.range(0, 10).select(F.col("id").alias("x"))
+        write_zarr(a, path, chunk_rows=4)  # 10 rows: chunks 4+4+2(partial)
+        b = spark.range(100, 107).select(F.col("id").alias("x"))
+        n = write_zarr(b, path, chunk_rows=4, mode="append")
+        assert n == 7
+        back = spark.read.format("zarr").load(path)
+        got = [r.x for r in back.orderBy("x").collect()]
+        assert got == list(range(10)) + list(range(100, 107))
+        # row ORDER preserved in the store (boundary merged in place)
+        from arrow_zarr_spark.zarr import infer_store_arrays, open_store
+
+        arr = infer_store_arrays(open_store(path))[0]
+        assert arr.read_all().tolist() == list(range(10)) + list(
+            range(100, 107)
+        )
+
+    def test_append_chunk_mismatch_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "ap2")
+        df = spark.range(0, 10).select(F.col("id").alias("x"))
+        write_zarr(df, path, chunk_rows=4)
+        with pytest.raises(ZarrFormatError, match="chunk_rows"):
+            write_zarr(df, path, chunk_rows=5, mode="append")
+
+
+class TestStreamToZarr:
+    def test_stream_sink_roundtrip(self, spark, tmp_path):
+        from arrow_zarr_spark.streaming import stream_to_zarr
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "sink_store")
+        df = spark.range(0, 500).select(
+            F.col("id").alias("event_id"), (F.col("id") % 7).alias("user_id")
+        )
+        df.write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = stream_to_zarr(
+            stream,
+            store,
+            chunk_rows=128,
+            checkpointLocation=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = spark.read.format("zarr").load(store)
+        assert back.count() == 500
+        assert back.agg(F.sum("event_id")).first()[0] == sum(range(500))
