@@ -164,6 +164,16 @@ def main() -> None:
 
     spark.range(1000).select(F.sum("id")).collect()
     spark.read.format("zarr").load(fixtures.write_lat_lon_store()).count()
+    # warm the Arrow-UDF worker pool (mapInPandas/applyInPandas paths) —
+    # otherwise the first operator query pays all worker spawns at once
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 10000, 1, 32).mapInPandas(_ident, "id long").count()
+    spark.range(0, 1000, 1, 8).withColumn("g", F.col("id") % 8).groupBy(
+        "g"
+    ).applyInPandas(lambda pdf: pdf, "id long, g long").count()
 
     timings = {}
     for name, thunk in qs.items():
