@@ -175,11 +175,18 @@ def main() -> None:
         "g"
     ).applyInPandas(lambda pdf: pdf, "id long, g long").count()
 
+    # min of N runs (default 2): single-shot numbers fold scheduler and
+    # codegen noise into the measurement; min is the stable estimator
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2") or 2)
     timings = {}
     for name, thunk in qs.items():
-        t0 = time.perf_counter()
-        thunk()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(max(repeat, 1)):
+            t0 = time.perf_counter()
+            thunk()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
