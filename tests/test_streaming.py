@@ -131,7 +131,13 @@ def test_zarr_stream_source(spark, tmp_path):
     write_array_data(store, meta, np.arange(6.0))
 
     spark.dataSource.register(ZarrStreamDataSource)
-    stream = spark.readStream.format("zarr-stream").load(path)
+    # driver_reader exercises the SimpleDataSourceStreamReader path;
+    # the default (parallel) reader has its own test below
+    stream = (
+        spark.readStream.format("zarr-stream")
+        .option("driver_reader", "true")
+        .load(path)
+    )
     q = (
         stream.writeStream.outputMode("append")
         .format("memory")
@@ -161,5 +167,57 @@ def test_zarr_stream_source(spark, tmp_path):
         q.processAllAvailable()
         grown = {r.x for r in spark.sql("SELECT x FROM zs_out").collect()}
         assert grown == {float(i) for i in range(10)}
+    finally:
+        q.stop()
+
+
+def test_zarr_stream_parallel_reader(spark, tmp_path):
+    """Default executor-parallel stream reader: same semantics as the
+    simple reader, reads run as Spark tasks."""
+    import json
+    from dataclasses import replace
+
+    from arrow_zarr_spark.zarr import open_store
+    from arrow_zarr_spark.zarr.writer import (
+        create_array,
+        write_array_data,
+        write_chunk,
+        write_root_group,
+    )
+
+    path = str(tmp_path / "par")
+    store = open_store(path)
+    write_root_group(store)
+    meta = create_array(
+        store, "x", shape=(10,), chunk_shape=(4,), dtype=np.float64
+    )
+    write_array_data(store, meta, np.arange(10.0))
+
+    spark.dataSource.register(ZarrStreamDataSource)
+    stream = (
+        spark.readStream.format("zarr-stream")
+        .option("rows_per_task", "3")  # force multiple partitions
+        .load(path)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zsp_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = sorted(r.x for r in spark.sql("SELECT x FROM zsp_out").collect())
+        assert first == [float(i) for i in range(10)]
+
+        # grow: chunks first, then metadata
+        meta2 = replace(meta, shape=(14,))
+        data14 = np.arange(14.0)
+        for ci in range(2, 4):
+            write_chunk(store, meta2, (ci,), data14[ci * 4 : (ci + 1) * 4])
+        store.set("x/zarr.json", json.dumps(meta2.to_json()).encode())
+        q.processAllAvailable()
+        grown = sorted(r.x for r in spark.sql("SELECT x FROM zsp_out").collect())
+        assert grown == [float(i) for i in range(14)]
     finally:
         q.stop()
