@@ -96,6 +96,27 @@ def bench_queries(spark):
 
     qs["zarr_theta_join_banded"] = theta_banded
 
+    # the SAME query at the reference's FULL 512x512 scale — intractable
+    # as a nested loop (5.7e9 predicate evals, which is what the
+    # reference's engine does for it), a few seconds banded
+    def theta_banded_full():
+        from arrow_zarr_spark.operators.joins import range_join
+
+        left = (
+            spark.table("zarr_bench")
+            .select(F.col("var1").alias("v1"))
+            .filter(F.col("v1") % 12 == 0)
+        )
+        right = spark.table("zarr_bench").select(F.col("var1").alias("v2"))
+        return _force(
+            range_join(left, right, "v1", "v2", -1.0, 1.0, band=1.0).filter(
+                (F.col("v1") < F.col("v2") + 1)
+                & (F.col("v1") >= F.col("v2") - 1)
+            )
+        )
+
+    qs["zarr_theta_join_banded_fullscale"] = theta_banded_full
+
     qs["zarr_filter_agg"] = lambda: _force(
         spark.sql(
             "SELECT SUM(var1) AS s, COUNT(*) AS n FROM zarr_bench "
