@@ -22,7 +22,39 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["range_join", "asof_join"]
+__all__ = ["range_join", "asof_join", "salted_join"]
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting — the standard mitigation when a few
+    hot keys would otherwise send one shuffle partition 100x the data.
+
+    Each left row gets a deterministic pseudo-random salt (hash of the
+    whole row, stable across retries); the right side replicates once
+    per salt. The join key becomes (key, salt), spreading every hot key
+    over ``n_salts`` partitions. Result set is IDENTICAL to the plain
+    join (verified against it in the oracle suite); cost is an
+    n_salts-fold replication of the right side — use when right is the
+    small-ish side and left is skewed. (AQE's skew-join handles many
+    cases automatically; salting is the explicit, planner-independent
+    form.)"""
+    salt_l = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), n_salts)
+    lhs = left.withColumn("__salt", salt_l)
+    rhs = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(n_salts).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        )
+    )
+    out = lhs.join(rhs, [on, "__salt"], how)
+    return out.drop("__salt")
 
 
 def range_join(

@@ -368,6 +368,36 @@ def populate_operator_queries(register) -> None:
         "AND t1.data < t2.data + 1 AND t1.data >= t2.data - 1",
     )
 
+    def j04(spark, sf_dir):
+        """Salted skew-join: result must equal the plain equi-join (the
+        oracle runs the unsalted form)."""
+        from . import joins
+
+        ensure_views(spark, sf_dir)
+        lineitem = spark.table("lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        )
+        orders = spark.table("orders").select("o_orderkey", "o_orderpriority")
+        out = joins.salted_join(
+            lineitem.withColumnRenamed("l_orderkey", "k"),
+            orders.withColumnRenamed("o_orderkey", "k"),
+            on="k",
+            n_salts=8,
+        )
+        return out.select(
+            F.col("k").alias("l_orderkey"),
+            "l_linenumber",
+            "l_quantity",
+            "o_orderpriority",
+        )
+
+    register(
+        "j04_salted_join",
+        j04,
+        "SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+    )
+
     register(
         "j02_asof_join",
         j02,

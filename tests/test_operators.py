@@ -263,3 +263,53 @@ class TestSequencePacking:
 
         with _pytest.raises(Exception, match="max_tokens"):
             pack_sequences(df, max_tokens=128, oversize="error").collect()
+
+
+class TestScaleTechniques:
+    def test_salted_join_equals_plain_join(self, spark, sf_dir):
+        from arrow_zarr_spark.operators.joins import salted_join
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            F.col("l_orderkey").alias("k"), "l_quantity"
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("k"), "o_totalprice"
+        )
+        plain = li.join(orders, "k")
+        salted = salted_join(li, orders, "k", n_salts=4)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.select(*plain.columns).collect())
+        )
+
+    def test_bucketed_join_avoids_shuffle(self, spark, sf_dir, tmp_path):
+        """bucketBy co-location: a join between two tables bucketed on
+        the key needs no Exchange on either side."""
+        # warehouse dir is a static conf — default spark-warehouse is
+        # fine; tables are dropped in the finally block
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            "li_b"
+        )
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            "ord_b"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("li_b").join(
+                spark.table("ord_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+            spark.sql("DROP TABLE IF EXISTS li_b")
+            spark.sql("DROP TABLE IF EXISTS ord_b")
