@@ -699,10 +699,9 @@ def _ensure_populated() -> None:
     _populate_relational()
     _populate_zarr()
     _populate_writer()
-    try:
-        from .operators.suite_entries import populate_operator_queries
+    # imported unconditionally: a swallowed ImportError here would
+    # silently shrink the driver's correctness contract
+    from .operators.suite_entries import populate_operator_queries
 
-        populate_operator_queries(register_query)
-    except ImportError:
-        pass
+    populate_operator_queries(register_query)
     _populated = True
