@@ -447,6 +447,50 @@ def _populate_relational() -> None:
         "WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice) "
         "FROM lineitem l2 WHERE l2.l_orderkey = lineitem.l_orderkey)",
     )
+    # array functions over the embedding column (higher-order JVM exprs
+    # vs DuckDB list functions)
+    def r34(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        emb = F.col("embedding")
+        l2 = F.sqrt(
+            F.aggregate(
+                F.transform(emb, lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        return spark.table("embeddings").select(
+            "vec_id",
+            F.round(l2, 6).alias("l2"),
+            F.size(emb).alias("dim"),
+            F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_val"),
+        )
+
+    register_query(
+        "r34_array_functions",
+        r34,
+        "SELECT vec_id, ROUND(SQRT(list_dot_product("
+        "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) "
+        "AS l2, CAST(len(embedding) AS INTEGER) AS dim, "
+        "ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val "
+        "FROM embeddings",
+    )
+
+    # JSON extraction from the events props column
+    def r35(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        return spark.table("events").select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        )
+
+    register_query(
+        "r35_json_extract",
+        r35,
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) "
+        "AS prop_k FROM events",
+    )
+
     # sessionization (the batch operator from the streaming module),
     # verified against the same gap/cumsum logic in DuckDB SQL
     def r25(spark: SparkSession, sf_dir: str) -> DataFrame:
