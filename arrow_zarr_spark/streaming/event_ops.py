@@ -79,7 +79,12 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.sum("value").alias("session_value"),
+        # sum through DECIMAL: double accumulation is partition-order-
+        # dependent, which breaks deterministic comparison; the decimal
+        # sum is exact and the final cast keeps the double schema
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("session_value"),
     )
 
 

@@ -211,6 +211,68 @@ def _populate_tier_b() -> None:
 # ---------------------------------------------------------------------------
 
 def _populate_relational() -> None:
+    # The first few registrations here land inside the driver's 50-query
+    # verification window (after the zarr/writer/operator blocks), so
+    # the queries that most need driver re-verification come first.
+    _sql_pair(
+        "r20_math_case",
+        # CEIL/FLOOR(double) → BIGINT in Spark but DOUBLE in DuckDB, and
+        # ROUND with no scale is similarly divergent: cast every term so
+        # both engines agree on the value type, not just the value.
+        "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS dev, "
+        "CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil, "
+        "CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor, "
+        "CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pct, "
+        "CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' "
+        "ELSE 'high' END AS qty_band FROM lineitem",
+    )
+
+    # sessionization (the batch operator from the streaming module),
+    # verified against the same gap/cumsum logic in DuckDB SQL
+    def r25(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .streaming.event_ops import sessionize_batch
+
+        ensure_views(spark, sf_dir)
+        out = sessionize_batch(spark.table("events"), gap_minutes=30)
+        return out.select(
+            "user_id",
+            "session_seq",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("session_value"),
+        )
+
+    register_query(
+        "r25_sessionization",
+        r25,
+        "WITH g AS (SELECT user_id, ts, value, CASE WHEN "
+        "epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts) > 1800000000 THEN 1 ELSE 0 "
+        "END AS new_session FROM events), "
+        "s AS (SELECT user_id, ts, value, SUM(new_session) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS session_seq FROM g) "
+        "SELECT user_id, session_seq, epoch_us(MIN(ts)) AS start_us, "
+        "epoch_us(MAX(ts)) AS end_us, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value "
+        "FROM s GROUP BY user_id, session_seq",
+    )
+
+    # multi-way join + agg (TPC-H Q5 shape, the scale-out headline)
+    _sql_pair(
+        "r21_multiway_join_agg",
+        "SELECT n_name, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+        "COUNT(*) AS n FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' GROUP BY n_name",
+    )
+
     # aggregation: TPC-H Q1 shape (decimal accumulation => exact, then
     # DOUBLE for a stable comparison type)
     _sql_pair(
@@ -344,27 +406,6 @@ def _populate_relational() -> None:
         "order_month, COUNT(*) AS n FROM orders "
         "GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)",
     )
-    _sql_pair(
-        "r20_math_case",
-        "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS dev, "
-        "CEIL(l_extendedprice) AS price_ceil, FLOOR(l_extendedprice) AS "
-        "price_floor, ROUND(l_tax * 100) AS tax_pct, "
-        "CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' "
-        "ELSE 'high' END AS qty_band FROM lineitem",
-    )
-    # multi-way join + agg (TPC-H Q5 shape, the scale-out headline)
-    _sql_pair(
-        "r21_multiway_join_agg",
-        "SELECT n_name, "
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
-        "COUNT(*) AS n FROM customer "
-        "JOIN orders ON c_custkey = o_custkey "
-        "JOIN lineitem ON l_orderkey = o_orderkey "
-        "JOIN supplier ON l_suppkey = s_suppkey "
-        "JOIN nation ON s_nationkey = n_nationkey "
-        "JOIN region ON n_regionkey = r_regionkey "
-        "WHERE r_name = 'ASIA' GROUP BY n_name",
-    )
     # events: time bucketing
     _sql_pair(
         "r22_events_time_agg",
@@ -489,38 +530,6 @@ def _populate_relational() -> None:
         r35,
         "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) "
         "AS prop_k FROM events",
-    )
-
-    # sessionization (the batch operator from the streaming module),
-    # verified against the same gap/cumsum logic in DuckDB SQL
-    def r25(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .streaming.event_ops import sessionize_batch
-
-        ensure_views(spark, sf_dir)
-        out = sessionize_batch(spark.table("events"), gap_minutes=30)
-        return out.select(
-            "user_id",
-            "session_seq",
-            F.unix_micros("session_start").alias("start_us"),
-            F.unix_micros("session_end").alias("end_us"),
-            F.col("n_events").cast("long").alias("n_events"),
-            F.round("session_value", 6).alias("session_value"),
-        )
-
-    register_query(
-        "r25_sessionization",
-        r25,
-        "WITH g AS (SELECT user_id, ts, value, CASE WHEN "
-        "epoch_us(ts) - LAG(epoch_us(ts)) OVER "
-        "(PARTITION BY user_id ORDER BY ts) > 1800000000 THEN 1 ELSE 0 "
-        "END AS new_session FROM events), "
-        "s AS (SELECT user_id, ts, value, SUM(new_session) OVER "
-        "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED "
-        "PRECEDING AND CURRENT ROW) AS session_seq FROM g) "
-        "SELECT user_id, session_seq, epoch_us(MIN(ts)) AS start_us, "
-        "epoch_us(MAX(ts)) AS end_us, COUNT(*) AS n_events, "
-        "ROUND(SUM(value), 6) AS session_value "
-        "FROM s GROUP BY user_id, session_seq",
     )
 
     # approximate aggregates: sketch implementations differ per engine,
@@ -739,8 +748,10 @@ def _ensure_populated() -> None:
     global _populated
     if _populated:
         return
-    _populate_tier_b()
-    _populate_relational()
+    # Registration order is a correctness-verification budget: the driver
+    # evaluates only the first 50 registered queries, so the hand-built
+    # engine paths (zarr scan semantics, writer round-trip, pipeline
+    # operators) register before stock-Catalyst relational shapes.
     _populate_zarr()
     _populate_writer()
     # imported unconditionally: a swallowed ImportError here would
@@ -748,4 +759,6 @@ def _ensure_populated() -> None:
     from .operators.suite_entries import populate_operator_queries
 
     populate_operator_queries(register_query)
+    _populate_tier_b()
+    _populate_relational()
     _populated = True

@@ -32,21 +32,23 @@ def duck():
 
 
 def _norm(v):
+    # Type-tagged: the driver's value hash is type-sensitive, so int
+    # 90000 and float 90000.0 must NOT compare equal here (a bare ==
+    # masked exactly that divergence in r20 once).
     if v is None:
         return None
     if isinstance(v, bool):
-        return v
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    try:  # Decimal → str for stable compare
-        import decimal
+            return ("f", "NaN")
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            return str(v)
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v))
     return v
 
 
