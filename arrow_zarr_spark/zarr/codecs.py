@@ -9,10 +9,21 @@ Supported codecs (public Zarr v3 spec names):
 - ``lz4`` (bytes↔bytes, LZ4-frame via :mod:`pyarrow`)
 - ``crc32c`` (bytes↔bytes, 4-byte trailing checksum; stripped on read,
   verification skipped — no crc32c implementation in this environment)
-- ``blosc`` — NOT available here (the reference's test fixtures use
-  blosc-LZ4, ``/root/reference/crates/arrow-zarr/src/lib.rs:159-168``);
-  reading raises a clear error, and our own fixtures/writer use zstd or
-  gzip instead.
+- ``blosc`` (bytes↔bytes) — hand-rolled blosc1 frame codec, no numcodecs
+  needed. The reference's own test/bench stores are blosc-LZ4
+  (``/root/reference/crates/arrow-zarr/src/lib.rs:159-168``,
+  ``benches/s3_bench.rs:59-68``), so this is the on-ramp for data
+  written by the reference stack. Frame layout per c-blosc's public
+  ``README_HEADER.rst``: 16-byte header (version, versionlz, flags,
+  typesize, nbytes/blocksize/cbytes as LE int32), then — unless the
+  pure-memcpy flag is set — one LE int32 start offset per block, and
+  each block is 1..typesize "splits", each a LE int32 compressed size
+  followed by that many bytes of inner-codec data (stored raw when
+  csize == uncompressed split size). Inner codecs supported: lz4/lz4hc
+  (pyarrow ``lz4_raw``), zstd, zlib, snappy; ``blosclz`` has no
+  implementation in this environment and raises a clear error. The
+  byte-shuffle filter is applied per block; bit-shuffle and delta are
+  gated with clear errors.
 
 The codec list in metadata is ordered array→bytes for encode; decode
 applies it in reverse (Zarr v3 spec §codecs).
@@ -47,9 +58,224 @@ def default_codecs(compression: str = "zstd", endian: str = "little") -> list:
         chain.append({"name": "gzip", "configuration": {"level": 5}})
     elif compression in (None, "none", "raw"):
         pass
+    elif compression.startswith("blosc"):
+        # "blosc", "blosc-lz4", "blosc-zstd", ... — the reference stack's
+        # native chunk encoding (lib.rs:159-168 writes blosc-LZ4)
+        cname = compression.split("-", 1)[1] if "-" in compression else "lz4"
+        chain.append(
+            {
+                "name": "blosc",
+                "configuration": {
+                    "cname": cname,
+                    "clevel": 5,
+                    "shuffle": "noshuffle",
+                    "typesize": 1,
+                    "blocksize": 0,
+                },
+            }
+        )
     else:
         raise ZarrFormatError(f"Unsupported writer compression {compression!r}")
     return chain
+
+
+# ---------------------------------------------------------------------------
+# blosc1 frame codec (pure Python + pyarrow inner codecs)
+# ---------------------------------------------------------------------------
+
+# header flag bits (c-blosc README_HEADER.rst)
+_BLOSC_DOSHUFFLE = 0x01  # byte-wise shuffle applied
+_BLOSC_MEMCPYED = 0x02  # payload is a pure memcpy (no blocks)
+_BLOSC_DOBITSHUFFLE = 0x04  # bit-wise shuffle applied
+_BLOSC_DODELTA = 0x08  # delta filter applied
+_BLOSC_DONT_SPLIT = 0x10  # blocks were NOT split into typesize streams
+# bits 5-7: compressor enumeration
+_BLOSC_COMPFORMAT = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+_BLOSC_COMPCODE = {"blosclz": 0, "lz4": 1, "lz4hc": 1, "snappy": 2, "zlib": 3, "zstd": 4}
+_BLOSC_MAX_SPLITS = 16  # c-blosc: blocks split only when typesize <= 16
+_BLOSC_MIN_BUFFERSIZE = 128  # ... and blocksize/typesize >= 128
+
+
+def _blosc_inner_decompress(fmt: str, data: bytes, out_size: int) -> bytes:
+    if fmt == "lz4":
+        return _pa.Codec("lz4_raw").decompress(
+            data, decompressed_size=out_size, asbytes=True
+        )
+    if fmt == "zstd":
+        return _pa.Codec("zstd").decompress(
+            data, decompressed_size=out_size, asbytes=True
+        )
+    if fmt == "zlib":
+        import zlib
+
+        return zlib.decompress(data)
+    if fmt == "snappy":
+        return _pa.Codec("snappy").decompress(
+            data, decompressed_size=out_size, asbytes=True
+        )
+    raise ZarrFormatError(
+        f"blosc inner compressor {fmt!r} is not available in this "
+        "environment (supported: lz4, lz4hc, zstd, zlib, snappy)"
+    )
+
+
+def _blosc_inner_compress(fmt: str, data: bytes, clevel: int) -> bytes:
+    if fmt in ("lz4", "lz4hc"):
+        return _pa.Codec("lz4_raw").compress(data, asbytes=True)
+    if fmt == "zstd":
+        return _pa.Codec("zstd", compression_level=clevel).compress(
+            data, asbytes=True
+        )
+    if fmt == "zlib":
+        import zlib
+
+        return zlib.compress(data, min(clevel, 9))
+    if fmt == "snappy":
+        return _pa.Codec("snappy").compress(data, asbytes=True)
+    raise ZarrFormatError(f"blosc writer compressor {fmt!r} unsupported")
+
+
+def _byte_unshuffle(block: bytes, typesize: int) -> bytes:
+    """Inverse of c-blosc's per-block byte shuffle: typesize streams of
+    len(block)//typesize bytes each, trailing remainder stored as-is."""
+    q = len(block) // typesize
+    main = np.frombuffer(block, dtype=np.uint8, count=q * typesize)
+    out = main.reshape(typesize, q).T.reshape(-1).tobytes()
+    return out + block[q * typesize :]
+
+
+def _byte_shuffle(block: bytes, typesize: int) -> bytes:
+    q = len(block) // typesize
+    main = np.frombuffer(block, dtype=np.uint8, count=q * typesize)
+    out = main.reshape(q, typesize).T.reshape(-1).tobytes()
+    return out + block[q * typesize :]
+
+
+def _blosc_nsplits(flags: int, typesize: int, blocksize: int, leftover: bool) -> int:
+    if (
+        flags & _BLOSC_DONT_SPLIT
+        or leftover
+        or typesize <= 1
+        or typesize > _BLOSC_MAX_SPLITS
+        or blocksize // typesize < _BLOSC_MIN_BUFFERSIZE
+    ):
+        return 1
+    return typesize
+
+
+def _blosc_decompress(data: bytes) -> bytes:
+    """Decode one blosc1 frame (header + blocked payload) to raw bytes."""
+    if len(data) < 16:
+        raise ZarrFormatError("blosc chunk shorter than 16-byte header")
+    flags, typesize = data[2], data[3]
+    nbytes, blocksize, cbytes = struct.unpack_from("<iii", data, 4)
+    if cbytes > len(data):
+        raise ZarrFormatError(
+            f"blosc header claims {cbytes} compressed bytes, chunk has {len(data)}"
+        )
+    if flags & _BLOSC_MEMCPYED:
+        if len(data) < 16 + nbytes:
+            raise ZarrFormatError("blosc memcpy frame truncated")
+        return data[16 : 16 + nbytes]
+    if flags & _BLOSC_DOBITSHUFFLE:
+        raise ZarrFormatError(
+            "blosc bit-shuffle filter is not supported (byte shuffle is)"
+        )
+    if flags & _BLOSC_DODELTA:
+        raise ZarrFormatError("blosc delta filter is not supported")
+    fmt = _BLOSC_COMPFORMAT.get((flags >> 5) & 0x7)
+    if fmt == "blosclz" or fmt is None:
+        raise ZarrFormatError(
+            f"blosc inner compressor {fmt or (flags >> 5) & 0x7!r} has no "
+            "implementation in this environment (supported: lz4, lz4hc, "
+            "zstd, zlib, snappy)"
+        )
+    if typesize == 0 or blocksize <= 0 or nbytes < 0:
+        raise ZarrFormatError("blosc header has invalid sizes")
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    bstarts = struct.unpack_from(f"<{nblocks}i", data, 16)
+    out = bytearray(nbytes)
+    shuffled = bool(flags & _BLOSC_DOSHUFFLE)
+    for j in range(nblocks):
+        bsize = min(blocksize, nbytes - j * blocksize)
+        leftover = bsize != blocksize
+        nsplits = _blosc_nsplits(flags, typesize, blocksize, leftover)
+        neblock = bsize // nsplits
+        pos = bstarts[j]
+        parts = []
+        for _ in range(nsplits):
+            (csize,) = struct.unpack_from("<i", data, pos)
+            pos += 4
+            raw = data[pos : pos + csize]
+            pos += csize
+            if csize == neblock:  # stored uncompressed
+                parts.append(raw)
+            else:
+                dec = _blosc_inner_decompress(fmt, raw, neblock)
+                if len(dec) != neblock:
+                    raise ZarrFormatError(
+                        f"blosc split decoded to {len(dec)} bytes, expected {neblock}"
+                    )
+                parts.append(dec)
+        block = b"".join(parts)
+        if shuffled:
+            block = _byte_unshuffle(block, typesize)
+        out[j * blocksize : j * blocksize + bsize] = block
+    return bytes(out)
+
+
+def _blosc_compress(
+    data: bytes,
+    typesize: int = 1,
+    cname: str = "lz4",
+    clevel: int = 5,
+    shuffle: str = "noshuffle",
+    blocksize: int = 0,
+) -> bytes:
+    """Encode raw bytes as a blosc1 frame any c-blosc ≥1.11 can read.
+
+    Always writes unsplit blocks (DONT_SPLIT flag set) — simplest valid
+    layout, and what the decoder here and real c-blosc both honor."""
+    if cname not in _BLOSC_COMPCODE or cname == "blosclz":
+        raise ZarrFormatError(f"blosc writer compressor {cname!r} unsupported")
+    if shuffle == "bitshuffle":
+        raise ZarrFormatError("blosc writer does not support bitshuffle")
+    typesize = max(1, min(int(typesize), 255))
+    nbytes = len(data)
+    if blocksize <= 0:
+        blocksize = 1 << 18  # 256 KiB auto default
+    blocksize = max(typesize, blocksize - blocksize % typesize)
+    blocksize = min(blocksize, max(nbytes, typesize))
+    flags = _BLOSC_DONT_SPLIT | (_BLOSC_COMPCODE[cname] << 5)
+    do_shuffle = shuffle in ("shuffle", "byteshuffle", 1, "1", True) and typesize > 1
+    if do_shuffle:
+        flags |= _BLOSC_DOSHUFFLE
+    nblocks = (nbytes + blocksize - 1) // blocksize if nbytes else 0
+    blocks = []
+    for j in range(nblocks):
+        block = data[j * blocksize : j * blocksize + blocksize]
+        if do_shuffle:
+            block = _byte_shuffle(block, typesize)
+        comp = _blosc_inner_compress(cname, block, clevel)
+        if len(comp) >= len(block):  # store raw: csize == uncompressed size
+            comp = block
+        blocks.append(struct.pack("<i", len(comp)) + comp)
+    header_len = 16 + 4 * nblocks
+    offsets, pos = [], header_len
+    for b in blocks:
+        offsets.append(pos)
+        pos += len(b)
+    cbytes = pos
+    if cbytes >= nbytes + 16:  # compression did not pay: pure memcpy frame
+        header = struct.pack(
+            "<BBBBiii", 2, 1, _BLOSC_MEMCPYED | (_BLOSC_COMPCODE[cname] << 5),
+            typesize, nbytes, blocksize, nbytes + 16,
+        )
+        return header + data
+    header = struct.pack(
+        "<BBBBiii", 2, 1, flags, typesize, nbytes, blocksize, cbytes
+    )
+    return header + struct.pack(f"<{nblocks}i", *offsets) + b"".join(blocks)
 
 
 def _bb_decode(name: str, config: dict, data: bytes, decoded_size: int) -> bytes:
@@ -72,10 +298,9 @@ def _bb_decode(name: str, config: dict, data: bytes, decoded_size: int) -> bytes
             raise ZarrFormatError("crc32c codec: chunk shorter than checksum")
         return data[:-4]  # checksum not verified (no crc32c impl available)
     if name == "blosc":
-        raise ZarrFormatError(
-            "blosc codec is not available in this environment "
-            "(no numcodecs/blosc); re-encode the store with zstd or gzip"
-        )
+        if not _HAVE_PA:
+            raise ZarrFormatError("blosc codec requires pyarrow")
+        return _blosc_decompress(data)
     raise ZarrFormatError(f"Unsupported bytes codec {name!r}")
 
 
@@ -96,6 +321,17 @@ def _bb_encode(name: str, config: dict, data: bytes) -> bytes:
         # append a zero checksum placeholder — we never verify on read;
         # writers in this repo do not emit crc32c by default
         return data + struct.pack("<I", 0)
+    if name == "blosc":
+        if not _HAVE_PA:
+            raise ZarrFormatError("blosc codec requires pyarrow")
+        return _blosc_compress(
+            data,
+            typesize=int(config.get("typesize", 1) or 1),
+            cname=str(config.get("cname", "lz4")),
+            clevel=int(config.get("clevel", 5)),
+            shuffle=config.get("shuffle", "noshuffle"),
+            blocksize=int(config.get("blocksize", 0) or 0),
+        )
     raise ZarrFormatError(f"Unsupported bytes codec {name!r}")
 
 
