@@ -36,6 +36,9 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
             embs, embs.filter(F.col("vec_id") < 100), k=10
         )
     )
+    qs["embedding_neardup_lsh"] = lambda: force(
+        dedup.embedding_lsh_neardup_pairs(embs, threshold=0.4)
+    )
     qs["text_pipeline"] = lambda: force(text.text_features(docs))
     qs["multimodal_features"] = lambda: force(
         multimodal.byte_features(multimodal.with_binary_payload(docs))

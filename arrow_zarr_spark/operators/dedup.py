@@ -220,10 +220,17 @@ def minhash_lsh_pairs(
     if not verify_jaccard:
         return pairs
 
-    # the candidate set feeds the verifier twice (doc semi-join + final
-    # pair semi-join): persist it so the signature/band pipeline runs
-    # once, not three times
-    pairs = pairs.persist()
+    # The candidate set feeds the verifier three times (two id selects
+    # for the doc semi-join + the zero-shared outer join). An eager
+    # localCheckpoint materializes the signature/band pipeline exactly
+    # once and — unlike persist(), whose cache-manager entry is never
+    # auto-dropped — is reclaimed by the ContextCleaner as soon as the
+    # returned frame is garbage collected, so repeated dedup runs can't
+    # accumulate cached candidate sets. (On a real cluster, executor
+    # loss invalidates a local checkpoint; a production pipeline that
+    # needs fault tolerance should set a reliable checkpoint dir and
+    # swap this for checkpoint().)
+    pairs = pairs.localCheckpoint(eager=True)
     jac = ngram_jaccard_pairs(
         df,
         id_col=id_col,
@@ -416,11 +423,111 @@ def connected_components(
             labels = new_cached.drop("changed")
             if changed == 0:
                 break
-        # the final cached labels stay persisted for the caller's
-        # consumption (LRU-evicted later)
-        return labels.select(F.col("id").alias(id_col), "component")
+        # Hand back a self-contained result: checkpoint reads the still-
+        # warm cache of the final round, then the cache entry is dropped
+        # so repeated runs leave nothing pinned in the cache manager
+        # (the checkpoint blocks themselves are ContextCleaner-reclaimed
+        # once the caller drops the frame).
+        final = labels.select(
+            F.col("id").alias(id_col), "component"
+        ).localCheckpoint(eager=True)
+        prev_cached.unpersist()
+        return final
     finally:
         edges.unpersist()
+
+
+def embedding_lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: Optional[int] = None,
+    n_tables: Optional[int] = None,
+    seed: int = 42,
+    target_miss: float = 1e-6,
+) -> DataFrame:
+    """Embedding near-dup pairs with an LSH gate: cosine ≥ threshold,
+    id_a < id_b — same contract as :func:`embedding_cosine_pairs`, but
+    candidates come from a hyperplane-LSH bucket equi-join instead of a
+    cross join, so the plan stays data-linear at corpus scale.
+
+    Parameters auto-derive from the threshold when not given: a pair at
+    exactly ``threshold`` collides with one hyperplane with probability
+    ``p = 1 - arccos(threshold)/π``; planes per table are chosen so a
+    table matches the threshold pair with probability ≈ 0.25, and the
+    table count so the miss probability per qualifying pair is below
+    ``target_miss``. The honest trade-off: at high thresholds (≥ 0.8,
+    the realistic near-dup regime) buckets are small and the gate
+    prunes hard; at low thresholds collision probability per plane
+    approaches 1/2, buckets stay coarse, and the candidate set
+    approaches all-pairs — the gate then bounds the join's key space
+    but not its output. The exact all-pairs form below remains the
+    verifier; this is the registered scale path."""
+    import math
+
+    from .similarity import _planes, cosine_expr
+
+    p_same = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    if n_planes is None:
+        n_planes = max(2, int(math.log(0.25) / math.log(p_same)))
+    if n_tables is None:
+        p_table = p_same**n_planes
+        n_tables = min(64, max(4, math.ceil(math.log(target_miss) / math.log1p(-p_table))))
+
+    dim = len(df.select(vec_col).first()[0])
+    planes_all = np.vstack(
+        [_planes(dim, n_planes, t, seed) for t in range(n_tables)]
+    )
+    spark = df.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes_all)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    nt, npl = n_tables, n_planes
+
+    def sig_kernel(batches):
+        pl = b_planes.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (mat @ pl.T) >= 0
+            n = len(pdf)
+            sigs = (bits.reshape(n, nt, npl) @ weights).astype(np.int64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "sid": np.repeat(ids, nt),
+                    "tbl": np.tile(np.arange(nt, dtype=np.int32), n),
+                    "sig": sigs.ravel(),
+                }
+            )
+
+    sigs = df.mapInPandas(sig_kernel, schema="sid long, tbl int, sig long")
+    left, right = sigs.alias("l"), sigs.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.sid") < F.col("r.sid")),
+        )
+        .select(F.col("l.sid").alias("id_a"), F.col("r.sid").alias("id_b"))
+        .distinct()
+    )
+    # score candidates exactly: re-join the vectors by id (cheaper than
+    # dragging dim-wide arrays through n_tables copies of the shuffle)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr("va", "vb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def embedding_cosine_pairs(

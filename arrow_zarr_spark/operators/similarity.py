@@ -97,6 +97,7 @@ def cosine_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: Optional[str] = None,
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Exact top-k, Arrow-vectorized: the query matrix is broadcast to
     every partition, each partition computes a NumPy/BLAS matmul against
@@ -107,11 +108,28 @@ def cosine_topk_vectorized(
     deterministic tiebreaks). This is the throughput kernel: one matmul
     per (partition × query set) instead of per-pair expression
     evaluation, and the shuffle carries only n_partitions*k rows per
-    query — the scalable exact-ANN shape."""
+    query — the scalable exact-ANN shape.
+
+    The query side is collected to the driver (that's what makes the
+    broadcast-matmul shape work), so it must be a PROBE SET, not a
+    second corpus: ``max_query_rows`` caps the collect and raises
+    before the driver can be flooded. For query sides beyond the cap
+    use :func:`cosine_topk` (join-based, both sides distributed)."""
     import pandas as pd
 
     query_id_col = query_id_col or id_col
-    qrows = queries.select(query_id_col, vec_col).collect()
+    qrows = (
+        queries.select(query_id_col, vec_col)
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_vectorized collects the query side to the "
+            f"driver; got more than max_query_rows={max_query_rows} "
+            f"rows. Pass a bounded probe set, raise max_query_rows "
+            f"explicitly, or use cosine_topk for corpus-x-corpus."
+        )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

@@ -133,8 +133,15 @@ def populate_operator_queries(register) -> None:
 
     register("d05_simhash_dedup", d05, None)
 
+    # Registered path is the LSH-gated variant (bucket equi-join, no
+    # cross join at corpus scale); the oracle is the exact all-pairs
+    # SQL, so a green row proves the gate's recall, and the all-pairs
+    # Spark form (embedding_cosine_pairs) stays as the small-n verifier
+    # in tests/test_operators.py.
     def d06(spark, sf_dir):
-        return dedup.embedding_cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
+        return dedup.embedding_lsh_neardup_pairs(
+            _embs(spark, sf_dir), threshold=0.4
+        )
 
     register(
         "d06_embedding_neardup",

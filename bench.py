@@ -65,8 +65,11 @@ def bench_queries(spark):
     # the reference's theta/range self-join is O(n*m) nested-loop; at the
     # full 262k-row store that is 5.7e9 predicate evals — run it on the
     # 16k-row store (matching shape, tractable locally; the reference
-    # benchmarked on S3 with criterion and published no numbers)
-    qs["zarr_theta_self_join"] = lambda: _force(
+    # benchmarked on S3 with criterion and published no numbers).
+    # The _16k suffix marks the reduced scale so this number can't be
+    # read as full-store; the fullscale banded variant below runs the
+    # same predicate over all 262k rows.
+    qs["zarr_theta_self_join_16k"] = lambda: _force(
         spark.sql(
             "SELECT t1.var1 AS v1, t2.var1 AS v2 FROM zarr_bench_small t1 "
             "JOIN zarr_bench_small t2 ON t1.var1 % 12 = 0 "
@@ -94,7 +97,7 @@ def bench_queries(spark):
             )
         )
 
-    qs["zarr_theta_join_banded"] = theta_banded
+    qs["zarr_theta_join_banded_16k"] = theta_banded
 
     # the SAME query at the reference's FULL 512x512 scale — intractable
     # as a nested loop (5.7e9 predicate evals, which is what the
@@ -216,6 +219,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # input row counts for the zarr-store queries, so reduced-scale
+        # numbers are self-describing (the *_16k theta join runs on the
+        # small store; everything else on the full 512x512x8 store)
+        "zarr_store_rows": {"zarr_bench": 512 * 512, "zarr_bench_small": 128 * 128},
     }
     print(json.dumps(out))
     spark.stop()

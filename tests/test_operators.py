@@ -108,6 +108,39 @@ class TestANN:
         b = similarity.cosine_topk(embs, q, k=3).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
+    def test_vectorized_topk_rejects_unbounded_query_side(self, spark, embs):
+        """The probe collect is capped: an over-cap query side must fail
+        loudly instead of silently flooding the driver."""
+        with pytest.raises(ValueError, match="max_query_rows"):
+            similarity.cosine_topk_vectorized(
+                embs, embs, k=3, max_query_rows=10
+            )
+
+
+class TestEmbeddingNearDup:
+    def test_lsh_gate_matches_exact_all_pairs(self, spark, embs):
+        """The registered d06 path (LSH-gated) must reproduce the exact
+        all-pairs verifier on the suite's data and threshold — the gate
+        is tuned for full recall at the registered tau."""
+        exact = {
+            tuple(r)
+            for r in dedup.embedding_cosine_pairs(embs, threshold=0.4).collect()
+        }
+        gated = {
+            tuple(r)
+            for r in dedup.embedding_lsh_neardup_pairs(
+                embs, threshold=0.4
+            ).collect()
+        }
+        assert exact, "fixture should contain qualifying pairs"
+        assert gated == exact
+
+    def test_lsh_gate_plan_has_no_cross_join(self, spark, embs):
+        out = dedup.embedding_lsh_neardup_pairs(embs, threshold=0.4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestMultimodal:
     def test_byte_features_roundtrip(self, spark, docs):
