@@ -176,8 +176,12 @@ def write_bench_store(
     """F6-shaped bench store — var1..var8 int64 [side,side], values
     0..side²-1 row-major (``benches/s3_bench.rs:70-109``; the reference
     uses chunk 8x8 on S3 — locally we default to 32x32 to keep object
-    counts sane; pass chunk=8 for the exact reference layout)."""
-    path = path or fixture_dir(f"bench_{side}_{chunk}_{n_vars}")
+    counts sane; pass chunk=8 for the exact reference layout).
+
+    Chunks are blosc-LZ4, matching the compressor the reference's bench
+    writes (``s3_bench.rs:59-68``), so bench scans exercise the same
+    decode path a real arrow-zarr store would."""
+    path = path or fixture_dir(f"bench_{side}_{chunk}_{n_vars}_blosc")
     if _done(path):
         return path
     base = np.arange(side * side, dtype=np.int64).reshape(side, side)
@@ -185,6 +189,7 @@ def write_bench_store(
         path,
         arrays={f"var{i}": base for i in range(1, n_vars + 1)},
         chunk_shapes={f"var{i}": (chunk, chunk) for i in range(1, n_vars + 1)},
+        compression="blosc-lz4",
     )
     _mark_done(path)
     return path
