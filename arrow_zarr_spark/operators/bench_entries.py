@@ -36,8 +36,14 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
             embs, embs.filter(F.col("vec_id") < 100), k=10
         )
     )
-    qs["embedding_neardup_lsh"] = lambda: force(
-        dedup.embedding_lsh_neardup_pairs(embs, threshold=0.4)
+    # High-threshold config = the realistic near-dup regime where the
+    # LSH gate prunes hard (at tau 0.4 on near-random vectors the gate
+    # degenerates toward all-pairs — that config lives in the suite's
+    # correctness entry, not the throughput bench)
+    qs["embedding_neardup_lsh_tau085"] = lambda: force(
+        dedup.embedding_lsh_neardup_pairs(
+            embs, threshold=0.85, target_miss=1e-3
+        )
     )
     qs["text_pipeline"] = lambda: force(text.text_features(docs))
     qs["multimodal_features"] = lambda: force(

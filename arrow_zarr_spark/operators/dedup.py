@@ -466,7 +466,7 @@ def embedding_lsh_neardup_pairs(
     verifier; this is the registered scale path."""
     import math
 
-    from .similarity import _planes, cosine_expr
+    from .similarity import _planes, cosine_udf
 
     p_same = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     if n_planes is None:
@@ -515,7 +515,9 @@ def embedding_lsh_neardup_pairs(
         .distinct()
     )
     # score candidates exactly: re-join the vectors by id (cheaper than
-    # dragging dim-wide arrays through n_tables copies of the shuffle)
+    # dragging dim-wide arrays through n_tables copies of the shuffle);
+    # cosine_udf is the Arrow kernel — bit-identical to cosine_expr but
+    # vectorized, which matters when the gate yields many candidates
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -524,7 +526,7 @@ def embedding_lsh_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr("va", "vb"), 6).alias("cosine"),
+            F.round(cosine_udf("va", "vb"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
