@@ -204,6 +204,12 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col).alias("bid"), F.explode(band_structs).alias("bs")
     ).select("bid", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # Materialize the banded signatures once: both sides of the self-
+    # join below would otherwise re-run the signature kernel (Catalyst
+    # does not reliably reuse the exchange under a self-join), doubling
+    # the scan+hash cost — the dominant term at corpus scale. Eager
+    # localCheckpoint is ContextCleaner-reclaimed, never cache-pinned.
+    banded = banded.localCheckpoint(eager=True)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -320,7 +326,6 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("sid"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
     )
-    sizes = sh.groupBy("sid").agg(F.count("*").alias("n_sh"))
 
     if candidate_pairs is not None:
         # Verification mode: shrink the shingle table to candidate docs
@@ -331,7 +336,17 @@ def ngram_jaccard_pairs(
             .unionAll(candidate_pairs.select(F.col("id_b").alias("sid")))
             .distinct()
         )
-        sh = sh.join(F.broadcast(cand_ids), "sid", "left_semi")
+        # The filtered shingle table feeds three subtrees (sizes + both
+        # sides of the pair join); it is candidate-docs-sized, so an
+        # eager checkpoint beats re-exploding the corpus three times.
+        sh = sh.join(F.broadcast(cand_ids), "sid", "left_semi").localCheckpoint(
+            eager=True
+        )
+
+    # In candidate mode sizes come from the filtered table — a doc's
+    # full shingle set survives the semi-join (only whole docs drop),
+    # so the counts are identical and the corpus-wide explode is skipped.
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("n_sh"))
 
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
