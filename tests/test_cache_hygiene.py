@@ -63,7 +63,7 @@ def test_checkpoint_storage_bounded_across_runs(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     counts = []
-    for _ in range(3):
+    for _ in range(4):
         out = minhash_lsh_pairs(
             docs, verify_jaccard=True, jaccard_threshold=0.5
         )
@@ -73,7 +73,20 @@ def test_checkpoint_storage_bounded_across_runs(spark):
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
         counts.append(_persistent_rdd_count(spark))
-    assert counts[-1] <= 2, (
-        f"persistent RDD count grew across runs: {counts} — "
+    # Each run makes 2 checkpoints (banded signatures + candidate
+    # pairs); a leak means linear growth (baseline + 8 after 4 runs).
+    # Reclamation rides JVM GC, so give the cleaner time to catch up
+    # before judging: bounded = final settles within one run's worth of
+    # checkpoints above the baseline (which itself absorbs leftovers
+    # from earlier tests in this session).
+    final = counts[-1]
+    deadline = time.time() + 30
+    while time.time() < deadline and final > counts[0] + 2:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
+        final = _persistent_rdd_count(spark)
+    assert final <= counts[0] + 2, (
+        f"persistent RDD counts grew across runs: {counts} -> {final} — "
         "checkpoint blocks are accumulating instead of being reclaimed"
     )

@@ -40,8 +40,32 @@ def chunk_arrays(draw):
 
 
 @given(
+    data=st.binary(min_size=0, max_size=8192),
+    typesize=st.sampled_from([1, 2, 4, 8, 16, 32]),
+    cname=st.sampled_from(["lz4", "lz4hc", "zstd", "zlib", "snappy"]),
+    shuffle=st.sampled_from(["noshuffle", "shuffle"]),
+    blocksize=st.sampled_from([0, 256, 1024, 4096]),
+)
+@settings(max_examples=120, deadline=None)
+def test_blosc_frame_roundtrip(data, typesize, cname, shuffle, blocksize):
+    """Any byte payload survives the blosc1 frame codec under every
+    supported (compressor, shuffle, typesize, blocksize) combination —
+    including payloads not divisible by typesize, empty payloads, and
+    block counts > 1 with ragged final blocks."""
+    from arrow_zarr_spark.zarr.codecs import _blosc_compress, _blosc_decompress
+
+    frame = _blosc_compress(
+        data, typesize=typesize, cname=cname, shuffle=shuffle,
+        blocksize=blocksize,
+    )
+    assert _blosc_decompress(frame) == data
+
+
+@given(
     arr=chunk_arrays(),
-    compression=st.sampled_from(["zstd", "gzip", "none"]),
+    compression=st.sampled_from(
+        ["zstd", "gzip", "none", "blosc-lz4", "blosc-zstd"]
+    ),
 )
 @settings(max_examples=60, deadline=None)
 def test_codec_roundtrip(arr, compression):
