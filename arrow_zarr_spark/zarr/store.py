@@ -15,7 +15,7 @@ from urllib.parse import urlparse
 
 from .meta import ZarrFormatError
 
-__all__ = ["Store", "LocalStore", "FsspecStore", "open_store"]
+__all__ = ["Store", "LocalStore", "HttpStore", "FsspecStore", "open_store"]
 
 
 class Store:
@@ -114,6 +114,88 @@ class LocalStore(Store):
                     yield "/".join(rel.split(os.sep) + [fn])
 
 
+class HttpStore(Store):
+    """Read-only store over plain HTTP(S) using only the stdlib —
+    chunk objects are fetched with one GET per key, exactly the access
+    pattern the reference's object-store scan makes
+    (``config.rs:126-132`` builds an S3 object store; a GET per chunk
+    either way). Executors construct this store from the URL, so chunk
+    fetches run worker-parallel.
+
+    Listing (needed once, for schema inference) uses the server's HTML
+    auto-index (``http.server``, nginx ``autoindex``, Apache). Servers
+    without an index can't be walked — pass explicit column metadata
+    or serve an index. Writes are refused: HTTP stores are scan-only.
+    """
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        self.url = url.rstrip("/")
+        self.timeout = timeout
+
+    def _fetch(self, url: str) -> Optional[bytes]:
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(url, timeout=self.timeout) as r:
+                return r.read()
+        except urllib.error.HTTPError as e:
+            if e.code in (404, 403):
+                return None
+            raise ZarrFormatError(f"HTTP {e.code} fetching {url!r}") from e
+        except urllib.error.URLError as e:
+            raise ZarrFormatError(f"Cannot reach {url!r}: {e.reason}") from e
+
+    def get(self, key: str) -> Optional[bytes]:
+        return self._fetch(f"{self.url}/{key}")
+
+    def set(self, key: str, value: bytes) -> None:
+        raise ZarrFormatError("HTTP stores are read-only (scan-only backend)")
+
+    def delete(self, key: str) -> None:
+        raise ZarrFormatError("HTTP stores are read-only (scan-only backend)")
+
+    def walk_keys(self) -> Iterator[str]:
+        from html.parser import HTMLParser
+
+        class _Links(HTMLParser):
+            def __init__(self):
+                super().__init__()
+                self.hrefs = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "a":
+                    for k, v in attrs:
+                        if k == "href" and v:
+                            self.hrefs.append(v)
+
+        def walk(prefix: str) -> Iterator[str]:
+            page = self._fetch(f"{self.url}/{prefix}" if prefix else self.url)
+            if page is None:
+                return
+            parser = _Links()
+            try:
+                parser.feed(page.decode("utf-8", "replace"))
+            except Exception as e:
+                raise ZarrFormatError(
+                    f"HTTP store listing at {self.url}/{prefix} is not an "
+                    f"HTML index: {e}"
+                ) from e
+            from urllib.parse import unquote
+
+            for href in parser.hrefs:
+                name = unquote(href.split("?")[0])
+                if not name or name.startswith(("/", ".", "#")) or "://" in name:
+                    continue  # parent-dir links, absolute links, anchors
+                full = f"{prefix}{name}"
+                if name.endswith("/"):
+                    yield from walk(full)
+                else:
+                    yield full
+
+        yield from walk("")
+
+
 class FsspecStore(Store):
     """Remote object-store backend via fsspec (s3://, gs://, ...).
 
@@ -174,6 +256,8 @@ def open_store(path: str, *, icechunk: bool = False) -> Store:
     if scheme in ("", "file"):
         local = parsed.path if scheme == "file" else path
         return LocalStore(local)
+    if scheme in ("http", "https"):
+        return HttpStore(path)
     if scheme in ("s3", "gs", "gcs", "abfs", "az"):
         return FsspecStore(path)
     raise ZarrFormatError(f"Unsupported store scheme {scheme!r} for {path!r}")

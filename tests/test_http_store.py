@@ -1,0 +1,107 @@
+"""HTTP(S) store backend: remote-object reads exercised for real.
+
+The reference reads stores from S3 (one object GET per chunk,
+``config.rs:126-132``); fsspec is absent from this environment, so the
+stdlib HttpStore provides the same access pattern and these tests run
+it end-to-end against a live local HTTP server — schema inference via
+the server's auto-index, chunk GETs from Spark executor workers.
+"""
+
+import functools
+import http.server
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from arrow_zarr_spark.zarr.meta import ZarrFormatError
+from arrow_zarr_spark.zarr.store import HttpStore, open_store
+from arrow_zarr_spark.zarr.writer import write_store
+
+
+@pytest.fixture(scope="module")
+def served_store(tmp_path_factory):
+    root = tmp_path_factory.mktemp("http_root")
+    data = np.arange(48.0).reshape(6, 8)
+    write_store(
+        str(root / "store"),
+        arrays={
+            "temp": data,
+            "lat": np.linspace(10, 15, 6),
+            "lon": np.linspace(100, 107, 8),
+        },
+        chunk_shapes={"temp": (2, 3), "lat": (2,), "lon": (3,)},
+        dimension_names={
+            "temp": ("lat", "lon"),
+            "lat": ("lat",),
+            "lon": ("lon",),
+        },
+        compression="blosc-lz4",
+    )
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(root)
+    )
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}/store", data
+    httpd.shutdown()
+
+
+def test_open_store_routes_http(served_store):
+    url, _ = served_store
+    assert isinstance(open_store(url), HttpStore)
+
+
+def test_get_and_walk(served_store):
+    url, _ = served_store
+    store = HttpStore(url)
+    assert store.get("zarr.json") is not None
+    assert store.get("no/such/key") is None
+    keys = set(store.walk_keys())
+    assert "temp/zarr.json" in keys
+    assert any(k.startswith("temp/c/") for k in keys)
+    assert store.list_array_names() == ["lat", "lon", "temp"]
+
+
+def test_read_only(served_store):
+    url, _ = served_store
+    store = HttpStore(url)
+    with pytest.raises(ZarrFormatError, match="read-only"):
+        store.set("x", b"y")
+    with pytest.raises(ZarrFormatError, match="read-only"):
+        store.delete("zarr.json")
+
+
+def test_unreachable_server_clear_error():
+    store = HttpStore("http://127.0.0.1:9/store")  # port 9: discard proto
+    with pytest.raises(ZarrFormatError, match="Cannot reach"):
+        store.get("zarr.json")
+
+
+def test_spark_scan_over_http(spark, served_store):
+    """Full engine path: schema inference + partitioned scan + filter
+    pushdown, chunk objects fetched over HTTP by executor workers."""
+    url, data = served_store
+    df = spark.read.format("zarr").load(url)
+    rows = df.collect()
+    assert len(rows) == 48
+    assert sorted(r.temp for r in rows) == sorted(data.ravel().tolist())
+    got = {(r.lat, r.lon, r.temp) for r in df.filter("lat < 12").collect()}
+    assert got == {
+        (10.0 + i, 100.0 + j, float(data[i, j]))
+        for i in range(2)
+        for j in range(8)
+    }
+
+
+def test_sql_ddl_over_http(spark, served_store):
+    url, _ = served_store
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW http_z USING zarr "
+        f"OPTIONS (path '{url}')"
+    )
+    n = spark.sql("SELECT COUNT(*) AS n FROM http_z").collect()[0].n
+    assert n == 48
