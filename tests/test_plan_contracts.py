@@ -1,0 +1,139 @@
+"""Plan contracts: the physical plans the 100-TB story depends on.
+
+Correctness tests prove values; these pin the SHAPE — filters reaching
+the parquet scan, projections pruning the read schema, small dims
+broadcasting, operator pipelines staying free of cartesian products.
+A regression here is a silent 100x at scale even when every value
+still matches.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_lines(plan: str):
+    return [l for l in plan.splitlines() if "FileScan parquet" in l]
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    from arrow_zarr_spark import suite
+
+    suite.ensure_views(spark, SF_DIR)
+    return spark
+
+
+class TestParquetScanContracts:
+    def test_filters_reach_the_scan(self, views):
+        df = views.sql(
+            "SELECT l_orderkey, l_quantity FROM lineitem "
+            "WHERE l_quantity > 30 AND l_discount < 0.05"
+        )
+        scans = _scan_lines(_plan(df))
+        assert scans, "expected a parquet FileScan"
+        assert "l_quantity" in scans[0] and "30" in scans[0], (
+            "range predicate did not reach the scan"
+        )
+        assert "l_discount" in scans[0]
+
+    def test_projection_prunes_read_schema(self, views):
+        df = views.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity > 30")
+        scan = _scan_lines(_plan(df))[0]
+        # the scan's column list must include only referenced columns
+        cols = scan.split("[", 1)[1].split("]", 1)[0]
+        assert "l_orderkey" in cols and "l_quantity" in cols
+        assert "l_comment" not in cols and "l_extendedprice" not in cols
+
+
+class TestJoinContracts:
+    def test_small_dim_broadcasts(self, views):
+        df = views.sql(
+            "SELECT n_name, COUNT(*) AS n FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        )
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q5_shape_no_cartesian(self, views):
+        df = views.sql(
+            "SELECT n_name, COUNT(*) AS n FROM customer "
+            "JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name"
+        )
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_banded_range_join_is_hash_join(self, views):
+        from arrow_zarr_spark.operators.joins import range_join
+
+        left = views.table("orders").select(
+            F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("lv")
+        )
+        right = views.table("orders").select(
+            F.col("o_orderkey").alias("k2"), F.col("o_totalprice").alias("rv")
+        )
+        out = range_join(left, right, "lv", "rv", -10.0, 10.0, band=10.0)
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestOperatorPipelineContracts:
+    def test_minhash_pipeline_no_cartesian(self, views):
+        from arrow_zarr_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = views.table("documents")
+        out = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_lsh_ann_no_cartesian(self, views):
+        from arrow_zarr_spark.operators.similarity import hyperplane_lsh_ann
+
+        embs = views.table("embeddings")
+        out = hyperplane_lsh_ann(embs, embs.filter(F.col("vec_id") < 5), k=3)
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_exact_topk_broadcasts_probe_side(self, views):
+        from arrow_zarr_spark.operators.similarity import cosine_topk
+
+        embs = views.table("embeddings")
+        out = cosine_topk(embs, embs.filter(F.col("vec_id") < 5), k=3)
+        # the deliberate cross join must broadcast the SMALL probe set,
+        # never shuffle-nest the corpus
+        assert "BroadcastNestedLoopJoin" in _plan(out)
+
+
+class TestZarrScanContracts:
+    def test_zarr_filter_stays_exact_above_scan(self, spark):
+        """The zarr source prunes chunks (inexact) and must leave a
+        row-level Filter in the plan — dropping it would silently
+        return whole chunks."""
+        from arrow_zarr_spark import fixtures, register
+
+        register(spark)
+        df = (
+            spark.read.format("zarr")
+            .load(fixtures.write_lat_lon_store())
+            .filter("lat < 12")
+        )
+        plan = _plan(df)
+        assert "Filter" in plan and "lat" in plan
