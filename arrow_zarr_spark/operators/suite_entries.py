@@ -21,11 +21,20 @@ __all__ = ["populate_operator_queries", "populate_sampling_queries"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # register() also ships the package zip to Python workers — the
+    # operator kernels (module-level pandas_udfs) unpickle by module
+    # reference, so this must not depend on a zarr query running first
+    from ..datasource import register
+
+    register(spark)
     ensure_views(spark, sf_dir)
     return spark.table("documents")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datasource import register
+
+    register(spark)
     ensure_views(spark, sf_dir)
     return spark.table("embeddings")
 
