@@ -162,6 +162,12 @@ class ZarrDataSource(DataSource):
                 "zarr data source requires a path (load(path) or "
                 "OPTIONS (path '...'))"
             )
+        # Memoized per instance: Spark calls schema() and reader() in
+        # the same planning pass, and each store walk is a full listing
+        # plus one GET per zarr.json — it counts against remote stores.
+        cached = getattr(self, "_arrays_cache", None)
+        if cached is not None:
+            return list(cached)
         store = open_store(self.path, icechunk=self.icechunk)
         arrays = infer_store_arrays(store)
         columns = self.options.get("columns")
@@ -176,6 +182,7 @@ class ZarrDataSource(DataSource):
                     f"Valid fields: [{valid}]"
                 )
             arrays = [by_name[c] for c in wanted]
+        self._arrays_cache = list(arrays)
         return arrays
 
     def schema(self) -> StructType:
