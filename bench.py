@@ -164,6 +164,23 @@ def bench_queries(spark):
         )
     )
 
+    # -- writer throughput (the reference has no write path at all) --
+    def zarr_write():
+        import shutil
+        import tempfile
+
+        from arrow_zarr_spark.io import write_zarr
+
+        out = tempfile.mkdtemp(prefix="azs_bench_write_")
+        try:
+            src = spark.table("orders").select("o_orderkey", "o_totalprice")
+            write_zarr(src, out + "/s", chunk_rows=65536, mode="overwrite")
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        return 0
+
+    qs["zarr_write_orders"] = zarr_write
+
     # -- data-pipeline operators (registered once implemented) --
     try:
         from arrow_zarr_spark.operators import bench_entries
@@ -199,9 +216,11 @@ def main() -> None:
         "g"
     ).applyInPandas(lambda pdf: pdf, "id long, g long").count()
 
-    # min of N runs (default 2): single-shot numbers fold scheduler and
-    # codegen noise into the measurement; min is the stable estimator
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2") or 2)
+    # min of N runs (default 3): single-shot numbers fold scheduler,
+    # codegen, and host-contention noise into the measurement; min is
+    # the stable estimator (observed same-code swings of 2x across
+    # hours on this host — the min across 3 runs shrinks that band)
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3") or 3)
     timings = {}
     for name, thunk in qs.items():
         best = None
