@@ -235,6 +235,12 @@ class ZarrReader(DataSourceReader):
         self.arrays = arrays
         self.schema = schema
         self.plan = ChunkPlan(arrays)
+        # one token per scan, constructed driver-side and pickled into
+        # every task: scopes the worker-wide coordinate-chunk cache so
+        # partitions share fetches but later scans never see stale data
+        import uuid
+
+        self.plan.scan_token = uuid.uuid4().hex
         self.options = dict(options)
         self.predicates: List[ChunkPredicate] = []
         self.filter_columns: List[str] = []

@@ -23,6 +23,8 @@ Re-implements, Spark-side-of-the-scan, the rules of
 from __future__ import annotations
 
 import itertools
+import threading
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -31,6 +33,27 @@ from .array import ZarrArray
 from .meta import ZarrFormatError
 
 __all__ = ["ChunkPlan"]
+
+
+class _CoordEntry:
+    """In-flight-deduplicated cache slot: the first thread fetches, the
+    rest wait on the event — two prefetch threads touching the same
+    coordinate chunk must not both GET it."""
+
+    __slots__ = ("ready", "value", "error")
+
+    def __init__(self):
+        self.ready = threading.Event()
+        self.value = None
+        self.error = None
+
+
+#: Worker-process-wide coordinate-chunk cache. Keyed by a per-scan
+#: token, so a later query can NEVER see a stale chunk (its reader
+#: carries a fresh token); bounded, so long-lived workers stay bounded.
+_COORD_CACHE: "OrderedDict[tuple, _CoordEntry]" = OrderedDict()
+_COORD_CACHE_CAP = 256
+_COORD_LOCK = threading.Lock()
 
 
 class ChunkPlan:
@@ -169,7 +192,7 @@ class ChunkPlan:
             arr = self.by_name[name]
             if name in self.coord_axis:
                 axis = self.coord_axis[name]
-                vec = arr.read_chunk((cell[axis],))
+                vec = self._coord_chunk(name, arr, cell[axis])
                 reshape = [1] * len(shape)
                 reshape[axis] = vec.shape[0]
                 block = np.broadcast_to(vec.reshape(reshape), shape)
@@ -177,3 +200,51 @@ class ChunkPlan:
                 block = arr.read_chunk(cell)
             out[name] = np.ascontiguousarray(block).ravel()
         return out
+
+    def _coord_chunk(self, name: str, arr: ZarrArray, idx: int) -> np.ndarray:
+        """Coordinate chunks are shared by every grid cell along their
+        axis — without reuse a scan fetches and decodes the same 1-D
+        chunk once per cell (it counts double on remote stores: one GET
+        per re-read). The cache is worker-process-wide but keyed by the
+        scan's token (set by the reader, shipped to every task), so
+        partitions of one scan share fetches while a later scan can
+        never see a stale chunk. Plans used outside a scan (no token)
+        fall back to a per-instance cache."""
+        token = getattr(self, "scan_token", None)
+        if token is None:
+            cache = getattr(self, "_coord_cache", None)
+            if cache is None:
+                cache = self._coord_cache = {}
+            key = (name, idx)
+            if key not in cache:
+                if len(cache) >= 64:
+                    cache.pop(next(iter(cache)))
+                cache[key] = arr.read_chunk((idx,))
+            return cache[key]
+
+        key = (token, name, idx)
+        with _COORD_LOCK:
+            ent = _COORD_CACHE.get(key)
+            owner = ent is None
+            if owner:
+                ent = _CoordEntry()
+                _COORD_CACHE[key] = ent
+                while len(_COORD_CACHE) > _COORD_CACHE_CAP:
+                    _COORD_CACHE.popitem(last=False)
+            else:
+                _COORD_CACHE.move_to_end(key)
+        if owner:
+            try:
+                ent.value = arr.read_chunk((idx,))
+            except BaseException as e:  # propagate to waiters too
+                ent.error = e
+                with _COORD_LOCK:
+                    _COORD_CACHE.pop(key, None)
+                raise
+            finally:
+                ent.ready.set()
+            return ent.value
+        ent.ready.wait()
+        if ent.error is not None:
+            raise ent.error
+        return ent.value

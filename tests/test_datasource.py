@@ -188,3 +188,41 @@ def test_theta_self_join(spark, latlon):
     # t2 > t1-1 and t2 <= t1+1 over integers => t2 in {m, m+1};
     # multiples of 12 in 0..63: {0,12,24,36,48,60} => 6 x 2 = 12 rows
     assert len(rows) == 12
+
+
+def test_coord_cache_never_serves_stale_values(spark, tmp_path):
+    """The worker-wide coordinate-chunk cache is scoped by a per-scan
+    token: rewriting a coordinate array between two scans MUST be
+    visible to the second scan even when the same worker processes
+    serve both."""
+    import numpy as np
+
+    from arrow_zarr_spark.zarr.writer import write_store
+
+    path = str(tmp_path / "s")
+
+    def build(lat_base):
+        write_store(
+            path,
+            arrays={
+                "temp": np.arange(48.0).reshape(6, 8),
+                "lat": np.linspace(lat_base, lat_base + 5, 6),
+                "lon": np.linspace(100, 107, 8),
+            },
+            chunk_shapes={"temp": (2, 3), "lat": (2,), "lon": (3,)},
+            dimension_names={
+                "temp": ("lat", "lon"),
+                "lat": ("lat",),
+                "lon": ("lon",),
+            },
+        )
+
+    build(10.0)
+    first = spark.read.format("zarr").load(path).agg({"lat": "min"}).collect()
+    assert first[0][0] == 10.0
+    import shutil
+
+    shutil.rmtree(path)
+    build(50.0)
+    second = spark.read.format("zarr").load(path).agg({"lat": "min"}).collect()
+    assert second[0][0] == 50.0
