@@ -472,3 +472,41 @@ def populate_sampling_queries(register) -> None:
         )
 
     register("p03_stratified_sample", p03, None)
+
+    # corpus analysis (same past-the-window rationale)
+    def t06(spark, sf_dir):
+        return text.top_ngrams(_docs(spark, sf_dir), n=2, k=50)
+
+    register(
+        "t06_top_bigrams",
+        t06,
+        "WITH g AS ("
+        "  SELECT doc_id, t.gram AS gram FROM ("
+        "    SELECT doc_id, list_transform(range(1, len(ws)),"
+        "      i -> ws[i] || ' ' || ws[i+1]) AS gl"
+        "    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"
+        "  ), UNNEST(gl) AS t(gram) WHERE len(t.gram) > 0) "
+        "SELECT gram, COUNT(*) AS total_freq, "
+        "COUNT(DISTINCT doc_id) AS doc_freq FROM g GROUP BY gram "
+        "ORDER BY doc_freq DESC, total_freq DESC, gram LIMIT 50",
+    )
+
+    def t07(spark, sf_dir):
+        return text.tf_idf(_docs(spark, sf_dir), min_doc_freq=2)
+
+    register(
+        "t07_tf_idf",
+        t07,
+        "WITH terms AS ("
+        "  SELECT doc_id, t.term AS term FROM ("
+        "    SELECT doc_id, string_split(text, ' ') AS ws FROM documents"
+        "  ), UNNEST(ws) AS t(term) WHERE len(t.term) > 0), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms "
+        "GROUP BY doc_id, term), "
+        "dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms "
+        "GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 2), "
+        "total AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents) "
+        "SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, "
+        "ROUND(tf.tf * (LN((total.n_docs + 1) * 1.0 / (dfreq.df + 1)) + 1.0), 6) "
+        "AS tfidf6 FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total",
+    )

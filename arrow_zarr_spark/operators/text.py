@@ -25,6 +25,8 @@ __all__ = [
     "quality_score",
     "document_fingerprint",
     "word_code_sql",
+    "top_ngrams",
+    "tf_idf",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -207,4 +209,93 @@ def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         exploded.groupBy("doc_id")
         .agg((F.sum(contrib) % F.lit(2147483647)).alias("fingerprint"))
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-``k`` word n-grams by document frequency, then
+    total frequency, with the n-gram string as the final tiebreak so
+    the ranking is total and engine-independent.
+
+    One explode + one groupBy (map-side partial counts) + one top-k
+    sort of k rows — the corpus-analysis staple, scan-speed at 100 TB."""
+    words = words_col(F.col(text_col))
+    if n == 1:
+        grams = words
+    else:
+        # index transform builds n-grams JVM-side; the when() guard
+        # matters: sequence(0, -1) would generate a DESCENDING range
+        # for docs shorter than n, not an empty one
+        grams = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col("doc_id"), F.explode(grams).alias("gram")
+    ).filter(F.length("gram") > 0)
+    counts = exploded.groupBy("gram").agg(
+        F.count("*").alias("total_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return (
+        counts.orderBy(
+            F.col("doc_freq").desc(), F.col("total_freq").desc(), F.col("gram")
+        )
+        .limit(k)
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf6): raw term frequency x smoothed
+    idf ``ln((N+1)/(df+1)) + 1``, rounded to 6 decimals for stable
+    cross-engine comparison.
+
+    Two shuffles total — explode+groupBy for per-doc term counts, one
+    groupBy for document frequencies — and the corpus size N rides in
+    as a scalar subquery (no driver collect, no cross join)."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(words_col(F.col(text_col))).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        terms.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+    )
+    total = df.select(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf6"),
+        )
     )
