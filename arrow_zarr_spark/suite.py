@@ -685,6 +685,29 @@ def _populate_zarr() -> None:
         "FROM range(8) t(i)",
     )
 
+    def z12(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-source federation: zarr scan joined to a parquet dim
+        through Catalyst — the integration a reference user gets from
+        DataFusion's catalog, here as one plan over two sources (the
+        parquet side broadcasts)."""
+        path = fixtures.write_lat_lon_store()
+        _zarr_df(spark, path, "zarr_f1")
+        ensure_views(spark, sf_dir)
+        return spark.sql(
+            "SELECT z.lat AS lat, z.lon AS lon, z.data AS data, "
+            "n.n_name AS n_name "
+            "FROM zarr_f1 z JOIN nation n "
+            "ON CAST(z.data AS INT) % 25 = n.n_nationkey"
+        )
+
+    register_query(
+        "z12_join_parquet_dim",
+        z12,
+        f"SELECT z.lat AS lat, z.lon AS lon, z.data AS data, "
+        f"n.n_name AS n_name FROM ({_F1_GEN}) z JOIN nation n "
+        f"ON CAST(z.data AS INT) % 25 = n.n_nationkey",
+    )
+
     def z10(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = fixtures.write_typed_store()
         return _zarr_df(spark, path, "zarr_typed")
