@@ -491,7 +491,19 @@ def embedding_lsh_neardup_pairs(
         n_planes = max(2, int(math.log(0.25) / math.log(p_same)))
     if n_tables is None:
         p_table = p_same**n_planes
-        n_tables = min(64, max(4, math.ceil(math.log(target_miss) / math.log1p(-p_table))))
+        needed = max(4, math.ceil(math.log(target_miss) / math.log1p(-p_table)))
+        n_tables = min(64, needed)
+        if needed > 64:
+            import warnings
+
+            warnings.warn(
+                f"embedding_lsh_neardup_pairs: threshold {threshold} "
+                f"needs {needed} tables for per-pair miss <= "
+                f"{target_miss}; capped at 64 — recall at the "
+                "threshold boundary will be below the target. Pass "
+                "n_tables explicitly to override.",
+                stacklevel=2,
+            )
 
     dim = len(df.select(vec_col).first()[0])
     planes_all = np.vstack(
@@ -505,6 +517,7 @@ def embedding_lsh_neardup_pairs(
     def sig_kernel(batches):
         pl = b_planes.value
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]  # null vectors can't near-dup
             if not len(pdf):
                 continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -521,6 +534,11 @@ def embedding_lsh_neardup_pairs(
             )
 
     sigs = df.mapInPandas(sig_kernel, schema="sid long, tbl int, sig long")
+    # materialize once: both sides of the self-join would otherwise
+    # re-run the signature matmul and the corpus scan (same reasoning
+    # and same ContextCleaner-reclaimed checkpoint as minhash's banded
+    # signatures above)
+    sigs = sigs.localCheckpoint(eager=True)
     left, right = sigs.alias("l"), sigs.alias("r")
     cand = (
         left.join(

@@ -44,11 +44,18 @@ def per_group_quota(
 
     The deterministic domain-mixing primitive: "at most n documents per
     source/language, best first". One shuffle (window partitioned by
-    the group key); no global sort. ``tiebreak_col`` (default: first
-    order col) must make the order total or quotas are unstable."""
-    tb = tiebreak_col or order_cols[0]
+    the group key); no global sort. ``tiebreak_col`` must be a unique
+    column making the order total — without one, ties are broken by
+    shuffle arrival and the quota keeps different rows run-to-run, so
+    it is required rather than silently defaulted."""
+    if tiebreak_col is None:
+        raise ValueError(
+            "per_group_quota requires tiebreak_col (a unique column, "
+            "e.g. the id) so the per-group order is total and the "
+            "quota is deterministic"
+        )
     w = Window.partitionBy(group_col).orderBy(
-        *[F.col(c).desc() for c in order_cols], F.col(tb).asc()
+        *[F.col(c).desc() for c in order_cols], F.col(tiebreak_col).asc()
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -35,32 +35,47 @@ __all__ = [
 def cosine_udf(a: str, b: str):
     """Arrow-vectorized cosine of two array<float> columns.
 
-    Bit-identical to :func:`cosine_expr` by construction: products and
-    squares are computed in float32 (what ``zip_with``'s multiply on
-    array<float> elements yields), then accumulated into a float64 in
-    strict left-to-right dimension order (what ``aggregate`` does) —
-    NOT numpy's pairwise ``sum``, which changes the last ulp and can
-    flip a ROUND boundary. ~3-5x faster than the interpreted
-    higher-order functions on candidate-pair scoring; use it where the
-    pair volume is large, keep ``cosine_expr`` where a plain JVM
-    expression suffices."""
+    Bit-identical to :func:`cosine_expr` on non-null, nonzero vectors
+    by construction: products and squares are computed in float32
+    (what ``zip_with``'s multiply on array<float> elements yields),
+    then accumulated into a float64 in strict left-to-right dimension
+    order (what ``aggregate`` does) — NOT numpy's pairwise ``sum``,
+    which changes the last ulp and can flip a ROUND boundary. ~3-5x
+    faster than the interpreted higher-order functions on
+    candidate-pair scoring; use it where the pair volume is large,
+    keep ``cosine_expr`` where a plain JVM expression suffices.
+
+    Degenerate inputs: a NULL vector yields NULL (matching the
+    expression form); a zero-norm vector yields NULL here, where the
+    expression form raises DIVIDE_BY_ZERO under ANSI mode — the one
+    intentional divergence (a gate should skip unit-less vectors, not
+    abort the query)."""
 
     @F.pandas_udf("double")
     def _kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A = np.array(list(va), dtype=np.float32)
-        B = np.array(list(vb), dtype=np.float32)
-        prod = A * B
-        sq_a = A * A
-        sq_b = B * B
-        n, d = prod.shape
-        dot = np.zeros(n, dtype=np.float64)
-        na = np.zeros(n, dtype=np.float64)
-        nb = np.zeros(n, dtype=np.float64)
-        for j in range(d):  # dimension loop keeps accumulation order
-            dot += prod[:, j]
-            na += sq_a[:, j]
-            nb += sq_b[:, j]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+        valid = va.notna() & vb.notna()
+        out = np.full(len(va), np.nan, dtype=np.float64)
+        if valid.any():
+            A = np.array(list(va[valid]), dtype=np.float32)
+            B = np.array(list(vb[valid]), dtype=np.float32)
+            prod = A * B
+            sq_a = A * A
+            sq_b = B * B
+            n, d = prod.shape
+            dot = np.zeros(n, dtype=np.float64)
+            na = np.zeros(n, dtype=np.float64)
+            nb = np.zeros(n, dtype=np.float64)
+            for j in range(d):  # dimension loop keeps accumulation order
+                dot += prod[:, j]
+                na += sq_a[:, j]
+                nb += sq_b[:, j]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[np.asarray(valid)] = np.where(
+                    denom > 0, dot / np.where(denom > 0, denom, 1.0), np.nan
+                )
+        # NaN -> NULL at the Arrow boundary
+        return pd.Series(out).where(lambda s: s.notna(), None)
 
     return _kernel(F.col(a), F.col(b))
 

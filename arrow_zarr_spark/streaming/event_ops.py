@@ -81,8 +81,10 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.count("*").alias("n_events"),
         # sum through DECIMAL: double accumulation is partition-order-
         # dependent, which breaks deterministic comparison; the decimal
-        # sum is exact and the final cast keeps the double schema
-        F.sum(F.col("value").cast("decimal(18,6)"))
+        # sum is exact and the final cast keeps the double schema.
+        # (38,6): 18 digits would ANSI-overflow on |value| >= 1e12 —
+        # a crash the plain double sum never had
+        F.sum(F.col("value").cast("decimal(38,6)"))
         .cast("double")
         .alias("session_value"),
     )

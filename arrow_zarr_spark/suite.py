@@ -255,7 +255,7 @@ def _populate_relational() -> None:
         "PRECEDING AND CURRENT ROW) AS session_seq FROM g) "
         "SELECT user_id, session_seq, epoch_us(MIN(ts)) AS start_us, "
         "epoch_us(MAX(ts)) AS end_us, COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value "
         "FROM s GROUP BY user_id, session_seq",
     )
 
@@ -693,11 +693,14 @@ def _populate_zarr() -> None:
         path = fixtures.write_lat_lon_store()
         _zarr_df(spark, path, "zarr_f1")
         ensure_views(spark, sf_dir)
+        # FLOOR before the INT cast: DuckDB CAST(double AS INT) rounds
+        # while Spark truncates — on integral doubles they agree, but
+        # FLOOR keeps the key deterministic for ANY future fixture data
         return spark.sql(
             "SELECT z.lat AS lat, z.lon AS lon, z.data AS data, "
             "n.n_name AS n_name "
             "FROM zarr_f1 z JOIN nation n "
-            "ON CAST(z.data AS INT) % 25 = n.n_nationkey"
+            "ON CAST(FLOOR(z.data) AS INT) % 25 = n.n_nationkey"
         )
 
     register_query(
@@ -705,7 +708,7 @@ def _populate_zarr() -> None:
         z12,
         f"SELECT z.lat AS lat, z.lon AS lon, z.data AS data, "
         f"n.n_name AS n_name FROM ({_F1_GEN}) z JOIN nation n "
-        f"ON CAST(z.data AS INT) % 25 = n.n_nationkey",
+        f"ON CAST(FLOOR(z.data) AS INT) % 25 = n.n_nationkey",
     )
 
     def z10(spark: SparkSession, sf_dir: str) -> DataFrame:

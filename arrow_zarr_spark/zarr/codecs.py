@@ -168,7 +168,10 @@ def _blosc_decompress(data: bytes) -> bytes:
     if len(data) < 16:
         raise ZarrFormatError("blosc chunk shorter than 16-byte header")
     flags, typesize = data[2], data[3]
-    nbytes, blocksize, cbytes = struct.unpack_from("<iii", data, 4)
+    try:
+        nbytes, blocksize, cbytes = struct.unpack_from("<iii", data, 4)
+    except struct.error as e:  # pragma: no cover - len guard above
+        raise ZarrFormatError(f"blosc header unreadable: {e}") from e
     if cbytes > len(data):
         raise ZarrFormatError(
             f"blosc header claims {cbytes} compressed bytes, chunk has {len(data)}"
@@ -218,6 +221,14 @@ def _blosc_decompress(data: bytes) -> bytes:
                     )
                 parts.append(dec)
         block = b"".join(parts)
+        if len(block) != bsize:
+            # must check BEFORE the slice assignment: assigning a
+            # wrong-length bytes to a bytearray slice silently RESIZES
+            # the buffer, shifting every later block
+            raise ZarrFormatError(
+                f"blosc block {j} reassembled to {len(block)} bytes, "
+                f"expected {bsize}"
+            )
         if shuffled:
             block = _byte_unshuffle(block, typesize)
         out[j * blocksize : j * blocksize + bsize] = block

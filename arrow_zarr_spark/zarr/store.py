@@ -140,7 +140,10 @@ class HttpStore(Store):
             with urllib.request.urlopen(url, timeout=self.timeout) as r:
                 return r.read()
         except urllib.error.HTTPError as e:
-            if e.code in (404, 403):
+            # ONLY 404 means "missing key" (zarr fill-value semantics);
+            # treating auth failures (401/403) as missing would silently
+            # materialize fill values for the whole store
+            if e.code == 404:
                 return None
             raise ZarrFormatError(f"HTTP {e.code} fetching {url!r}") from e
         except urllib.error.URLError as e:

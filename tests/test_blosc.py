@@ -246,3 +246,22 @@ def test_spark_scan_blosc_store(spark, tmp_path):
     rows = df.orderBy("temp").collect()
     assert len(rows) == 48
     assert [r.temp for r in rows] == sorted(data.ravel().tolist())
+
+
+def test_corrupt_block_length_raises_not_corrupts():
+    """A frame whose reassembled block is shorter than the header's
+    bsize must error — bytearray slice assignment would otherwise
+    silently RESIZE the output, shifting later blocks."""
+    nbytes, blocksize = 514, 514  # not a multiple of typesize 4
+    typesize = 4
+    neblock = 128  # 4 splits x 128 = 512 != 514
+    splits = [b"\x00" * neblock for _ in range(typesize)]
+    payload = b"".join(struct.pack("<i", neblock) + s for s in splits)
+    header_len = 16 + 4
+    header = struct.pack(
+        "<BBBBiii", 2, 1, 1 << 5, typesize, nbytes, blocksize,
+        header_len + len(payload),
+    )
+    frame = header + struct.pack("<i", header_len) + payload
+    with pytest.raises(ZarrFormatError, match="reassembled"):
+        _blosc_decompress(frame)

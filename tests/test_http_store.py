@@ -105,3 +105,24 @@ def test_sql_ddl_over_http(spark, served_store):
     )
     n = spark.sql("SELECT COUNT(*) AS n FROM http_z").collect()[0].n
     assert n == 48
+
+
+def test_forbidden_is_an_error_not_fill_values():
+    """403 must raise: treating auth failures as missing keys would
+    silently materialize fill-value data for the whole store."""
+
+    class Forbidden(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_error(403)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Forbidden)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        store = HttpStore(f"http://127.0.0.1:{httpd.server_address[1]}/s")
+        with pytest.raises(ZarrFormatError, match="HTTP 403"):
+            store.get("zarr.json")
+    finally:
+        httpd.shutdown()

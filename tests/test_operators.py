@@ -346,3 +346,40 @@ class TestScaleTechniques:
             )
             spark.sql("DROP TABLE IF EXISTS li_b")
             spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+class TestCosineUdfDegenerate:
+    def test_null_embedding_yields_null_not_crash(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, None), (3, [0.0, 0.0])],
+            "id long, v array<float>",
+        )
+        pairs = df.alias("a").join(
+            df.alias("b"), F.col("a.id") < F.col("b.id")
+        ).select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            similarity.cosine_udf("a.v", "b.v").alias("c"),
+        )
+        rows = {(r.ia, r.ib): r.c for r in pairs.collect()}
+        assert rows[(1, 2)] is None  # null vector -> NULL
+        assert rows[(1, 3)] is None  # zero-norm vector -> NULL
+        assert rows[(2, 3)] is None
+
+    def test_lsh_neardup_tolerates_null_vectors(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0] * 8), (2, [1.0] * 8), (3, None)],
+            "vec_id long, embedding array<float>",
+        )
+        out = dedup.embedding_lsh_neardup_pairs(
+            df, threshold=0.9, n_planes=2, n_tables=4
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+class TestSamplingGuards:
+    def test_per_group_quota_requires_tiebreak(self, spark, docs):
+        from arrow_zarr_spark.operators import sampling
+
+        with pytest.raises(ValueError, match="tiebreak_col"):
+            sampling.per_group_quota(docs, "source", ["n_chars"], 3)
