@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import gzip as _gzip
 import struct
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 
@@ -329,9 +329,10 @@ def _bb_encode(name: str, config: dict, data: bytes) -> bytes:
             raise ZarrFormatError("lz4 codec requires pyarrow")
         return _pa.Codec("lz4").compress(data, asbytes=True)
     if name == "crc32c":
-        # append a zero checksum placeholder — we never verify on read;
-        # writers in this repo do not emit crc32c by default
-        return data + struct.pack("<I", 0)
+        # real checksum so external verifying readers accept the chunk
+        # (pure-Python loop — fine for the rare explicitly-configured
+        # crc32c chunk; writers in this repo do not emit it by default)
+        return data + struct.pack("<I", _crc32c(data))
     if name == "blosc":
         if not _HAVE_PA:
             raise ZarrFormatError("blosc codec requires pyarrow")
@@ -356,13 +357,164 @@ def _split_codecs(meta: ArrayMeta):
         elif name == "bytes":
             ab = codec
         elif name == "sharding_indexed":
-            raise ZarrFormatError("sharding_indexed codec is not supported")
+            raise ZarrFormatError(
+                "sharding_indexed must be the only codec in the chain"
+            )
         else:
             bb.append(codec)
     if ab is None:
         # spec default: bytes codec with native endianness
         ab = {"name": "bytes", "configuration": {"endian": "little"}}
     return aa, ab, bb
+
+
+# ---------------------------------------------------------------------------
+# crc32c (Castagnoli) — needed for conformant shard indexes
+# ---------------------------------------------------------------------------
+
+_CRC32C_TABLE: Optional[list] = None
+
+
+def _crc32c(data: bytes) -> int:
+    """Pure-Python CRC-32C (reflected poly 0x82F63B78). Used for the
+    shard index checksum (tens of bytes per shard — the byte loop is
+    irrelevant there; do NOT put this on a per-chunk hot path)."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ 0x82F63B78 if crc & 1 else crc >> 1
+            table.append(crc)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    tab = _CRC32C_TABLE
+    for b in data:
+        crc = (crc >> 8) ^ tab[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# sharding_indexed (Zarr v3 sharding spec): one stored object = many
+# inner chunks + a [offset, nbytes] uint64 index (missing sentinel =
+# 2^64-1), index at the start or end per configuration. The reference
+# reads sharded stores transparently through zarrs — so must we.
+# ---------------------------------------------------------------------------
+
+_SHARD_MISSING = (1 << 64) - 1
+
+
+def _sharding_config(meta: ArrayMeta) -> Optional[dict]:
+    names = [c.get("name") for c in meta.codecs]
+    if "sharding_indexed" not in names:
+        return None
+    if len(meta.codecs) != 1:
+        raise ZarrFormatError(
+            "sharding_indexed must be the only codec in the chain"
+        )
+    return meta.codecs[0].get("configuration") or {}
+
+
+def _shard_geometry(meta: ArrayMeta, cfg: dict):
+    from dataclasses import replace
+
+    inner_shape = tuple(int(c) for c in cfg.get("chunk_shape") or ())
+    if not inner_shape or len(inner_shape) != len(meta.chunk_shape):
+        raise ZarrFormatError("sharding_indexed requires a chunk_shape")
+    for s, i in zip(meta.chunk_shape, inner_shape):
+        if i <= 0 or s % i:
+            raise ZarrFormatError(
+                f"shard shape {tuple(meta.chunk_shape)} is not divisible "
+                f"by inner chunk shape {inner_shape}"
+            )
+    cps = tuple(s // i for s, i in zip(meta.chunk_shape, inner_shape))
+    n_inner = 1
+    for c in cps:
+        n_inner *= c
+    inner_codecs = list(
+        cfg.get("codecs")
+        or [{"name": "bytes", "configuration": {"endian": "little"}}]
+    )
+    index_codecs = list(
+        cfg.get("index_codecs")
+        or [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "crc32c"},
+        ]
+    )
+    for c in index_codecs:
+        if c.get("name") not in ("bytes", "crc32c"):
+            raise ZarrFormatError(
+                f"unsupported shard index codec {c.get('name')!r}"
+            )
+    has_crc = any(c.get("name") == "crc32c" for c in index_codecs)
+    idx_nbytes = n_inner * 16 + (4 if has_crc else 0)
+    loc = cfg.get("index_location", "end")
+    if loc not in ("start", "end"):
+        raise ZarrFormatError(f"invalid index_location {loc!r}")
+    inner_meta = replace(
+        meta, chunk_shape=inner_shape, codecs=inner_codecs
+    )
+    return inner_shape, cps, n_inner, inner_meta, idx_nbytes, has_crc, loc
+
+
+def _decode_shard(meta: ArrayMeta, data: bytes, cfg: dict) -> np.ndarray:
+    import itertools
+
+    (inner_shape, cps, n_inner, inner_meta, idx_nbytes, has_crc, loc) = (
+        _shard_geometry(meta, cfg)
+    )
+    if len(data) < idx_nbytes:
+        raise ZarrFormatError("shard smaller than its index")
+    idx_bytes = data[-idx_nbytes:] if loc == "end" else data[:idx_nbytes]
+    if has_crc:
+        idx_bytes = idx_bytes[:-4]  # checksum not verified (like crc32c codec)
+    index = np.frombuffer(idx_bytes, dtype="<u8").reshape(n_inner, 2)
+
+    fv = meta.fill_value if meta.fill_value is not None else 0
+    out = np.full(tuple(meta.chunk_shape), fv, dtype=meta.dtype)
+    for flat, cell in enumerate(itertools.product(*(range(c) for c in cps))):
+        off, nb = int(index[flat, 0]), int(index[flat, 1])
+        if off == _SHARD_MISSING and nb == _SHARD_MISSING:
+            continue  # missing inner chunk keeps the fill value
+        if off + nb > len(data):
+            raise ZarrFormatError(
+                f"shard inner chunk {cell} range [{off}, {off + nb}) is "
+                f"outside the {len(data)}-byte shard"
+            )
+        sub = decode_chunk(inner_meta, data[off : off + nb])
+        slices = tuple(
+            slice(c * i, (c + 1) * i) for c, i in zip(cell, inner_shape)
+        )
+        out[slices] = sub
+    return out
+
+
+def _encode_shard(meta: ArrayMeta, arr: np.ndarray, cfg: dict) -> bytes:
+    import itertools
+
+    (inner_shape, cps, n_inner, inner_meta, idx_nbytes, has_crc, loc) = (
+        _shard_geometry(meta, cfg)
+    )
+    index = np.full((n_inner, 2), _SHARD_MISSING, dtype="<u8")
+    blobs: list = []
+    offset = idx_nbytes if loc == "start" else 0
+    for flat, cell in enumerate(itertools.product(*(range(c) for c in cps))):
+        slices = tuple(
+            slice(c * i, (c + 1) * i) for c, i in zip(cell, inner_shape)
+        )
+        blob = encode_chunk(
+            inner_meta, np.ascontiguousarray(arr[slices])
+        )
+        index[flat] = (offset, len(blob))
+        blobs.append(blob)
+        offset += len(blob)
+    idx_bytes = index.tobytes()
+    if has_crc:
+        idx_bytes += struct.pack("<I", _crc32c(idx_bytes))
+    body = b"".join(blobs)
+    return idx_bytes + body if loc == "start" else body + idx_bytes
 
 
 def decode_chunk(meta: ArrayMeta, data: bytes) -> np.ndarray:
@@ -372,6 +524,9 @@ def decode_chunk(meta: ArrayMeta, data: bytes) -> np.ndarray:
             "string chunk decode is not supported (no vlen codec here); "
             "string arrays are schema-mappable but not readable"
         )
+    shard_cfg = _sharding_config(meta)
+    if shard_cfg is not None:
+        return _decode_shard(meta, data, shard_cfg)
     aa, ab, bb = _split_codecs(meta)
 
     # decoded size of the raw array bytes — the inner target of every
@@ -416,6 +571,9 @@ def encode_chunk(meta: ArrayMeta, arr: np.ndarray) -> bytes:
             f"encode_chunk expects full chunk shape {meta.chunk_shape}, "
             f"got {arr.shape}"
         )
+    shard_cfg = _sharding_config(meta)
+    if shard_cfg is not None:
+        return _encode_shard(meta, arr, shard_cfg)
     aa, ab, bb = _split_codecs(meta)
 
     for codec in aa:
