@@ -20,6 +20,7 @@ __all__ = [
     "write_no_coords_store",
     "write_mixed_dims_store",
     "write_bench_store",
+    "write_sharded_store",
     "fixture_dir",
 ]
 
@@ -191,5 +192,50 @@ def write_bench_store(
         chunk_shapes={f"var{i}": (chunk, chunk) for i in range(1, n_vars + 1)},
         compression="blosc-lz4",
     )
+    _mark_done(path)
+    return path
+
+
+def write_sharded_store(path: str | None = None) -> str:
+    """1-D sharded array (sharding_indexed): 64 int64 values in 4
+    shards of 16, inner chunks of 4, blosc-LZ4 inner chain — the
+    sharded layout zarrs-written stores use at scale."""
+    import json as _json
+
+    from .zarr.meta import ArrayMeta, numpy_to_zarr_dtype
+    from .zarr.store import open_store
+    from .zarr.writer import write_array_data, write_root_group
+
+    path = path or fixture_dir("sharded_64")
+    if _done(path):
+        return path
+    store = open_store(path)
+    write_root_group(store)
+    meta = ArrayMeta(
+        name="v",
+        shape=(64,),
+        chunk_shape=(16,),
+        zarr_dtype=numpy_to_zarr_dtype(np.dtype("int64")),
+        fill_value=0,
+        codecs=[
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": [4],
+                    "codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "blosc", "configuration": {"cname": "lz4"}},
+                    ],
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }
+        ],
+    )
+    store.set("v/zarr.json", _json.dumps(meta.to_json()).encode())
+    write_array_data(store, meta, np.arange(64, dtype=np.int64))
     _mark_done(path)
     return path

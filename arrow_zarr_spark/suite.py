@@ -711,6 +711,18 @@ def _populate_zarr() -> None:
         f"ON CAST(FLOOR(z.data) AS INT) % 25 = n.n_nationkey",
     )
 
+    def z13(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sharded-store scan: sharding_indexed chunks (inner blosc-LZ4
+        chain, crc32c index) through the full engine path."""
+        path = fixtures.write_sharded_store()
+        return _zarr_df(spark, path, "zarr_sharded").filter("v % 3 = 0")
+
+    register_query(
+        "z13_sharded_scan",
+        z13,
+        "SELECT CAST(i AS BIGINT) AS v FROM range(64) t(i) WHERE i % 3 = 0",
+    )
+
     def z10(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = fixtures.write_typed_store()
         return _zarr_df(spark, path, "zarr_typed")
