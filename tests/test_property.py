@@ -143,3 +143,47 @@ def test_2d_broadcast_matches_numpy(tmp_path_factory, rows, cols, cr, cc, seed):
             got["lat"], np.repeat(la, sub.shape[1])
         )
         np.testing.assert_array_equal(got["lon"], np.tile(lo, sub.shape[0]))
+
+
+@given(
+    dims=st.integers(1, 2),
+    inner=st.integers(1, 4),
+    mult=st.integers(1, 4),
+    dtype=st.sampled_from(["int32", "int64", "float64"]),
+    index_location=st.sampled_from(["start", "end"]),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_shard_roundtrip_property(dims, inner, mult, dtype, index_location, seed):
+    """Random shard geometries (inner shape always divides the shard
+    shape by construction) survive encode/decode for every dtype and
+    index location."""
+    from arrow_zarr_spark.zarr.codecs import decode_chunk, encode_chunk
+
+    rng = np.random.RandomState(seed)
+    inner_shape = tuple([inner] * dims)
+    shard_shape = tuple([inner * mult] * dims)
+    if dtype.startswith("float"):
+        arr = rng.standard_normal(shard_shape).astype(dtype)
+    else:
+        arr = rng.randint(-1000, 1000, size=shard_shape).astype(dtype)
+    meta = ArrayMeta(
+        name="x",
+        shape=shard_shape,
+        chunk_shape=shard_shape,
+        zarr_dtype=dtype,
+        fill_value=0,
+        codecs=[{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(inner_shape),
+                "codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "zstd", "configuration": {"level": 1}},
+                ],
+                "index_location": index_location,
+            },
+        }],
+    )
+    out = decode_chunk(meta, encode_chunk(meta, arr))
+    np.testing.assert_array_equal(out, arr)
