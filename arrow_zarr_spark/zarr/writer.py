@@ -15,7 +15,7 @@ from typing import Any, Optional, Sequence
 import numpy as np
 
 from .codecs import default_codecs, encode_chunk
-from .meta import ArrayMeta, numpy_to_zarr_dtype
+from .meta import ArrayMeta, ZarrFormatError, numpy_to_zarr_dtype
 from .store import LocalStore, Store, open_store
 
 __all__ = ["write_root_group", "create_array", "write_chunk", "write_store"]
@@ -36,17 +36,53 @@ def create_array(
     fill_value: Any = 0,
     dimension_names: Optional[Sequence[str]] = None,
     compression: str = "zstd",
+    shard_shape: Optional[Sequence[int]] = None,
     attributes: Optional[dict] = None,
 ) -> ArrayMeta:
-    """Write the zarr.json for a new array and return its meta."""
+    """Write the zarr.json for a new array and return its meta.
+
+    ``shard_shape`` wraps the chunk chain in a ``sharding_indexed``
+    codec: the store object grid becomes the SHARD grid and
+    ``chunk_shape`` becomes the inner chunk shape — each dimension of
+    shard_shape must be a multiple of the chunk dimension. Sharding is
+    the object-count lever at scale (a 100-TB store at 64 MB chunks is
+    ~1.6M objects unsharded)."""
     np_dtype = np.dtype(dtype)
+    inner = tuple(int(c) for c in chunk_shape)
+    if shard_shape is not None:
+        outer = tuple(int(s) for s in shard_shape)
+        if len(outer) != len(inner) or any(
+            o <= 0 or o % i for o, i in zip(outer, inner)
+        ):
+            raise ZarrFormatError(
+                f"shard_shape {outer} must be a per-dimension multiple "
+                f"of chunk_shape {inner}"
+            )
+        codecs = [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(inner),
+                    "codecs": default_codecs(compression),
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }
+        ]
+        grid = outer
+    else:
+        codecs = default_codecs(compression)
+        grid = inner
     meta = ArrayMeta(
         name=name,
         shape=tuple(int(s) for s in shape),
-        chunk_shape=tuple(int(c) for c in chunk_shape),
+        chunk_shape=grid,
         zarr_dtype=numpy_to_zarr_dtype(np_dtype),
         fill_value=fill_value,
-        codecs=default_codecs(compression),
+        codecs=codecs,
         dimension_names=tuple(dimension_names) if dimension_names else None,
         attributes=attributes or {},
     )
@@ -89,6 +125,7 @@ def write_store(
     dimension_names: Optional[dict] = None,
     fill_values: Optional[dict] = None,
     compression: str = "zstd",
+    shard_shapes: Optional[dict] = None,
     skip_data: Sequence[str] = (),
 ) -> Store:
     """Convenience: write a whole store from {name: ndarray}.
@@ -96,11 +133,14 @@ def write_store(
     ``skip_data`` lists arrays whose metadata is written but whose chunk
     objects are omitted — reproduces the reference's missing-chunk
     fixture (F2, ``lib.rs:318-332`` with ``write_data=false``).
+    ``shard_shapes`` (per-array, optional) writes those arrays sharded
+    (see :func:`create_array`).
     """
     store = open_store(path)
     write_root_group(store)
     dimension_names = dimension_names or {}
     fill_values = fill_values or {}
+    shard_shapes = shard_shapes or {}
     for name in sorted(arrays):
         data = np.asarray(arrays[name])
         meta = create_array(
@@ -112,6 +152,7 @@ def write_store(
             fill_value=fill_values.get(name, 0),
             dimension_names=dimension_names.get(name),
             compression=compression,
+            shard_shape=shard_shapes.get(name),
         )
         if name not in skip_data:
             write_array_data(store, meta, data)

@@ -171,3 +171,44 @@ def test_spark_scan_sharded_store(spark, tmp_path):
     # pushdown still prunes on sharded stores
     n = df.filter("temp < 50").count()
     assert n == 50
+
+
+def test_write_store_sharded_roundtrip(spark, tmp_path):
+    """Public writer path: shard_shapes wraps the chunk chain in
+    sharding_indexed; the scan reads it back value-for-value."""
+    from arrow_zarr_spark.zarr.writer import write_store
+
+    data = np.arange(48.0).reshape(6, 8)
+    write_store(
+        str(tmp_path / "s"),
+        arrays={
+            "temp": data,
+            "lat": np.linspace(10, 15, 6),
+            "lon": np.linspace(100, 107, 8),
+        },
+        chunk_shapes={"temp": (2, 2), "lat": (2,), "lon": (2,)},
+        shard_shapes={"temp": (4, 4), "lat": (4,), "lon": (4,)},
+        dimension_names={
+            "temp": ("lat", "lon"),
+            "lat": ("lat",),
+            "lon": ("lon",),
+        },
+        compression="blosc-lz4",
+    )
+    df = spark.read.format("zarr").load(str(tmp_path / "s"))
+    rows = df.collect()
+    assert len(rows) == 48
+    assert sorted(r.temp for r in rows) == sorted(data.ravel().tolist())
+
+
+def test_create_array_rejects_misaligned_shard():
+    from arrow_zarr_spark.zarr.store import open_store
+    from arrow_zarr_spark.zarr.writer import create_array
+    import tempfile
+
+    store = open_store(tempfile.mkdtemp())
+    with pytest.raises(ZarrFormatError, match="multiple"):
+        create_array(
+            store, "x", shape=(8,), chunk_shape=(3,), dtype="int64",
+            shard_shape=(8,),
+        )
