@@ -196,6 +196,55 @@ def write_bench_store(
     return path
 
 
+def write_sharded_bench_store(
+    path: str | None = None, side: int = 512, shard: int = 128, inner: int = 32
+) -> str:
+    """Bench-store twin written SHARDED: same 512x512 int64 data, but
+    16 shard objects of 4x4 inner chunks each instead of 256 chunk
+    objects — the object-count layout a 100-TB store would use."""
+    import json as _json
+
+    from .zarr.meta import ArrayMeta, numpy_to_zarr_dtype
+    from .zarr.store import open_store
+    from .zarr.writer import write_array_data, write_root_group
+
+    path = path or fixture_dir(f"bench_sharded_{side}_{shard}_{inner}")
+    if _done(path):
+        return path
+    store = open_store(path)
+    write_root_group(store)
+    base = np.arange(side * side, dtype=np.int64).reshape(side, side)
+    for name in ("var1", "var2"):
+        meta = ArrayMeta(
+            name=name,
+            shape=(side, side),
+            chunk_shape=(shard, shard),
+            zarr_dtype=numpy_to_zarr_dtype(np.dtype(np.int64)),
+            fill_value=0,
+            codecs=[
+                {
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": [inner, inner],
+                        "codecs": [
+                            {"name": "bytes", "configuration": {"endian": "little"}},
+                            {"name": "blosc", "configuration": {"cname": "lz4"}},
+                        ],
+                        "index_codecs": [
+                            {"name": "bytes", "configuration": {"endian": "little"}},
+                            {"name": "crc32c"},
+                        ],
+                        "index_location": "end",
+                    },
+                }
+            ],
+        )
+        store.set(f"{name}/zarr.json", _json.dumps(meta.to_json()).encode())
+        write_array_data(store, meta, base)
+    _mark_done(path)
+    return path
+
+
 def write_sharded_store(path: str | None = None) -> str:
     """1-D sharded array (sharding_indexed): 64 int64 values in 4
     shards of 16, inner chunks of 4, blosc-LZ4 inner chain — the

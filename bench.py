@@ -120,6 +120,16 @@ def bench_queries(spark):
 
     qs["zarr_theta_join_banded_fullscale"] = theta_banded_full
 
+    # the same data written SHARDED (16 objects of 4x4 inner chunks vs
+    # 256 chunk objects): shard-index decode throughput
+    zsharded = fixtures.write_sharded_bench_store()
+    spark.read.format("zarr").load(zsharded).createOrReplaceTempView(
+        "zarr_bench_sharded"
+    )
+    qs["zarr_sharded_scan"] = lambda: _force(
+        spark.table("zarr_bench_sharded")
+    )
+
     qs["zarr_filter_agg"] = lambda: _force(
         spark.sql(
             "SELECT SUM(var1) AS s, COUNT(*) AS n FROM zarr_bench "
@@ -241,7 +251,11 @@ def main() -> None:
         # input row counts for the zarr-store queries, so reduced-scale
         # numbers are self-describing (the *_16k theta join runs on the
         # small store; everything else on the full 512x512x8 store)
-        "zarr_store_rows": {"zarr_bench": 512 * 512, "zarr_bench_small": 128 * 128},
+        "zarr_store_rows": {
+            "zarr_bench": 512 * 512,
+            "zarr_bench_small": 128 * 128,
+            "zarr_bench_sharded": 512 * 512,
+        },
     }
     print(json.dumps(out))
     spark.stop()
