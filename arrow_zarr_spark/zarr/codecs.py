@@ -517,13 +517,116 @@ def _encode_shard(meta: ArrayMeta, arr: np.ndarray, cfg: dict) -> bytes:
     return idx_bytes + body if loc == "start" else body + idx_bytes
 
 
+def _zstd_content_size(data: bytes) -> Optional[int]:
+    """Frame-header Frame_Content_Size per the public zstd format —
+    needed because pyarrow's zstd decompress requires the size and
+    vlen data has no size derivable from the array shape."""
+    if len(data) < 5 or data[:4] != b"\x28\xb5\x2f\xfd":
+        return None
+    fhd = data[4]
+    pos = 5
+    single = (fhd >> 5) & 1
+    if not single:
+        pos += 1  # window descriptor
+    pos += (0, 1, 2, 4)[fhd & 3]  # dictionary id
+    flag = fhd >> 6
+    try:
+        if flag == 0:
+            return data[pos] if single else None
+        if flag == 1:
+            return int.from_bytes(data[pos : pos + 2], "little") + 256
+        if flag == 2:
+            return int.from_bytes(data[pos : pos + 4], "little")
+        return int.from_bytes(data[pos : pos + 8], "little")
+    except IndexError:
+        return None
+
+
+def _vlen_utf8_decode(meta: ArrayMeta, data: bytes) -> np.ndarray:
+    """numcodecs VLenUTF8 layout: LE uint32 item count, then per item a
+    LE uint32 byte length + utf8 bytes. zarr-python v3 writes string
+    arrays this way (codec name "vlen-utf8"); the reference REJECTS
+    string arrays outright (config.rs:278-281) — supporting the read
+    here is deliberate extra surface, not a parity requirement."""
+    if len(data) < 4:
+        raise ZarrFormatError("vlen-utf8 chunk shorter than its header")
+    (n,) = struct.unpack_from("<I", data, 0)
+    expected = int(np.prod(meta.chunk_shape))
+    if n != expected:
+        raise ZarrFormatError(
+            f"vlen-utf8 chunk has {n} items, expected {expected}"
+        )
+    out = np.empty(n, dtype=object)
+    pos = 4
+    for i in range(n):
+        if pos + 4 > len(data):
+            raise ZarrFormatError("vlen-utf8 chunk truncated")
+        (ln,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if pos + ln > len(data):
+            raise ZarrFormatError("vlen-utf8 chunk truncated")
+        out[i] = data[pos : pos + ln].decode("utf-8")
+        pos += ln
+    return out.reshape(tuple(meta.chunk_shape))
+
+
+def _vlen_utf8_encode(meta: ArrayMeta, arr: np.ndarray) -> bytes:
+    parts = [struct.pack("<I", arr.size)]
+    for s in arr.ravel():
+        b = ("" if s is None else str(s)).encode("utf-8")
+        parts.append(struct.pack("<I", len(b)) + b)
+    return b"".join(parts)
+
+
+def _vlen_utf8_chain(meta: ArrayMeta):
+    """(vlen_position_ok, trailing bytes→bytes codecs) when the chain
+    is vlen-utf8 (+ optional compressors); None when not a vlen chain."""
+    names = [c.get("name") for c in meta.codecs]
+    if "vlen-utf8" not in names:
+        return None
+    if names[0] != "vlen-utf8":
+        raise ZarrFormatError("vlen-utf8 must be the first codec")
+    for c in meta.codecs[1:]:
+        if c.get("name") in ("bytes", "transpose", "sharding_indexed"):
+            raise ZarrFormatError(
+                f"codec {c.get('name')!r} cannot follow vlen-utf8"
+            )
+    return meta.codecs[1:]
+
+
 def decode_chunk(meta: ArrayMeta, data: bytes) -> np.ndarray:
     """Decode one stored chunk into a full-chunk-shape ndarray (C order)."""
     if meta.dtype == np.dtype(object):
-        raise ZarrFormatError(
-            "string chunk decode is not supported (no vlen codec here); "
-            "string arrays are schema-mappable but not readable"
-        )
+        vlen_bb = _vlen_utf8_chain(meta)
+        if vlen_bb is None:
+            raise ZarrFormatError(
+                "string chunk decode requires the vlen-utf8 codec; "
+                "this string array's chain has none"
+            )
+        for codec in reversed(vlen_bb):
+            # decompressed size unknown for vlen data: only self-
+            # terminating codecs work here
+            name = codec.get("name")
+            if name == "gzip":
+                data = _gzip.decompress(data)
+            elif name == "zstd":
+                size = _zstd_content_size(data)
+                if size is None:
+                    raise ZarrFormatError(
+                        "vlen-utf8 zstd frame lacks a content size"
+                    )
+                data = _pa.Codec("zstd").decompress(
+                    data, decompressed_size=size, asbytes=True
+                )
+            elif name == "crc32c":
+                data = data[:-4]
+            elif name == "blosc":
+                data = _blosc_decompress(data)
+            else:
+                raise ZarrFormatError(
+                    f"bytes codec {name!r} unsupported after vlen-utf8"
+                )
+        return _vlen_utf8_decode(meta, data)
     shard_cfg = _sharding_config(meta)
     if shard_cfg is not None:
         return _decode_shard(meta, data, shard_cfg)
@@ -571,6 +674,18 @@ def encode_chunk(meta: ArrayMeta, arr: np.ndarray) -> bytes:
             f"encode_chunk expects full chunk shape {meta.chunk_shape}, "
             f"got {arr.shape}"
         )
+    if meta.dtype == np.dtype(object):
+        vlen_bb = _vlen_utf8_chain(meta)
+        if vlen_bb is None:
+            raise ZarrFormatError(
+                "string chunk encode requires the vlen-utf8 codec"
+            )
+        data = _vlen_utf8_encode(meta, arr)
+        for codec in vlen_bb:
+            data = _bb_encode(
+                codec["name"], codec.get("configuration", {}) or {}, data
+            )
+        return data
     shard_cfg = _sharding_config(meta)
     if shard_cfg is not None:
         return _encode_shard(meta, arr, shard_cfg)

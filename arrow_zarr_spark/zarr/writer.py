@@ -48,6 +48,30 @@ def create_array(
     the object-count lever at scale (a 100-TB store at 64 MB chunks is
     ~1.6M objects unsharded)."""
     np_dtype = np.dtype(dtype)
+    if np_dtype.kind in ("U", "O", "S", "T"):
+        # string arrays: vlen-utf8 chain (zarr-python's layout); the
+        # sharding/bytes machinery below doesn't apply to vlen data
+        if shard_shape is not None:
+            raise ZarrFormatError("string arrays cannot be sharded here")
+        codecs = [{"name": "vlen-utf8", "configuration": {}}]
+        if compression == "zstd":
+            codecs.append(
+                {"name": "zstd", "configuration": {"level": 3, "checksum": False}}
+            )
+        elif compression == "gzip":
+            codecs.append({"name": "gzip", "configuration": {"level": 5}})
+        meta = ArrayMeta(
+            name=name,
+            shape=tuple(int(s) for s in shape),
+            chunk_shape=tuple(int(c) for c in chunk_shape),
+            zarr_dtype="string",
+            fill_value=fill_value if isinstance(fill_value, str) else "",
+            codecs=codecs,
+            dimension_names=tuple(dimension_names) if dimension_names else None,
+            attributes=attributes or {},
+        )
+        store.set(f"{name}/zarr.json", json.dumps(meta.to_json()).encode())
+        return meta
     inner = tuple(int(c) for c in chunk_shape)
     if shard_shape is not None:
         outer = tuple(int(s) for s in shard_shape)
