@@ -21,6 +21,7 @@ __all__ = [
     "write_mixed_dims_store",
     "write_bench_store",
     "write_sharded_store",
+    "write_string_store",
     "fixture_dir",
 ]
 
@@ -286,5 +287,25 @@ def write_sharded_store(path: str | None = None) -> str:
     )
     store.set("v/zarr.json", _json.dumps(meta.to_json()).encode())
     write_array_data(store, meta, np.arange(64, dtype=np.int64))
+    _mark_done(path)
+    return path
+
+
+def write_string_store(path: str | None = None) -> str:
+    """String (vlen-utf8) variable over a numeric axis — the layout an
+    xarray-written store with string labels has. The reference rejects
+    string arrays; this fixture proves we scan them."""
+    path = path or fixture_dir("strings_16")
+    if _done(path):
+        return path
+    write_store(
+        path,
+        arrays={
+            "label": np.array([f"n{i}" for i in range(16)], dtype=object),
+            "x": np.arange(16.0),
+        },
+        chunk_shapes={"label": (5,), "x": (5,)},
+        dimension_names={"label": ("x",), "x": ("x",)},
+    )
     _mark_done(path)
     return path

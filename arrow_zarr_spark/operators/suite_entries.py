@@ -491,6 +491,27 @@ def populate_sampling_queries(register) -> None:
         "ORDER BY doc_freq DESC, total_freq DESC, gram LIMIT 50",
     )
 
+    # string (vlen-utf8) store scan — the reference rejects string
+    # arrays, so this exceeds-parity query registers past the window
+    def z14(spark, sf_dir):
+        from .. import fixtures
+        from ..datasource import register as _reg
+
+        _reg(spark)
+        path = fixtures.write_string_store()
+        df = spark.read.format("zarr").load(path)
+        df.createOrReplaceTempView("zarr_strings")
+        return spark.sql(
+            "SELECT label, x FROM zarr_strings WHERE label <> 'n3'"
+        )
+
+    register(
+        "z14_string_scan",
+        z14,
+        "SELECT 'n' || CAST(i AS VARCHAR) AS label, CAST(i AS DOUBLE) AS x "
+        "FROM range(16) t(i) WHERE i <> 3",
+    )
+
     def t07(spark, sf_dir):
         return text.tf_idf(_docs(spark, sf_dir), min_doc_freq=2)
 
