@@ -512,6 +512,16 @@ def populate_sampling_queries(register) -> None:
         "FROM range(16) t(i) WHERE i <> 3",
     )
 
+    # streaming exact dedup, batch form (content_hash is xxhash64 —
+    # engine-specific, so rows-only; the cross-batch state semantics
+    # are pytest-verified in tests/test_streaming.py)
+    def d08(spark, sf_dir):
+        from ..streaming.event_ops import streaming_exact_dedup
+
+        return streaming_exact_dedup(_docs(spark, sf_dir))
+
+    register("d08_streaming_dedup_batchform", d08, None)
+
     def t07(spark, sf_dir):
         return text.tf_idf(_docs(spark, sf_dir), min_doc_freq=2)
 

@@ -29,6 +29,7 @@ __all__ = [
     "sessionize_batch",
     "sessionize_stream",
     "stateful_user_counts",
+    "streaming_exact_dedup",
 ]
 
 
@@ -126,6 +127,68 @@ def _update_counts(
     total = (state.get[0] if state.exists else 0) + n
     state.update((total,))
     yield pd.DataFrame({"user_id": [key[0]], "total_events": [total]})
+
+
+_DEDUP_STATE = StructType([StructField("seen", LongType(), True)])
+_DEDUP_OUT = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("content_hash", LongType(), True),
+    ]
+)
+
+
+def _dedup_first_occurrence(
+    key: Tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    # min doc_id within the micro-batch: a deterministic representative
+    # (arrival order inside one batch is partition-dependent)
+    first_id = None
+    for pdf in batches:
+        if len(pdf):
+            m = int(pdf["doc_id"].min())
+            first_id = m if first_id is None else min(first_id, m)
+    if state.exists or first_id is None:
+        # key already admitted in an earlier batch: duplicates — drop
+        if first_id is not None:
+            state.update((int(state.get[0]) + 1,))
+        return
+    state.update((1,))
+    yield pd.DataFrame({"doc_id": [first_id], "content_hash": [key[0]]})
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Continuous exact dedup: the FIRST document with each content
+    hash passes through; later arrivals (same batch or any later
+    batch) are dropped. The streaming half of
+    :func:`arrow_zarr_spark.operators.dedup.exact_dedup` — keyed state
+    (one counter per distinct content hash) shards across executors,
+    which is the standard continuous-ingestion dedup shape.
+
+    Batch frames take the equivalent one-shot path (min doc_id per
+    hash — applyInPandasWithState is streaming-only in Spark).
+    Returns (doc_id, content_hash)."""
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id").cast("long"),
+        F.xxhash64(F.col(text_col)).alias("content_hash"),
+    )
+    if not docs.isStreaming:
+        return (
+            keyed.groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "content_hash")
+        )
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_first_occurrence,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def stateful_user_counts(events: DataFrame) -> DataFrame:

@@ -221,3 +221,55 @@ def test_zarr_stream_parallel_reader(spark, tmp_path):
         assert grown == [float(i) for i in range(14)]
     finally:
         q.stop()
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """First occurrence of each content hash passes; later arrivals —
+    in the same batch or any later micro-batch — are dropped."""
+    from arrow_zarr_spark.streaming.event_ops import streaming_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    schema = "doc_id long, text string"
+    batch1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.doc_id for r in spark.sql("SELECT * FROM dedup_out").collect()}
+        assert first == {1, 2}  # 3 is a same-batch duplicate of 1
+
+        batch2 = spark.createDataFrame(
+            [(4, "alpha"), (5, "gamma"), (6, "beta")], schema
+        )
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        all_rows = {
+            r.doc_id for r in spark.sql("SELECT * FROM dedup_out").collect()
+        }
+        # alpha/beta already admitted in batch 1 -> only gamma passes
+        assert all_rows == {1, 2, 5}
+    finally:
+        q.stop()
+
+
+def test_streaming_exact_dedup_batch_mode(spark, tmp_path):
+    """The same operator on a batch frame = one row per distinct text,
+    matching the batch exact_dedup's distinct-hash count."""
+    from arrow_zarr_spark.streaming.event_ops import streaming_exact_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = streaming_exact_dedup(docs).collect()
+    n_distinct = docs.select("text").distinct().count()
+    assert len(out) == n_distinct
+    assert len({r.content_hash for r in out}) == n_distinct
