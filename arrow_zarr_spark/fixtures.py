@@ -20,6 +20,7 @@ __all__ = [
     "write_no_coords_store",
     "write_mixed_dims_store",
     "write_bench_store",
+    "write_sharded_bench_store",
     "write_sharded_store",
     "write_string_store",
     "fixture_dir",

@@ -169,9 +169,11 @@ def streaming_exact_dedup(
     (one counter per distinct content hash) shards across executors,
     which is the standard continuous-ingestion dedup shape.
 
-    Batch frames take the equivalent one-shot path (min doc_id per
-    hash — applyInPandasWithState is streaming-only in Spark).
-    Returns (doc_id, content_hash)."""
+    Batch frames take a one-shot path (applyInPandasWithState is
+    streaming-only in Spark): the same SET of content hashes survives,
+    but the representative doc_id can differ — streaming admits the
+    min id of the FIRST batch containing the hash, batch mode the
+    global min. Returns (doc_id, content_hash)."""
     keyed = docs.select(
         F.col(id_col).alias("doc_id").cast("long"),
         F.xxhash64(F.col(text_col)).alias("content_hash"),

@@ -405,15 +405,27 @@ def _crc32c(data: bytes) -> int:
 _SHARD_MISSING = (1 << 64) - 1
 
 
-def _sharding_config(meta: ArrayMeta) -> Optional[dict]:
+def _sharding_config(meta: ArrayMeta):
+    """(config, trailing bytes→bytes codecs) for a sharded chain, else
+    None. Trailing compressors over the whole shard object are allowed
+    (self-sized only); array→array codecs BEFORE sharding are not —
+    their shape juggling interacts with the inner-chunk layout and is
+    gated with a clear error rather than half-supported."""
     names = [c.get("name") for c in meta.codecs]
     if "sharding_indexed" not in names:
         return None
-    if len(meta.codecs) != 1:
+    if names[0] != "sharding_indexed":
         raise ZarrFormatError(
-            "sharding_indexed must be the only codec in the chain"
+            "codecs before sharding_indexed (e.g. transpose) are not "
+            "supported; sharding must be the outermost codec"
         )
-    return meta.codecs[0].get("configuration") or {}
+    for c in meta.codecs[1:]:
+        if c.get("name") not in _SELF_SIZED_CODECS:
+            raise ZarrFormatError(
+                f"codec {c.get('name')!r} cannot follow sharding_indexed "
+                f"(supported: {', '.join(_SELF_SIZED_CODECS)})"
+            )
+    return meta.codecs[0].get("configuration") or {}, meta.codecs[1:]
 
 
 def _shard_geometry(meta: ArrayMeta, cfg: dict):
@@ -443,8 +455,13 @@ def _shard_geometry(meta: ArrayMeta, cfg: dict):
             {"name": "crc32c"},
         ]
     )
+    index_endian = "little"
     for c in index_codecs:
-        if c.get("name") not in ("bytes", "crc32c"):
+        if c.get("name") == "bytes":
+            index_endian = (c.get("configuration") or {}).get(
+                "endian", "little"
+            )
+        elif c.get("name") != "crc32c":
             raise ZarrFormatError(
                 f"unsupported shard index codec {c.get('name')!r}"
             )
@@ -456,21 +473,26 @@ def _shard_geometry(meta: ArrayMeta, cfg: dict):
     inner_meta = replace(
         meta, chunk_shape=inner_shape, codecs=inner_codecs
     )
-    return inner_shape, cps, n_inner, inner_meta, idx_nbytes, has_crc, loc
+    return (
+        inner_shape, cps, n_inner, inner_meta, idx_nbytes, has_crc, loc,
+        index_endian,
+    )
 
 
 def _decode_shard(meta: ArrayMeta, data: bytes, cfg: dict) -> np.ndarray:
     import itertools
 
-    (inner_shape, cps, n_inner, inner_meta, idx_nbytes, has_crc, loc) = (
-        _shard_geometry(meta, cfg)
-    )
+    (
+        inner_shape, cps, n_inner, inner_meta, idx_nbytes, has_crc, loc,
+        index_endian,
+    ) = _shard_geometry(meta, cfg)
     if len(data) < idx_nbytes:
         raise ZarrFormatError("shard smaller than its index")
     idx_bytes = data[-idx_nbytes:] if loc == "end" else data[:idx_nbytes]
     if has_crc:
         idx_bytes = idx_bytes[:-4]  # checksum not verified (like crc32c codec)
-    index = np.frombuffer(idx_bytes, dtype="<u8").reshape(n_inner, 2)
+    idx_dtype = "<u8" if index_endian == "little" else ">u8"
+    index = np.frombuffer(idx_bytes, dtype=idx_dtype).reshape(n_inner, 2)
 
     fv = meta.fill_value if meta.fill_value is not None else 0
     out = np.full(tuple(meta.chunk_shape), fv, dtype=meta.dtype)
@@ -494,10 +516,12 @@ def _decode_shard(meta: ArrayMeta, data: bytes, cfg: dict) -> np.ndarray:
 def _encode_shard(meta: ArrayMeta, arr: np.ndarray, cfg: dict) -> bytes:
     import itertools
 
-    (inner_shape, cps, n_inner, inner_meta, idx_nbytes, has_crc, loc) = (
-        _shard_geometry(meta, cfg)
-    )
-    index = np.full((n_inner, 2), _SHARD_MISSING, dtype="<u8")
+    (
+        inner_shape, cps, n_inner, inner_meta, idx_nbytes, has_crc, loc,
+        index_endian,
+    ) = _shard_geometry(meta, cfg)
+    idx_dtype = "<u8" if index_endian == "little" else ">u8"
+    index = np.full((n_inner, 2), _SHARD_MISSING, dtype=idx_dtype)
     blobs: list = []
     offset = idx_nbytes if loc == "start" else 0
     for flat, cell in enumerate(itertools.product(*(range(c) for c in cps))):
@@ -530,16 +554,43 @@ def _zstd_content_size(data: bytes) -> Optional[int]:
         pos += 1  # window descriptor
     pos += (0, 1, 2, 4)[fhd & 3]  # dictionary id
     flag = fhd >> 6
-    try:
-        if flag == 0:
-            return data[pos] if single else None
-        if flag == 1:
-            return int.from_bytes(data[pos : pos + 2], "little") + 256
-        if flag == 2:
-            return int.from_bytes(data[pos : pos + 4], "little")
-        return int.from_bytes(data[pos : pos + 8], "little")
-    except IndexError:
+    # explicit truncation checks: slicing a short buffer does NOT raise,
+    # it silently yields a wrong (smaller) size
+    width = (1, 2, 4, 8)[flag]
+    if flag == 0 and not single:
         return None
+    if pos + width > len(data):
+        return None
+    if flag == 0:
+        return data[pos]
+    raw = int.from_bytes(data[pos : pos + width], "little")
+    return raw + 256 if flag == 1 else raw
+
+
+#: bytes→bytes codecs that can decode WITHOUT a caller-known
+#: decompressed size (frame self-describes, or size-free)
+def _bb_decode_selfsized(name: str, config: dict, data: bytes) -> bytes:
+    if name == "zstd":
+        size = _zstd_content_size(data)
+        if size is None:
+            raise ZarrFormatError(
+                "zstd frame lacks a content size (required when the "
+                "decompressed size is not derivable from the array shape)"
+            )
+        return _pa.Codec("zstd").decompress(
+            data, decompressed_size=size, asbytes=True
+        )
+    if name in ("gzip", "crc32c", "blosc"):
+        return _bb_decode(name, config, data, 0)
+    raise ZarrFormatError(
+        f"bytes codec {name!r} requires a known decompressed size and "
+        "cannot follow vlen-utf8/sharding output"
+    )
+
+
+#: the codecs _bb_decode_selfsized accepts — encode must enforce the
+#: same set or writes succeed that can never be read back
+_SELF_SIZED_CODECS = ("gzip", "zstd", "crc32c", "blosc")
 
 
 def _vlen_utf8_decode(meta: ArrayMeta, data: bytes) -> np.ndarray:
@@ -573,23 +624,31 @@ def _vlen_utf8_decode(meta: ArrayMeta, data: bytes) -> np.ndarray:
 def _vlen_utf8_encode(meta: ArrayMeta, arr: np.ndarray) -> bytes:
     parts = [struct.pack("<I", arr.size)]
     for s in arr.ravel():
-        b = ("" if s is None else str(s)).encode("utf-8")
+        if s is None:
+            b = b""
+        elif isinstance(s, bytes):
+            b = s  # bytes-kind ('S') input: str() would store "b'..'"
+        else:
+            b = str(s).encode("utf-8")
         parts.append(struct.pack("<I", len(b)) + b)
     return b"".join(parts)
 
 
 def _vlen_utf8_chain(meta: ArrayMeta):
-    """(vlen_position_ok, trailing bytes→bytes codecs) when the chain
-    is vlen-utf8 (+ optional compressors); None when not a vlen chain."""
+    """Trailing bytes→bytes codecs when the chain is vlen-utf8 (+
+    optional compressors); None when not a vlen chain. Both encode and
+    decode use this, and it admits ONLY self-sized codecs — otherwise a
+    write could succeed that no read can ever decode."""
     names = [c.get("name") for c in meta.codecs]
     if "vlen-utf8" not in names:
         return None
     if names[0] != "vlen-utf8":
         raise ZarrFormatError("vlen-utf8 must be the first codec")
     for c in meta.codecs[1:]:
-        if c.get("name") in ("bytes", "transpose", "sharding_indexed"):
+        if c.get("name") not in _SELF_SIZED_CODECS:
             raise ZarrFormatError(
-                f"codec {c.get('name')!r} cannot follow vlen-utf8"
+                f"codec {c.get('name')!r} cannot follow vlen-utf8 "
+                f"(supported: {', '.join(_SELF_SIZED_CODECS)})"
             )
     return meta.codecs[1:]
 
@@ -604,31 +663,17 @@ def decode_chunk(meta: ArrayMeta, data: bytes) -> np.ndarray:
                 "this string array's chain has none"
             )
         for codec in reversed(vlen_bb):
-            # decompressed size unknown for vlen data: only self-
-            # terminating codecs work here
-            name = codec.get("name")
-            if name == "gzip":
-                data = _gzip.decompress(data)
-            elif name == "zstd":
-                size = _zstd_content_size(data)
-                if size is None:
-                    raise ZarrFormatError(
-                        "vlen-utf8 zstd frame lacks a content size"
-                    )
-                data = _pa.Codec("zstd").decompress(
-                    data, decompressed_size=size, asbytes=True
-                )
-            elif name == "crc32c":
-                data = data[:-4]
-            elif name == "blosc":
-                data = _blosc_decompress(data)
-            else:
-                raise ZarrFormatError(
-                    f"bytes codec {name!r} unsupported after vlen-utf8"
-                )
+            data = _bb_decode_selfsized(
+                codec["name"], codec.get("configuration", {}) or {}, data
+            )
         return _vlen_utf8_decode(meta, data)
-    shard_cfg = _sharding_config(meta)
-    if shard_cfg is not None:
+    shard = _sharding_config(meta)
+    if shard is not None:
+        shard_cfg, trailing = shard
+        for codec in reversed(trailing):
+            data = _bb_decode_selfsized(
+                codec["name"], codec.get("configuration", {}) or {}, data
+            )
         return _decode_shard(meta, data, shard_cfg)
     aa, ab, bb = _split_codecs(meta)
 
@@ -686,9 +731,15 @@ def encode_chunk(meta: ArrayMeta, arr: np.ndarray) -> bytes:
                 codec["name"], codec.get("configuration", {}) or {}, data
             )
         return data
-    shard_cfg = _sharding_config(meta)
-    if shard_cfg is not None:
-        return _encode_shard(meta, arr, shard_cfg)
+    shard = _sharding_config(meta)
+    if shard is not None:
+        shard_cfg, trailing = shard
+        data = _encode_shard(meta, arr, shard_cfg)
+        for codec in trailing:
+            data = _bb_encode(
+                codec["name"], codec.get("configuration", {}) or {}, data
+            )
+        return data
     aa, ab, bb = _split_codecs(meta)
 
     for codec in aa:

@@ -60,6 +60,20 @@ def create_array(
             )
         elif compression == "gzip":
             codecs.append({"name": "gzip", "configuration": {"level": 5}})
+        elif isinstance(compression, str) and compression.startswith("blosc"):
+            cname = (
+                compression.split("-", 1)[1] if "-" in compression else "lz4"
+            )
+            codecs.append(
+                {"name": "blosc", "configuration": {"cname": cname}}
+            )
+        elif compression not in (None, "none", "raw"):
+            # same validation contract as the numeric path — a typo'd
+            # compression must not silently write uncompressed data
+            raise ZarrFormatError(
+                f"Unsupported writer compression {compression!r} for "
+                "string arrays"
+            )
         meta = ArrayMeta(
             name=name,
             shape=tuple(int(s) for s in shape),

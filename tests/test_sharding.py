@@ -123,11 +123,50 @@ def test_shard_truncated_inner_range_rejected():
         decode_chunk(meta, shard)
 
 
-def test_sharding_must_be_only_codec():
-    codecs = _shard_codecs((2, 2)) + [{"name": "zstd", "configuration": {}}]
+def test_trailing_compressor_after_sharding_roundtrips():
+    """Spec-valid: bytes→bytes codecs may compress the whole shard
+    object after sharding_indexed (self-sized codecs only)."""
+    codecs = _shard_codecs((2, 2)) + [
+        {"name": "zstd", "configuration": {"level": 1}}
+    ]
     meta = _meta((4, 4), (4, 4), "int32", codecs)
-    with pytest.raises(ZarrFormatError, match="only codec"):
+    arr = np.arange(16, dtype=np.int32).reshape(4, 4)
+    np.testing.assert_array_equal(decode_chunk(meta, encode_chunk(meta, arr)), arr)
+
+
+def test_transpose_before_sharding_rejected_clearly():
+    codecs = [
+        {"name": "transpose", "configuration": {"order": [1, 0]}}
+    ] + _shard_codecs((2, 2))
+    meta = _meta((4, 4), (4, 4), "int32", codecs)
+    with pytest.raises(ZarrFormatError, match="outermost"):
         decode_chunk(meta, b"\x00" * 64)
+
+
+def test_big_endian_shard_index_decodes():
+    """A conformant writer may store the index big-endian; the bytes
+    index codec's endian configuration must be honored."""
+    c0 = struct.pack("<2i", 7, 9)
+    index_be = np.array([[0, 8]], dtype=">u8").tobytes()
+    shard = c0 + index_be + struct.pack("<I", _crc32c(index_be))
+    codecs = [
+        {
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": [2],
+                "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+                "index_codecs": [
+                    {"name": "bytes", "configuration": {"endian": "big"}},
+                    {"name": "crc32c"},
+                ],
+                "index_location": "end",
+            },
+        }
+    ]
+    meta = _meta((2,), (2,), "int32", codecs)
+    np.testing.assert_array_equal(
+        decode_chunk(meta, shard), np.array([7, 9], dtype=np.int32)
+    )
 
 
 def test_spark_scan_sharded_store(spark, tmp_path):

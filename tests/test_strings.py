@@ -93,3 +93,52 @@ def test_spark_scan_string_array(spark, tmp_path):
     rows = sorted((r.x, r.label) for r in df.collect())
     assert rows == [(float(i), f"n{i}") for i in range(6)]
     assert df.filter("label = 'n3'").count() == 1
+
+
+def test_bytes_kind_array_roundtrips_as_text(tmp_path):
+    """'S'-dtype input must store the BYTES' text, not "b'..'" repr."""
+    from arrow_zarr_spark.zarr import infer_store_arrays, open_store
+    from arrow_zarr_spark.zarr.writer import write_store
+
+    write_store(
+        str(tmp_path / "s"),
+        arrays={"k": np.array([b"ab", b"cd"], dtype="S2")},
+        chunk_shapes={"k": (2,)},
+    )
+    arr = infer_store_arrays(open_store(str(tmp_path / "s")))[0]
+    assert arr.read_all().tolist() == ["ab", "cd"]
+
+
+def test_vlen_lz4_rejected_at_encode_time():
+    """lz4 cannot be decoded without a known size, so a chain that
+    would write unreadable chunks must fail at ENCODE, not at read."""
+    meta = _meta((2,), (2,), VLEN + [{"name": "lz4", "configuration": {}}])
+    arr = np.array(["a", "b"], dtype=object)
+    with pytest.raises(ZarrFormatError, match="lz4"):
+        encode_chunk(meta, arr)
+
+
+def test_string_writer_rejects_unknown_compression(tmp_path):
+    from arrow_zarr_spark.zarr.writer import write_store
+
+    with pytest.raises(ZarrFormatError, match="zsdt"):
+        write_store(
+            str(tmp_path / "s"),
+            arrays={"k": np.array(["a"], dtype=object)},
+            chunk_shapes={"k": (1,)},
+            compression="zsdt",
+        )
+
+
+def test_string_writer_blosc_roundtrips(tmp_path):
+    from arrow_zarr_spark.zarr import infer_store_arrays, open_store
+    from arrow_zarr_spark.zarr.writer import write_store
+
+    write_store(
+        str(tmp_path / "s"),
+        arrays={"k": np.array(["xx", "yy", "zz"], dtype=object)},
+        chunk_shapes={"k": (2,)},
+        compression="blosc-lz4",
+    )
+    arr = infer_store_arrays(open_store(str(tmp_path / "s")))[0]
+    assert arr.read_all().tolist() == ["xx", "yy", "zz"]
