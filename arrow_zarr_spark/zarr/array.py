@@ -70,11 +70,23 @@ class ZarrArray:
 
 def open_array(store: Store, name: str, prefix: str = "") -> ZarrArray:
     parts = [p for p in (prefix.strip("/"), name) if p]
-    key = "/".join(parts + ["zarr.json"])
-    raw = store.get(key)
-    if raw is None:
-        raise ZarrFormatError(f"No zarr.json found for array {name!r} ({key})")
-    return ZarrArray(store, parse_array_meta(name, raw), prefix=prefix)
+    base = "/".join(parts)
+    raw = store.get(f"{base}/zarr.json")
+    if raw is not None:
+        return ZarrArray(store, parse_array_meta(name, raw), prefix=prefix)
+    # v2 fallback (.zarray + optional .zattrs for _ARRAY_DIMENSIONS) —
+    # beyond the reference, which rejects v2 (config.rs:242-247)
+    zarray = store.get(f"{base}/.zarray")
+    if zarray is not None:
+        from .meta import parse_v2_array_meta
+
+        zattrs = store.get(f"{base}/.zattrs")
+        return ZarrArray(
+            store, parse_v2_array_meta(name, zarray, zattrs), prefix=prefix
+        )
+    raise ZarrFormatError(
+        f"No zarr.json or .zarray found for array {name!r} ({base})"
+    )
 
 
 def infer_store_arrays(store: Store, prefix: str = "") -> list:

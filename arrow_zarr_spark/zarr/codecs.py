@@ -304,6 +304,18 @@ def _bb_decode(name: str, config: dict, data: bytes, decoded_size: int) -> bytes
         return _pa.Codec("lz4").decompress(
             data, decompressed_size=decoded_size, asbytes=True
         )
+    if name == "zlib":
+        import zlib
+
+        return zlib.decompress(data)
+    if name == "lz4_sized":
+        # numcodecs LZ4 framing (zarr v2): LE uint32 size + raw block
+        if len(data) < 4:
+            raise ZarrFormatError("lz4_sized chunk shorter than its header")
+        (size,) = struct.unpack_from("<I", data, 0)
+        return _pa.Codec("lz4_raw").decompress(
+            data[4:], decompressed_size=size, asbytes=True
+        )
     if name == "crc32c":
         if len(data) < 4:
             raise ZarrFormatError("crc32c codec: chunk shorter than checksum")
@@ -328,6 +340,13 @@ def _bb_encode(name: str, config: dict, data: bytes) -> bytes:
         if not _HAVE_PA:
             raise ZarrFormatError("lz4 codec requires pyarrow")
         return _pa.Codec("lz4").compress(data, asbytes=True)
+    if name == "zlib":
+        import zlib
+
+        return zlib.compress(data, int(config.get("level", 1)))
+    if name == "lz4_sized":
+        comp = _pa.Codec("lz4_raw").compress(data, asbytes=True)
+        return struct.pack("<I", len(data)) + comp
     if name == "crc32c":
         # real checksum so external verifying readers accept the chunk
         # (pure-Python loop — fine for the rare explicitly-configured

@@ -29,6 +29,7 @@ __all__ = [
     "zarr_dtype_to_numpy",
     "numpy_to_zarr_dtype",
     "parse_array_meta",
+    "parse_v2_array_meta",
 ]
 
 
@@ -168,7 +169,9 @@ class ArrayMeta:
 
     def chunk_key(self, idx: Sequence[int]) -> str:
         if self.key_encoding == "v2":
-            return ".".join(str(i) for i in idx) if idx else "0"
+            # v2 honors dimension_separator ("." default, "/" allowed)
+            sep = self.separator or "."
+            return sep.join(str(i) for i in idx) if idx else "0"
         parts = ["c"] + [str(i) for i in idx]
         return self.separator.join(parts)
 
@@ -275,4 +278,108 @@ def parse_array_meta(name: str, raw: bytes) -> ArrayMeta:
         separator=separator,
         key_encoding=key_encoding,
         attributes=doc.get("attributes", {}) or {},
+    )
+
+
+def _v2_compressor_to_codecs(name: str, comp, endian: str) -> list:
+    """Map a numcodecs compressor document to this engine's codec chain."""
+    chain = [{"name": "bytes", "configuration": {"endian": endian}}]
+    if comp is None:
+        return chain
+    cid = comp.get("id")
+    if cid == "blosc":
+        shuffle = {0: "noshuffle", 1: "shuffle", 2: "bitshuffle"}.get(
+            comp.get("shuffle", 1), "shuffle"
+        )
+        chain.append(
+            {
+                "name": "blosc",
+                "configuration": {
+                    "cname": comp.get("cname", "lz4"),
+                    "clevel": comp.get("clevel", 5),
+                    "shuffle": shuffle,
+                    "blocksize": comp.get("blocksize", 0),
+                },
+            }
+        )
+    elif cid == "zlib":
+        chain.append(
+            {"name": "zlib", "configuration": {"level": comp.get("level", 1)}}
+        )
+    elif cid == "gzip":
+        chain.append(
+            {"name": "gzip", "configuration": {"level": comp.get("level", 1)}}
+        )
+    elif cid == "zstd":
+        chain.append(
+            {"name": "zstd", "configuration": {"level": comp.get("level", 1)}}
+        )
+    elif cid == "lz4":
+        # numcodecs LZ4: LE uint32 original size + raw lz4 block
+        chain.append({"name": "lz4_sized", "configuration": {}})
+    else:
+        raise ZarrFormatError(
+            f"Unsupported zarr v2 compressor {cid!r} for array {name}"
+        )
+    return chain
+
+
+def parse_v2_array_meta(
+    name: str, zarray_raw: bytes, zattrs_raw: Optional[bytes] = None
+) -> ArrayMeta:
+    """Parse a Zarr **v2** ``.zarray`` (+ optional ``.zattrs``).
+
+    The reference rejects v2 outright (``config.rs:242-247``); reading
+    it here is deliberate extra surface — the bulk of real-world zarr
+    (xarray-written) is still v2. Dimension names come from xarray's
+    ``_ARRAY_DIMENSIONS`` attribute when present. C order only;
+    filters are not supported (clear error)."""
+    try:
+        doc = json.loads(zarray_raw)
+    except json.JSONDecodeError as e:
+        raise ZarrFormatError(f"Invalid .zarray for array {name}: {e}")
+    if doc.get("zarr_format") != 2:
+        raise ZarrFormatError(f".zarray for {name} is not zarr v2")
+    if doc.get("order", "C") != "C":
+        raise ZarrFormatError(
+            f"zarr v2 Fortran-order arrays are not supported ({name})"
+        )
+    if doc.get("filters"):
+        raise ZarrFormatError(
+            f"zarr v2 filters are not supported (array {name})"
+        )
+    np_dtype = np.dtype(doc["dtype"])
+    if np_dtype.kind not in ("b", "i", "u", "f"):
+        raise ZarrFormatError(
+            f"Unsupported zarr v2 dtype {doc['dtype']!r} for array {name}"
+        )
+    endian = "big" if np_dtype.byteorder == ">" else "little"
+    zarr_dtype = numpy_to_zarr_dtype(np_dtype.newbyteorder("="))
+
+    dim_names = None
+    if zattrs_raw:
+        try:
+            attrs = json.loads(zattrs_raw)
+            dims = attrs.get("_ARRAY_DIMENSIONS")
+            if dims:
+                dim_names = tuple(dims)
+        except json.JSONDecodeError:
+            attrs = {}
+    else:
+        attrs = {}
+
+    fill = doc.get("fill_value")
+    return ArrayMeta(
+        name=name,
+        shape=tuple(doc["shape"]),
+        chunk_shape=tuple(doc["chunks"]),
+        zarr_dtype=zarr_dtype,
+        fill_value=_parse_fill_value(fill, np.dtype(zarr_dtype_to_numpy(zarr_dtype)))
+        if fill is not None
+        else 0,
+        codecs=_v2_compressor_to_codecs(name, doc.get("compressor"), endian),
+        dimension_names=dim_names,
+        separator=doc.get("dimension_separator", "."),
+        key_encoding="v2",
+        attributes=attrs if isinstance(attrs, dict) else {},
     )

@@ -48,16 +48,18 @@ class Store:
         raise NotImplementedError
 
     def list_array_names(self) -> list:
-        """Immediate array nodes: keys ``<name>/zarr.json`` one level down.
+        """Immediate array nodes: keys ``<name>/zarr.json`` (v3) or
+        ``<name>/.zarray`` (v2) one level down.
 
         Column discovery mirrors ``config.rs:207-255``: walk the listing
-        for zarr.json documents and take the parent directory name as the
-        field name. Sorted for a deterministic schema order.
+        for metadata documents and take the parent directory name as the
+        field name. Sorted for a deterministic schema order. (v2
+        discovery is extra surface — the reference rejects v2.)
         """
         names = set()
         for key in self.walk_keys():
             parts = key.split("/")
-            if len(parts) == 2 and parts[1] == "zarr.json":
+            if len(parts) == 2 and parts[1] in ("zarr.json", ".zarray"):
                 names.add(parts[0])
         return sorted(names)
 
@@ -188,8 +190,14 @@ class HttpStore(Store):
 
             for href in parser.hrefs:
                 name = unquote(href.split("?")[0])
-                if not name or name.startswith(("/", ".", "#")) or "://" in name:
+                if (
+                    not name
+                    or name in ("./", "../", ".", "..")
+                    or name.startswith(("/", "#"))
+                    or "://" in name
+                ):
                     continue  # parent-dir links, absolute links, anchors
+                    # (plain dotfiles like .zarray must NOT be skipped)
                 full = f"{prefix}{name}"
                 if name.endswith("/"):
                     yield from walk(full)

@@ -1,0 +1,175 @@
+"""Zarr v2 store reads — hand-built per the public v2 spec.
+
+The reference rejects v2 metadata outright (``config.rs:242-247``);
+reading it here is deliberate extra surface, because the bulk of
+real-world zarr (xarray-written) is still v2. Stores below are
+assembled by hand (.zgroup/.zarray/.zattrs JSON + numcodecs-framed
+chunks), not via this repo's writer, so conformance is not circular.
+"""
+
+import json
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from arrow_zarr_spark.zarr import infer_store_arrays, open_store
+from arrow_zarr_spark.zarr.codecs import _blosc_compress
+from arrow_zarr_spark.zarr.meta import ZarrFormatError, parse_v2_array_meta
+
+
+def _zarray(shape, chunks, dtype, compressor, fill=0, separator=None):
+    doc = {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": dtype,
+        "compressor": compressor,
+        "fill_value": fill,
+        "order": "C",
+        "filters": None,
+    }
+    if separator:
+        doc["dimension_separator"] = separator
+    return json.dumps(doc).encode()
+
+
+def _build_v2_store(root, compressor_kind="zlib"):
+    """2x4 float64 'data' with lat/x coords, xarray-style attrs."""
+    store = open_store(str(root))
+    store.set(".zgroup", json.dumps({"zarr_format": 2}).encode())
+
+    data = np.arange(8.0).reshape(2, 4)
+    lat = np.array([10.0, 20.0])
+    lon = np.array([1.0, 2.0, 3.0, 4.0])
+
+    def pack(arr):
+        raw = np.ascontiguousarray(arr, dtype="<f8").tobytes()
+        if compressor_kind == "zlib":
+            return zlib.compress(raw, 1)
+        if compressor_kind == "blosc":
+            return _blosc_compress(raw, typesize=8, cname="lz4", shuffle="shuffle")
+        return raw
+
+    comp = {
+        "zlib": {"id": "zlib", "level": 1},
+        "blosc": {
+            "id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1,
+            "blocksize": 0,
+        },
+        "raw": None,
+    }[compressor_kind]
+
+    store.set("data/.zarray", _zarray((2, 4), (1, 2), "<f8", comp))
+    store.set(
+        "data/.zattrs",
+        json.dumps({"_ARRAY_DIMENSIONS": ["lat", "lon"]}).encode(),
+    )
+    for i in range(2):
+        for j in range(2):
+            block = data[i : i + 1, 2 * j : 2 * j + 2]
+            store.set(f"data/{i}.{j}", pack(block))
+    # coordinate chunks must match the data array's chunking per axis
+    # (the reference's resolve_vector contract, kept here)
+    store.set("lat/.zarray", _zarray((2,), (1,), "<f8", comp))
+    store.set(
+        "lat/.zattrs", json.dumps({"_ARRAY_DIMENSIONS": ["lat"]}).encode()
+    )
+    store.set("lat/0", pack(lat[:1]))
+    store.set("lat/1", pack(lat[1:]))
+    store.set("lon/.zarray", _zarray((4,), (2,), "<f8", comp))
+    store.set(
+        "lon/.zattrs", json.dumps({"_ARRAY_DIMENSIONS": ["lon"]}).encode()
+    )
+    store.set("lon/0", pack(lon[:2]))
+    store.set("lon/1", pack(lon[2:]))
+    return data
+
+
+@pytest.mark.parametrize("kind", ["zlib", "blosc", "raw"])
+def test_v2_store_reads(tmp_path, kind):
+    data = _build_v2_store(tmp_path / "s", kind)
+    arrays = {a.meta.name: a for a in infer_store_arrays(open_store(str(tmp_path / "s")))}
+    assert set(arrays) == {"data", "lat", "lon"}
+    np.testing.assert_array_equal(arrays["data"].read_all(), data)
+    assert arrays["data"].meta.dimension_names == ("lat", "lon")
+    assert arrays["data"].meta.key_encoding == "v2"
+
+
+def test_v2_missing_chunk_fill(tmp_path):
+    store = open_store(str(tmp_path / "s"))
+    store.set("v/.zarray", _zarray((4,), (2,), "<i8", None, fill=7))
+    store.set("v/0", np.array([1, 2], dtype="<i8").tobytes())
+    # chunk "1" absent -> fill value
+    arr = infer_store_arrays(store)[0]
+    assert arr.read_all().tolist() == [1, 2, 7, 7]
+
+
+def test_v2_big_endian_dtype(tmp_path):
+    store = open_store(str(tmp_path / "s"))
+    store.set("v/.zarray", _zarray((3,), (3,), ">i4", None))
+    store.set("v/0", np.array([1, 2, 3], dtype=">i4").tobytes())
+    arr = infer_store_arrays(store)[0]
+    assert arr.read_all().tolist() == [1, 2, 3]
+
+
+def test_v2_slash_separator(tmp_path):
+    store = open_store(str(tmp_path / "s"))
+    store.set(
+        "v/.zarray", _zarray((4,), (2,), "<i8", None, separator="/")
+    )
+    store.set("v/0", np.array([1, 2], dtype="<i8").tobytes())
+    store.set("v/1", np.array([3, 4], dtype="<i8").tobytes())
+    arr = infer_store_arrays(store)[0]
+    assert arr.read_all().tolist() == [1, 2, 3, 4]
+
+
+def test_v2_lz4_numcodecs_frame(tmp_path):
+    import pyarrow as pa
+
+    raw = np.arange(4, dtype="<i8").tobytes()
+    frame = struct.pack("<I", len(raw)) + pa.Codec("lz4_raw").compress(
+        raw, asbytes=True
+    )
+    store = open_store(str(tmp_path / "s"))
+    store.set("v/.zarray", _zarray((4,), (4,), "<i8", {"id": "lz4"}))
+    store.set("v/0", frame)
+    arr = infer_store_arrays(store)[0]
+    assert arr.read_all().tolist() == [0, 1, 2, 3]
+
+
+def test_v2_fortran_order_rejected():
+    doc = {
+        "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+        "compressor": None, "fill_value": 0, "order": "F", "filters": None,
+    }
+    with pytest.raises(ZarrFormatError, match="Fortran"):
+        parse_v2_array_meta("x", json.dumps(doc).encode())
+
+
+def test_v2_filters_rejected():
+    doc = {
+        "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+        "compressor": None, "fill_value": 0, "order": "C",
+        "filters": [{"id": "delta"}],
+    }
+    with pytest.raises(ZarrFormatError, match="filters"):
+        parse_v2_array_meta("x", json.dumps(doc).encode())
+
+
+def test_spark_scan_v2_store(spark, tmp_path):
+    """Full engine path: v2 discovery, xarray dimension names driving
+    coordinate broadcast, and filter pushdown."""
+    data = _build_v2_store(tmp_path / "s", "blosc")
+    df = spark.read.format("zarr").load(str(tmp_path / "s"))
+    rows = df.collect()
+    assert len(rows) == 8
+    got = {(r.lat, r.lon, r.data) for r in rows}
+    expect = {
+        (lat, lon, float(data[i, j]))
+        for i, lat in enumerate([10.0, 20.0])
+        for j, lon in enumerate([1.0, 2.0, 3.0, 4.0])
+    }
+    assert got == expect
+    assert df.filter("lat > 15").count() == 4
