@@ -23,6 +23,7 @@ __all__ = [
     "write_sharded_bench_store",
     "write_sharded_store",
     "write_string_store",
+    "write_v2_store",
     "fixture_dir",
 ]
 
@@ -308,5 +309,54 @@ def write_string_store(path: str | None = None) -> str:
         chunk_shapes={"label": (5,), "x": (5,)},
         dimension_names={"label": ("x",), "x": ("x",)},
     )
+    _mark_done(path)
+    return path
+
+
+def write_v2_store(path: str | None = None) -> str:
+    """Hand-built Zarr v2 store (xarray-style _ARRAY_DIMENSIONS,
+    numcodecs zlib chunks, '.'-separated chunk keys): 2x4 data grid
+    with lat/lon coords — the reference rejects v2; we scan it."""
+    import json as _json
+    import zlib as _zlib
+
+    from .zarr.store import open_store
+
+    path = path or fixture_dir("v2_2x4")
+    if _done(path):
+        return path
+    store = open_store(path)
+    store.set(".zgroup", _json.dumps({"zarr_format": 2}).encode())
+
+    def zarray(shape, chunks):
+        return _json.dumps(
+            {
+                "zarr_format": 2, "shape": list(shape),
+                "chunks": list(chunks), "dtype": "<f8",
+                "compressor": {"id": "zlib", "level": 1},
+                "fill_value": 0, "order": "C", "filters": None,
+            }
+        ).encode()
+
+    def pack(a):
+        return _zlib.compress(np.ascontiguousarray(a, dtype="<f8").tobytes(), 1)
+
+    data = np.arange(8.0).reshape(2, 4)
+    store.set("data/.zarray", zarray((2, 4), (1, 2)))
+    store.set(
+        "data/.zattrs",
+        _json.dumps({"_ARRAY_DIMENSIONS": ["lat", "lon"]}).encode(),
+    )
+    for i in range(2):
+        for j in range(2):
+            store.set(f"data/{i}.{j}", pack(data[i : i + 1, 2 * j : 2 * j + 2]))
+    store.set("lat/.zarray", zarray((2,), (1,)))
+    store.set("lat/.zattrs", _json.dumps({"_ARRAY_DIMENSIONS": ["lat"]}).encode())
+    store.set("lat/0", pack(np.array([10.0])))
+    store.set("lat/1", pack(np.array([20.0])))
+    store.set("lon/.zarray", zarray((4,), (2,)))
+    store.set("lon/.zattrs", _json.dumps({"_ARRAY_DIMENSIONS": ["lon"]}).encode())
+    store.set("lon/0", pack(np.array([1.0, 2.0])))
+    store.set("lon/1", pack(np.array([3.0, 4.0])))
     _mark_done(path)
     return path

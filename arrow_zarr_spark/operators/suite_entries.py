@@ -522,6 +522,26 @@ def populate_sampling_queries(register) -> None:
 
     register("d08_streaming_dedup_batchform", d08, None)
 
+    # Zarr v2 store scan — the reference rejects v2 metadata, so this
+    # exceeds-parity query also registers past the window
+    def z15(spark, sf_dir):
+        from .. import fixtures
+        from ..datasource import register as _reg
+
+        _reg(spark)
+        path = fixtures.write_v2_store()
+        df = spark.read.format("zarr").load(path)
+        df.createOrReplaceTempView("zarr_v2")
+        return spark.sql("SELECT lat, lon, data FROM zarr_v2")
+
+    register(
+        "z15_v2_store_scan",
+        z15,
+        "SELECT CAST(10 + 10 * (i // 4) AS DOUBLE) AS lat, "
+        "CAST(1 + i % 4 AS DOUBLE) AS lon, CAST(i AS DOUBLE) AS data "
+        "FROM range(8) t(i)",
+    )
+
     def t07(spark, sf_dir):
         return text.tf_idf(_docs(spark, sf_dir), min_doc_freq=2)
 
