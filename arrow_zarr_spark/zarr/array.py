@@ -49,6 +49,20 @@ class ZarrArray:
             full = np.ascontiguousarray(full[slices])
         return full
 
+    def read_range(self, start: int, stop: int) -> np.ndarray:
+        """Values ``[start, stop)`` of a 1-D array, assembled from the
+        chunks covering the range — lets a coordinate whose chunking
+        differs from the data array's still broadcast per data chunk
+        (real xarray v2 stores usually write coords as one chunk)."""
+        if self.meta.ndim != 1:
+            raise ZarrFormatError("read_range only applies to 1-D arrays")
+        c = self.meta.chunk_shape[0]
+        stop = min(stop, self.meta.shape[0])
+        first, last = start // c, (stop - 1) // c if stop > start else start // c
+        parts = [self.read_chunk((i,)) for i in range(first, last + 1)]
+        flat = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        return flat[start - first * c : stop - first * c]
+
     def read_all(self) -> np.ndarray:
         """Assemble the full array (test/debug helper, not the scan path)."""
         out = np.full(

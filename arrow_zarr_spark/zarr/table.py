@@ -65,6 +65,9 @@ class ChunkPlan:
             raise ZarrFormatError("Empty selection")
         self.arrays: List[ZarrArray] = list(arrays)
         self.by_name: Dict[str, ZarrArray] = {a.meta.name: a for a in arrays}
+        #: v2 coords whose chunking differs from the data grid (read by
+        #: range, not by aligned chunk index)
+        self._ranged_coords: set = set()
 
         for a in self.arrays:
             if a.meta.ndim not in (1, 2, 3):
@@ -121,13 +124,23 @@ class ChunkPlan:
                 axis = rep_dims.index(c.meta.name)
                 # cross-validate the coordinate against its dimension
                 # (resolve_vector, zarr_data_stream.rs:48-96)
-                if c.meta.shape[0] != rep.meta.shape[axis] or (
-                    c.meta.chunk_shape[0] != rep.meta.chunk_shape[axis]
-                ):
+                if c.meta.shape[0] != rep.meta.shape[axis]:
                     raise ZarrFormatError(
                         f"Coordinate {c.meta.name} shape/chunks do not "
                         f"match dimension {axis} of the data arrays"
                     )
+                if c.meta.chunk_shape[0] != rep.meta.chunk_shape[axis]:
+                    # v3 keeps the reference's strict contract; v2 is
+                    # already beyond the reference, and real xarray v2
+                    # stores usually write coords as ONE chunk — read
+                    # those by range instead of by aligned chunk index
+                    if c.meta.key_encoding != "v2":
+                        raise ZarrFormatError(
+                            f"Coordinate {c.meta.name} shape/chunks do "
+                            f"not match dimension {axis} of the data "
+                            "arrays"
+                        )
+                    self._ranged_coords.add(c.meta.name)
                 self.coord_axis[c.meta.name] = axis
             self.grid_shape = rep.meta.chunk_grid_shape
             self._rep = rep
@@ -192,7 +205,16 @@ class ChunkPlan:
             arr = self.by_name[name]
             if name in self.coord_axis:
                 axis = self.coord_axis[name]
-                vec = self._coord_chunk(name, arr, cell[axis])
+                if name in self._ranged_coords:
+                    c = self._rep.meta.chunk_shape[axis]
+                    start = cell[axis] * c
+                    stop = start + shape[axis]
+                    vec = self._coord_cached(
+                        (name, "r", start, stop),
+                        lambda a=arr, s=start, e=stop: a.read_range(s, e),
+                    )
+                else:
+                    vec = self._coord_chunk(name, arr, cell[axis])
                 reshape = [1] * len(shape)
                 reshape[axis] = vec.shape[0]
                 block = np.broadcast_to(vec.reshape(reshape), shape)
@@ -202,9 +224,14 @@ class ChunkPlan:
         return out
 
     def _coord_chunk(self, name: str, arr: ZarrArray, idx: int) -> np.ndarray:
+        return self._coord_cached(
+            (name, idx), lambda: arr.read_chunk((idx,))
+        )
+
+    def _coord_cached(self, subkey: tuple, compute) -> np.ndarray:
         """Coordinate chunks are shared by every grid cell along their
         axis — without reuse a scan fetches and decodes the same 1-D
-        chunk once per cell (it counts double on remote stores: one GET
+        data once per cell (it counts double on remote stores: one GET
         per re-read). The cache is worker-process-wide but keyed by the
         scan's token (set by the reader, shipped to every task), so
         partitions of one scan share fetches while a later scan can
@@ -215,14 +242,13 @@ class ChunkPlan:
             cache = getattr(self, "_coord_cache", None)
             if cache is None:
                 cache = self._coord_cache = {}
-            key = (name, idx)
-            if key not in cache:
+            if subkey not in cache:
                 if len(cache) >= 64:
                     cache.pop(next(iter(cache)))
-                cache[key] = arr.read_chunk((idx,))
-            return cache[key]
+                cache[subkey] = compute()
+            return cache[subkey]
 
-        key = (token, name, idx)
+        key = (token,) + subkey
         with _COORD_LOCK:
             ent = _COORD_CACHE.get(key)
             owner = ent is None
@@ -235,7 +261,7 @@ class ChunkPlan:
                 _COORD_CACHE.move_to_end(key)
         if owner:
             try:
-                ent.value = arr.read_chunk((idx,))
+                ent.value = compute()
             except BaseException as e:  # propagate to waiters too
                 ent.error = e
                 with _COORD_LOCK:

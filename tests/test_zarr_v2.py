@@ -173,3 +173,41 @@ def test_spark_scan_v2_store(spark, tmp_path):
     }
     assert got == expect
     assert df.filter("lat > 15").count() == 4
+
+
+def test_v2_coord_chunking_may_differ_from_data(tmp_path, spark):
+    """Real xarray v2 stores write coords as ONE chunk while data is
+    chunked finer — the v2 path reads such coords by range (v3 keeps
+    the reference's strict chunk-match contract)."""
+    store = open_store(str(tmp_path / "s"))
+    store.set(".zgroup", json.dumps({"zarr_format": 2}).encode())
+    data = np.arange(8.0).reshape(2, 4)
+    store.set("data/.zarray", _zarray((2, 4), (1, 2), "<f8", None))
+    store.set(
+        "data/.zattrs",
+        json.dumps({"_ARRAY_DIMENSIONS": ["lat", "lon"]}).encode(),
+    )
+    for i in range(2):
+        for j in range(2):
+            store.set(
+                f"data/{i}.{j}",
+                np.ascontiguousarray(
+                    data[i : i + 1, 2 * j : 2 * j + 2], dtype="<f8"
+                ).tobytes(),
+            )
+    # coords: single chunk each, NOT matching data chunking
+    store.set("lat/.zarray", _zarray((2,), (2,), "<f8", None))
+    store.set("lat/.zattrs", json.dumps({"_ARRAY_DIMENSIONS": ["lat"]}).encode())
+    store.set("lat/0", np.array([10.0, 20.0], dtype="<f8").tobytes())
+    store.set("lon/.zarray", _zarray((4,), (4,), "<f8", None))
+    store.set("lon/.zattrs", json.dumps({"_ARRAY_DIMENSIONS": ["lon"]}).encode())
+    store.set("lon/0", np.array([1.0, 2.0, 3.0, 4.0], dtype="<f8").tobytes())
+
+    df = spark.read.format("zarr").load(str(tmp_path / "s"))
+    got = {(r.lat, r.lon, r.data) for r in df.collect()}
+    expect = {
+        (lat, lon, float(data[i, j]))
+        for i, lat in enumerate([10.0, 20.0])
+        for j, lon in enumerate([1.0, 2.0, 3.0, 4.0])
+    }
+    assert got == expect
