@@ -306,10 +306,51 @@ def populate_operator_queries(register) -> None:
     )
 
     def m02(spark, sf_dir):
+        # The raw decode output carries `pixels array<double>`, which the
+        # driver's pandas canonicalizer cannot hash (r2: unhashable list).
+        # The registered form explodes to one row per pixel with an
+        # integer micro-pixel digest: px is round(span_mean, 6), so
+        # px * 1e6 sits within 1 ulp of the integer numpy chose and
+        # ROUND recovers it exactly — no float column reaches the driver.
         media = multimodal.with_binary_payload(_docs(spark, sf_dir))
-        return multimodal.decode_image(media, fake=True)
+        decoded = multimodal.decode_image(media, fake=True)
+        return decoded.select(
+            "media_id",
+            F.posexplode("pixels").alias("px_idx", "px"),
+            "width",
+            "height",
+        ).select(
+            "media_id",
+            "px_idx",
+            F.round(F.col("px") * 1000000.0).cast("long").alias("px_micro"),
+            "width",
+            "height",
+        )
 
-    register("m02_decode_image_fake", m02, None)
+    # The fake decode is deterministic span-means over the payload bytes
+    # (documents text is pure ASCII, per m01), so DuckDB replays it:
+    # np.array_split(buf, 16) puts n%16 spans of n//16+1 bytes first,
+    # then n//16-byte spans; numpy's round-half-even is round_even here.
+    # Summation order is irrelevant because byte codes are integers —
+    # exact in float64 either way.
+    register(
+        "m02_decode_image_fake",
+        m02,
+        "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents "
+        "WHERE length(text) > 0), "
+        "s AS (SELECT doc_id, text, n, CAST(i AS INT) AS px_idx, "
+        "CASE WHEN i < n % 16 THEN n // 16 + 1 ELSE n // 16 END AS span_len, "
+        "CASE WHEN i < n % 16 THEN i * (n // 16 + 1) "
+        "ELSE (n % 16) * (n // 16 + 1) + (i - n % 16) * (n // 16) "
+        "END AS span_start FROM d, range(16) t(i)) "
+        "SELECT doc_id AS media_id, px_idx, "
+        "CASE WHEN span_len = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(round_even(list_sum(list_transform(string_split("
+        "substr(text, span_start + 1, span_len), ''), "
+        "c -> CAST(ascii(c) AS DOUBLE))) / span_len * 1000000.0, 0) "
+        "AS BIGINT) END AS px_micro, "
+        "4 AS width, 4 AS height FROM s",
+    )
 
     # ---------------- custom joins ----------------
     def j01(spark, sf_dir):

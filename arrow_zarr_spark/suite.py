@@ -250,9 +250,12 @@ def _populate_relational() -> None:
         "epoch_us(ts) - LAG(epoch_us(ts)) OVER "
         "(PARTITION BY user_id ORDER BY ts) > 1800000000 THEN 1 ELSE 0 "
         "END AS new_session FROM events), "
-        "s AS (SELECT user_id, ts, value, SUM(new_session) OVER "
+        # CAST to BIGINT: DuckDB's SUM over integers returns HUGEINT,
+        # which the driver's canonicalizer type-tags differently from
+        # Spark's LONG (same repo convention as ROW_NUMBER casts).
+        "s AS (SELECT user_id, ts, value, CAST(SUM(new_session) OVER "
         "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED "
-        "PRECEDING AND CURRENT ROW) AS session_seq FROM g) "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM g) "
         "SELECT user_id, session_seq, epoch_us(MIN(ts)) AS start_us, "
         "epoch_us(MAX(ts)) AS end_us, COUNT(*) AS n_events, "
         "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value "
@@ -725,7 +728,15 @@ def _populate_zarr() -> None:
 
     def z10(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = fixtures.write_typed_store()
-        return _zarr_df(spark, path, "zarr_typed")
+        df = _zarr_df(spark, path, "zarr_typed")
+        # t_u64 surfaces as DECIMAL(20,0) (the documented uint64 widening,
+        # datasource.py); the driver's pandas canonicalizer tags
+        # decimal.Decimal columns differently from DuckDB's DECIMAL even
+        # when every value matches, so the *registered* query projects it
+        # through DOUBLE (exact for this fixture's 0..23 range). The
+        # DECIMAL(20,0) schema identity stays asserted in
+        # tests/test_datasource.py::test_type_map.
+        return df.withColumn("t_u64", F.col("t_u64").cast("double"))
 
     register_query(
         "z10_type_map",
@@ -735,7 +746,7 @@ def _populate_zarr() -> None:
         "CAST(i AS SMALLINT) AS t_i16, CAST(i AS INT) AS t_i32, "
         "CAST(i AS BIGINT) AS t_i64, CAST(i AS TINYINT) AS t_i8, "
         "CAST(i AS INT) AS t_u16, CAST(i AS BIGINT) AS t_u32, "
-        "CAST(i AS DECIMAL(20,0)) AS t_u64, CAST(i AS SMALLINT) AS t_u8 "
+        "CAST(i AS DOUBLE) AS t_u64, CAST(i AS SMALLINT) AS t_u8 "
         "FROM range(24) t(i)",
     )
 

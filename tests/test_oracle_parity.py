@@ -59,6 +59,22 @@ def _canon(rows, colnames):
     return out
 
 
+# The driver canonicalizes through pandas, so its value hash is
+# sensitive to the pandas *dtype* each engine lands on — Spark LONG is
+# int64 while DuckDB HUGEINT (bare SUM over ints) and DECIMAL both
+# surface as float64, and Spark DECIMAL surfaces as object. A bare
+# python-value comparison hides all of that (r25 and z10 passed locally
+# and hash-failed at the driver twice). Compare dtype *kinds* the way
+# pandas would see them.
+_KIND_TAG = {"i": "int", "u": "int", "f": "float", "b": "bool",
+             "M": "timestamp", "m": "timedelta", "O": "object"}
+
+
+def _dtype_kinds(pdf):
+    return {c: _KIND_TAG.get(pdf[c].dtype.kind, pdf[c].dtype.kind)
+            for c in pdf.columns}
+
+
 @pytest.mark.parametrize("name", sorted(_ORACLES.keys()))
 def test_query_matches_oracle(spark, duck, name):
     sdf = _QUERIES[name](spark, SF_DIR)
@@ -68,6 +84,13 @@ def test_query_matches_oracle(spark, duck, name):
     res = duck.execute(_ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
+
+    spark_kinds = _dtype_kinds(sdf.toPandas())
+    duck_kinds = _dtype_kinds(duck.execute(_ORACLES[name]).df())
+    assert spark_kinds == duck_kinds, (
+        f"{name}: pandas dtype kinds differ (driver hash would diverge): "
+        f"spark={spark_kinds} duck={duck_kinds}"
+    )
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: {spark_cols} vs {duck_cols}"
