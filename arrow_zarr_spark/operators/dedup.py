@@ -486,9 +486,29 @@ def embedding_lsh_neardup_pairs(
 
     from .similarity import _planes, cosine_udf
 
-    p_same = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    # Degenerate thresholds break the parameter math (threshold >= 1
+    # gives p_same = 1 so log(p_same) = 0 and log1p(-p_table) raises;
+    # threshold <= -1 gives p_same = 0 so log(p_same) raises) — reject
+    # them up front with a message that names the valid range.
+    if not -1.0 < threshold < 1.0:
+        raise ValueError(
+            f"embedding_lsh_neardup_pairs: threshold must be strictly "
+            f"inside (-1, 1), got {threshold}. cosine == 1.0 means "
+            f"exact duplicates (use exact_dedup on a normalized "
+            f"vector); <= -1 matches everything."
+        )
+    p_same = 1.0 - math.acos(threshold) / math.pi
     if n_planes is None:
-        n_planes = max(2, int(math.log(0.25) / math.log(p_same)))
+        # cap at 62: signatures pack into an int64 via 1 << plane_idx,
+        # so 63+ planes would overflow the shift and silently collapse
+        # buckets (the output would stay correct through the exact
+        # cosine filter, but the gate would degrade to near-all-pairs)
+        n_planes = min(62, max(2, int(math.log(0.25) / math.log(p_same))))
+    elif n_planes > 62:
+        raise ValueError(
+            f"n_planes must be <= 62 (int64 signature packing), "
+            f"got {n_planes}"
+        )
     if n_tables is None:
         p_table = p_same**n_planes
         needed = max(4, math.ceil(math.log(target_miss) / math.log1p(-p_table)))
@@ -505,7 +525,13 @@ def embedding_lsh_neardup_pairs(
                 stacklevel=2,
             )
 
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"embedding_lsh_neardup_pairs: input has no row with a "
+            f"non-null '{vec_col}' to infer the vector dimension from"
+        )
+    dim = len(first[0])
     planes_all = np.vstack(
         [_planes(dim, n_planes, t, seed) for t in range(n_tables)]
     )

@@ -30,6 +30,7 @@ __all__ = [
     "per_group_quota",
     "token_budget_sample",
     "stratified_sample",
+    "stratified_sample_deterministic",
 ]
 
 
@@ -92,6 +93,46 @@ def token_budget_sample(
         .filter(F.col("__prior") < budget)
         .drop("__prior")
     )
+
+
+#: modulus for the engine-independent draw (prime, so the Knuth
+#: multiplier sweeps all residues)
+_DRAW_MOD = 1000003
+_DRAW_MULT = 2654435761  # Knuth's 2^32 / phi
+
+
+def stratified_sample_deterministic(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict,
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample whose draw is pure integer
+    arithmetic over a unique ``key_col`` — engine-independent, so any
+    SQL engine (and the DuckDB oracle) replays the exact row set,
+    unlike ``sampleBy``'s engine-specific RNG.
+
+    draw(key) = ((key % p + seed) * 2654435761) % p with prime
+    p = 1000003; a row survives when draw < fraction * p. The key is
+    reduced mod p *before* the multiply so the product stays far from
+    int64 overflow (ANSI mode throws on overflow) at any key
+    magnitude; the seed shifts the key BEFORE the multiplicative
+    sweep, so consecutive seeds move every draw by ~428k (not by a
+    near-zero constant) and select materially different rows. The
+    sweep equidistributes consecutive keys, so realized rates track
+    the requested fractions (bounded in tests); same narrow-plan
+    shape as a WHERE — no shuffle at all."""
+    draw = (
+        (F.col(key_col) % _DRAW_MOD + F.lit(seed)) * F.lit(_DRAW_MULT)
+    ) % _DRAW_MOD
+    frac = F.lit(float(default_fraction))
+    for stratum, fraction in sorted(fractions.items()):
+        frac = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(float(fraction))
+        ).otherwise(frac)
+    return df.filter(draw < frac * _DRAW_MOD)
 
 
 def stratified_sample(

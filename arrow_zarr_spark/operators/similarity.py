@@ -47,9 +47,12 @@ def cosine_udf(a: str, b: str):
 
     Degenerate inputs: a NULL vector yields NULL (matching the
     expression form); a zero-norm vector yields NULL here, where the
-    expression form raises DIVIDE_BY_ZERO under ANSI mode — the one
-    intentional divergence (a gate should skip unit-less vectors, not
-    abort the query)."""
+    expression form raises DIVIDE_BY_ZERO under ANSI mode; a vector
+    containing a NaN component also yields NULL here (the NaN cosine
+    crosses the Arrow boundary as NULL) where the expression form
+    yields NaN. Both divergences are intentional and one-directional —
+    a gate should skip degenerate vectors, not abort or propagate
+    NaN-poisoned scores."""
 
     @F.pandas_udf("double")
     def _kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
@@ -261,7 +264,13 @@ def hyperplane_lsh_ann(
     import pandas as pd
 
     query_id_col = query_id_col or id_col
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError(
+            f"hyperplane_lsh_ann: corpus has no non-null '{vec_col}' "
+            f"row to infer the vector dimension from"
+        )
+    dim = len(first[0])
     # all tables' planes stacked: (n_tables*n_planes, dim)
     planes_all = np.vstack(
         [_planes(dim, n_planes, t, seed) for t in range(n_tables)]
@@ -313,15 +322,21 @@ def hyperplane_lsh_ann(
         qsig.join(csig, ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")
-        .distinct()
     )
+    # Score BEFORE deduplicating: a pair found in several tables scores
+    # identically (deterministic kernel), so distinct on the scored
+    # 3-scalar-column output yields the same rows — but the dedup
+    # shuffle then carries (long, long, double) instead of two full
+    # vectors per row. Re-scoring duplicates costs at most n_tables×
+    # vectorized kernel work, far cheaper than shuffling vectors
+    # (r2's distinct-on-vectors was a measured ~55% regression).
     scored = cand.select(
         "query_id",
         "neighbor_id",
         # Arrow kernel, bit-identical to cosine_expr — candidate volume
         # scales with bucket occupancy, so vectorized scoring matters
         F.round(cosine_udf("query_id_v", "neighbor_id_v"), 6).alias("cosine"),
-    )
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

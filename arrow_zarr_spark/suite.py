@@ -99,23 +99,6 @@ def _sql_pair(name: str, sql: str) -> None:
 # ---------------------------------------------------------------------------
 
 def _populate_tier_b() -> None:
-    # B1 projection list (table_provider.rs:280-281)
-    _sql_pair(
-        "b01_projection",
-        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
-    )
-    # B2/B3 scalar expr + alias (table_provider.rs:316-318)
-    _sql_pair(
-        "b02_scalar_expr_alias",
-        "SELECT l_orderkey, l_linenumber, l_extendedprice * 2 AS price2, "
-        "l_quantity + 1 AS qty1, l_quantity - 1 AS qtym1 FROM lineitem",
-    )
-    # B4 WHERE conjunction of range predicates (table_provider.rs:417-422)
-    _sql_pair(
-        "b04_where_range_conj",
-        "SELECT l_orderkey, l_linenumber, l_quantity, l_discount "
-        "FROM lineitem WHERE l_quantity < 10 AND l_discount > 0.05",
-    )
     # B5/B6 comparison ops incl <=, >=, =, OR (datafusion_filters.rs:188-287)
     _sql_pair(
         "b05_comparisons_or",
@@ -200,6 +183,30 @@ def _populate_tier_b() -> None:
         "b13_limit_topk",
         "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10",
+    )
+
+
+def _populate_tier_b_deferred() -> None:
+    """Tier-B shapes that were driver-green in BOTH r1 and r2 — rotated
+    past the 50-query window (r3) so the slots go to never-checked
+    queries; cross-engine parity stays enforced every round by
+    tests/test_oracle_parity.py."""
+    # B1 projection list (table_provider.rs:280-281)
+    _sql_pair(
+        "b01_projection",
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    )
+    # B2/B3 scalar expr + alias (table_provider.rs:316-318)
+    _sql_pair(
+        "b02_scalar_expr_alias",
+        "SELECT l_orderkey, l_linenumber, l_extendedprice * 2 AS price2, "
+        "l_quantity + 1 AS qty1, l_quantity - 1 AS qtym1 FROM lineitem",
+    )
+    # B4 WHERE conjunction of range predicates (table_provider.rs:417-422)
+    _sql_pair(
+        "b04_where_range_conj",
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_discount "
+        "FROM lineitem WHERE l_quantity < 10 AND l_discount > 0.05",
     )
     # B14 SELECT * (s3_bench.rs:237-243)
     _sql_pair("b14_select_star", "SELECT * FROM nation")
@@ -810,9 +817,11 @@ def _ensure_populated() -> None:
     populate_operator_queries(register_query)
     _populate_tier_b()
     _populate_relational()
-    # sampling/mixing operators register last — deliberately past the
-    # driver's 50-query window (locally oracle-verified instead)
-    from .operators.suite_entries import populate_sampling_queries
+    # past the 50-query window from here: two-round-green tier-B shapes
+    # (still parity-tested locally every round), then the queries whose
+    # engine-specific outputs admit no SQL oracle (rows-only checks)
+    _populate_tier_b_deferred()
+    from .operators.suite_entries import populate_deferred_queries
 
-    populate_sampling_queries(register_query)
+    populate_deferred_queries(register_query)
     _populated = True

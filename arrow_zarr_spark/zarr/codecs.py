@@ -196,6 +196,13 @@ def _blosc_decompress(data: bytes) -> bytes:
     if typesize == 0 or blocksize <= 0 or nbytes < 0:
         raise ZarrFormatError("blosc header has invalid sizes")
     nblocks = (nbytes + blocksize - 1) // blocksize
+    if len(data) < 16 + 4 * nblocks:
+        # a truncated frame must surface as a format error, not a raw
+        # struct.error from the unpack below
+        raise ZarrFormatError(
+            f"blosc frame truncated: block-start table needs "
+            f"{16 + 4 * nblocks} bytes, chunk has {len(data)}"
+        )
     bstarts = struct.unpack_from(f"<{nblocks}i", data, 16)
     out = bytearray(nbytes)
     shuffled = bool(flags & _BLOSC_DOSHUFFLE)
@@ -205,10 +212,22 @@ def _blosc_decompress(data: bytes) -> bytes:
         nsplits = _blosc_nsplits(flags, typesize, blocksize, leftover)
         neblock = bsize // nsplits
         pos = bstarts[j]
+        if pos < 0:
+            raise ZarrFormatError(f"blosc block {j} start {pos} is negative")
         parts = []
         for _ in range(nsplits):
+            if pos + 4 > len(data):
+                raise ZarrFormatError(
+                    f"blosc frame truncated: split header of block {j} "
+                    f"at offset {pos} is past the {len(data)}-byte chunk"
+                )
             (csize,) = struct.unpack_from("<i", data, pos)
             pos += 4
+            if csize < 0 or pos + csize > len(data):
+                raise ZarrFormatError(
+                    f"blosc block {j} split claims {csize} compressed "
+                    f"bytes at offset {pos}, chunk has {len(data)}"
+                )
             raw = data[pos : pos + csize]
             pos += csize
             if csize == neblock:  # stored uncompressed

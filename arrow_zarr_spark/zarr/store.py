@@ -174,6 +174,12 @@ class HttpStore(Store):
                         if k == "href" and v:
                             self.hrefs.append(v)
 
+        from urllib.parse import unquote, urljoin, urlsplit
+
+        root = urlsplit(f"{self.url}/")
+        root_path = unquote(root.path)
+        seen_dirs = set()
+
         def walk(prefix: str) -> Iterator[str]:
             page = self._fetch(f"{self.url}/{prefix}" if prefix else self.url)
             if page is None:
@@ -186,23 +192,30 @@ class HttpStore(Store):
                     f"HTTP store listing at {self.url}/{prefix} is not an "
                     f"HTML index: {e}"
                 ) from e
-            from urllib.parse import unquote
-
+            base = f"{self.url}/{prefix}"
             for href in parser.hrefs:
-                name = unquote(href.split("?")[0])
-                if (
-                    not name
-                    or name in ("./", "../", ".", "..")
-                    or name.startswith(("/", "#"))
-                    or "://" in name
-                ):
-                    continue  # parent-dir links, absolute links, anchors
+                # Resolve against the page URL: auto-index pages emit
+                # relative names (http.server), absolute paths
+                # (common Apache/nginx setups), or full URLs — all are
+                # equivalent; only the resolved location matters.
+                res = urlsplit(urljoin(base, href.split("#")[0]))
+                if (res.scheme, res.netloc) != (root.scheme, root.netloc):
+                    continue  # different host/scheme
+                path = unquote(res.path)
+                if any(seg in (".", "..") for seg in path.split("/")):
+                    continue  # unnormalized traversal survived urljoin
+                if not path.startswith(root_path):
+                    continue  # parent links / outside the store root
+                rel = path[len(root_path):]
+                if len(rel) <= len(prefix) or not rel.startswith(prefix):
+                    continue  # self links, sort links (?C=N), ancestors
                     # (plain dotfiles like .zarray must NOT be skipped)
-                full = f"{prefix}{name}"
-                if name.endswith("/"):
-                    yield from walk(full)
+                if rel.endswith("/"):
+                    if rel not in seen_dirs:
+                        seen_dirs.add(rel)
+                        yield from walk(rel)
                 else:
-                    yield full
+                    yield rel
 
         yield from walk("")
 

@@ -219,6 +219,47 @@ def test_truncated_header_rejected():
         _blosc_decompress(b"\x02\x01\x00")
 
 
+def test_truncated_block_start_table_rejected():
+    """A frame cut off inside the block-start index must raise
+    ZarrFormatError, not a raw struct.error."""
+    # header claims 1 MiB in 256 KiB blocks (4 block starts) but the
+    # frame ends right after the 16-byte header
+    header = struct.pack(
+        "<BBBBiii", 2, 1, 1 << 5, 1, 1 << 20, 1 << 18, 16
+    )
+    with pytest.raises(ZarrFormatError, match="truncated"):
+        _blosc_decompress(header)
+
+
+def test_truncated_split_header_rejected():
+    """A block start pointing past the end of the frame must raise
+    ZarrFormatError when the split header read would run off the end."""
+    header = struct.pack("<BBBBiii", 2, 1, 1 << 5, 1, 64, 64, 22)
+    # one block; its start table says the split header begins at 20,
+    # but the frame ends at byte 22 (2 bytes short of the 4-byte size)
+    frame = header + struct.pack("<i", 20) + b"\x00\x00"
+    with pytest.raises(ZarrFormatError, match="truncated"):
+        _blosc_decompress(frame)
+
+
+def test_negative_split_size_rejected():
+    """A corrupt negative csize must be rejected up front instead of
+    surfacing as a confusing inner-codec error."""
+    header = struct.pack("<BBBBiii", 2, 1, 1 << 5, 1, 64, 64, 28)
+    frame = header + struct.pack("<i", 20) + struct.pack("<i", -5) + b"\x00" * 8
+    with pytest.raises(ZarrFormatError, match="compressed"):
+        _blosc_decompress(frame)
+
+
+def test_oversized_split_size_rejected():
+    """csize larger than the remaining frame must raise ZarrFormatError
+    rather than silently decoding a short slice."""
+    header = struct.pack("<BBBBiii", 2, 1, 1 << 5, 1, 64, 64, 28)
+    frame = header + struct.pack("<i", 20) + struct.pack("<i", 9999) + b"\x00" * 8
+    with pytest.raises(ZarrFormatError, match="compressed"):
+        _blosc_decompress(frame)
+
+
 # ---------------------------------------------------------------------------
 # end-to-end: Spark scan over a blosc-compressed store
 # ---------------------------------------------------------------------------

@@ -107,6 +107,67 @@ def test_sql_ddl_over_http(spark, served_store):
     assert n == 48
 
 
+def test_walk_handles_absolute_path_hrefs_and_traversal_links():
+    """Apache/nginx-style auto-index pages emit absolute-path hrefs
+    (href="/store/temp/"); the walk must resolve them against the page
+    URL instead of dropping them, while still rejecting parent links,
+    sort links (?C=N), anchors, other-host URLs, and '..' traversal."""
+    pages = {
+        "/store/": (
+            '<a href="/">root</a><a href="?C=N;O=D">sort</a>'
+            '<a href="/store/zarr.json">zarr.json</a>'
+            '<a href="/store/temp/">temp/</a>'
+            '<a href="/store/../etc/">escape</a>'
+            '<a href="http://evil.example/x">other host</a>'
+            '<a href="#frag">anchor</a>'
+        ),
+        "/store/temp/": (
+            '<a href="/store/">parent</a>'
+            '<a href="/store/temp/zarr.json">zarr.json</a>'
+            '<a href="/store/temp/c/">c/</a>'
+        ),
+        "/store/temp/c/": '<a href="/store/temp/c/0">0</a>',
+    }
+    files = {"/store/zarr.json", "/store/temp/zarr.json", "/store/temp/c/0"}
+
+    class AbsoluteIndex(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path + "/" in pages:
+                # real servers 301 directory URLs to the trailing-slash
+                # form; urllib follows the redirect
+                self.send_response(301)
+                self.send_header("Location", path + "/")
+                self.end_headers()
+                return
+            if path in pages:
+                body = pages[path].encode()
+            elif path in files:
+                body = b"{}"
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), AbsoluteIndex)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        store = HttpStore(f"http://127.0.0.1:{httpd.server_address[1]}/store")
+        assert sorted(store.walk_keys()) == [
+            "temp/c/0",
+            "temp/zarr.json",
+            "zarr.json",
+        ]
+    finally:
+        httpd.shutdown()
+
+
 def test_forbidden_is_an_error_not_fill_values():
     """403 must raise: treating auth failures as missing keys would
     silently materialize fill-value data for the whole store."""

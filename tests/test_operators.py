@@ -89,6 +89,18 @@ class TestANN:
         # top-1 recall@5 should be decent even with tiny tables
         assert hits >= len(exact_top1) * 0.5
 
+    def test_lsh_ann_verification_params_full_recall(self, spark, embs):
+        """The registered s02 path uses verification-grade params
+        (4 planes x 48 tables); at suite scale the output must EQUAL
+        exact top-k — that equality is what makes the exact-cosine SQL
+        a true oracle for the LSH query."""
+        queries = embs.filter(F.col("vec_id") < 20)
+        exact = similarity.cosine_topk(embs, queries, k=5).collect()
+        approx = similarity.hyperplane_lsh_ann(
+            embs, queries, k=5, n_planes=4, n_tables=48
+        ).collect()
+        assert sorted(map(tuple, exact)) == sorted(map(tuple, approx))
+
     def test_ivf_ann_runs(self, spark, embs):
         out = similarity.ivf_ann(
             embs, embs.filter(F.col("vec_id") < 5), k=3
@@ -375,6 +387,36 @@ class TestCosineUdfDegenerate:
             df, threshold=0.9, n_planes=2, n_tables=4
         ).collect()
         assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+    def test_lsh_neardup_rejects_degenerate_thresholds(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0] * 8)], "vec_id long, embedding array<float>"
+        )
+        for bad in (1.0, -1.0, 1.5, -2.0):
+            with pytest.raises(ValueError, match="threshold"):
+                dedup.embedding_lsh_neardup_pairs(df, threshold=bad)
+        with pytest.raises(ValueError, match="n_planes"):
+            dedup.embedding_lsh_neardup_pairs(df, threshold=0.5, n_planes=63)
+
+    def test_lsh_neardup_auto_planes_capped_at_int64_packing(self, spark):
+        """threshold ≈ 0.999 would derive 63+ planes; the auto-params
+        must clamp to 62 so the 1 << plane shift can't overflow int64
+        and silently collapse bucket signatures."""
+        df = spark.createDataFrame(
+            [(1, [1.0] * 8), (2, [1.0] * 8)],
+            "vec_id long, embedding array<float>",
+        )
+        out = dedup.embedding_lsh_neardup_pairs(
+            df, threshold=0.9995, n_tables=2
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+    def test_lsh_neardup_empty_input_clear_error(self, spark):
+        df = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="non-null"):
+            dedup.embedding_lsh_neardup_pairs(df, threshold=0.5)
 
 
 class TestSamplingGuards:

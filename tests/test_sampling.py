@@ -83,3 +83,52 @@ class TestStratified:
         assert sorted(r.doc_id for r in a.collect()) == sorted(
             r.doc_id for r in b.collect()
         )
+
+
+class TestStratifiedDeterministic:
+    """The engine-independent-draw variant (the registered p03 path):
+    same statistical contract as sampleBy, plus an exactly replayable
+    row set (cross-engine parity in test_oracle_parity.py)."""
+
+    def test_rates_within_bounds(self, spark, docs):
+        out = sampling.stratified_sample_deterministic(
+            docs, "lang", {"en": 0.5}, key_col="doc_id", seed=7,
+            default_fraction=0.1,
+        )
+        got = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        tot = {r["lang"]: r["n"] for r in
+               docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        en_rate = got.get("en", 0) / tot["en"]
+        assert 0.3 < en_rate < 0.7
+        for lang, n in tot.items():
+            if lang == "en":
+                continue
+            if n >= 30:
+                assert got.get(lang, 0) / n < 0.35
+
+    def test_draw_is_pure_function_of_key_and_seed(self, spark, docs):
+        a = sampling.stratified_sample_deterministic(
+            docs, "lang", {"en": 0.5}, key_col="doc_id", seed=7
+        ).collect()
+        b = sampling.stratified_sample_deterministic(
+            docs, "lang", {"en": 0.5}, key_col="doc_id", seed=7
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # a different seed draws a different set (sanity that the seed
+        # actually participates)
+        c = sampling.stratified_sample_deterministic(
+            docs, "lang", {"en": 0.5}, key_col="doc_id", seed=8
+        ).collect()
+        assert sorted(r[0] for r in a) != sorted(r[0] for r in c)
+
+    def test_huge_keys_do_not_overflow(self, spark):
+        # ANSI mode throws on int64 overflow; the pre-multiply modulo
+        # must keep the draw finite at any key magnitude
+        df = spark.createDataFrame(
+            [(2**62 + i, "en") for i in range(20)], ["doc_id", "lang"]
+        )
+        out = sampling.stratified_sample_deterministic(
+            df, "lang", {"en": 0.5}, key_col="doc_id"
+        )
+        assert out.count() <= 20
