@@ -137,6 +137,27 @@ def bench_queries(spark):
         )
     )
 
+    # -- projection-pruning cost pair (A4) --
+    # PySpark's DataSourceReader (4.1) exposes no column-pruning hook,
+    # so a narrow SELECT over the 8-array store decodes all 8 arrays
+    # unless the projection is forwarded via the `columns` option
+    # (read_zarr(columns=...)). The pair keeps the gap a measured
+    # number. Locally the delta is modest (tiny local chunks → task
+    # overhead dominates); on an object store the unpruned form fetches
+    # 8x the bytes/GETs, which is the number that matters at 100 TB —
+    # tests/test_datasource.py asserts the pruned scan never touches
+    # the other arrays' chunks.
+    qs["zarr_narrow_unpruned"] = lambda: _force(
+        spark.table("zarr_bench").select("var1")
+    )
+
+    # analyzed once outside the thunk, same as the temp view the
+    # unpruned side reuses — the pair times execution, not re-planning
+    from arrow_zarr_spark import read_zarr
+
+    narrow_pruned_df = read_zarr(spark, zpath, columns=["var1"])
+    qs["zarr_narrow_pruned"] = lambda: _force(narrow_pruned_df)
+
     # -- relational headliners on the sf tables --
     qs["tpch_q1_agg"] = lambda: _force(
         spark.sql(

@@ -167,6 +167,25 @@ def test_columns_option(spark, latlon):
     assert df.count() == 64
 
 
+def test_read_zarr_convenience(spark, latlon):
+    """read_zarr forwards the projection into the scan (the A4
+    narrow-query contract: Python's DS API has no prune hook, so the
+    helper is how a wide-store user avoids decoding every array)."""
+    from arrow_zarr_spark import read_zarr
+
+    df = read_zarr(spark, latlon, columns=["lat", "data"])
+    assert [f.name for f in df.schema.fields] == ["lat", "data"]
+    assert df.count() == 64
+    # scan-level projection: the plan's read schema is the subset, not
+    # a Project over the full-width scan
+    assert "var" not in df.schema.simpleString()
+    # extra kwargs become reader options
+    df2 = read_zarr(spark, latlon, num_partitions=2)
+    assert df2.rdd.getNumPartitions() == 2
+    with pytest.raises(Exception, match="nope"):
+        read_zarr(spark, latlon, columns=["nope"]).count()
+
+
 def test_union_all(spark, latlon):
     """s3_bench.rs:236-244 — UNION ALL double scan."""
     n = spark.sql(

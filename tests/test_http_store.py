@@ -97,6 +97,59 @@ def test_spark_scan_over_http(spark, served_store):
     }
 
 
+def test_pruned_scan_never_fetches_other_arrays_chunks(spark, tmp_path):
+    """The A4 contract: read_zarr(columns=...) must keep the scan from
+    fetching the excluded arrays' chunk objects — on an object store
+    that is the 8x-bytes difference the bench pair can't show locally.
+    The server records every GET, so the assertion is on actual I/O."""
+    from arrow_zarr_spark import read_zarr
+
+    root = tmp_path / "http_root"
+    root.mkdir()
+    write_store(
+        str(root / "store"),
+        arrays={
+            "wanted": np.arange(64.0).reshape(8, 8),
+            "unwanted": np.arange(64.0, 128.0).reshape(8, 8),
+        },
+        chunk_shapes={"wanted": (4, 4), "unwanted": (4, 4)},
+        dimension_names={"wanted": ("x", "y"), "unwanted": ("x", "y")},
+    )
+    got_paths = []
+
+    class CountingHandler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(root), **kw)
+
+        def do_GET(self):
+            got_paths.append(self.path)
+            super().do_GET()
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), CountingHandler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/store"
+        df = read_zarr(spark, url, columns=["wanted"])
+        assert sorted(r.wanted for r in df.collect()) == sorted(
+            float(v) for v in range(64)
+        )
+        # chunk *objects* only — paths ending in "/" are the directory
+        # listing pages the schema-inference walk fetches for every
+        # array (metadata-scale, expected)
+        chunk_gets = [
+            p for p in got_paths if "/c/" in p and not p.endswith("/")
+        ]
+        assert any("/wanted/" in p for p in chunk_gets)
+        assert not any("/unwanted/" in p for p in chunk_gets), (
+            f"pruned scan fetched excluded-array chunks: {chunk_gets}"
+        )
+    finally:
+        httpd.shutdown()
+
+
 def test_sql_ddl_over_http(spark, served_store):
     url, _ = served_store
     spark.sql(
