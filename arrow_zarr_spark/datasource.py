@@ -67,7 +67,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .filters import ChunkPredicate, chunk_survives, compile_chunk_filters
+from .filters import ChunkPredicate, compile_chunk_filters, conjunction_mask
 from .zarr.array import ZarrArray, infer_store_arrays
 from .zarr.meta import ArrayMeta, ZarrFormatError
 from .zarr.store import open_store
@@ -319,17 +319,27 @@ class ZarrReader(DataSourceReader):
         self, cell: Tuple[int, ...]
     ) -> Optional[Dict[str, np.ndarray]]:
         """Filter phase then data phase for one chunk-grid cell, reusing
-        decoded filter columns (``zarr_data_stream.rs:829-916``)."""
+        decoded filter columns (``zarr_data_stream.rs:829-916``). The
+        filter phase's row mask rides along into the data phase: sharded
+        arrays use it to skip inner chunks with no surviving row (masked
+        rows may then carry fill values, which is sound because every
+        filter is reported unhandled and Spark re-applies them exactly —
+        a masked row always fails one)."""
         cols: Dict[str, np.ndarray] = {}
+        sel_mask = None
         if self.predicates:
             cols = self.plan.evaluate(cell, self.filter_columns)
-            if not chunk_survives(self.predicates, cols):
-                return None
+            mask = conjunction_mask(self.predicates, cols)
+            if mask is not None:
+                if not mask.any():
+                    return None
+                if not mask.all():
+                    sel_mask = mask
         remaining = [
             a.meta.name for a in self.arrays if a.meta.name not in cols
         ]
         if remaining:
-            cols.update(self.plan.evaluate(cell, remaining))
+            cols.update(self.plan.evaluate(cell, remaining, sel_mask=sel_mask))
         return cols
 
     _TARGET_BATCH_ROWS = 65536

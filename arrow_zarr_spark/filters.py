@@ -35,7 +35,7 @@ from pyspark.sql.datasource import (
     StringStartsWith,
 )
 
-__all__ = ["ChunkPredicate", "compile_chunk_filters"]
+__all__ = ["ChunkPredicate", "compile_chunk_filters", "conjunction_mask"]
 
 
 @dataclass(frozen=True)
@@ -140,17 +140,31 @@ def compile_chunk_filters(
     return preds, ref_cols
 
 
-def chunk_survives(
+def conjunction_mask(
     preds: Sequence[ChunkPredicate], cols: Dict[str, np.ndarray]
-) -> bool:
-    """True iff some row satisfies ALL predicates (``filter.rs:61-83``:
-    AND-combined masks, chunk skipped only when no row matches)."""
+):
+    """AND-combined row mask of the supported conjuncts over a decoded
+    cell, or None when there are no predicates. A False row provably
+    fails one of Spark's pushed filters, so (under the Inexact
+    contract, where Spark re-applies every filter above the scan) it
+    is safe to emit garbage/fill values for that row's other columns —
+    which is what lets shard decoding skip inner chunks whose rows are
+    all-False."""
     if not preds:
-        return True
+        return None
     mask = None
     for p in preds:
         m = p.mask(cols)
         mask = m if mask is None else (mask & m)
         if not mask.any():
-            return False
-    return bool(mask.any())
+            return mask
+    return mask
+
+
+def chunk_survives(
+    preds: Sequence[ChunkPredicate], cols: Dict[str, np.ndarray]
+) -> bool:
+    """True iff some row satisfies ALL predicates (``filter.rs:61-83``:
+    AND-combined masks, chunk skipped only when no row matches)."""
+    mask = conjunction_mask(preds, cols)
+    return True if mask is None else bool(mask.any())

@@ -34,9 +34,37 @@ class ZarrArray:
         parts.append(self.meta.chunk_key(chunk_idx))
         return "/".join(parts)
 
-    def read_chunk(self, chunk_idx: Sequence[int]) -> np.ndarray:
-        """Decode chunk ``chunk_idx``, returning only the in-bounds region."""
+    def read_chunk(
+        self,
+        chunk_idx: Sequence[int],
+        sel_mask: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Decode chunk ``chunk_idx``, returning only the in-bounds region.
+
+        ``sel_mask`` (bool, shaped like the valid region) marks the rows
+        the caller actually needs: for a sharded array with no trailing
+        whole-object codecs, inner chunks whose rows are all-False are
+        neither fetched nor decoded (their rows surface as fill values —
+        only sound when the caller guarantees masked-out rows are later
+        discarded, which the scan's Inexact-filter contract does). For
+        plain chunked arrays the mask is ignored — the chunk is the
+        pruning granule and the caller already skipped dead chunks."""
         valid = self.meta.valid_chunk_shape(chunk_idx)
+        if sel_mask is not None and not sel_mask.all():
+            from .codecs import (
+                PARTIAL_FALLBACK,
+                decode_shard_selected,
+                shard_partial_cfg,
+            )
+
+            cfg = shard_partial_cfg(self.meta)
+            if cfg is not None:
+                got = decode_shard_selected(
+                    self.meta, cfg, self.store, self._key(chunk_idx),
+                    valid, sel_mask,
+                )
+                if got is not PARTIAL_FALLBACK:
+                    return got
         raw = self.store.get(self._key(chunk_idx))
         if raw is None:
             fv = self.meta.fill_value

@@ -551,6 +551,117 @@ def _decode_shard(meta: ArrayMeta, data: bytes, cfg: dict) -> np.ndarray:
     return out
 
 
+#: sentinel: decode_shard_selected could not do a partial read — the
+#: caller must fall back to the whole-object path
+PARTIAL_FALLBACK = object()
+
+
+def shard_partial_cfg(meta: ArrayMeta):
+    """The sharding configuration when byte ranges within the stored
+    object map 1:1 onto inner-chunk extents — i.e. the chain is
+    sharding_indexed with NO trailing whole-object codecs — else None.
+    This is the precondition for partial-shard reads: a trailing gzip
+    over the shard object makes interior offsets meaningless.
+
+    The reference prunes at chunk granularity
+    (``zarr_data_stream.rs:849-872``); for sharded layouts that
+    granularity is the *inner* chunk, reachable through the shard
+    index without reading the rest of the shard."""
+    if meta.dtype == np.dtype(object):
+        return None
+    shard = _sharding_config(meta)
+    if shard is None:
+        return None
+    cfg, trailing = shard
+    if trailing:
+        return None
+    return cfg
+
+
+def decode_shard_selected(
+    meta: ArrayMeta,
+    cfg: dict,
+    store,
+    key: str,
+    valid_shape: tuple,
+    sel_mask: np.ndarray,
+):
+    """Decode only the inner chunks of shard ``key`` that contain at
+    least one True row of ``sel_mask`` (shaped ``valid_shape``); rows
+    of skipped inner chunks keep the fill value.
+
+    I/O: one ranged read for the shard index, then one ranged read per
+    *contiguous run* of selected inner chunks (adjacent selected
+    chunks coalesce, so an all-selected shard costs ~2 ranged reads,
+    and a one-chunk selection costs 2 small ones — never the whole
+    object). Returns the decoded array, or :data:`PARTIAL_FALLBACK`
+    when a partial read isn't possible (short/absent index, range read
+    came back short) and the caller should use the whole-object path.
+    A missing shard object decodes to all-fill (the missing-chunk
+    semantics of ``zarr_data_stream.rs:388-398``)."""
+    import itertools
+
+    (
+        inner_shape, cps, n_inner, inner_meta, idx_nbytes, has_crc, loc,
+        index_endian,
+    ) = _shard_geometry(meta, cfg)
+    idx_bytes = (
+        store.get_suffix(key, idx_nbytes)
+        if loc == "end"
+        else store.get_range(key, 0, idx_nbytes)
+    )
+    fv = meta.fill_value if meta.fill_value is not None else 0
+    if idx_bytes is None:
+        return np.full(valid_shape, fv, dtype=meta.dtype)
+    if len(idx_bytes) != idx_nbytes:
+        return PARTIAL_FALLBACK
+    if has_crc:
+        idx_bytes = idx_bytes[:-4]
+    idx_dtype = "<u8" if index_endian == "little" else ">u8"
+    index = np.frombuffer(idx_bytes, dtype=idx_dtype).reshape(n_inner, 2)
+
+    out = np.full(valid_shape, fv, dtype=meta.dtype)
+    selected = []
+    for flat, cell in enumerate(itertools.product(*(range(c) for c in cps))):
+        slices = []
+        in_bounds = True
+        for d, (c, i) in enumerate(zip(cell, inner_shape)):
+            start = c * i
+            if start >= valid_shape[d]:
+                in_bounds = False  # edge shard: inner chunk fully outside
+                break
+            slices.append(slice(start, min(start + i, valid_shape[d])))
+        if not in_bounds:
+            continue
+        slices = tuple(slices)
+        if not sel_mask[slices].any():
+            continue
+        off, nb = int(index[flat, 0]), int(index[flat, 1])
+        if off == _SHARD_MISSING and nb == _SHARD_MISSING:
+            continue  # missing inner chunk keeps the fill value
+        selected.append((slices, off, nb))
+
+    if not selected:
+        return out
+    selected.sort(key=lambda t: t[1])
+    runs = []  # [run_start, run_end, entries]
+    for entry in selected:
+        off, nb = entry[1], entry[2]
+        if runs and off == runs[-1][1]:
+            runs[-1][1] = off + nb
+            runs[-1][2].append(entry)
+        else:
+            runs.append([off, off + nb, [entry]])
+    for run_start, run_end, entries in runs:
+        blob = store.get_range(key, run_start, run_end - run_start)
+        if blob is None or len(blob) != run_end - run_start:
+            return PARTIAL_FALLBACK
+        for slices, off, nb in entries:
+            sub = decode_chunk(inner_meta, blob[off - run_start : off - run_start + nb])
+            out[slices] = sub[tuple(slice(0, s.stop - s.start) for s in slices)]
+    return out
+
+
 def _encode_shard(meta: ArrayMeta, arr: np.ndarray, cfg: dict) -> bytes:
     import itertools
 

@@ -24,6 +24,26 @@ class Store:
     def get(self, key: str) -> Optional[bytes]:
         raise NotImplementedError
 
+    def get_range(self, key: str, offset: int, length: int) -> Optional[bytes]:
+        """Bytes ``[offset, offset+length)`` of a key, or None if the
+        key is missing. May return fewer bytes near the object's end —
+        callers validate length. Default reads the whole object and
+        slices; backends with real partial reads (file seek, HTTP
+        Range) override — that is what makes partial-shard reads an
+        I/O saving rather than just a decode saving."""
+        raw = self.get(key)
+        if raw is None:
+            return None
+        return raw[offset : offset + length]
+
+    def get_suffix(self, key: str, length: int) -> Optional[bytes]:
+        """The last ``length`` bytes of a key (shard indexes with
+        ``index_location: end`` live there), or None if missing."""
+        raw = self.get(key)
+        if raw is None:
+            return None
+        return raw[-length:] if length < len(raw) else raw
+
     def set(self, key: str, value: bytes) -> None:
         raise NotImplementedError
 
@@ -79,6 +99,24 @@ class LocalStore(Store):
         except FileNotFoundError:
             return None
         except IsADirectoryError:
+            return None
+
+    def get_range(self, key: str, offset: int, length: int) -> Optional[bytes]:
+        try:
+            with open(self._path(key), "rb") as f:
+                f.seek(offset)
+                return f.read(length)
+        except (FileNotFoundError, IsADirectoryError):
+            return None
+
+    def get_suffix(self, key: str, length: int) -> Optional[bytes]:
+        try:
+            with open(self._path(key), "rb") as f:
+                f.seek(0, os.SEEK_END)
+                size = f.tell()
+                f.seek(max(0, size - length))
+                return f.read(length)
+        except (FileNotFoundError, IsADirectoryError):
             return None
 
     def set(self, key: str, value: bytes) -> None:
@@ -153,6 +191,58 @@ class HttpStore(Store):
 
     def get(self, key: str) -> Optional[bytes]:
         return self._fetch(f"{self.url}/{key}")
+
+    def _fetch_range(self, key: str, range_header: str) -> Optional[bytes]:
+        """GET with a Range header — the object-store access pattern
+        for partial shards (the reference's S3 path does ranged GETs
+        through object_store). A server that ignores Range returns 200
+        with the full body; slicing is then the caller's job, so this
+        returns (status, body)-normalized bytes plus a full-body flag
+        via exceptions-free logic below."""
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.url}/{key}", headers={"Range": range_header}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                body = r.read()
+                # 206 = server honored the range; 200 = full object
+                return (body, r.status == 206)
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            if e.code == 416:  # unsatisfiable range: treat as empty
+                return (b"", True)
+            raise ZarrFormatError(
+                f"HTTP {e.code} fetching range {range_header!r} of "
+                f"{self.url}/{key}"
+            ) from e
+        except urllib.error.URLError as e:
+            raise ZarrFormatError(
+                f"Cannot reach {self.url}/{key}: {e.reason}"
+            ) from e
+
+    def get_range(self, key: str, offset: int, length: int) -> Optional[bytes]:
+        if length <= 0:
+            return b""
+        got = self._fetch_range(key, f"bytes={offset}-{offset + length - 1}")
+        if got is None:
+            return None
+        body, partial = got
+        return body if partial else body[offset : offset + length]
+
+    def get_suffix(self, key: str, length: int) -> Optional[bytes]:
+        if length <= 0:
+            return b""
+        got = self._fetch_range(key, f"bytes=-{length}")
+        if got is None:
+            return None
+        body, partial = got
+        if partial:
+            return body
+        return body[-length:] if length < len(body) else body
 
     def set(self, key: str, value: bytes) -> None:
         raise ZarrFormatError("HTTP stores are read-only (scan-only backend)")

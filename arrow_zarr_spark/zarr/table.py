@@ -189,17 +189,30 @@ class ChunkPlan:
         self,
         cell: Tuple[int, ...],
         columns: Optional[Sequence[str]] = None,
+        sel_mask: Optional[np.ndarray] = None,
     ) -> Dict[str, np.ndarray]:
         """Read + broadcast + C-order-flatten the given columns of one grid
         cell. ``columns=None`` evaluates the full selection. Each output
         vector has ``cell_num_rows(cell)`` elements, aligned across
         columns (so filter-column evaluation composes with data columns —
         the reference's filter-column reuse, ``zarr_data_stream.rs:943-963``).
+
+        ``sel_mask`` is a flat boolean vector over the cell's rows (the
+        filter phase's surviving-row mask): data arrays pass it to
+        :meth:`ZarrArray.read_chunk`, where sharded layouts skip inner
+        chunks containing no True row. Rows it masks out may surface as
+        fill values — callers must discard them downstream (the scan's
+        Inexact contract guarantees this).
         """
         names = list(columns) if columns is not None else [
             a.meta.name for a in self.arrays
         ]
         shape = self._cell_shape(cell)
+        mask_nd = (
+            sel_mask.reshape(shape)
+            if sel_mask is not None and self.kind == "data"
+            else None
+        )
         out: Dict[str, np.ndarray] = {}
         for name in names:
             arr = self.by_name[name]
@@ -219,7 +232,7 @@ class ChunkPlan:
                 reshape[axis] = vec.shape[0]
                 block = np.broadcast_to(vec.reshape(reshape), shape)
             else:
-                block = arr.read_chunk(cell)
+                block = arr.read_chunk(cell, sel_mask=mask_nd)
             out[name] = np.ascontiguousarray(block).ravel()
         return out
 

@@ -129,6 +129,15 @@ def bench_queries(spark):
     qs["zarr_sharded_scan"] = lambda: _force(
         spark.table("zarr_bench_sharded")
     )
+    # selective filter over the sharded store: the filter-phase row mask
+    # drives inner-chunk pruning, so surviving shards decode only the
+    # inner chunks that contain matching rows (ranged reads, not whole
+    # objects) — compare against zarr_sharded_scan for the saving
+    qs["zarr_sharded_filter"] = lambda: _force(
+        spark.sql(
+            "SELECT var1, var2 FROM zarr_bench_sharded WHERE var1 < 8192"
+        )
+    )
 
     qs["zarr_filter_agg"] = lambda: _force(
         spark.sql(

@@ -251,3 +251,225 @@ def test_create_array_rejects_misaligned_shard():
             store, "x", shape=(8,), chunk_shape=(3,), dtype="int64",
             shard_shape=(8,),
         )
+
+
+# ---------------------------------------------------------------------------
+# inner-chunk pruning: partial shard reads driven by the filter row mask
+# ---------------------------------------------------------------------------
+
+
+class _CountingLocalStore:
+    """LocalStore wrapper recording every access — the observable for
+    'the pruned read never fetched the whole shard object'."""
+
+    def __init__(self, root):
+        from arrow_zarr_spark.zarr.store import LocalStore
+
+        self._inner = LocalStore(root)
+        self.full_gets = []
+        self.range_reads = []  # (key, offset_or_'suffix', length)
+
+    def get(self, key):
+        self.full_gets.append(key)
+        return self._inner.get(key)
+
+    def get_range(self, key, offset, length):
+        self.range_reads.append((key, offset, length))
+        return self._inner.get_range(key, offset, length)
+
+    def get_suffix(self, key, length):
+        self.range_reads.append((key, "suffix", length))
+        return self._inner.get_suffix(key, length)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def _sharded_array(tmp_path, shape=(12, 20), shard=(12, 20), inner=(3, 5)):
+    """One float64 array 'temp' stored as a single shard of inner
+    chunks; returns (counting_store, meta, data)."""
+    import os
+
+    from arrow_zarr_spark.zarr.meta import numpy_to_zarr_dtype
+    from arrow_zarr_spark.zarr.store import LocalStore
+    from arrow_zarr_spark.zarr.writer import write_array_data, write_root_group
+
+    root = str(tmp_path / "pstore")
+    plain = LocalStore(root)
+    write_root_group(plain)
+    data = np.arange(float(np.prod(shape))).reshape(shape)
+    meta = ArrayMeta(
+        name="temp",
+        shape=shape,
+        chunk_shape=shard,
+        zarr_dtype=numpy_to_zarr_dtype(np.dtype("float64")),
+        fill_value=-1.0,
+        codecs=_shard_codecs(
+            inner,
+            [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "zstd", "configuration": {"level": 3}},
+            ],
+        ),
+        dimension_names=("y", "x"),
+    )
+    plain.set("temp/zarr.json", json.dumps(meta.to_json()).encode())
+    write_array_data(plain, meta, data)
+    return _CountingLocalStore(root), meta, data
+
+
+class TestPartialShardReads:
+    def test_masked_read_fetches_only_selected_inner_chunks(self, tmp_path):
+        import os
+
+        from arrow_zarr_spark.zarr.array import ZarrArray
+
+        store, meta, data = _sharded_array(tmp_path)
+        arr = ZarrArray(store, meta)
+        # select only rows 0-2 (the first row of inner chunks: 4 of 16)
+        mask = np.zeros((12, 20), dtype=bool)
+        mask[:3, :] = True
+        out = arr.read_chunk((0, 0), sel_mask=mask)
+        # mask-True region is exact; masked-out rows are unspecified
+        np.testing.assert_array_equal(out[:3, :], data[:3, :])
+        # the whole shard object was never fetched
+        key = "temp/c/0/0"
+        assert key not in store.full_gets
+        reads = [r for r in store.range_reads if r[0] == key]
+        assert reads, "expected ranged reads against the shard"
+        # fetched strictly less than the object (index + 4 inner chunks)
+        obj_size = os.path.getsize(tmp_path / "pstore" / "temp" / "c" / "0" / "0")
+        fetched = sum(r[2] for r in reads)
+        assert fetched < obj_size
+
+    def test_masked_read_matches_full_decode_on_selected_rows(self, tmp_path):
+        from arrow_zarr_spark.zarr.array import ZarrArray
+
+        store, meta, data = _sharded_array(tmp_path)
+        arr = ZarrArray(store, meta)
+        rng = np.random.default_rng(7)
+        for _ in range(5):
+            mask = rng.random((12, 20)) < 0.15
+            if not mask.any():
+                continue
+            out = arr.read_chunk((0, 0), sel_mask=mask)
+            np.testing.assert_array_equal(out[mask], data[mask])
+
+    def test_all_true_mask_uses_whole_object_path(self, tmp_path):
+        from arrow_zarr_spark.zarr.array import ZarrArray
+
+        store, meta, data = _sharded_array(tmp_path)
+        arr = ZarrArray(store, meta)
+        out = arr.read_chunk((0, 0), sel_mask=np.ones((12, 20), dtype=bool))
+        np.testing.assert_array_equal(out, data)
+        assert "temp/c/0/0" in store.full_gets
+        assert not [r for r in store.range_reads if r[0] == "temp/c/0/0"]
+
+    def test_contiguous_selection_coalesces_to_one_body_read(self, tmp_path):
+        from arrow_zarr_spark.zarr.array import ZarrArray
+
+        store, meta, data = _sharded_array(tmp_path)
+        arr = ZarrArray(store, meta)
+        mask = np.zeros((12, 20), dtype=bool)
+        mask[:6, :] = True  # first 8 inner chunks, written contiguously
+        arr.read_chunk((0, 0), sel_mask=mask)
+        key = "temp/c/0/0"
+        body_reads = [
+            r for r in store.range_reads if r[0] == key and r[1] != "suffix"
+        ]
+        assert len(body_reads) == 1, body_reads
+
+    def test_missing_shard_object_fills(self, tmp_path):
+        from arrow_zarr_spark.zarr.array import ZarrArray
+        from arrow_zarr_spark.zarr.meta import numpy_to_zarr_dtype
+
+        store, meta, _ = _sharded_array(tmp_path)
+        store._inner.delete("temp/c/0/0")
+        arr = ZarrArray(store, meta)
+        mask = np.zeros((12, 20), dtype=bool)
+        mask[0, 0] = True
+        out = arr.read_chunk((0, 0), sel_mask=mask)
+        assert (out == -1.0).all()
+
+    def test_trailing_compressor_falls_back_to_whole_object(self, tmp_path):
+        """A gzip over the shard object makes interior offsets opaque —
+        the masked read must transparently use the full path."""
+        from arrow_zarr_spark.zarr.array import ZarrArray
+        from arrow_zarr_spark.zarr.meta import numpy_to_zarr_dtype
+        from arrow_zarr_spark.zarr.store import LocalStore
+        from arrow_zarr_spark.zarr.writer import write_array_data, write_root_group
+
+        root = str(tmp_path / "gz")
+        plain = LocalStore(root)
+        write_root_group(plain)
+        data = np.arange(96.0).reshape(8, 12)
+        meta = ArrayMeta(
+            name="temp",
+            shape=(8, 12),
+            chunk_shape=(8, 12),
+            zarr_dtype=numpy_to_zarr_dtype(np.dtype("float64")),
+            fill_value=0,
+            codecs=_shard_codecs((4, 3))
+            + [{"name": "gzip", "configuration": {"level": 1}}],
+            dimension_names=("y", "x"),
+        )
+        plain.set("temp/zarr.json", json.dumps(meta.to_json()).encode())
+        write_array_data(plain, meta, data)
+        store = _CountingLocalStore(root)
+        arr = ZarrArray(store, meta)
+        mask = np.zeros((8, 12), dtype=bool)
+        mask[0, 0] = True
+        out = arr.read_chunk((0, 0), sel_mask=mask)
+        np.testing.assert_array_equal(out, data)
+        assert "temp/c/0/0" in store.full_gets
+
+    def test_edge_shard_partial_read(self, tmp_path):
+        """Shards at the array edge have inner chunks partially or fully
+        outside the valid region; the masked read must slice correctly
+        and skip fully-out-of-bounds inner chunks."""
+        from arrow_zarr_spark.zarr.array import ZarrArray
+
+        # array 10x14, shard 12x20 -> single edge shard, valid (10, 14)
+        store, meta, data = _sharded_array(
+            tmp_path, shape=(10, 14), shard=(12, 20), inner=(3, 5)
+        )
+        arr = ZarrArray(store, meta)
+        mask = np.zeros((10, 14), dtype=bool)
+        mask[8:, 10:] = True  # bottom-right corner of the valid region
+        out = arr.read_chunk((0, 0), sel_mask=mask)
+        assert out.shape == (10, 14)
+        np.testing.assert_array_equal(out[mask], data[mask])
+
+    def test_spark_filter_over_sharded_store_is_exact(self, spark, tmp_path):
+        """End-to-end: the scan's filter mask drives inner-chunk
+        pruning, and Spark's exact re-filter hides the fill-valued
+        masked-out rows — results identical to an unfiltered scan plus
+        a driver-side filter."""
+        from arrow_zarr_spark.zarr.meta import numpy_to_zarr_dtype
+        from arrow_zarr_spark.zarr.store import open_store
+        from arrow_zarr_spark.zarr.writer import write_array_data, write_root_group
+
+        path = str(tmp_path / "s")
+        store = open_store(path)
+        write_root_group(store)
+        data = np.arange(240.0).reshape(12, 20)
+        other = data * 10.0
+        for name, arrdata in [("temp", data), ("press", other)]:
+            meta = ArrayMeta(
+                name=name,
+                shape=(12, 20),
+                chunk_shape=(6, 10),
+                zarr_dtype=numpy_to_zarr_dtype(np.dtype("float64")),
+                fill_value=0,
+                codecs=_shard_codecs((3, 5)),
+                dimension_names=("y", "x"),
+            )
+            store.set(f"{name}/zarr.json", json.dumps(meta.to_json()).encode())
+            write_array_data(store, meta, arrdata)
+
+        df = spark.read.format("zarr").load(path)
+        got = {
+            (r.temp, r.press)
+            for r in df.filter("temp >= 37 AND temp < 41").collect()
+        }
+        assert got == {(v, v * 10.0) for v in (37.0, 38.0, 39.0, 40.0)}
