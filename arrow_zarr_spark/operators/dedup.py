@@ -387,6 +387,104 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, how
+    many of its distinct word ``k``-grams appear anywhere in the
+    evaluation set (``n_contaminated``), plus the fraction of the
+    document's grams that are contaminated.
+
+    The shape that survives 100 TB: the eval set is benchmark-sized, so
+    its distinct gram table broadcasts; the corpus side is one explode
+    (scan-bound) + a broadcast LEFT semi-style join + one groupBy on
+    the doc id (map-side combine). Docs with zero overlap are kept
+    (contamination 0) — silently dropping clean docs would invert the
+    operator's meaning."""
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias(
+            "gram"
+        ),
+    )
+    eval_grams = eval_df.select(
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias(
+            "gram"
+        )
+    ).distinct()
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                / F.col("n_grams"),
+                6,
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The keep-list step of a dedup pipeline: collapse near-duplicate
+    PAIRS into groups (connected components) and pick one canonical
+    document per group — highest :func:`quality_score`, doc id as the
+    deterministic tiebreak.
+
+    Output: one row per component with the canonical doc, the member
+    count, and the winning quality. Composition of two scale-safe
+    operators (label propagation + one window over components); the
+    window partitions by component, whose cardinality is the group
+    count — no global sort, no skew beyond the largest dup group."""
+    from .text import quality_score
+
+    from pyspark.sql import Window
+
+    comp = connected_components(docs, pairs, id_col=id_col)
+    quality = quality_score(docs, text_col=text_col).select(
+        F.col(id_col), "quality"
+    )
+    joined = comp.join(quality, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    ranked = joined.select(
+        id_col,
+        "component",
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("component")).alias("n_members"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col(id_col).alias("canonical_doc_id"),
+            "n_members",
+            F.col("quality").alias("best_quality"),
+        )
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -31,6 +31,7 @@ __all__ = [
     "token_budget_sample",
     "stratified_sample",
     "stratified_sample_deterministic",
+    "rebalance_mixture",
 ]
 
 
@@ -133,6 +134,59 @@ def stratified_sample_deterministic(
             F.col(strata_col) == F.lit(stratum), F.lit(float(fraction))
         ).otherwise(frac)
     return df.filter(draw < frac * _DRAW_MOD)
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    group_col: str,
+    target_weights: Dict,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample groups so the surviving corpus matches a target
+    mixture (e.g. ``{"web": 0.6, "code": 0.3, "books": 0.1}``) while
+    keeping as many rows as possible.
+
+    The binding group is the one with the least data relative to its
+    weight: ``scale = min_g(count_g / weight_g)`` rows of total output
+    are achievable, so each group keeps ``weight_g * scale / count_g``
+    of its rows via the same engine-independent deterministic draw as
+    :func:`stratified_sample_deterministic` (DuckDB replays the exact
+    row set). Groups absent from ``target_weights`` are dropped — a
+    mixture definition is a whitelist.
+
+    Plan shape at 100 TB: one groupBy for counts (tiny result), the
+    min-scale as a broadcast aggregate, one broadcast join of the
+    per-group fraction back onto the corpus, then a WHERE — the corpus
+    is scanned once and never shuffled."""
+    if not target_weights:
+        raise ValueError("rebalance_mixture: target_weights is empty")
+    weights = F.create_map(
+        *[
+            F.lit(x)
+            for kv in sorted(target_weights.items())
+            for x in (kv[0], float(kv[1]))
+        ]
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("n_g"))
+        .withColumn("w_g", weights[F.col(group_col)])
+        .filter(F.col("w_g").isNotNull())
+    )
+    scale = counts.agg(F.min(F.col("n_g") / F.col("w_g")).alias("scale"))
+    fracs = counts.crossJoin(F.broadcast(scale)).select(
+        group_col,
+        (F.col("w_g") * F.col("scale") / F.col("n_g")).alias("keep_frac"),
+    )
+    draw = (
+        (F.col(key_col) % _DRAW_MOD + F.lit(seed)) * F.lit(_DRAW_MULT)
+    ) % _DRAW_MOD
+    return (
+        df.join(F.broadcast(fracs), group_col)
+        .filter(draw < F.col("keep_frac") * _DRAW_MOD)
+        .select(*df.columns)
+    )
 
 
 def stratified_sample(

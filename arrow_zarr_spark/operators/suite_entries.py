@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 from ..suite import ensure_views
 from . import dedup, multimodal, similarity, text
 
-__all__ = ["populate_operator_queries", "populate_deferred_queries"]
+__all__ = [
+    "populate_operator_queries",
+    "populate_extended_queries",
+    "populate_deferred_queries",
+]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,6 +609,205 @@ def populate_operator_queries(register) -> None:
         "SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, "
         "ROUND(tf.tf * (LN((total.n_docs + 1) * 1.0 / (dfreq.df + 1)) + 1.0), 6) "
         "AS tfidf6 FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total",
+    )
+
+
+def populate_extended_queries(register) -> None:
+    """Round-3 additions to the LLM-data-pipeline surface — all
+    oracle-backed, registered past the (already full) 50-query driver
+    window; cross-engine parity is enforced every round by
+    tests/test_oracle_parity.py and they rotate into the window as
+    older rows go multi-round green."""
+    from . import sampling
+    from .text import PII_PATTERNS
+
+    # t08: PII redaction. The synthetic corpus carries no PII, so the
+    # suite form plants a deterministic email/IP/phone per doc (both
+    # engines build the same string) and the redaction must find and
+    # scrub all three.
+    _SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" tel 555-123-4567"),
+    )
+
+    def t08(spark, sf_dir):
+        from .text import pii_redact
+
+        docs = _docs(spark, sf_dir).withColumn("text", _SUFFIX_SPARK())
+        return pii_redact(docs)
+
+    _EM, _IP, _PH = (
+        PII_PATTERNS["email"], PII_PATTERNS["ip"], PII_PATTERNS["phone"],
+    )
+    register(
+        "t08_pii_redact",
+        t08,
+        "WITH d AS (SELECT doc_id, text || ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com or 10.0.0.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || ' tel 555-123-4567' AS text "
+        "FROM documents) "
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{_EM}', "
+        f"'<EMAIL>', 'g'), '{_IP}', '<IP>', 'g'), '{_PH}', '<PHONE>', 'g') "
+        "AS clean_text, "
+        f"CAST(len(regexp_extract_all(text, '{_EM}')) AS INTEGER) AS n_emails, "
+        f"CAST(len(regexp_extract_all(text, '{_IP}')) AS INTEGER) AS n_ips, "
+        f"CAST(len(regexp_extract_all(text, '{_PH}')) AS INTEGER) AS n_phones "
+        "FROM d",
+    )
+
+    # t09: Gopher-style repetition signals
+    def t09(spark, sf_dir):
+        from .text import repetition_signals
+
+        return repetition_signals(_docs(spark, sf_dir))
+
+    register(
+        "t09_repetition_signals",
+        t09,
+        "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "wstats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, "
+        "CAST(MAX(c) AS BIGINT) AS top_word_count FROM ("
+        "  SELECT doc_id, COUNT(*) AS c FROM "
+        "  (SELECT doc_id, UNNEST(ws) AS w FROM ws) GROUP BY doc_id, w) "
+        "GROUP BY doc_id), "
+        "grams AS (SELECT doc_id, "
+        "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) "
+        "AS g2, "
+        "list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] "
+        "|| ' ' || ws[i+2]) AS g3 FROM ws) "
+        "SELECT w.doc_id, n_words, top_word_count, "
+        "ROUND(top_word_count * 1.0 / n_words, 6) AS top_word_frac, "
+        "CASE WHEN len(g2) > 0 THEN ROUND((len(g2) - "
+        "len(list_distinct(g2))) * 1.0 / len(g2), 6) ELSE 0.0 END "
+        "AS dup_bigram_frac, "
+        "CASE WHEN len(g3) > 0 THEN ROUND((len(g3) - "
+        "len(list_distinct(g3))) * 1.0 / len(g3), 6) ELSE 0.0 END "
+        "AS dup_trigram_frac "
+        "FROM wstats w JOIN grams g ON w.doc_id = g.doc_id",
+    )
+
+    # d09: benchmark-contamination check (corpus 5-grams vs a held-out
+    # eval slice). The eval set is every 97th doc — deterministic and
+    # engine-independent.
+    def d09(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        return dedup.ngram_contamination(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            k=5,
+        )
+
+    register(
+        "d09_ngram_contamination",
+        d09,
+        "WITH gl AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, len(ws)-3), i -> ws[i] || ' ' || ws[i+1] || ' ' || "
+        "ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gl "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents)), "
+        "doc_g AS (SELECT doc_id, t.gram AS gram FROM gl, "
+        "UNNEST(gl.gl) AS t(gram) WHERE doc_id % 97 <> 0), "
+        "eval_g AS (SELECT DISTINCT t.gram AS gram FROM gl, "
+        "UNNEST(gl.gl) AS t(gram) WHERE doc_id % 97 = 0), "
+        "totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM doc_g "
+        "GROUP BY doc_id), "
+        "hits AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM doc_g "
+        "JOIN eval_g USING (gram) GROUP BY doc_id) "
+        "SELECT t.doc_id, n_grams, "
+        "COALESCE(n_contaminated, 0) AS n_contaminated, "
+        "ROUND(COALESCE(n_contaminated, 0) * 1.0 / n_grams, 6) "
+        "AS contamination_frac FROM totals t LEFT JOIN hits USING (doc_id)",
+    )
+
+    # d10: canonical-doc selection — near-dup pairs → components →
+    # best-quality doc per group (the keep-list of a dedup pipeline)
+    def d10(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.7).select(
+            "id_a", "id_b"
+        )
+        return dedup.canonical_docs(docs, pairs)
+
+    register(
+        "d10_canonical_docs",
+        d10,
+        "WITH RECURSIVE "
+        + _TRI_CTE
+        + ", sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tri GROUP BY doc_id)"
+        ", shared AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared"
+        "  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2), "
+        "pairs AS (SELECT id_a, id_b FROM ("
+        "  SELECT id_a, id_b, "
+        "  shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS j"
+        "  FROM shared JOIN sizes sa ON sa.doc_id = shared.id_a"
+        "  JOIN sizes sb ON sb.doc_id = shared.id_b) WHERE j >= 0.7), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "reach AS ("
+        "  SELECT doc_id AS id, doc_id AS label FROM documents "
+        "  UNION "
+        "  SELECT e.dst AS id, r.label FROM reach r "
+        "  JOIN edges e ON e.src = r.id), "
+        "comp AS (SELECT id AS doc_id, MIN(label) AS component "
+        "FROM reach GROUP BY id), "
+        "qual AS (SELECT doc_id, "
+        "ROUND(0.4 * len_ok + 0.3 * wordlen_ok + 0.3 * diversity, 6) AS "
+        "quality FROM ("
+        "SELECT doc_id, "
+        "n_distinct_words / (n_words * 1.0) AS diversity, "
+        "CASE WHEN n_words >= 10 AND n_words <= 1000 THEN 1.0 ELSE 0.3 END "
+        "AS len_ok, "
+        "CASE WHEN avg_word_len >= 2.0 AND avg_word_len <= 12.0 THEN 1.0 "
+        "ELSE 0.4 END AS wordlen_ok FROM ("
+        "SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words, "
+        "CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct_words, "
+        "(LENGTH(text) - (len(ws) - 1)) / (len(ws) * 1.0) AS avg_word_len "
+        "FROM (SELECT doc_id, text, string_split(text, ' ') AS ws "
+        "FROM documents)))) "
+        "SELECT component, doc_id AS canonical_doc_id, n_members, "
+        "quality AS best_quality FROM ("
+        "SELECT c.component, c.doc_id, q.quality, "
+        "ROW_NUMBER() OVER (PARTITION BY c.component "
+        "ORDER BY q.quality DESC, c.doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY c.component) AS n_members "
+        "FROM comp c JOIN qual q ON c.doc_id = q.doc_id) WHERE rn = 1",
+    )
+
+    # p04: mixture rebalancing to target source weights, deterministic
+    # draw so the oracle replays the exact surviving row set
+    def p04(spark, sf_dir):
+        return sampling.rebalance_mixture(
+            _docs(spark, sf_dir),
+            "source",
+            {"src0": 0.3, "src1": 0.2, "src2": 0.5},
+            key_col="doc_id",
+            seed=42,
+        )
+
+    register(
+        "p04_rebalance_mixture",
+        p04,
+        "WITH counts AS (SELECT source, COUNT(*) AS n_g FROM documents "
+        "WHERE source IN ('src0', 'src1', 'src2') GROUP BY source), "
+        "w AS (SELECT source, n_g, CASE source "
+        "WHEN 'src0' THEN CAST(0.3 AS DOUBLE) "
+        "WHEN 'src1' THEN CAST(0.2 AS DOUBLE) "
+        "ELSE CAST(0.5 AS DOUBLE) END AS w_g FROM counts), "
+        "s AS (SELECT MIN(n_g / w_g) AS scale FROM w), "
+        "fr AS (SELECT source, w_g * scale / n_g AS keep_frac "
+        "FROM w CROSS JOIN s) "
+        "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars "
+        "FROM documents d JOIN fr USING (source) "
+        "WHERE ((doc_id % 1000003 + 42) * 2654435761) % 1000003 "
+        "< keep_frac * 1000003",
     )
 
 

@@ -27,7 +27,19 @@ __all__ = [
     "word_code_sql",
     "top_ngrams",
     "tf_idf",
+    "pii_redact",
+    "repetition_signals",
 ]
+
+#: PII patterns, shared by redaction and counting. Kept to the regex
+#: subset Java (Spark) and RE2 (DuckDB, the oracle engine) evaluate
+#: identically: literal classes, bounded repeats, \b word boundaries —
+#: no backrefs or lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 STOPWORDS = {
@@ -209,6 +221,95 @@ def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         exploded.groupBy("doc_id")
         .agg((F.sum(contrib) % F.lit(2147483647)).alias("fingerprint"))
+    )
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, IPv4 addresses, and phone numbers, replacing each
+    with a typed placeholder (``<EMAIL>`` etc.), and count what was
+    removed per document.
+
+    Order matters and is fixed: emails first (their host part would
+    otherwise be half-eaten by the IP pattern), then IPs, then phones.
+    Pure ``regexp_replace``/``regexp_extract_all`` — a narrow per-row
+    projection that pipelines at scan speed on 100 TB, and the pattern
+    subset is chosen so the DuckDB oracle replays it byte-for-byte."""
+    text = F.col(text_col)
+    counts = {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+    clean = text
+    for kind in ("email", "ip", "phone"):  # fixed order, see docstring
+        clean = F.regexp_replace(
+            clean, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return df.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        counts["email"].alias("n_emails"),
+        counts["ip"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top_word_frac``: occurrences of the most frequent word over all
+      words (near 1.0 = degenerate repetition),
+    - ``dup_bigram_frac`` / ``dup_trigram_frac``: fraction of n-grams
+      that are repeats of an earlier n-gram in the same document.
+
+    Word stats go through explode + two-level groupBy (map-side
+    combine, one shuffle keyed on doc_id — scan-bound at 100 TB); the
+    n-gram fractions are per-row higher-order functions, no shuffle at
+    all. Fractions round to 6 places for stable cross-engine hashes."""
+    words = words_col(F.col(text_col))
+
+    def _dup_frac(n: int) -> Column:
+        grams = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.when(
+            F.size(grams) > 0,
+            F.round(
+                (F.size(grams) - F.size(F.array_distinct(grams)))
+                / F.size(grams),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    per_word = (
+        df.select("doc_id", F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_word_count"),
+            F.sum("c").alias("n_words"),
+        )
+    )
+    gram_fracs = df.select(
+        "doc_id",
+        _dup_frac(2).alias("dup_bigram_frac"),
+        _dup_frac(3).alias("dup_trigram_frac"),
+    )
+    return per_word.join(gram_fracs, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "top_word_count",
+        F.round(F.col("top_word_count") / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+        "dup_bigram_frac",
+        "dup_trigram_frac",
     )
 
 

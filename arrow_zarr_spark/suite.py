@@ -818,10 +818,15 @@ def _ensure_populated() -> None:
     _populate_tier_b()
     _populate_relational()
     # past the 50-query window from here: two-round-green tier-B shapes
-    # (still parity-tested locally every round), then the queries whose
-    # engine-specific outputs admit no SQL oracle (rows-only checks)
+    # (still parity-tested locally every round), then the round-3
+    # oracle-backed additions, then the queries whose engine-specific
+    # outputs admit no SQL oracle (rows-only checks)
     _populate_tier_b_deferred()
-    from .operators.suite_entries import populate_deferred_queries
+    from .operators.suite_entries import (
+        populate_deferred_queries,
+        populate_extended_queries,
+    )
 
+    populate_extended_queries(register_query)
     populate_deferred_queries(register_query)
     _populated = True

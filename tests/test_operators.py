@@ -425,3 +425,121 @@ class TestSamplingGuards:
 
         with pytest.raises(ValueError, match="tiebreak_col"):
             sampling.per_group_quota(docs, "source", ["n_chars"], 3)
+
+
+class TestPiiRedact:
+    def test_redacts_all_three_kinds(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "write to alice.smith+x@corp-mail.co.uk for help"),
+                (2, "server at 192.168.1.7 answered"),
+                (3, "call 555-123-4567 or 555.987.6543 now"),
+                (4, "clean text with no identifiers at all"),
+                (5, "both bob@x.io and 10.0.0.1 and 111-222-3333"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in text.pii_redact(df).collect()}
+        assert out[1].clean_text == "write to <EMAIL> for help"
+        assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 0, 0)
+        assert out[2].clean_text == "server at <IP> answered"
+        assert out[3].clean_text == "call <PHONE> or <PHONE> now"
+        assert out[3].n_phones == 2
+        assert out[4].clean_text == "clean text with no identifiers at all"
+        assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
+        assert out[5].clean_text == "both <EMAIL> and <IP> and <PHONE>"
+
+    def test_numeric_host_address_degrades_to_ip(self, spark):
+        # a@10.0.0.1 has no alphabetic TLD, so the email pattern does
+        # not claim it — the IP inside still gets scrubbed (the address
+        # is redacted either way, just under the narrower type)
+        df = spark.createDataFrame([(1, "ping a@10.0.0.1 now")], ["doc_id", "text"])
+        r = text.pii_redact(df).first()
+        assert r.clean_text == "ping a@<IP> now"
+        assert (r.n_emails, r.n_ips) == (0, 1)
+
+
+class TestRepetitionSignals:
+    def test_degenerate_repetition_flagged(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam spam"),
+                (2, "all words here are fully distinct tokens"),
+                (3, "ab ab cd ab ab cd"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+        assert out[1].top_word_frac == 1.0
+        # 4 bigrams, all "spam spam" -> 1 distinct -> 3/4 duplicated
+        assert out[1].dup_bigram_frac == 0.75
+        assert out[1].dup_trigram_frac == pytest.approx(2 / 3, abs=1e-6)
+        assert out[2].top_word_frac == pytest.approx(1 / 7)
+        assert out[2].dup_bigram_frac == 0.0
+        assert out[2].dup_trigram_frac == 0.0
+        # doc 3: 6 words, 5 bigrams: [ab ab, ab cd, cd ab, ab ab, ab cd]
+        # -> 3 distinct -> 2/5 duplicated
+        assert out[3].dup_bigram_frac == 0.4
+        assert out[3].top_word_count == 4
+
+    def test_single_word_doc(self, spark):
+        df = spark.createDataFrame([(1, "word")], ["doc_id", "text"])
+        r = text.repetition_signals(df).first()
+        assert r.n_words == 1
+        assert r.dup_bigram_frac == 0.0
+        assert r.dup_trigram_frac == 0.0
+
+
+class TestContamination:
+    def test_exact_overlap_fractions(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),     # grams: abcde, bcdef
+                (2, "a b c d e x y z"), # grams: abcde, bcdex, cdexy, dexyz
+                (3, "p q r s t u"),     # grams: pqrst, qrstu (no overlap)
+            ],
+            ["doc_id", "text"],
+        )
+        eval_df = spark.createDataFrame(
+            [(100, "a b c d e f g")],  # grams: abcde, bcdef, cdefg
+            ["doc_id", "text"],
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.ngram_contamination(corpus, eval_df, k=5).collect()
+        }
+        assert (out[1].n_grams, out[1].n_contaminated) == (2, 2)
+        assert out[1].contamination_frac == 1.0
+        assert (out[2].n_grams, out[2].n_contaminated) == (4, 1)
+        assert out[2].contamination_frac == 0.25
+        assert (out[3].n_grams, out[3].n_contaminated) == (2, 0)
+        assert out[3].contamination_frac == 0.0
+
+    def test_short_docs_have_no_grams(self, spark):
+        corpus = spark.createDataFrame([(1, "too short")], ["doc_id", "text"])
+        eval_df = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
+        assert dedup.ngram_contamination(corpus, eval_df, k=5).count() == 0
+
+
+class TestCanonicalDocs:
+    def test_picks_best_quality_per_component(self, spark):
+        # 1-2 near-dup (same long good text), 3 singleton short text
+        good = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [(1, good), (2, good + " extra"), (3, "tiny doc")],
+            ["doc_id", "text"],
+        )
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        out = {r.component: r for r in dedup.canonical_docs(df, pairs).collect()}
+        assert set(out) == {1, 3}
+        assert out[1].n_members == 2
+        assert out[3].n_members == 1
+        assert out[3].canonical_doc_id == 3
+        # within the pair, the winner is the higher quality_score; on a
+        # tie the smaller doc_id
+        from arrow_zarr_spark.operators.text import quality_score
+
+        q = {r.doc_id: r.quality for r in quality_score(df).collect()}
+        expect = 1 if q[1] >= q[2] else 2
+        assert out[1].canonical_doc_id == expect
+        assert out[1].best_quality == max(q[1], q[2])

@@ -132,3 +132,52 @@ class TestStratifiedDeterministic:
             df, "lang", {"en": 0.5}, key_col="doc_id"
         )
         assert out.count() <= 20
+
+
+class TestRebalanceMixture:
+    def test_realized_mix_tracks_targets(self, spark, docs):
+        out = sampling.rebalance_mixture(
+            docs, "source", {"src0": 0.3, "src1": 0.2, "src2": 0.5},
+            key_col="doc_id",
+        )
+        got = {r["source"]: r["n"] for r in
+               out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        # only whitelisted sources survive
+        assert set(got) <= {"src0", "src1", "src2"}
+        total = sum(got.values())
+        assert total > 0
+        # realized proportions within a loose Bernoulli band
+        for src, w in [("src0", 0.3), ("src1", 0.2), ("src2", 0.5)]:
+            assert abs(got.get(src, 0) / total - w) < 0.25
+
+    def test_deterministic_and_schema_preserving(self, spark, docs):
+        a = sampling.rebalance_mixture(
+            docs, "source", {"src0": 0.5, "src1": 0.5}, key_col="doc_id"
+        )
+        b = sampling.rebalance_mixture(
+            docs, "source", {"src0": 0.5, "src1": 0.5}, key_col="doc_id"
+        )
+        assert a.columns == docs.columns
+        assert sorted(r.doc_id for r in a.collect()) == sorted(
+            r.doc_id for r in b.collect()
+        )
+
+    def test_binding_group_kept_whole(self, spark):
+        # src_rare has far less data than its weight demands -> it is
+        # the binding group and keeps every row (keep_frac == 1.0)
+        rows = [(i, "src_big") for i in range(400)] + [
+            (1000 + i, "src_rare") for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = sampling.rebalance_mixture(
+            df, "source", {"src_big": 0.5, "src_rare": 0.5}, key_col="doc_id"
+        )
+        got = {r["source"]: r["n"] for r in
+               out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert got["src_rare"] == 10
+        # big side downsampled toward ~10 (Bernoulli, not exact-N)
+        assert got["src_big"] < 60
+
+    def test_empty_weights_rejected(self, spark, docs):
+        with pytest.raises(ValueError, match="empty"):
+            sampling.rebalance_mixture(docs, "source", {}, key_col="doc_id")
