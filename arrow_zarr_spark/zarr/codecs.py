@@ -343,6 +343,28 @@ def _bb_decode(name: str, config: dict, data: bytes, decoded_size: int) -> bytes
         if not _HAVE_PA:
             raise ZarrFormatError("blosc codec requires pyarrow")
         return _blosc_decompress(data)
+    if name == "v2_delta":
+        # numcodecs Delta filter (zarr v2): stored values are successive
+        # differences over the flat buffer; decode = cumulative sum in
+        # the filter's own dtype (wraparound semantics match numcodecs)
+        dt = np.dtype(config["dtype"])
+        if len(data) % dt.itemsize:
+            raise ZarrFormatError(
+                f"v2 delta filter: {len(data)} bytes is not a multiple "
+                f"of itemsize {dt.itemsize}"
+            )
+        return np.cumsum(np.frombuffer(data, dtype=dt), dtype=dt).tobytes()
+    if name == "v2_shuffle":
+        # numcodecs Shuffle filter: byte transpose with elementsize
+        es = int(config.get("elementsize", 4) or 4)
+        if es <= 1:
+            return data
+        if len(data) % es:
+            raise ZarrFormatError(
+                f"v2 shuffle filter: {len(data)} bytes is not a multiple "
+                f"of elementsize {es}"
+            )
+        return _byte_unshuffle(data, es)
     raise ZarrFormatError(f"Unsupported bytes codec {name!r}")
 
 
@@ -382,6 +404,25 @@ def _bb_encode(name: str, config: dict, data: bytes) -> bytes:
             shuffle=config.get("shuffle", "noshuffle"),
             blocksize=int(config.get("blocksize", 0) or 0),
         )
+    if name == "v2_delta":
+        dt = np.dtype(config["dtype"])
+        arr = np.frombuffer(data, dtype=dt)
+        out = np.empty_like(arr)
+        if len(arr):
+            out[0] = arr[0]
+            # C-style wraparound on overflow, matching decode's cumsum
+            np.subtract(arr[1:], arr[:-1], out=out[1:])
+        return out.tobytes()
+    if name == "v2_shuffle":
+        es = int(config.get("elementsize", 4) or 4)
+        if es <= 1:
+            return data
+        if len(data) % es:
+            raise ZarrFormatError(
+                f"v2 shuffle filter: {len(data)} bytes is not a multiple "
+                f"of elementsize {es}"
+            )
+        return _byte_shuffle(data, es)
     raise ZarrFormatError(f"Unsupported bytes codec {name!r}")
 
 

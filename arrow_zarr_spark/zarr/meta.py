@@ -281,6 +281,51 @@ def parse_array_meta(name: str, raw: bytes) -> ArrayMeta:
     )
 
 
+def _v2_filters_to_codecs(name: str, filters, np_dtype) -> list:
+    """Map numcodecs *filter* documents (applied between array bytes
+    and the compressor) to bytes→bytes codecs. Supported: ``delta``
+    (when it stores in the array's own dtype — an ``astype`` that
+    differs would change the raw buffer's type under the ``bytes``
+    codec's feet) and ``shuffle``. Anything else gets a clear error
+    naming the filter."""
+    out = []
+    for f in filters or []:
+        fid = (f or {}).get("id")
+        if fid == "delta":
+            dt = np.dtype(f.get("dtype", np_dtype.str))
+            astype = f.get("astype")
+            if astype is not None and np.dtype(astype) != dt:
+                raise ZarrFormatError(
+                    f"zarr v2 delta filter with astype={astype!r} != "
+                    f"dtype={f.get('dtype')!r} is not supported "
+                    f"(array {name})"
+                )
+            if dt != np_dtype:
+                raise ZarrFormatError(
+                    f"zarr v2 delta filter dtype {dt.str!r} differs from "
+                    f"array dtype {np_dtype.str!r} (array {name})"
+                )
+            out.append(
+                {"name": "v2_delta", "configuration": {"dtype": dt.str}}
+            )
+        elif fid == "shuffle":
+            out.append(
+                {
+                    "name": "v2_shuffle",
+                    "configuration": {
+                        "elementsize": f.get(
+                            "elementsize", np_dtype.itemsize
+                        )
+                    },
+                }
+            )
+        else:
+            raise ZarrFormatError(
+                f"Unsupported zarr v2 filter {fid!r} for array {name}"
+            )
+    return out
+
+
 def _v2_compressor_to_codecs(name: str, comp, endian: str) -> list:
     """Map a numcodecs compressor document to this engine's codec chain."""
     chain = [{"name": "bytes", "configuration": {"endian": endian}}]
@@ -332,21 +377,20 @@ def parse_v2_array_meta(
     The reference rejects v2 outright (``config.rs:242-247``); reading
     it here is deliberate extra surface — the bulk of real-world zarr
     (xarray-written) is still v2. Dimension names come from xarray's
-    ``_ARRAY_DIMENSIONS`` attribute when present. C order only;
-    filters are not supported (clear error)."""
+    ``_ARRAY_DIMENSIONS`` attribute when present. Fortran order maps
+    onto the v3 transpose codec (F-order bytes ARE the C-order bytes
+    of the reversed-dims array); delta/shuffle filters map onto typed
+    bytes→bytes codecs; other filters get a clear error."""
     try:
         doc = json.loads(zarray_raw)
     except json.JSONDecodeError as e:
         raise ZarrFormatError(f"Invalid .zarray for array {name}: {e}")
     if doc.get("zarr_format") != 2:
         raise ZarrFormatError(f".zarray for {name} is not zarr v2")
-    if doc.get("order", "C") != "C":
+    order = doc.get("order", "C")
+    if order not in ("C", "F"):
         raise ZarrFormatError(
-            f"zarr v2 Fortran-order arrays are not supported ({name})"
-        )
-    if doc.get("filters"):
-        raise ZarrFormatError(
-            f"zarr v2 filters are not supported (array {name})"
+            f"zarr v2 array {name} has invalid order {order!r}"
         )
     np_dtype = np.dtype(doc["dtype"])
     if np_dtype.kind not in ("b", "i", "u", "f"):
@@ -368,6 +412,24 @@ def parse_v2_array_meta(
     else:
         attrs = {}
 
+    # chain layout (encode order): [transpose?] bytes [filters] [compressor]
+    # — compressor outermost, filters between serialization and it,
+    # exactly numcodecs' pipeline
+    comp_chain = _v2_compressor_to_codecs(name, doc.get("compressor"), endian)
+    codecs = (
+        comp_chain[:1]
+        + _v2_filters_to_codecs(name, doc.get("filters"), np_dtype)
+        + comp_chain[1:]
+    )
+    ndim = len(doc["shape"])
+    if order == "F" and ndim > 1:
+        codecs = [
+            {
+                "name": "transpose",
+                "configuration": {"order": list(range(ndim - 1, -1, -1))},
+            }
+        ] + codecs
+
     fill = doc.get("fill_value")
     return ArrayMeta(
         name=name,
@@ -377,7 +439,7 @@ def parse_v2_array_meta(
         fill_value=_parse_fill_value(fill, np.dtype(zarr_dtype_to_numpy(zarr_dtype)))
         if fill is not None
         else 0,
-        codecs=_v2_compressor_to_codecs(name, doc.get("compressor"), endian),
+        codecs=codecs,
         dimension_names=dim_names,
         separator=doc.get("dimension_separator", "."),
         key_encoding="v2",

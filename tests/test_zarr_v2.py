@@ -139,23 +139,133 @@ def test_v2_lz4_numcodecs_frame(tmp_path):
     assert arr.read_all().tolist() == [0, 1, 2, 3]
 
 
-def test_v2_fortran_order_rejected():
+def _v2_doc(**over):
     doc = {
         "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
-        "compressor": None, "fill_value": 0, "order": "F", "filters": None,
+        "compressor": None, "fill_value": 0, "order": "C", "filters": None,
     }
-    with pytest.raises(ZarrFormatError, match="Fortran"):
-        parse_v2_array_meta("x", json.dumps(doc).encode())
+    doc.update(over)
+    return json.dumps(doc).encode()
 
 
-def test_v2_filters_rejected():
-    doc = {
-        "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
-        "compressor": None, "fill_value": 0, "order": "C",
-        "filters": [{"id": "delta"}],
-    }
-    with pytest.raises(ZarrFormatError, match="filters"):
-        parse_v2_array_meta("x", json.dumps(doc).encode())
+def test_v2_fortran_order_store_decodes(tmp_path):
+    """order: 'F' chunks store column-major bytes — equivalently the
+    C-order bytes of the reversed-dims array, which is exactly the v3
+    transpose codec; values must come back identical to a C store."""
+    from arrow_zarr_spark.zarr import open_array
+
+    store = open_store(str(tmp_path))
+    store.set(".zgroup", json.dumps({"zarr_format": 2}).encode())
+    data = np.arange(24.0).reshape(4, 6)
+    store.set(
+        "f/.zarray",
+        _v2_doc(
+            shape=[4, 6], chunks=[2, 3], order="F",
+            compressor={"id": "zlib", "level": 1},
+        ),
+    )
+    for i in range(2):
+        for j in range(2):
+            block = data[2 * i : 2 * i + 2, 3 * j : 3 * j + 3]
+            store.set(
+                f"f/{i}.{j}",
+                zlib.compress(np.asfortranarray(block).tobytes(order="F"), 1),
+            )
+    arr = open_array(store, "f")
+    np.testing.assert_array_equal(arr.read_all(), data)
+
+
+def test_v2_delta_filter_decodes(tmp_path):
+    """numcodecs Delta: stored values are successive differences;
+    typical for monotonically increasing coordinates."""
+    from arrow_zarr_spark.zarr import open_array
+
+    store = open_store(str(tmp_path))
+    store.set(".zgroup", json.dumps({"zarr_format": 2}).encode())
+    vals = np.array([100, 103, 109, 110, 140, 141], dtype="<i8")
+    store.set(
+        "t/.zarray",
+        _v2_doc(
+            shape=[6], chunks=[3], dtype="<i8",
+            filters=[{"id": "delta", "dtype": "<i8"}],
+            compressor={"id": "zlib", "level": 1},
+        ),
+    )
+    for c in range(2):
+        block = vals[3 * c : 3 * c + 3]
+        diffs = np.diff(block, prepend=block[:1] * 0)  # [b0, b1-b0, b2-b1]
+        diffs[0] = block[0]
+        store.set(f"t/{c}", zlib.compress(diffs.astype("<i8").tobytes(), 1))
+    arr = open_array(store, "t")
+    np.testing.assert_array_equal(arr.read_all(), vals)
+
+
+def test_v2_shuffle_filter_decodes(tmp_path):
+    from arrow_zarr_spark.zarr import open_array
+    from arrow_zarr_spark.zarr.codecs import _byte_shuffle
+
+    store = open_store(str(tmp_path))
+    store.set(".zgroup", json.dumps({"zarr_format": 2}).encode())
+    vals = np.linspace(0.0, 5.0, 8).astype("<f8")
+    store.set(
+        "s/.zarray",
+        _v2_doc(
+            shape=[8], chunks=[8],
+            filters=[{"id": "shuffle", "elementsize": 8}],
+            compressor={"id": "zlib", "level": 1},
+        ),
+    )
+    store.set("s/0", zlib.compress(_byte_shuffle(vals.tobytes(), 8), 1))
+    arr = open_array(store, "s")
+    np.testing.assert_array_equal(arr.read_all(), vals)
+
+
+def test_v2_fortran_plus_delta_combined(tmp_path):
+    """F order + delta compose: delta runs over the F-order flattening
+    (numcodecs Delta ravels with order='A'), then the transpose undoes
+    the layout."""
+    from arrow_zarr_spark.zarr import open_array
+
+    store = open_store(str(tmp_path))
+    store.set(".zgroup", json.dumps({"zarr_format": 2}).encode())
+    data = np.arange(12, dtype="<i4").reshape(3, 4) * 7
+    store.set(
+        "fd/.zarray",
+        _v2_doc(
+            shape=[3, 4], chunks=[3, 4], dtype="<i4", order="F",
+            filters=[{"id": "delta", "dtype": "<i4"}],
+        ),
+    )
+    flat = data.ravel(order="F")
+    diffs = np.empty_like(flat)
+    diffs[0] = flat[0]
+    diffs[1:] = flat[1:] - flat[:-1]
+    store.set("fd/0.0", diffs.astype("<i4").tobytes())
+    arr = open_array(store, "fd")
+    np.testing.assert_array_equal(arr.read_all(), data)
+
+
+def test_v2_unsupported_filter_rejected():
+    with pytest.raises(ZarrFormatError, match="quantize"):
+        parse_v2_array_meta(
+            "x", _v2_doc(filters=[{"id": "quantize", "digits": 3}])
+        )
+
+
+def test_v2_delta_astype_mismatch_rejected():
+    with pytest.raises(ZarrFormatError, match="astype"):
+        parse_v2_array_meta(
+            "x",
+            _v2_doc(
+                dtype="<i8",
+                filters=[{"id": "delta", "dtype": "<i8", "astype": "<i4"}],
+            ),
+        )
+
+
+def test_v2_invalid_order_rejected():
+    with pytest.raises(ZarrFormatError, match="order"):
+        parse_v2_array_meta("x", _v2_doc(order="K"))
 
 
 def test_spark_scan_v2_store(spark, tmp_path):
