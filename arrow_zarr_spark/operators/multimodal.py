@@ -35,6 +35,7 @@ __all__ = [
     "with_binary_payload",
     "byte_features",
     "decode_image",
+    "resize_pixels",
     "resize_images",
     "sample_frames",
 ]
@@ -155,22 +156,70 @@ def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(decode, schema=_DECODE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real resize needs an image library. The operator signature,
-    schema, and partition behavior are final; the kernel raises."""
+def resize_pixels(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resample decoded pixel grids to ``out_w`` x ``out_h`` — REAL
+    math, not a stub: resampling a float grid needs numpy, not an image
+    codec (only payload→pixels decoding does). Input is the
+    :func:`decode_image` schema (media_id, pixels, width, height).
+
+    Integer downscale factors use a block mean accumulated in fixed
+    row-major order, so the arithmetic is replayable by the SQL oracle;
+    non-integer ratios use nearest-neighbor (deterministic, but
+    registered without an oracle — document the path you rely on).
+    Arrow-batched mapInPandas, one output row per input row."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image resize requires Pillow/opencv; not in this environment"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            rows = []
+            for mid, pix, w, h in zip(
+                pdf["media_id"], pdf["pixels"], pdf["width"], pdf["height"]
+            ):
+                if pix is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                grid = np.asarray(pix, dtype=np.float64).reshape(
+                    int(h), int(w)
+                )
+                if int(h) % out_h == 0 and int(w) % out_w == 0:
+                    fh, fw = int(h) // out_h, int(w) // out_w
+                    out = np.zeros((out_h, out_w), dtype=np.float64)
+                    # fixed row-major accumulation (see docstring)
+                    for rr in range(fh):
+                        for cc in range(fw):
+                            out += grid[rr::fh, cc::fw]
+                    out = np.round(out / (fh * fw), 6)
+                else:
+                    ys = (np.arange(out_h) * int(h)) // out_h
+                    xs = (np.arange(out_w) * int(w)) // out_w
+                    out = grid[np.ix_(ys, xs)]
+                rows.append((mid, [float(v) for v in out.ravel()], out_w, out_h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "pixels", "width", "height"]
+            )
 
     return df.mapInPandas(kernel, schema=_DECODE_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB: video frame sampling requires a video decoder. Signature and
-    output schema are final; the kernel raises."""
+#: kept under the old name for callers that used the stub's signature
+resize_images = resize_pixels
+
+
+def sample_frames(
+    df: DataFrame,
+    stride: int = 4,
+    frame_bytes: int = 16,
+    fake: bool = True,
+) -> DataFrame:
+    """Sample every ``stride``-th fixed-size frame from each payload —
+    one input row expands to many frame rows (the shape a video
+    pipeline needs; frame extraction parallelizes per payload batch).
+
+    ``fake=True`` treats the payload as a raw byte stream: frame ``i``
+    is bytes ``[i*frame_bytes, (i+1)*frame_bytes)`` and frames with
+    ``i % stride == 0`` are emitted (trailing partial frame included) —
+    deterministic, so the oracle replays it with substr arithmetic.
+    ``fake=False`` is the real-codec path: STUB, raises
+    NotImplementedError (no pyav/ffmpeg in this environment)."""
     schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -180,10 +229,28 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video frame sampling requires pyav/ffmpeg; not in this "
-            "environment"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video frame sampling requires pyav/ffmpeg; not in "
+                    "this environment"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for i in range(0, -(-len(p) // frame_bytes), stride):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(
+                        bytes(p[i * frame_bytes : (i + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
 
     return df.mapInPandas(kernel, schema=schema)

@@ -781,6 +781,92 @@ def populate_extended_queries(register) -> None:
         "FROM comp c JOIN qual q ON c.doc_id = q.doc_id) WHERE rn = 1",
     )
 
+    # m03: pixel resize over the fake decode — 4x4 thumbnails block-mean
+    # to 2x2 (integer factor: fixed row-major accumulation, see
+    # resize_pixels). Digested to integer micro-pixels like m02 so no
+    # float column reaches the driver.
+    # Digest strategy: quantize the decoded pixels to micro ints FIRST
+    # (the m02 digest, driver-proven replayable), resize THAT grid, and
+    # report the block SUM (= 4x the quarter-exact block mean). Every
+    # step is then exact integer arithmetic in both engines — no
+    # double-rounding ulp hazards (a round6-then-digest form diverged
+    # by 1 micro on 14/2000 pixels when tried).
+    def m03(spark, sf_dir):
+        media = multimodal.with_binary_payload(_docs(spark, sf_dir))
+        decoded = multimodal.decode_image(media, fake=True)
+        micro = decoded.select(
+            "media_id",
+            F.transform(
+                "pixels", lambda p: F.round(p * 1000000.0)
+            ).alias("pixels"),
+            "width",
+            "height",
+        )
+        resized = multimodal.resize_pixels(micro, 2, 2)
+        return resized.select(
+            "media_id",
+            F.posexplode("pixels").alias("px_idx", "px"),
+            "width",
+            "height",
+        ).select(
+            "media_id",
+            "px_idx",
+            # px is the exact quarter-valued block mean of 4 micro ints;
+            # *4 recovers the integer block sum exactly
+            (F.col("px") * 4).cast("long").alias("px_micro_sum"),
+            "width",
+            "height",
+        )
+
+    # The oracle rebuilds m02's micro-int pixels and sums each 2x2
+    # block (integer SUM — order-free, so a plain GROUP BY is safe).
+    register(
+        "m03_resize_pixels",
+        m03,
+        "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents "
+        "WHERE length(text) > 0), "
+        "s AS (SELECT doc_id, CAST(i AS INT) AS px_idx, "
+        "CASE WHEN i < n % 16 THEN n // 16 + 1 ELSE n // 16 END AS span_len, "
+        "CASE WHEN i < n % 16 THEN i * (n // 16 + 1) "
+        "ELSE (n % 16) * (n // 16 + 1) + (i - n % 16) * (n // 16) "
+        "END AS span_start, text FROM d, range(16) t(i)), "
+        "px AS (SELECT doc_id, px_idx, "
+        "CASE WHEN span_len = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(round_even(list_sum(list_transform(string_split("
+        "substr(text, span_start + 1, span_len), ''), "
+        "c -> CAST(ascii(c) AS DOUBLE))) / span_len * 1000000.0, 0) "
+        "AS BIGINT) END AS m FROM s) "
+        "SELECT doc_id AS media_id, "
+        "CAST((px_idx // 4 // 2) * 2 + (px_idx % 4) // 2 AS INT) AS px_idx, "
+        "CAST(SUM(m) AS BIGINT) AS px_micro_sum, 2 AS width, 2 AS height "
+        "FROM px GROUP BY 1, 2",
+    )
+
+    # m04: frame sampling (fake byte-stream frames) — one payload row
+    # expands to every 4th 16-byte frame; payloads are ASCII text, so
+    # the suite form decodes frames back to strings for hashing and the
+    # oracle replays them with substr arithmetic.
+    def m04(spark, sf_dir):
+        media = multimodal.with_binary_payload(_docs(spark, sf_dir))
+        frames = multimodal.sample_frames(
+            media, stride=4, frame_bytes=16, fake=True
+        )
+        return frames.select(
+            "media_id",
+            "frame_idx",
+            F.decode("frame", "UTF-8").alias("frame_text"),
+        )
+
+    register(
+        "m04_sample_frames",
+        m04,
+        "SELECT doc_id AS media_id, CAST(t.i AS INT) AS frame_idx, "
+        "substr(text, CAST(t.i AS INT) * 16 + 1, 16) AS frame_text "
+        "FROM (SELECT doc_id, text, "
+        "range(0, (length(text) + 15) // 16) AS idxs FROM documents), "
+        "UNNEST(idxs) AS t(i) WHERE t.i % 4 = 0",
+    )
+
     # p04: mixture rebalancing to target source weights, deterministic
     # draw so the oracle replays the exact surviving row set
     def p04(spark, sf_dir):

@@ -178,6 +178,62 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|Pillow"):
             multimodal.decode_image(media, fake=False).collect()
 
+    def test_resize_block_mean_exact(self, spark):
+        # 4x4 grid of known values -> 2x2 block means
+        pix = [float(v) for v in range(16)]
+        df = spark.createDataFrame(
+            [(1, pix, 4, 4)], "media_id long, pixels array<double>, "
+            "width int, height int"
+        )
+        r = multimodal.resize_pixels(df, 2, 2).first()
+        # blocks: [0,1,4,5] [2,3,6,7] [8,9,12,13] [10,11,14,15]
+        assert r.pixels == [2.5, 4.5, 10.5, 12.5]
+        assert (r.width, r.height) == (2, 2)
+
+    def test_resize_non_integer_ratio_nearest(self, spark):
+        pix = [float(v) for v in range(16)]
+        df = spark.createDataFrame(
+            [(1, pix, 4, 4)], "media_id long, pixels array<double>, "
+            "width int, height int"
+        )
+        r = multimodal.resize_pixels(df, 3, 3).first()
+        # nearest-neighbor picks rows/cols floor(i*4/3) = 0,1,2
+        assert r.pixels == [0.0, 1.0, 2.0, 4.0, 5.0, 6.0, 8.0, 9.0, 10.0]
+
+    def test_resize_null_pixels_pass_through(self, spark):
+        df = spark.createDataFrame(
+            [(1, None, None, None)], "media_id long, pixels array<double>, "
+            "width int, height int"
+        )
+        r = multimodal.resize_pixels(df, 2, 2).first()
+        assert r.pixels is None
+
+    def test_sample_frames_fake(self, spark):
+        payload = bytes(range(100))
+        df = spark.createDataFrame(
+            [(1, payload, "video")], "media_id long, payload binary, "
+            "media_type string"
+        )
+        rows = {
+            r.frame_idx: bytes(r.frame)
+            for r in multimodal.sample_frames(
+                df, stride=2, frame_bytes=16
+            ).collect()
+        }
+        # ceil(100/16) = 7 frames; every 2nd -> idx 0,2,4,6
+        assert sorted(rows) == [0, 2, 4, 6]
+        assert rows[0] == payload[0:16]
+        assert rows[4] == payload[64:80]
+        assert rows[6] == payload[96:100]  # trailing partial frame
+
+    def test_sample_frames_real_is_stubbed(self, spark):
+        df = spark.createDataFrame(
+            [(1, b"xx", "video")], "media_id long, payload binary, "
+            "media_type string"
+        )
+        with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+            multimodal.sample_frames(df, fake=False).collect()
+
 
 class TestTextOps:
     def test_fingerprint_order_sensitive(self, spark):
