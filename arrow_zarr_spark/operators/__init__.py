@@ -9,7 +9,11 @@ never row-at-a-time.
 
 Modules: :mod:`dedup` (exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine), :mod:`similarity` (brute-force cosine top-k, LSH
-ANN), :mod:`text` (tokenization, language ID, quality scoring, token
-counting, fingerprinting), :mod:`multimodal` (binary payload columns +
-stubbed decoders over mapInPandas).
+ANN), :mod:`clustering` (deterministic k-means, SemDeDup-style
+cluster-gated near-dup), :mod:`text` (tokenization, language ID,
+quality scoring, token counting, fingerprinting, PII redaction,
+repetition signals, chunking), :mod:`multimodal` (binary payload
+columns + stubbed decoders over mapInPandas), :mod:`sampling`,
+:mod:`packing` (sequence packing, training-shard manifests),
+:mod:`joins`.
 """

@@ -85,3 +85,77 @@ def pack_sequences(
         ]
 
     return base.groupBy(group_col).applyInPandas(pack_group, schema=out_schema)
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic training-shard assignment: shard = multiplicative
+    hash of the document id (Knuth constant, mod 1000003 — the repo's
+    engine-independent convention, text.py), mod ``n_shards``. Returns
+    the input keyed with (shard, n_tokens).
+
+    The multiplicative mix decorrelates shard from any id-range
+    ordering (sequential ids round-robin-ish across shards), so shards
+    stay balanced even when upstream ids cluster. Row-local arithmetic
+    — no shuffle; writers repartition("shard") downstream, one shuffle
+    total for the whole emit.
+    """
+    from .text import words_col
+
+    shard = (
+        (F.col(id_col) * F.lit(2654435761)) % F.lit(1000003) % F.lit(n_shards)
+    ).cast("int")
+    return df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(words_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard manifest for a sharded training-data emit: document
+    count, token sum, id range per shard — the bookkeeping a loader
+    needs to plan epochs without scanning the shards.
+
+    One groupBy over the row-local shard assignment (map-side combine;
+    the shuffle carries n_shards rows per mapper)."""
+    assigned = shard_assign(df, n_shards, id_col, text_col)
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
+
+
+def shard_manifest_sql(
+    n_shards: int = 16,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`shard_manifest` (same hash arithmetic)."""
+    return (
+        f"SELECT CAST(({id_col} * 2654435761) % 1000003 % {n_shards} "
+        f"AS INT) AS shard, "
+        f"COUNT(*) AS n_docs, "
+        # CAST: DuckDB's SUM(BIGINT) is HUGEINT, Spark's is LONG — the
+        # driver's canonicalizer type-tags them differently (the r25
+        # lesson, suite.py)
+        f"CAST(SUM(len(string_split({text_col}, ' '))) AS BIGINT) "
+        f"AS tok_sum, "
+        f"MIN({id_col}) AS min_id, MAX({id_col}) AS max_id "
+        f"FROM {table} GROUP BY 1"
+    )

@@ -67,17 +67,6 @@ def populate_operator_queries(register) -> None:
         "FROM documents GROUP BY text",
     )
 
-    def d02(spark, sf_dir):
-        return dedup.normalized_dedup(_docs(spark, sf_dir))
-
-    register(
-        "d02_normalized_dedup",
-        d02,
-        "SELECT TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS "
-        "norm_text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
-        "FROM documents GROUP BY 1",
-    )
-
     def d04(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
 
@@ -894,6 +883,79 @@ def populate_extended_queries(register) -> None:
         "FROM documents d JOIN fr USING (source) "
         "WHERE ((doc_id % 1000003 + 42) * 2654435761) % 1000003 "
         "< keep_frac * 1000003",
+    )
+
+    # ---------------- clustering (SemDeDup shapes) ----------------
+    from . import clustering
+
+    # c01: deterministic Lloyd's k-means over the embedding column;
+    # the oracle unrolls both iterations into CTEs with the identical
+    # strided init, rounded distances, and cluster-id tiebreaks
+    def c01(spark, sf_dir):
+        return clustering.kmeans(
+            _embs(spark, sf_dir), n_clusters=8, n_iters=2
+        )
+
+    register("c01_kmeans_clusters", c01, clustering.kmeans_sql(8, 2))
+
+    # c02: cluster-gated embedding near-dup (the SemDeDup shape) —
+    # within-cluster pairs only; the oracle replays the same gating,
+    # so the hash proves the gate, and tests measure its recall
+    # against d06's exact all-pairs
+    def c02(spark, sf_dir):
+        return clustering.semantic_neardup_pairs(
+            _embs(spark, sf_dir), threshold=0.4, n_clusters=8, n_iters=1
+        )
+
+    register(
+        "c02_semantic_neardup",
+        c02,
+        clustering.semantic_neardup_sql(0.4, 8, 1),
+    )
+
+    # t10: overlapping token-window chunking (context-window prep)
+    def t10(spark, sf_dir):
+        from .text import chunk_documents
+
+        return chunk_documents(_docs(spark, sf_dir), 64, 32)
+
+    def _t10_sql():
+        from .text import chunk_documents_sql
+
+        return chunk_documents_sql(64, 32)
+
+    register("t10_chunk_documents", t10, _t10_sql())
+
+    # p05: training-shard manifest (deterministic multiplicative-hash
+    # shard assignment + per-shard doc/token bookkeeping)
+    def p05(spark, sf_dir):
+        from .packing import shard_manifest
+
+        return shard_manifest(_docs(spark, sf_dir), 16)
+
+    def _p05_sql():
+        from .packing import shard_manifest_sql
+
+        return shard_manifest_sql(16)
+
+    register("p05_shard_manifest", p05, _p05_sql())
+
+
+def populate_rotated_out(register) -> None:
+    """Multi-round-green operator rows rotated past the driver window
+    to free slots for never-checked queries (the r2 verdict's
+    direction). Still oracle-backed and parity-tested locally every
+    round by tests/test_oracle_parity.py."""
+
+    def d02(spark, sf_dir):
+        return dedup.normalized_dedup(_docs(spark, sf_dir))
+
+    register(
+        "d02_normalized_dedup",
+        d02,
+        "SELECT TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS "
+        "norm_text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY 1",
     )
 
 

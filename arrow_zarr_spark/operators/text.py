@@ -400,3 +400,77 @@ def tf_idf(
             ).alias("tfidf6"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: Optional[int] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into (optionally overlapping) token-window
+    chunks — the context-window prep step between cleaning and
+    tokenized shards. ``stride`` defaults to ``chunk_tokens`` (no
+    overlap); ``stride < chunk_tokens`` yields overlapping chunks.
+
+    Returns (doc_id, chunk_idx, start_tok, n_tok, chunk_text), one row
+    per chunk, chunk_idx = start_tok / stride. Whitespace tokens (the
+    module's words_col convention) so the DuckDB oracle can replay the
+    split exactly.
+
+    Scale: pure JVM expressions — sequence() enumerates chunk starts,
+    posexplode fans out, slice()/array_join materialize each window.
+    No shuffle at all: chunking is row-local, the explode multiplies
+    rows in place and Catalyst keeps it inside the scan stage.
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_documents: chunk_tokens and stride must be >= 1, "
+            f"got {chunk_tokens}, {stride}"
+        )
+    words = words_col(F.col(text_col))
+    n = F.size(words)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = df.select(
+        id_col,
+        words.alias("_ws"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    piece = F.slice(F.col("_ws"), F.col("start_tok") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tok"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = 64,
+    stride: Optional[int] = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`chunk_documents`: string_split + a
+    range() of chunk starts + list_slice, same windows, same joins."""
+    if stride is None:
+        stride = chunk_tokens
+    return (
+        f"SELECT {id_col}, "
+        f"CAST(s // {stride} AS BIGINT) AS chunk_idx, "
+        f"CAST(s AS BIGINT) AS start_tok, "
+        f"CAST(len(ws[s + 1 : s + {chunk_tokens}]) AS BIGINT) AS n_tok, "
+        f"array_to_string(ws[s + 1 : s + {chunk_tokens}], ' ') "
+        f"AS chunk_text "
+        f"FROM ("
+        f"  SELECT {id_col}, ws, "
+        f"  UNNEST(range(0, GREATEST(len(ws), 1), {stride})) AS s "
+        f"  FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ws "
+        f"        FROM {table})"
+        f")"
+    )

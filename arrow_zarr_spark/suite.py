@@ -218,21 +218,10 @@ def _populate_tier_b_deferred() -> None:
 # ---------------------------------------------------------------------------
 
 def _populate_relational() -> None:
-    # The first few registrations here land inside the driver's 50-query
-    # verification window (after the zarr/writer/operator blocks), so
-    # the queries that most need driver re-verification come first.
-    _sql_pair(
-        "r20_math_case",
-        # CEIL/FLOOR(double) → BIGINT in Spark but DOUBLE in DuckDB, and
-        # ROUND with no scale is similarly divergent: cast every term so
-        # both engines agree on the value type, not just the value.
-        "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS dev, "
-        "CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil, "
-        "CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor, "
-        "CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pct, "
-        "CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' "
-        "ELSE 'high' END AS qty_band FROM lineitem",
-    )
+    # Only the FIRST registration here lands inside the driver's
+    # 50-query verification window: r25, red in r1 and r2 and fixed in
+    # r3, needs its fix verified by a driver row. Everything after is
+    # past the window (multi-round green, locally parity-tested).
 
     # sessionization (the batch operator from the streaming module),
     # verified against the same gap/cumsum logic in DuckDB SQL
@@ -267,6 +256,19 @@ def _populate_relational() -> None:
         "epoch_us(MAX(ts)) AS end_us, COUNT(*) AS n_events, "
         "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value "
         "FROM s GROUP BY user_id, session_seq",
+    )
+
+    _sql_pair(
+        "r20_math_case",
+        # CEIL/FLOOR(double) → BIGINT in Spark but DOUBLE in DuckDB, and
+        # ROUND with no scale is similarly divergent: cast every term so
+        # both engines agree on the value type, not just the value.
+        "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS dev, "
+        "CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil, "
+        "CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor, "
+        "CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pct, "
+        "CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' "
+        "ELSE 'high' END AS qty_band FROM lineitem",
     )
 
     # multi-way join + agg (TPC-H Q5 shape, the scale-out headline)
@@ -815,18 +817,25 @@ def _ensure_populated() -> None:
     from .operators.suite_entries import populate_operator_queries
 
     populate_operator_queries(register_query)
-    _populate_tier_b()
-    _populate_relational()
-    # past the 50-query window from here: two-round-green tier-B shapes
-    # (still parity-tested locally every round), then the round-3
-    # oracle-backed additions, then the queries whose engine-specific
-    # outputs admit no SQL oracle (rows-only checks)
-    _populate_tier_b_deferred()
+    # round-3 operator additions (t08-t10, d09/d10, m03/m04, p04/p05,
+    # c01/c02) take window slots before the multi-round-green
+    # relational/tier-B shapes; r25 (red in r1 AND r2, fixed this
+    # round) registers first inside _populate_relational so its fix
+    # verification lands at slot 50
     from .operators.suite_entries import (
         populate_deferred_queries,
         populate_extended_queries,
+        populate_rotated_out,
     )
 
     populate_extended_queries(register_query)
+    _populate_relational()
+    # past the 50-query window from here: multi-round-green tier-B and
+    # operator shapes (still parity-tested locally every round), then
+    # the queries whose engine-specific outputs admit no SQL oracle
+    # (rows-only checks)
+    _populate_tier_b()
+    _populate_tier_b_deferred()
+    populate_rotated_out(register_query)
     populate_deferred_queries(register_query)
     _populated = True
