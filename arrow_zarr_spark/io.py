@@ -220,14 +220,22 @@ def write_zarr(
         def publish_metadata():
             # metadata LAST: concurrent readers (incl. the zarr-stream
             # source) trust the advertised shape, so chunks must land
-            # first; until then they see the consistent pre-append store
+            # first; until then they see the consistent pre-append store.
+            # The root doc carries every array's metadata consolidated
+            # (one planning GET for readers) at zero extra write I/O —
+            # the metas are already in hand.
             import json as _json
 
-            write_root_group(store)
             for name, meta in metas.items():
                 store.set(
                     f"{name}/zarr.json", _json.dumps(meta.to_json()).encode()
                 )
+            write_root_group(
+                store,
+                consolidated={
+                    name: meta.to_json() for name, meta in metas.items()
+                },
+            )
 
         if new_rows == 0:
             if not base_rows:
@@ -445,4 +453,11 @@ def write_zarr_grid(
         .agg(F.sum("rows").alias("written"))
         .first()
     )
+    # consolidate last: the grid writer created metadata up front (the
+    # coordinate arrays are written driver-side before the data pass),
+    # so the root doc is refreshed with the full consolidated block
+    # only once every chunk has landed
+    from .zarr.writer import consolidate_metadata
+
+    consolidate_metadata(store)
     return int(result["written"] or 0)

@@ -302,12 +302,16 @@ class ZarrWriter(DataSourceArrowWriter):
                 pos += take
 
         # 3) metadata LAST — concurrent readers / the zarr-stream source
-        #    trust the advertised shape, so every chunk must land first
+        #    trust the advertised shape, so every chunk must land first.
+        #    Root doc goes last of all, carrying the consolidated block
+        #    (readers plan each poll from one GET).
         import json
 
-        write_root_group(store)
         for n in names:
             store.set(f"{n}/zarr.json", json.dumps(metas[n].to_json()).encode())
+        write_root_group(
+            store, consolidated={n: metas[n].to_json() for n in names}
+        )
 
         self.abort(msgs)  # clear this job's staging
 

@@ -5,11 +5,23 @@ Submodules: :mod:`meta` (zarr.json + type map), :mod:`codecs`,
 planning + coordinate broadcast), :mod:`writer`.
 """
 
-from .array import ZarrArray, infer_store_arrays, open_array
+from .array import (
+    ZarrArray,
+    infer_store_arrays,
+    load_consolidated_arrays,
+    open_array,
+)
 from .meta import ArrayMeta, ZarrFormatError, parse_array_meta
 from .store import LocalStore, Store, open_store
 from .table import ChunkPlan
-from .writer import create_array, write_array_data, write_chunk, write_root_group, write_store
+from .writer import (
+    consolidate_metadata,
+    create_array,
+    write_array_data,
+    write_chunk,
+    write_root_group,
+    write_store,
+)
 
 __all__ = [
     "ArrayMeta",
@@ -18,8 +30,10 @@ __all__ = [
     "Store",
     "ZarrArray",
     "ZarrFormatError",
+    "consolidate_metadata",
     "create_array",
     "infer_store_arrays",
+    "load_consolidated_arrays",
     "open_array",
     "open_store",
     "parse_array_meta",

@@ -131,12 +131,88 @@ def open_array(store: Store, name: str, prefix: str = "") -> ZarrArray:
     )
 
 
+def load_consolidated_arrays(store: Store, prefix: str = ""):
+    """Open every array from CONSOLIDATED metadata, if the store has
+    it: the root ``zarr.json``'s ``consolidated_metadata`` block
+    (zarr-python's v3 convention) or the v2 ``.zmetadata`` document.
+
+    Returns a list of :class:`ZarrArray`, or None when the store
+    carries no consolidated metadata (callers fall back to listing).
+
+    This is the object-store planning path: ONE metadata GET replaces
+    a paged LIST walk plus one GET per array. On a wide store behind
+    S3/HTTP that's the difference between one round trip and dozens
+    before the first task can even be scheduled — and it makes stores
+    readable over plain HTTP *without* a directory-index page at all.
+    The reference leans on object_store's LIST for discovery
+    (``table/config.rs:201-258``); consolidated metadata is the
+    standard Zarr answer to skipping it.
+    """
+    import json
+
+    base = prefix.strip("/")
+    root_key = f"{base}/zarr.json" if base else "zarr.json"
+    raw = store.get(root_key)
+    if raw is not None:
+        try:
+            doc = json.loads(raw)
+        except json.JSONDecodeError:
+            doc = None
+        cons = (doc or {}).get("consolidated_metadata")
+        if isinstance(cons, dict) and isinstance(cons.get("metadata"), dict):
+            arrays = []
+            for path, node in sorted(cons["metadata"].items()):
+                # immediate array children only — same one-level-down
+                # contract as Store.list_array_names
+                if "/" in path or not isinstance(node, dict):
+                    continue
+                if node.get("node_type") != "array":
+                    continue
+                meta = parse_array_meta(path, json.dumps(node).encode())
+                arrays.append(ZarrArray(store, meta, prefix=prefix))
+            if arrays:
+                return arrays
+    zmeta_key = f"{base}/.zmetadata" if base else ".zmetadata"
+    raw = store.get(zmeta_key)
+    if raw is not None:
+        try:
+            doc = json.loads(raw)
+        except json.JSONDecodeError as e:
+            raise ZarrFormatError(f"Invalid .zmetadata document: {e}")
+        entries = doc.get("metadata")
+        if isinstance(entries, dict):
+            from .meta import parse_v2_array_meta
+
+            arrays = []
+            for key in sorted(entries):
+                parts = key.split("/")
+                if len(parts) == 2 and parts[1] == ".zarray":
+                    name = parts[0]
+                    zattrs = entries.get(f"{name}/.zattrs")
+                    meta = parse_v2_array_meta(
+                        name,
+                        json.dumps(entries[key]).encode(),
+                        json.dumps(zattrs).encode()
+                        if zattrs is not None
+                        else None,
+                    )
+                    arrays.append(ZarrArray(store, meta, prefix=prefix))
+            if arrays:
+                return arrays
+    return None
+
+
 def infer_store_arrays(store: Store, prefix: str = "") -> list:
     """Discover and parse every array in the store (schema inference, A2).
 
-    Reference: ``table/config.rs:201-258`` — list the store, parse each
-    ``zarr.json``, field name = parent directory name.
+    Consolidated metadata (root zarr.json / .zmetadata) is preferred —
+    one GET, no listing; otherwise fall back to the reference's walk:
+    list the store, parse each ``zarr.json``, field name = parent
+    directory name (``table/config.rs:201-258``).
     """
+    consolidated = load_consolidated_arrays(store, prefix=prefix)
+    if consolidated is not None:
+        return consolidated
     names = store.list_array_names()
     if not names:
         raise ZarrFormatError("No zarr arrays found in store")

@@ -18,12 +18,59 @@ from .codecs import default_codecs, encode_chunk
 from .meta import ArrayMeta, ZarrFormatError, numpy_to_zarr_dtype
 from .store import LocalStore, Store, open_store
 
-__all__ = ["write_root_group", "create_array", "write_chunk", "write_store"]
+__all__ = [
+    "write_root_group",
+    "create_array",
+    "write_chunk",
+    "write_store",
+    "consolidate_metadata",
+]
 
 
-def write_root_group(store: Store, attributes: Optional[dict] = None) -> None:
+def write_root_group(
+    store: Store,
+    attributes: Optional[dict] = None,
+    consolidated: Optional[dict] = None,
+) -> None:
+    """Write the root group document. ``consolidated`` maps array name
+    → its full zarr.json dict; when given, the root doc carries the
+    ``consolidated_metadata`` block (zarr-python's v3 convention), so
+    readers plan the whole store from ONE metadata GET — no listing,
+    no per-array GETs (see array.load_consolidated_arrays)."""
     doc = {"zarr_format": 3, "node_type": "group", "attributes": attributes or {}}
+    if consolidated:
+        doc["consolidated_metadata"] = {
+            "kind": "inline",
+            "must_understand": False,
+            "metadata": dict(sorted(consolidated.items())),
+        }
     store.set("zarr.json", json.dumps(doc).encode())
+
+
+def consolidate_metadata(store: Store) -> int:
+    """Post-hoc consolidation for a store written without it (the
+    zarr-python ``zarr.consolidate_metadata()`` equivalent): gather
+    every immediate array's zarr.json into the root group document.
+    Returns the number of arrays consolidated.
+
+    One listing walk at WRITE time buys every subsequent reader a
+    single-GET planning pass — the right trade everywhere, and
+    essential on object stores."""
+    metadata = {}
+    for name in store.list_array_names():
+        raw = store.get(f"{name}/zarr.json")
+        if raw is None:
+            continue  # v2 array (.zarray) — consolidation is v3-only here
+        metadata[name] = json.loads(raw)
+    root_raw = store.get("zarr.json")
+    attributes = {}
+    if root_raw is not None:
+        try:
+            attributes = json.loads(root_raw).get("attributes", {}) or {}
+        except json.JSONDecodeError:
+            pass
+    write_root_group(store, attributes=attributes, consolidated=metadata)
+    return len(metadata)
 
 
 def create_array(
@@ -165,6 +212,7 @@ def write_store(
     compression: str = "zstd",
     shard_shapes: Optional[dict] = None,
     skip_data: Sequence[str] = (),
+    consolidate: bool = False,
 ) -> Store:
     """Convenience: write a whole store from {name: ndarray}.
 
@@ -172,7 +220,10 @@ def write_store(
     objects are omitted — reproduces the reference's missing-chunk
     fixture (F2, ``lib.rs:318-332`` with ``write_data=false``).
     ``shard_shapes`` (per-array, optional) writes those arrays sharded
-    (see :func:`create_array`).
+    (see :func:`create_array`). ``consolidate`` additionally embeds
+    every array's metadata in the root document (off by default so
+    fixtures keep exercising the listing-walk inference path; the
+    Spark sink consolidates unconditionally).
     """
     store = open_store(path)
     write_root_group(store)
@@ -194,4 +245,6 @@ def write_store(
         )
         if name not in skip_data:
             write_array_data(store, meta, data)
+    if consolidate:
+        consolidate_metadata(store)
     return store
