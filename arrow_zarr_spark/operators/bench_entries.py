@@ -49,3 +49,21 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     qs["multimodal_features"] = lambda: force(
         multimodal.byte_features(multimodal.with_binary_payload(docs))
     )
+    from . import clustering, packing
+    from .text import chunk_documents
+
+    # k-means (2 Lloyd's passes, 16 cells): per-iteration cost is one
+    # broadcast-join assignment + one posexplode centroid shuffle
+    qs["kmeans_embeddings"] = lambda: force(
+        clustering.kmeans(embs, n_clusters=16, n_iters=2)
+    )
+    # SemDeDup shape: cluster gate (1 pass) then within-cell pairs
+    qs["semantic_neardup"] = lambda: force(
+        clustering.semantic_neardup_pairs(
+            embs, threshold=0.85, n_clusters=16, n_iters=1
+        )
+    )
+    # chunking + shard manifest: the row-local training-prep tail
+    qs["doc_chunk_shard"] = lambda: force(
+        chunk_documents(docs, 64, 32)
+    ) + force(packing.shard_manifest(docs, 64))

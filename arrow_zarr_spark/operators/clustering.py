@@ -224,7 +224,7 @@ def semantic_neardup_pairs(
 
     Output: (id_a, id_b, cluster, cosine), id_a < id_b.
     """
-    from .similarity import cosine_expr
+    from .similarity import cosine_udf
 
     assign = kmeans(df, n_clusters, n_iters, id_col, vec_col)
     tagged = df.select(id_col, vec_col).join(assign, id_col)
@@ -245,7 +245,11 @@ def semantic_neardup_pairs(
             "id_a",
             "id_b",
             "cluster",
-            F.round(cosine_expr("va", "vb"), 6).alias("cosine"),
+            # Arrow kernel, bit-identical to cosine_expr on the
+            # non-null nonzero vectors this path sees (similarity.py
+            # docstring) — pair volume is sum(cell^2), so vectorized
+            # scoring is the difference at scale
+            F.round(cosine_udf("va", "vb"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
