@@ -65,6 +65,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from .filters import ChunkPredicate, compile_chunk_filters, conjunction_mask
@@ -86,7 +87,13 @@ def zarr_spark_type(zarr_dtype: str) -> DataType:
     """Zarr→Spark type map (SURVEY §1.3; reference ``config.rs:261-282``).
 
     Spark has no unsigned ints: uint8/16/32 widen to the next signed
-    type, uint64 → decimal(20,0) — documented divergence."""
+    type, uint64 → decimal(20,0) — documented divergence. datetime64
+    (any supported unit) → TimestampNTZ: zarr datetimes are wall-clock
+    counts with no zone, which is exactly Spark's NTZ semantics;
+    microsecond is Spark's precision, so ns stores truncate sub-µs
+    (documented, like the uint64 widening)."""
+    if zarr_dtype.startswith("numpy.datetime64["):
+        return TimestampNTZType()
     m = {
         "bool": BooleanType(),
         "int8": ByteType(),
@@ -109,6 +116,8 @@ def zarr_spark_type(zarr_dtype: str) -> DataType:
 
 def zarr_arrow_type(zarr_dtype: str) -> pa.DataType:
     """Arrow batch types matching :func:`zarr_spark_type` exactly."""
+    if zarr_dtype.startswith("numpy.datetime64["):
+        return pa.timestamp("us")  # Spark TimestampNTZ wire type
     m = {
         "bool": pa.bool_(),
         "int8": pa.int8(),
@@ -265,7 +274,21 @@ class ZarrReader(DataSourceReader):
         """Record prunable conjuncts; report EVERY filter unhandled so
         Spark applies exact row-level filtering above the scan — the
         reference's Inexact pushdown (``table_provider.rs:91-96``,
-        exactness test ``table_provider.rs:401-438``)."""
+        exactness test ``table_provider.rs:401-438``).
+
+        Spark 4.1 caveat (behavior pinned in
+        tests/test_datasource.py::TestPushdownPlanReuse): the JVM
+        caches the planned read per *relation* and the pushdown path
+        overwrites that cache, so an UNFILTERED query re-using the same
+        DataFrame object after a filtered one reuses the pruned plan
+        (filtered queries always re-plan and are always correct).
+        Re-loading the path returns a fresh relation, and the
+        ``pushdown=false`` option disables pruning entirely for
+        DataFrames that must be reused both ways."""
+        if str(self.options.get("pushdown", "true")).lower() == "false":
+            self.predicates, self.filter_columns = [], []
+            yield from filters
+            return
         names = [a.meta.name for a in self.arrays]
         self.predicates, self.filter_columns = compile_chunk_filters(
             filters, names
@@ -351,6 +374,12 @@ class ZarrReader(DataSourceReader):
             np_col = parts[0] if len(parts) == 1 else np.concatenate(parts)
             if pa.types.is_decimal(field.type):  # uint64 widening
                 pa_cols.append(pa.array(np_col).cast(field.type))
+            elif pa.types.is_timestamp(field.type):
+                # datetime64[*] → µs; safe=False so ns stores truncate
+                # sub-µs instead of erroring (the documented narrowing)
+                pa_cols.append(
+                    pa.array(np_col).cast(field.type, safe=False)
+                )
             else:
                 pa_cols.append(pa.array(np_col, type=field.type))
         return pa.RecordBatch.from_arrays(pa_cols, schema=self._arrow_schema)

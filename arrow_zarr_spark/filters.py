@@ -92,6 +92,21 @@ def _attr_name(f: Filter) -> str | None:
     return attr[0]
 
 
+def _norm_value(v: Any) -> Any:
+    """Normalize a pushed literal for NumPy comparison: Spark hands
+    timestamp/date literals over as datetime.datetime / datetime.date,
+    which NumPy refuses to compare against M8 chunk arrays — convert
+    to np.datetime64 (timezone-naive wall clock, matching the NTZ
+    column semantics)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return np.datetime64(v.replace(tzinfo=None))
+    if isinstance(v, _dt.date):
+        return np.datetime64(v)
+    return v
+
+
 def _compile_one(f: Filter, columns: Set[str]) -> ChunkPredicate | None:
     if isinstance(f, Not):
         child = _compile_one(f.child, columns)
@@ -105,9 +120,9 @@ def _compile_one(f: Filter, columns: Set[str]) -> ChunkPredicate | None:
     if t in _SIMPLE:
         if f.value is None:
             return None
-        return ChunkPredicate(name, _SIMPLE[t], f.value)
+        return ChunkPredicate(name, _SIMPLE[t], _norm_value(f.value))
     if t is In:
-        vals = [v for v in f.value if v is not None]
+        vals = [_norm_value(v) for v in f.value if v is not None]
         if not vals:
             return None
         return ChunkPredicate(name, "isin", tuple(vals))

@@ -360,3 +360,25 @@ def write_v2_store(path: str | None = None) -> str:
     store.set("lon/1", pack(np.array([3.0, 4.0])))
     _mark_done(path)
     return path
+
+
+def write_time_series_store(path: str | None = None) -> str:
+    """FT — a time axis: time datetime64[ns][24]/7 hourly from
+    2024-01-01T00, val f64[24]/7 = 0..23. Exercises the datetime64
+    read path (v3 extension dtype), TimestampNTZ mapping, edge chunks
+    (24 % 7 != 0), and timestamp chunk pruning."""
+    path = path or fixture_dir("time_series")
+    if _done(path):
+        return path
+    times = np.arange(
+        "2024-01-01T00", "2024-01-02T00", np.timedelta64(1, "h"),
+        dtype="M8[ns]",
+    )
+    write_store(
+        path,
+        arrays={"time": times, "val": np.arange(24.0)},
+        chunk_shapes={"time": (7,), "val": (7,)},
+        dimension_names={"time": ("time",), "val": ("time",)},
+    )
+    _mark_done(path)
+    return path

@@ -57,16 +57,6 @@ _TRI_CTE = (
 
 def populate_operator_queries(register) -> None:
     # ---------------- dedup ----------------
-    def d01(spark, sf_dir):
-        return dedup.exact_dedup(_docs(spark, sf_dir))
-
-    register(
-        "d01_exact_dedup",
-        d01,
-        "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
-        "FROM documents GROUP BY text",
-    )
-
     def d04(spark, sf_dir):
         return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
 
@@ -946,6 +936,16 @@ def populate_rotated_out(register) -> None:
     to free slots for never-checked queries (the r2 verdict's
     direction). Still oracle-backed and parity-tested locally every
     round by tests/test_oracle_parity.py."""
+
+    def d01(spark, sf_dir):
+        return dedup.exact_dedup(_docs(spark, sf_dir))
+
+    register(
+        "d01_exact_dedup",
+        d01,
+        "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY text",
+    )
 
     def d02(spark, sf_dir):
         return dedup.normalized_dedup(_docs(spark, sf_dir))

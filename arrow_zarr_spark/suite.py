@@ -735,6 +735,24 @@ def _populate_zarr() -> None:
         "SELECT CAST(i AS BIGINT) AS v FROM range(64) t(i) WHERE i % 3 = 0",
     )
 
+    def z16(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Datetime64 scan: time axis reads as TimestampNTZ, with a
+        timestamp predicate exercising chunk pruning on an M8 column
+        (edge chunks: 24 rows / chunk-7)."""
+        path = fixtures.write_time_series_store()
+        df = _zarr_df(spark, path, "zarr_time")
+        return df.select("time", "val").filter(
+            F.col("time") >= F.lit("2024-01-01 12:00:00").cast("timestamp_ntz")
+        )
+
+    register_query(
+        "z16_time_scan",
+        z16,
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 HOUR "
+        "AS time, CAST(i AS DOUBLE) AS val FROM range(24) t(i) "
+        "WHERE i >= 12",
+    )
+
     def z10(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = fixtures.write_typed_store()
         df = _zarr_df(spark, path, "zarr_typed")

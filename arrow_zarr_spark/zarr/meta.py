@@ -70,7 +70,22 @@ _NUMPY_TO_ZARR = {
 }
 
 
+#: datetime64 units the engine accepts (zarr-python's v3 extension
+#: dtype ``numpy.datetime64`` + the v2 ``<M8[unit]`` strings). Coarser
+#: units (D, h, m) exist in the wild but don't round-trip through
+#: Spark's microsecond timestamps losslessly enough to hash-verify.
+DATETIME_UNITS = ("s", "ms", "us", "ns")
+
+
 def zarr_dtype_to_numpy(name: str) -> np.dtype:
+    if name.startswith("numpy.datetime64["):
+        unit = name[len("numpy.datetime64[") : -1]
+        if unit not in DATETIME_UNITS:
+            raise ZarrFormatError(
+                f"Unsupported datetime64 unit {unit!r} for zarr array "
+                f"(supported: {', '.join(DATETIME_UNITS)})"
+            )
+        return np.dtype(f"<M8[{unit}]")
     try:
         return ZARR_TO_NUMPY[name]
     except KeyError:
@@ -83,6 +98,14 @@ def numpy_to_zarr_dtype(dtype: np.dtype) -> str:
     dtype = np.dtype(dtype)
     if dtype.kind in ("U", "O", "S", "T"):
         return "string"
+    if dtype.kind == "M":
+        unit = np.datetime_data(dtype)[0]
+        if unit not in DATETIME_UNITS:
+            raise ZarrFormatError(
+                f"Unsupported datetime64 unit {unit!r} for zarr "
+                f"(supported: {', '.join(DATETIME_UNITS)})"
+            )
+        return f"numpy.datetime64[{unit}]"
     try:
         return _NUMPY_TO_ZARR[dtype.newbyteorder("=")]
     except KeyError:
@@ -99,6 +122,12 @@ def _parse_fill_value(raw: Any, dtype: np.dtype) -> Any:
         return None
     if dtype == np.dtype(object):  # string
         return str(raw)
+    if dtype.kind == "M":
+        if isinstance(raw, str):
+            return np.datetime64(raw)  # ISO string or "NaT"
+        # integer count of the dtype's unit since the epoch (how both
+        # zarr-python v3 and v2 .zarray serialize datetime fills)
+        return np.int64(raw).view(dtype)
     if dtype.kind == "f" and isinstance(raw, str):
         if raw == "NaN":
             return math.nan
@@ -184,11 +213,22 @@ class ArrayMeta:
         )
 
     def to_json(self) -> dict:
+        data_type: Any = self.zarr_dtype
+        if data_type.startswith("numpy.datetime64["):
+            # serialize in zarr-python's extension-object form so its
+            # readers accept the store
+            data_type = {
+                "name": "numpy.datetime64",
+                "configuration": {
+                    "unit": data_type[len("numpy.datetime64[") : -1],
+                    "scale_factor": 1,
+                },
+            }
         doc = {
             "zarr_format": 3,
             "node_type": "array",
             "shape": list(self.shape),
-            "data_type": self.zarr_dtype,
+            "data_type": data_type,
             "chunk_grid": {
                 "name": "regular",
                 "configuration": {"chunk_shape": list(self.chunk_shape)},
@@ -209,6 +249,10 @@ class ArrayMeta:
 def _fill_value_to_json(value: Any, dtype: np.dtype) -> Any:
     if value is None:
         return None
+    if dtype.kind == "M":
+        if isinstance(value, (int, np.integer)):
+            return int(value)  # already a unit count since the epoch
+        return int(np.datetime64(value).astype(dtype).view(np.int64))
     if dtype.kind == "f":
         v = float(value)
         if math.isnan(v):
@@ -260,7 +304,19 @@ def parse_array_meta(name: str, raw: bytes) -> ArrayMeta:
 
     zarr_dtype = doc["data_type"]
     if isinstance(zarr_dtype, dict):  # extension object form
-        zarr_dtype = zarr_dtype.get("name", str(zarr_dtype))
+        ext_name = zarr_dtype.get("name", str(zarr_dtype))
+        cfg = zarr_dtype.get("configuration", {}) or {}
+        if ext_name == "numpy.datetime64":
+            # zarr-python's v3 datetime extension: unit + scale_factor
+            if cfg.get("scale_factor", 1) != 1:
+                raise ZarrFormatError(
+                    f"Unsupported datetime64 scale_factor "
+                    f"{cfg.get('scale_factor')} for array {name} "
+                    f"(only 1 is supported)"
+                )
+            zarr_dtype = f"numpy.datetime64[{cfg.get('unit', 'ns')}]"
+        else:
+            zarr_dtype = ext_name
     np_dtype = zarr_dtype_to_numpy(zarr_dtype)  # validates
 
     dim_names = doc.get("dimension_names")
@@ -393,7 +449,7 @@ def parse_v2_array_meta(
             f"zarr v2 array {name} has invalid order {order!r}"
         )
     np_dtype = np.dtype(doc["dtype"])
-    if np_dtype.kind not in ("b", "i", "u", "f"):
+    if np_dtype.kind not in ("b", "i", "u", "f", "M"):
         raise ZarrFormatError(
             f"Unsupported zarr v2 dtype {doc['dtype']!r} for array {name}"
         )

@@ -1,6 +1,7 @@
 """End-to-end Spark tests of the zarr DataSource, replicating the
 reference's SQL-level golden tests (table_provider.rs:171-487)."""
 
+import numpy as np
 import pytest
 
 from arrow_zarr_spark.fixtures import (
@@ -245,3 +246,47 @@ def test_coord_cache_never_serves_stale_values(spark, tmp_path):
     build(50.0)
     second = spark.read.format("zarr").load(path).agg({"lat": "min"}).collect()
     assert second[0][0] == 50.0
+
+
+class TestPushdownPlanReuse:
+    """Spark 4.1 caches the planned Python-DataSource read per relation
+    and filter pushdown overwrites it (see ZarrReader.pushFilters).
+    Pin the three behaviors users rely on: filtered queries are always
+    correct, fresh loads are always correct, and pushdown=false makes
+    a single reused DataFrame correct in every order."""
+
+    @pytest.fixture()
+    def store_12(self, tmp_path):
+        from arrow_zarr_spark.zarr.writer import write_store
+
+        path = str(tmp_path / "p12")
+        write_store(
+            path,
+            arrays={"v": np.arange(12.0)},
+            chunk_shapes={"v": (3,)},
+            dimension_names={"v": ("i",)},
+        )
+        return path
+
+    def test_filtered_queries_always_correct(self, spark, store_12):
+        df = spark.read.format("zarr").load(store_12)
+        assert df.count() == 12
+        assert df.filter("v >= 9").count() == 3
+        assert df.filter("v >= 3").count() == 9
+        assert df.filter("v >= 9").count() == 3
+
+    def test_fresh_load_never_stale(self, spark, store_12):
+        df = spark.read.format("zarr").load(store_12)
+        assert df.filter("v >= 9").count() == 3
+        fresh = spark.read.format("zarr").load(store_12)
+        assert fresh.count() == 12
+
+    def test_pushdown_off_makes_reuse_safe(self, spark, store_12):
+        df = (
+            spark.read.format("zarr")
+            .option("pushdown", "false")
+            .load(store_12)
+        )
+        assert df.filter("v >= 9").count() == 3  # exact rows, no pruning
+        assert df.count() == 12  # reuse after a filtered query stays whole
+        assert df.filter("v >= 3").count() == 9
