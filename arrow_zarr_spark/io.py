@@ -55,6 +55,9 @@ SPARK_TO_ZARR = {
     T.LongType(): "int64",
     T.FloatType(): "float32",
     T.DoubleType(): "float64",
+    # Spark NTZ timestamps are microsecond wall-clock counts; the
+    # inverse of the scan's datetime64 → TimestampNTZ mapping
+    T.TimestampNTZType(): "numpy.datetime64[us]",
 }
 
 
@@ -76,8 +79,9 @@ def _np_dtype_for(field: T.StructField) -> np.dtype:
 
 def _reject_nulls(values, dtype: np.dtype, name: str) -> np.ndarray:
     """Zarr has no null representation; converting a null to an int dtype
-    silently yields INT64_MIN garbage — reject instead."""
-    if dtype.kind in ("i", "u", "b"):
+    silently yields INT64_MIN garbage — reject instead (datetimes: a
+    NULL would silently become NaT/INT64_MIN, same class of bug)."""
+    if dtype.kind in ("i", "u", "b", "M"):
         if pd.isna(values).any():
             raise ZarrFormatError(
                 f"Column {name!r} contains NULLs; Zarr has no null "

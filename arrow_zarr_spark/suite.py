@@ -817,6 +817,32 @@ def _populate_writer() -> None:
     )
 
 
+def _populate_writer_deferred() -> None:
+    def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Writer round-trip for TimestampNTZ columns: events → zarr
+        datetime64[us] arrays → scan. The oracle reads the same
+        columns straight from parquet (DuckDB TIMESTAMP is naive wall
+        clock, identical to NTZ under the pinned-UTC session)."""
+        from .io import write_zarr
+
+        ensure_views(spark, sf_dir)
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w02_{token}"
+        src = spark.table("events").select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "value",
+        )
+        write_zarr(src, path, chunk_rows=4096, mode="overwrite")
+        return spark.read.format("zarr").load(path)
+
+    register_query(
+        "w02_writer_datetime_roundtrip",
+        w02,
+        "SELECT event_id, ts, value FROM events",
+    )
+
+
 _populated = False
 
 
@@ -854,6 +880,7 @@ def _ensure_populated() -> None:
     # (rows-only checks)
     _populate_tier_b()
     _populate_tier_b_deferred()
+    _populate_writer_deferred()
     populate_rotated_out(register_query)
     populate_deferred_queries(register_query)
     _populated = True

@@ -174,3 +174,57 @@ class TestV2:
         assert (
             df.filter("time >= timestamp'2024-01-01 12:00:00'").count() == 12
         )
+
+
+class TestWriterRoundTrip:
+    def test_write_and_scan_timestamp_ntz(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr
+
+        path = str(tmp_path / "wdt")
+        src = spark.sql(
+            "SELECT CAST(id AS LONG) AS k, "
+            "timestamp_ntz'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) AS t "
+            "FROM range(100)"
+        )
+        n = write_zarr(src, path, chunk_rows=32)
+        assert n == 100
+        back = spark.read.format("zarr").load(path)
+        assert dict(back.dtypes)["t"] == "timestamp_ntz"
+        a = sorted((r.k, r.t) for r in src.collect())
+        b = sorted((r.k, r.t) for r in back.collect())
+        assert a == b
+
+    def test_append_keeps_datetime(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr
+
+        path = str(tmp_path / "wdta")
+        mk = (
+            "SELECT CAST(id AS LONG) AS k, "
+            "timestamp_ntz'2024-03-01 00:00:00' + "
+            "make_interval(0,0,0,0,id,0,0) AS t FROM range({a}, {b})"
+        )
+        write_zarr(spark.sql(mk.format(a=0, b=40)), path, chunk_rows=16)
+        write_zarr(
+            spark.sql(mk.format(a=40, b=60)), path, chunk_rows=16,
+            mode="append",
+        )
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 60
+        import datetime as dt
+
+        last = back.orderBy("t", ascending=False).first()
+        assert last.t == dt.datetime(2024, 3, 1, 0, 0) + dt.timedelta(
+            hours=59
+        )
+
+    def test_null_timestamp_rejected(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr
+
+        path = str(tmp_path / "wdtnull")
+        src = spark.sql(
+            "SELECT CAST(id AS LONG) AS k, "
+            "CASE WHEN id = 5 THEN NULL ELSE timestamp_ntz'2024-01-01' END AS t "
+            "FROM range(10)"
+        )
+        with pytest.raises(Exception, match="NULL"):
+            write_zarr(src, path, chunk_rows=8)
