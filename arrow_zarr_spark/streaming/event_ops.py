@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -33,6 +34,21 @@ __all__ = [
 ]
 
 
+def _as_utc_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP.
+
+    Parquet written without isAdjustedToUTC surfaces as TIMESTAMP_NTZ
+    in Spark 4, which unix_micros / withWatermark / session_window all
+    reject. Interpret the naive value as a UTC wall clock —
+    to_utc_timestamp(col, 'UTC') is exact and independent of
+    spark.sql.session.timeZone (a plain cast would shift by the
+    session zone). DuckDB's epoch_us on the same naive value agrees,
+    so oracle comparisons stay bit-stable."""
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
+    return df
+
+
 def windowed_event_stats(
     events: DataFrame,
     window: str = "5 minutes",
@@ -40,7 +56,7 @@ def windowed_event_stats(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Tumbling/sliding event-time window stats per event_type."""
-    df = events
+    df = _as_utc_event_time(events)
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
@@ -56,6 +72,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     lag + cumulative-sum over a per-user window — state shards by
     user_id (no global ordering)."""
+    events = _as_utc_event_time(events)
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_us = gap_minutes * 60 * 1_000_000  # microseconds: exact, no
     # second-truncation boundary flips
@@ -97,7 +114,8 @@ def sessionize_stream(
     """Streaming sessionization via native session_window (state merged
     by the engine, bounded by the watermark)."""
     return (
-        events.withWatermark("ts", watermark)
+        _as_utc_event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy(
             F.session_window("ts", f"{gap_minutes} minutes").alias("session"),
             "user_id",
