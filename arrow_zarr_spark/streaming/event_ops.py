@@ -39,13 +39,24 @@ def _as_utc_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
 
     Parquet written without isAdjustedToUTC surfaces as TIMESTAMP_NTZ
     in Spark 4, which unix_micros / withWatermark / session_window all
-    reject. Interpret the naive value as a UTC wall clock —
-    to_utc_timestamp(col, 'UTC') is exact and independent of
-    spark.sql.session.timeZone (a plain cast would shift by the
-    session zone). DuckDB's epoch_us on the same naive value agrees,
-    so oracle comparisons stay bit-stable."""
+    reject. Interpret the naive value as a UTC wall clock.
+
+    NOT ``to_utc_timestamp(col, 'UTC')``: Spark implicitly casts NTZ
+    to TIMESTAMP through the *session* zone first, making that form
+    (and a plain cast) shift event times on any non-UTC session.
+    ``convert_timezone('UTC', current_timezone(), ntz)`` instead
+    re-labels the naive value from UTC into the session zone while
+    still NTZ, so the final cast lands on the exact UTC instant
+    regardless of spark.sql.session.timeZone (pinned by a test that
+    flips the session zone). DuckDB's epoch_us on the same naive
+    value agrees, so oracle comparisons stay bit-stable."""
     if isinstance(df.schema[col].dataType, TimestampNTZType):
-        return df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
+        return df.withColumn(
+            col,
+            F.convert_timezone(
+                F.lit("UTC"), F.current_timezone(), F.col(col)
+            ).cast("timestamp"),
+        )
     return df
 
 

@@ -23,6 +23,37 @@ def events(spark, sf_dir):
     return spark.table("events")
 
 
+def test_event_time_session_tz_invariant(spark, events):
+    """The NTZ→TIMESTAMP normalization must not depend on
+    spark.sql.session.timeZone: to_utc_timestamp / a plain cast both
+    shift by the session zone (NTZ implicitly casts through it), which
+    would move every window and session boundary on a non-UTC cluster.
+    Pin invariance by comparing instants under UTC vs LA sessions."""
+    from arrow_zarr_spark.streaming.event_ops import _as_utc_event_time
+
+    sample = events.limit(200)
+    tz_key = "spark.sql.session.timeZone"
+    old = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "UTC")
+        utc = [
+            r[0]
+            for r in _as_utc_event_time(sample)
+            .select(F.unix_micros("ts"))
+            .collect()
+        ]
+        spark.conf.set(tz_key, "America/Los_Angeles")
+        la = [
+            r[0]
+            for r in _as_utc_event_time(sample)
+            .select(F.unix_micros("ts"))
+            .collect()
+        ]
+    finally:
+        spark.conf.set(tz_key, old)
+    assert sorted(utc) == sorted(la)
+
+
 def test_windowed_stats_batch(spark, events):
     out = windowed_event_stats(events, window="1 hour").collect()
     assert len(out) > 0
