@@ -67,3 +67,14 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     qs["doc_chunk_shard"] = lambda: force(
         chunk_documents(docs, 64, 32)
     ) + force(packing.shard_manifest(docs, 64))
+    # digest-gated contamination purge: broadcast 8-byte digests gate
+    # the corpus, exact verify only on digest hits (round-4 operator)
+    qs["contamination_purge"] = lambda: force(
+        dedup.contamination_purge(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+        )
+    )
+    # corpus-level boilerplate n-gram stats: explode + doc-frequency
+    # groupBy + broadcast semi-join back per doc
+    qs["boilerplate_stats"] = lambda: force(text.boilerplate_stats(docs))

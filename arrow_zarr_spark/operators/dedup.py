@@ -43,6 +43,7 @@ __all__ = [
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
+    "contamination_purge",
 ]
 
 _MERSENNE31 = 2147483647  # 2^31 - 1
@@ -436,6 +437,94 @@ def ngram_contamination(
                 6,
             ).alias("contamination_frac"),
         )
+    )
+
+
+def contamination_purge(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Remove every corpus document that shares ANY word ``k``-gram
+    with a blocklist corpus (benchmark test sets, opted-out content) —
+    the purge counterpart of :func:`ngram_contamination`'s flagging.
+    Returns the surviving corpus rows with their original columns.
+
+    Digest-gated anti-join, the shape that survives 100 TB:
+
+    1. the blocklist's distinct shingles reduce to 8-byte ``xxhash64``
+       digests, broadcast to every executor (a few MB even for millions
+       of blocklist n-grams — the bloom-filter role, with zero false
+       negatives by construction);
+    2. the corpus explodes to (id, shingle) and probes the broadcast
+       digest set — shuffle-free for the clean majority;
+    3. only digest *hits* (a ~0 fraction under realistic contamination
+       rates) are exact-verified against the blocklist's real shingle
+       strings, so a hash collision can never purge a clean document;
+    4. the confirmed-contaminated id set (tiny) broadcast-anti-joins
+       back against the corpus.
+
+    No shuffle ever carries document text. When contamination is NOT
+    rare the confirmed set stops being broadcastable — Spark's AQE
+    falls back to a shuffle anti-join on the 8-byte id, still never on
+    text."""
+    corpus_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias(
+            "_sh"
+        ),
+    )
+    block_sh = blocklist.select(
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias(
+            "_sh"
+        )
+    ).distinct()
+    block_dig = block_sh.select(F.xxhash64("_sh").alias("_bd")).distinct()
+    hits = corpus_sh.join(
+        F.broadcast(block_dig),
+        F.xxhash64("_sh") == F.col("_bd"),
+        "left_semi",
+    )
+    confirmed = (
+        hits.join(block_sh, "_sh", "left_semi").select(id_col).distinct()
+    )
+    return corpus.join(confirmed, id_col, "left_anti")
+
+
+def contamination_purge_sql(
+    k: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_pred: str = "source = 'src0'",
+) -> str:
+    """DuckDB oracle for :func:`contamination_purge` with the blocklist
+    carved out of ``table`` by ``block_pred``: NOT EXISTS over the same
+    distinct k-gram sets (digests are an execution detail the exact
+    verify step erases, so the oracle needs none)."""
+    concat = " || ' ' || ".join(
+        "ws[i]" if j == 0 else f"ws[i+{j}]" for j in range(k)
+    )
+    return (
+        f"WITH ng AS ("
+        f"  SELECT {id_col}, t.ng AS ng FROM ("
+        f"    SELECT {id_col}, list_distinct(list_transform("
+        f"      range(1, len(ws) - {k - 2}), i -> {concat})) AS ngl"
+        f"    FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ws "
+        f"          FROM {table} WHERE NOT ({block_pred}))"
+        f"  ), UNNEST(ngl) AS t(ng)), "
+        f"bl AS (SELECT DISTINCT t.ng AS ng FROM ("
+        f"    SELECT list_distinct(list_transform("
+        f"      range(1, len(ws) - {k - 2}), i -> {concat})) AS ngl"
+        f"    FROM (SELECT string_split({text_col}, ' ') AS ws "
+        f"          FROM {table} WHERE {block_pred})"
+        f"  ), UNNEST(ngl) AS t(ng)), "
+        f"bad AS (SELECT DISTINCT {id_col} FROM ng "
+        f"        WHERE ng IN (SELECT ng FROM bl)) "
+        f"SELECT * FROM {table} WHERE NOT ({block_pred}) "
+        f"AND {id_col} NOT IN (SELECT {id_col} FROM bad)"
     )
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "stratified_sample",
     "stratified_sample_deterministic",
     "rebalance_mixture",
+    "quantile_gate",
 ]
 
 
@@ -63,6 +64,45 @@ def per_group_quota(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
         .drop("__rn")
+    )
+
+
+def quantile_gate(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    keep_frac: float,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each group by ``score_col`` — the
+    "drop the bottom half by quality, per language" gate. The cutoff is
+    rank-based (``ceil(group_count * keep_frac)``), so it is exact and
+    deterministic where a percentile-threshold filter would wobble on
+    ties; ``tiebreak_col`` (unique) makes the order total. Adds
+    ``group_rank`` (1 = best in group) to the output.
+
+    Scale: one shuffle — a window partitioned by the group key computes
+    rank and group count in the same pass; no global sort and no second
+    scan. Per-group data must fit a task's spill budget (windows spill
+    to disk, not OOM); for pathological single-group skew, pre-compute
+    an approximate score threshold with ``percentile_approx`` (one
+    map-side agg, broadcast scalar) and rank only the boundary."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(
+            f"quantile_gate: keep_frac must be in (0, 1], got {keep_frac}"
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak_col).asc()
+    )
+    cnt = Window.partitionBy(group_col)
+    return (
+        df.withColumn("group_rank", F.row_number().over(w).cast("long"))
+        .withColumn("__cnt", F.count("*").over(cnt))
+        .filter(
+            F.col("group_rank")
+            <= F.ceil(F.col("__cnt") * F.lit(float(keep_frac)))
+        )
+        .drop("__cnt")
     )
 
 

@@ -20,6 +20,7 @@ from . import dedup, multimodal, similarity, text
 __all__ = [
     "populate_operator_queries",
     "populate_extended_queries",
+    "populate_round4_queries",
     "populate_deferred_queries",
 ]
 
@@ -931,11 +932,106 @@ def populate_extended_queries(register) -> None:
     register("p05_shard_manifest", p05, _p05_sql())
 
 
+def populate_round4_queries(register) -> None:
+    """Round-4 operator additions — every entry oracle-backed.
+
+    d11: digest-gated contamination purge (the anti-join counterpart of
+    d09's flagging); t11: corpus-level boilerplate n-gram stats; p06:
+    per-group quantile quality gate; e01: the batch form of the
+    stream-static enrichment join (the streaming form is pytest-
+    verified against this exact plan in tests/test_streaming.py)."""
+
+    def d11(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        out = dedup.contamination_purge(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+            k=5,
+        )
+        return out.select("doc_id", "lang", "source", "n_chars")
+
+    register(
+        "d11_contamination_purge",
+        d11,
+        "SELECT doc_id, lang, source, n_chars FROM ("
+        + dedup.contamination_purge_sql(k=5, block_pred="source = 'src0'")
+        + ")",
+    )
+
+    def t11(spark, sf_dir):
+        return text.boilerplate_stats(
+            _docs(spark, sf_dir), ngram_n=3, min_docs=5
+        )
+
+    register(
+        "t11_boilerplate_ngrams",
+        t11,
+        text.boilerplate_stats_sql(ngram_n=3, min_docs=5),
+    )
+
+    def p06(spark, sf_dir):
+        from .sampling import quantile_gate
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "lang", "n_chars"
+        )
+        return quantile_gate(
+            docs,
+            group_col="lang",
+            score_col="n_chars",
+            keep_frac=0.5,
+            tiebreak_col="doc_id",
+        )
+
+    register(
+        "p06_quantile_gate",
+        p06,
+        "WITH ranked AS (SELECT doc_id, lang, n_chars, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS group_rank, "
+        "COUNT(*) OVER (PARTITION BY lang) AS cnt FROM documents) "
+        "SELECT doc_id, lang, n_chars, group_rank FROM ranked "
+        "WHERE group_rank <= CAST(CEIL(cnt * 0.5) AS BIGINT)",
+    )
+
+    def e01(spark, sf_dir):
+        from ..streaming.event_ops import enrich_events
+
+        ensure_views(spark, sf_dir)
+        events = spark.table("events")
+        # a strict dim subset so the left join exercises both the
+        # enriched and the unmatched-null paths
+        dim = (
+            spark.table("customer")
+            .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .select("c_custkey", "c_mktsegment", "c_nationkey")
+        )
+        out = enrich_events(
+            events, dim, events.user_id == dim.c_custkey, "left"
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+
+    register(
+        "e01_stream_enrich_batchform",
+        e01,
+        "SELECT e.event_id, e.user_id, e.event_type, "
+        "c.c_mktsegment AS segment, c.c_nationkey AS nationkey "
+        "FROM events e LEFT JOIN (SELECT * FROM customer WHERE "
+        "c_mktsegment IN ('BUILDING', 'MACHINERY')) c "
+        "ON e.user_id = c.c_custkey",
+    )
+
+
 def populate_rotated_out(register) -> None:
-    """Multi-round-green operator rows rotated past the driver window
-    to free slots for never-checked queries (the r2 verdict's
-    direction). Still oracle-backed and parity-tested locally every
-    round by tests/test_oracle_parity.py."""
+    """d01/d02: rotated OUT of the r3 window (green r1+r2), rotated
+    back IN for round 4 — their last driver rows are two rounds old,
+    the oldest of any oracle-backed operator query."""
 
     def d01(spark, sf_dir):
         return dedup.exact_dedup(_docs(spark, sf_dir))

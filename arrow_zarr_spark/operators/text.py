@@ -29,6 +29,8 @@ __all__ = [
     "tf_idf",
     "pii_redact",
     "repetition_signals",
+    "boilerplate_stats",
+    "boilerplate_stats_sql",
 ]
 
 #: PII patterns, shared by redaction and counting. Kept to the regex
@@ -399,6 +401,109 @@ def tf_idf(
                 6,
             ).alias("tfidf6"),
         )
+    )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    ngram_n: int = 3,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate detection: an n-gram is *boilerplate*
+    when it appears in >= ``min_docs`` distinct documents (headers,
+    navigation chrome, license blurbs in a web corpus). Returns one row
+    per document: (doc_id, n_ngrams, n_boiler, boiler_frac) where the
+    fraction is over the document's DISTINCT n-grams.
+
+    Scale: per-doc distinct n-grams explode once; doc frequency is a
+    single groupBy on the n-gram (uniform hash keys, map-side combine);
+    the surviving boilerplate set is orders of magnitude smaller than
+    the corpus, so flagging each document's n-grams is a broadcast
+    semi-join — the 100-TB side shuffles only (doc_id, ngram) pairs for
+    its own per-doc counts, never text rows, and never joins big-to-big.
+    """
+    words = words_col(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= ngram_n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - ngram_n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(words, i + j + 1) for j in range(ngram_n)],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = df.select(F.col(id_col), F.explode(grams).alias("ng"))
+    boiler = (
+        ng.groupBy("ng")
+        .agg(F.count("*").alias("ndocs"))  # ng is distinct per doc
+        .filter(F.col("ndocs") >= min_docs)
+        .select("ng")
+    )
+    per = ng.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    per_boiler = (
+        ng.join(F.broadcast(boiler), "ng", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .join(per_boiler, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_ngrams"), F.lit(0).cast("long")).alias(
+                "n_ngrams"
+            ),
+            F.coalesce(F.col("n_boiler"), F.lit(0).cast("long")).alias(
+                "n_boiler"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("n_boiler") / F.col("n_ngrams"), F.lit(0.0)
+                ),
+                6,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+def boilerplate_stats_sql(
+    ngram_n: int = 3,
+    min_docs: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`boilerplate_stats`: list_transform over
+    range() builds the same distinct n-grams, HAVING gives the
+    boilerplate set, and the per-doc stats replay the two counts."""
+    concat = " || ' ' || ".join(
+        "ws[i]" if j == 0 else f"ws[i+{j}]" for j in range(ngram_n)
+    )
+    return (
+        f"WITH ng AS ("
+        f"  SELECT {id_col}, t.ng AS ng FROM ("
+        f"    SELECT {id_col}, list_distinct(list_transform("
+        f"      range(1, len(ws) - {ngram_n - 2}), i -> {concat})) AS ngl"
+        f"    FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ws "
+        f"          FROM {table})"
+        f"  ), UNNEST(ngl) AS t(ng)), "
+        f"b AS (SELECT ng FROM ng GROUP BY ng "
+        f"      HAVING COUNT(*) >= {min_docs}), "
+        f"per AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_ngrams, "
+        f"  CAST(SUM(CASE WHEN ng IN (SELECT ng FROM b) THEN 1 ELSE 0 END) "
+        f"       AS BIGINT) AS n_boiler "
+        f"  FROM ng GROUP BY {id_col}) "
+        f"SELECT d.{id_col}, COALESCE(per.n_ngrams, 0) AS n_ngrams, "
+        f"COALESCE(per.n_boiler, 0) AS n_boiler, "
+        f"ROUND(COALESCE(per.n_boiler / (per.n_ngrams * 1.0), 0.0), 6) "
+        f"AS boiler_frac "
+        f"FROM {table} d LEFT JOIN per ON d.{id_col} = per.{id_col}"
     )
 
 

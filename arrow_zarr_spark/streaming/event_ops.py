@@ -31,6 +31,7 @@ __all__ = [
     "sessionize_stream",
     "stateful_user_counts",
     "streaming_exact_dedup",
+    "enrich_events",
 ]
 
 
@@ -76,6 +77,28 @@ def windowed_event_stats(
         F.sum("value").alias("total_value"),
         F.approx_count_distinct("user_id").alias("approx_users"),
     )
+
+
+def enrich_events(
+    events: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to an
+    event stream (user profile, device table, geo lookup).
+
+    The dimension side is explicitly broadcast — stream-static joins
+    are stateless in Structured Streaming (each micro-batch probes the
+    static side; no watermark, no state store), and at 100 TB/day of
+    events the only viable physical plan is a broadcast hash join: a
+    shuffle would re-partition the firehose every micro-batch. The same
+    plan serves the batch backfill identically (Structured Streaming's
+    unified-API contract), which is what the correctness suite
+    verifies. The static side is re-read per micro-batch only on
+    restart; for slowly-changing dims use a Delta/parquet path that
+    overwrites atomically."""
+    return events.join(F.broadcast(dim), on, how)
 
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

@@ -178,19 +178,16 @@ def _populate_tier_b() -> None:
         "UNION ALL "
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     )
+def _populate_tier_b_deferred() -> None:
+    """Tier-B shapes that were driver-green in r1 AND r2 and did not
+    fit the round-4 window (the 50th slot cut falls here) — parity
+    stays enforced every round by tests/test_oracle_parity.py."""
     # B13 LIMIT (table_provider.rs:300-307) — deterministic via total order
     _sql_pair(
         "b13_limit_topk",
         "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10",
     )
-
-
-def _populate_tier_b_deferred() -> None:
-    """Tier-B shapes that were driver-green in BOTH r1 and r2 — rotated
-    past the 50-query window (r3) so the slots go to never-checked
-    queries; cross-engine parity stays enforced every round by
-    tests/test_oracle_parity.py."""
     # B1 projection list (table_provider.rs:280-281)
     _sql_pair(
         "b01_projection",
@@ -218,44 +215,28 @@ def _populate_tier_b_deferred() -> None:
 # ---------------------------------------------------------------------------
 
 def _populate_relational() -> None:
-    # Only the FIRST registration here lands inside the driver's
-    # 50-query verification window: r25, red in r1 and r2 and fixed in
-    # r3, needs its fix verified by a driver row. Everything after is
-    # past the window (multi-round green, locally parity-tested).
+    """Relational shapes delegated to Catalyst. Round-4 rotation puts
+    all of these INSIDE the 50-slot verification window — their last
+    driver-green rows date from r1/r2 (the r3 window went to the
+    then-new zarr/operator queries); r36/r37 are new this round."""
 
-    # sessionization (the batch operator from the streaming module),
-    # verified against the same gap/cumsum logic in DuckDB SQL
-    def r25(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .streaming.event_ops import sessionize_batch
-
-        ensure_views(spark, sf_dir)
-        out = sessionize_batch(spark.table("events"), gap_minutes=30)
-        return out.select(
-            "user_id",
-            "session_seq",
-            F.unix_micros("session_start").alias("start_us"),
-            F.unix_micros("session_end").alias("end_us"),
-            F.col("n_events").cast("long").alias("n_events"),
-            F.col("session_value"),
-        )
-
-    register_query(
-        "r25_sessionization",
-        r25,
-        "WITH g AS (SELECT user_id, ts, value, CASE WHEN "
-        "epoch_us(ts) - LAG(epoch_us(ts)) OVER "
-        "(PARTITION BY user_id ORDER BY ts) > 1800000000 THEN 1 ELSE 0 "
-        "END AS new_session FROM events), "
-        # CAST to BIGINT: DuckDB's SUM over integers returns HUGEINT,
-        # which the driver's canonicalizer type-tags differently from
-        # Spark's LONG (same repo convention as ROW_NUMBER casts).
-        "s AS (SELECT user_id, ts, value, CAST(SUM(new_session) OVER "
-        "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED "
-        "PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM g) "
-        "SELECT user_id, session_seq, epoch_us(MIN(ts)) AS start_us, "
-        "epoch_us(MAX(ts)) AS end_us, COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value "
-        "FROM s GROUP BY user_id, session_seq",
+    # grouping sets — completes the rollup (r17) / cube (r30) family
+    _sql_pair(
+        "r36_grouping_sets",
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty "
+        "FROM lineitem GROUP BY GROUPING SETS "
+        "((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())",
+    )
+    # NOT EXISTS decorrelated anti-join (complements r16's IN and
+    # r11's relational ANTI JOIN with the subquery spelling)
+    # the correlated predicate keeps the result non-trivially non-empty
+    # (every customer has SOME order in the synthetic data)
+    _sql_pair(
+        "r37_not_exists",
+        "SELECT c_custkey, c_name, c_acctbal FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)",
     )
 
     _sql_pair(
@@ -544,20 +525,6 @@ def _populate_relational() -> None:
         "AS prop_k FROM events",
     )
 
-    # approximate aggregates: sketch implementations differ per engine,
-    # so these register without an oracle (rows-only check); their exact
-    # counterparts (r02) are hash-verified
-    def r26(spark: SparkSession, sf_dir: str) -> DataFrame:
-        ensure_views(spark, sf_dir)
-        return spark.sql(
-            "SELECT l_returnflag, "
-            "approx_count_distinct(l_partkey) AS approx_parts, "
-            "percentile_approx(l_extendedprice, 0.5) AS approx_median "
-            "FROM lineitem GROUP BY l_returnflag"
-        )
-
-    register_query("r26_approx_aggregates", r26, None)
-
     # pivot expressed portably via conditional aggregation
     _sql_pair(
         "r24_pivot_conditional",
@@ -584,6 +551,62 @@ _F1_GEN = (
     "CAST(35 + i // 8 AS DOUBLE) AS lat, "
     "CAST(-120 + i % 8 AS DOUBLE) AS lon FROM range(64) t(i)"
 )
+
+
+def _populate_relational_rotated() -> None:
+    """Relational entries rotated PAST the round-4 window: r25 earned
+    its driver-green row in r3 (after two red rounds), and r26 is a
+    rows-only check (engine-specific sketches admit no oracle) that
+    should not spend a provable slot."""
+
+    # sessionization (the batch operator from the streaming module),
+    # verified against the same gap/cumsum logic in DuckDB SQL
+    def r25(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .streaming.event_ops import sessionize_batch
+
+        ensure_views(spark, sf_dir)
+        out = sessionize_batch(spark.table("events"), gap_minutes=30)
+        return out.select(
+            "user_id",
+            "session_seq",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("session_value"),
+        )
+
+    register_query(
+        "r25_sessionization",
+        r25,
+        "WITH g AS (SELECT user_id, ts, value, CASE WHEN "
+        "epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts) > 1800000000 THEN 1 ELSE 0 "
+        "END AS new_session FROM events), "
+        # CAST to BIGINT: DuckDB's SUM over integers returns HUGEINT,
+        # which the driver's canonicalizer type-tags differently from
+        # Spark's LONG (same repo convention as ROW_NUMBER casts).
+        "s AS (SELECT user_id, ts, value, CAST(SUM(new_session) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM g) "
+        "SELECT user_id, session_seq, epoch_us(MIN(ts)) AS start_us, "
+        "epoch_us(MAX(ts)) AS end_us, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value "
+        "FROM s GROUP BY user_id, session_seq",
+    )
+
+    # approximate aggregates: sketch implementations differ per engine,
+    # so these register without an oracle (rows-only check); their exact
+    # counterparts (r02) are hash-verified
+    def r26(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        return spark.sql(
+            "SELECT l_returnflag, "
+            "approx_count_distinct(l_partkey) AS approx_parts, "
+            "percentile_approx(l_extendedprice, 0.5) AS approx_median "
+            "FROM lineitem GROUP BY l_returnflag"
+        )
+
+    register_query("r26_approx_aggregates", r26, None)
 
 
 def _populate_zarr() -> None:
@@ -850,37 +873,41 @@ def _ensure_populated() -> None:
     global _populated
     if _populated:
         return
-    # Registration order is a correctness-verification budget: the driver
-    # evaluates only the first 50 registered queries, so the hand-built
-    # engine paths (zarr scan semantics, writer round-trip, pipeline
-    # operators) register before stock-Catalyst relational shapes.
-    _populate_zarr()
-    _populate_writer()
+    # Registration order is a correctness-verification budget: the
+    # driver evaluates only the FIRST 50 registered queries. Round-4
+    # rotation: every r3-window query went green in r3, so the window
+    # flips to (a) the four new round-4 operators, (b) the relational/
+    # tier-B/d01-d02 shapes whose last driver-green rows date from
+    # r1/r2, and (c) w02, the one never-driver-checked query. The
+    # rotated-out queries stay parity-tested every round by
+    # tests/test_oracle_parity.py.
+    #
+    # Slot math: 4 (round4) + 35 (relational incl new r36/r37) + 1
+    # (w02) + 2 (d01/d02) + 8 (tier-B b05..b12) = 50.
+    #
     # imported unconditionally: a swallowed ImportError here would
     # silently shrink the driver's correctness contract
-    from .operators.suite_entries import populate_operator_queries
-
-    populate_operator_queries(register_query)
-    # round-3 operator additions (t08-t10, d09/d10, m03/m04, p04/p05,
-    # c01/c02) take window slots before the multi-round-green
-    # relational/tier-B shapes; r25 (red in r1 AND r2, fixed this
-    # round) registers first inside _populate_relational so its fix
-    # verification lands at slot 50
     from .operators.suite_entries import (
         populate_deferred_queries,
         populate_extended_queries,
+        populate_operator_queries,
         populate_rotated_out,
+        populate_round4_queries,
     )
 
-    populate_extended_queries(register_query)
+    populate_round4_queries(register_query)
     _populate_relational()
-    # past the 50-query window from here: multi-round-green tier-B and
-    # operator shapes (still parity-tested locally every round), then
-    # the queries whose engine-specific outputs admit no SQL oracle
-    # (rows-only checks)
-    _populate_tier_b()
-    _populate_tier_b_deferred()
     _populate_writer_deferred()
     populate_rotated_out(register_query)
+    _populate_tier_b()
+    # ---- 50-query window boundary ----
+    _populate_tier_b_deferred()
+    _populate_zarr()
+    _populate_writer()
+    populate_operator_queries(register_query)
+    populate_extended_queries(register_query)
+    _populate_relational_rotated()
+    # last: queries whose engine-specific outputs admit no SQL oracle
+    # (rows-only checks)
     populate_deferred_queries(register_query)
     _populated = True

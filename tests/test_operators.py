@@ -599,3 +599,91 @@ class TestCanonicalDocs:
         expect = 1 if q[1] >= q[2] else 2
         assert out[1].canonical_doc_id == expect
         assert out[1].best_quality == max(q[1], q[2])
+
+
+class TestContaminationPurge:
+    def test_purges_only_sharing_docs(self, spark):
+        block = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                # shares the 5-gram "alpha beta gamma delta epsilon"
+                (1, "x alpha beta gamma delta epsilon y"),
+                # shares words but no 5-gram
+                (2, "alpha beta gamma q delta epsilon zeta r"),
+                (3, "totally unrelated text with many more words here"),
+                (4, "shrt"),  # < 5 words: no shingles, must survive
+            ],
+            ["doc_id", "text"],
+        )
+        kept = sorted(
+            r.doc_id
+            for r in dedup.contamination_purge(corpus, block, k=5).collect()
+        )
+        assert kept == [2, 3, 4]
+
+    def test_matches_flagging_operator(self, spark, docs):
+        """purge == docs with ngram_contamination == 0 (plus shingle-
+        free short docs), on the real fixture split."""
+        corpus = docs.filter(F.col("source") != "src0")
+        block = docs.filter(F.col("source") == "src0")
+        purged = {
+            r.doc_id
+            for r in dedup.contamination_purge(corpus, block, k=5).collect()
+        }
+        flags = {
+            r.doc_id: r.n_contaminated
+            for r in dedup.ngram_contamination(corpus, block, k=5).collect()
+        }
+        clean_by_flag = {
+            r.doc_id
+            for r in corpus.select("doc_id").collect()
+            if flags.get(r.doc_id, 0) == 0
+        }
+        assert purged == clean_by_flag
+
+    def test_no_cartesian_in_plan(self, spark, docs):
+        plan = dedup.contamination_purge(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+
+class TestBoilerplateStats:
+    def test_counts_and_fraction(self, spark):
+        # trigram "one two three" appears in 3 docs -> boilerplate at
+        # min_docs=3; every doc also has private trigrams
+        df = spark.createDataFrame(
+            [
+                (1, "one two three aa bb"),       # 3 distinct trigrams
+                (2, "one two three cc dd"),
+                (3, "xx one two three ee"),
+                (4, "totally different words here"),
+                (5, "ab"),                        # no trigrams
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r.doc_id: r
+            for r in text.boilerplate_stats(df, 3, min_docs=3).collect()
+        }
+        assert out[1].n_ngrams == 3 and out[1].n_boiler == 1
+        assert out[1].boiler_frac == round(1 / 3, 6)
+        assert out[4].n_boiler == 0 and out[4].boiler_frac == 0.0
+        assert out[5].n_ngrams == 0 and out[5].boiler_frac == 0.0
+
+    def test_within_doc_repeat_counts_once(self, spark):
+        """Doc frequency is over distinct per-doc n-grams: repeating a
+        trigram inside ONE doc must not promote it to boilerplate."""
+        df = spark.createDataFrame(
+            [(1, "w w w w w w w w"), (2, "x y z")], ["doc_id", "text"]
+        )
+        out = {
+            r.doc_id: r
+            for r in text.boilerplate_stats(df, 3, min_docs=2).collect()
+        }
+        assert out[1].n_ngrams == 1  # "w w w" counted once
+        assert out[1].n_boiler == 0  # present in only 1 doc

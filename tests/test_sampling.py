@@ -181,3 +181,41 @@ class TestRebalanceMixture:
     def test_empty_weights_rejected(self, spark, docs):
         with pytest.raises(ValueError, match="empty"):
             sampling.rebalance_mixture(docs, "source", {}, key_col="doc_id")
+
+
+class TestQuantileGate:
+    def test_keeps_top_fraction_per_group(self, spark):
+        from arrow_zarr_spark.operators.sampling import quantile_gate
+
+        rows = [(i, "a", i * 10) for i in range(10)] + [
+            (100 + i, "b", i) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+        out = quantile_gate(df, "lang", "score", 0.5, "doc_id").collect()
+        by_group = {}
+        for r in out:
+            by_group.setdefault(r.lang, []).append(r)
+        # ceil(10*0.5)=5 and ceil(5*0.5)=3 survivors, the highest scores
+        assert sorted(r.doc_id for r in by_group["a"]) == [5, 6, 7, 8, 9]
+        assert sorted(r.doc_id for r in by_group["b"]) == [102, 103, 104]
+        # rank 1 = best in group
+        assert {r.group_rank for r in by_group["a"]} == {1, 2, 3, 4, 5}
+
+    def test_tie_broken_by_id(self, spark):
+        from arrow_zarr_spark.operators.sampling import quantile_gate
+
+        df = spark.createDataFrame(
+            [(1, "a", 7), (2, "a", 7), (3, "a", 7), (4, "a", 7)],
+            ["doc_id", "lang", "score"],
+        )
+        out = quantile_gate(df, "lang", "score", 0.5, "doc_id").collect()
+        assert sorted(r.doc_id for r in out) == [1, 2]
+
+    def test_rejects_bad_fraction(self, spark):
+        from arrow_zarr_spark.operators.sampling import quantile_gate
+
+        df = spark.createDataFrame([(1, "a", 1)], ["doc_id", "lang", "s"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="keep_frac"):
+            quantile_gate(df, "lang", "s", 0.0, "doc_id")

@@ -99,6 +99,46 @@ def test_windowed_stats_streaming_matches_batch(spark, events, tmp_path):
     assert got == events.count()
 
 
+def test_stream_enrich_matches_batch(spark, events, tmp_path):
+    """Stream-static enrichment: the streaming micro-batch join must
+    produce exactly the batch join's rows (the unified-API contract
+    e01's oracle verifies on the batch side)."""
+    from arrow_zarr_spark.streaming.event_ops import enrich_events
+
+    dim = (
+        spark.table("customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_mktsegment")
+    )
+    batch = enrich_events(
+        events, dim, events.user_id == dim.c_custkey, "left"
+    ).select("event_id", "c_mktsegment")
+    src = str(tmp_path / "enrich_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = enrich_events(
+        stream, dim, stream.user_id == dim.c_custkey, "left"
+    ).select("event_id", "c_mktsegment")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT event_id, c_mktsegment FROM enrich_out"
+        ).collect()
+    finally:
+        q.stop()
+    want = batch.collect()
+    key = lambda r: (r.event_id, r.c_mktsegment)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    assert any(r.c_mktsegment is None for r in got)  # unmatched path
+    assert any(r.c_mktsegment is not None for r in got)
+
+
 def test_sessionize_stream_runs(spark, events, tmp_path):
     src = str(tmp_path / "sess_src")
     events.write.parquet(src)
