@@ -417,12 +417,19 @@ def boilerplate_stats(
     per document: (doc_id, n_ngrams, n_boiler, boiler_frac) where the
     fraction is over the document's DISTINCT n-grams.
 
-    Scale: per-doc distinct n-grams explode once; doc frequency is a
-    single groupBy on the n-gram (uniform hash keys, map-side combine);
-    the surviving boilerplate set is orders of magnitude smaller than
-    the corpus, so flagging each document's n-grams is a broadcast
-    semi-join — the 100-TB side shuffles only (doc_id, ngram) pairs for
-    its own per-doc counts, never text rows, and never joins big-to-big.
+    Scale: per-doc distinct n-grams explode ONCE (explode_outer keeps
+    shingle-free docs as a null row, so no fix-up join is needed, and
+    an eager localCheckpoint materializes the exploded table exactly
+    once — it feeds both the doc-frequency aggregate and the per-doc
+    counts, and Catalyst would otherwise re-run the explode per
+    consumer). Doc frequency is a single groupBy on the n-gram
+    (uniform hash keys, map-side combine); the surviving boilerplate
+    set is orders of magnitude smaller than the corpus, so flagging is
+    a broadcast mark-join folded into the one per-doc aggregation.
+    Two shuffles total, neither carrying text rows, no big-to-big
+    join. (localCheckpoint is ContextCleaner-reclaimed; on a real
+    cluster swap for checkpoint() if executor loss must be survivable
+    mid-query.)
     """
     words = words_col(F.col(text_col))
     grams = F.when(
@@ -437,37 +444,37 @@ def boilerplate_stats(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ng = df.select(F.col(id_col), F.explode(grams).alias("ng"))
+    ng = df.select(
+        F.col(id_col), F.explode_outer(grams).alias("ng")
+    ).localCheckpoint(eager=True)
     boiler = (
-        ng.groupBy("ng")
+        ng.filter(F.col("ng").isNotNull())
+        .groupBy("ng")
         .agg(F.count("*").alias("ndocs"))  # ng is distinct per doc
         .filter(F.col("ndocs") >= min_docs)
-        .select("ng")
-    )
-    per = ng.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
-    per_boiler = (
-        ng.join(F.broadcast(boiler), "ng", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_boiler"))
+        .select("ng", F.lit(1).cast("long").alias("_b"))
     )
     return (
-        df.select(id_col)
-        .join(per, id_col, "left")
-        .join(per_boiler, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_ngrams"), F.lit(0).cast("long")).alias(
-                "n_ngrams"
-            ),
-            F.coalesce(F.col("n_boiler"), F.lit(0).cast("long")).alias(
+        ng.join(F.broadcast(boiler), "ng", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("ng").alias("n_ngrams"),  # count() skips nulls
+            F.coalesce(F.sum("_b"), F.lit(0).cast("long")).alias(
                 "n_boiler"
             ),
-            F.round(
-                F.coalesce(
-                    F.col("n_boiler") / F.col("n_ngrams"), F.lit(0.0)
-                ),
-                6,
-            ).alias("boiler_frac"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_boiler",
+            # when() guard, not coalesce: under ANSI mode a literal 0
+            # divisor throws rather than yielding null
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(F.col("n_boiler") / F.col("n_ngrams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_frac"),
         )
     )
 

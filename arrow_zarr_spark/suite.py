@@ -171,17 +171,20 @@ def _populate_tier_b() -> None:
         "FROM lineitem a JOIN lineitem b "
         "ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber",
     )
-    # B12 UNION ALL (s3_bench.rs:236-244)
+
+
+def _populate_tier_b_deferred() -> None:
+    """Tier-B shapes that were driver-green in r1 AND r2 and did not
+    fit the round-4 window (the 50th slot cut falls here) — parity
+    stays enforced every round by tests/test_oracle_parity.py."""
+    # B12 UNION ALL (s3_bench.rs:236-244) — also driver-green on the
+    # zarr form (z08, r3)
     _sql_pair(
         "b12_union_all",
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
         "UNION ALL "
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     )
-def _populate_tier_b_deferred() -> None:
-    """Tier-B shapes that were driver-green in r1 AND r2 and did not
-    fit the round-4 window (the 50th slot cut falls here) — parity
-    stays enforced every round by tests/test_oracle_parity.py."""
     # B13 LIMIT (table_provider.rs:300-307) — deterministic via total order
     _sql_pair(
         "b13_limit_topk",
@@ -553,6 +556,39 @@ _F1_GEN = (
 )
 
 
+def _populate_zarr_round4() -> None:
+    """Round-4 zarr addition, registered INSIDE the driver window."""
+
+    def z17(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hypertable-style time-bucket rollup over the zarr time
+        store: 6-hour buckets of the hourly series, aggregated with the
+        suite's exact-decimal sum convention. The continuous-aggregate
+        shape time-series engines special-case — here it is a plain
+        groupBy on a bucket expression Catalyst folds into the scan
+        stage (map-side partial agg; at 100 TB the shuffle carries one
+        row per bucket per partition)."""
+        path = fixtures.write_time_series_store()
+        df = _zarr_df(spark, path, "zarr_time_r4")
+        bucket = F.floor(F.hour("time") / 6).cast("long")
+        return df.groupBy(bucket.alias("bucket6h")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("val").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_val"),
+            F.min("time").alias("bucket_start"),
+        )
+
+    register_query(
+        "z17_time_rollup",
+        z17,
+        "SELECT CAST(i // 6 AS BIGINT) AS bucket6h, COUNT(*) AS n, "
+        "CAST(SUM(CAST(CAST(i AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) "
+        "AS total_val, "
+        "MIN(TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 HOUR) "
+        "AS bucket_start FROM range(24) t(i) GROUP BY 1",
+    )
+
+
 def _populate_relational_rotated() -> None:
     """Relational entries rotated PAST the round-4 window: r25 earned
     its driver-green row in r3 (after two red rounds), and r26 is a
@@ -882,8 +918,8 @@ def _ensure_populated() -> None:
     # rotated-out queries stay parity-tested every round by
     # tests/test_oracle_parity.py.
     #
-    # Slot math: 4 (round4) + 35 (relational incl new r36/r37) + 1
-    # (w02) + 2 (d01/d02) + 8 (tier-B b05..b12) = 50.
+    # Slot math: 4 (round4 operators) + 1 (z17) + 35 (relational incl
+    # new r36/r37) + 1 (w02) + 2 (d01/d02) + 7 (tier-B b05..b11) = 50.
     #
     # imported unconditionally: a swallowed ImportError here would
     # silently shrink the driver's correctness contract
@@ -896,6 +932,7 @@ def _ensure_populated() -> None:
     )
 
     populate_round4_queries(register_query)
+    _populate_zarr_round4()
     _populate_relational()
     _populate_writer_deferred()
     populate_rotated_out(register_query)
