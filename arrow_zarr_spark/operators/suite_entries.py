@@ -1027,6 +1027,23 @@ def populate_round4_queries(register) -> None:
         "ON e.user_id = c.c_custkey",
     )
 
+    def e02(spark, sf_dir):
+        from ..streaming.event_ops import interval_join_events
+
+        ensure_views(spark, sf_dir)
+        events = spark.table("events")
+        return interval_join_events(events, events, within_minutes=5)
+
+    register(
+        "e02_interval_join_batchform",
+        e02,
+        "SELECT e1.user_id AS user_id, e1.event_id AS l_event_id, "
+        "e2.event_id AS r_event_id, epoch_us(e1.ts) AS l_us, "
+        "epoch_us(e2.ts) AS r_us "
+        "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
+        "AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTES",
+    )
+
 
 def populate_rotated_out(register) -> None:
     """d01/d02: rotated OUT of the r3 window (green r1+r2), rotated

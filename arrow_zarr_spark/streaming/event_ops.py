@@ -32,6 +32,7 @@ __all__ = [
     "stateful_user_counts",
     "streaming_exact_dedup",
     "enrich_events",
+    "interval_join_events",
 ]
 
 
@@ -99,6 +100,59 @@ def enrich_events(
     restart; for slowly-changing dims use a Delta/parquet path that
     overwrites atomically."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def interval_join_events(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within_minutes: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events of the same key that happen strictly AFTER it but within
+    ``within_minutes`` (click→conversion attribution, request→response
+    matching). Works identically on batch frames (no watermark
+    attached) — the correctness suite verifies the batch form against
+    a plain SQL BETWEEN join, and the streaming test pins micro-batch
+    parity with it.
+
+    Scale: Spark executes this as a single shuffle of both streams on
+    the equi-key; the time-range condition + watermarks bound the join
+    state store (each side retains only ``watermark + within`` of
+    history per key) — without the range bound, stream-stream state
+    grows without limit and the query eventually dies; that is why
+    ``within_minutes`` is part of the operator signature, not an
+    optional filter."""
+    l_df = _as_utc_event_time(left).select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r_df = _as_utc_event_time(right).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    if l_df.isStreaming:
+        l_df = l_df.withWatermark("l_ts", watermark)
+    if r_df.isStreaming:
+        r_df = r_df.withWatermark("r_ts", watermark)
+    bound = F.col("l_ts") + F.expr(
+        f"INTERVAL {int(within_minutes)} MINUTES"
+    )
+    return l_df.join(
+        r_df,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= bound),
+    ).select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        "r_event_id",
+        F.unix_micros("l_ts").alias("l_us"),
+        F.unix_micros("r_ts").alias("r_us"),
+    )
 
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

@@ -164,6 +164,12 @@ def _populate_tier_b() -> None:
         "SELECT d1.o_orderkey AS o_orderkey, d1.o_totalprice AS o_totalprice, "
         "d2.price2 AS price2 FROM d1 JOIN d2 ON d1.o_orderkey = d2.o_orderkey",
     )
+
+
+def _populate_tier_b_deferred() -> None:
+    """Tier-B shapes that were driver-green in r1 AND r2 and did not
+    fit the round-4 window (the 50th slot cut falls here) — parity
+    stays enforced every round by tests/test_oracle_parity.py."""
     _sql_pair(
         "b11_self_join_equi",
         "SELECT a.l_orderkey AS l_orderkey, a.l_linenumber AS l_linenumber, "
@@ -171,12 +177,6 @@ def _populate_tier_b() -> None:
         "FROM lineitem a JOIN lineitem b "
         "ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber",
     )
-
-
-def _populate_tier_b_deferred() -> None:
-    """Tier-B shapes that were driver-green in r1 AND r2 and did not
-    fit the round-4 window (the 50th slot cut falls here) — parity
-    stays enforced every round by tests/test_oracle_parity.py."""
     # B12 UNION ALL (s3_bench.rs:236-244) — also driver-green on the
     # zarr form (z08, r3)
     _sql_pair(
@@ -918,8 +918,8 @@ def _ensure_populated() -> None:
     # rotated-out queries stay parity-tested every round by
     # tests/test_oracle_parity.py.
     #
-    # Slot math: 4 (round4 operators) + 1 (z17) + 35 (relational incl
-    # new r36/r37) + 1 (w02) + 2 (d01/d02) + 7 (tier-B b05..b11) = 50.
+    # Slot math: 5 (round4 operators) + 1 (z17) + 35 (relational incl
+    # new r36/r37) + 1 (w02) + 2 (d01/d02) + 6 (tier-B b05..b10) = 50.
     #
     # imported unconditionally: a swallowed ImportError here would
     # silently shrink the driver's correctness contract

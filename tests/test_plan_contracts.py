@@ -137,3 +137,58 @@ class TestZarrScanContracts:
         )
         plan = _plan(df)
         assert "Filter" in plan and "lat" in plan
+
+
+class TestRound4OperatorContracts:
+    def test_contamination_purge_broadcasts_digest_gate(self, views):
+        """The corpus-side probe must be a broadcast join on the
+        blocklist digest set — a shuffle here would re-partition the
+        100-TB side; a cartesian would be fatal."""
+        from arrow_zarr_spark.operators import dedup
+
+        docs = views.table("documents")
+        plan = _plan(
+            dedup.contamination_purge(
+                docs.filter(F.col("source") != "src0"),
+                docs.filter(F.col("source") == "src0"),
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_boilerplate_flagging_broadcasts(self, views):
+        """The boilerplate set must broadcast back onto the exploded
+        n-gram table (big-to-big flagging join would shuffle the whole
+        exploded corpus twice)."""
+        from arrow_zarr_spark.operators import text
+
+        plan = _plan(text.boilerplate_stats(views.table("documents")))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_stream_enrich_is_broadcast_join(self, views):
+        """The stream-static enrichment must broadcast the dim: at
+        100 TB/day of events a shuffle per micro-batch is not viable."""
+        from arrow_zarr_spark.streaming.event_ops import enrich_events
+
+        events = views.table("events")
+        dim = views.table("customer").select("c_custkey", "c_mktsegment")
+        plan = _plan(
+            enrich_events(events, dim, events.user_id == dim.c_custkey)
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan.split(
+            "BroadcastHashJoin"
+        )[0]
+
+    def test_quantile_gate_single_window_shuffle(self, views):
+        """rank + group count must share ONE hash-partition exchange on
+        the group key (a second exchange doubles the shuffle at scale)."""
+        from arrow_zarr_spark.operators.sampling import quantile_gate
+
+        docs = views.table("documents").select("doc_id", "lang", "n_chars")
+        plan = _plan(
+            quantile_gate(docs, "lang", "n_chars", 0.5, "doc_id")
+        )
+        assert plan.count("Exchange hashpartitioning") == 1

@@ -139,6 +139,41 @@ def test_stream_enrich_matches_batch(spark, events, tmp_path):
     assert any(r.c_mktsegment is not None for r in got)
 
 
+def test_interval_join_stream_matches_batch(spark, events, tmp_path):
+    """Stream-stream interval join (watermarked both sides, event-time
+    range condition): the micro-batch result must equal the batch
+    self-join e02's oracle verifies."""
+    from arrow_zarr_spark.streaming.event_ops import interval_join_events
+
+    batch = interval_join_events(events, events, within_minutes=5)
+    want = sorted(
+        (r.l_event_id, r.r_event_id) for r in batch.collect()
+    )
+    assert want, "fixture should produce interval pairs"
+    src = str(tmp_path / "ij_src")
+    events.write.parquet(src)
+    left = spark.readStream.schema(events.schema).parquet(src)
+    right = spark.readStream.schema(events.schema).parquet(src)
+    joined = interval_join_events(left, right, within_minutes=5)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.l_event_id, r.r_event_id)
+            for r in spark.sql(
+                "SELECT l_event_id, r_event_id FROM ij_out"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == want
+
+
 def test_sessionize_stream_runs(spark, events, tmp_path):
     src = str(tmp_path / "sess_src")
     events.write.parquet(src)
