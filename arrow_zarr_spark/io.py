@@ -90,13 +90,46 @@ def _reject_nulls(values, dtype: np.dtype, name: str) -> np.ndarray:
     return np.asarray(values, dtype=dtype)
 
 
+def _table_codecs(
+    chunk_rows: int, shard_chunks: Optional[int], compression: str
+) -> list:
+    """Codec chain for a 1-D table column: plain chunks, or a
+    ``sharding_indexed`` wrapper holding ``shard_chunks`` inner chunks
+    per store object. Sharding is the object-count lever at 100 TB —
+    a 64k-row chunk store is ~1.6M objects per column unsharded; with
+    shard_chunks=64 it is ~25k — while readers keep chunk-granular
+    pruning via the shard index (inner-chunk pruning, codecs.py)."""
+    from .zarr.codecs import default_codecs
+
+    if not shard_chunks or shard_chunks <= 1:
+        return default_codecs(compression)
+    return [
+        {
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": [int(chunk_rows)],
+                "codecs": default_codecs(compression),
+                "index_codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "crc32c"},
+                ],
+                "index_location": "end",
+            },
+        }
+    ]
+
+
 def _validate_append_target(
-    store, schema, chunk_rows: int, compression: str = "zstd"
+    store,
+    schema,
+    chunk_rows: int,
+    compression: str = "zstd",
+    shard_chunks: Optional[int] = None,
 ) -> int:
     """Append must extend a layout-compatible 1-D store (chunk size,
-    dtype, columns). Returns the existing row count. Unlike the format
-    sink, a partial tail chunk is fine — the boundary chunk is merged
-    in place."""
+    sharding, dtype, columns). Returns the existing row count. Unlike
+    the format sink, a partial tail chunk is fine — the boundary chunk
+    is merged in place."""
     from .zarr.array import infer_store_arrays
 
     arrays = infer_store_arrays(store)
@@ -107,27 +140,27 @@ def _validate_append_target(
             f"Append schema mismatch: store has {sorted(by_name)}, "
             f"writing {sorted(names)}"
         )
+    unit = chunk_rows * (shard_chunks or 1)
     rows = by_name[names[0]].meta.shape[0]
     for f in schema.fields:
         m = by_name[f.name].meta
         if m.ndim != 1 or m.shape[0] != rows:
             raise ZarrFormatError("Append target must be a 1-D table store")
-        if m.chunk_shape[0] != chunk_rows:
+        if m.chunk_shape[0] != unit:
             raise ZarrFormatError(
-                f"Append chunk_rows {chunk_rows} != store chunk size "
-                f"{m.chunk_shape[0]}"
+                f"Append chunk_rows*shard_chunks {unit} != store object "
+                f"size {m.chunk_shape[0]}"
             )
         if m.zarr_dtype != _zarr_dtype_for(f):
             raise ZarrFormatError(
                 f"Append dtype mismatch for {f.name!r}: store has "
                 f"{m.zarr_dtype}, writing {_zarr_dtype_for(f)}"
             )
-        from .zarr.codecs import default_codecs
-
-        if m.codecs != default_codecs(compression):
+        if m.codecs != _table_codecs(chunk_rows, shard_chunks, compression):
             raise ZarrFormatError(
                 f"Append codec mismatch for {f.name!r}: store uses "
-                f"{m.codecs} — pass the store's compression option"
+                f"{m.codecs} — pass the store's compression/shard_chunks "
+                "options"
             )
     return rows
 
@@ -147,6 +180,7 @@ def write_zarr(
     compression: str = "zstd",
     mode: str = "error",
     fill_value=0,
+    shard_chunks: Optional[int] = None,
 ) -> int:
     """Write ``df``'s numeric/boolean columns as a Zarr v3 store.
 
@@ -156,20 +190,28 @@ def write_zarr(
     need no chunk alignment; layout must otherwise match). Row order in
     the store is the DataFrame's partition order (partition 0's rows
     first, in-partition order preserved) — deterministic for sources
-    with stable splits."""
+    with stable splits.
+
+    ``shard_chunks`` packs that many ``chunk_rows`` chunks into one
+    ``sharding_indexed`` store object per column; each Spark task then
+    writes one shard (object count drops by the factor, the object-
+    store lever at 100 TB) while readers keep chunk-granular pruning
+    through the shard index."""
     if columns:
         df = df.select(*columns)
     for field in df.schema.fields:
         _zarr_dtype_for(field)  # validate before any work
     if chunk_rows <= 0:
         raise ZarrFormatError("chunk_rows must be positive")
+    if shard_chunks is not None and shard_chunks < 1:
+        raise ZarrFormatError("shard_chunks must be >= 1")
 
     store = open_store(path)
     base_rows = 0
     if store.exists("zarr.json"):
         if mode == "append":
             base_rows = _validate_append_target(
-                store, df.schema, chunk_rows, compression
+                store, df.schema, chunk_rows, compression, shard_chunks
             )
         elif mode != "overwrite":
             raise ZarrFormatError(
@@ -207,16 +249,17 @@ def write_zarr(
             if base_rows
             else min(chunk_rows, max(total_rows, 1))
         )
-        from .zarr.codecs import default_codecs
-
+        # store-object unit: one chunk, or one shard of shard_chunks
+        # chunks — the write task granularity either way
+        unit = eff_chunk * (shard_chunks or 1)
         metas: Dict[str, ArrayMeta] = {
             field.name: ArrayMeta(
                 name=field.name,
                 shape=(total_rows,),
-                chunk_shape=(eff_chunk,),
+                chunk_shape=(unit,),
                 zarr_dtype=_zarr_dtype_for(field),
                 fill_value=fill_value,
-                codecs=default_codecs(compression),
+                codecs=_table_codecs(eff_chunk, shard_chunks, compression),
             )
             for field in df.schema.fields
         }
@@ -267,7 +310,7 @@ def write_zarr(
 
         indexed = df.mapInPandas(assign_index, schema=idx_schema)
         with_cid = indexed.withColumn(
-            "__cid", (F.col("__row_idx") / eff_chunk).cast("long")
+            "__cid", (F.col("__row_idx") / unit).cast("long")
         )
 
         col_names = [f.name for f in df.schema.fields]
@@ -279,15 +322,15 @@ def write_zarr(
             cid = int(pdf["__cid"].iloc[0])
             pdf = pdf.sort_values("__row_idx")
             task_store = open_store(path_for_task)
-            # append-boundary chunk: rows already stored in this chunk
-            # are re-read and prepended, so the rewrite is value-
-            # preserving even for concurrent readers (store.set is an
-            # atomic replace; old metadata only covers the old rows)
-            start = max(0, base_rows_b - cid * eff_chunk)
+            # append-boundary object: rows already stored in this
+            # chunk/shard are re-read and prepended, so the rewrite is
+            # value-preserving even for concurrent readers (store.set
+            # is an atomic replace; old metadata only covers old rows)
+            start = max(0, base_rows_b - cid * unit)
             for name in col_names:
                 meta = metas_b.value[name]
                 data = _reject_nulls(pdf[name].values, meta.dtype, name)
-                if 0 < start < eff_chunk:
+                if 0 < start < unit:
                     from dataclasses import replace as _replace
 
                     from .zarr.array import ZarrArray

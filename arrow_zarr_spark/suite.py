@@ -875,6 +875,29 @@ def _populate_writer() -> None:
         "SELECT o_orderkey, o_totalprice FROM orders",
     )
 
+    def w03(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sharded distributed-writer round-trip: orders → zarr store
+        with sharding_indexed objects (4 inner chunks per shard) →
+        scan. Proves the shard encode path (inner index + crc32c)
+        value-preserving end-to-end through both the writer and the
+        reader's inner-chunk machinery."""
+        from .io import write_zarr
+
+        ensure_views(spark, sf_dir)
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w03_{token}"
+        src = spark.table("orders").select("o_orderkey", "o_totalprice")
+        write_zarr(
+            src, path, chunk_rows=1024, shard_chunks=4, mode="overwrite"
+        )
+        return spark.read.format("zarr").load(path)
+
+    register_query(
+        "w03_sharded_writer_roundtrip",
+        w03,
+        "SELECT o_orderkey, o_totalprice FROM orders",
+    )
+
 
 def _populate_writer_deferred() -> None:
     def w02(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -337,3 +337,64 @@ class TestStreamToZarr:
         back = spark.read.format("zarr").load(store)
         assert back.count() == 500
         assert back.agg(F.sum("event_id")).first()[0] == sum(range(500))
+
+
+class TestShardedWriter:
+    def test_sharded_roundtrip_and_object_count(self, spark, tmp_path):
+        path = str(tmp_path / "sharded_w")
+        df = spark.range(0, 5000, 1, 8).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 2.5).alias("v"),
+        )
+        write_zarr(df, path, chunk_rows=250, shard_chunks=4)
+        store = open_store(path)
+        arrays = {a.meta.name: a for a in infer_store_arrays(store)}
+        # store-object grid = shard grid: ceil(5000 / (250*4)) = 5
+        assert arrays["k"].meta.chunk_shape == (1000,)
+        objects = [
+            key
+            for key in store.walk_keys()
+            if key.startswith("k/c") or key.startswith("k/c/")
+        ]
+        assert len(objects) == 5
+        # values survive the shard encode/decode round trip, in order
+        assert arrays["k"].read_all().tolist() == list(range(5000))
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 5000
+        assert back.agg(F.sum("v")).first()[0] == sum(
+            i * 2.5 for i in range(5000)
+        )
+
+    def test_sharded_append(self, spark, tmp_path):
+        path = str(tmp_path / "sharded_app")
+        first = spark.range(0, 1700, 1, 4).select(
+            F.col("id").cast("long").alias("k")
+        )
+        second = spark.range(1700, 3000, 1, 4).select(
+            F.col("id").cast("long").alias("k")
+        )
+        write_zarr(first, path, chunk_rows=250, shard_chunks=2)
+        # boundary shard (rows 1500-1699 already stored) must merge
+        write_zarr(
+            second, path, chunk_rows=250, shard_chunks=2, mode="append"
+        )
+        arrays = {a.meta.name: a for a in infer_store_arrays(open_store(path))}
+        assert arrays["k"].read_all().tolist() == list(range(3000))
+
+    def test_shard_layout_mismatch_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "sharded_mm")
+        df = spark.range(0, 1000).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, shard_chunks=4)
+        with pytest.raises(ZarrFormatError, match="codec|object size"):
+            write_zarr(df, path, chunk_rows=100, mode="append")
+
+    def test_sharded_filter_pushdown_prunes(self, spark, tmp_path):
+        """A sharded sink-written store must still prune on read (the
+        shard index gives inner-chunk extents)."""
+        path = str(tmp_path / "sharded_prune")
+        df = spark.range(0, 4000, 1, 4).select(
+            F.col("id").cast("long").alias("k")
+        )
+        write_zarr(df, path, chunk_rows=100, shard_chunks=5)
+        back = spark.read.format("zarr").load(path).filter("k >= 3900")
+        assert sorted(r.k for r in back.collect()) == list(range(3900, 4000))
