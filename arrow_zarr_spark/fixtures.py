@@ -69,6 +69,40 @@ def write_lat_lon_store(path: str | None = None) -> str:
     return path
 
 
+def write_3d_store(path: str | None = None) -> str:
+    """F7 — a 3-D store (the reference's max dimensionality,
+    zarr_data_stream.rs:784-804, with broadcast arms for 3-D dims
+    0/1/2): time f64[4]/2, lat f64[6]/3, lon f64[8]/3 coords,
+    data f64[4,6,8]/2x3x3 = 0..191 C-order. Edge chunks on lon
+    (8 % 3 != 0)."""
+    path = path or fixture_dir("three_d")
+    if _done(path):
+        return path
+    write_store(
+        path,
+        arrays={
+            "time": np.arange(0.0, 4.0),
+            "lat": np.arange(35.0, 41.0),
+            "lon": np.arange(-120.0, -112.0),
+            "data": np.arange(192.0).reshape(4, 6, 8),
+        },
+        chunk_shapes={
+            "time": (2,),
+            "lat": (3,),
+            "lon": (3,),
+            "data": (2, 3, 3),
+        },
+        dimension_names={
+            "time": ("time",),
+            "lat": ("lat",),
+            "lon": ("lon",),
+            "data": ("time", "lat", "lon"),
+        },
+    )
+    _mark_done(path)
+    return path
+
+
 def write_lat_lon_missing_store(path: str | None = None) -> str:
     """F2 — same as F1 but no data chunks written, fill 1234.0
     (``lib.rs:318-332`` with write_data=false)."""

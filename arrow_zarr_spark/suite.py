@@ -836,6 +836,27 @@ def _populate_zarr() -> None:
         "FROM range(24) t(i)",
     )
 
+    def z18(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """3-D scan (the reference's max dimensionality) with all three
+        coordinates broadcast and a predicate spanning two axes — the
+        oracle reconstructs the C-order flattening arithmetic."""
+        path = fixtures.write_3d_store()
+        df = _zarr_df(spark, path, "zarr_3d")
+        return df.select("time", "lat", "lon", "data").filter(
+            (F.col("time") >= 2) & (F.col("lon") < -115)
+        )
+
+    register_query(
+        "z18_3d_scan",
+        z18,
+        "SELECT CAST(i // 48 AS DOUBLE) AS time, "
+        "CAST(35 + (i // 8) % 6 AS DOUBLE) AS lat, "
+        "CAST(-120 + i % 8 AS DOUBLE) AS lon, "
+        "CAST(i AS DOUBLE) AS data "
+        "FROM range(192) t(i) "
+        "WHERE i // 48 >= 2 AND -120 + i % 8 < -115",
+    )
+
     # the reference's theta/range self-join bench shape on a zarr store
     def z11(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = fixtures.write_lat_lon_store()

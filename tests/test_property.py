@@ -187,3 +187,45 @@ def test_shard_roundtrip_property(dims, inner, mult, dtype, index_location, seed
     )
     out = decode_chunk(meta, encode_chunk(meta, arr))
     np.testing.assert_array_equal(out, arr)
+
+
+@given(
+    rows=st.integers(1, 5000),
+    chunk=st.integers(1, 600),
+    shard_chunks=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_sharded_table_layout_roundtrip(
+    tmp_path_factory, rows, chunk, shard_chunks, seed
+):
+    """The distributed writer's sharded 1-D layout (io._table_codecs +
+    unit-sized write_chunk objects) must round-trip for any
+    rows/chunk/shard combination — partial tail shards, single-row
+    stores, unit > rows."""
+    from arrow_zarr_spark.io import _table_codecs
+    from arrow_zarr_spark.zarr.array import ZarrArray
+    from arrow_zarr_spark.zarr.writer import write_chunk
+
+    d = str(tmp_path_factory.mktemp("shard_layout"))
+    rng = np.random.RandomState(seed)
+    values = rng.randint(-(2**40), 2**40, size=rows).astype("int64")
+    unit = chunk * shard_chunks
+    meta = ArrayMeta(
+        name="k",
+        shape=(rows,),
+        chunk_shape=(unit,),
+        zarr_dtype="int64",
+        fill_value=0,
+        codecs=_table_codecs(chunk, shard_chunks, "zstd"),
+    )
+    store = open_store(d)
+    import json
+
+    store.set("k/zarr.json", json.dumps(meta.to_json()).encode())
+    for cid in range(-(-rows // unit)):
+        write_chunk(
+            store, meta, (cid,), values[cid * unit : (cid + 1) * unit]
+        )
+    arrays = {a.meta.name: a for a in infer_store_arrays(store)}
+    assert arrays["k"].read_all().tolist() == values.tolist()

@@ -276,3 +276,56 @@ class TestChunkKeyEncodings:
         arr = open_array(store, "x")
         assert arr.meta.key_encoding == "v2"
         assert arr.read_all().tolist() == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+
+class Test3DStore:
+    """3-D is the reference's maximum dimensionality
+    (zarr_data_stream.rs:784-804; broadcast arms for dims 0/1/2) —
+    golden-value checks for the C-order flatten and all three
+    coordinate broadcast directions."""
+
+    def test_3d_flatten_and_broadcast(self):
+        from arrow_zarr_spark.fixtures import write_3d_store
+        from arrow_zarr_spark.zarr import infer_store_arrays, open_store
+        from arrow_zarr_spark.zarr.table import ChunkPlan
+
+        store = open_store(write_3d_store())
+        plan = ChunkPlan(infer_store_arrays(store))
+        assert plan.grid_shape == (2, 2, 3)
+        # first grid cell: time 0..1, lat 35..37, lon -120..-118
+        out = plan.evaluate((0, 0, 0))
+        assert out["data"].tolist() == [
+            0, 1, 2, 8, 9, 10, 16, 17, 18,
+            48, 49, 50, 56, 57, 58, 64, 65, 66,
+        ]
+        assert out["time"].tolist() == [0.0] * 9 + [1.0] * 9
+        assert out["lat"].tolist() == ([35.0] * 3 + [36.0] * 3 + [37.0] * 3) * 2
+        assert out["lon"].tolist() == [-120.0, -119.0, -118.0] * 6
+        # edge cell on the lon axis: chunk covers only 2 of 3 columns
+        edge = plan.evaluate((1, 1, 2))
+        assert edge["data"].shape == (2 * 3 * 2,)
+        assert edge["lon"].tolist() == [-114.0, -113.0] * 6
+        # total rows across all cells == array size
+        assert sum(plan.cell_num_rows(c) for c in plan.cells()) == 192
+
+    def test_4d_rejected(self, tmp_path):
+        import numpy as np
+
+        from arrow_zarr_spark.zarr import (
+            ZarrFormatError,
+            infer_store_arrays,
+            open_store,
+        )
+        from arrow_zarr_spark.zarr.table import ChunkPlan
+        from arrow_zarr_spark.zarr.writer import write_store
+
+        p = str(tmp_path / "four_d")
+        write_store(
+            p,
+            arrays={"x": np.arange(16.0).reshape(2, 2, 2, 2)},
+            chunk_shapes={"x": (2, 2, 2, 2)},
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ZarrFormatError, match="1, 2 or 3D"):
+            ChunkPlan(infer_store_arrays(open_store(p)))
