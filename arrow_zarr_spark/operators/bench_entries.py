@@ -78,3 +78,11 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     # corpus-level boilerplate n-gram stats: explode + doc-frequency
     # groupBy + broadcast semi-join back per doc
     qs["boilerplate_stats"] = lambda: force(text.boilerplate_stats(docs))
+    # incremental batch-vs-corpus dedup: the corpus explode is gated by
+    # the broadcast batch shingle set, so cost tracks the batch size
+    qs["dedup_against_corpus"] = lambda: force(
+        dedup.dedup_against_corpus(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+        )
+    )

@@ -44,6 +44,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
     "contamination_purge",
+    "dedup_against_corpus",
 ]
 
 _MERSENNE31 = 2147483647  # 2^31 - 1
@@ -386,6 +387,70 @@ def ngram_jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard") >= threshold)
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Incremental dedup: keep only the NEW batch's documents that are
+    not near-duplicates (exact word-k-gram Jaccard >= ``threshold``)
+    of anything already in the corpus — the crawl-ingest decision that
+    avoids re-deduplicating the whole corpus per batch.
+
+    Scale shape: the new batch is batch-sized, so its distinct shingle
+    set broadcasts; the corpus side explodes ONCE and is immediately
+    semi-joined down to shingles the batch actually contains — the
+    shared-shingle equi-join is therefore bounded by the batch, never
+    corpus x corpus. Jaccard here is exact (oracle-verifiable); at
+    extreme corpus scale swap the gate for cross-table MinHash banding
+    (minhash_lsh_pairs machinery with a side tag) and keep this exact
+    scoring as the verify step on its candidates."""
+    nsh = new_df.select(
+        F.col(id_col).alias("nid"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias(
+            "sh"
+        ),
+    )
+    csh = corpus_df.select(
+        F.col(id_col).alias("cid"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias(
+            "sh"
+        ),
+    )
+    batch_sh = nsh.select("sh").distinct()
+    csh = csh.join(F.broadcast(batch_sh), "sh", "left_semi")
+    n_sizes = nsh.groupBy("nid").agg(F.count("*").alias("n_n"))
+    # corpus sizes must count the FULL shingle set, not the gated one —
+    # compute from the corpus side before gating would re-explode, so
+    # derive sizes from a separate narrow aggregation
+    c_sizes = corpus_df.select(
+        F.col(id_col).alias("cid"),
+        F.size(F.array_distinct(shingles(F.col(text_col), k))).alias(
+            "n_c"
+        ),
+    )
+    shared = (
+        nsh.join(csh, "sh")
+        .groupBy("nid", "cid")
+        .agg(F.count("*").alias("shared"))
+    )
+    flagged = (
+        shared.join(n_sizes, "nid")
+        .join(c_sizes, "cid")
+        .filter(
+            F.col("shared")
+            / (F.col("n_n") + F.col("n_c") - F.col("shared"))
+            >= threshold
+        )
+        .select(F.col("nid").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(flagged, id_col, "left_anti")
 
 
 def ngram_contamination(

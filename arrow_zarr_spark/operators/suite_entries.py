@@ -1027,6 +1027,41 @@ def populate_round4_queries(register) -> None:
         "ON e.user_id = c.c_custkey",
     )
 
+    _D12_SH = (
+        "SELECT doc_id, t.sh AS sh FROM ("
+        "  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),"
+        "    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shl"
+        "  FROM (SELECT doc_id, string_split(text,' ') AS ws "
+        "        FROM documents WHERE {pred})"
+        "), UNNEST(shl) AS t(sh)"
+    )
+
+    def d12(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        out = dedup.dedup_against_corpus(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+            k=3,
+            threshold=0.2,
+        )
+        return out.select("doc_id", "lang", "source", "n_chars")
+
+    register(
+        "d12_dedup_against_corpus",
+        d12,
+        "WITH nsh AS (" + _D12_SH.format(pred="doc_id % 10 = 0") + "), "
+        "csh AS (" + _D12_SH.format(pred="doc_id % 10 <> 0") + "), "
+        "nsz AS (SELECT doc_id, COUNT(*) AS n_n FROM nsh GROUP BY 1), "
+        "csz AS (SELECT doc_id, COUNT(*) AS n_c FROM csh GROUP BY 1), "
+        "sh AS (SELECT n.doc_id AS a, c.doc_id AS b, COUNT(*) AS shared "
+        "FROM nsh n JOIN csh c ON n.sh = c.sh GROUP BY 1, 2), "
+        "fl AS (SELECT DISTINCT a FROM sh "
+        "JOIN nsz ON a = nsz.doc_id JOIN csz ON b = csz.doc_id "
+        "WHERE shared / (n_n + n_c - shared) >= 0.2) "
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT a FROM fl)",
+    )
+
     def e02(spark, sf_dir):
         from ..streaming.event_ops import interval_join_events
 

@@ -687,3 +687,50 @@ class TestBoilerplateStats:
         }
         assert out[1].n_ngrams == 1  # "w w w" counted once
         assert out[1].n_boiler == 0  # present in only 1 doc
+
+
+class TestDedupAgainstCorpus:
+    def test_near_dup_of_corpus_dropped(self, spark):
+        corpus = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+        new = spark.createDataFrame(
+            [
+                # J = 6/8 shared trigrams vs corpus doc -> dropped
+                (1, "the quick brown fox jumps over the lazy cat"),
+                # unrelated -> kept
+                (2, "completely different content about spark engines"),
+                (3, "ab"),  # no trigrams -> kept (cannot match)
+            ],
+            ["doc_id", "text"],
+        )
+        kept = sorted(
+            r.doc_id
+            for r in dedup.dedup_against_corpus(
+                new, corpus, threshold=0.2
+            ).collect()
+        )
+        assert kept == [2, 3]
+
+    def test_matches_pairwise_jaccard(self, spark, docs):
+        """The anti-join must agree with the pairwise operator: a new
+        doc is dropped iff it has a cross pair with J >= t."""
+        new = docs.filter(F.col("doc_id") % 10 == 0)
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        kept = {
+            r.doc_id
+            for r in dedup.dedup_against_corpus(
+                new, corpus, threshold=0.2
+            ).collect()
+        }
+        # cross pairs via the pairwise operator on the union (id_a<id_b
+        # covers both directions; filter to cross-side pairs)
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+        flagged = set()
+        for r in pairs:
+            a_new, b_new = r.id_a % 10 == 0, r.id_b % 10 == 0
+            if a_new != b_new:
+                flagged.add(r.id_a if a_new else r.id_b)
+        all_new = {r.doc_id for r in new.select("doc_id").collect()}
+        assert kept == all_new - flagged
