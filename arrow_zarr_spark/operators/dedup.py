@@ -45,6 +45,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "contamination_purge",
     "dedup_against_corpus",
+    "minhash_lsh_pairs_cross",
 ]
 
 _MERSENNE31 = 2147483647  # 2^31 - 1
@@ -185,27 +186,9 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b[, jaccard]) with id_a < id_b."""
     assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed)
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{bi * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("sig"),
-            )
-            for bi in range(bands)
-        ]
+    banded = _banded_signatures(
+        df, id_col, text_col, n_hashes, bands, shingle_k, seed
     )
-    banded = sig.select(
-        F.col(id_col).alias("bid"), F.explode(band_structs).alias("bs")
-    ).select("bid", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     # Materialize the banded signatures once: both sides of the self-
     # join below would otherwise re-run the signature kernel (Catalyst
     # does not reliably reuse the exchange under a self-join), doubling
@@ -250,6 +233,81 @@ def minhash_lsh_pairs(
     if jaccard_threshold is not None:
         jac = jac.filter(F.col("jaccard") >= jaccard_threshold)
     return jac
+
+
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_k: int,
+    seed: int,
+) -> DataFrame:
+    """(bid, band, sig) banded MinHash rows — the LSH bucket key."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{bi * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col).alias("bid"), F.explode(band_structs).alias("bs")
+    ).select(
+        "bid", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def minhash_lsh_pairs_cross(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-table banded-LSH candidate pairs (id_new, id_corpus) —
+    the scale path for :func:`dedup_against_corpus`: instead of an
+    exact shingle join, the NEW batch's banded signatures (batch_size x
+    bands rows) BROADCAST and the corpus side probes them at scan
+    speed — the corpus is never shuffled and never self-joined. Verify
+    candidates with exact Jaccard (``ngram_jaccard_pairs`` in
+    candidate mode on the union) before acting on them; detection
+    probability per pair is 1-(1-J^(n/bands))^bands, so with the
+    default 16x4 configuration J >= 0.7 pairs are caught with
+    p > 0.998."""
+    assert n_hashes % bands == 0
+    bn = _banded_signatures(
+        new_df, id_col, text_col, n_hashes, bands, shingle_k, seed
+    )
+    bc = _banded_signatures(
+        corpus_df, id_col, text_col, n_hashes, bands, shingle_k, seed
+    )
+    return (
+        bc.alias("c")
+        .join(
+            F.broadcast(bn.alias("n")),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.sig") == F.col("n.sig")),
+        )
+        .select(
+            F.col("n.bid").alias("id_new"), F.col("c.bid").alias("id_corpus")
+        )
+        .distinct()
+    )
 
 
 @F.pandas_udf(LongType())

@@ -734,3 +734,33 @@ class TestDedupAgainstCorpus:
                 flagged.add(r.id_a if a_new else r.id_b)
         all_new = {r.doc_id for r in new.select("doc_id").collect()}
         assert kept == all_new - flagged
+
+
+class TestCrossTableLSH:
+    def test_candidates_cover_high_jaccard_cross_pairs(self, spark, docs):
+        """Cross-table banded LSH (16x4) must catch essentially every
+        cross pair with J >= 0.7 (p > 0.998 per pair), and its plan
+        must broadcast the batch side."""
+        new = docs.filter(F.col("doc_id") % 10 == 0)
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        exact = set()
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.7).collect():
+            a_new, b_new = r.id_a % 10 == 0, r.id_b % 10 == 0
+            if a_new != b_new:
+                nid = r.id_a if a_new else r.id_b
+                cid = r.id_b if a_new else r.id_a
+                exact.add((nid, cid))
+        assert exact, "fixture should contain cross near-duplicates"
+        got = {
+            (r.id_new, r.id_corpus)
+            for r in dedup.minhash_lsh_pairs_cross(new, corpus).collect()
+        }
+        assert exact <= got
+        plan = (
+            dedup.minhash_lsh_pairs_cross(new, corpus)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
