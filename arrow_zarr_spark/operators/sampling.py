@@ -33,6 +33,7 @@ __all__ = [
     "stratified_sample_deterministic",
     "rebalance_mixture",
     "quantile_gate",
+    "train_val_test_split",
 ]
 
 
@@ -174,6 +175,42 @@ def stratified_sample_deterministic(
             F.col(strata_col) == F.lit(stratum), F.lit(float(fraction))
         ).otherwise(frac)
     return df.filter(draw < frac * _DRAW_MOD)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign each row a deterministic ``split`` label (train/val/test)
+    from pure integer arithmetic over a unique ``key_col`` — the same
+    engine-independent draw as :func:`stratified_sample_deterministic`,
+    so the assignment is reproducible across engines, runs, and
+    cluster sizes (a seeded ``rand()`` split changes membership with
+    partitioning; a hash split pins membership to the key forever —
+    what leakage-free eval requires: a document can never migrate from
+    test into train between pipeline runs).
+
+    Scale: a narrow projection, no shuffle; downstream writers
+    partition by the ``split`` column."""
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError(
+            "train_val_test_split: need val_frac, test_frac >= 0 and "
+            f"val_frac + test_frac < 1, got {val_frac}, {test_frac}"
+        )
+    draw = (
+        (F.col(key_col) % _DRAW_MOD + F.lit(seed)) * F.lit(_DRAW_MULT)
+    ) % _DRAW_MOD
+    test_cut = int(test_frac * _DRAW_MOD)
+    val_cut = test_cut + int(val_frac * _DRAW_MOD)
+    return df.withColumn(
+        "split",
+        F.when(draw < test_cut, F.lit("test"))
+        .when(draw < val_cut, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
 
 
 def rebalance_mixture(

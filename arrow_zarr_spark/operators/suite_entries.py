@@ -1062,6 +1062,24 @@ def populate_round4_queries(register) -> None:
         "WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT a FROM fl)",
     )
 
+    def p07(spark, sf_dir):
+        from .sampling import train_val_test_split
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang")
+        return train_val_test_split(docs, "doc_id")
+
+    register(
+        "p07_train_val_test_split",
+        p07,
+        # same integer-draw arithmetic as the operator; cuts are
+        # int(0.1 * 1000003) = 100000 and 200000
+        "SELECT doc_id, lang, CASE WHEN d < 100000 THEN 'test' "
+        "WHEN d < 200000 THEN 'val' ELSE 'train' END AS split FROM ("
+        "SELECT doc_id, lang, "
+        "((doc_id % 1000003 + 42) * 2654435761) % 1000003 AS d "
+        "FROM documents)",
+    )
+
     def e02(spark, sf_dir):
         from ..streaming.event_ops import interval_join_events
 

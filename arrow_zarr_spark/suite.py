@@ -962,8 +962,8 @@ def _ensure_populated() -> None:
     # rotated-out queries stay parity-tested every round by
     # tests/test_oracle_parity.py.
     #
-    # Slot math: 6 (round4 operators) + 1 (z17) + 35 (relational incl
-    # new r36/r37) + 1 (w02) + 2 (d01/d02) + 5 (tier-B b05..b09) = 50.
+    # Slot math: 7 (round4 operators) + 1 (z17) + 35 (relational incl
+    # new r36/r37) + 1 (w02) + 2 (d01/d02) + 4 (tier-B b05..b08) = 50.
     #
     # imported unconditionally: a swallowed ImportError here would
     # silently shrink the driver's correctness contract

@@ -219,3 +219,36 @@ class TestQuantileGate:
 
         with _pytest.raises(ValueError, match="keep_frac"):
             quantile_gate(df, "lang", "s", 0.0, "doc_id")
+
+
+class TestTrainValTestSplit:
+    def test_partition_invariant_and_complete(self, spark, docs):
+        from arrow_zarr_spark.operators.sampling import train_val_test_split
+
+        out = train_val_test_split(docs.select("doc_id"), "doc_id")
+        rows = {r.doc_id: r.split for r in out.collect()}
+        assert set(rows.values()) <= {"train", "val", "test"}
+        assert len(rows) == docs.count()
+        # membership is a pure function of the key: repartitioning must
+        # not move any row between splits
+        re_rows = {
+            r.doc_id: r.split
+            for r in train_val_test_split(
+                docs.select("doc_id").repartition(13), "doc_id"
+            ).collect()
+        }
+        assert rows == re_rows
+        # realized fractions track the request (equidistributed draw)
+        n = len(rows)
+        test_n = sum(1 for s in rows.values() if s == "test")
+        val_n = sum(1 for s in rows.values() if s == "val")
+        assert 0.03 <= test_n / n <= 0.2
+        assert 0.03 <= val_n / n <= 0.2
+
+    def test_rejects_bad_fractions(self, spark, docs):
+        from arrow_zarr_spark.operators.sampling import train_val_test_split
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="val_frac"):
+            train_val_test_split(docs, "doc_id", val_frac=0.6, test_frac=0.5)
