@@ -90,3 +90,58 @@ def test_prune_keeps_4_of_9_chunks():
     ]
     assert len(kept) == 4
     assert kept == [(0, 1), (0, 2), (1, 1), (1, 2)]
+
+
+class TestPushdownEquivalenceProperty:
+    """The Inexact contract, randomized: for ANY conjunction of range
+    predicates, the pushdown path (chunk pruning + Spark row filter)
+    must return exactly the rows of an unfiltered scan filtered in
+    pandas. Golden tests pin specific shapes; this pins the contract."""
+
+    def test_random_range_conjunctions(self, spark):
+        import itertools
+
+        import pandas as pd
+
+        from arrow_zarr_spark.fixtures import write_lat_lon_store
+
+        path = write_lat_lon_store()
+        full = (
+            spark.read.format("zarr")
+            .load(path)
+            .toPandas()
+            .sort_values(["lat", "lon"])
+            .reset_index(drop=True)
+        )
+        rng_cases = []
+        # deterministic pseudo-random sweep over predicate space
+        vals = {"lat": [35.0, 37.5, 40.0, 42.0],
+                "lon": [-120.0, -117.5, -115.0, -113.0],
+                "data": [0.0, 15.0, 40.0, 63.0]}
+        ops = ["<", ">=", "<=", ">"]
+        for i, (c1, c2) in enumerate(
+            itertools.product(["lat", "lon", "data"], repeat=2)
+        ):
+            v1 = vals[c1][i % 4]
+            v2 = vals[c2][(i * 7 + 3) % 4]
+            o1, o2 = ops[i % 4], ops[(i + 1) % 4]
+            rng_cases.append(f"{c1} {o1} {v1} AND {c2} {o2} {v2}")
+        for pred in rng_cases:
+            got = (
+                spark.read.format("zarr")
+                .load(path)
+                .filter(pred)
+                .toPandas()
+                .sort_values(["lat", "lon"])
+                .reset_index(drop=True)
+            )
+            want = (
+                full.query(
+                    pred.replace(" AND ", " and ")
+                )
+                .sort_values(["lat", "lon"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got.sort_index(axis=1), want.sort_index(axis=1)
+            ), pred
