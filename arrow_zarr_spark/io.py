@@ -58,6 +58,9 @@ SPARK_TO_ZARR = {
     # Spark NTZ timestamps are microsecond wall-clock counts; the
     # inverse of the scan's datetime64 → TimestampNTZ mapping
     T.TimestampNTZType(): "numpy.datetime64[us]",
+    # StringType → vlen-utf8 arrays (the scan's z14 path in reverse;
+    # the reference rejects strings outright, config.rs:278-281)
+    T.StringType(): "string",
 }
 
 
@@ -67,7 +70,7 @@ def _zarr_dtype_for(field: T.StructField) -> str:
     except KeyError:
         raise ZarrFormatError(
             f"Column {field.name}: Spark type {field.dataType.simpleString()} "
-            "has no Zarr mapping (numeric/boolean columns only)"
+            "has no Zarr mapping (numeric/boolean/string columns only)"
         )
 
 
@@ -80,14 +83,44 @@ def _np_dtype_for(field: T.StructField) -> np.dtype:
 def _reject_nulls(values, dtype: np.dtype, name: str) -> np.ndarray:
     """Zarr has no null representation; converting a null to an int dtype
     silently yields INT64_MIN garbage — reject instead (datetimes: a
-    NULL would silently become NaT/INT64_MIN, same class of bug)."""
-    if dtype.kind in ("i", "u", "b", "M"):
+    NULL would silently become NaT/INT64_MIN, same class of bug;
+    strings: a None would stringify to "None")."""
+    if dtype.kind in ("i", "u", "b", "M", "O"):
         if pd.isna(values).any():
             raise ZarrFormatError(
                 f"Column {name!r} contains NULLs; Zarr has no null "
                 "representation — fillna()/dropna() before writing"
             )
     return np.asarray(values, dtype=dtype)
+
+
+def _string_codecs(compression: str) -> list:
+    """vlen-utf8 chain for string columns (zarr-python v3's layout —
+    the same chain the scan's z14 path decodes)."""
+    chain = [{"name": "vlen-utf8", "configuration": {}}]
+    if compression == "zstd":
+        chain.append(
+            {"name": "zstd", "configuration": {"level": 3, "checksum": False}}
+        )
+    elif compression == "gzip":
+        chain.append({"name": "gzip", "configuration": {"level": 5}})
+    elif compression not in (None, "none", "raw"):
+        raise ZarrFormatError(
+            f"Unsupported writer compression {compression!r} for string "
+            "columns (zstd, gzip, or none)"
+        )
+    return chain
+
+
+def _codecs_for_field(
+    field: T.StructField,
+    chunk_rows: int,
+    shard_chunks: Optional[int],
+    compression: str,
+) -> list:
+    if field.dataType == T.StringType():
+        return _string_codecs(compression)
+    return _table_codecs(chunk_rows, shard_chunks, compression)
 
 
 def _table_codecs(
@@ -156,7 +189,9 @@ def _validate_append_target(
                 f"Append dtype mismatch for {f.name!r}: store has "
                 f"{m.zarr_dtype}, writing {_zarr_dtype_for(f)}"
             )
-        if m.codecs != _table_codecs(chunk_rows, shard_chunks, compression):
+        if m.codecs != _codecs_for_field(
+            f, chunk_rows, shard_chunks, compression
+        ):
             raise ZarrFormatError(
                 f"Append codec mismatch for {f.name!r}: store uses "
                 f"{m.codecs} — pass the store's compression/shard_chunks "
@@ -205,6 +240,17 @@ def write_zarr(
         raise ZarrFormatError("chunk_rows must be positive")
     if shard_chunks is not None and shard_chunks < 1:
         raise ZarrFormatError("shard_chunks must be >= 1")
+    has_strings = any(
+        f.dataType == T.StringType() for f in df.schema.fields
+    )
+    if has_strings and shard_chunks and shard_chunks > 1:
+        # a sharded numeric column's store-object grid is shard-sized
+        # while vlen strings stay chunk-sized — the scan requires one
+        # chunk grid across data arrays, so the mix is unreadable
+        raise ZarrFormatError(
+            "shard_chunks is not supported for stores with string "
+            "columns (vlen data cannot share the sharded chunk grid)"
+        )
 
     store = open_store(path)
     base_rows = 0
@@ -258,8 +304,14 @@ def write_zarr(
                 shape=(total_rows,),
                 chunk_shape=(unit,),
                 zarr_dtype=_zarr_dtype_for(field),
-                fill_value=fill_value,
-                codecs=_table_codecs(eff_chunk, shard_chunks, compression),
+                fill_value=(
+                    ""
+                    if field.dataType == T.StringType()
+                    else fill_value
+                ),
+                codecs=_codecs_for_field(
+                    field, eff_chunk, shard_chunks, compression
+                ),
             )
             for field in df.schema.fields
         }

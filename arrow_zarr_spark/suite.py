@@ -919,6 +919,28 @@ def _populate_writer() -> None:
         "SELECT o_orderkey, o_totalprice FROM orders",
     )
 
+    def w04(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """String-column writer round-trip: the documents table —
+        text included — through vlen-utf8 zarr arrays and back. The
+        reference rejects string arrays (config.rs:278-281); this
+        store both writes and scans them."""
+        from .io import write_zarr
+
+        ensure_views(spark, sf_dir)
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w04_{token}"
+        src = spark.table("documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        write_zarr(src, path, chunk_rows=4096, mode="overwrite")
+        return spark.read.format("zarr").load(path)
+
+    register_query(
+        "w04_string_writer_roundtrip",
+        w04,
+        "SELECT doc_id, text, lang, n_chars FROM documents",
+    )
+
 
 def _populate_writer_deferred() -> None:
     def w02(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,10 +79,42 @@ def test_mode_error_and_overwrite(spark, tmp_path):
     assert spark.read.format("zarr").load(path).count() == 7
 
 
-def test_string_column_rejected(spark, tmp_path):
+def test_string_roundtrip_vlen(spark, sf_dir, tmp_path):
+    """String columns write as vlen-utf8 arrays (the scan's z14 path
+    in reverse); unicode, empty strings, and filters all survive."""
+    path = str(tmp_path / "strs")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "héllo wörld"), (4, "x " * 50)],
+        ["i", "t"],
+    )
+    assert write_zarr(df, path, chunk_rows=3) == 4
+    back = spark.read.format("zarr").load(path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    dpath = str(tmp_path / "docs")
+    write_zarr(docs, dpath, chunk_rows=128)
+    back = spark.read.format("zarr").load(dpath)
+    assert back.filter("lang = 'en'").count() == docs.filter(
+        "lang = 'en'"
+    ).count()
+
+
+def test_string_with_shards_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], ["i", "t"])
-    with pytest.raises(ZarrFormatError, match="no Zarr mapping"):
-        write_zarr(df, str(tmp_path / "bad"))
+    with pytest.raises(ZarrFormatError, match="string"):
+        write_zarr(df, str(tmp_path / "bad"), chunk_rows=1, shard_chunks=2)
+
+
+def test_string_nulls_rejected(spark, tmp_path):
+    # the ZarrFormatError is raised in an executor task, so it arrives
+    # wrapped in Spark's Python exception — match on the message
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["i", "t"])
+    with pytest.raises(Exception, match="contains NULLs"):
+        write_zarr(df, str(tmp_path / "badnull"))
 
 
 def test_empty_dataframe(spark, tmp_path):
