@@ -58,14 +58,22 @@ class ZarrCommitMessage(WriterCommitMessage):
 
 
 def _final_metas(schema, total_rows, eff_chunk, fill_value, compression):
+    from pyspark.sql import types as T
+
+    from .io import _codecs_for_field
+
     return {
         f.name: ArrayMeta(
             name=f.name,
             shape=(total_rows,),
             chunk_shape=(eff_chunk,),
             zarr_dtype=_zarr_dtype_for(f),
-            fill_value=fill_value,
-            codecs=default_codecs(compression),
+            fill_value=(
+                "" if f.dataType == T.StringType() else fill_value
+            ),
+            # string columns take the vlen-utf8 chain; numeric the
+            # plain bytes chain (the sink has no shard option)
+            codecs=_codecs_for_field(f, eff_chunk, None, compression),
         )
         for f in schema.fields
     }
@@ -283,7 +291,9 @@ class ZarrWriter(DataSourceArrowWriter):
                 raise ZarrFormatError(
                     f"Missing staged leftover {m.task_id}"
                 )
-            npz = np.load(_io.BytesIO(raw))
+            # allow_pickle: string (object-dtype) leftovers pickle
+            # through savez; the staged bytes are this job's own output
+            npz = np.load(_io.BytesIO(raw), allow_pickle=True)
             for n in names:
                 tails[n].append(npz[n])
         if total_leftover:

@@ -430,3 +430,19 @@ class TestShardedWriter:
         write_zarr(df, path, chunk_rows=100, shard_chunks=5)
         back = spark.read.format("zarr").load(path).filter("k >= 3900")
         assert sorted(r.k for r in back.collect()) == list(range(3900, 4000))
+
+
+def test_format_sink_string_roundtrip(spark, sf_dir, tmp_path):
+    """df.write.format("zarr") with string columns: staged vlen chunks
+    + pickled leftovers must survive the two-phase commit."""
+    path = str(tmp_path / "sink_strs")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    docs.write.format("zarr").option("chunk_rows", 128).mode(
+        "overwrite"
+    ).save(path)
+    back = spark.read.format("zarr").load(path)
+    assert sorted(map(tuple, back.select("doc_id", "text", "lang").collect())) == sorted(
+        map(tuple, docs.collect())
+    )
