@@ -556,6 +556,29 @@ _F1_GEN = (
 )
 
 
+def _populate_relational_round4_tail() -> None:
+    """Round-4 relational completeness additions registered PAST the
+    window (never-checked; round-5 rotation picks them up): a RANGE
+    window frame (r07 covers ROWS frames) and EXISTS (r37 covers NOT
+    EXISTS)."""
+    _sql_pair(
+        "r38_range_frame",
+        # RANGE frame over a numeric ORDER BY key: peers within 5
+        # quantity units. DECIMAL accumulation per the suite convention.
+        "SELECT l_orderkey, l_linenumber, l_quantity, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER ("
+        "PARTITION BY l_returnflag ORDER BY l_quantity "
+        "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "AS qty_range_sum FROM lineitem",
+    )
+    _sql_pair(
+        "r39_exists",
+        "SELECT s_suppkey, s_name FROM supplier s "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)",
+    )
+
+
 def _populate_zarr_round4() -> None:
     """Round-4 zarr addition, registered INSIDE the driver window."""
 
@@ -1004,6 +1027,7 @@ def _ensure_populated() -> None:
     populate_rotated_out(register_query)
     _populate_tier_b()
     # ---- 50-query window boundary ----
+    _populate_relational_round4_tail()
     _populate_tier_b_deferred()
     _populate_zarr()
     _populate_writer()
