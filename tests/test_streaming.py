@@ -379,3 +379,42 @@ def test_streaming_exact_dedup_batch_mode(spark, tmp_path):
     n_distinct = docs.select("text").distinct().count()
     assert len(out) == n_distinct
     assert len({r.content_hash for r in out}) == n_distinct
+
+
+def test_zarr_stream_over_sharded_sink_store(spark, tmp_path):
+    """The streaming source must tail a store the SHARDED distributed
+    writer produced — shard objects decode through the inner-chunk
+    machinery while the stream planner tracks the shard-granular
+    object grid."""
+    from arrow_zarr_spark.io import write_zarr
+
+    path = str(tmp_path / "sharded_tail")
+    df = spark.range(0, 2000, 1, 4).select(
+        F.col("id").cast("long").alias("k")
+    )
+    write_zarr(df, path, chunk_rows=100, shard_chunks=5)
+    spark.dataSource.register(ZarrStreamDataSource)
+    stream = spark.readStream.format("zarr-stream").load(path)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zs_sharded_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM zs_sharded_out").collect()}
+        assert got == set(range(2000))
+        # append through the writer; the stream must pick up the delta
+        write_zarr(
+            spark.range(2000, 2600).select(F.col("id").cast("long").alias("k")),
+            path,
+            chunk_rows=100,
+            shard_chunks=5,
+            mode="append",
+        )
+        q.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT k FROM zs_sharded_out").collect()}
+        assert got == set(range(2600))
+    finally:
+        q.stop()
