@@ -35,6 +35,7 @@ __all__ = [
     "with_binary_payload",
     "byte_features",
     "decode_image",
+    "decode_audio",
     "resize_pixels",
     "resize_images",
     "sample_frames",
@@ -154,6 +155,65 @@ def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("n_samples", IntegerType(), True),
+        StructField("energy", DoubleType(), True),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame, window_bytes: int = 32, fake: bool = True
+) -> DataFrame:
+    """Decode audio payloads into fixed windows of sample energy — the
+    audio member of the multimodal triad (images: :func:`decode_image`,
+    video: :func:`sample_frames`).
+
+    ``fake=True`` treats the payload as 8-bit PCM: window ``i`` covers
+    bytes ``[i*window_bytes, (i+1)*window_bytes)`` (trailing partial
+    window included), energy = mean sample value rounded to 6 places —
+    deterministic, so the oracle replays it with substr/ascii
+    arithmetic. ``fake=False`` is the real-codec path: STUB, raises
+    NotImplementedError (no librosa/torchaudio in this environment);
+    a real kernel drops into the same Arrow-batched signature. One
+    input row expands to its window rows; empty payloads yield none."""
+    if window_bytes < 1:
+        raise ValueError(f"window_bytes must be >= 1, got {window_bytes}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires librosa/torchaudio; "
+                    "install one and replace this kernel (see module "
+                    "docstring)"
+                )
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                buf = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+                for w in range(-(-buf.size // window_bytes)):
+                    seg = buf[w * window_bytes : (w + 1) * window_bytes]
+                    rows.append(
+                        (
+                            mid,
+                            w,
+                            int(seg.size),
+                            float(np.round(seg.mean(), 6)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "window_idx", "n_samples", "energy"],
+            )
+
+    return df.mapInPandas(kernel, schema=_AUDIO_SCHEMA)
 
 
 def resize_pixels(df: DataFrame, out_w: int, out_h: int) -> DataFrame:

@@ -847,6 +847,39 @@ def populate_extended_queries(register) -> None:
         "UNNEST(idxs) AS t(i) WHERE t.i % 4 = 0",
     )
 
+    def m05(spark, sf_dir):
+        # the m02 convention: energy is round(mean, 6), so energy * 1e6
+        # sits within 1 ulp of numpy's integer and ROUND recovers it —
+        # no float column reaches the driver's canonicalizer
+        media = multimodal.with_binary_payload(_docs(spark, sf_dir))
+        out = multimodal.decode_audio(media, window_bytes=32, fake=True)
+        return out.select(
+            "media_id",
+            "window_idx",
+            "n_samples",
+            F.round(F.col("energy") * 1000000.0)
+            .cast("long")
+            .alias("energy_micro"),
+        )
+
+    register(
+        "m05_decode_audio_fake",
+        m05,
+        "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents "
+        "WHERE length(text) > 0), "
+        "w AS (SELECT doc_id, text, n, CAST(t.i AS INT) AS window_idx, "
+        "CAST(t.i AS INT) * 32 AS wstart, "
+        "CASE WHEN n - CAST(t.i AS INT) * 32 >= 32 THEN 32 "
+        "ELSE n - CAST(t.i AS INT) * 32 END AS wlen "
+        "FROM (SELECT doc_id, text, n, range(0, (n + 31) // 32) AS idxs "
+        "FROM d), UNNEST(idxs) AS t(i)) "
+        "SELECT doc_id AS media_id, window_idx, CAST(wlen AS INT) AS "
+        "n_samples, CAST(round_even(list_sum(list_transform("
+        "string_split(substr(text, wstart + 1, wlen), ''), "
+        "c -> CAST(ascii(c) AS DOUBLE))) / wlen * 1000000.0, 0) "
+        "AS BIGINT) AS energy_micro FROM w",
+    )
+
     # p04: mixture rebalancing to target source weights, deterministic
     # draw so the oracle replays the exact surviving row set
     def p04(spark, sf_dir):

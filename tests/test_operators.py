@@ -764,3 +764,31 @@ class TestCrossTableLSH:
         )
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestDecodeAudio:
+    def test_windows_and_energy(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(bytes(range(70)))), (2, bytearray(b"")), (3, None)],
+            "media_id long, payload binary",
+        )
+        out = {
+            (r.media_id, r.window_idx): r
+            for r in multimodal.decode_audio(df, window_bytes=32).collect()
+        }
+        # 70 bytes -> windows of 32, 32, 6; empty/None payloads drop
+        assert set(out) == {(1, 0), (1, 1), (1, 2)}
+        assert out[(1, 0)].n_samples == 32
+        assert out[(1, 0)].energy == 15.5  # mean(0..31)
+        assert out[(1, 1)].energy == 47.5  # mean(32..63)
+        assert out[(1, 2)].n_samples == 6
+        assert out[(1, 2)].energy == 66.5  # mean(64..69)
+
+    def test_real_decode_is_stubbed(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"abc"))], "media_id long, payload binary"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="librosa|NotImplemented"):
+            multimodal.decode_audio(df, fake=False).collect()
