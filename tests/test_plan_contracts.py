@@ -192,3 +192,34 @@ class TestRound4OperatorContracts:
             quantile_gate(docs, "lang", "n_chars", 0.5, "doc_id")
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestLateRound4Contracts:
+    def test_dedup_against_corpus_gated_and_hash_joined(self, views):
+        """The batch shingle set must broadcast into the corpus gate and
+        no stage may degenerate to a cartesian/NLJ."""
+        from arrow_zarr_spark.operators import dedup
+
+        docs = views.table("documents")
+        plan = _plan(
+            dedup.dedup_against_corpus(
+                docs.filter(F.col("doc_id") % 10 == 0),
+                docs.filter(F.col("doc_id") % 10 != 0),
+            )
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_interval_join_is_single_key_shuffle(self, views):
+        """The interval join must execute as an equi-join on the key
+        with the time range as a post-condition — not a nested loop."""
+        from arrow_zarr_spark.streaming.event_ops import interval_join_events
+
+        events = views.table("events")
+        plan = _plan(interval_join_events(events, events, within_minutes=5))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+            "BroadcastHashJoin" in plan
+        )
