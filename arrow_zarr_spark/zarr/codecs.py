@@ -7,8 +7,10 @@ Supported codecs (public Zarr v3 spec names):
 - ``gzip`` (bytes↔bytes, via stdlib zlib)
 - ``zstd`` (bytes↔bytes, via :mod:`pyarrow`)
 - ``lz4`` (bytes↔bytes, LZ4-frame via :mod:`pyarrow`)
-- ``crc32c`` (bytes↔bytes, 4-byte trailing checksum; stripped on read,
-  verification skipped — no crc32c implementation in this environment)
+- ``crc32c`` (bytes↔bytes, 4-byte trailing checksum; verified on read
+  with the table-driven ``_crc32c`` below and raised as
+  ``ZarrFormatError`` on mismatch — a corrupted chunk must fail loudly,
+  not decode to garbage)
 - ``blosc`` (bytes↔bytes) — hand-rolled blosc1 frame codec, no numcodecs
   needed. The reference's own test/bench stores are blosc-LZ4
   (``/root/reference/crates/arrow-zarr/src/lib.rs:159-168``,
@@ -338,7 +340,14 @@ def _bb_decode(name: str, config: dict, data: bytes, decoded_size: int) -> bytes
     if name == "crc32c":
         if len(data) < 4:
             raise ZarrFormatError("crc32c codec: chunk shorter than checksum")
-        return data[:-4]  # checksum not verified (no crc32c impl available)
+        (stored,) = struct.unpack_from("<I", data, len(data) - 4)
+        actual = _crc32c(data[:-4])
+        if stored != actual:
+            raise ZarrFormatError(
+                f"crc32c codec: checksum mismatch (stored {stored:#010x}, "
+                f"computed {actual:#010x}) — chunk is corrupted"
+            )
+        return data[:-4]
     if name == "blosc":
         if not _HAVE_PA:
             raise ZarrFormatError("blosc codec requires pyarrow")
@@ -455,9 +464,12 @@ _CRC32C_TABLE: Optional[list] = None
 
 
 def _crc32c(data: bytes) -> int:
-    """Pure-Python CRC-32C (reflected poly 0x82F63B78). Used for the
-    shard index checksum (tens of bytes per shard — the byte loop is
-    irrelevant there; do NOT put this on a per-chunk hot path)."""
+    """Pure-Python table-driven CRC-32C (reflected poly 0x82F63B78).
+    Used for shard index checksums (tens of bytes per shard) and to
+    verify/emit the explicit ``crc32c`` codec's trailer. The byte loop
+    runs ~10 MB/s: negligible for indexes, and acceptable on chunk
+    decode because only stores explicitly configured with the crc32c
+    codec pay it (this repo's writers do not emit it by default)."""
     global _CRC32C_TABLE
     if _CRC32C_TABLE is None:
         table = []
@@ -569,7 +581,15 @@ def _decode_shard(meta: ArrayMeta, data: bytes, cfg: dict) -> np.ndarray:
         raise ZarrFormatError("shard smaller than its index")
     idx_bytes = data[-idx_nbytes:] if loc == "end" else data[:idx_nbytes]
     if has_crc:
-        idx_bytes = idx_bytes[:-4]  # checksum not verified (like crc32c codec)
+        (stored,) = struct.unpack_from("<I", idx_bytes, len(idx_bytes) - 4)
+        actual = _crc32c(idx_bytes[:-4])
+        if stored != actual:
+            raise ZarrFormatError(
+                f"sharding_indexed: index checksum mismatch (stored "
+                f"{stored:#010x}, computed {actual:#010x}) — shard index "
+                f"is corrupted"
+            )
+        idx_bytes = idx_bytes[:-4]
     idx_dtype = "<u8" if index_endian == "little" else ">u8"
     index = np.frombuffer(idx_bytes, dtype=idx_dtype).reshape(n_inner, 2)
 
