@@ -288,7 +288,7 @@ def minhash_lsh_pairs_cross(
     candidate mode on the union) before acting on them; detection
     probability per pair is 1-(1-J^(n/bands))^bands, so with the
     default 16x4 configuration J >= 0.7 pairs are caught with
-    p > 0.998."""
+    p ≈ 0.988 (and J >= 0.8 with p > 0.999)."""
     assert n_hashes % bands == 0
     bn = _banded_signatures(
         new_df, id_col, text_col, n_hashes, bands, shingle_k, seed

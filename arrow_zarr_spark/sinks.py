@@ -28,7 +28,6 @@ as-is.
 
 from __future__ import annotations
 
-import io as _io
 import uuid
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional
@@ -55,6 +54,83 @@ class ZarrCommitMessage(WriterCommitMessage):
     task_id: str
     n_full_chunks: int
     leftover_rows: int
+
+
+def _pack_leftover(names, arrays: Dict[str, np.ndarray]) -> bytes:
+    """Pickle-free staging format for tail rows: per column a name +
+    dtype header, then raw little-endian bytes for numerics or the
+    vlen-utf8 codec's length-prefixed UTF-8 layout for strings.
+    ``np.savez`` would pickle object-dtype (string) columns, and
+    ``np.load(allow_pickle=True)`` at commit time would execute
+    arbitrary bytes if any other principal wrote the (predictable)
+    staging path between task finish and commit."""
+    import struct
+
+    parts = []
+    for n in names:
+        a = np.ascontiguousarray(arrays[n])
+        if a.dtype.kind in ("O", "U", "S"):
+            body = [struct.pack("<I", a.size)]
+            for s in a.ravel():
+                b = s if isinstance(s, bytes) else str(s).encode("utf-8")
+                body.append(struct.pack("<I", len(b)) + b)
+            payload, dt = b"".join(body), b"O"
+        else:
+            payload, dt = a.tobytes(), a.dtype.str.encode("ascii")
+        nb = n.encode("utf-8")
+        parts.append(
+            struct.pack("<I", len(nb))
+            + nb
+            + struct.pack("<I", len(dt))
+            + dt
+            + struct.pack("<Q", len(payload))
+            + payload
+        )
+    return b"".join(parts)
+
+
+def _unpack_leftover(names, raw: bytes) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`_pack_leftover`; validates column names so a
+    schema/order drift between write and commit fails loudly."""
+    import struct
+
+    out: Dict[str, np.ndarray] = {}
+    pos = 0
+    for n in names:
+        (nlen,) = struct.unpack_from("<I", raw, pos)
+        pos += 4
+        got = raw[pos : pos + nlen].decode("utf-8")
+        pos += nlen
+        if got != n:
+            raise ZarrFormatError(
+                f"staged leftover column {got!r} does not match "
+                f"expected {n!r}"
+            )
+        (dlen,) = struct.unpack_from("<I", raw, pos)
+        pos += 4
+        dt = raw[pos : pos + dlen].decode("ascii")
+        pos += dlen
+        (nb,) = struct.unpack_from("<Q", raw, pos)
+        pos += 8
+        payload = raw[pos : pos + nb]
+        pos += nb
+        if dt == "O":
+            (cnt,) = struct.unpack_from("<I", payload, 0)
+            vals = np.empty(cnt, dtype=object)
+            p = 4
+            for i in range(cnt):
+                (ln,) = struct.unpack_from("<I", payload, p)
+                p += 4
+                vals[i] = payload[p : p + ln].decode("utf-8")
+                p += ln
+            out[n] = vals
+        else:
+            out[n] = np.frombuffer(payload, dtype=np.dtype(dt))
+    if pos != len(raw):
+        raise ZarrFormatError(
+            f"staged leftover has {len(raw) - pos} trailing bytes"
+        )
+    return out
 
 
 def _final_metas(schema, total_rows, eff_chunk, fill_value, compression):
@@ -224,11 +300,12 @@ class ZarrWriter(DataSourceArrowWriter):
 
         leftover = 0
         if buffered:
-            out = _io.BytesIO()
-            np.savez(
-                out, **{n: np.concatenate(buffers[n]) for n in names}
+            store.set(
+                f"{self._stage(task_id)}/leftover",
+                _pack_leftover(
+                    names, {n: np.concatenate(buffers[n]) for n in names}
+                ),
             )
-            store.set(f"{self._stage(task_id)}/leftover", out.getvalue())
             leftover = buffered
         return ZarrCommitMessage(task_id, n_full, leftover)
 
@@ -291,11 +368,9 @@ class ZarrWriter(DataSourceArrowWriter):
                 raise ZarrFormatError(
                     f"Missing staged leftover {m.task_id}"
                 )
-            # allow_pickle: string (object-dtype) leftovers pickle
-            # through savez; the staged bytes are this job's own output
-            npz = np.load(_io.BytesIO(raw), allow_pickle=True)
+            unpacked = _unpack_leftover(names, raw)
             for n in names:
-                tails[n].append(npz[n])
+                tails[n].append(unpacked[n])
         if total_leftover:
             packed = {n: np.concatenate(tails[n]) for n in names}
             pos = 0

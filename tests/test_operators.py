@@ -24,8 +24,12 @@ def embs(spark):
 
 class TestMinHashLSH:
     def test_candidates_cover_high_jaccard_pairs(self, spark, docs):
-        """LSH with 16 bands of 4 rows catches essentially every pair
-        with J >= 0.7 (P_detect = 1-(1-J^4)^16 > 0.998)."""
+        """LSH with 16 bands of 4 rows catches nearly every pair with
+        J >= 0.7 (P_detect = 1-(1-J^4)^16 ≈ 0.988; > 0.999 at J >= 0.8).
+        The exact <= got containment below is therefore expected-but-
+        not-guaranteed at J barely above 0.7 — this fixture's duplicate
+        pairs sit well above the threshold, where detection is near-
+        certain."""
         exact = {
             (r.id_a, r.id_b)
             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.7).collect()
@@ -738,9 +742,10 @@ class TestDedupAgainstCorpus:
 
 class TestCrossTableLSH:
     def test_candidates_cover_high_jaccard_cross_pairs(self, spark, docs):
-        """Cross-table banded LSH (16x4) must catch essentially every
-        cross pair with J >= 0.7 (p > 0.998 per pair), and its plan
-        must broadcast the batch side."""
+        """Cross-table banded LSH (16x4) must catch nearly every cross
+        pair with J >= 0.7 (p = 1-(1-J^4)^16 ≈ 0.988 per pair; > 0.999
+        at J >= 0.8 — this fixture's pairs sit well above threshold),
+        and its plan must broadcast the batch side."""
         new = docs.filter(F.col("doc_id") % 10 == 0)
         corpus = docs.filter(F.col("doc_id") % 10 != 0)
         exact = set()

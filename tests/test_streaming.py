@@ -403,8 +403,11 @@ def test_zarr_stream_over_sharded_sink_store(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        got = {r.k for r in spark.sql("SELECT k FROM zs_sharded_out").collect()}
-        assert got == set(range(2000))
+        rows = spark.sql("SELECT k FROM zs_sharded_out").collect()
+        assert {r.k for r in rows} == set(range(2000))
+        # exact count: a set compare alone would mask duplicate
+        # re-emission of rows from rewritten boundary shards
+        assert len(rows) == 2000
         # append through the writer; the stream must pick up the delta
         write_zarr(
             spark.range(2000, 2600).select(F.col("id").cast("long").alias("k")),
@@ -414,7 +417,8 @@ def test_zarr_stream_over_sharded_sink_store(spark, tmp_path):
             mode="append",
         )
         q.processAllAvailable()
-        got = {r.k for r in spark.sql("SELECT k FROM zs_sharded_out").collect()}
-        assert got == set(range(2600))
+        rows = spark.sql("SELECT k FROM zs_sharded_out").collect()
+        assert {r.k for r in rows} == set(range(2600))
+        assert len(rows) == 2600
     finally:
         q.stop()
