@@ -38,6 +38,7 @@ __all__ = [
     "normalized_dedup",
     "shingles",
     "minhash_signatures",
+    "minhash_signatures_wordcode",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_dedup",
@@ -168,6 +169,70 @@ def minhash_signatures(
             yield pd.DataFrame(cols)
 
     return df.mapInPandas(kernel, schema=out_schema)
+
+
+def minhash_signatures_wordcode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature whose shingle hash is ENGINE-INDEPENDENT: a
+    base-131 polynomial over the repo's word codes
+    (:func:`arrow_zarr_spark.operators.text.word_code_sql` convention)
+    instead of crc32/xxhash64, so a SQL oracle (DuckDB) can replay the
+    whole signature bit-for-bit — the driver-provable form of
+    :func:`minhash_signatures`, which stays the production kernel
+    (crc32 shingle hashes have far better dispersion; word codes
+    collide on same-length/same-first/last-letter words, which costs
+    signature quality, not determinism).
+
+    Scale shape: pure per-row array arithmetic — ``transform`` +
+    ``array_distinct`` + ``array_min`` over the words array. A narrow
+    whole-stage-codegen projection: NO explode, NO shuffle; signatures
+    stream out at scan speed. Docs with fewer than ``shingle_k`` words
+    are dropped (they have no shingles), matching the oracle's empty
+    shingle set."""
+    a, b = _hash_params(n_hashes, seed)
+    words = words_col(F.col(text_col))
+
+    def wc(w):
+        return (
+            (F.length(w) * 31 + F.ascii(w.substr(F.lit(1), F.lit(1)))) * 31
+            + F.ascii(w.substr(F.length(w), F.lit(1)))
+        ).cast("long")
+
+    def shingle_code(i):
+        code = F.lit(0).cast("long")
+        for j in range(shingle_k):
+            code = code * 131 + wc(F.element_at(words, i + F.lit(j)))
+        return code % F.lit(_MERSENNE31)
+
+    codes = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (shingle_k - 1)),
+            shingle_code,
+        )
+    )
+    def perm_min(ai: int, bi: int):
+        # closure, not lambda-default-args: pyspark introspects the
+        # lambda's arity to build the HOF, so extra params break it
+        return F.array_min(
+            F.transform(
+                codes,
+                lambda c: (F.lit(ai) * c + F.lit(bi)) % F.lit(_MERSENNE31),
+            )
+        )
+
+    sig_cols = [
+        perm_min(int(a[i]), int(b[i])).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return df.filter(F.size(words) >= shingle_k).select(
+        F.col(id_col), *sig_cols
+    )
 
 
 def minhash_lsh_pairs(

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "per_group_quota",
     "token_budget_sample",
+    "token_budget_sample_sharded",
     "stratified_sample",
     "stratified_sample_deterministic",
     "rebalance_mixture",
@@ -74,6 +75,8 @@ def quantile_gate(
     score_col: str,
     keep_frac: float,
     tiebreak_col: str,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Keep the top ``keep_frac`` of each group by ``score_col`` — the
     "drop the bottom half by quality, per language" gate. The cutoff is
@@ -85,9 +88,22 @@ def quantile_gate(
     Scale: one shuffle — a window partitioned by the group key computes
     rank and group count in the same pass; no global sort and no second
     scan. Per-group data must fit a task's spill budget (windows spill
-    to disk, not OOM); for pathological single-group skew, pre-compute
-    an approximate score threshold with ``percentile_approx`` (one
-    map-side agg, broadcast scalar) and rank only the boundary."""
+    to disk, not OOM).
+
+    ``approx=True`` is the skew fallback for single-group-dominant
+    corpora (one language = the whole corpus through one window
+    partition): a map-side ``percentile_approx`` agg pre-computes a
+    per-group score threshold padded past the sketch's rank-error bound
+    (relative error ``1/accuracy``), broadcasts it back, and only the
+    surviving ~``keep_frac`` of each group flows into the ranking
+    window. The output is IDENTICAL to the exact path: the threshold
+    filter is upward-closed in the score, so the gated rows are a
+    prefix of each group's (score DESC, tiebreak) order and ranks
+    among them equal global ranks; the padding guarantees no true
+    top-k row is filtered (for groups smaller than ``accuracy`` the
+    sketch is exact, for larger groups the pad of 5/accuracy covers
+    the 1/accuracy error). Requires non-null scores (the exact path
+    sorts nulls last; the threshold filter would drop them)."""
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(
             f"quantile_gate: keep_frac must be in (0, 1], got {keep_frac}"
@@ -95,6 +111,27 @@ def quantile_gate(
     w = Window.partitionBy(group_col).orderBy(
         F.col(score_col).desc(), F.col(tiebreak_col).asc()
     )
+    if approx:
+        p_star = min(1.0, float(keep_frac) + 5.0 / accuracy)
+        stats = df.groupBy(group_col).agg(
+            F.count("*").alias("__n"),
+            F.percentile_approx(
+                score_col, F.lit(1.0 - p_star), F.lit(int(accuracy))
+            ).alias("__t_lo"),
+        )
+        gated = df.join(F.broadcast(stats), group_col).filter(
+            F.col(score_col) >= F.col("__t_lo")
+        )
+        return (
+            gated.withColumn(
+                "group_rank", F.row_number().over(w).cast("long")
+            )
+            .filter(
+                F.col("group_rank")
+                <= F.ceil(F.col("__n") * F.lit(float(keep_frac)))
+            )
+            .select(*df.columns, "group_rank")
+        )
     cnt = Window.partitionBy(group_col)
     return (
         df.withColumn("group_rank", F.row_number().over(w).cast("long"))
@@ -135,6 +172,102 @@ def token_budget_sample(
         .filter(F.col("__prior") < budget)
         .drop("__prior")
     )
+
+
+def token_budget_sample_sharded(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: Sequence[str],
+    descending: bool = True,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """:func:`token_budget_sample` semantics (greedy prefix of the
+    global order until the running token total reaches ``budget``)
+    WITHOUT the single global-ordered window — the corpus-sized-budget
+    path. Token counts must be non-negative.
+
+    Shape: approximate quantiles of the primary order column split the
+    corpus into ``n_buckets`` order-respecting buckets (one map-side
+    ``percentile_approx`` agg); per-bucket token sums (one tiny
+    groupBy) give driver-side running totals over ``n_buckets``
+    numbers; buckets wholly inside the budget pass with a narrow
+    filter, buckets wholly beyond it are dropped, and ONLY the one
+    boundary bucket (~1/n_buckets of the data) flows through the
+    ordered window, seeded with the running total of the buckets
+    before it. Output is row-for-row identical to the global-window
+    form: bucket boundaries are score thresholds, so buckets are
+    intervals of the global order and the boundary window's rank
+    offset reproduces every row's exact prior sum."""
+    if not order_cols:
+        raise ValueError("token_budget_sample_sharded: order_cols is empty")
+    primary = order_cols[0]
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_row = df.select(
+        F.percentile_approx(
+            primary, F.array(*[F.lit(q) for q in qs]), F.lit(10000)
+        ).alias("qs")
+    ).first()
+    bounds = bounds_row["qs"] if bounds_row is not None else None
+    if not bounds:
+        return df.filter(F.lit(False))
+    bounds = sorted({float(b) for b in bounds})
+    bucket = F.lit(0)
+    for b in bounds:
+        past = (
+            F.lit(b) > F.col(primary)
+            if descending
+            else F.lit(b) < F.col(primary)
+        )
+        bucket = bucket + F.when(past, 1).otherwise(0)
+    tagged = df.withColumn("__bucket", bucket)
+    sums = {
+        r["__bucket"]: r["s"]
+        for r in tagged.groupBy("__bucket")
+        .agg(F.sum(token_col).alias("s"))
+        .collect()
+    }
+    cum = 0
+    full: list = []
+    boundary = None
+    offset = 0
+    for bi in range(len(bounds) + 1):
+        s = int(sums.get(bi, 0) or 0)
+        if cum + s < budget:
+            full.append(bi)
+            cum += s
+        elif cum < budget:
+            # cum < budget <= cum + s: greedy stops inside this bucket
+            boundary, offset = bi, cum
+            break
+        else:
+            break
+    parts = []
+    if full:
+        parts.append(tagged.filter(F.col("__bucket").isin(full)))
+    if boundary is not None:
+        order = [
+            F.col(c).desc() if descending else F.col(c).asc()
+            for c in order_cols
+        ]
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        prior = F.coalesce(F.sum(token_col).over(w), F.lit(0)) + F.lit(
+            int(offset)
+        )
+        parts.append(
+            tagged.filter(F.col("__bucket") == boundary)
+            .withColumn("__prior", prior)
+            .filter(F.col("__prior") < budget)
+            .drop("__prior")
+        )
+    if not parts:
+        return df.filter(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop("__bucket")
 
 
 #: modulus for the engine-independent draw (prime, so the Knuth

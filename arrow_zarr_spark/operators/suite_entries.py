@@ -21,6 +21,7 @@ __all__ = [
     "populate_operator_queries",
     "populate_extended_queries",
     "populate_round4_queries",
+    "populate_round5_queries",
     "populate_deferred_queries",
 ]
 
@@ -1128,6 +1129,78 @@ def populate_round4_queries(register) -> None:
         "epoch_us(e2.ts) AS r_us "
         "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
         "AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTES",
+    )
+
+
+def populate_round5_queries(register) -> None:
+    """Round-5 additions: the driver-provable MinHash (shrinks the
+    rows-only set — the production crc32 kernel stays d03), the
+    sharded corpus-scale token budget, and the quantile gate's skew
+    fallback. All three oracles replay the exact output."""
+
+    def d13(spark, sf_dir):
+        return dedup.minhash_signatures_wordcode(_docs(spark, sf_dir))
+
+    n_hashes = 16
+    a, b = dedup._hash_params(n_hashes, 42)
+    wc = text.word_code_sql
+    mins = ", ".join(
+        f"MIN(({int(a[i])}*h + {int(b[i])}) % 2147483647) AS mh_{i}"
+        for i in range(n_hashes)
+    )
+    register(
+        "d13_minhash_wordcode",
+        d13,
+        "WITH "
+        + _TRI_CTE
+        + ", codes AS ("
+        "  SELECT DISTINCT doc_id, "
+        f"    ((CAST({wc('w3[1]')} AS BIGINT) * 131 + {wc('w3[2]')}) * 131 "
+        f"     + {wc('w3[3]')}) % 2147483647 AS h"
+        "  FROM (SELECT doc_id, string_split(sh, ' ') AS w3 FROM tri)) "
+        f"SELECT doc_id, {mins} FROM codes GROUP BY doc_id",
+    )
+
+    def p08(spark, sf_dir):
+        from .sampling import token_budget_sample_sharded
+
+        return token_budget_sample_sharded(
+            _docs(spark, sf_dir), "n_chars", 500000, ["n_chars", "doc_id"],
+            n_buckets=16,
+        )
+
+    # identical output to the global-window greedy prefix, so the
+    # oracle is p02's window SQL at the corpus-sized budget
+    register(
+        "p08_token_budget_sharded",
+        p08,
+        "SELECT doc_id, text, lang, source, n_chars FROM ("
+        "  SELECT *, COALESCE(SUM(n_chars) OVER ("
+        "    ORDER BY n_chars DESC, doc_id DESC "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior "
+        "  FROM documents"
+        ") WHERE prior < 500000",
+    )
+
+    def p09(spark, sf_dir):
+        from .sampling import quantile_gate
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        return quantile_gate(
+            docs, "lang", "n_chars", 0.25, "doc_id", approx=True
+        )
+
+    # the approx path's contract is bit-identical output to the exact
+    # rank gate, so the oracle is the exact ranked form
+    register(
+        "p09_quantile_gate_approx",
+        p09,
+        "WITH ranked AS (SELECT doc_id, lang, n_chars, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS group_rank, "
+        "COUNT(*) OVER (PARTITION BY lang) AS cnt FROM documents) "
+        "SELECT doc_id, lang, n_chars, group_rank FROM ranked "
+        "WHERE group_rank <= CAST(CEIL(cnt * 0.25) AS BIGINT)",
     )
 
 

@@ -167,9 +167,10 @@ def _populate_tier_b() -> None:
 
 
 def _populate_tier_b_deferred() -> None:
-    """Tier-B shapes that were driver-green in r1 AND r2 and did not
-    fit the round-4 window (the 50th slot cut falls here) — parity
-    stays enforced every round by tests/test_oracle_parity.py."""
+    """Tier-B shapes driver-green in r1 AND r2. Window membership is
+    governed by DRIVER_WINDOW (slot order no longer follows function
+    placement); out-of-window rounds stay parity-enforced by
+    tests/test_oracle_parity.py."""
     _sql_pair(
         "b11_self_join_equi",
         "SELECT a.l_orderkey AS l_orderkey, a.l_linenumber AS l_linenumber, "
@@ -557,9 +558,9 @@ _F1_GEN = (
 
 
 def _populate_relational_round4_tail() -> None:
-    """Round-4 relational completeness additions registered PAST the
-    window (never-checked; round-5 rotation picks them up): a RANGE
-    window frame (r07 covers ROWS frames) and EXISTS (r37 covers NOT
+    """Round-4 relational completeness additions (never driver-checked
+    in r4; the round-5 DRIVER_WINDOW rotates them in): a RANGE window
+    frame (r07 covers ROWS frames) and EXISTS (r37 covers NOT
     EXISTS)."""
     _sql_pair(
         "r38_range_frame",
@@ -580,7 +581,7 @@ def _populate_relational_round4_tail() -> None:
 
 
 def _populate_zarr_round4() -> None:
-    """Round-4 zarr addition, registered INSIDE the driver window."""
+    """Round-4 zarr addition (driver-green r4, rotated out in r5)."""
 
     def z17(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Hypertable-style time-bucket rollup over the zarr time
@@ -613,8 +614,8 @@ def _populate_zarr_round4() -> None:
 
 
 def _populate_relational_rotated() -> None:
-    """Relational entries rotated PAST the round-4 window: r25 earned
-    its driver-green row in r3 (after two red rounds), and r26 is a
+    """Relational entries outside the window: r25 earned its
+    driver-green row in r3 (after two red rounds), and r26 is a
     rows-only check (engine-specific sketches admit no oracle) that
     should not spend a provable slot."""
 
@@ -994,22 +995,82 @@ def _populate_writer_deferred() -> None:
 _populated = False
 
 
+#: The driver evaluates only the FIRST 50 registered queries each
+#: round — this list IS the window, in slot order; registration
+#: function placement no longer matters (the round-4 boundary marker
+#: contradicted the actual slot math). Rotation policy, proven over
+#: rounds 3-5: (a) never-driver-checked queries first, (b) queries new
+#: this round, (c) the rows whose last driver-green check is oldest.
+#: Everything rotated out stays parity-tested every round by
+#: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
+#: list against the live registry.
+#:
+#: Round-5 window: 6 never-checked round-4 additions + 3 new round-5
+#: operators + the 9 tier-B rows last green in r2 + the 32 stalest
+#: r3-green rows (the z01-z16 zarr flagship block, w01, and the
+#: operator rows d04-t04/m01-m02/j01-j04).
+DRIVER_WINDOW = [
+    # never driver-checked (registered past slot 50 in round 4)
+    "z18_3d_scan",
+    "w03_sharded_writer_roundtrip",
+    "w04_string_writer_roundtrip",
+    "m05_decode_audio_fake",
+    "r38_range_frame",
+    "r39_exists",
+    # new in round 5
+    "d13_minhash_wordcode",
+    "p08_token_budget_sharded",
+    "p09_quantile_gate_approx",
+    # stalest green rows (last driver-checked in round 2)
+    "b01_projection",
+    "b02_scalar_expr_alias",
+    "b04_where_range_conj",
+    "b09_theta_self_join",
+    "b10_cte_self_join",
+    "b11_self_join_equi",
+    "b12_union_all",
+    "b13_limit_topk",
+    "b14_select_star",
+    # stale green rows (last driver-checked in round 3)
+    "z01_scan_full",
+    "z02_coords_cartesian",
+    "z03_where_pushdown",
+    "z04_cte_self_join",
+    "z05_missing_chunk_fill",
+    "z06_mixed_dims",
+    "z07_order_limit",
+    "z08_union_all",
+    "z09_no_coords",
+    "z10_type_map",
+    "z11_theta_self_join",
+    "z12_join_parquet_dim",
+    "z13_sharded_scan",
+    "z14_string_scan",
+    "z15_v2_store_scan",
+    "z16_time_scan",
+    "w01_writer_roundtrip",
+    "d04_ngram_jaccard_pairs",
+    "d06_embedding_neardup",
+    "d07_dedup_components",
+    "s01_cosine_topk",
+    "s02_lsh_ann_topk",
+    "t01_token_count",
+    "t02_language_id",
+    "t03_quality_score",
+    "t04_document_fingerprint",
+    "m01_byte_features",
+    "m02_decode_image_fake",
+    "j01_range_join",
+    "j02_asof_join",
+    "j03_theta_join_banded",
+    "j04_salted_join",
+]
+
+
 def _ensure_populated() -> None:
     global _populated
     if _populated:
         return
-    # Registration order is a correctness-verification budget: the
-    # driver evaluates only the FIRST 50 registered queries. Round-4
-    # rotation: every r3-window query went green in r3, so the window
-    # flips to (a) the four new round-4 operators, (b) the relational/
-    # tier-B/d01-d02 shapes whose last driver-green rows date from
-    # r1/r2, and (c) w02, the one never-driver-checked query. The
-    # rotated-out queries stay parity-tested every round by
-    # tests/test_oracle_parity.py.
-    #
-    # Slot math: 7 (round4 operators) + 1 (z17) + 35 (relational incl
-    # new r36/r37) + 1 (w02) + 2 (d01/d02) + 4 (tier-B b05..b08) = 50.
-    #
     # imported unconditionally: a swallowed ImportError here would
     # silently shrink the driver's correctness contract
     from .operators.suite_entries import (
@@ -1018,15 +1079,16 @@ def _ensure_populated() -> None:
         populate_operator_queries,
         populate_rotated_out,
         populate_round4_queries,
+        populate_round5_queries,
     )
 
     populate_round4_queries(register_query)
+    populate_round5_queries(register_query)
     _populate_zarr_round4()
     _populate_relational()
     _populate_writer_deferred()
     populate_rotated_out(register_query)
     _populate_tier_b()
-    # ---- 50-query window boundary ----
     _populate_relational_round4_tail()
     _populate_tier_b_deferred()
     _populate_zarr()
@@ -1037,4 +1099,18 @@ def _ensure_populated() -> None:
     # last: queries whose engine-specific outputs admit no SQL oracle
     # (rows-only checks)
     populate_deferred_queries(register_query)
+
+    # Re-order the registry so DRIVER_WINDOW occupies slots 1-50
+    # exactly; rotated-out queries keep their relative order behind it
+    # (rows-only entries stay last). A name listed but not registered
+    # fails loudly — a typo here would silently burn a provable slot.
+    missing = [n for n in DRIVER_WINDOW if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(
+            f"DRIVER_WINDOW names not in the registry: {missing}"
+        )
+    ordered = {n: _REGISTRY.pop(n) for n in DRIVER_WINDOW}
+    ordered.update(_REGISTRY)
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
     _populated = True

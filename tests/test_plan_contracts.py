@@ -194,6 +194,61 @@ class TestRound4OperatorContracts:
         assert plan.count("Exchange hashpartitioning") == 1
 
 
+class TestRound5Contracts:
+    def test_quantile_gate_approx_windows_only_the_gated_region(self, views):
+        """approx=True is the single-group-skew fallback: the ranking
+        window must consume the threshold-FILTERED rows (broadcast
+        threshold join + score pre-gate), never the whole group."""
+        from arrow_zarr_spark.operators.sampling import quantile_gate
+
+        docs = views.table("documents").select("doc_id", "lang", "n_chars")
+        plan = _plan(
+            quantile_gate(docs, "lang", "n_chars", 0.5, "doc_id", approx=True)
+        )
+        assert "BroadcastHashJoin" in plan
+        wpos = plan.find("Window")
+        fpos = plan.find(">= __t_lo")
+        assert wpos >= 0 and fpos >= 0
+        # plan trees print children below parents: the threshold filter
+        # must sit BELOW the window, i.e. feed it
+        assert fpos > wpos, "threshold pre-gate is not below the window"
+
+    def test_token_budget_sharded_has_no_full_corpus_window(self, views):
+        """The sharded budget's only window may see the boundary bucket
+        (a __bucket equality filter below it), never the whole input."""
+        from arrow_zarr_spark.operators.sampling import (
+            token_budget_sample_sharded,
+        )
+
+        docs = views.table("documents")
+        out = token_budget_sample_sharded(
+            docs, "n_chars", 20000, ["n_chars", "doc_id"], n_buckets=16
+        )
+        plan = _plan(out)
+        lines = plan.splitlines()
+        widx = [i for i, l in enumerate(lines) if "Window" in l]
+        assert widx, "expected exactly the boundary-bucket window"
+        # Catalyst inlines __bucket into its CASE-WHEN sum, so check
+        # structurally: between the Window and its leaf scan there
+        # must be a Filter (the bucket-equality gate)
+        below = lines[widx[0] + 1 :]
+        scan = next(i for i, l in enumerate(below) if "FileScan" in l)
+        assert any("Filter" in l for l in below[:scan]), (
+            "boundary window consumes the unfiltered corpus"
+        )
+
+    def test_wordcode_minhash_is_shuffle_free(self, views):
+        """The driver-provable MinHash is per-row array arithmetic: a
+        narrow projection with no exchange at all."""
+        from arrow_zarr_spark.operators.dedup import (
+            minhash_signatures_wordcode,
+        )
+
+        plan = _plan(minhash_signatures_wordcode(views.table("documents")))
+        assert "Exchange" not in plan
+        assert "Window" not in plan
+
+
 class TestLateRound4Contracts:
     def test_dedup_against_corpus_gated_and_hash_joined(self, views):
         """The batch shingle set must broadcast into the corpus gate and

@@ -220,6 +220,74 @@ class TestQuantileGate:
         with _pytest.raises(ValueError, match="keep_frac"):
             quantile_gate(df, "lang", "s", 0.0, "doc_id")
 
+    @pytest.mark.parametrize("keep_frac", [0.1, 0.5, 0.9, 1.0])
+    def test_approx_path_identical_to_exact(self, spark, docs, keep_frac):
+        """The skew fallback must return the SAME rows AND ranks as the
+        exact window path (the threshold pre-gate is padded past the
+        percentile_approx rank-error bound, so it can never cut into
+        the true top-k)."""
+        d = docs.select("doc_id", "lang", "n_chars")
+        exact = sampling.quantile_gate(
+            d, "lang", "n_chars", keep_frac, "doc_id"
+        )
+        approx = sampling.quantile_gate(
+            d, "lang", "n_chars", keep_frac, "doc_id", approx=True
+        )
+        assert exact.columns == approx.columns
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, approx.collect())
+        )
+
+    def test_approx_path_identical_on_ties(self, spark):
+        """Score ties around the cutoff: the threshold filter keeps
+        whole tie runs and the rank filter re-cuts them exactly."""
+        rows = [(i, "a", (i // 3) * 5) for i in range(30)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+        exact = sampling.quantile_gate(df, "lang", "score", 0.4, "doc_id")
+        approx = sampling.quantile_gate(
+            df, "lang", "score", 0.4, "doc_id", approx=True
+        )
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, approx.collect())
+        )
+
+
+class TestTokenBudgetSharded:
+    @pytest.mark.parametrize("n_buckets", [4, 16, 64])
+    def test_identical_to_global_window_form(self, spark, docs, n_buckets):
+        total = docs.agg(F.sum("n_chars")).first()[0]
+        for budget in (3000, total // 2, total * 2):
+            g = sampling.token_budget_sample(
+                docs, "n_chars", budget, ["n_chars", "doc_id"]
+            )
+            s = sampling.token_budget_sample_sharded(
+                docs,
+                "n_chars",
+                budget,
+                ["n_chars", "doc_id"],
+                n_buckets=n_buckets,
+            )
+            assert g.columns == s.columns
+            assert sorted(r.doc_id for r in g.collect()) == sorted(
+                r.doc_id for r in s.collect()
+            ), (n_buckets, budget)
+
+    def test_first_row_kept_when_it_alone_overflows(self, spark):
+        df = spark.createDataFrame(
+            [(1, 100), (2, 90), (3, 80)], ["doc_id", "toks"]
+        )
+        out = sampling.token_budget_sample_sharded(
+            df, "toks", 50, ["toks", "doc_id"], n_buckets=4
+        ).collect()
+        assert [r.doc_id for r in out] == [1]
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "doc_id long, toks long")
+        out = sampling.token_budget_sample_sharded(
+            df, "toks", 50, ["toks", "doc_id"]
+        )
+        assert out.count() == 0
+
 
 class TestTrainValTestSplit:
     def test_partition_invariant_and_complete(self, spark, docs):
