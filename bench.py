@@ -221,6 +221,47 @@ def bench_queries(spark):
 
     qs["zarr_write_orders"] = zarr_write
 
+    # sharded write: each task emits one sharding_indexed object of 8
+    # inner chunks (the object-count lever w03 exercises) — tracked so
+    # the shard-assembly overhead vs plain chunk writes is a number
+    def zarr_write_sharded():
+        import shutil
+        import tempfile
+
+        from arrow_zarr_spark.io import write_zarr
+
+        out = tempfile.mkdtemp(prefix="azs_bench_write_sh_")
+        try:
+            src = spark.table("orders").select("o_orderkey", "o_totalprice")
+            write_zarr(
+                src, out + "/s", chunk_rows=16384, shard_chunks=8,
+                mode="overwrite",
+            )
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        return 0
+
+    qs["zarr_write_sharded"] = zarr_write_sharded
+
+    # string-column write: vlen-utf8 encode throughput (w04's path)
+    def zarr_write_strings():
+        import shutil
+        import tempfile
+
+        from arrow_zarr_spark.io import write_zarr
+
+        out = tempfile.mkdtemp(prefix="azs_bench_write_str_")
+        try:
+            src = spark.table("documents").select(
+                "doc_id", "lang", "source"
+            )
+            write_zarr(src, out + "/s", chunk_rows=16384, mode="overwrite")
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        return 0
+
+    qs["zarr_write_strings"] = zarr_write_strings
+
     # -- data-pipeline operators (registered once implemented) --
     try:
         from arrow_zarr_spark.operators import bench_entries
@@ -230,6 +271,79 @@ def bench_queries(spark):
         pass
 
     return qs
+
+
+def _scale_docs(spark, factor: int) -> str:
+    """A ``factor``x documents table derived from $SPARK_GRAFT_SF_DIR,
+    cached under /tmp. Copy i shifts doc_id by i*stride and rotates the
+    text's letters (copy 0 = identity), so corpus statistics (word
+    counts, lengths, n-gram structure) scale while NO cross-copy
+    duplicate pairs appear — naive duplication would make the dedup
+    benches quadratic in the copy count, measuring the workload change
+    instead of the engine."""
+    from pyspark.sql import functions as F
+
+    token = SF_DIR.rstrip("/").replace("/", "_").lstrip("_")
+    out = f"/tmp/azs_scale{factor}_{token}/documents.parquet"
+    if os.path.exists(out + "/_SUCCESS"):
+        return out
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stride = docs.agg(F.max("doc_id")).first()[0] + 1
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    parts = []
+    for i in range(factor):
+        rot = alpha[i:] + alpha[:i]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
+                F.translate("text", alpha, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(out)
+    return out
+
+
+def scale_rung_queries(spark, factor: int):
+    """The five heaviest operators at ``factor``x the bench data — the
+    second rung that makes the scale story falsifiable: near-linear
+    designs must show a time ratio well under factor + shuffle growth
+    (the judge reads ratio = rung/base per query)."""
+    from pyspark.sql import functions as F
+
+    from arrow_zarr_spark.operators import dedup, text
+
+    docs = spark.read.parquet(_scale_docs(spark, factor))
+    # zarr store at ~factor x rows: side scales by sqrt(factor)
+    side = int(512 * factor**0.5 + 0.5)
+    zpath = fixtures.write_bench_store(side=side)
+    zdf = spark.read.format("zarr").load(zpath)
+
+    qs = {}
+    qs["zarr_full_scan"] = lambda: _force(zdf)
+    qs["boilerplate_stats"] = lambda: _force(text.boilerplate_stats(docs))
+    qs["dedup_minhash_lsh"] = lambda: _force(
+        dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.05)
+    )
+    qs["dedup_against_corpus"] = lambda: _force(
+        dedup.dedup_against_corpus(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+        )
+    )
+    qs["contamination_purge"] = lambda: _force(
+        dedup.contamination_purge(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+        )
+    )
+    meta = {"factor": factor, "zarr_rows": side * side}
+    return qs, meta
 
 
 def main() -> None:
@@ -271,6 +385,33 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # second rung: the five heaviest operators at 10x data (min-of-2 —
+    # one rung datapoint costs ~10x a base run; the base timings above
+    # keep min-of-3). Disable with SPARK_GRAFT_SCALE_FACTOR=1.
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10") or 10)
+    scale_out = {}
+    if factor > 1:
+        sqs, smeta = scale_rung_queries(spark, factor)
+        srepeat = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "2") or 2)
+        stimings = {}
+        for name, thunk in sqs.items():
+            best = None
+            for _ in range(max(srepeat, 1)):
+                t0 = time.perf_counter()
+                thunk()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            stimings[name] = round(best, 3)
+        scale_out = {
+            **smeta,
+            "queries": stimings,
+            "ratio_vs_base": {
+                n: round(stimings[n] / timings[n], 2)
+                for n in stimings
+                if timings.get(n)
+            },
+        }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "arrow_zarr_spark headline queries wall time",
@@ -286,6 +427,9 @@ def main() -> None:
             "zarr_bench_small": 128 * 128,
             "zarr_bench_sharded": 512 * 512,
         },
+        # the 10x-data rung for the heaviest operators: near-linear
+        # designs must hold ratio_vs_base well under ~12
+        "scale_rung": scale_out,
     }
     print(json.dumps(out))
     spark.stop()
