@@ -580,6 +580,84 @@ def _populate_relational_round4_tail() -> None:
     )
 
 
+def _populate_relational_round5_tail() -> None:
+    """Round-5 completeness additions registered PAST the window
+    (round-6 rotation picks them up): NTILE buckets, FIRST/LAST_VALUE
+    with explicit full frames, FILTER-clause aggregation, and the
+    tumbling-window event stats batch form (the streaming operator's
+    driver row — windowed_event_stats was pytest-only until now)."""
+    _sql_pair(
+        "r40_ntile",
+        # NTILE over a total per-group order; DuckDB returns BIGINT and
+        # Spark INT, so both sides CAST
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(NTILE(4) OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile "
+        "FROM orders",
+    )
+    _sql_pair(
+        "r41_first_last_value",
+        # explicit UNBOUNDED/UNBOUNDED frame: the default frame for
+        # LAST_VALUE (up to CURRENT ROW) differs in spirit across
+        # engines, so the full frame is pinned. (l_orderkey,
+        # l_linenumber) is NOT unique in the synthetic table, so
+        # l_quantity joins the ORDER BY — rows still tied then share
+        # the returned value, keeping first/last deterministic
+        "SELECT l_orderkey, l_linenumber, "
+        "FIRST_VALUE(l_quantity) OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_linenumber, l_quantity "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "AS first_qty, "
+        "LAST_VALUE(l_quantity) OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_linenumber, l_quantity "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "AS last_qty FROM lineitem",
+    )
+    _sql_pair(
+        "r42_filtered_agg",
+        # FILTER clause (conditional aggregation without CASE noise)
+        "SELECT l_returnflag, "
+        "CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big, "
+        "CAST(COUNT(*) FILTER (WHERE l_discount < 0.05) AS BIGINT) "
+        "AS n_cheap, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) "
+        "FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price "
+        "FROM lineitem GROUP BY l_returnflag",
+    )
+
+    def e03(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tumbling-window event stats (streaming/event_ops.py:65) in
+        batch form. The registered projection follows the suite's
+        determinism rules: the window struct collapses to its epoch-
+        second start (struct columns crash the driver canonicalizer),
+        value pre-cast to DECIMAL so the sum is order-independent, and
+        the engine-specific approx_count_distinct column is dropped.
+        Spark's tumbling windows align to the Unix epoch, so the oracle
+        is plain epoch/900 bucket arithmetic."""
+        from .streaming.event_ops import windowed_event_stats
+
+        ensure_views(spark, sf_dir)
+        ev = spark.table("events").withColumn(
+            "value", F.col("value").cast("decimal(38,6)")
+        )
+        out = windowed_event_stats(ev, window="15 minutes")
+        return out.select(
+            F.col("win.start").cast("bigint").alias("win_start_s"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+
+    register_query(
+        "e03_windowed_stats_batchform",
+        e03,
+        "SELECT CAST(FLOOR(epoch(ts) / 900) * 900 AS BIGINT) AS win_start_s, "
+        "event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value "
+        "FROM events GROUP BY 1, 2",
+    )
+
+
 def _populate_zarr_round4() -> None:
     """Round-4 zarr addition (driver-green r4, rotated out in r5)."""
 
@@ -1090,6 +1168,7 @@ def _ensure_populated() -> None:
     populate_rotated_out(register_query)
     _populate_tier_b()
     _populate_relational_round4_tail()
+    _populate_relational_round5_tail()
     _populate_tier_b_deferred()
     _populate_zarr()
     _populate_writer()
