@@ -229,3 +229,80 @@ def test_sharded_table_layout_roundtrip(
         )
     arrays = {a.meta.name: a for a in infer_store_arrays(store)}
     assert arrays["k"].read_all().tolist() == values.tolist()
+
+
+@st.composite
+def leftover_columns(draw):
+    """Random mixed numeric/string/datetime column sets like the ones
+    the format sink stages between write() and commit()."""
+    n_rows = draw(st.integers(1, 40))
+    n_cols = draw(st.integers(1, 5))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    cols = {}
+    for i in range(n_cols):
+        kind = draw(st.sampled_from(["num", "str", "dt"]))
+        name = f"c{i}"
+        if kind == "num":
+            dt = draw(st.sampled_from(["int32", "int64", "float64", "uint16"]))
+            cols[name] = rng.randint(0, 1000, size=n_rows).astype(dt)
+        elif kind == "dt":
+            cols[name] = rng.randint(0, 10**15, size=n_rows).astype(
+                "datetime64[us]"
+            )
+        else:
+            pool = ["", "a", "héllo wörld", "日本語テキスト", "x" * 300, "🎉🎊"]
+            vals = np.empty(n_rows, dtype=object)
+            for j in range(n_rows):
+                vals[j] = draw(st.sampled_from(pool)) + str(j % 7)
+            cols[name] = vals
+    return cols
+
+
+@given(cols=leftover_columns())
+@settings(max_examples=60, deadline=None)
+def test_leftover_staging_roundtrip(cols):
+    """The pickle-free staging format must round-trip every column
+    combination the sink can stage: numerics of any dtype (raw bytes),
+    datetime64 (dtype-str preserved), and arbitrary UTF-8 strings
+    (multi-byte, empty, long) — plus name validation on mismatch."""
+    import pytest as _pytest
+
+    from arrow_zarr_spark.sinks import _pack_leftover, _unpack_leftover
+    from arrow_zarr_spark.zarr.meta import ZarrFormatError
+
+    names = list(cols)
+    raw = _pack_leftover(names, cols)
+    back = _unpack_leftover(names, raw)
+    for n in names:
+        a, b = cols[n], back[n]
+        if a.dtype == object:
+            assert list(a) == list(b)
+        else:
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(a, b)
+    if len(names) > 1:
+        with _pytest.raises(ZarrFormatError, match="does not match"):
+            _unpack_leftover(list(reversed(names)), raw)
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=2048),
+    flip=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_crc32c_codec_detects_any_single_bitflip(payload, flip):
+    """Round-trip holds for any payload, and ANY single-bit corruption
+    of the encoded chunk (body or trailer) is caught — CRC-32C detects
+    all single-bit errors by construction."""
+    import pytest as _pytest
+
+    from arrow_zarr_spark.zarr.codecs import _bb_decode, _bb_encode
+    from arrow_zarr_spark.zarr.meta import ZarrFormatError
+
+    enc = _bb_encode("crc32c", {}, payload)
+    assert _bb_decode("crc32c", {}, enc, len(payload)) == payload
+    bit = flip % (len(enc) * 8)
+    corrupted = bytearray(enc)
+    corrupted[bit // 8] ^= 1 << (bit % 8)
+    with _pytest.raises(ZarrFormatError, match="checksum mismatch"):
+        _bb_decode("crc32c", {}, bytes(corrupted), len(payload))

@@ -238,6 +238,26 @@ class TestQuantileGate:
             map(tuple, approx.collect())
         )
 
+    def test_approx_path_identical_under_single_group_skew(self, spark):
+        """The exact scenario the fallback exists for: one group holds
+        ~99% of the rows (with heavy score ties), tiny groups beside
+        it. Output must still match the exact path bit-for-bit."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        rows = [(int(i), "en", int(rng.randint(0, 50))) for i in range(5000)]
+        rows += [(5000 + i, "xx", i) for i in range(7)]
+        rows += [(6000, "yy", 1)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+        for kf in (0.2, 0.5):
+            exact = sampling.quantile_gate(df, "lang", "score", kf, "doc_id")
+            approx = sampling.quantile_gate(
+                df, "lang", "score", kf, "doc_id", approx=True
+            )
+            assert sorted(map(tuple, exact.collect())) == sorted(
+                map(tuple, approx.collect())
+            ), kf
+
     def test_approx_path_identical_on_ties(self, spark):
         """Score ties around the cutoff: the threshold filter keeps
         whole tie runs and the rank filter re-cuts them exactly."""
@@ -287,6 +307,40 @@ class TestTokenBudgetSharded:
             df, "toks", 50, ["toks", "doc_id"]
         )
         assert out.count() == 0
+
+    def test_zero_token_rows_and_constant_scores(self, spark):
+        """Adversarial cases for the bucket math: zero-token rows at
+        the exact budget boundary (greedy drops them: prior == budget)
+        and a constant order column (every row lands in one bucket)."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [
+            (int(i), int(rng.choice([0, 0, 5, 50]))) for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "toks"])
+        for budget in (1, 55, 137, sum(t for _, t in rows)):
+            g = sampling.token_budget_sample(
+                df, "toks", budget, ["toks", "doc_id"]
+            )
+            s = sampling.token_budget_sample_sharded(
+                df, "toks", budget, ["toks", "doc_id"], n_buckets=8
+            )
+            assert sorted(r.doc_id for r in g.collect()) == sorted(
+                r.doc_id for r in s.collect()
+            ), budget
+        const = spark.createDataFrame(
+            [(i, 10) for i in range(100)], ["doc_id", "toks"]
+        )
+        g = sampling.token_budget_sample(
+            const, "toks", 305, ["toks", "doc_id"]
+        )
+        s = sampling.token_budget_sample_sharded(
+            const, "toks", 305, ["toks", "doc_id"], n_buckets=8
+        )
+        assert sorted(r.doc_id for r in g.collect()) == sorted(
+            r.doc_id for r in s.collect()
+        )
 
 
 class TestTrainValTestSplit:
