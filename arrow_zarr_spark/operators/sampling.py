@@ -35,6 +35,7 @@ __all__ = [
     "rebalance_mixture",
     "quantile_gate",
     "train_val_test_split",
+    "deterministic_shuffle",
 ]
 
 
@@ -396,6 +397,43 @@ def rebalance_mixture(
         df.join(F.broadcast(fracs), group_col)
         .filter(draw < F.col("keep_frac") * _DRAW_MOD)
         .select(*df.columns)
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Stable global corpus shuffle for training epochs: every row gets
+    a (``shard``, ``shard_pos``) coordinate that is a pure function of
+    the unique key and the seed — reshuffling between epochs is just a
+    new seed, and any engine (including the DuckDB oracle) reproduces
+    the exact permutation. Readers consume shard files in order and
+    rows by ``shard_pos`` within each; the multiplicative draw
+    decorrelates neighboring keys so the read order is
+    statistically shuffled.
+
+    Scale: NO global sort — the only shuffle partitions by ``shard``
+    and each window ranks ~corpus/n_shards rows; pick ``n_shards`` so
+    a shard fits a task's spill budget (windows spill, not OOM)."""
+    if n_shards <= 0:
+        raise ValueError(f"deterministic_shuffle: n_shards must be > 0")
+    draw = (
+        (F.col(key_col) % _DRAW_MOD + F.lit(seed)) * F.lit(_DRAW_MULT)
+    ) % _DRAW_MOD
+    with_draw = df.withColumn("__draw", draw)
+    shard = (F.col("__draw") % n_shards).cast("long")
+    w = Window.partitionBy(shard).orderBy(
+        F.col("__draw").asc(), F.col(key_col).asc()
+    )
+    return (
+        with_draw.withColumn("shard", shard)
+        .withColumn(
+            "shard_pos", (F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("__draw")
     )
 
 

@@ -1190,6 +1190,26 @@ def populate_round5_queries(register) -> None:
             docs, "lang", "n_chars", 0.25, "doc_id", approx=True
         )
 
+    def p10(spark, sf_dir):
+        from .sampling import deterministic_shuffle
+
+        return deterministic_shuffle(
+            _docs(spark, sf_dir), "doc_id", n_shards=64, seed=42
+        )
+
+    # the permutation is a pure function of (key, seed), so the oracle
+    # replays the exact (shard, shard_pos) assignment
+    register(
+        "p10_deterministic_shuffle",
+        p10,
+        "SELECT doc_id, text, lang, source, n_chars, "
+        "CAST(d % 64 AS BIGINT) AS shard, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY d % 64 ORDER BY d, doc_id) "
+        "- 1 AS BIGINT) AS shard_pos FROM ("
+        "  SELECT *, ((doc_id % 1000003 + 42) * 2654435761) % 1000003 AS d "
+        "  FROM documents)",
+    )
+
     # the approx path's contract is bit-identical output to the exact
     # rank gate, so the oracle is the exact ranked form
     register(

@@ -343,6 +343,54 @@ class TestTokenBudgetSharded:
         )
 
 
+class TestDeterministicShuffle:
+    def test_is_a_permutation(self, spark, docs):
+        out = sampling.deterministic_shuffle(docs, "doc_id", n_shards=8)
+        rows = out.select("doc_id", "shard", "shard_pos").collect()
+        assert len(rows) == docs.count()
+        assert len({r.doc_id for r in rows}) == len(rows)
+        by_shard = {}
+        for r in rows:
+            assert 0 <= r.shard < 8
+            by_shard.setdefault(r.shard, []).append(r.shard_pos)
+        # positions dense 0..n-1 within every shard
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(len(positions)))
+
+    def test_partition_invariant_and_seed_sensitive(self, spark, docs):
+        a = sampling.deterministic_shuffle(
+            docs.repartition(3), "doc_id", n_shards=8
+        )
+        b = sampling.deterministic_shuffle(
+            docs.repartition(17), "doc_id", n_shards=8
+        )
+        key = lambda df: sorted(
+            (r.doc_id, r.shard, r.shard_pos)
+            for r in df.select("doc_id", "shard", "shard_pos").collect()
+        )
+        assert key(a) == key(b)
+        c = sampling.deterministic_shuffle(docs, "doc_id", n_shards=8, seed=1)
+        assert key(a) != key(c)
+
+    def test_shuffles_neighboring_keys_apart(self, spark):
+        """Consecutive keys must not land in consecutive read order —
+        the whole point of the epoch shuffle."""
+        df = spark.createDataFrame(
+            [(i,) for i in range(1000)], ["doc_id"]
+        )
+        out = sampling.deterministic_shuffle(df, "doc_id", n_shards=4)
+        rows = sorted(
+            ((r.shard, r.shard_pos), r.doc_id)
+            for r in out.collect()
+        )
+        read_order = [doc for _, doc in rows]
+        adjacent = sum(
+            1 for x, y in zip(read_order, read_order[1:]) if abs(x - y) == 1
+        )
+        # a true random permutation has ~2 adjacent pairs in 1000
+        assert adjacent < 20
+
+
 class TestTrainValTestSplit:
     def test_partition_invariant_and_complete(self, spark, docs):
         from arrow_zarr_spark.operators.sampling import train_val_test_split
