@@ -237,6 +237,23 @@ class TestRound5Contracts:
             "boundary window consumes the unfiltered corpus"
         )
 
+    def test_deterministic_shuffle_single_exchange_no_global_sort(
+        self, views
+    ):
+        """The epoch shuffle must cost exactly one hash exchange on the
+        shard key — a global Sort or SinglePartition exchange would be
+        the thing it exists to avoid."""
+        from arrow_zarr_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        plan = _plan(
+            deterministic_shuffle(views.table("documents"), "doc_id", 64)
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange SinglePartition" not in plan
+        assert "Exchange rangepartitioning" not in plan
+
     def test_wordcode_minhash_is_shuffle_free(self, views):
         """The driver-provable MinHash is per-row array arithmetic: a
         narrow projection with no exchange at all."""
