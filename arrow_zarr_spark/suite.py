@@ -1083,10 +1083,12 @@ _populated = False
 #: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
 #: list against the live registry.
 #:
-#: Round-5 window: 6 never-checked round-4 additions + 3 new round-5
-#: operators + the 9 tier-B rows last green in r2 + the 32 stalest
-#: r3-green rows (the z01-z16 zarr flagship block, w01, and the
-#: operator rows d04-t04/m01-m02/j01-j04).
+#: Round-5 window: 6 never-checked round-4 additions + 8 new round-5
+#: operators + the 9 tier-B rows last green in r2 + the 27 stalest
+#: r3-green rows (the z01-z16 zarr flagship block, w01, and operator
+#: rows keeping one representative per family: t01 for text, m02 for
+#: multimodal, j01-j03 for joins; the displaced t02-t04/m01/j04 stay
+#: parity-tested every round and rotate back in round 6).
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
     "z18_3d_scan",
@@ -1099,6 +1101,11 @@ DRIVER_WINDOW = [
     "d13_minhash_wordcode",
     "p08_token_budget_sharded",
     "p09_quantile_gate_approx",
+    "p10_deterministic_shuffle",
+    "r40_ntile",
+    "r41_first_last_value",
+    "r42_filtered_agg",
+    "e03_windowed_stats_batchform",
     # stalest green rows (last driver-checked in round 2)
     "b01_projection",
     "b02_scalar_expr_alias",
@@ -1133,15 +1140,10 @@ DRIVER_WINDOW = [
     "s01_cosine_topk",
     "s02_lsh_ann_topk",
     "t01_token_count",
-    "t02_language_id",
-    "t03_quality_score",
-    "t04_document_fingerprint",
-    "m01_byte_features",
     "m02_decode_image_fake",
     "j01_range_join",
     "j02_asof_join",
     "j03_theta_join_banded",
-    "j04_salted_join",
 ]
 
 
