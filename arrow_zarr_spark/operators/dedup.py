@@ -47,6 +47,7 @@ __all__ = [
     "contamination_purge",
     "dedup_against_corpus",
     "minhash_lsh_pairs_cross",
+    "duplicated_spans",
 ]
 
 _MERSENNE31 = 2147483647  # 2^31 - 1
@@ -997,4 +998,96 @@ def embedding_cosine_pairs(
             F.round(cosine_expr("va", "vb"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication spans, the suffix-array-style dedup
+    of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., 2022) re-expressed as a k-gram digest pipeline: any
+    word k-gram occurring ``min_count``+ times anywhere in the corpus
+    marks the words it covers, and runs of marked words merge into
+    maximal ``[span_start, span_end]`` intervals per document (word
+    positions, 1-based inclusive) that a downstream pass can mask or
+    cut. Unlike document-level MinHash (d03/d13), this finds the
+    *within-document* duplicated regions — boilerplate headers,
+    license blocks, templated passages — even when the documents
+    containing them are globally unique.
+
+    The k-gram digest is the engine-independent base-131 polynomial
+    over word codes (same convention as
+    :func:`minhash_signatures_wordcode`), so a SQL oracle replays the
+    span set bit-for-bit. ``k=6`` keeps the un-modded polynomial
+    inside int64 (131^5 * max_word_code < 2^63), letting both engines
+    apply one final ``% (2^31-1)``.
+
+    Scale shape (100 TB): the gram stream is (code, doc_id, pos) —
+    24-byte rows, no n-gram strings ever materialize. Duplicated
+    codes come from a groupBy(code) count (map-side combine shrinks
+    hot boilerplate keys before the shuffle), and marking is a
+    left-semi join of the gram stream against that typically-tiny
+    duplicated set (AQE broadcasts it when it fits, the common case;
+    a hot code's probe rows stream through one partition but never
+    accumulate). Span merge is one doc_id shuffle shared by the
+    lag-window and the groupBy (Catalyst reuses the exchange). Docs
+    with fewer than ``k`` words have no k-grams and drop out, which
+    also keeps ``F.sequence`` ascending."""
+    from pyspark.sql import Window
+
+    words = words_col(F.col(text_col))
+
+    def wc(w):
+        return (
+            (F.length(w) * 31 + F.ascii(w.substr(F.lit(1), F.lit(1)))) * 31
+            + F.ascii(w.substr(F.length(w), F.lit(1)))
+        ).cast("long")
+
+    def gram_code(i):
+        code = F.lit(0).cast("long")
+        for j in range(k):
+            code = code * 131 + wc(F.element_at(words, i + F.lit(j)))
+        return code % F.lit(_MERSENNE31)
+
+    codes = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (k - 1)), gram_code
+    )
+    grams = (
+        df.filter(F.size(words) >= k)
+        .select(F.col(id_col), F.posexplode(codes).alias("pos0", "code"))
+        .select(
+            id_col,
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            "code",
+        )
+    )
+    dup_codes = (
+        grams.groupBy("code")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("code")
+    )
+    marked = grams.join(dup_codes, "code", "left_semi")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= F.lit(k), F.lit(0)
+    ).otherwise(F.lit(1))
+    island = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("island", island)
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_dup_grams")
     )

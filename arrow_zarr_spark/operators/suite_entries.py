@@ -1223,6 +1223,57 @@ def populate_round5_queries(register) -> None:
         "WHERE group_rank <= CAST(CEIL(cnt * 0.25) AS BIGINT)",
     )
 
+    def d14(spark, sf_dir):
+        return dedup.duplicated_spans(_docs(spark, sf_dir), k=6)
+
+    wc = text.word_code_sql
+    poly6 = f"CAST({wc('ws[i]')} AS BIGINT)"
+    for j in range(1, 6):
+        poly6 = f"({poly6} * 131 + {wc(f'ws[i+{j}]')})"
+    register(
+        "d14_duplicated_spans",
+        d14,
+        "WITH toks AS ("
+        "  SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "posed AS ("
+        "  SELECT doc_id, ws, UNNEST(range(1, len(ws) - 4)) AS i "
+        "  FROM toks), "
+        "grams AS ("
+        f"  SELECT doc_id, i AS pos, {poly6} % 2147483647 AS code "
+        "  FROM posed), "
+        "dup AS ("
+        "  SELECT code FROM grams GROUP BY code HAVING COUNT(*) >= 2), "
+        "marked AS ("
+        "  SELECT doc_id, pos FROM grams WHERE code IN "
+        "    (SELECT code FROM dup)), "
+        "isl AS ("
+        "  SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER ("
+        "    PARTITION BY doc_id ORDER BY pos) <= 6 THEN 0 ELSE 1 END "
+        "    AS brk FROM marked), "
+        "isl2 AS ("
+        "  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id "
+        "    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl) "
+        "SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 5 AS span_end, "
+        "COUNT(*) AS n_dup_grams FROM isl2 GROUP BY doc_id, island",
+    )
+
+    def t12(spark, sf_dir):
+        return text.unigram_logprob(_docs(spark, sf_dir))
+
+    register(
+        "t12_unigram_logprob",
+        t12,
+        "WITH wx AS ("
+        "  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w "
+        "  FROM documents), "
+        "cnts AS (SELECT w, COUNT(*) AS cnt FROM wx GROUP BY w), "
+        "tot AS (SELECT SUM(cnt) AS total FROM cnts) "
+        "SELECT doc_id, COUNT(*) AS n_words, "
+        "ROUND(AVG(LN(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob, "
+        "MIN(cnt) AS min_count "
+        "FROM wx JOIN cnts USING (w) CROSS JOIN tot GROUP BY doc_id",
+    )
+
 
 def populate_rotated_out(register) -> None:
     """d01/d02: rotated OUT of the r3 window (green r1+r2), rotated

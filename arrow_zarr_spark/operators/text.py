@@ -31,6 +31,7 @@ __all__ = [
     "repetition_signals",
     "boilerplate_stats",
     "boilerplate_stats_sql",
+    "unigram_logprob",
 ]
 
 #: PII patterns, shared by redaction and counting. Kept to the regex
@@ -593,4 +594,44 @@ def chunk_documents_sql(
         f"  FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ws "
         f"        FROM {table})"
         f")"
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-style quality score from a unigram language model
+    fit on the corpus itself: per document, the mean natural-log
+    probability of its words under corpus-wide unigram frequencies
+    (the classic cheap proxy for "does this look like the corpus" —
+    low scores flag gibberish and rare-token soup, the same role
+    KenLM perplexity plays in CCNet/Gopher-style pipelines).
+    ``min_count`` (the corpus frequency of the document's rarest
+    word) rides along as an exact-integer rarity signal.
+
+    Scale shape (100 TB): one word explode feeding a groupBy(word)
+    count — map-side combine collapses the Zipf head before the
+    shuffle, so the shuffled stream is near-vocabulary-sized — then
+    the model joins back onto the same exploded stream (AQE
+    broadcasts the vocab table when it fits; at open-vocabulary
+    scale a min-frequency floor would cap it) and one groupBy(doc)
+    with partial aggregation folds the scores. The corpus total
+    rides in via a broadcast single-row cross join, never a driver
+    collect."""
+    words = words_col(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(words).alias("w"))
+    counts = exploded.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    model = counts.crossJoin(F.broadcast(total))
+    return (
+        exploded.join(model, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("total"))), 6
+            ).alias("avg_logprob"),
+            F.min("cnt").alias("min_count"),
+        )
+        .select(id_col, "n_words", "avg_logprob", "min_count")
     )

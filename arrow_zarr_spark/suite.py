@@ -1083,12 +1083,13 @@ _populated = False
 #: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
 #: list against the live registry.
 #:
-#: Round-5 window: 6 never-checked round-4 additions + 8 new round-5
-#: operators + the 9 tier-B rows last green in r2 + the 27 stalest
+#: Round-5 window: 6 never-checked round-4 additions + 10 new round-5
+#: operators + the 9 tier-B rows last green in r2 + the 25 stalest
 #: r3-green rows (the z01-z16 zarr flagship block, w01, and operator
-#: rows keeping one representative per family: t01 for text, m02 for
-#: multimodal, j01-j03 for joins; the displaced t02-t04/m01/j04 stay
-#: parity-tested every round and rotate back in round 6).
+#: rows keeping one representative per family: t01 for text, d06/d07
+#: for dedup, s02 for similarity, m02 for multimodal, j01-j03 for
+#: joins; the displaced t02-t04/m01/j04/d04/s01 stay parity-tested
+#: every round and rotate back in round 6).
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
     "z18_3d_scan",
@@ -1106,6 +1107,8 @@ DRIVER_WINDOW = [
     "r41_first_last_value",
     "r42_filtered_agg",
     "e03_windowed_stats_batchform",
+    "d14_duplicated_spans",
+    "t12_unigram_logprob",
     # stalest green rows (last driver-checked in round 2)
     "b01_projection",
     "b02_scalar_expr_alias",
@@ -1134,10 +1137,8 @@ DRIVER_WINDOW = [
     "z15_v2_store_scan",
     "z16_time_scan",
     "w01_writer_roundtrip",
-    "d04_ngram_jaccard_pairs",
     "d06_embedding_neardup",
     "d07_dedup_components",
-    "s01_cosine_topk",
     "s02_lsh_ann_topk",
     "t01_token_count",
     "m02_decode_image_fake",

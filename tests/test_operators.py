@@ -797,3 +797,77 @@ class TestDecodeAudio:
 
         with _pytest.raises(Exception, match="librosa|NotImplemented"):
             multimodal.decode_audio(df, fake=False).collect()
+
+
+class TestDuplicatedSpans:
+    def test_handcomputed_spans(self, spark):
+        """Two docs share a 7-word run ("one two three four five six
+        seven"): with k=6 that is duplicated 6-gram starts at word
+        positions 1 and 2 in doc 1 (merged: one span covering words
+        1-7) and positions 3 and 4 in doc 2 (span 3-9). The unique
+        tails contribute nothing."""
+        df = spark.createDataFrame(
+            [
+                (1, "one two three four five six seven aa bb cc dd ee"),
+                (2, "xx yy one two three four five six seven pp qq rr"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+            for r in dedup.duplicated_spans(df, k=6).collect()
+        }
+        assert rows == {(1, 1, 7, 2), (2, 3, 9, 2)}
+
+    def test_within_document_repeat_detected(self, spark):
+        """A k-gram repeated twice INSIDE one globally-unique doc is
+        still flagged (count is over occurrences, not documents) —
+        the property document-level MinHash cannot express."""
+        body = "a1 b2 c3 d4 e5 f6"
+        df = spark.createDataFrame(
+            [(1, f"{body} zz {body}"), (2, "totally different words here x y z")],
+            ["doc_id", "text"],
+        )
+        rows = dedup.duplicated_spans(df, k=6).collect()
+        assert {r.doc_id for r in rows} == {1}
+        got = {(r.span_start, r.span_end) for r in rows}
+        assert got == {(1, 6), (8, 13)}
+
+    def test_short_and_unique_docs_absent(self, spark):
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, "all unique words in this document right")],
+            ["doc_id", "text"],
+        )
+        assert dedup.duplicated_spans(df, k=6).count() == 0
+
+    def test_no_cartesian_and_semi_join_plan(self, spark, docs):
+        plan = dedup.duplicated_spans(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "LeftSemi" in plan
+
+
+class TestUnigramLogprob:
+    def test_handcomputed_logprob(self, spark):
+        """Corpus = 'a a b' + 'a c': counts a=3, b=1, c=1, total 5.
+        Doc 1 score = mean(ln .6, ln .6, ln .2); doc 2 =
+        mean(ln .6, ln .2)."""
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c")], ["doc_id", "text"]
+        )
+        rows = {r.doc_id: r for r in text.unigram_logprob(df).collect()}
+        exp1 = round((2 * math.log(0.6) + math.log(0.2)) / 3, 6)
+        exp2 = round((math.log(0.6) + math.log(0.2)) / 2, 6)
+        assert rows[1].avg_logprob == pytest.approx(exp1, abs=1e-6)
+        assert rows[2].avg_logprob == pytest.approx(exp2, abs=1e-6)
+        assert rows[1].n_words == 3 and rows[2].n_words == 2
+        assert rows[1].min_count == 1 and rows[2].min_count == 1
+
+    def test_common_word_doc_scores_higher(self, spark, docs):
+        """A document made of the corpus's frequent words must outscore
+        rare-word soup; also a smoke test that the full pipeline runs
+        on the parquet fixture."""
+        scored = text.unigram_logprob(docs)
+        assert scored.count() == docs.select("doc_id").distinct().count()
