@@ -86,3 +86,9 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
             docs.filter(F.col("doc_id") % 10 != 0),
         )
     )
+    # substring-duplication spans: one gram explode + count + semi-join
+    # + per-doc island merge — tracked because the gram stream is the
+    # big intermediate (n_words rows per doc)
+    qs["dedup_spans"] = lambda: force(dedup.duplicated_spans(docs))
+    # unigram LM scoring: explode + vocab count + broadcast model join
+    qs["unigram_logprob"] = lambda: force(text.unigram_logprob(docs))

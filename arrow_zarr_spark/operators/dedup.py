@@ -1028,13 +1028,20 @@ def duplicated_spans(
     apply one final ``% (2^31-1)``.
 
     Scale shape (100 TB): the gram stream is (code, doc_id, pos) —
-    24-byte rows, no n-gram strings ever materialize. Duplicated
-    codes come from a groupBy(code) count (map-side combine shrinks
-    hot boilerplate keys before the shuffle), and marking is a
-    left-semi join of the gram stream against that typically-tiny
-    duplicated set (AQE broadcasts it when it fits, the common case;
-    a hot code's probe rows stream through one partition but never
-    accumulate). Span merge is one doc_id shuffle shared by the
+    24-byte rows, no n-gram strings ever materialize, and the word
+    codes are computed ONCE per word (a per-row transform) before the
+    overlapping k-gram windows read them back as array lookups.
+    The stream explodes once behind an eager localCheckpoint — it
+    feeds both the occurrence count and the marking join, and
+    Catalyst would otherwise re-run the explode per consumer (same
+    rationale as :func:`arrow_zarr_spark.operators.text
+    .boilerplate_stats`; swap for checkpoint() on a real cluster if
+    executor loss must be survivable). Duplicated codes come from a
+    groupBy(code) count (map-side combine shrinks hot boilerplate
+    keys before the shuffle); the surviving set is orders of
+    magnitude smaller than the corpus — broadcast for the semi-join
+    (drop the hint and let AQE decide if a pathological corpus made
+    it huge). Span merge is one doc_id shuffle shared by the
     lag-window and the groupBy (Catalyst reuses the exchange). Docs
     with fewer than ``k`` words have no k-grams and drop out, which
     also keeps ``F.sequence`` ascending."""
@@ -1048,23 +1055,29 @@ def duplicated_spans(
             + F.ascii(w.substr(F.length(w), F.lit(1)))
         ).cast("long")
 
+    wcodes = F.transform(words, wc)
+
     def gram_code(i):
         code = F.lit(0).cast("long")
         for j in range(k):
-            code = code * 131 + wc(F.element_at(words, i + F.lit(j)))
+            code = code * 131 + F.element_at(
+                F.col("wcodes"), i + F.lit(j)
+            )
         return code % F.lit(_MERSENNE31)
 
     codes = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (k - 1)), gram_code
+        F.sequence(F.lit(1), F.size(F.col("wcodes")) - (k - 1)), gram_code
     )
     grams = (
         df.filter(F.size(words) >= k)
+        .select(F.col(id_col), wcodes.alias("wcodes"))
         .select(F.col(id_col), F.posexplode(codes).alias("pos0", "code"))
         .select(
             id_col,
             (F.col("pos0") + 1).cast("long").alias("pos"),
             "code",
         )
+        .localCheckpoint(eager=True)
     )
     dup_codes = (
         grams.groupBy("code")
@@ -1072,7 +1085,7 @@ def duplicated_spans(
         .filter(F.col("cnt") >= min_count)
         .select("code")
     )
-    marked = grams.join(dup_codes, "code", "left_semi")
+    marked = grams.join(F.broadcast(dup_codes), "code", "left_semi")
 
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
