@@ -22,7 +22,65 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["range_join", "asof_join", "salted_join"]
+__all__ = [
+    "range_join",
+    "asof_join",
+    "salted_join",
+    "write_bucketed",
+    "bucketed_equi_join",
+]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    path: Optional[str] = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a parquet table hash-bucketed (and by default
+    sorted) on ``key`` — the storage-layout half of the shuffle-free
+    join: two tables bucketed on their join keys with the SAME bucket
+    count join with NO exchange (and, when sorted, no sort), because
+    each bucketed FileScan already reports the hash partitioning the
+    sort-merge join requires.
+
+    This is THE lever for a 100-TB fact table that joins on the same
+    key query after query (orders ⋈ lineitem on orderkey): pay the
+    shuffle once at ingest, never again. ``n_buckets`` must match
+    across co-joined tables and should track cluster parallelism.
+    ``path`` makes the table external (data at ``path``, name in the
+    session catalog); without it Spark manages it under the warehouse
+    dir."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (
+        df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_equi_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join two :func:`write_bucketed` tables on their bucket
+    keys. Catalyst sees matching ``HashPartitioning`` from both scans
+    and plans a zero-exchange sort-merge join (plan-contract-pinned in
+    tests/test_plan_contracts.py) — bucket-local, no shuffle network
+    traffic, the co-located join shape for repeated big-big joins."""
+    lhs = spark.table(left_table)
+    rhs = spark.table(right_table)
+    return lhs.join(rhs, lhs[left_on] == rhs[right_on], how)
 
 
 def salted_join(

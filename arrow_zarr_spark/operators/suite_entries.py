@@ -1260,6 +1260,46 @@ def populate_round5_queries(register) -> None:
     def t12(spark, sf_dir):
         return text.unigram_logprob(_docs(spark, sf_dir))
 
+    def j05(spark, sf_dir):
+        """Co-located join: both sides persisted hash-bucketed on the
+        join key (the pay-the-shuffle-once-at-ingest layout), then
+        joined with ZERO exchanges — plan-contract-pinned in
+        tests/test_plan_contracts.py. The aggregate keeps the output
+        deterministic for the oracle."""
+        import tempfile
+
+        from .joins import bucketed_equi_join, write_bucketed
+
+        ensure_views(spark, sf_dir)
+        # dots would break the catalog TABLE name (unlike w02's path)
+        token = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+        base = tempfile.gettempdir() + f"/azs_j05_{token}"
+        write_bucketed(
+            spark.table("orders"), f"j05_orders_{token}", "o_custkey",
+            16, path=f"{base}/orders",
+        )
+        write_bucketed(
+            spark.table("customer"), f"j05_customer_{token}", "c_custkey",
+            16, path=f"{base}/customer",
+        )
+        joined = bucketed_equi_join(
+            spark, f"j05_orders_{token}", f"j05_customer_{token}",
+            "o_custkey", "c_custkey",
+        )
+        return joined.groupBy("c_custkey", "c_mktsegment").agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        )
+
+    register(
+        "j05_bucketed_join",
+        j05,
+        "SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 4) AS total_spend "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_custkey, c_mktsegment",
+    )
+
     register(
         "t12_unigram_logprob",
         t12,

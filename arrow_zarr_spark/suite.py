@@ -1083,12 +1083,12 @@ _populated = False
 #: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
 #: list against the live registry.
 #:
-#: Round-5 window: 6 never-checked round-4 additions + 10 new round-5
-#: operators + the 9 tier-B rows last green in r2 + the 25 stalest
+#: Round-5 window: 6 never-checked round-4 additions + 11 new round-5
+#: operators + the 9 tier-B rows last green in r2 + the 24 stalest
 #: r3-green rows (the z01-z16 zarr flagship block, w01, and operator
 #: rows keeping one representative per family: t01 for text, d06/d07
-#: for dedup, s02 for similarity, m02 for multimodal, j01-j03 for
-#: joins; the displaced t02-t04/m01/j04/d04/s01 stay parity-tested
+#: for dedup, s02 for similarity, m02 for multimodal, j01/j02 for
+#: joins; the displaced t02-t04/m01/j03/j04/d04/s01 stay parity-tested
 #: every round and rotate back in round 6).
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
@@ -1109,6 +1109,7 @@ DRIVER_WINDOW = [
     "e03_windowed_stats_batchform",
     "d14_duplicated_spans",
     "t12_unigram_logprob",
+    "j05_bucketed_join",
     # stalest green rows (last driver-checked in round 2)
     "b01_projection",
     "b02_scalar_expr_alias",
@@ -1144,7 +1145,6 @@ DRIVER_WINDOW = [
     "m02_decode_image_fake",
     "j01_range_join",
     "j02_asof_join",
-    "j03_theta_join_banded",
 ]
 
 

@@ -295,3 +295,82 @@ class TestLateRound4Contracts:
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
             "BroadcastHashJoin" in plan
         )
+
+
+class TestBucketedJoinContracts:
+    def test_bucketed_join_has_zero_exchanges(self, spark, tmp_path):
+        """Two tables bucketed on their join keys with matching bucket
+        counts must join with NO Exchange anywhere in the plan — the
+        pay-shuffle-once-at-ingest layout for repeated big-big joins.
+        Broadcast is disabled so the small fixture can't cheat the
+        contract with a BroadcastHashJoin."""
+        from arrow_zarr_spark.operators.joins import (
+            bucketed_equi_join,
+            write_bucketed,
+        )
+
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        write_bucketed(
+            o, "pc_b_orders", "o_custkey", 16, path=str(tmp_path / "o")
+        )
+        write_bucketed(
+            c, "pc_b_customer", "c_custkey", 16, path=str(tmp_path / "c")
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = bucketed_equi_join(
+                spark, "pc_b_orders", "pc_b_customer",
+                "o_custkey", "c_custkey",
+            )
+            j.collect()
+            plan = _plan(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS pc_b_orders")
+            spark.sql("DROP TABLE IF EXISTS pc_b_customer")
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "SortMergeJoin" in plan
+        # the AQE plan string nests initial+final plans, so the two
+        # bucketed scans can appear twice
+        assert plan.count("SelectedBucketsCount") >= 2, (
+            "both sides must use the bucketed scan"
+        )
+
+    def test_bucketed_join_values_match_plain_join(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.operators.joins import (
+            bucketed_equi_join,
+            write_bucketed,
+        )
+
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        write_bucketed(
+            o, "pc_v_orders", "o_custkey", 16, path=str(tmp_path / "o")
+        )
+        write_bucketed(
+            c, "pc_v_customer", "c_custkey", 16, path=str(tmp_path / "c")
+        )
+        try:
+            got = (
+                bucketed_equi_join(
+                    spark, "pc_v_orders", "pc_v_customer",
+                    "o_custkey", "c_custkey",
+                )
+                .groupBy("c_custkey")
+                .agg(F.count("*").alias("n"))
+            )
+            exp = (
+                o.join(c, o.o_custkey == c.c_custkey)
+                .groupBy("c_custkey")
+                .agg(F.count("*").alias("n"))
+            )
+            assert {(r.c_custkey, r.n) for r in got.collect()} == {
+                (r.c_custkey, r.n) for r in exp.collect()
+            }
+        finally:
+            spark.sql("DROP TABLE IF EXISTS pc_v_orders")
+            spark.sql("DROP TABLE IF EXISTS pc_v_customer")
