@@ -9,8 +9,8 @@ relational operator, plus a large-scale data-pipeline operator library
 reference does not have.
 """
 
-from .datasource import ZarrDataSource, read_zarr, register
+from .datasource import ZarrDataSource, read_zarr, read_zarr_many, register
 
 __version__ = "0.1.0"
 
-__all__ = ["ZarrDataSource", "read_zarr", "register", "__version__"]
+__all__ = ["ZarrDataSource", "read_zarr", "read_zarr_many", "register", "__version__"]

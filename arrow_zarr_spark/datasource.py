@@ -501,3 +501,52 @@ def read_zarr(spark, path: str, columns: Optional[Sequence[str]] = None,
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def read_zarr_many(
+    spark,
+    paths: Sequence[str],
+    columns: Optional[Sequence[str]] = None,
+    source_col: Optional[str] = None,
+    **options,
+):
+    """Read MANY Zarr stores as one DataFrame — the store-per-day /
+    store-per-shard layout that a 100-TB archive actually uses on an
+    object store (one store per ingest period, each with its own
+    chunk grid). The reference binds one store per table
+    (table_provider.rs); here the union is the natural Spark form:
+    each store contributes its own scan partitions, so parallelism is
+    the SUM of the stores' chunk grids and Catalyst pushes filters
+    into every member scan independently.
+
+    Schemas must match exactly (name AND type) — a mismatching store
+    fails fast with the offending path named, the same strictness the
+    reference applies to DDL schema validation, rather than Spark's
+    positional-union silent miscasts. ``source_col`` adds the
+    store's INDEX in ``paths`` (int, deterministic — paths differ
+    across machines, indexes don't). ``columns``/``options`` forward
+    to every member scan (projection still prunes at each store)."""
+    from pyspark.sql import functions as _F
+
+    if not paths:
+        raise ValueError("read_zarr_many: need at least one store path")
+    dfs = []
+    base_schema = None
+    base_path = None
+    for i, p in enumerate(paths):
+        df = read_zarr(spark, p, columns=columns, **options)
+        got = [(f.name, f.dataType) for f in df.schema.fields]
+        if base_schema is None:
+            base_schema, base_path = got, p
+        elif got != base_schema:
+            raise ValueError(
+                f"read_zarr_many: store {p!r} has schema {got}, "
+                f"which does not match {base_path!r}'s {base_schema}"
+            )
+        if source_col is not None:
+            df = df.withColumn(source_col, _F.lit(i))
+        dfs.append(df)
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out

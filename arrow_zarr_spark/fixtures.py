@@ -16,6 +16,7 @@ from .zarr.writer import write_store
 
 __all__ = [
     "write_lat_lon_store",
+    "write_lat_lon_store_shifted",
     "write_lat_lon_missing_store",
     "write_no_coords_store",
     "write_mixed_dims_store",
@@ -57,6 +58,31 @@ def write_lat_lon_store(path: str | None = None) -> str:
             "lat": np.arange(35.0, 43.0),
             "lon": np.arange(-120.0, -112.0),
             "data": np.arange(64.0).reshape(8, 8),
+        },
+        chunk_shapes={"lat": (3,), "lon": (3,), "data": (3, 3)},
+        dimension_names={
+            "lat": ("lat",),
+            "lon": ("lon",),
+            "data": ("lat", "lon"),
+        },
+    )
+    _mark_done(path)
+    return path
+
+
+def write_lat_lon_store_shifted(path: str | None = None) -> str:
+    """F1b — F1's grid with data shifted by +100 (100..163): the
+    second "day" of a store-per-day layout, for the multi-store
+    union scan (read_zarr_many / z19)."""
+    path = path or fixture_dir("lat_lon_shifted")
+    if _done(path):
+        return path
+    write_store(
+        path,
+        arrays={
+            "lat": np.arange(35.0, 43.0),
+            "lon": np.arange(-120.0, -112.0),
+            "data": np.arange(100.0, 164.0).reshape(8, 8),
         },
         chunk_shapes={"lat": (3,), "lon": (3,), "data": (3, 3)},
         dimension_names={

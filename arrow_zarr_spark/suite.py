@@ -691,6 +691,30 @@ def _populate_zarr_round4() -> None:
     )
 
 
+def _populate_zarr_round5() -> None:
+    def z19(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multi-store union scan (read_zarr_many): two "days" of the
+        store-per-day layout read as one DataFrame, each row tagged
+        with its store index. Parallelism is the sum of both chunk
+        grids; schema equality is validated per store up front."""
+        from .datasource import read_zarr_many
+
+        p1 = fixtures.write_lat_lon_store()
+        p2 = fixtures.write_lat_lon_store_shifted()
+        return read_zarr_many(spark, [p1, p2], source_col="store_idx")
+
+    register_query(
+        "z19_multi_store_union",
+        z19,
+        f"SELECT data, lat, lon, 0 AS store_idx FROM ({_F1_GEN}) "
+        "UNION ALL "
+        "SELECT CAST(100 + i AS DOUBLE) AS data, "
+        "CAST(35 + i // 8 AS DOUBLE) AS lat, "
+        "CAST(-120 + i % 8 AS DOUBLE) AS lon, 1 AS store_idx "
+        "FROM range(64) t(i)",
+    )
+
+
 def _populate_relational_rotated() -> None:
     """Relational entries outside the window: r25 earned its
     driver-green row in r3 (after two red rounds), and r26 is a
@@ -1083,13 +1107,14 @@ _populated = False
 #: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
 #: list against the live registry.
 #:
-#: Round-5 window: 6 never-checked round-4 additions + 11 new round-5
-#: operators + the 9 tier-B rows last green in r2 + the 24 stalest
-#: r3-green rows (the z01-z16 zarr flagship block, w01, and operator
-#: rows keeping one representative per family: t01 for text, d06/d07
-#: for dedup, s02 for similarity, m02 for multimodal, j01/j02 for
-#: joins; the displaced t02-t04/m01/j03/j04/d04/s01 stay parity-tested
-#: every round and rotate back in round 6).
+#: Round-5 window: 6 never-checked round-4 additions + 12 new round-5
+#: operators + the 9 tier-B rows last green in r2 + the 23 stalest
+#: r3-green rows (the zarr flagship block, w01, and operator rows
+#: keeping one representative per family: t01 for text, d06/d07 for
+#: dedup, s02 for similarity, m02 for multimodal, j01/j02 for joins;
+#: z08's union semantic is superseded in-window by z19's two-store
+#: union; the displaced t02-t04/m01/j03/j04/d04/s01/z08 stay
+#: parity-tested every round and rotate back in round 6).
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
     "z18_3d_scan",
@@ -1110,6 +1135,7 @@ DRIVER_WINDOW = [
     "d14_duplicated_spans",
     "t12_unigram_logprob",
     "j05_bucketed_join",
+    "z19_multi_store_union",
     # stalest green rows (last driver-checked in round 2)
     "b01_projection",
     "b02_scalar_expr_alias",
@@ -1128,7 +1154,6 @@ DRIVER_WINDOW = [
     "z05_missing_chunk_fill",
     "z06_mixed_dims",
     "z07_order_limit",
-    "z08_union_all",
     "z09_no_coords",
     "z10_type_map",
     "z11_theta_self_join",
@@ -1166,6 +1191,7 @@ def _ensure_populated() -> None:
     populate_round4_queries(register_query)
     populate_round5_queries(register_query)
     _populate_zarr_round4()
+    _populate_zarr_round5()
     _populate_relational()
     _populate_writer_deferred()
     populate_rotated_out(register_query)

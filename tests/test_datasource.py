@@ -3,6 +3,7 @@ reference's SQL-level golden tests (table_provider.rs:171-487)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from arrow_zarr_spark.fixtures import (
     write_lat_lon_missing_store,
@@ -290,3 +291,53 @@ class TestPushdownPlanReuse:
         assert df.filter("v >= 9").count() == 3  # exact rows, no pruning
         assert df.count() == 12  # reuse after a filtered query stays whole
         assert df.filter("v >= 3").count() == 9
+
+
+class TestReadZarrMany:
+    def test_union_with_store_index(self, spark):
+        from arrow_zarr_spark import read_zarr_many
+        from arrow_zarr_spark import fixtures
+
+        p1 = fixtures.write_lat_lon_store()
+        p2 = fixtures.write_lat_lon_store_shifted()
+        df = read_zarr_many(spark, [p1, p2], source_col="store_idx")
+        assert df.count() == 128
+        by_store = {
+            r.store_idx: r.n
+            for r in df.groupBy("store_idx").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert by_store == {0: 64, 1: 64}
+        # shifted store's data really is +100
+        vals = {
+            r.store_idx: r.mn
+            for r in df.groupBy("store_idx")
+            .agg(F.min("data").alias("mn"))
+            .collect()
+        }
+        assert vals == {0: 0.0, 1: 100.0}
+
+    def test_projection_forwards_to_every_member(self, spark):
+        from arrow_zarr_spark import read_zarr_many
+        from arrow_zarr_spark import fixtures
+
+        p1 = fixtures.write_lat_lon_store()
+        p2 = fixtures.write_lat_lon_store_shifted()
+        df = read_zarr_many(spark, [p1, p2], columns=["data"])
+        assert df.columns == ["data"]
+        assert df.count() == 128
+
+    def test_schema_mismatch_names_the_store(self, spark):
+        from arrow_zarr_spark import read_zarr_many
+        from arrow_zarr_spark import fixtures
+
+        p1 = fixtures.write_lat_lon_store()
+        p3 = fixtures.write_string_store()
+        with pytest.raises(ValueError, match="does not match"):
+            read_zarr_many(spark, [p1, p3])
+
+    def test_empty_paths_rejected(self, spark):
+        from arrow_zarr_spark import read_zarr_many
+
+        with pytest.raises(ValueError, match="at least one"):
+            read_zarr_many(spark, [])
