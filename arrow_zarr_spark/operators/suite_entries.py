@@ -1300,6 +1300,26 @@ def populate_round5_queries(register) -> None:
         "GROUP BY c_custkey, c_mktsegment",
     )
 
+    def t13(spark, sf_dir):
+        return text.corpus_vocab_stats(_docs(spark, sf_dir))
+
+    register(
+        "t13_corpus_vocab_stats",
+        t13,
+        "WITH wx AS ("
+        "  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents), "
+        "c AS (SELECT w, COUNT(*) AS cnt FROM wx GROUP BY w), "
+        "top AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top_sum FROM ("
+        "  SELECT cnt FROM c ORDER BY cnt DESC LIMIT 100)), "
+        "agg AS (SELECT COUNT(*) AS vocab_size, "
+        "  CAST(SUM(cnt) AS BIGINT) AS total_tokens, "
+        "  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS n_hapax FROM c) "
+        "SELECT vocab_size, total_tokens, n_hapax, "
+        "ROUND(CAST(top_sum AS DOUBLE) / total_tokens, 6) AS top_coverage "
+        "FROM agg CROSS JOIN top",
+    )
+
     register(
         "t12_unigram_logprob",
         t12,

@@ -32,6 +32,7 @@ __all__ = [
     "boilerplate_stats",
     "boilerplate_stats_sql",
     "unigram_logprob",
+    "corpus_vocab_stats",
 ]
 
 #: PII patterns, shared by redaction and counting. Kept to the regex
@@ -634,4 +635,44 @@ def unigram_logprob(
             F.min("cnt").alias("min_count"),
         )
         .select(id_col, "n_words", "avg_logprob", "min_count")
+    )
+
+
+def corpus_vocab_stats(
+    df: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """One-row corpus vocabulary profile: vocabulary size, total
+    token count, hapax-legomena count (words occurring exactly once
+    — the long-tail/noise gauge), and the token-mass fraction covered
+    by the ``top_k`` most frequent words (the Zipf-head coverage
+    number a tokenizer-vocab or stopword decision starts from).
+
+    Scale shape (100 TB): one word explode into a groupBy(word) with
+    map-side combine (the Zipf head collapses before the shuffle);
+    everything after runs on the vocabulary-sized count table — a
+    scalar aggregate plus a TakeOrderedAndProject top-k (per-partition
+    heaps, driver merges top_k rows only). The top-k sum is
+    tie-insensitive: whichever boundary words are chosen, the sum of
+    the k largest counts is the same multiset sum."""
+    exploded = df.select(F.explode(words_col(F.col(text_col))).alias("w"))
+    counts = exploded.groupBy("w").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("cnt").alias("total_tokens"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc())
+        .limit(top_k)
+        .agg(F.sum("cnt").alias("top_sum"))
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        "vocab_size",
+        "total_tokens",
+        "n_hapax",
+        F.round(F.col("top_sum") / F.col("total_tokens"), 6).alias(
+            "top_coverage"
+        ),
     )

@@ -871,3 +871,64 @@ class TestUnigramLogprob:
         on the parquet fixture."""
         scored = text.unigram_logprob(docs)
         assert scored.count() == docs.select("doc_id").distinct().count()
+
+
+class TestDuplicatedSpansReference:
+    def test_matches_pure_python_reference(self, spark):
+        """Seeded random corpus cross-checked against an independent
+        pure-Python implementation of the same semantics (word-code
+        k-gram occurrence >= 2 -> covered positions -> merged maximal
+        spans). Catches boundary bugs (span merging at exactly k
+        apart, doc edges, within-doc repeats) the hand fixtures
+        can't enumerate."""
+        import random
+
+        K = 4
+        rng = random.Random(421)
+        vocab = [f"w{i}" for i in range(12)]  # small vocab => collisions
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+            for i in range(60)
+        ]
+
+        def wc(w):
+            return (len(w) * 31 + ord(w[0])) * 31 + ord(w[-1])
+
+        M = 2147483647
+        occurrences = {}
+        per_doc = {}
+        for doc_id, t in docs:
+            ws = t.split(" ")
+            grams = []
+            for p in range(len(ws) - K + 1):
+                code = 0
+                for j in range(K):
+                    code = code * 131 + wc(ws[p + j])
+                code %= M
+                grams.append((p + 1, code))
+                occurrences[code] = occurrences.get(code, 0) + 1
+            per_doc[doc_id] = grams
+        expected = set()
+        for doc_id, grams in per_doc.items():
+            dup_pos = [p for p, c in grams if occurrences[c] >= 2]
+            if not dup_pos:
+                continue
+            start = prev = dup_pos[0]
+            n = 1
+            for p in dup_pos[1:]:
+                if p - prev <= K:
+                    prev = p
+                    n += 1
+                else:
+                    expected.add((doc_id, start, prev + K - 1, n))
+                    start = prev = p
+                    n = 1
+            expected.add((doc_id, start, prev + K - 1, n))
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+            for r in dedup.duplicated_spans(df, k=K).collect()
+        }
+        assert expected, "seeded corpus must contain duplicated k-grams"
+        assert got == expected
