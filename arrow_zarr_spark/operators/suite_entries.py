@@ -1131,6 +1131,29 @@ def populate_round4_queries(register) -> None:
         "AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTES",
     )
 
+    def e04(spark, sf_dir):
+        """Left-outer interval join batch form: funnel-drop rows
+        (events with no follow-up within the window) survive with
+        null right columns. Streaming parity pinned in
+        tests/test_streaming.py."""
+        from ..streaming.event_ops import interval_join_events
+
+        ensure_views(spark, sf_dir)
+        events = spark.table("events")
+        return interval_join_events(
+            events, events, within_minutes=5, how="left_outer"
+        )
+
+    register(
+        "e04_interval_left_join_batchform",
+        e04,
+        "SELECT e1.user_id AS user_id, e1.event_id AS l_event_id, "
+        "e2.event_id AS r_event_id, epoch_us(e1.ts) AS l_us, "
+        "epoch_us(e2.ts) AS r_us "
+        "FROM events e1 LEFT JOIN events e2 ON e1.user_id = e2.user_id "
+        "AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTES",
+    )
+
 
 def populate_round5_queries(register) -> None:
     """Round-5 additions: the driver-provable MinHash (shrinks the

@@ -108,6 +108,7 @@ def interval_join_events(
     key: str = "user_id",
     within_minutes: int = 5,
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: pair each left event with the right
     events of the same key that happen strictly AFTER it but within
@@ -123,7 +124,15 @@ def interval_join_events(
     history per key) — without the range bound, stream-stream state
     grows without limit and the query eventually dies; that is why
     ``within_minutes`` is part of the operator signature, not an
-    optional filter."""
+    optional filter.
+
+    ``how="left_outer"`` keeps unmatched left events with null right
+    columns — funnel-drop detection (clicks that never converted). In
+    streaming mode Spark emits the null row only once the watermark
+    passes the event's join window (it must prove no match can still
+    arrive), so outer results trail the watermark by ``within`` — and
+    BOTH sides need watermarks, which this operator attaches whenever
+    the inputs are streams."""
     l_df = _as_utc_event_time(left).select(
         F.col(key).alias("l_key"),
         F.col("event_id").alias("l_event_id"),
@@ -146,6 +155,7 @@ def interval_join_events(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= bound),
+        how,
     ).select(
         F.col("l_key").alias(key),
         "l_event_id",

@@ -1107,14 +1107,14 @@ _populated = False
 #: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
 #: list against the live registry.
 #:
-#: Round-5 window: 6 never-checked round-4 additions + 13 new round-5
-#: operators + the 9 tier-B rows last green in r2 + the 22 stalest
+#: Round-5 window: 6 never-checked round-4 additions + 14 new round-5
+#: operators + the 9 tier-B rows last green in r2 + the 21 stalest
 #: r3-green rows (the zarr flagship block, w01, and operator rows
-#: keeping one representative per family: t01 for text, d06/d07 for
+#: keeping one representative per family: t01 for text, d06+d14 for
 #: dedup, s02 for similarity, m05 for multimodal (never-checked, so
-#: in-window anyway), j01/j02 for joins; z08's union semantic is
+#: in-window anyway), j01/j02/j05 for joins; z08's union semantic is
 #: superseded in-window by z19's two-store union; the displaced
-#: t02-t04/m01/m02/j03/j04/d04/s01/z08 stay parity-tested every
+#: t02-t04/m01/m02/j03/j04/d04/d07/s01/z08 stay parity-tested every
 #: round and rotate back in round 6).
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
@@ -1138,6 +1138,7 @@ DRIVER_WINDOW = [
     "j05_bucketed_join",
     "z19_multi_store_union",
     "t13_corpus_vocab_stats",
+    "e04_interval_left_join_batchform",
     # stalest green rows (last driver-checked in round 2)
     "b01_projection",
     "b02_scalar_expr_alias",
@@ -1166,7 +1167,6 @@ DRIVER_WINDOW = [
     "z16_time_scan",
     "w01_writer_roundtrip",
     "d06_embedding_neardup",
-    "d07_dedup_components",
     "s02_lsh_ann_topk",
     "t01_token_count",
     "j01_range_join",
