@@ -48,6 +48,7 @@ __all__ = [
     "dedup_against_corpus",
     "minhash_lsh_pairs_cross",
     "duplicated_spans",
+    "simhash_wordcode",
 ]
 
 _MERSENNE31 = 2147483647  # 2^31 - 1
@@ -1104,3 +1105,56 @@ def duplicated_spans(
         )
         .select(id_col, "span_start", "span_end", "n_dup_grams")
     )
+
+
+def simhash_wordcode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SimHash whose per-bit hash family is ENGINE-INDEPENDENT integer
+    arithmetic over the repo's word codes — the driver-provable form
+    of :func:`simhash` (which stays the production kernel: its crc32
+    base hash disperses far better than word codes, the same
+    tradeoff as :func:`minhash_signatures_wordcode` vs d03).
+
+    Bit j of the signature is the sign of
+    ``sum over words of (+1 if (wc(w)*a_j + b_j) mod M >= M/2 else -1)``
+    — the classic random-hyperplane vote with the universal-hash family
+    standing in for the random projection. All-integer, so DuckDB
+    replays the signature exactly (ties at sum==0 settle to bit 0 in
+    both engines).
+
+    Scale shape: per-row ``aggregate`` over the words array — no
+    explode, no shuffle; signatures stream out at scan speed."""
+    a, b = _hash_params(n_bits, seed)
+    words = words_col(F.col(text_col))
+
+    def wc(w):
+        return (
+            (F.length(w) * 31 + F.ascii(w.substr(F.lit(1), F.lit(1)))) * 31
+            + F.ascii(w.substr(F.length(w), F.lit(1)))
+        ).cast("long")
+
+    half = _MERSENNE31 // 2 + 1  # >= ceil(M/2) <=> "positive half"
+
+    def vote_sum(ai: int, bi: int):
+        return F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + F.when(
+                (wc(w) * F.lit(ai) + F.lit(bi)) % F.lit(_MERSENNE31)
+                >= F.lit(half),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    sig = F.lit(0).cast("long")
+    for j in range(n_bits):
+        sig = sig + F.when(
+            vote_sum(int(a[j]), int(b[j])) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return df.select(F.col(id_col), sig.alias("simhash"))

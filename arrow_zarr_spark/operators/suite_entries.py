@@ -1280,6 +1280,32 @@ def populate_round5_queries(register) -> None:
         "COUNT(*) AS n_dup_grams FROM isl2 GROUP BY doc_id, island",
     )
 
+    def d15(spark, sf_dir):
+        return dedup.simhash_wordcode(_docs(spark, sf_dir))
+
+    n_bits = 16
+    sa, sb = dedup._hash_params(n_bits, 42)
+    wc_sql = text.word_code_sql("w")
+    votes = ", ".join(
+        f"SUM(CASE WHEN (CAST({wc_sql} AS BIGINT) * {int(sa[j])} "
+        f"+ {int(sb[j])}) % 2147483647 >= 1073741824 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(n_bits)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    register(
+        "d15_simhash_wordcode",
+        d15,
+        "WITH wx AS ("
+        "  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w "
+        "  FROM documents), "
+        f"v AS (SELECT doc_id, {votes} FROM wx GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v",
+    )
+
     def t12(spark, sf_dir):
         return text.unigram_logprob(_docs(spark, sf_dir))
 

@@ -1107,15 +1107,15 @@ _populated = False
 #: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
 #: list against the live registry.
 #:
-#: Round-5 window: 6 never-checked round-4 additions + 14 new round-5
-#: operators + the 9 tier-B rows last green in r2 + the 21 stalest
+#: Round-5 window: 6 never-checked round-4 additions + 15 new round-5
+#: operators + the 9 tier-B rows last green in r2 + the 20 stalest
 #: r3-green rows (the zarr flagship block, w01, and operator rows
 #: keeping one representative per family: t01 for text, d06+d14 for
 #: dedup, s02 for similarity, m05 for multimodal (never-checked, so
-#: in-window anyway), j01/j02/j05 for joins; z08's union semantic is
-#: superseded in-window by z19's two-store union; the displaced
-#: t02-t04/m01/m02/j03/j04/d04/d07/s01/z08 stay parity-tested every
-#: round and rotate back in round 6).
+#: in-window anyway), j01/j02/j05 for joins; z08's union and z04's
+#: CTE-self-join semantics stay covered in-window by z19 and
+#: b10/b11/z11; the displaced t02-t04/m01/m02/j03/j04/d04/d07/s01/
+#: z04/z08 stay parity-tested every round, rotating back in round 6).
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
     "z18_3d_scan",
@@ -1139,6 +1139,7 @@ DRIVER_WINDOW = [
     "z19_multi_store_union",
     "t13_corpus_vocab_stats",
     "e04_interval_left_join_batchform",
+    "d15_simhash_wordcode",
     # stalest green rows (last driver-checked in round 2)
     "b01_projection",
     "b02_scalar_expr_alias",
@@ -1153,7 +1154,6 @@ DRIVER_WINDOW = [
     "z01_scan_full",
     "z02_coords_cartesian",
     "z03_where_pushdown",
-    "z04_cte_self_join",
     "z05_missing_chunk_fill",
     "z06_mixed_dims",
     "z07_order_limit",

@@ -932,3 +932,44 @@ class TestDuplicatedSpansReference:
         }
         assert expected, "seeded corpus must contain duplicated k-grams"
         assert got == expected
+
+
+class TestSimhashWordcode:
+    def test_identical_texts_same_signature(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d"), (3, "x y z w q r s t")],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r.doc_id: r.simhash
+            for r in dedup.simhash_wordcode(df).collect()
+        }
+        assert rows[1] == rows[2]
+        assert 0 <= rows[1] < (1 << 16)
+
+    def test_near_duplicates_close_in_hamming(self, spark):
+        """One-word edit on a 40-word doc flips few signature bits;
+        an unrelated doc flips many — the property SimHash banding
+        depends on."""
+        base = " ".join(f"tok{i}" for i in range(40))
+        edited = base.replace("tok7", "zzz")
+        other = " ".join(f"q{i}x" for i in range(40))
+        df = spark.createDataFrame(
+            [(1, base), (2, edited), (3, other)], ["doc_id", "text"]
+        )
+        rows = {
+            r.doc_id: r.simhash
+            for r in dedup.simhash_wordcode(df).collect()
+        }
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert ham(rows[1], rows[2]) <= 4
+        assert ham(rows[1], rows[3]) > ham(rows[1], rows[2])
+
+    def test_no_shuffle_plan(self, spark, docs):
+        plan = (
+            dedup.simhash_wordcode(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
