@@ -359,8 +359,45 @@ def ivf_ann(
 ) -> DataFrame:
     """IVF-style ANN: deterministic coarse centroids (every (n/n_cells)-th
     corpus vector by id), assignment by max cosine (broadcast centroids),
-    queries probe their ``nprobe`` nearest cells."""
+    queries probe their ``nprobe`` nearest cells.
+
+    All cosines (assignment AND scoring) are computed over embeddings
+    quantized to a 1/32768 grid: dot products and squared norms become
+    exact integer sums (order-independent, no float summation drift),
+    and the cosine is then three correctly-rounded IEEE double ops —
+    so the ENTIRE pipeline is engine-replayable arithmetic and the
+    DuckDB oracle hash-proves it (the embedding-space analogue of the
+    word-code signature convention). The quantization error is ≤1e-4
+    relative — noise at ANN recall scales — and the output ``cosine``
+    is explicitly the quantized-cosine, rounded to 6."""
     query_id_col = query_id_col or id_col
+
+    def qvec(c):
+        # float32 -> double is exact; round(x*2^15) gives integers
+        # whose products/sums stay exact in double (dims * 2^30 << 2^53)
+        return F.transform(c, lambda x: F.round(x * F.lit(32768.0), 0))
+
+    def qcos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        na = F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        nb = F.sqrt(
+            F.aggregate(
+                F.transform(b, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        return dot / (na * nb)
     # Deterministic centroid pick WITHOUT a global window (a row_number
     # over an unpartitioned order collapses everything to one partition
     # — fatal at scale): stride the id space off a single max() agg.
@@ -372,18 +409,18 @@ def ivf_ann(
         )
         .select(
             (F.col(id_col) / stride).cast("int").alias("cell"),
-            F.col(vec_col).alias("centroid"),
+            qvec(F.col(vec_col)).alias("centroid"),
         )
     )
 
     def assign(df, ident, idc, probes):
         scored = df.select(
-            F.col(idc).alias(ident), F.col(vec_col).alias(f"{ident}_v")
+            F.col(idc).alias(ident), qvec(F.col(vec_col)).alias(f"{ident}_v")
         ).crossJoin(F.broadcast(cents)).select(
             ident,
             f"{ident}_v",
             "cell",
-            cosine_expr(f"{ident}_v", "centroid").alias("cc"),
+            qcos(F.col(f"{ident}_v"), F.col("centroid")).alias("cc"),
         )
         w = Window.partitionBy(ident).orderBy(F.col("cc").desc(), F.col("cell"))
         return (
@@ -401,9 +438,9 @@ def ivf_ann(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_udf("query_id_v", "neighbor_id_v"), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                qcos(F.col("query_id_v"), F.col("neighbor_id_v")), 6
+            ).alias("cosine"),
         )
         .distinct()
     )

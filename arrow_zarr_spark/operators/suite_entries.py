@@ -1280,6 +1280,65 @@ def populate_round5_queries(register) -> None:
         "COUNT(*) AS n_dup_grams FROM isl2 GROUP BY doc_id, island",
     )
 
+    def s03(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        out = similarity.ivf_ann(embs, embs.filter(F.col("vec_id") < 20), k=5)
+        return out.withColumn("rank", F.col("rank").cast("long"))
+
+    # The oracle replays the whole IVF pipeline: strided centroid pick
+    # off MAX(vec_id), nearest-cell assignment (cell-id tiebreak),
+    # nprobe=2 query probes, scoring rounded to 6, rank ties broken by
+    # neighbor_id. Every cosine is over 1/32768-quantized embeddings:
+    # dots and squared norms are exact integer sums (order-free), the
+    # cosine three correctly-rounded IEEE ops — bit-identical across
+    # engines, unlike raw float cosines whose summation-order drift
+    # flipped a round-6 boundary at sf0.001.
+    _QV = (
+        "list_transform(CAST({e} AS DOUBLE[]), x -> ROUND(x * 32768, 0))"
+    )
+    _QCOS = (
+        "(list_inner_product({a}, {b}) / "
+        "(SQRT(list_inner_product({a}, {a})) * "
+        "SQRT(list_inner_product({b}, {b}))))"
+    )
+    register(
+        "s03_ivf_ann_topk",
+        s03,
+        "WITH params AS ("
+        "  SELECT GREATEST(1, (MAX(vec_id) + 1) // 16) AS stride "
+        "  FROM embeddings), "
+        "cents AS ("
+        "  SELECT CAST(vec_id // stride AS INT) AS cell, "
+        f"  {_QV.format(e='embedding')} AS centroid "
+        "  FROM embeddings, params "
+        "  WHERE vec_id % stride = 0 AND vec_id // stride < 16), "
+        "cassign AS ("
+        "  SELECT vec_id AS neighbor_id, cv AS nv, cell FROM ("
+        f"    SELECT e.vec_id, {_QV.format(e='e.embedding')} AS cv, "
+        "    c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+        f"    {_QCOS.format(a=_QV.format(e='e.embedding'), b='c.centroid')} "
+        "    DESC, c.cell) AS rk "
+        "    FROM embeddings e CROSS JOIN cents c"
+        "  ) WHERE rk = 1), "
+        "qassign AS ("
+        "  SELECT vec_id AS query_id, qv, cell FROM ("
+        f"    SELECT e.vec_id, {_QV.format(e='e.embedding')} AS qv, "
+        "    c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+        f"    {_QCOS.format(a=_QV.format(e='e.embedding'), b='c.centroid')} "
+        "    DESC, c.cell) AS rk "
+        "    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 20"
+        "  ) WHERE rk <= 2), "
+        "s AS ("
+        "  SELECT DISTINCT q.query_id, a.neighbor_id, "
+        f"  ROUND({_QCOS.format(a='q.qv', b='a.nv')}, 6) AS cosine "
+        "  FROM qassign q JOIN cassign a USING (cell) "
+        "  WHERE q.query_id <> a.neighbor_id), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM s) "
+        "SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) "
+        "AS rank FROM r WHERE rank <= 5",
+    )
+
     def d15(spark, sf_dir):
         return dedup.simhash_wordcode(_docs(spark, sf_dir))
 
@@ -1434,12 +1493,9 @@ def populate_deferred_queries(register) -> None:
 
     register("d05_simhash_dedup", d05, None)
 
-    def s03(spark, sf_dir):
-        embs = _embs(spark, sf_dir)
-        out = similarity.ivf_ann(embs, embs.filter(F.col("vec_id") < 20), k=5)
-        return out.withColumn("rank", F.col("rank").cast("long"))
-
-    register("s03_ivf_ann_topk", s03, None)
+    # s03 moved to populate_round5_queries with a full oracle (the IVF
+    # pipeline was deterministic all along — strided centroids, rounded
+    # assignment cosines — it was only ever missing the SQL replay)
 
     def t05(spark, sf_dir):
         from .packing import pack_sequences
