@@ -374,3 +374,40 @@ class TestBucketedJoinContracts:
         finally:
             spark.sql("DROP TABLE IF EXISTS pc_v_orders")
             spark.sql("DROP TABLE IF EXISTS pc_v_customer")
+
+
+class TestRound5OperatorContracts:
+    def test_multi_store_union_pushes_filters_into_every_member(self, spark):
+        """read_zarr_many: each member store gets its own BatchScan and
+        the predicate reaches each branch — a lagging store can't force
+        the others to scan unfiltered."""
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark import fixtures, read_zarr_many
+
+        df = read_zarr_many(
+            spark,
+            [
+                fixtures.write_lat_lon_store(),
+                fixtures.write_lat_lon_store_shifted(),
+            ],
+        ).filter(F.col("lat") < 37.0)
+        df.collect()
+        plan = _plan(df)
+        assert "Union" in plan
+        assert plan.count("BatchScan zarr") == 2
+        # both branches carry the pushed predicate
+        assert plan.count("lat") >= 2 and plan.count("< 37.0") >= 2
+
+    def test_vocab_stats_topk_is_take_ordered(self, spark):
+        """corpus_vocab_stats' top-k must plan as TakeOrderedAndProject
+        (per-partition heaps, driver merges k rows) — a global Sort
+        here would shuffle the whole vocabulary to one partition."""
+        from arrow_zarr_spark.operators.text import corpus_vocab_stats
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        df = corpus_vocab_stats(docs)
+        df.collect()
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan
