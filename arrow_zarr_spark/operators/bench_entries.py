@@ -92,3 +92,9 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     qs["dedup_spans"] = lambda: force(dedup.duplicated_spans(docs))
     # unigram LM scoring: explode + vocab count + broadcast model join
     qs["unigram_logprob"] = lambda: force(text.unigram_logprob(docs))
+    # IVF ANN (s03): centroid broadcast + cell equi-join; quantized
+    # cosine arithmetic since round 5 — tracked to keep that rewrite
+    # honest against the LSH and brute-force variants above
+    qs["ann_ivf"] = lambda: force(
+        similarity.ivf_ann(embs, embs.filter(F.col("vec_id") < 100), k=10)
+    )
