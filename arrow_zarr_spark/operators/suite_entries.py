@@ -1339,6 +1339,66 @@ def populate_round5_queries(register) -> None:
         "AS rank FROM r WHERE rank <= 5",
     )
 
+    # x01: the end-to-end pretraining pipeline (d02 dedup -> t03
+    # quality gate -> t08 redaction -> p07 split) as ONE plan and ONE
+    # oracle row. A constant PII suffix is planted on every doc (no
+    # per-doc id, so duplicate texts stay duplicates and the dedup
+    # stage still fires) and the redaction stage must scrub it.
+    def x01(spark, sf_dir):
+        from .pipelines import pretraining_pipeline
+
+        docs = _docs(spark, sf_dir).withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " contact admin@example.com or 10.0.0.1 tel"
+                    " 555-123-4567"
+                ),
+            ),
+        )
+        return pretraining_pipeline(docs)
+
+    _XEM, _XIP, _XPH = (
+        text.PII_PATTERNS["email"],
+        text.PII_PATTERNS["ip"],
+        text.PII_PATTERNS["phone"],
+    )
+    register(
+        "x01_pretraining_pipeline",
+        x01,
+        "WITH d AS (SELECT doc_id, text || "
+        "' contact admin@example.com or 10.0.0.1 tel 555-123-4567' "
+        "AS text, lang, source FROM documents), "
+        "normed AS (SELECT *, "
+        "TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS nrm "
+        "FROM d), "
+        "kept AS (SELECT doc_id, text, lang, source FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY nrm "
+        "  ORDER BY doc_id) AS rn FROM normed) WHERE rn = 1), "
+        "m AS (SELECT doc_id, text, lang, source, "
+        "  CAST(len(ws) AS INTEGER) AS n_words, "
+        "  len(list_distinct(ws)) AS nd, "
+        "  (LENGTH(text) - (len(ws) - 1)) / (len(ws) * 1.0) AS aw "
+        "  FROM (SELECT *, string_split(text, ' ') AS ws FROM kept)), "
+        "q AS (SELECT *, ROUND("
+        "  0.4 * (CASE WHEN n_words >= 10 AND n_words <= 1000 "
+        "  THEN 1.0 ELSE 0.3 END) "
+        "  + 0.3 * (CASE WHEN aw >= 2.0 AND aw <= 12.0 "
+        "  THEN 1.0 ELSE 0.4 END) "
+        "  + 0.3 * (nd / (n_words * 1.0)), 6) AS quality FROM m), "
+        "g AS (SELECT * FROM q WHERE quality >= 0.5) "
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{_XEM}', "
+        f"'<EMAIL>', 'g'), '{_XIP}', '<IP>', 'g'), '{_XPH}', "
+        "'<PHONE>', 'g') AS clean_text, "
+        "lang, source, n_words, quality, "
+        "CASE WHEN dd < 100000 THEN 'test' WHEN dd < 200000 THEN 'val' "
+        "ELSE 'train' END AS split FROM ("
+        "SELECT *, ((doc_id % 1000003 + 42) * 2654435761) % 1000003 "
+        "AS dd FROM g)",
+    )
+
     def d15(spark, sf_dir):
         return dedup.simhash_wordcode(_docs(spark, sf_dir))
 

@@ -1107,17 +1107,18 @@ _populated = False
 #: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
 #: list against the live registry.
 #:
-#: Round-5 window: 6 never-checked round-4 additions + 16 round-5
-#: entries (15 new + s03, whose first-ever oracle makes its next
+#: Round-5 window: 6 never-checked round-4 additions + 17 round-5
+#: entries (16 new + s03, whose first-ever oracle makes its next
 #: driver row the first provable one) + the 9 tier-B rows last green
-#: in r2 + the 19 stalest r3-green rows (the zarr flagship block,
+#: in r2 + the 18 stalest r3-green rows (the zarr flagship block,
 #: w01, and operator rows keeping one representative per family: t01
 #: for text, d06+d14 for dedup, s02+s03 for similarity, m05 for
 #: multimodal (never-checked, so in-window anyway), j01/j02/j05 for
-#: joins; z08's union / z04's CTE-self-join / z12's join semantics
-#: stay covered in-window by z19, b10/b11/z11, and b08/j05; the
-#: displaced t02-t04/m01/m02/j03/j04/d04/d07/s01/z04/z08/z12 stay
-#: parity-tested every round, rotating back in round 6).
+#: joins; z08's union / z04's CTE-self-join / z12's join / z07's
+#: order-limit semantics stay covered in-window by z19, b10/b11/z11,
+#: b08/j05, and b13; the displaced t02-t04/m01/m02/j03/j04/d04/d07/
+#: s01/z04/z07/z08/z12 stay parity-tested every round, rotating back
+#: in round 6).
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
     "z18_3d_scan",
@@ -1143,6 +1144,7 @@ DRIVER_WINDOW = [
     "e04_interval_left_join_batchform",
     "d15_simhash_wordcode",
     "s03_ivf_ann_topk",
+    "x01_pretraining_pipeline",
     # stalest green rows (last driver-checked in round 2)
     "b01_projection",
     "b02_scalar_expr_alias",
@@ -1159,7 +1161,6 @@ DRIVER_WINDOW = [
     "z03_where_pushdown",
     "z05_missing_chunk_fill",
     "z06_mixed_dims",
-    "z07_order_limit",
     "z09_no_coords",
     "z10_type_map",
     "z11_theta_self_join",

@@ -973,3 +973,55 @@ class TestSimhashWordcode:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestPretrainingPipeline:
+    def test_stages_compose(self, spark):
+        from arrow_zarr_spark.operators.pipelines import (
+            pretraining_pipeline,
+        )
+
+        body = " ".join(f"word{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [
+                (1, body + " mail me at a.b@example.com", "en", "s0"),
+                (7, body + " mail me at a.b@example.com", "en", "s0"),
+                # short + single-char words + 1/3 diversity
+                # -> 0.4*0.3 + 0.3*0.4 + 0.3/3 = 0.34 < 0.5
+                (3, "x x x", "en", "s0"),
+                (4, " ".join(f"u{i}q" for i in range(25)), "fr", "s1"),
+            ],
+            ["doc_id", "text", "lang", "source"],
+        )
+        rows = {r.doc_id: r for r in pretraining_pipeline(df).collect()}
+        # dedup kept the lowest id of the duplicate pair
+        assert 1 in rows and 7 not in rows
+        # quality gate dropped the one-word doc
+        assert 3 not in rows
+        # redaction scrubbed the email
+        assert "<EMAIL>" in rows[1].clean_text
+        assert "@" not in rows[1].clean_text
+        # split is the p07 integer draw, stable per id
+        from arrow_zarr_spark.operators.sampling import (
+            train_val_test_split,
+        )
+
+        expect = {
+            r.doc_id: r.split
+            for r in train_val_test_split(df, "doc_id").collect()
+        }
+        assert all(rows[i].split == expect[i] for i in rows)
+
+    def test_single_shuffle_plan(self, spark, docs):
+        from arrow_zarr_spark.operators.pipelines import (
+            pretraining_pipeline,
+        )
+
+        plan = (
+            pretraining_pipeline(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
