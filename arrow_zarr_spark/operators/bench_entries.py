@@ -98,3 +98,8 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     qs["ann_ivf"] = lambda: force(
         similarity.ivf_ann(embs, embs.filter(F.col("vec_id") < 100), k=10)
     )
+    # the end-to-end composition (x01): dedup window + fused gate/
+    # redact/split stages — the number a pipeline user actually pays
+    from .pipelines import pretraining_pipeline
+
+    qs["pretraining_pipeline"] = lambda: force(pretraining_pipeline(docs))
