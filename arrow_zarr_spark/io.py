@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -45,7 +46,13 @@ from .zarr.meta import ArrayMeta, ZarrFormatError
 from .zarr.store import open_store
 from .zarr.writer import create_array, write_chunk, write_root_group
 
-__all__ = ["write_zarr", "write_zarr_grid", "SPARK_TO_ZARR"]
+__all__ = [
+    "write_zarr",
+    "write_zarr_grid",
+    "write_zarr_partitioned",
+    "read_zarr_partitioned",
+    "SPARK_TO_ZARR",
+]
 
 SPARK_TO_ZARR = {
     T.BooleanType(): "bool",
@@ -560,3 +567,83 @@ def write_zarr_grid(
 
     consolidate_metadata(store)
     return int(result["written"] or 0)
+
+
+def write_zarr_partitioned(
+    df,
+    path: str,
+    by: str,
+    **write_kwargs,
+) -> Dict[str, str]:
+    """Hive-style partitioned Zarr output: one sub-store per distinct
+    value of ``by``, laid out as ``<path>/<by>=<value>/`` — the zarr
+    analogue of ``df.write.partitionBy(...)``, and the storage layout
+    a 100-TB corpus actually wants (a store per split / language /
+    ingest day, so downstream readers open only the partitions they
+    need and :func:`read_zarr_partitioned` /
+    :func:`arrow_zarr_spark.read_zarr_many` federate the rest).
+
+    The partition column is dropped from the stores (it is constant
+    per store and lives in the directory name, Hive-convention) and
+    re-attached by :func:`read_zarr_partitioned`. Distinct values are
+    collected to the driver — metadata-scale by design (splits,
+    languages, days; for high-cardinality sharding use
+    ``deterministic_shuffle``'s shard column and numbered stores
+    instead). One Spark write job per value; ``write_kwargs`` forward
+    to :func:`write_zarr` (``chunk_rows``, ``shard_chunks``,
+    ``compression``, ``mode``...). Returns {value: store_path}."""
+    from pyspark.sql import functions as F
+
+    values = sorted(
+        r[0]
+        for r in df.select(by).distinct().collect()
+        if r[0] is not None
+    )
+    out = {}
+    for v in values:
+        sub = f"{path}/{by}={v}"
+        write_zarr(
+            df.filter(F.col(by) == v).drop(by), sub, **write_kwargs
+        )
+        out[str(v)] = sub
+    return out
+
+
+def read_zarr_partitioned(spark, path: str, columns=None, **options):
+    """Read a :func:`write_zarr_partitioned` layout back as ONE
+    DataFrame, with the partition column re-attached (as a string —
+    directory names carry no type) from each ``<by>=<value>``
+    sub-directory. Member scans parallelize and take pushed filters
+    independently, exactly as :func:`arrow_zarr_spark.read_zarr_many`
+    (which this wraps)."""
+    from pyspark.sql import functions as F
+
+    from .datasource import read_zarr
+
+    parts = sorted(
+        d for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    )
+    if not parts:
+        raise ZarrFormatError(
+            f"read_zarr_partitioned: no '<key>=<value>' sub-stores "
+            f"under {path!r}"
+        )
+    keys = {d.split("=", 1)[0] for d in parts}
+    if len(keys) != 1:
+        raise ZarrFormatError(
+            f"read_zarr_partitioned: mixed partition keys {sorted(keys)} "
+            f"under {path!r}"
+        )
+    key = next(iter(keys))
+    dfs = []
+    for d in parts:
+        value = d.split("=", 1)[1]
+        member = read_zarr(
+            spark, os.path.join(path, d), columns=columns, **options
+        )
+        dfs.append(member.withColumn(key, F.lit(value)))
+    out = dfs[0]
+    for m in dfs[1:]:
+        out = out.unionByName(m)
+    return out

@@ -1399,6 +1399,55 @@ def populate_round5_queries(register) -> None:
         "AS dd FROM g)",
     )
 
+    # w05: the pipeline's output written as a Hive-style partitioned
+    # zarr layout (one store per split) and federated back — pipeline,
+    # writer, and multi-store reader verified as one flow. On the
+    # clean corpus the redaction stage is a no-op, so the oracle is
+    # x01's chain minus the planted suffix.
+    def w05(spark, sf_dir):
+        from ..io import read_zarr_partitioned, write_zarr_partitioned
+        from .pipelines import pretraining_pipeline
+
+        out = pretraining_pipeline(_docs(spark, sf_dir))
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w05_{token}"
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_zarr_partitioned(
+            out, path, "split", chunk_rows=4096, mode="overwrite"
+        )
+        return read_zarr_partitioned(spark, path)
+
+    register(
+        "w05_partitioned_writer_roundtrip",
+        w05,
+        "WITH normed AS (SELECT *, "
+        "TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS nrm "
+        "FROM documents), "
+        "kept AS (SELECT doc_id, text, lang, source FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY nrm "
+        "  ORDER BY doc_id) AS rn FROM normed) WHERE rn = 1), "
+        "m AS (SELECT doc_id, text, lang, source, "
+        "  CAST(len(ws) AS INTEGER) AS n_words, "
+        "  len(list_distinct(ws)) AS nd, "
+        "  (LENGTH(text) - (len(ws) - 1)) / (len(ws) * 1.0) AS aw "
+        "  FROM (SELECT *, string_split(text, ' ') AS ws FROM kept)), "
+        "q AS (SELECT *, ROUND("
+        "  0.4 * (CASE WHEN n_words >= 10 AND n_words <= 1000 "
+        "  THEN 1.0 ELSE 0.3 END) "
+        "  + 0.3 * (CASE WHEN aw >= 2.0 AND aw <= 12.0 "
+        "  THEN 1.0 ELSE 0.4 END) "
+        "  + 0.3 * (nd / (n_words * 1.0)), 6) AS quality FROM m), "
+        "g AS (SELECT * FROM q WHERE quality >= 0.5) "
+        "SELECT doc_id, text AS clean_text, lang, source, n_words, "
+        "quality, "
+        "CASE WHEN dd < 100000 THEN 'test' WHEN dd < 200000 THEN 'val' "
+        "ELSE 'train' END AS split FROM ("
+        "SELECT *, ((doc_id % 1000003 + 42) * 2654435761) % 1000003 "
+        "AS dd FROM g)",
+    )
+
     def d15(spark, sf_dir):
         return dedup.simhash_wordcode(_docs(spark, sf_dir))
 

@@ -1107,18 +1107,19 @@ _populated = False
 #: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
 #: list against the live registry.
 #:
-#: Round-5 window: 6 never-checked round-4 additions + 17 round-5
-#: entries (16 new + s03, whose first-ever oracle makes its next
+#: Round-5 window: 6 never-checked round-4 additions + 18 round-5
+#: entries (17 new + s03, whose first-ever oracle makes its next
 #: driver row the first provable one) + the 9 tier-B rows last green
-#: in r2 + the 18 stalest r3-green rows (the zarr flagship block,
-#: w01, and operator rows keeping one representative per family: t01
-#: for text, d06+d14 for dedup, s02+s03 for similarity, m05 for
+#: in r2 + the 17 stalest r3-green rows (the zarr flagship block and
+#: operator rows keeping one representative per family: t01 for
+#: text, d06+d14 for dedup, s02+s03 for similarity, m05 for
 #: multimodal (never-checked, so in-window anyway), j01/j02/j05 for
-#: joins; z08's union / z04's CTE-self-join / z12's join / z07's
+#: joins, w03-w05 for writers (w05 subsumes w01's plain roundtrip);
+#: z08's union / z04's CTE-self-join / z12's join / z07's
 #: order-limit semantics stay covered in-window by z19, b10/b11/z11,
 #: b08/j05, and b13; the displaced t02-t04/m01/m02/j03/j04/d04/d07/
-#: s01/z04/z07/z08/z12 stay parity-tested every round, rotating back
-#: in round 6).
+#: s01/w01/z04/z07/z08/z12 stay parity-tested every round, rotating
+#: back in round 6).
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
     "z18_3d_scan",
@@ -1145,6 +1146,7 @@ DRIVER_WINDOW = [
     "d15_simhash_wordcode",
     "s03_ivf_ann_topk",
     "x01_pretraining_pipeline",
+    "w05_partitioned_writer_roundtrip",
     # stalest green rows (last driver-checked in round 2)
     "b01_projection",
     "b02_scalar_expr_alias",
@@ -1168,7 +1170,6 @@ DRIVER_WINDOW = [
     "z14_string_scan",
     "z15_v2_store_scan",
     "z16_time_scan",
-    "w01_writer_roundtrip",
     "d06_embedding_neardup",
     "s02_lsh_ann_topk",
     "t01_token_count",

@@ -446,3 +446,59 @@ def test_format_sink_string_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.select("doc_id", "text", "lang").collect())) == sorted(
         map(tuple, docs.collect())
     )
+
+
+class TestPartitionedWriter:
+    def test_partitioned_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.io import (
+            read_zarr_partitioned,
+            write_zarr_partitioned,
+        )
+
+        df = spark.range(300).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.5).alias("v"),
+            F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias(
+                "grp"
+            ),
+        )
+        out = write_zarr_partitioned(
+            df, str(tmp_path / "p"), "grp", chunk_rows=64, mode="overwrite"
+        )
+        assert sorted(out) == ["g0", "g1", "g2"]
+        back = read_zarr_partitioned(spark, str(tmp_path / "p"))
+        assert sorted(back.columns) == ["grp", "k", "v"]
+        got = {(r.k, r.v, r.grp) for r in back.collect()}
+        want = {(r.k, r.v, r.grp) for r in df.collect()}
+        assert got == want
+
+    def test_partition_column_not_in_stores(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.io import write_zarr_partitioned
+
+        df = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("b")
+        )
+        write_zarr_partitioned(
+            df, str(tmp_path / "p"), "b", chunk_rows=8, mode="overwrite"
+        )
+        arrays = os.listdir(str(tmp_path / "p" / "b=0"))
+        assert "k" in arrays and "b" not in arrays
+
+    def test_mixed_partition_keys_rejected(self, spark, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from arrow_zarr_spark.io import read_zarr_partitioned
+        from arrow_zarr_spark.zarr.meta import ZarrFormatError
+
+        os.makedirs(tmp_path / "p" / "a=1")
+        os.makedirs(tmp_path / "p" / "b=2")
+        with _pytest.raises(ZarrFormatError, match="mixed partition keys"):
+            read_zarr_partitioned(spark, str(tmp_path / "p"))
