@@ -327,6 +327,7 @@ def scale_rung_queries(spark, factor: int):
     qs = {}
     qs["zarr_full_scan"] = lambda: _force(zdf)
     qs["boilerplate_stats"] = lambda: _force(text.boilerplate_stats(docs))
+    qs["dedup_spans"] = lambda: _force(dedup.duplicated_spans(docs))
     qs["dedup_minhash_lsh"] = lambda: _force(
         dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.05)
     )
