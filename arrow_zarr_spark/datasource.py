@@ -544,6 +544,12 @@ def read_zarr_many(
                 f"which does not match {base_path!r}'s {base_schema}"
             )
         if source_col is not None:
+            if source_col in df.columns:
+                raise ValueError(
+                    f"read_zarr_many: source_col {source_col!r} collides "
+                    f"with a data column of store {p!r} — withColumn "
+                    f"would silently overwrite it"
+                )
             df = df.withColumn(source_col, _F.lit(i))
         dfs.append(df)
     out = dfs[0]

@@ -591,22 +591,54 @@ def write_zarr_partitioned(
     ``deterministic_shuffle``'s shard column and numbered stores
     instead). One Spark write job per value; ``write_kwargs`` forward
     to :func:`write_zarr` (``chunk_rows``, ``shard_chunks``,
-    ``compression``, ``mode``...). Returns {value: store_path}."""
+    ``compression``, ``mode``...). Returns {value: store_path}.
+
+    Fail-fast guards (silent data loss is the one unforgivable writer
+    bug): NULL partition values are rejected (a NULL row would match
+    no ``col == value`` filter and vanish from the roundtrip), values
+    containing path metacharacters are rejected rather than escaped,
+    and ``mode="overwrite"`` clears PRIOR ``<by>=*`` sub-stores first
+    — otherwise a re-write with fewer values would leave stale
+    partitions for the reader to union in. The input is persisted
+    around the loop so the upstream plan (often a full pipeline with
+    a shuffle) executes once, not once per value."""
+    import shutil
+
     from pyspark.sql import functions as F
 
-    values = sorted(
-        r[0]
-        for r in df.select(by).distinct().collect()
-        if r[0] is not None
-    )
-    out = {}
-    for v in values:
-        sub = f"{path}/{by}={v}"
-        write_zarr(
-            df.filter(F.col(by) == v).drop(by), sub, **write_kwargs
+    raw = [r[0] for r in df.select(by).distinct().collect()]
+    if any(v is None for v in raw):
+        raise ValueError(
+            f"write_zarr_partitioned: NULL values in partition column "
+            f"{by!r} — filter or fill them first (a NULL row would be "
+            f"silently dropped)"
         )
-        out[str(v)] = sub
-    return out
+    values = sorted(raw)
+    for v in values:
+        sv = str(v)
+        if not sv or any(ch in sv for ch in "/\\="):
+            raise ValueError(
+                f"write_zarr_partitioned: partition value {sv!r} is "
+                f"empty or contains a path metacharacter (/, \\, =)"
+            )
+    if write_kwargs.get("mode") == "overwrite" and os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.startswith(f"{by}=") and os.path.isdir(
+                os.path.join(path, d)
+            ):
+                shutil.rmtree(os.path.join(path, d))
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        out = {}
+        for v in values:
+            sub = f"{path}/{by}={v}"
+            write_zarr(
+                df.filter(F.col(by) == v).drop(by), sub, **write_kwargs
+            )
+            out[str(v)] = sub
+        return out
+    finally:
+        df.unpersist()
 
 
 def read_zarr_partitioned(spark, path: str, columns=None, **options):

@@ -197,14 +197,10 @@ def minhash_signatures_wordcode(
     stream out at scan speed. Docs with fewer than ``shingle_k`` words
     are dropped (they have no shingles), matching the oracle's empty
     shingle set."""
+    from .text import word_code_col as wc
+
     a, b = _hash_params(n_hashes, seed)
     words = words_col(F.col(text_col))
-
-    def wc(w):
-        return (
-            (F.length(w) * 31 + F.ascii(w.substr(F.lit(1), F.lit(1)))) * 31
-            + F.ascii(w.substr(F.length(w), F.lit(1)))
-        ).cast("long")
 
     def shingle_code(i):
         code = F.lit(0).cast("long")
@@ -1023,10 +1019,10 @@ def duplicated_spans(
 
     The k-gram digest is the engine-independent base-131 polynomial
     over word codes (same convention as
-    :func:`minhash_signatures_wordcode`), so a SQL oracle replays the
-    span set bit-for-bit. ``k=6`` keeps the un-modded polynomial
-    inside int64 (131^5 * max_word_code < 2^63), letting both engines
-    apply one final ``% (2^31-1)``.
+    :func:`minhash_signatures_wordcode`), with the ``% (2^31-1)``
+    applied at every accumulation step in BOTH engines — overflow-safe
+    for arbitrarily long tokens (base64 blobs, minified lines), so a
+    SQL oracle replays the span set bit-for-bit.
 
     Scale shape (100 TB): the gram stream is (code, doc_id, pos) —
     24-byte rows, no n-gram strings ever materialize, and the word
@@ -1048,23 +1044,24 @@ def duplicated_spans(
     also keeps ``F.sequence`` ascending."""
     from pyspark.sql import Window
 
+    from .text import word_code_col
+
     words = words_col(F.col(text_col))
-
-    def wc(w):
-        return (
-            (F.length(w) * 31 + F.ascii(w.substr(F.lit(1), F.lit(1)))) * 31
-            + F.ascii(w.substr(F.length(w), F.lit(1)))
-        ).cast("long")
-
-    wcodes = F.transform(words, wc)
+    wcodes = F.transform(words, word_code_col)
 
     def gram_code(i):
+        # modulus applied at EVERY step (identical result to one
+        # final mod when nothing overflows, but a pathological
+        # ~250k-char token would push the un-modded k=6 polynomial
+        # past int64 — Spark would wrap silently while the oracle
+        # errors; per-step mod keeps the intermediate below ~2^39
+        # for any input, mirrored exactly in the SQL)
         code = F.lit(0).cast("long")
         for j in range(k):
-            code = code * 131 + F.element_at(
-                F.col("wcodes"), i + F.lit(j)
-            )
-        return code % F.lit(_MERSENNE31)
+            code = (
+                code * 131 + F.element_at(F.col("wcodes"), i + F.lit(j))
+            ) % F.lit(_MERSENNE31)
+        return code
 
     codes = F.transform(
         F.sequence(F.lit(1), F.size(F.col("wcodes")) - (k - 1)), gram_code
@@ -1127,26 +1124,24 @@ def simhash_wordcode(
     replays the signature exactly (ties at sum==0 settle to bit 0 in
     both engines).
 
-    Scale shape: per-row ``aggregate`` over the words array — no
-    explode, no shuffle; signatures stream out at scan speed."""
-    a, b = _hash_params(n_bits, seed)
-    words = words_col(F.col(text_col))
+    Scale shape: word codes hashed ONCE per word (a per-row
+    transform), then per-row ``aggregate`` votes over the code array
+    for each bit — no explode, no shuffle; signatures stream out at
+    scan speed."""
+    from .text import word_code_col
 
-    def wc(w):
-        return (
-            (F.length(w) * 31 + F.ascii(w.substr(F.lit(1), F.lit(1)))) * 31
-            + F.ascii(w.substr(F.length(w), F.lit(1)))
-        ).cast("long")
+    a, b = _hash_params(n_bits, seed)
+    wcodes = F.transform(words_col(F.col(text_col)), word_code_col)
 
     half = _MERSENNE31 // 2 + 1  # >= ceil(M/2) <=> "positive half"
 
     def vote_sum(ai: int, bi: int):
         return F.aggregate(
-            words,
+            wcodes,
             F.lit(0).cast("long"),
-            lambda acc, w: acc
+            lambda acc, c: acc
             + F.when(
-                (wc(w) * F.lit(ai) + F.lit(bi)) % F.lit(_MERSENNE31)
+                (c * F.lit(ai) + F.lit(bi)) % F.lit(_MERSENNE31)
                 >= F.lit(half),
                 F.lit(1),
             ).otherwise(F.lit(-1)),

@@ -13,8 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .sampling import _DRAW_MOD, _DRAW_MULT
-from .text import PII_PATTERNS, words_col
+from .sampling import train_val_test_split
+from .text import PII_PATTERNS, quality_columns
 
 __all__ = ["pretraining_pipeline"]
 
@@ -57,20 +57,10 @@ def pretraining_pipeline(
         .drop("__norm", "__rn")
     )
 
-    words = words_col(F.col(text_col))
-    n_words = F.size(words)
-    n_chars = F.length(F.col(text_col))
-    n_distinct = F.size(F.array_distinct(words))
-    avg_word_len = (n_chars - (n_words - 1)) / n_words
-    diversity = n_distinct / n_words
-    len_ok = F.when((n_words >= 10) & (n_words <= 1000), 1.0).otherwise(0.3)
-    wordlen_ok = F.when(
-        (avg_word_len >= 2.0) & (avg_word_len <= 12.0), 1.0
-    ).otherwise(0.4)
-    quality = F.round(0.4 * len_ok + 0.3 * wordlen_ok + 0.3 * diversity, 6)
+    q = quality_columns(F.col(text_col))  # t03's exact expressions
     gated = (
-        kept.withColumn("n_words", n_words)
-        .withColumn("quality", quality)
+        kept.withColumn("n_words", q["n_words"])
+        .withColumn("quality", q["quality"])
         .filter(F.col("quality") >= quality_min)
     )
 
@@ -80,23 +70,17 @@ def pretraining_pipeline(
             clean, PII_PATTERNS[kind], f"<{kind.upper()}>"
         )
 
-    test_cut = int(test_frac * _DRAW_MOD)
-    val_cut = test_cut + int(val_frac * _DRAW_MOD)
-    draw = (
-        (F.col(id_col) % _DRAW_MOD + F.lit(seed)) * F.lit(_DRAW_MULT)
-    ) % _DRAW_MOD
-    split = (
-        F.when(draw < test_cut, F.lit("test"))
-        .when(draw < val_cut, F.lit("val"))
-        .otherwise(F.lit("train"))
+    # p07's operator, not a re-implementation of its draw — one
+    # definition of the leak-proof membership arithmetic
+    labeled = train_val_test_split(
+        gated, id_col, val_frac=val_frac, test_frac=test_frac, seed=seed
     )
-
-    return gated.select(
+    return labeled.select(
         F.col(id_col),
         clean.alias("clean_text"),
         "lang",
         "source",
         "n_words",
         "quality",
-        split.alias("split"),
+        "split",
     )

@@ -1249,10 +1249,12 @@ def populate_round5_queries(register) -> None:
     def d14(spark, sf_dir):
         return dedup.duplicated_spans(_docs(spark, sf_dir), k=6)
 
+    # per-step mod mirrors the operator exactly (overflow-safe for
+    # arbitrarily long tokens; identical values when nothing overflows)
     wc = text.word_code_sql
-    poly6 = f"CAST({wc('ws[i]')} AS BIGINT)"
+    poly6 = f"(CAST({wc('ws[i]')} AS BIGINT) % 2147483647)"
     for j in range(1, 6):
-        poly6 = f"({poly6} * 131 + {wc(f'ws[i+{j}]')})"
+        poly6 = f"(({poly6} * 131 + {wc(f'ws[i+{j}]')}) % 2147483647)"
     register(
         "d14_duplicated_spans",
         d14,
@@ -1262,7 +1264,7 @@ def populate_round5_queries(register) -> None:
         "  SELECT doc_id, ws, UNNEST(range(1, len(ws) - 4)) AS i "
         "  FROM toks), "
         "grams AS ("
-        f"  SELECT doc_id, i AS pos, {poly6} % 2147483647 AS code "
+        f"  SELECT doc_id, i AS pos, {poly6} AS code "
         "  FROM posed), "
         "dup AS ("
         "  SELECT code FROM grams GROUP BY code HAVING COUNT(*) >= 2), "

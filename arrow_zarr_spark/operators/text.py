@@ -23,6 +23,7 @@ __all__ = [
     "bpe_ish_token_count",
     "language_id",
     "quality_score",
+    "quality_columns",
     "document_fingerprint",
     "word_code_sql",
     "top_ngrams",
@@ -33,6 +34,7 @@ __all__ = [
     "boilerplate_stats_sql",
     "unigram_logprob",
     "corpus_vocab_stats",
+    "word_code_col",
 ]
 
 #: PII patterns, shared by redaction and counting. Kept to the regex
@@ -117,11 +119,11 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / lexical-diversity / word-shape quality signals with a
-    combined score in [0,1]. Pure arithmetic so the oracle can replay it
-    bit-for-bit (rounded to 6 places)."""
-    text = F.col(text_col)
+def quality_columns(text: Column) -> dict:
+    """The quality-signal expressions, as one shared definition —
+    :func:`quality_score` (t03) and the x01 pretraining pipeline both
+    build from these, so the oracle-critical formula cannot drift
+    between them."""
     words = words_col(text)
     n_words = F.size(words)
     n_chars = F.length(text)
@@ -132,16 +134,29 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     wordlen_ok = F.when(
         (avg_word_len >= 2.0) & (avg_word_len <= 12.0), 1.0
     ).otherwise(0.4)
-    score = F.round(
-        0.4 * len_ok + 0.3 * wordlen_ok + 0.3 * diversity, 6
-    )
+    return {
+        "n_words": n_words,
+        "n_distinct_words": n_distinct,
+        "avg_word_len": avg_word_len,
+        "diversity": diversity,
+        "quality": F.round(
+            0.4 * len_ok + 0.3 * wordlen_ok + 0.3 * diversity, 6
+        ),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / lexical-diversity / word-shape quality signals with a
+    combined score in [0,1]. Pure arithmetic so the oracle can replay it
+    bit-for-bit (rounded to 6 places)."""
+    q = quality_columns(F.col(text_col))
     return df.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_distinct.alias("n_distinct_words"),
-        F.round(avg_word_len, 6).alias("avg_word_len"),
-        F.round(diversity, 6).alias("diversity"),
-        score.alias("quality"),
+        q["n_words"].alias("n_words"),
+        q["n_distinct_words"].alias("n_distinct_words"),
+        F.round(q["avg_word_len"], 6).alias("avg_word_len"),
+        F.round(q["diversity"], 6).alias("diversity"),
+        q["quality"].alias("quality"),
     )
 
 
@@ -208,6 +223,17 @@ def word_code_sql(w: str) -> str:
         f"((LENGTH({w}) * 31 + ASCII(SUBSTR({w}, 1, 1))) * 31 "
         f"+ ASCII(SUBSTR({w}, LENGTH({w}), 1)))"
     )
+
+
+def word_code_col(w: Column) -> Column:
+    """Spark Column form of :func:`word_code_sql` — THE single
+    definition of the oracle-critical word-code convention (the
+    signature/dedup operators all import this; keeping per-operator
+    copies bit-identical by hand is how conventions drift)."""
+    return (
+        (F.length(w) * 31 + F.ascii(w.substr(F.lit(1), F.lit(1)))) * 31
+        + F.ascii(w.substr(F.length(w), F.lit(1)))
+    ).cast("long")
 
 
 def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -502,3 +502,62 @@ class TestPartitionedWriter:
         os.makedirs(tmp_path / "p" / "b=2")
         with _pytest.raises(ZarrFormatError, match="mixed partition keys"):
             read_zarr_partitioned(spark, str(tmp_path / "p"))
+
+
+class TestPartitionedWriterGuards:
+    def test_null_partition_values_rejected(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.io import write_zarr_partitioned
+
+        df = spark.range(10).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 5, F.lit("a")).alias("g"),
+        )
+        with pytest.raises(ValueError, match="NULL values"):
+            write_zarr_partitioned(df, str(tmp_path / "p"), "g")
+
+    def test_path_metacharacters_rejected(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.io import write_zarr_partitioned
+
+        df = spark.range(4).select(
+            F.col("id").alias("k"), F.lit("a/b").alias("g")
+        )
+        with pytest.raises(ValueError, match="metacharacter"):
+            write_zarr_partitioned(df, str(tmp_path / "p"), "g")
+
+    def test_overwrite_clears_stale_partitions(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.io import (
+            read_zarr_partitioned,
+            write_zarr_partitioned,
+        )
+
+        full = spark.range(20).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), (F.col("id") % 2).cast("string")).alias(
+                "g"
+            ),
+        )
+        write_zarr_partitioned(
+            full, str(tmp_path / "p"), "g", chunk_rows=8, mode="overwrite"
+        )
+        only_g0 = full.filter(F.col("g") == "g0")
+        write_zarr_partitioned(
+            only_g0, str(tmp_path / "p"), "g", chunk_rows=8,
+            mode="overwrite",
+        )
+        back = read_zarr_partitioned(spark, str(tmp_path / "p"))
+        assert {r.g for r in back.select("g").distinct().collect()} == {
+            "g0"
+        }
+
+    def test_source_col_collision_rejected(self, spark):
+        from arrow_zarr_spark import fixtures, read_zarr_many
+
+        p1 = fixtures.write_lat_lon_store()
+        with pytest.raises(ValueError, match="collides"):
+            read_zarr_many(spark, [p1], source_col="lat")
