@@ -119,10 +119,14 @@ def quantile_gate(
             F.percentile_approx(
                 score_col, F.lit(1.0 - p_star), F.lit(int(accuracy))
             ).alias("__t_lo"),
-        )
-        gated = df.join(F.broadcast(stats), group_col).filter(
-            F.col(score_col) >= F.col("__t_lo")
-        )
+        ).withColumnRenamed(group_col, "__g")
+        # eqNullSafe: a NULL group key is a group of its own in the
+        # exact path's window, so the approx path must not silently
+        # drop those rows at the join
+        gated = df.join(
+            F.broadcast(stats),
+            F.col(group_col).eqNullSafe(F.col("__g")),
+        ).filter(F.col(score_col) >= F.col("__t_lo"))
         return (
             gated.withColumn(
                 "group_rank", F.row_number().over(w).cast("long")
@@ -186,7 +190,11 @@ def token_budget_sample_sharded(
     """:func:`token_budget_sample` semantics (greedy prefix of the
     global order until the running token total reaches ``budget``)
     WITHOUT the single global-ordered window — the corpus-sized-budget
-    path. Token counts must be non-negative.
+    path. Token counts must be non-negative, ``n_buckets >= 2``, and
+    the primary order column must be non-null (checked in the same
+    pass as the quantiles; the global form sorts NULLs by engine
+    null-ordering rules, which bucket thresholds cannot reproduce —
+    fail fast rather than silently diverge).
 
     Shape: approximate quantiles of the primary order column split the
     corpus into ``n_buckets`` order-respecting buckets (one map-side
@@ -202,13 +210,25 @@ def token_budget_sample_sharded(
     offset reproduces every row's exact prior sum."""
     if not order_cols:
         raise ValueError("token_budget_sample_sharded: order_cols is empty")
+    if n_buckets < 2:
+        raise ValueError(
+            f"token_budget_sample_sharded: n_buckets must be >= 2 "
+            f"(got {n_buckets}); use token_budget_sample for the "
+            f"unsharded form"
+        )
     primary = order_cols[0]
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds_row = df.select(
         F.percentile_approx(
             primary, F.array(*[F.lit(q) for q in qs]), F.lit(10000)
-        ).alias("qs")
+        ).alias("qs"),
+        F.max(F.col(primary).isNull().cast("int")).alias("has_null"),
     ).first()
+    if bounds_row is not None and bounds_row["has_null"]:
+        raise ValueError(
+            f"token_budget_sample_sharded: NULL values in order column "
+            f"{primary!r} — filter or fill them first"
+        )
     bounds = bounds_row["qs"] if bounds_row is not None else None
     if not bounds:
         return df.filter(F.lit(False))
@@ -275,6 +295,19 @@ def token_budget_sample_sharded(
 #: multiplier sweeps all residues)
 _DRAW_MOD = 1000003
 _DRAW_MULT = 2654435761  # Knuth's 2^32 / phi
+
+
+def shuffle_draw_params(seed: int) -> tuple:
+    """Affine-permutation parameters over the prime draw modulus for
+    :func:`deterministic_shuffle`: ``draw = (key*a + b) % M`` with a
+    seed-DEPENDENT multiplier (``M`` prime, so any nonzero ``a`` is a
+    bijection). Exposed so the correctness oracle inlines the same
+    constants."""
+    a = (_DRAW_MULT + seed * 4099) % _DRAW_MOD
+    if a == 0:
+        a = 1
+    b = (seed * 7919) % _DRAW_MOD
+    return a, b
 
 
 def stratified_sample_deterministic(
@@ -415,14 +448,21 @@ def deterministic_shuffle(
     decorrelates neighboring keys so the read order is
     statistically shuffled.
 
+    The seed enters through the MULTIPLIER (``a(seed)``, via
+    :func:`shuffle_draw_params`), not additively: an additive seed
+    before a fixed multiplier would shift every key's draw by the
+    same constant, so "new epoch, new seed" would replay almost the
+    same read order (a rotation, measured at >99% preserved adjacent
+    pairs). Distinct multipliers mod the prime draw modulus give
+    genuinely different permutations per seed.
+
     Scale: NO global sort — the only shuffle partitions by ``shard``
     and each window ranks ~corpus/n_shards rows; pick ``n_shards`` so
     a shard fits a task's spill budget (windows spill, not OOM)."""
     if n_shards <= 0:
         raise ValueError(f"deterministic_shuffle: n_shards must be > 0")
-    draw = (
-        (F.col(key_col) % _DRAW_MOD + F.lit(seed)) * F.lit(_DRAW_MULT)
-    ) % _DRAW_MOD
+    a, b = shuffle_draw_params(seed)
+    draw = (F.col(key_col) % _DRAW_MOD * F.lit(a) + F.lit(b)) % _DRAW_MOD
     with_draw = df.withColumn("__draw", draw)
     shard = (F.col("__draw") % n_shards).cast("long")
     w = Window.partitionBy(shard).orderBy(

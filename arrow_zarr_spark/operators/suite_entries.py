@@ -1221,7 +1221,12 @@ def populate_round5_queries(register) -> None:
         )
 
     # the permutation is a pure function of (key, seed), so the oracle
-    # replays the exact (shard, shard_pos) assignment
+    # replays the exact (shard, shard_pos) assignment — constants from
+    # the operator's own shuffle_draw_params (seed-dependent
+    # multiplier; an additive seed would make epochs near-identical)
+    from .sampling import shuffle_draw_params
+
+    _sa, _sb = shuffle_draw_params(42)
     register(
         "p10_deterministic_shuffle",
         p10,
@@ -1229,7 +1234,7 @@ def populate_round5_queries(register) -> None:
         "CAST(d % 64 AS BIGINT) AS shard, "
         "CAST(ROW_NUMBER() OVER (PARTITION BY d % 64 ORDER BY d, doc_id) "
         "- 1 AS BIGINT) AS shard_pos FROM ("
-        "  SELECT *, ((doc_id % 1000003 + 42) * 2654435761) % 1000003 AS d "
+        f"  SELECT *, (doc_id % 1000003 * {_sa} + {_sb}) % 1000003 AS d "
         "  FROM documents)",
     )
 

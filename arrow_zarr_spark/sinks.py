@@ -91,9 +91,21 @@ def _pack_leftover(names, arrays: Dict[str, np.ndarray]) -> bytes:
 
 def _unpack_leftover(names, raw: bytes) -> Dict[str, np.ndarray]:
     """Inverse of :func:`_pack_leftover`; validates column names so a
-    schema/order drift between write and commit fails loudly."""
+    schema/order drift between write and commit fails loudly. A
+    truncated or short staging object (crashed task, eventually-
+    consistent store) surfaces as :class:`ZarrFormatError` too, not a
+    raw ``struct.error``, so commit() callers see one error type."""
     import struct
 
+    try:
+        return _unpack_leftover_inner(names, raw, struct)
+    except (struct.error, ValueError, UnicodeDecodeError) as exc:
+        raise ZarrFormatError(
+            f"staged leftover bytes are truncated or malformed: {exc}"
+        ) from exc
+
+
+def _unpack_leftover_inner(names, raw: bytes, struct) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     pos = 0
     for n in names:

@@ -677,6 +677,16 @@ def decode_shard_selected(
     if len(idx_bytes) != idx_nbytes:
         return PARTIAL_FALLBACK
     if has_crc:
+        # same verification as the whole-object path (_decode_shard):
+        # a corrupted index would otherwise drive ranged reads off
+        # garbage offsets and decode wrong data silently
+        stored = struct.unpack("<I", idx_bytes[-4:])[0]
+        actual = _crc32c(idx_bytes[:-4])
+        if stored != actual:
+            raise ZarrFormatError(
+                f"sharding_indexed: shard index checksum mismatch "
+                f"(stored {stored:#010x}, computed {actual:#010x})"
+            )
         idx_bytes = idx_bytes[:-4]
     idx_dtype = "<u8" if index_endian == "little" else ">u8"
     index = np.frombuffer(idx_bytes, dtype=idx_dtype).reshape(n_inner, 2)

@@ -422,3 +422,62 @@ class TestTrainValTestSplit:
 
         with _pytest.raises(ValueError, match="val_frac"):
             train_val_test_split(docs, "doc_id", val_frac=0.6, test_frac=0.5)
+
+
+class TestEpochDecorrelation:
+    def test_new_seed_gives_a_genuinely_new_order(self, spark):
+        """An additive seed before a fixed multiplier shifts every draw
+        by the same constant — epochs would replay nearly the same read
+        order (>99% of adjacent pairs preserved, the bug this pins).
+        With the seed in the multiplier, consecutive epochs must share
+        almost no adjacent read-order pairs."""
+        df = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+
+        def read_order(seed):
+            out = sampling.deterministic_shuffle(
+                df, "doc_id", n_shards=4, seed=seed
+            )
+            rows = sorted(
+                ((r.shard, r.shard_pos), r.doc_id) for r in out.collect()
+            )
+            return [doc for _, doc in rows]
+
+        o0, o1 = read_order(0), read_order(1)
+        assert o0 != o1
+        pairs0 = set(zip(o0, o0[1:]))
+        pairs1 = set(zip(o1, o1[1:]))
+        preserved = len(pairs0 & pairs1)
+        # random permutations share ~1 adjacent pair in 1000
+        assert preserved < 20
+
+
+class TestSampledGuards:
+    def test_sharded_budget_rejects_single_bucket(self, spark, docs):
+        with pytest.raises(ValueError, match="n_buckets"):
+            sampling.token_budget_sample_sharded(
+                docs, "n_chars", 1000, ["n_chars", "doc_id"], n_buckets=1
+            )
+
+    def test_sharded_budget_rejects_null_order_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], ["doc_id", "toks"]
+        )
+        with pytest.raises(ValueError, match="NULL values"):
+            sampling.token_budget_sample_sharded(
+                df, "toks", 25, ["toks", "doc_id"], n_buckets=2
+            )
+
+    def test_quantile_gate_approx_keeps_null_group(self, spark):
+        """A NULL group key is a group of its own in the exact path;
+        the approx path's broadcast join must not silently drop it."""
+        rows = [(i, "en" if i % 2 else None, float(i)) for i in range(40)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+        exact = sampling.quantile_gate(df, "lang", "score", 0.5, "doc_id")
+        approx = sampling.quantile_gate(
+            df, "lang", "score", 0.5, "doc_id", approx=True
+        )
+        key = lambda d: sorted(
+            (r.doc_id, r.lang, r.group_rank) for r in d.collect()
+        )
+        assert key(exact) == key(approx)
+        assert any(lang is None for _, lang, _ in key(exact))

@@ -505,3 +505,27 @@ class TestPartialShardReads:
             for r in df.filter("temp >= 37 AND temp < 41").collect()
         }
         assert got == {(v, v * 10.0) for v in (37.0, 38.0, 39.0, 40.0)}
+
+
+def test_partial_read_rejects_corrupted_index(tmp_path):
+    """The ranged-read path (decode_shard_selected) must verify the
+    shard-index crc32c exactly like the whole-object path — a corrupted
+    index would otherwise drive ranged reads off garbage offsets and
+    decode wrong data silently."""
+    import os
+
+    from arrow_zarr_spark.zarr.array import ZarrArray
+
+    store, meta, data = _sharded_array(tmp_path)
+    # flip one bit inside the index region (index at end: last 4 bytes
+    # are the crc; the 16 bytes before them are the final entry)
+    obj = os.path.join(str(tmp_path / "pstore"), "temp", "c", "0", "0")
+    blob = bytearray(open(obj, "rb").read())
+    blob[-12] ^= 0x01
+    open(obj, "wb").write(bytes(blob))
+
+    mask = np.zeros((12, 20), dtype=bool)
+    mask[0, 0] = True
+    arr = ZarrArray(store, meta)
+    with pytest.raises(ZarrFormatError, match="index checksum mismatch"):
+        arr.read_chunk((0, 0), sel_mask=mask)
