@@ -103,3 +103,14 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     from .pipelines import pretraining_pipeline
 
     qs["pretraining_pipeline"] = lambda: force(pretraining_pipeline(docs))
+
+    # the full fuzzy-dedup composition (x02): LSH candidates -> exact
+    # verify -> components -> canonical-per-group -> corpus filter.
+    # Everything past the verify runs on pair-involved docs only, so
+    # the delta over dedup_minhash_lsh above is the group machinery's
+    # fixed cost, not a second corpus pass
+    from .pipelines import fuzzy_dedup_pipeline
+
+    qs["fuzzy_dedup_pipeline"] = lambda: force(
+        fuzzy_dedup_pipeline(docs)
+    )

@@ -380,6 +380,37 @@ def train_val_test_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-row Bernoulli sample whose keep probability is a COLUMN —
+    quality-weighted subsampling (keep high-quality documents at a
+    higher rate, the DCLM/FineWeb-style soft quality filter), with the
+    same engine-independent integer draw as
+    :func:`stratified_sample_deterministic`, so any SQL engine replays
+    the exact row set.
+
+    ``weight`` is a Column expression (or column name) giving each
+    row's keep probability; values are clamped to [0, 1]. A row
+    survives when ``draw(key) < clamp(weight) * p`` with the shared
+    prime modulus — the draw is pure integer arithmetic over the
+    unique ``key_col``, and the right-hand side is one correctly-
+    rounded multiply, identical across engines.
+
+    Scale: a narrow WHERE — no shuffle, no UDF; realized rates track
+    the weights because the multiplicative sweep equidistributes
+    consecutive keys (bounded in tests)."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    clamped = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    draw = (
+        (F.col(key_col) % _DRAW_MOD + F.lit(seed)) * F.lit(_DRAW_MULT)
+    ) % _DRAW_MOD
+    return df.filter(draw < clamped * _DRAW_MOD)
+
+
 def rebalance_mixture(
     df: DataFrame,
     group_col: str,

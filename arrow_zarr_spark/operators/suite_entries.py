@@ -1586,6 +1586,93 @@ def populate_rotated_out(register) -> None:
     )
 
 
+def populate_round5_late2_queries(register) -> None:
+    """Round-5 session-3 additions: the fuzzy-dedup pipeline as one
+    flow (x02) and quality-weighted Bernoulli sampling (p11)."""
+
+    # x02: the production fuzzy-dedup flow — MinHash-LSH candidates →
+    # exact Jaccard verify → connected components → best-quality
+    # canonical per group → deduplicated corpus — as ONE composition.
+    # The oracle generates candidates by exact all-pairs SQL, so a
+    # green hash also proves the LSH stage's recall is 1.0 at the 0.7
+    # threshold on this corpus (every planted near-dup pair sits at
+    # j >= 0.889; escape probability per pair <= (1-0.889^4)^16
+    # ~= 1.5e-7 with the production 64-hash/16-band parameters).
+    def x02(spark, sf_dir):
+        from .pipelines import fuzzy_dedup_pipeline
+
+        return fuzzy_dedup_pipeline(_docs(spark, sf_dir))
+
+    register(
+        "x02_fuzzy_dedup_pipeline",
+        x02,
+        "WITH RECURSIVE "
+        + _TRI_CTE
+        + ", sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tri GROUP BY doc_id)"
+        ", shared AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared"
+        "  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2), "
+        "pairs AS (SELECT id_a, id_b FROM ("
+        "  SELECT id_a, id_b, "
+        "  shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS j"
+        "  FROM shared JOIN sizes sa ON sa.doc_id = shared.id_a"
+        "  JOIN sizes sb ON sb.doc_id = shared.id_b) WHERE j >= 0.7), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "reach AS ("
+        "  SELECT doc_id AS id, doc_id AS label FROM documents "
+        "  UNION "
+        "  SELECT e.dst AS id, r.label FROM reach r "
+        "  JOIN edges e ON e.src = r.id), "
+        "comp AS (SELECT id AS doc_id, MIN(label) AS component "
+        "FROM reach GROUP BY id), "
+        "qual AS (SELECT doc_id, "
+        "ROUND(0.4 * len_ok + 0.3 * wordlen_ok + 0.3 * diversity, 6) AS "
+        "quality FROM ("
+        "SELECT doc_id, "
+        "n_distinct_words / (n_words * 1.0) AS diversity, "
+        "CASE WHEN n_words >= 10 AND n_words <= 1000 THEN 1.0 ELSE 0.3 END "
+        "AS len_ok, "
+        "CASE WHEN avg_word_len >= 2.0 AND avg_word_len <= 12.0 THEN 1.0 "
+        "ELSE 0.4 END AS wordlen_ok FROM ("
+        "SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words, "
+        "CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct_words, "
+        "(LENGTH(text) - (len(ws) - 1)) / (len(ws) * 1.0) AS avg_word_len "
+        "FROM (SELECT doc_id, text, string_split(text, ' ') AS ws "
+        "FROM documents)))), "
+        "canon AS (SELECT doc_id AS keep_id, n_members FROM ("
+        "SELECT c.doc_id, "
+        "ROW_NUMBER() OVER (PARTITION BY c.component "
+        "ORDER BY q.quality DESC, c.doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY c.component) AS n_members "
+        "FROM comp c JOIN qual q ON c.doc_id = q.doc_id) WHERE rn = 1) "
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars, n_members "
+        "FROM documents d JOIN canon ON d.doc_id = canon.keep_id",
+    )
+
+    # p11: quality-weighted Bernoulli sample — keep probability is a
+    # COLUMN (here length-proportional, n_chars/600 clamped to [0,1]);
+    # the engine-independent integer draw makes the exact row set
+    # SQL-replayable.
+    def p11(spark, sf_dir):
+        from .sampling import weighted_sample
+
+        docs = _docs(spark, sf_dir)
+        return weighted_sample(
+            docs, F.col("n_chars") / F.lit(600.0), "doc_id", seed=42
+        )
+
+    register(
+        "p11_weighted_sample",
+        p11,
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        "WHERE ((doc_id % 1000003 + 42) * 2654435761) % 1000003 "
+        "< LEAST(GREATEST(CAST(n_chars / 600.0 AS DOUBLE), 0.0), 1.0) "
+        "* 1000003",
+    )
+
+
 def populate_deferred_queries(register) -> None:
     """Queries with genuinely engine-specific output (xxhash64 /
     crc32-seeded signatures, stateful-sequential packing) — no SQL

@@ -1067,6 +1067,37 @@ def _populate_writer() -> None:
         "SELECT doc_id, text, lang, n_chars FROM documents",
     )
 
+    def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Distributed rechunk (the zarr-ecosystem "rechunker"): orders
+        written small-chunked (1024 rows/object), then compacted into a
+        sharded layout (4096-row chunks × 4 per shard = one store
+        object per 16384 rows — a 16× object-count drop), then scanned.
+        The oracle reads straight from parquet, so the hash proves the
+        copy is row-for-row value-preserving through BOTH stores."""
+        from .io import rechunk_zarr, write_zarr
+
+        ensure_views(spark, sf_dir)
+        token = sf_dir.strip("/").replace("/", "_")
+        src_path = f"/tmp/arrow_zarr_spark_w06src_{token}"
+        dst_path = f"/tmp/arrow_zarr_spark_w06dst_{token}"
+        src = spark.table("orders").select("o_orderkey", "o_totalprice")
+        write_zarr(src, src_path, chunk_rows=1024, mode="overwrite")
+        rechunk_zarr(
+            spark,
+            src_path,
+            dst_path,
+            chunk_rows=4096,
+            shard_chunks=4,
+            mode="overwrite",
+        )
+        return spark.read.format("zarr").load(dst_path)
+
+    register_query(
+        "w06_rechunk_roundtrip",
+        w06,
+        "SELECT o_orderkey, o_totalprice FROM orders",
+    )
+
 
 def _populate_writer_deferred() -> None:
     def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1107,19 +1138,19 @@ _populated = False
 #: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
 #: list against the live registry.
 #:
-#: Round-5 window: 6 never-checked round-4 additions + 18 round-5
-#: entries (17 new + s03, whose first-ever oracle makes its next
+#: Round-5 window: 6 never-checked round-4 additions + 21 round-5
+#: entries (20 new + s03, whose first-ever oracle makes its next
 #: driver row the first provable one) + the 9 tier-B rows last green
-#: in r2 + the 17 stalest r3-green rows (the zarr flagship block and
-#: operator rows keeping one representative per family: t01 for
-#: text, d06+d14 for dedup, s02+s03 for similarity, m05 for
-#: multimodal (never-checked, so in-window anyway), j01/j02/j05 for
-#: joins, w03-w05 for writers (w05 subsumes w01's plain roundtrip);
+#: in r2 + the 14 stalest r3-green rows (the zarr flagship block and
+#: operator rows keeping one representative per family: t12/t13 for
+#: text, d06+d14+x02 for dedup, s03 for similarity, m05 for
+#: multimodal (never-checked, so in-window anyway), j01/j05 for
+#: joins, w03-w06 for writers (w05 subsumes w01's plain roundtrip);
 #: z08's union / z04's CTE-self-join / z12's join / z07's
 #: order-limit semantics stay covered in-window by z19, b10/b11/z11,
-#: b08/j05, and b13; the displaced t02-t04/m01/m02/j03/j04/d04/d07/
-#: s01/w01/z04/z07/z08/z12 stay parity-tested every round, rotating
-#: back in round 6).
+#: b08/j05, and b13; the displaced t01-t04/m01/m02/j02/j03/j04/d04/
+#: d07/s01/s02/w01/z04/z07/z08/z12 stay parity-tested every round,
+#: rotating back in round 6).
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
     "z18_3d_scan",
@@ -1147,6 +1178,9 @@ DRIVER_WINDOW = [
     "s03_ivf_ann_topk",
     "x01_pretraining_pipeline",
     "w05_partitioned_writer_roundtrip",
+    "x02_fuzzy_dedup_pipeline",
+    "p11_weighted_sample",
+    "w06_rechunk_roundtrip",
     # stalest green rows (last driver-checked in round 2)
     "b01_projection",
     "b02_scalar_expr_alias",
@@ -1171,10 +1205,7 @@ DRIVER_WINDOW = [
     "z15_v2_store_scan",
     "z16_time_scan",
     "d06_embedding_neardup",
-    "s02_lsh_ann_topk",
-    "t01_token_count",
     "j01_range_join",
-    "j02_asof_join",
 ]
 
 
@@ -1190,11 +1221,13 @@ def _ensure_populated() -> None:
         populate_operator_queries,
         populate_rotated_out,
         populate_round4_queries,
+        populate_round5_late2_queries,
         populate_round5_queries,
     )
 
     populate_round4_queries(register_query)
     populate_round5_queries(register_query)
+    populate_round5_late2_queries(register_query)
     _populate_zarr_round4()
     _populate_zarr_round5()
     _populate_relational()

@@ -262,6 +262,44 @@ def bench_queries(spark):
 
     qs["zarr_write_strings"] = zarr_write_strings
 
+    # rechunk/compaction (w06's path): small-chunk store -> sharded
+    # big-chunk store, scan + write both measured (the source store is
+    # built once outside the timer — the bench tracks the COPY)
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from arrow_zarr_spark.io import rechunk_zarr as _rechunk
+    from arrow_zarr_spark.io import write_zarr as _wz
+
+    import atexit as _atexit
+
+    _rc_dir = _tempfile.mkdtemp(prefix="azs_bench_rc_src_")
+    _atexit.register(_shutil.rmtree, _rc_dir, ignore_errors=True)
+    _rc_src = _rc_dir + "/s"
+    _wz(
+        spark.table("orders").select("o_orderkey", "o_totalprice"),
+        _rc_src,
+        chunk_rows=4096,
+        mode="overwrite",
+    )
+
+    def zarr_rechunk():
+        out = _tempfile.mkdtemp(prefix="azs_bench_rc_dst_")
+        try:
+            _rechunk(
+                spark,
+                _rc_src,
+                out + "/s",
+                chunk_rows=16384,
+                shard_chunks=4,
+                mode="overwrite",
+            )
+        finally:
+            _shutil.rmtree(out, ignore_errors=True)
+        return 0
+
+    qs["zarr_rechunk"] = zarr_rechunk
+
     # -- data-pipeline operators (registered once implemented) --
     try:
         from arrow_zarr_spark.operators import bench_entries
@@ -343,6 +381,11 @@ def scale_rung_queries(spark, factor: int):
             docs.filter(F.col("source") == "src0"),
         )
     )
+    # the full fuzzy-dedup composition: its post-candidate stages are
+    # dup-group-sized, so the rung ratio should track the LSH stage's
+    from arrow_zarr_spark.operators.pipelines import fuzzy_dedup_pipeline
+
+    qs["fuzzy_dedup_pipeline"] = lambda: _force(fuzzy_dedup_pipeline(docs))
     meta = {"factor": factor, "zarr_rows": side * side}
     return qs, meta
 

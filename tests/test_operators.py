@@ -1025,3 +1025,62 @@ class TestPretrainingPipeline:
         )
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Join" not in plan
+
+
+class TestFuzzyDedupPipeline:
+    def test_partitions_corpus_and_keeps_best(self, spark, docs):
+        """x02's invariants: the kept docs' member counts partition the
+        corpus exactly, every dropped doc belongs to some kept doc's
+        group (transitively), and each group's survivor is its highest-
+        quality member (doc id tiebreak)."""
+        from arrow_zarr_spark.operators.dedup import (
+            connected_components,
+            ngram_jaccard_pairs,
+        )
+        from arrow_zarr_spark.operators.pipelines import fuzzy_dedup_pipeline
+        from arrow_zarr_spark.operators.text import quality_score
+
+        out = fuzzy_dedup_pipeline(docs).collect()
+        n_docs = docs.count()
+        assert sum(r.n_members for r in out) == n_docs
+        assert len(out) < n_docs  # the fixture contains near-dups
+        kept = {r.doc_id for r in out}
+
+        # independent reference: exact pairs -> components -> argmax
+        pairs = ngram_jaccard_pairs(docs, threshold=0.7).select(
+            "id_a", "id_b"
+        )
+        comp = {
+            r.doc_id: r.component
+            for r in connected_components(docs, pairs).collect()
+        }
+        qual = {
+            r.doc_id: r.quality for r in quality_score(docs).collect()
+        }
+        groups = {}
+        for d, c in comp.items():
+            groups.setdefault(c, []).append(d)
+        expect = {
+            max(members, key=lambda d: (qual[d], -d))
+            for members in groups.values()
+        }
+        assert kept == expect
+
+    def test_no_dups_is_identity(self, spark):
+        """On a corpus with disjoint shingle sets every doc survives
+        with n_members = 1."""
+        from arrow_zarr_spark.operators.pipelines import fuzzy_dedup_pipeline
+
+        uniq = spark.range(0, 50).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{j}x"), F.col("id").cast("string"))
+                    for j in range(12)
+                ],
+            ).alias("text"),
+        )
+        out = fuzzy_dedup_pipeline(uniq).collect()
+        assert len(out) == 50
+        assert all(r.n_members == 1 for r in out)

@@ -481,3 +481,42 @@ class TestSampledGuards:
         )
         assert key(exact) == key(approx)
         assert any(lang is None for _, lang, _ in key(exact))
+
+
+class TestWeightedSample:
+    def test_rates_track_weights(self, spark):
+        """Bucketed by weight, realized keep rates must track the
+        requested probabilities (the multiplicative sweep
+        equidistributes consecutive keys)."""
+        df = spark.range(0, 20000).select(
+            F.col("id").alias("k"),
+            ((F.col("id") % 10) / 10.0).alias("w"),
+        )
+        out = sampling.weighted_sample(df, "w", "k").collect()
+        by_w = {}
+        for r in out:
+            by_w[round(r.w, 1)] = by_w.get(round(r.w, 1), 0) + 1
+        assert 0.0 not in by_w  # zero weight keeps nothing
+        for w in range(1, 10):
+            rate = by_w.get(w / 10.0, 0) / 2000.0
+            assert abs(rate - w / 10.0) < 0.05, (w, rate)
+
+    def test_clamps_out_of_range_weights(self, spark):
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 500, F.lit(5.0))
+            .otherwise(F.lit(-1.0))
+            .alias("w"),
+        )
+        kept = sampling.weighted_sample(df, "w", "k").collect()
+        # weight > 1 clamps to certain keep; < 0 clamps to certain drop
+        assert len(kept) == 500
+        assert all(r.k < 500 for r in kept)
+
+    def test_deterministic_and_seed_sensitive(self, spark, docs):
+        w = F.col("n_chars") / F.lit(600.0)
+        a = {r.doc_id for r in sampling.weighted_sample(docs, w, "doc_id").collect()}
+        b = {r.doc_id for r in sampling.weighted_sample(docs, w, "doc_id").collect()}
+        c = {r.doc_id for r in sampling.weighted_sample(docs, w, "doc_id", seed=43).collect()}
+        assert a == b
+        assert a != c

@@ -561,3 +561,73 @@ class TestPartitionedWriterGuards:
         p1 = fixtures.write_lat_lon_store()
         with pytest.raises(ValueError, match="collides"):
             read_zarr_many(spark, [p1], source_col="lat")
+
+
+class TestRechunk:
+    def test_rechunk_compacts_and_preserves_order(self, spark, tmp_path):
+        from arrow_zarr_spark.io import rechunk_zarr
+
+        src_path, dst_path = str(tmp_path / "rc_src"), str(tmp_path / "rc_dst")
+        df = spark.range(0, 10000, 1, 8).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+        write_zarr(df, src_path, chunk_rows=500)
+        n = rechunk_zarr(
+            spark, src_path, dst_path, chunk_rows=2000, shard_chunks=2
+        )
+        assert n == 10000
+
+        # target layout: 2000-row inner chunks, 4000-row shard objects
+        arrays = {
+            a.meta.name: a
+            for a in infer_store_arrays(open_store(dst_path))
+        }
+        assert arrays["k"].meta.chunk_shape == (4000,)
+        # row order survives the copy end to end
+        assert arrays["k"].read_all().tolist() == list(range(10000))
+        assert np.allclose(
+            arrays["v"].read_all(), np.arange(10000) * 1.5
+        )
+
+        # the object-count lever: 10000/500 = 20 chunk objects per
+        # column before, 10000/4000 -> 3 shard objects after
+        def n_objects(path, col):
+            store = open_store(path)
+            return sum(
+                1 for key in store.walk_keys()
+                if key.startswith(f"{col}/c") and "zarr.json" not in key
+            )
+
+        assert n_objects(src_path, "k") == 20
+        assert n_objects(dst_path, "k") == 3
+
+    def test_rechunk_projected_copy(self, spark, tmp_path):
+        """columns= narrows the copy: unselected arrays never reach
+        the target store (the A4 projection contract on the scan)."""
+        from arrow_zarr_spark.io import rechunk_zarr
+
+        src_path, dst_path = str(tmp_path / "rp_src"), str(tmp_path / "rp_dst")
+        df = spark.range(0, 1000, 1, 4).select(
+            F.col("id").alias("a"),
+            (F.col("id") * 2).alias("b"),
+            (F.col("id") * 3).alias("c"),
+        )
+        write_zarr(df, src_path, chunk_rows=250)
+        rechunk_zarr(
+            spark, src_path, dst_path, chunk_rows=1000, columns=["a", "c"]
+        )
+        names = sorted(
+            a.meta.name for a in infer_store_arrays(open_store(dst_path))
+        )
+        assert names == ["a", "c"]
+
+    def test_rechunk_refuses_existing_target(self, spark, tmp_path):
+        from arrow_zarr_spark.io import rechunk_zarr
+
+        src_path, dst_path = str(tmp_path / "re_src"), str(tmp_path / "re_dst")
+        df = spark.range(0, 100).select(F.col("id").alias("k"))
+        write_zarr(df, src_path, chunk_rows=50)
+        write_zarr(df, dst_path, chunk_rows=50)
+        with pytest.raises(ZarrFormatError, match="already exists"):
+            rechunk_zarr(spark, src_path, dst_path, chunk_rows=100)
