@@ -411,3 +411,28 @@ class TestRound5OperatorContracts:
         plan = _plan(df)
         assert "TakeOrderedAndProject" in plan
         assert "Sort " not in plan
+
+    def test_fuzzy_dedup_corpus_tail_is_broadcast_joins(self, views):
+        """x02's corpus tail: after the candidate equi-join, the corpus
+        must never shuffle again — the drop-list anti-join and the
+        winner member-count attach must both plan as BroadcastHashJoin,
+        and nothing anywhere in the composition may be a cartesian/NLJ
+        (the LSH band join keeps candidates equi-keyed)."""
+        from arrow_zarr_spark.operators.pipelines import fuzzy_dedup_pipeline
+
+        docs = views.table("documents")
+        out = fuzzy_dedup_pipeline(docs)
+        out.collect()  # localCheckpoints inside need execution
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # tail joins: LeftAnti (drop list) + LeftOuter (member counts),
+        # both broadcast — dup-group-sized build sides
+        assert "BroadcastHashJoin" in plan
+        anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+        outer = [l for l in plan.splitlines() if "LeftOuter" in l]
+        assert anti and all("Broadcast" in l for l in anti)
+        assert outer and all("Broadcast" in l for l in outer)
+        # and the corpus side of the tail must not hash-repartition:
+        # the only exchanges after the checkpointed pair set are the
+        # component/window shuffles on dup-group-sized frames
