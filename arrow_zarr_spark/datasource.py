@@ -68,9 +68,14 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-from .filters import ChunkPredicate, compile_chunk_filters, conjunction_mask
+from .filters import (
+    ChunkPredicate,
+    compile_chunk_filters,
+    conjunction_mask,
+    interval_possible,
+)
 from .zarr.array import ZarrArray, infer_store_arrays
-from .zarr.meta import ArrayMeta, ZarrFormatError
+from .zarr.meta import STATS_ATTR_KEY, ArrayMeta, ZarrFormatError
 from .zarr.store import open_store
 from .zarr.table import ChunkPlan
 
@@ -295,15 +300,94 @@ class ZarrReader(DataSourceReader):
         )
         yield from filters
 
+    # -- statistics pruning ---------------------------------------------
+
+    def _stats_bounds(self) -> Dict[str, list]:
+        """Per-column decoded [lo, hi]-per-object lists from writer
+        statistics (``STATS_ATTR_KEY``) — validated against the live
+        chunk grid so stale stats (length mismatch after out-of-band
+        edits) are ignored rather than trusted. Table stores only
+        (1-D, stats aligned to the dim-0 grid)."""
+        out: Dict[str, list] = {}
+        for a in self.arrays:
+            m = a.meta
+            if m.ndim != 1:
+                continue
+            s = m.attributes.get(STATS_ATTR_KEY)
+            if not isinstance(s, list) or len(s) != m.chunk_grid_shape[0]:
+                continue
+            unit = None
+            if m.zarr_dtype.startswith("numpy.datetime64["):
+                unit = m.zarr_dtype[len("numpy.datetime64[") : -1]
+
+            def _decode(b, _unit=unit):
+                if b is None:
+                    return None
+                if _unit is not None:
+                    return np.datetime64(int(b), _unit)
+                return b
+
+            decoded = []
+            for entry in s:
+                if (
+                    isinstance(entry, (list, tuple))
+                    and len(entry) == 2
+                ):
+                    decoded.append((_decode(entry[0]), _decode(entry[1])))
+                else:
+                    decoded.append((None, None))
+            out[m.name] = decoded
+        return out
+
+    def _prune_cells(self, cells):
+        """Drop grid cells PROVABLY empty under the pushed conjuncts
+        using per-object min/max — planning-time pruning, zero chunk
+        reads for excluded objects (parquet row-group semantics; the
+        dynamic per-chunk mask in ``_load_cell`` still runs for the
+        survivors). Conservative: a column without valid stats, a
+        None bound, or a non-1-D cell never prunes."""
+        if not self.predicates:
+            return cells
+        bounds = self._stats_bounds()
+        preds = [p for p in self.predicates if p.column in bounds]
+        # isnull is provably empty regardless of bounds (decoded zarr
+        # chunks never hold nulls) — but only prune on it when the
+        # column exists at all; mask() handles it dynamically anyway
+        if not preds:
+            return cells
+        kept = []
+        for cell in cells:
+            if len(cell) != 1:
+                return cells  # non-table grid: stats don't apply
+            i = cell[0]
+            ok = True
+            for p in preds:
+                lo, hi = bounds[p.column][i]
+                if not interval_possible(p, lo, hi):
+                    ok = False
+                    break
+            if ok:
+                kept.append(cell)
+        return kept
+
     # -- partitioning ----------------------------------------------------
 
     def partitions(self) -> Sequence[ZarrInputPartition]:
         n_opt = self.options.get("num_partitions")
         if n_opt:
-            groups = self.plan.split_cells(int(n_opt))
+            # reference repartitioned() semantics (contiguous
+            # ceil(N/p) ranges, empty tails) over the SURVIVING cells
+            pruned = self._prune_cells(self.plan.cells())
+            p = int(n_opt)
+            per = -(-len(pruned) // p) if pruned else 0
+            groups = (
+                [pruned[i * per : (i + 1) * per] for i in range(p)]
+                if per
+                else [[] for _ in range(p)]
+            )
         else:
             chunks_per_opt = self.options.get("chunks_per_partition")
-            cells = self.plan.cells()
+            cells = self._prune_cells(self.plan.cells())
             if chunks_per_opt:
                 chunks_per = max(1, int(chunks_per_opt))
             else:

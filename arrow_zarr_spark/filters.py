@@ -35,7 +35,12 @@ from pyspark.sql.datasource import (
     StringStartsWith,
 )
 
-__all__ = ["ChunkPredicate", "compile_chunk_filters", "conjunction_mask"]
+__all__ = [
+    "ChunkPredicate",
+    "compile_chunk_filters",
+    "conjunction_mask",
+    "interval_possible",
+]
 
 
 @dataclass(frozen=True)
@@ -174,6 +179,51 @@ def conjunction_mask(
         if not mask.any():
             return mask
     return mask
+
+
+def interval_possible(pred: ChunkPredicate, lo, hi) -> bool:
+    """Can ANY value in ``[lo, hi]`` satisfy ``pred``? The static
+    (metadata-only) form of :meth:`ChunkPredicate.mask`, used to prune
+    store objects from per-object min/max statistics before a single
+    chunk byte is read — zarr's analogue of parquet row-group stats.
+
+    Conservative by construction: returns False only when emptiness is
+    PROVABLE via a positive comparison. NaN bounds (a float object
+    containing NaN propagates through the writer's min/max) fail every
+    comparison below, so NaN-contaminated objects are never pruned —
+    which also keeps ``neq`` sound: min == max == value proves all
+    rows equal ``value`` only when no NaN row hides outside the bounds.
+    ``lo``/``hi`` of None (unknown stats) never prune."""
+    if lo is None or hi is None:
+        return True
+    op, v = pred.op, pred.value
+    if op == "notnull":
+        return True
+    if op == "isnull":
+        # decoded zarr chunks never contain nulls (missing chunks
+        # materialize as fill values) — provably empty
+        return False
+    if v is None:
+        return True
+    try:
+        if op == "eq":
+            return not (v < lo or v > hi)
+        if op == "neq":
+            return not (lo == hi == v)
+        if op == "lt":  # some row < v  <=>  lo < v
+            return not (lo >= v)
+        if op == "le":
+            return not (lo > v)
+        if op == "gt":  # some row > v  <=>  hi > v
+            return not (hi <= v)
+        if op == "ge":
+            return not (hi < v)
+        if op == "isin":
+            return any(not (x < lo or x > hi) for x in v)
+    except TypeError:
+        # incomparable literal/stat types: stats can't prove anything
+        return True
+    return True  # unknown op: never prune
 
 
 def chunk_survives(

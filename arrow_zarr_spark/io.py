@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .zarr.meta import ArrayMeta, ZarrFormatError
+from .zarr.meta import STATS_ATTR_KEY, ArrayMeta, ZarrFormatError
 from .zarr.store import open_store
 from .zarr.writer import create_array, write_chunk, write_root_group
 
@@ -207,6 +207,44 @@ def _validate_append_target(
     return rows
 
 
+def _stats_eligible(dtype: np.dtype) -> bool:
+    return dtype.kind in "biufM"
+
+
+def _stat_encode(val, dtype: np.dtype):
+    """One bound as a JSON-able value; None = unknown (never prunes).
+    Floats use NaN-propagating min/max upstream, and a NaN bound
+    encodes as None so NaN-contaminated objects are never pruned (and
+    ``neq`` stats-pruning stays sound). datetime64 encodes as the raw
+    epoch count in the array's own unit."""
+    if dtype.kind == "f":
+        f = float(val)
+        return None if math.isnan(f) else f
+    if dtype.kind == "M":
+        return int(np.asarray(val).view("i8"))
+    if dtype.kind == "b":
+        return bool(val)
+    return int(val)
+
+
+def _existing_stats(store, names) -> Dict[str, list]:
+    """Per-column [[min, max] | None, ...] lists from an append
+    target's metadata; {} when absent/invalid (appends then leave the
+    old objects' entries unknown — sound, just unprunable)."""
+    from .zarr.array import infer_store_arrays
+
+    out: Dict[str, list] = {}
+    try:
+        for a in infer_store_arrays(store):
+            if a.meta.name in names:
+                s = a.meta.attributes.get(STATS_ATTR_KEY)
+                if isinstance(s, list):
+                    out[a.meta.name] = s
+    except ZarrFormatError:
+        pass
+    return out
+
+
 def _clear_store(store, keep_staging: bool = False) -> None:
     for key in list(store.walk_keys()):
         if keep_staging and key.startswith("__stage__"):
@@ -223,6 +261,7 @@ def write_zarr(
     mode: str = "error",
     fill_value=0,
     shard_chunks: Optional[int] = None,
+    stats: bool = True,
 ) -> int:
     """Write ``df``'s numeric/boolean columns as a Zarr v3 store.
 
@@ -238,7 +277,19 @@ def write_zarr(
     ``sharding_indexed`` store object per column; each Spark task then
     writes one shard (object count drops by the factor, the object-
     store lever at 100 TB) while readers keep chunk-granular pruning
-    through the shard index."""
+    through the shard index.
+
+    ``stats`` (default on) records per-store-object [min, max] in each
+    array's metadata attributes (``STATS_ATTR_KEY``) — parquet-style
+    statistics the scan uses to prune objects STATICALLY at planning
+    time, before any chunk read (the reference stubs statistics,
+    opener.rs:171-173). One [min, max] pair per object per column
+    rides the existing per-object commit row back to the driver, so
+    the driver-side cost scales with the object count (the same
+    chunk_rows × shard_chunks lever). Appends merge: untouched
+    objects keep their entries, the boundary object's pair is
+    recomputed over merged data; appending to a stats-less store
+    leaves old entries unknown (never pruned)."""
     if columns:
         df = df.select(*columns)
     for field in df.schema.fields:
@@ -348,9 +399,15 @@ def write_zarr(
                 publish_metadata()  # create a valid empty store
             return 0
 
-        # pass 2: global index -> chunk co-location -> chunk writes
+        # pass 2: global index -> chunk co-location -> chunk writes.
+        # All data fields are declared NULLABLE here regardless of
+        # Catalyst's inference: the Arrow serializer under mapInPandas
+        # surfaces float NaN as null, and a non-nullable declaration
+        # then crashes the JVM-side columnar read ("Value at index is
+        # null") — floats round-trip the null back to NaN in pandas,
+        # and _reject_nulls still guards every dtype that cannot.
         idx_schema = T.StructType(
-            list(df.schema.fields)
+            [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
             + [T.StructField("__row_idx", T.LongType(), False)]
         )
 
@@ -377,6 +434,8 @@ def write_zarr(
         metas_b = spark.sparkContext.broadcast(metas)
         base_rows_b = base_rows
 
+        want_stats = bool(stats)
+
         def write_chunk_group(pdf: pd.DataFrame) -> pd.DataFrame:
             cid = int(pdf["__cid"].iloc[0])
             pdf = pdf.sort_values("__row_idx")
@@ -386,6 +445,7 @@ def write_zarr(
             # value-preserving even for concurrent readers (store.set
             # is an atomic replace; old metadata only covers old rows)
             start = max(0, base_rows_b - cid * unit)
+            obj_stats = {}
             for name in col_names:
                 meta = metas_b.value[name]
                 data = _reject_nulls(pdf[name].values, meta.dtype, name)
@@ -400,21 +460,53 @@ def write_zarr(
                     )[:start]
                     data = np.concatenate([existing, data])
                 write_chunk(task_store, meta, (cid,), data)
+                if want_stats and _stats_eligible(meta.dtype):
+                    # np.min/np.max propagate NaN -> encodes as None
+                    obj_stats[name] = [
+                        _stat_encode(np.min(data), meta.dtype),
+                        _stat_encode(np.max(data), meta.dtype),
+                    ]
             return pd.DataFrame(
-                {"cid": [cid], "rows": [len(pdf)]}
+                {
+                    "cid": [cid],
+                    "rows": [len(pdf)],
+                    "stats": [json.dumps(obj_stats)],
+                }
             )
 
-        result = (
+        # one row per store object — the same object-count scale as
+        # the chunk writes themselves (the chunk_rows/shard_chunks
+        # lever bounds it); carries the commit counts AND the stats
+        result_rows = (
             with_cid.groupBy("__cid")
-            .applyInPandas(write_chunk_group, schema="cid long, rows long")
-            .agg(F.sum("rows").alias("written"))
-            .first()
+            .applyInPandas(
+                write_chunk_group, schema="cid long, rows long, stats string"
+            )
+            .collect()
         )
-        written = int(result["written"])
+        written = sum(int(r["rows"]) for r in result_rows)
         if written != new_rows:
             raise ZarrFormatError(
                 f"write_zarr wrote {written} rows, expected {new_rows}"
             )
+
+        if want_stats:
+            n_units = -(-total_rows // unit)
+            first_new = base_rows // unit  # boundary object recomputed
+            old = (
+                _existing_stats(store, set(col_names)) if base_rows else {}
+            )
+            per_col = {n: [None] * n_units for n in col_names}
+            for n, entries in old.items():
+                for i in range(min(first_new, len(entries), n_units)):
+                    per_col[n][i] = entries[i]
+            for r in result_rows:
+                decoded = json.loads(r["stats"])
+                for n, pair in decoded.items():
+                    per_col[n][int(r["cid"])] = pair
+            for n, meta in metas.items():
+                if _stats_eligible(meta.dtype):
+                    meta.attributes[STATS_ATTR_KEY] = per_col[n]
         publish_metadata()
         return written
     finally:

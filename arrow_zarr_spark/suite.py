@@ -1098,6 +1098,36 @@ def _populate_writer() -> None:
         "SELECT o_orderkey, o_totalprice FROM orders",
     )
 
+    def z20(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Statistics-pruned scan: orders sorted on the key and written
+        with per-object [min, max] stats, then filtered — the scan
+        drops provably-empty store objects at PLANNING time (parquet
+        row-group semantics; the reference stubs statistics,
+        opener.rs:171-173). The oracle reads parquet directly, so the
+        hash proves the static pruning path loses no rows."""
+        from .io import write_zarr
+
+        ensure_views(spark, sf_dir)
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_z20_{token}"
+        src = (
+            spark.table("orders")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey")
+        )
+        write_zarr(src, path, chunk_rows=2048, mode="overwrite")
+        return (
+            spark.read.format("zarr")
+            .load(path)
+            .filter(F.col("o_orderkey") <= 1000)
+        )
+
+    register_query(
+        "z20_stats_pruned_scan",
+        z20,
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000",
+    )
+
 
 def _populate_writer_deferred() -> None:
     def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1138,10 +1168,10 @@ _populated = False
 #: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
 #: list against the live registry.
 #:
-#: Round-5 window: 6 never-checked round-4 additions + 21 round-5
-#: entries (20 new + s03, whose first-ever oracle makes its next
+#: Round-5 window: 6 never-checked round-4 additions + 22 round-5
+#: entries (21 new + s03, whose first-ever oracle makes its next
 #: driver row the first provable one) + the 9 tier-B rows last green
-#: in r2 + the 14 stalest r3-green rows (the zarr flagship block and
+#: in r2 + the 13 stalest r3-green rows (the zarr flagship block and
 #: operator rows keeping one representative per family: t12/t13 for
 #: text, d06+d14+x02 for dedup, s03 for similarity, m05 for
 #: multimodal (never-checked, so in-window anyway), j01/j05 for
@@ -1149,8 +1179,8 @@ _populated = False
 #: z08's union / z04's CTE-self-join / z12's join / z07's
 #: order-limit semantics stay covered in-window by z19, b10/b11/z11,
 #: b08/j05, and b13; the displaced t01-t04/m01/m02/j02/j03/j04/d04/
-#: d07/s01/s02/w01/z04/z07/z08/z12 stay parity-tested every round,
-#: rotating back in round 6).
+#: d07/s01/s02/w01/z04/z07/z08/z09/z12 stay parity-tested every
+#: round, rotating back in round 6).
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
     "z18_3d_scan",
@@ -1181,6 +1211,7 @@ DRIVER_WINDOW = [
     "x02_fuzzy_dedup_pipeline",
     "p11_weighted_sample",
     "w06_rechunk_roundtrip",
+    "z20_stats_pruned_scan",
     # stalest green rows (last driver-checked in round 2)
     "b01_projection",
     "b02_scalar_expr_alias",
@@ -1197,7 +1228,6 @@ DRIVER_WINDOW = [
     "z03_where_pushdown",
     "z05_missing_chunk_fill",
     "z06_mixed_dims",
-    "z09_no_coords",
     "z10_type_map",
     "z11_theta_self_join",
     "z13_sharded_scan",

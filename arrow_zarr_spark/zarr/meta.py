@@ -24,6 +24,7 @@ import numpy as np
 
 __all__ = [
     "ZarrFormatError",
+    "STATS_ATTR_KEY",
     "ArrayMeta",
     "ZARR_TO_NUMPY",
     "zarr_dtype_to_numpy",
@@ -35,6 +36,15 @@ __all__ = [
 
 class ZarrFormatError(ValueError):
     """Raised for malformed / unsupported Zarr metadata or data."""
+
+
+#: array-attributes key carrying per-store-object [min, max] pairs —
+#: parquet-style statistics for zarr, written by the distributed
+#: writer and used by the scan to prune objects at planning time (the
+#: reference stubs statistics entirely, opener.rs:171-173). One entry
+#: per OUTER chunk-grid cell (shard-granular on sharded stores); an
+#: entry of None / a null bound means "unknown", which never prunes.
+STATS_ATTR_KEY = "arrow_zarr_spark:chunk_stats"
 
 
 #: Zarr v3 core data_type name → numpy dtype (little-endian storage decided

@@ -1,0 +1,314 @@
+"""Chunk-statistics pruning: the writer's per-object [min, max]
+attributes (parquet-row-group-style stats — the reference stubs
+statistics, opener.rs:171-173) and the scan's planning-time object
+pruning built on them.
+
+Soundness bar: pruning may only drop PROVABLY-empty objects. Stale,
+missing, NaN-contaminated, or wrong-length stats must all degrade to
+"keep", never to wrong answers.
+"""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    In,
+    IsNull,
+    LessThan,
+    Not,
+)
+
+from arrow_zarr_spark.datasource import ZarrDataSource
+from arrow_zarr_spark.filters import ChunkPredicate, interval_possible
+from arrow_zarr_spark.io import write_zarr
+from arrow_zarr_spark.zarr import infer_store_arrays, open_store
+from arrow_zarr_spark.zarr.meta import STATS_ATTR_KEY
+
+
+class TestIntervalPossible:
+    def test_comparisons(self):
+        lo, hi = 10, 20
+        assert not interval_possible(ChunkPredicate("k", "eq", 5), lo, hi)
+        assert interval_possible(ChunkPredicate("k", "eq", 10), lo, hi)
+        assert interval_possible(ChunkPredicate("k", "eq", 20), lo, hi)
+        assert not interval_possible(ChunkPredicate("k", "lt", 10), lo, hi)
+        assert interval_possible(ChunkPredicate("k", "lt", 11), lo, hi)
+        assert interval_possible(ChunkPredicate("k", "le", 10), lo, hi)
+        assert not interval_possible(ChunkPredicate("k", "le", 9), lo, hi)
+        assert not interval_possible(ChunkPredicate("k", "gt", 20), lo, hi)
+        assert interval_possible(ChunkPredicate("k", "gt", 19), lo, hi)
+        assert interval_possible(ChunkPredicate("k", "ge", 20), lo, hi)
+        assert not interval_possible(ChunkPredicate("k", "ge", 21), lo, hi)
+
+    def test_neq_prunes_only_constant_objects(self):
+        assert not interval_possible(ChunkPredicate("k", "neq", 7), 7, 7)
+        assert interval_possible(ChunkPredicate("k", "neq", 7), 7, 8)
+
+    def test_isin(self):
+        p = ChunkPredicate("k", "isin", (1, 5, 30))
+        assert not interval_possible(p, 10, 20)
+        assert interval_possible(p, 10, 30)
+
+    def test_null_semantics(self):
+        # decoded zarr chunks never contain nulls
+        assert not interval_possible(ChunkPredicate("k", "isnull"), 0, 9)
+        assert interval_possible(ChunkPredicate("k", "notnull"), 0, 9)
+
+    def test_unknown_bounds_never_prune(self):
+        assert interval_possible(ChunkPredicate("k", "eq", 5), None, None)
+        assert interval_possible(ChunkPredicate("k", "eq", 5), None, 9)
+
+    def test_incomparable_types_never_prune(self):
+        assert interval_possible(ChunkPredicate("k", "eq", "abc"), 0, 9)
+
+
+def _reader_cells(path, filters):
+    """Surviving cells after static stats pruning, via the real
+    DataSource planning path (pushFilters before partitions, as Spark
+    calls it)."""
+    ds = ZarrDataSource({"path": path})
+    reader = ds.reader(ds.schema())
+    list(reader.pushFilters(filters))
+    return [c for p in reader.partitions() for c in p.cells]
+
+
+class TestWriterStats:
+    def test_stats_written_per_object(self, spark, tmp_path):
+        path = str(tmp_path / "s1")
+        df = spark.range(0, 1000, 1, 4).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 0.5).alias("v"),
+            F.concat(F.lit("t"), F.col("id").cast("string")).alias("s"),
+        )
+        write_zarr(df, path, chunk_rows=100)
+        metas = {
+            a.meta.name: a.meta for a in infer_store_arrays(open_store(path))
+        }
+        ks = metas["k"].attributes[STATS_ATTR_KEY]
+        assert len(ks) == 10
+        assert ks[0] == [0, 99] and ks[9] == [900, 999]
+        vs = metas["v"].attributes[STATS_ATTR_KEY]
+        assert vs[0] == [0.0, 49.5]
+        # strings carry no stats
+        assert STATS_ATTR_KEY not in metas["s"].attributes
+
+    def test_stats_off(self, spark, tmp_path):
+        path = str(tmp_path / "s2")
+        df = spark.range(0, 100).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=50, stats=False)
+        meta = infer_store_arrays(open_store(path))[0].meta
+        assert STATS_ATTR_KEY not in meta.attributes
+
+    def test_nan_bounds_encode_as_null(self, spark, tmp_path):
+        path = str(tmp_path / "s3")
+        df = spark.range(0, 200, 1, 2).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") == 150, F.lit(float("nan")))
+            .otherwise(F.col("id") * 1.0)
+            .alias("v"),
+        )
+        write_zarr(df, path, chunk_rows=100)
+        vs = {
+            a.meta.name: a.meta for a in infer_store_arrays(open_store(path))
+        }["v"].attributes[STATS_ATTR_KEY]
+        assert vs[0] == [0.0, 99.0]
+        assert vs[1] == [None, None]  # NaN-contaminated: unknown
+
+    def test_sharded_stats_are_shard_granular(self, spark, tmp_path):
+        path = str(tmp_path / "s4")
+        df = spark.range(0, 2000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, shard_chunks=5)
+        ks = infer_store_arrays(open_store(path))[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        assert len(ks) == 4  # 2000 / (100*5) objects
+        assert ks[0] == [0, 499]
+
+
+class TestStaticPruning:
+    def test_range_predicate_prunes_objects(self, spark, tmp_path):
+        path = str(tmp_path / "p1")
+        df = spark.range(0, 1000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)
+        assert len(_reader_cells(path, [])) == 10
+        assert _reader_cells(path, [LessThan(("k",), 250)]) == [
+            (0,), (1,), (2,),
+        ]
+        assert _reader_cells(path, [GreaterThan(("k",), 949)]) == [(9,)]
+        assert _reader_cells(
+            path, [GreaterThan(("k",), 149), LessThan(("k",), 350)]
+        ) == [(1,), (2,), (3,)]
+        assert _reader_cells(path, [EqualTo(("k",), 555)]) == [(5,)]
+        assert _reader_cells(path, [In(("k",), (5, 905))]) == [(0,), (9,)]
+        assert _reader_cells(path, [IsNull(("k",))]) == []
+        # Not(In) is uncompilable -> no pruning, conservative
+        assert len(_reader_cells(path, [Not(In(("k",), (5,)))])) == 10
+
+    def test_values_correct_across_boundaries(self, spark, tmp_path):
+        path = str(tmp_path / "p2")
+        df = spark.range(0, 1000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)
+        back = spark.read.format("zarr").load(path)
+        got = sorted(
+            r.k
+            for r in back.filter(
+                (F.col("k") >= 199) & (F.col("k") <= 301)
+            ).collect()
+        )
+        assert got == list(range(199, 302))
+
+    def test_stale_stats_are_ignored(self, spark, tmp_path):
+        """Wrong-length stats (out-of-band edits) must disable pruning,
+        not corrupt it."""
+        path = str(tmp_path / "p3")
+        df = spark.range(0, 1000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)
+        store = open_store(path)
+        doc = json.loads(store.get("k/zarr.json"))
+        doc["attributes"][STATS_ATTR_KEY] = [[0, 1]]  # wrong length
+        store.set("k/zarr.json", json.dumps(doc).encode())
+        # consolidated root also rewritten so planning sees the tamper
+        root = json.loads(store.get("zarr.json"))
+        cons = root.get("consolidated_metadata")
+        if cons:
+            cons["metadata"]["k"]["attributes"][STATS_ATTR_KEY] = [[0, 1]]
+            store.set("zarr.json", json.dumps(root).encode())
+        assert len(_reader_cells(path, [LessThan(("k",), 50)])) == 10
+
+    def test_malformed_entries_keep_cells(self, spark, tmp_path):
+        path = str(tmp_path / "p4")
+        df = spark.range(0, 300, 1, 2).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)
+        store = open_store(path)
+        for key in ("k/zarr.json", "zarr.json"):
+            doc = json.loads(store.get(key))
+            target = (
+                doc["attributes"]
+                if key != "zarr.json"
+                else doc["consolidated_metadata"]["metadata"]["k"][
+                    "attributes"
+                ]
+            )
+            target[STATS_ATTR_KEY] = [None, "bogus", [100, 199]]
+            store.set(key, json.dumps(doc).encode())
+        # entries 0/1 unknown -> kept; entry 2 provably out of range
+        assert _reader_cells(path, [LessThan(("k",), 50)]) == [(0,), (1,)]
+
+    def test_nan_objects_never_pruned(self, spark, tmp_path):
+        path = str(tmp_path / "p5")
+        df = spark.range(0, 200, 1, 2).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") == 150, F.lit(float("nan")))
+            .otherwise(F.col("id") * 1.0)
+            .alias("v"),
+        )
+        write_zarr(df, path, chunk_rows=100)
+        # v > 1e9 matches nothing, but the NaN object's bounds are
+        # unknown so only the clean object is pruned
+        assert _reader_cells(path, [GreaterThan(("v",), 1e9)]) == [(1,)]
+        back = spark.read.format("zarr").load(path)
+        assert back.filter(F.col("v") > 1e9).count() == 0
+
+    def test_sharded_store_prunes_shard_objects(self, spark, tmp_path):
+        path = str(tmp_path / "p6")
+        df = spark.range(0, 2000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, shard_chunks=5)
+        assert _reader_cells(path, [LessThan(("k",), 400)]) == [(0,)]
+        back = spark.read.format("zarr").load(path)
+        got = sorted(r.k for r in back.filter("k < 400").collect())
+        assert got == list(range(400))
+
+    def test_timestamp_store_prunes(self, spark, tmp_path):
+        path = str(tmp_path / "p7")
+        df = spark.range(0, 240, 1, 2).select(
+            F.col("id").alias("k"),
+            F.expr(
+                "timestamp_ntz '2024-01-01 00:00:00' + make_interval("
+                "0, 0, 0, 0, id, 0, 0)"
+            ).alias("ts"),
+        )
+        write_zarr(df, path, chunk_rows=60)
+        cells = _reader_cells(
+            path,
+            [GreaterThan(("ts",), __import__("datetime").datetime(
+                2024, 1, 8, 12, 0, 0
+            ))],
+        )
+        assert cells == [(3,)]  # hours 180..239 start 2024-01-08T12
+        back = spark.read.format("zarr").load(path)
+        n = back.filter(
+            F.col("ts") > F.lit("2024-01-08 12:00:00").cast("timestamp_ntz")
+        ).count()
+        assert n == 59
+
+
+class TestAppendStats:
+    def test_append_merges_and_recomputes_boundary(self, spark, tmp_path):
+        path = str(tmp_path / "a1")
+        write_zarr(
+            spark.range(0, 250).select(F.col("id").alias("k")),
+            path,
+            chunk_rows=100,
+        )
+        write_zarr(
+            spark.range(250, 450).select(F.col("id").alias("k")),
+            path,
+            chunk_rows=100,
+            mode="append",
+        )
+        ks = infer_store_arrays(open_store(path))[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        assert ks == [[0, 99], [100, 199], [200, 299], [300, 399],
+                      [400, 449]]
+        assert _reader_cells(path, [LessThan(("k",), 150)]) == [(0,), (1,)]
+        back = spark.read.format("zarr").load(path)
+        assert sorted(r.k for r in back.filter("k >= 420").collect()) == list(
+            range(420, 450)
+        )
+
+    def test_append_to_statless_store_keeps_old_unknown(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "a2")
+        write_zarr(
+            spark.range(0, 250).select(F.col("id").alias("k")),
+            path,
+            chunk_rows=100,
+            stats=False,
+        )
+        write_zarr(
+            spark.range(250, 400).select(F.col("id").alias("k")),
+            path,
+            chunk_rows=100,
+            mode="append",
+        )
+        ks = infer_store_arrays(open_store(path))[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        # old objects unknown (sound: never pruned); boundary + new known
+        assert ks == [None, None, [200, 299], [300, 399]]
+        # unknowns kept, known out-of-range object pruned
+        assert _reader_cells(path, [LessThan(("k",), 150)]) == [(0,), (1,)]
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 400
+
+    def test_rechunk_regenerates_stats(self, spark, tmp_path):
+        from arrow_zarr_spark.io import rechunk_zarr
+
+        src, dst = str(tmp_path / "a3s"), str(tmp_path / "a3d")
+        write_zarr(
+            spark.range(0, 1000, 1, 4).select(F.col("id").alias("k")),
+            src,
+            chunk_rows=50,
+            stats=False,
+        )
+        rechunk_zarr(spark, src, dst, chunk_rows=250)
+        ks = infer_store_arrays(open_store(dst))[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        assert ks == [[0, 249], [250, 499], [500, 749], [750, 999]]
