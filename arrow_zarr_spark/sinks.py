@@ -40,9 +40,16 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from .io import _clear_store, _np_dtype_for, _zarr_dtype_for
+from .io import (
+    _clear_store,
+    _existing_stats,
+    _np_dtype_for,
+    _stat_encode,
+    _stats_eligible,
+    _zarr_dtype_for,
+)
 from .zarr.codecs import default_codecs, encode_chunk
-from .zarr.meta import ArrayMeta, ZarrFormatError
+from .zarr.meta import STATS_ATTR_KEY, ArrayMeta, ZarrFormatError
 from .zarr.store import open_store
 from .zarr.writer import write_chunk, write_root_group
 
@@ -54,6 +61,10 @@ class ZarrCommitMessage(WriterCommitMessage):
     task_id: str
     n_full_chunks: int
     leftover_rows: int
+    #: per staged full chunk: {col: [min, max]} for stats-eligible
+    #: columns (empty dicts when stats are disabled) — rides the
+    #: commit message so renamed chunks never need re-reading
+    chunk_stats: Optional[List[dict]] = None
 
 
 def _pack_leftover(names, arrays: Dict[str, np.ndarray]) -> bytes:
@@ -240,6 +251,7 @@ class ZarrWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
         self.fill_value = float(options.get("fill_value", 0) or 0)
         self.compression = options.get("compression", "zstd")
+        self.stats = str(options.get("stats", "true")).lower() != "false"
         self.fields = list(schema.fields)
         for f in self.fields:
             _zarr_dtype_for(f)  # validate types before any work
@@ -272,10 +284,12 @@ class ZarrWriter(DataSourceArrowWriter):
         buffers: Dict[str, List[np.ndarray]] = {n: [] for n in names}
         buffered = 0
         n_full = 0
+        chunk_stats: List[dict] = []
 
         def flush_full():
             nonlocal buffered, n_full
             while buffered >= self.chunk_rows:
+                obj_stats: dict = {}
                 for n in names:
                     joined = np.concatenate(buffers[n])
                     head, rest = (
@@ -289,6 +303,12 @@ class ZarrWriter(DataSourceArrowWriter):
                             metas[n], np.ascontiguousarray(head)
                         ),
                     )
+                    if self.stats and _stats_eligible(metas[n].dtype):
+                        obj_stats[n] = [
+                            _stat_encode(np.min(head), metas[n].dtype),
+                            _stat_encode(np.max(head), metas[n].dtype),
+                        ]
+                chunk_stats.append(obj_stats)
                 buffered -= self.chunk_rows
                 n_full += 1
 
@@ -319,7 +339,7 @@ class ZarrWriter(DataSourceArrowWriter):
                 ),
             )
             leftover = buffered
-        return ZarrCommitMessage(task_id, n_full, leftover)
+        return ZarrCommitMessage(task_id, n_full, leftover, chunk_stats)
 
     def commit(self, messages) -> None:
         store = open_store(self.path)
@@ -359,15 +379,41 @@ class ZarrWriter(DataSourceArrowWriter):
             self.compression,
         )
 
-        # 1) staged full chunks -> global positions (rename, no copy)
+        # per-object stats, assembled in the SAME chunk-position order
+        # as the renames/writes below; appends retain old entries when
+        # the existing store carried stats of the expected length
+        # (stats disabled -> metas stay attribute-free, so stale stats
+        # can never survive a layout change)
+        n_units = -(-total_rows // eff_chunk) if total_rows else 0
+        per_col: Dict[str, list] = (
+            {
+                n: [None] * n_units
+                for n in names
+                if _stats_eligible(metas[n].dtype)
+            }
+            if self.stats
+            else {}
+        )
+        if per_col and base_rows:
+            for n, entries in _existing_stats(store, set(per_col)).items():
+                if len(entries) == base_chunks:
+                    per_col[n][:base_chunks] = entries
+
+        # 1) staged full chunks -> global positions (rename, no copy);
+        #    their stats rode the commit messages, no re-read needed
         next_chunk = base_chunks
         for m in msgs:
+            m_stats = m.chunk_stats or []
             for i in range(m.n_full_chunks):
                 for n in names:
                     store.move(
                         f"{self._stage(m.task_id)}/{i}/{n}",
                         f"{n}/{metas[n].chunk_key((next_chunk,))}",
                     )
+                if per_col and i < len(m_stats):
+                    for n, pair in m_stats[i].items():
+                        if n in per_col:
+                            per_col[n][next_chunk] = pair
                 next_chunk += 1
 
         # 2) leftovers (each < chunk_rows) -> packed tail chunks
@@ -389,12 +435,14 @@ class ZarrWriter(DataSourceArrowWriter):
             while pos < total_leftover:
                 take = min(eff_chunk, total_leftover - pos)
                 for n in names:
-                    write_chunk(
-                        store,
-                        metas[n],
-                        (next_chunk,),
-                        packed[n][pos : pos + take],
-                    )
+                    part = packed[n][pos : pos + take]
+                    write_chunk(store, metas[n], (next_chunk,), part)
+                    if n in per_col:
+                        part = np.asarray(part, dtype=metas[n].dtype)
+                        per_col[n][next_chunk] = [
+                            _stat_encode(np.min(part), metas[n].dtype),
+                            _stat_encode(np.max(part), metas[n].dtype),
+                        ]
                 next_chunk += 1
                 pos += take
 
@@ -404,6 +452,8 @@ class ZarrWriter(DataSourceArrowWriter):
         #    (readers plan each poll from one GET).
         import json
 
+        for n, entries in per_col.items():
+            metas[n].attributes[STATS_ATTR_KEY] = entries
         for n in names:
             store.set(f"{n}/zarr.json", json.dumps(metas[n].to_json()).encode())
         write_root_group(

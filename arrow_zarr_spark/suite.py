@@ -625,6 +625,34 @@ def _populate_relational_round5_tail() -> None:
         "FROM lineitem GROUP BY l_returnflag",
     )
 
+    # correlated LATERAL subquery (both engines accept the same text)
+    _sql_pair(
+        "r43_lateral_join",
+        "SELECT n_name, m.top_price FROM nation, LATERAL ("
+        "  SELECT MAX(o_totalprice) AS top_price FROM orders "
+        "  JOIN customer ON o_custkey = c_custkey "
+        "  WHERE c_nationkey = n_nationkey) m",
+    )
+
+    # ordered string aggregation: Spark spells it LISTAGG ... WITHIN
+    # GROUP, DuckDB string_agg(... ORDER BY) — same semantics, two
+    # spellings, so this row can't use _sql_pair. DISTINCT inputs via
+    # the subquery keep the ordered concat fully deterministic.
+    def r44(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        return spark.sql(
+            "SELECT lang, listagg(source, ',') WITHIN GROUP "
+            "(ORDER BY source) AS sources FROM "
+            "(SELECT DISTINCT lang, source FROM documents) GROUP BY lang"
+        )
+
+    register_query(
+        "r44_listagg",
+        r44,
+        "SELECT lang, string_agg(source, ',' ORDER BY source) AS sources "
+        "FROM (SELECT DISTINCT lang, source FROM documents) GROUP BY lang",
+    )
+
     def e03(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Tumbling-window event stats (streaming/event_ops.py:65) in
         batch form. The registered projection follows the suite's
@@ -1128,6 +1156,29 @@ def _populate_writer() -> None:
         "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000",
     )
 
+    def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Single-pass format-sink round-trip: df.write.format("zarr")
+        (staged chunks + rename commit, the sink that does NOT
+        preserve cross-task row order) — the driver's order-
+        insensitive hash is exactly the right oracle for it. Also
+        covers the sink's commit-message stats path end to end."""
+        ensure_views(spark, sf_dir)
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w07_{token}"
+        src = spark.table("customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        src.write.format("zarr").option("chunk_rows", "2048").mode(
+            "overwrite"
+        ).save(path)
+        return spark.read.format("zarr").load(path)
+
+    register_query(
+        "w07_format_sink_roundtrip",
+        w07,
+        "SELECT c_custkey, c_acctbal, c_mktsegment FROM customer",
+    )
+
 
 def _populate_writer_deferred() -> None:
     def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,19 +1219,21 @@ _populated = False
 #: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
 #: list against the live registry.
 #:
-#: Round-5 window: 6 never-checked round-4 additions + 22 round-5
-#: entries (21 new + s03, whose first-ever oracle makes its next
+#: Round-5 window: 6 never-checked round-4 additions + 25 round-5
+#: entries (24 new + s03, whose first-ever oracle makes its next
 #: driver row the first provable one) + the 9 tier-B rows last green
-#: in r2 + the 13 stalest r3-green rows (the zarr flagship block and
+#: in r2 + the 10 stalest r3-green rows (the zarr flagship block and
 #: operator rows keeping one representative per family: t12/t13 for
 #: text, d06+d14+x02 for dedup, s03 for similarity, m05 for
 #: multimodal (never-checked, so in-window anyway), j01/j05 for
-#: joins, w03-w06 for writers (w05 subsumes w01's plain roundtrip);
+#: joins, w03-w07 for writers (w05 subsumes w01's plain roundtrip);
 #: z08's union / z04's CTE-self-join / z12's join / z07's
 #: order-limit semantics stay covered in-window by z19, b10/b11/z11,
-#: b08/j05, and b13; the displaced t01-t04/m01/m02/j02/j03/j04/d04/
-#: d07/s01/s02/w01/z04/z07/z08/z09/z12 stay parity-tested every
-#: round, rotating back in round 6).
+#: b08/j05, and b13; z05's fill / z10's type map / z13's sharded
+#: decode stay covered by golden tests plus the in-window w03/z18;
+#: the displaced t01-t04/m01/m02/j02/j03/j04/d04/d07/s01/s02/w01/
+#: z04/z05/z07/z08/z09/z10/z12/z13 stay parity-tested every round,
+#: rotating back in round 6).
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
     "z18_3d_scan",
@@ -1212,6 +1265,9 @@ DRIVER_WINDOW = [
     "p11_weighted_sample",
     "w06_rechunk_roundtrip",
     "z20_stats_pruned_scan",
+    "w07_format_sink_roundtrip",
+    "r43_lateral_join",
+    "r44_listagg",
     # stalest green rows (last driver-checked in round 2)
     "b01_projection",
     "b02_scalar_expr_alias",
@@ -1226,11 +1282,8 @@ DRIVER_WINDOW = [
     "z01_scan_full",
     "z02_coords_cartesian",
     "z03_where_pushdown",
-    "z05_missing_chunk_fill",
     "z06_mixed_dims",
-    "z10_type_map",
     "z11_theta_self_join",
-    "z13_sharded_scan",
     "z14_string_scan",
     "z15_v2_store_scan",
     "z16_time_scan",

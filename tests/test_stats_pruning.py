@@ -312,3 +312,76 @@ class TestAppendStats:
             STATS_ATTR_KEY
         ]
         assert ks == [[0, 249], [250, 499], [500, 749], [750, 999]]
+
+
+class TestFormatSinkStats:
+    def test_sink_writes_stats_full_and_tail_chunks(self, spark, tmp_path):
+        """Staged full chunks' stats ride the commit messages; tail
+        chunks (packed leftovers) get theirs at commit."""
+        path = str(tmp_path / "fs1")
+        df = spark.range(0, 1050, 1, 3).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+        )
+        df.write.format("zarr").option("chunk_rows", "100").mode(
+            "overwrite"
+        ).save(path)
+        metas = {
+            a.meta.name: a.meta for a in infer_store_arrays(open_store(path))
+        }
+        ks = metas["k"].attributes[STATS_ATTR_KEY]
+        assert len(ks) == 11  # 10 full + 1 tail (or mixed split)
+        assert all(
+            isinstance(e, list) and len(e) == 2 and e[0] <= e[1] for e in ks
+        )
+        # every value is covered by exactly its object's interval
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 1050
+        lo = min(e[0] for e in ks)
+        hi = max(e[1] for e in ks)
+        assert lo == 0 and hi == 1049
+        assert STATS_ATTR_KEY not in metas["s"].attributes
+
+    def test_sink_stats_prune_end_to_end(self, spark, tmp_path):
+        path = str(tmp_path / "fs2")
+        # sorted single partition -> monotone chunks -> selective stats
+        df = (
+            spark.range(0, 2000)
+            .select(F.col("id").alias("k"))
+            .coalesce(1)
+        )
+        df.write.format("zarr").option("chunk_rows", "200").mode(
+            "overwrite"
+        ).save(path)
+        cells = _reader_cells(path, [LessThan(("k",), 150)])
+        assert cells == [(0,)]
+        back = spark.read.format("zarr").load(path)
+        assert sorted(r.k for r in back.filter("k < 150").collect()) == list(
+            range(150)
+        )
+
+    def test_sink_stats_disabled(self, spark, tmp_path):
+        path = str(tmp_path / "fs3")
+        spark.range(0, 100).select(F.col("id").alias("k")).write.format(
+            "zarr"
+        ).option("chunk_rows", "50").option("stats", "false").mode(
+            "overwrite"
+        ).save(path)
+        meta = infer_store_arrays(open_store(path))[0].meta
+        assert STATS_ATTR_KEY not in meta.attributes
+
+    def test_sink_append_merges_stats(self, spark, tmp_path):
+        path = str(tmp_path / "fs4")
+        df1 = spark.range(0, 400).select(F.col("id").alias("k")).coalesce(1)
+        df1.write.format("zarr").option("chunk_rows", "100").mode(
+            "overwrite"
+        ).save(path)
+        df2 = spark.range(400, 600).select(F.col("id").alias("k")).coalesce(1)
+        df2.write.format("zarr").option("chunk_rows", "100").mode(
+            "append"
+        ).save(path)
+        ks = infer_store_arrays(open_store(path))[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        assert ks == [[0, 99], [100, 199], [200, 299], [300, 399],
+                      [400, 499], [500, 599]]
