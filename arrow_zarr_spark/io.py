@@ -286,9 +286,11 @@ def write_zarr(
     opener.rs:171-173). One [min, max] pair per object per column
     rides the existing per-object commit row back to the driver, so
     the driver-side cost scales with the object count (the same
-    chunk_rows × shard_chunks lever). Appends merge: untouched
-    objects keep their entries, the boundary object's pair is
-    recomputed over merged data; appending to a stats-less store
+    chunk_rows × shard_chunks lever; at extreme object counts pass
+    ``stats=False`` — the commit then aggregates server-side and
+    nothing object-sized reaches the driver). Appends merge:
+    untouched objects keep their entries, the boundary object's pair
+    is recomputed over merged data; appending to a stats-less store
     leaves old entries unknown (never pruned)."""
     if columns:
         df = df.select(*columns)
@@ -474,17 +476,24 @@ def write_zarr(
                 }
             )
 
-        # one row per store object — the same object-count scale as
-        # the chunk writes themselves (the chunk_rows/shard_chunks
-        # lever bounds it); carries the commit counts AND the stats
-        result_rows = (
-            with_cid.groupBy("__cid")
-            .applyInPandas(
-                write_chunk_group, schema="cid long, rows long, stats string"
-            )
-            .collect()
+        committed = with_cid.groupBy("__cid").applyInPandas(
+            write_chunk_group, schema="cid long, rows long, stats string"
         )
-        written = sum(int(r["rows"]) for r in result_rows)
+        if want_stats:
+            # one collected row per store object — the same object-
+            # count scale as the chunk writes themselves (the
+            # chunk_rows/shard_chunks lever bounds it); carries the
+            # commit counts AND the stats
+            result_rows = committed.collect()
+            written = sum(int(r["rows"]) for r in result_rows)
+        else:
+            # stats off: aggregate server-side, nothing object-sized
+            # ever reaches the driver
+            written = int(
+                committed.agg(F.sum("rows").alias("written")).first()[
+                    "written"
+                ]
+            )
         if written != new_rows:
             raise ZarrFormatError(
                 f"write_zarr wrote {written} rows, expected {new_rows}"

@@ -411,6 +411,61 @@ def weighted_sample(
     return df.filter(draw < clamped * _DRAW_MOD)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    budget: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-smoothed mixture sampling (the multilingual-corpus
+    recipe of mBERT / XLM-R, alpha = 0.5): draw ~``budget`` rows total
+    with per-group allocation proportional to ``sqrt(n_g)`` — small
+    groups are boosted relative to their share, large groups damped,
+    without the starvation of a uniform split.
+
+    Fully engine-exact: group weights are ``floor(sqrt(n_g * 10^4))``
+    (an integer — sqrt is correctly rounded in IEEE and its argument
+    stays under 2^53), and membership is the INTEGER comparison
+    ``draw(key) * S * n_g < budget * w_g * p`` over the shared prime
+    draw — no float division anywhere, so any SQL engine replays the
+    exact row set. Expected kept per group = n_g * budget * w_g /
+    (S * n_g) = budget * w_g / S; groups whose fair share exceeds
+    their size keep everything (the comparison saturates past the
+    draw range).
+
+    Scale shape: one metadata-sized groupBy (group cardinality rows),
+    its total via a broadcast single-row cross join, one broadcast
+    join back, then a narrow WHERE. Products stay in int64 up to
+    ``n_g * S * p < 2^63`` (~1e12 row groups at 100-group corpora);
+    ANSI mode fails loudly past that rather than wrapping."""
+    if budget <= 0:
+        raise ValueError("temperature_mixture: budget must be positive")
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__w",
+            F.floor(F.sqrt((F.col("__n") * 10000).cast("double"))).cast(
+                "long"
+            ),
+        )
+    )
+    total = counts.agg(F.sum("__w").alias("__S"))
+    draw = (
+        (F.col(key_col) % _DRAW_MOD + F.lit(seed)) * F.lit(_DRAW_MULT)
+    ) % _DRAW_MOD
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(total))
+        .filter(
+            draw * F.col("__S") * F.col("__n")
+            < F.lit(int(budget)) * F.col("__w") * F.lit(_DRAW_MOD)
+        )
+        .drop("__n", "__w", "__S")
+    )
+
+
 def rebalance_mixture(
     df: DataFrame,
     group_col: str,

@@ -1672,6 +1672,30 @@ def populate_round5_late2_queries(register) -> None:
         "* 1000003",
     )
 
+    # p12: temperature-smoothed mixture sampling (alpha = 0.5, the
+    # mBERT/XLM-R recipe) — integer-exact: sqrt weights floor to
+    # integers, membership is one BIGINT product comparison, so the
+    # oracle replays the exact row set with no float division
+    def p12(spark, sf_dir):
+        from .sampling import temperature_mixture
+
+        return temperature_mixture(
+            _docs(spark, sf_dir), "source", "doc_id", budget=200
+        )
+
+    register(
+        "p12_temperature_mixture",
+        p12,
+        "WITH counts AS (SELECT source, COUNT(*) AS n, "
+        "CAST(FLOOR(SQRT(CAST(COUNT(*) * 10000 AS DOUBLE))) AS BIGINT) "
+        "AS w FROM documents GROUP BY source), "
+        "tot AS (SELECT SUM(w) AS s FROM counts) "
+        "SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars "
+        "FROM documents d JOIN counts c ON d.source = c.source, tot "
+        "WHERE ((d.doc_id % 1000003 + 42) * 2654435761) % 1000003 "
+        "* tot.s * c.n < 200 * c.w * 1000003",
+    )
+
 
 def populate_deferred_queries(register) -> None:
     """Queries with genuinely engine-specific output (xxhash64 /

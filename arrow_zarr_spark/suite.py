@@ -653,6 +653,16 @@ def _populate_relational_round5_tail() -> None:
         "FROM (SELECT DISTINCT lang, source FROM documents) GROUP BY lang",
     )
 
+    # event-time RANGE frame (interval boundary) — same text on both
+    # engines; ties share a frame, so the count is order-insensitive
+    _sql_pair(
+        "r45_time_range_frame",
+        "SELECT event_id, user_id, CAST(COUNT(*) OVER ("
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS n_last_hour FROM events",
+    )
+
     def e03(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Tumbling-window event stats (streaming/event_ops.py:65) in
         batch form. The registered projection follows the suite's
@@ -1219,20 +1229,22 @@ _populated = False
 #: tests/test_oracle_parity.py; tests/test_suite_registry.py pins this
 #: list against the live registry.
 #:
-#: Round-5 window: 6 never-checked round-4 additions + 25 round-5
-#: entries (24 new + s03, whose first-ever oracle makes its next
+#: Round-5 window: 6 never-checked round-4 additions + 27 round-5
+#: entries (26 new + s03, whose first-ever oracle makes its next
 #: driver row the first provable one) + the 9 tier-B rows last green
-#: in r2 + the 10 stalest r3-green rows (the zarr flagship block and
+#: in r2 + the 8 stalest r3-green rows (the zarr flagship block and
 #: operator rows keeping one representative per family: t12/t13 for
 #: text, d06+d14+x02 for dedup, s03 for similarity, m05 for
 #: multimodal (never-checked, so in-window anyway), j01/j05 for
 #: joins, w03-w07 for writers (w05 subsumes w01's plain roundtrip);
-#: z08's union / z04's CTE-self-join / z12's join / z07's
+#: z14's strings (w04 in-window) / z16's datetimes (w02/z17 green
+#: r4) / z08's union / z04's CTE-self-join / z12's join / z07's
 #: order-limit semantics stay covered in-window by z19, b10/b11/z11,
 #: b08/j05, and b13; z05's fill / z10's type map / z13's sharded
 #: decode stay covered by golden tests plus the in-window w03/z18;
 #: the displaced t01-t04/m01/m02/j02/j03/j04/d04/d07/s01/s02/w01/
-#: z04/z05/z07/z08/z09/z10/z12/z13 stay parity-tested every round,
+#: z04/z05/z07/z08/z09/z10/z12/z13/z14/z16 stay parity-tested every
+#: round,
 #: rotating back in round 6).
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
@@ -1268,6 +1280,8 @@ DRIVER_WINDOW = [
     "w07_format_sink_roundtrip",
     "r43_lateral_join",
     "r44_listagg",
+    "r45_time_range_frame",
+    "p12_temperature_mixture",
     # stalest green rows (last driver-checked in round 2)
     "b01_projection",
     "b02_scalar_expr_alias",
@@ -1284,9 +1298,7 @@ DRIVER_WINDOW = [
     "z03_where_pushdown",
     "z06_mixed_dims",
     "z11_theta_self_join",
-    "z14_string_scan",
     "z15_v2_store_scan",
-    "z16_time_scan",
     "d06_embedding_neardup",
     "j01_range_join",
 ]

@@ -520,3 +520,51 @@ class TestWeightedSample:
         c = {r.doc_id for r in sampling.weighted_sample(docs, w, "doc_id", seed=43).collect()}
         assert a == b
         assert a != c
+
+
+class TestTemperatureMixture:
+    def test_small_groups_boosted_large_damped(self, spark):
+        """alpha=0.5 smoothing: a group 100x larger gets only 10x the
+        kept rows (sqrt), so small groups are over-represented
+        relative to their share."""
+        df = spark.range(0, 10100).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 10000, F.lit("big"))
+            .otherwise(F.lit("small"))
+            .alias("g"),
+        )
+        out = sampling.temperature_mixture(df, "g", "k", budget=1000)
+        by_g = {
+            r.g: r.n
+            for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()
+        }
+        # weights: sqrt(10000)=100 : sqrt(100)=10 -> expect ~909 : ~91
+        assert 800 < by_g["big"] < 1000
+        assert 50 < by_g["small"] <= 100
+        # proportional sampling would give "small" ~1% = ~10 rows;
+        # smoothing must lift it far above that
+        assert by_g["small"] > 40
+
+    def test_saturation_keeps_whole_tiny_group(self, spark):
+        df = spark.range(0, 1005).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 1000, F.lit("big"))
+            .otherwise(F.lit("tiny"))
+            .alias("g"),
+        )
+        # fair share for "tiny" exceeds its 5 rows -> keep all 5
+        out = sampling.temperature_mixture(df, "g", "k", budget=900)
+        tiny = [r.k for r in out.collect() if r.g == "tiny"]
+        assert len(tiny) == 5
+
+    def test_deterministic_and_exact_columns(self, spark, docs):
+        a = sampling.temperature_mixture(docs, "source", "doc_id", 200)
+        b = sampling.temperature_mixture(docs, "source", "doc_id", 200)
+        ra = sorted(r.doc_id for r in a.collect())
+        rb = sorted(r.doc_id for r in b.collect())
+        assert ra == rb and len(ra) > 0
+        assert sorted(a.columns) == sorted(docs.columns)
+
+    def test_rejects_bad_budget(self, spark, docs):
+        with pytest.raises(ValueError, match="budget"):
+            sampling.temperature_mixture(docs, "source", "doc_id", 0)
