@@ -505,9 +505,14 @@ def write_zarr(
             old = (
                 _existing_stats(store, set(col_names)) if base_rows else {}
             )
+            old_units = -(-base_rows // unit) if base_rows else 0
             per_col = {n: [None] * n_units for n in col_names}
             for n, entries in old.items():
-                for i in range(min(first_new, len(entries), n_units)):
+                # wrong-length old stats are provably stale (out-of-band
+                # edits) — drop them wholesale, never trust a prefix
+                if len(entries) != old_units:
+                    continue
+                for i in range(first_new):
                     per_col[n][i] = entries[i]
             for r in result_rows:
                 decoded = json.loads(r["stats"])
@@ -532,7 +537,11 @@ def write_zarr_grid(
     fill_value=0,
 ) -> int:
     """Write a coordinate-gridded DataFrame as an N-D Zarr store — the
-    inverse of the reader's coordinate broadcast (A14).
+    inverse of the reader's coordinate broadcast (A14). Grid stores
+    carry no [min, max] statistics yet — the planning-time object
+    pruning (STATS_ATTR_KEY) is table-layout-only; grid scans rely on
+    the dynamic per-chunk filter phase (A5), which reads only the
+    predicate columns per cell.
 
     ``dims`` names the coordinate columns; every other numeric column
     becomes an N-D data array over the Cartesian grid of the sorted

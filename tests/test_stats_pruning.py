@@ -385,3 +385,38 @@ class TestFormatSinkStats:
         ]
         assert ks == [[0, 99], [100, 199], [200, 299], [300, 399],
                       [400, 499], [500, 599]]
+
+
+class TestStaleAppendStats:
+    def test_append_drops_wrong_length_old_stats(self, spark, tmp_path):
+        """Old stats whose length mismatches the old grid are provably
+        stale — the append must drop them (old entries unknown), never
+        merge a prefix."""
+        path = str(tmp_path / "sa1")
+        write_zarr(
+            spark.range(0, 300).select(F.col("id").alias("k")),
+            path,
+            chunk_rows=100,
+        )
+        store = open_store(path)
+        for key in ("k/zarr.json", "zarr.json"):
+            doc = json.loads(store.get(key))
+            target = (
+                doc["attributes"]
+                if key != "zarr.json"
+                else doc["consolidated_metadata"]["metadata"]["k"][
+                    "attributes"
+                ]
+            )
+            target[STATS_ATTR_KEY] = [[999, 999]]  # wrong length
+            store.set(key, json.dumps(doc).encode())
+        write_zarr(
+            spark.range(300, 500).select(F.col("id").alias("k")),
+            path,
+            chunk_rows=100,
+            mode="append",
+        )
+        ks = infer_store_arrays(open_store(path))[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        assert ks == [None, None, None, [300, 399], [400, 499]]

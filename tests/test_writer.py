@@ -369,6 +369,16 @@ class TestStreamToZarr:
         back = spark.read.format("zarr").load(store)
         assert back.count() == 500
         assert back.agg(F.sum("event_id")).first()[0] == sum(range(500))
+        # microbatch appends merge per-object stats to full coverage
+        from arrow_zarr_spark.zarr.meta import STATS_ATTR_KEY
+
+        metas = {
+            a.meta.name: a.meta
+            for a in infer_store_arrays(open_store(store))
+        }
+        s = metas["event_id"].attributes[STATS_ATTR_KEY]
+        assert len(s) == -(-500 // 128)
+        assert all(e is not None for e in s)
 
 
 class TestShardedWriter:
