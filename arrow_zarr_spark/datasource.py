@@ -302,6 +302,49 @@ class ZarrReader(DataSourceReader):
 
     # -- statistics pruning ---------------------------------------------
 
+    #: planning-time read budget for coordinate pruning: coordinates at
+    #: or under this many elements are read ONCE at planning to derive
+    #: per-chunk [min, max]; larger coordinates fall back to the
+    #: dynamic executor-side filter phase. 1M elements = 8 MB of f64 —
+    #: the axes of even a petabyte-scale grid store fit comfortably.
+    _COORD_PRUNE_CAP = 1 << 20
+
+    def _coord_bounds(self, needed) -> Dict[str, Tuple[int, list]]:
+        """name -> (cell axis, per-grid-index (lo, hi)) for COORDINATE
+        columns referenced by the pushed conjuncts — derived by reading
+        the coordinate values themselves at planning time (coordinates
+        are the axes: small by construction, and the read is capped).
+        Works on ANY store — reference-written lat/lon grids included —
+        because it needs no writer-recorded statistics. NaN bounds are
+        safe as-is: every prune test in interval_possible is a positive
+        comparison, which NaN fails, so NaN chunks are kept."""
+        out: Dict[str, Tuple[int, list]] = {}
+        cap = int(self.options.get("coord_prune_cap", self._COORD_PRUNE_CAP))
+        for name, axis in self.plan.coord_axis.items():
+            if name not in needed:
+                continue
+            arr = self.plan.by_name[name]
+            if arr.meta.shape[0] > cap:
+                continue
+            if self.plan.kind == "all_coords":
+                c = arr.meta.chunk_shape[0]
+            else:
+                c = self.plan._rep.meta.chunk_shape[axis]
+            try:
+                vals = arr.read_all()
+            except ZarrFormatError:
+                continue  # unreadable at planning: prune nothing
+            n = self.plan.grid_shape[axis]
+            blist = [
+                (
+                    vals[i * c : (i + 1) * c].min(),
+                    vals[i * c : (i + 1) * c].max(),
+                )
+                for i in range(n)
+            ]
+            out[name] = (axis, blist)
+        return out
+
     def _stats_bounds(self) -> Dict[str, list]:
         """Per-column decoded [lo, hi]-per-object lists from writer
         statistics (``STATS_ATTR_KEY``) — validated against the live
@@ -340,29 +383,41 @@ class ZarrReader(DataSourceReader):
         return out
 
     def _prune_cells(self, cells):
-        """Drop grid cells PROVABLY empty under the pushed conjuncts
-        using per-object min/max — planning-time pruning, zero chunk
-        reads for excluded objects (parquet row-group semantics; the
-        dynamic per-chunk mask in ``_load_cell`` still runs for the
-        survivors). Conservative: a column without valid stats, a
-        None bound, or a non-1-D cell never prunes."""
-        if not self.predicates:
+        """Drop grid cells PROVABLY empty under the pushed conjuncts —
+        planning-time pruning, zero chunk reads for excluded objects
+        (parquet row-group semantics; the dynamic per-chunk mask in
+        ``_load_cell`` still runs for the survivors). Two bound
+        sources compose:
+
+        - writer-recorded per-object [min, max] statistics (table
+          stores, axis 0);
+        - COORDINATE values read at planning (any store, any
+          dimensionality — the reference's own lat/lon flagship query
+          prunes its grid statically this way).
+
+        Conservative: a column without usable bounds, a None/NaN
+        bound, or an unreadable coordinate never prunes."""
+        if not self.predicates or not cells:
             return cells
-        bounds = self._stats_bounds()
+        # name -> (cell axis, per-index (lo, hi))
+        bounds: Dict[str, Tuple[int, list]] = {}
+        if len(cells[0]) == 1:
+            for n, blist in self._stats_bounds().items():
+                bounds[n] = (0, blist)
+        needed = {p.column for p in self.predicates} - set(bounds)
+        bounds.update(self._coord_bounds(needed))
         preds = [p for p in self.predicates if p.column in bounds]
         # isnull is provably empty regardless of bounds (decoded zarr
         # chunks never hold nulls) — but only prune on it when the
-        # column exists at all; mask() handles it dynamically anyway
+        # column has bounds at all; mask() handles it dynamically anyway
         if not preds:
             return cells
         kept = []
         for cell in cells:
-            if len(cell) != 1:
-                return cells  # non-table grid: stats don't apply
-            i = cell[0]
             ok = True
             for p in preds:
-                lo, hi = bounds[p.column][i]
+                axis, blist = bounds[p.column]
+                lo, hi = blist[cell[axis]]
                 if not interval_possible(p, lo, hi):
                     ok = False
                     break

@@ -420,3 +420,92 @@ class TestStaleAppendStats:
             STATS_ATTR_KEY
         ]
         assert ks == [None, None, None, [300, 399], [400, 499]]
+
+
+class TestCoordinatePruning:
+    """Planning-time pruning from COORDINATE values — needs no writer
+    statistics, so it works on any store (the reference's own lat/lon
+    fixture included)."""
+
+    def test_reference_filter_shape_prunes_4_of_9(self, spark):
+        """The reference's filter_test keeps exactly 4 of 9 chunks
+        under lat < 38.1 AND lon > -116.9 (filter_test,
+        zarr_data_stream.rs:1160-1203) — here the same 4 survive at
+        PLANNING time, before any chunk read."""
+        from arrow_zarr_spark import fixtures
+
+        path = fixtures.write_lat_lon_store()
+        cells = _reader_cells(
+            path,
+            [LessThan(("lat",), 38.1), GreaterThan(("lon",), -116.9)],
+        )
+        assert cells == [(0, 1), (0, 2), (1, 1), (1, 2)]
+        # and the values still come out exactly right
+        back = (
+            spark.read.format("zarr")
+            .load(path)
+            .filter("lat < 38.1 AND lon > -116.9")
+        )
+        got = sorted(r.data for r in back.collect())
+        want = sorted(
+            float(i * 8 + j)
+            for i in range(8)
+            for j in range(8)
+            if (35.0 + i) < 38.1 and (-120.0 + j) > -116.9
+        )
+        assert got == want
+
+    def test_all_coords_cartesian_prunes(self, spark):
+        from arrow_zarr_spark import fixtures
+        from arrow_zarr_spark.datasource import ZarrDataSource
+
+        path = fixtures.write_lat_lon_store()
+        ds = ZarrDataSource({"path": path, "columns": "lat,lon"})
+        r = ds.reader(ds.schema())
+        list(r.pushFilters([LessThan(("lat",), 36.0)]))
+        cells = [c for p in r.partitions() for c in p.cells]
+        assert cells == [(0, 0), (0, 1), (0, 2)]
+
+    def test_unsorted_coordinate_still_sound(self, spark, tmp_path):
+        """Per-chunk min/max needs no sortedness; values must stay
+        exactly equal to the unpruned scan."""
+        from arrow_zarr_spark.zarr import write_store
+
+        path = str(tmp_path / "coord_unsorted")
+        lat = np.array([5.0, 1.0, 9.0, 2.0, 8.0, 3.0])
+        write_store(
+            path,
+            arrays={"lat": lat, "data": np.arange(6.0)},
+            chunk_shapes={"lat": (2,), "data": (2,)},
+            dimension_names={"lat": ("lat",), "data": ("lat",)},
+        )
+        cells = _reader_cells(path, [GreaterThan(("lat",), 7.0)])
+        # chunk bounds: (1,5), (2,9), (3,8) -> chunks 1 and 2 survive
+        assert cells == [(1,), (2,)]
+        back = spark.read.format("zarr").load(path).filter("lat > 7.0")
+        assert sorted(r.data for r in back.collect()) == [2.0, 4.0]
+
+    def test_oversized_coordinate_never_read_at_planning(self, spark):
+        """Past the cap the planner must not read the coordinate —
+        pruning silently degrades to the dynamic phase."""
+        from arrow_zarr_spark import fixtures
+        from arrow_zarr_spark.datasource import ZarrDataSource
+
+        path = fixtures.write_lat_lon_store()
+        ds = ZarrDataSource({"path": path, "coord_prune_cap": "4"})
+        r = ds.reader(ds.schema())
+        list(r.pushFilters([LessThan(("lat",), 36.0)]))
+        cells = [c for p in r.partitions() for c in p.cells]
+        assert len(cells) == 9  # 8 > cap of 4: nothing pruned
+
+    def test_mixed_coord_and_data_predicates(self, spark):
+        """A data-column conjunct (no bounds on a 2-D array) must not
+        disable the coordinate conjunct's pruning."""
+        from arrow_zarr_spark import fixtures
+
+        path = fixtures.write_lat_lon_store()
+        cells = _reader_cells(
+            path,
+            [LessThan(("lat",), 36.0), GreaterThan(("data",), -1.0)],
+        )
+        assert cells == [(0, 0), (0, 1), (0, 2)]
