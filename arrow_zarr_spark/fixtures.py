@@ -442,3 +442,39 @@ def write_time_series_store(path: str | None = None) -> str:
     )
     _mark_done(path)
     return path
+
+
+def write_geo_bench_store(
+    path: str | None = None, side: int = 2048, chunk: int = 64
+) -> str:
+    """Coordinate-pruning bench store: a scaled-up F1 — lat/lon f64
+    coordinates of length ``side`` and a [side, side] f64 data array
+    ((side/chunk)^2 grid cells) — the layout where planning-time
+    coordinate pruning pays: a one-chunk-band predicate keeps
+    side/chunk of the (side/chunk)^2 cells."""
+    path = path or fixture_dir(f"geo_bench_{side}_{chunk}")
+    if _done(path):
+        return path
+    data = (
+        np.arange(side * side, dtype=np.float64).reshape(side, side)
+    )
+    write_store(
+        path,
+        arrays={
+            "lat": np.arange(side, dtype=np.float64),
+            "lon": np.arange(side, dtype=np.float64) * -1.0,
+            "data": data,
+        },
+        chunk_shapes={
+            "lat": (chunk,),
+            "lon": (chunk,),
+            "data": (chunk, chunk),
+        },
+        dimension_names={
+            "lat": ("lat",),
+            "lon": ("lon",),
+            "data": ("lat", "lon"),
+        },
+    )
+    _mark_done(path)
+    return path

@@ -332,6 +332,23 @@ def bench_queries(spark):
     qs["zarr_stats_filter_pruned"] = lambda: _stats_filter("with")
     qs["zarr_stats_filter_unpruned"] = lambda: _stats_filter("without")
 
+    # coordinate-pruning pair: a one-chunk-band predicate on a
+    # 2048x2048 grid store (1024 cells). Static: the planner reads the
+    # two 2048-element coordinates once and keeps 32 cells; dynamic
+    # (coord_prune_cap=0 disables the planning read): all 1024 cells
+    # become tasks that each fetch coordinate chunks before skipping.
+    _geo = fixtures.write_geo_bench_store()
+
+    def _coord_filter(static):
+        reader = spark.read.format("zarr")
+        if not static:
+            reader = reader.option("coord_prune_cap", "0")
+        df = reader.load(_geo)
+        return _force(df.filter("lat < 64 AND lon <= -1984"))
+
+    qs["zarr_coord_filter_static"] = lambda: _coord_filter(True)
+    qs["zarr_coord_filter_dynamic"] = lambda: _coord_filter(False)
+
     # -- data-pipeline operators (registered once implemented) --
     try:
         from arrow_zarr_spark.operators import bench_entries
