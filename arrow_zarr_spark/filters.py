@@ -40,7 +40,26 @@ __all__ = [
     "compile_chunk_filters",
     "conjunction_mask",
     "interval_possible",
+    "prefix_successor",
 ]
+
+
+def prefix_successor(s: str):
+    """Smallest string greater than EVERY string with prefix ``s``:
+    the last character increments (carrying past U+10FFFF), so
+    ``s <= x < prefix_successor(s)`` iff ``x`` starts with ``s`` or
+    sorts inside that range. None when no successor exists (all
+    U+10FFFF). Used for startswith interval tests and for truncated
+    string upper bounds (a truncated max must round UP to stay an
+    upper bound — parquet's convention)."""
+    t = list(s)
+    while t:
+        c = ord(t[-1])
+        if c < 0x10FFFF:
+            t[-1] = chr(c + 1)
+            return "".join(t)
+        t.pop()
+    return None
 
 
 @dataclass(frozen=True)
@@ -74,6 +93,19 @@ class ChunkPredicate:
             return np.ones(v.shape, dtype=bool)
         if self.op == "isnull":
             return np.zeros(v.shape, dtype=bool)
+        if self.op in ("startswith", "endswith", "contains"):
+            # vlen-utf8 chunks decode to object arrays of str —
+            # pandas' vectorized str ops beat a Python loop here
+            import pandas as pd
+
+            s = pd.Series(v)
+            if self.op == "startswith":
+                m = s.str.startswith(self.value)
+            elif self.op == "endswith":
+                m = s.str.endswith(self.value)
+            else:
+                m = s.str.contains(self.value, regex=False)
+            return m.fillna(False).to_numpy(dtype=bool)
         raise ValueError(f"unknown op {self.op}")
 
 
@@ -135,8 +167,14 @@ def _compile_one(f: Filter, columns: Set[str]) -> ChunkPredicate | None:
         return ChunkPredicate(name, "notnull")
     if t is IsNull:
         return ChunkPredicate(name, "isnull")
-    # StringContains/StartsWith/EndsWith: string chunks aren't decodable
-    # in this environment, so never claim them for pruning
+    # string ops prune too — vlen-utf8 chunks decode to str arrays
+    # (the "strings aren't decodable" era ended with the round-3 codec)
+    if t is StringStartsWith:
+        return ChunkPredicate(name, "startswith", str(f.value))
+    if t is StringEndsWith:
+        return ChunkPredicate(name, "endswith", str(f.value))
+    if t is StringContains:
+        return ChunkPredicate(name, "contains", str(f.value))
     return None
 
 
@@ -220,6 +258,13 @@ def interval_possible(pred: ChunkPredicate, lo, hi) -> bool:
             return not (hi < v)
         if op == "isin":
             return any(not (x < lo or x > hi) for x in v)
+        if op == "startswith":
+            # strings with prefix v all sort in [v, successor(v))
+            if hi < v:
+                return False
+            succ = prefix_successor(v)
+            return succ is None or not (lo >= succ)
+        # endswith/contains admit no interval reasoning
     except TypeError:
         # incomparable literal/stat types: stats can't prove anything
         return True

@@ -208,15 +208,23 @@ def _validate_append_target(
 
 
 def _stats_eligible(dtype: np.dtype) -> bool:
-    return dtype.kind in "biufM"
+    return dtype.kind in "biufMO"
 
 
-def _stat_encode(val, dtype: np.dtype):
+#: string stats bound length — long documents would bloat the
+#: metadata; a prefix stays a valid LOWER bound as-is, and the upper
+#: bound rounds UP via prefix_successor (parquet's truncation rule)
+_STR_STAT_LEN = 64
+
+
+def _stat_encode(val, dtype: np.dtype, upper: bool = False):
     """One bound as a JSON-able value; None = unknown (never prunes).
     Floats use NaN-propagating min/max upstream, and a NaN bound
     encodes as None so NaN-contaminated objects are never pruned (and
     ``neq`` stats-pruning stays sound). datetime64 encodes as the raw
-    epoch count in the array's own unit."""
+    epoch count in the array's own unit. Strings (vlen-utf8) truncate
+    to ``_STR_STAT_LEN`` chars — the max additionally rounds up so
+    the truncated pair still brackets every value."""
     if dtype.kind == "f":
         f = float(val)
         return None if math.isnan(f) else f
@@ -224,6 +232,14 @@ def _stat_encode(val, dtype: np.dtype):
         return int(np.asarray(val).view("i8"))
     if dtype.kind == "b":
         return bool(val)
+    if dtype.kind == "O":
+        from .filters import prefix_successor
+
+        s = str(val)
+        if len(s) <= _STR_STAT_LEN:
+            return s
+        cut = s[:_STR_STAT_LEN]
+        return prefix_successor(cut) if upper else cut
     return int(val)
 
 
@@ -466,7 +482,9 @@ def write_zarr(
                     # np.min/np.max propagate NaN -> encodes as None
                     obj_stats[name] = [
                         _stat_encode(np.min(data), meta.dtype),
-                        _stat_encode(np.max(data), meta.dtype),
+                        _stat_encode(
+                            np.max(data), meta.dtype, upper=True
+                        ),
                     ]
             return pd.DataFrame(
                 {

@@ -306,7 +306,9 @@ class ZarrWriter(DataSourceArrowWriter):
                     if self.stats and _stats_eligible(metas[n].dtype):
                         obj_stats[n] = [
                             _stat_encode(np.min(head), metas[n].dtype),
-                            _stat_encode(np.max(head), metas[n].dtype),
+                            _stat_encode(
+                                np.max(head), metas[n].dtype, upper=True
+                            ),
                         ]
                 chunk_stats.append(obj_stats)
                 buffered -= self.chunk_rows
@@ -441,7 +443,9 @@ class ZarrWriter(DataSourceArrowWriter):
                         part = np.asarray(part, dtype=metas[n].dtype)
                         per_col[n][next_chunk] = [
                             _stat_encode(np.min(part), metas[n].dtype),
-                            _stat_encode(np.max(part), metas[n].dtype),
+                            _stat_encode(
+                                np.max(part), metas[n].dtype, upper=True
+                            ),
                         ]
                 next_chunk += 1
                 pos += take

@@ -93,8 +93,9 @@ class TestWriterStats:
         assert ks[0] == [0, 99] and ks[9] == [900, 999]
         vs = metas["v"].attributes[STATS_ATTR_KEY]
         assert vs[0] == [0.0, 49.5]
-        # strings carry no stats
-        assert STATS_ATTR_KEY not in metas["s"].attributes
+        # strings carry (lexicographic) stats too
+        ss = metas["s"].attributes[STATS_ATTR_KEY]
+        assert len(ss) == 10 and ss[0][0].startswith("t")
 
     def test_stats_off(self, spark, tmp_path):
         path = str(tmp_path / "s2")
@@ -340,7 +341,8 @@ class TestFormatSinkStats:
         lo = min(e[0] for e in ks)
         hi = max(e[1] for e in ks)
         assert lo == 0 and hi == 1049
-        assert STATS_ATTR_KEY not in metas["s"].attributes
+        # string columns carry lexicographic stats through the sink too
+        assert len(metas["s"].attributes[STATS_ATTR_KEY]) == len(ks)
 
     def test_sink_stats_prune_end_to_end(self, spark, tmp_path):
         path = str(tmp_path / "fs2")
@@ -509,3 +511,87 @@ class TestCoordinatePruning:
             [LessThan(("lat",), 36.0), GreaterThan(("data",), -1.0)],
         )
         assert cells == [(0, 0), (0, 1), (0, 2)]
+
+
+class TestStringPruning:
+    def test_prefix_successor(self):
+        from arrow_zarr_spark.filters import prefix_successor
+
+        assert prefix_successor("ab") == "ac"
+        assert prefix_successor("a" + chr(0x10FFFF)) == "b"
+        assert prefix_successor(chr(0x10FFFF)) is None
+
+    def test_string_stats_written_and_truncated(self, spark, tmp_path):
+        path = str(tmp_path / "ss1")
+        long = "x" * 100
+        df = spark.range(0, 200, 1, 1).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 100, F.concat(F.lit("a"), F.col("id")))
+            .otherwise(F.lit(long))
+            .alias("s"),
+        )
+        write_zarr(df, path, chunk_rows=100)
+        metas = {
+            a.meta.name: a.meta for a in infer_store_arrays(open_store(path))
+        }
+        ss = metas["s"].attributes[STATS_ATTR_KEY]
+        assert ss[0] == ["a0", "a99"]
+        # chunk 1 is all the 100-char string: min truncates down to 64
+        # chars, max rounds UP so the pair still brackets the value
+        assert ss[1][0] == "x" * 64
+        assert ss[1][1] == "x" * 63 + "y"
+        assert ss[1][0] <= long <= ss[1][1]
+
+    def test_string_eq_and_range_prune(self, spark, tmp_path):
+        path = str(tmp_path / "ss2")
+        df = spark.range(0, 300, 1, 1).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 100, F.lit("alpha"))
+            .when(F.col("id") < 200, F.lit("beta"))
+            .otherwise(F.lit("gamma"))
+            .alias("s"),
+        )
+        write_zarr(df, path, chunk_rows=100)
+        assert _reader_cells(path, [EqualTo(("s",), "beta")]) == [(1,)]
+        assert _reader_cells(path, [GreaterThan(("s",), "delta")]) == [(2,)]
+        back = spark.read.format("zarr").load(path)
+        assert back.filter("s = 'beta'").count() == 100
+        assert back.filter("s > 'delta'").count() == 100
+
+    def test_startswith_static_and_dynamic(self, spark, tmp_path):
+        from pyspark.sql.datasource import StringStartsWith
+
+        path = str(tmp_path / "ss3")
+        df = spark.range(0, 300, 1, 1).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 100, F.lit("apple"))
+            .when(F.col("id") < 200, F.lit("apricot"))
+            .otherwise(F.lit("banana"))
+            .alias("s"),
+        )
+        write_zarr(df, path, chunk_rows=100)
+        # static: "ap" covers chunks 0 and 1, never chunk 2
+        assert _reader_cells(path, [StringStartsWith(("s",), "ap")]) == [
+            (0,), (1,),
+        ]
+        assert _reader_cells(path, [StringStartsWith(("s",), "apr")]) == [
+            (1,),
+        ]
+        back = spark.read.format("zarr").load(path)
+        assert back.filter(F.col("s").startswith("ap")).count() == 200
+        assert back.filter(F.col("s").contains("rico")).count() == 100
+        assert back.filter(F.col("s").endswith("nana")).count() == 100
+
+    def test_string_filters_exact_on_mixed_chunks(self, spark, tmp_path):
+        """A chunk containing matching AND non-matching rows must
+        surface only the matches (dynamic mask + Spark's exact
+        filter)."""
+        path = str(tmp_path / "ss4")
+        df = spark.range(0, 100, 1, 1).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("doc"), F.col("id")).alias("s"),
+        )
+        write_zarr(df, path, chunk_rows=40)
+        back = spark.read.format("zarr").load(path)
+        got = sorted(r.k for r in back.filter("s LIKE 'doc9%'").collect())
+        assert got == [9] + list(range(90, 100))
