@@ -345,16 +345,18 @@ class ZarrReader(DataSourceReader):
             out[name] = (axis, blist)
         return out
 
-    def _stats_bounds(self) -> Dict[str, list]:
+    def _stats_bounds(self, needed) -> Dict[str, list]:
         """Per-column decoded [lo, hi]-per-object lists from writer
-        statistics (``STATS_ATTR_KEY``) — validated against the live
-        chunk grid so stale stats (length mismatch after out-of-band
-        edits) are ignored rather than trusted. Table stores only
-        (1-D, stats aligned to the dim-0 grid)."""
+        statistics (``STATS_ATTR_KEY``) for the ``needed`` columns —
+        validated against the live chunk grid so stale stats (length
+        mismatch after out-of-band edits) are ignored rather than
+        trusted, and malformed bounds degrade per-entry to unknown
+        (the soundness bar: bad stats may only ever KEEP cells).
+        Table stores only (1-D, stats aligned to the dim-0 grid)."""
         out: Dict[str, list] = {}
         for a in self.arrays:
             m = a.meta
-            if m.ndim != 1:
+            if m.name not in needed or m.ndim != 1:
                 continue
             s = m.attributes.get(STATS_ATTR_KEY)
             if not isinstance(s, list) or len(s) != m.chunk_grid_shape[0]:
@@ -367,7 +369,10 @@ class ZarrReader(DataSourceReader):
                 if b is None:
                     return None
                 if _unit is not None:
-                    return np.datetime64(int(b), _unit)
+                    try:
+                        return np.datetime64(int(b), _unit)
+                    except (TypeError, ValueError, OverflowError):
+                        return None  # malformed bound: unknown
                 return b
 
             decoded = []
@@ -399,13 +404,13 @@ class ZarrReader(DataSourceReader):
         bound, or an unreadable coordinate never prunes."""
         if not self.predicates or not cells:
             return cells
+        needed = {p.column for p in self.predicates}
         # name -> (cell axis, per-index (lo, hi))
         bounds: Dict[str, Tuple[int, list]] = {}
         if len(cells[0]) == 1:
-            for n, blist in self._stats_bounds().items():
+            for n, blist in self._stats_bounds(needed).items():
                 bounds[n] = (0, blist)
-        needed = {p.column for p in self.predicates} - set(bounds)
-        bounds.update(self._coord_bounds(needed))
+        bounds.update(self._coord_bounds(needed - set(bounds)))
         preds = [p for p in self.predicates if p.column in bounds]
         # isnull is provably empty regardless of bounds (decoded zarr
         # chunks never hold nulls) — but only prune on it when the
@@ -432,13 +437,8 @@ class ZarrReader(DataSourceReader):
         if n_opt:
             # reference repartitioned() semantics (contiguous
             # ceil(N/p) ranges, empty tails) over the SURVIVING cells
-            pruned = self._prune_cells(self.plan.cells())
-            p = int(n_opt)
-            per = -(-len(pruned) // p) if pruned else 0
-            groups = (
-                [pruned[i * per : (i + 1) * per] for i in range(p)]
-                if per
-                else [[] for _ in range(p)]
+            groups = self.plan.split_cells(
+                int(n_opt), self._prune_cells(self.plan.cells())
             )
         else:
             chunks_per_opt = self.options.get("chunks_per_partition")

@@ -227,7 +227,10 @@ def _stat_encode(val, dtype: np.dtype, upper: bool = False):
     the truncated pair still brackets every value."""
     if dtype.kind == "f":
         f = float(val)
-        return None if math.isnan(f) else f
+        # NaN AND ±inf encode as unknown: json.dumps would emit the
+        # non-RFC-8259 literals NaN/Infinity into zarr.json, making
+        # the store unparseable to strict-JSON zarr readers
+        return None if (math.isnan(f) or math.isinf(f)) else f
     if dtype.kind == "M":
         return int(np.asarray(val).view("i8"))
     if dtype.kind == "b":

@@ -131,7 +131,7 @@ def fuzzy_dedup_pipeline(
     with p <= (1 - 0.7^4)^16 ~= 1.5e-7, and every planted duplicate
     in the test corpora sits at j >= 0.889)."""
     from .dedup import connected_components, minhash_lsh_pairs
-    from .text import quality_score
+    from .text import quality_columns as _qc
 
     pairs = minhash_lsh_pairs(
         df,
@@ -161,8 +161,11 @@ def fuzzy_dedup_pipeline(
     )
     dup_docs = df.join(F.broadcast(pair_ids), id_col, "left_semi")
     comp = connected_components(dup_docs, pairs, id_col=id_col)
-    quality = quality_score(dup_docs, text_col=text_col).select(
-        id_col, "quality"
+    # t03's exact quality expressions, selected under the caller's id
+    # column (quality_score() pins "doc_id", which would break any
+    # other id_col)
+    quality = dup_docs.select(
+        id_col, _qc(F.col(text_col))["quality"].alias("quality")
     )
     w = Window.partitionBy("component").orderBy(
         F.col("quality").desc(), F.col(id_col)

@@ -402,9 +402,15 @@ def weighted_sample(
 
     Scale: a narrow WHERE — no shuffle, no UDF; realized rates track
     the weights because the multiplicative sweep equidistributes
-    consecutive keys (bounded in tests)."""
+    consecutive keys (bounded in tests). A NaN weight drops the row
+    (keep probability 0) — the conservative reading of an undefined
+    weight; Spark's NaN-sorts-highest would otherwise clamp it to
+    certain keep. NULL weights drop too (the comparison is null)."""
     w = F.col(weight) if isinstance(weight, str) else weight
-    clamped = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    wd = w.cast("double")
+    clamped = F.when(F.isnan(wd), F.lit(0.0)).otherwise(
+        F.least(F.greatest(wd, F.lit(0.0)), F.lit(1.0))
+    )
     draw = (
         (F.col(key_col) % _DRAW_MOD + F.lit(seed)) * F.lit(_DRAW_MULT)
     ) % _DRAW_MOD
@@ -436,14 +442,18 @@ def temperature_mixture(
 
     Scale shape: one metadata-sized groupBy (group cardinality rows),
     its total via a broadcast single-row cross join, one broadcast
-    join back, then a narrow WHERE. Products stay in int64 up to
-    ``n_g * S * p < 2^63`` (~1e12 row groups at 100-group corpora);
-    ANSI mode fails loudly past that rather than wrapping."""
+    join back (null-safe, so a NULL group samples like any other
+    group rather than silently vanishing while its weight depresses
+    everyone else's rate), then a narrow WHERE. Products stay in
+    int64 up to ``n_g * S * p < 2^63`` (~1e12 row groups at 100-group
+    corpora); ANSI mode fails loudly past that rather than
+    wrapping."""
     if budget <= 0:
         raise ValueError("temperature_mixture: budget must be positive")
     counts = (
         df.groupBy(group_col)
         .agg(F.count("*").alias("__n"))
+        .withColumnRenamed(group_col, "__g")
         .withColumn(
             "__w",
             F.floor(F.sqrt((F.col("__n") * 10000).cast("double"))).cast(
@@ -456,13 +466,16 @@ def temperature_mixture(
         (F.col(key_col) % _DRAW_MOD + F.lit(seed)) * F.lit(_DRAW_MULT)
     ) % _DRAW_MOD
     return (
-        df.join(F.broadcast(counts), group_col)
+        df.join(
+            F.broadcast(counts),
+            F.col(group_col).eqNullSafe(F.col("__g")),
+        )
         .crossJoin(F.broadcast(total))
         .filter(
             draw * F.col("__S") * F.col("__n")
             < F.lit(int(budget)) * F.col("__w") * F.lit(_DRAW_MOD)
         )
-        .drop("__n", "__w", "__S")
+        .drop("__g", "__n", "__w", "__S")
     )
 
 

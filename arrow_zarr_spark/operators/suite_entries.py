@@ -99,7 +99,7 @@ def populate_operator_queries(register) -> None:
         "  GROUP BY 1, 2), "
         "pairs AS (SELECT id_a, id_b FROM ("
         "  SELECT id_a, id_b, "
-        "  shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS j"
+        "  ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) AS j"
         "  FROM shared JOIN sizes sa ON sa.doc_id = shared.id_a"
         "  JOIN sizes sb ON sb.doc_id = shared.id_b) WHERE j >= 0.7), "
         "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
@@ -727,7 +727,7 @@ def populate_extended_queries(register) -> None:
         "  GROUP BY 1, 2), "
         "pairs AS (SELECT id_a, id_b FROM ("
         "  SELECT id_a, id_b, "
-        "  shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS j"
+        "  ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) AS j"
         "  FROM shared JOIN sizes sa ON sa.doc_id = shared.id_a"
         "  JOIN sizes sb ON sb.doc_id = shared.id_b) WHERE j >= 0.7), "
         "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
@@ -1615,7 +1615,7 @@ def populate_round5_late2_queries(register) -> None:
         "  GROUP BY 1, 2), "
         "pairs AS (SELECT id_a, id_b FROM ("
         "  SELECT id_a, id_b, "
-        "  shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS j"
+        "  ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) AS j"
         "  FROM shared JOIN sizes sa ON sa.doc_id = shared.id_a"
         "  JOIN sizes sb ON sb.doc_id = shared.id_b) WHERE j >= 0.7), "
         "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "

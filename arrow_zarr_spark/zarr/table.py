@@ -159,12 +159,21 @@ class ChunkPlan:
         chunk order (``zarr_data_stream.rs:782-817``)."""
         return list(itertools.product(*(range(g) for g in self.grid_shape)))
 
-    def split_cells(self, n_partitions: int) -> List[List[Tuple[int, ...]]]:
+    def split_cells(
+        self,
+        n_partitions: int,
+        cells: Optional[List[Tuple[int, ...]]] = None,
+    ) -> List[List[Tuple[int, ...]]]:
         """Contiguous ``ceil(N/p)``-sized ranges; trailing partitions may be
         empty — mirrors ``zarr_data_stream.rs:805-817`` and the
-        over-partition test (1328-1363)."""
-        cells = self.cells()
-        per = -(-len(cells) // n_partitions)
+        over-partition test (1328-1363). ``cells`` overrides the full
+        grid (the statistics-pruned survivor list splits with the same
+        semantics)."""
+        if cells is None:
+            cells = self.cells()
+        per = -(-len(cells) // n_partitions) if cells else 0
+        if per == 0:
+            return [[] for _ in range(n_partitions)]
         return [
             cells[i * per : (i + 1) * per] for i in range(n_partitions)
         ]

@@ -332,11 +332,12 @@ def bench_queries(spark):
     qs["zarr_stats_filter_pruned"] = lambda: _stats_filter("with")
     qs["zarr_stats_filter_unpruned"] = lambda: _stats_filter("without")
 
-    # coordinate-pruning pair: a one-chunk-band predicate on a
-    # 2048x2048 grid store (1024 cells). Static: the planner reads the
-    # two 2048-element coordinates once and keeps 32 cells; dynamic
-    # (coord_prune_cap=0 disables the planning read): all 1024 cells
-    # become tasks that each fetch coordinate chunks before skipping.
+    # coordinate-pruning pair: a two-conjunct predicate on a 2048x2048
+    # grid store (1024 cells). Static: the planner reads the two
+    # 2048-element coordinates once and keeps exactly 1 cell (lat
+    # chunk 0 x lon chunk 31); dynamic (coord_prune_cap=0 disables the
+    # planning read): all 1024 cells become tasks that each fetch
+    # coordinate chunks before skipping.
     _geo = fixtures.write_geo_bench_store()
 
     def _coord_filter(static):

@@ -1084,3 +1084,18 @@ class TestFuzzyDedupPipeline:
         out = fuzzy_dedup_pipeline(uniq).collect()
         assert len(out) == 50
         assert all(r.n_members == 1 for r in out)
+
+
+def test_fuzzy_dedup_pipeline_custom_id_col(spark, docs):
+    """id_col is honored end to end (quality is computed under the
+    caller's id, not a hardcoded doc_id)."""
+    from arrow_zarr_spark.operators.pipelines import fuzzy_dedup_pipeline
+
+    renamed = docs.withColumnRenamed("doc_id", "my_id")
+    out = fuzzy_dedup_pipeline(renamed, id_col="my_id").collect()
+    assert sum(r.n_members for r in out) == docs.count()
+    base = {
+        r.doc_id
+        for r in fuzzy_dedup_pipeline(docs).collect()
+    }
+    assert {r.my_id for r in out} == base

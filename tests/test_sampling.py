@@ -568,3 +568,30 @@ class TestTemperatureMixture:
     def test_rejects_bad_budget(self, spark, docs):
         with pytest.raises(ValueError, match="budget"):
             sampling.temperature_mixture(docs, "source", "doc_id", 0)
+
+
+class TestReviewHardening:
+    def test_weighted_sample_nan_weight_drops(self, spark):
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 50, F.lit(float("nan")))
+            .otherwise(F.lit(1.0))
+            .alias("w"),
+        )
+        kept = sampling.weighted_sample(df, "w", "k").collect()
+        assert len(kept) == 50
+        assert all(r.k >= 50 for r in kept)
+
+    def test_temperature_mixture_samples_null_group(self, spark):
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 500, F.lit("a"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("g"),
+        )
+        out = sampling.temperature_mixture(df, "g", "k", budget=400).collect()
+        n_null = sum(1 for r in out if r.g is None)
+        n_a = sum(1 for r in out if r.g == "a")
+        # equal-size groups -> equal weights -> ~200 each; the null
+        # group must not vanish
+        assert 120 < n_null < 280 and 120 < n_a < 280

@@ -595,3 +595,57 @@ class TestStringPruning:
         back = spark.read.format("zarr").load(path)
         got = sorted(r.k for r in back.filter("s LIKE 'doc9%'").collect())
         assert got == [9] + list(range(90, 100))
+
+
+class TestReviewHardening:
+    def test_malformed_datetime_stats_keep_not_crash(self, spark, tmp_path):
+        path = str(tmp_path / "rh1")
+        df = spark.range(0, 120, 1, 1).select(
+            F.col("id").alias("k"),
+            F.expr(
+                "timestamp_ntz '2024-01-01' + make_interval(0,0,0,0,id,0,0)"
+            ).alias("ts"),
+        )
+        write_zarr(df, path, chunk_rows=60)
+        store = open_store(path)
+        for key in ("ts/zarr.json", "zarr.json"):
+            doc = json.loads(store.get(key))
+            target = (
+                doc["attributes"]
+                if key != "zarr.json"
+                else doc["consolidated_metadata"]["metadata"]["ts"][
+                    "attributes"
+                ]
+            )
+            target[STATS_ATTR_KEY] = [["garbage", 5], [None, None]]
+            store.set(key, json.dumps(doc).encode())
+        import datetime
+
+        # planning must not raise; malformed bounds keep both cells
+        cells = _reader_cells(
+            path,
+            [GreaterThan(("ts",), datetime.datetime(2024, 1, 3))],
+        )
+        assert len(cells) == 2
+
+    def test_inf_bounds_encode_as_null(self, spark, tmp_path):
+        path = str(tmp_path / "rh2")
+        df = spark.range(0, 200, 1, 2).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") == 150, F.lit(float("inf")))
+            .otherwise(F.col("id") * 1.0)
+            .alias("v"),
+        )
+        write_zarr(df, path, chunk_rows=100)
+        store = open_store(path)
+        # strict-JSON parse must succeed (no Infinity literal)
+        json.loads(
+            store.get("v/zarr.json").decode(), parse_constant=lambda c: (
+                (_ for _ in ()).throw(ValueError(f"non-standard JSON {c}"))
+            ),
+        )
+        vs = {
+            a.meta.name: a.meta
+            for a in infer_store_arrays(open_store(path))
+        }["v"].attributes[STATS_ATTR_KEY]
+        assert vs[1] == [None, None] or vs[1][1] is None
