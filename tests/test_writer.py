@@ -641,3 +641,72 @@ class TestRechunk:
         write_zarr(df, dst_path, chunk_rows=50)
         with pytest.raises(ZarrFormatError, match="already exists"):
             rechunk_zarr(spark, src_path, dst_path, chunk_rows=100)
+
+
+class TestAuditZarr:
+    def test_clean_store_all_ok(self, spark, tmp_path):
+        from arrow_zarr_spark.io import audit_zarr
+
+        path = str(tmp_path / "au1")
+        df = spark.range(0, 1000, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 0.5).alias("v")
+        )
+        write_zarr(df, path, chunk_rows=100)
+        rep = audit_zarr(spark, path).collect()
+        assert len(rep) == 20  # 10 chunks x 2 arrays
+        assert all(r.ok and not r.missing and r.error is None for r in rep)
+        assert sum(r.rows for r in rep if r.array == "k") == 1000
+
+    def test_corrupted_chunk_flagged(self, spark, tmp_path):
+        from arrow_zarr_spark.io import audit_zarr
+
+        path = str(tmp_path / "au2")
+        df = spark.range(0, 500, 1, 2).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)
+        store = open_store(path)
+        key = "k/c/2"
+        store.set(key, b"\x00garbage\xff" * 5)
+        rep = {r.chunk_key: r for r in audit_zarr(spark, path).collect()}
+        bad = rep["c/2"]
+        assert not bad.ok and bad.error
+        assert all(
+            v.ok for ck, v in rep.items() if ck != "c/2"
+        )
+
+    def test_missing_chunk_is_ok_and_marked(self, spark, tmp_path):
+        from arrow_zarr_spark.io import audit_zarr
+
+        path = str(tmp_path / "au3")
+        df = spark.range(0, 300, 1, 1).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)
+        open_store(path).delete("k/c/1")
+        rep = {r.chunk_key: r for r in audit_zarr(spark, path).collect()}
+        assert rep["c/1"].ok and rep["c/1"].missing
+        assert not rep["c/0"].missing
+
+    def test_sharded_index_corruption_flagged(self, spark, tmp_path):
+        from arrow_zarr_spark.io import audit_zarr
+
+        path = str(tmp_path / "au4")
+        df = spark.range(0, 800, 1, 2).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, shard_chunks=4)
+        store = open_store(path)
+        raw = bytearray(store.get("k/c/1"))
+        raw[-5] ^= 0xFF  # damage the shard index region
+        store.set("k/c/1", bytes(raw))
+        rep = {r.chunk_key: r for r in audit_zarr(spark, path).collect()}
+        assert not rep["c/1"].ok and rep["c/1"].error
+        assert rep["c/0"].ok
+
+    def test_columns_filter_and_unknown_rejected(self, spark, tmp_path):
+        from arrow_zarr_spark.io import audit_zarr
+
+        path = str(tmp_path / "au5")
+        df = spark.range(0, 100).select(
+            F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+        )
+        write_zarr(df, path, chunk_rows=50)
+        rep = audit_zarr(spark, path, columns=["a"]).collect()
+        assert {r.array for r in rep} == {"a"}
+        with pytest.raises(ZarrFormatError, match="no such arrays"):
+            audit_zarr(spark, path, columns=["nope"])
