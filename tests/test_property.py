@@ -306,3 +306,91 @@ def test_crc32c_codec_detects_any_single_bitflip(payload, flip):
     corrupted[bit // 8] ^= 1 << (bit % 8)
     with _pytest.raises(ZarrFormatError, match="checksum mismatch"):
         _bb_decode("crc32c", {}, bytes(corrupted), len(payload))
+
+
+# ---------------------------------------------------------------------------
+# statistics-pruning soundness: if the interval test prunes, the exact
+# row mask must have been empty — for every op, dtype, and bound pair
+# ---------------------------------------------------------------------------
+
+_PRED_OPS = ["eq", "neq", "lt", "le", "gt", "ge"]
+
+
+@st.composite
+def pred_and_column(draw):
+    from arrow_zarr_spark.filters import ChunkPredicate
+
+    float_mode = draw(st.booleans())
+    if float_mode:
+        vals = draw(
+            st.lists(
+                st.one_of(
+                    st.floats(-1e6, 1e6, allow_nan=False),
+                    st.just(float("nan")),
+                ),
+                min_size=1,
+                max_size=30,
+            )
+        )
+        col = np.array(vals, dtype=np.float64)
+        value = draw(st.floats(-1e6, 1e6, allow_nan=False))
+    else:
+        col = np.array(
+            draw(st.lists(st.integers(-1000, 1000), min_size=1, max_size=30)),
+            dtype=np.int64,
+        )
+        value = draw(st.integers(-1000, 1000))
+    op = draw(st.sampled_from(_PRED_OPS + ["isin"]))
+    if op == "isin":
+        pred = ChunkPredicate("c", "isin", (value, value + 3))
+    else:
+        pred = ChunkPredicate("c", op, value)
+    return pred, col
+
+
+@given(pc=pred_and_column())
+@settings(max_examples=300, deadline=None)
+def test_interval_prune_implies_empty_mask(pc):
+    """The soundness bar as a law: interval_possible(pred, min, max)
+    == False must imply pred.mask(column) is all-False. NaN-bearing
+    float columns encode bounds as None via the writer (never pruned);
+    here we feed the RAW NaN-propagating min/max straight in, which is
+    the strictly harder case the positive-comparison design must also
+    survive."""
+    from arrow_zarr_spark.filters import interval_possible
+
+    pred, col = pc
+    lo, hi = col.min(), col.max()  # NaN propagates, like np.min
+    if not interval_possible(pred, lo, hi):
+        assert not pred.mask({"c": col}).any(), (pred, lo, hi, col)
+
+
+@given(
+    strs=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    value=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=8,
+    ),
+    op=st.sampled_from(_PRED_OPS + ["startswith"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_prune_implies_empty_mask_strings(strs, value, op):
+    """Same law over string columns, including the truncated-bound
+    encoding the writers use (min truncates down, max rounds up via
+    prefix_successor) and the startswith interval test."""
+    from arrow_zarr_spark.filters import ChunkPredicate, interval_possible
+    from arrow_zarr_spark.io import _stat_encode
+
+    col = np.array(strs, dtype=object)
+    pred = ChunkPredicate("c", op, value)
+    lo = _stat_encode(min(strs), np.dtype(object))
+    hi = _stat_encode(max(strs), np.dtype(object), upper=True)
+    if not interval_possible(pred, lo, hi):
+        assert not pred.mask({"c": col}).any(), (pred, lo, hi, strs)
