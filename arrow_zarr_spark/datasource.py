@@ -346,20 +346,28 @@ class ZarrReader(DataSourceReader):
         return out
 
     def _stats_bounds(self, needed) -> Dict[str, list]:
-        """Per-column decoded [lo, hi]-per-object lists from writer
-        statistics (``STATS_ATTR_KEY``) for the ``needed`` columns —
-        validated against the live chunk grid so stale stats (length
-        mismatch after out-of-band edits) are ignored rather than
-        trusted, and malformed bounds degrade per-entry to unknown
-        (the soundness bar: bad stats may only ever KEEP cells).
-        Table stores only (1-D, stats aligned to the dim-0 grid)."""
+        """Per-column decoded [lo, hi]-per-CELL lists from writer
+        statistics (``STATS_ATTR_KEY``) for the ``needed`` columns,
+        indexed by the C-order cell ordinal — covers 1-D table stores
+        (ordinal = the chunk index) AND N-D grid stores (the grid
+        writer records one pair per cell). Validated against the live
+        plan grid so stale stats (length mismatch after out-of-band
+        edits) are ignored rather than trusted, and malformed bounds
+        degrade per-entry to unknown (the soundness bar: bad stats may
+        only ever KEEP cells)."""
         out: Dict[str, list] = {}
+        plan_grid = tuple(self.plan.grid_shape)
+        n_cells = self.plan.n_cells
         for a in self.arrays:
             m = a.meta
-            if m.name not in needed or m.ndim != 1:
+            if (
+                m.name not in needed
+                or m.ndim != len(plan_grid)
+                or tuple(m.chunk_grid_shape) != plan_grid
+            ):
                 continue
             s = m.attributes.get(STATS_ATTR_KEY)
-            if not isinstance(s, list) or len(s) != m.chunk_grid_shape[0]:
+            if not isinstance(s, list) or len(s) != n_cells:
                 continue
             unit = None
             if m.zarr_dtype.startswith("numpy.datetime64["):
@@ -405,24 +413,39 @@ class ZarrReader(DataSourceReader):
         if not self.predicates or not cells:
             return cells
         needed = {p.column for p in self.predicates}
-        # name -> (cell axis, per-index (lo, hi))
-        bounds: Dict[str, Tuple[int, list]] = {}
-        if len(cells[0]) == 1:
-            for n, blist in self._stats_bounds(needed).items():
-                bounds[n] = (0, blist)
-        bounds.update(self._coord_bounds(needed - set(bounds)))
-        preds = [p for p in self.predicates if p.column in bounds]
+        # two bound shapes: per-cell-ordinal (writer stats, 1-D tables
+        # and N-D grids) and per-axis-index (coordinate values)
+        ordinal_bounds = self._stats_bounds(needed)
+        axis_bounds = self._coord_bounds(needed - set(ordinal_bounds))
+        preds = [
+            p
+            for p in self.predicates
+            if p.column in ordinal_bounds or p.column in axis_bounds
+        ]
         # isnull is provably empty regardless of bounds (decoded zarr
         # chunks never hold nulls) — but only prune on it when the
         # column has bounds at all; mask() handles it dynamically anyway
         if not preds:
             return cells
+        # C-order ravel strides over the plan grid
+        strides = []
+        acc = 1
+        for g in reversed(self.plan.grid_shape):
+            strides.append(acc)
+            acc *= g
+        strides = tuple(reversed(strides))
         kept = []
         for cell in cells:
             ok = True
             for p in preds:
-                axis, blist = bounds[p.column]
-                lo, hi = blist[cell[axis]]
+                if p.column in ordinal_bounds:
+                    ordinal = sum(
+                        i * s for i, s in zip(cell, strides)
+                    )
+                    lo, hi = ordinal_bounds[p.column][ordinal]
+                else:
+                    axis, blist = axis_bounds[p.column]
+                    lo, hi = blist[cell[axis]]
                 if not interval_possible(p, lo, hi):
                     ok = False
                     break

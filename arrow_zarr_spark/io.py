@@ -558,13 +558,14 @@ def write_zarr_grid(
     compression: str = "zstd",
     mode: str = "error",
     fill_value=0,
+    stats: bool = True,
 ) -> int:
     """Write a coordinate-gridded DataFrame as an N-D Zarr store — the
-    inverse of the reader's coordinate broadcast (A14). Grid stores
-    carry no [min, max] statistics yet — the planning-time object
-    pruning (STATS_ATTR_KEY) is table-layout-only; grid scans rely on
-    the dynamic per-chunk filter phase (A5), which reads only the
-    predicate columns per cell.
+    inverse of the reader's coordinate broadcast (A14). ``stats``
+    records per-CELL [min, max] for the data arrays (C-order cell
+    list; cells absent from the DataFrame bound to the fill value
+    they materialize as) so data-column predicates prune grid cells
+    at planning time, composing with coordinate pruning.
 
     ``dims`` names the coordinate columns; every other numeric column
     becomes an N-D data array over the Cartesian grid of the sorted
@@ -662,6 +663,8 @@ def write_zarr_grid(
     grid_t = list(grid)
     fill = fill_value
 
+    want_stats = bool(stats)
+
     def write_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["__cell"].iloc[0])
         # decompose flat cell id back to per-dim chunk indices
@@ -676,6 +679,7 @@ def write_zarr_grid(
             pdf[f"__pos_{d}"].to_numpy() - i * cs
             for d, i, cs in zip(dims_t, idx, chunk_shape_t)
         ]
+        cell_stats = {}
         for c in data_cols_t:
             meta = metas_b.value[c]
             valid = meta.valid_chunk_shape(idx)
@@ -684,14 +688,62 @@ def write_zarr_grid(
                 pdf[c].to_numpy(), meta.dtype, c
             )
             write_chunk(task_store, meta, idx, block)
-        return pd.DataFrame({"cell": [cell], "rows": [len(pdf)]})
+            if want_stats and _stats_eligible(meta.dtype):
+                # bounds cover the FULL block, fill cells included —
+                # exactly what a reader materializes from this chunk
+                cell_stats[c] = [
+                    _stat_encode(np.min(block), meta.dtype),
+                    _stat_encode(np.max(block), meta.dtype, upper=True),
+                ]
+        return pd.DataFrame(
+            {
+                "cell": [cell],
+                "rows": [len(pdf)],
+                "stats": [json.dumps(cell_stats)],
+            }
+        )
 
-    result = (
-        out.groupBy("__cell")
-        .applyInPandas(write_cell, schema="cell long, rows long")
-        .agg(F.sum("rows").alias("written"))
-        .first()
+    committed = out.groupBy("__cell").applyInPandas(
+        write_cell, schema="cell long, rows long, stats string"
     )
+    if want_stats:
+        result_rows = committed.collect()  # one row per written cell
+        written = sum(int(r["rows"]) for r in result_rows)
+        n_cells = 1
+        for g in grid:
+            n_cells *= g
+        # cells absent from the data never got a chunk object: a scan
+        # materializes pure fill there, so the fill value IS the bound
+        per_col: Dict[str, list] = {}
+        for c in data_cols:
+            meta = metas[c]
+            if not _stats_eligible(meta.dtype):
+                continue
+            fill_bound = _stat_encode(
+                np.asarray(fill, dtype=meta.dtype), meta.dtype
+            )
+            per_col[c] = [[fill_bound, fill_bound]] * n_cells
+        for r in result_rows:
+            decoded = json.loads(r["stats"])
+            for c, pair in decoded.items():
+                if c in per_col:
+                    # slot assignment replaces the shared fill-pair
+                    # reference; the remaining aliases are never
+                    # mutated in place
+                    per_col[c][int(r["cell"])] = pair
+        for c, entries in per_col.items():
+            metas[c].attributes[STATS_ATTR_KEY] = entries
+            store.set(
+                f"{c}/zarr.json",
+                json.dumps(metas[c].to_json()).encode(),
+            )
+    else:
+        written = int(
+            committed.agg(F.sum("rows").alias("written")).first()[
+                "written"
+            ]
+            or 0
+        )
     # consolidate last: the grid writer created metadata up front (the
     # coordinate arrays are written driver-side before the data pass),
     # so the root doc is refreshed with the full consolidated block
@@ -699,7 +751,7 @@ def write_zarr_grid(
     from .zarr.writer import consolidate_metadata
 
     consolidate_metadata(store)
-    return int(result["written"] or 0)
+    return written
 
 
 def write_zarr_partitioned(

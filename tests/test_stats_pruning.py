@@ -649,3 +649,89 @@ class TestReviewHardening:
             for a in infer_store_arrays(open_store(path))
         }["v"].attributes[STATS_ATTR_KEY]
         assert vs[1] == [None, None] or vs[1][1] is None
+
+
+class TestGridStats:
+    def test_grid_writer_records_per_cell_stats(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "g1")
+        rows = [
+            (float(x), float(y), float(x * 10 + y))
+            for x in range(6)
+            for y in range(6)
+        ]
+        df = spark.createDataFrame(rows, ["x", "y", "v"])
+        write_zarr_grid(df, path, dims=["x", "y"], chunk_shape=(3, 3))
+        meta = {
+            a.meta.name: a.meta for a in infer_store_arrays(open_store(path))
+        }["v"]
+        s = meta.attributes[STATS_ATTR_KEY]
+        assert len(s) == 4  # 2x2 cell grid, C-order
+        assert s[0] == [0.0, 22.0]  # x 0..2, y 0..2
+        assert s[1] == [3.0, 25.0]  # x 0..2, y 3..5
+        assert s[3] == [33.0, 55.0]
+
+    def test_grid_data_predicate_prunes_cells(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "g2")
+        rows = [
+            (float(x), float(y), float(x * 10 + y))
+            for x in range(6)
+            for y in range(6)
+        ]
+        df = spark.createDataFrame(rows, ["x", "y", "v"])
+        write_zarr_grid(df, path, dims=["x", "y"], chunk_shape=(3, 3))
+        assert _reader_cells(path, [GreaterThan(("v",), 30.0)]) == [
+            (1, 0), (1, 1),
+        ]
+        # composes with coordinate pruning on the same scan
+        assert _reader_cells(
+            path, [GreaterThan(("v",), 30.0), LessThan(("y",), 3.0)]
+        ) == [(1, 0)]
+        back = spark.read.format("zarr").load(path)
+        got = sorted(
+            r.v for r in back.filter("v > 30 AND y < 3").collect()
+        )
+        assert got == sorted(
+            float(x * 10 + y) for x in range(6) for y in range(3)
+            if x * 10 + y > 30
+        )
+
+    def test_sparse_cells_bound_to_fill(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "g3")
+        df = spark.createDataFrame(
+            [(0.0, 0.0, 5.0), (3.0, 3.0, 9.0)], ["x", "y", "v"]
+        )
+        write_zarr_grid(
+            df, path, dims=["x", "y"], chunk_shape=(1, 1), fill_value=-1.0
+        )
+        meta = {
+            a.meta.name: a.meta for a in infer_store_arrays(open_store(path))
+        }["v"]
+        s = meta.attributes[STATS_ATTR_KEY]
+        assert len(s) == 4  # 2x2 axes grid of 1x1 chunks
+        # never-written cells bound to the fill they materialize as
+        assert s[1] == [-1.0, -1.0] and s[2] == [-1.0, -1.0]
+        # a fill-only predicate keeps only the fill cells
+        assert _reader_cells(path, [EqualTo(("v",), -1.0)]) == [
+            (0, 1), (1, 0),
+        ]
+        back = spark.read.format("zarr").load(path)
+        assert back.filter("v = -1.0").count() == 2
+
+    def test_grid_stats_off(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "g4")
+        df = spark.createDataFrame([(0.0, 1.0)], ["x", "v"])
+        write_zarr_grid(
+            df, path, dims=["x"], chunk_shape=(1,), stats=False
+        )
+        meta = {
+            a.meta.name: a.meta for a in infer_store_arrays(open_store(path))
+        }["v"]
+        assert STATS_ATTR_KEY not in meta.attributes
