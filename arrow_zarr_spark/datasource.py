@@ -427,21 +427,12 @@ class ZarrReader(DataSourceReader):
         # column has bounds at all; mask() handles it dynamically anyway
         if not preds:
             return cells
-        # C-order ravel strides over the plan grid
-        strides = []
-        acc = 1
-        for g in reversed(self.plan.grid_shape):
-            strides.append(acc)
-            acc *= g
-        strides = tuple(reversed(strides))
         kept = []
         for cell in cells:
             ok = True
             for p in preds:
                 if p.column in ordinal_bounds:
-                    ordinal = sum(
-                        i * s for i, s in zip(cell, strides)
-                    )
+                    ordinal = self.plan.cell_ordinal(cell)
                     lo, hi = ordinal_bounds[p.column][ordinal]
                 else:
                     axis, blist = axis_bounds[p.column]

@@ -161,6 +161,19 @@ def _table_codecs(
     ]
 
 
+def _commit_totals(committed, want_stats: bool):
+    """Shared tail of both writers' commit protocol: with stats on,
+    collect the per-object rows (object-count-sized — the
+    chunk_rows/shard_chunks lever bounds it) so their stats can merge;
+    with stats off, aggregate server-side so nothing object-sized ever
+    reaches the driver. Returns (written, rows_or_None)."""
+    if want_stats:
+        rows = committed.collect()
+        return sum(int(r["rows"]) for r in rows), rows
+    total = committed.agg(F.sum("rows").alias("written")).first()["written"]
+    return int(total or 0), None
+
+
 def _validate_append_target(
     store,
     schema,
@@ -502,21 +515,7 @@ def write_zarr(
         committed = with_cid.groupBy("__cid").applyInPandas(
             write_chunk_group, schema="cid long, rows long, stats string"
         )
-        if want_stats:
-            # one collected row per store object — the same object-
-            # count scale as the chunk writes themselves (the
-            # chunk_rows/shard_chunks lever bounds it); carries the
-            # commit counts AND the stats
-            result_rows = committed.collect()
-            written = sum(int(r["rows"]) for r in result_rows)
-        else:
-            # stats off: aggregate server-side, nothing object-sized
-            # ever reaches the driver
-            written = int(
-                committed.agg(F.sum("rows").alias("written")).first()[
-                    "written"
-                ]
-            )
+        written, result_rows = _commit_totals(committed, want_stats)
         if written != new_rows:
             raise ZarrFormatError(
                 f"write_zarr wrote {written} rows, expected {new_rows}"
@@ -706,9 +705,8 @@ def write_zarr_grid(
     committed = out.groupBy("__cell").applyInPandas(
         write_cell, schema="cell long, rows long, stats string"
     )
+    written, result_rows = _commit_totals(committed, want_stats)
     if want_stats:
-        result_rows = committed.collect()  # one row per written cell
-        written = sum(int(r["rows"]) for r in result_rows)
         n_cells = 1
         for g in grid:
             n_cells *= g
@@ -719,10 +717,12 @@ def write_zarr_grid(
             meta = metas[c]
             if not _stats_eligible(meta.dtype):
                 continue
-            fill_bound = _stat_encode(
-                np.asarray(fill, dtype=meta.dtype), meta.dtype
-            )
-            per_col[c] = [[fill_bound, fill_bound]] * n_cells
+            fb = np.asarray(fill, dtype=meta.dtype)
+            fill_pair = [
+                _stat_encode(fb, meta.dtype),
+                _stat_encode(fb, meta.dtype, upper=True),
+            ]
+            per_col[c] = [fill_pair] * n_cells
         for r in result_rows:
             decoded = json.loads(r["stats"])
             for c, pair in decoded.items():
@@ -737,13 +737,6 @@ def write_zarr_grid(
                 f"{c}/zarr.json",
                 json.dumps(metas[c].to_json()).encode(),
             )
-    else:
-        written = int(
-            committed.agg(F.sum("rows").alias("written")).first()[
-                "written"
-            ]
-            or 0
-        )
     # consolidate last: the grid writer created metadata up front (the
     # coordinate arrays are written driver-side before the data pass),
     # so the root doc is refreshed with the full consolidated block
@@ -911,6 +904,7 @@ def audit_zarr(
     spark,
     path: str,
     columns: Optional[Sequence[str]] = None,
+    n_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Distributed store-integrity audit: decode EVERY chunk of every
     (selected) array and report per-object status — the fsck a 100-TB
@@ -961,15 +955,21 @@ def audit_zarr(
             meta = metas_b.value[name]
             arr = ZarrArray(task_store, meta)
             key = f"{name}/{meta.chunk_key(idx)}"
-            present = task_store.exists(key)
             try:
+                present = task_store.exists(key)
+                if not present:
+                    # never-written cell: fill semantics, nothing to
+                    # decode, zero STORED rows
+                    yield (name, meta.chunk_key(idx), 0, True,
+                           True, None)
+                    continue
                 block = arr.read_chunk(idx)
                 n = int(np.prod(block.shape))
                 yield (name, meta.chunk_key(idx), n, True,
-                       not present, None)
+                       False, None)
             except Exception as exc:  # report, don't abort the audit
                 yield (name, meta.chunk_key(idx), 0, False,
-                       not present, f"{type(exc).__name__}: {exc}")
+                       False, f"{type(exc).__name__}: {exc}")
 
     schema = T.StructType([
         T.StructField("array", T.StringType(), False),
@@ -979,6 +979,11 @@ def audit_zarr(
         T.StructField("missing", T.BooleanType(), False),
         T.StructField("error", T.StringType(), True),
     ])
-    n_slices = max(1, min(len(work), (os.cpu_count() or 8) * 4))
+    if n_partitions is None:
+        # size by the CLUSTER, not the driver's cores — the audit's
+        # wall time is stored-bytes / cluster only if every executor
+        # gets work
+        n_partitions = sc.defaultParallelism * 2
+    n_slices = max(1, min(len(work), int(n_partitions)))
     rdd = sc.parallelize(work, n_slices).mapPartitions(check)
     return spark.createDataFrame(rdd, schema)

@@ -192,6 +192,32 @@ class HttpStore(Store):
     def get(self, key: str) -> Optional[bytes]:
         return self._fetch(f"{self.url}/{key}")
 
+    def exists(self, key: str) -> bool:
+        """HEAD, not GET — the base class probes presence by fetching
+        the whole object, which doubles the bytes moved for callers
+        (like audit_zarr) that check presence before reading."""
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.url}/{key}", method="HEAD"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return False
+            if e.code == 405:  # server refuses HEAD: fall back to GET
+                return self.get(key) is not None
+            raise ZarrFormatError(
+                f"HTTP {e.code} probing {self.url}/{key}"
+            ) from e
+        except urllib.error.URLError as e:
+            raise ZarrFormatError(
+                f"Cannot reach {self.url}/{key}: {e.reason}"
+            ) from e
+
     def _fetch_range(self, key: str, range_header: str) -> Optional[bytes]:
         """GET with a Range header — the object-store access pattern
         for partial shards (the reference's S3 path does ranged GETs

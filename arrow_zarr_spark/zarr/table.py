@@ -159,6 +159,18 @@ class ChunkPlan:
         chunk order (``zarr_data_stream.rs:782-817``)."""
         return list(itertools.product(*(range(g) for g in self.grid_shape)))
 
+    def cell_ordinal(self, cell: Tuple[int, ...]) -> int:
+        """C-order (row-major) flat index of a grid cell — THE cell
+        numbering convention shared by :meth:`cells`' enumeration
+        order, the grid writer's ``__cell`` Horner encoding
+        (io.py::write_zarr_grid), and the per-cell statistics lists
+        (``STATS_ATTR_KEY``). One definition here so the three can't
+        drift."""
+        ordinal = 0
+        for i, g in zip(cell, self.grid_shape):
+            ordinal = ordinal * g + i
+        return ordinal
+
     def split_cells(
         self,
         n_partitions: int,

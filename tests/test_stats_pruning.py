@@ -735,3 +735,33 @@ class TestGridStats:
             a.meta.name: a.meta for a in infer_store_arrays(open_store(path))
         }["v"]
         assert STATS_ATTR_KEY not in meta.attributes
+
+
+def test_long_string_fill_pair_brackets_value():
+    """Grid absent-cell bounds for a >64-char string fill must bracket
+    the value readers materialize (the hi side rounds UP)."""
+    from arrow_zarr_spark.io import _stat_encode
+
+    fill = "A" * 100
+    lo = _stat_encode(np.asarray(fill, dtype=object), np.dtype(object))
+    hi = _stat_encode(
+        np.asarray(fill, dtype=object), np.dtype(object), upper=True
+    )
+    assert lo <= fill <= hi
+
+
+def test_cell_ordinal_matches_enumeration_order(spark, tmp_path):
+    """ChunkPlan.cell_ordinal is THE cell numbering: it must equal the
+    index of the cell in cells()' row-major enumeration."""
+    from arrow_zarr_spark.zarr import ChunkPlan, write_store
+
+    path = str(tmp_path / "ord3d")
+    write_store(
+        path,
+        arrays={"d": np.arange(120.0).reshape(4, 5, 6)},
+        chunk_shapes={"d": (2, 2, 2)},
+        dimension_names={"d": ("a", "b", "c")},
+    )
+    plan = ChunkPlan(infer_store_arrays(open_store(path)))
+    for i, cell in enumerate(plan.cells()):
+        assert plan.cell_ordinal(cell) == i

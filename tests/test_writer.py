@@ -682,7 +682,8 @@ class TestAuditZarr:
         open_store(path).delete("k/c/1")
         rep = {r.chunk_key: r for r in audit_zarr(spark, path).collect()}
         assert rep["c/1"].ok and rep["c/1"].missing
-        assert not rep["c/0"].missing
+        assert rep["c/1"].rows == 0  # stored rows, not fill phantoms
+        assert not rep["c/0"].missing and rep["c/0"].rows == 100
 
     def test_sharded_index_corruption_flagged(self, spark, tmp_path):
         from arrow_zarr_spark.io import audit_zarr
