@@ -53,6 +53,7 @@ __all__ = [
     "read_zarr_partitioned",
     "rechunk_zarr",
     "audit_zarr",
+    "refresh_stats",
     "SPARK_TO_ZARR",
 ]
 
@@ -987,3 +988,92 @@ def audit_zarr(
     n_slices = max(1, min(len(work), int(n_partitions)))
     rdd = sc.parallelize(work, n_slices).mapPartitions(check)
     return spark.createDataFrame(rdd, schema)
+
+
+def refresh_stats(
+    spark,
+    path: str,
+    columns: Optional[Sequence[str]] = None,
+    n_partitions: Optional[int] = None,
+) -> int:
+    """(Re)compute per-object [min, max] statistics for an EXISTING
+    table-layout store — the retrofit path: stores written before
+    statistics existed, by third-party zarr writers, or whose stats
+    were dropped (``stats=False`` / stale-length discard) gain
+    planning-time pruning without a rewrite.
+
+    Each store object is decoded once, executor-parallel (the audit's
+    distribution shape); the driver assembles one [lo, hi] pair per
+    object per eligible column and republishes the array metadata +
+    consolidated root. Missing objects bound to the fill value they
+    materialize as. Returns the number of (array, object) pairs
+    computed. 1-D arrays only (the table layout; grid stores get
+    their stats from :func:`write_zarr_grid`)."""
+    from .zarr.array import ZarrArray, infer_store_arrays
+
+    store = open_store(path)
+    arrays = [
+        a for a in infer_store_arrays(store) if a.meta.ndim == 1
+    ]
+    if columns:
+        wanted = set(columns)
+        missing = wanted - {a.meta.name for a in arrays}
+        if missing:
+            raise ZarrFormatError(
+                f"refresh_stats: no such 1-D arrays {sorted(missing)}"
+            )
+        arrays = [a for a in arrays if a.meta.name in wanted]
+    targets = [a for a in arrays if _stats_eligible(a.meta.dtype)]
+    work = [
+        (a.meta.name, i)
+        for a in targets
+        for i in range(a.meta.chunk_grid_shape[0])
+    ]
+    metas = {a.meta.name: a.meta for a in targets}
+    sc = spark.sparkContext
+    metas_b = sc.broadcast(metas)
+
+    def compute(items):
+        task_store = open_store(path)
+        for name, i in items:
+            meta = metas_b.value[name]
+            block = ZarrArray(task_store, meta).read_chunk((i,))
+            block = np.asarray(block, dtype=meta.dtype)
+            yield (
+                name,
+                i,
+                json.dumps(
+                    [
+                        _stat_encode(np.min(block), meta.dtype),
+                        _stat_encode(np.max(block), meta.dtype, upper=True),
+                    ]
+                ),
+            )
+
+    if n_partitions is None:
+        n_partitions = sc.defaultParallelism * 2
+    rows = (
+        sc.parallelize(work, max(1, min(len(work), int(n_partitions))))
+        .mapPartitions(compute)
+        .collect()
+        if work
+        else []
+    )
+    per_col: Dict[str, list] = {
+        n: [None] * m.chunk_grid_shape[0] for n, m in metas.items()
+    }
+    for name, i, pair in rows:
+        per_col[name][i] = json.loads(pair)
+    for a in arrays:
+        m = a.meta
+        if m.name in per_col:
+            m.attributes[STATS_ATTR_KEY] = per_col[m.name]
+        else:
+            m.attributes.pop(STATS_ATTR_KEY, None)
+        store.set(
+            f"{m.name}/zarr.json", json.dumps(m.to_json()).encode()
+        )
+    from .zarr.writer import consolidate_metadata
+
+    consolidate_metadata(store)
+    return len(rows)

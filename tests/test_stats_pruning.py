@@ -765,3 +765,70 @@ def test_cell_ordinal_matches_enumeration_order(spark, tmp_path):
     plan = ChunkPlan(infer_store_arrays(open_store(path)))
     for i, cell in enumerate(plan.cells()):
         assert plan.cell_ordinal(cell) == i
+
+
+class TestRefreshStats:
+    def test_retrofits_statless_store(self, spark, tmp_path):
+        from arrow_zarr_spark.io import refresh_stats
+
+        path = str(tmp_path / "rf1")
+        df = spark.range(0, 600, 1, 2).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("s"), F.col("id").cast("string")).alias("t"),
+        )
+        write_zarr(df, path, chunk_rows=100, stats=False)
+        assert len(_reader_cells(path, [LessThan(("k",), 50)])) == 6
+        n = refresh_stats(spark, path)
+        assert n == 12  # 6 objects x 2 eligible arrays
+        ks = {
+            a.meta.name: a.meta.attributes.get(STATS_ATTR_KEY)
+            for a in infer_store_arrays(open_store(path))
+        }
+        assert ks["k"] == [[i * 100, i * 100 + 99] for i in range(6)]
+        assert ks["t"] is not None  # strings get lexicographic bounds
+        assert _reader_cells(path, [LessThan(("k",), 50)]) == [(0,)]
+        back = spark.read.format("zarr").load(path)
+        assert sorted(r.k for r in back.filter("k < 50").collect()) == list(
+            range(50)
+        )
+
+    def test_refresh_on_sharded_store(self, spark, tmp_path):
+        from arrow_zarr_spark.io import refresh_stats
+
+        path = str(tmp_path / "rf2")
+        df = spark.range(0, 1000, 1, 2).select(F.col("id").alias("k"))
+        write_zarr(
+            df, path, chunk_rows=50, shard_chunks=5, stats=False
+        )
+        refresh_stats(spark, path)
+        ks = infer_store_arrays(open_store(path))[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        assert ks == [[i * 250, i * 250 + 249] for i in range(4)]
+
+    def test_refresh_replaces_stale_stats(self, spark, tmp_path):
+        from arrow_zarr_spark.io import refresh_stats
+
+        path = str(tmp_path / "rf3")
+        df = spark.range(0, 200, 1, 1).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)
+        store = open_store(path)
+        doc = json.loads(store.get("k/zarr.json"))
+        doc["attributes"][STATS_ATTR_KEY] = [[5, 5]]  # stale garbage
+        store.set("k/zarr.json", json.dumps(doc).encode())
+        refresh_stats(spark, path)
+        ks = infer_store_arrays(open_store(path))[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        assert ks == [[0, 99], [100, 199]]
+
+    def test_unknown_column_rejected(self, spark, tmp_path):
+        from arrow_zarr_spark.io import refresh_stats
+        from arrow_zarr_spark.zarr import ZarrFormatError
+
+        path = str(tmp_path / "rf4")
+        write_zarr(
+            spark.range(0, 10).select(F.col("id").alias("k")), path
+        )
+        with pytest.raises(ZarrFormatError, match="no such"):
+            refresh_stats(spark, path, columns=["zz"])
