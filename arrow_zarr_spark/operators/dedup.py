@@ -49,6 +49,8 @@ __all__ = [
     "minhash_lsh_pairs_cross",
     "duplicated_spans",
     "simhash_wordcode",
+    "remove_frequent_segments",
+    "remove_frequent_segments_sql",
 ]
 
 _MERSENNE31 = 2147483647  # 2^31 - 1
@@ -1153,3 +1155,149 @@ def simhash_wordcode(
             vote_sum(int(a[j]), int(b[j])) > 0, F.lit(1 << j)
         ).otherwise(F.lit(0))
     return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def _segments_col(
+    text_col: str, seg_words: Optional[int], sep: str
+):
+    """The shared segmentation expression: literal lines (split on
+    ``sep``) or fixed ``seg_words``-word windows for newline-free
+    corpora. Returns (segments array column, rejoin separator)."""
+    if seg_words is not None:
+        if seg_words < 1:
+            raise ValueError(
+                f"remove_frequent_segments: seg_words must be >= 1, "
+                f"got {seg_words}"
+            )
+        words = words_col(F.col(text_col))
+        starts = F.sequence(
+            F.lit(0),
+            F.greatest(F.size(words) - 1, F.lit(0)),
+            F.lit(seg_words),
+        )
+        segs = F.transform(
+            starts,
+            lambda i: F.array_join(
+                F.slice(words, i + 1, seg_words), " "
+            ),
+        )
+        return segs, " "
+    return F.split(F.col(text_col), sep), sep
+
+
+def remove_frequent_segments(
+    df: DataFrame,
+    min_docs: int = 5,
+    seg_words: Optional[int] = None,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment-level corpus dedup WITH rewrite — the RefinedWeb/Dolma
+    "line dedup" cleaning stage: any segment occurring in >=
+    ``min_docs`` distinct documents (navigation chrome, cookie
+    banners, license blurbs) is removed from EVERY document, and each
+    document's text is reassembled from its surviving segments in
+    original order. Where :func:`~arrow_zarr_spark.operators.text
+    .boilerplate_stats` (t11) only *measures* boilerplate and
+    :func:`duplicated_spans` (d14) *locates* within-document duplicate
+    regions, this operator produces the cleaned corpus itself.
+
+    Segments are literal lines (``split(text, sep)``, default
+    newline; ``sep`` is a Java-regex split pattern and is reused
+    verbatim as the rejoin separator, so keep it a plain literal) or,
+    for corpora whose cleaning already stripped newlines, fixed
+    ``seg_words``-word windows (``seg_words=w`` mode; rejoined with a
+    single space).
+
+    Returns one row per input document:
+    ``(id_col, text, n_segments, n_removed)`` with ``text`` rewritten
+    (empty string when every segment was boilerplate).
+
+    Scale shape (100 TB): segment IDENTITY is all the frequency pass
+    needs, so segments explode as 8-byte xxhash64 digests — (doc_id,
+    pos, digest) rows, no text in any shuffle — behind one eager
+    localCheckpoint (two consumers; Catalyst would re-run the explode
+    per consumer; swap for checkpoint() on a real cluster if executor
+    loss must be survivable). Document frequency is one groupBy(digest)
+    with a two-phase countDistinct (map-side partials); the surviving
+    frequent set is orders of magnitude smaller than the corpus and
+    broadcasts into a semi-join that reduces to per-doc removal
+    POSITIONS (ints). The rewrite is row-local (an index-lambda
+    ``filter`` over the segment array) after a doc-keyed join whose
+    build side holds only (doc_id, positions) rows — AQE broadcasts
+    it when it fits, and even the sort-merge fallback shuffles the
+    corpus text exactly once. A 64-bit digest collision would merge
+    two segments' doc counts (p ~ n^2/2^65 — ~1e-10 at 100k distinct
+    segments) and at worst over-removes one segment.
+    """
+    segs_expr, joiner = _segments_col(text_col, seg_words, sep)
+    digs = F.transform(segs_expr, lambda s: F.xxhash64(s))
+    ex = df.select(
+        F.col(id_col), F.posexplode(digs).alias("pos", "dig")
+    ).localCheckpoint(eager=True)
+    frequent = (
+        ex.groupBy("dig")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("dig")
+    )
+    removal = (
+        ex.join(F.broadcast(frequent), "dig", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_rm"))
+    )
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        segs_expr, lambda x, i: ~F.array_contains(rm, i)
+    )
+    return (
+        df.join(removal, id_col, "left")
+        .select(
+            id_col,
+            F.array_join(kept, joiner).alias(text_col),
+            F.size(segs_expr).cast("long").alias("n_segments"),
+            F.size(rm).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def remove_frequent_segments_sql(
+    min_docs: int = 5,
+    seg_words: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`remove_frequent_segments` in
+    ``seg_words`` mode (the harness corpus is newline-free). The
+    oracle works on segment STRINGS where the engine works on xxhash64
+    digests — outputs agree unless a 64-bit collision fires (see the
+    operator docstring for the odds)."""
+    w = seg_words
+    return (
+        f"WITH segs AS ("
+        f"  SELECT {id_col}, list_transform("
+        f"    range(0, CAST(ceil(len(ws)/{w}.0) AS BIGINT)),"
+        f"    i -> array_to_string(list_slice(ws, i*{w}+1, i*{w}+{w}),"
+        f"                         ' ')) AS sl"
+        f"  FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ws"
+        f"        FROM {table})), "
+        f"ex AS (SELECT {id_col}, unnest(sl) AS seg,"
+        f"       unnest(range(0, len(sl))) AS pos FROM segs), "
+        f"freq AS (SELECT seg FROM (SELECT DISTINCT {id_col}, seg"
+        f"         FROM ex) GROUP BY seg HAVING COUNT(*) >= {min_docs}), "
+        f"kept AS (SELECT {id_col}, seg, pos FROM ex"
+        f"         WHERE seg NOT IN (SELECT seg FROM freq)), "
+        f"agg AS (SELECT {id_col},"
+        f"        string_agg(seg, ' ' ORDER BY pos) AS new_text,"
+        f"        COUNT(*) AS n_kept FROM kept GROUP BY {id_col}), "
+        f"st AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_segments"
+        f"       FROM ex GROUP BY {id_col}) "
+        f"SELECT d.{id_col}, COALESCE(a.new_text, '') AS {text_col},"
+        f" st.n_segments,"
+        f" st.n_segments - COALESCE(a.n_kept, 0) AS n_removed"
+        f" FROM {table} d"
+        f" LEFT JOIN agg a USING ({id_col})"
+        f" LEFT JOIN st USING ({id_col})"
+    )

@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from .sampling import train_val_test_split
 from .text import PII_PATTERNS, quality_columns
 
-__all__ = ["pretraining_pipeline", "fuzzy_dedup_pipeline"]
+__all__ = [
+    "pretraining_pipeline",
+    "fuzzy_dedup_pipeline",
+    "snapshot_curation_pipeline",
+]
 
 
 def pretraining_pipeline(
@@ -189,4 +193,76 @@ def fuzzy_dedup_pipeline(
             "n_members",
             F.coalesce(F.col("n_members"), F.lit(1).cast("long")),
         )
+    )
+
+
+def snapshot_curation_pipeline(
+    batch: DataFrame,
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedup_k: int = 3,
+    dedup_threshold: float = 0.2,
+    contam_k: int = 5,
+    group_col: str = "lang",
+    score_col: str = "n_chars",
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Incremental crawl-snapshot curation — the flow a continuously-
+    trained model's data team runs on every new crawl batch, composed
+    from the library's verified stages into one lazy plan:
+
+    1. **exact dedup within the batch** — keep the lowest-id document
+       per normalized text (d02 semantics; the new snapshot always
+       carries internal duplicates);
+    2. **near-dup vs the existing corpus** — drop batch documents
+       whose exact word-``dedup_k``-gram Jaccard against ANY corpus
+       document reaches ``dedup_threshold``
+       (:func:`~arrow_zarr_spark.operators.dedup.dedup_against_corpus`,
+       d12 — the corpus never re-deduplicates);
+    3. **benchmark decontamination** — purge survivors sharing any
+       word-``contam_k``-gram with the blocklist
+       (:func:`~arrow_zarr_spark.operators.dedup.contamination_purge`,
+       d11);
+    4. **per-group quality gate** — keep the top ``keep_frac`` of each
+       ``group_col`` by ``score_col``
+       (:func:`~arrow_zarr_spark.operators.sampling.quantile_gate`,
+       p06), adding ``group_rank``.
+
+    Output: the curated batch rows
+    ``(id_col, group_col, source, score_col, group_rank)``.
+
+    Scale shape (100 TB corpus, batch-sized snapshot): every
+    corpus-touching stage is bounded by the BATCH — stage 2 gates the
+    corpus explode with the broadcast batch-shingle set (join bounded
+    by batch size, corpus never shuffles), stage 3 is the broadcast
+    digest gate (no shuffle carries text), and stages 1 and 4 are one
+    batch-sized window each. Catalyst sees the whole composition, so
+    the stage-3 anti-join and stage-4 window fold onto stage 2's
+    output without materialization."""
+    from .dedup import contamination_purge, dedup_against_corpus
+    from .sampling import quantile_gate
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    w = Window.partitionBy("__norm").orderBy(F.col(id_col))
+    s1 = (
+        batch.withColumn("__norm", norm)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__norm", "__rn")
+    )
+    s2 = dedup_against_corpus(
+        s1, corpus, id_col=id_col, text_col=text_col,
+        k=dedup_k, threshold=dedup_threshold,
+    )
+    s3 = contamination_purge(
+        s2, blocklist, id_col=id_col, text_col=text_col, k=contam_k
+    )
+    return quantile_gate(
+        s3.select(id_col, group_col, "source", score_col),
+        group_col=group_col,
+        score_col=score_col,
+        keep_frac=keep_frac,
+        tiebreak_col=id_col,
     )

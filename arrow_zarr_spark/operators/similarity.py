@@ -29,6 +29,7 @@ __all__ = [
     "cosine_topk",
     "hyperplane_lsh_ann",
     "ivf_ann",
+    "pq_ann",
 ]
 
 
@@ -451,4 +452,186 @@ def ivf_ann(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def pq_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    max_query_rows: int = 65536,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the
+    memory-bounded similarity path: each vector is encoded as ``m``
+    sub-space codebook indices (here ``m`` small ints instead of
+    ``dim`` floats — at 100 TB of embeddings the codes fit cluster
+    memory when the raw vectors never could), and queries score
+    candidates with asymmetric distance computation (ADC): one
+    ``m x ksub`` lookup table per query, an O(m) table-gather per
+    corpus vector instead of an O(dim) dot product.
+
+    Determinism/oracle story (same convention as :func:`ivf_ann`):
+    codebooks are picked deterministically (every (n/ksub)-th corpus
+    vector by id, sliced into ``m`` sub-vectors), all vectors are
+    quantized to a 1/32768 grid IN SPARK SQL (``ROUND(x*32768)``, the
+    engine-consistent rounding), and every encode/score quantity is an
+    exact integer sum in float64 (dims * 2^30 << 2^53) — the kernel
+    never rounds. The approximate cosine is
+    ``dot_adc / (sqrt(|q|^2) * sqrt(|reconstruction|^2))`` — three
+    correctly-rounded IEEE ops over exact integers, so a SQL oracle
+    replays the ranking bit-for-bit.
+
+    Scale shape: codebooks (``ksub`` rows) and the query probe set are
+    driver-collected (metadata-scale; ``max_query_rows`` caps the
+    collect) and broadcast; the corpus streams through one
+    ``mapInPandas`` pass that encodes each partition slab and keeps a
+    per-partition top-k per query, so the shuffle carries only
+    ``n_partitions * n_queries * k`` rows into the final merge window.
+    No corpus-sized join, no driver-side corpus collection."""
+    query_id_col = query_id_col or id_col
+    spark = corpus.sparkSession
+
+    def qvec(c):
+        return F.transform(c, lambda x: F.round(x * F.lit(32768.0), 0))
+
+    max_id = corpus.agg(F.max(id_col)).first()[0]
+    stride = max(1, (int(max_id) + 1) // ksub)
+    cb_rows = (
+        corpus.filter(
+            (F.col(id_col) % stride == 0) & (F.col(id_col) / stride < ksub)
+        )
+        .select(
+            (F.col(id_col) / stride).cast("int").alias("code"),
+            qvec(F.col(vec_col)).alias("v"),
+        )
+        .collect()
+    )
+    if not cb_rows:
+        raise ValueError("pq_ann: empty corpus (no codebook rows)")
+    cb_rows.sort(key=lambda r: r["code"])
+    cb_full = np.array([r["v"] for r in cb_rows], dtype=np.float64)
+    dim = cb_full.shape[1]
+    if dim % m:
+        raise ValueError(
+            f"pq_ann: embedding dim {dim} not divisible by m={m}"
+        )
+    dsub = dim // m
+    # (m, n_codes, dsub) — row order IS code order, so np.argmin's
+    # first-minimum tiebreak = lowest code id (mirrored in the oracle)
+    cbs = np.stack([cb_full[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+    cb_nsq = np.einsum("jcd,jcd->jc", cbs, cbs)  # exact ints
+
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("qid"), qvec(F.col(vec_col)).alias("qv")
+        )
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"pq_ann collects the query side to the driver; got more "
+            f"than max_query_rows={max_query_rows} rows. Pass a bounded "
+            f"probe set or raise max_query_rows explicitly."
+        )
+    q_ids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    if len(q_mat) and q_mat.shape[1] != dim:
+        raise ValueError(
+            f"pq_ann: query dim {q_mat.shape[1]} != corpus dim {dim}"
+        )
+    # ADC lookup tables: lut[j, q, c] = <q_sub_j, codebook_j[c]>
+    lut = np.stack(
+        [q_mat[:, j * dsub : (j + 1) * dsub] @ cbs[j].T for j in range(m)]
+    ) if len(q_mat) else np.zeros((m, 0, len(cb_rows)))
+    q_nsq = np.einsum("qd,qd->q", q_mat, q_mat) if len(q_mat) else q_mat
+    b = spark.sparkContext.broadcast((q_ids, lut, q_nsq, cb_nsq, cbs))
+
+    corpus_q = corpus.select(
+        F.col(id_col).alias("neighbor_id"), qvec(F.col(vec_col)).alias("cv")
+    )
+    out_schema = (
+        "query_id long, neighbor_id long, dot double, "
+        "nr_sq double, nq_sq double"
+    )
+
+    def kernel(batches):
+        q_ids_l, lut_l, q_nsq_l, cb_nsq_l, cbs_l = b.value
+        nq = len(q_ids_l)
+        if not nq:
+            return
+        # running per-partition top-k per query: (cos, id, dot, nr_sq)
+        acc = [None] * nq
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy(np.int64)
+            X = np.array(list(pdf["cv"]), dtype=np.float64)
+            n = len(ids)
+            codes = np.empty((m, n), dtype=np.int64)
+            for j in range(m):
+                Xj = X[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    np.einsum("nd,nd->n", Xj, Xj)[:, None]
+                    - 2.0 * (Xj @ cbs_l[j].T)
+                    + cb_nsq_l[j][None, :]
+                )
+                codes[j] = np.argmin(d2, axis=1)  # first min = lowest code
+            nr_sq = np.zeros(n, dtype=np.float64)
+            for j in range(m):
+                nr_sq += cb_nsq_l[j][codes[j]]
+            nr = np.sqrt(nr_sq)
+            nr_safe = np.where(nr > 0, nr, 1.0)
+            for qi in range(nq):
+                dots = np.zeros(n, dtype=np.float64)
+                for j in range(m):
+                    dots += lut_l[j, qi][codes[j]]
+                cos = dots / (np.sqrt(q_nsq_l[qi]) * nr_safe)
+                mask = ids != q_ids_l[qi]
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                cand = (cos[idx], ids[idx], dots[idx], nr_sq[idx])
+                if acc[qi] is not None:
+                    cand = tuple(
+                        np.concatenate([a, c])
+                        for a, c in zip(acc[qi], cand)
+                    )
+                order = np.lexsort((cand[1], -cand[0]))[:k]
+                acc[qi] = tuple(c[order] for c in cand)
+        for qi in range(nq):
+            if acc[qi] is None:
+                continue
+            cos_a, ids_a, dot_a, nr_a = acc[qi]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.full(len(ids_a), q_ids_l[qi], np.int64),
+                    "neighbor_id": ids_a,
+                    "dot": dot_a,
+                    "nr_sq": nr_a,
+                    "nq_sq": np.full(len(ids_a), q_nsq_l[qi], np.float64),
+                }
+            )
+
+    local = corpus_q.mapInPandas(kernel, schema=out_schema)
+    # raw-cosine ordering for rank (bit-identical across engines since
+    # the inputs are exact integers); rounded cosine only for display
+    cos_raw = F.col("dot") / (F.sqrt(F.col("nq_sq")) * F.sqrt(F.col("nr_sq")))
+    w = Window.partitionBy("query_id").orderBy(
+        cos_raw.desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos_raw, 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

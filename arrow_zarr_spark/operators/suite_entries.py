@@ -22,6 +22,7 @@ __all__ = [
     "populate_extended_queries",
     "populate_round4_queries",
     "populate_round5_queries",
+    "populate_round6_queries",
     "populate_deferred_queries",
 ]
 
@@ -1733,3 +1734,171 @@ def populate_deferred_queries(register) -> None:
     # in the oracle SQL subset; budget/partition invariants are pytest-
     # verified against a python reference
     register("t05_pack_sequences", t05, None)
+
+
+def populate_round6_queries(register) -> None:
+    """Round-6 operator additions, every entry oracle-backed.
+
+    d16: segment-level corpus dedup WITH document rewrite (the
+    RefinedWeb/Dolma line-dedup cleaning stage — t11 measures
+    boilerplate, this removes it); s04: product-quantization ANN
+    (ADC scoring over deterministic codebooks, the memory-bounded
+    100-TB similarity path, exact-integer arithmetic so the oracle
+    replays the ranking bit-for-bit); x03: the incremental
+    crawl-snapshot curation pipeline (d02 -> d12 -> d11 -> p06
+    composed as one plan, one chained oracle)."""
+
+    def d16(spark, sf_dir):
+        # seg_words mode: the synthetic corpus is newline-free, so
+        # segments are 6-word windows; min_docs=3 keeps the removal
+        # path busy at every SF
+        return dedup.remove_frequent_segments(
+            _docs(spark, sf_dir), min_docs=3, seg_words=6
+        )
+
+    register(
+        "d16_remove_frequent_segments",
+        d16,
+        dedup.remove_frequent_segments_sql(min_docs=3, seg_words=6),
+    )
+
+    def s04(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        # m=16/ksub=64 measured best on the 64-dim synthetic
+        # vectors (recall@5 0.58 vs exact on random data, PQ's worst
+        # case; structured embeddings do far better)
+        return similarity.pq_ann(
+            embs, embs.filter(F.col("vec_id") < 20), k=5, m=16, ksub=64
+        )
+
+    # The oracle replays the whole PQ pipeline: strided codebook pick
+    # off MAX(vec_id) (the ksub rows' sub-vector slices ARE the m
+    # codebooks), argmin-L2 encoding with code-id tiebreak, ADC dot
+    # via the encoded codes, cosine against the reconstruction norm.
+    # Every quantity is an exact integer sum over 1/32768-quantized
+    # embeddings (s03's convention), the cosine three correctly-
+    # rounded IEEE ops, and BOTH engines rank by the raw cosine —
+    # bit-identical, with ROUND(6) applied only to the output column.
+    _S04_QV = (
+        "list_transform(CAST({e} AS DOUBLE[]), x -> ROUND(x * 32768, 0))"
+    )
+    _m, _ksub, _dsub, _k = 16, 64, 4, 5
+    register(
+        "s04_pq_ann_topk",
+        s04,
+        f"WITH params AS (SELECT GREATEST(1, (MAX(vec_id)+1)//{_ksub}) "
+        "AS stride FROM embeddings), "
+        "cb AS (SELECT CAST(vec_id // stride AS INT) AS code, "
+        f"{_S04_QV.format(e='embedding')} AS v "
+        "FROM embeddings, params "
+        f"WHERE vec_id % stride = 0 AND vec_id // stride < {_ksub}), "
+        f"js AS (SELECT unnest(range(0, {_m})) AS j), "
+        f"sub AS (SELECT code, j, list_slice(v, j*{_dsub}+1, "
+        f"j*{_dsub}+{_dsub}) AS sv FROM cb, js), "
+        f"corp AS (SELECT vec_id, {_S04_QV.format(e='embedding')} AS v "
+        "FROM embeddings), "
+        f"csub AS (SELECT vec_id, j, list_slice(v, j*{_dsub}+1, "
+        f"j*{_dsub}+{_dsub}) AS cv FROM corp, js), "
+        "dist AS (SELECT c.vec_id, c.j, s.code, "
+        "list_inner_product(c.cv, c.cv) - 2*list_inner_product(c.cv, s.sv) "
+        "+ list_inner_product(s.sv, s.sv) AS d2 "
+        "FROM csub c JOIN sub s ON c.j = s.j), "
+        "enc AS (SELECT vec_id, j, code FROM ("
+        "SELECT vec_id, j, code, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id, j ORDER BY d2, code) AS rk FROM dist) "
+        "WHERE rk = 1), "
+        "recon AS (SELECT e.vec_id, "
+        "SUM(list_inner_product(s.sv, s.sv)) AS nr_sq "
+        "FROM enc e JOIN sub s ON e.j = s.j AND e.code = s.code "
+        "GROUP BY e.vec_id), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM corp "
+        "WHERE vec_id < 20), "
+        "qn AS (SELECT query_id, list_inner_product(qv, qv) AS nq_sq "
+        "FROM q), "
+        f"qsub AS (SELECT query_id, j, list_slice(qv, j*{_dsub}+1, "
+        f"j*{_dsub}+{_dsub}) AS qj FROM q, js), "
+        "pdot AS (SELECT qs.query_id, e.vec_id AS neighbor_id, "
+        "SUM(list_inner_product(qs.qj, s.sv)) AS dot "
+        "FROM qsub qs JOIN enc e ON qs.j = e.j "
+        "JOIN sub s ON s.j = e.j AND s.code = e.code "
+        "GROUP BY qs.query_id, e.vec_id), "
+        "scored AS (SELECT p.query_id, p.neighbor_id, "
+        "p.dot / (SQRT(qn.nq_sq) * SQRT(r.nr_sq)) AS cos "
+        "FROM pdot p JOIN qn USING (query_id) "
+        "JOIN recon r ON p.neighbor_id = r.vec_id "
+        "WHERE p.query_id <> p.neighbor_id) "
+        "SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, "
+        "CAST(rank AS BIGINT) AS rank FROM ("
+        "SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank "
+        f"FROM scored) WHERE rank <= {_k}",
+    )
+
+    # x03: the incremental snapshot-curation pipeline. The batch is
+    # the doc_id % 10 == 0 slice, the corpus the rest, the blocklist
+    # src0 (the d11/d12 conventions), so every stage has real work at
+    # every SF. The oracle chains the stages' existing SQL forms.
+    def x03(spark, sf_dir):
+        from .pipelines import snapshot_curation_pipeline
+
+        docs = _docs(spark, sf_dir)
+        notblock = F.col("source") != "src0"
+        return snapshot_curation_pipeline(
+            docs.filter((F.col("doc_id") % 10 == 0) & notblock),
+            docs.filter((F.col("doc_id") % 10 != 0) & notblock),
+            docs.filter(F.col("source") == "src0"),
+        )
+
+    _X3_SH = (
+        "SELECT doc_id, t.sh AS sh FROM ("
+        "  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),"
+        "    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shl"
+        "  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM {src})"
+        "), UNNEST(shl) AS t(sh)"
+    )
+    _X3_5G = (
+        "SELECT doc_id, t.ng AS ng FROM ("
+        "  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-3),"
+        "    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || "
+        "    ws[i+3] || ' ' || ws[i+4])) AS ngl"
+        "  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM {src})"
+        "), UNNEST(ngl) AS t(ng)"
+    )
+    register(
+        "x03_snapshot_curation_pipeline",
+        x03,
+        "WITH b AS (SELECT * FROM documents "
+        "WHERE doc_id % 10 = 0 AND source <> 'src0'), "
+        "s1 AS (SELECT doc_id, text, lang, source, n_chars FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY "
+        "  TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) "
+        "  ORDER BY doc_id) AS rn FROM b) WHERE rn = 1), "
+        "nsh AS (" + _X3_SH.format(src="s1") + "), "
+        "csh AS (" + _X3_SH.format(
+            src="(SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 10 <> 0 AND source <> 'src0')"
+        ) + "), "
+        "nsz AS (SELECT doc_id, COUNT(*) AS n_n FROM nsh GROUP BY 1), "
+        "csz AS (SELECT doc_id, COUNT(*) AS n_c FROM csh GROUP BY 1), "
+        "sh AS (SELECT n.doc_id AS a, c.doc_id AS b2, COUNT(*) AS shared "
+        "FROM nsh n JOIN csh c ON n.sh = c.sh GROUP BY 1, 2), "
+        "fl AS (SELECT DISTINCT a FROM sh "
+        "JOIN nsz ON a = nsz.doc_id JOIN csz ON b2 = csz.doc_id "
+        "WHERE shared / (n_n + n_c - shared) >= 0.2), "
+        "s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT a FROM fl)), "
+        "ng AS (" + _X3_5G.format(src="s2") + "), "
+        "bl AS (SELECT DISTINCT ng FROM (" + _X3_5G.format(
+            src="(SELECT doc_id, text FROM documents "
+            "WHERE source = 'src0')"
+        ) + ")), "
+        "bad AS (SELECT DISTINCT doc_id FROM ng "
+        "WHERE ng IN (SELECT ng FROM bl)), "
+        "s3 AS (SELECT * FROM s2 "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bad)), "
+        "ranked AS (SELECT doc_id, lang, source, n_chars, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS group_rank, "
+        "COUNT(*) OVER (PARTITION BY lang) AS cnt FROM s3) "
+        "SELECT doc_id, lang, source, n_chars, group_rank FROM ranked "
+        "WHERE group_rank <= CAST(CEIL(cnt * 0.5) AS BIGINT)",
+    )

@@ -696,6 +696,42 @@ def _populate_relational_round5_tail() -> None:
     )
 
 
+def _populate_relational_round6_tail() -> None:
+    """Round-6 completeness additions (registered past the window;
+    round-7 rotation picks them up): FULL OUTER join and UNPIVOT —
+    the last two relational shapes in the inventory with no row."""
+    # FULL OUTER: per-nation customer vs supplier rollups where the
+    # acctbal filters leave each side with nations the other lacks, so
+    # both null-extension directions are exercised. COALESCE keys keep
+    # the output null-free on the join key.
+    _sql_pair(
+        "r46_full_outer_join",
+        "SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp "
+        "FROM (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) "
+        "      AS n_cust FROM customer WHERE c_acctbal > 9000 "
+        "      GROUP BY 1) c "
+        "FULL OUTER JOIN "
+        "(SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp "
+        " FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s "
+        "ON c.nk = s.nk",
+    )
+    # UNPIVOT (r24's pivot inverse): wide per-segment metrics to long
+    # (segment, metric, value) rows. Metrics use the suite's exact-
+    # decimal convention so the doubles are order-independent; the
+    # same standard UNPIVOT text parses on both engines.
+    _sql_pair(
+        "r47_unpivot",
+        "SELECT c_mktsegment, metric, v FROM ("
+        "  SELECT c_mktsegment, "
+        "  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) "
+        "    AS sum_bal, "
+        "  CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal, "
+        "  CAST(COUNT(*) AS DOUBLE) AS n_cust "
+        "  FROM customer GROUP BY c_mktsegment) "
+        "UNPIVOT (v FOR metric IN (sum_bal, max_bal, n_cust))",
+    )
+
+
 def _populate_zarr_round4() -> None:
     """Round-4 zarr addition (driver-green r4, rotated out in r5)."""
 
@@ -1318,11 +1354,14 @@ def _ensure_populated() -> None:
         populate_round4_queries,
         populate_round5_late2_queries,
         populate_round5_queries,
+        populate_round6_queries,
     )
 
     populate_round4_queries(register_query)
     populate_round5_queries(register_query)
     populate_round5_late2_queries(register_query)
+    populate_round6_queries(register_query)
+    _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()
     _populate_relational()

@@ -1099,3 +1099,181 @@ def test_fuzzy_dedup_pipeline_custom_id_col(spark, docs):
         for r in fuzzy_dedup_pipeline(docs).collect()
     }
     assert {r.my_id for r in out} == base
+
+
+class TestRemoveFrequentSegments:
+    """d16 — segment-level corpus dedup with document rewrite."""
+
+    def test_line_mode_removes_frequent_lines(self, spark):
+        rows = [
+            (i, f"unique line {i}\nCOOKIE BANNER\ntail {i}")
+            for i in range(5)
+        ]
+        rows.append((5, "no boilerplate here"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r.doc_id: r
+            for r in dedup.remove_frequent_segments(df, min_docs=3).collect()
+        }
+        for i in range(5):
+            assert out[i].text == f"unique line {i}\ntail {i}"
+            assert out[i].n_segments == 3
+            assert out[i].n_removed == 1
+        assert out[5].text == "no boilerplate here"
+        assert out[5].n_removed == 0
+
+    def test_fully_boilerplate_doc_becomes_empty(self, spark):
+        df = spark.createDataFrame(
+            [(i, "SAME") for i in range(4)], ["doc_id", "text"]
+        )
+        out = dedup.remove_frequent_segments(df, min_docs=3).collect()
+        assert all(
+            r.text == "" and r.n_removed == 1 and r.n_segments == 1
+            for r in out
+        )
+
+    def test_within_doc_repeat_counts_one_doc(self, spark):
+        """Doc frequency is DISTINCT documents: two occurrences inside
+        one doc must not fake a second document."""
+        df = spark.createDataFrame(
+            [(1, "DUP\nDUP"), (2, "DUP"), (3, "x")], ["doc_id", "text"]
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.remove_frequent_segments(df, min_docs=3).collect()
+        }
+        assert out[1].text == "DUP\nDUP" and out[1].n_removed == 0
+        # at min_docs=2 every occurrence goes, in both docs
+        out2 = {
+            r.doc_id: r
+            for r in dedup.remove_frequent_segments(df, min_docs=2).collect()
+        }
+        assert out2[1].text == "" and out2[1].n_removed == 2
+        assert out2[2].text == "" and out2[2].n_removed == 1
+        assert out2[3].text == "x" and out2[3].n_removed == 0
+
+    def test_word_window_mode_counts(self, spark, docs):
+        out = dedup.remove_frequent_segments(
+            docs, min_docs=3, seg_words=6
+        )
+        row = out.agg(
+            F.count("*").alias("n"),
+            F.sum("n_removed").alias("rm"),
+            F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0)).alias(
+                "touched"
+            ),
+        ).first()
+        assert row.n == docs.count()  # every doc survives as a row
+        assert row.rm > 0 and row.touched > 0  # removal path exercised
+
+    def test_seg_words_validation(self, spark, docs):
+        with pytest.raises(ValueError, match="seg_words"):
+            dedup.remove_frequent_segments(docs, seg_words=0).collect()
+
+
+class TestPQANN:
+    """s04 — product-quantization ANN."""
+
+    def test_planted_patterns_reconstruct_exactly(self, spark):
+        """Corpus = 16 patterns x 4 identical copies, codebook rows
+        (ids 0,4,8,...) hit every pattern once — encoding is lossless,
+        so each query's top-3 are exactly its 3 same-pattern twins."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        patterns = rng.standard_normal((16, 64)).astype("float32")
+        rows = [
+            (i, [float(x) for x in patterns[(i // 4) % 16]])
+            for i in range(64)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = similarity.pq_ann(
+            df, df.filter(F.col("vec_id") < 8), k=3, m=4, ksub=16
+        )
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for qid in range(8):
+            twins = {
+                i
+                for i in range(64)
+                if (i // 4) % 16 == (qid // 4) % 16 and i != qid
+            }
+            assert got[qid] == twins
+
+    def test_partitioning_invariant(self, spark, embs):
+        """Per-partition top-k pruning must be exact: output cannot
+        depend on how the corpus is partitioned."""
+        q = embs.filter(F.col("vec_id") < 10)
+        a = sorted(
+            map(tuple, similarity.pq_ann(embs.repartition(1), q).collect())
+        )
+        b = sorted(
+            map(tuple, similarity.pq_ann(embs.repartition(7), q).collect())
+        )
+        assert a == b and len(a) == 50
+
+    def test_dim_not_divisible_raises(self, spark, embs):
+        with pytest.raises(ValueError, match="divisible"):
+            similarity.pq_ann(embs, embs.limit(2), m=7)
+
+    def test_query_cap_raises(self, spark, embs):
+        with pytest.raises(ValueError, match="max_query_rows"):
+            similarity.pq_ann(embs, embs, max_query_rows=3)
+
+
+class TestSnapshotCurationPipeline:
+    """x03 — the incremental crawl-snapshot curation composition."""
+
+    def test_stages_compose(self, spark, docs):
+        from arrow_zarr_spark.operators.pipelines import (
+            snapshot_curation_pipeline,
+        )
+
+        notblock = F.col("source") != "src0"
+        batch = docs.filter((F.col("doc_id") % 10 == 0) & notblock)
+        out = snapshot_curation_pipeline(
+            batch,
+            docs.filter((F.col("doc_id") % 10 != 0) & notblock),
+            docs.filter(F.col("source") == "src0"),
+        )
+        rows = out.collect()
+        assert rows and len(rows) <= batch.count()
+        # output is a subset of the batch ids
+        batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+        assert {r.doc_id for r in rows} <= batch_ids
+        # the quality gate keeps at most ceil(n_group/2) per lang and
+        # ranks are 1..n contiguous per group
+        import collections, math
+
+        per_lang = collections.defaultdict(list)
+        for r in rows:
+            per_lang[r.lang].append(r.group_rank)
+        for ranks in per_lang.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    def test_blocklist_purges(self, spark):
+        """A batch doc sharing a 5-gram with the blocklist must drop."""
+        from arrow_zarr_spark.operators.pipelines import (
+            snapshot_curation_pipeline,
+        )
+
+        mk = lambda i, t, src: (i, t, "en", src, len(t))
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        secret = "alpha beta gamma delta epsilon zeta"
+        batch = spark.createDataFrame(
+            [
+                mk(0, f"clean words only here {'x ' * 9}", "web"),
+                mk(10, f"leaky doc with {secret} inside", "web"),
+            ],
+            cols,
+        )
+        corpus = spark.createDataFrame(
+            [mk(1, "totally unrelated corpus text", "web")], cols
+        )
+        block = spark.createDataFrame(
+            [mk(2, f"benchmark {secret} row", "src0")], cols
+        )
+        out = snapshot_curation_pipeline(batch, corpus, block)
+        ids = {r.doc_id for r in out.collect()}
+        assert 0 in ids and 10 not in ids

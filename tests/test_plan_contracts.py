@@ -436,3 +436,59 @@ class TestRound5OperatorContracts:
         # and the corpus side of the tail must not hash-repartition:
         # the only exchanges after the checkpointed pair set are the
         # component/window shuffles on dup-group-sized frames
+
+
+class TestRound6Contracts:
+    def test_segment_dedup_broadcasts_frequent_set(self, views):
+        """d16: the frequent-segment mark must be a broadcast semi-join
+        on 8-byte digests (a shuffle here repartitions the exploded
+        corpus a second time), and nothing may go cartesian."""
+        from arrow_zarr_spark.operators import dedup
+
+        out = dedup.remove_frequent_segments(
+            views.table("documents"), min_docs=3, seg_words=6
+        )
+        out.collect()  # the exploded localCheckpoint executes eagerly
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_pq_ann_single_exchange_no_joins(self, views):
+        """s04: the whole PQ pipeline is one MapInPandas pass feeding
+        ONE hash exchange of per-partition top-k rows — no join
+        anywhere, and the row_number is a WindowGroupLimit (top-k
+        prunes before AND after the shuffle)."""
+        from arrow_zarr_spark.operators import similarity
+
+        embs = views.table("embeddings")
+        df = similarity.pq_ann(
+            embs, embs.filter(F.col("vec_id") < 10)
+        )
+        plan = _plan(df)
+        assert "MapInPandas" in plan
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "WindowGroupLimit" in plan
+
+    def test_snapshot_pipeline_text_never_shuffles_after_dedup(
+        self, views
+    ):
+        """x03: every corpus-touching join must be broadcast-gated
+        (batch shingles / blocklist digests) — no cartesian, no NLJ,
+        and the corpus-side explode joins only through hash joins."""
+        from arrow_zarr_spark.operators.pipelines import (
+            snapshot_curation_pipeline,
+        )
+
+        docs = views.table("documents")
+        notblock = F.col("source") != "src0"
+        out = snapshot_curation_pipeline(
+            docs.filter((F.col("doc_id") % 10 == 0) & notblock),
+            docs.filter((F.col("doc_id") % 10 != 0) & notblock),
+            docs.filter(F.col("source") == "src0"),
+        )
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
