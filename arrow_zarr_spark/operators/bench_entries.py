@@ -114,3 +114,33 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     qs["fuzzy_dedup_pipeline"] = lambda: force(
         fuzzy_dedup_pipeline(docs)
     )
+
+    # segment-level dedup WITH rewrite (d16): the digest explode +
+    # doc-frequency groupBy + broadcast mark + row-local rebuild —
+    # tracked because the rewrite join is the one text-carrying stage
+    qs["dedup_segments_rewrite"] = lambda: force(
+        dedup.remove_frequent_segments(docs, min_docs=3, seg_words=6)
+    )
+    # PQ ANN (s04): one MapInPandas encode+ADC pass, single top-k
+    # exchange — the memory-bounded ANN path; tracked against ann_ivf
+    # and ann_lsh above
+    qs["ann_pq"] = lambda: force(
+        similarity.pq_ann(
+            embs, embs.filter(F.col("vec_id") < 100), k=10, m=16, ksub=64
+        )
+    )
+    # the snapshot-curation composition (x03): batch-bounded corpus
+    # near-dup gate + digest purge + quality gate in one plan
+    from .pipelines import snapshot_curation_pipeline
+
+    def _x03():
+        notblock = F.col("source") != "src0"
+        return force(
+            snapshot_curation_pipeline(
+                docs.filter((F.col("doc_id") % 10 == 0) & notblock),
+                docs.filter((F.col("doc_id") % 10 != 0) & notblock),
+                docs.filter(F.col("source") == "src0"),
+            )
+        )
+
+    qs["snapshot_curation"] = _x03
