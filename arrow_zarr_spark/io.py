@@ -181,6 +181,7 @@ def _validate_append_target(
     chunk_rows: int,
     compression: str = "zstd",
     shard_chunks: Optional[int] = None,
+    zarr_format: int = 3,
 ) -> int:
     """Append must extend a layout-compatible 1-D store (chunk size,
     sharding, dtype, columns). Returns the existing row count. Unlike
@@ -198,10 +199,17 @@ def _validate_append_target(
         )
     unit = chunk_rows * (shard_chunks or 1)
     rows = by_name[names[0]].meta.shape[0]
+    want_encoding = "v2" if zarr_format == 2 else "default"
     for f in schema.fields:
         m = by_name[f.name].meta
         if m.ndim != 1 or m.shape[0] != rows:
             raise ZarrFormatError("Append target must be a 1-D table store")
+        if m.key_encoding != want_encoding:
+            raise ZarrFormatError(
+                f"Append zarr_format mismatch for {f.name!r}: store is "
+                f"{'v2' if m.key_encoding == 'v2' else 'v3'}, append "
+                f"requested zarr_format={zarr_format}"
+            )
         if m.chunk_shape[0] != unit:
             raise ZarrFormatError(
                 f"Append chunk_rows*shard_chunks {unit} != store object "
@@ -212,9 +220,25 @@ def _validate_append_target(
                 f"Append dtype mismatch for {f.name!r}: store has "
                 f"{m.zarr_dtype}, writing {_zarr_dtype_for(f)}"
             )
-        if m.codecs != _codecs_for_field(
-            f, chunk_rows, shard_chunks, compression
-        ):
+        if zarr_format == 2:
+            from .zarr.meta import parse_v2_array_meta
+            from .zarr.writer import v2_array_docs
+
+            zarray, _ = v2_array_docs(
+                f.name,
+                shape=(1,),
+                chunk_shape=(unit,),
+                dtype=_np_dtype_for(f),
+                compression=compression,
+            )
+            expected = parse_v2_array_meta(
+                f.name, json.dumps(zarray).encode()
+            ).codecs
+        else:
+            expected = _codecs_for_field(
+                f, chunk_rows, shard_chunks, compression
+            )
+        if m.codecs != expected:
             raise ZarrFormatError(
                 f"Append codec mismatch for {f.name!r}: store uses "
                 f"{m.codecs} — pass the store's compression/shard_chunks "
@@ -297,8 +321,20 @@ def write_zarr(
     fill_value=0,
     shard_chunks: Optional[int] = None,
     stats: bool = True,
+    zarr_format: int = 3,
 ) -> int:
     """Write ``df``'s numeric/boolean columns as a Zarr v3 store.
+
+    ``zarr_format=2`` writes the store as Zarr **v2** instead — the
+    xarray-ecosystem interchange format (``.zarray``/``.zattrs``
+    metadata, ``0.0``-style chunk keys, numcodecs compressor docs,
+    consolidated ``.zmetadata``) — so third-party v2-only readers can
+    consume engine output directly. v2 carries no sharding container
+    and this engine's v2 surface has no vlen strings; both raise with
+    the v3 path named. Everything else (append with boundary-chunk
+    merge, per-object [min,max] statistics via ``.zattrs``, the
+    distributed commit protocol) behaves identically, and the scan
+    prunes a v2 store's objects from the same statistics.
 
     Returns the number of rows written. ``mode``: "error" (default),
     "overwrite", or "append" (extend an existing store in place — the
@@ -346,13 +382,29 @@ def write_zarr(
             "shard_chunks is not supported for stores with string "
             "columns (vlen data cannot share the sharded chunk grid)"
         )
+    if zarr_format not in (2, 3):
+        raise ZarrFormatError(
+            f"zarr_format must be 2 or 3, got {zarr_format!r}"
+        )
+    if zarr_format == 2:
+        if has_strings:
+            raise ZarrFormatError(
+                "zarr v2 writer supports numeric/bool/datetime columns "
+                "only; use zarr_format=3 for string columns"
+            )
+        if shard_chunks and shard_chunks > 1:
+            raise ZarrFormatError(
+                "sharding (sharding_indexed) is a zarr v3 feature; "
+                "v2 has no shard container — use zarr_format=3"
+            )
 
     store = open_store(path)
     base_rows = 0
-    if store.exists("zarr.json"):
+    if store.exists("zarr.json") or store.exists(".zgroup"):
         if mode == "append":
             base_rows = _validate_append_target(
-                store, df.schema, chunk_rows, compression, shard_chunks
+                store, df.schema, chunk_rows, compression, shard_chunks,
+                zarr_format,
             )
         elif mode != "overwrite":
             raise ZarrFormatError(
@@ -393,23 +445,48 @@ def write_zarr(
         # store-object unit: one chunk, or one shard of shard_chunks
         # chunks — the write task granularity either way
         unit = eff_chunk * (shard_chunks or 1)
-        metas: Dict[str, ArrayMeta] = {
-            field.name: ArrayMeta(
-                name=field.name,
-                shape=(total_rows,),
-                chunk_shape=(unit,),
-                zarr_dtype=_zarr_dtype_for(field),
-                fill_value=(
-                    ""
-                    if field.dataType == T.StringType()
-                    else fill_value
-                ),
-                codecs=_codecs_for_field(
-                    field, eff_chunk, shard_chunks, compression
-                ),
-            )
-            for field in df.schema.fields
-        }
+        if zarr_format == 2:
+            from .zarr.meta import parse_v2_array_meta
+            from .zarr.writer import v2_array_docs
+
+            v2_docs: Dict[str, tuple] = {}
+            metas: Dict[str, ArrayMeta] = {}
+            for field in df.schema.fields:
+                zarray, zattrs = v2_array_docs(
+                    field.name,
+                    shape=(total_rows,),
+                    chunk_shape=(unit,),
+                    dtype=_np_dtype_for(field),
+                    fill_value=fill_value,
+                    compression=compression,
+                )
+                v2_docs[field.name] = (zarray, zattrs)
+                # the READ-side parser compiles the meta, so the chain
+                # used to encode is exactly what readers of these docs
+                # will derive
+                metas[field.name] = parse_v2_array_meta(
+                    field.name,
+                    json.dumps(zarray).encode(),
+                    json.dumps(zattrs).encode() if zattrs else None,
+                )
+        else:
+            metas = {
+                field.name: ArrayMeta(
+                    name=field.name,
+                    shape=(total_rows,),
+                    chunk_shape=(unit,),
+                    zarr_dtype=_zarr_dtype_for(field),
+                    fill_value=(
+                        ""
+                        if field.dataType == T.StringType()
+                        else fill_value
+                    ),
+                    codecs=_codecs_for_field(
+                        field, eff_chunk, shard_chunks, compression
+                    ),
+                )
+                for field in df.schema.fields
+            }
 
         def publish_metadata():
             # metadata LAST: concurrent readers (incl. the zarr-stream
@@ -420,6 +497,20 @@ def write_zarr(
             # the metas are already in hand.
             import json as _json
 
+            if zarr_format == 2:
+                from .zarr.writer import write_v2_metadata
+
+                docs = {}
+                for name, meta in metas.items():
+                    zarray, zattrs = v2_docs[name]
+                    zattrs = dict(zattrs)
+                    if STATS_ATTR_KEY in meta.attributes:
+                        zattrs[STATS_ATTR_KEY] = meta.attributes[
+                            STATS_ATTR_KEY
+                        ]
+                    docs[name] = (zarray, zattrs)
+                write_v2_metadata(store, docs)
+                return
             for name, meta in metas.items():
                 store.set(
                     f"{name}/zarr.json", _json.dumps(meta.to_json()).encode()

@@ -1902,3 +1902,28 @@ def populate_round6_queries(register) -> None:
         "SELECT doc_id, lang, source, n_chars, group_rank FROM ranked "
         "WHERE group_rank <= CAST(CEIL(cnt * 0.5) AS BIGINT)",
     )
+
+
+def populate_round6_writer_queries(register) -> None:
+    """w08: the distributed writer's Zarr v2 output round-tripped
+    through the scan — metadata (.zarray/.zattrs/.zmetadata), v2
+    chunk keys, numcodecs compressor docs, and values all verified
+    against the plain-parquet oracle."""
+
+    def w08(spark, sf_dir):
+        from ..io import write_zarr
+
+        ensure_views(spark, sf_dir)
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w08_{token}"
+        src = spark.table("orders").select("o_orderkey", "o_totalprice")
+        write_zarr(
+            src, path, chunk_rows=4096, zarr_format=2, mode="overwrite"
+        )
+        return spark.read.format("zarr").load(path)
+
+    register(
+        "w08_v2_writer_roundtrip",
+        w08,
+        "SELECT o_orderkey, o_totalprice FROM orders",
+    )

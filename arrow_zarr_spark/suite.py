@@ -1355,12 +1355,14 @@ def _ensure_populated() -> None:
         populate_round5_late2_queries,
         populate_round5_queries,
         populate_round6_queries,
+        populate_round6_writer_queries,
     )
 
     populate_round4_queries(register_query)
     populate_round5_queries(register_query)
     populate_round5_late2_queries(register_query)
     populate_round6_queries(register_query)
+    populate_round6_writer_queries(register_query)
     _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()

@@ -24,6 +24,9 @@ __all__ = [
     "write_chunk",
     "write_store",
     "consolidate_metadata",
+    "v2_array_docs",
+    "create_array_v2",
+    "write_v2_metadata",
 ]
 
 
@@ -248,3 +251,142 @@ def write_store(
     if consolidate:
         consolidate_metadata(store)
     return store
+
+
+# ---------------------------------------------------------------------------
+# Zarr v2 output (the xarray-ecosystem interchange format)
+# ---------------------------------------------------------------------------
+
+_V2_COMPRESSORS = {
+    "zstd": {"id": "zstd", "level": 3},
+    "gzip": {"id": "gzip", "level": 5},
+    "zlib": {"id": "zlib", "level": 6},
+    "blosc": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+    "blosc-lz4": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+    "blosc-zstd": {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 1},
+}
+
+
+def v2_array_docs(
+    name: str,
+    *,
+    shape: Sequence[int],
+    chunk_shape: Sequence[int],
+    dtype: Any,
+    fill_value: Any = 0,
+    dimension_names: Optional[Sequence[str]] = None,
+    compression: str = "zstd",
+    attributes: Optional[dict] = None,
+) -> tuple:
+    """Build the Zarr **v2** ``(.zarray, .zattrs)`` documents for an
+    array. The write-side source of truth is the READ-side parser:
+    callers get their :class:`ArrayMeta` by feeding these docs to
+    :func:`~arrow_zarr_spark.zarr.meta.parse_v2_array_meta`, so a
+    store this module writes is by construction one the scan decodes.
+
+    v2 has no sharding and this engine's v2 surface has no string
+    (vlen) support — both raise here with the v3 writer named as the
+    path that does."""
+    np_dtype = np.dtype(dtype)
+    if np_dtype.kind not in ("b", "i", "u", "f", "M"):
+        raise ZarrFormatError(
+            f"zarr v2 writer supports numeric/bool/datetime columns "
+            f"only (array {name!r} is {np_dtype.str!r}); use "
+            f"zarr_format=3 for strings"
+        )
+    if compression in (None, "none", "raw"):
+        compressor = None
+    else:
+        compressor = _V2_COMPRESSORS.get(compression)
+        if compressor is None:
+            raise ZarrFormatError(
+                f"Unsupported zarr v2 writer compression {compression!r} "
+                f"(supported: {sorted(_V2_COMPRESSORS)}, none)"
+            )
+    fv = fill_value
+    if isinstance(fv, float) and fv != fv:  # NaN: v2 JSON spells it
+        fv = "NaN"
+    elif isinstance(fv, np.generic):
+        fv = fv.item()
+    zarray = {
+        "zarr_format": 2,
+        "shape": [int(s) for s in shape],
+        "chunks": [int(c) for c in chunk_shape],
+        "dtype": np_dtype.newbyteorder("<").str,
+        "compressor": compressor,
+        "fill_value": fv,
+        "order": "C",
+        "filters": None,
+        "dimension_separator": ".",
+    }
+    zattrs = dict(attributes or {})
+    if dimension_names:
+        zattrs["_ARRAY_DIMENSIONS"] = list(dimension_names)
+    return zarray, zattrs
+
+
+def create_array_v2(
+    store: Store,
+    name: str,
+    *,
+    shape: Sequence[int],
+    chunk_shape: Sequence[int],
+    dtype: Any,
+    fill_value: Any = 0,
+    dimension_names: Optional[Sequence[str]] = None,
+    compression: str = "zstd",
+    attributes: Optional[dict] = None,
+) -> ArrayMeta:
+    """Write ``.zarray``/``.zattrs`` for a new v2 array and return its
+    meta — compiled by the v2 READER's parser, so the codec chain used
+    to encode is exactly the one any reader of the docs derives."""
+    from .meta import parse_v2_array_meta
+
+    zarray, zattrs = v2_array_docs(
+        name,
+        shape=shape,
+        chunk_shape=chunk_shape,
+        dtype=dtype,
+        fill_value=fill_value,
+        dimension_names=dimension_names,
+        compression=compression,
+        attributes=attributes,
+    )
+    store.set(f"{name}/.zarray", json.dumps(zarray).encode())
+    if zattrs:
+        store.set(f"{name}/.zattrs", json.dumps(zattrs).encode())
+    return parse_v2_array_meta(
+        name,
+        json.dumps(zarray).encode(),
+        json.dumps(zattrs).encode() if zattrs else None,
+    )
+
+
+def write_v2_metadata(
+    store: Store,
+    docs: dict,
+    group_attributes: Optional[dict] = None,
+) -> None:
+    """Publish a v2 store's metadata: ``.zgroup``, each array's
+    ``.zarray``/``.zattrs``, and the consolidated ``.zmetadata``
+    (zarr-python's ``zarr_consolidated_format`` 1) so readers plan the
+    whole store from ONE GET — the v2 twin of the v3 root-document
+    consolidation. ``docs`` maps array name → (zarray_doc, zattrs_doc)."""
+    zgroup = {"zarr_format": 2}
+    store.set(".zgroup", json.dumps(zgroup).encode())
+    if group_attributes:
+        store.set(".zattrs", json.dumps(group_attributes).encode())
+    consolidated = {".zgroup": zgroup}
+    for name in sorted(docs):
+        zarray, zattrs = docs[name]
+        store.set(f"{name}/.zarray", json.dumps(zarray).encode())
+        consolidated[f"{name}/.zarray"] = zarray
+        if zattrs:
+            store.set(f"{name}/.zattrs", json.dumps(zattrs).encode())
+            consolidated[f"{name}/.zattrs"] = zattrs
+    store.set(
+        ".zmetadata",
+        json.dumps(
+            {"zarr_consolidated_format": 1, "metadata": consolidated}
+        ).encode(),
+    )

@@ -711,3 +711,108 @@ class TestAuditZarr:
         assert {r.array for r in rep} == {"a"}
         with pytest.raises(ZarrFormatError, match="no such arrays"):
             audit_zarr(spark, path, columns=["nope"])
+
+
+class TestV2Writer:
+    """zarr_format=2 output: the xarray-ecosystem interchange format."""
+
+    def test_v2_roundtrip_layout_and_values(self, spark, tmp_path):
+        import json
+        import os
+
+        path = str(tmp_path / "v2rt")
+        df = spark.range(0, 2600, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 2.5).alias("v")
+        )
+        n = write_zarr(df, path, chunk_rows=100, zarr_format=2)
+        assert n == 2600
+        # v2 layout: .zgroup + consolidated .zmetadata, NO zarr.json,
+        # dot-separated chunk keys
+        names = set(os.listdir(path))
+        assert ".zgroup" in names and ".zmetadata" in names
+        assert "zarr.json" not in names
+        assert os.path.exists(path + "/k/.zarray")
+        assert os.path.exists(path + "/k/0")
+        zarray = json.load(open(path + "/k/.zarray"))
+        assert zarray["zarr_format"] == 2
+        assert zarray["dtype"] == "<i8"
+        assert zarray["compressor"]["id"] == "zstd"
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 2600
+        got = sorted(map(tuple, back.collect()))
+        want = sorted(map(tuple, df.collect()))
+        assert got == want
+
+    def test_v2_consolidated_single_get_planning(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr.array import load_consolidated_arrays
+
+        path = str(tmp_path / "v2c")
+        df = spark.range(0, 500).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, zarr_format=2)
+        arrays = load_consolidated_arrays(open_store(path))
+        assert arrays is not None and [a.meta.name for a in arrays] == ["k"]
+        assert arrays[0].meta.key_encoding == "v2"
+
+    def test_v2_append_boundary_merge(self, spark, tmp_path):
+        path = str(tmp_path / "v2app")
+        df = spark.range(0, 250).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, zarr_format=2)
+        write_zarr(
+            spark.range(250, 600).select(F.col("id").alias("k")),
+            path,
+            chunk_rows=100,
+            zarr_format=2,
+            mode="append",
+        )
+        arrays = {a.meta.name: a for a in infer_store_arrays(open_store(path))}
+        assert arrays["k"].read_all().tolist() == list(range(600))
+
+    def test_v2_stats_prune_objects(self, spark, tmp_path):
+        from pyspark.sql.datasource import EqualTo, GreaterThan
+
+        from arrow_zarr_spark.datasource import ZarrDataSource
+
+        path = str(tmp_path / "v2st")
+        df = spark.range(0, 1000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, zarr_format=2)
+        ds = ZarrDataSource({"path": path})
+        reader = ds.reader(ds.schema())
+        list(reader.pushFilters([GreaterThan(("k",), 899)]))
+        cells = [c for p in reader.partitions() for c in p.cells]
+        assert cells == [(9,)]
+
+    def test_v2_datetime_roundtrip(self, spark, sf_dir, tmp_path):
+        path = str(tmp_path / "v2dt")
+        src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "ts"
+        )
+        write_zarr(src, path, chunk_rows=1000, zarr_format=2)
+        back = spark.read.format("zarr").load(path)
+        a = sorted(map(tuple, src.collect()))
+        b = sorted(map(tuple, back.select("event_id", "ts").collect()))
+        assert a == b
+
+    def test_v2_rejects_strings_and_sharding(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "x")], ["k", "s"])
+        with pytest.raises(ZarrFormatError, match="zarr_format=3"):
+            write_zarr(df, str(tmp_path / "v2s"), zarr_format=2)
+        num = spark.range(10).select(F.col("id").alias("k"))
+        with pytest.raises(ZarrFormatError, match="v3 feature"):
+            write_zarr(
+                num,
+                str(tmp_path / "v2sh"),
+                chunk_rows=2,
+                shard_chunks=2,
+                zarr_format=2,
+            )
+
+    def test_v2_v3_append_mismatch_both_ways(self, spark, tmp_path):
+        df = spark.range(100).select(F.col("id").alias("k"))
+        p2 = str(tmp_path / "isv2")
+        write_zarr(df, p2, chunk_rows=50, zarr_format=2)
+        with pytest.raises(ZarrFormatError, match="zarr_format mismatch"):
+            write_zarr(df, p2, chunk_rows=50, mode="append")
+        p3 = str(tmp_path / "isv3")
+        write_zarr(df, p3, chunk_rows=50)
+        with pytest.raises(ZarrFormatError, match="zarr_format mismatch"):
+            write_zarr(df, p3, chunk_rows=50, mode="append", zarr_format=2)
