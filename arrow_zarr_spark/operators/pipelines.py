@@ -252,6 +252,16 @@ def snapshot_curation_pipeline(
         .filter(F.col("__rn") == 1)
         .drop("__norm", "__rn")
     )
+    # The deduped batch fans out to ~5 consumers through the d12/d11
+    # joins (shingle explode, size aggregates, both anti-join probes),
+    # and Catalyst re-runs the stage-1 window for each — materialize
+    # it once (batch-sized; ContextCleaner-reclaimed, the x02
+    # rationale; swap for checkpoint() on a real cluster if executor
+    # loss must be survivable mid-query). Measured neutral at sf0.1
+    # (window cost ~ batch scan), kept for the multi-consumer
+    # contract: recompute count grows with pipeline depth, the
+    # materialization doesn't.
+    s1 = s1.localCheckpoint(eager=False)
     s2 = dedup_against_corpus(
         s1, corpus, id_col=id_col, text_col=text_col,
         k=dedup_k, threshold=dedup_threshold,

@@ -36,6 +36,7 @@ __all__ = [
     "quantile_gate",
     "train_val_test_split",
     "deterministic_shuffle",
+    "replicate_by_weight",
 ]
 
 
@@ -595,3 +596,58 @@ def stratified_sample(
             **fractions,
         }
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def replicate_by_weight(
+    df: DataFrame,
+    weight,
+    key_col: str,
+    max_copies: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic UPSAMPLING by expected copy count — the
+    multi-epoch replication recipe (DCLM / Llama-style "high-quality
+    data is seen several times per epoch"): ``weight`` is a COLUMN
+    giving each row's expected number of copies (2.3 → 2 copies plus a
+    30% chance of a third), and the fractional part resolves through
+    the library's shared engine-independent integer draw, so any SQL
+    engine replays the exact replicated row set. Weights clamp to
+    ``[0, max_copies]``; weights under 1 become a downsampling
+    probability (0.4 → the row survives with one copy 40% of the
+    time); NaN/NULL weights drop the row (the
+    :func:`weighted_sample` convention).
+
+    Output: the input rows with ``n_copies`` and ``copy_idx``
+    (1-based) — one row per copy. Pair with
+    :func:`deterministic_shuffle` keyed on ``(key, copy_idx)`` so the
+    copies spread across the training order instead of arriving
+    back-to-back.
+
+    Scale: a narrow projection + row-local explode — zero shuffle;
+    output volume is the weighted sum, which is the point."""
+    if max_copies < 1:
+        raise ValueError(
+            f"replicate_by_weight: max_copies must be >= 1, got "
+            f"{max_copies}"
+        )
+    w = F.col(weight) if isinstance(weight, str) else weight
+    wd = w.cast("double")
+    clamped = F.when(F.isnan(wd), F.lit(0.0)).otherwise(
+        F.least(F.greatest(wd, F.lit(0.0)), F.lit(float(max_copies)))
+    )
+    base = F.floor(clamped)
+    frac = clamped - base
+    draw = (
+        (F.col(key_col) % _DRAW_MOD + F.lit(seed)) * F.lit(_DRAW_MULT)
+    ) % _DRAW_MOD
+    n = F.least(
+        base + F.when(draw < frac * _DRAW_MOD, F.lit(1)).otherwise(F.lit(0)),
+        F.lit(max_copies),
+    ).cast("long")
+    # sequence(1, 0) would count DOWN in Spark — guard the empty case
+    copies = F.when(n >= 1, F.sequence(F.lit(1).cast("long"), n)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return df.withColumn("n_copies", n).withColumn(
+        "copy_idx", F.explode(copies)
+    )

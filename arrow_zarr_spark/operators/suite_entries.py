@@ -1927,3 +1927,37 @@ def populate_round6_writer_queries(register) -> None:
         w08,
         "SELECT o_orderkey, o_totalprice FROM orders",
     )
+
+
+def populate_round6_sampling_queries(register) -> None:
+    """p13: deterministic multi-epoch replication (upsampling by an
+    expected-copies COLUMN, fractional part resolved by the shared
+    integer draw) — the DCLM/Llama 'good data repeats' recipe in an
+    oracle-replayable form."""
+
+    def p13(spark, sf_dir):
+        from .sampling import replicate_by_weight
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+        return replicate_by_weight(
+            docs,
+            weight=F.col("n_chars") / F.lit(400.0),
+            key_col="doc_id",
+            max_copies=3,
+        )
+
+    register(
+        "p13_quality_replication",
+        p13,
+        "SELECT doc_id, lang, n_chars, n_copies, "
+        "CAST(t.ci AS BIGINT) AS copy_idx FROM ("
+        "  SELECT doc_id, lang, n_chars, CAST(LEAST(FLOOR(w) + "
+        "  CASE WHEN d < (w - FLOOR(w)) * 1000003 THEN 1 ELSE 0 END, 3) "
+        "  AS BIGINT) AS n_copies FROM ("
+        "    SELECT doc_id, lang, n_chars, "
+        "    LEAST(GREATEST(CAST(n_chars / 400.0 AS DOUBLE), 0.0), 3.0) "
+        "    AS w, "
+        "    ((doc_id % 1000003 + 42) * 2654435761) % 1000003 AS d "
+        "    FROM documents)"
+        "), UNNEST(range(1, n_copies + 1)) AS t(ci)",
+    )

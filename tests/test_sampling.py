@@ -595,3 +595,58 @@ class TestReviewHardening:
         # equal-size groups -> equal weights -> ~200 each; the null
         # group must not vanish
         assert 120 < n_null < 280 and 120 < n_a < 280
+
+
+class TestReplicateByWeight:
+    """p13 — deterministic multi-epoch replication."""
+
+    def test_integer_weights_replicate_exactly(self, spark):
+        from arrow_zarr_spark.operators.sampling import replicate_by_weight
+
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, 1.0), (3, 0.0), (4, 3.0)], ["k", "w"]
+        )
+        out = replicate_by_weight(df, "w", "k", max_copies=4).collect()
+        by_k = {}
+        for r in out:
+            by_k.setdefault(r.k, []).append(r.copy_idx)
+        assert sorted(by_k[1]) == [1, 2]
+        assert by_k[2] == [1]
+        assert 3 not in by_k  # zero weight drops the row
+        assert sorted(by_k[4]) == [1, 2, 3]
+        assert all(r.n_copies == len(by_k[r.k]) for r in out)
+
+    def test_fractional_weights_hit_expected_rate(self, spark):
+        from arrow_zarr_spark.operators.sampling import replicate_by_weight
+
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"), F.lit(1.5).alias("w")
+        )
+        n = replicate_by_weight(df, "w", "k").count()
+        # expected 1.5 copies/row; the multiplicative sweep
+        # equidistributes, so the realized rate is tight
+        assert 5700 <= n <= 6300
+
+    def test_nan_null_and_clamp(self, spark):
+        from arrow_zarr_spark.operators.sampling import replicate_by_weight
+
+        df = spark.createDataFrame(
+            [(1, float("nan")), (2, None), (3, 99.0), (4, -5.0)],
+            ["k", "w"],
+        )
+        out = replicate_by_weight(df, "w", "k", max_copies=3).collect()
+        ks = {r.k for r in out}
+        assert 1 not in ks and 2 not in ks and 4 not in ks
+        assert sorted(r.copy_idx for r in out if r.k == 3) == [1, 2, 3]
+
+    def test_determinism_and_validation(self, spark):
+        from arrow_zarr_spark.operators.sampling import replicate_by_weight
+
+        df = spark.range(0, 500).select(
+            F.col("id").alias("k"), (F.col("id") % 7 / 2.0).alias("w")
+        )
+        a = sorted(map(tuple, replicate_by_weight(df, "w", "k").collect()))
+        b = sorted(map(tuple, replicate_by_weight(df, "w", "k").collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="max_copies"):
+            replicate_by_weight(df, "w", "k", max_copies=0)
