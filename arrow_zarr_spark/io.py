@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 
 from .zarr.meta import STATS_ATTR_KEY, ArrayMeta, ZarrFormatError
 from .zarr.store import open_store
-from .zarr.writer import create_array, write_chunk, write_root_group
+from .zarr.writer import write_chunk, write_root_group
 
 __all__ = [
     "write_zarr",
@@ -641,6 +641,74 @@ def write_zarr(
         df.unpersist()
 
 
+def _validate_grid_append_target(
+    store, dims, data_cols, chunk_shape, expected_dtypes, append_dim
+):
+    """Append must extend a layout-compatible grid store along
+    ``append_dim``: same arrays, same chunk grid, same dtypes, same
+    dimension order. Returns (old_axes, old_stats) — the existing
+    coordinate values per dim and each data array's per-cell stats
+    entry list (or None)."""
+    from .zarr.array import infer_store_arrays
+
+    arrays = {a.meta.name: a for a in infer_store_arrays(store)}
+    want = sorted(set(dims) | set(data_cols))
+    if sorted(arrays) != want:
+        raise ZarrFormatError(
+            f"Grid append schema mismatch: store has {sorted(arrays)}, "
+            f"writing {want}"
+        )
+    old_axes = {}
+    for d, cs in zip(dims, chunk_shape):
+        m = arrays[d].meta
+        if m.ndim != 1:
+            raise ZarrFormatError(
+                f"Grid append: coordinate {d!r} is not 1-D in the store"
+            )
+        if d == append_dim and m.chunk_shape[0] != int(cs):
+            raise ZarrFormatError(
+                f"Grid append: coordinate {d!r} chunk {m.chunk_shape[0]} "
+                f"!= requested {cs}"
+            )
+        # tolist(): python scalars, so axis values compare/serialize
+        # like the DataFrame-collected ones on the fresh path
+        old_axes[d] = arrays[d].read_all().tolist()
+    old_shape = tuple(len(old_axes[d]) for d in dims)
+    old_stats = {}
+    for c in data_cols:
+        m = arrays[c].meta
+        if tuple(m.shape) != old_shape:
+            raise ZarrFormatError(
+                f"Grid append: data array {c!r} shape {m.shape} does not "
+                f"match the coordinate axes {old_shape}"
+            )
+        if tuple(m.chunk_shape) != tuple(int(x) for x in chunk_shape):
+            raise ZarrFormatError(
+                f"Grid append: {c!r} chunk shape {m.chunk_shape} != "
+                f"requested {tuple(chunk_shape)}"
+            )
+        if m.dimension_names != tuple(dims):
+            raise ZarrFormatError(
+                f"Grid append: {c!r} dimension names {m.dimension_names} "
+                f"!= {tuple(dims)}"
+            )
+        if m.zarr_dtype != expected_dtypes[c]:
+            raise ZarrFormatError(
+                f"Grid append dtype mismatch for {c!r}: store has "
+                f"{m.zarr_dtype}, writing {expected_dtypes[c]}"
+            )
+        s = m.attributes.get(STATS_ATTR_KEY)
+        old_stats[c] = s if isinstance(s, list) else None
+    return old_axes, old_stats
+
+
+def _union_stat_bounds(entry, other):
+    """Union two encoded [lo, hi] stats pairs; unknown poisons."""
+    if not entry or not other or None in entry or None in other:
+        return None
+    return [min(entry[0], other[0]), max(entry[1], other[1])]
+
+
 def write_zarr_grid(
     df: DataFrame,
     path: str,
@@ -650,6 +718,7 @@ def write_zarr_grid(
     mode: str = "error",
     fill_value=0,
     stats: bool = True,
+    append_dim: Optional[str] = None,
 ) -> int:
     """Write a coordinate-gridded DataFrame as an N-D Zarr store — the
     inverse of the reader's coordinate broadcast (A14). ``stats``
@@ -664,6 +733,22 @@ def write_zarr_grid(
     the fill value (the reader materializes them back, so a sparse
     frame round-trips losslessly up to fill-cells). Reading this store
     back broadcasts the 1-D coordinates over the data arrays again.
+
+    ``mode="append"`` with ``append_dim`` extends an existing grid
+    store along ONE dimension (xarray's ``to_zarr(append_dim=...)``,
+    the daily-ingestion shape: new time slices join the hypercube in
+    place). The new batch's ``append_dim`` values must sort strictly
+    after the existing axis; the other dims' values must already be on
+    their axes (a new latitude mid-append would mean rewriting every
+    chunk — rejected, as xarray does). Zarr stores chunks padded to
+    full chunk shape, so old boundary objects stay valid under the
+    grown shape — untouched cells are never rewritten, boundary cells
+    that receive rows are read-merged, and metadata (coordinates
+    included) publishes only after every chunk lands, so concurrent
+    readers see the consistent pre-append store until then. Per-cell
+    statistics merge: old cells keep entries (boundary cells' bounds
+    union with the fill the extension materializes), written cells
+    recompute, absent new cells bound to fill.
 
     Scale shape: the coordinate vocabularies are collected (they are
     the *axes* — small by construction; a 100k x 100k grid is two 100k
@@ -683,7 +768,27 @@ def write_zarr_grid(
         _zarr_dtype_for(field)
 
     store = open_store(path)
-    if store.exists("zarr.json"):
+    appending = mode == "append"
+    old_axes = old_stats = None
+    if appending:
+        if append_dim is None or append_dim not in dims:
+            raise ZarrFormatError(
+                f"mode='append' needs append_dim naming one of dims "
+                f"{dims}, got {append_dim!r}"
+            )
+        if not store.exists("zarr.json"):
+            raise ZarrFormatError(
+                f"Grid append target missing at {path!r}"
+            )
+        expected = {
+            f.name: _zarr_dtype_for(f)
+            for f in df.schema.fields
+            if f.name in data_cols
+        }
+        old_axes, old_stats = _validate_grid_append_target(
+            store, dims, data_cols, chunk_shape, expected, append_dim
+        )
+    elif store.exists("zarr.json"):
         if mode != "overwrite":
             raise ZarrFormatError(
                 f"Store already exists at {path!r} (mode='error')"
@@ -695,37 +800,75 @@ def write_zarr_grid(
     # axes: sorted distinct coordinate values (collected — they are the
     # grid axes, orders of magnitude smaller than the data)
     axes = {}
-    for d in dims:
-        axes[d] = [
-            r[0] for r in df.select(d).distinct().orderBy(d).collect()
-        ]
+    if appending:
+        for d in dims:
+            new_vals = [
+                r[0] for r in df.select(d).distinct().orderBy(d).collect()
+            ]
+            if d == append_dim:
+                old_ax = old_axes[d]
+                if old_ax and new_vals and not (new_vals[0] > old_ax[-1]):
+                    raise ZarrFormatError(
+                        f"Grid append along {d!r} must extend the axis: "
+                        f"new minimum {new_vals[0]!r} is not after the "
+                        f"existing maximum {old_ax[-1]!r}"
+                    )
+                axes[d] = list(old_ax) + new_vals
+            else:
+                known = set(old_axes[d])
+                extra = [v for v in new_vals if v not in known]
+                if extra:
+                    raise ZarrFormatError(
+                        f"Grid append: {d!r} values {extra[:5]} are not "
+                        f"on the existing axis (appends extend only "
+                        f"{append_dim!r})"
+                    )
+                axes[d] = list(old_axes[d])
+    else:
+        for d in dims:
+            axes[d] = [
+                r[0] for r in df.select(d).distinct().orderBy(d).collect()
+            ]
     shape = tuple(len(axes[d]) for d in dims)
 
-    write_root_group(store)
+    from .zarr.writer import build_array_meta, write_array_data
+
     metas: Dict[str, ArrayMeta] = {}
+    coord_metas: Dict[str, ArrayMeta] = {}
     np_dtypes = {
         field.name: _np_dtype_for(field) for field in df.schema.fields
     }
     for d, cs in zip(dims, chunk_shape):
-        meta = create_array(
-            store, d,
+        coord_metas[d] = build_array_meta(
+            d,
             shape=(len(axes[d]),), chunk_shape=(int(cs),),
             dtype=np_dtypes[d], fill_value=fill_value,
             dimension_names=(d,), compression=compression,
         )
-        # coordinate arrays are tiny: write driver-side
-        from .zarr.writer import write_array_data
-
-        write_array_data(
-            store, meta, np.asarray(axes[d], dtype=np_dtypes[d])
-        )
     for c in data_cols:
-        metas[c] = create_array(
-            store, c,
+        metas[c] = build_array_meta(
+            c,
             shape=shape, chunk_shape=tuple(int(x) for x in chunk_shape),
             dtype=np_dtypes[c], fill_value=fill_value,
             dimension_names=tuple(dims), compression=compression,
         )
+    if not appending:
+        # fresh write: metadata up front (the coordinate arrays are
+        # driver-side); appends defer ALL metadata until data lands
+        write_root_group(store)
+        for d in dims:
+            store.set(
+                f"{d}/zarr.json",
+                json.dumps(coord_metas[d].to_json()).encode(),
+            )
+            write_array_data(
+                store, coord_metas[d],
+                np.asarray(axes[d], dtype=np_dtypes[d]),
+            )
+        for c in data_cols:
+            store.set(
+                f"{c}/zarr.json", json.dumps(metas[c].to_json()).encode()
+            )
 
     # map coordinate values -> positions via broadcast joins
     pos_cols = []
@@ -753,6 +896,12 @@ def write_zarr_grid(
     data_cols_t = list(data_cols)
     grid_t = list(grid)
     fill = fill_value
+    # append: cells overlapping the old region read-merge the existing
+    # chunk (padded-full objects make this exact; A13 fills absentees)
+    ax_i = dims.index(append_dim) if appending else None
+    old_shape_t = (
+        tuple(len(old_axes[d]) for d in dims) if appending else None
+    )
 
     want_stats = bool(stats)
 
@@ -775,6 +924,19 @@ def write_zarr_grid(
             meta = metas_b.value[c]
             valid = meta.valid_chunk_shape(idx)
             block = np.full(valid, fill, dtype=meta.dtype)
+            if (
+                old_shape_t is not None
+                and idx[ax_i] * chunk_shape_t[ax_i] < old_shape_t[ax_i]
+            ):
+                from dataclasses import replace as _replace
+
+                from .zarr.array import ZarrArray
+
+                old_meta = _replace(meta, shape=old_shape_t)
+                old_block = ZarrArray(task_store, old_meta).read_chunk(idx)
+                block[tuple(slice(0, s) for s in old_block.shape)] = (
+                    old_block
+                )
             block[tuple(local)] = _reject_nulls(
                 pdf[c].to_numpy(), meta.dtype, c
             )
@@ -799,6 +961,8 @@ def write_zarr_grid(
     )
     written, result_rows = _commit_totals(committed, want_stats)
     if want_stats:
+        import itertools as _it
+
         n_cells = 1
         for g in grid:
             n_cells *= g
@@ -814,7 +978,42 @@ def write_zarr_grid(
                 _stat_encode(fb, meta.dtype),
                 _stat_encode(fb, meta.dtype, upper=True),
             ]
-            per_col[c] = [fill_pair] * n_cells
+            entries = [fill_pair] * n_cells
+            if appending:
+                # remap old entries onto the grown grid's C-order
+                # ordinals (the append axis changes every ordinal
+                # behind it); boundary cells' bounds union with the
+                # fill their extension materializes; stats-less /
+                # wrong-length old lists degrade to unknown, and the
+                # write tasks overwrite every cell they touched below
+                g_old = [
+                    -(-len(old_axes[d]) // int(cs))
+                    for d, cs in zip(dims, chunk_shape)
+                ]
+                old_entries = old_stats.get(c)
+                n_old = 1
+                for g in g_old:
+                    n_old *= g
+                if old_entries is not None and len(old_entries) != n_old:
+                    old_entries = None  # provably stale
+                old_len = len(old_axes[append_dim])
+                cs_a = int(chunk_shape[ax_i])
+                boundary = old_len // cs_a if old_len % cs_a else None
+                for t in _it.product(*(range(g) for g in g_old)):
+                    new_ord = 0
+                    old_ord = 0
+                    for i, gn, go in zip(t, grid, g_old):
+                        new_ord = new_ord * gn + i
+                        old_ord = old_ord * go + i
+                    e = (
+                        old_entries[old_ord]
+                        if old_entries is not None
+                        else None
+                    )
+                    if t[ax_i] == boundary:
+                        e = _union_stat_bounds(e, fill_pair)
+                    entries[new_ord] = e
+            per_col[c] = entries
         for r in result_rows:
             decoded = json.loads(r["stats"])
             for c, pair in decoded.items():
@@ -825,14 +1024,35 @@ def write_zarr_grid(
                     per_col[c][int(r["cell"])] = pair
         for c, entries in per_col.items():
             metas[c].attributes[STATS_ATTR_KEY] = entries
+            if not appending:
+                store.set(
+                    f"{c}/zarr.json",
+                    json.dumps(metas[c].to_json()).encode(),
+                )
+    if appending:
+        # every chunk has landed — NOW grow the store: the append
+        # dim's coordinate data first (objects are padded-full, so
+        # readers still on the old metadata keep slicing the old
+        # region), then every array's grown doc, then the root.
+        # Until this block runs, concurrent readers see the
+        # consistent pre-append store.
+        write_array_data(
+            store, coord_metas[append_dim],
+            np.asarray(axes[append_dim], dtype=np_dtypes[append_dim]),
+        )
+        for d in dims:
+            store.set(
+                f"{d}/zarr.json",
+                json.dumps(coord_metas[d].to_json()).encode(),
+            )
+        for c in data_cols:
             store.set(
                 f"{c}/zarr.json",
                 json.dumps(metas[c].to_json()).encode(),
             )
-    # consolidate last: the grid writer created metadata up front (the
-    # coordinate arrays are written driver-side before the data pass),
-    # so the root doc is refreshed with the full consolidated block
-    # only once every chunk has landed
+    # consolidate last: metadata exists up front (fresh) or from the
+    # publish block above (append), so the root doc is refreshed with
+    # the full consolidated block only once every chunk has landed
     from .zarr.writer import consolidate_metadata
 
     consolidate_metadata(store)

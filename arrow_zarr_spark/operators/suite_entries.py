@@ -1961,3 +1961,53 @@ def populate_round6_sampling_queries(register) -> None:
         "    FROM documents)"
         "), UNNEST(range(1, n_copies + 1)) AS t(ci)",
     )
+
+
+def populate_round6_grid_queries(register) -> None:
+    """w09: grid append round-trip — an N-D store written, extended
+    along its time axis (xarray ``append_dim`` semantics: boundary
+    chunk merged, metadata republished last), and scanned back; the
+    oracle rebuilds the full hypercube from range() arithmetic."""
+
+    def w09(spark, sf_dir):
+        import shutil
+
+        from ..io import write_zarr_grid
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w09_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+
+        def gdf(t0, t1):
+            return (
+                spark.range(t0, t1)
+                .selectExpr("id as t")
+                .crossJoin(spark.range(0, 6).selectExpr("id as x"))
+                .select(
+                    "t",
+                    "x",
+                    (F.col("t") * 1000 + F.col("x") * 7)
+                    .cast("double")
+                    .alias("v"),
+                )
+            )
+
+        write_zarr_grid(
+            gdf(0, 10), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        # unaligned append: t-axis 10 % 4 != 0, so the boundary chunk
+        # merges old and new slices
+        write_zarr_grid(
+            gdf(10, 17), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="append", append_dim="t",
+        )
+        return spark.read.format("zarr").load(path)
+
+    register(
+        "w09_grid_append_roundtrip",
+        w09,
+        "SELECT r1.range AS t, r2.range AS x, "
+        "CAST(r1.range * 1000 + r2.range * 7 AS DOUBLE) AS v "
+        "FROM range(0, 17) r1, range(0, 6) r2",
+    )

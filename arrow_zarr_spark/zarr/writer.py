@@ -20,6 +20,7 @@ from .store import LocalStore, Store, open_store
 
 __all__ = [
     "write_root_group",
+    "build_array_meta",
     "create_array",
     "write_chunk",
     "write_store",
@@ -76,8 +77,7 @@ def consolidate_metadata(store: Store) -> int:
     return len(metadata)
 
 
-def create_array(
-    store: Store,
+def build_array_meta(
     name: str,
     *,
     shape: Sequence[int],
@@ -89,7 +89,9 @@ def create_array(
     shard_shape: Optional[Sequence[int]] = None,
     attributes: Optional[dict] = None,
 ) -> ArrayMeta:
-    """Write the zarr.json for a new array and return its meta.
+    """Compute a new array's :class:`ArrayMeta` WITHOUT writing it —
+    :func:`create_array` minus the ``store.set`` — for writers that
+    must publish metadata only after data lands (grid appends).
 
     ``shard_shape`` wraps the chunk chain in a ``sharding_indexed``
     codec: the store object grid becomes the SHARD grid and
@@ -124,7 +126,7 @@ def create_array(
                 f"Unsupported writer compression {compression!r} for "
                 "string arrays"
             )
-        meta = ArrayMeta(
+        return ArrayMeta(
             name=name,
             shape=tuple(int(s) for s in shape),
             chunk_shape=tuple(int(c) for c in chunk_shape),
@@ -134,8 +136,6 @@ def create_array(
             dimension_names=tuple(dimension_names) if dimension_names else None,
             attributes=attributes or {},
         )
-        store.set(f"{name}/zarr.json", json.dumps(meta.to_json()).encode())
-        return meta
     inner = tuple(int(c) for c in chunk_shape)
     if shard_shape is not None:
         outer = tuple(int(s) for s in shard_shape)
@@ -164,7 +164,7 @@ def create_array(
     else:
         codecs = default_codecs(compression)
         grid = inner
-    meta = ArrayMeta(
+    return ArrayMeta(
         name=name,
         shape=tuple(int(s) for s in shape),
         chunk_shape=grid,
@@ -174,6 +174,12 @@ def create_array(
         dimension_names=tuple(dimension_names) if dimension_names else None,
         attributes=attributes or {},
     )
+
+
+def create_array(store: Store, name: str, **kwargs) -> ArrayMeta:
+    """Write the zarr.json for a new array and return its meta (see
+    :func:`build_array_meta` for the keyword surface)."""
+    meta = build_array_meta(name, **kwargs)
     store.set(f"{name}/zarr.json", json.dumps(meta.to_json()).encode())
     return meta
 

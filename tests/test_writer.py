@@ -816,3 +816,200 @@ class TestV2Writer:
         write_zarr(df, p3, chunk_rows=50)
         with pytest.raises(ZarrFormatError, match="zarr_format mismatch"):
             write_zarr(df, p3, chunk_rows=50, mode="append", zarr_format=2)
+
+
+class TestGridAppend:
+    """write_zarr_grid(mode='append', append_dim=...) — the xarray
+    to_zarr(append_dim) daily-ingestion shape."""
+
+    @staticmethod
+    def _grid(spark, t0, t1, nx=6):
+        return (
+            spark.range(t0, t1)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, nx).selectExpr("id as x"))
+            .select(
+                "t",
+                "x",
+                (F.col("t") * 100 + F.col("x")).cast("double").alias("v"),
+            )
+        )
+
+    def test_unaligned_append_merges_boundary(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "ga1")
+        # old t-axis length 10, chunk 4 -> partial boundary chunk
+        write_zarr_grid(
+            self._grid(spark, 0, 10), path, dims=["t", "x"],
+            chunk_shape=(4, 3), mode="overwrite",
+        )
+        n = write_zarr_grid(
+            self._grid(spark, 10, 17), path, dims=["t", "x"],
+            chunk_shape=(4, 3), mode="append", append_dim="t",
+        )
+        assert n == 7 * 6
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 17 * 6
+        assert (
+            back.filter(
+                F.col("v") != F.col("t") * 100 + F.col("x")
+            ).count()
+            == 0
+        )
+
+    def test_aligned_append_leaves_old_objects_untouched(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "ga2")
+        write_zarr_grid(
+            self._grid(spark, 0, 8), path, dims=["t", "x"],
+            chunk_shape=(4, 3), mode="overwrite",
+        )
+        def chunk_files():
+            out = {}
+            for root, _dirs, files in os.walk(path + "/v"):
+                for f in files:
+                    if f != "zarr.json":
+                        p = os.path.join(root, f)
+                        out[p] = os.path.getmtime(p)
+            return out
+
+        before = chunk_files()
+        assert before  # old chunk objects exist
+        write_zarr_grid(
+            self._grid(spark, 8, 12), path, dims=["t", "x"],
+            chunk_shape=(4, 3), mode="append", append_dim="t",
+        )
+        after = chunk_files()
+        for p, mt in before.items():
+            assert after[p] == mt  # aligned append rewrites nothing old
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 12 * 6
+
+    def test_sparse_append_fills_absent_cells(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "ga3")
+        write_zarr_grid(
+            self._grid(spark, 0, 4), path, dims=["t", "x"],
+            chunk_shape=(4, 3), mode="overwrite", fill_value=-1.0,
+        )
+        # new slice covers only x < 3 — the (t=4..7, x=3..5) cell has
+        # no rows and must materialize the fill
+        sparse = self._grid(spark, 4, 8).filter(F.col("x") < 3)
+        write_zarr_grid(
+            sparse, path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="append", append_dim="t", fill_value=-1.0,
+        )
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 8 * 6
+        assert (
+            back.filter((F.col("t") >= 4) & (F.col("x") >= 3))
+            .filter(F.col("v") != -1.0)
+            .count()
+            == 0
+        )
+
+    def test_untouched_boundary_cell_stats_union_fill(
+        self, spark, tmp_path
+    ):
+        """A partial boundary cell that receives NO new rows keeps its
+        old object; its stats must widen to include the fill the
+        extension materializes."""
+        from arrow_zarr_spark.io import STATS_ATTR_KEY, write_zarr_grid
+        from arrow_zarr_spark.zarr import infer_store_arrays, open_store
+
+        path = str(tmp_path / "ga4")
+        # values all >= 100 so the fill 0.0 is outside the old bounds
+        base = self._grid(spark, 0, 3).withColumn(
+            "v", F.col("v") + 100.0
+        )
+        write_zarr_grid(
+            base, path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        # append rows touch only x<3: boundary cells with x-chunk 1
+        # (x=3..5) stay untouched
+        newrows = (
+            self._grid(spark, 3, 4)
+            .filter(F.col("x") < 3)
+            .withColumn("v", F.col("v") + 100.0)
+        )
+        write_zarr_grid(
+            newrows, path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="append", append_dim="t",
+        )
+        arrays = {
+            a.meta.name: a for a in infer_store_arrays(open_store(path))
+        }
+        st = arrays["v"].meta.attributes[STATS_ATTR_KEY]
+        # grid is 1x2 cells; cell (0,1) = x 3..5, untouched boundary
+        assert st[1][0] == 0.0  # fill joined the lower bound
+        assert st[1][1] >= 305.0
+        # and the scan still answers exactly
+        back = spark.read.format("zarr").load(path)
+        assert back.filter(F.col("v") == 0.0).count() == 3  # t=3,x>=3
+
+    def test_append_validation_errors(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid
+        from arrow_zarr_spark.zarr import ZarrFormatError
+
+        path = str(tmp_path / "ga5")
+        write_zarr_grid(
+            self._grid(spark, 0, 8), path, dims=["t", "x"],
+            chunk_shape=(4, 3), mode="overwrite",
+        )
+        with pytest.raises(ZarrFormatError, match="must extend"):
+            write_zarr_grid(
+                self._grid(spark, 4, 10), path, dims=["t", "x"],
+                chunk_shape=(4, 3), mode="append", append_dim="t",
+            )
+        with pytest.raises(ZarrFormatError, match="not on the existing"):
+            write_zarr_grid(
+                self._grid(spark, 8, 9, nx=7), path, dims=["t", "x"],
+                chunk_shape=(4, 3), mode="append", append_dim="t",
+            )
+        with pytest.raises(ZarrFormatError, match="chunk"):
+            write_zarr_grid(
+                self._grid(spark, 8, 9), path, dims=["t", "x"],
+                chunk_shape=(5, 3), mode="append", append_dim="t",
+            )
+        with pytest.raises(ZarrFormatError, match="append_dim"):
+            write_zarr_grid(
+                self._grid(spark, 8, 9), path, dims=["t", "x"],
+                chunk_shape=(4, 3), mode="append",
+            )
+        with pytest.raises(ZarrFormatError, match="target missing"):
+            write_zarr_grid(
+                self._grid(spark, 0, 2), str(tmp_path / "absent"),
+                dims=["t", "x"], chunk_shape=(4, 3), mode="append",
+                append_dim="t",
+            )
+
+    def test_append_then_static_pruning(self, spark, tmp_path):
+        """Predicates on the appended region prune to its cells only
+        (stats remap + coordinate pruning both survive the append)."""
+        from pyspark.sql.datasource import GreaterThan
+
+        from arrow_zarr_spark.datasource import ZarrDataSource
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "ga6")
+        write_zarr_grid(
+            self._grid(spark, 0, 8), path, dims=["t", "x"],
+            chunk_shape=(4, 6), mode="overwrite",
+        )
+        write_zarr_grid(
+            self._grid(spark, 8, 16), path, dims=["t", "x"],
+            chunk_shape=(4, 6), mode="append", append_dim="t",
+        )
+        ds = ZarrDataSource({"path": path})
+        reader = ds.reader(ds.schema())
+        list(reader.pushFilters([GreaterThan(("v",), 1199.0)]))
+        cells = [c for p in reader.partitions() for c in p.cells]
+        assert cells == [(3, 0)]  # only the t=12..15 cell survives
