@@ -451,6 +451,15 @@ def write_zarr(
 
             v2_docs: Dict[str, tuple] = {}
             metas: Dict[str, ArrayMeta] = {}
+            # xarray requires _ARRAY_DIMENSIONS on every v2 array to
+            # assign dims; every table column shares the one row axis.
+            # A column literally named like the dim would read back as
+            # a coordinate (dimension_names == (own name,)), so dodge
+            # collisions deterministically.
+            dim_name = "row"
+            col_names_set = {f.name for f in df.schema.fields}
+            while dim_name in col_names_set:
+                dim_name = "_" + dim_name
             for field in df.schema.fields:
                 zarray, zattrs = v2_array_docs(
                     field.name,
@@ -458,6 +467,7 @@ def write_zarr(
                     chunk_shape=(unit,),
                     dtype=_np_dtype_for(field),
                     fill_value=fill_value,
+                    dimension_names=(dim_name,),
                     compression=compression,
                 )
                 v2_docs[field.name] = (zarray, zattrs)
@@ -641,15 +651,33 @@ def write_zarr(
         df.unpersist()
 
 
+def _fill_values_equal(a, b, np_dtype) -> bool:
+    """Fill equality as MATERIALIZED (both NaN counts as equal)."""
+    try:
+        av = np.asarray(a, dtype=np_dtype)
+        bv = np.asarray(b, dtype=np_dtype)
+    except (TypeError, ValueError):
+        return False
+    if av == bv:
+        return True
+    return bool(av != av) and bool(bv != bv)  # NaN == NaN here
+
+
 def _validate_grid_append_target(
-    store, dims, data_cols, chunk_shape, expected_dtypes, append_dim
+    store, dims, data_cols, chunk_shape, np_dtypes, append_dim,
+    compression, fill_value,
 ):
     """Append must extend a layout-compatible grid store along
     ``append_dim``: same arrays, same chunk grid, same dtypes, same
-    dimension order. Returns (old_axes, old_stats) — the existing
-    coordinate values per dim and each data array's per-cell stats
-    entry list (or None)."""
+    dimension order — and, because the append REPUBLISHES every
+    array's metadata while leaving untouched chunk bytes in place,
+    the same codec chain and fill value too (a compression or fill
+    mismatch here would silently re-describe old objects it never
+    rewrote). Returns (old_axes, old_stats) — the existing coordinate
+    values per dim and each data array's per-cell stats entry list
+    (or None)."""
     from .zarr.array import infer_store_arrays
+    from .zarr.writer import build_array_meta
 
     arrays = {a.meta.name: a for a in infer_store_arrays(store)}
     want = sorted(set(dims) | set(data_cols))
@@ -658,6 +686,42 @@ def _validate_grid_append_target(
             f"Grid append schema mismatch: store has {sorted(arrays)}, "
             f"writing {want}"
         )
+
+    def check_layout(name, m, chunk, dim_names):
+        expected = build_array_meta(
+            name,
+            shape=m.shape,
+            chunk_shape=chunk,
+            dtype=np_dtypes[name],
+            fill_value=fill_value,
+            dimension_names=dim_names,
+            compression=compression,
+        )
+        if m.zarr_dtype != expected.zarr_dtype:
+            raise ZarrFormatError(
+                f"Grid append dtype mismatch for {name!r}: store has "
+                f"{m.zarr_dtype}, writing {expected.zarr_dtype}"
+            )
+        if tuple(m.chunk_shape) != tuple(expected.chunk_shape):
+            raise ZarrFormatError(
+                f"Grid append: {name!r} chunk shape {m.chunk_shape} != "
+                f"requested {tuple(expected.chunk_shape)}"
+            )
+        if m.codecs != expected.codecs:
+            raise ZarrFormatError(
+                f"Grid append codec mismatch for {name!r}: store uses "
+                f"{m.codecs} — pass the store's compression option"
+            )
+        if not _fill_values_equal(
+            m.fill_value, expected.fill_value, np_dtypes[name]
+        ):
+            raise ZarrFormatError(
+                f"Grid append fill_value mismatch for {name!r}: store "
+                f"has {m.fill_value!r}, append requested "
+                f"{expected.fill_value!r} — untouched objects were "
+                f"padded with the store's fill"
+            )
+
     old_axes = {}
     for d, cs in zip(dims, chunk_shape):
         m = arrays[d].meta
@@ -665,11 +729,7 @@ def _validate_grid_append_target(
             raise ZarrFormatError(
                 f"Grid append: coordinate {d!r} is not 1-D in the store"
             )
-        if d == append_dim and m.chunk_shape[0] != int(cs):
-            raise ZarrFormatError(
-                f"Grid append: coordinate {d!r} chunk {m.chunk_shape[0]} "
-                f"!= requested {cs}"
-            )
+        check_layout(d, m, (int(cs),), (d,))
         # tolist(): python scalars, so axis values compare/serialize
         # like the DataFrame-collected ones on the fresh path
         old_axes[d] = arrays[d].read_all().tolist()
@@ -682,21 +742,14 @@ def _validate_grid_append_target(
                 f"Grid append: data array {c!r} shape {m.shape} does not "
                 f"match the coordinate axes {old_shape}"
             )
-        if tuple(m.chunk_shape) != tuple(int(x) for x in chunk_shape):
-            raise ZarrFormatError(
-                f"Grid append: {c!r} chunk shape {m.chunk_shape} != "
-                f"requested {tuple(chunk_shape)}"
-            )
         if m.dimension_names != tuple(dims):
             raise ZarrFormatError(
                 f"Grid append: {c!r} dimension names {m.dimension_names} "
                 f"!= {tuple(dims)}"
             )
-        if m.zarr_dtype != expected_dtypes[c]:
-            raise ZarrFormatError(
-                f"Grid append dtype mismatch for {c!r}: store has "
-                f"{m.zarr_dtype}, writing {expected_dtypes[c]}"
-            )
+        check_layout(
+            c, m, tuple(int(x) for x in chunk_shape), tuple(dims)
+        )
         s = m.attributes.get(STATS_ATTR_KEY)
         old_stats[c] = s if isinstance(s, list) else None
     return old_axes, old_stats
@@ -777,18 +830,22 @@ def write_zarr_grid(
                 f"{dims}, got {append_dim!r}"
             )
         if not store.exists("zarr.json"):
+            if store.exists(".zgroup"):
+                raise ZarrFormatError(
+                    f"Grid append target at {path!r} is a Zarr v2 "
+                    "store; the grid writer appends to v3 stores only"
+                )
             raise ZarrFormatError(
                 f"Grid append target missing at {path!r}"
             )
-        expected = {
-            f.name: _zarr_dtype_for(f)
-            for f in df.schema.fields
-            if f.name in data_cols
+        np_dtypes_all = {
+            f.name: _np_dtype_for(f) for f in df.schema.fields
         }
         old_axes, old_stats = _validate_grid_append_target(
-            store, dims, data_cols, chunk_shape, expected, append_dim
+            store, dims, data_cols, chunk_shape, np_dtypes_all,
+            append_dim, compression, fill_value,
         )
-    elif store.exists("zarr.json"):
+    elif store.exists("zarr.json") or store.exists(".zgroup"):
         if mode != "overwrite":
             raise ZarrFormatError(
                 f"Store already exists at {path!r} (mode='error')"

@@ -10,6 +10,8 @@ nothing materializes between steps).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -208,6 +210,7 @@ def snapshot_curation_pipeline(
     group_col: str = "lang",
     score_col: str = "n_chars",
     keep_frac: float = 0.5,
+    extra_cols: Sequence[str] = ("source",),
 ) -> DataFrame:
     """Incremental crawl-snapshot curation — the flow a continuously-
     trained model's data team runs on every new crawl batch, composed
@@ -231,7 +234,9 @@ def snapshot_curation_pipeline(
        p06), adding ``group_rank``.
 
     Output: the curated batch rows
-    ``(id_col, group_col, source, score_col, group_rank)``.
+    ``(id_col, group_col, *extra_cols, score_col, group_rank)`` —
+    ``extra_cols`` are passthrough columns the batch must carry
+    (default the harness tables' ``source``).
 
     Scale shape (100 TB corpus, batch-sized snapshot): every
     corpus-touching stage is bounded by the BATCH — stage 2 gates the
@@ -270,7 +275,7 @@ def snapshot_curation_pipeline(
         s2, blocklist, id_col=id_col, text_col=text_col, k=contam_k
     )
     return quantile_gate(
-        s3.select(id_col, group_col, "source", score_col),
+        s3.select(id_col, group_col, *extra_cols, score_col),
         group_col=group_col,
         score_col=score_col,
         keep_frac=keep_frac,

@@ -500,6 +500,8 @@ def pq_ann(
         return F.transform(c, lambda x: F.round(x * F.lit(32768.0), 0))
 
     max_id = corpus.agg(F.max(id_col)).first()[0]
+    if max_id is None:
+        raise ValueError("pq_ann: empty corpus (no codebook rows)")
     stride = max(1, (int(max_id) + 1) // ksub)
     cb_rows = (
         corpus.filter(
@@ -591,7 +593,8 @@ def pq_ann(
                 dots = np.zeros(n, dtype=np.float64)
                 for j in range(m):
                     dots += lut_l[j, qi][codes[j]]
-                cos = dots / (np.sqrt(q_nsq_l[qi]) * nr_safe)
+                qn = np.sqrt(q_nsq_l[qi])
+                cos = dots / ((qn if qn > 0 else 1.0) * nr_safe)
                 mask = ids != q_ids_l[qi]
                 idx = np.nonzero(mask)[0]
                 if not len(idx):
@@ -620,8 +623,19 @@ def pq_ann(
 
     local = corpus_q.mapInPandas(kernel, schema=out_schema)
     # raw-cosine ordering for rank (bit-identical across engines since
-    # the inputs are exact integers); rounded cosine only for display
-    cos_raw = F.col("dot") / (F.sqrt(F.col("nq_sq")) * F.sqrt(F.col("nr_sq")))
+    # the inputs are exact integers); rounded cosine only for display.
+    # Zero-norm guard mirrors the kernel (and the oracle): a zero
+    # reconstruction/query has dot 0, so the safe denominator yields
+    # cosine 0 instead of an ANSI DIVIDE_BY_ZERO (or a NaN that
+    # Spark's NaN-sorts-highest would rank FIRST, breaking the
+    # partitioning invariant)
+    nr_safe = F.when(F.col("nr_sq") > 0, F.col("nr_sq")).otherwise(
+        F.lit(1.0)
+    )
+    nq_safe = F.when(F.col("nq_sq") > 0, F.col("nq_sq")).otherwise(
+        F.lit(1.0)
+    )
+    cos_raw = F.col("dot") / (F.sqrt(nq_safe) * F.sqrt(nr_safe))
     w = Window.partitionBy("query_id").orderBy(
         cos_raw.desc(), F.col("neighbor_id")
     )

@@ -1823,7 +1823,7 @@ def populate_round6_queries(register) -> None:
         "JOIN sub s ON s.j = e.j AND s.code = e.code "
         "GROUP BY qs.query_id, e.vec_id), "
         "scored AS (SELECT p.query_id, p.neighbor_id, "
-        "p.dot / (SQRT(qn.nq_sq) * SQRT(r.nr_sq)) AS cos "
+        "p.dot / (SQRT(CASE WHEN qn.nq_sq > 0 THEN qn.nq_sq ELSE 1 END) * SQRT(CASE WHEN r.nr_sq > 0 THEN r.nr_sq ELSE 1 END)) AS cos "
         "FROM pdot p JOIN qn USING (query_id) "
         "JOIN recon r ON p.neighbor_id = r.vec_id "
         "WHERE p.query_id <> p.neighbor_id) "

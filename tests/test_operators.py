@@ -1277,3 +1277,44 @@ class TestSnapshotCurationPipeline:
         out = snapshot_curation_pipeline(batch, corpus, block)
         ids = {r.doc_id for r in out.collect()}
         assert 0 in ids and 10 not in ids
+
+
+class TestPQANNDegenerate:
+    """Round-6 review pins: zero vectors and empty corpora."""
+
+    def test_zero_vector_in_codebook_does_not_crash_or_rank_first(
+        self, spark
+    ):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        rows = []
+        for i in range(32):
+            if i == 0:
+                vec = [0.0] * 64  # lands in the strided codebook
+            else:
+                vec = [float(x) for x in rng.standard_normal(64)]
+            rows.append((i, vec))
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = similarity.pq_ann(
+            df, df.filter(F.col("vec_id") < 4), k=3, m=4, ksub=16
+        ).collect()
+        assert out  # no DIVIDE_BY_ZERO under ANSI mode
+        # the zero vector's cosine is defined as 0 — it must never
+        # outrank a genuinely similar neighbor via NaN-sorts-highest
+        for r in out:
+            if r.neighbor_id == 0:
+                assert r.cosine == 0.0
+        # partitioning invariance holds with the degenerate row too
+        a = sorted(map(tuple, similarity.pq_ann(
+            df.repartition(1), df.filter(F.col("vec_id") < 4),
+            k=3, m=4, ksub=16).collect()))
+        b = sorted(map(tuple, similarity.pq_ann(
+            df.repartition(5), df.filter(F.col("vec_id") < 4),
+            k=3, m=4, ksub=16).collect()))
+        assert a == b
+
+    def test_empty_corpus_raises_value_error(self, spark, embs):
+        empty = embs.filter(F.col("vec_id") < 0)
+        with pytest.raises(ValueError, match="empty corpus"):
+            similarity.pq_ann(empty, embs.limit(2))

@@ -1013,3 +1013,95 @@ class TestGridAppend:
         list(reader.pushFilters([GreaterThan(("v",), 1199.0)]))
         cells = [c for p in reader.partitions() for c in p.cells]
         assert cells == [(3, 0)]  # only the t=12..15 cell survives
+
+
+class TestReviewRound6Fixes:
+    """Regression pins for the round-6 code-review findings."""
+
+    def test_grid_append_rejects_compression_mismatch(
+        self, spark, tmp_path
+    ):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "rf1")
+        g = TestGridAppend._grid(spark, 0, 4)
+        write_zarr_grid(
+            g, path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite", compression="gzip",
+        )
+        with pytest.raises(ZarrFormatError, match="codec mismatch"):
+            write_zarr_grid(
+                TestGridAppend._grid(spark, 4, 8), path,
+                dims=["t", "x"], chunk_shape=(4, 3), mode="append",
+                append_dim="t",  # default zstd != store's gzip
+            )
+
+    def test_grid_append_rejects_fill_mismatch(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "rf2")
+        write_zarr_grid(
+            TestGridAppend._grid(spark, 0, 4), path, dims=["t", "x"],
+            chunk_shape=(4, 3), mode="overwrite", fill_value=-1.0,
+        )
+        with pytest.raises(ZarrFormatError, match="fill_value mismatch"):
+            write_zarr_grid(
+                TestGridAppend._grid(spark, 4, 8), path,
+                dims=["t", "x"], chunk_shape=(4, 3), mode="append",
+                append_dim="t",  # default fill 0 != store's -1.0
+            )
+
+    def test_grid_writer_sees_v2_store_at_target(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "rf3")
+        df = spark.range(100).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=50, zarr_format=2)
+        g = TestGridAppend._grid(spark, 0, 4)
+        with pytest.raises(ZarrFormatError, match="already exists"):
+            write_zarr_grid(
+                g, path, dims=["t", "x"], chunk_shape=(4, 3)
+            )
+        with pytest.raises(ZarrFormatError, match="v2"):
+            write_zarr_grid(
+                g, path, dims=["t", "x"], chunk_shape=(4, 3),
+                mode="append", append_dim="t",
+            )
+        # overwrite must CLEAR the v2 store, not mix into it
+        import os
+
+        write_zarr_grid(
+            g, path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        names = set(os.listdir(path))
+        assert ".zgroup" not in names and ".zmetadata" not in names
+        # the old v2 array's KEYS are gone (LocalStore leaves empty
+        # dirs behind; readers walk keys, so an empty dir is inert)
+        k_files = [
+            f for _r, _d, fs in os.walk(path + "/k") for f in fs
+        ]
+        assert k_files == []
+        back = spark.read.format("zarr").load(path)
+        assert sorted(back.columns) == ["t", "v", "x"]
+
+    def test_v2_arrays_carry_xarray_dimensions(self, spark, tmp_path):
+        import json
+
+        path = str(tmp_path / "rf4")
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        write_zarr(df, path, chunk_rows=50, zarr_format=2)
+        for col in ("k", "v"):
+            attrs = json.load(open(f"{path}/{col}/.zattrs"))
+            assert attrs["_ARRAY_DIMENSIONS"] == ["row"]
+        # collision with a column named "row" picks a fresh dim name
+        path2 = str(tmp_path / "rf4b")
+        df2 = spark.range(100).select(F.col("id").alias("row"))
+        write_zarr(df2, path2, chunk_rows=50, zarr_format=2)
+        attrs = json.load(open(f"{path2}/row/.zattrs"))
+        assert attrs["_ARRAY_DIMENSIONS"] == ["_row"]
+        # and the scan still reads both back as plain table columns
+        assert spark.read.format("zarr").load(path).count() == 100
+        assert spark.read.format("zarr").load(path2).count() == 100
