@@ -23,6 +23,9 @@ __all__ = [
     "populate_round4_queries",
     "populate_round5_queries",
     "populate_round6_queries",
+    "populate_round6_writer_queries",
+    "populate_round6_sampling_queries",
+    "populate_round6_grid_queries",
     "populate_deferred_queries",
 ]
 
