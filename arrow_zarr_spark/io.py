@@ -54,6 +54,7 @@ __all__ = [
     "rechunk_zarr",
     "audit_zarr",
     "refresh_stats",
+    "describe_zarr",
     "SPARK_TO_ZARR",
 ]
 
@@ -1445,3 +1446,85 @@ def refresh_stats(
 
     consolidate_metadata(store)
     return len(rows)
+
+
+def describe_zarr(path: str) -> dict:
+    """Metadata-only store inspection — the ops-tooling complement of
+    :func:`audit_zarr` (which reads every object): answers "what is
+    this store and how big is it" from the PLANNING metadata alone
+    (one GET on a consolidated store; a listing walk otherwise — never
+    a chunk read).
+
+    Returns::
+
+        {
+          "zarr_format": 2 | 3,
+          "consolidated": bool,          # one-GET planning available
+          "n_rows": int | None,          # scan row count (table: the
+                                         #  common length; grid: the
+                                         #  Cartesian product) — the
+                                         #  COUNT(*) fast path
+          "total_objects": int,          # chunk/shard object count
+          "columns": {name: {"dtype", "shape", "chunk_shape",
+                             "dimension_names", "n_objects",
+                             "stats_coverage"}},   # coverage: fraction
+                             # of objects with known [min,max] bounds,
+                             # None when the array carries no stats
+        }
+    """
+    import math as _math
+
+    store = open_store(path)
+    from .zarr.array import infer_store_arrays
+
+    arrays = infer_store_arrays(store)
+    v2 = any(a.meta.key_encoding == "v2" for a in arrays)
+    consolidated = False
+    raw = store.get("zarr.json")
+    if raw is not None:
+        try:
+            consolidated = "consolidated_metadata" in json.loads(raw)
+        except json.JSONDecodeError:
+            pass
+    if not consolidated:
+        consolidated = store.get(".zmetadata") is not None
+
+    cols = {}
+    total_objects = 0
+    data_shapes = set()
+    for a in arrays:
+        m = a.meta
+        grid = m.chunk_grid_shape
+        n_obj = 1
+        for g in grid:
+            n_obj *= g
+        total_objects += n_obj
+        stats = m.attributes.get(STATS_ATTR_KEY)
+        coverage = None
+        if isinstance(stats, list) and len(stats) == n_obj:
+            known = sum(
+                1 for e in stats if isinstance(e, list) and None not in e
+            )
+            coverage = round(known / n_obj, 4) if n_obj else 1.0
+        cols[m.name] = {
+            "dtype": m.zarr_dtype,
+            "shape": tuple(m.shape),
+            "chunk_shape": tuple(m.chunk_shape),
+            "dimension_names": m.dimension_names,
+            "n_objects": n_obj,
+            "stats_coverage": coverage,
+        }
+        # coordinate arrays (1-D, named after their own dimension)
+        # don't define the scan's row count; data arrays do
+        if not (m.ndim == 1 and m.dimension_names == (m.name,)):
+            data_shapes.add(tuple(m.shape))
+    n_rows = None
+    if len(data_shapes) == 1:
+        n_rows = int(_math.prod(next(iter(data_shapes))))
+    return {
+        "zarr_format": 2 if v2 else 3,
+        "consolidated": consolidated,
+        "n_rows": n_rows,
+        "total_objects": total_objects,
+        "columns": cols,
+    }

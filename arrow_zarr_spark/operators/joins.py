@@ -28,6 +28,7 @@ __all__ = [
     "salted_join",
     "write_bucketed",
     "bucketed_equi_join",
+    "interval_overlap_join",
 ]
 
 
@@ -253,3 +254,69 @@ def asof_join(
             F.col("__r_t").alias(f"{right_prefix}{on}"),
         )
     return out.withColumnRenamed("__t", on)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    band: float,
+    key: Optional[str] = None,
+    how_filter=None,
+) -> DataFrame:
+    """Inner join on INTERVAL OVERLAP — ``[ls, le] ∩ [rs, re] ≠ ∅``
+    (closed intervals: ``le >= rs AND re >= ls``) — the
+    genomics/session/maintenance-window join Spark would otherwise
+    nested-loop. Bounds must be numeric (epoch-convert timestamps
+    first); rows with ``start > end`` are malformed intervals and
+    drop out (they overlap nothing).
+
+    Scale shape: each interval explodes into the width-``band``
+    buckets it spans and the join is an equi-join on (``key``,)
+    bucket — hash join, never a cross product. A pair meeting in
+    several buckets is emitted ONCE without any distinct: only the
+    bucket containing ``max(ls, rs)`` (the overlap's left edge, which
+    both sides necessarily exploded) reports it. Choose ``band`` near
+    the typical interval length — explode factor is
+    ``len/band + 1`` per row, and per-bucket products bound the join.
+    ``key`` adds an equi-key (per-user/per-chromosome) to the bucket
+    key; ``how_filter`` is an optional extra Column predicate applied
+    with the exact overlap check (e.g. an id inequality for
+    self-joins). Column names must not collide across the inputs
+    (alias first); ``key`` is the one shared name."""
+    if band <= 0:
+        raise ValueError(f"interval_overlap_join: band must be > 0, got {band}")
+    shared = set(left.columns) & set(right.columns) - ({key} if key else set())
+    if shared:
+        raise ValueError(
+            f"interval_overlap_join: column names collide across inputs: "
+            f"{sorted(shared)} — alias before joining"
+        )
+
+    def burst(df, start, end):
+        return df.filter(F.col(start) <= F.col(end)).withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / band).cast("long"),
+                    F.floor(F.col(end) / band).cast("long"),
+                )
+            ),
+        )
+
+    l = burst(left, left_start, left_end)
+    r = burst(right, right_start, right_end)
+    on = ([key] if key else []) + ["__b"]
+    exact = (F.col(left_end) >= F.col(right_start)) & (
+        F.col(right_end) >= F.col(left_start)
+    )
+    first_bucket = F.col("__b") == F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / band
+    ).cast("long")
+    out = l.join(r, on).filter(exact & first_bucket)
+    if how_filter is not None:
+        out = out.filter(how_filter)
+    return out.drop("__b")

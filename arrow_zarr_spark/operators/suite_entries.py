@@ -2014,3 +2014,92 @@ def populate_round6_grid_queries(register) -> None:
         "CAST(r1.range * 1000 + r2.range * 7 AS DOUBLE) AS v "
         "FROM range(0, 17) r1, range(0, 6) r2",
     )
+
+
+def populate_round6_late_queries(register) -> None:
+    """Late round-6 additions: j06 interval-overlap join (the
+    genomics/session-window join as a banded hash join with a
+    no-distinct first-bucket dedup) and z21 metadata row count (the
+    COUNT(*) fast path: describe_zarr answers from planning metadata
+    alone, and the driver row proves it equals the data)."""
+
+    def j06(spark, sf_dir):
+        from ..streaming.event_ops import _as_utc_event_time
+        from .joins import interval_overlap_join
+
+        ensure_views(spark, sf_dir)
+        # NTZ -> TIMESTAMP via the session-zone-invariant convention
+        # (unix_micros rejects TIMESTAMP_NTZ)
+        ev = _as_utc_event_time(spark.table("events"))
+
+        def side(tag, etype):
+            # exact microseconds (the e02 convention): seconds-level
+            # unix_timestamp truncates where DuckDB's epoch() cast
+            # rounds, and sub-second events would then disagree
+            s = F.unix_micros("ts")
+            return ev.filter(F.col("event_type") == etype).select(
+                F.col("event_id").alias(f"{tag}_event_id"),
+                F.col("user_id").alias("user_id"),
+                s.alias(f"{tag}_s"),
+                (s + F.lit(7200 * 1_000_000)).alias(f"{tag}_e"),
+            )
+
+        out = interval_overlap_join(
+            side("l", "click"),
+            side("r", "view"),
+            "l_s", "l_e", "r_s", "r_e",
+            band=4096.0 * 1_000_000,
+            key="user_id",
+        )
+        return out.select(
+            "user_id", "l_event_id", "r_event_id",
+            F.greatest("l_s", "r_s").alias("ov_start"),
+            F.least("l_e", "r_e").alias("ov_end"),
+        )
+
+    register(
+        "j06_interval_overlap_join",
+        j06,
+        "WITH l AS (SELECT event_id AS l_event_id, user_id, "
+        "epoch_us(ts) AS l_s, epoch_us(ts) + 7200000000 AS l_e "
+        "FROM events WHERE event_type = 'click'), "
+        "r AS (SELECT event_id AS r_event_id, user_id, "
+        "epoch_us(ts) AS r_s, epoch_us(ts) + 7200000000 AS r_e "
+        "FROM events WHERE event_type = 'view') "
+        "SELECT l.user_id, l_event_id, r_event_id, "
+        "GREATEST(l_s, r_s) AS ov_start, LEAST(l_e, r_e) AS ov_end "
+        "FROM l JOIN r ON l.user_id = r.user_id "
+        "AND l_e >= r_s AND r_e >= l_s",
+    )
+
+    def z21(spark, sf_dir):
+        import shutil
+
+        from ..io import describe_zarr, write_zarr
+
+        ensure_views(spark, sf_dir)
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_z21_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+        src = spark.table("orders").select("o_orderkey", "o_totalprice")
+        write_zarr(src, path, chunk_rows=4096, mode="overwrite")
+        info = describe_zarr(path)
+        # one row, built from METADATA only (no chunk reads)
+        return spark.createDataFrame(
+            [
+                (
+                    int(info["n_rows"]),
+                    len(info["columns"]),
+                    int(info["zarr_format"]),
+                )
+            ],
+            "n_rows long, n_cols int, zfmt int",
+        )
+
+    register(
+        "z21_metadata_count",
+        z21,
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(2 AS INTEGER) AS n_cols, CAST(3 AS INTEGER) AS zfmt "
+        "FROM orders",
+    )

@@ -1318,3 +1318,66 @@ class TestPQANNDegenerate:
         empty = embs.filter(F.col("vec_id") < 0)
         with pytest.raises(ValueError, match="empty corpus"):
             similarity.pq_ann(empty, embs.limit(2))
+
+
+class TestIntervalOverlapJoin:
+    """j06 — banded interval-overlap join."""
+
+    def test_matches_naive_overlap(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        mk = lambda tag, n: [
+            (i, int(s), int(s + rng.randint(1, 300)))
+            for i, s in enumerate(rng.randint(0, 3000, size=n))
+        ]
+        L, R = mk("l", 120), mk("r", 150)
+        from arrow_zarr_spark.operators.joins import interval_overlap_join
+
+        ldf = spark.createDataFrame(L, ["l_id", "l_s", "l_e"])
+        rdf = spark.createDataFrame(R, ["r_id", "r_s", "r_e"])
+        for band in (64, 250, 1000):
+            got = {
+                (r.l_id, r.r_id)
+                for r in interval_overlap_join(
+                    ldf, rdf, "l_s", "l_e", "r_s", "r_e", band=band
+                ).collect()
+            }
+            want = {
+                (li, ri)
+                for li, ls, le in L
+                for ri, rs, re in R
+                if le >= rs and re >= ls
+            }
+            assert got == want, band
+
+    def test_no_duplicate_pairs_without_distinct(self, spark):
+        # long intervals span many buckets; each pair must emit once
+        from arrow_zarr_spark.operators.joins import interval_overlap_join
+
+        ldf = spark.createDataFrame([(1, 0, 1000)], ["l_id", "l_s", "l_e"])
+        rdf = spark.createDataFrame([(2, 500, 900)], ["r_id", "r_s", "r_e"])
+        out = interval_overlap_join(
+            ldf, rdf, "l_s", "l_e", "r_s", "r_e", band=10
+        ).collect()
+        assert len(out) == 1
+
+    def test_malformed_and_validation(self, spark):
+        from arrow_zarr_spark.operators.joins import interval_overlap_join
+
+        ldf = spark.createDataFrame([(1, 10, 5)], ["l_id", "l_s", "l_e"])
+        rdf = spark.createDataFrame([(2, 0, 100)], ["r_id", "r_s", "r_e"])
+        assert (
+            interval_overlap_join(
+                ldf, rdf, "l_s", "l_e", "r_s", "r_e", band=10
+            ).count()
+            == 0
+        )
+        with pytest.raises(ValueError, match="band"):
+            interval_overlap_join(
+                ldf, rdf, "l_s", "l_e", "r_s", "r_e", band=0
+            )
+        with pytest.raises(ValueError, match="collide"):
+            interval_overlap_join(
+                ldf, ldf, "l_s", "l_e", "l_s", "l_e", band=10
+            )

@@ -1105,3 +1105,129 @@ class TestReviewRound6Fixes:
         # and the scan still reads both back as plain table columns
         assert spark.read.format("zarr").load(path).count() == 100
         assert spark.read.format("zarr").load(path2).count() == 100
+
+
+class TestGridAppendStatsSoundness:
+    """Randomized soundness law for the append-time stats remap: after
+    any chain of (sparse, unaligned) appends, every cell's recorded
+    [lo, hi] either is unknown or brackets every value the scan
+    materializes from that cell — fill rows included. (The pruning
+    soundness law in test_property.py assumes sound bounds; this pins
+    that the append path actually produces them.)"""
+
+    def test_randomized_appends_keep_stats_sound(self, spark, tmp_path):
+        import math
+
+        from arrow_zarr_spark.io import STATS_ATTR_KEY, write_zarr_grid
+
+        rng = np.random.RandomState(1234)
+        for trial in range(4):
+            path = str(tmp_path / f"snd{trial}")
+            nx = int(rng.randint(2, 6))
+            cs = (int(rng.randint(2, 5)), int(rng.randint(2, 4)))
+            t_base = int(rng.randint(3, 9))
+
+            def rows_for(t0, t1, keep=0.7):
+                out = []
+                for t in range(t0, t1):
+                    for x in range(nx):
+                        # keep the x-axis fully covered on the first
+                        # slice so later appends never add axis values
+                        if t == 0 or rng.rand() < keep:
+                            out.append(
+                                (
+                                    float(t),
+                                    float(x),
+                                    float(rng.randint(-50, 50)),
+                                )
+                            )
+                return out
+
+            df = spark.createDataFrame(
+                rows_for(0, t_base), ["t", "x", "v"]
+            )
+            write_zarr_grid(
+                df, path, dims=["t", "x"], chunk_shape=cs,
+                mode="overwrite",
+            )
+            t_len = t_base
+            for _ in range(2):  # two appends: remap-of-remap
+                n_new = int(rng.randint(1, 6))
+                adf = spark.createDataFrame(
+                    rows_for(t_len, t_len + n_new), ["t", "x", "v"]
+                )
+                write_zarr_grid(
+                    adf, path, dims=["t", "x"], chunk_shape=cs,
+                    mode="append", append_dim="t",
+                )
+                t_len += n_new
+
+            back = spark.read.format("zarr").load(path).collect()
+            vals = {(int(r.t), int(r.x)): r.v for r in back}
+            assert len(vals) == t_len * nx
+            arrays = {
+                a.meta.name: a
+                for a in infer_store_arrays(open_store(path))
+            }
+            st = arrays["v"].meta.attributes[STATS_ATTR_KEY]
+            g = (math.ceil(t_len / cs[0]), math.ceil(nx / cs[1]))
+            assert len(st) == g[0] * g[1]
+            for ci in range(g[0]):
+                for cj in range(g[1]):
+                    bounds = st[ci * g[1] + cj]
+                    cell_vals = [
+                        v
+                        for (t, x), v in vals.items()
+                        if ci * cs[0] <= t < (ci + 1) * cs[0]
+                        and cj * cs[1] <= x < (cj + 1) * cs[1]
+                    ]
+                    assert cell_vals
+                    if bounds is None:
+                        continue
+                    lo, hi = bounds
+                    assert lo <= min(cell_vals), (trial, ci, cj, bounds)
+                    assert max(cell_vals) <= hi, (trial, ci, cj, bounds)
+
+
+class TestDescribeZarr:
+    def test_table_store(self, spark, tmp_path):
+        from arrow_zarr_spark.io import describe_zarr
+
+        path = str(tmp_path / "dz1")
+        df = spark.range(0, 1000, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        write_zarr(df, path, chunk_rows=100)
+        info = describe_zarr(path)
+        assert info["zarr_format"] == 3 and info["consolidated"]
+        assert info["n_rows"] == 1000
+        assert info["total_objects"] == 20
+        assert info["columns"]["k"]["n_objects"] == 10
+        assert info["columns"]["k"]["stats_coverage"] == 1.0
+
+    def test_grid_store_rows_are_cartesian(self, spark, tmp_path):
+        from arrow_zarr_spark.io import describe_zarr, write_zarr_grid
+
+        path = str(tmp_path / "dz2")
+        df = spark.createDataFrame(
+            [
+                (float(t), float(x), float(t * 10 + x))
+                for t in range(6)
+                for x in range(4)
+            ],
+            ["t", "x", "v"],
+        )
+        write_zarr_grid(df, path, dims=["t", "x"], chunk_shape=(2, 2))
+        info = describe_zarr(path)
+        assert info["n_rows"] == 24  # Cartesian product, not 1-D length
+        assert info["columns"]["v"]["dimension_names"] == ("t", "x")
+
+    def test_v2_store(self, spark, tmp_path):
+        from arrow_zarr_spark.io import describe_zarr
+
+        path = str(tmp_path / "dz3")
+        df = spark.range(0, 500).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, zarr_format=2)
+        info = describe_zarr(path)
+        assert info["zarr_format"] == 2 and info["consolidated"]
+        assert info["n_rows"] == 500
