@@ -1282,6 +1282,13 @@ _populated = False
 #: z04/z05/z07/z08/z09/z10/z12/z13/z14/z16 stay parity-tested every
 #: round,
 #: rotating back in round 6).
+#:
+#: ROUND-6 NOTE: no round-5 driver artifacts ever landed
+#: (CORRECTNESS_r05 was not recorded), so this window's entries are
+#: still waiting for their first driver rows — round 6 keeps the list
+#: UNCHANGED rather than rotating, and the round-6 additions (d16,
+#: s04, x03, p13, w08, w09, z21, j06, r46, r47) register past slot 50
+#: for the round-7 rotation.
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
     "z18_3d_scan",
