@@ -1472,8 +1472,6 @@ def describe_zarr(path: str) -> dict:
                              # None when the array carries no stats
         }
     """
-    import math as _math
-
     store = open_store(path)
     from .zarr.array import infer_store_arrays
 
@@ -1494,16 +1492,17 @@ def describe_zarr(path: str) -> dict:
     data_shapes = set()
     for a in arrays:
         m = a.meta
-        grid = m.chunk_grid_shape
-        n_obj = 1
-        for g in grid:
-            n_obj *= g
+        n_obj = m.n_chunks
         total_objects += n_obj
         stats = m.attributes.get(STATS_ATTR_KEY)
         coverage = None
         if isinstance(stats, list) and len(stats) == n_obj:
+            # same strictness as the pruning scan: an entry prunes
+            # only when it is a well-formed [lo, hi] pair
             known = sum(
-                1 for e in stats if isinstance(e, list) and None not in e
+                1
+                for e in stats
+                if isinstance(e, list) and len(e) == 2 and None not in e
             )
             coverage = round(known / n_obj, 4) if n_obj else 1.0
         cols[m.name] = {
@@ -1514,13 +1513,13 @@ def describe_zarr(path: str) -> dict:
             "n_objects": n_obj,
             "stats_coverage": coverage,
         }
-        # coordinate arrays (1-D, named after their own dimension)
-        # don't define the scan's row count; data arrays do
-        if not (m.ndim == 1 and m.dimension_names == (m.name,)):
+        # coordinate arrays don't define the scan's row count; data
+        # arrays do (is_coordinate is THE definition, zarr/meta.py)
+        if not m.is_coordinate():
             data_shapes.add(tuple(m.shape))
     n_rows = None
     if len(data_shapes) == 1:
-        n_rows = int(_math.prod(next(iter(data_shapes))))
+        n_rows = int(math.prod(next(iter(data_shapes))))
     return {
         "zarr_format": 2 if v2 else 3,
         "consolidated": consolidated,

@@ -145,30 +145,13 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
 
     qs["snapshot_curation"] = _x03
 
-    # interval-overlap join (j06): banded hash join over event windows
-    from ..streaming.event_ops import _as_utc_event_time
-    from .joins import interval_overlap_join
+    # interval-overlap join (j06): banded hash join over event windows.
+    # Through the registered VIEW, not a raw parquet read — ensure_views
+    # owns the TIMESTAMP(NANOS) conversion some events files need
+    from ..suite import ensure_views
+    from .suite_entries import j06_overlap_frame
 
-    def _j06():
-        ev = _as_utc_event_time(
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-        )
-
-        def side(tag, etype):
-            s = F.unix_micros("ts")
-            return ev.filter(F.col("event_type") == etype).select(
-                F.col("event_id").alias(f"{tag}_event_id"),
-                F.col("user_id").alias("user_id"),
-                s.alias(f"{tag}_s"),
-                (s + F.lit(7200 * 1_000_000)).alias(f"{tag}_e"),
-            )
-
-        return force(
-            interval_overlap_join(
-                side("l", "click"), side("r", "view"),
-                "l_s", "l_e", "r_s", "r_e",
-                band=4096.0 * 1_000_000, key="user_id",
-            )
-        )
-
-    qs["interval_overlap_join"] = _j06
+    ensure_views(spark, sf_dir)
+    qs["interval_overlap_join"] = lambda: force(
+        j06_overlap_frame(spark.table("events"))
+    )

@@ -295,6 +295,12 @@ def interval_overlap_join(
             f"interval_overlap_join: column names collide across inputs: "
             f"{sorted(shared)} — alias before joining"
         )
+    for df in (left, right):
+        if "__b" in df.columns:
+            raise ValueError(
+                "interval_overlap_join: '__b' is reserved for the "
+                "bucket key — rename that input column first"
+            )
 
     def burst(df, start, end):
         return df.filter(F.col(start) <= F.col(end)).withColumn(

@@ -26,6 +26,7 @@ __all__ = [
     "populate_round6_writer_queries",
     "populate_round6_sampling_queries",
     "populate_round6_grid_queries",
+    "populate_round6_late_queries",
     "populate_deferred_queries",
 ]
 
@@ -2016,6 +2017,36 @@ def populate_round6_grid_queries(register) -> None:
     )
 
 
+def j06_overlap_frame(events):
+    """The j06 click/view 2-hour interval-overlap construction — ONE
+    definition shared by the suite entry, the bench entry, and the
+    plan contract (they must not drift). Exact microseconds (the e02
+    convention: seconds-level unix_timestamp truncates where DuckDB's
+    epoch() cast rounds) over the session-zone-invariant NTZ
+    normalization (unix_micros rejects TIMESTAMP_NTZ)."""
+    from ..streaming.event_ops import _as_utc_event_time
+    from .joins import interval_overlap_join
+
+    ev = _as_utc_event_time(events)
+
+    def side(tag, etype):
+        s = F.unix_micros("ts")
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{tag}_event_id"),
+            F.col("user_id").alias("user_id"),
+            s.alias(f"{tag}_s"),
+            (s + F.lit(7200 * 1_000_000)).alias(f"{tag}_e"),
+        )
+
+    return interval_overlap_join(
+        side("l", "click"),
+        side("r", "view"),
+        "l_s", "l_e", "r_s", "r_e",
+        band=4096.0 * 1_000_000,
+        key="user_id",
+    )
+
+
 def populate_round6_late_queries(register) -> None:
     """Late round-6 additions: j06 interval-overlap join (the
     genomics/session-window join as a banded hash join with a
@@ -2024,33 +2055,8 @@ def populate_round6_late_queries(register) -> None:
     alone, and the driver row proves it equals the data)."""
 
     def j06(spark, sf_dir):
-        from ..streaming.event_ops import _as_utc_event_time
-        from .joins import interval_overlap_join
-
         ensure_views(spark, sf_dir)
-        # NTZ -> TIMESTAMP via the session-zone-invariant convention
-        # (unix_micros rejects TIMESTAMP_NTZ)
-        ev = _as_utc_event_time(spark.table("events"))
-
-        def side(tag, etype):
-            # exact microseconds (the e02 convention): seconds-level
-            # unix_timestamp truncates where DuckDB's epoch() cast
-            # rounds, and sub-second events would then disagree
-            s = F.unix_micros("ts")
-            return ev.filter(F.col("event_type") == etype).select(
-                F.col("event_id").alias(f"{tag}_event_id"),
-                F.col("user_id").alias("user_id"),
-                s.alias(f"{tag}_s"),
-                (s + F.lit(7200 * 1_000_000)).alias(f"{tag}_e"),
-            )
-
-        out = interval_overlap_join(
-            side("l", "click"),
-            side("r", "view"),
-            "l_s", "l_e", "r_s", "r_e",
-            band=4096.0 * 1_000_000,
-            key="user_id",
-        )
+        out = j06_overlap_frame(spark.table("events"))
         return out.select(
             "user_id", "l_event_id", "r_event_id",
             F.greatest("l_s", "r_s").alias("ov_start"),

@@ -498,29 +498,11 @@ class TestRound6Contracts:
         join — a raw overlap predicate would be a nested loop, fatal
         at scale — and the first-bucket dedup means no Aggregate for
         distinct appears."""
-        from pyspark.sql import functions as F
-
-        from arrow_zarr_spark.operators.joins import interval_overlap_join
-        from arrow_zarr_spark.streaming.event_ops import _as_utc_event_time
-
-        ev = _as_utc_event_time(views.table("events"))
-
-        def side(tag, etype):
-            s = F.unix_micros("ts")
-            return ev.filter(F.col("event_type") == etype).select(
-                F.col("event_id").alias(f"{tag}_event_id"),
-                F.col("user_id").alias("user_id"),
-                s.alias(f"{tag}_s"),
-                (s + F.lit(7200 * 1_000_000)).alias(f"{tag}_e"),
-            )
-
-        plan = _plan(
-            interval_overlap_join(
-                side("l", "click"), side("r", "view"),
-                "l_s", "l_e", "r_s", "r_e",
-                band=4096.0 * 1_000_000, key="user_id",
-            )
+        from arrow_zarr_spark.operators.suite_entries import (
+            j06_overlap_frame,
         )
+
+        plan = _plan(j06_overlap_frame(views.table("events")))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Join" in plan

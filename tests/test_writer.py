@@ -1131,9 +1131,13 @@ class TestGridAppendStatsSoundness:
                 out = []
                 for t in range(t0, t1):
                     for x in range(nx):
-                        # keep the x-axis fully covered on the first
-                        # slice so later appends never add axis values
-                        if t == 0 or rng.rand() < keep:
+                        # x-axis fully covered on the first slice (so
+                        # appends never add axis values); x == 0 kept
+                        # on EVERY t so no append slice draws zero
+                        # rows (an empty slice would grow the axis by
+                        # less than n_new and break the length math
+                        # for reasons unrelated to the stats law)
+                        if t == 0 or x == 0 or rng.rand() < keep:
                             out.append(
                                 (
                                     float(t),
