@@ -55,6 +55,7 @@ __all__ = [
     "audit_zarr",
     "refresh_stats",
     "describe_zarr",
+    "write_zarr_region",
     "SPARK_TO_ZARR",
 ]
 
@@ -1527,3 +1528,209 @@ def describe_zarr(path: str) -> dict:
         "total_objects": total_objects,
         "columns": cols,
     }
+
+
+def write_zarr_region(
+    df: DataFrame,
+    path: str,
+    dims: Sequence[str],
+    stats: bool = True,
+) -> int:
+    """Update EXISTING grid points of an N-D store in place — the
+    region-write third of the grid writer's xarray ``to_zarr``
+    surface (write / ``append_dim`` / ``region``): corrections,
+    backfills, and reprocessed slices land on a live store without a
+    rewrite.
+
+    ``df`` carries the coordinate columns (``dims``) plus the data
+    columns to update — a SUBSET of the store's data arrays is fine
+    (each column's chunks are separate objects; untouched arrays are
+    never read or written). Every coordinate value must already be on
+    its axis (region writes never grow the grid — that is
+    ``append_dim``'s job), and a duplicate grid point in ``df`` is an
+    error (silently letting the last row win would be
+    nondeterministic under Spark partitioning). Store shape,
+    metadata, and untouched cells are unchanged; touched cells are
+    read-merged value-completely (missing chunk objects materialize
+    the fill first, A13), so concurrent readers always see a
+    consistent store. Per-cell statistics recompute for the touched
+    cells of the updated columns only.
+
+    Scale shape: same as the grid writer — positions attach via
+    broadcast joins against the (axis-sized) coordinate vocabularies,
+    rows shuffle once on their target cell, each task read-merges and
+    rewrites exactly its cell's objects. Cost is proportional to the
+    touched region, never the store."""
+    dims = list(dims)
+    if not dims:
+        raise ZarrFormatError("write_zarr_region needs at least one dim")
+    data_cols = [f.name for f in df.schema.fields if f.name not in dims]
+    if not data_cols:
+        raise ZarrFormatError("no data columns besides dims")
+    for field in df.schema.fields:
+        _zarr_dtype_for(field)
+
+    store = open_store(path)
+    if not store.exists("zarr.json"):
+        raise ZarrFormatError(
+            f"Region-write target missing (or not Zarr v3) at {path!r}"
+        )
+    from .zarr.array import infer_store_arrays
+
+    arrays = {a.meta.name: a for a in infer_store_arrays(store)}
+    np_dtypes = {
+        field.name: _np_dtype_for(field) for field in df.schema.fields
+    }
+    for d in dims:
+        if d not in arrays or not arrays[d].meta.is_coordinate():
+            raise ZarrFormatError(
+                f"Region write: {d!r} is not a coordinate array of the "
+                f"store at {path!r}"
+            )
+    metas: Dict[str, ArrayMeta] = {}
+    for c in data_cols:
+        if c not in arrays:
+            raise ZarrFormatError(
+                f"Region write: data array {c!r} not in the store "
+                f"(store has {sorted(arrays)})"
+            )
+        m = arrays[c].meta
+        if m.dimension_names != tuple(dims):
+            raise ZarrFormatError(
+                f"Region write: {c!r} dimension names "
+                f"{m.dimension_names} != {tuple(dims)}"
+            )
+        if m.zarr_dtype != _zarr_dtype_for(
+            df.schema[c]
+        ):
+            raise ZarrFormatError(
+                f"Region write dtype mismatch for {c!r}: store has "
+                f"{m.zarr_dtype}, writing {_zarr_dtype_for(df.schema[c])}"
+            )
+        metas[c] = m
+    shapes = {tuple(metas[c].shape) for c in data_cols}
+    chunk_shapes = {tuple(metas[c].chunk_shape) for c in data_cols}
+    if len(shapes) != 1 or len(chunk_shapes) != 1:
+        raise ZarrFormatError(
+            "Region write: updated data arrays disagree on "
+            f"shape/chunking ({shapes} / {chunk_shapes})"
+        )
+    chunk_shape = next(iter(chunk_shapes))
+
+    spark = df.sparkSession
+    axes = {d: arrays[d].read_all().tolist() for d in dims}
+
+    # positions via broadcast joins; values off the axes surface as
+    # unmatched rows — fail fast naming them instead of dropping
+    out = df
+    n_in = df.count()
+    for d in dims:
+        pos_df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(axes[d])], [d, f"__pos_{d}"]
+        )
+        out = out.join(F.broadcast(pos_df), d)
+    n_matched = out.count()
+    if n_matched != n_in:
+        raise ZarrFormatError(
+            f"Region write: {n_in - n_matched} rows carry coordinate "
+            f"values not on the store's axes (region writes never "
+            f"grow the grid; use mode='append' with append_dim to "
+            f"extend)"
+        )
+
+    grid = [
+        -(-len(axes[d]) // int(cs)) for d, cs in zip(dims, chunk_shape)
+    ]
+    cell_expr = None
+    for i, (d, cs) in enumerate(zip(dims, chunk_shape)):
+        c = (F.col(f"__pos_{d}") / int(cs)).cast("long")
+        cell_expr = c if cell_expr is None else cell_expr * grid[i] + c
+    out = out.withColumn("__cell", cell_expr)
+
+    metas_b = spark.sparkContext.broadcast(metas)
+    chunk_shape_t = tuple(int(x) for x in chunk_shape)
+    dims_t = list(dims)
+    data_cols_t = list(data_cols)
+    grid_t = list(grid)
+    want_stats = bool(stats)
+
+    def update_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["__cell"].iloc[0])
+        idx = []
+        rem = cell
+        for g in reversed(grid_t):
+            idx.append(rem % g)
+            rem //= g
+        idx = tuple(reversed(idx))
+        task_store = open_store(path)
+        local = [
+            pdf[f"__pos_{d}"].to_numpy() - i * cs
+            for d, i, cs in zip(dims_t, idx, chunk_shape_t)
+        ]
+        # duplicate-point check: two input rows addressing the same
+        # grid point would race nondeterministically
+        stacked = np.stack([np.asarray(x) for x in local])
+        uniq = np.unique(stacked, axis=1)
+        if uniq.shape[1] != stacked.shape[1]:
+            raise ZarrFormatError(
+                f"Region write: duplicate grid points in cell {idx}"
+            )
+        from .zarr.array import ZarrArray
+
+        cell_stats = {}
+        for c in data_cols_t:
+            meta = metas_b.value[c]
+            block = np.array(
+                ZarrArray(task_store, meta).read_chunk(idx)
+            )
+            block[tuple(local)] = _reject_nulls(
+                pdf[c].to_numpy(), meta.dtype, c
+            )
+            write_chunk(task_store, meta, idx, block)
+            if want_stats and _stats_eligible(meta.dtype):
+                cell_stats[c] = [
+                    _stat_encode(np.min(block), meta.dtype),
+                    _stat_encode(np.max(block), meta.dtype, upper=True),
+                ]
+        return pd.DataFrame(
+            {
+                "cell": [cell],
+                "rows": [len(pdf)],
+                "stats": [json.dumps(cell_stats)],
+            }
+        )
+
+    committed = out.groupBy("__cell").applyInPandas(
+        update_cell, schema="cell long, rows long, stats string"
+    )
+    written, result_rows = _commit_totals(committed, want_stats)
+    if want_stats:
+        n_cells = 1
+        for g in grid:
+            n_cells *= g
+        touched: Dict[str, Dict[int, list]] = {c: {} for c in data_cols}
+        for r in result_rows:
+            decoded = json.loads(r["stats"])
+            for c, pair in decoded.items():
+                touched[c][int(r["cell"])] = pair
+        for c in data_cols:
+            meta = metas[c]
+            if not _stats_eligible(meta.dtype) or not touched[c]:
+                continue
+            old = meta.attributes.get(STATS_ATTR_KEY)
+            entries = (
+                list(old)
+                if isinstance(old, list) and len(old) == n_cells
+                else [None] * n_cells  # stats-less/stale store: only
+                # the touched cells become known
+            )
+            for ordv, pair in touched[c].items():
+                entries[ordv] = pair
+            meta.attributes[STATS_ATTR_KEY] = entries
+            store.set(
+                f"{c}/zarr.json", json.dumps(meta.to_json()).encode()
+            )
+        from .zarr.writer import consolidate_metadata
+
+        consolidate_metadata(store)
+    return written

@@ -27,6 +27,7 @@ __all__ = [
     "populate_round6_sampling_queries",
     "populate_round6_grid_queries",
     "populate_round6_late_queries",
+    "populate_round6_region_queries",
     "populate_deferred_queries",
 ]
 
@@ -2108,4 +2109,57 @@ def populate_round6_late_queries(register) -> None:
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
         "CAST(2 AS INTEGER) AS n_cols, CAST(3 AS INTEGER) AS zfmt "
         "FROM orders",
+    )
+
+
+def populate_round6_region_queries(register) -> None:
+    """w10: grid REGION write round-trip — completes the grid writer's
+    xarray to_zarr surface (write / append_dim / region): a live
+    store's interior points update in place, untouched points and
+    columns stay byte-identical, and the oracle rebuilds the expected
+    hypercube with a CASE over the updated region."""
+
+    def w10(spark, sf_dir):
+        import shutil
+
+        from ..io import write_zarr_grid, write_zarr_region
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w10_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+
+        def gdf(t0, t1):
+            return (
+                spark.range(t0, t1)
+                .selectExpr("id as t")
+                .crossJoin(spark.range(0, 6).selectExpr("id as x"))
+                .select(
+                    "t",
+                    "x",
+                    (F.col("t") * 1000 + F.col("x") * 7)
+                    .cast("double")
+                    .alias("v"),
+                )
+            )
+
+        write_zarr_grid(
+            gdf(0, 12), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        upd = (
+            gdf(3, 5)
+            .filter(F.col("x") % 2 == 0)
+            .select("t", "x", (-F.col("v")).alias("v"))
+        )
+        write_zarr_region(upd, path, dims=["t", "x"])
+        return spark.read.format("zarr").load(path)
+
+    register(
+        "w10_grid_region_roundtrip",
+        w10,
+        "SELECT t, x, CASE WHEN t IN (3, 4) AND x % 2 = 0 "
+        "THEN -CAST(t * 1000 + x * 7 AS DOUBLE) "
+        "ELSE CAST(t * 1000 + x * 7 AS DOUBLE) END AS v "
+        "FROM (SELECT r1.range AS t, r2.range AS x "
+        "FROM range(0, 12) r1, range(0, 6) r2)",
     )

@@ -1364,6 +1364,7 @@ def _ensure_populated() -> None:
         populate_round6_queries,
         populate_round6_grid_queries,
         populate_round6_late_queries,
+        populate_round6_region_queries,
         populate_round6_sampling_queries,
         populate_round6_writer_queries,
     )
@@ -1376,6 +1377,7 @@ def _ensure_populated() -> None:
     populate_round6_writer_queries(register_query)
     populate_round6_grid_queries(register_query)
     populate_round6_late_queries(register_query)
+    populate_round6_region_queries(register_query)
     _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()

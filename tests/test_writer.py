@@ -1235,3 +1235,108 @@ class TestDescribeZarr:
         info = describe_zarr(path)
         assert info["zarr_format"] == 2 and info["consolidated"]
         assert info["n_rows"] == 500
+
+
+class TestGridRegionWrite:
+    """write_zarr_region — in-place updates of existing grid points."""
+
+    @staticmethod
+    def _grid(spark, t0=0, t1=12, nx=6):
+        return (
+            spark.range(t0, t1)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, nx).selectExpr("id as x"))
+            .select(
+                "t",
+                "x",
+                (F.col("t") * 100 + F.col("x")).cast("double").alias("v"),
+                (F.col("t") + F.col("x")).cast("double").alias("w"),
+            )
+        )
+
+    def test_updates_land_untouched_stay(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid, write_zarr_region
+
+        path = str(tmp_path / "rg1")
+        write_zarr_grid(
+            self._grid(spark), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        upd = (
+            self._grid(spark, 3, 5)
+            .filter(F.col("x") % 2 == 0)
+            .select("t", "x", (-F.col("v")).alias("v"))
+        )
+        assert write_zarr_region(upd, path, dims=["t", "x"]) == 6
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 72
+        expected_v = F.when(
+            (F.col("t").between(3, 4)) & (F.col("x") % 2 == 0),
+            -(F.col("t") * 100 + F.col("x")),
+        ).otherwise(F.col("t") * 100 + F.col("x"))
+        assert back.filter(F.col("v") != expected_v).count() == 0
+        # the column NOT in the update frame is byte-identical
+        assert back.filter(F.col("w") != F.col("t") + F.col("x")).count() == 0
+
+    def test_stats_recompute_on_touched_cells(self, spark, tmp_path):
+        from arrow_zarr_spark.io import (
+            STATS_ATTR_KEY,
+            write_zarr_grid,
+            write_zarr_region,
+        )
+
+        path = str(tmp_path / "rg2")
+        write_zarr_grid(
+            self._grid(spark), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        upd = self._grid(spark, 0, 1).select(
+            "t", "x", F.lit(-999.0).alias("v")
+        )
+        write_zarr_region(upd, path, dims=["t", "x"])
+        arrays = {
+            a.meta.name: a for a in infer_store_arrays(open_store(path))
+        }
+        st = arrays["v"].meta.attributes[STATS_ATTR_KEY]
+        assert st[0][0] == -999.0  # touched cell recomputed
+        assert st[2][0] >= 0  # untouched cell keeps its entry
+        # and static pruning can now find the planted outlier cheaply
+        from pyspark.sql.datasource import LessThan
+
+        from arrow_zarr_spark.datasource import ZarrDataSource
+
+        ds = ZarrDataSource({"path": path})
+        reader = ds.reader(ds.schema())
+        list(reader.pushFilters([LessThan(("v",), -500.0)]))
+        cells = [c for p in reader.partitions() for c in p.cells]
+        assert cells == [(0, 0), (0, 1)]
+
+    def test_validation_errors(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid, write_zarr_region
+
+        path = str(tmp_path / "rg3")
+        write_zarr_grid(
+            self._grid(spark), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        with pytest.raises(ZarrFormatError, match="not on the store"):
+            write_zarr_region(
+                self._grid(spark, 12, 13).select("t", "x", "v"),
+                path, dims=["t", "x"],
+            )
+        with pytest.raises(ZarrFormatError, match="not in the store"):
+            write_zarr_region(
+                self._grid(spark, 0, 1).select(
+                    "t", "x", F.col("v").alias("nosuch")
+                ),
+                path, dims=["t", "x"],
+            )
+        upd = self._grid(spark, 0, 1).select("t", "x", "v")
+        with pytest.raises(Exception, match="duplicate grid points"):
+            write_zarr_region(
+                upd.unionAll(upd.limit(1)), path, dims=["t", "x"]
+            )
+        with pytest.raises(ZarrFormatError, match="target missing"):
+            write_zarr_region(
+                upd, str(tmp_path / "absent"), dims=["t", "x"]
+            )
