@@ -730,6 +730,18 @@ def _populate_relational_round6_tail() -> None:
         "  FROM customer GROUP BY c_mktsegment) "
         "UNPIVOT (v FOR metric IN (sum_bal, max_bal, n_cust))",
     )
+    # WITH RECURSIVE (landed in Spark 4.0; DataFusion lacks it, DuckDB
+    # has it) — data-dependent iteration depth per anchor row, then a
+    # post-recursion aggregate. Same text on both engines.
+    _sql_pair(
+        "r48_recursive_cte",
+        "WITH RECURSIVE walk(nk, step) AS ("
+        "  SELECT n_nationkey, 0 FROM nation WHERE n_regionkey <= 2 "
+        "  UNION ALL "
+        "  SELECT nk, step + 1 FROM walk WHERE step < nk % 7"
+        ") SELECT nk, CAST(MAX(step) AS BIGINT) AS depth, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM walk GROUP BY nk",
+    )
 
 
 def _populate_zarr_round4() -> None:
