@@ -56,6 +56,7 @@ __all__ = [
     "refresh_stats",
     "describe_zarr",
     "write_zarr_region",
+    "vacuum_zarr",
     "SPARK_TO_ZARR",
 ]
 
@@ -1734,3 +1735,63 @@ def write_zarr_region(
 
         consolidate_metadata(store)
     return written
+
+
+def vacuum_zarr(path: str, dry_run: bool = True) -> dict:
+    """Garbage-collect a store: find (and with ``dry_run=False``
+    delete) keys unreachable from the CURRENT metadata — staging
+    leftovers from interrupted sink writes, chunk objects beyond the
+    advertised grid (a crashed append's half-landed tail), and files
+    belonging to no declared array. Completes the store-maintenance
+    kit: :func:`audit_zarr` (fsck), :func:`describe_zarr` (stat),
+    :func:`refresh_stats`, and this (gc).
+
+    Returns ``{"orphans": [keys...], "deleted": bool}``.
+
+    SAFETY: a concurrent append keeps its freshly-written chunks
+    beyond the advertised shape *until its metadata publishes* — to a
+    vacuum they are indistinguishable from crash debris. Only vacuum
+    QUIESCED stores; ``dry_run`` defaults to True for exactly this
+    reason. The key walk is one metadata-scale listing (the same cost
+    class as schema inference), driver-side."""
+    store = open_store(path)
+    from .zarr.array import infer_store_arrays
+
+    arrays = {a.meta.name: a for a in infer_store_arrays(store)}
+    root_keys = {"zarr.json", ".zgroup", ".zattrs", ".zmetadata"}
+    meta_names = {"zarr.json", ".zarray", ".zattrs", ".zgroup"}
+
+    def reachable(key: str) -> bool:
+        if key in root_keys:
+            return True
+        if key.startswith("__stage__"):
+            return False
+        name, _, rest = key.partition("/")
+        if name not in arrays or not rest:
+            return False
+        if rest in meta_names:
+            return True
+        m = arrays[name].meta
+        # decode the chunk key back to grid indices
+        if m.key_encoding == "v2":
+            parts = rest.split(m.separator or ".")
+        else:
+            parts = rest.split(m.separator)
+            if not parts or parts[0] != "c":
+                return False
+            parts = parts[1:]
+        if len(parts) != max(m.ndim, 1):
+            return False
+        try:
+            idx = tuple(int(p) for p in parts)
+        except ValueError:
+            return False
+        return all(
+            0 <= i < g for i, g in zip(idx, m.chunk_grid_shape)
+        )
+
+    orphans = sorted(k for k in store.walk_keys() if not reachable(k))
+    if not dry_run:
+        for k in orphans:
+            store.delete(k)
+    return {"orphans": orphans, "deleted": not dry_run}

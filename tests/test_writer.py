@@ -1340,3 +1340,60 @@ class TestGridRegionWrite:
             write_zarr_region(
                 upd, str(tmp_path / "absent"), dims=["t", "x"]
             )
+
+
+class TestVacuumZarr:
+    def test_finds_and_deletes_orphans(self, spark, tmp_path):
+        import os
+
+        from arrow_zarr_spark.io import vacuum_zarr
+
+        path = str(tmp_path / "vac1")
+        df = spark.range(0, 400, 1, 2).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)
+        # plant debris: staging leftovers, an out-of-grid chunk (a
+        # crashed append's tail), a stray file, an undeclared array dir
+        st = open_store(path)
+        st.set("__stage__/part-0001", b"x")
+        st.set("k/c/99", b"x")  # grid is 4 chunks: c/0..c/3
+        st.set("junk.txt", b"x")
+        st.set("ghost/c/0", b"x")
+        rep = vacuum_zarr(path)  # dry run
+        assert rep["deleted"] is False
+        assert set(rep["orphans"]) == {
+            "__stage__/part-0001", "k/c/99", "junk.txt", "ghost/c/0"
+        }
+        assert os.path.exists(path + "/junk.txt")  # dry run left it
+        rep = vacuum_zarr(path, dry_run=False)
+        assert rep["deleted"] is True
+        assert not os.path.exists(path + "/junk.txt")
+        assert not os.path.exists(path + "/k/c/99")
+        # store still scans exactly
+        assert spark.read.format("zarr").load(path).count() == 400
+        assert vacuum_zarr(path)["orphans"] == []
+
+    def test_v2_store_keys_are_reachable(self, spark, tmp_path):
+        from arrow_zarr_spark.io import vacuum_zarr
+
+        path = str(tmp_path / "vac2")
+        df = spark.range(0, 250).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, zarr_format=2)
+        assert vacuum_zarr(path)["orphans"] == []  # v2 keys all known
+
+    def test_sharded_and_grid_stores_clean(self, spark, tmp_path):
+        from arrow_zarr_spark.io import vacuum_zarr, write_zarr_grid
+
+        p1 = str(tmp_path / "vac3")
+        write_zarr(
+            spark.range(0, 2000).select(F.col("id").alias("k")),
+            p1, chunk_rows=100, shard_chunks=5,
+        )
+        assert vacuum_zarr(p1)["orphans"] == []
+        p2 = str(tmp_path / "vac4")
+        g = (
+            spark.range(0, 6).selectExpr("id as t")
+            .crossJoin(spark.range(0, 4).selectExpr("id as x"))
+            .select("t", "x", (F.col("t") * 10.0).alias("v"))
+        )
+        write_zarr_grid(g, p2, dims=["t", "x"], chunk_shape=(2, 2))
+        assert vacuum_zarr(p2)["orphans"] == []
