@@ -178,6 +178,57 @@ def _commit_totals(committed, want_stats: bool):
     return int(total or 0), None
 
 
+def _attach_cell_positions(spark, df, dims, axes, chunk_shape, how="inner"):
+    """Shared grid-writer addressing: broadcast-join each dim's
+    (value → axis position) vocabulary onto ``df`` and derive the
+    C-order flat chunk-cell ordinal as ``__cell``. Single source of
+    truth for cell addressing across the grid write, append, and
+    region-write paths. Returns ``(frame, grid)``; with ``how='left'``
+    off-axis rows survive with null ``__pos_*``/``__cell`` so the
+    caller can fail fast on them."""
+    out = df
+    for d in dims:
+        pos_df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(axes[d])], [d, f"__pos_{d}"]
+        )
+        out = out.join(F.broadcast(pos_df), d, how)
+    grid = [
+        -(-len(axes[d]) // int(cs)) for d, cs in zip(dims, chunk_shape)
+    ]
+    cell_expr = None
+    for i, (d, cs) in enumerate(zip(dims, chunk_shape)):
+        c = (F.col(f"__pos_{d}") / int(cs)).cast("long")
+        cell_expr = c if cell_expr is None else cell_expr * grid[i] + c
+    return out.withColumn("__cell", cell_expr), grid
+
+
+def _decode_cell(cell, grid):
+    """Inverse of the ``__cell`` encoding: flat C-order ordinal back to
+    per-dim chunk indices."""
+    idx = []
+    rem = int(cell)
+    for g in reversed(grid):
+        idx.append(rem % g)
+        rem //= g
+    return tuple(reversed(idx))
+
+
+def _local_offsets(pdf, dims, idx, chunk_shape):
+    """Per-row within-chunk offsets for a cell's task batch."""
+    return [
+        pdf[f"__pos_{d}"].to_numpy() - i * cs
+        for d, i, cs in zip(dims, idx, chunk_shape)
+    ]
+
+
+def _block_stat_pair(block, meta):
+    """[lower, upper] bound pair covering a full materialized block."""
+    return [
+        _stat_encode(np.min(block), meta.dtype),
+        _stat_encode(np.max(block), meta.dtype, upper=True),
+    ]
+
+
 def _validate_append_target(
     store,
     schema,
@@ -930,25 +981,9 @@ def write_zarr_grid(
                 f"{c}/zarr.json", json.dumps(metas[c].to_json()).encode()
             )
 
-    # map coordinate values -> positions via broadcast joins
-    pos_cols = []
-    out = df
-    for d in dims:
-        pos_df = spark.createDataFrame(
-            [(v, i) for i, v in enumerate(axes[d])], [d, f"__pos_{d}"]
-        )
-        out = out.join(F.broadcast(pos_df), d)
-        pos_cols.append(f"__pos_{d}")
-
-    # chunk cell id per row, then one shuffle to co-locate cells
-    cell_expr = None
-    grid = [
-        -(-len(axes[d]) // int(cs)) for d, cs in zip(dims, chunk_shape)
-    ]
-    for i, (d, cs) in enumerate(zip(dims, chunk_shape)):
-        c = (F.col(f"__pos_{d}") / int(cs)).cast("long")
-        cell_expr = c if cell_expr is None else cell_expr * grid[i] + c
-    out = out.withColumn("__cell", cell_expr)
+    # positions via broadcast joins, then the flat cell id — one
+    # shuffle to co-locate cells (shared with the region-write path)
+    out, grid = _attach_cell_positions(spark, df, dims, axes, chunk_shape)
 
     metas_b = spark.sparkContext.broadcast(metas)
     chunk_shape_t = tuple(int(x) for x in chunk_shape)
@@ -967,18 +1002,9 @@ def write_zarr_grid(
 
     def write_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["__cell"].iloc[0])
-        # decompose flat cell id back to per-dim chunk indices
-        idx = []
-        rem = cell
-        for g in reversed(grid_t):
-            idx.append(rem % g)
-            rem //= g
-        idx = tuple(reversed(idx))
+        idx = _decode_cell(cell, grid_t)
         task_store = open_store(path)
-        local = [
-            pdf[f"__pos_{d}"].to_numpy() - i * cs
-            for d, i, cs in zip(dims_t, idx, chunk_shape_t)
-        ]
+        local = _local_offsets(pdf, dims_t, idx, chunk_shape_t)
         cell_stats = {}
         for c in data_cols_t:
             meta = metas_b.value[c]
@@ -1004,10 +1030,7 @@ def write_zarr_grid(
             if want_stats and _stats_eligible(meta.dtype):
                 # bounds cover the FULL block, fill cells included —
                 # exactly what a reader materializes from this chunk
-                cell_stats[c] = [
-                    _stat_encode(np.min(block), meta.dtype),
-                    _stat_encode(np.max(block), meta.dtype, upper=True),
-                ]
+                cell_stats[c] = _block_stat_pair(block, meta)
         return pd.DataFrame(
             {
                 "cell": [cell],
@@ -1553,9 +1576,14 @@ def write_zarr_region(
     nondeterministic under Spark partitioning). Store shape,
     metadata, and untouched cells are unchanged; touched cells are
     read-merged value-completely (missing chunk objects materialize
-    the fill first, A13), so concurrent readers always see a
-    consistent store. Per-cell statistics recompute for the touched
-    cells of the updated columns only.
+    the fill first, A13). Per-cell statistics follow an
+    invalidate-first protocol: touched cells' recorded bounds are
+    NULLED (unknown → unprunable) before any chunk mutates, then —
+    with ``stats=True`` — recomputed bounds publish once every chunk
+    has landed. A job that dies mid-write therefore leaves pruning
+    sound (run :func:`refresh_stats` to restore bounds); with
+    ``stats=False`` the touched cells simply stay unknown rather than
+    keeping bounds the new values may violate.
 
     Scale shape: same as the grid writer — positions attach via
     broadcast joins against the (axis-sized) coordinate vocabularies,
@@ -1617,36 +1645,77 @@ def write_zarr_region(
             f"shape/chunking ({shapes} / {chunk_shapes})"
         )
     chunk_shape = next(iter(chunk_shapes))
+    shape = next(iter(shapes))
 
     spark = df.sparkSession
     axes = {d: arrays[d].read_all().tolist() for d in dims}
-
-    # positions via broadcast joins; values off the axes surface as
-    # unmatched rows — fail fast naming them instead of dropping
-    out = df
-    n_in = df.count()
-    for d in dims:
-        pos_df = spark.createDataFrame(
-            [(v, i) for i, v in enumerate(axes[d])], [d, f"__pos_{d}"]
-        )
-        out = out.join(F.broadcast(pos_df), d)
-    n_matched = out.count()
-    if n_matched != n_in:
+    axes_shape = tuple(len(axes[d]) for d in dims)
+    if axes_shape != tuple(shape):
+        # same cross-check the grid-append validator performs: on an
+        # inconsistent store, positions derived from the coordinate
+        # arrays would silently address out-of-grid chunk keys
         raise ZarrFormatError(
-            f"Region write: {n_in - n_matched} rows carry coordinate "
+            f"Region write: coordinate axis lengths {axes_shape} != "
+            f"data array shape {tuple(shape)} — store is inconsistent"
+        )
+
+    # positions via LEFT broadcast joins so off-axis values survive as
+    # null __pos_* rows — fail fast naming them instead of dropping.
+    # The checkpoint pins ONE evaluation of the (possibly expensive or
+    # nondeterministic) update frame: the validation count, the
+    # touched-cell set, and the write job all read the same blocks.
+    out, grid = _attach_cell_positions(
+        spark, df, dims, axes, chunk_shape, how="left"
+    )
+    out = out.localCheckpoint(eager=True)
+    null_pred = F.lit(False)
+    for d in dims:
+        null_pred = null_pred | F.col(f"__pos_{d}").isNull()
+    n_bad = out.filter(null_pred).count()
+    if n_bad:
+        raise ZarrFormatError(
+            f"Region write: {n_bad} rows carry coordinate "
             f"values not on the store's axes (region writes never "
             f"grow the grid; use mode='append' with append_dim to "
             f"extend)"
         )
+    # touched-region-sized (cell count), the same scale class as the
+    # write job's commit rows
+    touched_cells = sorted(
+        int(r["__cell"]) for r in out.select("__cell").distinct().collect()
+    )
 
-    grid = [
-        -(-len(axes[d]) // int(cs)) for d, cs in zip(dims, chunk_shape)
-    ]
-    cell_expr = None
-    for i, (d, cs) in enumerate(zip(dims, chunk_shape)):
-        c = (F.col(f"__pos_{d}") / int(cs)).cast("long")
-        cell_expr = c if cell_expr is None else cell_expr * grid[i] + c
-    out = out.withColumn("__cell", cell_expr)
+    # Pre-invalidate: NULL the touched cells' recorded bounds BEFORE
+    # any chunk object mutates. New values under old bounds would make
+    # stats pruning silently drop updated rows — both mid-job (a task
+    # fails after siblings committed) and with stats=False (no
+    # recompute ever runs). Null = unknown = unprunable = sound;
+    # :func:`refresh_stats` repairs a store left invalidated by a
+    # crashed job. With stats=True the recomputed bounds republish
+    # after the write lands.
+    n_cells = 1
+    for g in grid:
+        n_cells *= g
+    pre_dirty = False
+    for c in data_cols:
+        meta = metas[c]
+        old = meta.attributes.get(STATS_ATTR_KEY)
+        if not isinstance(old, list):
+            continue  # no recorded stats -> nothing stale to clear
+        entries = (
+            list(old) if len(old) == n_cells else [None] * n_cells
+        )
+        for ordv in touched_cells:
+            entries[ordv] = None
+        meta.attributes[STATS_ATTR_KEY] = entries
+        store.set(
+            f"{c}/zarr.json", json.dumps(meta.to_json()).encode()
+        )
+        pre_dirty = True
+    if pre_dirty:
+        from .zarr.writer import consolidate_metadata
+
+        consolidate_metadata(store)
 
     metas_b = spark.sparkContext.broadcast(metas)
     chunk_shape_t = tuple(int(x) for x in chunk_shape)
@@ -1657,17 +1726,9 @@ def write_zarr_region(
 
     def update_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["__cell"].iloc[0])
-        idx = []
-        rem = cell
-        for g in reversed(grid_t):
-            idx.append(rem % g)
-            rem //= g
-        idx = tuple(reversed(idx))
+        idx = _decode_cell(cell, grid_t)
         task_store = open_store(path)
-        local = [
-            pdf[f"__pos_{d}"].to_numpy() - i * cs
-            for d, i, cs in zip(dims_t, idx, chunk_shape_t)
-        ]
+        local = _local_offsets(pdf, dims_t, idx, chunk_shape_t)
         # duplicate-point check: two input rows addressing the same
         # grid point would race nondeterministically
         stacked = np.stack([np.asarray(x) for x in local])
@@ -1689,10 +1750,7 @@ def write_zarr_region(
             )
             write_chunk(task_store, meta, idx, block)
             if want_stats and _stats_eligible(meta.dtype):
-                cell_stats[c] = [
-                    _stat_encode(np.min(block), meta.dtype),
-                    _stat_encode(np.max(block), meta.dtype, upper=True),
-                ]
+                cell_stats[c] = _block_stat_pair(block, meta)
         return pd.DataFrame(
             {
                 "cell": [cell],
@@ -1705,10 +1763,8 @@ def write_zarr_region(
         update_cell, schema="cell long, rows long, stats string"
     )
     written, result_rows = _commit_totals(committed, want_stats)
+    out.unpersist()
     if want_stats:
-        n_cells = 1
-        for g in grid:
-            n_cells *= g
         touched: Dict[str, Dict[int, list]] = {c: {} for c in data_cols}
         for r in result_rows:
             decoded = json.loads(r["stats"])
@@ -1752,45 +1808,27 @@ def vacuum_zarr(path: str, dry_run: bool = True) -> dict:
     beyond the advertised shape *until its metadata publishes* — to a
     vacuum they are indistinguishable from crash debris. Only vacuum
     QUIESCED stores; ``dry_run`` defaults to True for exactly this
-    reason. The key walk is one metadata-scale listing (the same cost
-    class as schema inference), driver-side."""
+    reason. Reachability comes from the AUTHORITATIVE per-array
+    metadata walk, never the consolidated cache: the Zarr spec allows
+    the cache to be stale (an external append or a newly-added
+    variable without re-consolidation), and a GC driven by it would
+    delete live data. The walk is one metadata-scale listing plus a
+    valid-key enumeration via the same ``chunk_key`` encoder the
+    readers and writers use (no inverse parser to drift), driver-side
+    — the same cost class as :func:`audit_zarr`'s object sweep."""
+    import itertools as _it
+
+    from .zarr.array import open_array
+
     store = open_store(path)
-    from .zarr.array import infer_store_arrays
-
-    arrays = {a.meta.name: a for a in infer_store_arrays(store)}
-    root_keys = {"zarr.json", ".zgroup", ".zattrs", ".zmetadata"}
-    meta_names = {"zarr.json", ".zarray", ".zattrs", ".zgroup"}
-
-    def reachable(key: str) -> bool:
-        if key in root_keys:
-            return True
-        if key.startswith("__stage__"):
-            return False
-        name, _, rest = key.partition("/")
-        if name not in arrays or not rest:
-            return False
-        if rest in meta_names:
-            return True
-        m = arrays[name].meta
-        # decode the chunk key back to grid indices
-        if m.key_encoding == "v2":
-            parts = rest.split(m.separator or ".")
-        else:
-            parts = rest.split(m.separator)
-            if not parts or parts[0] != "c":
-                return False
-            parts = parts[1:]
-        if len(parts) != max(m.ndim, 1):
-            return False
-        try:
-            idx = tuple(int(p) for p in parts)
-        except ValueError:
-            return False
-        return all(
-            0 <= i < g for i, g in zip(idx, m.chunk_grid_shape)
-        )
-
-    orphans = sorted(k for k in store.walk_keys() if not reachable(k))
+    live = {"zarr.json", ".zgroup", ".zattrs", ".zmetadata"}
+    for name in store.list_array_names():
+        for mn in ("zarr.json", ".zarray", ".zattrs", ".zgroup"):
+            live.add(f"{name}/{mn}")
+        m = open_array(store, name).meta
+        for idx in _it.product(*(range(g) for g in m.chunk_grid_shape)):
+            live.add(f"{name}/{m.chunk_key(idx)}")
+    orphans = sorted(k for k in store.walk_keys() if k not in live)
     if not dry_run:
         for k in orphans:
             store.delete(k)

@@ -1311,6 +1311,69 @@ class TestGridRegionWrite:
         cells = [c for p in reader.partitions() for c in p.cells]
         assert cells == [(0, 0), (0, 1)]
 
+    def test_stats_false_nulls_touched_cells(self, spark, tmp_path):
+        """With stats=False the touched cells' OLD bounds must not
+        survive — new values under stale bounds would let stats
+        pruning silently drop the updated rows."""
+        from pyspark.sql.datasource import LessThan
+
+        from arrow_zarr_spark.datasource import ZarrDataSource
+        from arrow_zarr_spark.io import (
+            STATS_ATTR_KEY,
+            write_zarr_grid,
+            write_zarr_region,
+        )
+
+        path = str(tmp_path / "rg4")
+        write_zarr_grid(
+            self._grid(spark), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        upd = self._grid(spark, 0, 1).select(
+            "t", "x", F.lit(-999.0).alias("v")
+        )
+        write_zarr_region(upd, path, dims=["t", "x"], stats=False)
+        arrays = {
+            a.meta.name: a for a in infer_store_arrays(open_store(path))
+        }
+        st = arrays["v"].meta.attributes[STATS_ATTR_KEY]
+        assert st[0] is None and st[1] is None  # touched -> unknown
+        assert st[2] is not None  # untouched keeps its bounds
+        # unknown = unprunable: the outlier scan must visit the
+        # touched cells and return the updated rows
+        ds = ZarrDataSource({"path": path})
+        reader = ds.reader(ds.schema())
+        list(reader.pushFilters([LessThan(("v",), -500.0)]))
+        cells = [c for p in reader.partitions() for c in p.cells]
+        assert (0, 0) in cells and (0, 1) in cells
+        back = spark.read.format("zarr").load(path)
+        assert back.filter(F.col("v") < -500.0).count() == 6
+
+    def test_inconsistent_axis_lengths_rejected(self, spark, tmp_path):
+        """A store whose coordinate array is longer than the data
+        shape would mis-address cells; the grid-append cross-check
+        applies here too."""
+        import json as _json
+
+        from arrow_zarr_spark.io import write_zarr_grid, write_zarr_region
+        from arrow_zarr_spark.zarr.writer import consolidate_metadata
+
+        path = str(tmp_path / "rg5")
+        write_zarr_grid(
+            self._grid(spark), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        st = open_store(path)
+        doc = _json.loads(st.get("t/zarr.json"))
+        doc["shape"] = [13]  # axis grows, data arrays do not
+        st.set("t/zarr.json", _json.dumps(doc).encode())
+        consolidate_metadata(st)
+        with pytest.raises(ZarrFormatError, match="inconsistent"):
+            write_zarr_region(
+                self._grid(spark, 0, 1).select("t", "x", "v"),
+                path, dims=["t", "x"],
+            )
+
     def test_validation_errors(self, spark, tmp_path):
         from arrow_zarr_spark.io import write_zarr_grid, write_zarr_region
 
@@ -1371,6 +1434,44 @@ class TestVacuumZarr:
         # store still scans exactly
         assert spark.read.format("zarr").load(path).count() == 400
         assert vacuum_zarr(path)["orphans"] == []
+
+    def test_stale_consolidated_metadata_not_trusted(self, spark, tmp_path):
+        """Reachability must come from the authoritative per-array
+        walk: a variable added WITHOUT re-consolidating (legal per the
+        Zarr spec) would read as an orphan through the stale cache,
+        and dry_run=False would delete live data."""
+        import numpy as np
+
+        from arrow_zarr_spark.io import vacuum_zarr
+        from arrow_zarr_spark.zarr.writer import (
+            build_array_meta,
+            write_array_data,
+        )
+
+        path = str(tmp_path / "vac5")
+        df = spark.range(0, 200).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)  # consolidates
+        st = open_store(path)
+        # external tool adds an array, does NOT re-consolidate
+        meta = build_array_meta(
+            "late", shape=(200,), chunk_shape=(100,), dtype=np.float64,
+            dimension_names=("dim0",),
+        )
+        import json as _json
+
+        st.set("late/zarr.json", _json.dumps(meta.to_json()).encode())
+        write_array_data(st, meta, np.arange(200, dtype=np.float64))
+        rep = vacuum_zarr(path, dry_run=False)
+        assert rep["orphans"] == []  # nothing deleted
+        # the new array's metadata AND data survived the GC intact
+        # (readers honoring the stale cache won't SEE it until a
+        # re-consolidation — that is the cache's documented contract —
+        # but a GC must never destroy it)
+        from arrow_zarr_spark.zarr.array import open_array
+
+        late = open_array(open_store(path), "late")
+        assert late.read_all().tolist() == list(range(200))
+        assert spark.read.format("zarr").load(path).count() == 200
 
     def test_v2_store_keys_are_reachable(self, spark, tmp_path):
         from arrow_zarr_spark.io import vacuum_zarr
