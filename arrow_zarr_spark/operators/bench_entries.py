@@ -86,6 +86,20 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
             docs.filter(F.col("doc_id") % 10 != 0),
         )
     )
+    # Bloom-gated membership dedup (d17): one corpus pass building the
+    # broadcast filter (per-partition bitmaps, driver OR), vectorized
+    # probe on the batch, broadcast-bounded exact verify — tracked
+    # against dedup_against_corpus: the filter build is the fixed cost
+    # the gate amortizes when the corpus digest set can't broadcast
+    qs["dedup_bloom_gate"] = lambda: force(
+        dedup.bloom_gated_dedup(
+            docs.filter(F.col("doc_id") % 7 == 0),
+            docs.filter(F.col("doc_id") % 7 != 0),
+            key=F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, 8)
+            ),
+        )
+    )
     # substring-duplication spans: one gram explode + count + semi-join
     # + per-doc island merge — tracked because the gram stream is the
     # big intermediate (n_words rows per doc)

@@ -51,6 +51,7 @@ __all__ = [
     "simhash_wordcode",
     "remove_frequent_segments",
     "remove_frequent_segments_sql",
+    "bloom_gated_dedup",
 ]
 
 _MERSENNE31 = 2147483647  # 2^31 - 1
@@ -1301,3 +1302,105 @@ def remove_frequent_segments_sql(
         f" LEFT JOIN agg a USING ({id_col})"
         f" LEFT JOIN st USING ({id_col})"
     )
+
+
+def bloom_gated_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    key,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Membership dedup of a new batch against a corpus on an exact
+    key (content digest, canonical URL, prefix fingerprint), gated by
+    a Bloom filter built IN Spark from the corpus — the exact-match
+    complement of :func:`dedup_against_corpus`'s fuzzy Jaccard, for
+    the corpus scale where even d11's 8-byte digest SET outgrows a
+    broadcast.
+
+    ``key`` is a column name or expression evaluated on both frames;
+    a new row survives iff its key appears nowhere in the corpus. The
+    result is EXACT: the filter only gates the verify stage — its
+    false positives are re-checked against real corpus keys, and
+    false negatives are impossible by construction.
+
+    The 100-TB shape — neither side's rows ever shuffle:
+
+    1. every corpus partition folds its keys' ``n_hashes`` probe
+       positions (JVM-side ``xxhash64(seed_i, key)``) into a LOCAL
+       m-bit bitmap in one Arrow-batched pass; the driver ORs the
+       per-partition bitmaps (n_partitions × m/8 bytes — 1 MB each at
+       the m=2^23 default, and m never depends on corpus cardinality:
+       the false-positive rate degrades gracefully instead of the
+       broadcast failing);
+    2. the merged filter broadcasts once; batch rows probe it with a
+       vectorized kernel — definite non-members (the vast majority
+       when overlap is rare) need ZERO join;
+    3. possible members (true dups plus ~(1-e^{-kn/m})^k false
+       positives) are exact-verified: the corpus semi-joins against
+       the BROADCAST hit-key set (one more corpus scan, still no
+       shuffle), and the confirmed key set broadcast-anti-joins the
+       batch. AQE degrades both to shuffle joins on the key only if
+       overlap stops being rare.
+    """
+    if isinstance(key, str):
+        key = F.col(key)
+    m = int(n_bits)
+    k = int(n_hashes)
+    n_bytes = (m + 7) // 8
+    spark = new_df.sparkSession
+
+    def _probes(c):
+        return F.array(
+            *[F.pmod(F.xxhash64(F.lit(i), c), F.lit(m)) for i in range(k)]
+        )
+
+    corpus_keys = corpus_df.select(key.alias("__key"))
+
+    def build_bitmap(batches):
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            if len(pdf):
+                flat = np.concatenate(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["__p"]]
+                )
+                np.bitwise_or.at(
+                    bitmap,
+                    flat >> 3,
+                    (1 << (flat & 7)).astype(np.uint8),
+                )
+        yield pd.DataFrame({"part": [bitmap.tobytes()]})
+
+    parts = (
+        corpus_keys.select(_probes(F.col("__key")).alias("__p"))
+        .mapInPandas(build_bitmap, schema="part binary")
+        .collect()
+    )
+    bitmap = np.zeros(n_bytes, dtype=np.uint8)
+    for r in parts:
+        bitmap |= np.frombuffer(r["part"], dtype=np.uint8)
+    bloom_b = spark.sparkContext.broadcast(bitmap.tobytes())
+
+    @F.pandas_udf("boolean")
+    def might_contain(p: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bloom_b.value, dtype=np.uint8)
+        if not len(p):
+            return pd.Series([], dtype=bool)
+        pos = np.array([np.asarray(v, dtype=np.int64) for v in p])
+        hit = ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(
+            axis=1
+        )
+        return pd.Series(hit)
+
+    batch = new_df.withColumn("__key", key)
+    hits = (
+        batch.filter(might_contain(_probes(F.col("__key"))))
+        .select("__key")
+        .distinct()
+    )
+    confirmed = corpus_keys.join(
+        F.broadcast(hits), "__key", "left_semi"
+    ).distinct()
+    return batch.join(
+        F.broadcast(confirmed), "__key", "left_anti"
+    ).drop("__key")

@@ -2163,3 +2163,36 @@ def populate_round6_region_queries(register) -> None:
         "FROM (SELECT r1.range AS t, r2.range AS x "
         "FROM range(0, 12) r1, range(0, 6) r2)",
     )
+
+
+def populate_round6_bloom_queries(register) -> None:
+    """d17: Bloom-gated batch-vs-corpus membership dedup — the exact
+    complement of d12's fuzzy Jaccard, keyed here on an 8-word prefix
+    fingerprint (the canonical-key role a URL or content digest plays
+    in a crawl pipeline; the synthetic corpus has real cross-partition
+    prefix collisions at every SF). The Bloom filter is built in Spark
+    (per-partition bitmaps ORed on the driver, fixed size regardless
+    of corpus cardinality) and only gates the verify, so the result is
+    exact and the oracle replays it as a NOT EXISTS anti-join."""
+
+    def d17(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        key = F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, 8)
+        )
+        out = dedup.bloom_gated_dedup(
+            docs.filter(F.col("doc_id") % 7 == 0),
+            docs.filter(F.col("doc_id") % 7 != 0),
+            key=key,
+        )
+        return out.select("doc_id", "lang", "source", "n_chars")
+
+    register(
+        "d17_bloom_gated_dedup",
+        d17,
+        "SELECT doc_id, lang, source, n_chars FROM documents b "
+        "WHERE doc_id % 7 = 0 AND NOT EXISTS ("
+        "SELECT 1 FROM documents c WHERE c.doc_id % 7 <> 0 AND "
+        "array_to_string((string_split(c.text, ' '))[1:8], ' ') = "
+        "array_to_string((string_split(b.text, ' '))[1:8], ' '))",
+    )

@@ -1381,3 +1381,65 @@ class TestIntervalOverlapJoin:
             interval_overlap_join(
                 ldf, ldf, "l_s", "l_e", "l_s", "l_e", band=10
             )
+
+
+class TestBloomGatedDedup:
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [(i, f"doc {i % 40}") for i in range(200)], ["doc_id", "text"]
+        )
+        batch = spark.createDataFrame(
+            [(1000 + i, f"doc {i}") for i in range(80)],
+            ["doc_id", "text"],
+        )
+        return batch, corpus
+
+    def test_exact_vs_anti_join(self, spark):
+        from arrow_zarr_spark.operators.dedup import bloom_gated_dedup
+
+        batch, corpus = self._frames(spark)
+        got = bloom_gated_dedup(batch, corpus, key="text")
+        expected = batch.join(corpus.select("text"), "text", "left_anti")
+        assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+            r["doc_id"] for r in expected.collect()
+        )
+        # keys 0..39 exist in the corpus, 40..79 do not
+        assert got.count() == 40
+
+    def test_false_positives_are_verified_away(self, spark):
+        """A deliberately tiny filter (64 bits for 40 distinct corpus
+        keys) saturates with false positives — the exact-verify stage
+        must still produce the exact anti-join result."""
+        from arrow_zarr_spark.operators.dedup import bloom_gated_dedup
+
+        batch, corpus = self._frames(spark)
+        got = bloom_gated_dedup(
+            batch, corpus, key="text", n_bits=64, n_hashes=3
+        )
+        assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+            1040 + i for i in range(40)
+        )
+
+    def test_empty_corpus_keeps_batch(self, spark):
+        from arrow_zarr_spark.operators.dedup import bloom_gated_dedup
+
+        batch, corpus = self._frames(spark)
+        got = bloom_gated_dedup(
+            batch, corpus.filter("doc_id < 0"), key="text"
+        )
+        assert got.count() == batch.count()
+
+    def test_key_expression_and_no_shuffle_of_corpus(self, spark):
+        """Key can be an expression; the final plan's joins are both
+        broadcast (corpus rows never shuffle)."""
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.operators.dedup import bloom_gated_dedup
+
+        batch, corpus = self._frames(spark)
+        key = F.upper(F.col("text"))
+        got = bloom_gated_dedup(batch, corpus, key=key)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert got.count() == 40
