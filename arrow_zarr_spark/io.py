@@ -56,6 +56,8 @@ __all__ = [
     "refresh_stats",
     "describe_zarr",
     "write_zarr_region",
+    "add_zarr_arrays",
+    "drop_zarr_array",
     "vacuum_zarr",
     "SPARK_TO_ZARR",
 ]
@@ -1791,6 +1793,247 @@ def write_zarr_region(
 
         consolidate_metadata(store)
     return written
+
+
+def add_zarr_arrays(
+    df: DataFrame,
+    path: str,
+    dims: Sequence[str],
+    fill_value=0,
+    compression: str = "zstd",
+    stats: bool = True,
+) -> int:
+    """Add NEW data arrays (columns) to an existing N-D grid store —
+    the ALTER TABLE ADD COLUMN of the grid surface (write /
+    ``append_dim`` / ``region`` grow rows and update values; this
+    grows the schema: attach quality scores, embeddings digests, or a
+    reprocessed variable to a live store without a rewrite).
+
+    ``df`` carries the coordinate columns (``dims``) plus one or more
+    data columns that must NOT already exist in the store. A SUBSET of
+    grid points is fine — cells with no input rows get no chunk
+    object, so readers materialize ``fill_value`` there (A13). Layout
+    (chunk shape) is copied from the store's existing data arrays, so
+    the new columns scan co-partitioned with the old ones.
+
+    Crash safety mirrors the grid append: chunk objects land FIRST
+    (invisible — the array has no metadata yet), each new array's
+    ``zarr.json`` plus the re-consolidated root publish only after
+    every chunk commits. A job that dies mid-write leaves the store
+    exactly as it was (the stranded chunks are :func:`vacuum_zarr`
+    debris). Concurrent readers never see a partial column.
+
+    Scale shape: identical to the grid writer — broadcast position
+    joins, one shuffle co-locating cells, each task writes exactly its
+    cell's objects; cost is proportional to the provided region."""
+    dims = list(dims)
+    if not dims:
+        raise ZarrFormatError("add_zarr_arrays needs at least one dim")
+    data_cols = [f.name for f in df.schema.fields if f.name not in dims]
+    if not data_cols:
+        raise ZarrFormatError("no data columns besides dims")
+    for field in df.schema.fields:
+        _zarr_dtype_for(field)
+
+    store = open_store(path)
+    if not store.exists("zarr.json"):
+        raise ZarrFormatError(
+            f"Add-column target missing (or not Zarr v3) at {path!r}"
+        )
+    from .zarr.array import infer_store_arrays
+    from .zarr.writer import build_array_meta, consolidate_metadata
+
+    arrays = {a.meta.name: a for a in infer_store_arrays(store)}
+    for d in dims:
+        if d not in arrays or not arrays[d].meta.is_coordinate():
+            raise ZarrFormatError(
+                f"Add column: {d!r} is not a coordinate array of the "
+                f"store at {path!r}"
+            )
+    for c in data_cols:
+        if c in arrays:
+            raise ZarrFormatError(
+                f"Add column: {c!r} already exists in the store "
+                f"(write_zarr_region updates existing arrays)"
+            )
+    # layout comes from the existing data arrays so old and new
+    # columns stay chunk-aligned (one scan partitioning serves both)
+    donors = [
+        a.meta
+        for a in arrays.values()
+        if not a.meta.is_coordinate()
+        and a.meta.dimension_names == tuple(dims)
+    ]
+    if not donors:
+        raise ZarrFormatError(
+            f"Add column: store has no data array over dims "
+            f"{tuple(dims)} to copy the chunk layout from"
+        )
+    chunk_shape = tuple(donors[0].chunk_shape)
+    shape = tuple(donors[0].shape)
+
+    spark = df.sparkSession
+    axes = {d: arrays[d].read_all().tolist() for d in dims}
+    axes_shape = tuple(len(axes[d]) for d in dims)
+    if axes_shape != shape:
+        raise ZarrFormatError(
+            f"Add column: coordinate axis lengths {axes_shape} != "
+            f"data array shape {shape} — store is inconsistent"
+        )
+
+    np_dtypes = {c: _np_dtype_for(df.schema[c]) for c in data_cols}
+    metas: Dict[str, ArrayMeta] = {
+        c: build_array_meta(
+            c,
+            shape=shape,
+            chunk_shape=chunk_shape,
+            dtype=np_dtypes[c],
+            fill_value=fill_value,
+            dimension_names=tuple(dims),
+            compression=compression,
+        )
+        for c in data_cols
+    }
+
+    out, grid = _attach_cell_positions(
+        spark, df, dims, axes, chunk_shape, how="left"
+    )
+    out = out.localCheckpoint(eager=True)
+    null_pred = F.lit(False)
+    for d in dims:
+        null_pred = null_pred | F.col(f"__pos_{d}").isNull()
+    n_bad = out.filter(null_pred).count()
+    if n_bad:
+        raise ZarrFormatError(
+            f"Add column: {n_bad} rows carry coordinate values not on "
+            f"the store's axes"
+        )
+
+    metas_b = spark.sparkContext.broadcast(metas)
+    chunk_shape_t = tuple(int(x) for x in chunk_shape)
+    dims_t = list(dims)
+    data_cols_t = list(data_cols)
+    grid_t = list(grid)
+    fill = fill_value
+    want_stats = bool(stats)
+
+    def write_new_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["__cell"].iloc[0])
+        idx = _decode_cell(cell, grid_t)
+        task_store = open_store(path)
+        local = _local_offsets(pdf, dims_t, idx, chunk_shape_t)
+        stacked = np.stack([np.asarray(x) for x in local])
+        if np.unique(stacked, axis=1).shape[1] != stacked.shape[1]:
+            raise ZarrFormatError(
+                f"Add column: duplicate grid points in cell {idx}"
+            )
+        cell_stats = {}
+        for c in data_cols_t:
+            meta = metas_b.value[c]
+            block = np.full(
+                meta.valid_chunk_shape(idx), fill, dtype=meta.dtype
+            )
+            block[tuple(local)] = _reject_nulls(
+                pdf[c].to_numpy(), meta.dtype, c
+            )
+            write_chunk(task_store, meta, idx, block)
+            if want_stats and _stats_eligible(meta.dtype):
+                cell_stats[c] = _block_stat_pair(block, meta)
+        return pd.DataFrame(
+            {
+                "cell": [cell],
+                "rows": [len(pdf)],
+                "stats": [json.dumps(cell_stats)],
+            }
+        )
+
+    committed = out.groupBy("__cell").applyInPandas(
+        write_new_cell, schema="cell long, rows long, stats string"
+    )
+    written, result_rows = _commit_totals(committed, want_stats)
+    out.unpersist()
+
+    # every chunk has landed — NOW publish: per-array metadata (with
+    # stats: provided cells from the tasks, absent cells are pure
+    # fill, exactly what a reader materializes), then the root cache
+    if want_stats:
+        n_cells = 1
+        for g in grid:
+            n_cells *= g
+        touched: Dict[str, Dict[int, list]] = {c: {} for c in data_cols}
+        for r in result_rows:
+            for c, pair in json.loads(r["stats"]).items():
+                touched[c][int(r["cell"])] = pair
+        for c in data_cols:
+            meta = metas[c]
+            if not _stats_eligible(meta.dtype):
+                continue
+            fb = np.asarray(fill, dtype=meta.dtype)
+            fill_pair = [
+                _stat_encode(fb, meta.dtype),
+                _stat_encode(fb, meta.dtype, upper=True),
+            ]
+            entries = [fill_pair] * n_cells
+            for ordv, pair in touched[c].items():
+                entries[ordv] = pair
+            meta.attributes[STATS_ATTR_KEY] = entries
+    for c in data_cols:
+        store.set(
+            f"{c}/zarr.json", json.dumps(metas[c].to_json()).encode()
+        )
+    consolidate_metadata(store)
+    return written
+
+
+def drop_zarr_array(path: str, name: str) -> int:
+    """Drop a data array (column) from a store — the ALTER TABLE DROP
+    COLUMN counterpart of :func:`add_zarr_arrays`. Coordinate arrays
+    are protected while any other array's ``dimension_names``
+    references them. Returns the number of deleted objects.
+
+    Delete order makes every intermediate state readable: the array's
+    ``zarr.json`` goes first, the consolidated cache republishes
+    without the array, and only then do the (now unreachable) chunk
+    objects drop — a reader racing the drop sees either the full
+    column or a consistent store without it, never a half-deleted
+    array. Driver-side, metadata-scale plus one delete per object."""
+    from .zarr.array import open_array
+    from .zarr.writer import consolidate_metadata
+
+    store = open_store(path)
+    names = store.list_array_names()
+    if name not in names:
+        raise ZarrFormatError(
+            f"Drop column: no array {name!r} in the store "
+            f"(store has {sorted(names)})"
+        )
+    users = []
+    for other in names:
+        if other == name:
+            continue
+        dn = open_array(store, other).meta.dimension_names
+        if dn is not None and name in tuple(dn):
+            users.append(other)
+    if users:
+        raise ZarrFormatError(
+            f"Drop column: {name!r} is a dimension of {sorted(users)} "
+            f"— drop those arrays first"
+        )
+    doomed = [
+        k for k in store.walk_keys() if k.startswith(f"{name}/")
+    ]
+    meta_keys = [
+        k
+        for k in doomed
+        if k.split("/", 1)[1] in ("zarr.json", ".zarray", ".zattrs")
+    ]
+    for k in meta_keys:
+        store.delete(k)
+    consolidate_metadata(store)
+    for k in doomed:
+        if k not in meta_keys:
+            store.delete(k)
+    return len(doomed)
 
 
 def vacuum_zarr(path: str, dry_run: bool = True) -> dict:

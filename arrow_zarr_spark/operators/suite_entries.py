@@ -2196,3 +2196,51 @@ def populate_round6_bloom_queries(register) -> None:
         "array_to_string((string_split(c.text, ' '))[1:8], ' ') = "
         "array_to_string((string_split(b.text, ' '))[1:8], ' '))",
     )
+
+
+def populate_round6_alter_queries(register) -> None:
+    """w11: grid ALTER round-trip — add_zarr_arrays attaches a new
+    column over a SUBSET of grid points (absent cells must read as the
+    fill), drop_zarr_array removes the original data column, and the
+    scan of the final store proves both verbs: schema = dims + the new
+    column only, values = provided region + fill elsewhere."""
+
+    def w11(spark, sf_dir):
+        import shutil
+
+        from ..io import add_zarr_arrays, drop_zarr_array, write_zarr_grid
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w11_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+
+        base = (
+            spark.range(0, 12)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 6).selectExpr("id as x"))
+        )
+        write_zarr_grid(
+            base.select(
+                "t", "x",
+                (F.col("t") * 1000 + F.col("x") * 7)
+                .cast("double")
+                .alias("v"),
+            ),
+            path, dims=["t", "x"], chunk_shape=(4, 3), mode="overwrite",
+        )
+        add_zarr_arrays(
+            base.filter(F.col("t") < 5).select(
+                "t", "x", (F.col("t") * 10 + F.col("x")).alias("q")
+            ),
+            path, dims=["t", "x"], fill_value=-1,
+        )
+        drop_zarr_array(path, "v")
+        return spark.read.format("zarr").load(path)
+
+    register(
+        "w11_grid_alter_roundtrip",
+        w11,
+        "SELECT t, x, CASE WHEN t < 5 THEN t * 10 + x ELSE -1 END AS q "
+        "FROM (SELECT r1.range AS t, r2.range AS x "
+        "FROM range(0, 12) r1, range(0, 6) r2)",
+    )

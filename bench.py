@@ -431,6 +431,18 @@ def scale_rung_queries(spark, factor: int):
             docs.filter(F.col("source") == "src0"),
         )
     )
+    # bloom gate: the filter build is one corpus pass with a
+    # fixed-size reduce — the rung ratio should track the scan, not
+    # the corpus key cardinality (that is the operator's whole claim)
+    qs["dedup_bloom_gate"] = lambda: _force(
+        dedup.bloom_gated_dedup(
+            docs.filter(F.col("doc_id") % 7 == 0),
+            docs.filter(F.col("doc_id") % 7 != 0),
+            key=F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, 8)
+            ),
+        )
+    )
     # the full fuzzy-dedup composition: its post-candidate stages are
     # dup-group-sized, so the rung ratio should track the LSH stage's
     from arrow_zarr_spark.operators.pipelines import fuzzy_dedup_pipeline

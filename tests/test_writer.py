@@ -1498,3 +1498,115 @@ class TestVacuumZarr:
         )
         write_zarr_grid(g, p2, dims=["t", "x"], chunk_shape=(2, 2))
         assert vacuum_zarr(p2)["orphans"] == []
+
+
+class TestAddDropArray:
+    """add_zarr_arrays / drop_zarr_array — the grid ALTER surface."""
+
+    @staticmethod
+    def _grid(spark, nt=12, nx=6):
+        return (
+            spark.range(0, nt)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, nx).selectExpr("id as x"))
+            .select(
+                "t",
+                "x",
+                (F.col("t") * 100 + F.col("x")).cast("double").alias("v"),
+            )
+        )
+
+    def test_add_column_roundtrip_with_fill(self, spark, tmp_path):
+        from arrow_zarr_spark.io import (
+            STATS_ATTR_KEY,
+            add_zarr_arrays,
+            write_zarr_grid,
+        )
+
+        path = str(tmp_path / "alter1")
+        write_zarr_grid(
+            self._grid(spark), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        # subset input: only t < 4 — the rest must read as the fill
+        newcol = (
+            self._grid(spark)
+            .filter(F.col("t") < 4)
+            .select("t", "x", (F.col("t") + F.col("x")).alias("q"))
+        )
+        assert (
+            add_zarr_arrays(
+                newcol, path, dims=["t", "x"], fill_value=-1
+            )
+            == 24
+        )
+        back = spark.read.format("zarr").load(path)
+        assert set(back.columns) == {"t", "x", "v", "q"}
+        assert back.count() == 72
+        expected_q = F.when(
+            F.col("t") < 4, F.col("t") + F.col("x")
+        ).otherwise(F.lit(-1))
+        assert back.filter(F.col("q") != expected_q).count() == 0
+        # old column untouched
+        assert back.filter(
+            F.col("v") != F.col("t") * 100 + F.col("x")
+        ).count() == 0
+        # stats cover every cell: provided cells computed, absent
+        # cells fill-pair — and chunk layout matches the donor
+        arrays = {
+            a.meta.name: a for a in infer_store_arrays(open_store(path))
+        }
+        q_meta = arrays["q"].meta
+        assert tuple(q_meta.chunk_shape) == (4, 3)
+        st = q_meta.attributes[STATS_ATTR_KEY]
+        assert len(st) == 6 and st[2] == [-1, -1]  # untouched cell
+        assert st[0][0] == 0  # provided cell bounds computed
+
+    def test_add_column_validation(self, spark, tmp_path):
+        from arrow_zarr_spark.io import add_zarr_arrays, write_zarr_grid
+
+        path = str(tmp_path / "alter2")
+        write_zarr_grid(
+            self._grid(spark), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        with pytest.raises(ZarrFormatError, match="already exists"):
+            add_zarr_arrays(
+                self._grid(spark), path, dims=["t", "x"]
+            )
+        with pytest.raises(ZarrFormatError, match="not on the store"):
+            add_zarr_arrays(
+                self._grid(spark, nt=13).select(
+                    "t", "x", F.col("v").alias("q")
+                ),
+                path, dims=["t", "x"],
+            )
+
+    def test_drop_column(self, spark, tmp_path):
+        from arrow_zarr_spark.io import (
+            add_zarr_arrays,
+            drop_zarr_array,
+            vacuum_zarr,
+            write_zarr_grid,
+        )
+
+        path = str(tmp_path / "alter3")
+        write_zarr_grid(
+            self._grid(spark), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        add_zarr_arrays(
+            self._grid(spark).select("t", "x", F.col("v").alias("q")),
+            path, dims=["t", "x"],
+        )
+        n = drop_zarr_array(path, "q")
+        assert n >= 7  # zarr.json + 6 chunk objects
+        back = spark.read.format("zarr").load(path)
+        assert set(back.columns) == {"t", "x", "v"}
+        assert back.count() == 72
+        assert vacuum_zarr(path)["orphans"] == []  # clean delete
+        with pytest.raises(ZarrFormatError, match="no array"):
+            drop_zarr_array(path, "q")
+        # coordinates are protected while referenced
+        with pytest.raises(ZarrFormatError, match="dimension of"):
+            drop_zarr_array(path, "t")
