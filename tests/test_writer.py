@@ -1192,6 +1192,85 @@ class TestGridAppendStatsSoundness:
                     assert lo <= min(cell_vals), (trial, ci, cj, bounds)
                     assert max(cell_vals) <= hi, (trial, ci, cj, bounds)
 
+    def test_randomized_region_and_add_keep_stats_sound(
+        self, spark, tmp_path
+    ):
+        """Same law over the other two stats producers: after a
+        random region UPDATE and a random-subset ADD COLUMN, every
+        recorded [lo, hi] (either column) is unknown or brackets what
+        the scan materializes — fill cells of the new column
+        included."""
+        import math
+
+        from arrow_zarr_spark.io import (
+            STATS_ATTR_KEY,
+            add_zarr_arrays,
+            write_zarr_grid,
+            write_zarr_region,
+        )
+
+        rng = np.random.RandomState(77)
+        for trial in range(3):
+            path = str(tmp_path / f"snd_ra{trial}")
+            nt, nx = int(rng.randint(4, 10)), int(rng.randint(2, 6))
+            cs = (int(rng.randint(2, 5)), int(rng.randint(2, 4)))
+            base = [
+                (float(t), float(x), float(rng.randint(-50, 50)))
+                for t in range(nt)
+                for x in range(nx)
+            ]
+            write_zarr_grid(
+                spark.createDataFrame(base, ["t", "x", "v"]),
+                path, dims=["t", "x"], chunk_shape=cs, mode="overwrite",
+            )
+            upd = [
+                (t, x, float(rng.randint(-500, 500)))
+                for (t, x, _) in base
+                if rng.rand() < 0.3
+            ]
+            if upd:
+                write_zarr_region(
+                    spark.createDataFrame(upd, ["t", "x", "v"]),
+                    path, dims=["t", "x"],
+                    stats=bool(rng.randint(0, 2)),
+                )
+            sub = [
+                (t, x, float(rng.randint(-9, 9)))
+                for (t, x, _) in base
+                if rng.rand() < 0.5
+            ]
+            if sub:
+                add_zarr_arrays(
+                    spark.createDataFrame(sub, ["t", "x", "q"]),
+                    path, dims=["t", "x"],
+                    fill_value=float(rng.randint(-3, 3)),
+                )
+
+            back = spark.read.format("zarr").load(path).collect()
+            arrays = {
+                a.meta.name: a
+                for a in infer_store_arrays(open_store(path))
+            }
+            g = (math.ceil(nt / cs[0]), math.ceil(nx / cs[1]))
+            for col in ["v"] + (["q"] if sub else []):
+                vals = {(int(r.t), int(r.x)): r[col] for r in back}
+                st = arrays[col].meta.attributes[STATS_ATTR_KEY]
+                assert len(st) == g[0] * g[1]
+                for ci in range(g[0]):
+                    for cj in range(g[1]):
+                        bounds = st[ci * g[1] + cj]
+                        if bounds is None:
+                            continue
+                        cell_vals = [
+                            v
+                            for (t, x), v in vals.items()
+                            if ci * cs[0] <= t < (ci + 1) * cs[0]
+                            and cj * cs[1] <= x < (cj + 1) * cs[1]
+                        ]
+                        lo, hi = bounds
+                        assert lo <= min(cell_vals), (trial, col, ci, cj)
+                        assert max(cell_vals) <= hi, (trial, col, ci, cj)
+
 
 class TestDescribeZarr:
     def test_table_store(self, spark, tmp_path):
