@@ -2244,3 +2244,30 @@ def populate_round6_alter_queries(register) -> None:
         "FROM (SELECT r1.range AS t, r2.range AS x "
         "FROM range(0, 12) r1, range(0, 6) r2)",
     )
+
+
+def populate_round6_assemble_queries(register) -> None:
+    """t14: chunk -> reassemble round-trip. The operator pair is the
+    real pipeline shape (chunk for context windows, assemble pages
+    into documents); running them back to back makes the suite row
+    self-checking — the oracle replays the chunker (t10's SQL twin)
+    and the ordered string_agg, so any order instability in the
+    assembly (collect_list is shuffle-order-dependent without the
+    struct sort) hash-fails immediately."""
+
+    def t14(spark, sf_dir):
+        from .text import assemble_chunks, chunk_documents
+
+        docs = _docs(spark, sf_dir)
+        chunks = chunk_documents(docs, chunk_tokens=16)
+        return assemble_chunks(chunks)
+
+    register(
+        "t14_assemble_chunks",
+        t14,
+        "SELECT doc_id, "
+        "string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text, "
+        "COUNT(*) AS n_chunks FROM ("
+        + text.chunk_documents_sql(chunk_tokens=16)
+        + ") GROUP BY doc_id",
+    )

@@ -35,6 +35,7 @@ __all__ = [
     "unigram_logprob",
     "corpus_vocab_stats",
     "word_code_col",
+    "assemble_chunks",
 ]
 
 #: PII patterns, shared by redaction and counting. Kept to the regex
@@ -701,4 +702,41 @@ def corpus_vocab_stats(
         F.round(F.col("top_sum") / F.col("total_tokens"), 6).alias(
             "top_coverage"
         ),
+    )
+
+
+def assemble_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_idx",
+    text_col: str = "chunk_text",
+    joiner: str = " ",
+) -> DataFrame:
+    """Reassemble chunked or paged records into whole documents with a
+    DETERMINISTIC piece order — the inverse of :func:`chunk_documents`
+    at ``stride == chunk_tokens``, and the page→document assembly step
+    of a crawl/PDF pipeline (pages, posts of a thread, shards of a
+    transcript). Returns (id, text, n_chunks).
+
+    Order is pinned by ``order_col``, never by arrival order: a
+    shuffle destroys row order, so ``collect_list`` alone would
+    assemble different texts on different runs. The sort happens
+    AFTER collection via ``array_sort`` over (order, text) structs —
+    one groupBy shuffle total, no window, no secondary sort; the
+    per-doc sort is row-local over chunk-count-sized arrays. A
+    duplicate ``order_col`` value within a document still yields a
+    deterministic text (the struct comparator falls through to the
+    text), but indicates upstream damage."""
+    pieces = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("o"), F.col(text_col).alias("t")
+            )
+        )
+    )
+    return df.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(pieces, lambda x: x["t"]), joiner
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_chunks"),
     )

@@ -1443,3 +1443,34 @@ class TestBloomGatedDedup:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert got.count() == 40
+
+
+class TestAssembleChunks:
+    def test_inverse_of_chunking(self, spark):
+        from arrow_zarr_spark.operators.text import (
+            assemble_chunks,
+            chunk_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{i}_{j}" for j in range(50))) for i in range(20)],
+            ["doc_id", "text"],
+        )
+        back = assemble_chunks(chunk_documents(docs, chunk_tokens=7))
+        joined = docs.alias("a").join(back.alias("b"), "doc_id")
+        assert joined.count() == 20
+        assert joined.filter("a.text <> b.text").count() == 0
+        assert back.filter("n_chunks <> 8").count() == 0  # ceil(50/7)
+
+    def test_order_pinned_not_arrival(self, spark):
+        """Pieces arrive in scrambled partition order; the assembled
+        text must follow the order column."""
+        from arrow_zarr_spark.operators.text import assemble_chunks
+
+        rows = [(1, i, f"p{i}") for i in (4, 0, 3, 1, 2)]
+        df = spark.createDataFrame(
+            rows, ["doc_id", "chunk_idx", "chunk_text"]
+        ).repartition(5)
+        got = assemble_chunks(df).collect()[0]
+        assert got["text"] == "p0 p1 p2 p3 p4"
+        assert got["n_chunks"] == 5
