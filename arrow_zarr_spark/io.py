@@ -204,6 +204,43 @@ def _attach_cell_positions(spark, df, dims, axes, chunk_shape, how="inner"):
     return out.withColumn("__cell", cell_expr), grid
 
 
+def _validated_cell_frame(spark, df, dims, axes, chunk_shape, verb):
+    """Shared validation protocol of the in-place grid verbs (region
+    write, column add): LEFT-attach positions so off-axis rows survive
+    as nulls, pin ONE evaluation of the (possibly expensive or
+    nondeterministic) input with a localCheckpoint, and fail fast
+    naming the off-axis row count. Returns (checkpointed frame, grid).
+    The checkpoint blocks live until the RDD is garbage-collected —
+    input-sized, one job's working set."""
+    out, grid = _attach_cell_positions(
+        spark, df, dims, axes, chunk_shape, how="left"
+    )
+    out = out.localCheckpoint(eager=True)
+    null_pred = F.lit(False)
+    for d in dims:
+        null_pred = null_pred | F.col(f"__pos_{d}").isNull()
+    n_bad = out.filter(null_pred).count()
+    if n_bad:
+        raise ZarrFormatError(
+            f"{verb}: {n_bad} rows carry coordinate values not on the "
+            f"store's axes (in-place writes never grow the grid; use "
+            f"mode='append' with append_dim to extend)"
+        )
+    return out, grid
+
+
+def _check_axes_match_shape(axes, dims, shape, verb):
+    axes_shape = tuple(len(axes[d]) for d in dims)
+    if axes_shape != tuple(shape):
+        # same cross-check the grid-append validator performs: on an
+        # inconsistent store, positions derived from the coordinate
+        # arrays would silently address out-of-grid chunk keys
+        raise ZarrFormatError(
+            f"{verb}: coordinate axis lengths {axes_shape} != data "
+            f"array shape {tuple(shape)} — store is inconsistent"
+        )
+
+
 def _decode_cell(cell, grid):
     """Inverse of the ``__cell`` encoding: flat C-order ordinal back to
     per-dim chunk indices."""
@@ -243,9 +280,9 @@ def _validate_append_target(
     sharding, dtype, columns). Returns the existing row count. Unlike
     the format sink, a partial tail chunk is fine — the boundary chunk
     is merged in place."""
-    from .zarr.array import infer_store_arrays
+    from .zarr.array import infer_store_arrays_authoritative
 
-    arrays = infer_store_arrays(store)
+    arrays = infer_store_arrays_authoritative(store)
     by_name = {a.meta.name: a for a in arrays}
     names = [f.name for f in schema.fields]
     if sorted(by_name) != sorted(names):
@@ -732,10 +769,12 @@ def _validate_grid_append_target(
     rewrote). Returns (old_axes, old_stats) — the existing coordinate
     values per dim and each data array's per-cell stats entry list
     (or None)."""
-    from .zarr.array import infer_store_arrays
+    from .zarr.array import infer_store_arrays_authoritative
     from .zarr.writer import build_array_meta
 
-    arrays = {a.meta.name: a for a in infer_store_arrays(store)}
+    arrays = {
+        a.meta.name: a for a in infer_store_arrays_authoritative(store)
+    }
     want = sorted(set(dims) | set(data_cols))
     if sorted(arrays) != want:
         raise ZarrFormatError(
@@ -1322,10 +1361,10 @@ def audit_zarr(
     object)."""
     import itertools
 
-    from .zarr.array import ZarrArray, infer_store_arrays
+    from .zarr.array import ZarrArray, infer_store_arrays_authoritative
 
     store = open_store(path)
-    arrays = infer_store_arrays(store)
+    arrays = infer_store_arrays_authoritative(store)
     if columns:
         wanted = set(columns)
         missing_cols = wanted - {a.meta.name for a in arrays}
@@ -1405,11 +1444,13 @@ def refresh_stats(
     materialize as. Returns the number of (array, object) pairs
     computed. 1-D arrays only (the table layout; grid stores get
     their stats from :func:`write_zarr_grid`)."""
-    from .zarr.array import ZarrArray, infer_store_arrays
+    from .zarr.array import ZarrArray, infer_store_arrays_authoritative
 
     store = open_store(path)
     arrays = [
-        a for a in infer_store_arrays(store) if a.meta.ndim == 1
+        a
+        for a in infer_store_arrays_authoritative(store)
+        if a.meta.ndim == 1
     ]
     if columns:
         wanted = set(columns)
@@ -1606,9 +1647,11 @@ def write_zarr_region(
         raise ZarrFormatError(
             f"Region-write target missing (or not Zarr v3) at {path!r}"
         )
-    from .zarr.array import infer_store_arrays
+    from .zarr.array import infer_store_arrays_authoritative
 
-    arrays = {a.meta.name: a for a in infer_store_arrays(store)}
+    arrays = {
+        a.meta.name: a for a in infer_store_arrays_authoritative(store)
+    }
     np_dtypes = {
         field.name: _np_dtype_for(field) for field in df.schema.fields
     }
@@ -1651,36 +1694,10 @@ def write_zarr_region(
 
     spark = df.sparkSession
     axes = {d: arrays[d].read_all().tolist() for d in dims}
-    axes_shape = tuple(len(axes[d]) for d in dims)
-    if axes_shape != tuple(shape):
-        # same cross-check the grid-append validator performs: on an
-        # inconsistent store, positions derived from the coordinate
-        # arrays would silently address out-of-grid chunk keys
-        raise ZarrFormatError(
-            f"Region write: coordinate axis lengths {axes_shape} != "
-            f"data array shape {tuple(shape)} — store is inconsistent"
-        )
-
-    # positions via LEFT broadcast joins so off-axis values survive as
-    # null __pos_* rows — fail fast naming them instead of dropping.
-    # The checkpoint pins ONE evaluation of the (possibly expensive or
-    # nondeterministic) update frame: the validation count, the
-    # touched-cell set, and the write job all read the same blocks.
-    out, grid = _attach_cell_positions(
-        spark, df, dims, axes, chunk_shape, how="left"
+    _check_axes_match_shape(axes, dims, shape, "Region write")
+    out, grid = _validated_cell_frame(
+        spark, df, dims, axes, chunk_shape, "Region write"
     )
-    out = out.localCheckpoint(eager=True)
-    null_pred = F.lit(False)
-    for d in dims:
-        null_pred = null_pred | F.col(f"__pos_{d}").isNull()
-    n_bad = out.filter(null_pred).count()
-    if n_bad:
-        raise ZarrFormatError(
-            f"Region write: {n_bad} rows carry coordinate "
-            f"values not on the store's axes (region writes never "
-            f"grow the grid; use mode='append' with append_dim to "
-            f"extend)"
-        )
     # touched-region-sized (cell count), the same scale class as the
     # write job's commit rows
     touched_cells = sorted(
@@ -1765,7 +1782,6 @@ def write_zarr_region(
         update_cell, schema="cell long, rows long, stats string"
     )
     written, result_rows = _commit_totals(committed, want_stats)
-    out.unpersist()
     if want_stats:
         touched: Dict[str, Dict[int, list]] = {c: {} for c in data_cols}
         for r in result_rows:
@@ -1840,10 +1856,12 @@ def add_zarr_arrays(
         raise ZarrFormatError(
             f"Add-column target missing (or not Zarr v3) at {path!r}"
         )
-    from .zarr.array import infer_store_arrays
+    from .zarr.array import infer_store_arrays_authoritative
     from .zarr.writer import build_array_meta, consolidate_metadata
 
-    arrays = {a.meta.name: a for a in infer_store_arrays(store)}
+    arrays = {
+        a.meta.name: a for a in infer_store_arrays_authoritative(store)
+    }
     for d in dims:
         if d not in arrays or not arrays[d].meta.is_coordinate():
             raise ZarrFormatError(
@@ -1874,12 +1892,7 @@ def add_zarr_arrays(
 
     spark = df.sparkSession
     axes = {d: arrays[d].read_all().tolist() for d in dims}
-    axes_shape = tuple(len(axes[d]) for d in dims)
-    if axes_shape != shape:
-        raise ZarrFormatError(
-            f"Add column: coordinate axis lengths {axes_shape} != "
-            f"data array shape {shape} — store is inconsistent"
-        )
+    _check_axes_match_shape(axes, dims, shape, "Add column")
 
     np_dtypes = {c: _np_dtype_for(df.schema[c]) for c in data_cols}
     metas: Dict[str, ArrayMeta] = {
@@ -1895,19 +1908,19 @@ def add_zarr_arrays(
         for c in data_cols
     }
 
-    out, grid = _attach_cell_positions(
-        spark, df, dims, axes, chunk_shape, how="left"
+    # a PREVIOUS add of these columns that crashed mid-write left
+    # stranded chunk objects (metadata absent => provably debris, the
+    # vacuum class); adopting them would publish another run's values
+    # under stats claiming pure fill — purge before writing
+    new_set = set(data_cols)
+    for k in [
+        x for x in store.walk_keys() if x.split("/", 1)[0] in new_set
+    ]:
+        store.delete(k)
+
+    out, grid = _validated_cell_frame(
+        spark, df, dims, axes, chunk_shape, "Add column"
     )
-    out = out.localCheckpoint(eager=True)
-    null_pred = F.lit(False)
-    for d in dims:
-        null_pred = null_pred | F.col(f"__pos_{d}").isNull()
-    n_bad = out.filter(null_pred).count()
-    if n_bad:
-        raise ZarrFormatError(
-            f"Add column: {n_bad} rows carry coordinate values not on "
-            f"the store's axes"
-        )
 
     metas_b = spark.sparkContext.broadcast(metas)
     chunk_shape_t = tuple(int(x) for x in chunk_shape)
@@ -1951,7 +1964,6 @@ def add_zarr_arrays(
         write_new_cell, schema="cell long, rows long, stats string"
     )
     written, result_rows = _commit_totals(committed, want_stats)
-    out.unpersist()
 
     # every chunk has landed — NOW publish: per-array metadata (with
     # stats: provided cells from the tasks, absent cells are pure
@@ -2055,23 +2067,51 @@ def vacuum_zarr(path: str, dry_run: bool = True) -> dict:
     metadata walk, never the consolidated cache: the Zarr spec allows
     the cache to be stale (an external append or a newly-added
     variable without re-consolidation), and a GC driven by it would
-    delete live data. The walk is one metadata-scale listing plus a
-    valid-key enumeration via the same ``chunk_key`` encoder the
-    readers and writers use (no inverse parser to drift), driver-side
-    — the same cost class as :func:`audit_zarr`'s object sweep."""
-    import itertools as _it
-
+    delete live data. Cost is O(keys present): each present key is
+    parsed loosely, then VERIFIED by re-encoding through the same
+    ``chunk_key`` encoder readers and writers use — the encoder stays
+    the single source of truth for key layout without enumerating a
+    possibly-sparse grid (a (1e6)^2-cell store with a thousand real
+    objects must not materialize 1e12 candidate keys)."""
     from .zarr.array import open_array
 
     store = open_store(path)
-    live = {"zarr.json", ".zgroup", ".zattrs", ".zmetadata"}
+    metas = {}
     for name in store.list_array_names():
-        for mn in ("zarr.json", ".zarray", ".zattrs", ".zgroup"):
-            live.add(f"{name}/{mn}")
-        m = open_array(store, name).meta
-        for idx in _it.product(*(range(g) for g in m.chunk_grid_shape)):
-            live.add(f"{name}/{m.chunk_key(idx)}")
-    orphans = sorted(k for k in store.walk_keys() if k not in live)
+        metas[name] = open_array(store, name).meta
+    meta_names = {"zarr.json", ".zarray", ".zattrs", ".zgroup"}
+    root_keys = {"zarr.json", ".zgroup", ".zattrs", ".zmetadata"}
+
+    def reachable(key: str) -> bool:
+        if key in root_keys:
+            return True
+        name, _, rest = key.partition("/")
+        m = metas.get(name)
+        if m is None or not rest:
+            return False
+        if rest in meta_names:
+            return True
+        # loose parse -> strict verify: accept only if re-encoding the
+        # candidate indices reproduces the key exactly AND they are
+        # inside the advertised grid
+        parts = rest.split(m.separator or ("." if m.key_encoding == "v2" else "/"))
+        if m.key_encoding != "v2":
+            if not parts or parts[0] != "c":
+                return False
+            parts = parts[1:]
+        try:
+            idx = tuple(int(p) for p in parts)
+        except ValueError:
+            return False
+        grid = m.chunk_grid_shape
+        if len(idx) != len(grid):
+            # 0-dim arrays: the valid key is chunk_key(()) itself
+            return m.ndim == 0 and rest == m.chunk_key(())
+        if any(not 0 <= i < g for i, g in zip(idx, grid)):
+            return False
+        return rest == m.chunk_key(idx)
+
+    orphans = sorted(k for k in store.walk_keys() if not reachable(k))
     if not dry_run:
         for k in orphans:
             store.delete(k)

@@ -1340,8 +1340,17 @@ def bloom_gated_dedup(
        positives) are exact-verified: the corpus semi-joins against
        the BROADCAST hit-key set (one more corpus scan, still no
        shuffle), and the confirmed key set broadcast-anti-joins the
-       batch. AQE degrades both to shuffle joins on the key only if
-       overlap stops being rare.
+       batch.
+
+    The verify broadcasts are bounded by the BATCH's distinct keys
+    (hits ⊆ batch keys even with a saturated filter), so the design
+    assumption is the same as d11/d12's: the batch side fits a
+    broadcast. The hints are deliberate — without them the corpus
+    side of the semi-join would shuffle, the one cost this operator
+    exists to avoid. If the batch itself outgrows a broadcast, this
+    is the wrong operator: use the cross-LSH variant
+    (:func:`minhash_lsh_pairs_cross`) or raise ``n_bits`` and split
+    the batch.
     """
     if isinstance(key, str):
         key = F.col(key)

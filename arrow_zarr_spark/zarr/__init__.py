@@ -8,6 +8,7 @@ planning + coordinate broadcast), :mod:`writer`.
 from .array import (
     ZarrArray,
     infer_store_arrays,
+    infer_store_arrays_authoritative,
     load_consolidated_arrays,
     open_array,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "consolidate_metadata",
     "create_array",
     "infer_store_arrays",
+    "infer_store_arrays_authoritative",
     "load_consolidated_arrays",
     "open_array",
     "open_store",

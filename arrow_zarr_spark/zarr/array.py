@@ -209,10 +209,24 @@ def infer_store_arrays(store: Store, prefix: str = "") -> list:
     one GET, no listing; otherwise fall back to the reference's walk:
     list the store, parse each ``zarr.json``, field name = parent
     directory name (``table/config.rs:201-258``).
+
+    READ paths only. Anything that MUTATES the store based on what it
+    finds must use :func:`infer_store_arrays_authoritative` — the spec
+    allows the cache to be stale, and validating or GC-ing against a
+    stale view destroys or mis-describes live data.
     """
     consolidated = load_consolidated_arrays(store, prefix=prefix)
     if consolidated is not None:
         return consolidated
+    return infer_store_arrays_authoritative(store, prefix=prefix)
+
+
+def infer_store_arrays_authoritative(store: Store, prefix: str = "") -> list:
+    """Per-array metadata walk that NEVER consults the consolidated
+    cache — the writer/maintenance twin of :func:`infer_store_arrays`.
+    One listing plus one GET per array; every validator that gates a
+    mutation (appends, region writes, column adds, stats retrofits,
+    GC) reads the store as it IS, not as it was last consolidated."""
     names = store.list_array_names()
     if not names:
         raise ZarrFormatError("No zarr arrays found in store")

@@ -1689,3 +1689,93 @@ class TestAddDropArray:
         # coordinates are protected while referenced
         with pytest.raises(ZarrFormatError, match="dimension of"):
             drop_zarr_array(path, "t")
+
+
+class TestAlterCrashAndStaleness:
+    @staticmethod
+    def _grid(spark):
+        return (
+            spark.range(0, 8)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 6).selectExpr("id as x"))
+            .select(
+                "t", "x",
+                (F.col("t") * 100 + F.col("x")).cast("double").alias("v"),
+            )
+        )
+
+    def test_stranded_chunks_from_crashed_add_are_purged(
+        self, spark, tmp_path
+    ):
+        """A crashed add leaves chunk objects with no metadata; a
+        retry must NOT adopt them — published stats would claim pure
+        fill where the stranded values sit, and pruning would then
+        contradict the scan."""
+        from arrow_zarr_spark.io import add_zarr_arrays, write_zarr_grid
+        from arrow_zarr_spark.zarr.writer import build_array_meta, write_chunk
+
+        path = str(tmp_path / "crash1")
+        write_zarr_grid(
+            self._grid(spark), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        # plant debris: cell (1, 1) of a crashed "q" add, value 900
+        st = open_store(path)
+        q_meta = build_array_meta(
+            "q", shape=(8, 6), chunk_shape=(4, 3), dtype=np.float64,
+            fill_value=-1, dimension_names=("t", "x"),
+        )
+        write_chunk(st, q_meta, (1, 1), np.full((4, 3), 900.0))
+        # retry covers only cell (0, 0)
+        add_zarr_arrays(
+            self._grid(spark)
+            .filter((F.col("t") < 4) & (F.col("x") < 3))
+            .select("t", "x", (F.col("t") + F.col("x")).alias("q")),
+            path, dims=["t", "x"], fill_value=-1.0,
+        )
+        back = spark.read.format("zarr").load(path)
+        # the stranded 900s must be gone: cell (1,1) reads as fill
+        assert back.filter(F.col("q") == 900.0).count() == 0
+        assert (
+            back.filter((F.col("t") >= 4) & (F.col("x") >= 3))
+            .filter(F.col("q") != -1.0)
+            .count()
+            == 0
+        )
+
+    def test_writers_see_externally_added_arrays(self, spark, tmp_path):
+        """The store's consolidated cache may legally be stale; the
+        mutating validators must read the authoritative walk, or an
+        add would silently overwrite a live externally-added array."""
+        import json as _json
+
+        from arrow_zarr_spark.io import add_zarr_arrays, write_zarr_grid
+        from arrow_zarr_spark.zarr.writer import (
+            build_array_meta,
+            write_array_data,
+        )
+
+        path = str(tmp_path / "stale1")
+        write_zarr_grid(
+            self._grid(spark), path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        st = open_store(path)
+        # external tool adds q, does NOT re-consolidate
+        q_meta = build_array_meta(
+            "q", shape=(8, 6), chunk_shape=(4, 3), dtype=np.float64,
+            fill_value=0, dimension_names=("t", "x"),
+        )
+        st.set("q/zarr.json", _json.dumps(q_meta.to_json()).encode())
+        write_array_data(st, q_meta, np.ones((8, 6)))
+        with pytest.raises(ZarrFormatError, match="already exists"):
+            add_zarr_arrays(
+                self._grid(spark).select(
+                    "t", "x", F.col("v").alias("q")
+                ),
+                path, dims=["t", "x"],
+            )
+        # and the live external data is untouched
+        from arrow_zarr_spark.zarr.array import open_array
+
+        assert open_array(open_store(path), "q").read_all().sum() == 48.0
