@@ -2271,3 +2271,62 @@ def populate_round6_assemble_queries(register) -> None:
         + text.chunk_documents_sql(chunk_tokens=16)
         + ") GROUP BY doc_id",
     )
+
+
+def populate_round6_audit_queries(register) -> None:
+    """z22: the fsck tool's report contract, driver-checked. The query
+    builds a grid store, ALTER-adds a half-covered column, and audits:
+    the report must show every present object decoded (ok, not
+    missing), the added column's uncovered cells as missing-but-ok
+    (fill semantics, A13 — missing is NOT an error), and no error
+    strings. The oracle is the literal expected report."""
+
+    def z22(spark, sf_dir):
+        import shutil
+
+        from ..io import add_zarr_arrays, audit_zarr, write_zarr_grid
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_z22_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+        g = (
+            spark.range(0, 8)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 6).selectExpr("id as x"))
+            .select(
+                "t", "x",
+                (F.col("t") * 10 + F.col("x")).cast("double").alias("v"),
+            )
+        )
+        write_zarr_grid(
+            g, path, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        add_zarr_arrays(
+            g.filter("t < 4").select(
+                "t", "x", F.col("t").cast("double").alias("q")
+            ),
+            path, dims=["t", "x"],
+        )
+        return audit_zarr(spark, path)
+
+    register(
+        "z22_audit_report",
+        z22,
+        "SELECT col0 AS array, col1 AS chunk_key, "
+        "CAST(col2 AS BIGINT) AS rows, "
+        "CAST(col3 AS BOOLEAN) AS ok, CAST(col4 AS BOOLEAN) AS missing, "
+        "CAST(col5 AS VARCHAR) AS error FROM (VALUES "
+        "('q', 'c/0/0', 12, true, false, NULL), "
+        "('q', 'c/0/1', 12, true, false, NULL), "
+        "('q', 'c/1/0', 0, true, true, NULL), "
+        "('q', 'c/1/1', 0, true, true, NULL), "
+        "('t', 'c/0', 4, true, false, NULL), "
+        "('t', 'c/1', 4, true, false, NULL), "
+        "('v', 'c/0/0', 12, true, false, NULL), "
+        "('v', 'c/0/1', 12, true, false, NULL), "
+        "('v', 'c/1/0', 12, true, false, NULL), "
+        "('v', 'c/1/1', 12, true, false, NULL), "
+        "('x', 'c/0', 3, true, false, NULL), "
+        "('x', 'c/1', 3, true, false, NULL))",
+    )
