@@ -507,3 +507,44 @@ class TestRound6Contracts:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Join" in plan
         assert "HashAggregate" not in plan  # no distinct-based dedup
+
+    def test_assemble_chunks_single_shuffle_no_window(self, views):
+        """t14: reassembly is ONE groupBy exchange; order comes from
+        array_sort after collect (no Window, no global Sort — a
+        window/sort formulation would add a second shuffle and a
+        per-group sort pass)."""
+        from arrow_zarr_spark.operators.text import (
+            assemble_chunks,
+            chunk_documents,
+        )
+
+        out = assemble_chunks(
+            chunk_documents(views.table("documents"), chunk_tokens=16)
+        )
+        plan = _plan(out)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Window" not in plan
+        assert plan.count("Sort") == 0  # array_sort is an expression
+
+    def test_bloom_gate_joins_are_broadcast(self, views):
+        """d17: both verify joins broadcast the batch-bounded side —
+        the corpus must never shuffle (its only passes are the filter
+        build scan and the semi-join probe)."""
+        from arrow_zarr_spark.operators.dedup import bloom_gated_dedup
+
+        docs = views.table("documents")
+        out = bloom_gated_dedup(
+            docs.filter(F.col("doc_id") % 7 == 0),
+            docs.filter(F.col("doc_id") % 7 != 0),
+            key=F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, 8)
+            ),
+        )
+        plan = _plan(out)
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") == 2
+        # the only exchanges are the hit-key distincts (batch-bounded
+        # 8-to-few-byte keys) — never a corpus-row repartition, which
+        # would show as a third join input exchange
+        assert plan.count("Exchange hashpartitioning") <= 2
