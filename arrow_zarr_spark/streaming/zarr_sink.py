@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from ..io import write_zarr
 from ..zarr.store import open_store
 
-__all__ = ["stream_to_zarr"]
+__all__ = ["stream_to_zarr", "stream_regions_to_zarr"]
 
 _MARKER_KEY = "__stream_sink_state__"
 
@@ -56,6 +56,56 @@ def stream_to_zarr(
         )
         store.set(
             _MARKER_KEY, json.dumps({"last_batch": batch_id}).encode()
+        )
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    for k, v in start_kwargs.items():
+        writer = writer.option(k, v)
+    return writer.start()
+
+
+def stream_regions_to_zarr(
+    stream_df: DataFrame,
+    path: str,
+    dims,
+    stats: bool = True,
+    **start_kwargs,
+):
+    """Start a streaming query applying each micro-batch as an
+    in-place REGION update on an existing grid store — live
+    corrections/measurements landing on a sensor/feature grid (the
+    streaming face of :func:`arrow_zarr_spark.io.write_zarr_region`;
+    :func:`stream_to_zarr` is the append face for 1-D table stores).
+
+    The target store must already exist with ``dims`` as coordinate
+    axes; every batch row must address an existing grid point (region
+    semantics — the grid never grows here). Exactly-once across
+    recovery replays via the same store-side batch marker protocol as
+    the append sink: a replayed batch id is skipped whole, so a batch
+    is never half-reapplied over later data. Within a batch the
+    region write's own invalidate-first stats protocol keeps pruning
+    sound even if the job dies mid-update."""
+    checkpoint = start_kwargs.pop("checkpointLocation", None)
+    marker = "__stream_region_sink_state__"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..io import write_zarr_region
+
+        store = open_store(path)
+        raw = store.get(marker)
+        state = json.loads(raw) if raw else {"last_batch": -1}
+        if batch_id <= state["last_batch"]:
+            return  # replayed batch after recovery: already applied
+        if batch_df.isEmpty():
+            pass  # still advance the marker below
+        else:
+            write_zarr_region(
+                batch_df, path, dims=list(dims), stats=stats
+            )
+        store.set(
+            marker, json.dumps({"last_batch": batch_id}).encode()
         )
 
     writer = stream_df.writeStream.foreachBatch(apply_batch)

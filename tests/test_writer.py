@@ -1779,3 +1779,48 @@ class TestAlterCrashAndStaleness:
         from arrow_zarr_spark.zarr.array import open_array
 
         assert open_array(open_store(path), "q").read_all().sum() == 48.0
+
+
+class TestStreamRegionsToZarr:
+    def test_stream_region_updates_land(self, spark, tmp_path):
+        from arrow_zarr_spark.streaming import stream_regions_to_zarr
+
+        store = str(tmp_path / "rg_sink")
+        base = (
+            spark.range(0, 10)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 6).selectExpr("id as x"))
+            .select(
+                "t", "x",
+                (F.col("t") * 100 + F.col("x")).cast("double").alias("v"),
+            )
+        )
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        write_zarr_grid(
+            base, store, dims=["t", "x"], chunk_shape=(4, 3),
+            mode="overwrite",
+        )
+        # stream of corrections: negate v on t < 3
+        src = str(tmp_path / "updates")
+        upd = base.filter(F.col("t") < 3).select(
+            "t", "x", (-F.col("v")).alias("v")
+        )
+        upd.write.parquet(src)
+        stream = spark.readStream.schema(upd.schema).parquet(src)
+        q = stream_regions_to_zarr(
+            stream, store, dims=["t", "x"],
+            checkpointLocation=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = spark.read.format("zarr").load(store)
+        assert back.count() == 60
+        expected_v = F.when(
+            F.col("t") < 3, -(F.col("t") * 100 + F.col("x"))
+        ).otherwise(F.col("t") * 100 + F.col("x"))
+        assert back.filter(F.col("v") != expected_v).count() == 0
+        # the batch marker advanced
+        assert open_store(store).get("__stream_region_sink_state__")
