@@ -2004,13 +2004,15 @@ def drop_zarr_array(path: str, name: str) -> int:
     references them. Returns the number of deleted objects.
 
     Delete order makes every intermediate state readable: the array's
-    ``zarr.json`` goes first, the consolidated cache republishes
-    without the array, and only then do the (now unreachable) chunk
-    objects drop — a reader racing the drop sees either the full
-    column or a consistent store without it, never a half-deleted
-    array. Driver-side, metadata-scale plus one delete per object."""
+    metadata goes first, the consolidated cache republishes without
+    the array (v3 root document or v2 ``.zmetadata`` — a stale v2
+    cache would resurrect the dropped column as pure fill), and only
+    then do the (now unreachable) chunk objects drop — a reader
+    racing the drop sees either the full column or a consistent store
+    without it, never a half-deleted array. Driver-side,
+    metadata-scale plus one delete per object."""
     from .zarr.array import open_array
-    from .zarr.writer import consolidate_metadata
+    from .zarr.writer import consolidate_metadata, write_v2_metadata
 
     store = open_store(path)
     names = store.list_array_names()
@@ -2041,7 +2043,27 @@ def drop_zarr_array(path: str, name: str) -> int:
     ]
     for k in meta_keys:
         store.delete(k)
-    consolidate_metadata(store)
+    if store.exists("zarr.json"):
+        consolidate_metadata(store)
+    else:
+        # v2 store: consolidate_metadata is v3-only — rebuild the
+        # .zgroup/.zmetadata cache from the REMAINING arrays so v2
+        # readers can't resurrect the dropped column from the cache
+        docs = {}
+        for other in store.list_array_names():
+            zarray = store.get(f"{other}/.zarray")
+            if zarray is None:
+                continue
+            zattrs = store.get(f"{other}/.zattrs")
+            docs[other] = (
+                json.loads(zarray),
+                json.loads(zattrs) if zattrs else None,
+            )
+        graw = store.get(".zattrs")
+        write_v2_metadata(
+            store, docs,
+            group_attributes=json.loads(graw) if graw else None,
+        )
     for k in doomed:
         if k not in meta_keys:
             store.delete(k)

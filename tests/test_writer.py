@@ -1824,3 +1824,29 @@ class TestStreamRegionsToZarr:
         assert back.filter(F.col("v") != expected_v).count() == 0
         # the batch marker advanced
         assert open_store(store).get("__stream_region_sink_state__")
+
+
+class TestDropArrayV2:
+    def test_drop_refreshes_v2_cache(self, spark, tmp_path):
+        """consolidate_metadata is v3-only; a drop on a v2 store must
+        rebuild .zmetadata or cache readers resurrect the dropped
+        column as pure fill."""
+        import json as _json
+
+        from arrow_zarr_spark.io import drop_zarr_array, vacuum_zarr
+
+        path = str(tmp_path / "v2drop")
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        write_zarr(df, path, chunk_rows=100, zarr_format=2)
+        drop_zarr_array(path, "v")
+        st = open_store(path)
+        meta = _json.loads(st.get(".zmetadata"))["metadata"]
+        assert not any(k.startswith("v/") for k in meta)
+        assert "k/.zarray" in meta
+        back = spark.read.format("zarr").load(path)
+        assert back.columns == ["k"] and back.count() == 200
+        assert vacuum_zarr(path)["orphans"] == []
+        # no stray v3 root was written into the v2 store
+        assert not st.exists("zarr.json")
