@@ -53,6 +53,7 @@ __all__ = [
     "read_zarr_partitioned",
     "rechunk_zarr",
     "audit_zarr",
+    "diff_zarr",
     "refresh_stats",
     "describe_zarr",
     "write_zarr_region",
@@ -1423,6 +1424,136 @@ def audit_zarr(
     n_slices = max(1, min(len(work), int(n_partitions)))
     rdd = sc.parallelize(work, n_slices).mapPartitions(check)
     return spark.createDataFrame(rdd, schema)
+
+
+def diff_zarr(
+    spark,
+    path_a: str,
+    path_b: str,
+    columns: Optional[Sequence[str]] = None,
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Distributed store diff — the validation step after a
+    migration, replication, backfill, or in-place update: compare two
+    stores VALUE-wise and report exactly where they differ. Completes
+    the maintenance kit alongside :func:`audit_zarr` (fsck within one
+    store; this is fsck *between* stores).
+
+    Output, one row per finding:
+
+    - array-level: ``(array, NULL, 'only_a'|'only_b'|'dtype_differs'|
+      'shape_differs'|'layout_differs', NULL)`` — present in one store
+      only, or not value-comparable cell-by-cell (``layout_differs``
+      means equal shape but different chunking, e.g. a rechunked
+      copy: values may still match but need a windowed read to prove
+      it — use the scan-level equality check for that case);
+    - cell-level, for arrays sharing (dtype, shape, chunk layout):
+      ``(array, chunk_key, 'equal'|'changed', n_diff)`` with
+      ``n_diff`` = number of differing elements. Missing chunks
+      materialize the fill first (A13) — a never-written cell in A
+      equals an explicitly-fill-valued cell in B, matching what the
+      scans return. NaNs compare equal to NaNs (a NaN-filled region
+      is not noise).
+
+    Scale: work list = the common chunk grid (metadata-sized),
+    parallelized across the cluster; each task decodes both sides of
+    its cells — wall time is one read of both stores over the
+    cluster. Both stores are read through the AUTHORITATIVE walk."""
+    from .zarr.array import ZarrArray, infer_store_arrays_authoritative
+
+    store_a = open_store(path_a)
+    store_b = open_store(path_b)
+    a_arrays = {
+        a.meta.name: a.meta
+        for a in infer_store_arrays_authoritative(store_a)
+    }
+    b_arrays = {
+        a.meta.name: a.meta
+        for a in infer_store_arrays_authoritative(store_b)
+    }
+    if columns:
+        wanted = set(columns)
+        a_arrays = {n: m for n, m in a_arrays.items() if n in wanted}
+        b_arrays = {n: m for n, m in b_arrays.items() if n in wanted}
+
+    import itertools
+
+    findings = []
+    work = []
+    comparable = {}
+    for n in sorted(set(a_arrays) | set(b_arrays)):
+        if n not in b_arrays:
+            findings.append((n, None, "only_a", None))
+            continue
+        if n not in a_arrays:
+            findings.append((n, None, "only_b", None))
+            continue
+        ma, mb = a_arrays[n], b_arrays[n]
+        if ma.zarr_dtype != mb.zarr_dtype:
+            findings.append((n, None, "dtype_differs", None))
+        elif tuple(ma.shape) != tuple(mb.shape):
+            findings.append((n, None, "shape_differs", None))
+        elif tuple(ma.chunk_shape) != tuple(mb.chunk_shape):
+            findings.append((n, None, "layout_differs", None))
+        else:
+            comparable[n] = (ma, mb)
+            for idx in itertools.product(
+                *(range(g) for g in ma.chunk_grid_shape)
+            ):
+                work.append((n, idx))
+
+    sc = spark.sparkContext
+    metas_b = sc.broadcast(comparable)
+    pa, pb = path_a, path_b
+
+    def compare(items):
+        sa = open_store(pa)
+        sb = open_store(pb)
+        for name, idx in items:
+            ma, mb = metas_b.value[name]
+            # read_chunk materializes the fill for missing objects —
+            # the same values a scan would produce
+            blk_a = ZarrArray(sa, ma).read_chunk(idx)
+            blk_b = ZarrArray(sb, mb).read_chunk(idx)
+            if blk_a.dtype.kind in ("f", "c"):
+                same = (blk_a == blk_b) | (
+                    np.isnan(blk_a) & np.isnan(blk_b)
+                )
+            else:
+                same = blk_a == blk_b
+            n_diff = int(blk_a.size - np.count_nonzero(same))
+            yield (
+                name,
+                ma.chunk_key(idx),
+                "changed" if n_diff else "equal",
+                n_diff,
+            )
+
+    schema = T.StructType([
+        T.StructField("array", T.StringType(), False),
+        T.StructField("chunk_key", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("n_diff", T.LongType(), True),
+    ])
+    if n_partitions is None:
+        n_partitions = sc.defaultParallelism * 2
+    parts = []
+    if work:
+        n_slices = max(1, min(len(work), int(n_partitions)))
+        parts.append(
+            spark.createDataFrame(
+                sc.parallelize(work, n_slices).mapPartitions(compare),
+                schema,
+            )
+        )
+    if findings:
+        parts.append(spark.createDataFrame(findings, schema))
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def refresh_stats(

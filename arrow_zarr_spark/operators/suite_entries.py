@@ -2330,3 +2330,62 @@ def populate_round6_audit_queries(register) -> None:
         "('x', 'c/0', 3, true, false, NULL), "
         "('x', 'c/1', 3, true, false, NULL))",
     )
+
+
+def populate_round6_diff_queries(register) -> None:
+    """z23: the store-diff tool's report contract, driver-checked —
+    build a store, copy it, perturb one grid point and ALTER-add an
+    extra column to the copy; the diff must localize the change to
+    exactly one cell (n_diff=1), mark every other common cell equal,
+    and class the extra column as only_b. Oracle = the literal
+    expected report."""
+
+    def z23(spark, sf_dir):
+        import shutil
+
+        from ..io import (
+            add_zarr_arrays,
+            diff_zarr,
+            write_zarr_grid,
+            write_zarr_region,
+        )
+
+        token = sf_dir.strip("/").replace("/", "_")
+        pa = f"/tmp/arrow_zarr_spark_z23a_{token}"
+        pb = f"/tmp/arrow_zarr_spark_z23b_{token}"
+        g = (
+            spark.range(0, 8)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 6).selectExpr("id as x"))
+            .select(
+                "t", "x",
+                (F.col("t") * 100 + F.col("x")).cast("double").alias("v"),
+            )
+        )
+        for p in (pa, pb):
+            shutil.rmtree(p, ignore_errors=True)
+            write_zarr_grid(
+                g, p, dims=["t", "x"], chunk_shape=(4, 3),
+                mode="overwrite",
+            )
+        write_zarr_region(
+            spark.createDataFrame([(0, 0, -7.0)], ["t", "x", "v"]),
+            pb, dims=["t", "x"],
+        )
+        add_zarr_arrays(
+            g.select("t", "x", F.col("t").cast("double").alias("q")),
+            pb, dims=["t", "x"],
+        )
+        return diff_zarr(spark, pa, pb)
+
+    register(
+        "z23_store_diff_report",
+        z23,
+        "SELECT col0 AS array, CAST(col1 AS VARCHAR) AS chunk_key, "
+        "col2 AS status, CAST(col3 AS BIGINT) AS n_diff FROM (VALUES "
+        "('q', NULL, 'only_b', NULL), "
+        "('t', 'c/0', 'equal', 0), ('t', 'c/1', 'equal', 0), "
+        "('x', 'c/0', 'equal', 0), ('x', 'c/1', 'equal', 0), "
+        "('v', 'c/0/0', 'changed', 1), ('v', 'c/0/1', 'equal', 0), "
+        "('v', 'c/1/0', 'equal', 0), ('v', 'c/1/1', 'equal', 0))",
+    )

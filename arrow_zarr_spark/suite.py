@@ -1376,6 +1376,7 @@ def _ensure_populated() -> None:
         populate_round6_alter_queries,
         populate_round6_assemble_queries,
         populate_round6_audit_queries,
+        populate_round6_diff_queries,
         populate_round6_bloom_queries,
         populate_round6_queries,
         populate_round6_grid_queries,
@@ -1398,6 +1399,7 @@ def _ensure_populated() -> None:
     populate_round6_alter_queries(register_query)
     populate_round6_assemble_queries(register_query)
     populate_round6_audit_queries(register_query)
+    populate_round6_diff_queries(register_query)
     _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()

@@ -1850,3 +1850,79 @@ class TestDropArrayV2:
         assert vacuum_zarr(path)["orphans"] == []
         # no stray v3 root was written into the v2 store
         assert not st.exists("zarr.json")
+
+
+class TestDiffZarr:
+    def test_diff_report(self, spark, tmp_path):
+        from arrow_zarr_spark.io import (
+            add_zarr_arrays,
+            diff_zarr,
+            write_zarr_grid,
+            write_zarr_region,
+        )
+
+        g = (
+            spark.range(0, 8)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 6).selectExpr("id as x"))
+            .select(
+                "t", "x",
+                (F.col("t") * 100 + F.col("x")).cast("double").alias("v"),
+            )
+        )
+        pa, pb = str(tmp_path / "da"), str(tmp_path / "db")
+        for p in (pa, pb):
+            write_zarr_grid(
+                g, p, dims=["t", "x"], chunk_shape=(4, 3),
+                mode="overwrite",
+            )
+        # perturb B: one grid point in cell (0,0), plus an extra array
+        write_zarr_region(
+            spark.createDataFrame([(0, 0, -7.0)], ["t", "x", "v"]),
+            pb, dims=["t", "x"],
+        )
+        add_zarr_arrays(
+            g.select("t", "x", F.col("t").cast("double").alias("q")),
+            pb, dims=["t", "x"],
+        )
+        rep = {
+            (r["array"], r["chunk_key"]): (r["status"], r["n_diff"])
+            for r in diff_zarr(spark, pa, pb).collect()
+        }
+        assert rep[("q", None)] == ("only_b", None)
+        assert rep[("v", "c/0/0")] == ("changed", 1)
+        assert rep[("v", "c/1/1")] == ("equal", 0)
+        assert rep[("t", "c/0")] == ("equal", 0)
+        # identical stores: no non-equal rows
+        clean = diff_zarr(spark, pa, pa)
+        assert clean.filter("status <> 'equal'").count() == 0
+
+    def test_layout_and_dtype_classes(self, spark, tmp_path):
+        from arrow_zarr_spark.io import diff_zarr, write_zarr_grid
+
+        g = (
+            spark.range(0, 8)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 6).selectExpr("id as x"))
+            .select(
+                "t", "x",
+                (F.col("t") * 1.0).alias("v"),
+            )
+        )
+        pa, pb = str(tmp_path / "la"), str(tmp_path / "lb")
+        write_zarr_grid(
+            g, pa, dims=["t", "x"], chunk_shape=(4, 3), mode="overwrite"
+        )
+        write_zarr_grid(
+            g, pb, dims=["t", "x"], chunk_shape=(2, 3), mode="overwrite"
+        )
+        rep = {
+            (r["array"], r["chunk_key"]): r["status"]
+            for r in diff_zarr(spark, pa, pb).collect()
+        }
+        # rechunked copy: values not cell-comparable, reported as such
+        # (the t coordinate rechunks with the grid: 4 -> 2)
+        assert rep[("v", None)] == "layout_differs"
+        assert rep[("t", None)] == "layout_differs"
+        # x keeps chunk 3 in both stores: comparable and equal
+        assert rep[("x", "c/0")] == "equal"
