@@ -1461,18 +1461,29 @@ def diff_zarr(
     cluster. Both stores are read through the AUTHORITATIVE walk."""
     from .zarr.array import ZarrArray, infer_store_arrays_authoritative
 
-    store_a = open_store(path_a)
-    store_b = open_store(path_b)
-    a_arrays = {
-        a.meta.name: a.meta
-        for a in infer_store_arrays_authoritative(store_a)
-    }
-    b_arrays = {
-        a.meta.name: a.meta
-        for a in infer_store_arrays_authoritative(store_b)
-    }
+    def _metas(path):
+        # an EMPTY side is a reportable state here (every array of the
+        # other side becomes only_a/only_b), not an error
+        try:
+            return {
+                a.meta.name: a.meta
+                for a in infer_store_arrays_authoritative(
+                    open_store(path)
+                )
+            }
+        except ZarrFormatError:
+            return {}
+
+    a_arrays = _metas(path_a)
+    b_arrays = _metas(path_b)
     if columns:
         wanted = set(columns)
+        unknown = wanted - (set(a_arrays) | set(b_arrays))
+        if unknown:
+            raise ZarrFormatError(
+                f"diff_zarr: no such arrays {sorted(unknown)} in "
+                f"either store"
+            )
         a_arrays = {n: m for n, m in a_arrays.items() if n in wanted}
         b_arrays = {n: m for n, m in b_arrays.items() if n in wanted}
 
@@ -1518,6 +1529,11 @@ def diff_zarr(
             if blk_a.dtype.kind in ("f", "c"):
                 same = (blk_a == blk_b) | (
                     np.isnan(blk_a) & np.isnan(blk_b)
+                )
+            elif blk_a.dtype.kind in ("M", "m"):
+                # NaT != NaT under ==, same trap as NaN
+                same = (blk_a == blk_b) | (
+                    np.isnat(blk_a) & np.isnat(blk_b)
                 )
             else:
                 same = blk_a == blk_b
@@ -1638,12 +1654,24 @@ def refresh_stats(
             m.attributes[STATS_ATTR_KEY] = per_col[m.name]
         else:
             m.attributes.pop(STATS_ATTR_KEY, None)
-        store.set(
-            f"{m.name}/zarr.json", json.dumps(m.to_json()).encode()
-        )
-    from .zarr.writer import consolidate_metadata
-
-    consolidate_metadata(store)
+        if store.exists(f"{m.name}/.zarray"):
+            # v2 array: stats live in .zattrs (merged — the codec
+            # spec in .zarray is never rewritten); writing a v3
+            # zarr.json here would mix formats in one array dir
+            raw = store.get(f"{m.name}/.zattrs")
+            zattrs = json.loads(raw) if raw else {}
+            if m.name in per_col:
+                zattrs[STATS_ATTR_KEY] = per_col[m.name]
+            else:
+                zattrs.pop(STATS_ATTR_KEY, None)
+            store.set(
+                f"{m.name}/.zattrs", json.dumps(zattrs).encode()
+            )
+        else:
+            store.set(
+                f"{m.name}/zarr.json", json.dumps(m.to_json()).encode()
+            )
+    _refresh_store_cache(store)
     return len(rows)
 
 
@@ -2128,6 +2156,53 @@ def add_zarr_arrays(
     return written
 
 
+def _refresh_store_cache(store) -> None:
+    """Refresh the store's consolidated cache from the CURRENT
+    per-array metadata, format-aware: a v3 store (root document
+    present, or no v2 markers at all — e.g. an unconsolidated
+    third-party v3 store) consolidates into the root zarr.json; a v2
+    store rebuilds ``.zgroup``/``.zmetadata`` from the RAW
+    ``.zarray``/``.zattrs`` bytes on disk (``consolidate_metadata``
+    is v3-only and would plant a spurious v3 root; re-deriving the
+    docs could alter a third-party codec spec — raw bytes cannot).
+    One helper so every mutation path republishes both formats
+    correctly."""
+    names = store.list_array_names()
+    is_v2 = not store.exists("zarr.json") and (
+        store.exists(".zgroup")
+        or store.exists(".zmetadata")
+        or any(store.exists(f"{n}/.zarray") for n in names)
+    )
+    if not is_v2:
+        from .zarr.writer import consolidate_metadata
+
+        consolidate_metadata(store)
+        return
+    zgroup = {"zarr_format": 2}
+    raw = store.get(".zgroup")
+    if raw:
+        try:
+            zgroup = json.loads(raw)
+        except json.JSONDecodeError:
+            pass
+    consolidated = {".zgroup": zgroup}
+    graw = store.get(".zattrs")
+    if graw:
+        consolidated[".zattrs"] = json.loads(graw)
+    for n in names:
+        for doc in (".zarray", ".zattrs"):
+            rawd = store.get(f"{n}/{doc}")
+            if rawd is not None:
+                consolidated[f"{n}/{doc}"] = json.loads(rawd)
+    store.set(".zgroup", json.dumps(zgroup).encode())
+    store.set(
+        ".zmetadata",
+        json.dumps(
+            {"zarr_consolidated_format": 1, "metadata": consolidated}
+        ).encode(),
+    )
+
+
 def drop_zarr_array(path: str, name: str) -> int:
     """Drop a data array (column) from a store — the ALTER TABLE DROP
     COLUMN counterpart of :func:`add_zarr_arrays`. Coordinate arrays
@@ -2143,7 +2218,6 @@ def drop_zarr_array(path: str, name: str) -> int:
     without it, never a half-deleted array. Driver-side,
     metadata-scale plus one delete per object."""
     from .zarr.array import open_array
-    from .zarr.writer import consolidate_metadata, write_v2_metadata
 
     store = open_store(path)
     names = store.list_array_names()
@@ -2174,27 +2248,7 @@ def drop_zarr_array(path: str, name: str) -> int:
     ]
     for k in meta_keys:
         store.delete(k)
-    if store.exists("zarr.json"):
-        consolidate_metadata(store)
-    else:
-        # v2 store: consolidate_metadata is v3-only — rebuild the
-        # .zgroup/.zmetadata cache from the REMAINING arrays so v2
-        # readers can't resurrect the dropped column from the cache
-        docs = {}
-        for other in store.list_array_names():
-            zarray = store.get(f"{other}/.zarray")
-            if zarray is None:
-                continue
-            zattrs = store.get(f"{other}/.zattrs")
-            docs[other] = (
-                json.loads(zarray),
-                json.loads(zattrs) if zattrs else None,
-            )
-        graw = store.get(".zattrs")
-        write_v2_metadata(
-            store, docs,
-            group_attributes=json.loads(graw) if graw else None,
-        )
+    _refresh_store_cache(store)
     for k in doomed:
         if k not in meta_keys:
             store.delete(k)
@@ -2233,7 +2287,13 @@ def vacuum_zarr(path: str, dry_run: bool = True) -> dict:
     for name in store.list_array_names():
         metas[name] = open_array(store, name).meta
     meta_names = {"zarr.json", ".zarray", ".zattrs", ".zgroup"}
-    root_keys = {"zarr.json", ".zgroup", ".zattrs", ".zmetadata"}
+    # the streaming sinks' exactly-once batch markers are LIVE state:
+    # vacuuming them would make the next recovery replay re-apply
+    from .streaming.zarr_sink import SINK_MARKER_KEYS
+
+    root_keys = {
+        "zarr.json", ".zgroup", ".zattrs", ".zmetadata",
+    } | set(SINK_MARKER_KEYS)
 
     def reachable(key: str) -> bool:
         if key in root_keys:

@@ -21,6 +21,21 @@ from ..zarr.store import open_store
 __all__ = ["stream_to_zarr", "stream_regions_to_zarr"]
 
 _MARKER_KEY = "__stream_sink_state__"
+_REGION_MARKER_KEY = "__stream_region_sink_state__"
+#: LIVE exactly-once state — vacuum_zarr must never collect these
+SINK_MARKER_KEYS = frozenset({_MARKER_KEY, _REGION_MARKER_KEY})
+
+
+def _once_per_batch(store, marker: str, batch_id: int, apply) -> None:
+    """Shared exactly-once guard of both sinks: skip a replayed batch
+    id whole (recovery re-runs foreachBatch with the same id), apply,
+    then advance the store-side high-water mark."""
+    raw = store.get(marker)
+    state = json.loads(raw) if raw else {"last_batch": -1}
+    if batch_id <= state["last_batch"]:
+        return
+    apply()
+    store.set(marker, json.dumps({"last_batch": batch_id}).encode())
 
 
 def stream_to_zarr(
@@ -42,21 +57,18 @@ def stream_to_zarr(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         store = open_store(path)
-        raw = store.get(_MARKER_KEY)
-        state = json.loads(raw) if raw else {"last_batch": -1}
-        if batch_id <= state["last_batch"]:
-            return  # replayed batch after recovery: already applied
-        mode = "append" if store.exists("zarr.json") else "error"
-        write_zarr(
-            batch_df,
-            path,
-            chunk_rows=chunk_rows,
-            compression=compression,
-            mode=mode,
-        )
-        store.set(
-            _MARKER_KEY, json.dumps({"last_batch": batch_id}).encode()
-        )
+
+        def apply():
+            mode = "append" if store.exists("zarr.json") else "error"
+            write_zarr(
+                batch_df,
+                path,
+                chunk_rows=chunk_rows,
+                compression=compression,
+                mode=mode,
+            )
+
+        _once_per_batch(store, _MARKER_KEY, batch_id, apply)
 
     writer = stream_df.writeStream.foreachBatch(apply_batch)
     if checkpoint:
@@ -88,25 +100,19 @@ def stream_regions_to_zarr(
     region write's own invalidate-first stats protocol keeps pruning
     sound even if the job dies mid-update."""
     checkpoint = start_kwargs.pop("checkpointLocation", None)
-    marker = "__stream_region_sink_state__"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..io import write_zarr_region
 
         store = open_store(path)
-        raw = store.get(marker)
-        state = json.loads(raw) if raw else {"last_batch": -1}
-        if batch_id <= state["last_batch"]:
-            return  # replayed batch after recovery: already applied
-        if batch_df.isEmpty():
-            pass  # still advance the marker below
-        else:
-            write_zarr_region(
-                batch_df, path, dims=list(dims), stats=stats
-            )
-        store.set(
-            marker, json.dumps({"last_batch": batch_id}).encode()
-        )
+
+        def apply():
+            if not batch_df.isEmpty():
+                write_zarr_region(
+                    batch_df, path, dims=list(dims), stats=stats
+                )
+
+        _once_per_batch(store, _REGION_MARKER_KEY, batch_id, apply)
 
     writer = stream_df.writeStream.foreachBatch(apply_batch)
     if checkpoint:

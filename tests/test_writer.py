@@ -1926,3 +1926,105 @@ class TestDiffZarr:
         assert rep[("t", None)] == "layout_differs"
         # x keeps chunk 3 in both stores: comparable and equal
         assert rep[("x", "c/0")] == "equal"
+
+
+class TestMaintenanceHardening:
+    def test_vacuum_preserves_sink_markers(self, spark, tmp_path):
+        """The streaming sinks' batch markers are live exactly-once
+        state, not debris — vacuuming them would re-apply the next
+        recovery replay."""
+        import json as _json
+
+        from arrow_zarr_spark.io import vacuum_zarr
+        from arrow_zarr_spark.streaming.zarr_sink import SINK_MARKER_KEYS
+
+        path = str(tmp_path / "mk1")
+        write_zarr(
+            spark.range(100).select(F.col("id").alias("k")),
+            path, chunk_rows=50,
+        )
+        st = open_store(path)
+        for k in SINK_MARKER_KEYS:
+            st.set(k, _json.dumps({"last_batch": 3}).encode())
+        rep = vacuum_zarr(path, dry_run=False)
+        assert rep["orphans"] == []
+        for k in SINK_MARKER_KEYS:
+            assert st.get(k) is not None
+
+    def test_drop_on_unconsolidated_v3_store(self, spark, tmp_path):
+        """A v3 store without a root document (third-party,
+        unconsolidated) must NOT be mistaken for v2: the drop should
+        consolidate into a proper v3 root, never plant .zgroup or an
+        empty v2 .zmetadata skeleton."""
+        from arrow_zarr_spark.io import drop_zarr_array
+
+        path = str(tmp_path / "uv3")
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        write_zarr(df, path, chunk_rows=50)
+        st = open_store(path)
+        st.delete("zarr.json")  # simulate unconsolidated v3
+        drop_zarr_array(path, "v")
+        st = open_store(path)
+        assert st.exists("zarr.json")  # consolidated v3 root restored
+        assert not st.exists(".zgroup")
+        assert not st.exists(".zmetadata")
+        back = spark.read.format("zarr").load(path)
+        assert back.columns == ["k"] and back.count() == 100
+
+    def test_refresh_stats_on_v2_store(self, spark, tmp_path):
+        """refresh_stats on a v2 store: stats land in .zattrs (the
+        .zarray codec spec is never rewritten, no stray v3 zarr.json),
+        and the v2 cache refreshes."""
+        import json as _json
+
+        from arrow_zarr_spark.io import refresh_stats
+        from arrow_zarr_spark.zarr.meta import STATS_ATTR_KEY
+
+        path = str(tmp_path / "v2rs")
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        write_zarr(df, path, chunk_rows=100, zarr_format=2, stats=False)
+        assert refresh_stats(spark, path) == 4
+        st = open_store(path)
+        assert not st.exists("v/zarr.json")
+        zattrs = _json.loads(st.get("v/.zattrs"))
+        assert len(zattrs[STATS_ATTR_KEY]) == 2
+        assert zattrs["_ARRAY_DIMENSIONS"] == ["row"]  # merged, not replaced
+        meta = _json.loads(st.get(".zmetadata"))["metadata"]
+        assert STATS_ATTR_KEY in meta["v/.zattrs"]
+        assert spark.read.format("zarr").load(path).count() == 200
+
+    def test_diff_nat_compares_equal(self, spark, tmp_path):
+        """NaT cells must compare equal to NaT (same trap as NaN) —
+        a store diffed against itself is all-equal even with NaT."""
+        from arrow_zarr_spark.io import diff_zarr
+        from arrow_zarr_spark.zarr import write_store
+
+        path = str(tmp_path / "natd")
+        d = np.array(
+            ["2024-01-01", "NaT", "2024-01-03", "NaT"],
+            dtype="datetime64[us]",
+        )
+        write_store(
+            path,
+            arrays={"d": d},
+            chunk_shapes={"d": (2,)},
+            dimension_names={"d": ("row",)},
+        )
+        rep = diff_zarr(spark, path, path)
+        assert rep.filter("status <> 'equal'").count() == 0
+        assert rep.count() == 2
+
+    def test_diff_unknown_column_rejected(self, spark, tmp_path):
+        from arrow_zarr_spark.io import diff_zarr
+
+        path = str(tmp_path / "dk")
+        write_zarr(
+            spark.range(50).select(F.col("id").alias("k")),
+            path, chunk_rows=50,
+        )
+        with pytest.raises(ZarrFormatError, match="no such arrays"):
+            diff_zarr(spark, path, path, columns=["vlaue"])
