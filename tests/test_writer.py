@@ -1996,6 +1996,16 @@ class TestMaintenanceHardening:
         meta = _json.loads(st.get(".zmetadata"))["metadata"]
         assert STATS_ATTR_KEY in meta["v/.zattrs"]
         assert spark.read.format("zarr").load(path).count() == 200
+        # and the retrofitted stats actually PRUNE on the v2 scan
+        from pyspark.sql.datasource import GreaterThan
+
+        from arrow_zarr_spark.datasource import ZarrDataSource
+
+        ds = ZarrDataSource({"path": path})
+        reader = ds.reader(ds.schema())
+        list(reader.pushFilters([GreaterThan(("v",), 350.0)]))
+        cells = [c for p in reader.partitions() for c in p.cells]
+        assert cells == [(1,)]  # 200 rows / chunk 100: only chunk 1
 
     def test_diff_nat_compares_equal(self, spark, tmp_path):
         """NaT cells must compare equal to NaT (same trap as NaN) —
