@@ -2389,3 +2389,47 @@ def populate_round6_diff_queries(register) -> None:
         "('v', 'c/0/0', 'changed', 1), ('v', 'c/0/1', 'equal', 0), "
         "('v', 'c/1/0', 'equal', 0), ('v', 'c/1/1', 'equal', 0))",
     )
+
+
+def populate_round6_string_coord_queries(register) -> None:
+    """z24: grid store with a STRING coordinate axis — xarray's
+    station/category-dimension pattern (the reference rejects strings
+    outright, config.rs:278-281; here the axis is a vlen-utf8
+    coordinate array and the broadcast alignment is value-exact). The
+    oracle rebuilds the hypercube from a VALUES axis."""
+
+    def z24(spark, sf_dir):
+        import shutil
+
+        from ..io import write_zarr_grid
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_z24_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+        st = spark.createDataFrame(
+            [("nyc", 1.0), ("sfo", 2.0), ("lhr", 3.0)],
+            ["station", "code"],
+        )
+        g = (
+            spark.range(0, 6)
+            .selectExpr("id as t")
+            .crossJoin(st)
+            .select(
+                "t", "station",
+                (F.col("t") * 10.0 + F.col("code")).alias("v"),
+            )
+        )
+        write_zarr_grid(
+            g, path, dims=["t", "station"], chunk_shape=(3, 2),
+            mode="overwrite",
+        )
+        return spark.read.format("zarr").load(path)
+
+    register(
+        "z24_string_coord_grid",
+        z24,
+        "SELECT r.range AS t, s.station, "
+        "CAST(r.range * 10.0 + s.code AS DOUBLE) AS v "
+        "FROM range(0, 6) r, (VALUES ('nyc', 1.0), ('sfo', 2.0), "
+        "('lhr', 3.0)) s(station, code)",
+    )

@@ -2038,3 +2038,41 @@ class TestMaintenanceHardening:
         )
         with pytest.raises(ZarrFormatError, match="no such arrays"):
             diff_zarr(spark, path, path, columns=["vlaue"])
+
+
+class TestStringCoordinateGrid:
+    def test_string_axis_roundtrip(self, spark, tmp_path):
+        """Grid stores with a STRING coordinate axis (xarray's
+        station/category dimension pattern) round-trip value-exactly:
+        vlen-utf8 coordinate array + numeric data arrays, broadcast
+        alignment included."""
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "sgrid")
+        st = spark.createDataFrame(
+            [("nyc", 1.0), ("sfo", 2.0), ("lhr", 3.0)],
+            ["station", "code"],
+        )
+        g = (
+            spark.range(0, 6)
+            .selectExpr("id as t")
+            .crossJoin(st)
+            .select(
+                "t", "station",
+                (F.col("t") * 10.0 + F.col("code")).alias("v"),
+            )
+        )
+        write_zarr_grid(
+            g, path, dims=["t", "station"], chunk_shape=(3, 2),
+            mode="overwrite",
+        )
+        back = spark.read.format("zarr").load(path)
+        got = {(r["t"], r["station"]): r["v"] for r in back.collect()}
+        exp = {
+            (t, s): t * 10.0 + c
+            for t in range(6)
+            for s, c in [("nyc", 1.0), ("sfo", 2.0), ("lhr", 3.0)]
+        }
+        assert got == exp
+        # equality filters on the string axis prune to its column
+        assert back.filter("station = 'lhr'").count() == 6
