@@ -2433,3 +2433,48 @@ def populate_round6_string_coord_queries(register) -> None:
         "FROM range(0, 6) r, (VALUES ('nyc', 1.0), ('sfo', 2.0), "
         "('lhr', 3.0)) s(station, code)",
     )
+
+
+def populate_round6_time_axis_queries(register) -> None:
+    """z25: grid store with a TimestampNTZ coordinate axis — THE
+    xarray layout (a time dimension), with an in-place region write
+    addressed BY timestamp before the scan. The oracle rebuilds the
+    hypercube with interval arithmetic and a CASE for the updated
+    point; z16's timezone/dtype parity conventions apply."""
+
+    def z25(spark, sf_dir):
+        import shutil
+
+        from ..io import write_zarr_grid, write_zarr_region
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_z25_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+        g = spark.sql(
+            "SELECT timestampadd(HOUR, r.id, "
+            "TIMESTAMP_NTZ'2024-01-01 00:00:00') AS ts, "
+            "x.id AS x, CAST(r.id * 10 + x.id AS DOUBLE) AS v "
+            "FROM range(0, 6) r, range(0, 4) x"
+        )
+        write_zarr_grid(
+            g, path, dims=["ts", "x"], chunk_shape=(3, 2),
+            mode="overwrite",
+        )
+        write_zarr_region(
+            spark.sql(
+                "SELECT TIMESTAMP_NTZ'2024-01-01 02:00:00' AS ts, "
+                "1 AS x, CAST(-9 AS DOUBLE) AS v"
+            ),
+            path, dims=["ts", "x"],
+        )
+        return spark.read.format("zarr").load(path)
+
+    register(
+        "z25_time_axis_grid",
+        z25,
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' "
+        "+ INTERVAL (r.range) HOUR AS ts, x.range AS x, "
+        "CAST(CASE WHEN r.range = 2 AND x.range = 1 THEN -9 "
+        "ELSE r.range * 10 + x.range END AS DOUBLE) AS v "
+        "FROM range(0, 6) r, range(0, 4) x",
+    )

@@ -2076,3 +2076,74 @@ class TestStringCoordinateGrid:
         assert got == exp
         # equality filters on the string axis prune to its column
         assert back.filter("station = 'lhr'").count() == 6
+
+
+class TestDatetimeCoordinateGrid:
+    def test_time_dimension_roundtrip_and_region(self, spark, tmp_path):
+        """Grid store with a TimestampNTZ coordinate axis — THE xarray
+        pattern (time dimension). Round-trip, timestamp-filtered read,
+        and an in-place region write addressed by timestamp."""
+        from arrow_zarr_spark.io import write_zarr_grid, write_zarr_region
+
+        path = str(tmp_path / "tgrid")
+        g = spark.sql(
+            "SELECT timestampadd(HOUR, r.id, "
+            "TIMESTAMP_NTZ'2024-01-01 00:00:00') AS ts, "
+            "x.id AS x, CAST(r.id * 10 + x.id AS DOUBLE) AS v "
+            "FROM range(0, 6) r, range(0, 4) x"
+        )
+        write_zarr_grid(
+            g, path, dims=["ts", "x"], chunk_shape=(3, 2),
+            mode="overwrite",
+        )
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 24
+        row = back.filter(
+            "ts = TIMESTAMP_NTZ'2024-01-01 05:00:00' AND x = 3"
+        ).collect()
+        assert len(row) == 1 and row[0]["v"] == 53.0
+        upd = spark.sql(
+            "SELECT TIMESTAMP_NTZ'2024-01-01 02:00:00' AS ts, "
+            "1 AS x, CAST(-9 AS DOUBLE) AS v"
+        )
+        write_zarr_region(upd, path, dims=["ts", "x"])
+        got = spark.read.format("zarr").load(path).filter(
+            "ts = TIMESTAMP_NTZ'2024-01-01 02:00:00'"
+        )
+        assert {(r["x"], r["v"]) for r in got.collect()} == {
+            (0, 20.0), (1, -9.0), (2, 22.0), (3, 23.0)
+        }
+
+    def test_region_write_on_string_axis(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid, write_zarr_region
+
+        path = str(tmp_path / "sgrid_r")
+        st = spark.createDataFrame(
+            [("nyc", 1.0), ("sfo", 2.0), ("lhr", 3.0)],
+            ["station", "code"],
+        )
+        g = (
+            spark.range(0, 6)
+            .selectExpr("id as t")
+            .crossJoin(st)
+            .select(
+                "t", "station",
+                (F.col("t") * 10.0 + F.col("code")).alias("v"),
+            )
+        )
+        write_zarr_grid(
+            g, path, dims=["t", "station"], chunk_shape=(3, 2),
+            mode="overwrite",
+        )
+        write_zarr_region(
+            spark.createDataFrame(
+                [(2, "sfo", -1.0)], ["t", "station", "v"]
+            ),
+            path, dims=["t", "station"],
+        )
+        got = {
+            (r["t"], r["station"]): r["v"]
+            for r in spark.read.format("zarr").load(path).collect()
+        }
+        assert got[(2, "sfo")] == -1.0
+        assert got[(2, "nyc")] == 21.0 and got[(3, "sfo")] == 32.0
