@@ -2478,3 +2478,37 @@ def populate_round6_time_axis_queries(register) -> None:
         "ELSE r.range * 10 + x.range END AS DOUBLE) AS v "
         "FROM range(0, 6) r, range(0, 4) x",
     )
+
+
+def populate_round6_3d_writer_queries(register) -> None:
+    """w12: 3-D grid WRITE round-trip — the writer covering the
+    scan's 3-D surface (z18 reads a hand-built fixture; this writes
+    one from a DataFrame, edge chunks on all three axes, then scans
+    it back). Oracle rebuilds the hypercube from three ranges."""
+
+    def w12(spark, sf_dir):
+        import shutil
+
+        from ..io import write_zarr_grid
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w12_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+        g3 = spark.sql(
+            "SELECT a.id AS a, b.id AS b, c.id AS c, "
+            "CAST(a.id * 100 + b.id * 10 + c.id AS DOUBLE) AS v "
+            "FROM range(0, 4) a, range(0, 3) b, range(0, 5) c"
+        )
+        write_zarr_grid(
+            g3, path, dims=["a", "b", "c"], chunk_shape=(2, 2, 3),
+            mode="overwrite",
+        )
+        return spark.read.format("zarr").load(path)
+
+    register(
+        "w12_3d_grid_roundtrip",
+        w12,
+        "SELECT a.range AS a, b.range AS b, c.range AS c, "
+        "CAST(a.range * 100 + b.range * 10 + c.range AS DOUBLE) AS v "
+        "FROM range(0, 4) a, range(0, 3) b, range(0, 5) c",
+    )

@@ -2147,3 +2147,67 @@ class TestDatetimeCoordinateGrid:
         }
         assert got[(2, "sfo")] == -1.0
         assert got[(2, "nyc")] == 21.0 and got[(3, "sfo")] == 32.0
+
+
+class TestGridWriteMoreShapes:
+    def test_append_along_datetime_axis(self, spark, tmp_path):
+        """Daily-ingest workflow: append new time slices onto a store
+        whose append dimension is a TimestampNTZ axis."""
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "ta")
+
+        def mk(h0, h1):
+            return spark.sql(
+                f"SELECT timestampadd(HOUR, r.id, "
+                f"TIMESTAMP_NTZ'2024-01-01 00:00:00') AS ts, "
+                f"x.id AS x, CAST(r.id * 10 + x.id AS DOUBLE) AS v "
+                f"FROM range({h0}, {h1}) r, range(0, 4) x"
+            )
+
+        write_zarr_grid(
+            mk(0, 6), path, dims=["ts", "x"], chunk_shape=(4, 2),
+            mode="overwrite",
+        )
+        write_zarr_grid(
+            mk(6, 10), path, dims=["ts", "x"], chunk_shape=(4, 2),
+            mode="append", append_dim="ts",
+        )
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 40
+        row = back.filter(
+            "ts = TIMESTAMP_NTZ'2024-01-01 08:00:00' AND x = 2"
+        ).collect()
+        assert len(row) == 1 and row[0]["v"] == 82.0
+        # pre-append values survive the boundary-chunk merge
+        row = back.filter(
+            "ts = TIMESTAMP_NTZ'2024-01-01 05:00:00' AND x = 1"
+        ).collect()
+        assert row[0]["v"] == 51.0
+
+    def test_three_d_grid_write_roundtrip(self, spark, tmp_path):
+        """The writer covers the scan's 3-D surface (z18 reads a
+        fixture; this writes one) — edge chunks on all three axes."""
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "g3")
+        g3 = spark.sql(
+            "SELECT a.id AS a, b.id AS b, c.id AS c, "
+            "CAST(a.id * 100 + b.id * 10 + c.id AS DOUBLE) AS v "
+            "FROM range(0, 4) a, range(0, 3) b, range(0, 5) c"
+        )
+        write_zarr_grid(
+            g3, path, dims=["a", "b", "c"], chunk_shape=(2, 2, 3),
+            mode="overwrite",
+        )
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 60
+        got = {
+            (r["a"], r["b"], r["c"]): r["v"] for r in back.collect()
+        }
+        assert all(
+            got[(a, b, c)] == a * 100 + b * 10 + c
+            for a in range(4)
+            for b in range(3)
+            for c in range(5)
+        )
