@@ -759,7 +759,7 @@ def _fill_values_equal(a, b, np_dtype) -> bool:
 
 def _validate_grid_append_target(
     store, dims, data_cols, chunk_shape, np_dtypes, append_dim,
-    compression, fill_value,
+    compression, fill_value, shard_shape=None,
 ):
     """Append must extend a layout-compatible grid store along
     ``append_dim``: same arrays, same chunk grid, same dtypes, same
@@ -783,7 +783,7 @@ def _validate_grid_append_target(
             f"writing {want}"
         )
 
-    def check_layout(name, m, chunk, dim_names):
+    def check_layout(name, m, chunk, dim_names, shard=None):
         expected = build_array_meta(
             name,
             shape=m.shape,
@@ -792,6 +792,7 @@ def _validate_grid_append_target(
             fill_value=fill_value,
             dimension_names=dim_names,
             compression=compression,
+            shard_shape=shard,
         )
         if m.zarr_dtype != expected.zarr_dtype:
             raise ZarrFormatError(
@@ -819,7 +820,8 @@ def _validate_grid_append_target(
             )
 
     old_axes = {}
-    for d, cs in zip(dims, chunk_shape):
+    coord_cs = shard_shape or chunk_shape  # coords align to the object grid
+    for d, cs in zip(dims, coord_cs):
         m = arrays[d].meta
         if m.ndim != 1:
             raise ZarrFormatError(
@@ -844,7 +846,8 @@ def _validate_grid_append_target(
                 f"!= {tuple(dims)}"
             )
         check_layout(
-            c, m, tuple(int(x) for x in chunk_shape), tuple(dims)
+            c, m, tuple(int(x) for x in chunk_shape), tuple(dims),
+            shard=shard_shape,
         )
         s = m.attributes.get(STATS_ATTR_KEY)
         old_stats[c] = s if isinstance(s, list) else None
@@ -868,6 +871,7 @@ def write_zarr_grid(
     fill_value=0,
     stats: bool = True,
     append_dim: Optional[str] = None,
+    shard_shape: Optional[Sequence[int]] = None,
 ) -> int:
     """Write a coordinate-gridded DataFrame as an N-D Zarr store — the
     inverse of the reader's coordinate broadcast (A14). ``stats``
@@ -910,6 +914,8 @@ def write_zarr_grid(
         raise ZarrFormatError("write_zarr_grid needs at least one dim")
     if len(dims) != len(chunk_shape):
         raise ZarrFormatError("chunk_shape must have one entry per dim")
+    if shard_shape is not None and len(shard_shape) != len(dims):
+        raise ZarrFormatError("shard_shape must have one entry per dim")
     data_cols = [f.name for f in df.schema.fields if f.name not in dims]
     if not data_cols:
         raise ZarrFormatError("no data columns besides dims")
@@ -940,6 +946,7 @@ def write_zarr_grid(
         old_axes, old_stats = _validate_grid_append_target(
             store, dims, data_cols, chunk_shape, np_dtypes_all,
             append_dim, compression, fill_value,
+            shard_shape=shard_shape,
         )
     elif store.exists("zarr.json") or store.exists(".zgroup"):
         if mode != "overwrite":
@@ -991,7 +998,10 @@ def write_zarr_grid(
     np_dtypes = {
         field.name: _np_dtype_for(field) for field in df.schema.fields
     }
-    for d, cs in zip(dims, chunk_shape):
+    # the scan aligns coordinate chunking with the data arrays' store
+    # OBJECT grid per dim — with sharding that is the shard shape
+    coord_cs = tuple(int(x) for x in (shard_shape or chunk_shape))
+    for d, cs in zip(dims, coord_cs):
         coord_metas[d] = build_array_meta(
             d,
             shape=(len(axes[d]),), chunk_shape=(int(cs),),
@@ -1004,7 +1014,14 @@ def write_zarr_grid(
             shape=shape, chunk_shape=tuple(int(x) for x in chunk_shape),
             dtype=np_dtypes[c], fill_value=fill_value,
             dimension_names=tuple(dims), compression=compression,
+            shard_shape=shard_shape,
         )
+    # the unit of work is the store OBJECT: with sharding the object
+    # grid is the SHARD grid (meta.chunk_shape is the outer shape) —
+    # each task writes one sharding_indexed object of many inner
+    # chunks, the object-count lever for N-D stores; readers keep
+    # inner-chunk pruning via the shard index
+    cell_shape = tuple(int(x) for x in metas[data_cols[0]].chunk_shape)
     if not appending:
         # fresh write: metadata up front (the coordinate arrays are
         # driver-side); appends defer ALL metadata until data lands
@@ -1025,10 +1042,10 @@ def write_zarr_grid(
 
     # positions via broadcast joins, then the flat cell id — one
     # shuffle to co-locate cells (shared with the region-write path)
-    out, grid = _attach_cell_positions(spark, df, dims, axes, chunk_shape)
+    out, grid = _attach_cell_positions(spark, df, dims, axes, cell_shape)
 
     metas_b = spark.sparkContext.broadcast(metas)
-    chunk_shape_t = tuple(int(x) for x in chunk_shape)
+    chunk_shape_t = cell_shape
     dims_t = list(dims)
     data_cols_t = list(data_cols)
     grid_t = list(grid)
@@ -1113,7 +1130,7 @@ def write_zarr_grid(
                 # write tasks overwrite every cell they touched below
                 g_old = [
                     -(-len(old_axes[d]) // int(cs))
-                    for d, cs in zip(dims, chunk_shape)
+                    for d, cs in zip(dims, cell_shape)
                 ]
                 old_entries = old_stats.get(c)
                 n_old = 1
@@ -1122,7 +1139,7 @@ def write_zarr_grid(
                 if old_entries is not None and len(old_entries) != n_old:
                     old_entries = None  # provably stale
                 old_len = len(old_axes[append_dim])
-                cs_a = int(chunk_shape[ax_i])
+                cs_a = int(cell_shape[ax_i])
                 boundary = old_len // cs_a if old_len % cs_a else None
                 for t in _it.product(*(range(g) for g in g_old)):
                     new_ord = 0

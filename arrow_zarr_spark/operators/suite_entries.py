@@ -2512,3 +2512,47 @@ def populate_round6_3d_writer_queries(register) -> None:
         "CAST(a.range * 100 + b.range * 10 + c.range AS DOUBLE) AS v "
         "FROM range(0, 4) a, range(0, 3) b, range(0, 5) c",
     )
+
+
+def populate_round6_sharded_grid_queries(register) -> None:
+    """w13: SHARDED grid write round-trip — shard_shape makes the
+    store object grid the shard grid (the object-count lever for N-D
+    stores: a 100-TB hypercube at 64 MB chunks is millions of objects
+    unsharded), with a region write landing on the sharded layout
+    before the scan. Oracle rebuilds the hypercube with a CASE."""
+
+    def w13(spark, sf_dir):
+        import shutil
+
+        from ..io import write_zarr_grid, write_zarr_region
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w13_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+        g = (
+            spark.range(0, 16)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 12).selectExpr("id as x"))
+            .select(
+                "t", "x",
+                (F.col("t") * 100 + F.col("x")).cast("double").alias("v"),
+            )
+        )
+        write_zarr_grid(
+            g, path, dims=["t", "x"], chunk_shape=(2, 3),
+            shard_shape=(8, 6), mode="overwrite",
+        )
+        write_zarr_region(
+            spark.createDataFrame([(5, 7, -1.0)], ["t", "x", "v"]),
+            path, dims=["t", "x"],
+        )
+        return spark.read.format("zarr").load(path)
+
+    register(
+        "w13_sharded_grid_roundtrip",
+        w13,
+        "SELECT t.range AS t, x.range AS x, "
+        "CAST(CASE WHEN t.range = 5 AND x.range = 7 THEN -1 "
+        "ELSE t.range * 100 + x.range END AS DOUBLE) AS v "
+        "FROM range(0, 16) t, range(0, 12) x",
+    )

@@ -2211,3 +2211,69 @@ class TestGridWriteMoreShapes:
             for b in range(3)
             for c in range(5)
         )
+
+
+class TestShardedGridWriter:
+    def test_sharded_grid_chain(self, spark, tmp_path):
+        """shard_shape on the grid writer: the store object grid is
+        the SHARD grid (object-count lever for N-D stores), readers
+        keep inner-chunk pruning via the shard index, and region
+        writes + appends work on the sharded store."""
+        from arrow_zarr_spark.io import write_zarr_grid, write_zarr_region
+
+        path = str(tmp_path / "shgrid")
+
+        def mk(t0, t1):
+            return (
+                spark.range(t0, t1)
+                .selectExpr("id as t")
+                .crossJoin(spark.range(0, 12).selectExpr("id as x"))
+                .select(
+                    "t", "x",
+                    (F.col("t") * 100 + F.col("x"))
+                    .cast("double")
+                    .alias("v"),
+                )
+            )
+
+        write_zarr_grid(
+            mk(0, 16), path, dims=["t", "x"], chunk_shape=(2, 3),
+            shard_shape=(8, 6), mode="overwrite",
+        )
+        st = open_store(path)
+        vkeys = sorted(
+            k for k in st.walk_keys() if k.startswith("v/c")
+        )
+        assert vkeys == ["v/c/0/0", "v/c/0/1", "v/c/1/0", "v/c/1/1"]
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 192
+        assert back.filter("t=15 AND x=11").first()["v"] == 1511.0
+        # in-place verbs work on the sharded layout
+        write_zarr_region(
+            spark.createDataFrame([(5, 7, -1.0)], ["t", "x", "v"]),
+            path, dims=["t", "x"],
+        )
+        write_zarr_grid(
+            mk(16, 20), path, dims=["t", "x"], chunk_shape=(2, 3),
+            shard_shape=(8, 6), mode="append", append_dim="t",
+        )
+        b2 = spark.read.format("zarr").load(path)
+        assert b2.count() == 240
+        assert b2.filter("t=19 AND x=4").first()["v"] == 1904.0
+        assert b2.filter("t=5 AND x=7").first()["v"] == -1.0
+
+    def test_shard_not_multiple_rejected(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        g = (
+            spark.range(0, 8)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 6).selectExpr("id as x"))
+            .select("t", "x", (F.col("t") * 1.0).alias("v"))
+        )
+        with pytest.raises(ZarrFormatError, match="multiple"):
+            write_zarr_grid(
+                g, str(tmp_path / "bad"), dims=["t", "x"],
+                chunk_shape=(2, 3), shard_shape=(5, 6),
+                mode="overwrite",
+            )
