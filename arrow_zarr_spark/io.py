@@ -2063,8 +2063,19 @@ def add_zarr_arrays(
             f"Add column: store has no data array over dims "
             f"{tuple(dims)} to copy the chunk layout from"
         )
-    chunk_shape = tuple(donors[0].chunk_shape)
-    shape = tuple(donors[0].shape)
+    donor = donors[0]
+    shape = tuple(donor.shape)
+    # preserve the donor's sharding: a sharded store's object grid is
+    # its shard grid — the new column must match it AND keep inner
+    # chunks (an unsharded copy would lose inner-chunk pruning)
+    donor_shard = None
+    donor_chunks = tuple(donor.chunk_shape)
+    if donor.codecs and donor.codecs[0].get("name") == "sharding_indexed":
+        donor_shard = donor_chunks
+        donor_chunks = tuple(
+            int(x) for x in donor.codecs[0]["configuration"]["chunk_shape"]
+        )
+    chunk_shape = tuple(donor.chunk_shape)
 
     spark = df.sparkSession
     axes = {d: arrays[d].read_all().tolist() for d in dims}
@@ -2075,11 +2086,12 @@ def add_zarr_arrays(
         c: build_array_meta(
             c,
             shape=shape,
-            chunk_shape=chunk_shape,
+            chunk_shape=donor_chunks,
             dtype=np_dtypes[c],
             fill_value=fill_value,
             dimension_names=tuple(dims),
             compression=compression,
+            shard_shape=donor_shard,
         )
         for c in data_cols
     }

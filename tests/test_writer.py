@@ -2277,3 +2277,39 @@ class TestShardedGridWriter:
                 chunk_shape=(2, 3), shard_shape=(5, 6),
                 mode="overwrite",
             )
+
+
+class TestAddColumnShardedDonor:
+    def test_added_column_inherits_sharding(self, spark, tmp_path):
+        """ALTER ADD on a sharded grid store: the new column must be
+        sharded like the donor (object grids match AND inner-chunk
+        pruning survives), not a one-big-chunk copy."""
+        import json as _json
+
+        from arrow_zarr_spark.io import add_zarr_arrays, write_zarr_grid
+
+        path = str(tmp_path / "shadd")
+        g = (
+            spark.range(0, 16)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 12).selectExpr("id as x"))
+            .select(
+                "t", "x",
+                (F.col("t") * 100 + F.col("x")).cast("double").alias("v"),
+            )
+        )
+        write_zarr_grid(
+            g, path, dims=["t", "x"], chunk_shape=(2, 3),
+            shard_shape=(8, 6), mode="overwrite",
+        )
+        add_zarr_arrays(
+            g.select("t", "x", (F.col("t") + F.col("x")).alias("q")),
+            path, dims=["t", "x"],
+        )
+        st = open_store(path)
+        qmeta = _json.loads(st.get("q/zarr.json"))
+        assert qmeta["codecs"][0]["name"] == "sharding_indexed"
+        assert qmeta["codecs"][0]["configuration"]["chunk_shape"] == [2, 3]
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 192
+        assert back.filter("t=9 AND x=11").first()["q"] == 20
