@@ -262,6 +262,42 @@ def bench_queries(spark):
 
     qs["zarr_write_strings"] = zarr_write_strings
 
+    # N-D grid write, plain vs sharded objects (w13's path): the pair
+    # prices the shard-assembly overhead against a 16x object-count
+    # reduction — the lever a 100-TB hypercube needs
+    def _grid_write(shard):
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        out = tempfile.mkdtemp(prefix="azs_bench_write_grid_")
+        try:
+            g = (
+                spark.range(0, 512)
+                .selectExpr("id as t")
+                .crossJoin(spark.range(0, 512).selectExpr("id as x"))
+                .select(
+                    "t", "x",
+                    (F.col("t") * 1000 + F.col("x"))
+                    .cast("double")
+                    .alias("v"),
+                )
+            )
+            write_zarr_grid(
+                g, out + "/s", dims=["t", "x"], chunk_shape=(64, 64),
+                shard_shape=(256, 256) if shard else None,
+                mode="overwrite",
+            )
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        return 0
+
+    qs["zarr_write_grid"] = lambda: _grid_write(False)
+    qs["zarr_write_grid_sharded"] = lambda: _grid_write(True)
+
     # rechunk/compaction (w06's path): small-chunk store -> sharded
     # big-chunk store, scan + write both measured (the source store is
     # built once outside the timer — the bench tracks the COPY)
