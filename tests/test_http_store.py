@@ -396,3 +396,25 @@ def test_spark_sharded_filter_over_http_uses_ranged_reads(
         f"whole-object GET for press: {press_obj}"
     )
 
+
+
+def test_maintenance_tools_over_http(spark, served_store):
+    """The read-only maintenance kit works against a REMOTE store:
+    audit (fsck) decodes every object over HTTP, describe answers
+    from metadata GETs, and diff compares the served store against a
+    local copy value-wise — the validation shape for 'did the upload
+    to the object store land intact'."""
+    url, data = served_store
+    from arrow_zarr_spark.io import audit_zarr, describe_zarr, diff_zarr
+
+    rep = audit_zarr(spark, url)
+    rows = rep.collect()
+    assert all(r["ok"] for r in rows)
+    assert sum(1 for r in rows if r["array"] == "temp") == 9  # 3x3 grid
+
+    info = describe_zarr(url)
+    assert info["n_rows"] == 48
+
+    d = diff_zarr(spark, url, url)
+    assert d.filter("status <> 'equal'").count() == 0
+    assert d.count() == 9 + 3 + 3
