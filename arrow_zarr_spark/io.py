@@ -783,13 +783,19 @@ def _validate_grid_append_target(
             f"writing {want}"
         )
 
-    def check_layout(name, m, chunk, dim_names, shard=None):
+    def check_layout(name, m, chunk, dim_names, shard=None,
+                     check_fill=True):
+        fv = (
+            fill_value.get(name, 0)
+            if isinstance(fill_value, dict)
+            else fill_value
+        )
         expected = build_array_meta(
             name,
             shape=m.shape,
             chunk_shape=chunk,
             dtype=np_dtypes[name],
-            fill_value=fill_value,
+            fill_value=fv,
             dimension_names=dim_names,
             compression=compression,
             shard_shape=shard,
@@ -809,7 +815,7 @@ def _validate_grid_append_target(
                 f"Grid append codec mismatch for {name!r}: store uses "
                 f"{m.codecs} — pass the store's compression option"
             )
-        if not _fill_values_equal(
+        if check_fill and not _fill_values_equal(
             m.fill_value, expected.fill_value, np_dtypes[name]
         ):
             raise ZarrFormatError(
@@ -827,7 +833,9 @@ def _validate_grid_append_target(
             raise ZarrFormatError(
                 f"Grid append: coordinate {d!r} is not 1-D in the store"
             )
-        check_layout(d, m, (int(cs),), (d,))
+        # coordinate fill is never materialized (axes are dense) —
+        # layout must match, the fill value need not
+        check_layout(d, m, (int(cs),), (d,), check_fill=False)
         # tolist(): python scalars, so axis values compare/serialize
         # like the DataFrame-collected ones on the fresh path
         old_axes[d] = arrays[d].read_all().tolist()
@@ -1001,18 +1009,30 @@ def write_zarr_grid(
     # the scan aligns coordinate chunking with the data arrays' store
     # OBJECT grid per dim — with sharding that is the shard shape
     coord_cs = tuple(int(x) for x in (shard_shape or chunk_shape))
+    # fill is per-DATA-column (dict {col: fill} or one scalar for
+    # all); coordinate arrays are dense by construction, their fill is
+    # never materialized — 0 keeps it serializable for any axis dtype
+    # (a string data fill like "" cannot coerce to an int64 axis)
+    fills = {
+        c: (
+            fill_value.get(c, 0)
+            if isinstance(fill_value, dict)
+            else fill_value
+        )
+        for c in data_cols
+    }
     for d, cs in zip(dims, coord_cs):
         coord_metas[d] = build_array_meta(
             d,
             shape=(len(axes[d]),), chunk_shape=(int(cs),),
-            dtype=np_dtypes[d], fill_value=fill_value,
+            dtype=np_dtypes[d], fill_value=0,
             dimension_names=(d,), compression=compression,
         )
     for c in data_cols:
         metas[c] = build_array_meta(
             c,
             shape=shape, chunk_shape=tuple(int(x) for x in chunk_shape),
-            dtype=np_dtypes[c], fill_value=fill_value,
+            dtype=np_dtypes[c], fill_value=fills[c],
             dimension_names=tuple(dims), compression=compression,
             shard_shape=shard_shape,
         )
@@ -1049,7 +1069,7 @@ def write_zarr_grid(
     dims_t = list(dims)
     data_cols_t = list(data_cols)
     grid_t = list(grid)
-    fill = fill_value
+    fills_t = dict(fills)
     # append: cells overlapping the old region read-merge the existing
     # chunk (padded-full objects make this exact; A13 fills absentees)
     ax_i = dims.index(append_dim) if appending else None
@@ -1068,7 +1088,7 @@ def write_zarr_grid(
         for c in data_cols_t:
             meta = metas_b.value[c]
             valid = meta.valid_chunk_shape(idx)
-            block = np.full(valid, fill, dtype=meta.dtype)
+            block = np.full(valid, fills_t[c], dtype=meta.dtype)
             if (
                 old_shape_t is not None
                 and idx[ax_i] * chunk_shape_t[ax_i] < old_shape_t[ax_i]
@@ -1115,7 +1135,7 @@ def write_zarr_grid(
             meta = metas[c]
             if not _stats_eligible(meta.dtype):
                 continue
-            fb = np.asarray(fill, dtype=meta.dtype)
+            fb = np.asarray(fills[c], dtype=meta.dtype)
             fill_pair = [
                 _stat_encode(fb, meta.dtype),
                 _stat_encode(fb, meta.dtype, upper=True),

@@ -274,7 +274,9 @@ def _fill_value_to_json(value: Any, dtype: np.dtype) -> Any:
         return v
     if dtype.kind == "b":
         return bool(value)
-    if dtype == np.dtype(object):
+    if dtype.kind in ("U", "S", "T") or dtype == np.dtype(object):
+        # any string representation (object, fixed U/S, numpy-2
+        # StringDType) serializes its fill as a JSON string
         return str(value)
     return int(value)
 

@@ -2313,3 +2313,42 @@ class TestAddColumnShardedDonor:
         back = spark.read.format("zarr").load(path)
         assert back.count() == 192
         assert back.filter("t=9 AND x=11").first()["q"] == 20
+
+
+class TestStringDataColumnGrid:
+    def test_string_data_array_roundtrip(self, spark, tmp_path):
+        """String DATA columns in an N-D grid write as N-D vlen-utf8
+        arrays and scan back value-exactly (z24 pins the axis case;
+        this pins the data-array case, fill included)."""
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "strdata")
+        g = (
+            spark.range(0, 6)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 4).selectExpr("id as x"))
+            .select(
+                "t", "x",
+                F.concat(
+                    F.lit("cell_"), F.col("t"), F.lit("_"), F.col("x")
+                ).alias("label"),
+            )
+        )
+        write_zarr_grid(
+            g.filter("t < 4"), path, dims=["t", "x"],
+            chunk_shape=(3, 2), mode="overwrite", fill_value="",
+        )
+        # grow the axis so absent cells exist? No — subset ROWS only
+        # cover t<4 but the axes derive from the provided rows, so
+        # the grid is 4x4 and fully covered; rewrite with full axes
+        # and absent interior cells instead:
+        path2 = str(tmp_path / "strdata2")
+        write_zarr_grid(
+            g.filter("t != 2 OR x != 1"), path2, dims=["t", "x"],
+            chunk_shape=(3, 2), mode="overwrite", fill_value="",
+        )
+        back = spark.read.format("zarr").load(path2)
+        assert back.count() == 24
+        got = {(r["t"], r["x"]): r["label"] for r in back.collect()}
+        assert got[(5, 3)] == "cell_5_3"
+        assert got[(2, 1)] == ""  # absent grid point reads the fill
