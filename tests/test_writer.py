@@ -2352,3 +2352,49 @@ class TestStringDataColumnGrid:
         got = {(r["t"], r["x"]): r["label"] for r in back.collect()}
         assert got[(5, 3)] == "cell_5_3"
         assert got[(2, 1)] == ""  # absent grid point reads the fill
+
+
+class TestStringGridAlterVerbs:
+    def test_region_and_add_on_string_columns(self, spark, tmp_path):
+        from arrow_zarr_spark.io import (
+            add_zarr_arrays,
+            write_zarr_grid,
+            write_zarr_region,
+        )
+
+        g = (
+            spark.range(0, 6)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 4).selectExpr("id as x"))
+            .select(
+                "t", "x",
+                F.concat(
+                    F.lit("c"), F.col("t"), F.lit("_"), F.col("x")
+                ).alias("label"),
+            )
+        )
+        # region write updates a string cell in place
+        p1 = str(tmp_path / "strreg")
+        write_zarr_grid(
+            g, p1, dims=["t", "x"], chunk_shape=(3, 2),
+            mode="overwrite", fill_value="",
+        )
+        write_zarr_region(
+            spark.createDataFrame([(2, 1, "FIXED")], ["t", "x", "label"]),
+            p1, dims=["t", "x"],
+        )
+        back = spark.read.format("zarr").load(p1)
+        assert back.filter("t=2 AND x=1").first()["label"] == "FIXED"
+        assert back.filter("label = 'c5_3'").count() == 1
+        # ALTER ADD attaches a string column with a string fill
+        p2 = str(tmp_path / "addstr")
+        write_zarr_grid(
+            g.select("t", "x", (F.col("t") * 1.0).alias("v")),
+            p2, dims=["t", "x"], chunk_shape=(3, 2), mode="overwrite",
+        )
+        add_zarr_arrays(
+            g.filter("t < 3"), p2, dims=["t", "x"], fill_value="?"
+        )
+        b2 = spark.read.format("zarr").load(p2)
+        assert b2.filter("t=1 AND x=1").first()["label"] == "c1_1"
+        assert b2.filter("label = '?'").count() == 12
