@@ -32,7 +32,7 @@ from __future__ import annotations
 import json
 import math
 import os
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -761,6 +761,11 @@ def _validate_grid_append_target(
     store, dims, data_cols, chunk_shape, np_dtypes, append_dim,
     compression, fill_value, shard_shape=None,
 ):
+    """(See body.) Returns (old_axes, old_stats, shard_shape) — the
+    shard shape is inferred from the store's own layout when the
+    caller omits it, so appending to a sharded store does not require
+    re-specifying shard_shape (mirroring ALTER ADD's donor
+    inheritance)."""
     """Append must extend a layout-compatible grid store along
     ``append_dim``: same arrays, same chunk grid, same dtypes, same
     dimension order — and, because the append REPUBLISHES every
@@ -782,6 +787,10 @@ def _validate_grid_append_target(
             f"Grid append schema mismatch: store has {sorted(arrays)}, "
             f"writing {want}"
         )
+    if shard_shape is None:
+        m0 = arrays[data_cols[0]].meta
+        if m0.codecs and m0.codecs[0].get("name") == "sharding_indexed":
+            shard_shape = tuple(int(x) for x in m0.chunk_shape)
 
     def check_layout(name, m, chunk, dim_names, shard=None,
                      check_fill=True):
@@ -859,7 +868,7 @@ def _validate_grid_append_target(
         )
         s = m.attributes.get(STATS_ATTR_KEY)
         old_stats[c] = s if isinstance(s, list) else None
-    return old_axes, old_stats
+    return old_axes, old_stats, shard_shape
 
 
 def _union_stat_bounds(entry, other):
@@ -951,7 +960,7 @@ def write_zarr_grid(
         np_dtypes_all = {
             f.name: _np_dtype_for(f) for f in df.schema.fields
         }
-        old_axes, old_stats = _validate_grid_append_target(
+        old_axes, old_stats, shard_shape = _validate_grid_append_target(
             store, dims, data_cols, chunk_shape, np_dtypes_all,
             append_dim, compression, fill_value,
             shard_shape=shard_shape,
@@ -1013,6 +1022,13 @@ def write_zarr_grid(
     # all); coordinate arrays are dense by construction, their fill is
     # never materialized — 0 keeps it serializable for any axis dtype
     # (a string data fill like "" cannot coerce to an int64 axis)
+    if isinstance(fill_value, dict):
+        unknown = set(fill_value) - set(data_cols)
+        if unknown:
+            raise ZarrFormatError(
+                f"fill_value names no such data columns: "
+                f"{sorted(unknown)} (data columns: {sorted(data_cols)})"
+            )
     fills = {
         c: (
             fill_value.get(c, 0)
@@ -1036,6 +1052,19 @@ def write_zarr_grid(
             dimension_names=tuple(dims), compression=compression,
             shard_shape=shard_shape,
         )
+        try:
+            metas[c].to_json()
+        except (ValueError, TypeError) as exc:
+            raise ZarrFormatError(
+                f"fill_value {fills[c]!r} is not representable in "
+                f"column {c!r} ({np_dtypes[c]}): {exc}"
+            ) from None
+        # the runtime fill (block pre-fill, absent-cell stats) is the
+        # meta's CANONICAL fill — build_array_meta coerces (e.g. a
+        # non-str fill on a string array becomes ""), and what readers
+        # materialize is the declared fill, not the raw argument
+        if metas[c].fill_value is not None:
+            fills[c] = metas[c].fill_value
     # the unit of work is the store OBJECT: with sharding the object
     # grid is the SHARD grid (meta.chunk_shape is the outer shape) —
     # each task writes one sharding_indexed object of many inner
@@ -2102,8 +2131,10 @@ def add_zarr_arrays(
     _check_axes_match_shape(axes, dims, shape, "Add column")
 
     np_dtypes = {c: _np_dtype_for(df.schema[c]) for c in data_cols}
-    metas: Dict[str, ArrayMeta] = {
-        c: build_array_meta(
+    metas: Dict[str, ArrayMeta] = {}
+    fills: Dict[str, Any] = {}
+    for c in data_cols:
+        metas[c] = build_array_meta(
             c,
             shape=shape,
             chunk_shape=donor_chunks,
@@ -2113,8 +2144,20 @@ def add_zarr_arrays(
             compression=compression,
             shard_shape=donor_shard,
         )
-        for c in data_cols
-    }
+        try:
+            metas[c].to_json()
+        except (ValueError, TypeError) as exc:
+            raise ZarrFormatError(
+                f"fill_value {fill_value!r} is not representable in "
+                f"column {c!r} ({np_dtypes[c]}): {exc}"
+            ) from None
+        # runtime fill = the meta's CANONICAL fill (same reasoning as
+        # the grid writer: readers materialize the declared fill)
+        fills[c] = (
+            metas[c].fill_value
+            if metas[c].fill_value is not None
+            else fill_value
+        )
 
     # a PREVIOUS add of these columns that crashed mid-write left
     # stranded chunk objects (metadata absent => provably debris, the
@@ -2135,7 +2178,7 @@ def add_zarr_arrays(
     dims_t = list(dims)
     data_cols_t = list(data_cols)
     grid_t = list(grid)
-    fill = fill_value
+    fills_t = dict(fills)
     want_stats = bool(stats)
 
     def write_new_cell(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2152,7 +2195,7 @@ def add_zarr_arrays(
         for c in data_cols_t:
             meta = metas_b.value[c]
             block = np.full(
-                meta.valid_chunk_shape(idx), fill, dtype=meta.dtype
+                meta.valid_chunk_shape(idx), fills_t[c], dtype=meta.dtype
             )
             block[tuple(local)] = _reject_nulls(
                 pdf[c].to_numpy(), meta.dtype, c
@@ -2188,7 +2231,7 @@ def add_zarr_arrays(
             meta = metas[c]
             if not _stats_eligible(meta.dtype):
                 continue
-            fb = np.asarray(fill, dtype=meta.dtype)
+            fb = np.asarray(fills[c], dtype=meta.dtype)
             fill_pair = [
                 _stat_encode(fb, meta.dtype),
                 _stat_encode(fb, meta.dtype, upper=True),

@@ -2322,7 +2322,6 @@ class TestStringDataColumnGrid:
         this pins the data-array case, fill included)."""
         from arrow_zarr_spark.io import write_zarr_grid
 
-        path = str(tmp_path / "strdata")
         g = (
             spark.range(0, 6)
             .selectExpr("id as t")
@@ -2334,14 +2333,6 @@ class TestStringDataColumnGrid:
                 ).alias("label"),
             )
         )
-        write_zarr_grid(
-            g.filter("t < 4"), path, dims=["t", "x"],
-            chunk_shape=(3, 2), mode="overwrite", fill_value="",
-        )
-        # grow the axis so absent cells exist? No — subset ROWS only
-        # cover t<4 but the axes derive from the provided rows, so
-        # the grid is 4x4 and fully covered; rewrite with full axes
-        # and absent interior cells instead:
         path2 = str(tmp_path / "strdata2")
         write_zarr_grid(
             g.filter("t != 2 OR x != 1"), path2, dims=["t", "x"],
@@ -2398,3 +2389,99 @@ class TestStringGridAlterVerbs:
         b2 = spark.read.format("zarr").load(p2)
         assert b2.filter("t=1 AND x=1").first()["label"] == "c1_1"
         assert b2.filter("label = '?'").count() == 12
+
+
+class TestGridFillCanonicalization:
+    def _g(self, spark):
+        return (
+            spark.range(0, 4)
+            .selectExpr("id as t")
+            .crossJoin(spark.range(0, 4).selectExpr("id as x"))
+            .select(
+                "t", "x",
+                F.concat(F.lit("s"), F.col("t")).alias("label"),
+            )
+        )
+
+    def test_string_column_with_default_fill(self, spark, tmp_path):
+        """The DEFAULT fill_value=0 on a string column must behave as
+        the declared (coerced) fill '' everywhere: no stats crash, and
+        an absent grid point reads '' whether its chunk was touched or
+        not (previously a touched chunk's absent points read '0')."""
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "fc1")
+        write_zarr_grid(
+            self._g(spark).filter("t != 1 OR x != 1"),
+            path, dims=["t", "x"], chunk_shape=(3, 2), mode="overwrite",
+        )
+        back = spark.read.format("zarr").load(path)
+        got = {(r["t"], r["x"]): r["label"] for r in back.collect()}
+        assert got[(1, 1)] == ""  # absent point in a TOUCHED chunk
+        assert got[(3, 3)] == "s3"
+
+    def test_string_add_column_with_default_fill(self, spark, tmp_path):
+        from arrow_zarr_spark.io import add_zarr_arrays, write_zarr_grid
+
+        path = str(tmp_path / "fc2")
+        write_zarr_grid(
+            self._g(spark).select("t", "x", (F.col("t") * 1.0).alias("v")),
+            path, dims=["t", "x"], chunk_shape=(3, 2), mode="overwrite",
+        )
+        add_zarr_arrays(
+            self._g(spark).filter("t != 1 OR x != 1"),
+            path, dims=["t", "x"],
+        )
+        back = spark.read.format("zarr").load(path)
+        got = {(r["t"], r["x"]): r["label"] for r in back.collect()}
+        assert got[(1, 1)] == "" and got[(0, 0)] == "s0"
+
+    def test_fill_dict_typo_and_bad_scalar_rejected(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        g = self._g(spark).select(
+            "t", "x", (F.col("t") * 1.0).alias("v")
+        )
+        with pytest.raises(ZarrFormatError, match="no such data columns"):
+            write_zarr_grid(
+                g, str(tmp_path / "fc3"), dims=["t", "x"],
+                chunk_shape=(3, 2), mode="overwrite",
+                fill_value={"vlaue": -9},
+            )
+        with pytest.raises(ZarrFormatError, match="not representable"):
+            write_zarr_grid(
+                g, str(tmp_path / "fc4"), dims=["t", "x"],
+                chunk_shape=(3, 2), mode="overwrite", fill_value="",
+            )
+
+    def test_sharded_append_infers_shard_shape(self, spark, tmp_path):
+        """Appending to a sharded grid store must not require
+        re-passing shard_shape (ALTER ADD already infers it)."""
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "fc5")
+
+        def mk(t0, t1):
+            return (
+                spark.range(t0, t1)
+                .selectExpr("id as t")
+                .crossJoin(spark.range(0, 12).selectExpr("id as x"))
+                .select(
+                    "t", "x",
+                    (F.col("t") * 100 + F.col("x"))
+                    .cast("double")
+                    .alias("v"),
+                )
+            )
+
+        write_zarr_grid(
+            mk(0, 16), path, dims=["t", "x"], chunk_shape=(2, 3),
+            shard_shape=(8, 6), mode="overwrite",
+        )
+        write_zarr_grid(
+            mk(16, 20), path, dims=["t", "x"], chunk_shape=(2, 3),
+            mode="append", append_dim="t",  # no shard_shape
+        )
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 240
+        assert back.filter("t=19 AND x=11").first()["v"] == 1911.0
