@@ -1301,6 +1301,17 @@ _populated = False
 #: UNCHANGED rather than rotating, and the round-6 additions (d16,
 #: s04, x03, p13, w08, w09, z21, j06, r46, r47) register past slot 50
 #: for the round-7 rotation.
+#:
+#: ROUND-7 ROTATION PLAN (apply once this round's driver rows land —
+#: check CORRECTNESS_r06 first; if it too failed to record, keep the
+#: window unchanged again): (a) the never-driver-checked round-6
+#: additions first — d16, s04, x03, p13, w08, w09, w10, z21, j06,
+#: r46, r47, r48, d17, w11, w12, w13, t14, z22, z23, z24, z25 (21
+#: entries); (b) fill the rest with the stalest green rows — the
+#: r2-era tier-B block and the r3-era z/d/s/t/m/j/p representatives
+#: rotated out in round 5 (see populate_rotated_out). Everything
+#: rotated out stays parity-enforced every round by
+#: tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
     # never driver-checked (registered past slot 50 in round 4)
     "z18_3d_scan",
