@@ -52,6 +52,7 @@ __all__ = [
     "remove_frequent_segments",
     "remove_frequent_segments_sql",
     "bloom_gated_dedup",
+    "embedding_dedup_against_corpus",
 ]
 
 _MERSENNE31 = 2147483647  # 2^31 - 1
@@ -831,36 +832,16 @@ def connected_components(
         edges.unpersist()
 
 
-def embedding_lsh_neardup_pairs(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.4,
-    n_planes: Optional[int] = None,
-    n_tables: Optional[int] = None,
-    seed: int = 42,
-    target_miss: float = 1e-6,
-) -> DataFrame:
-    """Embedding near-dup pairs with an LSH gate: cosine ≥ threshold,
-    id_a < id_b — same contract as :func:`embedding_cosine_pairs`, but
-    candidates come from a hyperplane-LSH bucket equi-join instead of a
-    cross join, so the plan stays data-linear at corpus scale.
-
-    Parameters auto-derive from the threshold when not given: a pair at
-    exactly ``threshold`` collides with one hyperplane with probability
-    ``p = 1 - arccos(threshold)/π``; planes per table are chosen so a
-    table matches the threshold pair with probability ≈ 0.25, and the
-    table count so the miss probability per qualifying pair is below
-    ``target_miss``. The honest trade-off: at high thresholds (≥ 0.8,
-    the realistic near-dup regime) buckets are small and the gate
-    prunes hard; at low thresholds collision probability per plane
-    approaches 1/2, buckets stay coarse, and the candidate set
-    approaches all-pairs — the gate then bounds the join's key space
-    but not its output. The exact all-pairs form below remains the
-    verifier; this is the registered scale path."""
+def _hyperplane_lsh_params(
+    threshold, n_planes, n_tables, target_miss, who
+):
+    """Auto-derive hyperplane-LSH (planes, tables) from the cosine
+    threshold (shared by the self- and cross-table near-dup gates): a
+    pair at exactly ``threshold`` collides with one hyperplane with
+    probability ``p = 1 - arccos(threshold)/π``; planes per table aim
+    a table-match probability ≈ 0.25 and the table count pushes the
+    per-pair miss probability below ``target_miss``."""
     import math
-
-    from .similarity import _planes, cosine_udf
 
     # Degenerate thresholds break the parameter math (threshold >= 1
     # gives p_same = 1 so log(p_same) = 0 and log1p(-p_table) raises;
@@ -868,7 +849,7 @@ def embedding_lsh_neardup_pairs(
     # them up front with a message that names the valid range.
     if not -1.0 < threshold < 1.0:
         raise ValueError(
-            f"embedding_lsh_neardup_pairs: threshold must be strictly "
+            f"{who}: threshold must be strictly "
             f"inside (-1, 1), got {threshold}. cosine == 1.0 means "
             f"exact duplicates (use exact_dedup on a normalized "
             f"vector); <= -1 matches everything."
@@ -893,18 +874,27 @@ def embedding_lsh_neardup_pairs(
             import warnings
 
             warnings.warn(
-                f"embedding_lsh_neardup_pairs: threshold {threshold} "
+                f"{who}: threshold {threshold} "
                 f"needs {needed} tables for per-pair miss <= "
                 f"{target_miss}; capped at 64 — recall at the "
                 "threshold boundary will be below the target. Pass "
                 "n_tables explicitly to override.",
                 stacklevel=2,
             )
+    return n_planes, n_tables
+
+
+def _hyperplane_signatures(
+    df, id_col, vec_col, n_planes, n_tables, seed, who
+):
+    """(sid, tbl, sig) per (row, table): the Arrow-batched signature
+    pass of the hyperplane-LSH gates — scan-bound, no shuffle."""
+    from .similarity import _planes
 
     first = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
     if first is None or first[0] is None:
         raise ValueError(
-            f"embedding_lsh_neardup_pairs: input has no row with a "
+            f"{who}: input has no row with a "
             f"non-null '{vec_col}' to infer the vector dimension from"
         )
     dim = len(first[0])
@@ -935,7 +925,46 @@ def embedding_lsh_neardup_pairs(
                 }
             )
 
-    sigs = df.mapInPandas(sig_kernel, schema="sid long, tbl int, sig long")
+    return df.mapInPandas(sig_kernel, schema="sid long, tbl int, sig long")
+
+
+def embedding_lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: Optional[int] = None,
+    n_tables: Optional[int] = None,
+    seed: int = 42,
+    target_miss: float = 1e-6,
+) -> DataFrame:
+    """Embedding near-dup pairs with an LSH gate: cosine ≥ threshold,
+    id_a < id_b — same contract as :func:`embedding_cosine_pairs`, but
+    candidates come from a hyperplane-LSH bucket equi-join instead of a
+    cross join, so the plan stays data-linear at corpus scale.
+
+    Parameters auto-derive from the threshold when not given: a pair at
+    exactly ``threshold`` collides with one hyperplane with probability
+    ``p = 1 - arccos(threshold)/π``; planes per table are chosen so a
+    table matches the threshold pair with probability ≈ 0.25, and the
+    table count so the miss probability per qualifying pair is below
+    ``target_miss``. The honest trade-off: at high thresholds (≥ 0.8,
+    the realistic near-dup regime) buckets are small and the gate
+    prunes hard; at low thresholds collision probability per plane
+    approaches 1/2, buckets stay coarse, and the candidate set
+    approaches all-pairs — the gate then bounds the join's key space
+    but not its output. The exact all-pairs form below remains the
+    verifier; this is the registered scale path."""
+    from .similarity import cosine_udf
+
+    n_planes, n_tables = _hyperplane_lsh_params(
+        threshold, n_planes, n_tables, target_miss,
+        "embedding_lsh_neardup_pairs",
+    )
+    sigs = _hyperplane_signatures(
+        df, id_col, vec_col, n_planes, n_tables, seed,
+        "embedding_lsh_neardup_pairs",
+    )
     # materialize once: both sides of the self-join would otherwise
     # re-run the signature matmul and the corpus scan (same reasoning
     # and same ContextCleaner-reclaimed checkpoint as minhash's banded
@@ -1413,3 +1442,85 @@ def bloom_gated_dedup(
     return batch.join(
         F.broadcast(confirmed), "__key", "left_anti"
     ).drop("__key")
+
+
+def embedding_dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: Optional[int] = None,
+    n_tables: Optional[int] = None,
+    seed: int = 42,
+    target_miss: float = 1e-6,
+) -> DataFrame:
+    """Drop every NEW vector that near-duplicates (cosine ≥
+    ``threshold``) ANY corpus vector — the embedding-modality twin of
+    :func:`dedup_against_corpus` (text Jaccard) and the cross-table
+    form of :func:`embedding_lsh_neardup_pairs`: incremental semantic
+    dedup of a new embedding batch against an existing corpus.
+
+    The 100-TB shape — the corpus never shuffles:
+
+    1. both sides stream through the shared hyperplane-LSH signature
+       kernel (scan-bound mapInPandas, parameters auto-derived from
+       the threshold exactly as the self-join gate);
+    2. the corpus signature stream semi-joins against the BROADCAST
+       batch signature set on (table, signature) — candidates are
+       bounded by bucket collisions with the batch, never all-pairs;
+    3. candidates exact-verify with the Arrow cosine kernel (vectors
+       re-joined by id, the batch side broadcast);
+    4. confirmed-duplicate new ids broadcast-anti-join the batch.
+
+    Same recall contract as the self-join gate: per qualifying pair
+    miss ≤ ``target_miss`` at the threshold (an LSH miss keeps a true
+    near-dup — tune ``target_miss`` down or pass ``n_tables`` for
+    stricter guarantees)."""
+    from .similarity import cosine_udf
+
+    n_planes, n_tables = _hyperplane_lsh_params(
+        threshold, n_planes, n_tables, target_miss,
+        "embedding_dedup_against_corpus",
+    )
+    new_sigs = _hyperplane_signatures(
+        new_df, id_col, vec_col, n_planes, n_tables, seed,
+        "embedding_dedup_against_corpus",
+    ).localCheckpoint(eager=True)
+    corpus_sigs = _hyperplane_signatures(
+        corpus_df, id_col, vec_col, n_planes, n_tables, seed,
+        "embedding_dedup_against_corpus",
+    )
+    cand = (
+        corpus_sigs.alias("c")
+        .join(
+            F.broadcast(new_sigs).alias("n"),
+            (F.col("c.tbl") == F.col("n.tbl"))
+            & (F.col("c.sig") == F.col("n.sig")),
+        )
+        .select(
+            F.col("n.sid").alias("new_id"),
+            F.col("c.sid").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    vn = new_df.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("vn"))
+    vc = corpus_df.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("vc")
+    )
+    # corpus vectors stream-probe the BROADCAST candidate set (cand is
+    # batch-bounded); an unhinted join here would sort-merge the corpus
+    flagged = (
+        vc.join(
+            F.broadcast(cand.join(F.broadcast(vn), "new_id")),
+            "corpus_id",
+        )
+        .filter(F.round(cosine_udf("vn", "vc"), 6) >= threshold)
+        .select("new_id")
+        .distinct()
+    )
+    return new_df.join(
+        F.broadcast(flagged.withColumnRenamed("new_id", id_col)),
+        id_col,
+        "left_anti",
+    )

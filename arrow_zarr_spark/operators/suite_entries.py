@@ -2556,3 +2556,32 @@ def populate_round6_sharded_grid_queries(register) -> None:
         "ELSE t.range * 100 + x.range END AS DOUBLE) AS v "
         "FROM range(0, 16) t, range(0, 12) x",
     )
+
+
+def populate_round6_embdedup_queries(register) -> None:
+    """d18: incremental batch-vs-corpus EMBEDDING dedup — the
+    semantic-modality twin of d12's text Jaccard: hyperplane-LSH
+    bucket gate (batch signatures broadcast, corpus never shuffles) +
+    exact cosine verify + broadcast anti-join. Oracle = the exact
+    NOT EXISTS anti-join (the gate's auto-derived parameters give
+    per-pair miss <= 1e-6 at the threshold, the same recall contract
+    d06's exact oracle has held since round 3)."""
+
+    def d18(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        out = dedup.embedding_dedup_against_corpus(
+            embs.filter(F.col("vec_id") % 9 == 0),
+            embs.filter(F.col("vec_id") % 9 != 0),
+            threshold=0.4,
+        )
+        return out.select("vec_id")
+
+    register(
+        "d18_embedding_dedup_corpus",
+        d18,
+        "SELECT b.vec_id FROM embeddings b WHERE b.vec_id % 9 = 0 "
+        "AND NOT EXISTS (SELECT 1 FROM embeddings c "
+        "WHERE c.vec_id % 9 <> 0 AND "
+        "ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), "
+        "CAST(c.embedding AS DOUBLE[])), 6) >= 0.4)",
+    )

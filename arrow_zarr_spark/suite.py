@@ -1392,6 +1392,7 @@ def _ensure_populated() -> None:
         populate_round6_time_axis_queries,
         populate_round6_3d_writer_queries,
         populate_round6_sharded_grid_queries,
+        populate_round6_embdedup_queries,
         populate_round6_bloom_queries,
         populate_round6_queries,
         populate_round6_grid_queries,
@@ -1419,6 +1420,7 @@ def _ensure_populated() -> None:
     populate_round6_time_axis_queries(register_query)
     populate_round6_3d_writer_queries(register_query)
     populate_round6_sharded_grid_queries(register_query)
+    populate_round6_embdedup_queries(register_query)
     _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()

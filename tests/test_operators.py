@@ -1474,3 +1474,79 @@ class TestAssembleChunks:
         got = assemble_chunks(df).collect()[0]
         assert got["text"] == "p0 p1 p2 p3 p4"
         assert got["n_chunks"] == 5
+
+
+class TestEmbeddingDedupAgainstCorpus:
+    def test_matches_exact_anti_join(self, spark):
+        import numpy as np
+
+        from arrow_zarr_spark.operators.dedup import (
+            embedding_dedup_against_corpus,
+        )
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(40, 16)
+        # batch: 10 vectors near-duplicating corpus rows, 10 fresh
+        corpus_rows = [
+            (i, base[i].tolist()) for i in range(40)
+        ]
+        batch_rows = [
+            (100 + i, (base[i] + rng.randn(16) * 0.01).tolist())
+            for i in range(10)
+        ] + [
+            (200 + i, rng.randn(16).tolist()) for i in range(10)
+        ]
+        corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+        batch = spark.createDataFrame(batch_rows, ["vec_id", "embedding"])
+        got = embedding_dedup_against_corpus(
+            batch, corpus, threshold=0.8
+        )
+        got_ids = sorted(r["vec_id"] for r in got.collect())
+        # exact reference: keep iff no corpus vector reaches cosine .8
+        from arrow_zarr_spark.operators.similarity import cosine_udf
+        from pyspark.sql import functions as F
+
+        exact_flagged = (
+            batch.alias("b")
+            .crossJoin(corpus.alias("c"))
+            .filter(
+                F.round(
+                    cosine_udf("b.embedding", "c.embedding"), 6
+                ) >= 0.8
+            )
+            .select(F.col("b.vec_id"))
+            .distinct()
+        )
+        exact = sorted(
+            r["vec_id"]
+            for r in batch.join(
+                exact_flagged, "vec_id", "left_anti"
+            ).collect()
+        )
+        assert got_ids == exact
+        # random 16-dim fresh vectors are nowhere near 0.8 cosine
+        assert got_ids == sorted(200 + i for i in range(10))
+
+    def test_corpus_never_shuffles_vectors(self, spark):
+        """Plan contract: the bucket join broadcasts the batch side;
+        no SortMergeJoin, no cartesian anywhere."""
+        import numpy as np
+
+        from arrow_zarr_spark.operators.dedup import (
+            embedding_dedup_against_corpus,
+        )
+
+        rng = np.random.RandomState(3)
+        corpus = spark.createDataFrame(
+            [(i, rng.randn(8).tolist()) for i in range(50)],
+            ["vec_id", "embedding"],
+        )
+        batch = spark.createDataFrame(
+            [(100 + i, rng.randn(8).tolist()) for i in range(5)],
+            ["vec_id", "embedding"],
+        )
+        out = embedding_dedup_against_corpus(batch, corpus, threshold=0.6)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
