@@ -45,6 +45,16 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
             embs, threshold=0.85, target_miss=1e-3
         )
     )
+    # cross-table variant (d18): batch signatures broadcast, corpus
+    # never shuffles — tracked against the self-join gate above (the
+    # delta is the join asymmetry, not a second signature pass)
+    qs["dedup_embedding_corpus"] = lambda: force(
+        dedup.embedding_dedup_against_corpus(
+            embs.filter(F.col("vec_id") % 9 == 0),
+            embs.filter(F.col("vec_id") % 9 != 0),
+            threshold=0.85, target_miss=1e-3,
+        )
+    )
     qs["text_pipeline"] = lambda: force(text.text_features(docs))
     qs["multimodal_features"] = lambda: force(
         multimodal.byte_features(multimodal.with_binary_payload(docs))
