@@ -2485,3 +2485,54 @@ class TestGridFillCanonicalization:
         back = spark.read.format("zarr").load(path)
         assert back.count() == 240
         assert back.filter("t=19 AND x=11").first()["v"] == 1911.0
+
+
+class TestShardedGridProperty:
+    def test_randomized_shapes_roundtrip(self, spark, tmp_path):
+        """Randomized (axes, inner chunk, shard multiple) trials: the
+        sharded grid write must round-trip value-exactly, including
+        edge shards on both axes, and its per-cell stats must obey the
+        soundness law."""
+        import math
+
+        from arrow_zarr_spark.io import STATS_ATTR_KEY, write_zarr_grid
+
+        rng = np.random.RandomState(4242)
+        for trial in range(3):
+            nt = int(rng.randint(5, 14))
+            nx = int(rng.randint(4, 10))
+            cs = (int(rng.randint(1, 4)), int(rng.randint(1, 4)))
+            mult = (int(rng.randint(2, 4)), int(rng.randint(2, 4)))
+            shard = (cs[0] * mult[0], cs[1] * mult[1])
+            rows = [
+                (float(t), float(x), float(rng.randint(-99, 99)))
+                for t in range(nt)
+                for x in range(nx)
+            ]
+            path = str(tmp_path / f"shp{trial}")
+            write_zarr_grid(
+                spark.createDataFrame(rows, ["t", "x", "v"]),
+                path, dims=["t", "x"], chunk_shape=cs,
+                shard_shape=shard, mode="overwrite",
+            )
+            back = spark.read.format("zarr").load(path)
+            got = {(int(r.t), int(r.x)): r.v for r in back.collect()}
+            exp = {(int(t), int(x)): v for t, x, v in rows}
+            assert got == exp, (trial, nt, nx, cs, shard)
+            g = (math.ceil(nt / shard[0]), math.ceil(nx / shard[1]))
+            arrays = {
+                a.meta.name: a
+                for a in infer_store_arrays(open_store(path))
+            }
+            st = arrays["v"].meta.attributes[STATS_ATTR_KEY]
+            assert len(st) == g[0] * g[1]
+            for ci in range(g[0]):
+                for cj in range(g[1]):
+                    lo, hi = st[ci * g[1] + cj]
+                    cell = [
+                        v
+                        for (t, x), v in exp.items()
+                        if ci * shard[0] <= t < (ci + 1) * shard[0]
+                        and cj * shard[1] <= x < (cj + 1) * shard[1]
+                    ]
+                    assert lo <= min(cell) and max(cell) <= hi
