@@ -879,7 +879,7 @@ def _hyperplane_lsh_params(
                 f"{target_miss}; capped at 64 — recall at the "
                 "threshold boundary will be below the target. Pass "
                 "n_tables explicitly to override.",
-                stacklevel=2,
+                stacklevel=3,  # through the caller of this helper
             )
     return n_planes, n_tables
 
@@ -1479,6 +1479,22 @@ def embedding_dedup_against_corpus(
     stricter guarantees)."""
     from .similarity import cosine_udf
 
+    # bootstrap/degenerate cases keep d12's contract: an empty (or
+    # all-null-embedding) corpus dedups nothing — the whole batch
+    # survives; a batch with no usable vectors likewise passes through
+    # (null vectors can't near-dup anything)
+    if (
+        corpus_df.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .first()
+        is None
+        or new_df.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .first()
+        is None
+    ):
+        return new_df
+
     n_planes, n_tables = _hyperplane_lsh_params(
         threshold, n_planes, n_tables, target_miss,
         "embedding_dedup_against_corpus",
@@ -1486,7 +1502,7 @@ def embedding_dedup_against_corpus(
     new_sigs = _hyperplane_signatures(
         new_df, id_col, vec_col, n_planes, n_tables, seed,
         "embedding_dedup_against_corpus",
-    ).localCheckpoint(eager=True)
+    )
     corpus_sigs = _hyperplane_signatures(
         corpus_df, id_col, vec_col, n_planes, n_tables, seed,
         "embedding_dedup_against_corpus",
@@ -1508,13 +1524,15 @@ def embedding_dedup_against_corpus(
     vc = corpus_df.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("vc")
     )
-    # corpus vectors stream-probe the BROADCAST candidate set (cand is
-    # batch-bounded); an unhinted join here would sort-merge the corpus
+    # corpus vectors stream-probe the BROADCAST id-only pair set, then
+    # the batch vectors broadcast separately — never the pair×vector
+    # join product (at low thresholds candidates are bounded by batch
+    # × corpus bucket collisions, not by the batch alone, so the pair
+    # set must stay id-sized); an unhinted join would sort-merge the
+    # corpus
     flagged = (
-        vc.join(
-            F.broadcast(cand.join(F.broadcast(vn), "new_id")),
-            "corpus_id",
-        )
+        vc.join(F.broadcast(cand), "corpus_id")
+        .join(F.broadcast(vn), "new_id")
         .filter(F.round(cosine_udf("vn", "vc"), 6) >= threshold)
         .select("new_id")
         .distinct()

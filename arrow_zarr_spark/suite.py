@@ -1306,8 +1306,9 @@ _populated = False
 #: check CORRECTNESS_r06 first; if it too failed to record, keep the
 #: window unchanged again): (a) the never-driver-checked round-6
 #: additions first — d16, s04, x03, p13, w08, w09, w10, z21, j06,
-#: r46, r47, r48, d17, w11, w12, w13, t14, z22, z23, z24, z25 (21
-#: entries); (b) fill the rest with the stalest green rows — the
+#: r46, r47, r48, d17, d18, w11, w12, w13, t14, z22, z23, z24,
+#: z25 (22 entries — re-enumerate against the live registry before
+#: applying, late additions register after this comment); (b) fill the rest with the stalest green rows — the
 #: r2-era tier-B block and the r3-era z/d/s/t/m/j/p representatives
 #: rotated out in round 5 (see populate_rotated_out). Everything
 #: rotated out stays parity-enforced every round by

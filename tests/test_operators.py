@@ -1550,3 +1550,25 @@ class TestEmbeddingDedupAgainstCorpus:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestEmbeddingDedupBootstrap:
+    def test_empty_corpus_keeps_batch(self, spark):
+        import numpy as np
+
+        from arrow_zarr_spark.operators.dedup import (
+            embedding_dedup_against_corpus,
+        )
+
+        rng = np.random.RandomState(5)
+        batch = spark.createDataFrame(
+            [(i, rng.randn(8).tolist()) for i in range(6)],
+            ["vec_id", "embedding"],
+        )
+        empty = batch.filter("vec_id < 0")
+        assert (
+            embedding_dedup_against_corpus(batch, empty).count() == 6
+        )
+        assert (
+            embedding_dedup_against_corpus(empty, batch).count() == 0
+        )
