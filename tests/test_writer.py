@@ -2536,3 +2536,46 @@ class TestShardedGridProperty:
                         and cj * shard[1] <= x < (cj + 1) * shard[1]
                     ]
                     assert lo <= min(cell) and max(cell) <= hi
+
+
+class TestThreeDAlterVerbs:
+    def test_region_add_vacuum_audit_on_3d(self, spark, tmp_path):
+        """The in-place verbs and maintenance kit are N-D generic —
+        pinned on a 3-D store: region update one point, ALTER ADD a
+        half-covered column, then vacuum and audit come back clean."""
+        from arrow_zarr_spark.io import (
+            add_zarr_arrays,
+            audit_zarr,
+            vacuum_zarr,
+            write_zarr_grid,
+            write_zarr_region,
+        )
+
+        path = str(tmp_path / "g3verbs")
+        g3 = spark.sql(
+            "SELECT a.id AS a, b.id AS b, c.id AS c, "
+            "CAST(a.id * 100 + b.id * 10 + c.id AS DOUBLE) AS v "
+            "FROM range(0, 4) a, range(0, 3) b, range(0, 5) c"
+        )
+        write_zarr_grid(
+            g3, path, dims=["a", "b", "c"], chunk_shape=(2, 2, 3),
+            mode="overwrite",
+        )
+        write_zarr_region(
+            spark.createDataFrame(
+                [(1, 1, 1, -5.0)], ["a", "b", "c", "v"]
+            ),
+            path, dims=["a", "b", "c"],
+        )
+        add_zarr_arrays(
+            g3.filter("a < 2").select(
+                "a", "b", "c", (F.col("c") * 1.0).alias("q")
+            ),
+            path, dims=["a", "b", "c"], fill_value=-1.0,
+        )
+        back = spark.read.format("zarr").load(path)
+        row = back.filter("a=1 AND b=1 AND c=1").first()
+        assert row["v"] == -5.0 and row["q"] == 1.0
+        assert back.filter("q = -1.0").count() == 30  # a >= 2
+        assert vacuum_zarr(path)["orphans"] == []
+        assert audit_zarr(spark, path).filter("NOT ok").count() == 0
