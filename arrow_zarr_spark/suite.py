@@ -801,6 +801,54 @@ def _populate_zarr_round5() -> None:
     )
 
 
+def _populate_zarr_round7() -> None:
+    def z26(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DDL-schema validation error semantics (SURVEY §2 A3): a
+        user-supplied schema whose column type disagrees with the
+        store must fail with the reference's exact error text
+        (table_provider.rs:440-486, reproduced at datasource.py's
+        ``ZarrDataSource.reader``). The query drives the REAL read
+        path — ``spark.read.format("zarr").schema(wrong).load(...)``
+        plus an action — and returns the surfaced error text as a
+        1-row DataFrame; the oracle is the literal string, so any
+        drift in the message (or a silent non-error) hash-fails."""
+        from pyspark.sql.types import (
+            DoubleType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from .datasource import register
+
+        register(spark)
+        path = fixtures.write_lat_lon_store()
+        wrong = StructType(
+            [
+                StructField("data", StringType()),  # store holds float64
+                StructField("lat", DoubleType()),
+                StructField("lon", DoubleType()),
+            ]
+        )
+        expected = (
+            "Requested column data's type does not match data from store"
+        )
+        try:
+            spark.read.format("zarr").schema(wrong).load(path).take(1)
+            msg = "NO ERROR RAISED"
+        except Exception as exc:  # noqa: BLE001 — surfaced text is the datum
+            text = str(exc)
+            msg = expected if expected in text else text[:200]
+        return spark.createDataFrame([(msg,)], "error_text string")
+
+    register_query(
+        "z26_ddl_validation_error",
+        z26,
+        "SELECT 'Requested column data''s type does not match data "
+        "from store' AS error_text",
+    )
+
+
 def _populate_relational_rotated() -> None:
     """Relational entries outside the window: r25 earned its
     driver-green row in r3 (after two red rounds), and r26 is a
@@ -1295,79 +1343,69 @@ _populated = False
 #: round,
 #: rotating back in round 6).
 #:
-#: ROUND-6 NOTE: no round-5 driver artifacts ever landed
-#: (CORRECTNESS_r05 was not recorded), so this window's entries are
-#: still waiting for their first driver rows — round 6 keeps the list
-#: UNCHANGED rather than rotating, and the round-6 additions (d16,
-#: s04, x03, p13, w08, w09, z21, j06, r46, r47) register past slot 50
-#: for the round-7 rotation.
-#:
-#: ROUND-7 ROTATION PLAN (apply once this round's driver rows land —
-#: check CORRECTNESS_r06 first; if it too failed to record, keep the
-#: window unchanged again): (a) the never-driver-checked round-6
-#: additions first — d16, s04, x03, p13, w08, w09, w10, z21, j06,
-#: r46, r47, r48, d17, d18, w11, w12, w13, t14, z22, z23, z24,
-#: z25 (22 entries — re-enumerate against the live registry before
-#: applying, late additions register after this comment); (b) fill the rest with the stalest green rows — the
-#: r2-era tier-B block and the r3-era z/d/s/t/m/j/p representatives
-#: rotated out in round 5 (see populate_rotated_out). Everything
-#: rotated out stays parity-enforced every round by
-#: tests/test_oracle_parity.py.
+#: ROUND-7 ROTATION (applied): CORRECTNESS_r06 landed and is 50/50
+#: green on the round-5 window, so every prior window entry now has a
+#: fresh driver row. This window takes (a) the 22 round-6 additions
+#: that have never had a driver row (d16-d18, s04, x03, p13, w08-w13,
+#: j06, t14, z21-z25, r46-r48), (b) z26 (new this round — the Tier-A3
+#: DDL-validation error-path query, the last Tier-A component with no
+#: driver evidence), and (c) 27 of the stalest green rows, all last
+#: driver-checked in round 3. Everything rotated out stays
+#: parity-enforced every round by tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # never driver-checked (registered past slot 50 in round 4)
-    "z18_3d_scan",
-    "w03_sharded_writer_roundtrip",
-    "w04_string_writer_roundtrip",
-    "m05_decode_audio_fake",
-    "r38_range_frame",
-    "r39_exists",
-    # new in round 5
-    "d13_minhash_wordcode",
-    "p08_token_budget_sharded",
-    "p09_quantile_gate_approx",
-    "p10_deterministic_shuffle",
-    "r40_ntile",
-    "r41_first_last_value",
-    "r42_filtered_agg",
-    "e03_windowed_stats_batchform",
-    "d14_duplicated_spans",
-    "t12_unigram_logprob",
-    "j05_bucketed_join",
-    "z19_multi_store_union",
-    "t13_corpus_vocab_stats",
-    "e04_interval_left_join_batchform",
-    "d15_simhash_wordcode",
-    "s03_ivf_ann_topk",
-    "x01_pretraining_pipeline",
-    "w05_partitioned_writer_roundtrip",
-    "x02_fuzzy_dedup_pipeline",
-    "p11_weighted_sample",
-    "w06_rechunk_roundtrip",
-    "z20_stats_pruned_scan",
-    "w07_format_sink_roundtrip",
-    "r43_lateral_join",
-    "r44_listagg",
-    "r45_time_range_frame",
-    "p12_temperature_mixture",
-    # stalest green rows (last driver-checked in round 2)
-    "b01_projection",
-    "b02_scalar_expr_alias",
-    "b04_where_range_conj",
-    "b09_theta_self_join",
-    "b10_cte_self_join",
-    "b11_self_join_equi",
-    "b12_union_all",
-    "b13_limit_topk",
-    "b14_select_star",
-    # stale green rows (last driver-checked in round 3)
-    "z01_scan_full",
-    "z02_coords_cartesian",
-    "z03_where_pushdown",
-    "z06_mixed_dims",
-    "z11_theta_self_join",
-    "z15_v2_store_scan",
-    "d06_embedding_neardup",
-    "j01_range_join",
+    # never driver-checked (new in round 6)
+    "d16_remove_frequent_segments",
+    "d17_bloom_gated_dedup",
+    "d18_embedding_dedup_corpus",
+    "s04_pq_ann_topk",
+    "x03_snapshot_curation_pipeline",
+    "p13_quality_replication",
+    "w08_v2_writer_roundtrip",
+    "w09_grid_append_roundtrip",
+    "w10_grid_region_roundtrip",
+    "w11_grid_alter_roundtrip",
+    "w12_3d_grid_roundtrip",
+    "w13_sharded_grid_roundtrip",
+    "j06_interval_overlap_join",
+    "t14_assemble_chunks",
+    "z21_metadata_count",
+    "z22_audit_report",
+    "z23_store_diff_report",
+    "z24_string_coord_grid",
+    "z25_time_axis_grid",
+    "r46_full_outer_join",
+    "r47_unpivot",
+    "r48_recursive_cte",
+    # new in round 7
+    "z26_ddl_validation_error",
+    # stalest green rows (last driver-checked in round 3)
+    "c01_kmeans_clusters",
+    "c02_semantic_neardup",
+    "d04_ngram_jaccard_pairs",
+    "d07_dedup_components",
+    "d08_streaming_dedup_batchform",
+    "d09_ngram_contamination",
+    "d10_canonical_docs",
+    "j02_asof_join",
+    "j03_theta_join_banded",
+    "j04_salted_join",
+    "m01_byte_features",
+    "m02_decode_image_fake",
+    "m03_resize_pixels",
+    "m04_sample_frames",
+    "p01_per_group_quota",
+    "p02_token_budget_sample",
+    "p03_stratified_sample",
+    "p04_rebalance_mixture",
+    "p05_shard_manifest",
+    "s01_cosine_topk",
+    "s02_lsh_ann_topk",
+    "t01_token_count",
+    "t02_language_id",
+    "t03_quality_score",
+    "t04_document_fingerprint",
+    "z04_cte_self_join",
+    "z05_missing_chunk_fill",
 ]
 
 
@@ -1425,6 +1463,7 @@ def _ensure_populated() -> None:
     _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()
+    _populate_zarr_round7()
     _populate_relational()
     _populate_writer_deferred()
     populate_rotated_out(register_query)
