@@ -21,6 +21,7 @@ __all__ = [
     "write_no_coords_store",
     "write_mixed_dims_store",
     "write_bench_store",
+    "write_wide_bench_store",
     "write_sharded_bench_store",
     "write_sharded_store",
     "write_string_store",
@@ -253,6 +254,39 @@ def write_bench_store(
         path,
         arrays={f"var{i}": base for i in range(1, n_vars + 1)},
         chunk_shapes={f"var{i}": (chunk, chunk) for i in range(1, n_vars + 1)},
+        compression="blosc-lz4",
+    )
+    _mark_done(path)
+    return path
+
+
+def write_wide_bench_store(
+    path: str | None = None, side: int = 1024, chunk: int = 256,
+    n_vars: int = 48,
+) -> str:
+    """WIDE store for the projection-pruning cost pair (SURVEY §2 A4;
+    reference behavior ``config.rs:67-90`` — DataFusion projects into
+    the scan). 48 int64 [side,side] arrays of INCOMPRESSIBLE values
+    (splitmix-style multiplicative hash of the index — blosc-LZ4
+    stores them near-raw), so an unpruned narrow query decodes ~48x
+    the bytes of the pruned one and the ``zarr_narrow_*`` bench pair
+    measures decode work, not task overhead. The original 8-array
+    arange store hid the gap under the noise floor: arange compresses
+    ~50x, so all 8 arrays decoded in less time than one task launch."""
+    path = path or fixture_dir(f"wide_bench_{side}_{chunk}_{n_vars}")
+    if _done(path):
+        return path
+    i = np.arange(side * side, dtype=np.uint64)
+    arrays = {}
+    for v in range(1, n_vars + 1):
+        h = (i * np.uint64(0x9E3779B97F4A7C15) + np.uint64(v)) ^ (
+            i >> np.uint64(31)
+        )
+        arrays[f"var{v}"] = h.view(np.int64).reshape(side, side)
+    write_store(
+        path,
+        arrays=arrays,
+        chunk_shapes={f"var{v}": (chunk, chunk) for v in range(1, n_vars + 1)},
         compression="blosc-lz4",
     )
     _mark_done(path)

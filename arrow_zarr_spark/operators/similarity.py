@@ -455,6 +455,141 @@ def ivf_ann(
     )
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 64,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Lloyd's k-means per PQ sub-space, all ``m`` sub-spaces trained
+    in the SAME corpus pass — returns codebooks shaped
+    ``(m, ksub_eff, dsub)`` for :func:`pq_ann`'s ``codebooks=``.
+
+    The strided default codebook (every (n/ksub)-th corpus row) is a
+    sample, not a fit — on hard distributions it costs recall
+    (recall@5 ~0.5 on uniform-random vectors) and reconstruction
+    error (12x the trained MSE on clustered vectors). Training starts
+    FROM that strided init (deterministic — no RNG) and runs
+    ``iters`` Lloyd rounds, so the result is reproducible
+    run-to-run. Note the metric trained codebooks optimize is
+    reconstruction MSE; when many corpus vectors are near-duplicates
+    of each other a better fit can collapse them onto identical
+    codes, so top-k among near-ties stays tie-broken by id — ADC
+    recall gains show on spread-out corpora, not on piles of clones.
+
+    Scale shape: each iteration is ONE distributed pass —
+    ``mapInPandas`` assigns every row's ``m`` sub-vectors to their
+    nearest centroids and emits per-partition partial sums, so the
+    driver collects only ``n_partitions * m * ksub`` small rows
+    (metadata-scale, independent of corpus size) and reduces them in
+    NumPy. No corpus collect, no per-row Python. Empty cells keep
+    their previous centroid (cells never die between rounds).
+
+    Vectors are quantized to the same 1/32768 grid :func:`pq_ann`
+    encodes on, so training optimizes exactly the space the encoder
+    sees. Trained centroids are float means (NOT grid-exact), so a
+    learned-codebook ``pq_ann`` run is for recall, not for
+    bit-replayable SQL oracles — the suite's s04 row keeps the
+    deterministic strided default."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cbs = _pq_strided_codebooks(corpus, m, ksub, id_col, vec_col)
+    n_codes, dsub = cbs.shape[1], cbs.shape[2]
+    corpus_v = corpus.select(_pq_qvec(F.col(vec_col)).alias("cv"))
+
+    for _ in range(max(iters, 0)):
+        cb_nsq = np.einsum("jcd,jcd->jc", cbs, cbs)
+        b = spark.sparkContext.broadcast((cbs, cb_nsq))
+
+        def kernel(batches, _m=m, _dsub=dsub, _n_codes=n_codes):
+            cbs_l, cb_nsq_l = b.value
+            sums = np.zeros((_m, _n_codes, _dsub), dtype=np.float64)
+            counts = np.zeros((_m, _n_codes), dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                X = np.array(list(pdf["cv"]), dtype=np.float64)
+                for j in range(_m):
+                    Xj = X[:, j * _dsub : (j + 1) * _dsub]
+                    d2 = (
+                        np.einsum("nd,nd->n", Xj, Xj)[:, None]
+                        - 2.0 * (Xj @ cbs_l[j].T)
+                        + cb_nsq_l[j][None, :]
+                    )
+                    codes = np.argmin(d2, axis=1)
+                    np.add.at(sums[j], codes, Xj)
+                    np.add.at(counts[j], codes, 1)
+            if not seen:
+                return
+            j_idx, c_idx = np.nonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "j": j_idx.astype(np.int32),
+                    "code": c_idx.astype(np.int32),
+                    "vsum": list(sums[j_idx, c_idx]),
+                    "cnt": counts[j_idx, c_idx],
+                }
+            )
+
+        partials = corpus_v.mapInPandas(
+            kernel, schema="j int, code int, vsum array<double>, cnt long"
+        ).collect()  # <= n_partitions * m * ksub rows — metadata-scale
+        sums = np.zeros((m, n_codes, dsub), dtype=np.float64)
+        counts = np.zeros((m, n_codes), dtype=np.int64)
+        for r in partials:  # exact-int partial sums: order-independent
+            sums[r["j"], r["code"]] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["j"], r["code"]] += r["cnt"]
+        nonempty = counts > 0
+        cbs = cbs.copy()
+        cbs[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+    return cbs
+
+
+def _pq_qvec(c):
+    """The 1/32768 quantization grid every PQ quantity lives on."""
+    return F.transform(c, lambda x: F.round(x * F.lit(32768.0), 0))
+
+
+def _pq_strided_codebooks(
+    corpus: DataFrame, m: int, ksub: int, id_col: str, vec_col: str
+) -> "np.ndarray":
+    """The deterministic strided codebook: every (n/ksub)-th corpus
+    vector by id, sliced into ``m`` sub-vectors. Shape
+    ``(m, n_codes, dsub)``; row order IS code order."""
+    max_id = corpus.agg(F.max(id_col)).first()[0]
+    if max_id is None:
+        raise ValueError("pq_ann: empty corpus (no codebook rows)")
+    stride = max(1, (int(max_id) + 1) // ksub)
+    cb_rows = (
+        corpus.filter(
+            (F.col(id_col) % stride == 0) & (F.col(id_col) / stride < ksub)
+        )
+        .select(
+            (F.col(id_col) / stride).cast("int").alias("code"),
+            _pq_qvec(F.col(vec_col)).alias("v"),
+        )
+        .collect()
+    )
+    if not cb_rows:
+        raise ValueError("pq_ann: empty corpus (no codebook rows)")
+    cb_rows.sort(key=lambda r: r["code"])
+    cb_full = np.array([r["v"] for r in cb_rows], dtype=np.float64)
+    dim = cb_full.shape[1]
+    if dim % m:
+        raise ValueError(
+            f"pq_ann: embedding dim {dim} not divisible by m={m}"
+        )
+    dsub = dim // m
+    return np.stack(
+        [cb_full[:, j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+
+
 def pq_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -465,6 +600,7 @@ def pq_ann(
     vec_col: str = "embedding",
     query_id_col: Optional[str] = None,
     max_query_rows: int = 65536,
+    codebooks: Optional["np.ndarray"] = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011) — the
     memory-bounded similarity path: each vector is encoded as ``m``
@@ -474,6 +610,15 @@ def pq_ann(
     candidates with asymmetric distance computation (ADC): one
     ``m x ksub`` lookup table per query, an O(m) table-gather per
     corpus vector instead of an O(dim) dot product.
+
+    ``codebooks``: pass :func:`train_pq_codebooks`'s output to score
+    with k-means-FITTED codebooks instead of the strided default —
+    12x lower reconstruction MSE on clustered vectors and +0.05
+    recall@5 even on worst-case uniform-random ones (both pinned in
+    tests/test_operators.py::TestPQTrainedCodebooks). Trained
+    centroids are float means, so only the default strided path is
+    bit-replayable by a SQL oracle (the suite's s04 row uses the
+    default).
 
     Determinism/oracle story (same convention as :func:`ivf_ann`):
     codebooks are picked deterministically (every (n/ksub)-th corpus
@@ -495,38 +640,23 @@ def pq_ann(
     No corpus-sized join, no driver-side corpus collection."""
     query_id_col = query_id_col or id_col
     spark = corpus.sparkSession
+    qvec = _pq_qvec
 
-    def qvec(c):
-        return F.transform(c, lambda x: F.round(x * F.lit(32768.0), 0))
-
-    max_id = corpus.agg(F.max(id_col)).first()[0]
-    if max_id is None:
-        raise ValueError("pq_ann: empty corpus (no codebook rows)")
-    stride = max(1, (int(max_id) + 1) // ksub)
-    cb_rows = (
-        corpus.filter(
-            (F.col(id_col) % stride == 0) & (F.col(id_col) / stride < ksub)
-        )
-        .select(
-            (F.col(id_col) / stride).cast("int").alias("code"),
-            qvec(F.col(vec_col)).alias("v"),
-        )
-        .collect()
-    )
-    if not cb_rows:
-        raise ValueError("pq_ann: empty corpus (no codebook rows)")
-    cb_rows.sort(key=lambda r: r["code"])
-    cb_full = np.array([r["v"] for r in cb_rows], dtype=np.float64)
-    dim = cb_full.shape[1]
-    if dim % m:
-        raise ValueError(
-            f"pq_ann: embedding dim {dim} not divisible by m={m}"
-        )
-    dsub = dim // m
-    # (m, n_codes, dsub) — row order IS code order, so np.argmin's
-    # first-minimum tiebreak = lowest code id (mirrored in the oracle)
-    cbs = np.stack([cb_full[:, j * dsub : (j + 1) * dsub] for j in range(m)])
-    cb_nsq = np.einsum("jcd,jcd->jc", cbs, cbs)  # exact ints
+    if codebooks is None:
+        # (m, n_codes, dsub) — row order IS code order, so np.argmin's
+        # first-minimum tiebreak = lowest code id (mirrored in the
+        # oracle)
+        cbs = _pq_strided_codebooks(corpus, m, ksub, id_col, vec_col)
+    else:
+        cbs = np.asarray(codebooks, dtype=np.float64)
+        if cbs.ndim != 3 or cbs.shape[0] != m:
+            raise ValueError(
+                f"pq_ann: codebooks must be (m={m}, n_codes, dsub); "
+                f"got shape {cbs.shape}"
+            )
+    dsub = cbs.shape[2]
+    dim = m * dsub
+    cb_nsq = np.einsum("jcd,jcd->jc", cbs, cbs)  # exact ints (strided)
 
     qrows = (
         queries.select(
@@ -550,7 +680,7 @@ def pq_ann(
     # ADC lookup tables: lut[j, q, c] = <q_sub_j, codebook_j[c]>
     lut = np.stack(
         [q_mat[:, j * dsub : (j + 1) * dsub] @ cbs[j].T for j in range(m)]
-    ) if len(q_mat) else np.zeros((m, 0, len(cb_rows)))
+    ) if len(q_mat) else np.zeros((m, 0, cbs.shape[1]))
     q_nsq = np.einsum("qd,qd->q", q_mat, q_mat) if len(q_mat) else q_mat
     b = spark.sparkContext.broadcast((q_ids, lut, q_nsq, cb_nsq, cbs))
 

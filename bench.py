@@ -148,23 +148,30 @@ def bench_queries(spark):
 
     # -- projection-pruning cost pair (A4) --
     # PySpark's DataSourceReader (4.1) exposes no column-pruning hook,
-    # so a narrow SELECT over the 8-array store decodes all 8 arrays
-    # unless the projection is forwarded via the `columns` option
+    # so a narrow SELECT over a wide store decodes EVERY array unless
+    # the projection is forwarded via the `columns` option
     # (read_zarr(columns=...)). The pair keeps the gap a measured
-    # number. Locally the delta is modest (tiny local chunks → task
-    # overhead dominates); on an object store the unpruned form fetches
-    # 8x the bytes/GETs, which is the number that matters at 100 TB —
+    # number. It runs on a dedicated 48-array store of incompressible
+    # int64 (fixtures.write_wide_bench_store) — on the original
+    # 8-array arange store the decode saving sat under the task-launch
+    # noise floor (r6 measured the pair INVERTED, 0.351 pruned vs
+    # 0.337 unpruned); with 48x incompressible decode bytes the pruned
+    # side holds a stable >=1.5x win (measured 2.2x), restoring the A4
+    # regression guard. On an object store the unpruned form also
+    # fetches 48x the GETs — the number that matters at 100 TB;
     # tests/test_datasource.py asserts the pruned scan never touches
     # the other arrays' chunks.
-    qs["zarr_narrow_unpruned"] = lambda: _force(
-        spark.table("zarr_bench").select("var1")
+    wide_path = fixtures.write_wide_bench_store()
+    narrow_unpruned_df = (
+        spark.read.format("zarr").load(wide_path).select("var1")
     )
+    qs["zarr_narrow_unpruned"] = lambda: _force(narrow_unpruned_df)
 
-    # analyzed once outside the thunk, same as the temp view the
-    # unpruned side reuses — the pair times execution, not re-planning
+    # analyzed once outside the thunk, same as the unpruned side —
+    # the pair times execution, not re-planning
     from arrow_zarr_spark import read_zarr
 
-    narrow_pruned_df = read_zarr(spark, zpath, columns=["var1"])
+    narrow_pruned_df = read_zarr(spark, wide_path, columns=["var1"])
     qs["zarr_narrow_pruned"] = lambda: _force(narrow_pruned_df)
 
     # -- relational headliners on the sf tables --
@@ -491,6 +498,9 @@ def scale_rung_queries(spark, factor: int):
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count()
     spark = get_spark(app_name="arrow_zarr_spark_bench", cpus=cpus)
+    # ERROR-only: WARN chatter between queries competes with the final
+    # result line for the driver's finite tail capture
+    spark.sparkContext.setLogLevel("ERROR")
     register(spark)
 
     qs = bench_queries(spark)
@@ -568,13 +578,28 @@ def main() -> None:
             "zarr_bench": 512 * 512,
             "zarr_bench_small": 128 * 128,
             "zarr_bench_sharded": 512 * 512,
+            # zarr_narrow_* pair: 48 incompressible int64 arrays
+            "zarr_wide_bench": 1024 * 1024,
         },
         # the 10x-data rung for the heaviest operators: near-linear
         # designs must hold ratio_vs_base well under ~12
         "scale_rung": scale_out,
     }
-    print(json.dumps(out))
+    # The result must survive the driver's finite tail capture
+    # (BENCH_r06 landed as `parsed: null` when Spark log preamble plus
+    # one long JSON line overflowed it), so: (a) persist the full
+    # result to BENCH_OUT.json next to this script, (b) stop Spark
+    # FIRST so no executor-shutdown logs print after the result, then
+    # (c) emit the JSON compactly as the final stdout line.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_OUT.json")
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=2, sort_keys=True)
+        fh.write("\n")
     spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(json.dumps(out, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
