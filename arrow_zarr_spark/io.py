@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import warnings
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -345,6 +346,39 @@ def _stats_eligible(dtype: np.dtype) -> bool:
     return dtype.kind in "biufMO"
 
 
+#: Per-array cap on how many per-object [min, max] entries the writers
+#: will record. Statistics live in each array's attribute JSON (and the
+#: consolidated root), so they grow O(n_objects) — fine at shard
+#: granularity, but a million-object array would put a
+#: multi-hundred-MB list in zarr.json and every PLANNER would parse it
+#: on every query. Past the cap the writers skip stats for that array
+#: (and drop any previously recorded list): scans stay correct, they
+#: just lose planning-time pruning — the reader treats absent stats as
+#: unknown. Raise the object SIZE (chunk_rows / shard_chunks — w13's
+#: 16x object-count lever is also a 16x stats lever) rather than this
+#: cap to keep pruning on huge stores. The reference records no
+#: statistics at all (opener.rs:171-173), so this extension carries
+#: its own scale story.
+STATS_MAX_OBJECTS = 65536
+
+
+def _stats_within_cap(n_objects: int, where: str) -> bool:
+    """False (with a one-line warning) when an array would need more
+    than STATS_MAX_OBJECTS stats entries."""
+    if n_objects <= STATS_MAX_OBJECTS:
+        return True
+    warnings.warn(
+        f"{where}: {n_objects} store objects exceed "
+        f"STATS_MAX_OBJECTS={STATS_MAX_OBJECTS}; skipping [min,max] "
+        "statistics so the consolidated metadata stays "
+        "planning-readable. Scans remain correct without pruning; "
+        "grow the per-object size (chunk_rows / shard_chunks) to keep "
+        "stats on stores this large.",
+        stacklevel=3,
+    )
+    return False
+
+
 #: string stats bound length — long documents would bloat the
 #: metadata; a prefix stays a valid LOWER bound as-is, and the upper
 #: bound rounds UP via prefix_successor (parquet's truncation rule)
@@ -456,7 +490,11 @@ def write_zarr(
     nothing object-sized reaches the driver). Appends merge:
     untouched objects keep their entries, the boundary object's pair
     is recomputed over merged data; appending to a stats-less store
-    leaves old entries unknown (never pruned)."""
+    leaves old entries unknown (never pruned). Past
+    ``STATS_MAX_OBJECTS`` store objects per array the writer skips
+    stats automatically (with a warning) so the consolidated metadata
+    stays planning-readable — grow chunk_rows/shard_chunks to keep
+    pruning on stores that large."""
     if columns:
         df = df.select(*columns)
     for field in df.schema.fields:
@@ -666,7 +704,13 @@ def write_zarr(
         metas_b = spark.sparkContext.broadcast(metas)
         base_rows_b = base_rows
 
-        want_stats = bool(stats)
+        want_stats = bool(stats) and _stats_within_cap(
+            -(-total_rows // unit), "write_zarr"
+        )
+        if not want_stats:
+            for meta in metas.values():
+                # also drops a pre-cap append target's now-stale list
+                meta.attributes.pop(STATS_ATTR_KEY, None)
 
         def write_chunk_group(pdf: pd.DataFrame) -> pd.DataFrame:
             cid = int(pdf["__cid"].iloc[0])
@@ -1106,7 +1150,15 @@ def write_zarr_grid(
         tuple(len(old_axes[d]) for d in dims) if appending else None
     )
 
-    want_stats = bool(stats)
+    _n_cells_planned = 1
+    for _g in grid:
+        _n_cells_planned *= _g
+    want_stats = bool(stats) and _stats_within_cap(
+        _n_cells_planned, "write_zarr_grid"
+    )
+    if not want_stats:
+        for meta in metas.values():
+            meta.attributes.pop(STATS_ATTR_KEY, None)
 
     def write_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["__cell"].iloc[0])
@@ -1673,7 +1725,14 @@ def refresh_stats(
                 f"refresh_stats: no such 1-D arrays {sorted(missing)}"
             )
         arrays = [a for a in arrays if a.meta.name in wanted]
-    targets = [a for a in arrays if _stats_eligible(a.meta.dtype)]
+    targets = [
+        a
+        for a in arrays
+        if _stats_eligible(a.meta.dtype)
+        and _stats_within_cap(
+            a.meta.chunk_grid_shape[0], "refresh_stats"
+        )
+    ]
     work = [
         (a.meta.name, i)
         for a in targets
@@ -1966,7 +2025,9 @@ def write_zarr_region(
     dims_t = list(dims)
     data_cols_t = list(data_cols)
     grid_t = list(grid)
-    want_stats = bool(stats)
+    want_stats = bool(stats) and _stats_within_cap(
+        n_cells, "region update"
+    )
 
     def update_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["__cell"].iloc[0])
@@ -2179,7 +2240,12 @@ def add_zarr_arrays(
     data_cols_t = list(data_cols)
     grid_t = list(grid)
     fills_t = dict(fills)
-    want_stats = bool(stats)
+    _n_cells_planned = 1
+    for _g in grid:
+        _n_cells_planned *= _g
+    want_stats = bool(stats) and _stats_within_cap(
+        _n_cells_planned, "add column"
+    )
 
     def write_new_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["__cell"].iloc[0])

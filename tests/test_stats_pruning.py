@@ -130,6 +130,98 @@ class TestWriterStats:
         assert ks[0] == [0, 499]
 
 
+class TestStatsObjectCap:
+    """STATS_MAX_OBJECTS: past the cap the writers skip (and drop)
+    per-object statistics so the consolidated metadata stays
+    planning-readable — scans stay correct, they just lose pruning."""
+
+    def test_write_past_cap_skips_stats_but_still_scans(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import arrow_zarr_spark.io as io_mod
+
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+        path = str(tmp_path / "cap1")
+        df = spark.range(0, 800, 1, 4).select(F.col("id").alias("k"))
+        with pytest.warns(UserWarning, match="STATS_MAX_OBJECTS"):
+            write_zarr(df, path, chunk_rows=100)  # 8 objects > cap 4
+        meta = infer_store_arrays(open_store(path))[0].meta
+        assert STATS_ATTR_KEY not in meta.attributes
+        # the store still PLANS and scans correctly without stats —
+        # a filtered read just can't prune objects statically
+        got = (
+            spark.read.format("zarr")
+            .load(path)
+            .filter(F.col("k") >= 750)
+            .count()
+        )
+        assert got == 50
+
+    def test_append_past_cap_drops_stale_list(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import arrow_zarr_spark.io as io_mod
+
+        path = str(tmp_path / "cap2")
+        df = spark.range(0, 400, 1, 2).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)  # 4 objects, stats on
+        meta = infer_store_arrays(open_store(path))[0].meta
+        assert len(meta.attributes[STATS_ATTR_KEY]) == 4
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 6)
+        more = spark.range(400, 800, 1, 2).select(F.col("id").alias("k"))
+        with pytest.warns(UserWarning, match="STATS_MAX_OBJECTS"):
+            write_zarr(more, path, chunk_rows=100, mode="append")
+        meta = infer_store_arrays(open_store(path))[0].meta
+        # the pre-append list would be wrong-length (stale) — dropped,
+        # not left to bloat the metadata
+        assert STATS_ATTR_KEY not in meta.attributes
+        assert spark.read.format("zarr").load(path).count() == 800
+
+    def test_grid_write_past_cap(self, spark, tmp_path, monkeypatch):
+        import arrow_zarr_spark.io as io_mod
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+        path = str(tmp_path / "cap3")
+        rows = [
+            (float(x), float(y), float(x * 10 + y))
+            for x in range(8)
+            for y in range(8)
+        ]
+        df = spark.createDataFrame(rows, ["x", "y", "val"])
+        with pytest.warns(UserWarning, match="STATS_MAX_OBJECTS"):
+            write_zarr_grid(
+                df, path, dims=("x", "y"), chunk_shape=(2, 2)
+            )  # 16 cells > cap 4
+        metas = {
+            a.meta.name: a.meta
+            for a in infer_store_arrays(open_store(path))
+        }
+        assert STATS_ATTR_KEY not in metas["val"].attributes
+        got = spark.read.format("zarr").load(path)
+        assert got.count() == 64
+        assert (
+            got.filter(F.col("val") == 73.0).select("x", "y").collect()[0][:]
+            == (7.0, 3.0)
+        )
+
+    def test_refresh_stats_skips_over_cap_arrays(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import arrow_zarr_spark.io as io_mod
+        from arrow_zarr_spark.io import refresh_stats
+
+        path = str(tmp_path / "cap4")
+        df = spark.range(0, 800, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, stats=False)
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+        with pytest.warns(UserWarning, match="STATS_MAX_OBJECTS"):
+            n = refresh_stats(spark, path)
+        assert n == 0  # 8 objects > cap: skipped, not computed
+        meta = infer_store_arrays(open_store(path))[0].meta
+        assert STATS_ATTR_KEY not in meta.attributes
+
+
 class TestStaticPruning:
     def test_range_predicate_prunes_objects(self, spark, tmp_path):
         path = str(tmp_path / "p1")
