@@ -171,6 +171,7 @@ class ZarrDataSource(DataSource):
         # CREATE TABLE handling.
         self.path = options.get("path")
         self.icechunk = str(options.get("icechunk", "false")).lower() == "true"
+        self.version = options.get("version")
 
     @classmethod
     def name(cls) -> str:
@@ -189,6 +190,23 @@ class ZarrDataSource(DataSource):
         if cached is not None:
             return list(cached)
         store = open_store(self.path, icechunk=self.icechunk)
+        if self.version is not None:
+            # pinned snapshot read (reference capability: Icechunk repos
+            # at (branch, now), config.rs:141-197 — provided natively by
+            # zarr/versions.py): every read resolves through the
+            # version's manifest, so the scan sees the committed bytes
+            # no matter how the live store mutated since. The view is
+            # picklable; tasks inherit it with the arrays.
+            from .zarr.versions import open_version
+
+            try:
+                v = int(str(self.version))
+            except ValueError:
+                raise ZarrFormatError(
+                    f"version option must be an integer, got "
+                    f"{self.version!r}"
+                )
+            store = open_version(self.path, v)
         arrays = infer_store_arrays(store)
         columns = self.options.get("columns")
         if columns:

@@ -433,8 +433,15 @@ def _existing_stats(store, names) -> Dict[str, list]:
 
 
 def _clear_store(store, keep_staging: bool = False) -> None:
+    from .zarr.versions import VERSIONS_PREFIX
+
     for key in list(store.walk_keys()):
         if keep_staging and key.startswith("__stage__"):
+            continue
+        if key.startswith(VERSIONS_PREFIX):
+            # committed snapshots survive an overwrite — that is the
+            # point of versioning; vacuum_versions is the way to drop
+            # history deliberately
             continue
         store.delete(key)
 
@@ -2453,7 +2460,11 @@ def vacuum_zarr(path: str, dry_run: bool = True) -> dict:
         "zarr.json", ".zgroup", ".zattrs", ".zmetadata",
     } | set(SINK_MARKER_KEYS)
 
+    from .zarr.versions import VERSIONS_PREFIX
+
     def reachable(key: str) -> bool:
+        if key.startswith(VERSIONS_PREFIX):
+            return True  # committed snapshots are live state, not debris
         if key in root_keys:
             return True
         name, _, rest = key.partition("/")

@@ -1347,11 +1347,16 @@ _populated = False
 #: green on the round-5 window, so every prior window entry now has a
 #: fresh driver row. This window takes (a) the 22 round-6 additions
 #: that have never had a driver row (d16-d18, s04, x03, p13, w08-w13,
-#: j06, t14, z21-z25, r46-r48), (b) z26 (new this round — the Tier-A3
-#: DDL-validation error-path query, the last Tier-A component with no
-#: driver evidence), and (c) 27 of the stalest green rows, all last
-#: driver-checked in round 3. Everything rotated out stays
-#: parity-enforced every round by tests/test_oracle_parity.py.
+#: j06, t14, z21-z25, r46-r48), (b) the three round-7 additions — z26
+#: (the Tier-A3 DDL-validation error-path query, the last Tier-A
+#: component with no driver evidence) and z27/z28 (snapshot
+#: versioning: pinned read + rollback, the native answer to the
+#: env-blocked Icechunk path A17) — and (c) 25 of the stalest green
+#: rows, all last driver-checked in round 3 (t04's fingerprint and
+#: z04's zarr CTE-self-join ceded their slots to z27/z28; both stay
+#: parity-enforced, and z04's shape stays in-window via b10/b11).
+#: Everything rotated out stays parity-enforced every round by
+#: tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
     # never driver-checked (new in round 6)
     "d16_remove_frequent_segments",
@@ -1378,6 +1383,8 @@ DRIVER_WINDOW = [
     "r48_recursive_cte",
     # new in round 7
     "z26_ddl_validation_error",
+    "z27_version_pinned_read",
+    "z28_version_rollback",
     # stalest green rows (last driver-checked in round 3)
     "c01_kmeans_clusters",
     "c02_semantic_neardup",
@@ -1403,8 +1410,6 @@ DRIVER_WINDOW = [
     "t01_token_count",
     "t02_language_id",
     "t03_quality_score",
-    "t04_document_fingerprint",
-    "z04_cte_self_join",
     "z05_missing_chunk_fill",
 ]
 
@@ -1435,6 +1440,7 @@ def _ensure_populated() -> None:
         populate_round6_bloom_queries,
         populate_round6_queries,
         populate_round6_grid_queries,
+        populate_round7_version_queries,
         populate_round6_late_queries,
         populate_round6_region_queries,
         populate_round6_sampling_queries,
@@ -1460,6 +1466,7 @@ def _ensure_populated() -> None:
     populate_round6_3d_writer_queries(register_query)
     populate_round6_sharded_grid_queries(register_query)
     populate_round6_embdedup_queries(register_query)
+    populate_round7_version_queries(register_query)
     _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()

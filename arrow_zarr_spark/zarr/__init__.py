@@ -15,6 +15,14 @@ from .array import (
 from .meta import ArrayMeta, ZarrFormatError, parse_array_meta
 from .store import LocalStore, Store, open_store
 from .table import ChunkPlan
+from .versions import (
+    VersionStoreView,
+    commit_version,
+    open_version,
+    rollback_zarr,
+    vacuum_versions,
+    version_log,
+)
 from .writer import (
     consolidate_metadata,
     create_array,
@@ -29,10 +37,16 @@ __all__ = [
     "ChunkPlan",
     "LocalStore",
     "Store",
+    "VersionStoreView",
     "ZarrArray",
     "ZarrFormatError",
+    "commit_version",
     "consolidate_metadata",
     "create_array",
+    "open_version",
+    "rollback_zarr",
+    "vacuum_versions",
+    "version_log",
     "infer_store_arrays",
     "infer_store_arrays_authoritative",
     "load_consolidated_arrays",

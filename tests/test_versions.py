@@ -1,0 +1,194 @@
+"""Store versioning: commit / version-pinned read / rollback / GC
+(zarr/versions.py). The reference gets versioned reads from Icechunk
+repositories (config.rs:141-197) — absent here all seven rounds, so
+the capability is provided natively; these tests pin the commit
+protocol's guarantees."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_zarr_spark import read_zarr
+from arrow_zarr_spark.io import write_zarr, write_zarr_grid, vacuum_zarr
+from arrow_zarr_spark.zarr import (
+    ZarrFormatError,
+    commit_version,
+    open_store,
+    open_version,
+    rollback_zarr,
+    vacuum_versions,
+    version_log,
+)
+
+
+def _table(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+class TestCommitAndPinnedRead:
+    def test_pinned_read_after_append(self, spark, tmp_path):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        info = commit_version(spark, d, "first")
+        assert info["version"] == 1 and info["n_objects"] > 0
+        write_zarr(_table(spark, 64, 100), d, chunk_rows=16, mode="append")
+        assert spark.read.format("zarr").load(d).count() == 100
+        v1 = read_zarr(spark, d, version=1)
+        assert v1.count() == 64
+        assert v1.agg(F.sum("v")).first()[0] == sum(i * 2 for i in range(64))
+
+    def test_pinned_read_survives_overwrite(self, spark, tmp_path):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d)
+        write_zarr(_table(spark, 0, 5), d, chunk_rows=16, mode="overwrite")
+        assert spark.read.format("zarr").load(d).count() == 5
+        assert read_zarr(spark, d, version=1).count() == 64
+
+    def test_content_dedup_across_versions(self, spark, tmp_path):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d)
+        write_zarr(_table(spark, 64, 100), d, chunk_rows=16, mode="append")
+        info = commit_version(spark, d)
+        # untouched chunk objects are shared with v1, not re-stored
+        assert info["n_new_objects"] < info["n_objects"]
+
+    def test_version_via_sql_options(self, spark, tmp_path):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        commit_version(spark, d)
+        write_zarr(_table(spark, 32, 64), d, chunk_rows=16, mode="append")
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW v1view USING zarr "
+            f"OPTIONS (path '{d}', version '1')"
+        )
+        assert spark.sql("SELECT COUNT(*) c FROM v1view").first()["c"] == 32
+
+    def test_grid_region_update_is_pinned_away(self, spark, tmp_path):
+        d = str(tmp_path / "g")
+        rows = [
+            (float(x), float(y), float(x * 10 + y))
+            for x in range(4)
+            for y in range(4)
+        ]
+        df = spark.createDataFrame(rows, ["x", "y", "val"])
+        write_zarr_grid(df, d, dims=("x", "y"), chunk_shape=(2, 2))
+        commit_version(spark, d, "pristine grid")
+        from arrow_zarr_spark.io import write_zarr_region
+
+        upd = spark.createDataFrame(
+            [(1.0, 1.0, 999.0)], ["x", "y", "val"]
+        )
+        write_zarr_region(upd, d, dims=("x", "y"))
+        live = spark.read.format("zarr").load(d)
+        assert (
+            live.filter((F.col("x") == 1.0) & (F.col("y") == 1.0))
+            .first()["val"]
+            == 999.0
+        )
+        v1 = read_zarr(spark, d, version=1)
+        assert (
+            v1.filter((F.col("x") == 1.0) & (F.col("y") == 1.0))
+            .first()["val"]
+            == 11.0
+        )
+
+    def test_missing_version_raises(self, spark, tmp_path):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 8), d)
+        with pytest.raises(ZarrFormatError, match="No version 5"):
+            open_version(d, 5)
+
+    def test_commit_empty_store_raises(self, spark, tmp_path):
+        with pytest.raises(ZarrFormatError, match="empty store"):
+            commit_version(spark, str(tmp_path / "nope"))
+
+    def test_version_log(self, spark, tmp_path):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 16), d, chunk_rows=8)
+        commit_version(spark, d, "a")
+        write_zarr(_table(spark, 16, 32), d, chunk_rows=8, mode="append")
+        commit_version(spark, d, "b")
+        log = version_log(d)
+        assert [e["version"] for e in log] == [1, 2]
+        assert [e["message"] for e in log] == ["a", "b"]
+        assert log[1]["n_objects"] > log[0]["n_objects"]
+
+
+class TestReadOnlyView:
+    def test_view_rejects_writes(self, spark, tmp_path):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 8), d)
+        commit_version(spark, d)
+        view = open_version(d, 1)
+        with pytest.raises(ZarrFormatError, match="read-only"):
+            view.set("k/c/0", b"x")
+        with pytest.raises(ZarrFormatError, match="read-only"):
+            view.delete("k/c/0")
+        # reads resolve through the manifest
+        assert view.exists("zarr.json")
+        assert not view.exists(".versions/HEAD.json")
+
+
+class TestRollback:
+    def test_rollback_restores_values_and_deletes_extras(
+        self, spark, tmp_path
+    ):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        commit_version(spark, d)
+        write_zarr(_table(spark, 32, 96), d, chunk_rows=16, mode="append")
+        out = rollback_zarr(spark, d, 1)
+        assert out["deleted"] > 0  # the appended chunk objects
+        live = spark.read.format("zarr").load(d)
+        assert live.count() == 32
+        assert live.agg(F.sum("v")).first()[0] == sum(
+            i * 2 for i in range(32)
+        )
+
+    def test_rollback_missing_object_raises(self, spark, tmp_path):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        commit_version(spark, d)
+        store = open_store(d)
+        victim = next(
+            k for k in store.walk_keys() if k.startswith(".versions/objects/")
+        )
+        store.delete(victim)
+        with pytest.raises(Exception, match="content object"):
+            rollback_zarr(spark, d, 1)
+
+
+class TestVacuum:
+    def test_vacuum_zarr_preserves_versions_but_finds_real_orphans(
+        self, spark, tmp_path
+    ):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        commit_version(spark, d)
+        store = open_store(d)
+        store.set("k/c/999", b"stray")  # beyond the grid: real debris
+        report = vacuum_zarr(d)
+        assert report["orphans"] == ["k/c/999"]  # versions untouched
+
+    def test_vacuum_versions_gc(self, spark, tmp_path):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        commit_version(spark, d)
+        write_zarr(_table(spark, 32, 64), d, chunk_rows=16, mode="append")
+        commit_version(spark, d)
+        out = vacuum_versions(d, keep_last=1)
+        assert out["dropped_versions"] == [1]
+        assert out["deleted_objects"] > 0
+        with pytest.raises(ZarrFormatError, match="No version 1"):
+            open_version(d, 1)
+        assert read_zarr(spark, d, version=2).count() == 64
+        assert spark.read.format("zarr").load(d).count() == 64
+
+    def test_vacuum_versions_keep_last_validated(self, spark, tmp_path):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 8), d)
+        with pytest.raises(ZarrFormatError, match="keep_last"):
+            vacuum_versions(d, keep_last=0)
