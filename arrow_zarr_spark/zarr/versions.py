@@ -175,14 +175,40 @@ def version_log(path: str) -> List[Dict]:
 class VersionStoreView(Store):
     """Read-only view of a store pinned at a committed version: every
     logical key resolves through the manifest to its content object.
-    Picklable (base store + manifest dict), so scan tasks read the
-    pinned bytes directly; ranged/suffix reads pass through to the
-    base store's partial-read support (shard indexes stay cheap)."""
 
-    def __init__(self, base: Store, manifest: Dict[str, str], version: int):
+    Pickles as (base store, version) ONLY — the manifest is O(n_objects)
+    and shipping it inside every task closure would dominate dispatch on
+    large stores (1M objects ≈ 10⁸ bytes per task). Instead each task
+    lazily re-reads the manifest from the store on first access: one
+    extra GET per task, amortized over every chunk the task decodes.
+    Ranged/suffix reads pass through to the base store's partial-read
+    support (shard indexes stay cheap)."""
+
+    def __init__(
+        self,
+        base: Store,
+        manifest: Optional[Dict[str, str]],
+        version: int,
+    ):
         self.base = base
-        self.manifest = dict(manifest)
         self.version = version
+        self._manifest = dict(manifest) if manifest is not None else None
+
+    @property
+    def manifest(self) -> Dict[str, str]:
+        if self._manifest is None:
+            self._manifest = _read_manifest(self.base, self.version)[
+                "objects"
+            ]
+        return self._manifest
+
+    def __getstate__(self):
+        return {"base": self.base, "version": self.version}
+
+    def __setstate__(self, state):
+        self.base = state["base"]
+        self.version = state["version"]
+        self._manifest = None
 
     def _resolve(self, key: str) -> Optional[str]:
         sha = self.manifest.get(key)

@@ -146,6 +146,26 @@ def bench_queries(spark):
         )
     )
 
+    # -- versioned reads (zarr/versions.py) --
+    # pinned-scan cost vs zarr_full_scan: the manifest indirection adds
+    # one in-memory dict lookup per object read, so the pair should be
+    # ~equal — a regression here means the version view broke ranged
+    # reads or picklability. The commit entry measures the STEADY-STATE
+    # incremental commit (all objects already content-addressed from
+    # the setup commit: one distributed hash pass, zero copies).
+    from arrow_zarr_spark.zarr.versions import commit_version
+
+    commit_version(spark, zpath, "bench baseline")
+    from arrow_zarr_spark import read_zarr as _rz
+
+    # planned once outside the thunk, same as the zarr_bench temp view
+    # the full-scan side reuses — the pair times execution
+    pinned_df = _rz(spark, zpath, version=1)
+    qs["zarr_version_pinned_scan"] = lambda: _force(pinned_df)
+    qs["zarr_version_commit_incremental"] = lambda: commit_version(
+        spark, zpath, "bench incremental"
+    )
+
     # -- projection-pruning cost pair (A4) --
     # PySpark's DataSourceReader (4.1) exposes no column-pruning hook,
     # so a narrow SELECT over a wide store decodes EVERY array unless
