@@ -153,6 +153,15 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
             embs, embs.filter(F.col("vec_id") < 100), k=10, m=16, ksub=64
         )
     )
+    # IVF-PQ composition (s05): same single-exchange kernel as ann_pq
+    # with the coarse gate cutting scoring to ~nprobe/n_cells of the
+    # corpus — should track at-or-under ann_pq
+    qs["ann_ivfpq"] = lambda: force(
+        similarity.ivf_pq_ann(
+            embs, embs.filter(F.col("vec_id") < 100), k=10,
+            n_cells=16, nprobe=2, m=16, ksub=64,
+        )
+    )
     # the snapshot-curation composition (x03): batch-bounded corpus
     # near-dup gate + digest purge + quality gate in one plan
     from .pipelines import snapshot_curation_pipeline

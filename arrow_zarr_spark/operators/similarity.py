@@ -779,3 +779,231 @@ def pq_ann(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivf_pq_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    max_query_rows: int = 65536,
+    codebooks: Optional["np.ndarray"] = None,
+) -> DataFrame:
+    """IVF-PQ ANN — the two quantizers composed the way a 100-TB
+    vector index actually runs (FAISS's IVFPQ; Jégou et al. 2011
+    §V): a coarse quantizer routes every vector to one of ``n_cells``
+    inverted lists, queries probe their ``nprobe`` nearest cells, and
+    candidates inside probed cells are scored with PQ asymmetric
+    distance — so query cost is (probed fraction of corpus) x O(m)
+    table-gathers instead of n x O(dim) dot products.
+
+    Plan shape — BETTER than running :func:`ivf_ann` then
+    :func:`pq_ann`: the coarse assignment happens INSIDE the same
+    ``mapInPandas`` pass that PQ-encodes (centroids are broadcast
+    NumPy, each slab assigns its rows with one matmul), so the corpus
+    is never joined against centroids, never gains a cell column,
+    and never shuffles; the only exchange is the final top-k merge
+    window carrying ``n_partitions * n_queries * k`` rows — identical
+    to s04's single-exchange contract, with ~(nprobe/n_cells) of the
+    scoring work. Queries and both codebooks are driver-collected
+    (metadata-scale, ``max_query_rows``-capped) and broadcast.
+
+    Determinism/oracle story: the same 1/32768 grid as
+    :func:`ivf_ann`/:func:`pq_ann` — every dot/norm is an exact
+    integer sum, every cosine three correctly-rounded IEEE ops, so
+    assignment (max cosine, ties to the LOWEST cell: np.argmax's
+    first-max = the oracle's ``ORDER BY cos DESC, cell``), probe
+    ranking, PQ encoding (first-min = lowest code) and ADC ranking
+    replay bit-for-bit in DuckDB SQL. ``codebooks`` accepts
+    :func:`train_pq_codebooks` output (recall path, oracle-exempt),
+    like :func:`pq_ann`."""
+    import pandas as pd
+
+    query_id_col = query_id_col or id_col
+    spark = corpus.sparkSession
+    qvec = _pq_qvec
+
+    # coarse centroids: deterministic strided pick (ivf_ann convention)
+    max_id = corpus.agg(F.max(id_col)).first()[0]
+    if max_id is None:
+        raise ValueError("ivf_pq_ann: empty corpus")
+    cstride = max(1, (int(max_id) + 1) // n_cells)
+    cent_rows = (
+        corpus.filter(
+            (F.col(id_col) % cstride == 0)
+            & (F.col(id_col) / cstride < n_cells)
+        )
+        .select(
+            (F.col(id_col) / cstride).cast("int").alias("cell"),
+            qvec(F.col(vec_col)).alias("v"),
+        )
+        .collect()
+    )
+    if not cent_rows:
+        raise ValueError("ivf_pq_ann: empty corpus")
+    cent_rows.sort(key=lambda r: r["cell"])
+    cents = np.array([r["v"] for r in cent_rows], dtype=np.float64)
+    cent_nsq = np.einsum("cd,cd->c", cents, cents)
+
+    if codebooks is None:
+        cbs = _pq_strided_codebooks(corpus, m, ksub, id_col, vec_col)
+    else:
+        cbs = np.asarray(codebooks, dtype=np.float64)
+        if cbs.ndim != 3 or cbs.shape[0] != m:
+            raise ValueError(
+                f"ivf_pq_ann: codebooks must be (m={m}, n_codes, dsub); "
+                f"got shape {cbs.shape}"
+            )
+    dsub = cbs.shape[2]
+    dim = m * dsub
+    if cents.shape[1] != dim:
+        raise ValueError(
+            f"ivf_pq_ann: embedding dim {cents.shape[1]} != m*dsub {dim}"
+        )
+    cb_nsq = np.einsum("jcd,jcd->jc", cbs, cbs)
+
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("qid"), qvec(F.col(vec_col)).alias("qv")
+        )
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"ivf_pq_ann collects the query side to the driver; got more "
+            f"than max_query_rows={max_query_rows} rows. Pass a bounded "
+            f"probe set or raise max_query_rows explicitly."
+        )
+    q_ids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    if len(q_mat) and q_mat.shape[1] != dim:
+        raise ValueError(
+            f"ivf_pq_ann: query dim {q_mat.shape[1]} != corpus dim {dim}"
+        )
+    nq = len(q_ids)
+    n_c = len(cents)
+    # per-query probed cells: cosine over exact ints, ties to lowest
+    # cell (lexsort minor key) — replayed by the oracle's window
+    probed = np.zeros((nq, n_c), dtype=bool)
+    if nq:
+        qn = np.sqrt(np.einsum("qd,qd->q", q_mat, q_mat))
+        cn = np.sqrt(cent_nsq)
+        denom = np.where(qn > 0, qn, 1.0)[:, None] * np.where(
+            cn > 0, cn, 1.0
+        )[None, :]
+        qcos = (q_mat @ cents.T) / denom
+        for qi in range(nq):
+            order = np.lexsort((np.arange(n_c), -qcos[qi]))[:nprobe]
+            probed[qi, order] = True
+    lut = np.stack(
+        [q_mat[:, j * dsub : (j + 1) * dsub] @ cbs[j].T for j in range(m)]
+    ) if nq else np.zeros((m, 0, cbs.shape[1]))
+    q_nsq = np.einsum("qd,qd->q", q_mat, q_mat) if nq else q_mat
+    b = spark.sparkContext.broadcast(
+        (q_ids, lut, q_nsq, probed, cents, cent_nsq, cb_nsq, cbs)
+    )
+
+    corpus_q = corpus.select(
+        F.col(id_col).alias("neighbor_id"), qvec(F.col(vec_col)).alias("cv")
+    )
+    out_schema = (
+        "query_id long, neighbor_id long, dot double, "
+        "nr_sq double, nq_sq double"
+    )
+
+    def kernel(batches):
+        (q_ids_l, lut_l, q_nsq_l, probed_l, cents_l, cent_nsq_l,
+         cb_nsq_l, cbs_l) = b.value
+        nq_l = len(q_ids_l)
+        if not nq_l:
+            return
+        acc = [None] * nq_l
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy(np.int64)
+            X = np.array(list(pdf["cv"]), dtype=np.float64)
+            n = len(ids)
+            # coarse assignment: one matmul per slab; argmax's
+            # first-max tiebreak = lowest cell id
+            xn = np.sqrt(np.einsum("nd,nd->n", X, X))
+            cn_l = np.sqrt(cent_nsq_l)
+            den = np.where(xn > 0, xn, 1.0)[:, None] * np.where(
+                cn_l > 0, cn_l, 1.0
+            )[None, :]
+            cell = np.argmax((X @ cents_l.T) / den, axis=1)
+            codes = np.empty((m, n), dtype=np.int64)
+            for j in range(m):
+                Xj = X[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    np.einsum("nd,nd->n", Xj, Xj)[:, None]
+                    - 2.0 * (Xj @ cbs_l[j].T)
+                    + cb_nsq_l[j][None, :]
+                )
+                codes[j] = np.argmin(d2, axis=1)
+            nr_sq = np.zeros(n, dtype=np.float64)
+            for j in range(m):
+                nr_sq += cb_nsq_l[j][codes[j]]
+            nr = np.sqrt(nr_sq)
+            nr_safe = np.where(nr > 0, nr, 1.0)
+            for qi in range(nq_l):
+                # the IVF gate: only rows in this query's probed cells
+                mask = probed_l[qi][cell] & (ids != q_ids_l[qi])
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                dots = np.zeros(len(idx), dtype=np.float64)
+                for j in range(m):
+                    dots += lut_l[j, qi][codes[j][idx]]
+                qn_l = np.sqrt(q_nsq_l[qi])
+                cos = dots / ((qn_l if qn_l > 0 else 1.0) * nr_safe[idx])
+                cand = (cos, ids[idx], dots, nr_sq[idx])
+                if acc[qi] is not None:
+                    cand = tuple(
+                        np.concatenate([a, c])
+                        for a, c in zip(acc[qi], cand)
+                    )
+                order = np.lexsort((cand[1], -cand[0]))[:k]
+                acc[qi] = tuple(c[order] for c in cand)
+        for qi in range(nq_l):
+            if acc[qi] is None:
+                continue
+            cos_a, ids_a, dot_a, nr_a = acc[qi]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.full(len(ids_a), q_ids_l[qi], np.int64),
+                    "neighbor_id": ids_a,
+                    "dot": dot_a,
+                    "nr_sq": nr_a,
+                    "nq_sq": np.full(len(ids_a), q_nsq_l[qi], np.float64),
+                }
+            )
+
+    local = corpus_q.mapInPandas(kernel, schema=out_schema)
+    nr_safe = F.when(F.col("nr_sq") > 0, F.col("nr_sq")).otherwise(
+        F.lit(1.0)
+    )
+    nq_safe = F.when(F.col("nq_sq") > 0, F.col("nq_sq")).otherwise(
+        F.lit(1.0)
+    )
+    cos_raw = F.col("dot") / (F.sqrt(nq_safe) * F.sqrt(nr_safe))
+    w = Window.partitionBy("query_id").orderBy(
+        cos_raw.desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos_raw, 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -2668,3 +2668,104 @@ def populate_round7_version_queries(register) -> None:
         "SELECT CAST(i AS BIGINT) AS k, CAST(i * 5 AS DOUBLE) AS d "
         "FROM range(48) t(i)",
     )
+
+
+def populate_round7_ivfpq_queries(register) -> None:
+    """s05: IVF-PQ ANN — the coarse-quantizer + product-quantizer
+    composition (FAISS IVFPQ; Jégou et al. 2011 §V) a 100-TB vector
+    index actually deploys. The Spark side folds coarse assignment
+    into the PQ kernel's corpus pass (zero extra exchange; see
+    similarity.ivf_pq_ann); the oracle composes s03's IVF replay
+    (strided centroids, max-cosine assignment with lowest-cell
+    tiebreak, nprobe probes) with s04's PQ replay (strided codebooks,
+    argmin-L2 encode, ADC scoring) — every quantity an exact integer
+    sum over the 1/32768 grid, so the ranking is bit-identical."""
+
+    def s05(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        return similarity.ivf_pq_ann(
+            embs,
+            embs.filter(F.col("vec_id") < 20),
+            k=5,
+            n_cells=16,
+            nprobe=2,
+            m=16,
+            ksub=64,
+        )
+
+    _qv = "list_transform(CAST({e} AS DOUBLE[]), x -> ROUND(x * 32768, 0))"
+    _qcos = (
+        "(list_inner_product({a}, {b}) / "
+        "(SQRT(list_inner_product({a}, {a})) * "
+        "SQRT(list_inner_product({b}, {b}))))"
+    )
+    _m, _ksub, _dsub, _k, _nc, _np = 16, 64, 4, 5, 16, 2
+    register(
+        "s05_ivf_pq_ann_topk",
+        s05,
+        "WITH params AS (SELECT "
+        f"GREATEST(1, (MAX(vec_id)+1)//{_ksub}) AS stride, "
+        f"GREATEST(1, (MAX(vec_id)+1)//{_nc}) AS cstride "
+        "FROM embeddings), "
+        f"corp AS (SELECT vec_id, {_qv.format(e='embedding')} AS v "
+        "FROM embeddings), "
+        "cents AS (SELECT CAST(vec_id // cstride AS INT) AS cell, "
+        "v AS centroid FROM corp, params "
+        f"WHERE vec_id % cstride = 0 AND vec_id // cstride < {_nc}), "
+        "cassign AS (SELECT vec_id, cell FROM ("
+        "SELECT c.vec_id, ct.cell, ROW_NUMBER() OVER ("
+        "PARTITION BY c.vec_id ORDER BY "
+        f"{_qcos.format(a='c.v', b='ct.centroid')} DESC, ct.cell) AS rk "
+        "FROM corp c CROSS JOIN cents ct) WHERE rk = 1), "
+        "qp AS (SELECT vec_id AS query_id, cell FROM ("
+        "SELECT c.vec_id, ct.cell, ROW_NUMBER() OVER ("
+        "PARTITION BY c.vec_id ORDER BY "
+        f"{_qcos.format(a='c.v', b='ct.centroid')} DESC, ct.cell) AS rk "
+        f"FROM corp c CROSS JOIN cents ct WHERE c.vec_id < 20) "
+        f"WHERE rk <= {_np}), "
+        "cb AS (SELECT CAST(vec_id // stride AS INT) AS code, v "
+        "FROM corp, params "
+        f"WHERE vec_id % stride = 0 AND vec_id // stride < {_ksub}), "
+        f"js AS (SELECT unnest(range(0, {_m})) AS j), "
+        f"sub AS (SELECT code, j, list_slice(v, j*{_dsub}+1, "
+        f"j*{_dsub}+{_dsub}) AS sv FROM cb, js), "
+        f"csub AS (SELECT vec_id, j, list_slice(v, j*{_dsub}+1, "
+        f"j*{_dsub}+{_dsub}) AS cv FROM corp, js), "
+        "dist AS (SELECT c.vec_id, c.j, s.code, "
+        "list_inner_product(c.cv, c.cv) - 2*list_inner_product(c.cv, s.sv) "
+        "+ list_inner_product(s.sv, s.sv) AS d2 "
+        "FROM csub c JOIN sub s ON c.j = s.j), "
+        "enc AS (SELECT vec_id, j, code FROM ("
+        "SELECT vec_id, j, code, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id, j ORDER BY d2, code) AS rk FROM dist) "
+        "WHERE rk = 1), "
+        "recon AS (SELECT e.vec_id, "
+        "SUM(list_inner_product(s.sv, s.sv)) AS nr_sq "
+        "FROM enc e JOIN sub s ON e.j = s.j AND e.code = s.code "
+        "GROUP BY e.vec_id), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM corp "
+        "WHERE vec_id < 20), "
+        "qn AS (SELECT query_id, list_inner_product(qv, qv) AS nq_sq "
+        "FROM q), "
+        f"qsub AS (SELECT query_id, j, list_slice(qv, j*{_dsub}+1, "
+        f"j*{_dsub}+{_dsub}) AS qj FROM q, js), "
+        "pdot AS (SELECT qs.query_id, e.vec_id AS neighbor_id, "
+        "SUM(list_inner_product(qs.qj, s.sv)) AS dot "
+        "FROM qsub qs "
+        "JOIN qp ON qp.query_id = qs.query_id "
+        "JOIN cassign ca ON ca.cell = qp.cell "
+        "JOIN enc e ON e.vec_id = ca.vec_id AND qs.j = e.j "
+        "JOIN sub s ON s.j = e.j AND s.code = e.code "
+        "GROUP BY qs.query_id, e.vec_id), "
+        "scored AS (SELECT p.query_id, p.neighbor_id, "
+        "p.dot / (SQRT(CASE WHEN qn.nq_sq > 0 THEN qn.nq_sq ELSE 1 END) "
+        "* SQRT(CASE WHEN r.nr_sq > 0 THEN r.nr_sq ELSE 1 END)) AS cos "
+        "FROM pdot p JOIN qn USING (query_id) "
+        "JOIN recon r ON p.neighbor_id = r.vec_id "
+        "WHERE p.query_id <> p.neighbor_id) "
+        "SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, "
+        "CAST(rank AS BIGINT) AS rank FROM ("
+        "SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank "
+        f"FROM scored) WHERE rank <= {_k}",
+    )

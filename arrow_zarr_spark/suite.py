@@ -1347,14 +1347,16 @@ _populated = False
 #: green on the round-5 window, so every prior window entry now has a
 #: fresh driver row. This window takes (a) the 22 round-6 additions
 #: that have never had a driver row (d16-d18, s04, x03, p13, w08-w13,
-#: j06, t14, z21-z25, r46-r48), (b) the three round-7 additions — z26
+#: j06, t14, z21-z25, r46-r48), (b) the four round-7 additions — z26
 #: (the Tier-A3 DDL-validation error-path query, the last Tier-A
-#: component with no driver evidence) and z27/z28 (snapshot
-#: versioning: pinned read + rollback, the native answer to the
-#: env-blocked Icechunk path A17) — and (c) 25 of the stalest green
-#: rows, all last driver-checked in round 3 (t04's fingerprint and
-#: z04's zarr CTE-self-join ceded their slots to z27/z28; both stay
-#: parity-enforced, and z04's shape stays in-window via b10/b11).
+#: component with no driver evidence), z27/z28 (snapshot versioning:
+#: pinned read + rollback, the native answer to the env-blocked
+#: Icechunk path A17), and s05 (IVF-PQ ANN, the composed-quantizer
+#: scale path) — and (c) 24 of the stalest green rows, all last
+#: driver-checked in round 3 (t04's fingerprint, z04's zarr
+#: CTE-self-join, and m04's frame sampling ceded their slots; all
+#: stay parity-enforced, z04's shape stays in-window via b10/b11,
+#: and multimodal keeps m01-m03 in-window plus m05's r6 green).
 #: Everything rotated out stays parity-enforced every round by
 #: tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
@@ -1385,6 +1387,7 @@ DRIVER_WINDOW = [
     "z26_ddl_validation_error",
     "z27_version_pinned_read",
     "z28_version_rollback",
+    "s05_ivf_pq_ann_topk",
     # stalest green rows (last driver-checked in round 3)
     "c01_kmeans_clusters",
     "c02_semantic_neardup",
@@ -1399,7 +1402,6 @@ DRIVER_WINDOW = [
     "m01_byte_features",
     "m02_decode_image_fake",
     "m03_resize_pixels",
-    "m04_sample_frames",
     "p01_per_group_quota",
     "p02_token_budget_sample",
     "p03_stratified_sample",
@@ -1440,6 +1442,7 @@ def _ensure_populated() -> None:
         populate_round6_bloom_queries,
         populate_round6_queries,
         populate_round6_grid_queries,
+        populate_round7_ivfpq_queries,
         populate_round7_version_queries,
         populate_round6_late_queries,
         populate_round6_region_queries,
@@ -1467,6 +1470,7 @@ def _ensure_populated() -> None:
     populate_round6_sharded_grid_queries(register_query)
     populate_round6_embdedup_queries(register_query)
     populate_round7_version_queries(register_query)
+    populate_round7_ivfpq_queries(register_query)
     _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()

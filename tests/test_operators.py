@@ -1430,6 +1430,85 @@ class TestPQTrainedCodebooks:
             )
 
 
+class TestIVFPQANN:
+    """s05 — the coarse-quantizer + PQ composition (FAISS IVFPQ
+    shape). Assignment happens inside the PQ kernel's corpus pass, so
+    the gate must be provably equivalent to plain PQ when fully open
+    and partition-invariant when narrowed."""
+
+    def test_full_probe_equals_plain_pq(self, spark, embs):
+        q = embs.filter(F.col("vec_id") < 10)
+        full = sorted(
+            map(tuple, similarity.pq_ann(embs, q, k=5, m=16, ksub=64).collect())
+        )
+        open_gate = sorted(
+            map(
+                tuple,
+                similarity.ivf_pq_ann(
+                    embs, q, k=5, n_cells=16, nprobe=16, m=16, ksub=64
+                ).collect(),
+            )
+        )
+        assert full == open_gate
+
+    def test_partitioning_invariant(self, spark, embs):
+        q = embs.filter(F.col("vec_id") < 10)
+        a = sorted(map(tuple, similarity.ivf_pq_ann(
+            embs.repartition(1), q, k=5, n_cells=16, nprobe=2,
+            m=16, ksub=64).collect()))
+        b = sorted(map(tuple, similarity.ivf_pq_ann(
+            embs.repartition(7), q, k=5, n_cells=16, nprobe=2,
+            m=16, ksub=64).collect()))
+        assert a == b and len(a) == 50
+
+    def test_gate_restricts_to_probed_cells(self, spark, embs):
+        """Every reported neighbor must live in one of its query's
+        nprobe probed cells — recomputed independently here from the
+        same deterministic assignment arithmetic."""
+        import numpy as np
+
+        rows = embs.select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in rows])
+        X = np.round(
+            np.array([r.embedding for r in rows], dtype=np.float64) * 32768.0
+        )
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+        n_cells, nprobe = 16, 2
+        stride = max(1, (int(ids.max()) + 1) // n_cells)
+        sel = (ids % stride == 0) & (ids // stride < n_cells)
+        cents = X[sel]
+        nsq = np.einsum("cd,cd->c", cents, cents)
+        xn = np.sqrt(np.einsum("nd,nd->n", X, X))
+        den = np.where(xn > 0, xn, 1)[:, None] * np.where(
+            np.sqrt(nsq) > 0, np.sqrt(nsq), 1
+        )[None, :]
+        cos = (X @ cents.T) / den
+        cell_of = {int(i): int(np.argmax(cos[n])) for n, i in enumerate(ids)}
+        probed = {
+            int(i): set(
+                np.lexsort((np.arange(n_cells), -cos[n]))[:nprobe].tolist()
+            )
+            for n, i in enumerate(ids)
+            if i < 10
+        }
+        out = similarity.ivf_pq_ann(
+            embs, embs.filter(F.col("vec_id") < 10), k=5,
+            n_cells=n_cells, nprobe=nprobe, m=16, ksub=64,
+        ).collect()
+        assert out
+        for r in out:
+            assert cell_of[r.neighbor_id] in probed[r.query_id]
+
+    def test_dim_mismatch_raises(self, spark, embs):
+        import numpy as np
+
+        with pytest.raises(ValueError, match="codebooks"):
+            similarity.ivf_pq_ann(
+                embs, embs.limit(2), m=8, codebooks=np.zeros((4, 8, 4))
+            )
+
+
 class TestIntervalOverlapJoin:
     """j06 — banded interval-overlap join."""
 
