@@ -172,6 +172,7 @@ class ZarrDataSource(DataSource):
         self.path = options.get("path")
         self.icechunk = str(options.get("icechunk", "false")).lower() == "true"
         self.version = options.get("version")
+        self.as_of = options.get("as_of")
 
     @classmethod
     def name(cls) -> str:
@@ -190,6 +191,21 @@ class ZarrDataSource(DataSource):
         if cached is not None:
             return list(cached)
         store = open_store(self.path, icechunk=self.icechunk)
+        if self.as_of is not None:
+            if self.version is not None:
+                raise ZarrFormatError(
+                    "pass either version or as_of, not both"
+                )
+            from .zarr.versions import resolve_as_of
+
+            try:
+                ts = int(str(self.as_of))
+            except ValueError:
+                raise ZarrFormatError(
+                    f"as_of option must be a unix timestamp (int), got "
+                    f"{self.as_of!r}"
+                )
+            self.version = resolve_as_of(self.path, ts)
         if self.version is not None:
             # pinned snapshot read (reference capability: Icechunk repos
             # at (branch, now), config.rs:141-197 — provided natively by

@@ -1557,6 +1557,8 @@ def diff_zarr(
     path_b: str,
     columns: Optional[Sequence[str]] = None,
     n_partitions: Optional[int] = None,
+    version_a: Optional[int] = None,
+    version_b: Optional[int] = None,
 ) -> DataFrame:
     """Distributed store diff — the validation step after a
     migration, replication, backfill, or in-place update: compare two
@@ -1583,24 +1585,44 @@ def diff_zarr(
     Scale: work list = the common chunk grid (metadata-sized),
     parallelized across the cluster; each task decodes both sides of
     its cells — wall time is one read of both stores over the
-    cluster. Both stores are read through the AUTHORITATIVE walk."""
-    from .zarr.array import ZarrArray, infer_store_arrays_authoritative
+    cluster. Both stores are read through the AUTHORITATIVE walk.
 
-    def _metas(path):
+    ``version_a``/``version_b`` pin either side to a committed
+    snapshot (zarr/versions.py), so "what changed between yesterday's
+    commit and live?" is ``diff_zarr(spark, p, p, version_a=3)`` —
+    the post-hoc answer rollback and pinned reads can't give alone."""
+    from .zarr.array import ZarrArray, infer_store_arrays_authoritative
+    from .zarr.versions import VersionStoreView, open_version
+
+    # a typo'd version must fail loudly here, not degrade into an
+    # all-only_a/only_b report through the empty-side tolerance below
+    if version_a is not None:
+        open_version(path_a, int(version_a))
+    if version_b is not None:
+        open_version(path_b, int(version_b))
+
+    def _open_side(path, version):
+        store = open_store(path)
+        if version is None:
+            return store
+        # lazy view: tasks re-read the manifest themselves (one GET)
+        return VersionStoreView(store, None, int(version))
+
+    def _metas(path, version):
         # an EMPTY side is a reportable state here (every array of the
         # other side becomes only_a/only_b), not an error
         try:
             return {
                 a.meta.name: a.meta
                 for a in infer_store_arrays_authoritative(
-                    open_store(path)
+                    _open_side(path, version)
                 )
             }
         except ZarrFormatError:
             return {}
 
-    a_arrays = _metas(path_a)
-    b_arrays = _metas(path_b)
+    a_arrays = _metas(path_a, version_a)
+    b_arrays = _metas(path_b, version_b)
     if columns:
         wanted = set(columns)
         unknown = wanted - (set(a_arrays) | set(b_arrays))
@@ -1641,10 +1663,11 @@ def diff_zarr(
     sc = spark.sparkContext
     metas_b = sc.broadcast(comparable)
     pa, pb = path_a, path_b
+    va, vb = version_a, version_b
 
     def compare(items):
-        sa = open_store(pa)
-        sb = open_store(pb)
+        sa = _open_side(pa, va)
+        sb = _open_side(pb, vb)
         for name, idx in items:
             ma, mb = metas_b.value[name]
             # read_chunk materializes the fill for missing objects —

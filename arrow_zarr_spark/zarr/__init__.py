@@ -19,6 +19,7 @@ from .versions import (
     VersionStoreView,
     commit_version,
     open_version,
+    resolve_as_of,
     rollback_zarr,
     vacuum_versions,
     version_log,
@@ -44,6 +45,7 @@ __all__ = [
     "consolidate_metadata",
     "create_array",
     "open_version",
+    "resolve_as_of",
     "rollback_zarr",
     "vacuum_versions",
     "version_log",

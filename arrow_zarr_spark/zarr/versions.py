@@ -258,6 +258,27 @@ def open_version(path: str, version: int) -> VersionStoreView:
     return VersionStoreView(store, doc["objects"], int(version))
 
 
+def resolve_as_of(path: str, as_of_unix: int) -> int:
+    """The newest committed version whose commit time is at or before
+    ``as_of_unix`` (the reference's Icechunk reads are pinned to
+    (branch "main", now) with no user-facing knob, config.rs:186-196;
+    this is the ``as_of`` option SURVEY §2 A17 planned). Raises when
+    nothing was committed that early. Metadata-only: one GET per
+    manifest."""
+    store = open_store(path)
+    best = None
+    for v in _manifest_versions(store):
+        doc = _read_manifest(store, v)
+        created = doc.get("created_unix")
+        if created is not None and created <= int(as_of_unix):
+            best = v
+    if best is None:
+        raise ZarrFormatError(
+            f"No version at or before unix time {as_of_unix} at {path!r}"
+        )
+    return best
+
+
 def rollback_zarr(spark, path: str, version: int) -> Dict:
     """Restore the LIVE store to a committed version. Returns
     ``{"restored", "deleted"}`` key counts.

@@ -117,6 +117,75 @@ class TestCommitAndPinnedRead:
         assert log[1]["n_objects"] > log[0]["n_objects"]
 
 
+class TestAsOf:
+    def test_as_of_resolves_to_newest_at_or_before(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import arrow_zarr_spark.zarr.versions as vmod
+        from arrow_zarr_spark.zarr.versions import resolve_as_of
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 16), d, chunk_rows=8)
+        monkeypatch.setattr(vmod.time, "time", lambda: 1000.0)
+        commit_version(spark, d, "t1000")
+        write_zarr(_table(spark, 16, 32), d, chunk_rows=8, mode="append")
+        monkeypatch.setattr(vmod.time, "time", lambda: 2000.0)
+        commit_version(spark, d, "t2000")
+        assert resolve_as_of(d, 1500) == 1
+        assert resolve_as_of(d, 2000) == 2
+        with pytest.raises(ZarrFormatError, match="at or before"):
+            resolve_as_of(d, 999)
+        # the reader option routes through the same resolution
+        assert read_zarr(spark, d, as_of=1500).count() == 16
+        assert read_zarr(spark, d, as_of=5000).count() == 32
+
+    def test_version_and_as_of_conflict(self, spark, tmp_path):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 8), d)
+        commit_version(spark, d)
+        with pytest.raises(Exception, match="not both"):
+            read_zarr(spark, d, version=1, as_of=10**10).count()
+
+
+class TestVersionDiff:
+    def test_diff_version_vs_live(self, spark, tmp_path):
+        from arrow_zarr_spark.io import diff_zarr, write_zarr_region
+
+        d = str(tmp_path / "g")
+        rows = [
+            (float(x), float(y), float(x * 10 + y))
+            for x in range(4)
+            for y in range(4)
+        ]
+        df = spark.createDataFrame(rows, ["x", "y", "val"])
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        write_zarr_grid(df, d, dims=("x", "y"), chunk_shape=(2, 2))
+        commit_version(spark, d, "pristine")
+        write_zarr_region(
+            spark.createDataFrame([(3.0, 3.0, -1.0)], ["x", "y", "val"]),
+            d,
+            dims=("x", "y"),
+        )
+        out = diff_zarr(spark, d, d, version_a=1).collect()
+        changed = [r for r in out if r.status == "changed"]
+        # exactly the one cell the region write touched
+        assert len(changed) == 1
+        assert changed[0].array == "val" and changed[0].n_diff == 1
+        # coordinates and untouched cells compare equal
+        assert all(
+            r.status in ("equal", "changed") for r in out if r.chunk_key
+        )
+
+    def test_diff_bad_version_raises(self, spark, tmp_path):
+        from arrow_zarr_spark.io import diff_zarr
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 8), d)
+        with pytest.raises(ZarrFormatError, match="No version 9"):
+            diff_zarr(spark, d, d, version_a=9)
+
+
 class TestReadOnlyView:
     def test_view_rejects_writes(self, spark, tmp_path):
         d = str(tmp_path / "s")
