@@ -349,15 +349,19 @@ def vacuum_versions(path: str, keep_last: int) -> Dict:
     referenced = set()
     for v in kept:
         referenced.update(_read_manifest(store, v)["objects"].values())
+    # manifests go FIRST: a crash mid-vacuum must leave unreferenced
+    # objects (harmless garbage a re-run collects), never a readable
+    # manifest whose objects are already gone (a version that opens
+    # but fails mid-scan)
+    for v in dropped:
+        store.delete(_manifest_key(v))
+    if kept:
+        store.set(_HEAD_KEY, json.dumps({"latest": kept[-1]}).encode())
     deleted = 0
     for k in list(store.walk_keys()):
         if k.startswith(_OBJECTS_DIR) and k[len(_OBJECTS_DIR):] not in referenced:
             store.delete(k)
             deleted += 1
-    for v in dropped:
-        store.delete(_manifest_key(v))
-    if kept:
-        store.set(_HEAD_KEY, json.dumps({"latest": kept[-1]}).encode())
     return {
         "kept_versions": kept,
         "dropped_versions": dropped,

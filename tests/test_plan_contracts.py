@@ -471,6 +471,25 @@ class TestRound6Contracts:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "WindowGroupLimit" in plan
 
+    def test_ivf_pq_ann_single_exchange_no_joins(self, views):
+        """s05: the IVF gate must not cost a plan shape — coarse
+        assignment lives inside the same MapInPandas pass as the PQ
+        encode (broadcast NumPy centroids, not a centroid join), so
+        the plan is IDENTICAL in shape to s04's: one kernel pass, one
+        hash exchange of per-partition top-k rows, no joins, window
+        group-limit on both sides of the shuffle."""
+        from arrow_zarr_spark.operators import similarity
+
+        embs = views.table("embeddings")
+        df = similarity.ivf_pq_ann(
+            embs, embs.filter(F.col("vec_id") < 10), n_cells=16, nprobe=2
+        )
+        plan = _plan(df)
+        assert "MapInPandas" in plan
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "WindowGroupLimit" in plan
+
     def test_snapshot_pipeline_text_never_shuffles_after_dedup(
         self, views
     ):
