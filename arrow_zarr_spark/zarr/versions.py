@@ -54,6 +54,13 @@ from .store import Store, open_store
 VERSIONS_PREFIX = ".versions/"
 _MANIFEST_DIR = VERSIONS_PREFIX + "manifests/"
 _OBJECTS_DIR = VERSIONS_PREFIX + "objects/"
+
+
+def _object_key(sha: str) -> str:
+    """Content objects shard by hash prefix (objects/ab/<sha>) — a
+    million-object history must not put a million files in one
+    directory (LocalStore) or one listing prefix (object stores)."""
+    return f"{_OBJECTS_DIR}{sha[:2]}/{sha}"
 _HEAD_KEY = VERSIONS_PREFIX + "HEAD.json"
 
 
@@ -97,10 +104,11 @@ def commit_version(spark, path: str, message: str = "") -> Dict:
     ``{"version", "n_objects", "n_new_objects", "message"}``.
 
     One distributed pass: every live key is hashed and its bytes
-    copied to ``.versions/objects/<sha256>`` unless that content
-    object already exists (dedup across versions — an append-only
-    history of an N-object store costs N + sum(deltas) objects, not
-    N * versions). The manifest and HEAD publish driver-side, last.
+    copied to ``.versions/objects/<sha[:2]>/<sha256>`` unless that
+    content object already exists (dedup across versions — an
+    append-only history of an N-object store costs N + sum(deltas)
+    objects, not N * versions). The manifest and HEAD publish
+    driver-side, last.
     """
     store = open_store(path)
     keys = _live_keys(store)
@@ -123,7 +131,7 @@ def commit_version(spark, path: str, message: str = "") -> Dict:
                     f"commit_version: key {key!r} vanished mid-commit"
                 )
             sha = hashlib.sha256(data).hexdigest()
-            obj_key = _OBJECTS_DIR + sha
+            obj_key = _object_key(sha)
             if task_store.exists(obj_key):
                 yield (key, sha, 0)
             else:
@@ -212,7 +220,7 @@ class VersionStoreView(Store):
 
     def _resolve(self, key: str) -> Optional[str]:
         sha = self.manifest.get(key)
-        return None if sha is None else _OBJECTS_DIR + sha
+        return None if sha is None else _object_key(sha)
 
     def get(self, key: str) -> Optional[bytes]:
         obj = self._resolve(key)
@@ -309,7 +317,7 @@ def rollback_zarr(spark, path: str, version: int) -> Dict:
         def restore(items):
             task_store = open_store(path)
             for key, sha in items:
-                data = task_store.get(_OBJECTS_DIR + sha)
+                data = task_store.get(_object_key(sha))
                 if data is None:
                     raise ZarrFormatError(
                         f"rollback: content object for {key!r} missing "
@@ -321,7 +329,7 @@ def rollback_zarr(spark, path: str, version: int) -> Dict:
 
         sc.parallelize(data_items, n_parts).mapPartitions(restore).count()
     for key, sha in meta_items:
-        data = store.get(_OBJECTS_DIR + sha)
+        data = store.get(_object_key(sha))
         if data is None:
             raise ZarrFormatError(
                 f"rollback: content object for {key!r} missing "
@@ -359,7 +367,7 @@ def vacuum_versions(path: str, keep_last: int) -> Dict:
         store.set(_HEAD_KEY, json.dumps({"latest": kept[-1]}).encode())
     deleted = 0
     for k in list(store.walk_keys()):
-        if k.startswith(_OBJECTS_DIR) and k[len(_OBJECTS_DIR):] not in referenced:
+        if k.startswith(_OBJECTS_DIR) and k.rsplit("/", 1)[-1] not in referenced:
             store.delete(k)
             deleted += 1
     return {
