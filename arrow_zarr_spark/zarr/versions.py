@@ -117,9 +117,6 @@ def commit_version(spark, path: str, message: str = "") -> Dict:
     existing = _manifest_versions(store)
     version = (existing[-1] + 1) if existing else 1
 
-    sc = spark.sparkContext
-    n_parts = max(1, min(len(keys), sc.defaultParallelism * 2))
-
     def snapshot(items: Iterator[str]):
         task_store = open_store(path)
         for key in items:
@@ -138,7 +135,16 @@ def commit_version(spark, path: str, message: str = "") -> Dict:
                 task_store.set(obj_key, data)
                 yield (key, sha, 1)
 
-    rows = sc.parallelize(keys, n_parts).mapPartitions(snapshot).collect()
+    if spark is None:
+        # serial fallback (tools, tests, non-Spark callers) — same
+        # code path per key, just undistributed
+        rows = list(snapshot(iter(keys)))
+    else:
+        sc = spark.sparkContext
+        n_parts = max(1, min(len(keys), sc.defaultParallelism * 2))
+        rows = (
+            sc.parallelize(keys, n_parts).mapPartitions(snapshot).collect()
+        )
     objects = {k: sha for k, sha, _ in rows}
     n_new = sum(new for _, _, new in rows)
     manifest = {
@@ -310,24 +316,30 @@ def rollback_zarr(spark, path: str, version: int) -> Dict:
     data_items = [(k, s) for k, s in objects.items() if not is_meta(k)]
     meta_items = [(k, s) for k, s in objects.items() if is_meta(k)]
 
-    sc = spark.sparkContext
+    def restore(items):
+        task_store = open_store(path)
+        for key, sha in items:
+            data = task_store.get(_object_key(sha))
+            if data is None:
+                raise ZarrFormatError(
+                    f"rollback: content object for {key!r} missing "
+                    f"(sha256 {sha}) — was vacuum_versions run with "
+                    "this version excluded?"
+                )
+            task_store.set(key, data)
+            yield 1
+
     if data_items:
-        n_parts = max(1, min(len(data_items), sc.defaultParallelism * 2))
-
-        def restore(items):
-            task_store = open_store(path)
-            for key, sha in items:
-                data = task_store.get(_object_key(sha))
-                if data is None:
-                    raise ZarrFormatError(
-                        f"rollback: content object for {key!r} missing "
-                        f"(sha256 {sha}) — was vacuum_versions run with "
-                        "this version excluded?"
-                    )
-                task_store.set(key, data)
-                yield 1
-
-        sc.parallelize(data_items, n_parts).mapPartitions(restore).count()
+        if spark is None:
+            list(restore(iter(data_items)))  # serial fallback
+        else:
+            sc = spark.sparkContext
+            n_parts = max(
+                1, min(len(data_items), sc.defaultParallelism * 2)
+            )
+            sc.parallelize(data_items, n_parts).mapPartitions(
+                restore
+            ).count()
     for key, sha in meta_items:
         data = store.get(_object_key(sha))
         if data is None:

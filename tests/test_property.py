@@ -394,3 +394,102 @@ def test_interval_prune_implies_empty_mask_strings(strs, value, op):
     hi = _stat_encode(max(strs), np.dtype(object), upper=True)
     if not interval_possible(pred, lo, hi):
         assert not pred.mask({"c": col}).any(), (pred, lo, hi, strs)
+
+
+# ---------------------------------------------------------------------------
+# Versioning (zarr/versions.py): model-checked random op sequences.
+# commit/rollback run their REAL code paths via the serial (spark=None)
+# fallback — same per-key logic the distributed path maps over.
+# ---------------------------------------------------------------------------
+
+_VOPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("set"),
+            st.integers(0, 5),          # key slot
+            st.binary(min_size=0, max_size=32),
+        ),
+        st.tuples(st.just("delete"), st.integers(0, 5)),
+        st.tuples(st.just("commit")),
+        st.tuples(st.just("rollback"), st.integers(1, 8)),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(ops=_VOPS)
+@settings(max_examples=40, deadline=None)
+def test_versioning_model(ops):
+    """Invariant, after EVERY operation: each retained version's view
+    reproduces exactly the live key->bytes mapping at its commit time
+    (keys AND values), the live store matches the model, and vacuumed
+    versions are gone. Commits/rollbacks/vacuums interleave with
+    arbitrary key edits, including rollback past later edits and
+    vacuum dropping rolled-back-to... versions (kept-window only)."""
+    import tempfile
+
+    from arrow_zarr_spark.zarr.meta import ZarrFormatError
+    from arrow_zarr_spark.zarr.versions import (
+        VERSIONS_PREFIX,
+        commit_version,
+        open_version,
+        rollback_zarr,
+        vacuum_versions,
+    )
+
+    root = tempfile.mkdtemp()
+    path = root + "/s"
+    store = open_store(path)
+    keys = [f"a{i}/c/{i}" for i in range(4)] + ["zarr.json", "a0/zarr.json"]
+    live = {}           # model of the live store
+    snapshots = {}      # version -> dict snapshot
+    # seed so the first commit can't hit the empty-store error
+    store.set(keys[0], b"seed")
+    live[keys[0]] = b"seed"
+
+    def check():
+        got_live = {
+            k: store.get(k)
+            for k in store.walk_keys()
+            if not k.startswith(VERSIONS_PREFIX)
+        }
+        assert got_live == live
+        for v, snap in snapshots.items():
+            view = open_version(path, v)
+            got = {k: view.get(k) for k in view.walk_keys()}
+            assert got == snap, f"version {v} drifted"
+
+    for op in ops:
+        if op[0] == "set":
+            k, val = keys[op[1]], op[2]
+            store.set(k, val)
+            live[k] = val
+        elif op[0] == "delete":
+            k = keys[op[1]]
+            store.delete(k)
+            live.pop(k, None)
+        elif op[0] == "commit":
+            if not live:
+                continue
+            info = commit_version(None, path)
+            snapshots[info["version"]] = dict(live)
+        elif op[0] == "rollback":
+            if op[1] not in snapshots:
+                continue
+            rollback_zarr(None, path, op[1])
+            live = dict(snapshots[op[1]])
+        elif op[0] == "vacuum":
+            if not snapshots:
+                continue
+            out = vacuum_versions(path, keep_last=op[1])
+            for v in out["dropped_versions"]:
+                snapshots.pop(v, None)
+            for v in out["dropped_versions"]:
+                try:
+                    open_version(path, v)
+                    raise AssertionError(f"dropped version {v} still opens")
+                except ZarrFormatError:
+                    pass
+        check()
