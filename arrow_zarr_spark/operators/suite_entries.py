@@ -2769,3 +2769,50 @@ def populate_round7_ivfpq_queries(register) -> None:
         "PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank "
         f"FROM scored) WHERE rank <= {_k}",
     )
+
+
+def populate_round7_vlog_queries(register) -> None:
+    """z29: the version LOG itself as a provable query — (version,
+    n_objects, message) for a deterministic two-commit history.
+    Timestamps are excluded (wall-clock); object counts are fully
+    determined by the write layout (64 rows @ chunk 16 = 4 chunks x 2
+    arrays + 3 metadata docs = 11 objects; the append to 100 rows
+    regrows each array to 7 chunks = 17), so the literal oracle pins
+    the commit protocol's accounting."""
+
+    def z29(spark, sf_dir):
+        import shutil
+
+        from ..io import write_zarr
+        from ..zarr.versions import commit_version, version_log
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_z29_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+
+        def tbl(lo, hi):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 3).cast("double").alias("d"),
+            )
+
+        write_zarr(tbl(0, 64), path, chunk_rows=16, mode="overwrite")
+        commit_version(spark, path, "v1: 64 rows")
+        write_zarr(tbl(64, 100), path, chunk_rows=16, mode="append")
+        commit_version(spark, path, "v2: 100 rows")
+        rows = [
+            (int(e["version"]), int(e["n_objects"]), str(e["message"]))
+            for e in version_log(path)
+        ]
+        return spark.createDataFrame(
+            rows, "version bigint, n_objects bigint, message string"
+        )
+
+    register(
+        "z29_version_log",
+        z29,
+        "SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), CAST(11 AS BIGINT), 'v1: 64 rows'), "
+        "(CAST(2 AS BIGINT), CAST(17 AS BIGINT), 'v2: 100 rows')) "
+        "AS t(version, n_objects, message)",
+    )

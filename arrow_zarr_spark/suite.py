@@ -1347,16 +1347,18 @@ _populated = False
 #: green on the round-5 window, so every prior window entry now has a
 #: fresh driver row. This window takes (a) the 22 round-6 additions
 #: that have never had a driver row (d16-d18, s04, x03, p13, w08-w13,
-#: j06, t14, z21-z25, r46-r48), (b) the four round-7 additions — z26
+#: j06, t14, z21-z25, r46-r48), (b) the five round-7 additions — z26
 #: (the Tier-A3 DDL-validation error-path query, the last Tier-A
-#: component with no driver evidence), z27/z28 (snapshot versioning:
-#: pinned read + rollback, the native answer to the env-blocked
-#: Icechunk path A17), and s05 (IVF-PQ ANN, the composed-quantizer
-#: scale path) — and (c) 24 of the stalest green rows, all last
-#: driver-checked in round 3 (t04's fingerprint, z04's zarr
-#: CTE-self-join, and m04's frame sampling ceded their slots; all
-#: stay parity-enforced, z04's shape stays in-window via b10/b11,
-#: and multimodal keeps m01-m03 in-window plus m05's r6 green).
+#: component with no driver evidence), z27/z28/z29 (snapshot
+#: versioning: pinned read + rollback + commit-log accounting, the
+#: native answer to the env-blocked Icechunk path A17), and s05
+#: (IVF-PQ ANN, the composed-quantizer scale path) — and (c) 23 of
+#: the stalest green rows, all last driver-checked in round 3
+#: (t04's fingerprint, z04's zarr CTE-self-join, m04's frame
+#: sampling, and p05's shard manifest ceded their slots; all stay
+#: parity-enforced, z04's shape stays in-window via b10/b11,
+#: multimodal keeps m01-m03 in-window plus m05's r6 green, and
+#: sampling keeps p01-p04 in-window plus p08-p13's r6/r7 greens).
 #: Everything rotated out stays parity-enforced every round by
 #: tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
@@ -1388,6 +1390,7 @@ DRIVER_WINDOW = [
     "z27_version_pinned_read",
     "z28_version_rollback",
     "s05_ivf_pq_ann_topk",
+    "z29_version_log",
     # stalest green rows (last driver-checked in round 3)
     "c01_kmeans_clusters",
     "c02_semantic_neardup",
@@ -1406,7 +1409,6 @@ DRIVER_WINDOW = [
     "p02_token_budget_sample",
     "p03_stratified_sample",
     "p04_rebalance_mixture",
-    "p05_shard_manifest",
     "s01_cosine_topk",
     "s02_lsh_ann_topk",
     "t01_token_count",
@@ -1444,6 +1446,7 @@ def _ensure_populated() -> None:
         populate_round6_grid_queries,
         populate_round7_ivfpq_queries,
         populate_round7_version_queries,
+        populate_round7_vlog_queries,
         populate_round6_late_queries,
         populate_round6_region_queries,
         populate_round6_sampling_queries,
@@ -1471,6 +1474,7 @@ def _ensure_populated() -> None:
     populate_round6_embdedup_queries(register_query)
     populate_round7_version_queries(register_query)
     populate_round7_ivfpq_queries(register_query)
+    populate_round7_vlog_queries(register_query)
     _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()
