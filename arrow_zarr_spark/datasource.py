@@ -213,15 +213,18 @@ class ZarrDataSource(DataSource):
             # version's manifest, so the scan sees the committed bytes
             # no matter how the live store mutated since. The view is
             # picklable; tasks inherit it with the arrays.
-            from .zarr.versions import open_version
+            from .zarr.versions import latest_version, open_version
 
-            try:
-                v = int(str(self.version))
-            except ValueError:
-                raise ZarrFormatError(
-                    f"version option must be an integer, got "
-                    f"{self.version!r}"
-                )
+            if str(self.version).lower() == "latest":
+                v = latest_version(self.path)
+            else:
+                try:
+                    v = int(str(self.version))
+                except ValueError:
+                    raise ZarrFormatError(
+                        f"version option must be an integer or "
+                        f"'latest', got {self.version!r}"
+                    )
             store = open_version(self.path, v)
         arrays = infer_store_arrays(store)
         columns = self.options.get("columns")

@@ -154,8 +154,13 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
         )
     )
     # IVF-PQ composition (s05): same single-exchange kernel as ann_pq
-    # with the coarse gate cutting scoring to ~nprobe/n_cells of the
-    # corpus — should track at-or-under ann_pq
+    # plus the coarse gate. HONEST regime note: at this corpus size
+    # (2k rows) the kernel is task-overhead-bound, so the pair tracks
+    # within noise — the gate's saving lands on the encode matmuls
+    # that dominate at real corpus scale, where unprobed rows (the
+    # kernel's keep mask measured 0.26-0.76 coverage depending on the
+    # probe set) skip the m argmin-L2 products entirely. This entry
+    # guards "no regression vs ann_pq", not a local speedup claim.
     qs["ann_ivfpq"] = lambda: force(
         similarity.ivf_pq_ann(
             embs, embs.filter(F.col("vec_id") < 100), k=10,

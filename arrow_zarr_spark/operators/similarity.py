@@ -499,6 +499,8 @@ def train_pq_codebooks(
     cbs = _pq_strided_codebooks(corpus, m, ksub, id_col, vec_col)
     n_codes, dsub = cbs.shape[1], cbs.shape[2]
     corpus_v = corpus.select(_pq_qvec(F.col(vec_col)).alias("cv"))
+    if iters > 1:
+        corpus_v = corpus_v.persist()  # scanned once per Lloyd round
 
     for _ in range(max(iters, 0)):
         cb_nsq = np.einsum("jcd,jcd->jc", cbs, cbs)
@@ -539,6 +541,7 @@ def train_pq_codebooks(
         partials = corpus_v.mapInPandas(
             kernel, schema="j int, code int, vsum array<double>, cnt long"
         ).collect()  # <= n_partitions * m * ksub rows — metadata-scale
+        b.unpersist()  # per-iteration broadcast: don't pin them all
         sums = np.zeros((m, n_codes, dsub), dtype=np.float64)
         counts = np.zeros((m, n_codes), dtype=np.int64)
         for r in partials:  # exact-int partial sums: order-independent
@@ -547,6 +550,8 @@ def train_pq_codebooks(
         nonempty = counts > 0
         cbs = cbs.copy()
         cbs[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+    if iters > 1:
+        corpus_v.unpersist()
     return cbs
 
 
@@ -563,7 +568,7 @@ def _pq_strided_codebooks(
     ``(m, n_codes, dsub)``; row order IS code order."""
     max_id = corpus.agg(F.max(id_col)).first()[0]
     if max_id is None:
-        raise ValueError("pq_ann: empty corpus (no codebook rows)")
+        raise ValueError("PQ codebooks: empty corpus (no codebook rows)")
     stride = max(1, (int(max_id) + 1) // ksub)
     cb_rows = (
         corpus.filter(
@@ -576,13 +581,13 @@ def _pq_strided_codebooks(
         .collect()
     )
     if not cb_rows:
-        raise ValueError("pq_ann: empty corpus (no codebook rows)")
+        raise ValueError("PQ codebooks: empty corpus (no codebook rows)")
     cb_rows.sort(key=lambda r: r["code"])
     cb_full = np.array([r["v"] for r in cb_rows], dtype=np.float64)
     dim = cb_full.shape[1]
     if dim % m:
         raise ValueError(
-            f"pq_ann: embedding dim {dim} not divisible by m={m}"
+            f"PQ codebooks: embedding dim {dim} not divisible by m={m}"
         )
     dsub = dim // m
     return np.stack(
@@ -704,6 +709,11 @@ def pq_ann(
                 continue
             ids = pdf["neighbor_id"].to_numpy(np.int64)
             X = np.array(list(pdf["cv"]), dtype=np.float64)
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"pq_ann: corpus dim {X.shape[1]} != codebook dim "
+                    f"{dim} — slicing would silently truncate"
+                )
             n = len(ids)
             codes = np.empty((m, n), dtype=np.int64)
             for j in range(m):
@@ -939,6 +949,15 @@ def ivf_pq_ann(
                 cn_l > 0, cn_l, 1.0
             )[None, :]
             cell = np.argmax((X @ cents_l.T) / den, axis=1)
+            # rows in cells NO query probes can never be candidates —
+            # drop them BEFORE the encode loop (the m argmin-L2
+            # matmuls are the dominant kernel cost; this is where the
+            # ~nprobe/n_cells saving actually lands)
+            keep = probed_l.any(axis=0)[cell]
+            if not keep.any():
+                continue
+            ids, X, cell = ids[keep], X[keep], cell[keep]
+            n = len(ids)
             codes = np.empty((m, n), dtype=np.int64)
             for j in range(m):
                 Xj = X[:, j * dsub : (j + 1) * dsub]

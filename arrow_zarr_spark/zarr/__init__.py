@@ -18,6 +18,7 @@ from .table import ChunkPlan
 from .versions import (
     VersionStoreView,
     commit_version,
+    latest_version,
     open_version,
     resolve_as_of,
     rollback_zarr,
@@ -42,6 +43,7 @@ __all__ = [
     "ZarrArray",
     "ZarrFormatError",
     "commit_version",
+    "latest_version",
     "consolidate_metadata",
     "create_array",
     "open_version",

@@ -67,6 +67,16 @@ class Store:
         """Yield every key under the root (relative, '/'-separated)."""
         raise NotImplementedError
 
+    def walk_prefix(self, prefix: str) -> Iterator[str]:
+        """All keys under ``prefix``. Default filters the full
+        listing; backends with real prefix listings (LocalStore
+        subtree walk, an object store's list(prefix=...)) override so
+        metadata-area scans stay metadata-scale on huge stores."""
+        p = prefix if prefix.endswith("/") else prefix + "/"
+        for key in self.walk_keys():
+            if key.startswith(p):
+                yield key
+
     def list_array_names(self) -> list:
         """Immediate array nodes: keys ``<name>/zarr.json`` (v3) or
         ``<name>/.zarray`` (v2) one level down.
@@ -152,6 +162,17 @@ class LocalStore(Store):
                     yield fn
                 else:
                     yield "/".join(rel.split(os.sep) + [fn])
+
+    def walk_prefix(self, prefix: str) -> Iterator[str]:
+        # walk only the prefix subtree — a manifest listing on a
+        # million-object store must not stat every chunk file
+        sub = os.path.join(self.root, *prefix.strip("/").split("/"))
+        if not os.path.isdir(sub):
+            return
+        for dirpath, _dirnames, filenames in os.walk(sub):
+            rel = os.path.relpath(dirpath, self.root)
+            for fn in filenames:
+                yield "/".join(rel.split(os.sep) + [fn])
 
 
 class HttpStore(Store):

@@ -65,8 +65,15 @@ _HEAD_KEY = VERSIONS_PREFIX + "HEAD.json"
 
 
 def _live_keys(store: Store) -> List[str]:
+    # __stage__ is the sinks' in-flight staging area (sinks.py): not
+    # committed state — snapshotting it would freeze debris into the
+    # manifest (and rollback would resurrect it), and a commit racing a
+    # sink job would hit the vanished-mid-commit error on transient keys
     return sorted(
-        k for k in store.walk_keys() if not k.startswith(VERSIONS_PREFIX)
+        k
+        for k in store.walk_keys()
+        if not k.startswith(VERSIONS_PREFIX)
+        and not k.startswith("__stage__")
     )
 
 
@@ -90,9 +97,12 @@ def _read_manifest(store: Store, version: int) -> Dict:
 
 
 def _manifest_versions(store: Store) -> List[int]:
+    # prefix listing, NOT a full-store walk: version_log /
+    # resolve_as_of / the next-version pick must stay metadata-scale
+    # on a store whose data area has millions of keys
     out = []
-    for k in store.walk_keys():
-        if k.startswith(_MANIFEST_DIR) and k.endswith(".json"):
+    for k in store.walk_prefix(_MANIFEST_DIR):
+        if k.endswith(".json"):
             stem = k[len(_MANIFEST_DIR) : -len(".json")]
             if stem.isdigit():
                 out.append(int(stem))
@@ -272,6 +282,30 @@ def open_version(path: str, version: int) -> VersionStoreView:
     return VersionStoreView(store, doc["objects"], int(version))
 
 
+def latest_version(path: str) -> int:
+    """The newest committed version — the ``version='latest'`` reader
+    option. One GET against the HEAD pointer; falls back to the
+    manifest prefix listing when HEAD is missing or provably stale (a
+    crash landed a manifest but not the pointer — HEAD+1 exists)."""
+    store = open_store(path)
+    raw = store.get(_HEAD_KEY)
+    if raw is not None:
+        try:
+            head = int(json.loads(raw)["latest"])
+        except (KeyError, TypeError, ValueError):
+            head = None
+        if (
+            head is not None
+            and store.exists(_manifest_key(head))
+            and not store.exists(_manifest_key(head + 1))
+        ):
+            return head
+    versions = _manifest_versions(store)
+    if not versions:
+        raise ZarrFormatError(f"No versions committed at {path!r}")
+    return versions[-1]
+
+
 def resolve_as_of(path: str, as_of_unix: int) -> int:
     """The newest committed version whose commit time is at or before
     ``as_of_unix`` (the reference's Icechunk reads are pinned to
@@ -378,8 +412,8 @@ def vacuum_versions(path: str, keep_last: int) -> Dict:
     if kept:
         store.set(_HEAD_KEY, json.dumps({"latest": kept[-1]}).encode())
     deleted = 0
-    for k in list(store.walk_keys()):
-        if k.startswith(_OBJECTS_DIR) and k.rsplit("/", 1)[-1] not in referenced:
+    for k in list(store.walk_prefix(_OBJECTS_DIR)):
+        if k.rsplit("/", 1)[-1] not in referenced:
             store.delete(k)
             deleted += 1
     return {
