@@ -262,13 +262,13 @@ def write_bench_store(
 
 def write_wide_bench_store(
     path: str | None = None, side: int = 1024, chunk: int = 256,
-    n_vars: int = 48,
+    n_vars: int = 64,
 ) -> str:
     """WIDE store for the projection-pruning cost pair (SURVEY §2 A4;
     reference behavior ``config.rs:67-90`` — DataFusion projects into
-    the scan). 48 int64 [side,side] arrays of INCOMPRESSIBLE values
+    the scan). 64 int64 [side,side] arrays of INCOMPRESSIBLE values
     (splitmix-style multiplicative hash of the index — blosc-LZ4
-    stores them near-raw), so an unpruned narrow query decodes ~48x
+    stores them near-raw), so an unpruned narrow query decodes ~64x
     the bytes of the pruned one and the ``zarr_narrow_*`` bench pair
     measures decode work, not task overhead. The original 8-array
     arange store hid the gap under the noise floor: arange compresses

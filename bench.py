@@ -171,14 +171,14 @@ def bench_queries(spark):
     # so a narrow SELECT over a wide store decodes EVERY array unless
     # the projection is forwarded via the `columns` option
     # (read_zarr(columns=...)). The pair keeps the gap a measured
-    # number. It runs on a dedicated 48-array store of incompressible
+    # number. It runs on a dedicated 64-array store of incompressible
     # int64 (fixtures.write_wide_bench_store) — on the original
     # 8-array arange store the decode saving sat under the task-launch
     # noise floor (r6 measured the pair INVERTED, 0.351 pruned vs
-    # 0.337 unpruned); with 48x incompressible decode bytes the pruned
-    # side holds a stable >=1.5x win (measured 2.2x), restoring the A4
+    # 0.337 unpruned); with 64x incompressible decode bytes the pruned
+    # side holds a stable >=1.5x win (measured 2.8x quiet), restoring the A4
     # regression guard. On an object store the unpruned form also
-    # fetches 48x the GETs — the number that matters at 100 TB;
+    # fetches 64x the GETs — the number that matters at 100 TB;
     # tests/test_datasource.py asserts the pruned scan never touches
     # the other arrays' chunks.
     wide_path = fixtures.write_wide_bench_store()
@@ -598,7 +598,7 @@ def main() -> None:
             "zarr_bench": 512 * 512,
             "zarr_bench_small": 128 * 128,
             "zarr_bench_sharded": 512 * 512,
-            # zarr_narrow_* pair: 48 incompressible int64 arrays
+            # zarr_narrow_* pair: 64 incompressible int64 arrays
             "zarr_wide_bench": 1024 * 1024,
         },
         # the 10x-data rung for the heaviest operators: near-linear
