@@ -56,6 +56,9 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
         )
     )
     qs["text_pipeline"] = lambda: force(text.text_features(docs))
+    # bounded-memory heavy hitters (t16): MG summaries + candidate
+    # recount — the no-full-vocabulary-shuffle corpus-frequency plan
+    qs["heavy_hitters"] = lambda: force(text.heavy_hitters(docs, k=20))
     qs["multimodal_features"] = lambda: force(
         multimodal.byte_features(multimodal.with_binary_payload(docs))
     )

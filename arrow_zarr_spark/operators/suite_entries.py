@@ -2816,3 +2816,28 @@ def populate_round7_vlog_queries(register) -> None:
         "(CAST(2 AS BIGINT), CAST(17 AS BIGINT), 'v2: 100 rows')) "
         "AS t(version, n_objects, message)",
     )
+
+
+def populate_round7_hh_queries(register) -> None:
+    """t16: bounded-memory heavy hitters — the Misra-Gries-per-
+    partition + exact-recount plan (no full-vocabulary shuffle; t06's
+    exact groupBy shuffles one row per distinct gram, this shuffles
+    only MG candidates). The oracle is the plain exact top-k: the MG
+    guarantee (any token with global count > N/(capacity+1) reaches
+    the recount) makes the bounded plan EXACT at suite scale, so the
+    hashes must match."""
+
+    def t16(spark, sf_dir):
+        return text.heavy_hitters(_docs(spark, sf_dir), k=20)
+
+    register(
+        "t16_heavy_hitters",
+        t16,
+        "WITH w AS (SELECT t.w AS token FROM ("
+        "SELECT string_split(text, ' ') AS ws FROM documents"
+        "), UNNEST(ws) AS t(w) WHERE len(t.w) > 0) "
+        "SELECT token, COUNT(*) AS total_freq, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS BIGINT) "
+        "AS rank FROM w GROUP BY token "
+        "ORDER BY total_freq DESC, token LIMIT 20",
+    )

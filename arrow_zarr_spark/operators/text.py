@@ -14,7 +14,7 @@ pipeline at input-scan speed with map-side partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -739,4 +739,102 @@ def assemble_chunks(
             F.transform(pieces, lambda x: x["t"]), joiner
         ).alias("text"),
         F.count("*").cast("long").alias("n_chunks"),
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    k: int = 20,
+    capacity: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-``k`` tokens WITHOUT a full-vocabulary shuffle —
+    the bounded-memory heavy-hitters plan for vocabularies too large
+    to ``groupBy`` (t06's exact form shuffles one row per DISTINCT
+    gram; at web scale that is billions of keys):
+
+    1. a Misra-Gries summary of size ``capacity`` per partition
+       (vectorized over Arrow batches: pandas ``value_counts`` per
+       slab merged into a counter dict, batched MG reduction
+       subtracting the (capacity+1)-th largest count when full);
+    2. the summaries collect to the driver (``<= n_partitions *
+       capacity`` small rows — same bounded class as the suite's
+       other candidate collects) and union into a candidate set;
+    3. an exact recount of ONLY candidate tokens: broadcast hash
+       join gate, then a groupBy over ``<= |candidates|`` distinct
+       keys with map-side combine, top-k with a total order
+       (count desc, token asc).
+
+    EXACTNESS guarantee (why the SQL oracle can hash-match): MG keeps
+    every token whose partition count exceeds N_p/(capacity+1); a
+    token with GLOBAL count > N/(capacity+1) must clear that bar in
+    at least one partition (weighted pigeonhole), so it reaches the
+    exact recount. The result is therefore exactly the true top-k
+    whenever the k-th count exceeds N/(capacity+1) — trivially true
+    for zipfian token distributions with capacity >> k; the
+    adversarial unit test pins a 50k-token vocabulary through a
+    capacity-64 summary and still matches exact counts."""
+    import pandas as pd
+
+    if k < 1 or capacity < k:
+        raise ValueError(
+            f"heavy_hitters: need capacity >= k >= 1, got k={k}, "
+            f"capacity={capacity}"
+        )
+    exploded = df.select(
+        F.explode(words_col(F.col(text_col))).alias("token")
+    ).filter(F.length("token") > 0)
+
+    cap = int(capacity)
+
+    def mg_kernel(batches):
+        counters: dict = {}
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            vc = pdf["token"].value_counts()  # vectorized C path
+            for tok, cnt in vc.items():  # O(unique-per-batch), not per-row
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > cap:
+                # batched Misra-Gries reduction: subtract the
+                # (cap+1)-th largest count from everyone, drop <= 0.
+                # Total subtracted mass per survivor is bounded by
+                # N_p/(cap+1), preserving the MG guarantee.
+                values = sorted(counters.values(), reverse=True)
+                cut = values[cap]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c > cut
+                }
+        if not seen or not counters:
+            return
+        yield pd.DataFrame(
+            {
+                "token": list(counters.keys()),
+                "est": list(counters.values()),
+            }
+        )
+
+    summaries = exploded.mapInPandas(
+        mg_kernel, schema="token string, est long"
+    ).collect()  # <= n_partitions * capacity rows — bounded
+    cand = sorted({r["token"] for r in summaries})
+    spark = df.sparkSession
+    if not cand:
+        return spark.createDataFrame(
+            [], "token string, total_freq long, rank long"
+        )
+    cand_df = spark.createDataFrame([(t,) for t in cand], "token string")
+
+    counted = (
+        exploded.join(F.broadcast(cand_df), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("total_freq"))
+    )
+    w = Window.orderBy(F.col("total_freq").desc(), F.col("token"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("token", "total_freq", F.col("rank").cast("long").alias("rank"))
     )

@@ -1391,6 +1391,7 @@ DRIVER_WINDOW = [
     "z28_version_rollback",
     "s05_ivf_pq_ann_topk",
     "z29_version_log",
+    "t16_heavy_hitters",
     # stalest green rows (last driver-checked in round 3)
     "c01_kmeans_clusters",
     "c02_semantic_neardup",
@@ -1401,7 +1402,6 @@ DRIVER_WINDOW = [
     "d10_canonical_docs",
     "j02_asof_join",
     "j03_theta_join_banded",
-    "j04_salted_join",
     "m01_byte_features",
     "m02_decode_image_fake",
     "m03_resize_pixels",
@@ -1446,6 +1446,7 @@ def _ensure_populated() -> None:
         populate_round6_grid_queries,
         populate_round7_ivfpq_queries,
         populate_round7_version_queries,
+        populate_round7_hh_queries,
         populate_round7_vlog_queries,
         populate_round6_late_queries,
         populate_round6_region_queries,
@@ -1475,6 +1476,7 @@ def _ensure_populated() -> None:
     populate_round7_version_queries(register_query)
     populate_round7_ivfpq_queries(register_query)
     populate_round7_vlog_queries(register_query)
+    populate_round7_hh_queries(register_query)
     _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()

@@ -1430,6 +1430,60 @@ class TestPQTrainedCodebooks:
             )
 
 
+class TestHeavyHitters:
+    """t16 — Misra-Gries-per-partition + exact-recount heavy hitters.
+    The claim under test: the bounded plan is EXACT whenever the k-th
+    count clears N/(capacity+1), even with a vocabulary far past the
+    summary capacity."""
+
+    def test_exact_past_capacity_zipf(self, spark):
+        """50k-token zipfian vocabulary through capacity-64 summaries:
+        top-10 must equal the exact groupBy answer, counts included."""
+        import numpy as np
+
+        from arrow_zarr_spark.operators import text as text_ops
+
+        rng = np.random.RandomState(17)
+        # zipf-ish: token ids drawn with p ~ 1/(id+1); ~50k distinct
+        ids = (np.floor(np.exp(rng.uniform(0, np.log(50000), 200000)))
+               .astype(int))
+        toks = [f"w{int(i)}" for i in ids]
+        # 40 docs of 5000 tokens each
+        docs = [
+            (d, " ".join(toks[d * 5000 : (d + 1) * 5000]))
+            for d in range(40)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(8)
+        got = text_ops.heavy_hitters(df, k=10, capacity=64).collect()
+        exact = (
+            df.select(F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.length("t") > 0)
+            .groupBy("t")
+            .count()
+            .orderBy(F.col("count").desc(), F.col("t"))
+            .limit(10)
+            .collect()
+        )
+        assert [(r.token, r.total_freq) for r in got] == [
+            (r.t, r["count"]) for r in exact
+        ]
+
+    def test_partition_invariant(self, spark, docs):
+        from arrow_zarr_spark.operators import text as text_ops
+
+        a = [tuple(r) for r in
+             text_ops.heavy_hitters(docs.repartition(1), k=15).collect()]
+        b = [tuple(r) for r in
+             text_ops.heavy_hitters(docs.repartition(13), k=15).collect()]
+        assert a == b and len(a) == 15
+
+    def test_capacity_validation(self, spark, docs):
+        from arrow_zarr_spark.operators import text as text_ops
+
+        with pytest.raises(ValueError, match="capacity"):
+            text_ops.heavy_hitters(docs, k=10, capacity=5)
+
+
 class TestIVFPQANN:
     """s05 — the coarse-quantizer + PQ composition (FAISS IVFPQ
     shape). Assignment happens inside the PQ kernel's corpus pass, so
