@@ -43,6 +43,7 @@ def stream_to_zarr(
     path: str,
     chunk_rows: int = 65536,
     compression: str = "zstd",
+    commit_every: int = 0,
     **start_kwargs,
 ):
     """Start a streaming query appending microbatches to a Zarr store.
@@ -52,7 +53,17 @@ def stream_to_zarr(
         q = stream_to_zarr(events_stream, "/data/events_zarr",
                            chunk_rows=65536,
                            checkpointLocation="/data/ckpt")
-    """
+
+    ``commit_every=N`` (0 = off) snapshots a store VERSION
+    (zarr/versions.py) after every N applied batches — reproducible
+    training-data releases while ingestion keeps running: a consumer
+    pins ``read_zarr(path, version=...)`` and never sees later
+    appends. The commit runs inside the exactly-once apply (before
+    the batch marker advances), so a replayed batch never commits
+    twice; a crash in the window between a landed write and its
+    marker can at worst re-run the same write+commit on recovery
+    (at-least-once on the version BOUNDARY — the duplicate version is
+    content-deduped, byte-identical, and vacuumable)."""
     checkpoint = start_kwargs.pop("checkpointLocation", None)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -67,6 +78,14 @@ def stream_to_zarr(
                 compression=compression,
                 mode=mode,
             )
+            if commit_every > 0 and (batch_id + 1) % commit_every == 0:
+                from ..zarr.versions import commit_version
+
+                commit_version(
+                    batch_df.sparkSession,
+                    path,
+                    f"stream batch {batch_id}",
+                )
 
         _once_per_batch(store, _MARKER_KEY, batch_id, apply)
 

@@ -261,3 +261,53 @@ class TestVacuum:
         write_zarr(_table(spark, 0, 8), d)
         with pytest.raises(ZarrFormatError, match="keep_last"):
             vacuum_versions(d, keep_last=0)
+
+
+class TestStreamingVersionCommits:
+    def test_commit_every_batch_pins_epochs(self, spark, tmp_path):
+        """stream_to_zarr(commit_every=1): each micro-batch lands as a
+        pinned, reproducible version while the live store keeps
+        growing — and replays never double-commit."""
+        from arrow_zarr_spark.streaming.zarr_sink import stream_to_zarr
+        from arrow_zarr_spark.zarr.versions import version_log
+
+        src = str(tmp_path / "src")
+        schema = "k long, v double"
+        b1 = spark.createDataFrame(
+            [(i, float(i)) for i in range(40)], schema
+        )
+        b1.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        out = str(tmp_path / "store")
+        q = stream_to_zarr(
+            stream,
+            out,
+            chunk_rows=16,
+            commit_every=1,
+            checkpointLocation=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+            assert read_zarr(spark, out, version=1).count() == 40
+            b2 = spark.createDataFrame(
+                [(i, float(i)) for i in range(40, 70)], schema
+            )
+            b2.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        log = version_log(out)
+        assert [e["version"] for e in log] == [1, 2]
+        # version 1 is frozen at 40 rows; version 2 and live see 70
+        assert read_zarr(spark, out, version=1).count() == 40
+        assert read_zarr(spark, out, version=2).count() == 70
+        assert spark.read.format("zarr").load(out).count() == 70
+        # the exactly-once markers were NOT frozen into manifests as
+        # live keys that rollback would resurrect... they WERE part of
+        # the live store at commit time and that is fine — but the
+        # staging area must never be
+        from arrow_zarr_spark.zarr.versions import open_version
+
+        assert not any(
+            k.startswith("__stage__") for k in open_version(out, 1).walk_keys()
+        )
