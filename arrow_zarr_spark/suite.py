@@ -1347,18 +1347,20 @@ _populated = False
 #: green on the round-5 window, so every prior window entry now has a
 #: fresh driver row. This window takes (a) the 22 round-6 additions
 #: that have never had a driver row (d16-d18, s04, x03, p13, w08-w13,
-#: j06, t14, z21-z25, r46-r48), (b) the five round-7 additions — z26
+#: j06, t14, z21-z25, r46-r48), (b) the six round-7 additions — z26
 #: (the Tier-A3 DDL-validation error-path query, the last Tier-A
 #: component with no driver evidence), z27/z28/z29 (snapshot
 #: versioning: pinned read + rollback + commit-log accounting, the
-#: native answer to the env-blocked Icechunk path A17), and s05
-#: (IVF-PQ ANN, the composed-quantizer scale path) — and (c) 23 of
-#: the stalest green rows, all last driver-checked in round 3
-#: (t04's fingerprint, z04's zarr CTE-self-join, m04's frame
-#: sampling, and p05's shard manifest ceded their slots; all stay
+#: native answer to the env-blocked Icechunk path A17), s05 (IVF-PQ
+#: ANN, the composed-quantizer scale path), and t16 (bounded-memory
+#: Misra-Gries heavy hitters) — and (c) 22 of the stalest green
+#: rows, all last driver-checked in round 3 (t04's fingerprint,
+#: z04's zarr CTE-self-join, m04's frame sampling, p05's shard
+#: manifest, and j04's salted join ceded their slots; all stay
 #: parity-enforced, z04's shape stays in-window via b10/b11,
-#: multimodal keeps m01-m03 in-window plus m05's r6 green, and
-#: sampling keeps p01-p04 in-window plus p08-p13's r6/r7 greens).
+#: multimodal keeps m01-m03 in-window plus m05's r6 green, sampling
+#: keeps p01-p04 plus p08-p13's r6/r7 greens, and joins keep
+#: j02/j03 in-window plus j05/j06's fresh rows).
 #: Everything rotated out stays parity-enforced every round by
 #: tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
