@@ -59,6 +59,15 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     # bounded-memory heavy hitters (t16): MG summaries + candidate
     # recount — the no-full-vocabulary-shuffle corpus-frequency plan
     qs["heavy_hitters"] = lambda: force(text.heavy_hitters(docs, k=20))
+    # bounded-memory distinct counting (t17): KMV k-min candidates +
+    # exact relational tail — the no-shuffle-per-distinct-key
+    # COUNT(DISTINCT) plan, timed on the widest key domain we ship
+    from . import sketches
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    qs["kmv_distinct"] = lambda: force(
+        sketches.kmv_distinct(orders, "o_orderpriority", "o_custkey")
+    )
     qs["multimodal_features"] = lambda: force(
         multimodal.byte_features(multimodal.with_binary_payload(docs))
     )

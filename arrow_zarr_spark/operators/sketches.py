@@ -1,0 +1,117 @@
+"""Bounded-memory distinct-counting: the KMV (k-minimum-values)
+sketch with an exactness certificate.
+
+``COUNT(DISTINCT v)`` per group shuffles one row per distinct key —
+at web scale that is billions of rows for a single statistic. KMV
+(Bar-Yossef et al. 2002, "Counting distinct elements in a data
+stream"; the public basis for every engine's approx_count_distinct
+family) keeps only the k smallest distinct hash values per group:
+fixed memory, mergeable across partitions, and — unlike a raw
+estimator — self-certifying: when fewer than k distinct hashes exist
+the sketch held ALL of them, so the count is exact and the DuckDB
+oracle can hash-match it.
+
+Reference context: the reference engine stubs statistics entirely
+(arrow-zarr opener.rs:171-173) and has no sketch layer; this module
+is part of the repo's training-data-pipeline extension alongside the
+Misra-Gries heavy hitters (text.py) and the approx aggregates (r26).
+
+Scale shape: one narrow JVM-side hash projection, one Arrow-batched
+per-partition k-min kernel, then an exact SQL tail over at most
+``n_partitions * k`` 16-byte rows per group — shuffle volume is
+independent of the data's distinct cardinality. Both regimes are
+deterministic AND partition-invariant: the union of per-partition
+k-min sets always contains the global k smallest distinct hashes, so
+the tail reconstructs the same global sketch however the input was
+split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_distinct"]
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 8192,
+) -> DataFrame:
+    """Per-group distinct count of ``value_col`` in bounded memory.
+
+    Returns (group_col, n_distinct, is_exact) where ``is_exact`` is
+    true iff the group's sketch never filled — i.e. the group has
+    fewer than ``k`` distinct hash values, so ``n_distinct`` is the
+    true count (modulo 64-bit hash collisions, ~d²/2⁶⁵ — negligible
+    below billions of distinct keys). Groups at or past ``k`` report
+    the standard KMV estimate ``(k-1)/u_(k)`` (u_(k) = the k-th
+    smallest hash mapped to (0,1]); relative error ~1/sqrt(k-2).
+
+    Plan:
+    1. JVM-side ``xxhash64`` projection (no Python in the row path);
+       NULL values are dropped first to match ``COUNT(DISTINCT)``
+       semantics (xxhash64 would otherwise fold them to the seed).
+    2. A per-partition k-min kernel over Arrow batches: per group,
+       merge the batch's hashes into a sorted ≤k array via
+       ``np.unique`` (C path) — memory is O(n_groups * k) per
+       partition, the usual per-group-aggregate bound.
+    3. An exact relational tail over the emitted candidates
+       (``<= n_partitions * k`` rows per group): global dedupe, rank
+       by hash, keep rank ≤ k, then count + k-th hash per group.
+       Signed-long order is used consistently in both the kernel and
+       the tail, so the (0,1] mapping ``(h + 2⁶³ + 1)/2⁶⁴`` is
+       monotone and the reconstructed sketch is exactly the global
+       k-min set.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"kmv_distinct: need k >= 2, got k={k}")
+    kk = int(k)
+
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.xxhash64(F.col(value_col)).alias("h"),
+    )
+
+    def kmin_kernel(batches):
+        state: dict = {}  # grp -> ascending np.int64 array, len <= kk
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for grp, sub in pdf.groupby("grp", sort=False, dropna=False):
+                new = sub["h"].to_numpy(dtype=np.int64)
+                cur = state.get(grp)
+                merged = np.unique(
+                    new if cur is None else np.concatenate([cur, new])
+                )
+                state[grp] = merged[:kk]
+        for grp, arr in state.items():
+            yield pd.DataFrame({"grp": grp, "h": arr})
+
+    candidates = hashed.mapInPandas(kmin_kernel, schema="grp string, h long")
+
+    w = Window.partitionBy("grp").orderBy("h")
+    sketch = (
+        candidates.distinct()
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= kk)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth"))
+    )
+
+    # k-th smallest hash mapped to (0,1]; double rounding of the low
+    # bits is ~2⁻¹¹ relative — far under the estimator's own error.
+    u_k = (F.col("kth").cast("double") + 2.0**63 + 1.0) / 2.0**64
+    return sketch.select(
+        F.col("grp").alias(group_col),
+        F.when(F.col("n_kept") < kk, F.col("n_kept"))
+        .otherwise(F.round(F.lit(float(kk - 1)) / u_k))
+        .cast("long")
+        .alias("n_distinct"),
+        (F.col("n_kept") < kk).alias("is_exact"),
+    )

@@ -2841,3 +2841,31 @@ def populate_round7_hh_queries(register) -> None:
         "AS rank FROM w GROUP BY token "
         "ORDER BY total_freq DESC, token LIMIT 20",
     )
+
+
+def populate_round7_sketch_queries(register) -> None:
+    """t17: KMV per-group distinct counting — the bounded-memory
+    COUNT(DISTINCT) plan (r02/r26's exact form shuffles one row per
+    distinct key; this shuffles <= n_partitions * k candidate hashes
+    per group). The oracle is the plain exact COUNT(DISTINCT): below
+    the sketch size the KMV certificate guarantees exactness
+    (sketches.py — the k-min set held every distinct hash), so the
+    hashes must match. Value domain chosen for cardinality (orders
+    custkeys, ~1.3k distinct per priority at sf0.01), not the tiny
+    synthetic token vocabulary."""
+    from . import sketches
+
+    def t17(spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return sketches.kmv_distinct(
+            orders, "o_orderpriority", "o_custkey", k=8192
+        ).orderBy("o_orderpriority")
+
+    register(
+        "t17_kmv_distinct",
+        t17,
+        "SELECT o_orderpriority, "
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct, "
+        "TRUE AS is_exact FROM orders "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )

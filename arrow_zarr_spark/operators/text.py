@@ -36,6 +36,7 @@ __all__ = [
     "corpus_vocab_stats",
     "word_code_col",
     "assemble_chunks",
+    "heavy_hitters",
 ]
 
 #: PII patterns, shared by redaction and counting. Kept to the regex

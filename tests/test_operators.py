@@ -1815,3 +1815,84 @@ class TestEmbeddingDedupBootstrap:
         assert (
             embedding_dedup_against_corpus(empty, batch).count() == 0
         )
+
+
+class TestKMVDistinct:
+    """t17 — the KMV distinct sketch. Claims under test: (1) exact,
+    certificate-true answers below the sketch size; (2) a ~1/sqrt(k)
+    estimate with certificate-false past it; (3) BOTH regimes are
+    partition-invariant (the candidate union always contains the
+    global k-min set, so the tail reconstructs one canonical sketch);
+    (4) NULL values are excluded like COUNT(DISTINCT)."""
+
+    def _grouped(self, spark, n_groups, per_group, parts=8):
+        rows = [
+            (f"g{g}", f"v{g}_{i}")
+            for g in range(n_groups)
+            for i in range(per_group)
+        ]
+        # duplicate every row so dedupe is actually exercised
+        return spark.createDataFrame(
+            rows + rows, ["grp_key", "val"]
+        ).repartition(parts)
+
+    def test_exact_regime_matches_count_distinct(self, spark):
+        from arrow_zarr_spark.operators.sketches import kmv_distinct
+
+        df = self._grouped(spark, n_groups=4, per_group=700)
+        got = {
+            r.grp_key: (r.n_distinct, r.is_exact)
+            for r in kmv_distinct(df, "grp_key", "val", k=1024).collect()
+        }
+        assert got == {f"g{g}": (700, True) for g in range(4)}
+
+    def test_estimator_regime_within_tolerance(self, spark):
+        from arrow_zarr_spark.operators.sketches import kmv_distinct
+
+        df = self._grouped(spark, n_groups=1, per_group=50000)
+        [row] = kmv_distinct(df, "grp_key", "val", k=512).collect()
+        assert row.is_exact is False
+        # rel error ~ 1/sqrt(k-2) ≈ 4.4%; 15% is a 3-sigma-plus bound
+        assert abs(row.n_distinct - 50000) / 50000 < 0.15
+
+    def test_partition_invariant_both_regimes(self, spark):
+        from arrow_zarr_spark.operators.sketches import kmv_distinct
+
+        small = self._grouped(spark, 2, 300)
+        big = self._grouped(spark, 1, 9000)
+        for df, k in ((small, 512), (big, 256)):
+            a = sorted(
+                tuple(r)
+                for r in kmv_distinct(
+                    df.repartition(1), "grp_key", "val", k=k
+                ).collect()
+            )
+            b = sorted(
+                tuple(r)
+                for r in kmv_distinct(
+                    df.repartition(13), "grp_key", "val", k=k
+                ).collect()
+            )
+            assert a == b
+
+    def test_nulls_excluded_like_count_distinct(self, spark):
+        from arrow_zarr_spark.operators.sketches import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("a", None), ("b", None)],
+            ["grp_key", "val"],
+        )
+        got = {
+            r.grp_key: r.n_distinct
+            for r in kmv_distinct(df, "grp_key", "val", k=16).collect()
+        }
+        # group b has only NULLs -> no row at all, matching
+        # GROUP BY + COUNT(DISTINCT) over the non-null value stream
+        assert got == {"a": 2}
+
+    def test_k_validation(self, spark):
+        from arrow_zarr_spark.operators.sketches import kmv_distinct
+
+        df = self._grouped(spark, 1, 5)
+        with pytest.raises(ValueError, match="k >= 2"):
+            kmv_distinct(df, "grp_key", "val", k=1)
