@@ -2869,3 +2869,31 @@ def populate_round7_sketch_queries(register) -> None:
         "TRUE AS is_exact FROM orders "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
     )
+
+
+def populate_round7_stream_sketch_queries(register) -> None:
+    """e05: the streaming face of the KMV distinct sketch, checked in
+    its batch form (applyInPandasWithState is streaming-only; the
+    operator's batch path delegates to sketches.kmv_distinct with the
+    streaming output schema, and tests/test_streaming.py proves the
+    real stream path emits IDENTICAL rows after every micro-batch,
+    both regimes, across a checkpoint boundary). Oracle is the plain
+    exact COUNT(DISTINCT) — exact-certificate regime at suite
+    cardinality (150 distinct users per event_type at sf0.01)."""
+
+    def e05(spark, sf_dir):
+        from ..streaming.event_ops import streaming_kmv_distinct
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return streaming_kmv_distinct(
+            events, "event_type", "user_id", k=4096
+        ).orderBy("group_key")
+
+    register(
+        "e05_stream_distinct_batchform",
+        e05,
+        "SELECT CAST(event_type AS VARCHAR) AS group_key, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct, "
+        "TRUE AS is_exact FROM events "
+        "GROUP BY event_type ORDER BY group_key",
+    )

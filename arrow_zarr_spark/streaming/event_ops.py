@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampNTZType,
@@ -31,6 +34,7 @@ __all__ = [
     "sessionize_stream",
     "stateful_user_counts",
     "streaming_exact_dedup",
+    "streaming_kmv_distinct",
     "enrich_events",
     "interval_join_events",
 ]
@@ -317,6 +321,102 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         _update_counts,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+_KMV_STATE = StructType(
+    [StructField("kmin", ArrayType(LongType()), True)]
+)
+_KMV_OUT = StructType(
+    [
+        StructField("group_key", StringType(), True),
+        StructField("n_distinct", LongType(), True),
+        StructField("is_exact", BooleanType(), True),
+    ]
+)
+
+
+def streaming_kmv_distinct(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 1024,
+) -> DataFrame:
+    """Continuous per-group distinct counting — the streaming face of
+    :func:`arrow_zarr_spark.operators.sketches.kmv_distinct`. Keyed
+    state holds each group's k smallest DISTINCT hashes (the KMV
+    sketch: fixed-size, mergeable); every micro-batch merges its new
+    hashes and emits the group's refreshed (n_distinct, is_exact) in
+    update mode.
+
+    Batch frames delegate to the batch operator, and the answers are
+    IDENTICAL, not merely compatible: the streaming state after any
+    prefix of batches is exactly the k-min set of the union of those
+    batches — the same sketch the batch tail reconstructs — in BOTH
+    the exact-certificate regime and the estimator regime (the
+    estimator arithmetic below mirrors the batch SQL's HALF_UP
+    rounding bit for bit).
+
+    Scale shape: state is one <=k long array per group key, sharded
+    across executors by the groupBy; choose moderate k for streams
+    (the state row is serialized each batch). No watermark is needed
+    — the count is monotone over all history, like d08's seen-set."""
+    from ..operators.sketches import kmv_distinct
+
+    import numpy as np
+
+    if k < 2:
+        raise ValueError(f"streaming_kmv_distinct: need k >= 2, got k={k}")
+    kk = int(k)
+
+    if not events.isStreaming:
+        return kmv_distinct(events, group_col, value_col, k=kk).select(
+            F.col(group_col).cast("string").alias("group_key"),
+            "n_distinct",
+            "is_exact",
+        )
+
+    keyed = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.xxhash64(F.col(value_col)).alias("h"),
+    )
+
+    def _kmv_update(
+        key: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        parts = [
+            pdf["h"].to_numpy(dtype=np.int64)
+            for pdf in batches
+            if len(pdf)
+        ]
+        if state.exists:
+            parts.append(np.asarray(state.get[0], dtype=np.int64))
+        if not parts:
+            return
+        merged = np.unique(np.concatenate(parts))[:kk]
+        state.update((merged.tolist(),))
+        n = len(merged)
+        if n < kk:
+            est, exact = n, True
+        else:
+            # same (0,1] mapping and HALF_UP rounding as the batch SQL
+            u = (float(merged[-1]) + 2.0**63 + 1.0) / 2.0**64
+            est, exact = int(np.floor((kk - 1) / u + 0.5)), False
+        yield pd.DataFrame(
+            {
+                "group_key": [key[0]],
+                "n_distinct": [est],
+                "is_exact": [exact],
+            }
+        )
+
+    return keyed.groupBy("group_key").applyInPandasWithState(
+        _kmv_update,
+        outputStructType=_KMV_OUT,
+        stateStructType=_KMV_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

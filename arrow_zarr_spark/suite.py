@@ -1347,17 +1347,19 @@ _populated = False
 #: green on the round-5 window, so every prior window entry now has a
 #: fresh driver row. This window takes (a) the 22 round-6 additions
 #: that have never had a driver row (d16-d18, s04, x03, p13, w08-w13,
-#: j06, t14, z21-z25, r46-r48), (b) the seven round-7 additions — z26
+#: j06, t14, z21-z25, r46-r48), (b) the eight round-7 additions — z26
 #: (the Tier-A3 DDL-validation error-path query, the last Tier-A
 #: component with no driver evidence), z27/z28/z29 (snapshot
 #: versioning: pinned read + rollback + commit-log accounting, the
 #: native answer to the env-blocked Icechunk path A17), s05 (IVF-PQ
 #: ANN, the composed-quantizer scale path), t16 (bounded-memory
-#: Misra-Gries heavy hitters), and t17 (KMV distinct sketch) — and
-#: (c) 21 of the stalest green rows, all last driver-checked in
-#: round 3 (t01's token count, t04's fingerprint, z04's zarr
-#: CTE-self-join, m04's frame sampling, p05's shard
-#: manifest, and j04's salted join ceded their slots; all stay
+#: Misra-Gries heavy hitters), t17 (KMV distinct sketch), and e05
+#: (the sketch's streaming face, batch form) — and
+#: (c) 20 of the stalest green rows, all last driver-checked in
+#: round 3 (t01's token count, t03's quality score, t04's
+#: fingerprint, z04's zarr CTE-self-join, m04's frame sampling,
+#: p05's shard manifest, and j04's salted join ceded their slots;
+#: all stay
 #: parity-enforced, z04's shape stays in-window via b10/b11,
 #: multimodal keeps m01-m03 in-window plus m05's r6 green, sampling
 #: keeps p01-p04 plus p08-p13's r6/r7 greens, and joins keep
@@ -1396,6 +1398,7 @@ DRIVER_WINDOW = [
     "z29_version_log",
     "t16_heavy_hitters",
     "t17_kmv_distinct",
+    "e05_stream_distinct_batchform",
     # stalest green rows (last driver-checked in round 3)
     "c01_kmeans_clusters",
     "c02_semantic_neardup",
@@ -1416,7 +1419,6 @@ DRIVER_WINDOW = [
     "s01_cosine_topk",
     "s02_lsh_ann_topk",
     "t02_language_id",
-    "t03_quality_score",
     "z05_missing_chunk_fill",
 ]
 
@@ -1451,6 +1453,7 @@ def _ensure_populated() -> None:
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
+        populate_round7_stream_sketch_queries,
         populate_round7_vlog_queries,
         populate_round6_late_queries,
         populate_round6_region_queries,
@@ -1482,6 +1485,7 @@ def _ensure_populated() -> None:
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)
+    populate_round7_stream_sketch_queries(register_query)
     _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()

@@ -469,3 +469,79 @@ def test_interval_left_join_stream_matches_batch(spark, events, tmp_path):
     inner = [p for p in want if p[1] is not None]
     assert [p for p in got if p[1] is not None] == inner
     assert set(got) <= set(want)
+
+
+def test_streaming_kmv_distinct_matches_batch(spark, tmp_path):
+    """After each micro-batch, the streamed (n_distinct, is_exact) per
+    group equals the batch kmv_distinct over the union of all batches
+    so far — the mergeable-sketch claim, exercised across a state
+    save/restore boundary. k=8 forces group 'b' into the estimator
+    regime so BOTH regimes cross the boundary."""
+    from arrow_zarr_spark.streaming.event_ops import streaming_kmv_distinct
+
+    src = str(tmp_path / "kmv_src")
+    schema = "event_type string, user_id long"
+    batch1 = spark.createDataFrame(
+        [("a", i) for i in range(5)] + [("b", i) for i in range(30)],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        # overlap with batch1 plus new values; 'a' stays under k=8
+        [("a", i) for i in range(2, 7)] + [("b", i) for i in range(20, 60)],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    q = (
+        streaming_kmv_distinct(stream, k=8)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_out")
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .start()
+    )
+
+    def batch_answer(df):
+        return {
+            r.group_key: (r.n_distinct, r.is_exact)
+            for r in streaming_kmv_distinct(df, k=8).collect()
+        }
+
+    def latest_stream_answer():
+        rows = spark.sql("SELECT * FROM kmv_out").collect()
+        out = {}
+        for r in rows:  # memory sink appends updates in batch order
+            out[r.group_key] = (r.n_distinct, r.is_exact)
+        return out
+
+    try:
+        q.processAllAvailable()
+        assert latest_stream_answer() == batch_answer(batch1)
+        got = latest_stream_answer()
+        assert got["a"] == (5, True)
+        assert got["b"][1] is False  # 30 distinct through k=8: estimator
+
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert latest_stream_answer() == batch_answer(batch1.union(batch2))
+    finally:
+        q.stop()
+
+
+def test_streaming_kmv_distinct_batch_mode_schema(spark, events):
+    """Batch frames take the one-shot kmv_distinct path with the
+    streaming output schema and exact counts at this cardinality."""
+    from arrow_zarr_spark.streaming.event_ops import streaming_kmv_distinct
+
+    got = {
+        r.group_key: (r.n_distinct, r.is_exact)
+        for r in streaming_kmv_distinct(events, k=4096).collect()
+    }
+    exact = {
+        r.event_type: r.d
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert got == {t: (d, True) for t, d in exact.items()}
