@@ -2897,3 +2897,57 @@ def populate_round7_stream_sketch_queries(register) -> None:
         "TRUE AS is_exact FROM events "
         "GROUP BY event_type ORDER BY group_key",
     )
+
+
+def populate_round7_cdc_queries(register) -> None:
+    """z30: row-level version CDC as a provable query — the
+    incremental-refresh primitive over the native version store
+    (zarr/versions.py). The history is two commits with a 2-row
+    modification and a 4-row append; the literal oracle pins every
+    emitted (array, pos, coords, change, old, new) row, so it proves
+    the delta semantics AND the value rendering. The hash-gated
+    work-list (only changed chunks decode) is pinned separately by
+    tests/test_versions.py::TestVersionCDC."""
+
+    def z30(spark, sf_dir):
+        import shutil
+
+        from ..io import write_zarr
+        from ..zarr.versions import commit_version, version_cdc
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_z30_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+
+        def tbl(hi, bump):
+            d = F.when(
+                (F.col("id") >= 2) & (F.col("id") < 4) & F.lit(bump),
+                F.col("id") * 5,
+            ).otherwise(F.col("id") * 3)
+            return spark.range(0, hi).select(
+                F.col("id").alias("k"), d.cast("double").alias("d")
+            )
+
+        write_zarr(tbl(16, False), path, chunk_rows=8, mode="overwrite")
+        commit_version(spark, path, "v1")
+        write_zarr(tbl(20, True), path, chunk_rows=8, mode="overwrite")
+        commit_version(spark, path, "v2")
+        return version_cdc(spark, path, 1, 2).orderBy("array", "pos")
+
+    register(
+        "z30_version_cdc",
+        z30,
+        "SELECT * FROM (VALUES "
+        "('d', CAST(2 AS BIGINT), '2', 'modified', '6.0', '10.0'), "
+        "('d', CAST(3 AS BIGINT), '3', 'modified', '9.0', '15.0'), "
+        "('d', CAST(16 AS BIGINT), '16', 'added', NULL, '48.0'), "
+        "('d', CAST(17 AS BIGINT), '17', 'added', NULL, '51.0'), "
+        "('d', CAST(18 AS BIGINT), '18', 'added', NULL, '54.0'), "
+        "('d', CAST(19 AS BIGINT), '19', 'added', NULL, '57.0'), "
+        "('k', CAST(16 AS BIGINT), '16', 'added', NULL, '16'), "
+        "('k', CAST(17 AS BIGINT), '17', 'added', NULL, '17'), "
+        "('k', CAST(18 AS BIGINT), '18', 'added', NULL, '18'), "
+        "('k', CAST(19 AS BIGINT), '19', 'added', NULL, '19')) "
+        'AS t("array", pos, coords, change, old_value, new_value) '
+        'ORDER BY "array", pos',
+    )

@@ -1347,19 +1347,20 @@ _populated = False
 #: green on the round-5 window, so every prior window entry now has a
 #: fresh driver row. This window takes (a) the 22 round-6 additions
 #: that have never had a driver row (d16-d18, s04, x03, p13, w08-w13,
-#: j06, t14, z21-z25, r46-r48), (b) the eight round-7 additions — z26
+#: j06, t14, z21-z25, r46-r48), (b) the nine round-7 additions — z26
 #: (the Tier-A3 DDL-validation error-path query, the last Tier-A
 #: component with no driver evidence), z27/z28/z29 (snapshot
 #: versioning: pinned read + rollback + commit-log accounting, the
 #: native answer to the env-blocked Icechunk path A17), s05 (IVF-PQ
 #: ANN, the composed-quantizer scale path), t16 (bounded-memory
-#: Misra-Gries heavy hitters), t17 (KMV distinct sketch), and e05
-#: (the sketch's streaming face, batch form) — and
-#: (c) 20 of the stalest green rows, all last driver-checked in
+#: Misra-Gries heavy hitters), t17 (KMV distinct sketch), e05
+#: (the sketch's streaming face, batch form), and z30 (row-level
+#: version CDC, literal oracle) — and
+#: (c) 19 of the stalest green rows, all last driver-checked in
 #: round 3 (t01's token count, t03's quality score, t04's
-#: fingerprint, z04's zarr CTE-self-join, m04's frame sampling,
-#: p05's shard manifest, and j04's salted join ceded their slots;
-#: all stay
+#: fingerprint, z04's zarr CTE-self-join, m02's fake image decode,
+#: m04's frame sampling, p05's shard manifest, and j04's salted
+#: join ceded their slots; all stay
 #: parity-enforced, z04's shape stays in-window via b10/b11,
 #: multimodal keeps m01-m03 in-window plus m05's r6 green, sampling
 #: keeps p01-p04 plus p08-p13's r6/r7 greens, and joins keep
@@ -1399,6 +1400,7 @@ DRIVER_WINDOW = [
     "t16_heavy_hitters",
     "t17_kmv_distinct",
     "e05_stream_distinct_batchform",
+    "z30_version_cdc",
     # stalest green rows (last driver-checked in round 3)
     "c01_kmeans_clusters",
     "c02_semantic_neardup",
@@ -1410,7 +1412,6 @@ DRIVER_WINDOW = [
     "j02_asof_join",
     "j03_theta_join_banded",
     "m01_byte_features",
-    "m02_decode_image_fake",
     "m03_resize_pixels",
     "p01_per_group_quota",
     "p02_token_budget_sample",
@@ -1454,6 +1455,7 @@ def _ensure_populated() -> None:
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
         populate_round7_stream_sketch_queries,
+        populate_round7_cdc_queries,
         populate_round7_vlog_queries,
         populate_round6_late_queries,
         populate_round6_region_queries,
@@ -1486,6 +1488,7 @@ def _ensure_populated() -> None:
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)
     populate_round7_stream_sketch_queries(register_query)
+    populate_round7_cdc_queries(register_query)
     _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()

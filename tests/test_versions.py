@@ -311,3 +311,177 @@ class TestStreamingVersionCommits:
         assert not any(
             k.startswith("__stage__") for k in open_version(out, 1).walk_keys()
         )
+
+
+class TestVersionCDC:
+    """version_cdc — row-level deltas between two committed versions,
+    decoded from ONLY the chunks whose manifest hashes (or in-bounds
+    regions) differ."""
+
+    def _two_versions(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr
+        from arrow_zarr_spark.zarr.versions import commit_version
+
+        path = str(tmp_path / "cdc_store")
+
+        def tbl(hi, bump):
+            d = F.when(
+                (F.col("id") >= 10) & (F.col("id") < 20) & F.lit(bump),
+                F.col("id") * 5,
+            ).otherwise(F.col("id") * 3)
+            return spark.range(0, hi).select(
+                F.col("id").alias("k"), d.cast("double").alias("d")
+            )
+
+        write_zarr(tbl(64, False), path, chunk_rows=16, mode="overwrite")
+        commit_version(spark, path, "v1")
+        write_zarr(tbl(80, True), path, chunk_rows=16, mode="overwrite")
+        commit_version(spark, path, "v2")
+        return path
+
+    def test_modified_and_added_rows(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr.versions import version_cdc
+
+        path = self._two_versions(spark, tmp_path)
+        rows = [
+            tuple(r)
+            for r in version_cdc(spark, path, 1, 2)
+            .orderBy("array", "pos")
+            .collect()
+        ]
+        expect = (
+            [
+                ("d", i, str(i), "modified", f"{i*3}.0", f"{i*5}.0")
+                for i in range(10, 20)
+            ]
+            + [
+                ("d", i, str(i), "added", None, f"{i*3}.0")
+                for i in range(64, 80)
+            ]
+            + [
+                ("k", i, str(i), "added", None, str(i))
+                for i in range(64, 80)
+            ]
+        )
+        assert rows == sorted(expect, key=lambda t: (t[0], t[1]))
+
+    def test_work_list_is_delta_only(self, spark, tmp_path):
+        """The hash gate must skip byte-identical chunks even though
+        v2 was a full overwrite: d touches chunks 0,1 (modified rows
+        10-19) and 4 (appended); k only chunk 4."""
+        from arrow_zarr_spark.zarr.array import (
+            infer_store_arrays_authoritative,
+        )
+        from arrow_zarr_spark.zarr.store import open_store
+        from arrow_zarr_spark.zarr.versions import (
+            VersionStoreView,
+            _cdc_chunk_work,
+            _read_manifest,
+        )
+
+        path = self._two_versions(spark, tmp_path)
+        store = open_store(path)
+        man = {
+            v: _read_manifest(store, v)["objects"] for v in (1, 2)
+        }
+        metas = {
+            v: {
+                a.meta.name: a.meta
+                for a in infer_store_arrays_authoritative(
+                    VersionStoreView(store, None, v)
+                )
+            }
+            for v in (1, 2)
+        }
+        us, work_d = _cdc_chunk_work(
+            "d", metas[1]["d"], metas[2]["d"], man[1], man[2]
+        )
+        assert us == (80,) and work_d == [(0,), (1,), (4,)]
+        _, work_k = _cdc_chunk_work(
+            "k", metas[1]["k"], metas[2]["k"], man[1], man[2]
+        )
+        assert work_k == [(4,)]
+
+    def test_shrink_reports_removed(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr
+        from arrow_zarr_spark.zarr.versions import (
+            commit_version,
+            version_cdc,
+        )
+
+        path = str(tmp_path / "shrink_store")
+
+        def tbl(hi):
+            return spark.range(0, hi).select(
+                (F.col("id") * 2).cast("double").alias("v")
+            )
+
+        write_zarr(tbl(40), path, chunk_rows=16, mode="overwrite")
+        commit_version(spark, path, "v1")
+        write_zarr(tbl(24), path, chunk_rows=16, mode="overwrite")
+        commit_version(spark, path, "v2")
+        rows = [
+            tuple(r)
+            for r in version_cdc(spark, path, 1, 2)
+            .orderBy("pos")
+            .collect()
+        ]
+        assert rows == [
+            ("v", i, str(i), "removed", f"{i*2}.0", None)
+            for i in range(24, 40)
+        ]
+
+    def test_2d_grid_region_delta(self, spark, tmp_path):
+        """A region write on a 2-D grid: CDC reports exactly the
+        rewritten cells with N-D coords, and only chunks intersecting
+        the region enter the work list."""
+        from arrow_zarr_spark.io import write_zarr_grid, write_zarr_region
+        from arrow_zarr_spark.zarr.versions import (
+            commit_version,
+            version_cdc,
+        )
+
+        path = str(tmp_path / "grid_store")
+        base = spark.createDataFrame(
+            [(x, y, float(10 * x + y)) for x in range(6) for y in range(6)],
+            "x long, y long, t double",
+        )
+        write_zarr_grid(
+            base, path, dims=["x", "y"], chunk_shape=(3, 3), mode="overwrite"
+        )
+        commit_version(spark, path, "v1")
+        patch = spark.createDataFrame(
+            [(4, 4, 999.0), (4, 5, 998.0)], "x long, y long, t double"
+        )
+        write_zarr_region(patch, path, dims=["x", "y"])
+        commit_version(spark, path, "v2")
+        rows = [
+            tuple(r)
+            for r in version_cdc(spark, path, 1, 2, columns=["t"])
+            .orderBy("pos")
+            .collect()
+        ]
+        assert rows == [
+            ("t", 4 * 6 + 4, "4/4", "modified", "44.0", "999.0"),
+            ("t", 4 * 6 + 5, "4/5", "modified", "45.0", "998.0"),
+        ]
+
+    def test_layout_change_reported_not_compared(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr
+        from arrow_zarr_spark.zarr.versions import (
+            commit_version,
+            version_cdc,
+        )
+
+        path = str(tmp_path / "rechunk_store")
+        df = spark.range(0, 32).select(
+            (F.col("id") * 2).cast("double").alias("v")
+        )
+        write_zarr(df, path, chunk_rows=8, mode="overwrite")
+        commit_version(spark, path, "v1")
+        write_zarr(df, path, chunk_rows=16, mode="overwrite")
+        commit_version(spark, path, "v2")
+        rows = [
+            tuple(r) for r in version_cdc(spark, path, 1, 2).collect()
+        ]
+        assert ("v", None, None, "layout_differs", None, None) in rows
