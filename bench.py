@@ -166,6 +166,40 @@ def bench_queries(spark):
         spark, zpath, "bench incremental"
     )
 
+    # row-level CDC between two commits of a dedicated 262k-row store
+    # whose delta is 1 modified chunk + 1 appended chunk (of 17): the
+    # work list comes from manifest hashes (no data I/O), so the time
+    # here is ~3 chunk decodes + ~33k output rows, NOT a store scan —
+    # compare against zarr_full_scan to see the delta-proportionality
+    import shutil as _shutil
+
+    from pyspark.sql import functions as _F
+
+    from arrow_zarr_spark.io import write_zarr as _wz
+    from arrow_zarr_spark.zarr.versions import version_cdc
+
+    cdc_path = "/tmp/arrow_zarr_spark_bench_cdc"
+    _shutil.rmtree(cdc_path, ignore_errors=True)
+
+    def _cdc_tbl(hi, bump):
+        d = _F.when(
+            (_F.col("id") >= 100) & (_F.col("id") < 200) & _F.lit(bump),
+            _F.col("id") * 5,
+        ).otherwise(_F.col("id") * 3)
+        return spark.range(0, hi).select(
+            _F.col("id").alias("k"), d.cast("double").alias("d")
+        )
+
+    _wz(_cdc_tbl(262144, False), cdc_path, chunk_rows=16384,
+        mode="overwrite")
+    commit_version(spark, cdc_path, "cdc v1")
+    _wz(_cdc_tbl(262144 + 16384, True), cdc_path, chunk_rows=16384,
+        mode="overwrite")
+    commit_version(spark, cdc_path, "cdc v2")
+    qs["zarr_version_cdc"] = lambda: _force(
+        version_cdc(spark, cdc_path, 1, 2)
+    )
+
     # -- projection-pruning cost pair (A4) --
     # PySpark's DataSourceReader (4.1) exposes no column-pruning hook,
     # so a narrow SELECT over a wide store decodes EVERY array unless
