@@ -567,3 +567,42 @@ class TestRound6Contracts:
         # 8-to-few-byte keys) — never a corpus-row repartition, which
         # would show as a third join input exchange
         assert plan.count("Exchange hashpartitioning") <= 2
+
+
+class TestSketchPlans:
+    """The bounded-memory sketches' scale contracts, pinned at the
+    physical-plan level."""
+
+    def test_kmv_distinct_two_candidate_exchanges_no_join(self, views):
+        """t17's relational tail runs entirely over the pruned
+        candidate rows (<= n_partitions * k per group, 16 bytes
+        each): one exchange for the global dedupe, one for the
+        per-group window+agg — and NEVER a join or a shuffle of the
+        input rows (the kernel consumes them partition-local)."""
+        from arrow_zarr_spark.operators.sketches import kmv_distinct
+
+        orders = views.read.parquet(f"{SF_DIR}/orders.parquet")
+        out = kmv_distinct(orders, "o_orderpriority", "o_custkey", k=256)
+        plan = _plan(out)
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        # dedupe exchange + window/agg exchange, both candidate-sized
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "Exchange SinglePartition" not in plan
+        # the input reaches the Python kernel without a prior shuffle:
+        # no exchange may appear below MapInPandas
+        below_kernel = plan.split("MapInPandas")[-1]
+        assert "Exchange" not in below_kernel
+
+    def test_heavy_hitters_recount_is_broadcast_gated(self, views):
+        """t16's exact recount joins the exploded tokens against the
+        driver-collected candidate set — that join must broadcast the
+        candidates, never shuffle the token stream into a hash join."""
+        from arrow_zarr_spark.operators import text as text_ops
+
+        docs = views.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = text_ops.heavy_hitters(docs, k=10, capacity=256)
+        plan = _plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
