@@ -173,6 +173,7 @@ class ZarrDataSource(DataSource):
         self.icechunk = str(options.get("icechunk", "false")).lower() == "true"
         self.version = options.get("version")
         self.as_of = options.get("as_of")
+        self.tag = options.get("tag")
 
     @classmethod
     def name(cls) -> str:
@@ -191,6 +192,18 @@ class ZarrDataSource(DataSource):
         if cached is not None:
             return list(cached)
         store = open_store(self.path, icechunk=self.icechunk)
+        if self.tag is not None:
+            # named-release pinned read (the tag leg of the Icechunk
+            # snapshot/branch/tag model the reference consumes,
+            # config.rs:141-197): resolve the immutable name to its
+            # version, then read through the same manifest path
+            if self.version is not None or self.as_of is not None:
+                raise ZarrFormatError(
+                    "pass only one of version, as_of, tag"
+                )
+            from .zarr.versions import resolve_tag
+
+            self.version = resolve_tag(self.path, str(self.tag))
         if self.as_of is not None:
             if self.version is not None:
                 raise ZarrFormatError(

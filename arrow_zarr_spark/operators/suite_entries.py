@@ -2669,6 +2669,51 @@ def populate_round7_version_queries(register) -> None:
         "FROM range(48) t(i)",
     )
 
+    def z31(spark, sf_dir):
+        # z31: tag + export — the release workflow end to end. Commit
+        # v1, pin it under the immutable name "release-1", keep
+        # mutating and committing the live store, then EXPORT the tag
+        # to a standalone store (no .versions/ rides along) and read
+        # THAT. Any leakage of post-tag state into the export fails
+        # the value hash. Completes the Icechunk snapshot/tag model
+        # (config.rs:141-197) the reference consumes.
+        import shutil
+
+        from ..io import write_zarr
+        from ..zarr.versions import (
+            commit_version,
+            export_version,
+            tag_version,
+        )
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_z31_{token}"
+        dest = path + "_release"
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(dest, ignore_errors=True)
+
+        def tbl(lo, hi, mul):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("k"),
+                (F.col("id") * mul).cast("double").alias("d"),
+            )
+
+        write_zarr(tbl(0, 56, 7), path, chunk_rows=16, mode="overwrite")
+        commit_version(spark, path, "v1: the release")
+        tag_version(path, "release-1")
+        # the live store moves on past the release
+        write_zarr(tbl(0, 80, -3), path, chunk_rows=16, mode="overwrite")
+        commit_version(spark, path, "v2: post-release churn")
+        export_version(spark, path, dest, tag="release-1")
+        return spark.read.format("zarr").load(dest)
+
+    register(
+        "z31_tag_export_read",
+        z31,
+        "SELECT CAST(i AS BIGINT) AS k, CAST(i * 7 AS DOUBLE) AS d "
+        "FROM range(56) t(i)",
+    )
+
 
 def populate_round7_ivfpq_queries(register) -> None:
     """s05: IVF-PQ ANN — the coarse-quantizer + product-quantizer

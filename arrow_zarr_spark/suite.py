@@ -1356,6 +1356,10 @@ _populated = False
 #: Misra-Gries heavy hitters), t17 (KMV distinct sketch), e05
 #: (the sketch's streaming face, batch form), and z30 (row-level
 #: version CDC, literal oracle) — and
+#: Late round-7 session: z31 (tag + export — the release workflow:
+#: immutable named pins, vacuum retention, standalone checkout) takes
+#: the slot p04_rebalance_mixture held (green r3 row, parity-tested
+#: every round like all rotated-out entries).
 #: (c) 19 of the stalest green rows, all last driver-checked in
 #: round 3 (t01's token count, t03's quality score, t04's
 #: fingerprint, z04's zarr CTE-self-join, m02's fake image decode,
@@ -1401,6 +1405,7 @@ DRIVER_WINDOW = [
     "t17_kmv_distinct",
     "e05_stream_distinct_batchform",
     "z30_version_cdc",
+    "z31_tag_export_read",
     # stalest green rows (last driver-checked in round 3)
     "c01_kmeans_clusters",
     "c02_semantic_neardup",
@@ -1416,7 +1421,6 @@ DRIVER_WINDOW = [
     "p01_per_group_quota",
     "p02_token_budget_sample",
     "p03_stratified_sample",
-    "p04_rebalance_mixture",
     "s01_cosine_topk",
     "s02_lsh_ann_topk",
     "t02_language_id",

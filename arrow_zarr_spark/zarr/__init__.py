@@ -18,10 +18,15 @@ from .table import ChunkPlan
 from .versions import (
     VersionStoreView,
     commit_version,
+    delete_tag,
+    export_version,
     latest_version,
+    list_tags,
     open_version,
     resolve_as_of,
+    resolve_tag,
     rollback_zarr,
+    tag_version,
     vacuum_versions,
     version_log,
 )
@@ -43,12 +48,17 @@ __all__ = [
     "ZarrArray",
     "ZarrFormatError",
     "commit_version",
+    "delete_tag",
+    "export_version",
     "latest_version",
+    "list_tags",
     "consolidate_metadata",
     "create_array",
     "open_version",
     "resolve_as_of",
+    "resolve_tag",
     "rollback_zarr",
+    "tag_version",
     "vacuum_versions",
     "version_log",
     "infer_store_arrays",

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 import time
 from typing import Dict, Iterator, List, Optional
 
@@ -62,6 +63,17 @@ def _object_key(sha: str) -> str:
     directory (LocalStore) or one listing prefix (object stores)."""
     return f"{_OBJECTS_DIR}{sha[:2]}/{sha}"
 _HEAD_KEY = VERSIONS_PREFIX + "HEAD.json"
+_TAGS_DIR = VERSIONS_PREFIX + "tags/"
+
+#: Tag names are path-segment-safe by construction: one object per tag
+#: (``tags/<name>.json``) so create/delete are single-key operations —
+#: no read-modify-write of a shared document to race on an object
+#: store that has no atomic RMW.
+_TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+
+def _tag_key(tag: str) -> str:
+    return f"{_TAGS_DIR}{tag}.json"
 
 
 def _live_keys(store: Store) -> List[str]:
@@ -390,16 +402,20 @@ def rollback_zarr(spark, path: str, version: int) -> Dict:
 
 def vacuum_versions(path: str, keep_last: int) -> Dict:
     """Drop all but the newest ``keep_last`` manifests and delete
-    content objects no kept manifest references. Returns
-    ``{"kept_versions", "dropped_versions", "deleted_objects"}``.
-    Metadata-scale driver work (manifest parsing) plus one delete per
-    unreferenced object."""
+    content objects no kept manifest references. TAGGED versions are
+    always kept regardless of age (a tag is a retention pin — deleting
+    "release-1"'s objects out from under its name would orphan the
+    handle; drop the tag first if the release really should age out).
+    Returns ``{"kept_versions", "dropped_versions",
+    "deleted_objects"}``. Metadata-scale driver work (manifest
+    parsing) plus one delete per unreferenced object."""
     if keep_last < 1:
         raise ZarrFormatError("vacuum_versions: keep_last must be >= 1")
     store = open_store(path)
     versions = _manifest_versions(store)
-    kept = versions[-keep_last:]
-    dropped = versions[: -keep_last] if len(versions) > keep_last else []
+    pinned = set(list_tags(path).values())
+    kept = sorted(set(versions[-keep_last:]) | (pinned & set(versions)))
+    dropped = [v for v in versions if v not in set(kept)]
     referenced = set()
     for v in kept:
         referenced.update(_read_manifest(store, v)["objects"].values())
@@ -420,6 +436,185 @@ def vacuum_versions(path: str, keep_last: int) -> Dict:
         "kept_versions": kept,
         "dropped_versions": dropped,
         "deleted_objects": deleted,
+    }
+
+
+def tag_version(path: str, tag: str, version: Optional[int] = None) -> Dict:
+    """Pin a committed version under an immutable NAME — the release
+    handle (Icechunk's tag concept, the third leg of its
+    snapshot/branch/tag model; the reference opens repos at a branch
+    head, config.rs:186-196, and tags are the immutable counterpart).
+    ``version=None`` tags the latest commit. Returns
+    ``{"tag", "version"}``.
+
+    Tags are IMMUTABLE: re-tagging an existing name raises — delete
+    first if the pin really must move (the audit trail is the point).
+    A tag also PINS its version against :func:`vacuum_versions`."""
+    if not _TAG_NAME_RE.match(tag or ""):
+        raise ZarrFormatError(
+            f"tag_version: invalid tag name {tag!r} (want "
+            "[A-Za-z0-9][A-Za-z0-9._-]*, max 128 chars)"
+        )
+    store = open_store(path)
+    if version is None:
+        version = latest_version(path)
+    else:
+        _read_manifest(store, int(version))  # must exist; raises if not
+    key = _tag_key(tag)
+    if store.exists(key):
+        raise ZarrFormatError(
+            f"tag_version: tag {tag!r} already exists (tags are "
+            "immutable; delete_tag first if it must move)"
+        )
+    store.set(
+        key,
+        json.dumps(
+            {"version": int(version), "created_unix": int(time.time())},
+            sort_keys=True,
+        ).encode(),
+    )
+    return {"tag": tag, "version": int(version)}
+
+
+def delete_tag(path: str, tag: str) -> None:
+    """Remove a tag (the version it pinned stays committed; the next
+    :func:`vacuum_versions` may collect it if out of retention)."""
+    store = open_store(path)
+    key = _tag_key(tag)
+    if not store.exists(key):
+        raise ZarrFormatError(f"delete_tag: no tag {tag!r} at {path!r}")
+    store.delete(key)
+
+
+def list_tags(path: str) -> Dict[str, int]:
+    """All tags as ``{name: version}`` — one prefix listing plus one
+    GET per tag (metadata-scale)."""
+    store = open_store(path)
+    out: Dict[str, int] = {}
+    for k in store.walk_prefix(_TAGS_DIR):
+        if not k.endswith(".json"):
+            continue
+        name = k[len(_TAGS_DIR) : -len(".json")]
+        raw = store.get(k)
+        if raw is None:
+            continue  # listed-then-deleted race: tag is gone, skip
+        try:
+            out[name] = int(json.loads(raw)["version"])
+        except (KeyError, TypeError, ValueError):
+            raise ZarrFormatError(f"Malformed tag document {k!r}")
+    return out
+
+
+def resolve_tag(path: str, tag: str) -> int:
+    """Tag name -> version number, verifying the manifest is still
+    readable (a tag orphaned by a version-excluding GC gets a named
+    error, not a downstream manifest miss)."""
+    store = open_store(path)
+    raw = store.get(_tag_key(tag))
+    if raw is None:
+        known = sorted(list_tags(path))
+        raise ZarrFormatError(
+            f"No tag {tag!r} at {path!r} (known tags: {known})"
+        )
+    try:
+        version = int(json.loads(raw)["version"])
+    except (KeyError, TypeError, ValueError):
+        raise ZarrFormatError(f"Malformed tag document for {tag!r}")
+    _read_manifest(store, version)
+    return version
+
+
+def export_version(
+    spark,
+    path: str,
+    dest: str,
+    version: Optional[int] = None,
+    tag: Optional[str] = None,
+    mode: str = "error",
+) -> Dict:
+    """Materialize a committed version as a standalone LIVE store at
+    ``dest`` — the checkout/clone verb: publish tag "release-1" of the
+    curation store to the serving bucket without the history riding
+    along. Returns ``{"version", "n_objects", "dest"}``.
+
+    Pick the snapshot by ``version`` or ``tag`` (exactly one;
+    neither = latest). The copy is one distributed pass over the
+    manifest's objects (content object read from the source history,
+    logical key written at ``dest``), data objects first and metadata
+    documents after (the writers' metadata-last protocol: a reader of
+    a half-exported store finds no zarr.json rather than metadata
+    advertising absent chunks). The export carries NO ``.versions/``
+    area — the clone starts its own history.
+
+    ``mode``: ``error`` (default) refuses a non-empty ``dest``;
+    ``overwrite`` clears it first."""
+    if tag is not None and version is not None:
+        raise ZarrFormatError(
+            "export_version: pass either version or tag, not both"
+        )
+    if tag is not None:
+        version = resolve_tag(path, tag)
+    elif version is None:
+        version = latest_version(path)
+    store = open_store(path)
+    doc = _read_manifest(store, int(version))
+    objects: Dict[str, str] = doc["objects"]
+
+    dest_store = open_store(dest)
+    existing = list(dest_store.walk_keys())
+    if existing:
+        if mode == "overwrite":
+            for k in existing:
+                dest_store.delete(k)
+        elif mode == "error":
+            raise ZarrFormatError(
+                f"export_version: destination {dest!r} is not empty "
+                "(pass mode='overwrite' to replace it)"
+            )
+        else:
+            raise ZarrFormatError(
+                f"export_version: unknown mode {mode!r} "
+                "(want 'error' or 'overwrite')"
+            )
+
+    def is_meta(key: str) -> bool:
+        leaf = key.rsplit("/", 1)[-1]
+        return leaf in ("zarr.json", ".zarray", ".zattrs", ".zgroup",
+                        ".zmetadata")
+
+    data_items = [(k, s) for k, s in objects.items() if not is_meta(k)]
+    meta_items = [(k, s) for k, s in objects.items() if is_meta(k)]
+
+    def copy(items):
+        src = open_store(path)
+        dst = open_store(dest)
+        for key, sha in items:
+            data = src.get(_object_key(sha))
+            if data is None:
+                raise ZarrFormatError(
+                    f"export_version: content object for {key!r} "
+                    f"missing (sha256 {sha}) — was vacuum_versions "
+                    "run with this version excluded?"
+                )
+            dst.set(key, data)
+            yield 1
+
+    if data_items:
+        if spark is None:
+            list(copy(iter(data_items)))  # serial fallback
+        else:
+            sc = spark.sparkContext
+            n_parts = max(
+                1, min(len(data_items), sc.defaultParallelism * 2)
+            )
+            sc.parallelize(data_items, n_parts).mapPartitions(
+                copy
+            ).count()
+    list(copy(iter(meta_items)))
+    return {
+        "version": int(version),
+        "n_objects": len(objects),
+        "dest": dest,
     }
 
 

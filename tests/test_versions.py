@@ -263,6 +263,159 @@ class TestVacuum:
             vacuum_versions(d, keep_last=0)
 
 
+class TestTags:
+    def test_tag_requires_a_commit(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import tag_version
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 8), d)
+        with pytest.raises(ZarrFormatError, match="No version"):
+            tag_version(d, "release-1")
+
+    def test_tag_roundtrip(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import (
+            delete_tag,
+            list_tags,
+            resolve_tag,
+            tag_version,
+        )
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d, "v1")
+        write_zarr(_table(spark, 64, 100), d, chunk_rows=16, mode="append")
+        commit_version(spark, d, "v2")
+        tag_version(d, "release-1", version=1)
+        tag_version(d, "release-2")  # defaults to latest (v2)
+        assert list_tags(d) == {"release-1": 1, "release-2": 2}
+        assert resolve_tag(d, "release-1") == 1
+        # read by tag through the real reader option path
+        assert read_zarr(spark, d, tag="release-1").count() == 64
+        assert read_zarr(spark, d, tag="release-2").count() == 100
+        delete_tag(d, "release-1")
+        with pytest.raises(ZarrFormatError, match="No tag 'release-1'"):
+            resolve_tag(d, "release-1")
+
+    def test_tags_are_immutable(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import tag_version
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        commit_version(spark, d)
+        tag_version(d, "release-1")
+        with pytest.raises(ZarrFormatError, match="immutable"):
+            tag_version(d, "release-1", version=1)
+
+    def test_tag_name_validated(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import tag_version
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 8), d)
+        commit_version(spark, d)
+        for bad in ("", "a/b", "../x", ".hidden", "a b"):
+            with pytest.raises(ZarrFormatError, match="invalid tag name"):
+                tag_version(d, bad)
+
+    def test_tag_missing_version_raises(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import tag_version
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 8), d)
+        commit_version(spark, d)
+        with pytest.raises(ZarrFormatError, match="No version 9"):
+            tag_version(d, "release-9", version=9)
+
+    def test_tag_option_excludes_version_and_as_of(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import tag_version
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 8), d)
+        commit_version(spark, d)
+        tag_version(d, "release-1")
+        with pytest.raises(Exception, match="only one of"):
+            read_zarr(spark, d, tag="release-1", version=1).collect()
+
+    def test_vacuum_keeps_tagged_versions(self, spark, tmp_path):
+        """A tag is a retention pin: vacuum_versions(keep_last=1) must
+        not collect the tagged v1 even though it is out of the
+        retention window."""
+        from arrow_zarr_spark.zarr import tag_version
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        commit_version(spark, d, "v1")
+        tag_version(d, "release-1", version=1)
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16, mode="overwrite")
+        commit_version(spark, d, "v2")
+        write_zarr(_table(spark, 0, 80), d, chunk_rows=16, mode="overwrite")
+        commit_version(spark, d, "v3")
+        out = vacuum_versions(d, keep_last=1)
+        assert out["kept_versions"] == [1, 3]
+        assert out["dropped_versions"] == [2]
+        assert read_zarr(spark, d, tag="release-1").count() == 32
+        assert read_zarr(spark, d, version=3).count() == 80
+
+
+class TestExport:
+    def test_export_tag_to_standalone_store(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import export_version, tag_version
+
+        d = str(tmp_path / "s")
+        dest = str(tmp_path / "release")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d, "v1")
+        write_zarr(_table(spark, 0, 7), d, chunk_rows=16, mode="overwrite")
+        commit_version(spark, d, "v2")
+        out = export_version(spark, d, dest, tag=None, version=1)
+        assert out["version"] == 1 and out["n_objects"] > 0
+        got = spark.read.format("zarr").load(dest)
+        assert got.count() == 64
+        assert got.agg(F.sum("v")).first()[0] == sum(i * 2 for i in range(64))
+        # the clone is standalone: no history rides along
+        assert not list(open_store(dest).walk_prefix(".versions/"))
+
+    def test_export_by_tag_and_default_latest(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import export_version, tag_version
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 48), d, chunk_rows=16)
+        commit_version(spark, d, "v1")
+        tag_version(d, "release-1")
+        write_zarr(_table(spark, 0, 16), d, chunk_rows=16, mode="overwrite")
+        commit_version(spark, d, "v2")
+        by_tag = str(tmp_path / "by_tag")
+        export_version(spark, d, by_tag, tag="release-1")
+        assert spark.read.format("zarr").load(by_tag).count() == 48
+        latest = str(tmp_path / "latest")
+        export_version(spark, d, latest)
+        assert spark.read.format("zarr").load(latest).count() == 16
+
+    def test_export_refuses_nonempty_dest(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import export_version
+
+        d = str(tmp_path / "s")
+        dest = str(tmp_path / "occupied")
+        write_zarr(_table(spark, 0, 16), d)
+        commit_version(spark, d)
+        write_zarr(_table(spark, 0, 8), dest)
+        with pytest.raises(ZarrFormatError, match="not empty"):
+            export_version(spark, d, dest, version=1)
+        export_version(spark, d, dest, version=1, mode="overwrite")
+        assert spark.read.format("zarr").load(dest).count() == 16
+
+    def test_export_version_and_tag_conflict(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import export_version, tag_version
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 8), d)
+        commit_version(spark, d)
+        tag_version(d, "release-1")
+        with pytest.raises(ZarrFormatError, match="not both"):
+            export_version(
+                spark, d, str(tmp_path / "x"), version=1, tag="release-1"
+            )
+
+
 class TestStreamingVersionCommits:
     def test_commit_every_batch_pins_epochs(self, spark, tmp_path):
         """stream_to_zarr(commit_every=1): each micro-batch lands as a
