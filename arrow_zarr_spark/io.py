@@ -2127,6 +2127,353 @@ def write_zarr_region(
     return written
 
 
+def upsert_zarr(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    on_missing: str = "error",
+    stats: bool = True,
+    chunk_rows: int = 65536,
+    compression: str = "zstd",
+    shard_chunks: Optional[int] = None,
+) -> dict:
+    """MERGE by key into a 1-D table store: rows of ``df`` whose
+    ``key_col`` matches an existing store row UPDATE that row's other
+    columns in place; unmatched keys follow ``on_missing`` —
+    ``"error"`` (default), ``"ignore"``, or ``"insert"`` (append them,
+    full column set required). The row-keyed counterpart of
+    :func:`write_zarr_region` (which addresses N-D grids by
+    coordinates): corrections and late-arriving fixes land on a live
+    corpus store without a rewrite. The reference has no write path at
+    all (SURVEY §2: sinks absent); this extends our writer's verb set.
+
+    ``df`` carries ``key_col`` plus the data columns to update — a
+    SUBSET of the store's arrays is fine (each column's chunks are
+    separate objects; untouched arrays are never read or written).
+    Duplicate or NULL keys in ``df`` are errors (the last-write-wins
+    alternative is nondeterministic under Spark partitioning);
+    duplicate keys in the STORE all update, SQL-UPDATE-style.
+
+    Scale shape — cost is DELTA-proportional, never store-
+    proportional, in three moves: (1) the update keys' [min, max]
+    (one metadata-sized agg) statically prunes the key array's
+    store objects through their recorded statistics, exactly like a
+    scan filter (a stats-less store degrades to scanning every key
+    object; run :func:`refresh_stats` first to restore the bound);
+    (2) ONLY the key column decodes on the surviving objects —
+    positions of in-range keys become a (key, object, pos) frame
+    that equi-joins the updates on key (a plain shuffle hash join:
+    neither side broadcasts, so update batches may be arbitrarily
+    large); (3) rewrites groupBy touched object — each task
+    read-merges exactly its object's chunks for exactly the updated
+    columns. Statistics follow :func:`write_zarr_region`'s
+    invalidate-first protocol: touched objects' bounds are NULLed
+    before any chunk mutates, recomputed bounds publish after the
+    last chunk lands.
+
+    ``chunk_rows`` / ``compression`` / ``shard_chunks`` only matter
+    for ``on_missing="insert"`` — they forward to the append, which
+    validates them against the store's actual layout and names the
+    mismatched option if they differ.
+
+    Returns ``{"updated_rows", "inserted_rows", "touched_objects",
+    "candidate_objects", "total_objects"}``."""
+    if on_missing not in ("error", "ignore", "insert"):
+        raise ZarrFormatError(
+            f"upsert_zarr: on_missing must be 'error', 'ignore' or "
+            f"'insert', got {on_missing!r}"
+        )
+    if key_col not in df.columns:
+        raise ZarrFormatError(
+            f"upsert_zarr: key column {key_col!r} not in the update "
+            f"DataFrame (has {df.columns})"
+        )
+    data_cols = [c for c in df.columns if c != key_col]
+    if not data_cols:
+        raise ZarrFormatError(
+            "upsert_zarr: the update DataFrame needs at least one "
+            "data column besides the key"
+        )
+    for field in df.schema.fields:
+        _zarr_dtype_for(field)
+
+    store = open_store(path)
+    if not store.exists("zarr.json"):
+        raise ZarrFormatError(
+            f"Upsert target missing (or not Zarr v3) at {path!r}"
+        )
+    from .zarr.array import ZarrArray, infer_store_arrays_authoritative
+
+    arrays = {
+        a.meta.name: a for a in infer_store_arrays_authoritative(store)
+    }
+    metas: Dict[str, ArrayMeta] = {}
+    for c in df.columns:
+        if c not in arrays:
+            raise ZarrFormatError(
+                f"upsert_zarr: column {c!r} not in the store "
+                f"(store has {sorted(arrays)})"
+            )
+        m = arrays[c].meta
+        if m.ndim != 1:
+            raise ZarrFormatError(
+                "upsert_zarr targets 1-D table stores; "
+                f"{c!r} has shape {tuple(m.shape)} (grids take "
+                "write_zarr_region)"
+            )
+        if m.zarr_dtype != _zarr_dtype_for(df.schema[c]):
+            raise ZarrFormatError(
+                f"upsert_zarr dtype mismatch for {c!r}: store has "
+                f"{m.zarr_dtype}, writing {_zarr_dtype_for(df.schema[c])}"
+            )
+        metas[c] = m
+    key_meta = metas[key_col]
+    if key_meta.dtype.kind not in ("i", "u", "f", "O"):
+        raise ZarrFormatError(
+            f"upsert_zarr: unsupported key dtype {key_meta.dtype} "
+            "(integer, float, and string keys are supported)"
+        )
+    grids = {
+        c: (metas[c].chunk_grid_shape[0], metas[c].chunk_shape[0])
+        for c in df.columns
+    }
+    if len(set(grids.values())) != 1:
+        raise ZarrFormatError(
+            f"upsert_zarr: updated arrays disagree on chunk layout "
+            f"({grids})"
+        )
+    n_objects, _obj_rows = grids[key_col]
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    df = df.localCheckpoint(eager=True)  # evaluated once, reused ~4x
+
+    # update-batch hygiene: NULL or duplicate keys would make the
+    # patch phase nondeterministic — reject loudly, delta-sized work
+    if df.where(F.col(key_col).isNull()).take(1):
+        raise ZarrFormatError("upsert_zarr: NULL key in the update batch")
+    dup = (
+        df.groupBy(key_col).count().where(F.col("count") > 1).take(1)
+    )
+    if dup:
+        raise ZarrFormatError(
+            f"upsert_zarr: duplicate key {dup[0][0]!r} in the update "
+            "batch (updates must be keyed uniquely)"
+        )
+    bounds = df.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).first()
+    kmin, kmax = bounds["lo"], bounds["hi"]
+
+    # (1) static pruning: the key array's per-object [min, max] against
+    # the batch's key bounds — same soundness rules as the scan (None /
+    # wrong-length entries degrade to keep; string maxima are rounded-
+    # up truncations so entry_max < kmin still implies true_max < kmin)
+    recorded = key_meta.attributes.get(STATS_ATTR_KEY)
+    e_lo = _stat_encode(kmin, key_meta.dtype)
+    e_hi = _stat_encode(kmax, key_meta.dtype, upper=True)
+    candidates = list(range(n_objects))
+    if (
+        isinstance(recorded, list)
+        and len(recorded) == n_objects
+        and e_lo is not None
+        and e_hi is not None
+    ):
+        def survives(entry) -> bool:
+            if not isinstance(entry, (list, tuple)) or len(entry) != 2:
+                return True
+            lo, hi = entry
+            if lo is None or hi is None:
+                return True
+            try:
+                return not (hi < e_lo or lo > e_hi)
+            except TypeError:
+                return True  # cross-type garbage: keep, never prune
+        candidates = [
+            i for i in range(n_objects) if survives(recorded[i])
+        ]
+
+    updated_rows = 0
+    touched: List[int] = []
+    if candidates:
+        # (2) key-only position scan over the surviving objects
+        key_meta_b = sc.broadcast(key_meta)
+
+        def scan_keys(obj_iter):
+            task_store = open_store(path)
+            arr = ZarrArray(task_store, key_meta_b.value)
+            for c in obj_iter:
+                vals = np.asarray(arr.read_chunk((int(c),)))
+                mask = (vals >= kmin) & (vals <= kmax)
+                for p in np.nonzero(mask)[0]:
+                    v = vals[p]
+                    yield (
+                        v.item() if hasattr(v, "item") else v,
+                        int(c),
+                        int(p),
+                    )
+
+        key_field = df.schema[key_col]
+        pos_schema = T.StructType(
+            [
+                T.StructField(key_col, key_field.dataType, False),
+                T.StructField("__obj", T.LongType(), False),
+                T.StructField("__pos", T.LongType(), False),
+            ]
+        )
+        n_parts = max(1, min(len(candidates), sc.defaultParallelism * 2))
+        pos_df = spark.createDataFrame(
+            sc.parallelize(candidates, n_parts).mapPartitions(scan_keys),
+            pos_schema,
+        )
+        matched = pos_df.join(df, key_col).localCheckpoint(eager=True)
+        touched = sorted(
+            int(r["__obj"])
+            for r in matched.select("__obj").distinct().collect()
+        )
+
+    if on_missing != "ignore":
+        if candidates and touched:
+            unmatched = df.join(
+                matched.select(key_col).distinct(), key_col, "left_anti"
+            )
+        else:
+            unmatched = df
+        miss = unmatched.take(6) if on_missing == "error" else None
+        if on_missing == "error" and miss:
+            sample = [r[key_col] for r in miss[:5]]
+            raise ZarrFormatError(
+                f"upsert_zarr: update keys not present in the store "
+                f"(e.g. {sample}); pass on_missing='ignore' to skip "
+                "them or 'insert' to append them"
+            )
+
+    want_stats = bool(stats) and _stats_within_cap(
+        n_objects, "upsert"
+    )
+    if touched:
+        # invalidate-first (write_zarr_region's protocol): touched
+        # objects' bounds NULL before any chunk mutates
+        pre_dirty = False
+        for c in data_cols:
+            meta = metas[c]
+            old = meta.attributes.get(STATS_ATTR_KEY)
+            if not isinstance(old, list):
+                continue
+            entries = (
+                list(old) if len(old) == n_objects else [None] * n_objects
+            )
+            for i in touched:
+                entries[i] = None
+            meta.attributes[STATS_ATTR_KEY] = entries
+            store.set(
+                f"{c}/zarr.json", json.dumps(meta.to_json()).encode()
+            )
+            pre_dirty = True
+        if pre_dirty:
+            from .zarr.writer import consolidate_metadata
+
+            consolidate_metadata(store)
+
+        metas_b = sc.broadcast(metas)
+        data_cols_t = list(data_cols)
+
+        def patch_object(pdf: pd.DataFrame) -> pd.DataFrame:
+            obj = int(pdf["__obj"].iloc[0])
+            task_store = open_store(path)
+            pos = pdf["__pos"].to_numpy()
+            obj_stats = {}
+            for c in data_cols_t:
+                meta = metas_b.value[c]
+                block = np.array(
+                    ZarrArray(task_store, meta).read_chunk((obj,))
+                )
+                block[pos] = _reject_nulls(
+                    pdf[c].to_numpy(), meta.dtype, c
+                )
+                write_chunk(task_store, meta, (obj,), block)
+                if want_stats and _stats_eligible(meta.dtype):
+                    obj_stats[c] = _block_stat_pair(block, meta)
+            return pd.DataFrame(
+                {
+                    "cell": [obj],
+                    "rows": [len(pdf)],
+                    "stats": [json.dumps(obj_stats)],
+                }
+            )
+
+        committed = matched.groupBy("__obj").applyInPandas(
+            patch_object, schema="cell long, rows long, stats string"
+        )
+        updated_rows, result_rows = _commit_totals(committed, want_stats)
+        if want_stats:
+            per_col: Dict[str, Dict[int, list]] = {c: {} for c in data_cols}
+            for r in result_rows:
+                for c, pair in json.loads(r["stats"]).items():
+                    per_col[c][int(r["cell"])] = pair
+            for c in data_cols:
+                meta = metas[c]
+                if not _stats_eligible(meta.dtype) or not per_col[c]:
+                    continue
+                old = meta.attributes.get(STATS_ATTR_KEY)
+                entries = (
+                    list(old)
+                    if isinstance(old, list) and len(old) == n_objects
+                    else [None] * n_objects
+                )
+                for i, pair in per_col[c].items():
+                    entries[i] = pair
+                meta.attributes[STATS_ATTR_KEY] = entries
+                store.set(
+                    f"{c}/zarr.json", json.dumps(meta.to_json()).encode()
+                )
+            from .zarr.writer import consolidate_metadata
+
+            consolidate_metadata(store)
+
+    inserted = 0
+    if on_missing == "insert":
+        if candidates and touched:
+            unmatched = df.join(
+                matched.select(key_col).distinct(), key_col, "left_anti"
+            )
+        else:
+            unmatched = df
+        store_cols = sorted(arrays)
+        if sorted(df.columns) != store_cols:
+            if not unmatched.rdd.isEmpty():
+                raise ZarrFormatError(
+                    "upsert_zarr: on_missing='insert' needs the FULL "
+                    f"column set {store_cols} to append new rows "
+                    f"(update batch has {sorted(df.columns)})"
+                )
+        else:
+            # column order must match the store's row layout exactly as
+            # written; append validates layout/codecs and names any
+            # mismatched option
+            to_insert = unmatched.select(
+                *[f for f in store_cols]
+            ).localCheckpoint(eager=True)
+            inserted = to_insert.count()
+            if inserted:
+                write_zarr(
+                    to_insert,
+                    path,
+                    chunk_rows=chunk_rows,
+                    compression=compression,
+                    shard_chunks=shard_chunks,
+                    mode="append",
+                    stats=stats,
+                )
+    return {
+        "updated_rows": int(updated_rows),
+        "inserted_rows": int(inserted),
+        "touched_objects": len(touched),
+        "candidate_objects": len(candidates),
+        "total_objects": int(n_objects),
+    }
+
+
 def add_zarr_arrays(
     df: DataFrame,
     path: str,

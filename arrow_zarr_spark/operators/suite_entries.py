@@ -2944,6 +2944,54 @@ def populate_round7_stream_sketch_queries(register) -> None:
     )
 
 
+def populate_round7_upsert_queries(register) -> None:
+    """w14: keyed MERGE into a live table store (io.upsert_zarr) —
+    update-by-key plus insert-of-unmatched in one call, the row-keyed
+    counterpart of w10's coordinate-addressed region write. The
+    reference has no write path at all (SURVEY §2: sinks absent).
+    The driver row proves the full MERGE state: updated rows carry
+    the batch's values, inserted rows land appended, untouched rows
+    and the untouched column survive byte-exactly."""
+
+    def w14(spark, sf_dir):
+        import shutil
+
+        from ..io import upsert_zarr, write_zarr
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w14_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+
+        base = spark.range(0, 80).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 3).cast("double").alias("v"),
+            (F.col("id") % 5).alias("w"),
+        )
+        write_zarr(base, path, chunk_rows=16, mode="overwrite")
+        ups = spark.range(10, 20).union(spark.range(80, 90)).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 80, -F.col("id"))
+            .otherwise(F.col("id") * 0.5)
+            .cast("double")
+            .alias("v"),
+            (F.col("id") % 5).alias("w"),
+        )
+        upsert_zarr(
+            ups, path, key_col="k", on_missing="insert", chunk_rows=16
+        )
+        return spark.read.format("zarr").load(path)
+
+    register(
+        "w14_upsert_roundtrip",
+        w14,
+        "SELECT CAST(i AS BIGINT) AS k, "
+        "CAST(CASE WHEN i BETWEEN 10 AND 19 THEN -i "
+        "WHEN i >= 80 THEN i * 0.5 ELSE i * 3 END AS DOUBLE) AS v, "
+        "CAST(i % 5 AS BIGINT) AS w "
+        "FROM range(90) t(i)",
+    )
+
+
 def populate_round7_cdc_queries(register) -> None:
     """z30: row-level version CDC as a provable query — the
     incremental-refresh primitive over the native version store

@@ -1358,8 +1358,10 @@ _populated = False
 #: version CDC, literal oracle) — and
 #: Late round-7 session: z31 (tag + export — the release workflow:
 #: immutable named pins, vacuum retention, standalone checkout) takes
-#: the slot p04_rebalance_mixture held (green r3 row, parity-tested
-#: every round like all rotated-out entries).
+#: the slot p04_rebalance_mixture held, and w14 (keyed MERGE into a
+#: live table store: stats-pruned key scan, invalidate-first stats,
+#: insert-of-unmatched) takes d04_ngram_jaccard_pairs' (both green r3
+#: rows, parity-tested every round like all rotated-out entries).
 #: (c) 19 of the stalest green rows, all last driver-checked in
 #: round 3 (t01's token count, t03's quality score, t04's
 #: fingerprint, z04's zarr CTE-self-join, m02's fake image decode,
@@ -1406,10 +1408,10 @@ DRIVER_WINDOW = [
     "e05_stream_distinct_batchform",
     "z30_version_cdc",
     "z31_tag_export_read",
+    "w14_upsert_roundtrip",
     # stalest green rows (last driver-checked in round 3)
     "c01_kmeans_clusters",
     "c02_semantic_neardup",
-    "d04_ngram_jaccard_pairs",
     "d07_dedup_components",
     "d08_streaming_dedup_batchform",
     "d09_ngram_contamination",
@@ -1460,6 +1462,7 @@ def _ensure_populated() -> None:
         populate_round7_sketch_queries,
         populate_round7_stream_sketch_queries,
         populate_round7_cdc_queries,
+        populate_round7_upsert_queries,
         populate_round7_vlog_queries,
         populate_round6_late_queries,
         populate_round6_region_queries,
@@ -1493,6 +1496,7 @@ def _ensure_populated() -> None:
     populate_round7_sketch_queries(register_query)
     populate_round7_stream_sketch_queries(register_query)
     populate_round7_cdc_queries(register_query)
+    populate_round7_upsert_queries(register_query)
     _populate_relational_round6_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()
