@@ -2246,24 +2246,32 @@ def upsert_zarr(
 
     spark = df.sparkSession
     sc = spark.sparkContext
-    df = df.localCheckpoint(eager=True)  # evaluated once, reused ~4x
+    # checkpointed so every consumer sees ONE evaluation — bounds from
+    # one evaluation and the join from another would be unsound for a
+    # nondeterministic upstream (a sampled or rand()-derived batch)
+    df = df.localCheckpoint(eager=True)
 
-    # update-batch hygiene: NULL or duplicate keys would make the
-    # patch phase nondeterministic — reject loudly, delta-sized work
-    if df.where(F.col(key_col).isNull()).take(1):
+    # update-batch hygiene in ONE aggregation job: NULL or duplicate
+    # keys would make the patch phase nondeterministic — reject loudly
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(key_col).alias("n_keys"),
+        F.countDistinct(key_col).alias("n_distinct"),
+        F.min(key_col).alias("lo"),
+        F.max(key_col).alias("hi"),
+    ).first()
+    n_updates = int(row["n"])
+    if int(row["n_keys"]) < n_updates:
         raise ZarrFormatError("upsert_zarr: NULL key in the update batch")
-    dup = (
-        df.groupBy(key_col).count().where(F.col("count") > 1).take(1)
-    )
-    if dup:
+    if int(row["n_distinct"]) < n_updates:
+        dup = (
+            df.groupBy(key_col).count().where(F.col("count") > 1).take(1)
+        )
         raise ZarrFormatError(
             f"upsert_zarr: duplicate key {dup[0][0]!r} in the update "
             "batch (updates must be keyed uniquely)"
         )
-    bounds = df.agg(
-        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-    ).first()
-    kmin, kmax = bounds["lo"], bounds["hi"]
+    kmin, kmax = row["lo"], row["hi"]
 
     # (1) static pruning: the key array's per-object [min, max] against
     # the batch's key bounds — same soundness rules as the scan (None /
@@ -2295,6 +2303,7 @@ def upsert_zarr(
 
     updated_rows = 0
     touched: List[int] = []
+    n_matched_keys = 0
     if candidates:
         # (2) key-only position scan over the surviving objects
         key_meta_b = sc.broadcast(key_meta)
@@ -2327,26 +2336,29 @@ def upsert_zarr(
             pos_schema,
         )
         matched = pos_df.join(df, key_col).localCheckpoint(eager=True)
-        touched = sorted(
-            int(r["__obj"])
-            for r in matched.select("__obj").distinct().collect()
-        )
+        # one job answers both bookkeeping questions: the touched
+        # object set (delta-sized) and how many distinct batch keys
+        # actually matched (drives on_missing)
+        mrow = matched.select(
+            F.countDistinct(key_col).alias("nk"),
+            F.collect_set("__obj").alias("objs"),
+        ).first()
+        touched = sorted(int(o) for o in mrow["objs"] or [])
+        n_matched_keys = int(mrow["nk"] or 0)
 
-    if on_missing != "ignore":
+    if on_missing == "error" and n_matched_keys < n_updates:
         if candidates and touched:
             unmatched = df.join(
                 matched.select(key_col).distinct(), key_col, "left_anti"
             )
         else:
             unmatched = df
-        miss = unmatched.take(6) if on_missing == "error" else None
-        if on_missing == "error" and miss:
-            sample = [r[key_col] for r in miss[:5]]
-            raise ZarrFormatError(
-                f"upsert_zarr: update keys not present in the store "
-                f"(e.g. {sample}); pass on_missing='ignore' to skip "
-                "them or 'insert' to append them"
-            )
+        sample = [r[key_col] for r in unmatched.take(5)]
+        raise ZarrFormatError(
+            f"upsert_zarr: update keys not present in the store "
+            f"(e.g. {sample}); pass on_missing='ignore' to skip "
+            "them or 'insert' to append them"
+        )
 
     want_stats = bool(stats) and _stats_within_cap(
         n_objects, "upsert"
@@ -2432,39 +2444,37 @@ def upsert_zarr(
             consolidate_metadata(store)
 
     inserted = 0
-    if on_missing == "insert":
+    if on_missing == "insert" and n_matched_keys < n_updates:
+        store_cols = sorted(arrays)
+        if sorted(df.columns) != store_cols:
+            raise ZarrFormatError(
+                "upsert_zarr: on_missing='insert' needs the FULL "
+                f"column set {store_cols} to append new rows "
+                f"(update batch has {sorted(df.columns)})"
+            )
         if candidates and touched:
             unmatched = df.join(
                 matched.select(key_col).distinct(), key_col, "left_anti"
             )
         else:
             unmatched = df
-        store_cols = sorted(arrays)
-        if sorted(df.columns) != store_cols:
-            if not unmatched.rdd.isEmpty():
-                raise ZarrFormatError(
-                    "upsert_zarr: on_missing='insert' needs the FULL "
-                    f"column set {store_cols} to append new rows "
-                    f"(update batch has {sorted(df.columns)})"
-                )
-        else:
-            # column order must match the store's row layout exactly as
-            # written; append validates layout/codecs and names any
-            # mismatched option
-            to_insert = unmatched.select(
-                *[f for f in store_cols]
-            ).localCheckpoint(eager=True)
-            inserted = to_insert.count()
-            if inserted:
-                write_zarr(
-                    to_insert,
-                    path,
-                    chunk_rows=chunk_rows,
-                    compression=compression,
-                    shard_chunks=shard_chunks,
-                    mode="append",
-                    stats=stats,
-                )
+        # column order must match the store's row layout exactly as
+        # written; append validates layout/codecs and names any
+        # mismatched option
+        to_insert = unmatched.select(*store_cols).localCheckpoint(
+            eager=True
+        )
+        inserted = to_insert.count()
+        if inserted:
+            write_zarr(
+                to_insert,
+                path,
+                chunk_rows=chunk_rows,
+                compression=compression,
+                shard_chunks=shard_chunks,
+                mode="append",
+                stats=stats,
+            )
     return {
         "updated_rows": int(updated_rows),
         "inserted_rows": int(inserted),

@@ -200,6 +200,36 @@ def bench_queries(spark):
         version_cdc(spark, cdc_path, 1, 2)
     )
 
+    # tag + export: one distributed copy of the pinned snapshot into a
+    # standalone store — the release-publication verb. Cost class =
+    # one full read + write of the (262k-row) store; compare against
+    # zarr_full_scan for the read half's yardstick.
+    from arrow_zarr_spark.zarr.versions import export_version
+
+    export_dest = "/tmp/arrow_zarr_spark_bench_export"
+    qs["zarr_version_export"] = lambda: export_version(
+        spark, cdc_path, export_dest, version=1, mode="overwrite"
+    )["n_objects"]
+
+    # keyed MERGE (io.upsert_zarr): a 1k-key update batch confined to
+    # one 16384-row object of the 17-object store. The key-stats prune
+    # + key-only scan + single-object rewrite make the wall time the
+    # DELTA's, not the store's — compare against zarr_write_orders
+    # (a full store write) and zarr_full_scan (a full read).
+    from arrow_zarr_spark.io import upsert_zarr as _upz
+
+    _upsert_batch = (
+        spark.range(100_000, 101_000)
+        .select(
+            _F.col("id").alias("k"),
+            (_F.col("id") * -1).cast("double").alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    qs["zarr_upsert_delta"] = lambda: _upz(
+        _upsert_batch, cdc_path, key_col="k"
+    )["updated_rows"]
+
     # -- projection-pruning cost pair (A4) --
     # PySpark's DataSourceReader (4.1) exposes no column-pruning hook,
     # so a narrow SELECT over a wide store decodes EVERY array unless
