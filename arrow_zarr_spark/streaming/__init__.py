@@ -14,13 +14,18 @@ from .event_ops import (
     stateful_user_counts,
     windowed_event_stats,
 )
-from .zarr_sink import stream_regions_to_zarr, stream_to_zarr
+from .zarr_sink import (
+    stream_regions_to_zarr,
+    stream_to_zarr,
+    stream_upsert_to_zarr,
+)
 from .zarr_stream import ZarrStreamDataSource
 
 __all__ = [
     "ZarrStreamDataSource",
     "stream_to_zarr",
     "stream_regions_to_zarr",
+    "stream_upsert_to_zarr",
     "sessionize_batch",
     "sessionize_stream",
     "stateful_user_counts",

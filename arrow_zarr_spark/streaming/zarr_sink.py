@@ -18,12 +18,19 @@ from pyspark.sql import DataFrame
 from ..io import write_zarr
 from ..zarr.store import open_store
 
-__all__ = ["stream_to_zarr", "stream_regions_to_zarr"]
+__all__ = [
+    "stream_to_zarr",
+    "stream_regions_to_zarr",
+    "stream_upsert_to_zarr",
+]
 
 _MARKER_KEY = "__stream_sink_state__"
 _REGION_MARKER_KEY = "__stream_region_sink_state__"
+_UPSERT_MARKER_KEY = "__stream_upsert_sink_state__"
 #: LIVE exactly-once state — vacuum_zarr must never collect these
-SINK_MARKER_KEYS = frozenset({_MARKER_KEY, _REGION_MARKER_KEY})
+SINK_MARKER_KEYS = frozenset(
+    {_MARKER_KEY, _REGION_MARKER_KEY, _UPSERT_MARKER_KEY}
+)
 
 
 def _once_per_batch(store, marker: str, batch_id: int, apply) -> None:
@@ -132,6 +139,90 @@ def stream_regions_to_zarr(
                 )
 
         _once_per_batch(store, _REGION_MARKER_KEY, batch_id, apply)
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    for k, v in start_kwargs.items():
+        writer = writer.option(k, v)
+    return writer.start()
+
+
+def stream_upsert_to_zarr(
+    stream_df: DataFrame,
+    path: str,
+    key_col: str,
+    dedupe_col=None,
+    drop_dedupe_col: bool = True,
+    on_missing: str = "insert",
+    stats: bool = True,
+    chunk_rows: int = 65536,
+    compression: str = "zstd",
+    shard_chunks=None,
+    **start_kwargs,
+):
+    """Start a streaming query MERGE-ing each micro-batch by key into
+    a live table store — the CDC-ingestion face of
+    :func:`arrow_zarr_spark.io.upsert_zarr` (append face:
+    :func:`stream_to_zarr`; grid face: :func:`stream_regions_to_zarr`).
+    A changelog stream keyed on ``key_col`` keeps the store current:
+    existing keys update in place (delta-proportional via key-stats
+    pruning), unseen keys append (``on_missing="insert"``, the
+    default here — a changelog mixes both).
+
+    ``dedupe_col``: a micro-batch may legitimately carry SEVERAL
+    changes for one key (upsert_zarr rejects duplicate keys — the
+    merge would be nondeterministic). Name a sequence/timestamp
+    column and the sink keeps only each key's row with the greatest
+    value before merging (ties lose deterministically only if the
+    column is unique per key — use a monotonic CDC sequence number).
+    Without it, batches must already be key-unique. A changelog's
+    sequence column usually isn't a store column, so it is dropped
+    after the dedup by default; pass ``drop_dedupe_col=False`` when
+    ordering by a column the store carries (e.g. ``updated_at``).
+
+    Exactly-once across recovery replays via the same store-side
+    batch-marker protocol as the other sinks; a replayed batch id is
+    skipped whole. ``chunk_rows``/``compression``/``shard_chunks``
+    forward to the insert-append and must match the store's layout
+    (the append validates and names any mismatch)."""
+    checkpoint = start_kwargs.pop("checkpointLocation", None)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from ..io import upsert_zarr
+
+        store = open_store(path)
+
+        def apply():
+            df = batch_df
+            if df.isEmpty():
+                return
+            if dedupe_col is not None:
+                w = Window.partitionBy(key_col).orderBy(
+                    F.col(dedupe_col).desc()
+                )
+                df = (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                if drop_dedupe_col:
+                    df = df.drop(dedupe_col)
+            upsert_zarr(
+                df,
+                path,
+                key_col=key_col,
+                on_missing=on_missing,
+                stats=stats,
+                chunk_rows=chunk_rows,
+                compression=compression,
+                shard_chunks=shard_chunks,
+            )
+
+        _once_per_batch(store, _UPSERT_MARKER_KEY, batch_id, apply)
 
     writer = stream_df.writeStream.foreachBatch(apply_batch)
     if checkpoint:

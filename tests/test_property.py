@@ -493,3 +493,57 @@ def test_versioning_model(ops):
                 except ZarrFormatError:
                     pass
         check()
+
+
+@given(
+    n=st.integers(10, 80),
+    chunk=st.integers(2, 20),
+    n_up=st.integers(1, 15),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=12, deadline=None)
+def test_upsert_matches_merge_model(spark, tmp_path_factory, n, chunk, n_up, seed):
+    """For any store geometry and update batch: upsert_zarr's final
+    store state must equal the relational MERGE model — every store
+    row whose key is in the batch carries the batch's value (ALL
+    duplicates of that key), every other row is untouched, unmatched
+    batch keys are ignored. Exercises the key-stats prune, the
+    position join, and the object rewrite across random chunkings,
+    duplicate store keys, and partially-matching batches."""
+    from arrow_zarr_spark.io import upsert_zarr, write_zarr
+
+    rng = np.random.RandomState(seed)
+    keys = rng.randint(0, n * 2, size=n)  # duplicates likely
+    vals = rng.standard_normal(n).round(6)
+    path = str(
+        tmp_path_factory.mktemp("upsprop") / f"s_{n}_{chunk}_{seed}"
+    )
+    rows = [(int(k), float(v)) for k, v in zip(keys, vals)]
+    write_zarr(
+        spark.createDataFrame(rows, "k long, v double").coalesce(1),
+        path,
+        chunk_rows=chunk,
+    )
+    up_keys = rng.choice(np.arange(0, n * 2), size=min(n_up, n * 2),
+                         replace=False)
+    up_vals = rng.standard_normal(len(up_keys)).round(6)
+    batch = [(int(k), float(v)) for k, v in zip(up_keys, up_vals)]
+    out = upsert_zarr(
+        spark.createDataFrame(batch, "k long, v double"),
+        path,
+        key_col="k",
+        on_missing="ignore",
+    )
+    upd = dict(batch)
+    expected = sorted(
+        (k, upd.get(k, v)) for k, v in rows
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in spark.read.format("zarr").load(path).collect()
+    )
+    assert got == expected
+    assert out["updated_rows"] == sum(1 for k, _ in rows if k in upd)
+    assert out["touched_objects"] <= out["candidate_objects"] <= out[
+        "total_objects"
+    ]

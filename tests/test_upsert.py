@@ -206,6 +206,75 @@ class TestUpsertMissing:
             )
 
 
+class TestStreamUpsertSink:
+    def test_changelog_stream_merges(self, spark, tmp_path):
+        """The CDC face: a changelog stream with several changes per
+        key (ordered by a seq column the store doesn't carry) lands
+        as last-change-wins updates plus inserts for unseen keys."""
+        from arrow_zarr_spark.streaming import stream_upsert_to_zarr
+
+        store = str(tmp_path / "cdc_store")
+        write_zarr(
+            _table(spark).select("k", "v"), store, chunk_rows=16
+        )
+        # changelog: two changes for k=5 (seq 1 then 2), one for k=40,
+        # and a brand-new k=100
+        src = str(tmp_path / "changes")
+        changes = spark.createDataFrame(
+            [
+                (5, 111.0, 1),
+                (5, 222.0, 2),
+                (40, -40.0, 1),
+                (100, 7.0, 1),
+            ],
+            "k long, v double, seq long",
+        )
+        changes.write.parquet(src)
+        stream = spark.readStream.schema(changes.schema).parquet(src)
+        q = stream_upsert_to_zarr(
+            stream,
+            store,
+            key_col="k",
+            dedupe_col="seq",
+            chunk_rows=16,
+            checkpointLocation=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["k"]: r["v"] for r in read_zarr(spark, store).collect()}
+        assert len(got) == 65
+        assert got[5] == 222.0  # last change by seq wins
+        assert got[40] == -40.0
+        assert got[100] == 7.0  # unseen key inserted
+        assert got[6] == 12.0  # untouched
+        # the batch marker advanced (exactly-once state)
+        assert open_store(store).get("__stream_upsert_sink_state__")
+
+    def test_replayed_batch_skipped(self, spark, tmp_path):
+        """A replayed foreachBatch id must be skipped whole — apply
+        the same batch id twice, the second is a no-op even with
+        different data."""
+        import json as _json
+
+        from arrow_zarr_spark.streaming.zarr_sink import (
+            _UPSERT_MARKER_KEY,
+            _once_per_batch,
+        )
+
+        store_path = str(tmp_path / "s")
+        write_zarr(_table(spark).select("k", "v"), store_path, chunk_rows=16)
+        store = open_store(store_path)
+        applied = []
+        _once_per_batch(store, _UPSERT_MARKER_KEY, 0, lambda: applied.append(1))
+        _once_per_batch(store, _UPSERT_MARKER_KEY, 0, lambda: applied.append(2))
+        _once_per_batch(store, _UPSERT_MARKER_KEY, 1, lambda: applied.append(3))
+        assert applied == [1, 3]
+        state = _json.loads(store.get(_UPSERT_MARKER_KEY))
+        assert state["last_batch"] == 1
+
+
 class TestUpsertValidation:
     def test_duplicate_update_key_rejected(self, spark, tmp_path):
         d = str(tmp_path / "s")
