@@ -71,6 +71,12 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     qs["multimodal_features"] = lambda: force(
         multimodal.byte_features(multimodal.with_binary_payload(docs))
     )
+    # cross-modal alignment gate (m06): one Arrow decode pass + JVM
+    # pooling + id equi-join + built-in cosine — tracked against
+    # multimodal_features (the delta is the join + cosine tail)
+    qs["crossmodal_alignment"] = lambda: force(
+        multimodal.crossmodal_alignment(docs, embs, threshold=0.1)
+    )
     from . import clustering, packing
     from .text import chunk_documents
 

@@ -39,6 +39,7 @@ __all__ = [
     "resize_pixels",
     "resize_images",
     "sample_frames",
+    "crossmodal_alignment",
 ]
 
 #: Canonical multimodal column group: payload + typed metadata.
@@ -262,6 +263,74 @@ def resize_pixels(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 #: kept under the old name for callers that used the stub's signature
 resize_images = resize_pixels
+
+
+def crossmodal_alignment(
+    docs: DataFrame,
+    embs: DataFrame,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """CLIP-score-style cross-modal alignment gate (m06): keep items
+    whose image-tower and text-tower representations agree.
+
+    A curation pipeline over image+caption (or audio+transcript) pairs
+    drops pairs whose modalities disagree — the standard filter is a
+    cosine threshold between the two modality embeddings projected
+    into a shared space. Here the image tower is the deterministic
+    fake decode (:func:`decode_image` 16-span byte means, exported as
+    the exact integer micro-pixels m02 established), and the text
+    tower is the 64-d ``embeddings`` vector pooled to 16-d by 4-block
+    mean (the "projection head"); alignment = ROUND(cosine, 6),
+    gated at ``threshold``. Swap the fake decode for a real image
+    encoder and the pooling for a learned head — the plan shape is
+    unchanged.
+
+    100-TB shape: one Arrow-batched decode pass over the media table,
+    JVM-side ``transform`` pooling on the embedding side, a single
+    id equi-join (AQE-planned; broadcastable when one tower's output
+    is small), and a built-in cosine — no crossJoin, no collect, no
+    per-row Python. Both towers and the cosine are exactly replayed
+    by the SQL oracle (micro-pixels are integers; pooling is fixed
+    left-to-right double addition)."""
+    media = with_binary_payload(docs, id_col=id_col, text_col=text_col)
+    decoded = decode_image(media, fake=True)
+    img = decoded.filter(F.col("pixels").isNotNull()).select(
+        "media_id",
+        F.transform(
+            "pixels",
+            lambda p: F.round(p * F.lit(1000000.0)).cast("double"),
+        ).alias("img_vec"),
+    )
+    emb_d = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    pooled = embs.select(
+        F.col(emb_id_col).alias("media_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (
+                F.element_at(emb_d, i * 4 + 1)
+                + F.element_at(emb_d, i * 4 + 2)
+                + F.element_at(emb_d, i * 4 + 3)
+                + F.element_at(emb_d, i * 4 + 4)
+            )
+            / F.lit(4.0),
+        ).alias("txt_vec"),
+    )
+    from .similarity import cosine_expr
+
+    return (
+        img.join(pooled, "media_id")
+        .select(
+            "media_id",
+            F.round(cosine_expr("img_vec", "txt_vec"), 6).alias(
+                "alignment"
+            ),
+        )
+        .filter(F.col("alignment") >= F.lit(threshold))
+    )
 
 
 def sample_frames(

@@ -3044,3 +3044,49 @@ def populate_round7_cdc_queries(register) -> None:
         'AS t("array", pos, coords, change, old_value, new_value) '
         'ORDER BY "array", pos',
     )
+
+
+def populate_round7_crossmodal_queries(register) -> None:
+    """m06: CLIP-score-style cross-modal alignment gate
+    (multimodal.crossmodal_alignment) — keep image+caption pairs
+    whose modality embeddings agree. The image tower is m02's exact
+    integer micro-pixel decode, the text tower is the embeddings
+    vector pooled 64->16 by 4-block mean, alignment = ROUND(cosine,
+    6) gated at 0.1 (nearest value sits >= 2e-4 away at both driver
+    sfs, so the rounding can't flip a row). The oracle replays both
+    towers exactly: micro-pixels via m02's span CTE, pooling via the
+    same left-to-right double adds."""
+
+    def m06(spark, sf_dir):
+        return multimodal.crossmodal_alignment(
+            _docs(spark, sf_dir), _embs(spark, sf_dir), threshold=0.1
+        )
+
+    register(
+        "m06_crossmodal_alignment",
+        m06,
+        "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents "
+        "WHERE length(text) > 0), "
+        "s AS (SELECT doc_id, text, n, CAST(i AS INT) AS px_idx, "
+        "CASE WHEN i < n % 16 THEN n // 16 + 1 ELSE n // 16 END AS span_len, "
+        "CASE WHEN i < n % 16 THEN i * (n // 16 + 1) "
+        "ELSE (n % 16) * (n // 16 + 1) + (i - n % 16) * (n // 16) "
+        "END AS span_start FROM d, range(16) t(i)), "
+        "px AS (SELECT doc_id, px_idx, "
+        "CASE WHEN span_len = 0 THEN 0.0 ELSE "
+        "round_even(list_sum(list_transform(string_split("
+        "substr(text, span_start + 1, span_len), ''), "
+        "c -> CAST(ascii(c) AS DOUBLE))) / span_len * 1000000.0, 0) "
+        "END AS pxm FROM s), "
+        "iv AS (SELECT doc_id AS media_id, "
+        "list(pxm ORDER BY px_idx) AS img_vec FROM px GROUP BY doc_id), "
+        "tv AS (SELECT vec_id AS media_id, "
+        "list_transform(range(16), i -> "
+        "(v[4*i+1] + v[4*i+2] + v[4*i+3] + v[4*i+4]) / 4.0) AS txt_vec "
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)) "
+        "SELECT media_id, a AS alignment FROM ("
+        "SELECT iv.media_id, "
+        "ROUND(list_cosine_similarity(img_vec, txt_vec), 6) AS a "
+        "FROM iv JOIN tv USING (media_id)) WHERE a >= 0.1",
+    )

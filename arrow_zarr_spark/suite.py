@@ -1361,7 +1361,10 @@ _populated = False
 #: the slot p04_rebalance_mixture held, and w14 (keyed MERGE into a
 #: live table store: stats-pruned key scan, invalidate-first stats,
 #: insert-of-unmatched) takes d04_ngram_jaccard_pairs' (both green r3
-#: rows, parity-tested every round like all rotated-out entries).
+#: rows, parity-tested every round like all rotated-out entries), and
+#: m06 (cross-modal alignment gate, the CLIP-score curation filter)
+#: takes d10_canonical_docs' slot (green r3; its family keeps
+#: d06/d07 + the r6-fresh d13-d18 in or near the window).
 #: (c) 19 of the stalest green rows, all last driver-checked in
 #: round 3 (t01's token count, t03's quality score, t04's
 #: fingerprint, z04's zarr CTE-self-join, m02's fake image decode,
@@ -1409,13 +1412,13 @@ DRIVER_WINDOW = [
     "z30_version_cdc",
     "z31_tag_export_read",
     "w14_upsert_roundtrip",
+    "m06_crossmodal_alignment",
     # stalest green rows (last driver-checked in round 3)
     "c01_kmeans_clusters",
     "c02_semantic_neardup",
     "d07_dedup_components",
     "d08_streaming_dedup_batchform",
     "d09_ngram_contamination",
-    "d10_canonical_docs",
     "j02_asof_join",
     "j03_theta_join_banded",
     "m01_byte_features",
@@ -1462,6 +1465,7 @@ def _ensure_populated() -> None:
         populate_round7_sketch_queries,
         populate_round7_stream_sketch_queries,
         populate_round7_cdc_queries,
+        populate_round7_crossmodal_queries,
         populate_round7_upsert_queries,
         populate_round7_vlog_queries,
         populate_round6_late_queries,
@@ -1496,6 +1500,7 @@ def _ensure_populated() -> None:
     populate_round7_sketch_queries(register_query)
     populate_round7_stream_sketch_queries(register_query)
     populate_round7_cdc_queries(register_query)
+    populate_round7_crossmodal_queries(register_query)
     populate_round7_upsert_queries(register_query)
     _populate_relational_round6_tail()
     _populate_zarr_round4()

@@ -238,6 +238,60 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
             multimodal.sample_frames(df, fake=False).collect()
 
+    def test_crossmodal_alignment_matches_numpy(self, spark, docs, embs):
+        """m06's rounded cosine must equal a straight numpy replay of
+        both towers (micro-pixel image vector x 4-block-pooled text
+        vector) for every retained row, and the gate must actually
+        drop rows."""
+        import numpy as np
+
+        out = {
+            r.media_id: r.alignment
+            for r in multimodal.crossmodal_alignment(
+                docs, embs, threshold=0.1
+            ).collect()
+        }
+        texts = {r.doc_id: r.text for r in docs.collect()}
+        vecs = {r.vec_id: r.embedding for r in embs.collect()}
+        expected = {}
+        for did, txt in texts.items():
+            if did not in vecs or not txt:
+                continue
+            buf = np.frombuffer(txt.encode(), dtype=np.uint8)
+            spans = np.array_split(buf.astype(np.float64), 16)
+            px = np.array(
+                [np.round(s.mean(), 6) if s.size else 0.0 for s in spans]
+            )
+            pxm = np.round(px * 1e6)
+            e = np.asarray(vecs[did], dtype=np.float64)
+            pooled = e.reshape(16, 4).sum(axis=1) / 4.0
+            c = round(
+                float(
+                    pxm @ pooled
+                    / (np.linalg.norm(pxm) * np.linalg.norm(pooled))
+                ),
+                6,
+            )
+            if c >= 0.1:
+                expected[did] = c
+        assert out == pytest.approx(expected)
+        assert 0 < len(out) < len(texts)  # the gate filters
+
+    def test_crossmodal_threshold_nests(self, spark, docs, embs):
+        loose = {
+            r.media_id
+            for r in multimodal.crossmodal_alignment(
+                docs.limit(100), embs, threshold=0.0
+            ).collect()
+        }
+        tight = {
+            r.media_id
+            for r in multimodal.crossmodal_alignment(
+                docs.limit(100), embs, threshold=0.3
+            ).collect()
+        }
+        assert tight < loose
+
 
 class TestTextOps:
     def test_fingerprint_order_sensitive(self, spark):
