@@ -185,6 +185,22 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
             n_cells=16, nprobe=2, m=16, ksub=64,
         )
     )
+    # SQ8 ANN (s06): same single-exchange kernel shape as ann_pq but
+    # int8-per-dim codes (4x memory vs float32) and near-exact recall
+    # (1.0 vs PQ's 0.58 on this fixture) — the high-recall rung
+    qs["ann_sq8"] = lambda: force(
+        similarity.sq8_ann(
+            embs, embs.filter(F.col("vec_id") < 100), k=10
+        )
+    )
+    # retrieve-then-rerank (s07): s06 shortlist + broadcast exact
+    # rescore — tracked because the rescore joins are the stages a
+    # production index adds on top of the compressed-domain kernel
+    qs["ann_sq8_refine"] = lambda: force(
+        similarity.sq8_refine_topk(
+            embs, embs.filter(F.col("vec_id") < 100), k=10, shortlist=32
+        )
+    )
     # the snapshot-curation composition (x03): batch-bounded corpus
     # near-dup gate + digest purge + quality gate in one plan
     from .pipelines import snapshot_curation_pipeline

@@ -29,7 +29,11 @@ __all__ = [
     "cosine_topk",
     "hyperplane_lsh_ann",
     "ivf_ann",
+    "ivf_pq_ann",
     "pq_ann",
+    "sq8_ann",
+    "sq8_refine_topk",
+    "train_pq_codebooks",
 ]
 
 
@@ -1023,6 +1027,280 @@ def ivf_pq_ann(
             "query_id",
             "neighbor_id",
             F.round(cos_raw, 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _sq8_scales(corpus: DataFrame, vec_col: str) -> "np.ndarray":
+    """Per-dimension SQ8 scales over the grid-quantized corpus:
+    ``s_d = max(1, ceil(max|n_d| / 127))`` — integers, so the encode
+    stays in exact integer arithmetic. One partial-aggregated reduce
+    (no explode, no shuffle of data rows: ``dim`` max-abs columns
+    combine map-side)."""
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None or first["d"] is None:
+        raise ValueError("sq8: empty corpus")
+    dim = int(first["d"])
+    gv = _pq_qvec(F.col(vec_col))
+    row = corpus.select(gv.alias("v")).agg(
+        *[
+            F.max(F.abs(F.element_at(F.col("v"), d + 1))).alias(f"m{d}")
+            for d in range(dim)
+        ]
+    ).first()
+    ma = np.array([int(row[f"m{d}"]) for d in range(dim)], dtype=np.int64)
+    return np.maximum(1, (ma + 126) // 127)
+
+
+def sq8_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    max_query_rows: int = 65536,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN — the third quantizer family next to
+    LSH (s02), IVF (s03) and PQ (s04/s05): each corpus dimension is
+    linearly requantized to an 8-bit code (FAISS's ScalarQuantizer
+    QT_8bit; Guo et al. 2020 ScaNN calls it the reordering baseline),
+    queries stay full precision and score against the dequantized
+    codes (asymmetric). 4x less candidate memory than float32 corpora
+    with far higher recall than PQ at the same speed — the usual first
+    rung of a 100-TB vector index before PQ's 32x compression is
+    needed. Reference context: the reference has no similarity layer
+    at all (SURVEY §2) — this extends the repo's ANN family.
+
+    Determinism/oracle story (the s04 convention, taken further —
+    there is NO float rounding anywhere in the encode): vectors live
+    on the 1/32768 grid (exact integers), per-dim scales are the
+    integers ``max(1, ceil(max|n_d|/127))``, and the code is
+    half-away-from-zero integer rounding computed purely in integer
+    arithmetic: ``sign(n) * ((2|n| + s) // (2s))`` — replayed verbatim
+    by DuckDB's BIGINT ``//``. Dequantized values ``code*s``, dots and
+    norms are exact integer sums (< 2^53 in float64), the cosine three
+    correctly-rounded IEEE ops — bit-identical ranking across engines.
+    |code| <= 127 by construction (|n| <= max|n| <= 127s), so the
+    codes are genuinely int8-representable; the kernel enforces it.
+
+    Scale shape: one metadata-sized reduce for the scales (dim
+    integers, broadcast), queries driver-collected
+    (``max_query_rows``-capped) and broadcast; the corpus streams
+    through one ``mapInPandas`` encode+score pass keeping a
+    per-partition top-k per query — the only exchange is the final
+    merge window over ``n_partitions * n_queries * k`` rows, s04's
+    single-exchange contract."""
+    query_id_col = query_id_col or id_col
+    spark = corpus.sparkSession
+    qvec = _pq_qvec
+
+    scales = _sq8_scales(corpus, vec_col)
+    dim = len(scales)
+
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("qid"), qvec(F.col(vec_col)).alias("qv")
+        )
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"sq8_ann collects the query side to the driver; got more "
+            f"than max_query_rows={max_query_rows} rows. Pass a bounded "
+            f"probe set or raise max_query_rows explicitly."
+        )
+    q_ids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    if len(q_mat) and q_mat.shape[1] != dim:
+        raise ValueError(
+            f"sq8_ann: query dim {q_mat.shape[1]} != corpus dim {dim}"
+        )
+    q_nsq = np.einsum("qd,qd->q", q_mat, q_mat) if len(q_mat) else q_mat
+    b = spark.sparkContext.broadcast((q_ids, q_mat, q_nsq, scales))
+
+    corpus_q = corpus.select(
+        F.col(id_col).alias("neighbor_id"), qvec(F.col(vec_col)).alias("cv")
+    )
+    out_schema = (
+        "query_id long, neighbor_id long, dot double, "
+        "nr_sq double, nq_sq double"
+    )
+
+    def kernel(batches):
+        q_ids_l, q_mat_l, q_nsq_l, s_l = b.value
+        nq = len(q_ids_l)
+        if not nq:
+            return
+        acc = [None] * nq
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy(np.int64)
+            X = np.array(list(pdf["cv"]), dtype=np.float64)
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"sq8_ann: corpus dim {X.shape[1]} != scales dim {dim}"
+                )
+            n_int = X.astype(np.int64)  # grid values are exact ints
+            # half-away-from-zero in pure integer arithmetic — the
+            # exact expression the oracle replays with BIGINT //
+            codes = np.sign(n_int) * (
+                (2 * np.abs(n_int) + s_l) // (2 * s_l)
+            )
+            if len(codes) and np.abs(codes).max() > 127:
+                raise ValueError(
+                    "sq8_ann: corpus value outside the scale bound — "
+                    "the corpus changed between the scales pass and "
+                    "the scan"
+                )
+            R = (codes * s_l).astype(np.float64)
+            nr_sq = np.einsum("nd,nd->n", R, R)
+            nr = np.sqrt(nr_sq)
+            nr_safe = np.where(nr > 0, nr, 1.0)
+            dots_all = q_mat_l @ R.T  # exact integer sums in float64
+            for qi in range(nq):
+                mask = ids != q_ids_l[qi]
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                qn = np.sqrt(q_nsq_l[qi])
+                cos = dots_all[qi][idx] / (
+                    (qn if qn > 0 else 1.0) * nr_safe[idx]
+                )
+                cand = (cos, ids[idx], dots_all[qi][idx], nr_sq[idx])
+                if acc[qi] is not None:
+                    cand = tuple(
+                        np.concatenate([a, c])
+                        for a, c in zip(acc[qi], cand)
+                    )
+                order = np.lexsort((cand[1], -cand[0]))[:k]
+                acc[qi] = tuple(c[order] for c in cand)
+        for qi in range(nq):
+            if acc[qi] is None:
+                continue
+            cos_a, ids_a, dot_a, nr_a = acc[qi]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.full(len(ids_a), q_ids_l[qi], np.int64),
+                    "neighbor_id": ids_a,
+                    "dot": dot_a,
+                    "nr_sq": nr_a,
+                    "nq_sq": np.full(len(ids_a), q_nsq_l[qi], np.float64),
+                }
+            )
+
+    local = corpus_q.mapInPandas(kernel, schema=out_schema)
+    nr_safe = F.when(F.col("nr_sq") > 0, F.col("nr_sq")).otherwise(
+        F.lit(1.0)
+    )
+    nq_safe = F.when(F.col("nq_sq") > 0, F.col("nq_sq")).otherwise(
+        F.lit(1.0)
+    )
+    cos_raw = F.col("dot") / (F.sqrt(nq_safe) * F.sqrt(nr_safe))
+    w = Window.partitionBy("query_id").orderBy(
+        cos_raw.desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos_raw, 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def sq8_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    max_query_rows: int = 65536,
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank — the production ANN shape
+    (FAISS's ``IndexRefine``; ScaNN's reordering stage): stage 1 runs
+    the SQ8 kernel to a per-query ``shortlist`` of candidates (cheap,
+    compressed-domain), stage 2 rescores ONLY the shortlist with the
+    exact cosine and emits the exact-scored top-k. Errors of the
+    quantizer affect RECALL (a true neighbor can miss the shortlist)
+    but never the reported scores or their order — reported cosines
+    are bit-identical to :func:`cosine_topk`'s on the same pairs.
+
+    Scale shape: stage 1 is s06's single-exchange kernel; the
+    shortlist (``n_queries * shortlist`` rows — probe-set-scale by
+    construction) is BROADCAST back against the corpus for the exact
+    rescore, so the corpus is never shuffled in either stage: one
+    corpus pass for candidates, one corpus-side broadcast-join probe
+    for the rescore, two window merges over candidate-sized inputs.
+
+    Determinism/oracle story: stage 1's ranking is the s06
+    exact-integer contract; stage 2's exact cosine runs on the same
+    1/32768 grid as s01 (integer dot/norms, three IEEE ops), so a SQL
+    oracle replays shortlist membership AND the rescored ranking
+    bit-for-bit."""
+    query_id_col = query_id_col or id_col
+    cand = sq8_ann(
+        corpus,
+        queries,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        max_query_rows=max_query_rows,
+    ).select("query_id", "neighbor_id")
+
+    qvec = _pq_qvec
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        qvec(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), qvec(F.col(vec_col)).alias("cv")
+    )
+    # the shortlist is probe-set-sized: broadcast it so the corpus-side
+    # join stays shuffle-free (the rescore probes the corpus in place)
+    pairs = (
+        F.broadcast(cand)
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def nsq(col):
+        return F.aggregate(
+            F.transform(F.col(col), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    nq_safe = F.when(nsq("qv") > 0, nsq("qv")).otherwise(F.lit(1.0))
+    nc_safe = F.when(nsq("cv") > 0, nsq("cv")).otherwise(F.lit(1.0))
+    cos_raw = dot / (F.sqrt(nq_safe) * F.sqrt(nc_safe))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cos_raw.alias("cos_exact")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_exact").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos_exact"), 6).alias("cosine"),
             F.col("rank").cast("long").alias("rank"),
         )
     )

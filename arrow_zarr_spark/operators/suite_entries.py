@@ -3090,3 +3090,96 @@ def populate_round7_crossmodal_queries(register) -> None:
         "ROUND(list_cosine_similarity(img_vec, txt_vec), 6) AS a "
         "FROM iv JOIN tv USING (media_id)) WHERE a >= 0.1",
     )
+
+
+def populate_round7_sq8_queries(register) -> None:
+    """s06/s07: scalar quantization (SQ8) and retrieve-then-rerank —
+    the remaining two rungs of the production ANN ladder (FAISS
+    ScalarQuantizer QT_8bit; IndexRefine / ScaNN reordering). s06
+    ranks in the compressed domain; s07 shortlists with s06's kernel
+    and rescores the shortlist with the EXACT cosine, so its reported
+    scores are s01-identical on the surviving pairs. Both oracles
+    replay the integer encode verbatim: codes are half-away-from-zero
+    integer rounding ``sign(n)*((2|n|+s)//(2s))`` over the 1/32768
+    grid with per-dim integer scales ``max(1, ceil(max|n_d|/127))`` —
+    no float rounding anywhere, every dot/norm an exact integer sum,
+    rankings bit-identical across engines."""
+
+    def s06(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        return similarity.sq8_ann(
+            embs, embs.filter(F.col("vec_id") < 20), k=5
+        )
+
+    # shared oracle prefix: grid vectors, per-dim integer scales,
+    # dequantized codes, SQ8 cosine per (query, neighbor) pair
+    _SQ8_PRE = (
+        "WITH corp AS (SELECT vec_id, "
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> ROUND(x * 32768, 0)) AS v FROM embeddings), "
+        "ds AS (SELECT unnest(range(1, 65)) AS d), "
+        "el AS (SELECT vec_id, d, CAST(v[d] AS BIGINT) AS n "
+        "FROM corp, ds), "
+        "sc AS (SELECT d, GREATEST(1, (MAX(ABS(n)) + 126) // 127) AS s "
+        "FROM el GROUP BY d), "
+        "enc AS (SELECT vec_id, d, "
+        "(CASE WHEN n >= 0 THEN 1 ELSE -1 END) * "
+        "((2 * ABS(n) + s) // (2 * s)) * s AS r "
+        "FROM el JOIN sc USING (d)), "
+        "nr AS (SELECT vec_id, SUM(r * r) AS nr_sq FROM enc "
+        "GROUP BY vec_id), "
+        "qe AS (SELECT vec_id AS query_id, d, n AS qd FROM el "
+        "WHERE vec_id < 20), "
+        "qn AS (SELECT query_id, SUM(qd * qd) AS nq_sq FROM qe "
+        "GROUP BY query_id), "
+        "dots AS (SELECT qe.query_id, e.vec_id AS neighbor_id, "
+        "SUM(qe.qd * e.r) AS dot FROM qe JOIN enc e USING (d) "
+        "WHERE e.vec_id <> qe.query_id GROUP BY 1, 2), "
+        "scored AS (SELECT dt.query_id, dt.neighbor_id, "
+        "CAST(dt.dot AS DOUBLE) / "
+        "(SQRT(CASE WHEN qn.nq_sq > 0 THEN CAST(qn.nq_sq AS DOUBLE) "
+        "ELSE 1 END) * "
+        "SQRT(CASE WHEN nr.nr_sq > 0 THEN CAST(nr.nr_sq AS DOUBLE) "
+        "ELSE 1 END)) AS cos "
+        "FROM dots dt JOIN qn USING (query_id) "
+        "JOIN nr ON dt.neighbor_id = nr.vec_id)"
+    )
+    register(
+        "s06_sq8_ann_topk",
+        s06,
+        _SQ8_PRE + " "
+        "SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, "
+        "CAST(rank AS BIGINT) AS rank FROM ("
+        "SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank "
+        "FROM scored) WHERE rank <= 5",
+    )
+
+    def s07(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        return similarity.sq8_refine_topk(
+            embs, embs.filter(F.col("vec_id") < 20), k=5, shortlist=32
+        )
+
+    register(
+        "s07_sq8_refine_topk",
+        s07,
+        _SQ8_PRE + ", "
+        "sl AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk "
+        "FROM scored) WHERE rk <= 32), "
+        "ex AS (SELECT s.query_id, s.neighbor_id, "
+        "list_inner_product(q.v, c.v) / "
+        "(SQRT(CASE WHEN list_inner_product(q.v, q.v) > 0 "
+        "THEN list_inner_product(q.v, q.v) ELSE 1 END) * "
+        "SQRT(CASE WHEN list_inner_product(c.v, c.v) > 0 "
+        "THEN list_inner_product(c.v, c.v) ELSE 1 END)) AS cosx "
+        "FROM sl s JOIN corp q ON s.query_id = q.vec_id "
+        "JOIN corp c ON s.neighbor_id = c.vec_id) "
+        "SELECT query_id, neighbor_id, ROUND(cosx, 6) AS cosine, "
+        "CAST(rank AS BIGINT) AS rank FROM ("
+        "SELECT query_id, neighbor_id, cosx, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY cosx DESC, neighbor_id) AS rank "
+        "FROM ex) WHERE rank <= 5",
+    )

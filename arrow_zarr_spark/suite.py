@@ -1426,8 +1426,11 @@ DRIVER_WINDOW = [
     "p01_per_group_quota",
     "p02_token_budget_sample",
     "p03_stratified_sample",
-    "s01_cosine_topk",
-    "s02_lsh_ann_topk",
+    # late round-7 session: the SQ8 + refine ANN rungs take the slots
+    # s01/s02 held (both green r3; the family keeps s03-s07 in-window
+    # and the displaced pair stays parity-enforced every round)
+    "s06_sq8_ann_topk",
+    "s07_sq8_refine_topk",
     "t02_language_id",
     "z05_missing_chunk_fill",
 ]
@@ -1460,6 +1463,7 @@ def _ensure_populated() -> None:
         populate_round6_queries,
         populate_round6_grid_queries,
         populate_round7_ivfpq_queries,
+        populate_round7_sq8_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1495,6 +1499,7 @@ def _ensure_populated() -> None:
     populate_round6_embdedup_queries(register_query)
     populate_round7_version_queries(register_query)
     populate_round7_ivfpq_queries(register_query)
+    populate_round7_sq8_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

@@ -1950,3 +1950,121 @@ class TestKMVDistinct:
         df = self._grouped(spark, 1, 5)
         with pytest.raises(ValueError, match="k >= 2"):
             kmv_distinct(df, "grp_key", "val", k=1)
+
+
+class TestSQ8ANN:
+    """s06 — scalar-quantized (int8) ANN."""
+
+    def test_partitioning_invariant(self, spark, embs):
+        """Per-partition top-k pruning must be exact: output cannot
+        depend on how the corpus is partitioned."""
+        q = embs.filter(F.col("vec_id") < 10)
+        a = sorted(
+            map(tuple, similarity.sq8_ann(embs.repartition(1), q).collect())
+        )
+        b = sorted(
+            map(tuple, similarity.sq8_ann(embs.repartition(7), q).collect())
+        )
+        assert a == b and len(a) == 50
+
+    def test_recall_far_above_pq(self, spark, embs):
+        """8-bit-per-dim keeps ~0.8% max per-dim error — recall@5 on
+        the fixture must sit near 1.0 (PQ's m=16 on the same vectors
+        is 0.58; SQ8 is the high-recall rung of the quantizer
+        ladder)."""
+        import numpy as np
+
+        rows = sorted(embs.collect(), key=lambda r: r.vec_id)
+        X = np.array([r.embedding for r in rows], dtype=np.float64)
+        out = similarity.sq8_ann(
+            embs, embs.filter(F.col("vec_id") < 16), k=5
+        ).collect()
+        rec = TestPQTrainedCodebooks._recall_at_5(out, X, 16)
+        assert rec >= 0.95
+
+    def test_codes_fit_int8(self, spark):
+        """The scale law |n| <= max|n| <= 127*s guarantees every code
+        is int8-representable even on adversarially-scaled inputs
+        (one dim 1000x hotter than the rest) — the kernel's bound
+        check must never fire."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        X = rng.standard_normal((64, 8))
+        X[:, 3] *= 1000.0
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(64)],
+            ["vec_id", "embedding"],
+        )
+        out = similarity.sq8_ann(df, df.filter(F.col("vec_id") < 4), k=3)
+        assert out.count() == 12
+
+    def test_query_cap_raises(self, spark, embs):
+        with pytest.raises(ValueError, match="max_query_rows"):
+            similarity.sq8_ann(embs, embs, max_query_rows=3)
+
+
+class TestSQ8Refine:
+    """s07 — retrieve-then-rerank with exact rescoring."""
+
+    def test_reported_scores_are_grid_exact(self, spark, embs):
+        """Stage 2's cosines must be bit-identical to the exact grid
+        cosine of each surviving pair — the quantizer can cost recall
+        but never score fidelity."""
+        import math
+
+        import numpy as np
+
+        rows = sorted(embs.collect(), key=lambda r: r.vec_id)
+        X = np.array([r.embedding for r in rows], dtype=np.float64)
+        out = similarity.sq8_refine_topk(
+            embs, embs.filter(F.col("vec_id") < 8), k=5, shortlist=16
+        ).collect()
+        assert len(out) == 40
+        for r in out:
+            qv = np.round(X[r.query_id] * 32768.0)
+            cv = np.round(X[r.neighbor_id] * 32768.0)
+            exact = (qv @ cv) / (
+                math.sqrt(qv @ qv) * math.sqrt(cv @ cv)
+            )
+            assert abs(exact - r.cosine) < 1e-6
+
+    def test_recall_not_below_stage1(self, spark, embs):
+        """A 32-deep shortlist rescored exactly can only improve on
+        the compressed-domain top-5."""
+        import numpy as np
+
+        rows = sorted(embs.collect(), key=lambda r: r.vec_id)
+        X = np.array([r.embedding for r in rows], dtype=np.float64)
+        q = embs.filter(F.col("vec_id") < 16)
+        r1 = TestPQTrainedCodebooks._recall_at_5(
+            similarity.sq8_ann(embs, q, k=5).collect(), X, 16
+        )
+        r2 = TestPQTrainedCodebooks._recall_at_5(
+            similarity.sq8_refine_topk(
+                embs, q, k=5, shortlist=32
+            ).collect(),
+            X,
+            16,
+        )
+        assert r2 >= r1 >= 0.95
+
+    def test_partitioning_invariant(self, spark, embs):
+        q = embs.filter(F.col("vec_id") < 6)
+        a = sorted(
+            map(
+                tuple,
+                similarity.sq8_refine_topk(
+                    embs.repartition(1), q, shortlist=12
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                similarity.sq8_refine_topk(
+                    embs.repartition(5), q, shortlist=12
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) == 30

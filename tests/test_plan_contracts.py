@@ -606,3 +606,43 @@ class TestSketchPlans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestSQ8PlanContracts:
+    def test_sq8_ann_single_exchange_no_joins(self, views):
+        """s06: same single-exchange contract as s04/s05 — the scales
+        reduce and query collect happen at build time, so the scored
+        plan is one MapInPandas pass feeding ONE hash exchange of
+        per-partition top-k rows; no join anywhere, window group-limit
+        prunes both sides of the shuffle."""
+        from arrow_zarr_spark.operators import similarity
+
+        embs = views.table("embeddings")
+        df = similarity.sq8_ann(
+            embs, embs.filter(F.col("vec_id") < 10)
+        )
+        plan = _plan(df)
+        assert "MapInPandas" in plan
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "WindowGroupLimit" in plan
+
+    def test_sq8_refine_corpus_never_shuffles(self, views):
+        """s07: the rescore must probe the corpus IN PLACE — the
+        probe-set-sized shortlist and query set are the broadcast
+        sides of both stage-2 joins, so the only hash exchanges are
+        the two candidate-sized window merges; no sort-merge join, no
+        cartesian, no NLJ."""
+        from arrow_zarr_spark.operators import similarity
+
+        embs = views.table("embeddings")
+        df = similarity.sq8_refine_topk(
+            embs, embs.filter(F.col("vec_id") < 10), shortlist=16
+        )
+        plan = _plan(df)
+        assert "MapInPandas" in plan
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") == 2
