@@ -3183,3 +3183,67 @@ def populate_round7_sq8_queries(register) -> None:
         "PARTITION BY query_id ORDER BY cosx DESC, neighbor_id) AS rank "
         "FROM ex) WHERE rank <= 5",
     )
+
+
+def populate_round7_cas_queries(register) -> None:
+    """w15: optimistic-concurrency commits as a provable query — the
+    multi-writer discipline for the native version store. The row set
+    walks the whole CAS story: a fresh commit against expected head 0
+    lands version 1; a second commit that still claims head 0 (a
+    writer that based its changes on a stale read) is REJECTED with
+    the head untouched; the rebased retry against the real head lands
+    version 2. The literal oracle pins each step's outcome AND the
+    observed head, so a regression to last-writer-wins (or a
+    manifests-overwritten bug) flips a row. The narrower race — two
+    writers publishing the SAME next version — is pinned by
+    tests/test_versions.py::TestOptimisticConcurrency via the
+    exclusive (atomic-link) manifest create."""
+
+    def w15(spark, sf_dir):
+        import shutil
+
+        from ..io import write_zarr
+        from ..zarr import (
+            VersionConflictError,
+            commit_version,
+            latest_version,
+        )
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w15_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+
+        base = spark.range(0, 48).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        write_zarr(base, path, chunk_rows=16, mode="overwrite")
+        rows = []
+        info = commit_version(spark, path, "base", expected_head=0)
+        rows.append(("initial_commit", "committed", info["version"]))
+        write_zarr(
+            spark.range(48, 64).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+            ),
+            path,
+            chunk_rows=16,
+            mode="append",
+        )
+        try:
+            commit_version(spark, path, "stale", expected_head=0)
+            rows.append(("stale_commit", "NO CONFLICT RAISED", -1))
+        except VersionConflictError:
+            rows.append(("stale_commit", "conflict", latest_version(path)))
+        info = commit_version(spark, path, "rebased", expected_head=1)
+        rows.append(("rebased_commit", "committed", info["version"]))
+        return spark.createDataFrame(
+            rows, "step string, outcome string, head long"
+        )
+
+    register(
+        "w15_commit_cas",
+        w15,
+        "SELECT 'initial_commit' AS step, 'committed' AS outcome, "
+        "CAST(1 AS BIGINT) AS head "
+        "UNION ALL SELECT 'stale_commit', 'conflict', 1 "
+        "UNION ALL SELECT 'rebased_commit', 'committed', 2",
+    )

@@ -1417,7 +1417,10 @@ DRIVER_WINDOW = [
     "c01_kmeans_clusters",
     "c02_semantic_neardup",
     "d07_dedup_components",
-    "d08_streaming_dedup_batchform",
+    # late round-7 session: the CAS commit row takes d08's slot (green
+    # r3; the streaming family keeps e05's fresh row in-window and d08
+    # stays parity-enforced every round)
+    "w15_commit_cas",
     "d09_ngram_contamination",
     "j02_asof_join",
     "j03_theta_join_banded",
@@ -1464,6 +1467,7 @@ def _ensure_populated() -> None:
         populate_round6_grid_queries,
         populate_round7_ivfpq_queries,
         populate_round7_sq8_queries,
+        populate_round7_cas_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1500,6 +1504,7 @@ def _ensure_populated() -> None:
     populate_round7_version_queries(register_query)
     populate_round7_ivfpq_queries(register_query)
     populate_round7_sq8_queries(register_query)
+    populate_round7_cas_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

@@ -16,6 +16,7 @@ from .meta import ArrayMeta, ZarrFormatError, parse_array_meta
 from .store import LocalStore, Store, open_store
 from .table import ChunkPlan
 from .versions import (
+    VersionConflictError,
     VersionStoreView,
     commit_version,
     delete_tag,
@@ -44,6 +45,7 @@ __all__ = [
     "ChunkPlan",
     "LocalStore",
     "Store",
+    "VersionConflictError",
     "VersionStoreView",
     "ZarrArray",
     "ZarrFormatError",

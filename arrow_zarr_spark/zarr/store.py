@@ -50,6 +50,19 @@ class Store:
     def exists(self, key: str) -> bool:
         return self.get(key) is not None
 
+    def set_exclusive(self, key: str, value: bytes) -> None:
+        """Create ``key`` only if it does not exist; raise
+        ``FileExistsError`` otherwise. The primitive optimistic
+        concurrency is built on (a version manifest may be published
+        by exactly one writer). Default is check-then-set —
+        best-effort on backends without a conditional put (the window
+        is one round-trip; S3 closes it with If-None-Match, GCS with
+        ifGenerationMatch=0 — wire those in the backend override).
+        LocalStore overrides with a truly atomic hard-link publish."""
+        if self.exists(key):
+            raise FileExistsError(key)
+        self.set(key, value)
+
     def delete(self, key: str) -> None:
         """Remove a key; missing keys are a no-op."""
         raise NotImplementedError
@@ -136,6 +149,21 @@ class LocalStore(Store):
         with open(tmp, "wb") as f:
             f.write(value)
         os.replace(tmp, p)
+
+    def set_exclusive(self, key: str, value: bytes) -> None:
+        # full content lands in a private temp file first, then one
+        # atomic link(2) publishes it — fails with FileExistsError if
+        # ANY writer (this or another process) got there first, and a
+        # racer can never observe a half-written value
+        p = self._path(key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.{os.getpid()}.xtmp"
+        with open(tmp, "wb") as f:
+            f.write(value)
+        try:
+            os.link(tmp, p)
+        finally:
+            os.remove(tmp)
 
     def exists(self, key: str) -> bool:
         return os.path.isfile(self._path(key))

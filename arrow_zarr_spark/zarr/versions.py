@@ -57,6 +57,13 @@ _MANIFEST_DIR = VERSIONS_PREFIX + "manifests/"
 _OBJECTS_DIR = VERSIONS_PREFIX + "objects/"
 
 
+class VersionConflictError(ZarrFormatError):
+    """Another writer committed first. The losing commit published
+    NOTHING visible (content objects are addressed by sha256, so a
+    lost race costs orphaned-but-dedupable bytes, never a wrong
+    manifest) — re-read the store, rebase the update, retry."""
+
+
 def _object_key(sha: str) -> str:
     """Content objects shard by hash prefix (objects/ab/<sha>) — a
     million-object history must not put a million files in one
@@ -121,7 +128,12 @@ def _manifest_versions(store: Store) -> List[int]:
     return sorted(out)
 
 
-def commit_version(spark, path: str, message: str = "") -> Dict:
+def commit_version(
+    spark,
+    path: str,
+    message: str = "",
+    expected_head: Optional[int] = None,
+) -> Dict:
     """Snapshot the live store state as the next version. Returns
     ``{"version", "n_objects", "n_new_objects", "message"}``.
 
@@ -131,13 +143,31 @@ def commit_version(spark, path: str, message: str = "") -> Dict:
     append-only history of an N-object store costs N + sum(deltas)
     objects, not N * versions). The manifest and HEAD publish
     driver-side, last.
+
+    Concurrency: the manifest is published with an EXCLUSIVE create
+    (``Store.set_exclusive`` — atomic link(2) on LocalStore), so two
+    racing committers can never both land the same version number:
+    the loser gets :class:`VersionConflictError` and must retry.
+    Pass ``expected_head`` (the version this writer based its changes
+    on; 0 for a store with no versions yet) to ALSO reject when
+    anyone committed since that base — the compare-and-swap that
+    turns last-writer-wins into first-writer-wins. Content objects
+    are safe either way: they are content-addressed, so concurrent
+    writers converge on identical bytes.
     """
     store = open_store(path)
     keys = _live_keys(store)
     if not keys:
         raise ZarrFormatError(f"commit_version: empty store at {path!r}")
     existing = _manifest_versions(store)
-    version = (existing[-1] + 1) if existing else 1
+    head = existing[-1] if existing else 0
+    if expected_head is not None and head != int(expected_head):
+        raise VersionConflictError(
+            f"commit_version: expected HEAD {int(expected_head)} but "
+            f"found {head} at {path!r} — another writer committed; "
+            f"re-read, rebase the update onto version {head}, and retry"
+        )
+    version = head + 1
 
     def snapshot(items: Iterator[str]):
         task_store = open_store(path)
@@ -176,10 +206,19 @@ def commit_version(spark, path: str, message: str = "") -> Dict:
         "created_unix": int(time.time()),
         "objects": objects,
     }
-    store.set(
-        _manifest_key(version),
-        json.dumps(manifest, sort_keys=True).encode(),
-    )
+    try:
+        store.set_exclusive(
+            _manifest_key(version),
+            json.dumps(manifest, sort_keys=True).encode(),
+        )
+    except FileExistsError:
+        raise VersionConflictError(
+            f"commit_version: version {version} was published by "
+            f"another writer during this commit at {path!r} — "
+            f"re-read, rebase, and retry (no partial state was made "
+            f"visible; this writer's content objects are "
+            f"content-addressed and reusable)"
+        ) from None
     store.set(_HEAD_KEY, json.dumps({"latest": version}).encode())
     return {
         "version": version,

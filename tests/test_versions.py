@@ -638,3 +638,95 @@ class TestVersionCDC:
             tuple(r) for r in version_cdc(spark, path, 1, 2).collect()
         ]
         assert ("v", None, None, "layout_differs", None, None) in rows
+
+
+class TestOptimisticConcurrency:
+    """commit_version's CAS surface: expected_head rejects commits
+    based on a stale read, and the manifest publish itself is an
+    exclusive create — two racers can never both land a version."""
+
+    def test_expected_head_matches(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import VersionConflictError  # noqa: F401
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        info = commit_version(spark, d, "first", expected_head=0)
+        assert info["version"] == 1
+        write_zarr(_table(spark, 32, 40), d, chunk_rows=16, mode="append")
+        assert commit_version(spark, d, expected_head=1)["version"] == 2
+
+    def test_stale_expected_head_conflicts(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import VersionConflictError
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        commit_version(spark, d)  # someone else lands version 1
+        with pytest.raises(VersionConflictError, match="expected HEAD 0"):
+            commit_version(spark, d, expected_head=0)
+        # the loser's retry against the real head succeeds
+        assert commit_version(spark, d, expected_head=1)["version"] == 2
+
+    def test_conflict_is_a_zarr_error(self, spark, tmp_path):
+        """VersionConflictError must subclass ZarrFormatError so
+        existing error handling keeps catching it."""
+        from arrow_zarr_spark.zarr import VersionConflictError
+
+        assert issubclass(VersionConflictError, ZarrFormatError)
+
+    def test_manifest_publish_is_exclusive(self, spark, tmp_path):
+        """Simulate the narrowest race: a competing manifest for the
+        same next version lands AFTER this writer listed versions.
+        The publish must fail — never silently overwrite the winner's
+        manifest."""
+        import json
+
+        from arrow_zarr_spark.zarr import VersionConflictError
+        from arrow_zarr_spark.zarr.versions import (
+            _manifest_key,
+            _read_manifest,
+        )
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        store = open_store(d)
+        winner = {"format": 1, "version": 1, "message": "winner",
+                  "created_unix": 0, "objects": {}}
+        orig_list = __import__(
+            "arrow_zarr_spark.zarr.versions", fromlist=["_manifest_versions"]
+        )._manifest_versions
+
+        import arrow_zarr_spark.zarr.versions as vmod
+
+        def race_then_list(s):
+            out = orig_list(s)
+            # the winner publishes between the list and our publish
+            if not s.exists(_manifest_key(1)):
+                s.set(_manifest_key(1), json.dumps(winner).encode())
+            return out
+
+        vmod._manifest_versions = race_then_list
+        try:
+            with pytest.raises(VersionConflictError, match="published"):
+                commit_version(spark, d)
+        finally:
+            vmod._manifest_versions = orig_list
+        # the winner's manifest is intact
+        assert _read_manifest(store, 1)["message"] == "winner"
+
+    def test_local_set_exclusive_atomicity(self, tmp_path):
+        """LocalStore.set_exclusive: second create of the same key
+        raises and preserves the first value; no temp files remain."""
+        import os
+
+        store = open_store(str(tmp_path / "x"))
+        store.set_exclusive("a/b", b"first")
+        with pytest.raises(FileExistsError):
+            store.set_exclusive("a/b", b"second")
+        assert store.get("a/b") == b"first"
+        leftovers = [
+            f
+            for _, _, files in os.walk(str(tmp_path / "x"))
+            for f in files
+            if f.endswith(".xtmp")
+        ]
+        assert leftovers == []
