@@ -2878,3 +2878,158 @@ def vacuum_zarr(path: str, dry_run: bool = True) -> dict:
         for k in orphans:
             store.delete(k)
     return {"orphans": orphans, "deleted": not dry_run}
+
+
+def replicate_zarr(
+    spark,
+    src: str,
+    dst: str,
+    include_versions: bool = False,
+    verify: bool = True,
+    mode: str = "error",
+    n_partitions: Optional[int] = None,
+) -> dict:
+    """Distributed store replication — the migration/DR verb for the
+    maintenance kit (fsck=:func:`audit_zarr`, stat=:func:`describe_zarr`,
+    gc=:func:`vacuum_zarr`, diff=:func:`diff_zarr`; this is cp with a
+    receipt). Copies every live key of ``src`` to ``dst`` and, with
+    ``verify=True``, proves each object landed byte-identical by
+    re-reading the REPLICA and comparing sha256 digests — a replication
+    report that says "copied" without re-reading proves only that the
+    PUT call returned. The reference has no maintenance surface at
+    all (its store access is read-only scanning, config.rs:126-132).
+
+    Readers of an in-progress replica never see dangling metadata:
+    chunk/data objects copy FIRST (one distributed pass), metadata
+    documents publish after, deepest-first with root documents last —
+    the same metadata-last protocol as the writers. With
+    ``include_versions=True`` the ``.versions/`` history (content
+    objects, manifests, tags, HEAD) replicates too, manifests after
+    objects for the same reason.
+
+    ``mode``: ``"error"`` (default) refuses a non-empty destination;
+    ``"overwrite"`` clears it first.
+
+    Returns ``{"n_objects", "n_bytes", "n_meta_docs", "n_verified",
+    "n_mismatch"}`` — and raises on any verify mismatch rather than
+    returning a nonzero count a caller might ignore.
+
+    Scale shape: the work list is the key listing (metadata-sized);
+    bytes move executor-parallel, one GET + one PUT (+ one verify GET)
+    per object, nothing through the driver but counts. Wall time is
+    one full read + write of the store divided by the cluster."""
+    import hashlib
+
+    from .zarr.versions import VERSIONS_PREFIX, _manifest_key  # noqa: F401
+
+    if mode not in ("error", "overwrite"):
+        raise ValueError(f"replicate_zarr: unknown mode {mode!r}")
+    src_store = open_store(src)
+    dst_store = open_store(dst)
+    existing = next(iter(dst_store.walk_keys()), None)
+    if existing is not None:
+        if mode == "error":
+            raise ZarrFormatError(
+                f"replicate_zarr: destination {dst!r} is not empty "
+                f"(found {existing!r}); pass mode='overwrite' to clear"
+            )
+        _clear_store(dst_store)
+        # an overwritten replica must not inherit the old history
+        for k in list(dst_store.walk_prefix(VERSIONS_PREFIX)):
+            dst_store.delete(k)
+
+    meta_basenames = {
+        "zarr.json", ".zarray", ".zattrs", ".zgroup", ".zmetadata",
+    }
+    version_meta_prefix = VERSIONS_PREFIX + "manifests/"
+    version_tag_prefix = VERSIONS_PREFIX + "tags/"
+    version_head = VERSIONS_PREFIX + "HEAD.json"
+
+    data_keys: List[str] = []
+    meta_keys: List[str] = []
+    for k in sorted(src_store.walk_keys()):
+        if k.startswith("__stage__"):
+            continue  # in-flight sink staging is not committed state
+        if k.startswith(VERSIONS_PREFIX):
+            if not include_versions:
+                continue
+            if (
+                k.startswith(version_meta_prefix)
+                or k.startswith(version_tag_prefix)
+                or k == version_head
+            ):
+                meta_keys.append(k)
+            else:
+                data_keys.append(k)
+        elif k.split("/")[-1] in meta_basenames:
+            meta_keys.append(k)
+        else:
+            data_keys.append(k)
+
+    def copy_batch(keys: Iterator[str]):
+        s_store = open_store(src)
+        d_store = open_store(dst)
+        for key in keys:
+            data = s_store.get(key)
+            if data is None:
+                raise ZarrFormatError(
+                    f"replicate_zarr: key {key!r} vanished mid-copy — "
+                    f"replicate only quiesced stores"
+                )
+            d_store.set(key, data)
+            if verify:
+                echo = d_store.get(key)
+                ok = (
+                    echo is not None
+                    and hashlib.sha256(echo).digest()
+                    == hashlib.sha256(data).digest()
+                )
+            else:
+                ok = True
+            yield (key, len(data), int(verify), int(not ok))
+
+    if spark is None or not data_keys:
+        rows = list(copy_batch(iter(data_keys)))
+    else:
+        sc = spark.sparkContext
+        n_parts = n_partitions or max(
+            1, min(len(data_keys), sc.defaultParallelism * 2)
+        )
+        rows = (
+            sc.parallelize(data_keys, n_parts)
+            .mapPartitions(copy_batch)
+            .collect()
+        )
+    n_bytes = sum(b for _, b, _, _ in rows)
+    n_verified = sum(v for _, _, v, _ in rows)
+    mismatched = [k for k, _, _, bad in rows if bad]
+
+    # metadata publishes last, deepest paths first so root documents
+    # (consolidated zarr.json / .zmetadata) land at the very end
+    for key in sorted(meta_keys, key=lambda k: (-k.count("/"), k)):
+        data = src_store.get(key)
+        if data is None:
+            raise ZarrFormatError(
+                f"replicate_zarr: metadata key {key!r} vanished mid-copy"
+            )
+        dst_store.set(key, data)
+        n_bytes += len(data)
+        if verify:
+            echo = dst_store.get(key)
+            if echo != data:
+                mismatched.append(key)
+            n_verified += 1
+
+    if mismatched:
+        raise ZarrFormatError(
+            f"replicate_zarr: {len(mismatched)} object(s) failed byte "
+            f"verification at {dst!r} (first: {mismatched[0]!r}) — the "
+            f"replica is NOT trustworthy"
+        )
+    return {
+        "n_objects": len(rows),
+        "n_bytes": n_bytes,
+        "n_meta_docs": len(meta_keys),
+        "n_verified": n_verified,
+        "n_mismatch": 0,
+    }

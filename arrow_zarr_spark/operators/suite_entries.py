@@ -3247,3 +3247,44 @@ def populate_round7_cas_queries(register) -> None:
         "UNION ALL SELECT 'stale_commit', 'conflict', 1 "
         "UNION ALL SELECT 'rebased_commit', 'committed', 2",
     )
+
+
+def populate_round7_replicate_queries(register) -> None:
+    """z32: byte-verified store replication (io.replicate_zarr), the
+    migration/DR verb. The driver row proves the replica through the
+    REAL read path: source store written from a deterministic table,
+    replicated with per-object sha256 verification (data objects
+    distributed first, metadata documents after, root last), then the
+    REPLICA is scanned and must reproduce the table exactly. A copy
+    bug, a verify bypass, or a metadata-ordering bug all flip rows."""
+
+    def z32(spark, sf_dir):
+        import shutil
+
+        from ..io import replicate_zarr, write_zarr
+
+        token = sf_dir.strip("/").replace("/", "_")
+        src = f"/tmp/arrow_zarr_spark_z32_src_{token}"
+        dst = f"/tmp/arrow_zarr_spark_z32_dst_{token}"
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+        base = spark.range(0, 96).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7 % 13).cast("double").alias("v"),
+        )
+        write_zarr(base, src, chunk_rows=16)
+        info = replicate_zarr(spark, src, dst, verify=True)
+        rep = spark.read.format("zarr").load(dst)
+        # fold the receipt in: n_mismatch must be 0 on every row
+        return rep.withColumn(
+            "n_mismatch", F.lit(int(info["n_mismatch"])).cast("long")
+        )
+
+    register(
+        "z32_replicated_scan",
+        z32,
+        "SELECT CAST(i AS BIGINT) AS k, "
+        "CAST(i * 7 % 13 AS DOUBLE) AS v, "
+        "CAST(0 AS BIGINT) AS n_mismatch FROM range(96) t(i)",
+    )

@@ -1428,7 +1428,10 @@ DRIVER_WINDOW = [
     "m03_resize_pixels",
     "p01_per_group_quota",
     "p02_token_budget_sample",
-    "p03_stratified_sample",
+    # late round-7 session: the replication row takes p03's slot
+    # (green r3; sampling keeps p01/p02 + the fresh p08-p13 rows
+    # in-window and p03 stays parity-enforced every round)
+    "z32_replicated_scan",
     # late round-7 session: the SQ8 + refine ANN rungs take the slots
     # s01/s02 held (both green r3; the family keeps s03-s07 in-window
     # and the displaced pair stays parity-enforced every round)
@@ -1468,6 +1471,7 @@ def _ensure_populated() -> None:
         populate_round7_ivfpq_queries,
         populate_round7_sq8_queries,
         populate_round7_cas_queries,
+        populate_round7_replicate_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1505,6 +1509,7 @@ def _ensure_populated() -> None:
     populate_round7_ivfpq_queries(register_query)
     populate_round7_sq8_queries(register_query)
     populate_round7_cas_queries(register_query)
+    populate_round7_replicate_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)
