@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct"]
+__all__ = ["grouped_heavy_hitters", "kmv_distinct"]
 
 
 def kmv_distinct(
@@ -114,4 +114,115 @@ def kmv_distinct(
         .cast("long")
         .alias("n_distinct"),
         (F.col("n_kept") < kk).alias("is_exact"),
+    )
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 10,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Per-group top-``k`` values in bounded memory — the keyed form
+    of ``text.heavy_hitters`` (t16), sharing its Misra-Gries +
+    exact-recount plan and its exactness law: any value with in-group
+    count > N_g,p/(capacity+1) in some partition survives that
+    partition's summary, so every global heavy hitter reaches the
+    exact recount. ``is_exact`` is true for a group iff NO partition
+    summary for it ever overflowed (every count in every summary was
+    exact), which certifies the whole top-k.
+
+    Returns (group_key, value, total_freq, rank, is_exact), values as
+    strings (hash/recount domain), rank by (count desc, value asc).
+
+    Scale shape: one Arrow-batched MG pass (per-partition state is
+    O(n_groups * capacity) — the per-group-aggregate bound), a
+    DISTINCT over candidate rows (<= n_partitions * capacity per
+    group), a broadcast candidate gate on the recount (swap to a plain
+    equi-join when n_groups * capacity outgrows the broadcast
+    threshold), then a groupBy over candidates only — shuffle volume
+    is independent of the value domain's cardinality."""
+    import numpy as np  # noqa: F401
+    import pandas as pd
+
+    if k < 1 or capacity < k:
+        raise ValueError(
+            f"grouped_heavy_hitters: need capacity >= k >= 1, got "
+            f"k={k}, capacity={capacity}"
+        )
+    cap = int(capacity)
+
+    keyed = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(value_col).cast("string").alias("v"),
+    )
+
+    def mg_kernel(batches):
+        counters: dict = {}  # grp -> {v: est}
+        reduced: dict = {}  # grp -> bool
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for grp, sub in pdf.groupby("grp", sort=False, dropna=False):
+                ctr = counters.setdefault(grp, {})
+                vc = sub["v"].value_counts()
+                for val, cnt in vc.items():
+                    ctr[val] = ctr.get(val, 0) + int(cnt)
+                if len(ctr) > cap:
+                    values = sorted(ctr.values(), reverse=True)
+                    cut = values[cap]
+                    counters[grp] = {
+                        t: c - cut for t, c in ctr.items() if c > cut
+                    }
+                    reduced[grp] = True
+        for grp, ctr in counters.items():
+            if not ctr:
+                # an annihilated summary still carries information:
+                # this partition REDUCED the group, so the group must
+                # not be certified exact — emit a null-value marker
+                yield pd.DataFrame(
+                    {"grp": [grp], "v": [None], "reduced": [True]}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "grp": grp,
+                    "v": list(ctr.keys()),
+                    "reduced": bool(reduced.get(grp, False)),
+                }
+            )
+
+    summaries = keyed.mapInPandas(
+        mg_kernel, schema="grp string, v string, reduced boolean"
+    )
+    # a group is exact iff no partition summary for it ever reduced —
+    # including partitions whose summary annihilated (null markers)
+    exact_flags = summaries.groupBy("grp").agg(
+        (~F.max("reduced")).alias("is_exact")
+    )
+    cands = (
+        summaries.filter(F.col("v").isNotNull())
+        .select("grp", "v")
+        .distinct()
+    )
+    counted = (
+        keyed.join(F.broadcast(cands), ["grp", "v"])
+        .groupBy("grp", "v")
+        .agg(F.count("*").alias("total_freq"))
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("total_freq").desc(), F.col("v")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .join(F.broadcast(exact_flags), "grp")
+        .select(
+            F.col("grp").alias("group_key"),
+            F.col("v").alias("value"),
+            "total_freq",
+            F.col("rank").cast("long").alias("rank"),
+            "is_exact",
+        )
     )

@@ -3288,3 +3288,38 @@ def populate_round7_replicate_queries(register) -> None:
         "CAST(i * 7 % 13 AS DOUBLE) AS v, "
         "CAST(0 AS BIGINT) AS n_mismatch FROM range(96) t(i)",
     )
+
+
+def populate_round7_stream_hh_queries(register) -> None:
+    """e06: the streaming face of the keyed heavy-hitters sketch,
+    checked in its batch form (the e05 convention: the operator's
+    batch path delegates to sketches.grouped_heavy_hitters, and
+    tests/test_streaming.py proves the real stream path emits
+    IDENTICAL rows per micro-batch while summaries stay in the exact
+    regime, across a checkpoint boundary, and honestly flags the
+    estimator regime past overflow). Oracle is the plain exact
+    per-group top-k — exact-certificate regime at suite cardinality
+    (~150 users per event_type at sf0.01, capacity 4096)."""
+
+    def e06(spark, sf_dir):
+        from ..streaming.event_ops import streaming_heavy_hitters
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return streaming_heavy_hitters(
+            events, "event_type", "user_id", k=10, capacity=4096
+        ).orderBy("group_key", "rank")
+
+    register(
+        "e06_stream_topk_batchform",
+        e06,
+        "SELECT group_key, value, total_freq, CAST(rank AS BIGINT) "
+        "AS rank, TRUE AS is_exact FROM ("
+        "SELECT CAST(event_type AS VARCHAR) AS group_key, "
+        "CAST(user_id AS VARCHAR) AS value, "
+        "CAST(COUNT(*) AS BIGINT) AS total_freq, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY COUNT(*) DESC, CAST(user_id AS VARCHAR)) AS rank "
+        "FROM events WHERE user_id IS NOT NULL "
+        "GROUP BY event_type, user_id) WHERE rank <= 10 "
+        "ORDER BY group_key, rank",
+    )

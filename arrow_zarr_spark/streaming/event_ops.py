@@ -420,3 +420,122 @@ def streaming_kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HH_STATE = StructType(
+    [
+        StructField("vals", ArrayType(StringType()), True),
+        StructField("ests", ArrayType(LongType()), True),
+        StructField("reduced", BooleanType(), True),
+    ]
+)
+_HH_OUT = StructType(
+    [
+        StructField("group_key", StringType(), True),
+        StructField("value", StringType(), True),
+        StructField("total_freq", LongType(), True),
+        StructField("rank", LongType(), True),
+        StructField("is_exact", BooleanType(), True),
+    ]
+)
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 10,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Continuous per-group top-``k`` values — the streaming face of
+    :func:`arrow_zarr_spark.operators.sketches.grouped_heavy_hitters`
+    (t16's keyed form). Keyed state holds each group's Misra-Gries
+    summary (``<= capacity`` (value, est) pairs plus an overflow
+    flag); every micro-batch folds its counts in, applies the MG
+    reduction only when the summary overflows, and emits the group's
+    refreshed top-k in update mode.
+
+    Identity contract: while a group's summary has NEVER overflowed
+    (``is_exact`` true — the summary holds exact counts of all
+    history), the emitted rows are IDENTICAL to the batch operator
+    over the union of all batches so far. Past overflow the stream
+    honestly flags ``is_exact`` false and emits MG estimates, which
+    undercount by at most N_g/(capacity+1) (the batch operator's
+    exact recount is not available to a one-pass stream — that is
+    the documented price of unbounded history in fixed state).
+
+    Scale shape: state is one <= capacity summary per group key,
+    sharded by the groupBy; no watermark — like d08/e05 the answer is
+    monotone over all history."""
+    from ..operators.sketches import grouped_heavy_hitters
+
+    if k < 1 or capacity < k:
+        raise ValueError(
+            f"streaming_heavy_hitters: need capacity >= k >= 1, got "
+            f"k={k}, capacity={capacity}"
+        )
+    cap = int(capacity)
+    kk = int(k)
+
+    if not events.isStreaming:
+        return grouped_heavy_hitters(
+            events, group_col, value_col, k=kk, capacity=cap
+        )
+
+    keyed = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(value_col).cast("string").alias("v"),
+    )
+
+    def _hh_update(
+        key: Tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals, ests, reduced = state.get
+            ctr = dict(zip(list(vals), [int(e) for e in ests]))
+            reduced = bool(reduced)
+        else:
+            ctr, reduced = {}, False
+        saw = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            saw = True
+            vc = pdf["v"].value_counts()
+            for val, cnt in vc.items():
+                ctr[val] = ctr.get(val, 0) + int(cnt)
+            if len(ctr) > cap:
+                values = sorted(ctr.values(), reverse=True)
+                cut = values[cap]
+                ctr = {t: c - cut for t, c in ctr.items() if c > cut}
+                reduced = True
+        if not saw:
+            return
+        # persist even an annihilated summary: the reduced flag is
+        # state too — dropping it would let a later batch claim
+        # exactness after history was already discarded
+        state.update((list(ctr.keys()), list(ctr.values()), reduced))
+        if not ctr:
+            return
+        # top-k by (est desc, value asc) — the batch operator's total
+        # order, so exact-regime rows are identical
+        top = sorted(ctr.items(), key=lambda t: (-t[1], t[0]))[:kk]
+        yield pd.DataFrame(
+            {
+                "group_key": [key[0]] * len(top),
+                "value": [t[0] for t in top],
+                "total_freq": [t[1] for t in top],
+                "rank": list(range(1, len(top) + 1)),
+                "is_exact": [not reduced] * len(top),
+            }
+        )
+
+    return keyed.groupBy("grp").applyInPandasWithState(
+        _hh_update,
+        outputStructType=_HH_OUT,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

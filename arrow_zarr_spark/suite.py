@@ -1425,7 +1425,10 @@ DRIVER_WINDOW = [
     "j02_asof_join",
     "j03_theta_join_banded",
     "m01_byte_features",
-    "m03_resize_pixels",
+    # late round-7 session: the streaming top-k row takes m03's slot
+    # (green r3; multimodal keeps m01 in-window plus m05/m06's fresh
+    # rows, and m03 stays parity-enforced every round)
+    "e06_stream_topk_batchform",
     "p01_per_group_quota",
     "p02_token_budget_sample",
     # late round-7 session: the replication row takes p03's slot
@@ -1472,6 +1475,7 @@ def _ensure_populated() -> None:
         populate_round7_sq8_queries,
         populate_round7_cas_queries,
         populate_round7_replicate_queries,
+        populate_round7_stream_hh_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1510,6 +1514,7 @@ def _ensure_populated() -> None:
     populate_round7_sq8_queries(register_query)
     populate_round7_cas_queries(register_query)
     populate_round7_replicate_queries(register_query)
+    populate_round7_stream_hh_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

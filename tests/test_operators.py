@@ -2068,3 +2068,90 @@ class TestSQ8Refine:
             )
         )
         assert a == b and len(a) == 30
+
+
+class TestGroupedHeavyHitters:
+    """sketches.grouped_heavy_hitters — t16's keyed form (e06's batch
+    path)."""
+
+    def test_adversarial_vocab_through_tiny_capacity(self, spark):
+        """Per-group zipfian-ish values through capacity 32: the MG +
+        exact-recount plan must return the true per-group top-k with
+        true counts (heavy values clear the pigeonhole bar)."""
+        from arrow_zarr_spark.operators.sketches import (
+            grouped_heavy_hitters,
+        )
+
+        rows = []
+        for g in range(3):
+            for v in range(200):
+                # value v appears ~1000/(v+1) times: heavy head
+                rows += [(f"g{g}", f"{g}_{v}")] * (1000 // (v + 1))
+        df = spark.createDataFrame(rows, "grp string, val string")
+        got = grouped_heavy_hitters(
+            df.repartition(11), "grp", "val", k=5, capacity=32
+        ).collect()
+        assert len(got) == 15
+        for r in got:
+            g = int(r.group_key[1])
+            v = int(r.value.split("_")[1])
+            assert v == r.rank - 1  # true order: value v has rank v+1
+            assert r.total_freq == 1000 // (v + 1)  # exact recount
+            assert g == int(r.value.split("_")[0])
+
+    def test_partitioning_invariant(self, spark):
+        from arrow_zarr_spark.operators.sketches import (
+            grouped_heavy_hitters,
+        )
+
+        rows = [("g", f"v{i % 40}") for i in range(400)]
+        df = spark.createDataFrame(rows, "grp string, val string")
+        a = sorted(
+            map(
+                tuple,
+                grouped_heavy_hitters(
+                    df.repartition(1), "grp", "val", k=10, capacity=64
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                grouped_heavy_hitters(
+                    df.repartition(7), "grp", "val", k=10, capacity=64
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) == 10
+
+    def test_annihilated_summary_still_flags_inexact(self, spark):
+        """A uniform group whose summary annihilates in one partition
+        must not be certified exact by candidates surviving from
+        another partition — the null-marker row carries the reduced
+        flag."""
+        from arrow_zarr_spark.operators.sketches import (
+            grouped_heavy_hitters,
+        )
+
+        # partition 0: 9 uniform values x2 through capacity 4 ->
+        # annihilates; partition 1: a clean skewed slab of the SAME
+        # group contributes candidates
+        p0 = [("g", f"u{i % 9}") for i in range(18)]
+        p1 = [("g", "hot")] * 10 + [("g", "warm")] * 3
+        df0 = spark.createDataFrame(p0, "grp string, val string")
+        df1 = spark.createDataFrame(p1, "grp string, val string")
+        df = df0.coalesce(1).union(df1.coalesce(1))
+        got = grouped_heavy_hitters(
+            df, "grp", "val", k=3, capacity=4
+        ).collect()
+        assert got  # candidates from the clean partition survive
+        assert all(r.is_exact is False for r in got)
+
+    def test_capacity_validation(self, spark):
+        from arrow_zarr_spark.operators.sketches import (
+            grouped_heavy_hitters,
+        )
+
+        df = spark.createDataFrame([("g", "v")], "grp string, val string")
+        with pytest.raises(ValueError, match="capacity >= k"):
+            grouped_heavy_hitters(df, "grp", "val", k=10, capacity=5)

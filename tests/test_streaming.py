@@ -545,3 +545,107 @@ def test_streaming_kmv_distinct_batch_mode_schema(spark, events):
         .collect()
     }
     assert got == {t: (d, True) for t, d in exact.items()}
+
+
+def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
+    """While summaries stay in the exact regime, the streamed
+    per-group top-k after each micro-batch equals the batch operator
+    over the union of all batches so far, across a checkpoint
+    boundary. A skewed capacity-4 group crosses into the estimator
+    regime: it must flag is_exact=false and never OVERcount (the MG
+    law; the batch operator's exact recount is unavailable to a
+    one-pass stream, so values may legitimately differ there)."""
+    from arrow_zarr_spark.streaming.event_ops import (
+        streaming_heavy_hitters,
+    )
+
+    src = str(tmp_path / "hh_src")
+    schema = "event_type string, user_id long"
+    # group 'a': 3 distinct values, capacity 4 never overflows;
+    # group 'b': 1 heavy value (10x) + 8 light (2x) through capacity
+    # 4 — overflows, heavy value survives the reduction
+    batch1 = spark.createDataFrame(
+        [("a", i % 3) for i in range(12)]
+        + [("b", 0)] * 10
+        + [("b", 1 + i % 8) for i in range(16)],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [("a", i % 2) for i in range(8)] + [("b", 0)] * 4,
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    q = (
+        streaming_heavy_hitters(stream, k=3, capacity=4)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_out")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .start()
+    )
+
+    def batch_answer(df):
+        out = {}
+        for r in streaming_heavy_hitters(
+            df, k=3, capacity=4
+        ).collect():
+            out.setdefault(r.group_key, []).append(
+                (r.rank, r.value, r.total_freq, r.is_exact)
+            )
+        return {g: sorted(v) for g, v in out.items()}
+
+    def latest_stream_answer():
+        rows = spark.sql("SELECT * FROM hh_out").collect()
+        # memory sink appends updates in batch order: keep each
+        # group's LAST contiguous update block
+        blocks: dict = {}
+        for i, r in enumerate(rows):
+            cur = blocks.get(r.group_key)
+            if cur is None or i > cur[0] + len(cur[1]):
+                blocks[r.group_key] = (i, [])
+                cur = blocks[r.group_key]
+            cur[1].append((r.rank, r.value, r.total_freq, r.is_exact))
+        return {g: sorted(v) for g, (_, v) in blocks.items()}
+
+    try:
+        q.processAllAvailable()
+        got = latest_stream_answer()
+        want = batch_answer(batch1)
+        assert got["a"] == want["a"]
+        assert all(e for _, _, _, e in got["a"])  # exact regime
+        assert not any(e for _, _, _, e in got["b"])  # overflowed
+        # MG estimates never overcount; the heavy value is rank 1
+        true_b = {"0": 10, **{str(v): 2 for v in range(1, 9)}}
+        assert all(f <= true_b[v] for _, v, f, _ in got["b"])
+        assert got["b"][0][1] == "0"
+
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = latest_stream_answer()
+        want = batch_answer(batch1.union(batch2))
+        assert got["a"] == want["a"]  # still exact across checkpoint
+    finally:
+        q.stop()
+
+
+def test_streaming_heavy_hitters_batch_mode(spark, events):
+    """Batch frames take the grouped_heavy_hitters path; at suite
+    cardinality every group is in the exact-certificate regime and
+    counts equal the plain groupBy."""
+    from arrow_zarr_spark.streaming.event_ops import (
+        streaming_heavy_hitters,
+    )
+
+    got = streaming_heavy_hitters(
+        events, "event_type", "user_id", k=5, capacity=4096
+    ).collect()
+    assert got and all(r.is_exact for r in got)
+    exact = {
+        (r.event_type, str(r.user_id)): r.c
+        for r in events.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    for r in got:
+        assert exact[(r.group_key, r.value)] == r.total_freq
