@@ -68,6 +68,18 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     qs["kmv_distinct"] = lambda: force(
         sketches.kmv_distinct(orders, "o_orderpriority", "o_custkey")
     )
+    # exact quantiles without a global sort (t18): sketch bracket +
+    # exact-rank verify + gap-only selection window — tracked against
+    # the per-group heavy operators; only ~4n/accuracy rows shuffle
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qs["exact_quantiles"] = lambda: force(
+        sketches.exact_quantiles(
+            lineitem,
+            "l_extendedprice",
+            [0.5, 0.9, 0.99],
+            group_col="l_returnflag",
+        )
+    )
     qs["multimodal_features"] = lambda: force(
         multimodal.byte_features(multimodal.with_binary_payload(docs))
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_heavy_hitters", "kmv_distinct"]
+__all__ = ["exact_quantiles", "grouped_heavy_hitters", "kmv_distinct"]
 
 
 def kmv_distinct(
@@ -224,5 +224,135 @@ def grouped_heavy_hitters(
             "total_freq",
             F.col("rank").cast("long").alias("rank"),
             "is_exact",
+        )
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs,
+    group_col: Optional[str] = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """EXACT per-group quantiles without a global sort — the
+    sketch-bracket-then-select plan (the classic distributed
+    selection refinement; Spark's own ``percentile`` collects every
+    group's values into executor memory, r32's shape, which a 100-TB
+    group cannot do):
+
+    1. one pass: per-group counts + an approx-percentile BRACKET
+       ``[c_lo, c_hi]`` around each target (rank error of the sketch
+       is <= n/accuracy, so bracketing at p +- 2/accuracy over-covers;
+       p near 0/1 clamps to the group min/max);
+    2. one pass: EXACT ranks of the bracket ends (conditional
+       partial-aggregated sums — n_lt(c_lo), n_le(c_hi)); brackets
+       the sketch got wrong (possible only adversarially) fall back
+       to [min, max], never to a wrong answer;
+    3. the gap rows (v in [c_lo, c_hi], ~4n/accuracy per target) are
+       the ONLY rows that shuffle: a per-(group, prob) window picks
+       the (k - n_lt(c_lo))-th smallest, where k = max(1, ceil(p*n))
+       — SQL ``percentile_disc``/DuckDB ``quantile_disc`` semantics,
+       so the oracle hash-matches on real data values.
+
+    The answer is exact regardless of the sketch's quality — the
+    sketch only sizes the gap. Returns (group_key, prob, value),
+    one row per group per prob."""
+    import math
+
+    probs = [float(p) for p in probs]
+    if not probs or any(p < 0 or p > 1 for p in probs):
+        raise ValueError(
+            f"exact_quantiles: probs must be in [0, 1], got {probs}"
+        )
+    delta = 2.0 / float(accuracy)
+
+    gexpr = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.lit("all")
+    ).alias("grp")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        gexpr, F.col(value_col).alias("v")
+    )
+
+    lo_ps = [max(0.0, p - delta) for p in probs]
+    hi_ps = [min(1.0, p + delta) for p in probs]
+    stats = base.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.percentile_approx("v", lo_ps, accuracy).alias("clo"),
+        F.percentile_approx("v", hi_ps, accuracy).alias("chi"),
+    )
+    # one bracket row per (group, prob); clamp the ends at min/max
+    pr = F.posexplode(F.array(*[F.lit(p) for p in probs]))
+    brackets = stats.select(
+        "grp", "n", "vmin", "vmax", "clo", "chi", pr.alias("pi", "prob")
+    ).select(
+        "grp",
+        "n",
+        "vmin",
+        "vmax",
+        "prob",
+        F.greatest(F.lit(1), F.ceil(F.col("prob") * F.col("n")))
+        .cast("long")
+        .alias("k"),
+        F.least(
+            F.element_at(F.col("clo"), F.col("pi") + 1), F.col("vmax")
+        ).alias("c_lo"),
+        F.greatest(
+            F.element_at(F.col("chi"), F.col("pi") + 1), F.col("vmin")
+        ).alias("c_hi"),
+    )
+
+    # exact ranks of the bracket ends, one conditional-agg pass
+    joined = base.join(F.broadcast(brackets), "grp")
+    ranks = joined.groupBy("grp", "prob", "k", "n", "vmin", "vmax").agg(
+        F.sum(F.when(F.col("v") < F.col("c_lo"), 1).otherwise(0))
+        .alias("n_lt_lo"),
+        F.sum(F.when(F.col("v") <= F.col("c_hi"), 1).otherwise(0))
+        .alias("n_le_hi"),
+        F.first("c_lo").alias("c_lo"),
+        F.first("c_hi").alias("c_hi"),
+    )
+    ok = (F.col("n_lt_lo") < F.col("k")) & (
+        F.col("k") <= F.col("n_le_hi")
+    )
+    verified = ranks.select(
+        "grp",
+        "prob",
+        "k",
+        F.when(ok, F.col("c_lo")).otherwise(F.col("vmin")).alias("c_lo"),
+        F.when(ok, F.col("c_hi")).otherwise(F.col("vmax")).alias("c_hi"),
+        F.when(ok, F.col("n_lt_lo")).otherwise(F.lit(0)).alias("n_lt_lo"),
+    )
+
+    # gap selection: only bracket rows shuffle. verified derives from
+    # base, so disambiguate the join keys by renaming its side.
+    vr = verified.select(
+        F.col("grp").alias("g2"),
+        "prob",
+        "k",
+        "c_lo",
+        "c_hi",
+        "n_lt_lo",
+    )
+    gap = base.join(
+        F.broadcast(vr),
+        on=[
+            F.col("grp") == F.col("g2"),
+            F.col("v") >= F.col("c_lo"),
+            F.col("v") <= F.col("c_hi"),
+        ],
+    ).select("grp", "prob", "k", "n_lt_lo", "v")
+    w = Window.partitionBy("grp", "prob").orderBy("v")
+    return (
+        gap.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == F.col("k") - F.col("n_lt_lo"))
+        .select(
+            F.col("grp").alias("group_key"),
+            "prob",
+            F.col("v").alias("value"),
         )
     )

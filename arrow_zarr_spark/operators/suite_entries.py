@@ -3323,3 +3323,44 @@ def populate_round7_stream_hh_queries(register) -> None:
         "GROUP BY event_type, user_id) WHERE rank <= 10 "
         "ORDER BY group_key, rank",
     )
+
+
+def populate_round7_quantile_queries(register) -> None:
+    """t18: exact per-group quantiles without a global sort
+    (sketches.exact_quantiles) — sketch-bracket-then-select. r32's
+    percentile_cont uses Spark's exact percentile, which materializes
+    each group's values in executor memory (fine at suite scale,
+    fatal for a 100-TB group); this plan's only row shuffle is the
+    ~4n/accuracy gap window, and the answer is exact REGARDLESS of
+    the sketch's quality (the sketch only sizes the gap; a wrong
+    bracket falls back to [min,max], never to a wrong answer). The
+    oracle is DuckDB's quantile_disc — identical k = max(1,
+    ceil(p*n)) order-statistic semantics, so real data values
+    hash-match."""
+
+    def t18(spark, sf_dir):
+        from .sketches import exact_quantiles
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return exact_quantiles(
+            li,
+            "l_extendedprice",
+            [0.5, 0.9, 0.99],
+            group_col="l_returnflag",
+        ).orderBy("group_key", "prob")
+
+    register(
+        "t18_exact_quantiles",
+        t18,
+        "SELECT CAST(l_returnflag AS VARCHAR) AS group_key, "
+        "CAST(0.5 AS DOUBLE) AS prob, "
+        "quantile_disc(l_extendedprice, 0.5) AS value "
+        "FROM lineitem GROUP BY 1 "
+        "UNION ALL SELECT CAST(l_returnflag AS VARCHAR), "
+        "CAST(0.9 AS DOUBLE), quantile_disc(l_extendedprice, 0.9) "
+        "FROM lineitem GROUP BY 1 "
+        "UNION ALL SELECT CAST(l_returnflag AS VARCHAR), "
+        "CAST(0.99 AS DOUBLE), quantile_disc(l_extendedprice, 0.99) "
+        "FROM lineitem GROUP BY 1 "
+        "ORDER BY group_key, prob",
+    )

@@ -1440,7 +1440,10 @@ DRIVER_WINDOW = [
     # and the displaced pair stays parity-enforced every round)
     "s06_sq8_ann_topk",
     "s07_sq8_refine_topk",
-    "t02_language_id",
+    # late round-7 session: the exact-quantiles row takes t02's slot
+    # (green r3; the text family keeps t12-t14/t16/t17's fresh rows
+    # in-window and t02 stays parity-enforced every round)
+    "t18_exact_quantiles",
     "z05_missing_chunk_fill",
 ]
 
@@ -1476,6 +1479,7 @@ def _ensure_populated() -> None:
         populate_round7_cas_queries,
         populate_round7_replicate_queries,
         populate_round7_stream_hh_queries,
+        populate_round7_quantile_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1515,6 +1519,7 @@ def _ensure_populated() -> None:
     populate_round7_cas_queries(register_query)
     populate_round7_replicate_queries(register_query)
     populate_round7_stream_hh_queries(register_query)
+    populate_round7_quantile_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

@@ -2155,3 +2155,96 @@ class TestGroupedHeavyHitters:
         df = spark.createDataFrame([("g", "v")], "grp string, val string")
         with pytest.raises(ValueError, match="capacity >= k"):
             grouped_heavy_hitters(df, "grp", "val", k=10, capacity=5)
+
+
+class TestExactQuantiles:
+    """t18 — sketch-bracket-then-select exact order statistics."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "grp string, v double")
+
+    @staticmethod
+    def _disc(values, p):
+        import math
+
+        s = sorted(values)
+        return s[max(1, math.ceil(p * len(s))) - 1]
+
+    def test_matches_naive_on_duplicates_and_edges(self, spark):
+        """Heavy duplicates, p=0 and p=1 (min/max), a 1-row group —
+        the order-statistic edge cases."""
+        from arrow_zarr_spark.operators.sketches import exact_quantiles
+
+        rows = (
+            [("a", float(v)) for v in [5, 5, 5, 1, 1, 9, 9, 9, 9, 2]]
+            + [("b", 3.0)]
+        )
+        got = {
+            (r.group_key, r.prob): r.value
+            for r in exact_quantiles(
+                self._df(spark, rows),
+                "v",
+                [0.0, 0.5, 1.0],
+                group_col="grp",
+            ).collect()
+        }
+        a_vals = [5, 5, 5, 1, 1, 9, 9, 9, 9, 2]
+        for p in [0.0, 0.5, 1.0]:
+            assert got[("a", p)] == self._disc(a_vals, p)
+            assert got[("b", p)] == 3.0
+
+    def test_partitioning_invariant(self, spark):
+        from arrow_zarr_spark.operators.sketches import exact_quantiles
+
+        import random
+
+        rnd = random.Random(5)
+        rows = [
+            (f"g{i % 3}", float(rnd.randint(0, 50))) for i in range(3000)
+        ]
+        df = self._df(spark, rows)
+        a = sorted(
+            map(
+                tuple,
+                exact_quantiles(
+                    df.repartition(1), "v", [0.25, 0.75], group_col="grp"
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                exact_quantiles(
+                    df.repartition(13), "v", [0.25, 0.75], group_col="grp"
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) == 6
+
+    def test_exact_even_with_useless_sketch(self, spark):
+        """accuracy=1 makes the sketch bracket worthless — rank error
+        can reach n, so brackets fail verification and fall back to
+        [min, max]. The answer must still be exact (the sketch only
+        sizes the gap)."""
+        import math
+
+        from arrow_zarr_spark.operators.sketches import exact_quantiles
+
+        vals = [float((i * 37) % 101) for i in range(500)]
+        df = self._df(spark, [("g", v) for v in vals])
+        got = {
+            r.prob: r.value
+            for r in exact_quantiles(
+                df, "v", [0.3, 0.6], group_col="grp", accuracy=1
+            ).collect()
+        }
+        for p in [0.3, 0.6]:
+            s = sorted(vals)
+            assert got[p] == s[max(1, math.ceil(p * len(s))) - 1]
+
+    def test_bad_probs_raise(self, spark):
+        from arrow_zarr_spark.operators.sketches import exact_quantiles
+
+        df = self._df(spark, [("g", 1.0)])
+        with pytest.raises(ValueError, match="probs"):
+            exact_quantiles(df, "v", [1.5], group_col="grp")
