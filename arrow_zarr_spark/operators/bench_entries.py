@@ -83,6 +83,12 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     qs["multimodal_features"] = lambda: force(
         multimodal.byte_features(multimodal.with_binary_payload(docs))
     )
+    # perceptual-hash near-dup (m07): one Arrow decode pass -> JVM
+    # dHash bits -> 3 band equi-joins + exact verify; tracked because
+    # the band joins are the corpus-squaring risk the banding bounds
+    qs["phash_near_dup"] = lambda: force(
+        multimodal.phash_near_dup_pairs(docs, max_hamming=2)
+    )
     # cross-modal alignment gate (m06): one Arrow decode pass + JVM
     # pooling + id equi-join + built-in cosine — tracked against
     # multimodal_features (the delta is the join + cosine tail)

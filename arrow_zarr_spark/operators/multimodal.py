@@ -383,3 +383,123 @@ def sample_frames(
             )
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+def perceptual_hash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """24-bit dHash over the deterministic 4x4 thumbnail — the
+    image-dedup signature (difference hash: Krawetz's dHash, the
+    public pHash family's simplest member). Bits 0-11 compare
+    row-adjacent pixels (r*3+c: pix[r,c] < pix[r,c+1]), bits 12-23
+    column-adjacent (12+c*3+r: pix[r,c] < pix[r+1,c]) — brightness
+    GRADIENTS, so the hash survives uniform exposure shifts, the
+    property that makes dHash a near-dup signature rather than a
+    checksum. All comparisons run JVM-side over decode_image's
+    rounded pixel means; the real-codec decode stays honestly gated
+    (fake thumbnail here), and the m02 oracle convention makes every
+    bit SQL-replayable (rounded-micro pixel comparisons agree with
+    the rounded-double ones: the 1e-6 grid is exactly representable
+    at pixel magnitudes).
+
+    Returns (media_id, phash long)."""
+    pix = decode_image(with_binary_payload(df, id_col, text_col)).filter(
+        F.col("pixels").isNotNull()
+    )
+
+    def p(i):
+        return F.element_at(F.col("pixels"), i + 1)
+
+    terms = []
+    bi = 0
+    for r in range(4):
+        for c in range(3):
+            terms.append(
+                F.when(p(r * 4 + c) < p(r * 4 + c + 1), F.lit(1 << bi))
+                .otherwise(F.lit(0))
+            )
+            bi += 1
+    for c in range(4):
+        for r in range(3):
+            terms.append(
+                F.when(p(r * 4 + c) < p((r + 1) * 4 + c), F.lit(1 << bi))
+                .otherwise(F.lit(0))
+            )
+            bi += 1
+    h = terms[0]
+    for t in terms[1:]:
+        h = h + t
+    return pix.select("media_id", h.cast("long").alias("phash"))
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs — banded hamming LSH
+    over :func:`perceptual_hash`, never an all-pairs scan: the 24-bit
+    hash splits into three 8-bit bands; two hashes within hamming
+    ``max_hamming`` <= 2 differ in at most 2 bands, so AT LEAST ONE
+    band matches exactly (pigeonhole) and the pair surfaces from a
+    band equi-join. Each pair is emitted from its FIRST matching band
+    only (later joins require earlier bands to differ — j06's
+    no-distinct dedup trick), then verified with the exact hamming
+    distance (bit_count of xor, JVM-side).
+
+    Recall is EXACT for hamming <= 2 by construction; precision is
+    exact because every candidate is verified. Scale note: band
+    cardinality is 2^8 here (a toy 4x4/24-bit hash) — a production
+    64-bit pHash wants 16-bit bands (65k buckets) to keep per-bucket
+    occupancy, the usual LSH bucket-sizing lever; the plan shape
+    (equi-join per band, first-band dedup, exact verify) is unchanged.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if not (0 <= max_hamming <= 2):
+        raise ValueError(
+            f"phash_near_dup_pairs: 3 bands guarantee recall only for "
+            f"max_hamming <= 2, got {max_hamming}"
+        )
+    ph = perceptual_hash(df, id_col, text_col).select(
+        "media_id",
+        "phash",
+        (F.col("phash") % 256).alias("b0"),
+        F.shiftright("phash", 8).bitwiseAND(F.lit(255)).alias("b1"),
+        F.shiftright("phash", 16).bitwiseAND(F.lit(255)).alias("b2"),
+    )
+    a = ph.select(*[F.col(c).alias(f"{c}_a") for c in ph.columns])
+    b = ph.select(*[F.col(c).alias(f"{c}_b") for c in ph.columns])
+    lt = F.col("media_id_a") < F.col("media_id_b")
+    cands = (
+        a.join(b, (F.col("b0_a") == F.col("b0_b")) & lt)
+        .unionAll(
+            a.join(
+                b,
+                (F.col("b1_a") == F.col("b1_b"))
+                & (F.col("b0_a") != F.col("b0_b"))
+                & lt,
+            )
+        )
+        .unionAll(
+            a.join(
+                b,
+                (F.col("b2_a") == F.col("b2_b"))
+                & (F.col("b0_a") != F.col("b0_b"))
+                & (F.col("b1_a") != F.col("b1_b"))
+                & lt,
+            )
+        )
+    )
+    hamming = F.bit_count(
+        F.col("phash_a").bitwiseXOR(F.col("phash_b"))
+    ).cast("long")
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("media_id_a").alias("id_a"),
+            F.col("media_id_b").alias("id_b"),
+            "hamming",
+        )
+    )

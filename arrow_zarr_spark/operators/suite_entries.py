@@ -3364,3 +3364,77 @@ def populate_round7_quantile_queries(register) -> None:
         "FROM lineitem GROUP BY 1 "
         "ORDER BY group_key, prob",
     )
+
+
+def populate_round7_phash_queries(register) -> None:
+    """m07: perceptual-hash image near-dup pairs — dHash over the
+    deterministic 4x4 thumbnail (m02's fake decode; the real codec
+    stays honestly gated), banded hamming LSH (3x8-bit bands,
+    pigeonhole-exact recall at hamming <= 2, first-band no-distinct
+    dedup), exact bit_count verify. The oracle rebuilds the thumbnail
+    from m02's px_micro SQL (rounded-micro comparisons agree exactly
+    with the kernel's rounded-double ones), derives all 24 gradient
+    bits, and replays the band joins and the xor/bit_count verify —
+    the full pipeline is bit-replayable."""
+
+    def m07(spark, sf_dir):
+        return multimodal.phash_near_dup_pairs(
+            _docs(spark, sf_dir), max_hamming=2
+        )
+
+    # the 24 dHash bits over the 1-indexed 16-pixel array, exactly
+    # the bit layout of multimodal.perceptual_hash
+    terms = []
+    bi = 0
+    for r in range(4):
+        for c in range(3):
+            terms.append(
+                f"CASE WHEN arr[{r * 4 + c + 1}] < arr[{r * 4 + c + 2}] "
+                f"THEN {1 << bi} ELSE 0 END"
+            )
+            bi += 1
+    for c in range(4):
+        for r in range(3):
+            terms.append(
+                f"CASE WHEN arr[{r * 4 + c + 1}] < arr[{(r + 1) * 4 + c + 1}] "
+                f"THEN {1 << bi} ELSE 0 END"
+            )
+            bi += 1
+    hash_expr = " + ".join(terms)
+
+    register(
+        "m07_phash_near_dup",
+        m07,
+        "WITH d AS (SELECT doc_id, text, length(text) AS n "
+        "FROM documents WHERE length(text) > 0), "
+        "s AS (SELECT doc_id, text, n, CAST(i AS INT) AS px_idx, "
+        "CASE WHEN i < n % 16 THEN n // 16 + 1 ELSE n // 16 END "
+        "AS span_len, "
+        "CASE WHEN i < n % 16 THEN i * (n // 16 + 1) "
+        "ELSE (n % 16) * (n // 16 + 1) + (i - n % 16) * (n // 16) "
+        "END AS span_start FROM d, range(16) t(i)), "
+        "px AS (SELECT doc_id AS media_id, px_idx, "
+        "CASE WHEN span_len = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(round_even(list_sum(list_transform(string_split("
+        "substr(text, span_start + 1, span_len), ''), "
+        "c -> CAST(ascii(c) AS DOUBLE))) / span_len * 1000000.0, 0) "
+        "AS BIGINT) END AS pm FROM s), "
+        "t AS (SELECT media_id, list(pm ORDER BY px_idx) AS arr "
+        "FROM px GROUP BY media_id), "
+        f"h AS (SELECT media_id, {hash_expr} AS ph FROM t), "
+        "hb AS (SELECT media_id, ph, ph % 256 AS b0, "
+        "(ph // 256) % 256 AS b1, ph // 65536 AS b2 FROM h), "
+        "cand AS ("
+        "SELECT a.media_id AS ia, b.media_id AS ib, a.ph AS pa, "
+        "b.ph AS pb FROM hb a JOIN hb b "
+        "ON a.b0 = b.b0 AND a.media_id < b.media_id "
+        "UNION ALL SELECT a.media_id, b.media_id, a.ph, b.ph "
+        "FROM hb a JOIN hb b ON a.b1 = b.b1 AND a.b0 <> b.b0 "
+        "AND a.media_id < b.media_id "
+        "UNION ALL SELECT a.media_id, b.media_id, a.ph, b.ph "
+        "FROM hb a JOIN hb b ON a.b2 = b.b2 AND a.b0 <> b.b0 "
+        "AND a.b1 <> b.b1 AND a.media_id < b.media_id) "
+        "SELECT ia AS id_a, ib AS id_b, "
+        "CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming "
+        "FROM cand WHERE bit_count(xor(pa, pb)) <= 2",
+    )

@@ -1424,7 +1424,10 @@ DRIVER_WINDOW = [
     "d09_ngram_contamination",
     "j02_asof_join",
     "j03_theta_join_banded",
-    "m01_byte_features",
+    # late round-7 session: the perceptual-hash near-dup row takes
+    # m01's slot (green r3; multimodal keeps m05/m06's fresh rows plus
+    # m07 in-window, and m01 stays parity-enforced every round)
+    "m07_phash_near_dup",
     # late round-7 session: the streaming top-k row takes m03's slot
     # (green r3; multimodal keeps m01 in-window plus m05/m06's fresh
     # rows, and m03 stays parity-enforced every round)
@@ -1480,6 +1483,7 @@ def _ensure_populated() -> None:
         populate_round7_replicate_queries,
         populate_round7_stream_hh_queries,
         populate_round7_quantile_queries,
+        populate_round7_phash_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1520,6 +1524,7 @@ def _ensure_populated() -> None:
     populate_round7_replicate_queries(register_query)
     populate_round7_stream_hh_queries(register_query)
     populate_round7_quantile_queries(register_query)
+    populate_round7_phash_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

@@ -2248,3 +2248,75 @@ class TestExactQuantiles:
         df = self._df(spark, [("g", 1.0)])
         with pytest.raises(ValueError, match="probs"):
             exact_quantiles(df, "v", [1.5], group_col="grp")
+
+
+class TestPerceptualHashDedup:
+    """m07 — dHash + banded hamming LSH near-dup pairs."""
+
+    def test_pairs_equal_bruteforce(self, spark, docs):
+        """The banded plan must find EXACTLY the hamming<=2 pairs —
+        recall is pigeonhole-guaranteed (<=2 flipped bits leave >=1
+        of 3 bands intact), precision by the exact verify. Checked
+        against an all-pairs numpy scan of the same hashes."""
+        import numpy as np
+
+        from arrow_zarr_spark.operators.multimodal import (
+            perceptual_hash,
+            phash_near_dup_pairs,
+        )
+
+        hs = {
+            r.media_id: r.phash
+            for r in perceptual_hash(docs).collect()
+        }
+        ids = sorted(hs)
+        want = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if bin(hs[a] ^ hs[b]).count("1") <= 2:
+                    want.add((a, b))
+        got = {
+            (r.id_a, r.id_b)
+            for r in phash_near_dup_pairs(docs, max_hamming=2).collect()
+        }
+        assert got == want
+        assert want, "fixture should contain perceptual near-dups"
+        assert len(np.unique([hs[i] for i in ids])) > 1
+
+    def test_exact_duplicates_hash_equal(self, spark):
+        from arrow_zarr_spark.operators.multimodal import (
+            phash_near_dup_pairs,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "a completely different document about spark and zarr"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in phash_near_dup_pairs(df).collect()
+        }
+        assert (1, 2, 0) in got
+
+    def test_no_pair_duplicated_across_bands(self, spark, docs):
+        """First-matching-band emission: each pair appears exactly
+        once without any distinct."""
+        from arrow_zarr_spark.operators.multimodal import (
+            phash_near_dup_pairs,
+        )
+
+        pairs = [
+            (r.id_a, r.id_b)
+            for r in phash_near_dup_pairs(docs).collect()
+        ]
+        assert len(pairs) == len(set(pairs))
+
+    def test_max_hamming_bound(self, spark, docs):
+        from arrow_zarr_spark.operators.multimodal import (
+            phash_near_dup_pairs,
+        )
+
+        with pytest.raises(ValueError, match="max_hamming"):
+            phash_near_dup_pairs(docs, max_hamming=5)

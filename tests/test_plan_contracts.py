@@ -646,3 +646,21 @@ class TestSQ8PlanContracts:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert plan.count("Exchange hashpartitioning") == 2
+
+
+class TestPhashPlanContracts:
+    def test_phash_pairs_banded_hash_joins_no_distinct(self, views):
+        """m07: candidate generation must be three band EQUI-joins
+        (hash joins, never a cartesian/NLJ), and first-band emission
+        means no distinct aggregate over pairs appears."""
+        from arrow_zarr_spark.operators.multimodal import (
+            phash_near_dup_pairs,
+        )
+
+        plan = _plan(phash_near_dup_pairs(views.table("documents")))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert (
+            plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+            == 3
+        )
