@@ -3438,3 +3438,52 @@ def populate_round7_phash_queries(register) -> None:
         "CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming "
         "FROM cand WHERE bit_count(xor(pa, pb)) <= 2",
     )
+
+
+def populate_round7_sync_queries(register) -> None:
+    """z33: incremental replica sync (zarr.sync_zarr) proven through
+    the real read path — seed a replica with full history, advance
+    the source twice (append + commit each), pull ONCE, and scan the
+    replica; a delta-logic bug (missed object, stale live key,
+    skipped manifest) flips rows. Delta-proportionality itself
+    (n_objects_copied < store size, no-op when current, shrink
+    prunes) is pinned by tests/test_replicate.py::TestSync."""
+
+    def z33(spark, sf_dir):
+        import shutil
+
+        from ..io import replicate_zarr, write_zarr
+        from ..zarr import commit_version, sync_zarr
+
+        token = sf_dir.strip("/").replace("/", "_")
+        src = f"/tmp/arrow_zarr_spark_z33_src_{token}"
+        dst = f"/tmp/arrow_zarr_spark_z33_dst_{token}"
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+        def tbl(lo, hi):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 11 % 17).cast("double").alias("v"),
+            )
+
+        write_zarr(tbl(0, 64), src, chunk_rows=16)
+        commit_version(spark, src, "seed")
+        replicate_zarr(spark, src, dst, include_versions=True)
+        write_zarr(tbl(64, 80), src, chunk_rows=16, mode="append")
+        commit_version(spark, src, "v2")
+        write_zarr(tbl(80, 112), src, chunk_rows=16, mode="append")
+        commit_version(spark, src, "v3")
+        info = sync_zarr(spark, src, dst)
+        rep = spark.read.format("zarr").load(dst)
+        return rep.withColumn(
+            "synced_to", F.lit(int(info["to_version"])).cast("long")
+        )
+
+    register(
+        "z33_incremental_sync_scan",
+        z33,
+        "SELECT CAST(i AS BIGINT) AS k, "
+        "CAST(i * 11 % 17 AS DOUBLE) AS v, "
+        "CAST(3 AS BIGINT) AS synced_to FROM range(112) t(i)",
+    )

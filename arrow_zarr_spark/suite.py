@@ -1423,7 +1423,10 @@ DRIVER_WINDOW = [
     "w15_commit_cas",
     "d09_ngram_contamination",
     "j02_asof_join",
-    "j03_theta_join_banded",
+    # late round-7 session: the incremental-sync row takes j03's slot
+    # (green r3; the theta shape stays in-window via b09/z11 and j03
+    # stays parity-enforced every round)
+    "z33_incremental_sync_scan",
     # late round-7 session: the perceptual-hash near-dup row takes
     # m01's slot (green r3; multimodal keeps m05/m06's fresh rows plus
     # m07 in-window, and m01 stays parity-enforced every round)
@@ -1484,6 +1487,7 @@ def _ensure_populated() -> None:
         populate_round7_stream_hh_queries,
         populate_round7_quantile_queries,
         populate_round7_phash_queries,
+        populate_round7_sync_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1525,6 +1529,7 @@ def _ensure_populated() -> None:
     populate_round7_stream_hh_queries(register_query)
     populate_round7_quantile_queries(register_query)
     populate_round7_phash_queries(register_query)
+    populate_round7_sync_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

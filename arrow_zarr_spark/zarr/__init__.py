@@ -27,6 +27,7 @@ from .versions import (
     resolve_as_of,
     resolve_tag,
     rollback_zarr,
+    sync_zarr,
     tag_version,
     vacuum_versions,
     version_log,
@@ -60,6 +61,7 @@ __all__ = [
     "resolve_as_of",
     "resolve_tag",
     "rollback_zarr",
+    "sync_zarr",
     "tag_version",
     "vacuum_versions",
     "version_log",

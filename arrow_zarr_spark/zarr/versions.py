@@ -880,3 +880,186 @@ def version_cdc(
     for extra in parts[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def sync_zarr(spark, src: str, dst: str) -> Dict:
+    """Incremental replication — bring a replica up to the source's
+    latest committed version at DELTA cost (the rsync of the version
+    store; :func:`arrow_zarr_spark.io.replicate_zarr` is the full
+    seed, this is every pull after it). The destination must carry
+    the version history (seed with ``replicate_zarr(...,
+    include_versions=True)`` or a previous sync).
+
+    Content addressing is what makes the delta exact: the work list
+    is the set of sha256 objects referenced by manifests the replica
+    does not yet have, minus objects already present — unchanged
+    chunks are never re-read, re-sent, or re-written, however many
+    versions elapsed. Every copied object is re-hashed on arrival
+    and must equal its address (transport corruption cannot land).
+
+    Live keys then update from the LOCAL object store: only keys
+    whose manifest hash changed between the replica's version and the
+    source's rewrite (data keys distributed first, metadata documents
+    after, stray keys deleted last — the rollback protocol at delta
+    size). A reader of the replica mid-sync sees a consistent store.
+
+    Returns ``{"from_version", "to_version", "n_objects_copied",
+    "n_bytes_copied", "n_live_updated", "n_live_deleted",
+    "n_manifests_copied"}``; ``to_version == from_version`` means the
+    replica was already current (no-op)."""
+    src_store = open_store(src)
+    dst_store = open_store(dst)
+    src_versions = _manifest_versions(src_store)
+    if not src_versions:
+        raise ZarrFormatError(
+            f"sync_zarr: source {src!r} has no committed versions"
+        )
+    dst_versions = _manifest_versions(dst_store)
+    if not dst_versions:
+        raise ZarrFormatError(
+            f"sync_zarr: destination {dst!r} carries no version "
+            f"history — seed it with replicate_zarr(src, dst, "
+            f"include_versions=True) first"
+        )
+    v_src, v_dst = src_versions[-1], dst_versions[-1]
+    if v_dst > v_src:
+        raise ZarrFormatError(
+            f"sync_zarr: destination is AHEAD of source "
+            f"(dst version {v_dst} > src {v_src}) — refusing to "
+            f"rewind; use rollback_zarr on the destination explicitly"
+        )
+    receipt = {
+        "from_version": v_dst,
+        "to_version": v_dst,
+        "n_objects_copied": 0,
+        "n_bytes_copied": 0,
+        "n_live_updated": 0,
+        "n_live_deleted": 0,
+        "n_manifests_copied": 0,
+    }
+    if v_dst == v_src:
+        return receipt
+
+    new_versions = [v for v in src_versions if v > v_dst]
+    manifests = {v: _read_manifest(src_store, v) for v in new_versions}
+    m_old: Dict[str, str] = _read_manifest(dst_store, v_dst)["objects"]
+    m_new: Dict[str, str] = manifests[v_src]["objects"]
+
+    # object delta: shas referenced by the new manifests that the
+    # replica can't already have (anything in its latest manifest it
+    # must hold) and doesn't hold on disk
+    known = set(m_old.values())
+    candidates = sorted(
+        {
+            sha
+            for doc in manifests.values()
+            for sha in doc["objects"].values()
+            if sha not in known
+        }
+    )
+
+    def copy_objects(shas: Iterator[str]):
+        s_store = open_store(src)
+        d_store = open_store(dst)
+        for sha in shas:
+            okey = _object_key(sha)
+            if d_store.exists(okey):
+                continue
+            data = s_store.get(okey)
+            if data is None:
+                raise ZarrFormatError(
+                    f"sync_zarr: source content object {sha} missing — "
+                    f"was vacuum_versions run on the source past the "
+                    f"replica's version?"
+                )
+            if hashlib.sha256(data).hexdigest() != sha:
+                raise ZarrFormatError(
+                    f"sync_zarr: object {sha} failed its content "
+                    f"address on transfer — refusing to store "
+                    f"corrupted bytes"
+                )
+            d_store.set(okey, data)
+            yield (1, len(data))
+
+    if spark is None or not candidates:
+        rows = list(copy_objects(iter(candidates)))
+    else:
+        sc = spark.sparkContext
+        n_parts = max(1, min(len(candidates), sc.defaultParallelism * 2))
+        rows = (
+            sc.parallelize(candidates, n_parts)
+            .mapPartitions(copy_objects)
+            .collect()
+        )
+    receipt["n_objects_copied"] = sum(r[0] for r in rows)
+    receipt["n_bytes_copied"] = sum(r[1] for r in rows)
+
+    # history publishes before the live flip: a crash here leaves a
+    # replica that is still consistent at its old version
+    for v in new_versions:
+        dst_store.set(
+            _manifest_key(v),
+            json.dumps(manifests[v], sort_keys=True).encode(),
+        )
+    receipt["n_manifests_copied"] = len(new_versions)
+    for k in src_store.walk_prefix(VERSIONS_PREFIX + "tags/"):
+        data = src_store.get(k)
+        if data is not None:
+            dst_store.set(k, data)
+    head = src_store.get(_HEAD_KEY)
+    if head is not None:
+        dst_store.set(_HEAD_KEY, head)
+
+    # live delta: only keys whose hash changed; data first, metadata
+    # after, deletions last (the rollback protocol at delta size)
+    changed = [
+        (k, sha) for k, sha in m_new.items() if m_old.get(k) != sha
+    ]
+
+    def is_meta(key: str) -> bool:
+        leaf = key.rsplit("/", 1)[-1]
+        return leaf in (
+            "zarr.json", ".zarray", ".zattrs", ".zgroup", ".zmetadata",
+        )
+
+    data_items = [(k, s) for k, s in changed if not is_meta(k)]
+    meta_items = [(k, s) for k, s in changed if is_meta(k)]
+
+    def restore(items):
+        d_store = open_store(dst)
+        for key, sha in items:
+            data = d_store.get(_object_key(sha))
+            if data is None:
+                raise ZarrFormatError(
+                    f"sync_zarr: content object for {key!r} missing "
+                    f"after the object pass (sha256 {sha})"
+                )
+            d_store.set(key, data)
+            yield 1
+
+    if data_items:
+        if spark is None:
+            list(restore(iter(data_items)))
+        else:
+            sc = spark.sparkContext
+            n_parts = max(1, min(len(data_items), sc.defaultParallelism * 2))
+            sc.parallelize(data_items, n_parts).mapPartitions(
+                restore
+            ).count()
+    for key, sha in sorted(
+        meta_items, key=lambda t: (-t[0].count("/"), t[0])
+    ):
+        data = dst_store.get(_object_key(sha))
+        if data is None:
+            raise ZarrFormatError(
+                f"sync_zarr: content object for {key!r} missing "
+                f"after the object pass (sha256 {sha})"
+            )
+        dst_store.set(key, data)
+    extras = [k for k in _live_keys(dst_store) if k not in m_new]
+    for k in extras:
+        dst_store.delete(k)
+    receipt["n_live_updated"] = len(changed)
+    receipt["n_live_deleted"] = len(extras)
+    receipt["to_version"] = v_src
+    return receipt

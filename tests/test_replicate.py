@@ -149,3 +149,116 @@ class TestReplicate:
             k.split("/")[-1] in metas for k in order[first_meta:]
         )
         assert order[-1].count("/") == 0  # a root document is last
+
+
+class TestSync:
+    """Incremental replication (zarr.sync_zarr): delta-proportional
+    pulls on top of a replicate_zarr seed."""
+
+    def _seed(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import sync_zarr  # noqa: F401
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        write_zarr(_table(spark, 0, 64), src, chunk_rows=16)
+        commit_version(spark, src, "v1")
+        replicate_zarr(spark, src, dst, include_versions=True)
+        return src, dst
+
+    def test_pull_after_append_is_delta_proportional(
+        self, spark, tmp_path
+    ):
+        from arrow_zarr_spark.zarr import sync_zarr
+
+        src, dst = self._seed(spark, tmp_path)
+        write_zarr(
+            _table(spark, 64, 80), src, chunk_rows=16, mode="append"
+        )
+        commit_version(spark, src, "v2")
+        n_total = len(
+            __import__(
+                "arrow_zarr_spark.zarr.versions",
+                fromlist=["_read_manifest"],
+            )._read_manifest(open_store(src), 2)["objects"]
+        )
+        info = sync_zarr(spark, src, dst)
+        assert info["from_version"] == 1 and info["to_version"] == 2
+        # only the append delta moved — strictly fewer objects than
+        # the full store holds
+        assert 0 < info["n_objects_copied"] < n_total
+        assert info["n_live_updated"] < n_total
+        got = spark.read.format("zarr").load(dst)
+        assert got.count() == 80
+        assert got.agg(F.sum("v")).first()[0] == sum(
+            i * 2 for i in range(80)
+        )
+        assert [e["message"] for e in version_log(dst)] == ["v1", "v2"]
+
+    def test_noop_when_current(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import sync_zarr
+
+        src, dst = self._seed(spark, tmp_path)
+        info = sync_zarr(spark, src, dst)
+        assert info["from_version"] == info["to_version"] == 1
+        assert info["n_objects_copied"] == 0
+        assert info["n_live_updated"] == 0
+
+    def test_overwrite_syncs_and_prunes_stale_keys(self, spark, tmp_path):
+        """A source overwrite shrinks the store: the sync must update
+        changed keys AND delete replica keys the new version no
+        longer has."""
+        from arrow_zarr_spark.zarr import sync_zarr
+
+        src, dst = self._seed(spark, tmp_path)
+        write_zarr(
+            _table(spark, 0, 16), src, chunk_rows=16, mode="overwrite"
+        )
+        commit_version(spark, src, "v2-shrunk")
+        info = sync_zarr(spark, src, dst)
+        assert info["n_live_deleted"] > 0
+        assert spark.read.format("zarr").load(dst).count() == 16
+
+    def test_unseeded_destination_refused(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import sync_zarr
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        write_zarr(_table(spark, 0, 32), src, chunk_rows=16)
+        commit_version(spark, src)
+        replicate_zarr(spark, src, dst)  # no history
+        with pytest.raises(ZarrFormatError, match="include_versions"):
+            sync_zarr(spark, src, dst)
+
+    def test_replica_ahead_refused(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import sync_zarr
+
+        src, dst = self._seed(spark, tmp_path)
+        write_zarr(
+            _table(spark, 64, 70), dst, chunk_rows=16, mode="append"
+        )
+        commit_version(spark, dst, "local divergence")
+        with pytest.raises(ZarrFormatError, match="AHEAD"):
+            sync_zarr(spark, src, dst)
+
+    def test_multi_version_catchup(self, spark, tmp_path):
+        """Two source commits since the seed: one sync lands both
+        manifests and the latest live state."""
+        from arrow_zarr_spark.zarr import sync_zarr
+
+        src, dst = self._seed(spark, tmp_path)
+        write_zarr(
+            _table(spark, 64, 72), src, chunk_rows=16, mode="append"
+        )
+        commit_version(spark, src, "v2")
+        write_zarr(
+            _table(spark, 72, 90), src, chunk_rows=16, mode="append"
+        )
+        commit_version(spark, src, "v3")
+        info = sync_zarr(spark, src, dst)
+        assert info["to_version"] == 3
+        assert info["n_manifests_copied"] == 2
+        assert spark.read.format("zarr").load(dst).count() == 90
+        from arrow_zarr_spark import read_zarr
+
+        # intermediate history is usable on the replica too
+        assert read_zarr(spark, dst, version=2).count() == 72
