@@ -3487,3 +3487,44 @@ def populate_round7_sync_queries(register) -> None:
         "CAST(i * 11 % 17 AS DOUBLE) AS v, "
         "CAST(3 AS BIGINT) AS synced_to FROM range(112) t(i)",
     )
+
+
+def populate_round7_entropy_queries(register) -> None:
+    """t15 (filling the one gap in the text numbering): Shannon
+    character/word entropy quality gate. Pure row-local JVM
+    expressions (no shuffle anywhere); the distinct symbol list is
+    SORTED in both engines before the -sum(p log2 p) accumulation, so
+    the float sums are bit-identical term-for-term and the 6-dp
+    rounding is display, not reconciliation."""
+
+    def t15(spark, sf_dir):
+        return text.entropy_score(_docs(spark, sf_dir))
+
+    _ENT = (
+        "CASE WHEN len({a}) > 0 THEN ROUND(CASE WHEN s{t} < 0 "
+        "THEN -s{t} ELSE 0.0 END, 6) ELSE 0.0 END"
+    )
+    register(
+        "t15_entropy_score",
+        t15,
+        "WITH base AS (SELECT doc_id, string_split(text, '') AS cs, "
+        "list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws "
+        "FROM documents), "
+        "s AS (SELECT doc_id, cs, ws, "
+        "list_sum(list_transform(list_sort(list_distinct(cs)), "
+        "d -> (len(list_filter(cs, x -> x = d)) / CAST(len(cs) AS "
+        "DOUBLE)) * log2(len(list_filter(cs, x -> x = d)) / "
+        "CAST(len(cs) AS DOUBLE)))) AS sc, "
+        "list_sum(list_transform(list_sort(list_distinct(ws)), "
+        "d -> (len(list_filter(ws, x -> x = d)) / CAST(len(ws) AS "
+        "DOUBLE)) * log2(len(list_filter(ws, x -> x = d)) / "
+        "CAST(len(ws) AS DOUBLE)))) AS sw FROM base) "
+        "SELECT doc_id, "
+        + _ENT.format(a="cs", t="c")
+        + " AS char_entropy, "
+        + _ENT.format(a="ws", t="w")
+        + " AS word_entropy, "
+        "(" + _ENT.format(a="cs", t="c") + " < 2.5 OR "
+        + _ENT.format(a="ws", t="w") + " < 3.0) AS low_entropy "
+        "FROM s",
+    )

@@ -839,3 +839,62 @@ def heavy_hitters(
         .filter(F.col("rank") <= k)
         .select("token", "total_freq", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def entropy_score(
+    df: DataFrame,
+    text_col: str = "text",
+    min_char_entropy: float = 2.5,
+    min_word_entropy: float = 3.0,
+) -> DataFrame:
+    """Shannon-entropy quality gate (t15) — the curation filter for
+    gibberish, keyboard-mash, and template spam that length/stopword
+    heuristics (t03) miss: natural English sits near 4.1 bits/char
+    and well above 5 bits/word, repeated-character junk near 0.
+
+    Entirely ROW-LOCAL JVM expressions — no explode, no shuffle, no
+    Python: per doc, ``-sum(p_x * log2(p_x))`` over the distinct
+    characters (and words), with the distinct list SORTED so the
+    float accumulation order is engine-independent (bit-identical in
+    DuckDB, which does not preserve first-occurrence order in
+    list_distinct). Cost is O(distinct * length) per document — the
+    right trade for web-doc-scale texts (a few k words); for
+    book-length documents switch to the explode+groupBy form (the
+    t06 family's shape).
+
+    Returns (doc_id, char_entropy, word_entropy, low_entropy)."""
+
+    def ent(arr):
+        n = F.size(arr)
+        dist = F.array_sort(F.array_distinct(arr))
+        s = F.aggregate(
+            dist,
+            F.lit(0.0),
+            lambda acc, d: acc
+            + (
+                F.size(F.filter(arr, lambda x: x == d))
+                / n.cast("double")
+            )
+            * F.log2(
+                F.size(F.filter(arr, lambda x: x == d))
+                / n.cast("double")
+            ),
+        )
+        # single-symbol docs give s == 0; avoid exporting -0.0
+        pos = F.when(s < 0, -s).otherwise(F.lit(0.0))
+        return F.when(n > 0, F.round(pos, 6)).otherwise(F.lit(0.0))
+
+    cs = F.split(F.col(text_col), "")
+    ws = F.filter(
+        F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+    )
+    out = df.select(
+        "doc_id",
+        ent(cs).alias("char_entropy"),
+        ent(ws).alias("word_entropy"),
+    )
+    return out.withColumn(
+        "low_entropy",
+        (F.col("char_entropy") < F.lit(float(min_char_entropy)))
+        | (F.col("word_entropy") < F.lit(float(min_word_entropy))),
+    )

@@ -1421,7 +1421,10 @@ DRIVER_WINDOW = [
     # r3; the streaming family keeps e05's fresh row in-window and d08
     # stays parity-enforced every round)
     "w15_commit_cas",
-    "d09_ngram_contamination",
+    # late round-7 session: the entropy-gate row takes d09's slot
+    # (green r3; contamination stays in-window via d11's shape family
+    # history and d09 stays parity-enforced every round)
+    "t15_entropy_score",
     "j02_asof_join",
     # late round-7 session: the incremental-sync row takes j03's slot
     # (green r3; the theta shape stays in-window via b09/z11 and j03
@@ -1488,6 +1491,7 @@ def _ensure_populated() -> None:
         populate_round7_quantile_queries,
         populate_round7_phash_queries,
         populate_round7_sync_queries,
+        populate_round7_entropy_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1530,6 +1534,7 @@ def _ensure_populated() -> None:
     populate_round7_quantile_queries(register_query)
     populate_round7_phash_queries(register_query)
     populate_round7_sync_queries(register_query)
+    populate_round7_entropy_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

@@ -2320,3 +2320,46 @@ class TestPerceptualHashDedup:
 
         with pytest.raises(ValueError, match="max_hamming"):
             phash_near_dup_pairs(docs, max_hamming=5)
+
+
+class TestEntropyScore:
+    """t15 — Shannon entropy quality gate."""
+
+    def test_known_values(self, spark):
+        import math
+
+        from arrow_zarr_spark.operators import text as text_ops
+
+        rows = [
+            (1, "aaaa"),                 # char entropy 0, 1 word
+            (2, "ab ab ab ab"),          # chars: a,b,space
+            (3, "the quick brown fox jumps over lazy dogs"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in text_ops.entropy_score(df).collect()
+        }
+        assert got[1].char_entropy == 0.0
+        assert got[1].word_entropy == 0.0
+        assert got[1].low_entropy
+        # doc 2: chars 'a'x4 'b'x4 ' 'x3 over 11 chars
+        ps = [4 / 11, 4 / 11, 3 / 11]
+        want = round(-sum(p * math.log2(p) for p in ps), 6)
+        assert abs(got[2].char_entropy - want) < 1e-6
+        assert got[2].word_entropy == 0.0  # a single repeated word
+        assert not got[3].low_entropy
+        assert got[3].char_entropy > 3.0
+        # 8 distinct words, uniform: exactly 3 bits
+        assert got[3].word_entropy == 3.0
+
+    def test_no_shuffle_plan(self, spark, docs):
+        from arrow_zarr_spark.operators import text as text_ops
+
+        plan = (
+            text_ops.entropy_score(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # row-local: zero shuffles
