@@ -3528,3 +3528,60 @@ def populate_round7_entropy_queries(register) -> None:
         + _ENT.format(a="ws", t="w") + " < 3.0) AS low_entropy "
         "FROM s",
     )
+
+
+def populate_round7_mv_queries(register) -> None:
+    """x04: incremental materialized-view maintenance over the
+    version store — the composition the versioning layer exists for.
+    A chunk-granular stats view is materialized at v1, the store
+    advances (one in-place modification + a 48-row append, committed
+    as v2), and the view is REFRESHED from the manifest delta: only
+    chunks whose bytes or coverage changed decode (pinned by
+    TestChunkStatView's work-list assertions); byte-identical chunks
+    ride through untouched. The literal oracle pins every final
+    per-chunk sum, and refresh == full-recompute equality is
+    test-pinned."""
+
+    def x04(spark, sf_dir):
+        import shutil
+
+        from ..io import write_zarr
+        from ..zarr import (
+            chunk_stat_view,
+            commit_version,
+            refresh_chunk_stat_view,
+        )
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_x04_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+
+        def tbl(hi, bump):
+            v = F.when(
+                (F.col("id") >= 16) & (F.col("id") < 32) & F.lit(bump),
+                F.col("id") * 5,
+            ).otherwise(F.col("id") * 3)
+            return spark.range(0, hi).select(
+                F.col("id").alias("k"), v.cast("double").alias("v")
+            )
+
+        write_zarr(tbl(64, False), path, chunk_rows=16)
+        commit_version(spark, path, "v1")
+        base = chunk_stat_view(spark, path, 1)
+        write_zarr(tbl(112, True), path, chunk_rows=16, mode="overwrite")
+        commit_version(spark, path, "v2")
+        return refresh_chunk_stat_view(spark, path, base, 1, 2)
+
+    register(
+        "x04_incremental_view_refresh",
+        x04,
+        "WITH r AS (SELECT i, i // 16 AS c, "
+        "CASE WHEN i >= 16 AND i < 32 THEN i * 5 ELSE i * 3 END AS v "
+        "FROM range(112) t(i)) "
+        "SELECT 'k' AS array, CAST(c AS VARCHAR) AS chunk_pos, "
+        "CAST(COUNT(*) AS BIGINT) AS n_values, "
+        "CAST(SUM(i) AS DOUBLE) AS value_sum FROM r GROUP BY c "
+        "UNION ALL "
+        "SELECT 'v', CAST(c AS VARCHAR), CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(v) AS DOUBLE) FROM r GROUP BY c",
+    )

@@ -1415,7 +1415,10 @@ DRIVER_WINDOW = [
     "m06_crossmodal_alignment",
     # stalest green rows (last driver-checked in round 3)
     "c01_kmeans_clusters",
-    "c02_semantic_neardup",
+    # late round-7 session: the incremental-view-refresh row takes
+    # c02's slot (green r3; the near-dup shape stays in-window via
+    # d06/d18's fresh rows and c02 stays parity-enforced every round)
+    "x04_incremental_view_refresh",
     "d07_dedup_components",
     # late round-7 session: the CAS commit row takes d08's slot (green
     # r3; the streaming family keeps e05's fresh row in-window and d08
@@ -1492,6 +1495,7 @@ def _ensure_populated() -> None:
         populate_round7_phash_queries,
         populate_round7_sync_queries,
         populate_round7_entropy_queries,
+        populate_round7_mv_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1535,6 +1539,7 @@ def _ensure_populated() -> None:
     populate_round7_phash_queries(register_query)
     populate_round7_sync_queries(register_query)
     populate_round7_entropy_queries(register_query)
+    populate_round7_mv_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

@@ -17,6 +17,8 @@ from .store import LocalStore, Store, open_store
 from .table import ChunkPlan
 from .versions import (
     VersionConflictError,
+    chunk_stat_view,
+    refresh_chunk_stat_view,
     VersionStoreView,
     commit_version,
     delete_tag,
@@ -50,6 +52,7 @@ __all__ = [
     "VersionStoreView",
     "ZarrArray",
     "ZarrFormatError",
+    "chunk_stat_view",
     "commit_version",
     "delete_tag",
     "export_version",
@@ -59,6 +62,7 @@ __all__ = [
     "create_array",
     "open_version",
     "resolve_as_of",
+    "refresh_chunk_stat_view",
     "resolve_tag",
     "rollback_zarr",
     "sync_zarr",

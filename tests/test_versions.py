@@ -730,3 +730,90 @@ class TestOptimisticConcurrency:
             if f.endswith(".xtmp")
         ]
         assert leftovers == []
+
+
+class TestChunkStatView:
+    """chunk_stat_view / refresh_chunk_stat_view (x04): incremental
+    materialized-view maintenance at delta cost."""
+
+    def _store(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import chunk_stat_view
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d, "v1")
+        return d, chunk_stat_view(spark, d, 1)
+
+    def test_refresh_equals_full_recompute(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import (
+            chunk_stat_view,
+            refresh_chunk_stat_view,
+        )
+
+        d, base = self._store(spark, tmp_path)
+        write_zarr(_table(spark, 64, 112), d, chunk_rows=16, mode="append")
+        commit_version(spark, d, "v2")
+        ref = sorted(
+            map(tuple, refresh_chunk_stat_view(spark, d, base, 1).collect())
+        )
+        full = sorted(map(tuple, chunk_stat_view(spark, d, 2).collect()))
+        assert ref == full and len(full) == 14  # 2 arrays x 7 chunks
+
+    def test_work_list_is_delta_only(self, spark, tmp_path, monkeypatch):
+        """An append of 3 chunks must recompute only the appended
+        chunks (x2 arrays) — byte-identical chunks never decode."""
+        import arrow_zarr_spark.zarr.versions as vmod
+
+        d, base = self._store(spark, tmp_path)
+        write_zarr(_table(spark, 64, 112), d, chunk_rows=16, mode="append")
+        commit_version(spark, d, "v2")
+        seen = []
+        real = vmod._chunk_stats_rows
+
+        def spy(spark_, path, version, work, metas):
+            seen.append(list(work))
+            return real(spark_, path, version, work, metas)
+
+        monkeypatch.setattr(vmod, "_chunk_stats_rows", spy)
+        vmod.refresh_chunk_stat_view(spark, d, base, 1, 2).collect()
+        assert len(seen) == 1
+        # 48 appended rows = 3 new chunks per array
+        assert sorted(seen[0]) == [
+            ("k", (4,)), ("k", (5,)), ("k", (6,)),
+            ("v", (4,)), ("v", (5,)), ("v", (6,)),
+        ]
+
+    def test_shrink_drops_stale_chunk_rows(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import (
+            chunk_stat_view,
+            refresh_chunk_stat_view,
+        )
+
+        d, base = self._store(spark, tmp_path)
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16, mode="overwrite")
+        commit_version(spark, d, "v2-shrunk")
+        ref = sorted(
+            map(tuple, refresh_chunk_stat_view(spark, d, base, 1).collect())
+        )
+        full = sorted(map(tuple, chunk_stat_view(spark, d, 2).collect()))
+        assert ref == full and len(full) == 4
+
+    def test_layout_change_falls_back_to_full_array(
+        self, spark, tmp_path
+    ):
+        """A rechunked history can't reuse positional chunk rows —
+        the refresh must drop and recompute that array in full and
+        still equal the from-scratch view."""
+        from arrow_zarr_spark.zarr import (
+            chunk_stat_view,
+            refresh_chunk_stat_view,
+        )
+
+        d, base = self._store(spark, tmp_path)
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=8, mode="overwrite")
+        commit_version(spark, d, "v2-rechunked")
+        ref = sorted(
+            map(tuple, refresh_chunk_stat_view(spark, d, base, 1).collect())
+        )
+        full = sorted(map(tuple, chunk_stat_view(spark, d, 2).collect()))
+        assert ref == full and len(full) == 16
