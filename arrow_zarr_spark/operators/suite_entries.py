@@ -3585,3 +3585,46 @@ def populate_round7_mv_queries(register) -> None:
         "SELECT 'v', CAST(c AS VARCHAR), CAST(COUNT(*) AS BIGINT), "
         "CAST(SUM(v) AS DOUBLE) FROM r GROUP BY c",
     )
+
+
+def populate_round7_scrub_queries(register) -> None:
+    """z34: manifest scrub (zarr.scrub_zarr) — drift detection vs the
+    committed baseline, no decode. The fixture tampers the live store
+    three ways after committing (flip bytes in one chunk, delete
+    another, plant a stray key); the literal oracle pins every status
+    row, keyed by the store's deterministic key layout."""
+
+    def z34(spark, sf_dir):
+        import shutil
+
+        from ..io import write_zarr
+        from ..zarr import commit_version, open_store, scrub_zarr
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_z34_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+        write_zarr(
+            spark.range(0, 64).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            path,
+            chunk_rows=16,
+        )
+        commit_version(spark, path, "baseline")
+        st = open_store(path)
+        st.set("v/c/2", b"\x00corrupted bytes\x00")  # bit-rot stand-in
+        st.delete("k/c/3")  # lost object
+        st.set("k/c/9", b"debris")  # uncommitted stray
+        return scrub_zarr(spark, path).orderBy("key")
+
+    register(
+        "z34_manifest_scrub",
+        z34,
+        "SELECT k AS key, s AS status FROM (VALUES "
+        "('k/c/0', 'ok'), ('k/c/1', 'ok'), ('k/c/2', 'ok'), "
+        "('k/c/3', 'missing'), ('k/c/9', 'extra'), "
+        "('k/zarr.json', 'ok'), "
+        "('v/c/0', 'ok'), ('v/c/1', 'ok'), ('v/c/2', 'modified'), "
+        "('v/c/3', 'ok'), ('v/zarr.json', 'ok'), "
+        "('zarr.json', 'ok')) t(k, s) ORDER BY k",
+    )

@@ -1456,7 +1456,10 @@ DRIVER_WINDOW = [
     # (green r3; the text family keeps t12-t14/t16/t17's fresh rows
     # in-window and t02 stays parity-enforced every round)
     "t18_exact_quantiles",
-    "z05_missing_chunk_fill",
+    # late round-7 session: the manifest-scrub row takes z05's slot
+    # (green r3; fill semantics stay in-window via the w-roundtrips'
+    # canonical-fill paths and z05 stays parity-enforced every round)
+    "z34_manifest_scrub",
 ]
 
 
@@ -1496,6 +1499,7 @@ def _ensure_populated() -> None:
         populate_round7_sync_queries,
         populate_round7_entropy_queries,
         populate_round7_mv_queries,
+        populate_round7_scrub_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1540,6 +1544,7 @@ def _ensure_populated() -> None:
     populate_round7_sync_queries(register_query)
     populate_round7_entropy_queries(register_query)
     populate_round7_mv_queries(register_query)
+    populate_round7_scrub_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

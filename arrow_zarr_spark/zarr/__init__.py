@@ -29,6 +29,7 @@ from .versions import (
     resolve_as_of,
     resolve_tag,
     rollback_zarr,
+    scrub_zarr,
     sync_zarr,
     tag_version,
     vacuum_versions,
@@ -65,6 +66,7 @@ __all__ = [
     "refresh_chunk_stat_view",
     "resolve_tag",
     "rollback_zarr",
+    "scrub_zarr",
     "sync_zarr",
     "tag_version",
     "vacuum_versions",

@@ -1224,3 +1224,57 @@ def refresh_chunk_stat_view(
             F.broadcast(stale), ["array", "chunk_pos"], "left_anti"
         )
     return keep.unionByName(fresh)
+
+
+def scrub_zarr(spark, path: str, version: Optional[int] = None):
+    """Drift/bit-rot detection against a committed baseline — the
+    scrub pass a 100-TB archive schedules between commits:
+    re-hash every LIVE key and compare to the version's manifest.
+    :func:`arrow_zarr_spark.io.audit_zarr` answers "does the store
+    DECODE" (codec/crc integrity); this answers "is the store still
+    the bytes we COMMITTED" — silent storage corruption, out-of-band
+    edits, and half-landed writes all surface, without decoding
+    anything.
+
+    Returns one row per discrepancy plus per-clean-key confirmations:
+    (key, status) with status in ``ok`` (hash matches), ``modified``
+    (live bytes differ from the manifest), ``missing`` (committed key
+    with no live object), ``extra`` (live key the manifest never
+    committed — debris or an uncommitted write).
+
+    Scale shape: the work list is the union of live keys and manifest
+    keys (metadata-sized); hashing runs executor-parallel, one GET +
+    sha256 per key, nothing through the driver but the listing and
+    the status rows."""
+    store = open_store(path)
+    if version is None:
+        version = latest_version(path)
+    manifest: Dict[str, str] = _read_manifest(store, int(version))[
+        "objects"
+    ]
+    live = set(_live_keys(store))
+    committed = set(manifest)
+    work = sorted(live & committed)
+    p = path
+
+    def check(keys: Iterator[str]):
+        task_store = open_store(p)
+        for key in keys:
+            data = task_store.get(key)
+            if data is None:
+                yield (key, "missing")  # vanished between list and GET
+                continue
+            sha = hashlib.sha256(data).hexdigest()
+            yield (key, "ok" if sha == manifest_b.value[key] else "modified")
+
+    sc = spark.sparkContext
+    manifest_b = sc.broadcast(manifest)
+    rows = []
+    if work:
+        n_parts = max(1, min(len(work), sc.defaultParallelism * 2))
+        rows = (
+            sc.parallelize(work, n_parts).mapPartitions(check).collect()
+        )
+    rows += [(k, "missing") for k in sorted(committed - live)]
+    rows += [(k, "extra") for k in sorted(live - committed)]
+    return spark.createDataFrame(rows, "key string, status string")

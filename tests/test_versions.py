@@ -817,3 +817,48 @@ class TestChunkStatView:
         )
         full = sorted(map(tuple, chunk_stat_view(spark, d, 2).collect()))
         assert ref == full and len(full) == 16
+
+
+class TestScrub:
+    """scrub_zarr — manifest drift detection (z34)."""
+
+    def test_clean_store_all_ok(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import scrub_zarr
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d)
+        rows = scrub_zarr(spark, d).collect()
+        assert rows and all(r.status == "ok" for r in rows)
+
+    def test_detects_all_three_drift_kinds(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import open_store, scrub_zarr
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d)
+        st = open_store(d)
+        st.set("v/c/1", b"rot")
+        st.delete("k/c/2")
+        st.set("stray.bin", b"x")
+        got = {r.key: r.status for r in scrub_zarr(spark, d).collect()}
+        assert got["v/c/1"] == "modified"
+        assert got["k/c/2"] == "missing"
+        assert got["stray.bin"] == "extra"
+        assert got["k/c/0"] == "ok"
+
+    def test_scrub_pins_a_chosen_version(self, spark, tmp_path):
+        """Scrubbing against v1 after an append flags the append as
+        drift (extras + modified metadata); against v2 it is clean —
+        the baseline is the chosen manifest, not 'whatever is live'."""
+        from arrow_zarr_spark.zarr import scrub_zarr
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        commit_version(spark, d)
+        write_zarr(_table(spark, 32, 48), d, chunk_rows=16, mode="append")
+        commit_version(spark, d)
+        v1 = {r.status for r in scrub_zarr(spark, d, version=1).collect()}
+        assert "extra" in v1 and "modified" in v1
+        v2 = {r.status for r in scrub_zarr(spark, d, version=2).collect()}
+        assert v2 == {"ok"}
