@@ -326,3 +326,124 @@ def interval_overlap_join(
     if how_filter is not None:
         out = out.filter(how_filter)
     return out.drop("__b")
+
+
+def interpolation_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Optional[Sequence[str]] = None,
+    value_col: str = "value",
+    out_col: str = "interp_value",
+) -> DataFrame:
+    """Linear-interpolation join (j07) — align a timeseries to
+    reference points the way sensor/market pipelines do (pandas
+    ``merge_asof`` + ``interpolate``, distributed): for each left
+    row, bracket it with the latest right row at-or-before and the
+    earliest at-or-after (per ``by`` keys) and emit
+
+        prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+
+    Exactly one bracketing side present -> that side's value
+    (flat extrapolation); none -> NULL. An exact-time match brackets
+    itself on both sides, so the emitted value is exactly that row's.
+
+    The right side must be unique per (by, on) — pre-aggregate
+    duplicates first (ties would make "the" bracketing value
+    ambiguous under any engine).
+
+    Plan — one shuffle total, no joins at all: both sides tag and
+    union (the :func:`asof_join` shape), one exchange on ``by``, and
+    BOTH brackets come from last-value windows over the same
+    partitioning — the backward pass in (t asc, right-first) order,
+    the forward pass in (t desc, right-first) order; Catalyst reuses
+    the exchange and only re-sorts. Time arithmetic runs on exact
+    integer microseconds (``unix_micros``), so the interpolation is
+    three IEEE ops on engine-identical inputs — SQL-replayable
+    bit-for-bit (DuckDB: two ASOF joins + ``epoch_us``)."""
+    from pyspark.sql import types as T
+
+    by = list(by or [])
+    l_cols = [c for c in left.columns if c != on and c not in by]
+
+    def t_num(col):
+        dt = left.schema[on].dataType
+        if isinstance(dt, T.TimestampNTZType):
+            # the suite pins the session timezone to UTC, so NTZ ->
+            # TS is the identity wall time and epoch micros agree
+            # with DuckDB's epoch_us on its (NTZ-like) TIMESTAMP
+            return F.unix_micros(col.cast("timestamp")).cast("double")
+        if isinstance(dt, T.TimestampType):
+            return F.unix_micros(col).cast("double")
+        return col.cast("double")
+
+    lhs = left.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in l_cols],
+        F.lit(None).cast("double").alias("__r_v"),
+    )
+    rhs = right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_cols
+        ],
+        F.col(value_col).cast("double").alias("__r_v"),
+    )
+    unioned = lhs.unionByName(rhs)
+    if not by:
+        import warnings
+
+        warnings.warn(
+            "interpolation_join without 'by' keys needs a global time "
+            "order and collapses to a single partition — provide "
+            "per-entity keys for the 100-TB path",
+            stacklevel=2,
+        )
+
+    part = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    # right rows order before left rows at equal times in BOTH
+    # directions, so an exact-time match brackets itself
+    w_back = part.orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+    w_fwd = part.orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+    rt = F.when(F.col("__is_left") == 0, F.col("__t"))
+    back = w_back.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w_fwd.rowsBetween(Window.unboundedPreceding, 0)
+    tagged = (
+        unioned.withColumn(
+            "__prev_v", F.last("__r_v", ignorenulls=True).over(back)
+        )
+        .withColumn("__prev_t", F.last(rt, ignorenulls=True).over(back))
+        .withColumn(
+            "__next_v", F.last("__r_v", ignorenulls=True).over(fwd)
+        )
+        .withColumn("__next_t", F.last(rt, ignorenulls=True).over(fwd))
+    )
+    t, pt, nt = (
+        t_num(F.col("__t")),
+        t_num(F.col("__prev_t")),
+        t_num(F.col("__next_t")),
+    )
+    interp = (
+        F.when(
+            F.col("__prev_t").isNotNull() & F.col("__next_t").isNotNull(),
+            F.when(nt == pt, F.col("__prev_v")).otherwise(
+                F.col("__prev_v")
+                + (F.col("__next_v") - F.col("__prev_v"))
+                * (t - pt)
+                / (nt - pt)
+            ),
+        )
+        .when(F.col("__prev_t").isNotNull(), F.col("__prev_v"))
+        .when(F.col("__next_t").isNotNull(), F.col("__next_v"))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return (
+        tagged.filter(F.col("__is_left") == 1)
+        .withColumn(out_col, interp)
+        .select(*by, F.col("__t").alias(on), *l_cols, out_col)
+    )

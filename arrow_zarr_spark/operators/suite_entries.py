@@ -3628,3 +3628,59 @@ def populate_round7_scrub_queries(register) -> None:
         "('v/c/3', 'ok'), ('v/zarr.json', 'ok'), "
         "('zarr.json', 'ok')) t(k, s) ORDER BY k",
     )
+
+
+def populate_round7_interp_queries(register) -> None:
+    """j07: linear-interpolation join — the timeseries-alignment
+    operator (pandas merge_asof + interpolate, distributed; j02 is
+    its nearest-point special case). One shuffle, zero joins: both
+    brackets come from last-value windows over one exchange. The
+    oracle composes DuckDB's two ASOF directions and replays the
+    interpolation on exact integer microseconds — bit-identical
+    arithmetic. The right side is pre-aggregated to one row per
+    (user, ts) (MIN — order-free), the operator's documented
+    uniqueness contract."""
+
+    def j07(spark, sf_dir):
+        from . import joins
+
+        ensure_views(spark, sf_dir)
+        ev = spark.table("events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.min("value").alias("value"))
+        )
+        return joins.interpolation_join(
+            clicks, views, on="ts", by=["user_id"]
+        ).select("user_id", "click_id", "interp_value")
+
+    register(
+        "j07_interpolation_join",
+        j07,
+        "WITH l AS (SELECT user_id, ts, event_id FROM events "
+        "WHERE event_type = 'click'), "
+        "r AS (SELECT user_id, ts, MIN(value) AS v FROM events "
+        "WHERE event_type = 'view' GROUP BY 1, 2), "
+        "p AS (SELECT l.user_id, l.event_id, l.ts, r.ts AS pt, "
+        "r.v AS pv FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND r.ts <= l.ts), "
+        "n AS (SELECT l.user_id, l.event_id, r.ts AS nt, r.v AS nv "
+        "FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND r.ts >= l.ts) "
+        "SELECT p.user_id, p.event_id AS click_id, "
+        "CASE WHEN pt IS NOT NULL AND nt IS NOT NULL THEN "
+        "CASE WHEN epoch_us(nt) = epoch_us(pt) THEN pv "
+        "ELSE pv + (nv - pv) * "
+        "(CAST(epoch_us(p.ts) AS DOUBLE) - CAST(epoch_us(pt) AS DOUBLE)) "
+        "/ (CAST(epoch_us(nt) AS DOUBLE) - CAST(epoch_us(pt) AS DOUBLE)) "
+        "END "
+        "WHEN pt IS NOT NULL THEN pv "
+        "WHEN nt IS NOT NULL THEN nv "
+        "ELSE NULL END AS interp_value "
+        "FROM p JOIN n ON p.user_id = n.user_id "
+        "AND p.event_id = n.event_id",
+    )

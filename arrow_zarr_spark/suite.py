@@ -1428,7 +1428,10 @@ DRIVER_WINDOW = [
     # (green r3; contamination stays in-window via d11's shape family
     # history and d09 stays parity-enforced every round)
     "t15_entropy_score",
-    "j02_asof_join",
+    # late round-7 session: the interpolation join takes j02's slot
+    # (green r3; j07 contains the asof bracket in both directions and
+    # j02 stays parity-enforced every round)
+    "j07_interpolation_join",
     # late round-7 session: the incremental-sync row takes j03's slot
     # (green r3; the theta shape stays in-window via b09/z11 and j03
     # stays parity-enforced every round)
@@ -1500,6 +1503,7 @@ def _ensure_populated() -> None:
         populate_round7_entropy_queries,
         populate_round7_mv_queries,
         populate_round7_scrub_queries,
+        populate_round7_interp_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1545,6 +1549,7 @@ def _ensure_populated() -> None:
     populate_round7_entropy_queries(register_query)
     populate_round7_mv_queries(register_query)
     populate_round7_scrub_queries(register_query)
+    populate_round7_interp_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

@@ -2363,3 +2363,50 @@ class TestEntropyScore:
             .toString()
         )
         assert "Exchange" not in plan  # row-local: zero shuffles
+
+
+class TestInterpolationJoin:
+    """j07 — timeseries linear interpolation join."""
+
+    def test_bracketing_and_extrapolation(self, spark):
+        from arrow_zarr_spark.operators.joins import interpolation_join
+
+        l = spark.createDataFrame(
+            [("a", 5.0, 100), ("a", 10.0, 101), ("a", 1.0, 102),
+             ("a", 20.0, 103), ("a", 7.0, 104), ("b", 5.0, 105)],
+            "k string, ts double, eid long",
+        )
+        r = spark.createDataFrame(
+            [("a", 3.0, 1.0), ("a", 7.0, 2.0), ("a", 12.0, 3.0)],
+            "k string, ts double, value double",
+        )
+        got = {
+            row.eid: row.interp_value
+            for row in interpolation_join(l, r, on="ts", by=["k"]).collect()
+        }
+        assert got[100] == 1.5       # between (3,1) and (7,2)
+        assert got[101] == 2.6       # between (7,2) and (12,3)
+        assert got[102] == 1.0       # before first: flat
+        assert got[103] == 3.0       # after last: flat
+        assert got[104] == 2.0       # exact-time match
+        assert got[105] is None      # key with no reference points
+
+    def test_single_shuffle_no_joins(self, spark):
+        """One exchange on the by keys, reused by all four windows;
+        no join operator anywhere."""
+        from arrow_zarr_spark.operators.joins import interpolation_join
+
+        l = spark.createDataFrame(
+            [("a", 1.0, 1)], "k string, ts double, eid long"
+        )
+        r = spark.createDataFrame(
+            [("a", 1.0, 1.0)], "k string, ts double, value double"
+        )
+        plan = (
+            interpolation_join(l, r, on="ts", by=["k"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
