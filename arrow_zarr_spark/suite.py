@@ -696,6 +696,22 @@ def _populate_relational_round5_tail() -> None:
     )
 
 
+def _populate_relational_round7_tail() -> None:
+    """Round-7 completeness additions: the two rank-normalizing
+    window functions the inventory still lacked (r40 covers ntile,
+    r06/r08 cover rank/dense_rank/row_number/lag). Same text on both
+    engines; ROUND(6) keeps the double division order-proof."""
+    _sql_pair(
+        "r49_percent_rank_cume_dist",
+        "SELECT o_orderkey, o_orderpriority, "
+        "ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey), 6) AS pr, "
+        "ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey), 6) AS cd "
+        "FROM orders WHERE o_orderkey < 2000",
+    )
+
+
 def _populate_relational_round6_tail() -> None:
     """Round-6 completeness additions (registered past the window;
     round-7 rotation picks them up): FULL OUTER join and UNPIVOT —
@@ -1444,7 +1460,10 @@ DRIVER_WINDOW = [
     # (green r3; multimodal keeps m01 in-window plus m05/m06's fresh
     # rows, and m03 stays parity-enforced every round)
     "e06_stream_topk_batchform",
-    "p01_per_group_quota",
+    # late round-7 session: the percent_rank/cume_dist row takes
+    # p01's slot (green r3; sampling keeps p02 + the fresh p08-p13
+    # rows and p01 stays parity-enforced every round)
+    "r49_percent_rank_cume_dist",
     "p02_token_budget_sample",
     # late round-7 session: the replication row takes p03's slot
     # (green r3; sampling keeps p01/p02 + the fresh p08-p13 rows
@@ -1558,6 +1577,7 @@ def _ensure_populated() -> None:
     populate_round7_crossmodal_queries(register_query)
     populate_round7_upsert_queries(register_query)
     _populate_relational_round6_tail()
+    _populate_relational_round7_tail()
     _populate_zarr_round4()
     _populate_zarr_round5()
     _populate_zarr_round7()
