@@ -468,6 +468,10 @@ def phash_near_dup_pairs(
         F.shiftright("phash", 8).bitwiseAND(F.lit(255)).alias("b1"),
         F.shiftright("phash", 16).bitwiseAND(F.lit(255)).alias("b2"),
     )
+    # six self-join arms would re-run the decode+hash pipeline six
+    # times; the hash table is 5 small columns per doc — materialize
+    # it once (the d14/d16 localCheckpoint convention)
+    ph = ph.localCheckpoint()
     a = ph.select(*[F.col(c).alias(f"{c}_a") for c in ph.columns])
     b = ph.select(*[F.col(c).alias(f"{c}_b") for c in ph.columns])
     lt = F.col("media_id_a") < F.col("media_id_b")
