@@ -3033,3 +3033,125 @@ def replicate_zarr(
         "n_verified": n_verified,
         "n_mismatch": 0,
     }
+
+
+def rename_zarr_array(
+    path: str, old: str, new: str, spark=None
+) -> int:
+    """ALTER ... RENAME COLUMN for a store — completes the ALTER
+    surface (:func:`add_zarr_arrays` ADD, :func:`drop_zarr_array`
+    DROP). Renaming a COORDINATE axis also rewrites the
+    ``dimension_names`` of every array that maps onto it (and the
+    axis's own), so the coordinate join semantics follow the new
+    name; renaming a plain data column touches nothing else.
+
+    Crash-safe copy-first protocol — the source column stays intact
+    and readable until the very last step:
+
+    1. chunk objects copy to ``new/`` (distributed when ``spark`` is
+       passed; chunks-without-metadata are invisible to readers);
+    2. the array's metadata publishes under ``new/`` (dims renamed);
+    3. referencing arrays' metadata rewrites (v3 ``dimension_names``
+       / v2 ``_ARRAY_DIMENSIONS``);
+    4. the consolidated cache republishes (both columns briefly
+       visible — a readable state);
+    5. ``old/`` deletes, metadata first, and the cache republishes
+       without it.
+
+    A crash at any point leaves a readable store; at worst the
+    duplicate column remains for a re-run (or ``drop_zarr_array``).
+    Returns the number of objects moved. Object-store note: copies
+    are GET+PUT here; wire server-side copy into the Store backend
+    for a remote rename."""
+    import json as _json
+
+    from .zarr.array import open_array
+
+    store = open_store(path)
+    names = store.list_array_names()
+    if old not in names:
+        raise ZarrFormatError(
+            f"Rename column: no array {old!r} in the store "
+            f"(store has {sorted(names)})"
+        )
+    if new in names:
+        raise ZarrFormatError(
+            f"Rename column: target name {new!r} already exists"
+        )
+    if not new or "/" in new:
+        raise ZarrFormatError(
+            f"Rename column: invalid target name {new!r}"
+        )
+
+    all_old = sorted(store.walk_prefix(old))
+    meta_leaves = ("zarr.json", ".zarray", ".zattrs")
+    meta_keys = [
+        k for k in all_old if k.split("/", 1)[1] in meta_leaves
+    ]
+    data_keys = [k for k in all_old if k not in set(meta_keys)]
+
+    # 1. chunk objects copy first (invisible until metadata lands)
+    def copy_keys(keys):
+        task_store = open_store(path)
+        for k in keys:
+            data = task_store.get(k)
+            if data is None:
+                raise ZarrFormatError(
+                    f"Rename column: key {k!r} vanished mid-rename"
+                )
+            task_store.set(f"{new}/{k.split('/', 1)[1]}", data)
+            yield 1
+
+    if spark is None or not data_keys:
+        list(copy_keys(iter(data_keys)))
+    else:
+        sc = spark.sparkContext
+        n_parts = max(1, min(len(data_keys), sc.defaultParallelism * 2))
+        sc.parallelize(data_keys, n_parts).mapPartitions(
+            copy_keys
+        ).count()
+
+    def renamed_dims(doc_key: str, raw: bytes) -> bytes:
+        leaf = doc_key.rsplit("/", 1)[-1]
+        doc = _json.loads(raw)
+        if leaf == "zarr.json" and doc.get("dimension_names"):
+            doc["dimension_names"] = [
+                new if d == old else d for d in doc["dimension_names"]
+            ]
+        if leaf == ".zattrs" and doc.get("_ARRAY_DIMENSIONS"):
+            doc["_ARRAY_DIMENSIONS"] = [
+                new if d == old else d
+                for d in doc["_ARRAY_DIMENSIONS"]
+            ]
+        return _json.dumps(doc, sort_keys=True).encode()
+
+    # 2. the renamed array's own metadata
+    for k in meta_keys:
+        raw = store.get(k)
+        if raw is None:
+            raise ZarrFormatError(
+                f"Rename column: metadata {k!r} vanished mid-rename"
+            )
+        store.set(f"{new}/{k.split('/', 1)[1]}", renamed_dims(k, raw))
+
+    # 3. referencing arrays follow the dimension rename
+    for other in names:
+        if other == old:
+            continue
+        dn = open_array(store, other).meta.dimension_names
+        if dn is None or old not in tuple(dn):
+            continue
+        for leaf in meta_leaves:
+            k = f"{other}/{leaf}"
+            raw = store.get(k)
+            if raw is not None:
+                store.set(k, renamed_dims(k, raw))
+
+    # 4. republish the cache (both names readable), then retire old
+    _refresh_store_cache(store)
+    for k in meta_keys:
+        store.delete(k)
+    _refresh_store_cache(store)
+    for k in data_keys:
+        store.delete(k)
+    return len(all_old)

@@ -3684,3 +3684,36 @@ def populate_round7_interp_queries(register) -> None:
         "FROM p JOIN n ON p.user_id = n.user_id "
         "AND p.event_id = n.event_id",
     )
+
+
+def populate_round7_rename_queries(register) -> None:
+    """w16: ALTER RENAME COLUMN (io.rename_zarr_array) — completes
+    the ALTER verb surface (w11 covers ADD/DROP). The driver row
+    renames a data column AND a coordinate axis of the same store
+    family and reads both back through the real scan: a protocol bug
+    (stale cache, missed dimension_names rewrite, dropped chunk)
+    flips rows. The crash-safe copy-first ordering is test-pinned in
+    tests/test_writer.py::TestRenameArray."""
+
+    def w16(spark, sf_dir):
+        import shutil
+
+        from ..io import rename_zarr_array, write_zarr
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w16_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+        base = spark.range(0, 80).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 3 % 7).cast("double").alias("v"),
+        )
+        write_zarr(base, path, chunk_rows=16)
+        rename_zarr_array(path, "v", "score", spark=spark)
+        return spark.read.format("zarr").load(path)
+
+    register(
+        "w16_rename_roundtrip",
+        w16,
+        "SELECT CAST(i AS BIGINT) AS k, "
+        "CAST(i * 3 % 7 AS DOUBLE) AS score FROM range(80) t(i)",
+    )

@@ -1435,7 +1435,10 @@ DRIVER_WINDOW = [
     # c02's slot (green r3; the near-dup shape stays in-window via
     # d06/d18's fresh rows and c02 stays parity-enforced every round)
     "x04_incremental_view_refresh",
-    "d07_dedup_components",
+    # late round-7 session: the RENAME roundtrip takes d07's slot
+    # (green r3; dedup keeps d13-d18's fresh rows in-window and d07
+    # stays parity-enforced every round)
+    "w16_rename_roundtrip",
     # late round-7 session: the CAS commit row takes d08's slot (green
     # r3; the streaming family keeps e05's fresh row in-window and d08
     # stays parity-enforced every round)
@@ -1523,6 +1526,7 @@ def _ensure_populated() -> None:
         populate_round7_mv_queries,
         populate_round7_scrub_queries,
         populate_round7_interp_queries,
+        populate_round7_rename_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1569,6 +1573,7 @@ def _ensure_populated() -> None:
     populate_round7_mv_queries(register_query)
     populate_round7_scrub_queries(register_query)
     populate_round7_interp_queries(register_query)
+    populate_round7_rename_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

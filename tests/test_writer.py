@@ -2579,3 +2579,101 @@ class TestThreeDAlterVerbs:
         assert back.filter("q = -1.0").count() == 30  # a >= 2
         assert vacuum_zarr(path)["orphans"] == []
         assert audit_zarr(spark, path).filter("NOT ok").count() == 0
+
+
+class TestRenameArray:
+    """rename_zarr_array (w16): ALTER RENAME COLUMN across formats."""
+
+    def _table(self, spark, lo, hi):
+        from pyspark.sql import functions as F
+
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+
+    def test_data_column_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.io import rename_zarr_array, write_zarr
+
+        d = str(tmp_path / "t")
+        write_zarr(self._table(spark, 0, 48), d, chunk_rows=16)
+        n = rename_zarr_array(d, "v", "w", spark=spark)
+        assert n == 4  # 3 chunks + zarr.json
+        got = spark.read.format("zarr").load(d)
+        assert sorted(got.columns) == ["k", "w"]
+        assert got.agg(F.sum("w")).first()[0] == sum(
+            i * 2.0 for i in range(48)
+        )
+
+    def test_coordinate_rename_rewrites_referencing_dims(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.io import (
+            rename_zarr_array,
+            write_zarr_grid,
+        )
+        from arrow_zarr_spark.zarr import open_store
+        from arrow_zarr_spark.zarr.array import open_array
+
+        d = str(tmp_path / "g")
+        rows = [
+            (float(la), float(lo), float(la * 10 + lo))
+            for la in range(4)
+            for lo in range(6)
+        ]
+        g = spark.createDataFrame(rows, "lat double, lon double, temp double")
+        write_zarr_grid(g, d, dims=["lat", "lon"], chunk_shape=(2, 3))
+        rename_zarr_array(d, "lat", "latitude")
+        st = open_store(d)
+        assert tuple(open_array(st, "temp").meta.dimension_names) == (
+            "latitude",
+            "lon",
+        )
+        got = spark.read.format("zarr").load(d)
+        assert sorted(got.columns) == ["latitude", "lon", "temp"]
+        assert (
+            got.filter(F.col("latitude") == 2.0)
+            .agg(F.sum("temp"))
+            .first()[0]
+            == sum(20 + lo for lo in range(6))
+        )
+
+    def test_v2_rename(self, spark, tmp_path):
+        from arrow_zarr_spark.io import rename_zarr_array, write_zarr
+
+        d = str(tmp_path / "t2")
+        write_zarr(self._table(spark, 0, 32), d, chunk_rows=16,
+                   zarr_format=2)
+        rename_zarr_array(d, "v", "vv")
+        got = spark.read.format("zarr").load(d)
+        assert sorted(got.columns) == ["k", "vv"] and got.count() == 32
+
+    def test_collision_and_missing_raise(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from arrow_zarr_spark.io import rename_zarr_array, write_zarr
+        from arrow_zarr_spark.zarr import ZarrFormatError
+
+        d = str(tmp_path / "t")
+        write_zarr(self._table(spark, 0, 16), d, chunk_rows=16)
+        with _pytest.raises(ZarrFormatError, match="already exists"):
+            rename_zarr_array(d, "v", "k")
+        with _pytest.raises(ZarrFormatError, match="no array"):
+            rename_zarr_array(d, "nope", "x")
+
+    def test_stats_pruning_survives_rename(self, spark, tmp_path):
+        """The writer's [min,max] stats ride in the array's own
+        metadata document — a rename must keep planning-time pruning
+        working under the new name."""
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.io import rename_zarr_array, write_zarr
+
+        d = str(tmp_path / "t")
+        write_zarr(self._table(spark, 0, 128), d, chunk_rows=16)
+        rename_zarr_array(d, "v", "w", spark=spark)
+        got = spark.read.format("zarr").load(d).filter(F.col("w") < 10)
+        assert got.count() == 5  # v = 2*k < 10 -> k in 0..4
