@@ -2918,9 +2918,7 @@ def replicate_zarr(
     bytes move executor-parallel, one GET + one PUT (+ one verify GET)
     per object, nothing through the driver but counts. Wall time is
     one full read + write of the store divided by the cluster."""
-    import hashlib
-
-    from .zarr.versions import VERSIONS_PREFIX, _manifest_key  # noqa: F401
+    from .zarr.versions import VERSIONS_PREFIX
 
     if mode not in ("error", "overwrite"):
         raise ValueError(f"replicate_zarr: unknown mode {mode!r}")
@@ -2977,15 +2975,9 @@ def replicate_zarr(
                     f"replicate only quiesced stores"
                 )
             d_store.set(key, data)
-            if verify:
-                echo = d_store.get(key)
-                ok = (
-                    echo is not None
-                    and hashlib.sha256(echo).digest()
-                    == hashlib.sha256(data).digest()
-                )
-            else:
-                ok = True
+            # re-read and compare bytes directly — both buffers are
+            # already in memory, hashing them would just double CPU
+            ok = d_store.get(key) == data if verify else True
             yield (key, len(data), int(verify), int(not ok))
 
     if spark is None or not data_keys:
@@ -3088,7 +3080,8 @@ def rename_zarr_array(
     meta_keys = [
         k for k in all_old if k.split("/", 1)[1] in meta_leaves
     ]
-    data_keys = [k for k in all_old if k not in set(meta_keys)]
+    meta_set = set(meta_keys)
+    data_keys = [k for k in all_old if k not in meta_set]
 
     # 1. chunk objects copy first (invisible until metadata lands)
     def copy_keys(keys):

@@ -384,7 +384,11 @@ def interpolation_join(
         *[F.col(c) for c in l_cols],
         F.lit(None).cast("double").alias("__r_v"),
     )
-    rhs = right.select(
+    # a NULL-valued right row is not a reference point: keeping it
+    # would let the bracket TIME come from the null row while the
+    # bracket VALUE skips it (ignorenulls) — a mismatched (t, v)
+    # pair and a silently wrong slope
+    rhs = right.filter(F.col(value_col).isNotNull()).select(
         *by,
         F.col(on).alias("__t"),
         F.lit(0).alias("__is_left"),

@@ -153,7 +153,13 @@ def grouped_heavy_hitters(
         )
     cap = int(capacity)
 
-    keyed = df.filter(F.col(value_col).isNotNull()).select(
+    # NULL groups are dropped up front (documented): the recount's
+    # equi-joins are not null-safe, so a kept null group would emit
+    # summaries but silently vanish from the output — and diverge
+    # from the streaming face, which keys state by the same contract
+    keyed = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
         F.col(group_col).cast("string").alias("grp"),
         F.col(value_col).cast("string").alias("v"),
     )
@@ -260,7 +266,10 @@ def exact_quantiles(
     one row per group per prob."""
     import math
 
-    probs = [float(p) for p in probs]
+    # dedupe (order-preserving): a duplicated prob would join its
+    # bracket against the base twice and double the exact rank
+    # counts — a silently wrong selection index
+    probs = list(dict.fromkeys(float(p) for p in probs))
     if not probs or any(p < 0 or p > 1 for p in probs):
         raise ValueError(
             f"exact_quantiles: probs must be in [0, 1], got {probs}"

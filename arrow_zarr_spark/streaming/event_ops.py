@@ -482,7 +482,11 @@ def streaming_heavy_hitters(
             events, group_col, value_col, k=kk, capacity=cap
         )
 
-    keyed = events.filter(F.col(value_col).isNotNull()).select(
+    # same null-group contract as the batch operator (it drops them;
+    # a stateful null key here would break batch/stream identity)
+    keyed = events.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
         F.col(group_col).cast("string").alias("grp"),
         F.col(value_col).cast("string").alias("v"),
     )

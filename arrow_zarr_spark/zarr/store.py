@@ -155,9 +155,14 @@ class LocalStore(Store):
         # atomic link(2) publishes it — fails with FileExistsError if
         # ANY writer (this or another process) got there first, and a
         # racer can never observe a half-written value
+        import uuid
+
         p = self._path(key)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = f"{p}.{os.getpid()}.xtmp"
+        # pid alone is not enough: two THREADS of one process racing
+        # the same key would clobber each other's temp file and the
+        # winner could publish the loser's bytes
+        tmp = f"{p}.{os.getpid()}.{uuid.uuid4().hex}.xtmp"
         with open(tmp, "wb") as f:
             f.write(value)
         try:

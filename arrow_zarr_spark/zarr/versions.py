@@ -994,22 +994,6 @@ def sync_zarr(spark, src: str, dst: str) -> Dict:
     receipt["n_objects_copied"] = sum(r[0] for r in rows)
     receipt["n_bytes_copied"] = sum(r[1] for r in rows)
 
-    # history publishes before the live flip: a crash here leaves a
-    # replica that is still consistent at its old version
-    for v in new_versions:
-        dst_store.set(
-            _manifest_key(v),
-            json.dumps(manifests[v], sort_keys=True).encode(),
-        )
-    receipt["n_manifests_copied"] = len(new_versions)
-    for k in src_store.walk_prefix(VERSIONS_PREFIX + "tags/"):
-        data = src_store.get(k)
-        if data is not None:
-            dst_store.set(k, data)
-    head = src_store.get(_HEAD_KEY)
-    if head is not None:
-        dst_store.set(_HEAD_KEY, head)
-
     # live delta: only keys whose hash changed; data first, metadata
     # after, deletions last (the rollback protocol at delta size)
     changed = [
@@ -1059,6 +1043,33 @@ def sync_zarr(spark, src: str, dst: str) -> Dict:
     extras = [k for k in _live_keys(dst_store) if k not in m_new]
     for k in extras:
         dst_store.delete(k)
+
+    # the manifests/tags/HEAD publish LAST: a crash anywhere above
+    # leaves dst_versions at the OLD version, so the next sync_zarr
+    # recomputes the same (idempotent, content-addressed) delta and
+    # finishes the job — publishing history first would make a
+    # crashed sync look complete and permanently no-op every retry
+    for v in new_versions:
+        dst_store.set(
+            _manifest_key(v),
+            json.dumps(manifests[v], sort_keys=True).encode(),
+        )
+    receipt["n_manifests_copied"] = len(new_versions)
+    src_tags = {
+        k: src_store.get(k)
+        for k in src_store.walk_prefix(VERSIONS_PREFIX + "tags/")
+    }
+    for k, data in src_tags.items():
+        if data is not None:
+            dst_store.set(k, data)
+    # tags converge, not accumulate: a tag deleted at the source
+    # (possibly vacuumed past) must not keep resolving on the replica
+    for k in list(dst_store.walk_prefix(VERSIONS_PREFIX + "tags/")):
+        if k not in src_tags:
+            dst_store.delete(k)
+    head = src_store.get(_HEAD_KEY)
+    if head is not None:
+        dst_store.set(_HEAD_KEY, head)
     receipt["n_live_updated"] = len(changed)
     receipt["n_live_deleted"] = len(extras)
     receipt["to_version"] = v_src

@@ -2410,3 +2410,62 @@ class TestInterpolationJoin:
         )
         assert "Join" not in plan and "CartesianProduct" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestReviewRegressionsLateR7:
+    """Pins for the late-round-7 review findings."""
+
+    def test_interp_ignores_null_reference_values(self, spark):
+        """A NULL-valued right row must not contribute its TIME as a
+        bracket while its value is skipped — the mismatched pair made
+        the slope silently wrong."""
+        from arrow_zarr_spark.operators.joins import interpolation_join
+
+        l = spark.createDataFrame(
+            [("a", 3.0, 1)], "k string, ts double, eid long"
+        )
+        r = spark.createDataFrame(
+            [("a", 1.0, 10.0), ("a", 2.0, None), ("a", 4.0, 20.0)],
+            "k string, ts double, value double",
+        )
+        got = interpolation_join(l, r, on="ts", by=["k"]).collect()
+        # bracket is (1,10)..(4,20): 10 + 10*(3-1)/(4-1)
+        assert abs(got[0].interp_value - (10 + 10 * 2 / 3)) < 1e-12
+
+    def test_grouped_hh_drops_null_groups_consistently(self, spark):
+        """Batch and stream share the null-group contract: dropped in
+        both (the recount joins are not null-safe; state identity
+        requires agreement)."""
+        from arrow_zarr_spark.operators.sketches import (
+            grouped_heavy_hitters,
+        )
+        from arrow_zarr_spark.streaming.event_ops import (
+            streaming_heavy_hitters,
+        )
+
+        rows = [("g", "a"), ("g", "a"), (None, "x"), (None, "x")]
+        df = spark.createDataFrame(rows, "grp string, val string")
+        batch = grouped_heavy_hitters(df, "grp", "val", k=3, capacity=8)
+        assert {r.group_key for r in batch.collect()} == {"g"}
+        stream_batchform = streaming_heavy_hitters(
+            df, "grp", "val", k=3, capacity=8
+        )
+        assert {r.group_key for r in stream_batchform.collect()} == {"g"}
+
+    def test_exact_quantiles_duplicate_probs(self, spark):
+        """Duplicated probs once double-joined the brackets and
+        doubled the exact rank counts — now they dedupe."""
+        import math
+
+        from arrow_zarr_spark.operators.sketches import exact_quantiles
+
+        vals = [float(i) for i in range(100)]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, v double"
+        )
+        got = exact_quantiles(
+            df, "v", [0.3, 0.3, 0.3], group_col="grp"
+        ).collect()
+        assert len(got) == 1
+        s = sorted(vals)
+        assert got[0].value == s[max(1, math.ceil(0.3 * len(s))) - 1]

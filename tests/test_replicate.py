@@ -262,3 +262,63 @@ class TestSync:
 
         # intermediate history is usable on the replica too
         assert read_zarr(spark, dst, version=2).count() == 72
+
+
+class TestSyncCrashRecovery:
+    """Review pins: a crashed sync must stay retryable, and tags must
+    converge to the source."""
+
+    def test_crash_mid_live_flip_is_retryable(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """History publishes LAST: if the live flip dies, the replica
+        still reports its OLD version, so the retry recomputes the
+        same delta and completes — publishing manifests first would
+        make every retry a no-op over stale live data."""
+        import arrow_zarr_spark.zarr.versions as vmod
+        from arrow_zarr_spark.zarr import sync_zarr, version_log
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        write_zarr(_table(spark, 0, 64), src, chunk_rows=16)
+        commit_version(spark, src, "v1")
+        replicate_zarr(spark, src, dst, include_versions=True)
+        write_zarr(_table(spark, 64, 80), src, chunk_rows=16, mode="append")
+        commit_version(spark, src, "v2")
+
+        real_live = vmod._live_keys
+
+        def boom(store):
+            raise RuntimeError("simulated crash during the live flip")
+
+        monkeypatch.setattr(vmod, "_live_keys", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            sync_zarr(None, src, dst)
+        monkeypatch.setattr(vmod, "_live_keys", real_live)
+        # the replica still reports v1 — the crashed sync is invisible
+        assert [e["version"] for e in version_log(dst)] == [1]
+        info = sync_zarr(spark, src, dst)
+        assert info["from_version"] == 1 and info["to_version"] == 2
+        assert spark.read.format("zarr").load(dst).count() == 80
+
+    def test_tags_converge_not_accumulate(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import (
+            delete_tag,
+            list_tags,
+            sync_zarr,
+            tag_version,
+        )
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        write_zarr(_table(spark, 0, 32), src, chunk_rows=16)
+        commit_version(spark, src, "v1")
+        tag_version(src, "rc1")
+        replicate_zarr(spark, src, dst, include_versions=True)
+        assert list_tags(dst) == {"rc1": 1}
+        delete_tag(src, "rc1")
+        tag_version(src, "rc2")
+        write_zarr(_table(spark, 32, 40), src, chunk_rows=16, mode="append")
+        commit_version(spark, src, "v2")
+        sync_zarr(spark, src, dst)
+        assert list_tags(dst) == {"rc2": 1}
