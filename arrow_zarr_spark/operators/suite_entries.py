@@ -3717,3 +3717,59 @@ def populate_round7_rename_queries(register) -> None:
         "SELECT CAST(i AS BIGINT) AS k, "
         "CAST(i * 3 % 7 AS DOUBLE) AS score FROM range(80) t(i)",
     )
+
+
+def populate_round7_stream_interp_queries(register) -> None:
+    """e07: the streaming face of the interpolation join, checked in
+    its batch form (the e05/e06 convention). interpolation_join's
+    unbounded windows cannot run on a stream, so the streaming
+    operator takes the stateless broadcast form — reference curve
+    collected and broadcast, two searchsorted probes per row, no
+    state, no watermark — and computes the SAME float expression on
+    the same exact integer microseconds, so this row shares j07's
+    oracle verbatim (modulo output projection).
+    tests/test_streaming.py pins real-stream == batch == j07."""
+
+    def e07(spark, sf_dir):
+        from ..streaming.event_ops import streaming_interpolate
+
+        ensure_views(spark, sf_dir)
+        ev = spark.table("events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.min("value").alias("value"))
+        )
+        return streaming_interpolate(
+            clicks, views, on="ts", by=["user_id"]
+        ).select("user_id", "click_id", "interp_value")
+
+    register(
+        "e07_stream_interp_batchform",
+        e07,
+        "WITH l AS (SELECT user_id, ts, event_id FROM events "
+        "WHERE event_type = 'click'), "
+        "r AS (SELECT user_id, ts, MIN(value) AS v FROM events "
+        "WHERE event_type = 'view' GROUP BY 1, 2), "
+        "p AS (SELECT l.user_id, l.event_id, l.ts, r.ts AS pt, "
+        "r.v AS pv FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND r.ts <= l.ts), "
+        "n AS (SELECT l.user_id, l.event_id, r.ts AS nt, r.v AS nv "
+        "FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND r.ts >= l.ts) "
+        "SELECT p.user_id, p.event_id AS click_id, "
+        "CASE WHEN pt IS NOT NULL AND nt IS NOT NULL THEN "
+        "CASE WHEN epoch_us(nt) = epoch_us(pt) THEN pv "
+        "ELSE pv + (nv - pv) * "
+        "(CAST(epoch_us(p.ts) AS DOUBLE) - CAST(epoch_us(pt) AS DOUBLE)) "
+        "/ (CAST(epoch_us(nt) AS DOUBLE) - CAST(epoch_us(pt) AS DOUBLE)) "
+        "END "
+        "WHEN pt IS NOT NULL THEN pv "
+        "WHEN nt IS NOT NULL THEN nv "
+        "ELSE NULL END AS interp_value "
+        "FROM p JOIN n ON p.user_id = n.user_id "
+        "AND p.event_id = n.event_id",
+    )

@@ -34,6 +34,8 @@ __all__ = [
     "sessionize_stream",
     "stateful_user_counts",
     "streaming_exact_dedup",
+    "streaming_heavy_hitters",
+    "streaming_interpolate",
     "streaming_kmv_distinct",
     "enrich_events",
     "interval_join_events",
@@ -543,3 +545,134 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_interpolate(
+    events: DataFrame,
+    reference: DataFrame,
+    on: str = "ts",
+    by=None,
+    value_col: str = "value",
+    out_col: str = "interp_value",
+    max_reference_rows: int = 1_000_000,
+):
+    """Streaming face of the interpolation join (j07): enrich a live
+    event stream with values linearly interpolated from a STATIC
+    reference curve. The windowed batch operator
+    (:func:`arrow_zarr_spark.operators.joins.interpolation_join`)
+    cannot run on a stream — unbounded windows are not allowed there
+    — so this takes the stateless broadcast form: the reference is
+    collected (``max_reference_rows``-capped — it is a curve, not a
+    second stream), grouped per entity into sorted (micros, value)
+    arrays, broadcast, and every micro-batch brackets its rows with
+    two ``np.searchsorted`` probes per row set (Arrow-batched, no
+    state, no watermark, works identically on batch frames).
+
+    Semantics are IDENTICAL to interpolation_join — same bracket
+    rules (flat extrapolation at the edges, exact-time matches
+    bracket themselves, null reference values are not points), and
+    the SAME float expression on the same exact integer microseconds,
+    so batch-vs-stream and operator-vs-oracle are bit-equal
+    (test-pinned)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    by = list(by or [])
+    ref_rows = (
+        reference.filter(F.col(value_col).isNotNull())
+        .select(*by, on, value_col)
+        .limit(max_reference_rows + 1)
+        .collect()
+    )
+    if len(ref_rows) > max_reference_rows:
+        raise ValueError(
+            f"streaming_interpolate collects the reference side; got "
+            f"more than max_reference_rows={max_reference_rows} rows. "
+            f"The reference must be a bounded curve — downsample it, "
+            f"or use interpolation_join on batch frames."
+        )
+
+    is_ts = isinstance(
+        events.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)
+    )
+
+    def to_us(v):
+        if is_ts:
+            return np.datetime64(v, "us").astype(np.int64)
+        return float(v)
+
+    curves: dict = {}
+    for r in ref_rows:
+        key = tuple(r[c] for c in by)
+        curves.setdefault(key, []).append(
+            (to_us(r[on]), float(r[value_col]))
+        )
+    curves = {
+        k: (
+            np.array([t for t, _ in sorted(pts)], dtype=np.float64),
+            np.array([v for _, v in sorted(pts)], dtype=np.float64),
+        )
+        for k, pts in curves.items()
+    }
+    spark = events.sparkSession
+    b = spark.sparkContext.broadcast(curves)
+
+    out_fields = list(events.schema.fields) + [
+        T.StructField(out_col, T.DoubleType(), True)
+    ]
+    out_schema = T.StructType(out_fields)
+    in_cols = [f.name for f in events.schema.fields]
+
+    def kernel(batches):
+        curves_l = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if is_ts:
+                t_all = (
+                    pdf[on]
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype(np.int64)
+                    .astype(np.float64)
+                )
+            else:
+                t_all = pdf[on].to_numpy(dtype=np.float64)
+            out = np.full(len(pdf), np.nan, dtype=np.float64)
+            keys = (
+                list(zip(*[pdf[c] for c in by]))
+                if by
+                else [()] * len(pdf)
+            )
+            for i, key in enumerate(keys):
+                curve = curves_l.get(key)
+                if curve is None:
+                    continue
+                ts_arr, v_arr = curve
+                t = t_all[i]
+                j = np.searchsorted(ts_arr, t, side="left")
+                i_prev = np.searchsorted(ts_arr, t, side="right") - 1
+                has_prev = i_prev >= 0
+                has_next = j < len(ts_arr)
+                if has_prev and has_next:
+                    pt, pv = ts_arr[i_prev], v_arr[i_prev]
+                    nt, nv = ts_arr[j], v_arr[j]
+                    if nt == pt:
+                        out[i] = pv
+                    else:
+                        # the exact expression of interpolation_join
+                        # and the j07 oracle: ((nv-pv)*(t-pt))/(nt-pt)
+                        out[i] = pv + (nv - pv) * (t - pt) / (nt - pt)
+                elif has_prev:
+                    out[i] = v_arr[i_prev]
+                elif has_next:
+                    out[i] = v_arr[j]
+            res = pdf[in_cols].copy()
+            res[out_col] = out
+            res[out_col] = res[out_col].where(
+                ~np.isnan(res[out_col].to_numpy()), None
+            )
+            yield res
+
+    return events.mapInPandas(kernel, schema=out_schema)

@@ -1467,7 +1467,10 @@ DRIVER_WINDOW = [
     # p01's slot (green r3; sampling keeps p02 + the fresh p08-p13
     # rows and p01 stays parity-enforced every round)
     "r49_percent_rank_cume_dist",
-    "p02_token_budget_sample",
+    # late round-7 session: the streaming-interpolation row takes
+    # p02's slot (green r3; sampling keeps the fresh p08-p13 rows
+    # in-window and p02 stays parity-enforced every round)
+    "e07_stream_interp_batchform",
     # late round-7 session: the replication row takes p03's slot
     # (green r3; sampling keeps p01/p02 + the fresh p08-p13 rows
     # in-window and p03 stays parity-enforced every round)
@@ -1527,6 +1530,7 @@ def _ensure_populated() -> None:
         populate_round7_scrub_queries,
         populate_round7_interp_queries,
         populate_round7_rename_queries,
+        populate_round7_stream_interp_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1574,6 +1578,7 @@ def _ensure_populated() -> None:
     populate_round7_scrub_queries(register_query)
     populate_round7_interp_queries(register_query)
     populate_round7_rename_queries(register_query)
+    populate_round7_stream_interp_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

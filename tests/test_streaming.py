@@ -649,3 +649,86 @@ def test_streaming_heavy_hitters_batch_mode(spark, events):
     }
     for r in got:
         assert exact[(r.group_key, r.value)] == r.total_freq
+
+
+def test_streaming_interpolate_matches_batch_and_join(spark, tmp_path):
+    """The stateless broadcast kernel must emit rows IDENTICAL to the
+    windowed interpolation_join on the same inputs, on a REAL stream
+    across micro-batches (the operator is stateless so every row is
+    final at emission)."""
+    from arrow_zarr_spark.operators.joins import interpolation_join
+    from arrow_zarr_spark.streaming.event_ops import (
+        streaming_interpolate,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("a", 4.0, 20.0), ("b", 2.0, 5.0)],
+        "k string, ts double, value double",
+    )
+    batch1 = spark.createDataFrame(
+        [("a", 0.5, 1), ("a", 2.0, 2), ("b", 9.0, 3)],
+        "k string, ts double, eid long",
+    )
+    batch2 = spark.createDataFrame(
+        [("a", 4.0, 4), ("c", 1.0, 5)],
+        "k string, ts double, eid long",
+    )
+    all_events = batch1.union(batch2)
+
+    want = {
+        r.eid: r.interp_value
+        for r in interpolation_join(
+            all_events, ref, on="ts", by=["k"]
+        ).collect()
+    }
+    got_batch = {
+        r.eid: r.interp_value
+        for r in streaming_interpolate(
+            all_events, ref, on="ts", by=["k"]
+        ).collect()
+    }
+    assert got_batch == want
+    assert want[1] == 10.0 and want[2] == 10 + 10 * 1 / 3
+    assert want[4] == 20.0 and want[5] is None
+
+    src = str(tmp_path / "si_src")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    q = (
+        streaming_interpolate(stream, ref, on="ts", by=["k"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("si_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            r.eid: r.interp_value
+            for r in spark.sql("SELECT * FROM si_out").collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_streaming_interpolate_reference_cap(spark):
+    from arrow_zarr_spark.streaming.event_ops import (
+        streaming_interpolate,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", float(i), 1.0) for i in range(10)],
+        "k string, ts double, value double",
+    )
+    ev = spark.createDataFrame(
+        [("a", 1.0, 1)], "k string, ts double, eid long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_reference_rows"):
+        streaming_interpolate(
+            ev, ref, on="ts", by=["k"], max_reference_rows=3
+        )
