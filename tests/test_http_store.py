@@ -418,3 +418,26 @@ def test_maintenance_tools_over_http(spark, served_store):
     d = diff_zarr(spark, url, url)
     assert d.filter("status <> 'equal'").count() == 0
     assert d.count() == 9 + 3 + 3
+
+
+def test_replicate_from_http_mirror(served_store, spark, tmp_path):
+    """The remote->local mirror workflow: replicate_zarr pulls a
+    store served over HTTP (the reference's S3 access pattern) into a
+    local replica, byte-verified, and the replica scans identically
+    to the remote original."""
+    from pyspark.sql import functions as F
+
+    from arrow_zarr_spark.io import replicate_zarr
+
+    url, data = served_store
+    dst = str(tmp_path / "mirror")
+    info = replicate_zarr(spark, url, dst)
+    assert info["n_mismatch"] == 0 and info["n_objects"] > 0
+    local = spark.read.format("zarr").load(dst)
+    remote = spark.read.format("zarr").load(url)
+    assert local.count() == remote.count() == data.size
+    assert (
+        local.agg(F.sum("temp")).first()[0]
+        == remote.agg(F.sum("temp")).first()[0]
+        == float(data.sum())
+    )

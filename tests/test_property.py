@@ -5,6 +5,7 @@ the codec chain, chunk math, and broadcast semantics goes beyond it.
 No Spark session needed: these run against the pure-Python layer."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -547,3 +548,76 @@ def test_upsert_matches_merge_model(spark, tmp_path_factory, n, chunk, n_up, see
     assert out["touched_objects"] <= out["candidate_objects"] <= out[
         "total_objects"
     ]
+
+
+class TestIntegerRoundingIdentity:
+    """The SQ8 encode's pure-integer half-away-from-zero identity —
+    the fact that lets the s06/s07 oracles replay the encode with
+    BIGINT // and no float rounding anywhere."""
+
+    @given(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        st.integers(min_value=1, max_value=2**20),
+    )
+    def test_matches_float_half_away(self, n, s):
+        from fractions import Fraction
+
+        code = (1 if n >= 0 else -1) * ((2 * abs(n) + s) // (2 * s))
+        # exact rational half-away-from-zero reference
+        q = Fraction(abs(n), s)
+        ref = (1 if n >= 0 else -1) * int(q + Fraction(1, 2))
+        assert code == ref
+
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32768),
+            min_size=1,
+            max_size=64,
+        )
+    )
+    def test_codes_fit_int8_under_scale_law(self, ns):
+        ma = max(abs(n) for n in ns)
+        s = max(1, (ma + 126) // 127)
+        for n in ns:
+            code = (1 if n >= 0 else -1) * ((2 * abs(n) + s) // (2 * s))
+            assert -127 <= code <= 127
+
+
+class TestInterpolationFormula:
+    """The j07/e07 kernel expression agrees with numpy.interp for
+    in-range points on exact-integer time grids."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**9),
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+            min_size=2,
+            max_size=20,
+            unique_by=lambda tv: tv[0],
+        ),
+        st.integers(min_value=0, max_value=10**9),
+    )
+    def test_matches_numpy_interp(self, pts, t):
+        import numpy as np
+
+        pts = sorted(pts)
+        ts = np.array([p[0] for p in pts], dtype=np.float64)
+        vs = np.array([p[1] for p in pts], dtype=np.float64)
+        if not (ts[0] <= t <= ts[-1]):
+            return  # edges are flat extrapolation in both — trivial
+        j = int(np.searchsorted(ts, t, side="left"))
+        i = int(np.searchsorted(ts, t, side="right")) - 1
+        if ts[j] == ts[i]:
+            got = vs[i]
+        else:
+            pt, pv, nt, nv = ts[i], vs[i], ts[j], vs[j]
+            got = pv + (nv - pv) * (t - pt) / (nt - pt)
+        want = float(np.interp(t, ts, vs))
+        assert got == pytest.approx(want, rel=1e-12, abs=1e-9)
