@@ -3773,3 +3773,43 @@ def populate_round7_stream_interp_queries(register) -> None:
         "FROM p JOIN n ON p.user_id = n.user_id "
         "AND p.event_id = n.event_id",
     )
+
+
+def populate_round7_plandoctor_queries(register) -> None:
+    """z35: the plan doctor (plan_doctor.plan_report) — the project's
+    plan-contract checklist as a user-facing operator, driver-checked
+    on a fixed probe plan (broadcast equi-join + aggregate over an
+    in-memory range: independent of sf_dir, so the report is a
+    deterministic literal). The checklist itself is what the repo's
+    30+ plan-contract tests assert operator-by-operator: cartesians,
+    NLJs, row-at-a-time Python, shuffle budget, join strategies,
+    codegen spans, unpushed parquet scans."""
+
+    def z35(spark, sf_dir):
+        from ..plan_doctor import plan_report
+
+        a = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        )
+        b = spark.range(0, 7).select(
+            F.col("id").alias("g"), (F.col("id") * 10).alias("w")
+        )
+        probe = a.join(F.broadcast(b), "g").groupBy("g").agg(
+            F.sum("k").alias("s")
+        )
+        return plan_report(probe)
+
+    register(
+        "z35_plan_doctor",
+        z35,
+        "SELECT c AS check, CAST(v AS BIGINT) AS value, ok FROM "
+        "(VALUES ('cartesian_product', 0, TRUE), "
+        "('broadcast_nested_loop_join', 0, TRUE), "
+        "('python_row_udf', 0, TRUE), "
+        "('arrow_python_eval', 0, TRUE), "
+        "('exchange', 1, TRUE), "
+        "('broadcast_hash_join', 1, TRUE), "
+        "('sort_merge_join', 0, TRUE), "
+        "('wholestage_codegen', 0, TRUE), "
+        "('filescan_without_pushed_filters', 0, TRUE)) t(c, v, ok)",
+    )

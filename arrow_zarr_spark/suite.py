@@ -1430,7 +1430,10 @@ DRIVER_WINDOW = [
     "w14_upsert_roundtrip",
     "m06_crossmodal_alignment",
     # stalest green rows (last driver-checked in round 3)
-    "c01_kmeans_clusters",
+    # late round-7 session: the plan-doctor row takes c01's slot
+    # (green r3; clustering shapes stay exercised via c02's oracle
+    # parity every round and the d06/d18 cluster-gated near-dups)
+    "z35_plan_doctor",
     # late round-7 session: the incremental-view-refresh row takes
     # c02's slot (green r3; the near-dup shape stays in-window via
     # d06/d18's fresh rows and c02 stays parity-enforced every round)
@@ -1531,6 +1534,7 @@ def _ensure_populated() -> None:
         populate_round7_interp_queries,
         populate_round7_rename_queries,
         populate_round7_stream_interp_queries,
+        populate_round7_plandoctor_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1579,6 +1583,7 @@ def _ensure_populated() -> None:
     populate_round7_interp_queries(register_query)
     populate_round7_rename_queries(register_query)
     populate_round7_stream_interp_queries(register_query)
+    populate_round7_plandoctor_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

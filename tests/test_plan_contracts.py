@@ -664,3 +664,63 @@ class TestPhashPlanContracts:
             plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
             == 3
         )
+
+
+class TestPlanDoctor:
+    """plan_doctor (z35): the contract checklist as a tool."""
+
+    def test_flags_the_scale_killers(self, views):
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.plan_doctor import audit_plan
+
+        spark = views
+        a = spark.range(0, 100).select(F.col("id").alias("k"))
+        b = spark.range(0, 100).select(F.col("id").alias("j"))
+        bad = a.crossJoin(b)
+        flagged = {r["check"] for r in audit_plan(bad) if not r["ok"]}
+        assert flagged & {
+            "cartesian_product",
+            "broadcast_nested_loop_join",
+        }
+
+    def test_flags_row_python_but_not_arrow(self, views):
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        from arrow_zarr_spark.plan_doctor import audit_plan
+
+        spark = views
+        df = spark.range(0, 10)
+        slow = df.select(
+            F.udf(lambda x: x + 1, LongType())(F.col("id")).alias("y")
+        )
+        got = {r["check"]: r for r in audit_plan(slow)}
+        assert not got["python_row_udf"]["ok"]
+
+        @F.pandas_udf("long")
+        def fast(s):
+            return s + 1
+
+        ok = df.select(fast(F.col("id")).alias("y"))
+        got = {r["check"]: r for r in audit_plan(ok)}
+        assert got["python_row_udf"]["ok"]
+        assert got["arrow_python_eval"]["value"] >= 1
+
+    def test_flags_unpushed_filescan(self, views):
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.plan_doctor import audit_plan
+
+        li = views.table("lineitem")
+        pushed = li.filter(F.col("l_quantity") > 30)
+        got = {r["check"]: r for r in audit_plan(pushed)}
+        assert got["filescan_without_pushed_filters"]["ok"]
+        # a filter the scan can't take: over a computed expression
+        blocked = li.filter(
+            F.sha2(F.col("l_comment"), 256).startswith("00")
+            if "l_comment" in li.columns
+            else F.xxhash64(F.col("l_orderkey")) % 100 == 0
+        )
+        got = {r["check"]: r for r in audit_plan(blocked)}
+        assert got["filescan_without_pushed_filters"]["value"] >= 1
