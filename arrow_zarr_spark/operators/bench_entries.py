@@ -83,6 +83,35 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     qs["multimodal_features"] = lambda: force(
         multimodal.byte_features(multimodal.with_binary_payload(docs))
     )
+    # interpolation join (j07): union + one exchange + four windows,
+    # zero join operators; tracked because the window sorts are the
+    # only cost lever — and its stateless streaming twin (e07), whose
+    # broadcast-kernel form should beat the windowed plan outright
+    from . import joins as joins_mod
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("value"))
+    )
+    qs["interp_join"] = lambda: force(
+        joins_mod.interpolation_join(
+            clicks, views, on="ts", by=["user_id"]
+        )
+    )
+
+    def _interp_stream_form():
+        from ..streaming.event_ops import streaming_interpolate
+
+        return force(
+            streaming_interpolate(clicks, views, on="ts", by=["user_id"])
+        )
+
+    qs["interp_broadcast_kernel"] = _interp_stream_form
     # perceptual-hash near-dup (m07): one Arrow decode pass -> JVM
     # dHash bits -> 3 band equi-joins + exact verify; tracked because
     # the band joins are the corpus-squaring risk the banding bounds
