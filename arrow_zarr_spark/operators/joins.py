@@ -384,11 +384,13 @@ def interpolation_join(
         *[F.col(c) for c in l_cols],
         F.lit(None).cast("double").alias("__r_v"),
     )
-    # a NULL-valued right row is not a reference point: keeping it
-    # would let the bracket TIME come from the null row while the
-    # bracket VALUE skips it (ignorenulls) — a mismatched (t, v)
-    # pair and a silently wrong slope
-    rhs = right.filter(F.col(value_col).isNotNull()).select(
+    # a NULL-valued or NULL-timed right row is not a reference point:
+    # keeping either would let the bracket TIME come from a row whose
+    # VALUE the last-value window skips (ignorenulls) — a mismatched
+    # (t, v) pair and a silently wrong slope
+    rhs = right.filter(
+        F.col(value_col).isNotNull() & F.col(on).isNotNull()
+    ).select(
         *by,
         F.col(on).alias("__t"),
         F.lit(0).alias("__is_left"),
@@ -433,7 +435,8 @@ def interpolation_join(
         t_num(F.col("__next_t")),
     )
     interp = (
-        F.when(
+        F.when(F.col("__t").isNull(), F.lit(None).cast("double"))
+        .when(
             F.col("__prev_t").isNotNull() & F.col("__next_t").isNotNull(),
             F.when(nt == pt, F.col("__prev_v")).otherwise(
                 F.col("__prev_v")

@@ -18,11 +18,16 @@ a 100x scale-up:
 - ``broadcast_hash_join`` / ``sort_merge_join`` — how the joins are
   actually executed (a small side that sort-merges wants a broadcast
   hint or AQE).
-- ``wholestage_codegen`` — fused JVM spans; zero on a relational plan
-  means something is blocking codegen.
-- ``filescan_without_pushed_filters`` — parquet scans whose
-  ``PushedFilters`` list is empty while the plan filters above them
-  (reads that decode rows a pushdown would have skipped).
+- ``wholestage_codegen`` — fused JVM spans. CAVEAT: under AQE (this
+  project's default) codegen is applied per query stage at EXECUTION,
+  so an unexecuted DataFrame's plan string carries no spans and the
+  count reads 0; audit after an action (or with AQE off) to see them.
+  Informational either way, never a verdict.
+- ``filescan_without_pushed_filters`` — parquet scans whose own
+  ``DataFilters`` list is non-empty (a filter applies to THAT scan)
+  while their ``PushedFilters`` list is empty: rows decode that a
+  pushdown would have skipped. Scans with no filter of their own are
+  never flagged.
 
 ``audit_plan`` returns the findings as plain dicts;
 ``plan_report`` as a one-row-per-check DataFrame (check, value,
@@ -62,10 +67,15 @@ def audit_plan(df: DataFrame) -> List[Dict]:
     scans = [
         ln for ln in plan.splitlines() if "FileScan parquet" in ln
     ]
+    # scan-LOCAL check: the FileScan line carries its own DataFilters
+    # list, so "a filter exists somewhere in the plan" can't leak a
+    # false verdict onto a deliberately unfiltered scan
     n_unpushed = sum(
         1
         for ln in scans
-        if "PushedFilters: []" in ln and "Filter " in plan
+        if "PushedFilters: []" in ln
+        and "DataFilters: [" in ln
+        and "DataFilters: []" not in ln
     )
     rows = [
         ("cartesian_product", n_cartesian, n_cartesian == 0),
@@ -84,9 +94,11 @@ def audit_plan(df: DataFrame) -> List[Dict]:
 
 
 def set_first(plan: str) -> str:
-    """The final plan when AQE has re-planned: keep the section before
-    any '+- == Initial Plan ==' marker so counts reflect what will
-    actually run."""
+    """When AQE has already re-planned (the DataFrame was executed),
+    the string carries 'Final Plan' and 'Initial Plan' sections — keep
+    the final one. Before execution there is only the initial plan,
+    which is what the counts then reflect (joins AQE would demote to
+    broadcast still show as sort-merge until an action runs)."""
     marker = "+- == Initial Plan =="
     return plan.split(marker)[0] if marker in plan else plan
 

@@ -564,24 +564,42 @@ def streaming_interpolate(
     — so this takes the stateless broadcast form: the reference is
     collected (``max_reference_rows``-capped — it is a curve, not a
     second stream), grouped per entity into sorted (micros, value)
-    arrays, broadcast, and every micro-batch brackets its rows with
-    two ``np.searchsorted`` probes per row set (Arrow-batched, no
-    state, no watermark, works identically on batch frames).
+    arrays, broadcast, and every micro-batch brackets ALL of an
+    entity's rows with two VECTORIZED ``np.searchsorted`` probes (one
+    pandas groupby per batch — no per-row Python; no state, no
+    watermark, works identically on batch frames).
 
-    Semantics are IDENTICAL to interpolation_join — same bracket
-    rules (flat extrapolation at the edges, exact-time matches
-    bracket themselves, null reference values are not points), and
-    the SAME float expression on the same exact integer microseconds,
-    so batch-vs-stream and operator-vs-oracle are bit-equal
+    Semantics match interpolation_join on every defined input — same
+    bracket rules (flat extrapolation at the edges, exact-time
+    matches bracket themselves), null-valued and null-TIMED reference
+    rows are not points, and a null/NaN event time yields NULL in
+    both operators — computed with the SAME float expression on the
+    same exact integer microseconds (timestamps convert to micros
+    via ``unix_micros`` IN the collect query, so the epoch is
+    engine-defined and independent of the driver OS timezone), so
+    batch-vs-stream and operator-vs-oracle are bit-equal
     (test-pinned)."""
     import numpy as np
 
     from pyspark.sql import types as T
 
     by = list(by or [])
+    is_ts = isinstance(
+        events.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)
+    )
+    # micros computed JVM-side: collect() would hand back OS-local
+    # naive datetimes (a hidden epoch shift on non-UTC hosts) — the
+    # j07 review taught us to never let the driver timezone in
+    t_expr = (
+        F.unix_micros(F.col(on).cast("timestamp")).cast("double")
+        if is_ts
+        else F.col(on).cast("double")
+    )
     ref_rows = (
-        reference.filter(F.col(value_col).isNotNull())
-        .select(*by, on, value_col)
+        reference.filter(
+            F.col(value_col).isNotNull() & F.col(on).isNotNull()
+        )
+        .select(*by, t_expr.alias("__us"), F.col(value_col).alias("__v"))
         .limit(max_reference_rows + 1)
         .collect()
     )
@@ -593,20 +611,11 @@ def streaming_interpolate(
             f"or use interpolation_join on batch frames."
         )
 
-    is_ts = isinstance(
-        events.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)
-    )
-
-    def to_us(v):
-        if is_ts:
-            return np.datetime64(v, "us").astype(np.int64)
-        return float(v)
-
     curves: dict = {}
     for r in ref_rows:
         key = tuple(r[c] for c in by)
         curves.setdefault(key, []).append(
-            (to_us(r[on]), float(r[value_col]))
+            (float(r["__us"]), float(r["__v"]))
         )
     curves = {
         k: (
@@ -630,6 +639,8 @@ def streaming_interpolate(
             if not len(pdf):
                 continue
             if is_ts:
+                # mapInPandas delivers session-timezone (UTC-pinned)
+                # naive timestamps: micros here == unix_micros above
                 t_all = (
                     pdf[on]
                     .to_numpy()
@@ -637,42 +648,59 @@ def streaming_interpolate(
                     .astype(np.int64)
                     .astype(np.float64)
                 )
+                nat = pdf[on].isna().to_numpy()
+                t_all[nat] = np.nan
             else:
                 t_all = pdf[on].to_numpy(dtype=np.float64)
             out = np.full(len(pdf), np.nan, dtype=np.float64)
-            keys = (
-                list(zip(*[pdf[c] for c in by]))
+            groups = (
+                pdf.groupby(list(by), sort=False, dropna=False).indices
                 if by
-                else [()] * len(pdf)
+                else {(): np.arange(len(pdf))}
             )
-            for i, key in enumerate(keys):
+            for key, idx in groups.items():
+                if by and not isinstance(key, tuple):
+                    key = (key,)
                 curve = curves_l.get(key)
                 if curve is None:
                     continue
                 ts_arr, v_arr = curve
-                t = t_all[i]
-                j = np.searchsorted(ts_arr, t, side="left")
-                i_prev = np.searchsorted(ts_arr, t, side="right") - 1
-                has_prev = i_prev >= 0
+                t = t_all[idx]
+                ok = np.isfinite(t)  # null/NaN event time -> NULL
+                if not ok.any():
+                    continue
+                tt = t[ok]
+                j = np.searchsorted(ts_arr, tt, side="left")
+                ip = np.searchsorted(ts_arr, tt, side="right") - 1
+                has_prev = ip >= 0
                 has_next = j < len(ts_arr)
-                if has_prev and has_next:
-                    pt, pv = ts_arr[i_prev], v_arr[i_prev]
-                    nt, nv = ts_arr[j], v_arr[j]
-                    if nt == pt:
-                        out[i] = pv
-                    else:
-                        # the exact expression of interpolation_join
-                        # and the j07 oracle: ((nv-pv)*(t-pt))/(nt-pt)
-                        out[i] = pv + (nv - pv) * (t - pt) / (nt - pt)
-                elif has_prev:
-                    out[i] = v_arr[i_prev]
-                elif has_next:
-                    out[i] = v_arr[j]
-            res = pdf[in_cols].copy()
-            res[out_col] = out
-            res[out_col] = res[out_col].where(
-                ~np.isnan(res[out_col].to_numpy()), None
-            )
-            yield res
+                res = np.full(len(tt), np.nan, dtype=np.float64)
+                both = has_prev & has_next
+                if both.any():
+                    pt = ts_arr[ip[both]]
+                    pv = v_arr[ip[both]]
+                    nt = ts_arr[j[both]]
+                    nv = v_arr[j[both]]
+                    same = nt == pt
+                    # the exact expression of interpolation_join and
+                    # the j07 oracle: ((nv-pv)*(t-pt))/(nt-pt)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        lin = pv + (nv - pv) * (tt[both] - pt) / (
+                            nt - pt
+                        )
+                    res[both] = np.where(same, pv, lin)
+                only_prev = has_prev & ~has_next
+                if only_prev.any():
+                    res[only_prev] = v_arr[ip[only_prev]]
+                only_next = has_next & ~has_prev
+                if only_next.any():
+                    res[only_next] = v_arr[j[only_next]]
+                full = np.full(len(idx), np.nan, dtype=np.float64)
+                full[ok] = res
+                out[idx] = full
+            res_pdf = pdf[in_cols].copy()
+            # NaN crosses the Arrow boundary as NULL
+            res_pdf[out_col] = out
+            yield res_pdf
 
     return events.mapInPandas(kernel, schema=out_schema)

@@ -732,3 +732,71 @@ def test_streaming_interpolate_reference_cap(spark):
         streaming_interpolate(
             ev, ref, on="ts", by=["k"], max_reference_rows=3
         )
+
+
+def test_streaming_interpolate_tz_independent(spark):
+    """Regression: reference micros are computed JVM-side
+    (unix_micros), so the driver OS timezone cannot shift the curve.
+    Before the fix, collect() handed back OS-local naive datetimes
+    while the kernel saw session-UTC ones — a silent epoch skew on
+    any non-UTC host."""
+    import os
+    import time as _time
+
+    from arrow_zarr_spark.operators.joins import interpolation_join
+    from arrow_zarr_spark.streaming.event_ops import (
+        streaming_interpolate,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 10.0),
+         ("a", "2024-01-01 04:00:00", 20.0)],
+        "k string, ts string, value double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "value")
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 01:00:00", 1)],
+        "k string, ts string, eid long",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "eid")
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        got = streaming_interpolate(ev, ref, on="ts", by=["k"]).collect()
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+    want = interpolation_join(ev, ref, on="ts", by=["k"]).collect()
+    assert got[0].interp_value == want[0].interp_value == 12.5
+
+
+def test_streaming_interpolate_null_contracts_match_join(spark):
+    """Regression: null EVENT times yield NULL in both operators, and
+    null-TIMED reference rows are not points in either."""
+    from arrow_zarr_spark.operators.joins import interpolation_join
+    from arrow_zarr_spark.streaming.event_ops import (
+        streaming_interpolate,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("a", None, 99.0), ("a", 4.0, 20.0)],
+        "k string, ts double, value double",
+    )
+    ev = spark.createDataFrame(
+        [("a", 2.0, 1), ("a", None, 2)],
+        "k string, ts double, eid long",
+    )
+    got = {
+        r.eid: r.interp_value
+        for r in streaming_interpolate(ev, ref, on="ts", by=["k"]).collect()
+    }
+    want = {
+        r.eid: r.interp_value
+        for r in interpolation_join(ev, ref, on="ts", by=["k"]).collect()
+    }
+    assert got == want
+    assert got[1] == 10 + 10 * 1 / 3  # the null-timed 99.0 never brackets
+    assert got[2] is None
