@@ -85,8 +85,14 @@ def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
     )
     # interpolation join (j07): union + one exchange + four windows,
     # zero join operators; tracked because the window sorts are the
-    # only cost lever — and its stateless streaming twin (e07), whose
-    # broadcast-kernel form should beat the windowed plan outright
+    # only cost lever — and its stateless streaming twin (e07).
+    # HONEST regime note: at this fixture the two sides are similar
+    # size (~12k events vs ~12k reference rows), so the windowed JVM
+    # plan tracks at-or-ahead of the broadcast kernel (0.53 vs 0.68s
+    # measured); the kernel's regime is a SMALL reference curve under
+    # a large/streaming event side, where the windowed plan's union
+    # shuffle carries the whole event stream and the kernel shuffles
+    # nothing. The pair guards both forms against regression.
     from . import joins as joins_mod
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
