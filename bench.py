@@ -524,6 +524,33 @@ def _scale_docs(spark, factor: int) -> str:
     return out
 
 
+def _scale_parquet(spark, factor: int, name: str, id_col: str) -> str:
+    """A ``factor``x copy of any fixture table (ids shifted per copy,
+    all other columns unchanged — right for rungs whose operator cost
+    is row-linear and value-independent: quantile selection, SQ8
+    encode+score). For text/dedup rungs use :func:`_scale_docs`,
+    whose letter rotation avoids manufacturing duplicate pairs."""
+    from pyspark.sql import functions as F
+
+    token = SF_DIR.rstrip("/").replace("/", "_").lstrip("_")
+    out = f"/tmp/azs_scale{factor}_{token}/{name}.parquet"
+    if os.path.exists(out + "/_SUCCESS"):
+        return out
+    base = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+    stride = base.agg(F.max(id_col)).first()[0] + 1
+    parts = [
+        base.withColumn(
+            id_col, (F.col(id_col) + F.lit(i * stride)).alias(id_col)
+        )
+        for i in range(factor)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(out)
+    return out
+
+
 def scale_rung_queries(spark, factor: int):
     """The five heaviest operators at ``factor``x the bench data — the
     second rung that makes the scale story falsifiable: near-linear
@@ -575,6 +602,35 @@ def scale_rung_queries(spark, factor: int):
     from arrow_zarr_spark.operators.pipelines import fuzzy_dedup_pipeline
 
     qs["fuzzy_dedup_pipeline"] = lambda: _force(fuzzy_dedup_pipeline(docs))
+    # sort-free exact quantiles (t18): only the ~4n/accuracy gap rows
+    # shuffle, so the rung ratio should track the three scan passes
+    from arrow_zarr_spark.operators import similarity, sketches
+
+    li10 = spark.read.parquet(
+        _scale_parquet(spark, factor, "lineitem", "l_orderkey")
+    )
+    qs["exact_quantiles"] = lambda: _force(
+        sketches.exact_quantiles(
+            li10,
+            "l_extendedprice",
+            [0.5, 0.9, 0.99],
+            group_col="l_returnflag",
+        )
+    )
+    # SQ8 ANN (s06): one encode+score pass over the corpus, fixed
+    # probe set — the ratio should be the corpus scan, near-linear.
+    # (phash_near_dup is deliberately NOT on the rung: its toy 24-bit
+    # hash saturates at ~10^4+ corpora, so a rung would measure hash
+    # collisions, not the engine — a production 64-bit pHash is the
+    # scale path, per the operator's docstring.)
+    embs10 = spark.read.parquet(
+        _scale_parquet(spark, factor, "embeddings", "vec_id")
+    )
+    qs["ann_sq8"] = lambda: _force(
+        similarity.sq8_ann(
+            embs10, embs10.filter(F.col("vec_id") < 100), k=10
+        )
+    )
     meta = {"factor": factor, "zarr_rows": side * side}
     return qs, meta
 
