@@ -3813,3 +3813,45 @@ def populate_round7_plandoctor_queries(register) -> None:
         "('wholestage_codegen', 0, TRUE), "
         "('filescan_without_pushed_filters', 0, TRUE)) t(c, v, ok)",
     )
+
+
+def populate_round7_repair_queries(register) -> None:
+    """z36: scrub-then-repair (zarr.repair_zarr) — detect drift
+    against the committed baseline and self-heal ONLY the damaged
+    keys from the content store, then prove the result through the
+    real read path. A repair that misses a damaged key, restores the
+    wrong bytes, or touches the stray key flips rows. The receipt's
+    damage-proportionality and the vacuumed-history guidance error
+    are pinned in tests/test_versions.py::TestRepair."""
+
+    def z36(spark, sf_dir):
+        import shutil
+
+        from ..io import write_zarr
+        from ..zarr import commit_version, open_store, repair_zarr
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_z36_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+        base = spark.range(0, 96).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 5 % 11).cast("double").alias("v"),
+        )
+        write_zarr(base, path, chunk_rows=16)
+        commit_version(spark, path, "baseline")
+        st = open_store(path)
+        st.set("v/c/2", b"\x00rot\x00")
+        st.delete("k/c/4")
+        info = repair_zarr(spark, path)
+        rep = spark.read.format("zarr").load(path)
+        return rep.withColumn(
+            "n_repaired", F.lit(int(info["n_repaired"])).cast("long")
+        )
+
+    register(
+        "z36_scrub_repair_scan",
+        z36,
+        "SELECT CAST(i AS BIGINT) AS k, "
+        "CAST(i * 5 % 11 AS DOUBLE) AS v, "
+        "CAST(2 AS BIGINT) AS n_repaired FROM range(96) t(i)",
+    )

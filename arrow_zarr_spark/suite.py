@@ -1535,6 +1535,7 @@ def _ensure_populated() -> None:
         populate_round7_rename_queries,
         populate_round7_stream_interp_queries,
         populate_round7_plandoctor_queries,
+        populate_round7_repair_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
         populate_round7_sketch_queries,
@@ -1584,6 +1585,10 @@ def _ensure_populated() -> None:
     populate_round7_rename_queries(register_query)
     populate_round7_stream_interp_queries(register_query)
     populate_round7_plandoctor_queries(register_query)
+    # z36 registers OUTSIDE the (already all-fresh) 50-slot window —
+    # the round-8 rotation picks it up; oracle parity enforces it
+    # locally every round meanwhile
+    populate_round7_repair_queries(register_query)
     populate_round7_vlog_queries(register_query)
     populate_round7_hh_queries(register_query)
     populate_round7_sketch_queries(register_query)

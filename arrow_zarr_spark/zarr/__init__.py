@@ -28,6 +28,7 @@ from .versions import (
     open_version,
     resolve_as_of,
     resolve_tag,
+    repair_zarr,
     rollback_zarr,
     scrub_zarr,
     sync_zarr,
@@ -64,6 +65,7 @@ __all__ = [
     "open_version",
     "resolve_as_of",
     "refresh_chunk_stat_view",
+    "repair_zarr",
     "resolve_tag",
     "rollback_zarr",
     "scrub_zarr",

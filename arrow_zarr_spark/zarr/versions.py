@@ -1289,3 +1289,91 @@ def scrub_zarr(spark, path: str, version: Optional[int] = None):
     rows += [(k, "missing") for k in sorted(committed - live)]
     rows += [(k, "extra") for k in sorted(live - committed)]
     return spark.createDataFrame(rows, "key string, status string")
+
+
+def repair_zarr(spark, path: str, version: Optional[int] = None) -> Dict:
+    """Targeted self-heal — :func:`scrub_zarr`'s other half: restore
+    ONLY the keys whose live bytes drifted from the committed
+    baseline (modified or missing), from the content store, at
+    damage-proportional cost. :func:`rollback_zarr` rewrites the
+    whole store; after a scrub flags 3 bit-rotted chunks in a
+    million-object archive, this copies 3 objects.
+
+    ``extra`` keys (live keys the manifest never committed) are NOT
+    deleted — they may be a concurrent writer's in-flight work;
+    rollback_zarr is the explicit full-restore that prunes them.
+
+    Restore order is the rollback protocol's: damaged data objects
+    first (distributed), damaged metadata documents after — a reader
+    mid-repair never sees metadata advertising objects that are still
+    broken. Returns ``{"version", "n_scanned", "n_repaired",
+    "repaired": [keys...]}`` (keys capped at 100 in the receipt)."""
+    store = open_store(path)
+    if version is None:
+        version = latest_version(path)
+    manifest: Dict[str, str] = _read_manifest(store, int(version))[
+        "objects"
+    ]
+    damaged = [
+        (r["key"], manifest[r["key"]])
+        for r in scrub_zarr(spark, path, version=int(version)).collect()
+        if r["status"] in ("modified", "missing") and r["key"] in manifest
+    ]
+
+    def is_meta(key: str) -> bool:
+        leaf = key.rsplit("/", 1)[-1]
+        return leaf in (
+            "zarr.json", ".zarray", ".zattrs", ".zgroup", ".zmetadata",
+        )
+
+    data_items = [(k, s) for k, s in damaged if not is_meta(k)]
+    meta_items = [(k, s) for k, s in damaged if is_meta(k)]
+
+    # validate driver-side BEFORE moving anything: the clean error
+    # beats a half-repaired store plus an executor stack trace
+    # (damage-proportional — one exists() per damaged key)
+    for key, sha in damaged:
+        if not store.exists(_object_key(sha)):
+            raise ZarrFormatError(
+                f"repair_zarr: content object for {key!r} missing "
+                f"(sha256 {sha}) — the damage predates the retained "
+                f"history; restore from a replica (sync_zarr) instead"
+            )
+
+    def restore(items):
+        task_store = open_store(path)
+        for key, sha in items:
+            data = task_store.get(_object_key(sha))
+            if data is None:
+                raise ZarrFormatError(
+                    f"repair_zarr: content object for {key!r} "
+                    f"vanished mid-repair (sha256 {sha})"
+                )
+            task_store.set(key, data)
+            yield 1
+
+    if data_items:
+        if spark is None:
+            list(restore(iter(data_items)))
+        else:
+            sc = spark.sparkContext
+            n_parts = max(1, min(len(data_items), sc.defaultParallelism * 2))
+            sc.parallelize(data_items, n_parts).mapPartitions(
+                restore
+            ).count()
+    for key, sha in sorted(
+        meta_items, key=lambda t: (-t[0].count("/"), t[0])
+    ):
+        data = store.get(_object_key(sha))
+        if data is None:
+            raise ZarrFormatError(
+                f"repair_zarr: content object for {key!r} missing "
+                f"(sha256 {sha})"
+            )
+        store.set(key, data)
+    return {
+        "version": int(version),
+        "n_scanned": len(manifest),
+        "n_repaired": len(damaged),
+        "repaired": sorted(k for k, _ in damaged)[:100],
+    }

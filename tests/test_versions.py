@@ -862,3 +862,57 @@ class TestScrub:
         assert "extra" in v1 and "modified" in v1
         v2 = {r.status for r in scrub_zarr(spark, d, version=2).collect()}
         assert v2 == {"ok"}
+
+
+class TestRepair:
+    """repair_zarr (z36) — scrub's other half: damage-proportional
+    self-heal from the committed baseline."""
+
+    def test_repairs_only_damaged_keys(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import open_store, repair_zarr
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d)
+        st = open_store(d)
+        st.set("v/c/1", b"rot")
+        st.delete("k/c/2")
+        st.set("stray.bin", b"x")  # extras are NOT repair's business
+        info = repair_zarr(spark, d)
+        assert info["n_repaired"] == 2
+        assert sorted(info["repaired"]) == ["k/c/2", "v/c/1"]
+        got = spark.read.format("zarr").load(d)
+        assert got.count() == 64
+        assert got.agg(F.sum("v")).first()[0] == sum(
+            i * 2 for i in range(64)
+        )
+        assert st.get("stray.bin") == b"x"  # untouched
+
+    def test_noop_on_clean_store(self, spark, tmp_path):
+        from arrow_zarr_spark.zarr import repair_zarr
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        commit_version(spark, d)
+        info = repair_zarr(spark, d)
+        assert info["n_repaired"] == 0 and info["repaired"] == []
+
+    def test_vacuumed_history_raises_with_guidance(
+        self, spark, tmp_path
+    ):
+        """Damage older than the retained history can't self-heal —
+        the error must say so and point at the replica path."""
+        from arrow_zarr_spark.zarr import open_store, repair_zarr
+        from arrow_zarr_spark.zarr.versions import _object_key
+        import hashlib
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        commit_version(spark, d)
+        st = open_store(d)
+        orig = st.get("k/c/1")
+        st.set("k/c/1", b"rot")
+        # simulate a vacuum that dropped the object
+        st.delete(_object_key(hashlib.sha256(orig).hexdigest()))
+        with pytest.raises(ZarrFormatError, match="sync_zarr"):
+            repair_zarr(spark, d)
