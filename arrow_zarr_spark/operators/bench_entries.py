@@ -13,13 +13,16 @@ from . import dedup, multimodal, similarity, text
 __all__ = ["add_bench_queries"]
 
 
-def add_bench_queries(qs: dict, spark, sf_dir: str) -> None:
+def add_bench_queries(qs: dict, spark, sf_dir: str, force=None) -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
-    def force(df):
-        df.write.mode("overwrite").format("noop").save()
-        return 0
+    if force is None:
+        # standalone use; bench.py passes its own _force so the
+        # plan-doctor gate sees every operator query's DataFrame
+        def force(df):
+            df.write.mode("overwrite").format("noop").save()
+            return 0
 
     qs["dedup_minhash_lsh"] = lambda: force(
         dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.05)

@@ -1393,104 +1393,71 @@ _populated = False
 #: Everything rotated out stays parity-enforced every round by
 #: tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # never driver-checked (new in round 6)
-    "d16_remove_frequent_segments",
-    "d17_bloom_gated_dedup",
-    "d18_embedding_dedup_corpus",
-    "s04_pq_ann_topk",
-    "x03_snapshot_curation_pipeline",
-    "p13_quality_replication",
-    "w08_v2_writer_roundtrip",
-    "w09_grid_append_roundtrip",
-    "w10_grid_region_roundtrip",
-    "w11_grid_alter_roundtrip",
-    "w12_3d_grid_roundtrip",
-    "w13_sharded_grid_roundtrip",
-    "j06_interval_overlap_join",
-    "t14_assemble_chunks",
-    "z21_metadata_count",
-    "z22_audit_report",
-    "z23_store_diff_report",
-    "z24_string_coord_grid",
-    "z25_time_axis_grid",
-    "r46_full_outer_join",
-    "r47_unpivot",
-    "r48_recursive_cte",
-    # new in round 7
-    "z26_ddl_validation_error",
-    "z27_version_pinned_read",
-    "z28_version_rollback",
-    "s05_ivf_pq_ann_topk",
-    "z29_version_log",
-    "t16_heavy_hitters",
-    "t17_kmv_distinct",
-    "e05_stream_distinct_batchform",
-    "z30_version_cdc",
-    "z31_tag_export_read",
-    "w14_upsert_roundtrip",
-    "m06_crossmodal_alignment",
-    # stalest green rows (last driver-checked in round 3)
-    # late round-7 session: the plan-doctor row takes c01's slot
-    # (green r3; clustering shapes stay exercised via c02's oracle
-    # parity every round and the d06/d18 cluster-gated near-dups)
-    "z35_plan_doctor",
-    # late round-7 session: the incremental-view-refresh row takes
-    # c02's slot (green r3; the near-dup shape stays in-window via
-    # d06/d18's fresh rows and c02 stays parity-enforced every round)
-    "x04_incremental_view_refresh",
-    # late round-7 session: the RENAME roundtrip takes d07's slot
-    # (green r3; dedup keeps d13-d18's fresh rows in-window and d07
-    # stays parity-enforced every round)
-    "w16_rename_roundtrip",
-    # late round-7 session: the CAS commit row takes d08's slot (green
-    # r3; the streaming family keeps e05's fresh row in-window and d08
-    # stays parity-enforced every round)
-    "w15_commit_cas",
-    # late round-7 session: the entropy-gate row takes d09's slot
-    # (green r3; contamination stays in-window via d11's shape family
-    # history and d09 stays parity-enforced every round)
-    "t15_entropy_score",
-    # late round-7 session: the interpolation join takes j02's slot
-    # (green r3; j07 contains the asof bracket in both directions and
-    # j02 stays parity-enforced every round)
-    "j07_interpolation_join",
-    # late round-7 session: the incremental-sync row takes j03's slot
-    # (green r3; the theta shape stays in-window via b09/z11 and j03
-    # stays parity-enforced every round)
-    "z33_incremental_sync_scan",
-    # late round-7 session: the perceptual-hash near-dup row takes
-    # m01's slot (green r3; multimodal keeps m05/m06's fresh rows plus
-    # m07 in-window, and m01 stays parity-enforced every round)
-    "m07_phash_near_dup",
-    # late round-7 session: the streaming top-k row takes m03's slot
-    # (green r3; multimodal keeps m01 in-window plus m05/m06's fresh
-    # rows, and m03 stays parity-enforced every round)
-    "e06_stream_topk_batchform",
-    # late round-7 session: the percent_rank/cume_dist row takes
-    # p01's slot (green r3; sampling keeps p02 + the fresh p08-p13
-    # rows and p01 stays parity-enforced every round)
-    "r49_percent_rank_cume_dist",
-    # late round-7 session: the streaming-interpolation row takes
-    # p02's slot (green r3; sampling keeps the fresh p08-p13 rows
-    # in-window and p02 stays parity-enforced every round)
-    "e07_stream_interp_batchform",
-    # late round-7 session: the replication row takes p03's slot
-    # (green r3; sampling keeps p01/p02 + the fresh p08-p13 rows
-    # in-window and p03 stays parity-enforced every round)
-    "z32_replicated_scan",
-    # late round-7 session: the SQ8 + refine ANN rungs take the slots
-    # s01/s02 held (both green r3; the family keeps s03-s07 in-window
-    # and the displaced pair stays parity-enforced every round)
-    "s06_sq8_ann_topk",
-    "s07_sq8_refine_topk",
-    # late round-7 session: the exact-quantiles row takes t02's slot
-    # (green r3; the text family keeps t12-t14/t16/t17's fresh rows
-    # in-window and t02 stays parity-enforced every round)
-    "t18_exact_quantiles",
-    # late round-7 session: the manifest-scrub row takes z05's slot
-    # (green r3; fill semantics stay in-window via the w-roundtrips'
-    # canonical-fill paths and z05 stays parity-enforced every round)
-    "z34_manifest_scrub",
+    # ROUND-8 ROTATION: CORRECTNESS_r07 landed 50/50 green on the
+    # round-7 window, so every prior window entry has a fresh row.
+    # This window takes (a) z36, the ONLY registered query that has
+    # never had a driver row (registered after the round-7 window was
+    # drawn; green -> cumulative 197/197 driver coverage), then
+    # (b) the 42 stalest oracle-backed rows, all last driver-checked
+    # in round 3, then (c) 7 round-4-checked rows (b05-b08's
+    # predicate/join shapes + d01/d02/d11's dedup family) so no green
+    # is older than 4 rounds. The four deliberately rows-only kernels
+    # (d03/d05/t05/r26) stay out per the window policy (every slot
+    # must carry a full rows+schema+hash oracle; their oracle-proven
+    # twins d13/d15/t14/r32 are all green) and stay parity-enforced
+    # by tests/test_oracle_parity.py, as does everything rotated out.
+    "z36_scrub_repair_scan",
+    # (b) last driver-checked round 3
+    "c01_kmeans_clusters",
+    "c02_semantic_neardup",
+    "d04_ngram_jaccard_pairs",
+    "d07_dedup_components",
+    "d08_streaming_dedup_batchform",
+    "d09_ngram_contamination",
+    "d10_canonical_docs",
+    "j02_asof_join",
+    "j03_theta_join_banded",
+    "j04_salted_join",
+    "m01_byte_features",
+    "m02_decode_image_fake",
+    "m03_resize_pixels",
+    "m04_sample_frames",
+    "p01_per_group_quota",
+    "p02_token_budget_sample",
+    "p03_stratified_sample",
+    "p04_rebalance_mixture",
+    "p05_shard_manifest",
+    "r25_sessionization",
+    "s01_cosine_topk",
+    "s02_lsh_ann_topk",
+    "t01_token_count",
+    "t02_language_id",
+    "t03_quality_score",
+    "t04_document_fingerprint",
+    "t06_top_bigrams",
+    "t07_tf_idf",
+    "t08_pii_redact",
+    "t09_repetition_signals",
+    "t10_chunk_documents",
+    "w01_writer_roundtrip",
+    "z04_cte_self_join",
+    "z05_missing_chunk_fill",
+    "z07_order_limit",
+    "z08_union_all",
+    "z09_no_coords",
+    "z10_type_map",
+    "z12_join_parquet_dim",
+    "z13_sharded_scan",
+    "z14_string_scan",
+    "z16_time_scan",
+    # (c) last driver-checked round 4
+    "b05_comparisons_or",
+    "b06_equality_pred",
+    "b07_modulo_pred",
+    "b08_equi_join",
+    "d01_exact_dedup",
+    "d02_normalized_dedup",
+    "d11_contamination_purge",
 ]
 
 

@@ -433,6 +433,39 @@ class FsspecStore(Store):
         for path in self.fs.find(self.root):
             yield path[len(self.root) :].lstrip("/")
 
+    def set_exclusive(self, key: str, value: bytes) -> None:  # pragma: no cover
+        """Conditional create on the object store, or fail LOUDLY.
+
+        The base-class default is check-then-set — a one-round-trip
+        race window that would silently break commit_version's
+        multi-writer guarantee (two racing commits could both pass the
+        existence probe and one manifest would be lost). On object
+        stores the window only closes with a real conditional put:
+        S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``. fsspec
+        exposes neither portably, so: use the filesystem's atomic
+        create when it advertises one (``mode="xb"`` raises
+        FileExistsError on backends that honor exclusive create), and
+        otherwise raise rather than degrade to the racy default —
+        a loud NotImplementedError beats a silent lost update.
+        """
+        path = f"{self.root}/{key}"
+        try:
+            f = self.fs.open(path, "xb")
+        except FileExistsError:
+            raise
+        except (NotImplementedError, ValueError, OSError) as e:
+            if self.fs.exists(path):
+                raise FileExistsError(key)
+            raise NotImplementedError(
+                f"{type(self.fs).__name__} has no atomic exclusive-create; "
+                "refusing the racy check-then-set fallback for version "
+                "manifests. Wire a conditional put (S3 If-None-Match:*, "
+                "GCS ifGenerationMatch=0) into a Store subclass for this "
+                "backend."
+            ) from e
+        with f:
+            f.write(value)
+
 
 def open_store(path: str, *, icechunk: bool = False) -> Store:
     """Resolve a table URL to a Store (reference: ``config.rs:103-199``).

@@ -1257,6 +1257,16 @@ def scrub_zarr(spark, path: str, version: Optional[int] = None):
     keys (metadata-sized); hashing runs executor-parallel, one GET +
     sha256 per key, nothing through the driver but the listing and
     the status rows."""
+    return spark.createDataFrame(
+        _scrub_rows(spark, path, version), "key string, status string"
+    )
+
+
+def _scrub_rows(spark, path: str, version: Optional[int] = None):
+    """The scrub pass as plain (key, status) tuples. ``spark=None``
+    runs the hashing serially on the driver — the path repair_zarr's
+    documented spark-None mode uses (previously dead code: it called
+    the DataFrame face, which dereferenced spark unconditionally)."""
     store = open_store(path)
     if version is None:
         version = latest_version(path)
@@ -1268,7 +1278,7 @@ def scrub_zarr(spark, path: str, version: Optional[int] = None):
     work = sorted(live & committed)
     p = path
 
-    def check(keys: Iterator[str]):
+    def check(keys: Iterator[str], lookup: Dict[str, str]):
         task_store = open_store(p)
         for key in keys:
             data = task_store.get(key)
@@ -1276,19 +1286,24 @@ def scrub_zarr(spark, path: str, version: Optional[int] = None):
                 yield (key, "missing")  # vanished between list and GET
                 continue
             sha = hashlib.sha256(data).hexdigest()
-            yield (key, "ok" if sha == manifest_b.value[key] else "modified")
+            yield (key, "ok" if sha == lookup[key] else "modified")
 
-    sc = spark.sparkContext
-    manifest_b = sc.broadcast(manifest)
     rows = []
     if work:
-        n_parts = max(1, min(len(work), sc.defaultParallelism * 2))
-        rows = (
-            sc.parallelize(work, n_parts).mapPartitions(check).collect()
-        )
+        if spark is None:
+            rows = list(check(iter(work), manifest))
+        else:
+            sc = spark.sparkContext
+            manifest_b = sc.broadcast(manifest)
+            n_parts = max(1, min(len(work), sc.defaultParallelism * 2))
+            rows = (
+                sc.parallelize(work, n_parts)
+                .mapPartitions(lambda it: check(it, manifest_b.value))
+                .collect()
+            )
     rows += [(k, "missing") for k in sorted(committed - live)]
     rows += [(k, "extra") for k in sorted(live - committed)]
-    return spark.createDataFrame(rows, "key string, status string")
+    return rows
 
 
 def repair_zarr(spark, path: str, version: Optional[int] = None) -> Dict:
@@ -1315,9 +1330,9 @@ def repair_zarr(spark, path: str, version: Optional[int] = None) -> Dict:
         "objects"
     ]
     damaged = [
-        (r["key"], manifest[r["key"]])
-        for r in scrub_zarr(spark, path, version=int(version)).collect()
-        if r["status"] in ("modified", "missing") and r["key"] in manifest
+        (key, manifest[key])
+        for key, status in _scrub_rows(spark, path, version=int(version))
+        if status in ("modified", "missing") and key in manifest
     ]
 
     def is_meta(key: str) -> bool:

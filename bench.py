@@ -31,8 +31,42 @@ from arrow_zarr_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+from arrow_zarr_spark.plan_doctor import audit_plan as _audit  # noqa: E402
+
+#: plan-doctor findings that are EXPECTED for specific queries —
+#: recorded separately, never counted against the gate:
+#: - zarr_theta_self_join_16k is the reference's own bench shape
+#:   (s3_bench.rs:214-247), a theta join that IS a nested loop by
+#:   construction; the engine's answer is the banded variants timed
+#:   right next to it.
+#: - the broadcast-singleton crossJoin pattern (a one-row aggregate
+#:   or k-row centroid table broadcast against the corpus) EXECUTES
+#:   as BroadcastNestedLoopJoin — that is how Spark runs a broadcast
+#:   crossJoin, and with a ≤k-row build side it is O(n·k) streaming,
+#:   not a scale risk. tests/test_plan_contracts.py pins each shape;
+#:   the whitelist here names the audited queries so a NEW NLJ in any
+#:   other query still fails the gate.
+_PLAN_ALLOWED = {
+    "zarr_theta_self_join_16k": {
+        "broadcast_nested_loop_join",  # the theta predicate itself
+        "cartesian_product",  # AQE may plan the tiny side cartesian
+    },
+    "ann_ivf": {"broadcast_nested_loop_join"},  # k-row centroid xjoin
+    "kmeans_embeddings": {"broadcast_nested_loop_join"},  # centroids
+    "semantic_neardup": {"broadcast_nested_loop_join"},  # centroids
+    "unigram_logprob": {"broadcast_nested_loop_join"},  # 1-row total
+}
+
+#: last DataFrame routed through ``_force`` — the plan-doctor gate
+#: audits it after each query's final timed repeat (verdict r7 item 8:
+#: a new cartesian / unpushed-filter / row-UDF regression should fail
+#: the bench loudly, not surface as a wall-time mystery)
+_LAST_DF = [None]
+
+
 def _force(df) -> int:
     """Execute the full plan without collecting to the driver."""
+    _LAST_DF[0] = df
     df.write.mode("overwrite").format("noop").save()
     return 0
 
@@ -481,7 +515,7 @@ def bench_queries(spark):
     try:
         from arrow_zarr_spark.operators import bench_entries
 
-        bench_entries.add_bench_queries(qs, spark, SF_DIR)
+        bench_entries.add_bench_queries(qs, spark, SF_DIR, force=_force)
     except ImportError:
         pass
 
@@ -635,6 +669,55 @@ def scale_rung_queries(spark, factor: int):
     return qs, meta
 
 
+def _ann_recall(spark, k: int = 5) -> dict:
+    """recall@k of each approximate ANN variant vs the exact cosine
+    kernel (s01) on the sf embeddings table, probe set vec_id < 100 —
+    the same (corpus, probe) pair the wall-time entries run on, so a
+    recall regression lands in the same record as its timing."""
+    from pyspark.sql import functions as F
+
+    from arrow_zarr_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = embs.filter(F.col("vec_id") < 100)
+
+    def topsets(df) -> dict:
+        out: dict = {}
+        for r in df.select("query_id", "neighbor_id").collect():
+            out.setdefault(r[0], set()).add(r[1])
+        return out
+
+    exact = topsets(similarity.cosine_topk_vectorized(embs, probes, k=k))
+    variants = {
+        "ann_lsh": lambda: similarity.hyperplane_lsh_ann(
+            embs, probes, k=k
+        ),
+        "ann_ivf": lambda: similarity.ivf_ann(embs, probes, k=k),
+        "ann_pq": lambda: similarity.pq_ann(
+            embs, probes, k=k, m=16, ksub=64
+        ),
+        "ann_ivfpq": lambda: similarity.ivf_pq_ann(
+            embs, probes, k=k, n_cells=16, nprobe=2, m=16, ksub=64
+        ),
+        "ann_sq8": lambda: similarity.sq8_ann(embs, probes, k=k),
+        "ann_sq8_refine": lambda: similarity.sq8_refine_topk(
+            embs, probes, k=k, shortlist=32
+        ),
+    }
+    out = {}
+    for name, thunk in variants.items():
+        approx = topsets(thunk())
+        if not exact:
+            out[name] = None
+            continue
+        hits = sum(
+            len(approx.get(q, set()) & s) / max(len(s), 1)
+            for q, s in exact.items()
+        )
+        out[name] = round(hits / len(exact), 3)
+    return out
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count()
     spark = get_spark(app_name="arrow_zarr_spark_bench", cpus=cpus)
@@ -668,14 +751,39 @@ def main() -> None:
     # hours on this host — the min across 3 runs shrinks that band)
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3") or 3)
     timings = {}
+    plan_findings = {}
+    plan_findings_allowed = {}
     for name, thunk in qs.items():
         best = None
+        _LAST_DF[0] = None
         for _ in range(max(repeat, 1)):
             t0 = time.perf_counter()
             thunk()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # plan-doctor gate (z35 as a continuous check): audit the
+        # executed plan of the query's final DataFrame; a regression
+        # to a cartesian / NLJ / row-Python / unpushed-filter shape
+        # surfaces here as a named finding instead of a wall-time
+        # mystery. Writer/maintenance thunks route no DataFrame
+        # through _force — nothing to audit there.
+        if _LAST_DF[0] is not None:
+            try:
+                bad = [
+                    {"check": r["check"], "value": r["value"]}
+                    for r in _audit(_LAST_DF[0])
+                    if not r["ok"]
+                ]
+            except Exception as exc:  # audit must never sink the bench
+                bad = [{"check": "audit_error", "value": str(exc)[:80]}]
+            allowed = _PLAN_ALLOWED.get(name, set())
+            hard = [b for b in bad if b["check"] not in allowed]
+            soft = [b for b in bad if b["check"] in allowed]
+            if hard:
+                plan_findings[name] = hard
+            if soft:
+                plan_findings_allowed[name] = soft
 
     # second rung: the five heaviest operators at 10x data (min-of-2 —
     # one rung datapoint costs ~10x a base run; the base timings above
@@ -704,6 +812,16 @@ def main() -> None:
             },
         }
 
+    # ANN recall@5 vs the exact kernel on the sf vector table (verdict
+    # r7 item 7): wall time without recall hid quality regressions —
+    # these keys make recall round-over-round visible next to the
+    # timings. Computed once per variant (not timed).
+    recall = {}
+    try:
+        recall = _ann_recall(spark, k=5)
+    except Exception as exc:  # recall must never sink the bench record
+        recall = {"error": str(exc)[:120]}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "arrow_zarr_spark headline queries wall time",
@@ -724,22 +842,70 @@ def main() -> None:
         # the 10x-data rung for the heaviest operators: near-linear
         # designs must hold ratio_vs_base well under ~12
         "scale_rung": scale_out,
+        # recall@5 vs exact cosine per ANN variant (1.0 = exact)
+        "recall": recall,
+        # plan-doctor gate: non-empty means a query's executed plan
+        # regressed to a cartesian / NLJ / row-Python / unpushed-filter
+        # shape. Expected state: {}. Allowed findings (the reference's
+        # own NLJ bench shape) are recorded separately.
+        "plan_findings": plan_findings,
+        "plan_findings_allowed": plan_findings_allowed,
+        "plan_findings_n": sum(len(v) for v in plan_findings.values()),
     }
-    # The result must survive the driver's finite tail capture
-    # (BENCH_r06 landed as `parsed: null` when Spark log preamble plus
-    # one long JSON line overflowed it), so: (a) persist the full
-    # result to BENCH_OUT.json next to this script, (b) stop Spark
-    # FIRST so no executor-shutdown logs print after the result, then
-    # (c) emit the JSON compactly as the final stdout line.
+    # The result must survive the driver's finite tail capture.
+    # BENCH_r05/r06/r07 all landed as `parsed: null` because the single
+    # stdout JSON line grew past the capture (r7: ~3.5 KB, 64 queries +
+    # the 10x rung — the line's HEAD was truncated). Fix for real:
+    # (a) persist the FULL result to BENCH_OUT.json next to this
+    # script, (b) stop Spark first so no executor-shutdown logs print
+    # after the result, (c) emit a SHORT final line — totals + the
+    # headline queries only + a pointer to the full payload. The short
+    # line stays well under 1 KB regardless of how many queries the
+    # suite grows to.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_OUT.json")
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=2, sort_keys=True)
         fh.write("\n")
+
+    # headline subset for the stdout line: the reference's two bench
+    # shapes, the relational headliners, and one representative per
+    # operator family — everything else lives in BENCH_OUT.json
+    headline = [
+        "zarr_full_scan",
+        "zarr_theta_self_join_16k",
+        "zarr_union_all",
+        "tpch_q1_agg",
+        "tpch_q5_join_agg",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "kmeans_embeddings",
+        "text_pipeline",
+        "zarr_write_sharded",
+    ]
+    short = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "queries": {
+            n: timings[n] for n in headline if n in timings
+        },
+        "rung_max_ratio": (
+            max(scale_out["ratio_vs_base"].values())
+            if scale_out.get("ratio_vs_base") else None
+        ),
+        "recall": out.get("recall") or None,
+        "plan_findings_n": out.get("plan_findings_n"),
+        "file": "BENCH_OUT.json",
+    }
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
-    print(json.dumps(out, separators=(",", ":")), flush=True)
+    line = json.dumps(short, separators=(",", ":"))
+    assert len(line) < 1024, f"final bench line too long: {len(line)}B"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
