@@ -417,6 +417,14 @@ class ZarrReader(DataSourceReader):
             ):
                 continue
             s = m.attributes.get(STATS_ATTR_KEY)
+            if not isinstance(s, list) and s is not None:
+                # past-cap stores carry a sidecar marker; the blocks
+                # load HERE — lazily, only for predicate columns, only
+                # during a pruning pass (zarr/stats.py) — so zarr.json
+                # stays small and unfiltered scans never pay the GETs
+                from .zarr.stats import resolve_stats
+
+                s = resolve_stats(a.store, m.name, s)
             if not isinstance(s, list) or len(s) != n_cells:
                 continue
             unit = None

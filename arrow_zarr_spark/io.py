@@ -346,19 +346,26 @@ def _stats_eligible(dtype: np.dtype) -> bool:
     return dtype.kind in "biufMO"
 
 
-#: Per-array cap on how many per-object [min, max] entries the writers
-#: will record. Statistics live in each array's attribute JSON (and the
-#: consolidated root), so they grow O(n_objects) — fine at shard
-#: granularity, but a million-object array would put a
-#: multi-hundred-MB list in zarr.json and every PLANNER would parse it
-#: on every query. Past the cap the writers skip stats for that array
-#: (and drop any previously recorded list): scans stay correct, they
-#: just lose planning-time pruning — the reader treats absent stats as
-#: unknown. Raise the object SIZE (chunk_rows / shard_chunks — w13's
-#: 16x object-count lever is also a 16x stats lever) rather than this
-#: cap to keep pruning on huge stores. The reference records no
-#: statistics at all (opener.rs:171-173), so this extension carries
-#: its own scale story.
+#: Per-array cap on how many per-object [min, max] entries live INLINE
+#: in the array's attribute JSON (and the consolidated root). Inline
+#: stats grow O(n_objects) — fine at shard granularity, but a
+#: million-object array would put a multi-hundred-MB list in zarr.json
+#: and every PLANNER would parse it on every query. Past the cap:
+#:
+#: - the 1-D table writer (write_zarr) and refresh_stats move the
+#:   entries to sharded sidecar blocks (``__stats__/<array>/<b>.json``,
+#:   zarr/stats.py) behind a tiny marker attribute — pruning survives
+#:   ANY object count and the blocks load lazily, only during a
+#:   pruning pass, only for predicate columns (round-8; previously
+#:   stats were DROPPED past the cap, losing pruning on exactly the
+#:   billion-object stores that need it most);
+#: - the N-D grid verbs still skip stats past the cap with a warning
+#:   (their fill-cell bookkeeping is driver-side; grow the object
+#:   size via shard_shape — w13's 16x object-count lever is also a
+#:   16x stats lever).
+#:
+#: The reference records no statistics at all (opener.rs:171-173), so
+#: this extension carries its own scale story.
 STATS_MAX_OBJECTS = 65536
 
 
@@ -417,19 +424,196 @@ def _stat_encode(val, dtype: np.dtype, upper: bool = False):
 def _existing_stats(store, names) -> Dict[str, list]:
     """Per-column [[min, max] | None, ...] lists from an append
     target's metadata; {} when absent/invalid (appends then leave the
-    old objects' entries unknown — sound, just unprunable)."""
+    old objects' entries unknown — sound, just unprunable). Sidecar
+    markers resolve to their reassembled lists (zarr/stats.py)."""
     from .zarr.array import infer_store_arrays
+    from .zarr.stats import resolve_stats
 
     out: Dict[str, list] = {}
     try:
         for a in infer_store_arrays(store):
             if a.meta.name in names:
-                s = a.meta.attributes.get(STATS_ATTR_KEY)
+                s = resolve_stats(
+                    store,
+                    a.meta.name,
+                    a.meta.attributes.get(STATS_ATTR_KEY),
+                )
                 if isinstance(s, list):
                     out[a.meta.name] = s
     except ZarrFormatError:
         pass
     return out
+
+
+def _patch_stats(store, meta, name: str, patches: Dict[int, object],
+                 n_objects: int) -> bool:
+    """Apply ``{ordinal: [lo, hi] | None}`` to an array's recorded
+    statistics in WHICHEVER representation they use — the primitive
+    the in-place mutation verbs (upsert) build their invalidate-first
+    and re-stat steps on.
+
+    - inline list: mutates ``meta.attributes`` and returns True (the
+      caller republishes zarr.json — the attribute changed);
+    - sidecar marker: rewrites only the blocks containing patched
+      ordinals (delta-proportional I/O) and returns False (the
+      attribute is unchanged, no metadata republish needed);
+    - absent/invalid stats: no-op, returns False — nothing recorded
+      means nothing can go stale."""
+    from .zarr.stats import block_key, is_sidecar_marker
+
+    old = meta.attributes.get(STATS_ATTR_KEY)
+    if isinstance(old, list):
+        entries = (
+            list(old) if len(old) == n_objects else [None] * n_objects
+        )
+        for i, pair in patches.items():
+            entries[i] = pair
+        meta.attributes[STATS_ATTR_KEY] = entries
+        return True
+    if is_sidecar_marker(old) and old.get("n_entries") == n_objects:
+        blk = old["block_entries"]
+        byblk: Dict[int, Dict[int, object]] = {}
+        for i, pair in patches.items():
+            byblk.setdefault(i // blk, {})[i] = pair
+        for b, ps in sorted(byblk.items()):
+            key = block_key(name, b)
+            base_len = min(blk, n_objects - b * blk)
+            raw = store.get(key)
+            entries = None
+            if raw is not None:
+                try:
+                    entries = json.loads(raw)
+                except ValueError:
+                    entries = None
+            if not isinstance(entries, list) or len(entries) != base_len:
+                entries = [None] * base_len
+            for i, pair in ps.items():
+                entries[i - b * blk] = pair
+            store.set(key, json.dumps(entries).encode())
+        return False
+    return False
+
+
+def _assemble_stats_sidecar(
+    spark, store, path, committed, metas, col_names,
+    n_units, base_rows, unit,
+) -> None:
+    """Past-cap statistics commit for write_zarr: entries live in
+    sharded sidecar blocks (``zarr/stats.py``) and the attribute
+    carries a tiny marker, so pruning survives ANY object count.
+
+    Fully distributed and damage-proportional: one task per 64Ki-cid
+    block patches exactly the blocks new cids touch (read old block →
+    splice new pairs → rewrite); an append to a past-cap store leaves
+    every other block's bytes untouched, and the driver holds at most
+    ONE block (the inline→sidecar migration pre-seed) — never a full
+    entries list. Concurrent readers stay sound throughout: a reader
+    holding the pre-append marker sees a reassembled length that no
+    longer matches its ``n_entries`` and degrades to no-pruning until
+    the new metadata publishes."""
+    from .zarr.stats import (
+        STATS_BLOCK_ENTRIES,
+        STATS_SIDECAR_PREFIX,
+        delete_sidecar,
+        is_sidecar_marker,
+        resolve_stats,
+    )
+
+    blk = STATS_BLOCK_ENTRIES
+    eligible = [n for n in col_names if _stats_eligible(metas[n].dtype)]
+    if not eligible:
+        return
+    old_units = -(-base_rows // unit) if base_rows else 0
+    n_blocks = -(-n_units // blk)
+
+    if old_units:
+        # migrate the append target's OLD range into blocks so every
+        # block a reader demands exists. Three cases per column:
+        # block-aligned sidecar already on disk (skip — that is the
+        # damage-proportional append), inline list (≤ one cap of
+        # entries — split into blocks), absent/stale (None-filled
+        # blocks: old objects unknown, new objects still prune).
+        raw_old: Dict[str, object] = {}
+        try:
+            from .zarr.array import infer_store_arrays
+
+            for a in infer_store_arrays(store):
+                if a.meta.name in eligible:
+                    raw_old[a.meta.name] = a.meta.attributes.get(
+                        STATS_ATTR_KEY
+                    )
+        except ZarrFormatError:
+            pass
+        for n in eligible:
+            val = raw_old.get(n)
+            if (
+                is_sidecar_marker(val)
+                and val.get("n_entries") == old_units
+                and val.get("block_entries") == blk
+            ):
+                continue
+            entries_old = resolve_stats(store, n, val)
+            if entries_old is not None and len(entries_old) != old_units:
+                # wrong length = provably stale (out-of-band edits):
+                # drop wholesale, never trust a prefix
+                entries_old = None
+            if entries_old is None:
+                entries_old = [None] * old_units
+            delete_sidecar(store, n)
+            for b in range(-(-old_units // blk)):
+                store.set(
+                    f"{STATS_SIDECAR_PREFIX}/{n}/{b}.json",
+                    json.dumps(
+                        entries_old[b * blk : (b + 1) * blk]
+                    ).encode(),
+                )
+    else:
+        for n in eligible:
+            delete_sidecar(store, n)  # clean slate on create
+
+    path_t = path
+    blk_t = blk
+    n_units_t = n_units
+    eligible_t = list(eligible)
+    prefix_t = STATS_SIDECAR_PREFIX
+
+    def patch_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["__blk"].iloc[0])
+        task_store = open_store(path_t)
+        base_len = min(blk_t, n_units_t - b * blk_t)
+        pairs = [
+            (int(c), json.loads(s))
+            for c, s in zip(pdf["cid"], pdf["stats"])
+        ]
+        for name in eligible_t:
+            key = f"{prefix_t}/{name}/{b}.json"
+            entries = None
+            raw = task_store.get(key)
+            if raw is not None:
+                try:
+                    entries = json.loads(raw)
+                except ValueError:
+                    entries = None
+            if not isinstance(entries, list) or len(entries) > base_len:
+                entries = []
+            entries = entries + [None] * (base_len - len(entries))
+            for cid, decoded in pairs:
+                entries[cid - b * blk_t] = decoded.get(name)
+            task_store.set(key, json.dumps(entries).encode())
+        return pd.DataFrame({"blk": [b]})
+
+    (
+        committed.withColumn("__blk", (F.col("cid") / blk).cast("long"))
+        .groupBy("__blk")
+        .applyInPandas(patch_block, "blk long")
+        .count()
+    )
+    for n in eligible:
+        metas[n].attributes[STATS_ATTR_KEY] = {
+            "sidecar": n_blocks,
+            "n_entries": n_units,
+            "block_entries": blk,
+        }
 
 
 def _clear_store(store, keep_staging: bool = False) -> None:
@@ -711,13 +895,24 @@ def write_zarr(
         metas_b = spark.sparkContext.broadcast(metas)
         base_rows_b = base_rows
 
-        want_stats = bool(stats) and _stats_within_cap(
-            -(-total_rows // unit), "write_zarr"
-        )
+        n_units_planned = -(-total_rows // unit)
+        want_stats = bool(stats)
+        # past the inline cap the entries move to sharded sidecar
+        # blocks (__stats__/<array>/<block>.json) instead of being
+        # DROPPED — pruning survives any object count and zarr.json
+        # stays planning-readable (r7 verdict item 5). Assembly is
+        # fully distributed: one task per block patches only the
+        # blocks new cids touch, the driver never holds an entries
+        # list, and untouched old blocks are untouched bytes.
+        sidecar_stats = want_stats and n_units_planned > STATS_MAX_OBJECTS
         if not want_stats:
-            for meta in metas.values():
-                # also drops a pre-cap append target's now-stale list
+            from .zarr.stats import delete_sidecar
+
+            for name, meta in metas.items():
+                # also drops an append target's now-stale stats in
+                # either representation
                 meta.attributes.pop(STATS_ATTR_KEY, None)
+                delete_sidecar(store, name)
 
         def write_chunk_group(pdf: pd.DataFrame) -> pd.DataFrame:
             cid = int(pdf["__cid"].iloc[0])
@@ -762,14 +957,29 @@ def write_zarr(
         committed = with_cid.groupBy("__cid").applyInPandas(
             write_chunk_group, schema="cid long, rows long, stats string"
         )
-        written, result_rows = _commit_totals(committed, want_stats)
+        if sidecar_stats:
+            # server-side row total (nothing object-sized reaches the
+            # driver), then the distributed block-patch job below;
+            # persist so the chunk-writing stage runs exactly once
+            committed = committed.persist()
+            written, result_rows = _commit_totals(committed, False)
+        else:
+            written, result_rows = _commit_totals(committed, want_stats)
         if written != new_rows:
             raise ZarrFormatError(
                 f"write_zarr wrote {written} rows, expected {new_rows}"
             )
 
-        if want_stats:
-            n_units = -(-total_rows // unit)
+        if sidecar_stats:
+            try:
+                _assemble_stats_sidecar(
+                    spark, store, path, committed, metas, col_names,
+                    n_units_planned, base_rows, unit,
+                )
+            finally:
+                committed.unpersist()
+        elif want_stats:
+            n_units = n_units_planned
             first_new = base_rows // unit  # boundary object recomputed
             old = (
                 _existing_stats(store, set(col_names)) if base_rows else {}
@@ -1755,14 +1965,11 @@ def refresh_stats(
                 f"refresh_stats: no such 1-D arrays {sorted(missing)}"
             )
         arrays = [a for a in arrays if a.meta.name in wanted]
-    targets = [
-        a
-        for a in arrays
-        if _stats_eligible(a.meta.dtype)
-        and _stats_within_cap(
-            a.meta.chunk_grid_shape[0], "refresh_stats"
-        )
-    ]
+    # no object-count cap: past STATS_MAX_OBJECTS the recomputed
+    # entries land in sidecar blocks via store_stats (zarr/stats.py)
+    # instead of being skipped — refresh is also the MIGRATION verb
+    # between the two representations
+    targets = [a for a in arrays if _stats_eligible(a.meta.dtype)]
     work = [
         (a.meta.name, i)
         for a in targets
@@ -1798,17 +2005,27 @@ def refresh_stats(
         if work
         else []
     )
+    from .zarr.stats import delete_sidecar, store_stats
+
     per_col: Dict[str, list] = {
         n: [None] * m.chunk_grid_shape[0] for n, m in metas.items()
     }
     for name, i, pair in rows:
         per_col[name][i] = json.loads(pair)
+    # inline-vs-sidecar decided per array by store_stats: past-cap
+    # entry lists become sharded blocks + a marker attribute (and a
+    # rechunk-to-bigger-objects store migrates back to inline)
+    attr_vals = {
+        n: store_stats(store, n, entries, STATS_MAX_OBJECTS)
+        for n, entries in per_col.items()
+    }
     for a in arrays:
         m = a.meta
         if m.name in per_col:
-            m.attributes[STATS_ATTR_KEY] = per_col[m.name]
+            m.attributes[STATS_ATTR_KEY] = attr_vals[m.name]
         else:
             m.attributes.pop(STATS_ATTR_KEY, None)
+            delete_sidecar(store, m.name)
         if store.exists(f"{m.name}/.zarray"):
             # v2 array: stats live in .zattrs (merged — the codec
             # spec in .zarray is never rewritten); writing a v3
@@ -1816,7 +2033,7 @@ def refresh_stats(
             raw = store.get(f"{m.name}/.zattrs")
             zattrs = json.loads(raw) if raw else {}
             if m.name in per_col:
-                zattrs[STATS_ATTR_KEY] = per_col[m.name]
+                zattrs[STATS_ATTR_KEY] = attr_vals[m.name]
             else:
                 zattrs.pop(STATS_ATTR_KEY, None)
             store.set(
@@ -2277,7 +2494,14 @@ def upsert_zarr(
     # the batch's key bounds — same soundness rules as the scan (None /
     # wrong-length entries degrade to keep; string maxima are rounded-
     # up truncations so entry_max < kmin still implies true_max < kmin)
-    recorded = key_meta.attributes.get(STATS_ATTR_KEY)
+    from .zarr.stats import resolve_stats as _resolve_stats
+
+    # sidecar markers resolve here — the past-cap store is exactly the
+    # one whose upsert needs the key-bounds prune most (a delta update
+    # without it is a full key scan of a billion-object store)
+    recorded = _resolve_stats(
+        store, key_col, key_meta.attributes.get(STATS_ATTR_KEY)
+    )
     e_lo = _stat_encode(kmin, key_meta.dtype)
     e_hi = _stat_encode(kmax, key_meta.dtype, upper=True)
     candidates = list(range(n_objects))
@@ -2360,28 +2584,26 @@ def upsert_zarr(
             "them or 'insert' to append them"
         )
 
-    want_stats = bool(stats) and _stats_within_cap(
-        n_objects, "upsert"
-    )
+    # no cap gate: upsert's stats work is DELTA-proportional (one row
+    # per touched object through the driver, block-local sidecar
+    # patches), so it is safe at any store size
+    want_stats = bool(stats)
     if touched:
         # invalidate-first (write_zarr_region's protocol): touched
-        # objects' bounds NULL before any chunk mutates
+        # objects' bounds NULL before any chunk mutates — in both the
+        # inline and sidecar representations (a stale sidecar
+        # advertising pre-update bounds would be an UNSOUND prune)
         pre_dirty = False
+        nulls = {i: None for i in touched}
         for c in data_cols:
             meta = metas[c]
-            old = meta.attributes.get(STATS_ATTR_KEY)
-            if not isinstance(old, list):
+            if meta.attributes.get(STATS_ATTR_KEY) is None:
                 continue
-            entries = (
-                list(old) if len(old) == n_objects else [None] * n_objects
-            )
-            for i in touched:
-                entries[i] = None
-            meta.attributes[STATS_ATTR_KEY] = entries
-            store.set(
-                f"{c}/zarr.json", json.dumps(meta.to_json()).encode()
-            )
-            pre_dirty = True
+            if _patch_stats(store, meta, c, nulls, n_objects):
+                store.set(
+                    f"{c}/zarr.json", json.dumps(meta.to_json()).encode()
+                )
+                pre_dirty = True
         if pre_dirty:
             from .zarr.writer import consolidate_metadata
 
@@ -2423,25 +2645,33 @@ def upsert_zarr(
             for r in result_rows:
                 for c, pair in json.loads(r["stats"]).items():
                     per_col[c][int(r["cell"])] = pair
+            post_dirty = False
             for c in data_cols:
                 meta = metas[c]
                 if not _stats_eligible(meta.dtype) or not per_col[c]:
                     continue
-                old = meta.attributes.get(STATS_ATTR_KEY)
-                entries = (
-                    list(old)
-                    if isinstance(old, list) and len(old) == n_objects
-                    else [None] * n_objects
-                )
-                for i, pair in per_col[c].items():
-                    entries[i] = pair
-                meta.attributes[STATS_ATTR_KEY] = entries
-                store.set(
-                    f"{c}/zarr.json", json.dumps(meta.to_json()).encode()
-                )
-            from .zarr.writer import consolidate_metadata
+                if (
+                    meta.attributes.get(STATS_ATTR_KEY) is None
+                    and n_objects <= STATS_MAX_OBJECTS
+                ):
+                    # stats-less sub-cap store: seed an all-unknown
+                    # list so the freshly computed bounds stick
+                    # (pre-round-8 behavior); a stats-less PAST-cap
+                    # store stays stats-less — refresh_stats is the
+                    # deliberate full rebuild there
+                    meta.attributes[STATS_ATTR_KEY] = (
+                        [None] * n_objects
+                    )
+                if _patch_stats(store, meta, c, per_col[c], n_objects):
+                    store.set(
+                        f"{c}/zarr.json",
+                        json.dumps(meta.to_json()).encode(),
+                    )
+                    post_dirty = True
+            if post_dirty:
+                from .zarr.writer import consolidate_metadata
 
-            consolidate_metadata(store)
+                consolidate_metadata(store)
 
     inserted = 0
     if on_missing == "insert" and n_matched_keys < n_updates:
@@ -2797,6 +3027,10 @@ def drop_zarr_array(path: str, name: str) -> int:
     for k in doomed:
         if k not in meta_keys:
             store.delete(k)
+    # sidecar statistics blocks (past-cap stores) go with the array
+    from .zarr.stats import delete_sidecar
+
+    delete_sidecar(store, name)
     return len(doomed)
 
 
@@ -2842,9 +3076,16 @@ def vacuum_zarr(path: str, dry_run: bool = True) -> dict:
 
     from .zarr.versions import VERSIONS_PREFIX
 
+    from .zarr.stats import STATS_SIDECAR_PREFIX
+
     def reachable(key: str) -> bool:
         if key.startswith(VERSIONS_PREFIX):
             return True  # committed snapshots are live state, not debris
+        if key.startswith(STATS_SIDECAR_PREFIX + "/"):
+            # sidecar statistics blocks for a LIVE array are state;
+            # blocks for a dropped/renamed-away array are debris
+            owner = key.split("/", 2)[1] if key.count("/") >= 2 else ""
+            return owner in metas
         if key in root_keys:
             return True
         name, _, rest = key.partition("/")
@@ -3139,6 +3380,16 @@ def rename_zarr_array(
             raw = store.get(k)
             if raw is not None:
                 store.set(k, renamed_dims(k, raw))
+
+    # 3b. sidecar statistics blocks follow the array (past-cap stores
+    # keep entries under __stats__/<name>/ with a marker attribute —
+    # the marker copied with the metadata in step 2, so the blocks
+    # must exist under the new name before the cache republishes;
+    # metadata-scale: one move per block)
+    from .zarr.stats import STATS_SIDECAR_PREFIX as _SP
+
+    for k in sorted(store.walk_prefix(f"{_SP}/{old}")):
+        store.move(k, f"{_SP}/{new}/{k.split('/', 2)[2]}")
 
     # 4. republish the cache (both names readable), then retire old
     _refresh_store_cache(store)

@@ -456,8 +456,16 @@ class ZarrWriter(DataSourceArrowWriter):
         #    (readers plan each poll from one GET).
         import json
 
+        from .io import STATS_MAX_OBJECTS
+        from .zarr.stats import store_stats
+
         for n, entries in per_col.items():
-            metas[n].attributes[STATS_ATTR_KEY] = entries
+            # inline up to the cap; past it the entries go to sidecar
+            # blocks so a long-running stream can never grow zarr.json
+            # into an unparseable planning document
+            metas[n].attributes[STATS_ATTR_KEY] = store_stats(
+                store, n, entries, STATS_MAX_OBJECTS
+            )
         for n in names:
             store.set(f"{n}/zarr.json", json.dumps(metas[n].to_json()).encode())
         write_root_group(

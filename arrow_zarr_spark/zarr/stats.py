@@ -43,8 +43,10 @@ from .store import Store
 __all__ = [
     "STATS_BLOCK_ENTRIES",
     "STATS_SIDECAR_PREFIX",
+    "block_key",
     "delete_sidecar",
     "is_sidecar_marker",
+    "migrate_stats",
     "resolve_stats",
     "store_stats",
 ]
@@ -57,8 +59,13 @@ STATS_SIDECAR_PREFIX = "__stats__"
 STATS_BLOCK_ENTRIES = 65536
 
 
-def _block_key(array_name: str, block: int) -> str:
+def block_key(array_name: str, block: int) -> str:
+    """Store key of one sidecar block (also the layout contract the
+    write-side patch tasks and delta-update paths address)."""
     return f"{STATS_SIDECAR_PREFIX}/{array_name}/{block}.json"
+
+
+_block_key = block_key
 
 
 def is_sidecar_marker(value) -> bool:

