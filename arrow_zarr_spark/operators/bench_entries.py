@@ -130,6 +130,13 @@ def add_bench_queries(qs: dict, spark, sf_dir: str, force=None) -> None:
     qs["phash_near_dup"] = lambda: force(
         multimodal.phash_near_dup_pairs(docs, max_hamming=2)
     )
+    # production-width variant (m08): 64-bit dHash, four 16-bit bands
+    # — the scale path the 24-bit entry's docstring promises; unlike
+    # the 24-bit hash it also holds a 10x rung slot (bench.py) since
+    # its bands don't saturate at 10^4+ corpora
+    qs["phash64_near_dup"] = lambda: force(
+        multimodal.phash64_near_dup_pairs(docs, max_hamming=3)
+    )
     # cross-modal alignment gate (m06): one Arrow decode pass + JVM
     # pooling + id equi-join + built-in cosine — tracked against
     # multimodal_features (the delta is the join + cosine tail)

@@ -40,6 +40,10 @@ __all__ = [
     "resize_images",
     "sample_frames",
     "crossmodal_alignment",
+    "perceptual_hash",
+    "perceptual_hash64",
+    "phash_near_dup_pairs",
+    "phash64_near_dup_pairs",
 ]
 
 #: Canonical multimodal column group: payload + typed metadata.
@@ -125,14 +129,20 @@ _DECODE_SCHEMA = StructType(
 )
 
 
-def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
+def decode_image(
+    df: DataFrame, fake: bool = True, thumb: tuple = (4, 4)
+) -> DataFrame:
     """Decode image payloads to pixel arrays.
 
-    ``fake=True`` produces a deterministic 4x4 grayscale thumbnail from
-    the byte stream (so the downstream plumbing — schema, batching,
-    joins on media_id — is exercised end-to-end). ``fake=False`` is the
-    real-codec path: STUB, raises NotImplementedError (no Pillow in
-    this environment)."""
+    ``fake=True`` produces a deterministic ``thumb=(width, height)``
+    grayscale thumbnail from the byte stream (so the downstream
+    plumbing — schema, batching, joins on media_id — is exercised
+    end-to-end); pixels are row-major span means rounded to 6
+    decimals, the m02 px_micro replay convention. ``fake=False`` is
+    the real-codec path: STUB, raises NotImplementedError (no Pillow
+    in this environment)."""
+    w, h = int(thumb[0]), int(thumb[1])
+    n_spans = w * h
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -147,10 +157,11 @@ def decode_image(df: DataFrame, fake: bool = True) -> DataFrame:
                     rows.append((mid, None, None, None))
                     continue
                 buf = np.frombuffer(p, dtype=np.uint8)
-                # deterministic 4x4 "thumbnail": mean of 16 equal byte spans
-                spans = np.array_split(buf.astype(np.float64), 16)
+                # deterministic thumbnail: mean of n_spans equal byte
+                # spans (np.array_split: n % k longer spans first)
+                spans = np.array_split(buf.astype(np.float64), n_spans)
                 pix = [float(np.round(s.mean(), 6)) if s.size else 0.0 for s in spans]
-                rows.append((mid, pix, 4, 4))
+                rows.append((mid, pix, w, h))
             yield pd.DataFrame(
                 rows, columns=["media_id", "pixels", "width", "height"]
             )
@@ -497,6 +508,133 @@ def phash_near_dup_pairs(
     )
     hamming = F.bit_count(
         F.col("phash_a").bitwiseXOR(F.col("phash_b"))
+    ).cast("long")
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("media_id_a").alias("id_a"),
+            F.col("media_id_b").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
+def perceptual_hash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Production-width 64-bit dHash over the deterministic 9x8
+    thumbnail — the scale path the 24-bit :func:`perceptual_hash`'s
+    docstring promises (its 8-bit bands saturate at ~10^4 images;
+    reference context: none — the reference has no similarity
+    surface, this is north-star scope).
+
+    Classic dHash (Krawetz): a width-9 x height-8 grayscale
+    thumbnail yields 8 row-adjacent brightness comparisons per row x
+    8 rows = 64 gradient bits (bit r*8+c set iff
+    pix[r,c] < pix[r,c+1]) — gradients, not levels, so the hash
+    survives uniform exposure shifts.
+
+    The hash is carried as TWO non-negative 32-bit halves
+    ``(ph_lo, ph_hi)`` rather than one signed 64-bit value: bit 63
+    would wrap a BIGINT negative, and the two-halves form keeps every
+    build/band/bit_count expression in non-negative integer
+    arithmetic that Spark and the DuckDB oracle replay identically.
+    Hamming distance is bit_count(xor(lo)) + bit_count(xor(hi)).
+
+    All comparisons run JVM-side over decode_image's rounded pixel
+    means (the m02 px_micro replay convention: round(mean, 6) * 1e6
+    is exactly the integer the oracle rebuilds). Returns
+    (media_id, ph_lo long, ph_hi long)."""
+    pix = decode_image(
+        with_binary_payload(df, id_col, text_col), thumb=(9, 8)
+    ).filter(F.col("pixels").isNotNull())
+
+    def p(i):
+        return F.element_at(F.col("pixels"), i + 1)
+
+    lo_terms, hi_terms = [], []
+    for r in range(8):
+        for c in range(8):
+            bi = r * 8 + c
+            term = F.when(
+                p(r * 9 + c) < p(r * 9 + c + 1),
+                F.lit(1 << (bi % 32)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            (lo_terms if bi < 32 else hi_terms).append(term)
+
+    def total(terms):
+        h = terms[0]
+        for t in terms[1:]:
+            h = h + t
+        return h
+
+    return pix.select(
+        "media_id",
+        total(lo_terms).alias("ph_lo"),
+        total(hi_terms).alias("ph_hi"),
+    )
+
+
+def phash64_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs at production width —
+    banded hamming LSH over :func:`perceptual_hash64`, never an
+    all-pairs scan: the 64-bit hash splits into FOUR 16-bit bands
+    (b0/b1 from ph_lo, b2/b3 from ph_hi); two hashes within hamming
+    ``max_hamming`` <= 3 differ in at most 3 bands, so at least one
+    band matches exactly (pigeonhole) and the pair surfaces from a
+    band equi-join. Each pair is emitted from its FIRST matching band
+    only (later arms require every earlier band to differ — the
+    no-distinct dedup trick), then verified with the exact hamming
+    distance (bit_count of xor per half, JVM-side).
+
+    Recall is EXACT for hamming <= 3 by construction; precision is
+    exact because every candidate is verified. Band cardinality is
+    2^16 (65k buckets per band) — the occupancy that keeps the band
+    joins sub-quadratic at 10^5-10^6 images
+    (tests/test_operators.py pins occupancy at 10^5); past that, the
+    standard LSH levers apply unchanged (more/wider bands over a
+    128-bit hash, same plan shape).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if not (0 <= max_hamming <= 3):
+        raise ValueError(
+            f"phash64_near_dup_pairs: 4 bands guarantee recall only "
+            f"for max_hamming <= 3, got {max_hamming}"
+        )
+    ph = perceptual_hash64(df, id_col, text_col).select(
+        "media_id",
+        "ph_lo",
+        "ph_hi",
+        (F.col("ph_lo") % 65536).alias("b0"),
+        F.shiftright("ph_lo", 16).alias("b1"),
+        (F.col("ph_hi") % 65536).alias("b2"),
+        F.shiftright("ph_hi", 16).alias("b3"),
+    )
+    # four self-join arms would re-run the decode+hash pipeline four
+    # times; the hash table is 7 small columns per doc — materialize
+    # it once (the d14/d16 localCheckpoint convention)
+    ph = ph.localCheckpoint()
+    a = ph.select(*[F.col(c).alias(f"{c}_a") for c in ph.columns])
+    b = ph.select(*[F.col(c).alias(f"{c}_b") for c in ph.columns])
+    lt = F.col("media_id_a") < F.col("media_id_b")
+    arms = []
+    for i in range(4):
+        cond = (F.col(f"b{i}_a") == F.col(f"b{i}_b")) & lt
+        for j in range(i):
+            cond = cond & (F.col(f"b{j}_a") != F.col(f"b{j}_b"))
+        arms.append(a.join(b, cond))
+    cands = arms[0]
+    for arm in arms[1:]:
+        cands = cands.unionAll(arm)
+    hamming = (
+        F.bit_count(F.col("ph_lo_a").bitwiseXOR(F.col("ph_lo_b")))
+        + F.bit_count(F.col("ph_hi_a").bitwiseXOR(F.col("ph_hi_b")))
     ).cast("long")
     return (
         cands.withColumn("hamming", hamming)

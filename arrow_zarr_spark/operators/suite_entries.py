@@ -3855,3 +3855,81 @@ def populate_round7_repair_queries(register) -> None:
         "CAST(i * 5 % 11 AS DOUBLE) AS v, "
         "CAST(2 AS BIGINT) AS n_repaired FROM range(96) t(i)",
     )
+
+
+def populate_round8_phash64_queries(register) -> None:
+    """m08: production-width perceptual near-dup — 64-bit dHash over
+    the deterministic 9x8 thumbnail, four 16-bit bands (pigeonhole-
+    exact recall at hamming <= 3), first-band no-distinct dedup,
+    exact bit_count verify. The hash rides as two non-negative 32-bit
+    halves so every expression stays in exact integer arithmetic in
+    both engines (bit 63 would wrap a signed BIGINT). The oracle
+    rebuilds the thumbnail from the m02 px_micro replay (72 spans),
+    derives all 64 gradient bits, and replays the band joins and the
+    per-half xor/bit_count verify — the full pipeline is
+    bit-replayable. This is m07's documented scale path (its 24-bit
+    hash saturates ~10^4 images; band occupancy at 10^5 is pinned in
+    tests/test_operators.py). Reference context: none — the
+    reference has no similarity surface."""
+
+    def m08(spark, sf_dir):
+        return multimodal.phash64_near_dup_pairs(
+            _docs(spark, sf_dir), max_hamming=3
+        )
+
+    # the 64 dHash bits over the 1-indexed 72-pixel row-major array,
+    # exactly the bit layout of multimodal.perceptual_hash64:
+    # bit r*8+c set iff arr[r*9+c] < arr[r*9+c+1] (0-indexed)
+    lo_terms, hi_terms = [], []
+    for r in range(8):
+        for c in range(8):
+            bi = r * 8 + c
+            term = (
+                f"CASE WHEN arr[{r * 9 + c + 1}] < arr[{r * 9 + c + 2}] "
+                f"THEN {1 << (bi % 32)} ELSE 0 END"
+            )
+            (lo_terms if bi < 32 else hi_terms).append(term)
+    lo_expr = " + ".join(lo_terms)
+    hi_expr = " + ".join(hi_terms)
+
+    arms = []
+    for i in range(4):
+        conds = [f"a.b{i} = b.b{i}", "a.media_id < b.media_id"]
+        conds += [f"a.b{j} <> b.b{j}" for j in range(i)]
+        arms.append(
+            "SELECT a.media_id AS ia, b.media_id AS ib, "
+            "a.lo AS la, b.lo AS lb, a.hi AS ha, b.hi AS hb "
+            f"FROM hb a JOIN hb b ON {' AND '.join(conds)}"
+        )
+
+    register(
+        "m08_phash64_near_dup",
+        m08,
+        "WITH d AS (SELECT doc_id, text, length(text) AS n "
+        "FROM documents WHERE length(text) > 0), "
+        "s AS (SELECT doc_id, text, n, CAST(i AS INT) AS px_idx, "
+        "CASE WHEN i < n % 72 THEN n // 72 + 1 ELSE n // 72 END "
+        "AS span_len, "
+        "CASE WHEN i < n % 72 THEN i * (n // 72 + 1) "
+        "ELSE (n % 72) * (n // 72 + 1) + (i - n % 72) * (n // 72) "
+        "END AS span_start FROM d, range(72) t(i)), "
+        "px AS (SELECT doc_id AS media_id, px_idx, "
+        "CASE WHEN span_len = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(round_even(list_sum(list_transform(string_split("
+        "substr(text, span_start + 1, span_len), ''), "
+        "c -> CAST(ascii(c) AS DOUBLE))) / span_len * 1000000.0, 0) "
+        "AS BIGINT) END AS pm FROM s), "
+        "t AS (SELECT media_id, list(pm ORDER BY px_idx) AS arr "
+        "FROM px GROUP BY media_id), "
+        f"h AS (SELECT media_id, {lo_expr} AS lo, {hi_expr} AS hi "
+        "FROM t), "
+        "hb AS (SELECT media_id, lo, hi, lo % 65536 AS b0, "
+        "lo // 65536 AS b1, hi % 65536 AS b2, hi // 65536 AS b3 "
+        "FROM h), "
+        f"cand AS ({' UNION ALL '.join(arms)}) "
+        "SELECT ia AS id_a, ib AS id_b, "
+        "CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) "
+        "AS BIGINT) AS hamming "
+        "FROM cand "
+        "WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3",
+    )

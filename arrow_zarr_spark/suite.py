@@ -1450,10 +1450,14 @@ DRIVER_WINDOW = [
     "z13_sharded_scan",
     "z14_string_scan",
     "z16_time_scan",
-    # (c) last driver-checked round 4
+    # (c) last driver-checked round 4 — plus the ONE round-8 addition
+    # (m08, 64-bit pHash: new queries enter the window in their own
+    # round so no gap like z36's recurs); b07's modulo-predicate
+    # shape cedes the slot (stays parity-enforced; modulo arithmetic
+    # stays in-window via r20's math_case and the b05/b06 pair)
+    "m08_phash64_near_dup",
     "b05_comparisons_or",
     "b06_equality_pred",
-    "b07_modulo_pred",
     "b08_equi_join",
     "d01_exact_dedup",
     "d02_normalized_dedup",
@@ -1502,6 +1506,7 @@ def _ensure_populated() -> None:
         populate_round7_rename_queries,
         populate_round7_stream_interp_queries,
         populate_round7_plandoctor_queries,
+        populate_round8_phash64_queries,
         populate_round7_repair_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
@@ -1552,6 +1557,7 @@ def _ensure_populated() -> None:
     populate_round7_rename_queries(register_query)
     populate_round7_stream_interp_queries(register_query)
     populate_round7_plandoctor_queries(register_query)
+    populate_round8_phash64_queries(register_query)
     # z36 registers OUTSIDE the (already all-fresh) 50-slot window —
     # the round-8 rotation picks it up; oracle parity enforces it
     # locally every round meanwhile

@@ -655,8 +655,14 @@ def scale_rung_queries(spark, factor: int):
     # probe set — the ratio should be the corpus scan, near-linear.
     # (phash_near_dup is deliberately NOT on the rung: its toy 24-bit
     # hash saturates at ~10^4+ corpora, so a rung would measure hash
-    # collisions, not the engine — a production 64-bit pHash is the
-    # scale path, per the operator's docstring.)
+    # collisions, not the engine. Its production-width successor
+    # phash64_near_dup — 65k-bucket bands, occupancy pinned at 1e5
+    # images — takes the rung slot instead, closing r7 verdict item 4.)
+    from arrow_zarr_spark.operators import multimodal as _mm
+
+    qs["phash64_near_dup"] = lambda: _force(
+        _mm.phash64_near_dup_pairs(docs, max_hamming=3)
+    )
     embs10 = spark.read.parquet(
         _scale_parquet(spark, factor, "embeddings", "vec_id")
     )

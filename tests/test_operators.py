@@ -2322,6 +2322,133 @@ class TestPerceptualHashDedup:
             phash_near_dup_pairs(docs, max_hamming=5)
 
 
+class TestPhash64:
+    """m08 — production-width 64-bit dHash (9x8 thumbnail, four
+    16-bit bands, pigeonhole-exact recall at hamming <= 3)."""
+
+    def test_pairs_equal_bruteforce(self, spark, docs):
+        from arrow_zarr_spark.operators.multimodal import (
+            perceptual_hash64,
+            phash64_near_dup_pairs,
+        )
+
+        hs = {
+            r.media_id: (r.ph_lo, r.ph_hi)
+            for r in perceptual_hash64(docs).collect()
+        }
+        for lo, hi in hs.values():
+            assert 0 <= lo < (1 << 32) and 0 <= hi < (1 << 32)
+        ids = sorted(hs)
+        want = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                d = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(
+                    hs[a][1] ^ hs[b][1]
+                ).count("1")
+                if d <= 3:
+                    want.add((a, b))
+        got = {
+            (r.id_a, r.id_b)
+            for r in phash64_near_dup_pairs(
+                docs, max_hamming=3
+            ).collect()
+        }
+        assert got == want
+
+    def test_exact_duplicates_hash_equal(self, spark):
+        from arrow_zarr_spark.operators.multimodal import (
+            phash64_near_dup_pairs,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "a completely different document about spark and zarr"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in phash64_near_dup_pairs(df).collect()
+        }
+        assert (1, 2, 0) in got
+
+    def test_no_pair_duplicated_across_bands(self, spark, docs):
+        from arrow_zarr_spark.operators.multimodal import (
+            phash64_near_dup_pairs,
+        )
+
+        pairs = [
+            (r.id_a, r.id_b)
+            for r in phash64_near_dup_pairs(docs).collect()
+        ]
+        assert len(pairs) == len(set(pairs))
+
+    def test_max_hamming_bound(self, spark, docs):
+        from arrow_zarr_spark.operators.multimodal import (
+            phash64_near_dup_pairs,
+        )
+
+        with pytest.raises(ValueError, match="max_hamming"):
+            phash64_near_dup_pairs(docs, max_hamming=4)
+
+    def test_band_occupancy_at_1e5_images(self, spark):
+        """The r7 verdict's saturation bar: the 24-bit hash's 8-bit
+        bands collapse at ~10^4 images (256 buckets/band -> band
+        joins go quadratic). The 16-bit bands must keep per-band
+        occupancy wide and buckets flat at 10^5 SYNTHETIC images so
+        the band equi-joins stay sub-quadratic — the property that
+        makes the plan shape survive a 100x corpus."""
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.operators.multimodal import (
+            perceptual_hash64,
+        )
+
+        # 1e5 synthetic "images": hex-digest text gives byte-level
+        # variety across all 72 thumbnail spans, deterministically
+        docs = spark.range(0, 100_000, 1, 32).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.sha2(F.col("id").cast("string"), 256),
+                F.sha2((F.col("id") + 1).cast("string"), 256),
+                F.sha2((F.col("id") + 2).cast("string"), 256),
+            ).alias("text"),
+        )
+        ph = perceptual_hash64(docs).select(
+            (F.col("ph_lo") % 65536).alias("b0"),
+            F.shiftright("ph_lo", 16).alias("b1"),
+            (F.col("ph_hi") % 65536).alias("b2"),
+            F.shiftright("ph_hi", 16).alias("b3"),
+        )
+        ph = ph.localCheckpoint()
+        n = ph.count()
+        assert n == 100_000
+        for band in ["b0", "b1", "b2", "b3"]:
+            occ = (
+                ph.groupBy(band)
+                .count()
+                .agg(
+                    F.count("*").alias("n_buckets"),
+                    F.max("count").alias("max_bucket"),
+                    F.sum(F.col("count") * F.col("count")).alias(
+                        "sum_sq"
+                    ),
+                )
+                .first()
+            )
+            # wide occupancy: thousands of the 65536 buckets in use
+            # (the 8-bit hash tops out at 256 by construction)
+            assert occ["n_buckets"] > 2000, (band, occ["n_buckets"])
+            # flat buckets: no bucket holds >2% of the corpus
+            assert occ["max_bucket"] < 0.02 * n, (
+                band,
+                occ["max_bucket"],
+            )
+            # candidate-pair bound: sum over buckets of n_b^2 stays
+            # ~linear in n (expected pairs per band join << n^2)
+            assert occ["sum_sq"] < 50 * n, (band, occ["sum_sq"])
+
+
 class TestEntropyScore:
     """t15 — Shannon entropy quality gate."""
 

@@ -665,6 +665,21 @@ class TestPhashPlanContracts:
             == 3
         )
 
+    def test_phash64_pairs_four_banded_hash_joins(self, views):
+        """m08 (production width): four 16-bit band EQUI-joins, same
+        no-cartesian / no-distinct contract as m07."""
+        from arrow_zarr_spark.operators.multimodal import (
+            phash64_near_dup_pairs,
+        )
+
+        plan = _plan(phash64_near_dup_pairs(views.table("documents")))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert (
+            plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+            == 4
+        )
+
 
 class TestPlanDoctor:
     """plan_doctor (z35): the contract checklist as a tool."""
