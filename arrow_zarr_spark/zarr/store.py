@@ -50,6 +50,14 @@ class Store:
     def exists(self, key: str) -> bool:
         return self.get(key) is not None
 
+    def mtime(self, key: str) -> Optional[float]:
+        """Last-modified time of a key (unix seconds), or None when
+        the backend cannot say. Used by vacuum_versions' GC grace
+        window: an object of UNKNOWN age is never collected, so a
+        backend without mtimes degrades to keeping unreferenced
+        objects rather than racing an in-flight commit."""
+        return None
+
     def set_exclusive(self, key: str, value: bytes) -> None:
         """Create ``key`` only if it does not exist; raise
         ``FileExistsError`` otherwise. The primitive optimistic
@@ -145,10 +153,23 @@ class LocalStore(Store):
     def set(self, key: str, value: bytes) -> None:
         p = self._path(key)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
+        # unique temp name, same discipline as set_exclusive: a FIXED
+        # "<p>.tmp" made concurrent same-key writers clobber each
+        # other's temp file and the loser's os.replace threw
+        # FileNotFoundError (found by the r8 commit/vacuum storm test
+        # — committer and vacuum both republish HEAD.json)
+        import uuid
+
+        tmp = f"{p}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "wb") as f:
             f.write(value)
         os.replace(tmp, p)
+
+    def mtime(self, key: str) -> Optional[float]:
+        try:
+            return os.path.getmtime(self._path(key))
+        except OSError:
+            return None
 
     def set_exclusive(self, key: str, value: bytes) -> None:
         # full content lands in a private temp file first, then one

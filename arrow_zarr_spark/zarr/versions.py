@@ -439,15 +439,37 @@ def rollback_zarr(spark, path: str, version: int) -> Dict:
     return {"restored": len(objects), "deleted": len(extras)}
 
 
-def vacuum_versions(path: str, keep_last: int) -> Dict:
+def vacuum_versions(
+    path: str, keep_last: int, grace_seconds: float = 3600.0
+) -> Dict:
     """Drop all but the newest ``keep_last`` manifests and delete
     content objects no kept manifest references. TAGGED versions are
     always kept regardless of age (a tag is a retention pin — deleting
     "release-1"'s objects out from under its name would orphan the
     handle; drop the tag first if the release really should age out).
-    Returns ``{"kept_versions", "dropped_versions",
-    "deleted_objects"}``. Metadata-scale driver work (manifest
-    parsing) plus one delete per unreferenced object."""
+    Returns ``{"kept_versions", "dropped_versions", "deleted_objects",
+    "skipped_young"}``. Metadata-scale driver work (manifest
+    parsing) plus one delete per unreferenced object.
+
+    GC safety under concurrent CAS commits (the git-gc / Iceberg
+    expire-snapshots discipline): an in-flight :func:`commit_version`
+    writes its content objects FIRST and publishes its manifest last,
+    so to a naive vacuum those objects look like garbage and the
+    commit would land a manifest referencing GC'd bytes. Two guards
+    close the window:
+
+    - objects younger than ``grace_seconds`` (or of UNKNOWN age —
+      backends without mtimes) are never collected, so any commit
+      that finishes within the grace window is safe;
+    - the manifest list is re-read AFTER the drop phase and every
+      manifest that appeared mid-vacuum contributes its references,
+      so a commit that PUBLISHED during the vacuum is also safe (its
+      old objects are referenced, its new ones are young).
+
+    ``grace_seconds`` must exceed the longest plausible commit
+    duration; objects skipped as young are collected by the next
+    aged vacuum. ``grace_seconds=0`` restores the unguarded behavior
+    (quiesced-store maintenance)."""
     if keep_last < 1:
         raise ZarrFormatError("vacuum_versions: keep_last must be >= 1")
     store = open_store(path)
@@ -466,15 +488,37 @@ def vacuum_versions(path: str, keep_last: int) -> Dict:
         store.delete(_manifest_key(v))
     if kept:
         store.set(_HEAD_KEY, json.dumps({"latest": kept[-1]}).encode())
+    # concurrent-commit guard 2: manifests published since the first
+    # listing pin their objects (missing-manifest races here are
+    # fine: ignore and let the objects age into the next vacuum)
+    for v in _manifest_versions(store):
+        if v not in kept and v not in dropped:
+            try:
+                referenced.update(
+                    _read_manifest(store, v)["objects"].values()
+                )
+            except ZarrFormatError:
+                pass
+    now = time.time()
     deleted = 0
+    skipped_young = 0
     for k in list(store.walk_prefix(_OBJECTS_DIR)):
-        if k.rsplit("/", 1)[-1] not in referenced:
-            store.delete(k)
-            deleted += 1
+        if k.rsplit("/", 1)[-1] in referenced:
+            continue
+        if grace_seconds > 0:
+            age = store.mtime(k)
+            if age is None or now - age < grace_seconds:
+                # concurrent-commit guard 1: unknown or young = an
+                # in-flight commit's pre-publish objects, never GC'd
+                skipped_young += 1
+                continue
+        store.delete(k)
+        deleted += 1
     return {
         "kept_versions": kept,
         "dropped_versions": dropped,
         "deleted_objects": deleted,
+        "skipped_young": skipped_young,
     }
 
 

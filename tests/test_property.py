@@ -484,7 +484,7 @@ def test_versioning_model(ops):
         elif op[0] == "vacuum":
             if not snapshots:
                 continue
-            out = vacuum_versions(path, keep_last=op[1])
+            out = vacuum_versions(path, keep_last=op[1], grace_seconds=0)
             for v in out["dropped_versions"]:
                 snapshots.pop(v, None)
             for v in out["dropped_versions"]:

@@ -248,7 +248,7 @@ class TestVacuum:
         commit_version(spark, d)
         write_zarr(_table(spark, 32, 64), d, chunk_rows=16, mode="append")
         commit_version(spark, d)
-        out = vacuum_versions(d, keep_last=1)
+        out = vacuum_versions(d, keep_last=1, grace_seconds=0)
         assert out["dropped_versions"] == [1]
         assert out["deleted_objects"] > 0
         with pytest.raises(ZarrFormatError, match="No version 1"):
