@@ -252,22 +252,42 @@ def hyperplane_lsh_ann(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 12,
-    n_tables: int = 4,
+    n_planes: int = 10,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: Optional[str] = None,
     seed: int = 42,
+    multiprobe: int = 2,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH.
+    """Approximate top-k via random-hyperplane LSH with multi-probe.
 
     Each of ``n_tables`` independent tables buckets vectors by an
     ``n_planes``-bit sign signature; query and corpus meet in an
     equi-join on (table, signature); candidates are exact-cosine scored
     and top-k'd. Recall grows with tables, cost with bucket occupancy —
-    both data-linear, no cross product."""
+    both data-linear, no cross product.
+
+    ``multiprobe`` (0-2) additionally probes every signature within
+    hamming distance ``multiprobe`` of the query's — on the QUERY side
+    only, so the corpus is never re-hashed or expanded (queries are
+    the small side by contract). This is the Lv-et-al multi-probe
+    lever, and on this repo's synthetic embeddings it is the
+    difference between a decorative gate and a working one: measured
+    recall@5 vs exact on the sf0.1 corpus is 0.016 for the round-7
+    defaults (12 planes, 4 tables, no probing) vs 0.85 for the
+    round-8 defaults (10 planes, 8 tables, probe 2) — the bench's
+    recall keys track this per round. Probing multiplies query-side
+    signature rows by 1 + C(p,1) + C(p,2) (56 at the defaults), a
+    per-query planning cost that is invisible next to the corpus
+    scan; the corpus-side cost lever remains n_tables."""
     import pandas as pd
 
+    if not (0 <= int(multiprobe) <= 2):
+        raise ValueError(
+            f"hyperplane_lsh_ann: multiprobe must be 0..2, got "
+            f"{multiprobe}"
+        )
     query_id_col = query_id_col or id_col
     first = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
     if first is None:
@@ -283,13 +303,28 @@ def hyperplane_lsh_ann(
     spark = corpus.sparkSession
     b_planes = spark.sparkContext.broadcast(planes_all)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
+    # probe masks: the identity, then every 1-bit flip, then every
+    # 2-bit flip of the signature (query side only)
+    masks = [0]
+    if int(multiprobe) >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if int(multiprobe) >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    masks_arr = np.array(masks, dtype=np.int64)
 
-    def sig_table(df, ident, idc):
+    def sig_table(df, ident, idc, probe):
         """(id, vec, tbl, sig) — one NumPy matmul per batch computes
-        every table's bit signature at once (Arrow in/out, no shuffle)."""
+        every table's bit signature at once (Arrow in/out, no
+        shuffle). ``probe=True`` expands each signature to its probe
+        set (query side)."""
         schema = (
             f"{ident} long, {ident}_v array<float>, tbl int, sig long"
         )
+        n_probe = len(masks_arr) if probe else 1
 
         def kernel(batches):
             pl = b_planes.value
@@ -301,18 +336,25 @@ def hyperplane_lsh_ann(
                 n = len(pdf)
                 sigs = (
                     bits.reshape(n, n_tables, n_planes) @ weights
-                ).astype(np.int64)
+                ).astype(np.int64)  # (n, n_tables)
+                if probe and n_probe > 1:
+                    sigs = sigs[:, :, None] ^ masks_arr[None, None, :]
                 ids = pdf[idc].to_numpy()
+                rep = n_tables * n_probe
                 yield pd.DataFrame(
                     {
-                        ident: np.repeat(ids, n_tables),
+                        ident: np.repeat(ids, rep),
                         f"{ident}_v": [
                             v
                             for v in pdf[vec_col]
-                            for _ in range(n_tables)
+                            for _ in range(rep)
                         ],
                         "tbl": np.tile(
-                            np.arange(n_tables, dtype=np.int32), n
+                            np.repeat(
+                                np.arange(n_tables, dtype=np.int32),
+                                n_probe,
+                            ),
+                            n,
                         ),
                         "sig": sigs.ravel(),
                     }
@@ -320,8 +362,8 @@ def hyperplane_lsh_ann(
 
         return df.mapInPandas(kernel, schema=schema)
 
-    csig = sig_table(corpus, "neighbor_id", id_col)
-    qsig = sig_table(queries, "query_id", query_id_col)
+    csig = sig_table(corpus, "neighbor_id", id_col, probe=False)
+    qsig = sig_table(queries, "query_id", query_id_col, probe=True)
 
     cand = (
         qsig.join(csig, ["tbl", "sig"])

@@ -93,6 +93,39 @@ class TestANN:
         # top-1 recall@5 should be decent even with tiny tables
         assert hits >= len(exact_top1) * 0.5
 
+    def test_lsh_multiprobe_recall_ladder(self, spark, embs):
+        """The round-8 multi-probe lever: probing hamming<=p query
+        signatures can only ADD candidates, so recall@5 must be
+        monotone in p — and at fixed (planes, tables) the jump from
+        probe 0 to probe 2 must be material (the r7 defaults measured
+        0.008 recall at sf0.1; the r8 defaults measure ~0.84)."""
+        queries = embs.filter(F.col("vec_id") < 20)
+        exact = {}
+        for r in similarity.cosine_topk(embs, queries, k=5).collect():
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+        def recall(p):
+            got = {}
+            rows = similarity.hyperplane_lsh_ann(
+                embs, queries, k=5, n_planes=10, n_tables=4,
+                multiprobe=p,
+            ).collect()
+            for r in rows:
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return sum(
+                len(got.get(q, set()) & s) / len(s)
+                for q, s in exact.items()
+            ) / len(exact)
+
+        r0, r1, r2 = recall(0), recall(1), recall(2)
+        assert r0 <= r1 + 1e-9 and r1 <= r2 + 1e-9
+        assert r2 >= r0 + 0.2, (r0, r1, r2)
+
+        with pytest.raises(ValueError, match="multiprobe"):
+            similarity.hyperplane_lsh_ann(
+                embs, queries, k=5, multiprobe=3
+            )
+
     def test_lsh_ann_verification_params_full_recall(self, spark, embs):
         """The registered s02 path uses verification-grade params
         (4 planes x 48 tables); at suite scale the output must EQUAL
