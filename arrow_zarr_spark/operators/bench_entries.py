@@ -259,6 +259,15 @@ def add_bench_queries(qs: dict, spark, sf_dir: str, force=None) -> None:
             embs, embs.filter(F.col("vec_id") < 100), k=10
         )
     )
+    # binary-quantization ANN (s08): 1-bit sign codes, JVM-only
+    # hamming shortlist (no Python worker anywhere), exact rerank —
+    # tracked against ann_sq8 (the 8-bit compressed-domain rung) and
+    # ann_cosine_topk (the float rung); the 32x-compression variant
+    qs["ann_binary"] = lambda: force(
+        similarity.binary_ann(
+            embs, embs.filter(F.col("vec_id") < 100), k=10
+        )
+    )
     # retrieve-then-rerank (s07): s06 shortlist + broadcast exact
     # rescore — tracked because the rescore joins are the stages a
     # production index adds on top of the compressed-domain kernel

@@ -1456,11 +1456,14 @@ DRIVER_WINDOW = [
     # shape cedes the slot (stays parity-enforced; modulo arithmetic
     # stays in-window via r20's math_case and the b05/b06 pair)
     "m08_phash64_near_dup",
+    # s08 (binary-quantization ANN, also new this round) takes d02's
+    # slot (normalized dedup, r4-green; the exact-dedup family stays
+    # in-window via d01 and d02 stays parity-enforced every round)
+    "s08_binary_ann_topk",
     "b05_comparisons_or",
     "b06_equality_pred",
     "b08_equi_join",
     "d01_exact_dedup",
-    "d02_normalized_dedup",
     "d11_contamination_purge",
 ]
 
@@ -1507,6 +1510,7 @@ def _ensure_populated() -> None:
         populate_round7_stream_interp_queries,
         populate_round7_plandoctor_queries,
         populate_round8_phash64_queries,
+        populate_round8_binary_ann_queries,
         populate_round7_repair_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
@@ -1558,6 +1562,7 @@ def _ensure_populated() -> None:
     populate_round7_stream_interp_queries(register_query)
     populate_round7_plandoctor_queries(register_query)
     populate_round8_phash64_queries(register_query)
+    populate_round8_binary_ann_queries(register_query)
     # z36 registers OUTSIDE the (already all-fresh) 50-slot window —
     # the round-8 rotation picks it up; oracle parity enforces it
     # locally every round meanwhile

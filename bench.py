@@ -52,6 +52,9 @@ _PLAN_ALLOWED = {
         "cartesian_product",  # AQE may plan the tiny side cartesian
     },
     "ann_ivf": {"broadcast_nested_loop_join"},  # k-row centroid xjoin
+    # bounded probe set broadcast against the corpus encode pass —
+    # the same shape as s01's exact kernel, n_queries rows by contract
+    "ann_binary": {"broadcast_nested_loop_join"},
     "kmeans_embeddings": {"broadcast_nested_loop_join"},  # centroids
     "semantic_neardup": {"broadcast_nested_loop_join"},  # centroids
     "unigram_logprob": {"broadcast_nested_loop_join"},  # 1-row total
@@ -708,6 +711,9 @@ def _ann_recall(spark, k: int = 5) -> dict:
         "ann_sq8": lambda: similarity.sq8_ann(embs, probes, k=k),
         "ann_sq8_refine": lambda: similarity.sq8_refine_topk(
             embs, probes, k=k, shortlist=32
+        ),
+        "ann_binary": lambda: similarity.binary_ann(
+            embs, probes, k=k
         ),
     }
     out = {}

@@ -138,6 +138,44 @@ class TestANN:
         ).collect()
         assert sorted(map(tuple, exact)) == sorted(map(tuple, approx))
 
+    def test_binary_ann_full_shortlist_equals_exact(self, spark, embs):
+        """s08 with shortlist >= corpus reranks EVERY vector exactly,
+        so the output must equal exact top-k — the identity that
+        makes the exact-cosine ranking a verifier for the rerank."""
+        n = embs.count()
+        queries = embs.filter(F.col("vec_id") < 10)
+        exact = similarity.cosine_topk(embs, queries, k=5).collect()
+        got = similarity.binary_ann(
+            embs, queries, k=5, shortlist=n
+        ).collect()
+        assert sorted(map(tuple, exact)) == sorted(map(tuple, got))
+
+    def test_binary_ann_recall_rides_shortlist(self, spark, embs):
+        """Recall@5 must be monotone in the shortlist size (a larger
+        hamming shortlist can only add rerank candidates)."""
+        queries = embs.filter(F.col("vec_id") < 20)
+        exact = {}
+        for r in similarity.cosine_topk(embs, queries, k=5).collect():
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+        def recall(m):
+            got = {}
+            for r in similarity.binary_ann(
+                embs, queries, k=5, shortlist=m
+            ).collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return sum(
+                len(got.get(q, set()) & s) / len(s)
+                for q, s in exact.items()
+            ) / len(exact)
+
+        r16, r128 = recall(16), recall(128)
+        assert r16 <= r128 + 1e-9
+        assert r128 > 0.4  # 128-deep rerank is materially useful
+
+        with pytest.raises(ValueError, match="shortlist"):
+            similarity.binary_ann(embs, queries, k=10, shortlist=5)
+
     def test_ivf_ann_runs(self, spark, embs):
         out = similarity.ivf_ann(
             embs, embs.filter(F.col("vec_id") < 5), k=3

@@ -647,6 +647,30 @@ class TestSQ8PlanContracts:
         assert "BroadcastNestedLoopJoin" not in plan
         assert plan.count("Exchange hashpartitioning") == 2
 
+    def test_binary_ann_jvm_only_corpus_never_shuffles(self, views):
+        """s08: NO Python worker anywhere (the whole point — encode,
+        hamming, shortlist, rerank are all codegen'd JVM
+        expressions); the probe-set broadcast is the ONE nested-loop
+        (bounded by contract, s01's shape); the rerank joins
+        broadcast the shortlist and query vectors so the corpus never
+        shuffles; the only hash exchanges are the two window merges
+        over candidate-sized rows."""
+        from arrow_zarr_spark.operators import similarity
+
+        embs = views.table("embeddings")
+        df = similarity.binary_ann(
+            embs, embs.filter(F.col("vec_id") < 10), shortlist=16
+        )
+        plan = _plan(df)
+        assert "MapInPandas" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1  # probe set
+        assert plan.count("BroadcastHashJoin") == 2  # rerank joins
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange hashpartitioning") == 2
+
 
 class TestPhashPlanContracts:
     def test_phash_pairs_banded_hash_joins_no_distinct(self, views):
