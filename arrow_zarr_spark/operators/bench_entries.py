@@ -268,6 +268,27 @@ def add_bench_queries(qs: dict, spark, sf_dir: str, force=None) -> None:
             embs, embs.filter(F.col("vec_id") < 100), k=10
         )
     )
+    # persisted-index form (x05): the code store is built ONCE here
+    # (the batch index-build job); the timed entry is the QUERY path —
+    # hamming scan over 8-byte codes through the zarr reader + exact
+    # rerank. Tracked against ann_binary (which re-encodes the corpus
+    # every run): the delta is encode-vs-scan, the number that decides
+    # whether persisting the index pays at a given query rate.
+    import atexit as _atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .vector_index import build_binary_index, query_binary_index
+
+    _idx_root = _tempfile.mkdtemp(prefix="azs_bench_binidx_")
+    _atexit.register(_shutil.rmtree, _idx_root, ignore_errors=True)
+    build_binary_index(embs, _idx_root + "/idx")
+    qs["ann_binary_index_query"] = lambda: force(
+        query_binary_index(
+            spark, _idx_root + "/idx", embs,
+            embs.filter(F.col("vec_id") < 100), k=10,
+        )
+    )
     # retrieve-then-rerank (s07): s06 shortlist + broadcast exact
     # rescore — tracked because the rescore joins are the stages a
     # production index adds on top of the compressed-domain kernel

@@ -3990,3 +3990,63 @@ def populate_round8_binary_ann_queries(register) -> None:
         "SELECT query_id, neighbor_id, cosine, "
         "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5",
     )
+
+
+def populate_round8_vector_index_queries(register) -> None:
+    """x05: persisted binary vector index — build (JVM sign-code
+    encode -> the engine's own zarr writer) then query (code-store
+    scan for the hamming shortlist, broadcast exact rerank against
+    the raw table). Codes are deterministic, so results are
+    IDENTICAL to s08's in-memory form and the oracle is the same
+    full-pipeline SQL replay — which therefore hash-verifies the
+    index write/read roundtrip as well as the ANN math."""
+
+    def x05(spark, sf_dir):
+        from .vector_index import build_binary_index, query_binary_index
+
+        embs = _embs(spark, sf_dir)
+        token = sf_dir.strip("/").replace("/", "_")
+        idx = f"/tmp/arrow_zarr_spark_x05_idx_{token}"
+        build_binary_index(embs, idx, mode="overwrite")
+        out = query_binary_index(
+            spark, idx, embs, embs.filter(F.col("vec_id") < 20),
+            k=5, shortlist=128,
+        )
+        return out.withColumn("rank", F.col("rank").cast("long"))
+
+    def words(alias):
+        out = []
+        for w in range(2):
+            terms = " + ".join(
+                f"CASE WHEN embedding[{32 * w + b + 1}] >= 0 "
+                f"THEN {1 << b} ELSE 0 END"
+                for b in range(32)
+            )
+            out.append(f"({terms}) AS {alias}w{w}")
+        return ", ".join(out)
+
+    register(
+        "x05_binary_index_roundtrip",
+        x05,
+        "WITH cenc AS (SELECT vec_id AS neighbor_id, "
+        f"{words('c')} FROM embeddings), "
+        "qenc AS (SELECT vec_id AS query_id, "
+        f"{words('q')} FROM embeddings WHERE vec_id < 20), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        "bit_count(xor(qw0, cw0)) + bit_count(xor(qw1, cw1)) AS h "
+        "FROM qenc, cenc WHERE query_id <> neighbor_id), "
+        "short AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY h, neighbor_id) AS hrank FROM scored) "
+        "WHERE hrank <= 128), "
+        "resc AS (SELECT s.query_id, s.neighbor_id, "
+        "ROUND(list_cosine_similarity("
+        "CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])"
+        "), 6) AS cosine FROM short s "
+        "JOIN embeddings q ON q.vec_id = s.query_id "
+        "JOIN embeddings c ON c.vec_id = s.neighbor_id), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM resc) "
+        "SELECT query_id, neighbor_id, cosine, "
+        "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5",
+    )

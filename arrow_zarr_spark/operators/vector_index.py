@@ -1,0 +1,179 @@
+"""Persisted vector index in the engine's own storage format.
+
+:func:`similarity.binary_ann` encodes the corpus on every query run.
+At 100 TB that repeated encode is the waste: an index BUILD should be
+a batch job that runs once, and the QUERY path should never touch the
+raw float vectors until the final rerank. This module persists the
+1-bit sign codes as a plain zarr table store (the engine's own
+writer/reader — per-object [min, max] statistics on the id column
+included), so:
+
+- the query-time scan reads 8 bytes/vector (dim 64) instead of 256 —
+  a 32x I/O reduction on the corpus-wide hamming pass, which is the
+  only corpus-wide stage;
+- the rerank fetches raw vectors for shortlist rows ONLY, via
+  broadcast joins against the raw table (the corpus never shuffles);
+- the index is a queryable table like any other store: audit_zarr,
+  describe_zarr, replicate_zarr, commit_version all apply — an index
+  snapshot can ship with a data release.
+
+Codes are deterministic JVM expressions (no Python worker), so a
+rebuilt index is byte-identical and the DuckDB oracle for the query
+path is exactly s08's full-pipeline replay.
+
+Reference context: none — the reference has no similarity surface;
+this is north-star scope shaped like production BQ vector stores
+(index build / compressed scan / exact rerank).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _sign_words, cosine_expr
+
+__all__ = ["build_binary_index", "query_binary_index"]
+
+
+def build_binary_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 65536,
+    mode: str = "overwrite",
+) -> dict:
+    """Encode ``corpus[vec_col]`` to 1-bit sign codes and persist them
+    as a zarr table store at ``path``: columns ``(id_col, w0..wN)``
+    with N = ceil(dim/32), sorted by id (deterministic bytes; the
+    writer's per-object id stats make delta upserts prunable).
+
+    One JVM-only pass over the corpus + the writer's chunk shuffle —
+    no Python worker, no driver data. Returns
+    ``{"path", "n_vectors", "dim", "n_words"}``."""
+    from ..io import write_zarr
+
+    first = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError(
+            f"build_binary_index: corpus has no non-null '{vec_col}' "
+            "row to infer the vector dimension from"
+        )
+    dim = len(first[0])
+    words, n_words = _sign_words(vec_col, dim, "")
+    codes = corpus.select(F.col(id_col), *words).orderBy(id_col)
+    n = write_zarr(codes, path, chunk_rows=chunk_rows, mode=mode)
+    return {
+        "path": path,
+        "n_vectors": int(n),
+        "dim": int(dim),
+        "n_words": int(n_words),
+    }
+
+
+def query_binary_index(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+) -> DataFrame:
+    """ANN top-k against a persisted binary index: the hamming
+    shortlist pass scans the CODE STORE (8-16 bytes/vector through
+    the zarr scan), and only shortlist rows touch the raw
+    ``corpus`` vectors in the broadcast rerank. Results are
+    IDENTICAL to :func:`similarity.binary_ann` with the same
+    ``shortlist`` (codes are deterministic), which is what makes
+    s08's exact SQL replay this query's oracle too.
+
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    if shortlist < k:
+        raise ValueError(
+            f"query_binary_index: shortlist ({shortlist}) must be "
+            f">= k ({k})"
+        )
+    query_id_col = query_id_col or id_col
+    codes = spark.read.format("zarr").load(index_path)
+    word_cols = sorted(
+        (c for c in codes.columns if c.startswith("w") and c[1:].isdigit()),
+        key=lambda c: int(c[1:]),
+    )
+    if not word_cols or id_col not in codes.columns:
+        raise ValueError(
+            f"query_binary_index: {index_path!r} is not a binary "
+            f"index store (want columns ({id_col}, w0..wN), got "
+            f"{codes.columns})"
+        )
+    n_words = len(word_cols)
+    first = queries.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError(
+            "query_binary_index: query side has no non-null "
+            f"'{vec_col}' row"
+        )
+    dim = len(first[0])
+    if -(-dim // 32) != n_words:
+        raise ValueError(
+            f"query_binary_index: query dim {dim} needs "
+            f"{-(-dim // 32)} words but the index carries {n_words}"
+        )
+    q_words, _ = _sign_words(vec_col, dim, "q")
+    qenc = queries.select(
+        F.col(query_id_col).alias("query_id"), *q_words
+    )
+    cenc = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(c).alias(f"c{c}") for c in word_cols],
+    )
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(
+            F.col(f"qw{w}").bitwiseXOR(F.col(f"cw{w}"))
+        )
+        ham = term if ham is None else ham + term
+    scored = (
+        cenc.crossJoin(F.broadcast(qenc))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", ham.cast("long").alias("hamming")
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("hrank", F.row_number().over(w_short))
+        .filter(F.col("hrank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qvec = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    )
+    rescored = (
+        cvec.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1464,7 +1464,10 @@ DRIVER_WINDOW = [
     "b06_equality_pred",
     "b08_equi_join",
     "d01_exact_dedup",
-    "d11_contamination_purge",
+    # x05 (persisted binary vector index, also new this round) takes
+    # d11's slot (contamination purge, r4-green; the contamination
+    # family stays in-window via d09 and d11 stays parity-enforced)
+    "x05_binary_index_roundtrip",
 ]
 
 
@@ -1511,6 +1514,7 @@ def _ensure_populated() -> None:
         populate_round7_plandoctor_queries,
         populate_round8_phash64_queries,
         populate_round8_binary_ann_queries,
+        populate_round8_vector_index_queries,
         populate_round7_repair_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
@@ -1563,6 +1567,7 @@ def _ensure_populated() -> None:
     populate_round7_plandoctor_queries(register_query)
     populate_round8_phash64_queries(register_query)
     populate_round8_binary_ann_queries(register_query)
+    populate_round8_vector_index_queries(register_query)
     # z36 registers OUTSIDE the (already all-fresh) 50-slot window —
     # the round-8 rotation picks it up; oracle parity enforces it
     # locally every round meanwhile

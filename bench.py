@@ -55,6 +55,7 @@ _PLAN_ALLOWED = {
     # bounded probe set broadcast against the corpus encode pass —
     # the same shape as s01's exact kernel, n_queries rows by contract
     "ann_binary": {"broadcast_nested_loop_join"},
+    "ann_binary_index_query": {"broadcast_nested_loop_join"},
     "kmeans_embeddings": {"broadcast_nested_loop_join"},  # centroids
     "semantic_neardup": {"broadcast_nested_loop_join"},  # centroids
     "unigram_logprob": {"broadcast_nested_loop_join"},  # 1-row total

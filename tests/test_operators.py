@@ -176,6 +176,43 @@ class TestANN:
         with pytest.raises(ValueError, match="shortlist"):
             similarity.binary_ann(embs, queries, k=10, shortlist=5)
 
+    def test_binary_index_roundtrip_equals_in_memory(
+        self, spark, embs, tmp_path
+    ):
+        """x05: query_binary_index against a persisted code store
+        must return EXACTLY binary_ann's output (codes are
+        deterministic JVM expressions) — the identity that lets
+        s08's oracle hash-verify the index write/read roundtrip."""
+        from arrow_zarr_spark.operators.vector_index import (
+            build_binary_index,
+            query_binary_index,
+        )
+
+        idx = str(tmp_path / "idx")
+        info = build_binary_index(embs, idx)
+        assert info["n_vectors"] == embs.count()
+        assert info["n_words"] == 2  # dim 64
+        queries = embs.filter(F.col("vec_id") < 10)
+        via_index = query_binary_index(
+            spark, idx, embs, queries, k=5, shortlist=64
+        ).collect()
+        in_memory = similarity.binary_ann(
+            embs, queries, k=5, shortlist=64
+        ).collect()
+        assert sorted(map(tuple, via_index)) == sorted(
+            map(tuple, in_memory)
+        )
+        # the index is a plain table store: the maintenance kit sees it
+        from arrow_zarr_spark.io import describe_zarr
+
+        desc = describe_zarr(idx)
+        assert set(desc["columns"]) == {"vec_id", "w0", "w1"}
+
+        with pytest.raises(ValueError, match="shortlist"):
+            query_binary_index(
+                spark, idx, embs, queries, k=10, shortlist=2
+            )
+
     def test_ivf_ann_runs(self, spark, embs):
         out = similarity.ivf_ann(
             embs, embs.filter(F.col("vec_id") < 5), k=3
