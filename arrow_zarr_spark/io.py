@@ -369,18 +369,30 @@ def _stats_eligible(dtype: np.dtype) -> bool:
 STATS_MAX_OBJECTS = 65536
 
 
-def _stats_within_cap(n_objects: int, where: str) -> bool:
+#: Hard bound for the GRID verbs' statistics (write_zarr_grid, grid
+#: append, add-column): their entry lists assemble driver-side (the
+#: fill-cell bookkeeping needs the full grid in hand), so past the
+#: inline cap they use the sidecar representation up to this bound
+#: (~100 B/entry transient driver memory — 4Mi cells ≈ 400 MB) and
+#: skip stats with a warning beyond it. The 1-D table writer has no
+#: such bound — its sidecar assembly is fully distributed.
+STATS_GRID_MAX_OBJECTS = 1 << 22
+
+
+def _stats_within_cap(
+    n_objects: int, where: str, cap: Optional[int] = None
+) -> bool:
     """False (with a one-line warning) when an array would need more
-    than STATS_MAX_OBJECTS stats entries."""
-    if n_objects <= STATS_MAX_OBJECTS:
+    stats entries than the representation in use can carry."""
+    cap = STATS_MAX_OBJECTS if cap is None else cap
+    if n_objects <= cap:
         return True
     warnings.warn(
-        f"{where}: {n_objects} store objects exceed "
-        f"STATS_MAX_OBJECTS={STATS_MAX_OBJECTS}; skipping [min,max] "
-        "statistics so the consolidated metadata stays "
-        "planning-readable. Scans remain correct without pruning; "
-        "grow the per-object size (chunk_rows / shard_chunks) to keep "
-        "stats on stores this large.",
+        f"{where}: {n_objects} store objects exceed the statistics "
+        f"cap ({cap}); skipping [min,max] statistics. Scans remain "
+        "correct without pruning; grow the per-object size "
+        "(chunk_rows / shard_chunks / shard_shape) to keep stats on "
+        "stores this large.",
         stacklevel=3,
     )
     return False
@@ -1127,7 +1139,9 @@ def _validate_grid_append_target(
             c, m, tuple(int(x) for x in chunk_shape), tuple(dims),
             shard=shard_shape,
         )
-        s = m.attributes.get(STATS_ATTR_KEY)
+        from .zarr.stats import resolve_stats
+
+        s = resolve_stats(store, c, m.attributes.get(STATS_ATTR_KEY))
         old_stats[c] = s if isinstance(s, list) else None
     return old_axes, old_stats, shard_shape
 
@@ -1371,11 +1385,14 @@ def write_zarr_grid(
     for _g in grid:
         _n_cells_planned *= _g
     want_stats = bool(stats) and _stats_within_cap(
-        _n_cells_planned, "write_zarr_grid"
+        _n_cells_planned, "write_zarr_grid", cap=STATS_GRID_MAX_OBJECTS
     )
     if not want_stats:
-        for meta in metas.values():
+        from .zarr.stats import delete_sidecar
+
+        for name, meta in metas.items():
             meta.attributes.pop(STATS_ATTR_KEY, None)
+            delete_sidecar(store, name)
 
     def write_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["__cell"].iloc[0])
@@ -1482,8 +1499,14 @@ def write_zarr_grid(
                     # reference; the remaining aliases are never
                     # mutated in place
                     per_col[c][int(r["cell"])] = pair
+        from .zarr.stats import store_stats as _store_stats
+
         for c, entries in per_col.items():
-            metas[c].attributes[STATS_ATTR_KEY] = entries
+            # inline up to the cap, sharded sidecar past it — a
+            # past-cap grid store keeps its planning-time pruning
+            metas[c].attributes[STATS_ATTR_KEY] = _store_stats(
+                store, c, entries, STATS_MAX_OBJECTS
+            )
             if not appending:
                 store.set(
                     f"{c}/zarr.json",
@@ -2247,21 +2270,18 @@ def write_zarr_region(
     for g in grid:
         n_cells *= g
     pre_dirty = False
+    _nulls = {int(o): None for o in touched_cells}
     for c in data_cols:
         meta = metas[c]
-        old = meta.attributes.get(STATS_ATTR_KEY)
-        if not isinstance(old, list):
+        if meta.attributes.get(STATS_ATTR_KEY) is None:
             continue  # no recorded stats -> nothing stale to clear
-        entries = (
-            list(old) if len(old) == n_cells else [None] * n_cells
-        )
-        for ordv in touched_cells:
-            entries[ordv] = None
-        meta.attributes[STATS_ATTR_KEY] = entries
-        store.set(
-            f"{c}/zarr.json", json.dumps(meta.to_json()).encode()
-        )
-        pre_dirty = True
+        # both representations: inline mutates the attribute (True ->
+        # republish), a sidecar marker patches only the touched blocks
+        if _patch_stats(store, meta, c, _nulls, n_cells):
+            store.set(
+                f"{c}/zarr.json", json.dumps(meta.to_json()).encode()
+            )
+            pre_dirty = True
     if pre_dirty:
         from .zarr.writer import consolidate_metadata
 
@@ -2272,9 +2292,9 @@ def write_zarr_region(
     dims_t = list(dims)
     data_cols_t = list(data_cols)
     grid_t = list(grid)
-    want_stats = bool(stats) and _stats_within_cap(
-        n_cells, "region update"
-    )
+    # no cap gate: region-update stats work is DELTA-proportional
+    # (one row per touched cell, block-local sidecar patches)
+    want_stats = bool(stats)
 
     def update_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["__cell"].iloc[0])
@@ -2325,19 +2345,19 @@ def write_zarr_region(
             meta = metas[c]
             if not _stats_eligible(meta.dtype) or not touched[c]:
                 continue
-            old = meta.attributes.get(STATS_ATTR_KEY)
-            entries = (
-                list(old)
-                if isinstance(old, list) and len(old) == n_cells
-                else [None] * n_cells  # stats-less/stale store: only
-                # the touched cells become known
-            )
-            for ordv, pair in touched[c].items():
-                entries[ordv] = pair
-            meta.attributes[STATS_ATTR_KEY] = entries
-            store.set(
-                f"{c}/zarr.json", json.dumps(meta.to_json()).encode()
-            )
+            if (
+                meta.attributes.get(STATS_ATTR_KEY) is None
+                and n_cells <= STATS_MAX_OBJECTS
+            ):
+                # stats-less sub-cap store: seed an all-unknown list
+                # so the freshly computed bounds stick; a stats-less
+                # past-cap store stays stats-less (refresh_stats /
+                # a full grid rewrite is the deliberate rebuild)
+                meta.attributes[STATS_ATTR_KEY] = [None] * n_cells
+            if _patch_stats(store, meta, c, touched[c], n_cells):
+                store.set(
+                    f"{c}/zarr.json", json.dumps(meta.to_json()).encode()
+                )
         from .zarr.writer import consolidate_metadata
 
         consolidate_metadata(store)
@@ -2861,7 +2881,7 @@ def add_zarr_arrays(
     for _g in grid:
         _n_cells_planned *= _g
     want_stats = bool(stats) and _stats_within_cap(
-        _n_cells_planned, "add column"
+        _n_cells_planned, "add column", cap=STATS_GRID_MAX_OBJECTS
     )
 
     def write_new_cell(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2922,7 +2942,11 @@ def add_zarr_arrays(
             entries = [fill_pair] * n_cells
             for ordv, pair in touched[c].items():
                 entries[ordv] = pair
-            meta.attributes[STATS_ATTR_KEY] = entries
+            from .zarr.stats import store_stats as _store_stats
+
+            meta.attributes[STATS_ATTR_KEY] = _store_stats(
+                store, c, entries, STATS_MAX_OBJECTS
+            )
     for c in data_cols:
         store.set(
             f"{c}/zarr.json", json.dumps(metas[c].to_json()).encode()

@@ -131,9 +131,10 @@ class TestWriterStats:
 
 
 class TestStatsObjectCap:
-    """STATS_MAX_OBJECTS: past the cap the writers skip (and drop)
-    per-object statistics so the consolidated metadata stays
-    planning-readable — scans stay correct, they just lose pruning."""
+    """STATS_MAX_OBJECTS: past the inline cap statistics move to the
+    sharded sidecar (round 8 — pruning survives, zarr.json stays
+    planning-readable); only the grid verbs' driver-memory bound
+    (STATS_GRID_MAX_OBJECTS) still skips, with a warning."""
 
     def test_write_past_cap_moves_stats_to_sidecar(
         self, spark, tmp_path, monkeypatch
@@ -190,9 +191,18 @@ class TestStatsObjectCap:
         assert entries[:4] == inline
         assert spark.read.format("zarr").load(path).count() == 800
 
-    def test_grid_write_past_cap(self, spark, tmp_path, monkeypatch):
+    def test_grid_write_past_inline_cap_uses_sidecar(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # round 8: past the INLINE cap the grid writer moves entries
+        # to the sidecar (pruning survives); only past the driver-
+        # memory grid bound (STATS_GRID_MAX_OBJECTS) does it skip
         import arrow_zarr_spark.io as io_mod
         from arrow_zarr_spark.io import write_zarr_grid
+        from arrow_zarr_spark.zarr.stats import (
+            is_sidecar_marker,
+            resolve_stats,
+        )
 
         monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
         path = str(tmp_path / "cap3")
@@ -202,21 +212,47 @@ class TestStatsObjectCap:
             for y in range(8)
         ]
         df = spark.createDataFrame(rows, ["x", "y", "val"])
-        with pytest.warns(UserWarning, match="STATS_MAX_OBJECTS"):
-            write_zarr_grid(
-                df, path, dims=("x", "y"), chunk_shape=(2, 2)
-            )  # 16 cells > cap 4
+        write_zarr_grid(
+            df, path, dims=("x", "y"), chunk_shape=(2, 2)
+        )  # 16 cells > inline cap 4 -> sidecar
+        store = open_store(path)
         metas = {
-            a.meta.name: a.meta
-            for a in infer_store_arrays(open_store(path))
+            a.meta.name: a.meta for a in infer_store_arrays(store)
         }
-        assert STATS_ATTR_KEY not in metas["val"].attributes
+        marker = metas["val"].attributes[STATS_ATTR_KEY]
+        assert is_sidecar_marker(marker)
+        assert len(resolve_stats(store, "val", marker)) == 16
         got = spark.read.format("zarr").load(path)
         assert got.count() == 64
         assert (
             got.filter(F.col("val") == 73.0).select("x", "y").collect()[0][:]
             == (7.0, 3.0)
         )
+
+    def test_grid_write_past_grid_bound_skips(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import arrow_zarr_spark.io as io_mod
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 4)
+        path = str(tmp_path / "cap3b")
+        rows = [
+            (float(x), float(y), float(x * 10 + y))
+            for x in range(8)
+            for y in range(8)
+        ]
+        df = spark.createDataFrame(rows, ["x", "y", "val"])
+        with pytest.warns(UserWarning, match="statistics cap"):
+            write_zarr_grid(
+                df, path, dims=("x", "y"), chunk_shape=(2, 2)
+            )  # 16 cells > grid bound 4 -> skip
+        metas = {
+            a.meta.name: a.meta
+            for a in infer_store_arrays(open_store(path))
+        }
+        assert STATS_ATTR_KEY not in metas["val"].attributes
+        assert spark.read.format("zarr").load(path).count() == 64
 
     def test_refresh_stats_builds_sidecar_past_cap(
         self, spark, tmp_path, monkeypatch

@@ -293,3 +293,177 @@ class TestMutationVerbs:
         meta = infer_store_arrays(store)[0].meta
         assert STATS_ATTR_KEY not in meta.attributes
         assert store.get(block_key("k", 0)) is None
+
+
+class TestSoundnessProperty:
+    def test_random_mutation_sequences_keep_bounds_sound(
+        self, spark, small_caps
+    ):
+        """Property-flavored soundness sweep (seeded, bounded): random
+        write/append/upsert/refresh sequences over a past-cap store
+        must leave EVERY recorded [lo, hi] entry bracketing the true
+        min/max of its object — the invariant that makes pruning safe
+        — and static pruning must keep exactly the objects a
+        brute-force bound check keeps."""
+        import numpy as np
+
+        from arrow_zarr_spark.io import refresh_stats, upsert_zarr
+
+        rng = np.random.RandomState(7)
+        for scenario in range(3):
+            path = f"/tmp/azs_sidecar_prop_{scenario}"
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            n0 = int(rng.randint(6, 12)) * 100
+            df = spark.range(0, n0, 1, 4).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 7 % 1000).cast("long").alias("v"),
+            )
+            write_zarr(df, path, chunk_rows=100)
+            ops = rng.choice(["append", "upsert", "refresh"], size=3)
+            hi = n0
+            for op in ops:
+                if op == "append":
+                    add = int(rng.randint(2, 5)) * 100
+                    more = spark.range(hi, hi + add, 1, 2).select(
+                        F.col("id").alias("k"),
+                        (F.col("id") * 7 % 1000).cast("long").alias("v"),
+                    )
+                    write_zarr(
+                        more, path, chunk_rows=100, mode="append"
+                    )
+                    hi += add
+                elif op == "upsert":
+                    lo = int(rng.randint(0, hi - 50))
+                    batch = spark.range(lo, lo + 50).select(
+                        F.col("id").alias("k"),
+                        (F.col("id") % 13 + 5000).cast("long").alias("v"),
+                    )
+                    upsert_zarr(batch, path, key_col="k")
+                elif op == "refresh":
+                    refresh_stats(spark, path)
+
+            # ground truth per object from a full read
+            rows = (
+                spark.read.format("zarr")
+                .load(path)
+                .orderBy("k")
+                .collect()
+            )
+            vals = {
+                "k": np.array([r["k"] for r in rows]),
+                "v": np.array([r["v"] for r in rows]),
+            }
+            n_objects = -(-len(rows) // 100)
+            store = open_store(path)
+            for col in ("k", "v"):
+                meta = next(
+                    a.meta
+                    for a in infer_store_arrays(store)
+                    if a.meta.name == col
+                )
+                entries = resolve_stats(
+                    store, col, meta.attributes.get(STATS_ATTR_KEY)
+                )
+                assert entries is not None and len(entries) == n_objects
+                for i in range(n_objects):
+                    seg = vals[col][i * 100 : (i + 1) * 100]
+                    e = entries[i]
+                    if e is None or e[0] is None or e[1] is None:
+                        continue  # unknown never prunes: sound
+                    assert e[0] <= seg.min() and e[1] >= seg.max(), (
+                        scenario, col, i, e, (seg.min(), seg.max())
+                    )
+
+            # pruning == brute force on a random range predicate
+            cut = int(rng.randint(0, hi))
+            kept = {
+                c[0]
+                for c in _reader_cells(path, [GreaterThan("k", cut)])
+            }
+            must_keep = {
+                i
+                for i in range(n_objects)
+                if vals["k"][i * 100 : (i + 1) * 100].max() > cut
+            }
+            assert must_keep <= kept, (scenario, cut)
+
+
+class TestGridSidecar:
+    def test_grid_append_extends_sidecar(
+        self, spark, tmp_path, small_caps
+    ):
+        """Grid append along a dimension on a past-inline-cap store:
+        old cells' entries survive (resolved from the sidecar), new
+        cells' bounds land, and the result re-publishes as a sidecar."""
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        path = str(tmp_path / "g")
+
+        def grid_rows(x0, x1):
+            return spark.createDataFrame(
+                [
+                    (float(x), float(y), float(x * 100 + y))
+                    for x in range(x0, x1)
+                    for y in range(8)
+                ],
+                ["x", "y", "val"],
+            )
+
+        write_zarr_grid(
+            grid_rows(0, 8), path, dims=("x", "y"), chunk_shape=(2, 2)
+        )  # 16 cells > inline cap 4
+        store = open_store(path)
+        m0 = {
+            a.meta.name: a.meta for a in infer_store_arrays(store)
+        }["val"]
+        e0 = resolve_stats(store, "val", m0.attributes[STATS_ATTR_KEY])
+        assert len(e0) == 16
+        write_zarr_grid(
+            grid_rows(8, 12), path, dims=("x", "y"),
+            chunk_shape=(2, 2), mode="append", append_dim="x",
+        )  # 24 cells now
+        m1 = {
+            a.meta.name: a.meta for a in infer_store_arrays(store)
+        }["val"]
+        e1 = resolve_stats(store, "val", m1.attributes[STATS_ATTR_KEY])
+        assert e1 is not None and len(e1) == 24
+        # spot-check: cell (0,0) covers x 0-1, y 0-1 -> [0, 101];
+        # a new cell (5,0) covers x 10-11, y 0-1 -> [1000, 1101]
+        assert e1[0] == [0.0, 101.0]
+        assert e1[5 * 4] == [1000.0, 1101.0]
+        # pruning through the real reader on the appended store
+        kept = _reader_cells(path, [GreaterThan(("val",), 1100.0)])
+        assert 0 < len(kept) < 24
+
+    def test_grid_region_update_patches_sidecar(
+        self, spark, tmp_path, small_caps
+    ):
+        from arrow_zarr_spark.io import write_zarr_grid, write_zarr_region
+
+        path = str(tmp_path / "g")
+        df = spark.createDataFrame(
+            [
+                (float(x), float(y), float(x * 100 + y))
+                for x in range(8)
+                for y in range(8)
+            ],
+            ["x", "y", "val"],
+        )
+        write_zarr_grid(df, path, dims=("x", "y"), chunk_shape=(2, 2))
+        fixes = spark.createDataFrame(
+            [(0.0, 0.0, 999999.0)], ["x", "y", "val"]
+        )
+        write_zarr_region(fixes, path, dims=("x", "y"))
+        store = open_store(path)
+        meta = {
+            a.meta.name: a.meta for a in infer_store_arrays(store)
+        }["val"]
+        entries = resolve_stats(
+            store, "val", meta.attributes[STATS_ATTR_KEY]
+        )
+        assert entries[0] == [1.0, 999999.0]  # cell 0 re-statted
+        assert entries[1] == [2.0, 103.0]  # neighbor untouched
+        kept = _reader_cells(path, [GreaterThan(("val",), 900000.0)])
+        assert len(kept) == 1
