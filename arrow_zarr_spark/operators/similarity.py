@@ -409,6 +409,13 @@ def ivf_ann(
     corpus vector by id), assignment by max cosine (broadcast centroids),
     queries probe their ``nprobe`` nearest cells.
 
+    Recall rides nprobe/n_cells (the bench's recall keys track it
+    per round: 0.286 at the 2-of-16 defaults on the near-random
+    sf0.1 embeddings — a HARD distribution for coarse quantization;
+    clustered production embeddings concentrate true neighbors into
+    probed cells and land much higher at the same nprobe). Scoring
+    within probed cells is exact, so nprobe = n_cells is recall 1.0.
+
     All cosines (assignment AND scoring) are computed over embeddings
     quantized to a 1/32768 grid: dot products and squared norms become
     exact integer sums (order-independent, no float summation drift),
@@ -663,6 +670,13 @@ def pq_ann(
     ``m x ksub`` lookup table per query, an O(m) table-gather per
     corpus vector instead of an O(dim) dot product.
 
+    Recall levers (the bench's recall keys track them per round:
+    0.428 at m=16/ksub=64 strided on the near-random sf0.1
+    embeddings): more sub-spaces ``m``, bigger ``ksub``, trained
+    codebooks (below), or a rerank tail — compose with
+    :func:`sq8_refine_topk`'s retrieve-then-rerank shape when
+    compressed-domain ranking alone is not enough.
+
     ``codebooks``: pass :func:`train_pq_codebooks`'s output to score
     with k-means-FITTED codebooks instead of the strided default —
     12x lower reconstruction MSE on clustered vectors and +0.05
@@ -859,6 +873,12 @@ def ivf_pq_ann(
     candidates inside probed cells are scored with PQ asymmetric
     distance — so query cost is (probed fraction of corpus) x O(m)
     table-gathers instead of n x O(dim) dot products.
+
+    Recall compounds BOTH quantizers' losses (bench recall keys:
+    0.214 at 2-of-16 cells x m=16/ksub=64 on the near-random sf0.1
+    embeddings ≈ ivf's cell-coverage miss x pq's ranking miss —
+    worst-case data for both; the levers are nprobe, m/ksub/trained
+    codebooks, and a rerank tail, same as the components').
 
     Plan shape — BETTER than running :func:`ivf_ann` then
     :func:`pq_ann`: the coarse assignment happens INSIDE the same

@@ -467,3 +467,29 @@ class TestGridSidecar:
         assert entries[1] == [2.0, 103.0]  # neighbor untouched
         kept = _reader_cells(path, [GreaterThan(("val",), 900000.0)])
         assert len(kept) == 1
+
+
+class TestV2Sidecar:
+    def test_v2_store_sidecar_via_refresh(
+        self, spark, tmp_path, small_caps
+    ):
+        """Zarr v2 stores keep stats in .zattrs; past-cap refresh must
+        put the MARKER there (not a giant list) and the reader must
+        still prune through the v2 metadata path."""
+        path = str(tmp_path / "v2")
+        df = spark.range(0, 1000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, zarr_format=2, stats=False)
+        n = refresh_stats(spark, path)
+        assert n == 10
+        store = open_store(path)
+        zattrs = json.loads(store.get("k/.zattrs"))
+        assert is_sidecar_marker(zattrs[STATS_ATTR_KEY])
+        entries = resolve_stats(store, "k", zattrs[STATS_ATTR_KEY])
+        assert entries[0] == [0, 99] and entries[9] == [900, 999]
+        kept = _reader_cells(path, [GreaterThan("k", 899)])
+        assert len(kept) == 1
+        # and values stay exact through the full read path
+        assert (
+            spark.read.format("zarr").load(path)
+            .filter(F.col("k") >= 995).count()
+        ) == 5
