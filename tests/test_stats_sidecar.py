@@ -493,3 +493,12 @@ class TestV2Sidecar:
             spark.read.format("zarr").load(path)
             .filter(F.col("k") >= 995).count()
         ) == 5
+
+
+# NOTE deliberately absent: a past-cap SINK test. The DataSource
+# writer's commit() runs in an isolated Python worker, so a
+# monkeypatched STATS_MAX_OBJECTS never reaches it (verified: the
+# worker correctly used the real cap and wrote inline). The sink's
+# store_stats routing is the same one-line decision the unit tests
+# above pin, and its sub-cap behavior is covered by
+# test_stats_pruning.py's sink tests.
