@@ -974,7 +974,19 @@ def write_zarr(
             # driver), then the distributed block-patch job below;
             # persist so the chunk-writing stage runs exactly once
             committed = committed.persist()
-            written, result_rows = _commit_totals(committed, False)
+            try:
+                written, result_rows = _commit_totals(committed, False)
+                if written != new_rows:
+                    raise ZarrFormatError(
+                        f"write_zarr wrote {written} rows, expected "
+                        f"{new_rows}"
+                    )
+                _assemble_stats_sidecar(
+                    spark, store, path, committed, metas, col_names,
+                    n_units_planned, base_rows, unit,
+                )
+            finally:
+                committed.unpersist()
         else:
             written, result_rows = _commit_totals(committed, want_stats)
         if written != new_rows:
@@ -982,15 +994,7 @@ def write_zarr(
                 f"write_zarr wrote {written} rows, expected {new_rows}"
             )
 
-        if sidecar_stats:
-            try:
-                _assemble_stats_sidecar(
-                    spark, store, path, committed, metas, col_names,
-                    n_units_planned, base_rows, unit,
-                )
-            finally:
-                committed.unpersist()
-        elif want_stats:
+        if not sidecar_stats and want_stats:
             n_units = n_units_planned
             first_new = base_rows // unit  # boundary object recomputed
             old = (

@@ -36,7 +36,7 @@ this whole layer is an extension, so the format is ours to define.
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 from .store import Store
 
@@ -46,7 +46,6 @@ __all__ = [
     "block_key",
     "delete_sidecar",
     "is_sidecar_marker",
-    "migrate_stats",
     "resolve_stats",
     "store_stats",
 ]
@@ -159,24 +158,3 @@ def resolve_stats(store: Store, array_name: str, value) -> Optional[List]:
     return out
 
 
-def migrate_stats(
-    store: Store,
-    metas: Dict,
-    attr_key: str,
-    max_inline: int,
-) -> None:
-    """Re-apply the inline-vs-sidecar decision to every array's
-    CURRENT attribute value — the hook refresh/append/rechunk call
-    after recomputing entry lists, so a store crossing the cap in
-    either direction converges on the right representation."""
-    for name, meta in metas.items():
-        val = meta.attributes.get(attr_key)
-        entries = resolve_stats(store, name, val)
-        if entries is None:
-            if val is not None:
-                meta.attributes.pop(attr_key, None)
-                delete_sidecar(store, name)
-            continue
-        meta.attributes[attr_key] = store_stats(
-            store, name, entries, max_inline
-        )

@@ -502,3 +502,45 @@ class TestV2Sidecar:
 # store_stats routing is the same one-line decision the unit tests
 # above pin, and its sub-cap behavior is covered by
 # test_stats_pruning.py's sink tests.
+
+
+class TestVersionedSidecar:
+    def test_pinned_read_prunes_with_pinned_sidecar(
+        self, spark, tmp_path, small_caps
+    ):
+        """Version-pinned scans build their arrays on the
+        VersionStoreView, so a past-cap store's sidecar blocks
+        resolve through the PINNED manifest: the pruning bounds are
+        the committed snapshot's, not the live store's — stats and
+        data stay consistent under time travel for free."""
+        from arrow_zarr_spark import read_zarr
+        from arrow_zarr_spark.zarr import commit_version
+
+        path = str(tmp_path / "s")
+        df = spark.range(0, 2000, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)  # 20 objects, sidecar
+        commit_version(spark, path, "v1")
+        shifted = spark.range(0, 2000, 1, 4).select(
+            (F.col("id") + 10_000).alias("k")
+        )
+        write_zarr(shifted, path, chunk_rows=100, mode="overwrite")
+        commit_version(spark, path, "v2")
+
+        # live scan sees the shifted data and prunes on the NEW stats
+        live = spark.read.format("zarr").load(path)
+        assert live.filter(F.col("k") >= 11_995).count() == 5
+        assert live.filter(F.col("k") < 10_000).count() == 0
+
+        # pinned v1 sees the ORIGINAL data; its filter must return
+        # v1 rows (which requires v1's sidecar bounds — pruning with
+        # the live bounds would drop every v1 object as impossible)
+        v1 = read_zarr(spark, path, version=1)
+        assert v1.filter(F.col("k") >= 1995).count() == 5
+        assert v1.filter(F.col("k") >= 10_000).count() == 0
+
+        # partitions-level proof through the reader's planning path
+        ds = ZarrDataSource({"path": path, "version": "1"})
+        reader = ds.reader(ds.schema())
+        list(reader.pushFilters([GreaterThan(("k",), 1899)]))
+        cells = [c for p in reader.partitions() for c in p.cells]
+        assert len(cells) == 1  # v1's last object only
