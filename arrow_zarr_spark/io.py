@@ -507,7 +507,7 @@ def _patch_stats(store, meta, name: str, patches: Dict[int, object],
 
 
 def _assemble_stats_sidecar(
-    spark, store, path, committed, metas, col_names,
+    store, path, committed, metas, col_names,
     n_units, base_rows, unit,
 ) -> None:
     """Past-cap statistics commit for write_zarr: entries live in
@@ -982,17 +982,18 @@ def write_zarr(
                         f"{new_rows}"
                     )
                 _assemble_stats_sidecar(
-                    spark, store, path, committed, metas, col_names,
+                    store, path, committed, metas, col_names,
                     n_units_planned, base_rows, unit,
                 )
             finally:
                 committed.unpersist()
         else:
             written, result_rows = _commit_totals(committed, want_stats)
-        if written != new_rows:
-            raise ZarrFormatError(
-                f"write_zarr wrote {written} rows, expected {new_rows}"
-            )
+            if written != new_rows:
+                raise ZarrFormatError(
+                    f"write_zarr wrote {written} rows, expected "
+                    f"{new_rows}"
+                )
 
         if not sidecar_stats and want_stats:
             n_units = n_units_planned
@@ -1992,11 +1993,25 @@ def refresh_stats(
                 f"refresh_stats: no such 1-D arrays {sorted(missing)}"
             )
         arrays = [a for a in arrays if a.meta.name in wanted]
-    # no object-count cap: past STATS_MAX_OBJECTS the recomputed
-    # entries land in sidecar blocks via store_stats (zarr/stats.py)
-    # instead of being skipped — refresh is also the MIGRATION verb
-    # between the two representations
-    targets = [a for a in arrays if _stats_eligible(a.meta.dtype)]
+    # past STATS_MAX_OBJECTS the recomputed entries land in sidecar
+    # blocks via store_stats (zarr/stats.py) instead of being skipped
+    # — refresh is also the MIGRATION verb between the two
+    # representations. Its assembly is DRIVER-side (work list,
+    # collected per-object rows, per-column entry lists), so the same
+    # driver-memory bound as the grid verbs applies; past it the
+    # array is skipped with a warning (r8 review finding — the
+    # unbounded path is write_zarr's distributed assembly, i.e. a
+    # rewrite)
+    targets = [
+        a
+        for a in arrays
+        if _stats_eligible(a.meta.dtype)
+        and _stats_within_cap(
+            a.meta.chunk_grid_shape[0],
+            "refresh_stats",
+            cap=STATS_GRID_MAX_OBJECTS,
+        )
+    ]
     work = [
         (a.meta.name, i)
         for a in targets
@@ -2518,36 +2533,55 @@ def upsert_zarr(
     # the batch's key bounds — same soundness rules as the scan (None /
     # wrong-length entries degrade to keep; string maxima are rounded-
     # up truncations so entry_max < kmin still implies true_max < kmin)
-    from .zarr.stats import resolve_stats as _resolve_stats
+    from .zarr.stats import is_sidecar_marker, iter_stats_blocks
 
-    # sidecar markers resolve here — the past-cap store is exactly the
-    # one whose upsert needs the key-bounds prune most (a delta update
-    # without it is a full key scan of a billion-object store)
-    recorded = _resolve_stats(
-        store, key_col, key_meta.attributes.get(STATS_ATTR_KEY)
-    )
+    # the past-cap store is exactly the one whose upsert needs the
+    # key-bounds prune most (a delta update without it is a full key
+    # scan of a billion-object store) — but its sidecar is scanned
+    # BLOCK-STREAMED, never reassembled: O(one block) driver memory
+    # regardless of object count (r8 review finding)
+    recorded_attr = key_meta.attributes.get(STATS_ATTR_KEY)
     e_lo = _stat_encode(kmin, key_meta.dtype)
     e_hi = _stat_encode(kmax, key_meta.dtype, upper=True)
+
+    def survives(entry) -> bool:
+        if not isinstance(entry, (list, tuple)) or len(entry) != 2:
+            return True
+        lo, hi = entry
+        if lo is None or hi is None:
+            return True
+        try:
+            return not (hi < e_lo or lo > e_hi)
+        except TypeError:
+            return True  # cross-type garbage: keep, never prune
+
     candidates = list(range(n_objects))
-    if (
-        isinstance(recorded, list)
-        and len(recorded) == n_objects
-        and e_lo is not None
-        and e_hi is not None
-    ):
-        def survives(entry) -> bool:
-            if not isinstance(entry, (list, tuple)) or len(entry) != 2:
-                return True
-            lo, hi = entry
-            if lo is None or hi is None:
-                return True
-            try:
-                return not (hi < e_lo or lo > e_hi)
-            except TypeError:
-                return True  # cross-type garbage: keep, never prune
-        candidates = [
-            i for i in range(n_objects) if survives(recorded[i])
-        ]
+    if e_lo is not None and e_hi is not None:
+        if (
+            isinstance(recorded_attr, list)
+            and len(recorded_attr) == n_objects
+        ):
+            candidates = [
+                i for i in range(n_objects) if survives(recorded_attr[i])
+            ]
+        elif (
+            is_sidecar_marker(recorded_attr)
+            and recorded_attr.get("n_entries") == n_objects
+        ):
+            streamed: List[int] = []
+            base = 0
+            torn = False
+            for part in iter_stats_blocks(store, key_col, recorded_attr):
+                if part is None:
+                    torn = True
+                    break
+                streamed.extend(
+                    base + j for j, e in enumerate(part) if survives(e)
+                )
+                base += len(part)
+            if not torn and base == n_objects:
+                candidates = streamed
+            # torn/short sidecar: keep the full candidate list (sound)
 
     updated_rows = 0
     touched: List[int] = []

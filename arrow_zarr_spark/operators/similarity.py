@@ -1444,6 +1444,33 @@ def binary_ann(
     qenc = queries.select(
         F.col(query_id_col).alias("query_id"), *q_words
     )
+    return _hamming_shortlist_rerank(
+        cenc, qenc, n_words, corpus, queries, k, shortlist,
+        id_col, vec_col, query_id_col,
+    )
+
+
+def _hamming_shortlist_rerank(
+    cenc: DataFrame,
+    qenc: DataFrame,
+    n_words: int,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The shared BQ tail (one definition so binary_ann and the
+    persisted-index query path CANNOT drift — their bit-identical
+    output is what lets one SQL oracle verify both): per-word
+    xor/bit_count hamming over (cenc: neighbor_id + cw*, qenc
+    broadcast: query_id + qw*), shortlist window over id/hamming
+    triples only, exact cosine rerank with the shortlist and query
+    vectors broadcast — the corpus never shuffles (s07's contract).
+    Deterministic ties: (hamming, neighbor_id) then (rounded cosine
+    DESC, neighbor_id)."""
     ham = None
     for w in range(n_words):
         term = F.bit_count(
@@ -1463,9 +1490,6 @@ def binary_ann(
         .filter(F.col("hrank") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    # exact rerank: broadcast the (n_queries x shortlist)-row list
-    # and the query vectors back against the corpus — the corpus
-    # never shuffles (s07's contract)
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )

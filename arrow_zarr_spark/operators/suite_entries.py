@@ -3935,25 +3935,15 @@ def populate_round8_phash64_queries(register) -> None:
     )
 
 
-def populate_round8_binary_ann_queries(register) -> None:
-    """s08: binary-quantization ANN — 1-bit sign codes (32x memory
-    compression), JVM-only hamming shortlist, exact cosine rerank.
-    The only ANN variant with no Python worker anywhere; the oracle
-    replays the ENTIRE pipeline (sign words, per-word xor/bit_count
-    hamming, shortlist window, rerank) so the shortlist gate itself
-    is hash-verified, not just the final ranking. Reference context:
-    none (the reference has no similarity surface) — north-star
-    scope, the BQ/rerank shape production vector stores use."""
+def _binary_topk_oracle_sql() -> str:
+    """The FULL-pipeline binary-quantization replay (sign words,
+    per-word xor/bit_count hamming, shortlist-128 window, exact
+    rerank, top-5) — ONE definition serving both s08 (in-memory
+    binary_ann) and x05 (persisted-index query): the two Spark paths
+    share one tail (similarity._hamming_shortlist_rerank), so one
+    oracle string is the point, not a convenience — divergent copies
+    could silently stop pinning the "results are IDENTICAL" claim."""
 
-    def s08(spark, sf_dir):
-        embs = _embs(spark, sf_dir)
-        out = similarity.binary_ann(
-            embs, embs.filter(F.col("vec_id") < 20), k=5, shortlist=128
-        )
-        return out.withColumn("rank", F.col("rank").cast("long"))
-
-    # sign words, 1-indexed dims, dim=64 -> two 32-bit words — the
-    # exact bit layout of similarity._sign_words
     def words(alias):
         out = []
         for w in range(2):
@@ -3965,9 +3955,7 @@ def populate_round8_binary_ann_queries(register) -> None:
             out.append(f"({terms}) AS {alias}w{w}")
         return ", ".join(out)
 
-    register(
-        "s08_binary_ann_topk",
-        s08,
+    return (
         "WITH cenc AS (SELECT vec_id AS neighbor_id, "
         f"{words('c')} FROM embeddings), "
         "qenc AS (SELECT vec_id AS query_id, "
@@ -3988,7 +3976,31 @@ def populate_round8_binary_ann_queries(register) -> None:
         "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
         "ORDER BY cosine DESC, neighbor_id) AS rank FROM resc) "
         "SELECT query_id, neighbor_id, cosine, "
-        "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5",
+        "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"
+    )
+
+
+def populate_round8_binary_ann_queries(register) -> None:
+    """s08: binary-quantization ANN — 1-bit sign codes (32x memory
+    compression), JVM-only hamming shortlist, exact cosine rerank.
+    The only ANN variant with no Python worker anywhere; the oracle
+    replays the ENTIRE pipeline (sign words, per-word xor/bit_count
+    hamming, shortlist window, rerank) so the shortlist gate itself
+    is hash-verified, not just the final ranking. Reference context:
+    none (the reference has no similarity surface) — north-star
+    scope, the BQ/rerank shape production vector stores use."""
+
+    def s08(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        out = similarity.binary_ann(
+            embs, embs.filter(F.col("vec_id") < 20), k=5, shortlist=128
+        )
+        return out.withColumn("rank", F.col("rank").cast("long"))
+
+    register(
+        "s08_binary_ann_topk",
+        s08,
+        _binary_topk_oracle_sql(),
     )
 
 
@@ -4014,39 +4026,8 @@ def populate_round8_vector_index_queries(register) -> None:
         )
         return out.withColumn("rank", F.col("rank").cast("long"))
 
-    def words(alias):
-        out = []
-        for w in range(2):
-            terms = " + ".join(
-                f"CASE WHEN embedding[{32 * w + b + 1}] >= 0 "
-                f"THEN {1 << b} ELSE 0 END"
-                for b in range(32)
-            )
-            out.append(f"({terms}) AS {alias}w{w}")
-        return ", ".join(out)
-
     register(
         "x05_binary_index_roundtrip",
         x05,
-        "WITH cenc AS (SELECT vec_id AS neighbor_id, "
-        f"{words('c')} FROM embeddings), "
-        "qenc AS (SELECT vec_id AS query_id, "
-        f"{words('q')} FROM embeddings WHERE vec_id < 20), "
-        "scored AS (SELECT query_id, neighbor_id, "
-        "bit_count(xor(qw0, cw0)) + bit_count(xor(qw1, cw1)) AS h "
-        "FROM qenc, cenc WHERE query_id <> neighbor_id), "
-        "short AS (SELECT query_id, neighbor_id FROM ("
-        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
-        "ORDER BY h, neighbor_id) AS hrank FROM scored) "
-        "WHERE hrank <= 128), "
-        "resc AS (SELECT s.query_id, s.neighbor_id, "
-        "ROUND(list_cosine_similarity("
-        "CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])"
-        "), 6) AS cosine FROM short s "
-        "JOIN embeddings q ON q.vec_id = s.query_id "
-        "JOIN embeddings c ON c.vec_id = s.neighbor_id), "
-        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
-        "ORDER BY cosine DESC, neighbor_id) AS rank FROM resc) "
-        "SELECT query_id, neighbor_id, cosine, "
-        "CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5",
+        _binary_topk_oracle_sql(),
     )

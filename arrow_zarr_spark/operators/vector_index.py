@@ -30,10 +30,10 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _sign_words, cosine_expr
+from .similarity import _hamming_shortlist_rerank, _sign_words
 
 __all__ = ["build_binary_index", "query_binary_index"]
 
@@ -132,48 +132,10 @@ def query_binary_index(
         F.col(id_col).alias("neighbor_id"),
         *[F.col(c).alias(f"c{c}") for c in word_cols],
     )
-    ham = None
-    for w in range(n_words):
-        term = F.bit_count(
-            F.col(f"qw{w}").bitwiseXOR(F.col(f"cw{w}"))
-        )
-        ham = term if ham is None else ham + term
-    scored = (
-        cenc.crossJoin(F.broadcast(qenc))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "neighbor_id", ham.cast("long").alias("hamming")
-        )
-    )
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.col("hamming").asc(), F.col("neighbor_id")
-    )
-    short = (
-        scored.withColumn("hrank", F.row_number().over(w_short))
-        .filter(F.col("hrank") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    qvec = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-    )
-    rescored = (
-        cvec.join(F.broadcast(short), "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr("qv", "cv"), 6).alias("cosine"),
-        )
-    )
-    w_final = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w_final))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    # ONE shared tail with binary_ann (similarity.py) — their
+    # bit-identical output is the identity that lets s08's SQL oracle
+    # verify this path's index write/read roundtrip too
+    return _hamming_shortlist_rerank(
+        cenc, qenc, n_words, corpus, queries, k, shortlist,
+        id_col, vec_col, query_id_col,
     )

@@ -457,15 +457,50 @@ class ZarrWriter(DataSourceArrowWriter):
         import json
 
         from .io import STATS_MAX_OBJECTS
-        from .zarr.stats import store_stats
+        from .zarr.stats import (
+            STATS_BLOCK_ENTRIES,
+            block_key,
+            delete_sidecar,
+            is_sidecar_marker,
+        )
 
         for n, entries in per_col.items():
             # inline up to the cap; past it the entries go to sidecar
             # blocks so a long-running stream can never grow zarr.json
-            # into an unparseable planning document
-            metas[n].attributes[STATS_ATTR_KEY] = store_stats(
-                store, n, entries, STATS_MAX_OBJECTS
-            )
+            # into an unparseable planning document. The sidecar write
+            # is INCREMENTAL per microbatch (r8 review finding): when
+            # the previous commit already published an aligned sidecar
+            # covering the old prefix, only the boundary block onward
+            # is rewritten — an append-only stream never re-serializes
+            # its whole history, and there is no delete-then-rewrite
+            # window for concurrent readers (a reader holding the old
+            # marker sees consistent old blocks until the new metadata
+            # publishes; an extended boundary block fails its length
+            # check and degrades to no-pruning, never to wrong).
+            if len(entries) <= STATS_MAX_OBJECTS:
+                delete_sidecar(store, n)  # cheap no-op in steady state
+                metas[n].attributes[STATS_ATTR_KEY] = entries
+                continue
+            blk = STATS_BLOCK_ENTRIES
+            old_attr = metas[n].attributes.get(STATS_ATTR_KEY)
+            start_blk = 0
+            if (
+                is_sidecar_marker(old_attr)
+                and old_attr.get("block_entries") == blk
+                and old_attr.get("n_entries") == base_chunks
+            ):
+                start_blk = base_chunks // blk
+            n_blocks = -(-len(entries) // blk)
+            for b in range(start_blk, n_blocks):
+                store.set(
+                    block_key(n, b),
+                    json.dumps(entries[b * blk : (b + 1) * blk]).encode(),
+                )
+            metas[n].attributes[STATS_ATTR_KEY] = {
+                "sidecar": n_blocks,
+                "n_entries": len(entries),
+                "block_entries": blk,
+            }
         for n in names:
             store.set(f"{n}/zarr.json", json.dumps(metas[n].to_json()).encode())
         write_root_group(

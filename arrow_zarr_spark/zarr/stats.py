@@ -46,6 +46,7 @@ __all__ = [
     "block_key",
     "delete_sidecar",
     "is_sidecar_marker",
+    "iter_stats_blocks",
     "resolve_stats",
     "store_stats",
 ]
@@ -128,6 +129,33 @@ def store_stats(
         "n_entries": n,
         "block_entries": STATS_BLOCK_ENTRIES,
     }
+
+
+def iter_stats_blocks(store: Store, array_name: str, marker):
+    """Yield one decoded block list at a time for a sidecar marker —
+    the O(one-block) memory walk for callers that scan bounds without
+    needing the reassembled list (upsert's key prune on a
+    billion-object store must not materialize 16k blocks of JSON on
+    the driver; r8 review finding). Yields None once and stops on any
+    torn/malformed block — callers must treat that as
+    "stats unknown", same soundness bar as :func:`resolve_stats`."""
+    if not is_sidecar_marker(marker):
+        yield None
+        return
+    for b in range(marker["sidecar"]):
+        raw = store.get(_block_key(array_name, b))
+        if raw is None:
+            yield None
+            return
+        try:
+            part = json.loads(raw)
+        except ValueError:
+            yield None
+            return
+        if not isinstance(part, list):
+            yield None
+            return
+        yield part
 
 
 def resolve_stats(store: Store, array_name: str, value) -> Optional[List]:

@@ -58,6 +58,16 @@ class Store:
         objects rather than racing an in-flight commit."""
         return None
 
+    def touch(self, key: str) -> None:
+        """Freshen a key's mtime (git's loose-object freshening): a
+        commit that DEDUP-hits an existing content object must pull
+        it back inside vacuum's grace window, or a racing vacuum
+        could collect an old unreferenced object the in-flight
+        manifest is about to reference. Default no-op is SOUND paired
+        with the default ``mtime() -> None`` (unknown age is never
+        collected); backends that report mtimes must freshen."""
+        return None
+
     def set_exclusive(self, key: str, value: bytes) -> None:
         """Create ``key`` only if it does not exist; raise
         ``FileExistsError`` otherwise. The primitive optimistic
@@ -170,6 +180,12 @@ class LocalStore(Store):
             return os.path.getmtime(self._path(key))
         except OSError:
             return None
+
+    def touch(self, key: str) -> None:
+        try:
+            os.utime(self._path(key), None)
+        except OSError:
+            pass  # vanished/perm: the caller's exists() race handles it
 
     def set_exclusive(self, key: str, value: bytes) -> None:
         # full content lands in a private temp file first, then one
@@ -455,37 +471,29 @@ class FsspecStore(Store):
             yield path[len(self.root) :].lstrip("/")
 
     def set_exclusive(self, key: str, value: bytes) -> None:  # pragma: no cover
-        """Conditional create on the object store, or fail LOUDLY.
+        """Refused LOUDLY: fsspec has no portable conditional put.
 
         The base-class default is check-then-set — a one-round-trip
         race window that would silently break commit_version's
-        multi-writer guarantee (two racing commits could both pass the
-        existence probe and one manifest would be lost). On object
-        stores the window only closes with a real conditional put:
-        S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``. fsspec
-        exposes neither portably, so: use the filesystem's atomic
-        create when it advertises one (``mode="xb"`` raises
-        FileExistsError on backends that honor exclusive create), and
-        otherwise raise rather than degrade to the racy default —
-        a loud NotImplementedError beats a silent lost update.
-        """
-        path = f"{self.root}/{key}"
-        try:
-            f = self.fs.open(path, "xb")
-        except FileExistsError:
-            raise
-        except (NotImplementedError, ValueError, OSError) as e:
-            if self.fs.exists(path):
-                raise FileExistsError(key)
-            raise NotImplementedError(
-                f"{type(self.fs).__name__} has no atomic exclusive-create; "
-                "refusing the racy check-then-set fallback for version "
-                "manifests. Wire a conditional put (S3 If-None-Match:*, "
-                "GCS ifGenerationMatch=0) into a Store subclass for this "
-                "backend."
-            ) from e
-        with f:
-            f.write(value)
+        multi-writer guarantee (two racing commits could both pass
+        the existence probe and one manifest would be lost). fsspec's
+        generic ``open(path, "xb")`` is NOT a fix: on most backends
+        the AbstractFileSystem layer emulates ``x`` with a
+        client-side ``exists()`` probe before a plain write — exactly
+        the racy pattern, dressed up as an atomic create — and the
+        value streams in place, so a concurrent reader could observe
+        a torn manifest (r8 review finding). Until a real conditional
+        put is wired per backend (S3 ``If-None-Match: *``, GCS
+        ``ifGenerationMatch=0``), a loud error beats a silent lost
+        update."""
+        raise NotImplementedError(
+            f"{type(self.fs).__name__}: exclusive create (version-"
+            "manifest publish) needs a REAL conditional put — S3 "
+            "If-None-Match:*, GCS ifGenerationMatch=0 — in a Store "
+            "subclass for this backend; fsspec's generic 'xb' mode is "
+            "a client-side exists() emulation, i.e. the racy "
+            "check-then-set this method exists to prevent."
+        )
 
 
 def open_store(path: str, *, icechunk: bool = False) -> Store:

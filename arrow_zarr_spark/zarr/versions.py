@@ -182,6 +182,13 @@ def commit_version(
             sha = hashlib.sha256(data).hexdigest()
             obj_key = _object_key(sha)
             if task_store.exists(obj_key):
+                # git's loose-object freshening: a dedup hit must pull
+                # the object back inside vacuum's grace window — an
+                # OLD unreferenced object (e.g. from a dropped
+                # version) this commit is about to re-reference would
+                # otherwise be collectable right up to the manifest
+                # publish (r8 review finding)
+                task_store.touch(obj_key)
                 yield (key, sha, 0)
             else:
                 task_store.set(obj_key, data)

@@ -857,17 +857,21 @@ def main() -> None:
         "scale_rung": scale_out,
         # recall@5 vs exact cosine per ANN variant (1.0 = exact)
         "recall": recall,
-        # round-8 A/B verdict on the r7 writer-family regression
-        # (zarr_write_sharded 0.73->2.64s vs r6): interleaved
-        # HEAD-vs-r6-commit worktree A/B, min-of-5 per side, same
-        # host, same hour — HEAD/r6 = orders 1.05, sharded 0.95,
-        # strings 0.95, grid 0.97. Cause: host contention during the
-        # r7 record, not code; no fix required.
-        "writer_ab_r8": {
-            "zarr_write_orders": 1.05,
-            "zarr_write_sharded": 0.95,
-            "zarr_write_strings": 0.95,
-            "zarr_write_grid": 0.97,
+        # ONE-TIME measurement, not per-run data (provenance is part
+        # of the record so no later reader mistakes it for a fresh
+        # A/B): the round-8 session ran an interleaved HEAD-vs-r6-
+        # commit worktree A/B (min-of-5 per side, same host, same
+        # hour) on the r7 writer-family regression; HEAD/r6 ratios
+        # below. Verdict: the r7 record's 3.64x was host contention,
+        # not code.
+        "writer_ab_note": {
+            "measured": "round-8 session, one-time interleaved A/B",
+            "head_over_r6": {
+                "zarr_write_orders": 1.05,
+                "zarr_write_sharded": 0.95,
+                "zarr_write_strings": 0.95,
+                "zarr_write_grid": 0.97,
+            },
         },
         # plan-doctor gate: non-empty means a query's executed plan
         # regressed to a cartesian / NLJ / row-Python / unpushed-filter
@@ -928,8 +932,17 @@ def main() -> None:
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
+    # degrade gracefully, never fail at the last step (an assert here
+    # would exit nonzero AFTER every timing succeeded, and vanish
+    # under -O): drop optional keys until the line fits the driver's
+    # tail capture. The full payload is always in BENCH_OUT.json.
     line = json.dumps(short, separators=(",", ":"))
-    assert len(line) < 1024, f"final bench line too long: {len(line)}B"
+    for drop in ("recall", "queries"):
+        if len(line) < 1024:
+            break
+        short.pop(drop, None)
+        short["truncated"] = True
+        line = json.dumps(short, separators=(",", ":"))
     print(line, flush=True)
 
 

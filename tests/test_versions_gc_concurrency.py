@@ -257,3 +257,33 @@ class TestInterleavedStorm:
         final = vacuum_versions(src, keep_last=1)
         assert final["deleted_objects"] > 0
         _assert_all_manifests_materializable(src)
+
+
+class TestDedupFreshening:
+    def test_dedup_hit_freshens_object_mtime(self, tmp_path):
+        """git's loose-object freshening (r8 review finding): a commit
+        whose snapshot DEDUP-hits an existing content object must
+        freshen its mtime — otherwise an OLD object that a dropped
+        version left unreferenced could be re-referenced by an
+        in-flight commit and simultaneously collected by a racing
+        aged vacuum (guard 1 only protects YOUNG objects)."""
+        d = str(tmp_path / "s")
+        _seed(d)
+        commit_version(None, d, "v1")
+        store = open_store(d)
+        obj_keys = list(store.walk_prefix(".versions/objects"))
+        assert obj_keys
+        old = time.time() - 7200
+        for k in obj_keys:
+            p = os.path.join(d, *k.split("/"))
+            os.utime(p, (old, old))
+        # identical content -> every snapshot key is a dedup hit
+        commit_version(None, d, "v2")
+        for k in obj_keys:
+            age = time.time() - store.mtime(k)
+            assert age < 60, (k, age)
+        # and an aged vacuum right after therefore cannot collect
+        # anything v2 references
+        out = vacuum_versions(d, keep_last=1)
+        assert out["deleted_objects"] == 0
+        _assert_all_manifests_materializable(d)
