@@ -675,6 +675,24 @@ def scale_rung_queries(spark, factor: int):
             embs10, embs10.filter(F.col("vec_id") < 100), k=10
         )
     )
+    # persisted binary index (x05): the index BUILD is a one-time
+    # batch job (outside the timer, like the base entry); the rung
+    # times the QUERY path — an 8-byte-code store scan + broadcast
+    # rerank, which should scale with the code scan, near-linear
+    from arrow_zarr_spark.operators.vector_index import (
+        build_binary_index,
+        query_binary_index,
+    )
+
+    idx10 = f"/tmp/azs_scale{factor}_binidx"
+    if not os.path.exists(idx10 + "/zarr.json"):
+        build_binary_index(embs10, idx10, mode="overwrite")
+    qs["ann_binary_index_query"] = lambda: _force(
+        query_binary_index(
+            spark, idx10, embs10,
+            embs10.filter(F.col("vec_id") < 100), k=10,
+        )
+    )
     meta = {"factor": factor, "zarr_rows": side * side}
     return qs, meta
 

@@ -544,3 +544,29 @@ class TestVersionedSidecar:
         list(reader.pushFilters([GreaterThan(("k",), 1899)]))
         cells = [c for p in reader.partitions() for c in p.cells]
         assert len(cells) == 1  # v1's last object only
+
+
+class TestBlockStreaming:
+    def test_iter_stats_blocks_yields_and_degrades(
+        self, tmp_path, small_caps
+    ):
+        """The O(one-block) walk upsert's key prune uses: yields each
+        block in order; any torn block yields None and stops (the
+        caller must degrade to 'unknown' — same bar as
+        resolve_stats)."""
+        from arrow_zarr_spark.zarr.stats import iter_stats_blocks
+
+        store = open_store(str(tmp_path))
+        entries = [[i, i + 1] for i in range(10)]
+        marker = store_stats(store, "a", entries, 4)
+        got = []
+        for part in iter_stats_blocks(store, "a", marker):
+            assert part is not None
+            got.extend(part)
+        assert got == entries
+        store.set(block_key("a", 1), b"garbage")
+        walked = list(iter_stats_blocks(store, "a", marker))
+        assert walked[-1] is None  # torn -> None sentinel, stop
+        assert len(walked) == 2  # block 0 then the sentinel
+        # non-marker input degrades immediately
+        assert list(iter_stats_blocks(store, "a", entries)) == [None]
