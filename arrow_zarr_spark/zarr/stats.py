@@ -162,16 +162,33 @@ def resolve_stats(store: Store, array_name: str, value) -> Optional[List]:
     """The full entries list from an attribute value: an inline list
     passes through; a sidecar marker loads and reassembles its blocks
     (the lazy read — callers only invoke this during a pruning pass).
-    Anything else, or any inconsistency, is None (= no stats)."""
+    Anything else, or any inconsistency, is None (= no stats).
+
+    Block fetches run through a small threadpool when there are
+    several: on a remote store a big sidecar is thousands of GETs,
+    and paying them serially would put minutes of latency into
+    PLANNING (the I/O releases the GIL; order is preserved by
+    ``Executor.map``)."""
     if isinstance(value, list):
         return value
     if not is_sidecar_marker(value):
         return None
     n_blocks = value["sidecar"]
     n_entries = value["n_entries"]
+
+    def fetch(b: int):
+        return store.get(_block_key(array_name, b))
+
+    if n_blocks > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            raws = list(pool.map(fetch, range(n_blocks)))
+    else:
+        raws = [fetch(b) for b in range(n_blocks)]
+
     out: List = []
-    for b in range(n_blocks):
-        raw = store.get(_block_key(array_name, b))
+    for raw in raws:
         if raw is None:
             return None  # torn sidecar: unknown, never wrong
         try:
