@@ -223,6 +223,14 @@ def add_bench_queries(qs: dict, spark, sf_dir: str, force=None) -> None:
         fuzzy_dedup_pipeline(docs)
     )
 
+    # leakage-safe split (x06): d04's shingle equi-join + label
+    # propagation + a narrow split projection — tracked against
+    # fuzzy_dedup_pipeline (same candidate stage, no canonical-pick
+    # tail; the delta is the group machinery each one adds)
+    from .pipelines import leakage_safe_split
+
+    qs["leakage_safe_split"] = lambda: force(leakage_safe_split(docs))
+
     # segment-level dedup WITH rewrite (d16): the digest explode +
     # doc-frequency groupBy + broadcast mark + row-local rebuild —
     # tracked because the rewrite join is the one text-carrying stage

@@ -22,6 +22,7 @@ __all__ = [
     "pretraining_pipeline",
     "fuzzy_dedup_pipeline",
     "snapshot_curation_pipeline",
+    "leakage_safe_split",
 ]
 
 
@@ -280,4 +281,70 @@ def snapshot_curation_pipeline(
         score_col=score_col,
         keep_frac=keep_frac,
         tiebreak_col=id_col,
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: int = 42,
+    pairs: DataFrame = None,
+) -> DataFrame:
+    """Train/val/test split whose atomic unit is the NEAR-DUP GROUP,
+    not the document (x06): p07's per-document hash split still
+    leaks — a training document that is a near-duplicate of a test
+    document teaches the model the test answer. Here the
+    deterministic integer draw is taken on the CONNECTED COMPONENT
+    of the near-dup graph, so every member of a duplicate group
+    lands in the same split, forever (the draw is pure integer
+    arithmetic on the group id — membership survives reruns,
+    engines, and cluster sizes, p07's reproducibility contract
+    lifted to groups).
+
+    ``pairs`` defaults to exact word-trigram Jaccard pairs at
+    ``jaccard_threshold`` (d04's kernel — shingle equi-join, never
+    all-pairs); pass an LSH candidate set (d03/d06) to swap the
+    candidate generator at corpus scale — the split logic only needs
+    (id_a, id_b).
+
+    Scale shape: pairs = one shingle equi-join confined to shared
+    shingles; components = label propagation (one equi-join +
+    groupBy per round, O(diameter) rounds, checkpoint-cycled); then
+    ONE id equi-join back and a narrow split projection. Returns
+    (id_col, component, split)."""
+    from .dedup import connected_components, ngram_jaccard_pairs
+    from .sampling import _DRAW_MOD, _DRAW_MULT
+
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError(
+            "leakage_safe_split: need val_frac, test_frac >= 0 and "
+            f"val_frac + test_frac < 1, got {val_frac}, {test_frac}"
+        )
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            df, id_col=id_col, text_col=text_col,
+            threshold=jaccard_threshold,
+        )
+    comp = connected_components(
+        df, pairs.select("id_a", "id_b"), id_col=id_col
+    )
+    draw = (
+        (F.col("component") % _DRAW_MOD + F.lit(seed)) * F.lit(_DRAW_MULT)
+    ) % _DRAW_MOD
+    test_cut = int(test_frac * _DRAW_MOD)
+    val_cut = test_cut + int(val_frac * _DRAW_MOD)
+    # connected_components already emits one row per document
+    # (docs in no pair are singleton components), so the split is a
+    # narrow projection on its output — no join back at all
+    return comp.select(
+        id_col,
+        "component",
+        F.when(draw < test_cut, F.lit("test"))
+        .when(draw < val_cut, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
     )

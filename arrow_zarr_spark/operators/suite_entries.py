@@ -4031,3 +4031,50 @@ def populate_round8_vector_index_queries(register) -> None:
         x05,
         _binary_topk_oracle_sql(),
     )
+
+
+def populate_round8_split_queries(register) -> None:
+    """x06: leakage-safe train/val/test split — the p07 hash split
+    lifted to NEAR-DUP GROUPS (connected components of the exact
+    trigram-Jaccard graph at 0.7), so a near-duplicate of a test
+    document can never land in train. The oracle chains d07's
+    recursive-CTE component computation with p07's integer-draw
+    split arithmetic on the component id — the whole
+    group-then-split pipeline is hash-verified end to end."""
+
+    def x06(spark, sf_dir):
+        from .pipelines import leakage_safe_split
+
+        return leakage_safe_split(_docs(spark, sf_dir))
+
+    register(
+        "x06_leakage_safe_split",
+        x06,
+        "WITH RECURSIVE "
+        + _TRI_CTE
+        + ", sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tri GROUP BY doc_id)"
+        ", shared AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared"
+        "  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2), "
+        "pairs AS (SELECT id_a, id_b FROM ("
+        "  SELECT id_a, id_b, "
+        "  ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) AS j"
+        "  FROM shared JOIN sizes sa ON sa.doc_id = shared.id_a"
+        "  JOIN sizes sb ON sb.doc_id = shared.id_b) WHERE j >= 0.7), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "reach AS ("
+        "  SELECT doc_id AS id, doc_id AS label FROM documents "
+        "  UNION "
+        "  SELECT e.dst AS id, r.label FROM reach r "
+        "  JOIN edges e ON e.src = r.id), "
+        "comp AS (SELECT id AS doc_id, MIN(label) AS component "
+        "FROM reach GROUP BY id) "
+        "SELECT doc_id, component, "
+        "CASE WHEN d < 100000 THEN 'test' WHEN d < 200000 THEN 'val' "
+        "ELSE 'train' END AS split FROM ("
+        "SELECT doc_id, component, "
+        "((component % 1000003 + 42) * 2654435761) % 1000003 AS d "
+        "FROM comp)",
+    )

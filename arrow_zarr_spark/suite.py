@@ -1460,7 +1460,11 @@ DRIVER_WINDOW = [
     # slot (normalized dedup, r4-green; the exact-dedup family stays
     # in-window via d01 and d02 stays parity-enforced every round)
     "s08_binary_ann_topk",
-    "b05_comparisons_or",
+    # x06 (leakage-safe split, also new this round) takes b05's slot
+    # (OR-of-comparisons, r4-green; comparison predicates stay
+    # in-window via b06 and z03's range shapes, b05 stays
+    # parity-enforced every round)
+    "x06_leakage_safe_split",
     "b06_equality_pred",
     "b08_equi_join",
     "d01_exact_dedup",
@@ -1515,6 +1519,7 @@ def _ensure_populated() -> None:
         populate_round8_phash64_queries,
         populate_round8_binary_ann_queries,
         populate_round8_vector_index_queries,
+        populate_round8_split_queries,
         populate_round7_repair_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
@@ -1568,6 +1573,7 @@ def _ensure_populated() -> None:
     populate_round8_phash64_queries(register_query)
     populate_round8_binary_ann_queries(register_query)
     populate_round8_vector_index_queries(register_query)
+    populate_round8_split_queries(register_query)
     # z36 registers OUTSIDE the (already all-fresh) 50-slot window —
     # the round-8 rotation picks it up; oracle parity enforces it
     # locally every round meanwhile

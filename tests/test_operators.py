@@ -1189,6 +1189,73 @@ class TestPretrainingPipeline:
         assert "Join" not in plan
 
 
+class TestLeakageSafeSplit:
+    """x06 — the train/val/test split whose atomic unit is the
+    near-dup GROUP."""
+
+    def test_near_dups_never_straddle_splits(self, spark, docs):
+        from arrow_zarr_spark.operators.dedup import ngram_jaccard_pairs
+        from arrow_zarr_spark.operators.pipelines import (
+            leakage_safe_split,
+        )
+
+        out = {
+            r.doc_id: (r.component, r.split)
+            for r in leakage_safe_split(docs).collect()
+        }
+        assert len(out) == docs.count()  # every doc labeled
+        # THE property: every near-dup pair shares component AND split
+        pairs = ngram_jaccard_pairs(docs, threshold=0.7).collect()
+        assert pairs, "fixture should contain near-dup pairs"
+        for p in pairs:
+            assert out[p.id_a][0] == out[p.id_b][0]
+            assert out[p.id_a][1] == out[p.id_b][1]
+        # all three labels appear at fixture scale
+        assert {s for _, s in out.values()} == {"train", "val", "test"}
+
+    def test_split_pins_to_component_not_document(self, spark):
+        """Two exact duplicates whose DOC ids would land in different
+        p07 splits must land together here (the very leak p07
+        allows), in the split of their MIN id (the component
+        label)."""
+        from arrow_zarr_spark.operators.pipelines import (
+            leakage_safe_split,
+        )
+        from arrow_zarr_spark.operators.sampling import (
+            train_val_test_split,
+        )
+
+        text = "the quick brown fox jumps over the lazy dog tonight"
+        # find two ids whose per-doc splits DIFFER
+        probe = spark.range(0, 200).select(
+            F.col("id").alias("doc_id")
+        )
+        per_doc = {
+            r.doc_id: r.split
+            for r in train_val_test_split(probe, "doc_id").collect()
+        }
+        a = next(i for i in per_doc if per_doc[i] == "train")
+        b = next(i for i in per_doc if per_doc[i] == "test" and i > a)
+        df = spark.createDataFrame(
+            [(a, text), (b, text), (999_999, "something else entirely here")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.component, r.split)
+            for r in leakage_safe_split(df).collect()
+        }
+        assert got[a][0] == got[b][0] == min(a, b)
+        assert got[a][1] == got[b][1]  # p07 would have split them
+
+    def test_frac_validation(self, spark, docs):
+        from arrow_zarr_spark.operators.pipelines import (
+            leakage_safe_split,
+        )
+
+        with pytest.raises(ValueError, match="val_frac"):
+            leakage_safe_split(docs, val_frac=0.6, test_frac=0.5)
+
+
 class TestFuzzyDedupPipeline:
     def test_partitions_corpus_and_keeps_best(self, spark, docs):
         """x02's invariants: the kept docs' member counts partition the
