@@ -1393,85 +1393,74 @@ _populated = False
 #: Everything rotated out stays parity-enforced every round by
 #: tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # ROUND-8 ROTATION: CORRECTNESS_r07 landed 50/50 green on the
-    # round-7 window, so every prior window entry has a fresh row.
-    # This window takes (a) z36, the ONLY registered query that has
-    # never had a driver row (registered after the round-7 window was
-    # drawn; green -> cumulative 197/197 driver coverage), then
-    # (b) the 42 stalest oracle-backed rows, all last driver-checked
-    # in round 3, then (c) 7 round-4-checked rows (b05-b08's
-    # predicate/join shapes + d01/d02/d11's dedup family) so no green
-    # is older than 4 rounds. The four deliberately rows-only kernels
-    # (d03/d05/t05/r26) stay out per the window policy (every slot
-    # must carry a full rows+schema+hash oracle; their oracle-proven
-    # twins d13/d15/t14/r32 are all green) and stay parity-enforced
-    # by tests/test_oracle_parity.py, as does everything rotated out.
-    "z36_scrub_repair_scan",
-    # (b) last driver-checked round 3
-    "c01_kmeans_clusters",
-    "c02_semantic_neardup",
-    "d04_ngram_jaccard_pairs",
-    "d07_dedup_components",
-    "d08_streaming_dedup_batchform",
-    "d09_ngram_contamination",
-    "d10_canonical_docs",
-    "j02_asof_join",
-    "j03_theta_join_banded",
-    "j04_salted_join",
-    "m01_byte_features",
-    "m02_decode_image_fake",
-    "m03_resize_pixels",
-    "m04_sample_frames",
-    "p01_per_group_quota",
-    "p02_token_budget_sample",
-    "p03_stratified_sample",
-    "p04_rebalance_mixture",
-    "p05_shard_manifest",
-    "r25_sessionization",
-    "s01_cosine_topk",
-    "s02_lsh_ann_topk",
-    "t01_token_count",
-    "t02_language_id",
-    "t03_quality_score",
-    "t04_document_fingerprint",
-    "t06_top_bigrams",
-    "t07_tf_idf",
-    "t08_pii_redact",
-    "t09_repetition_signals",
-    "t10_chunk_documents",
-    "w01_writer_roundtrip",
-    "z04_cte_self_join",
-    "z05_missing_chunk_fill",
-    "z07_order_limit",
-    "z08_union_all",
-    "z09_no_coords",
-    "z10_type_map",
-    "z12_join_parquet_dim",
-    "z13_sharded_scan",
-    "z14_string_scan",
-    "z16_time_scan",
-    # (c) last driver-checked round 4 — plus the ONE round-8 addition
-    # (m08, 64-bit pHash: new queries enter the window in their own
-    # round so no gap like z36's recurs); b07's modulo-predicate
-    # shape cedes the slot (stays parity-enforced; modulo arithmetic
-    # stays in-window via r20's math_case and the b05/b06 pair)
-    "m08_phash64_near_dup",
-    # s08 (binary-quantization ANN, also new this round) takes d02's
-    # slot (normalized dedup, r4-green; the exact-dedup family stays
-    # in-window via d01 and d02 stays parity-enforced every round)
-    "s08_binary_ann_topk",
-    # x06 (leakage-safe split, also new this round) takes b05's slot
-    # (OR-of-comparisons, r4-green; comparison predicates stay
-    # in-window via b06 and z03's range shapes, b05 stays
-    # parity-enforced every round)
-    "x06_leakage_safe_split",
-    "b06_equality_pred",
-    "b08_equi_join",
-    "d01_exact_dedup",
-    # x05 (persisted binary vector index, also new this round) takes
-    # d11's slot (contamination purge, r4-green; the contamination
-    # family stays in-window via d09 and d11 stays parity-enforced)
-    "x05_binary_index_roundtrip",
+    # ROUND-9 ROTATION: CORRECTNESS_r08 landed 50/50 green on the
+    # round-8 window, so every prior window entry has a fresh row and
+    # the stalest oracle-backed rows are now the 47 queries last
+    # driver-checked in ROUND 4 (VERDICT r8 "What's wrong" #5 /
+    # "Next round" #3 names them exactly).  This window takes all 47,
+    # leaving 3 slots that round-9 additions MUST claim in-round (the
+    # r8 discipline; the placeholders below are the three core r6-era
+    # shapes z01/z03/x02 and each notes who displaces it).  After this
+    # window lands green no oracle-backed row is older than round 6.
+    # The four deliberately rows-only kernels (d03/d05/t05/r26) stay
+    # out per the window policy (every slot must carry a full
+    # rows+schema+hash oracle; their oracle-proven twins
+    # d13/d15/t14/r32 are all green) and stay parity-enforced by
+    # tests/test_oracle_parity.py, as does everything rotated out.
+    # -- the 47 round-4-stale rows --
+    "b05_comparisons_or",
+    "b07_modulo_pred",
+    "d02_normalized_dedup",
+    "d11_contamination_purge",
+    "d12_dedup_against_corpus",
+    "e01_stream_enrich_batchform",
+    "e02_interval_join_batchform",
+    "p06_quantile_gate",
+    "p07_train_val_test_split",
+    "r01_groupby_agg",
+    "r02_count_distinct",
+    "r03_avg_minmax",
+    "r04_having",
+    "r05_distinct",
+    "r06_window_topk_per_group",
+    "r07_window_running_sum",
+    "r08_window_lag_rank",
+    "r09_left_outer_join",
+    "r10_semi_join",
+    "r11_anti_join",
+    "r12_intersect",
+    "r13_except",
+    "r14_union_distinct",
+    "r15_scalar_subquery",
+    "r16_in_subquery",
+    "r17_rollup",
+    "r18_string_funcs",
+    "r19_date_parts",
+    "r20_math_case",
+    "r21_multiway_join_agg",
+    "r22_events_time_agg",
+    "r23_events_user_sessions",
+    "r24_pivot_conditional",
+    "r27_count_distribution",
+    "r28_having_in_subquery",
+    "r29_correlated_min",
+    "r30_cube",
+    "r31_stddev_from_moments",
+    "r32_percentile_cont",
+    "r33_regexp_extract",
+    "r34_array_functions",
+    "r35_json_extract",
+    "r36_grouping_sets",
+    "r37_not_exists",
+    "t11_boilerplate_ngrams",
+    "w02_writer_datetime_roundtrip",
+    "z17_time_rollup",
+    # -- 3 spare slots for round-9 additions (placeholders are the
+    #    stalest-after-r4 core shapes; each cedes to a new query
+    #    registered this round) --
+    "z01_scan_full",
+    "z03_where_pushdown",
+    "x02_fuzzy_dedup_pipeline",
 ]
 
 
