@@ -610,12 +610,23 @@ def _assemble_stats_sidecar(
                 entries = []
             entries = entries + [None] * (base_len - len(entries))
             for cid, decoded in pairs:
-                entries[cid - b * blk_t] = decoded.get(name)
+                slot = cid - b * blk_t
+                if not (0 <= slot < base_len):
+                    # a misassigned cid must fail LOUDLY — a silent
+                    # Python negative-index would write the pair into
+                    # the wrong slot and corrupt pruning soundness
+                    raise ZarrFormatError(
+                        f"stats sidecar: cid {cid} outside block {b} "
+                        f"(block_entries={blk_t}, base_len={base_len})"
+                    )
+                entries[slot] = decoded.get(name)
             task_store.set(key, json.dumps(entries).encode())
         return pd.DataFrame({"blk": [b]})
 
     (
-        committed.withColumn("__blk", (F.col("cid") / blk).cast("long"))
+        # integer division: (cid / blk).cast("long") goes through
+        # doubles and can misassign the block id at extreme cid
+        committed.withColumn("__blk", F.expr(f"cid div {int(blk)}"))
         .groupBy("__blk")
         .applyInPandas(patch_block, "blk long")
         .count()
@@ -2002,16 +2013,23 @@ def refresh_stats(
     # array is skipped with a warning (r8 review finding — the
     # unbounded path is write_zarr's distributed assembly, i.e. a
     # rewrite)
-    targets = [
-        a
-        for a in arrays
-        if _stats_eligible(a.meta.dtype)
-        and _stats_within_cap(
+    targets = []
+    skipped_past_cap = set()
+    for a in arrays:
+        if not _stats_eligible(a.meta.dtype):
+            continue
+        if _stats_within_cap(
             a.meta.chunk_grid_shape[0],
             "refresh_stats",
             cap=STATS_GRID_MAX_OBJECTS,
-        )
-    ]
+        ):
+            targets.append(a)
+        else:
+            # past-cap arrays are SKIPPED, not stripped: an existing
+            # attribute/sidecar (e.g. from write_zarr's distributed,
+            # uncapped assembly) stays valid and must survive a
+            # refresh that merely can't recompute it driver-side
+            skipped_past_cap.add(a.meta.name)
     work = [
         (a.meta.name, i)
         for a in targets
@@ -2063,6 +2081,8 @@ def refresh_stats(
     }
     for a in arrays:
         m = a.meta
+        if m.name in skipped_past_cap:
+            continue  # leave existing stats (attr + sidecar) intact
         if m.name in per_col:
             m.attributes[STATS_ATTR_KEY] = attr_vals[m.name]
         else:

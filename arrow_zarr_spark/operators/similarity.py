@@ -1440,7 +1440,13 @@ def binary_ann(
     c_words, n_words = _sign_words(vec_col, dim, "c")
     q_words, _ = _sign_words(vec_col, dim, "q")
 
-    cenc = corpus.select(F.col(id_col).alias("neighbor_id"), *c_words)
+    # null-embedding corpus rows must not enter the shortlist:
+    # _sign_words encodes a null vector as all-zero words (every WHEN
+    # is null), so unfiltered they displace real candidates within the
+    # fixed shortlist budget and surface as null-cosine rerank rows
+    cenc = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), *c_words
+    )
     qenc = queries.select(
         F.col(query_id_col).alias("query_id"), *q_words
     )

@@ -64,7 +64,14 @@ def build_binary_index(
         )
     dim = len(first[0])
     words, n_words = _sign_words(vec_col, dim, "")
-    codes = corpus.select(F.col(id_col), *words).orderBy(id_col)
+    # null-embedding rows are excluded from the index — _sign_words
+    # would encode them as all-zero codes that pollute every hamming
+    # shortlist (same rule as binary_ann's corpus-side filter)
+    codes = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), *words)
+        .orderBy(id_col)
+    )
     n = write_zarr(codes, path, chunk_rows=chunk_rows, mode=mode)
     return {
         "path": path,

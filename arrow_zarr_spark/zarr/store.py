@@ -470,6 +470,19 @@ class FsspecStore(Store):
         for path in self.fs.find(self.root):
             yield path[len(self.root) :].lstrip("/")
 
+    def walk_prefix(self, prefix: str) -> Iterator[str]:  # pragma: no cover
+        # prefix-scoped listing: the base default filters a FULL
+        # store listing, which turns per-column sidecar maintenance
+        # (delete_sidecar runs per microbatch in the streaming sink's
+        # steady state) into an O(total keys) walk on object stores
+        sub = f"{self.root}/{prefix.strip('/')}"
+        try:
+            paths = self.fs.find(sub)
+        except FileNotFoundError:
+            return
+        for path in paths:
+            yield path[len(self.root) :].lstrip("/")
+
     def set_exclusive(self, key: str, value: bytes) -> None:  # pragma: no cover
         """Refused LOUDLY: fsspec has no portable conditional put.
 

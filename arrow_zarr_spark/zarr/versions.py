@@ -462,8 +462,11 @@ def vacuum_versions(
     expire-snapshots discipline): an in-flight :func:`commit_version`
     writes its content objects FIRST and publishes its manifest last,
     so to a naive vacuum those objects look like garbage and the
-    commit would land a manifest referencing GC'd bytes. Two guards
-    close the window:
+    commit would land a manifest referencing GC'd bytes. Three guards
+    SHRINK the window (they cannot fully close it without a
+    conditional delete, which no portable store API offers — the
+    residual race is the interval between the final mtime re-check
+    and the delete itself, microseconds on a quiet store):
 
     - objects younger than ``grace_seconds`` (or of UNKNOWN age —
       backends without mtimes) are never collected, so any commit
@@ -471,7 +474,10 @@ def vacuum_versions(
     - the manifest list is re-read AFTER the drop phase and every
       manifest that appeared mid-vacuum contributes its references,
       so a commit that PUBLISHED during the vacuum is also safe (its
-      old objects are referenced, its new ones are young).
+      old objects are referenced, its new ones are young);
+    - each candidate's mtime is re-checked immediately before its
+      delete, so a dedup-hit ``touch()`` from an in-flight commit
+      that lands after the first age check still rescues the object.
 
     ``grace_seconds`` must exceed the longest plausible commit
     duration; objects skipped as young are collected by the next
@@ -517,6 +523,15 @@ def vacuum_versions(
             if age is None or now - age < grace_seconds:
                 # concurrent-commit guard 1: unknown or young = an
                 # in-flight commit's pre-publish objects, never GC'd
+                skipped_young += 1
+                continue
+            # concurrent-commit guard 3: re-check IMMEDIATELY before
+            # the delete — commit_version's dedup-hit touch() can
+            # land between the first mtime read and here, and a
+            # freshened mtime means a commit is about to publish a
+            # manifest referencing this key
+            age = store.mtime(k)
+            if age is None or time.time() - age < grace_seconds:
                 skipped_young += 1
                 continue
         store.delete(k)

@@ -176,6 +176,40 @@ class TestANN:
         with pytest.raises(ValueError, match="shortlist"):
             similarity.binary_ann(embs, queries, k=10, shortlist=5)
 
+    def test_binary_ann_null_embeddings_excluded(
+        self, spark, embs, tmp_path
+    ):
+        """r9 fix (r8 ADVICE): null-embedding corpus rows encode as
+        all-zero sign words, so unfiltered they displace real
+        candidates inside the fixed hamming shortlist and surface as
+        null-cosine rerank rows. They must be excluded — results over
+        a null-polluted corpus EQUAL results over the clean corpus,
+        and the persisted index never stores them."""
+        null_vec = F.lit(None).cast(embs.schema["embedding"].dataType)
+        noisy = embs.unionByName(
+            embs.limit(50).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                null_vec.alias("embedding"),
+                F.col("label"),
+            )
+        )
+        queries = embs.filter(F.col("vec_id") < 5)
+        clean = similarity.binary_ann(
+            embs, queries, k=5, shortlist=16
+        ).collect()
+        polluted = similarity.binary_ann(
+            noisy, queries, k=5, shortlist=16
+        ).collect()
+        assert sorted(map(tuple, clean)) == sorted(map(tuple, polluted))
+        assert all(r.cosine is not None for r in polluted)
+
+        from arrow_zarr_spark.operators.vector_index import (
+            build_binary_index,
+        )
+
+        info = build_binary_index(noisy, str(tmp_path / "nidx"))
+        assert info["n_vectors"] == embs.count()
+
     def test_binary_index_roundtrip_equals_in_memory(
         self, spark, embs, tmp_path
     ):

@@ -970,6 +970,66 @@ class TestRefreshStats:
         ]
         assert ks == [[0, 99], [100, 199]]
 
+    def test_refresh_past_cap_preserves_existing_stats(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r9 fix (r8 ADVICE, medium): refresh_stats on an array past
+        STATS_GRID_MAX_OBJECTS SKIPS the recompute — it must leave an
+        existing valid attribute untouched, not strip the stats that
+        write_zarr's distributed (uncapped) assembly created."""
+        import arrow_zarr_spark.io as io_mod
+        from arrow_zarr_spark.io import refresh_stats
+
+        path = str(tmp_path / "rf5")
+        df = spark.range(0, 600, 1, 2).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)  # stats on: 6 objects
+        before = infer_store_arrays(open_store(path))[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        assert before == [[i * 100, i * 100 + 99] for i in range(6)]
+        monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 4)
+        with pytest.warns(UserWarning, match="statistics cap"):
+            assert refresh_stats(spark, path) == 0  # skipped
+        after = infer_store_arrays(open_store(path))[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        assert after == before  # stats survived the skip
+        assert _reader_cells(path, [LessThan(("k",), 50)]) == [(0,)]
+
+    def test_refresh_past_cap_preserves_existing_sidecar(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Same guarantee for the SIDECAR representation: a past-cap
+        refresh must not delete_sidecar the blocks a prior in-cap
+        refresh (or the distributed writer) published."""
+        import arrow_zarr_spark.io as io_mod
+        from arrow_zarr_spark.io import refresh_stats
+        from arrow_zarr_spark.zarr.stats import (
+            is_sidecar_marker,
+            resolve_stats,
+        )
+
+        path = str(tmp_path / "rf6")
+        df = spark.range(0, 800, 1, 4).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100, stats=False)
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+        assert refresh_stats(spark, path) == 8  # builds the sidecar
+        store = open_store(path)
+        marker = infer_store_arrays(store)[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        assert is_sidecar_marker(marker)
+        monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 4)
+        with pytest.warns(UserWarning, match="statistics cap"):
+            assert refresh_stats(spark, path) == 0  # skipped
+        store = open_store(path)
+        after = infer_store_arrays(store)[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        assert after == marker
+        entries = resolve_stats(store, "k", after)
+        assert entries[0] == [0, 99] and entries[7] == [700, 799]
+
     def test_unknown_column_rejected(self, spark, tmp_path):
         from arrow_zarr_spark.io import refresh_stats
         from arrow_zarr_spark.zarr import ZarrFormatError

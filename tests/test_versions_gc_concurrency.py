@@ -115,6 +115,43 @@ class TestGraceWindow:
         assert store.exists(_object_key(sha))
         assert out["skipped_young"] >= 1
 
+    def test_mtime_refresh_between_check_and_delete_rescues(
+        self, tmp_path, monkeypatch
+    ):
+        """Guard 3 (r9, from the r8 ADVICE TOCTOU finding): a
+        dedup-hit touch() that lands AFTER the first age check but
+        BEFORE the delete must still rescue the object — vacuum
+        re-reads mtime immediately before each delete."""
+        from arrow_zarr_spark.zarr.store import LocalStore
+
+        d = str(tmp_path / "s")
+        _seed(d)
+        commit_version(None, d, "v1")
+        store = open_store(d)
+        data = b"touched between check and delete"
+        sha = hashlib.sha256(data).hexdigest()
+        key = _object_key(sha)
+        store.set(key, data)
+        p = os.path.join(d, *key.split("/"))
+        old = time.time() - 7200
+        os.utime(p, (old, old))
+        real_mtime = LocalStore.mtime
+        calls = {"n": 0}
+
+        def racing_mtime(self, k):
+            if k == key:
+                calls["n"] += 1
+                if calls["n"] >= 2:
+                    return time.time()  # the touch landed mid-gap
+            return real_mtime(self, k)
+
+        monkeypatch.setattr(LocalStore, "mtime", racing_mtime)
+        out = vacuum_versions(d, keep_last=1)  # default grace
+        assert store.exists(key)
+        assert calls["n"] >= 2  # the pre-delete re-check actually ran
+        assert out["deleted_objects"] == 0
+        assert out["skipped_young"] >= 1
+
     def test_grace_zero_restores_unguarded_behavior(self, tmp_path):
         d = str(tmp_path / "s")
         _seed(d)
