@@ -395,6 +395,50 @@ def hyperplane_lsh_ann(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Lloyd-trained COARSE centroids for :func:`ivf_ann` /
+    :func:`ivf_pq_ann`'s ``centroids=`` — :func:`train_pq_codebooks`
+    with one sub-space spanning the full dimension, so it inherits
+    that trainer's scale shape (one distributed pass per iteration,
+    metadata-scale driver reduce, deterministic strided init, no
+    RNG). Returns ``(n_cells, dim)`` float64 in the same 1/32768
+    quantized space the IVF assignment scores in.
+
+    Trained centroids are float means (NOT grid-exact), so a
+    trained-centroid run is for recall, not bit-replayable SQL
+    oracles — the suite's s03/s05 rows keep the strided default
+    (the same convention as trained PQ codebooks)."""
+    return train_pq_codebooks(
+        corpus,
+        m=1,
+        ksub=n_cells,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )[0]
+
+
+def _centroid_frame(spark, centroids) -> DataFrame:
+    """(n_cells, dim) ndarray -> broadcastable (cell, centroid) frame
+    in codebook row order (row index IS the cell id)."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+    if cmat.ndim != 2:
+        raise ValueError(
+            f"centroids must be a (n_cells, dim) matrix; got shape "
+            f"{cmat.shape}"
+        )
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cmat)],
+        "cell int, centroid array<double>",
+    )
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -404,6 +448,7 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: Optional[str] = None,
+    centroids: Optional["np.ndarray"] = None,
 ) -> DataFrame:
     """IVF-style ANN: deterministic coarse centroids (every (n/n_cells)-th
     corpus vector by id), assignment by max cosine (broadcast centroids),
@@ -424,7 +469,12 @@ def ivf_ann(
     DuckDB oracle hash-proves it (the embedding-space analogue of the
     word-code signature convention). The quantization error is ≤1e-4
     relative — noise at ANN recall scales — and the output ``cosine``
-    is explicitly the quantized-cosine, rounded to 6."""
+    is explicitly the quantized-cosine, rounded to 6.
+
+    ``centroids``: pass :func:`train_ivf_centroids` output to route
+    with Lloyd-FITTED coarse centroids instead of the strided pick —
+    the recall path (oracle-exempt, float means; the suite's s03 row
+    keeps the strided default)."""
     query_id_col = query_id_col or id_col
 
     def qvec(c):
@@ -453,20 +503,25 @@ def ivf_ann(
             )
         )
         return dot / (na * nb)
-    # Deterministic centroid pick WITHOUT a global window (a row_number
-    # over an unpartitioned order collapses everything to one partition
-    # — fatal at scale): stride the id space off a single max() agg.
-    max_id = corpus.agg(F.max(id_col)).first()[0]
-    stride = max(1, (int(max_id) + 1) // n_cells)
-    cents = (
-        corpus.filter(
-            (F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_cells)
+    if centroids is not None:
+        cents = _centroid_frame(corpus.sparkSession, centroids)
+    else:
+        # Deterministic centroid pick WITHOUT a global window (a
+        # row_number over an unpartitioned order collapses everything
+        # to one partition — fatal at scale): stride the id space off
+        # a single max() agg.
+        max_id = corpus.agg(F.max(id_col)).first()[0]
+        stride = max(1, (int(max_id) + 1) // n_cells)
+        cents = (
+            corpus.filter(
+                (F.col(id_col) % stride == 0)
+                & (F.col(id_col) / stride < n_cells)
+            )
+            .select(
+                (F.col(id_col) / stride).cast("int").alias("cell"),
+                qvec(F.col(vec_col)).alias("centroid"),
+            )
         )
-        .select(
-            (F.col(id_col) / stride).cast("int").alias("cell"),
-            qvec(F.col(vec_col)).alias("centroid"),
-        )
-    )
 
     def assign(df, ident, idc, probes):
         scored = df.select(
@@ -660,6 +715,7 @@ def pq_ann(
     query_id_col: Optional[str] = None,
     max_query_rows: int = 65536,
     codebooks: Optional["np.ndarray"] = None,
+    refine: Optional[int] = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011) — the
     memory-bounded similarity path: each vector is encoded as ``m``
@@ -686,6 +742,15 @@ def pq_ann(
     bit-replayable by a SQL oracle (the suite's s04 row uses the
     default).
 
+    ``refine``: retrieve that many ADC candidates per query, then
+    exact-cosine rerank them against the RAW vectors through the
+    shared broadcast-shortlist tail (s07's contract — the corpus
+    never shuffles in the rerank). This is the standard PQ recall
+    fix (FAISS's IndexRefine): recall@k becomes the shortlist's ADC
+    recall@refine, at the cost of ``n_queries x refine`` exact
+    cosines. The rerank IS exact cosine, so a refined run's output
+    is the exact top-k whenever the shortlist covers it.
+
     Determinism/oracle story (same convention as :func:`ivf_ann`):
     codebooks are picked deterministically (every (n/ksub)-th corpus
     vector by id, sliced into ``m`` sub-vectors), all vectors are
@@ -705,6 +770,11 @@ def pq_ann(
     ``n_partitions * n_queries * k`` rows into the final merge window.
     No corpus-sized join, no driver-side corpus collection."""
     query_id_col = query_id_col or id_col
+    if refine is not None and refine < k:
+        raise ValueError(
+            f"pq_ann: refine ({refine}) must be >= k ({k})"
+        )
+    retrieve = int(refine) if refine else k
     spark = corpus.sparkSession
     qvec = _pq_qvec
 
@@ -806,7 +876,7 @@ def pq_ann(
                         np.concatenate([a, c])
                         for a, c in zip(acc[qi], cand)
                     )
-                order = np.lexsort((cand[1], -cand[0]))[:k]
+                order = np.lexsort((cand[1], -cand[0]))[:retrieve]
                 acc[qi] = tuple(c[order] for c in cand)
         for qi in range(nq):
             if acc[qi] is None:
@@ -840,15 +910,19 @@ def pq_ann(
     w = Window.partitionBy("query_id").orderBy(
         cos_raw.desc(), F.col("neighbor_id")
     )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cos_raw, 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
+    ranked = local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= retrieve
+    )
+    if refine:
+        short = ranked.select("query_id", "neighbor_id")
+        return _exact_rerank(
+            short, corpus, queries, k, id_col, vec_col, query_id_col
         )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cos_raw, 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -865,6 +939,8 @@ def ivf_pq_ann(
     query_id_col: Optional[str] = None,
     max_query_rows: int = 65536,
     codebooks: Optional["np.ndarray"] = None,
+    centroids: Optional["np.ndarray"] = None,
+    refine: Optional[int] = None,
 ) -> DataFrame:
     """IVF-PQ ANN — the two quantizers composed the way a 100-TB
     vector index actually runs (FAISS's IVFPQ; Jégou et al. 2011
@@ -899,33 +975,50 @@ def ivf_pq_ann(
     ranking, PQ encoding (first-min = lowest code) and ADC ranking
     replay bit-for-bit in DuckDB SQL. ``codebooks`` accepts
     :func:`train_pq_codebooks` output (recall path, oracle-exempt),
-    like :func:`pq_ann`."""
+    like :func:`pq_ann`; ``centroids`` accepts
+    :func:`train_ivf_centroids` output the same way; ``refine``
+    exact-reranks that many ADC candidates per query through the
+    shared broadcast-shortlist tail (see :func:`pq_ann`)."""
     import pandas as pd
 
     query_id_col = query_id_col or id_col
+    if refine is not None and refine < k:
+        raise ValueError(
+            f"ivf_pq_ann: refine ({refine}) must be >= k ({k})"
+        )
+    retrieve = int(refine) if refine else k
     spark = corpus.sparkSession
     qvec = _pq_qvec
 
-    # coarse centroids: deterministic strided pick (ivf_ann convention)
-    max_id = corpus.agg(F.max(id_col)).first()[0]
-    if max_id is None:
-        raise ValueError("ivf_pq_ann: empty corpus")
-    cstride = max(1, (int(max_id) + 1) // n_cells)
-    cent_rows = (
-        corpus.filter(
-            (F.col(id_col) % cstride == 0)
-            & (F.col(id_col) / cstride < n_cells)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        if cents.ndim != 2:
+            raise ValueError(
+                f"ivf_pq_ann: centroids must be (n_cells, dim); got "
+                f"shape {cents.shape}"
+            )
+    else:
+        # coarse centroids: deterministic strided pick (ivf_ann
+        # convention)
+        max_id = corpus.agg(F.max(id_col)).first()[0]
+        if max_id is None:
+            raise ValueError("ivf_pq_ann: empty corpus")
+        cstride = max(1, (int(max_id) + 1) // n_cells)
+        cent_rows = (
+            corpus.filter(
+                (F.col(id_col) % cstride == 0)
+                & (F.col(id_col) / cstride < n_cells)
+            )
+            .select(
+                (F.col(id_col) / cstride).cast("int").alias("cell"),
+                qvec(F.col(vec_col)).alias("v"),
+            )
+            .collect()
         )
-        .select(
-            (F.col(id_col) / cstride).cast("int").alias("cell"),
-            qvec(F.col(vec_col)).alias("v"),
-        )
-        .collect()
-    )
-    if not cent_rows:
-        raise ValueError("ivf_pq_ann: empty corpus")
-    cent_rows.sort(key=lambda r: r["cell"])
-    cents = np.array([r["v"] for r in cent_rows], dtype=np.float64)
+        if not cent_rows:
+            raise ValueError("ivf_pq_ann: empty corpus")
+        cent_rows.sort(key=lambda r: r["cell"])
+        cents = np.array([r["v"] for r in cent_rows], dtype=np.float64)
     cent_nsq = np.einsum("cd,cd->c", cents, cents)
 
     if codebooks is None:
@@ -1056,7 +1149,7 @@ def ivf_pq_ann(
                         np.concatenate([a, c])
                         for a, c in zip(acc[qi], cand)
                     )
-                order = np.lexsort((cand[1], -cand[0]))[:k]
+                order = np.lexsort((cand[1], -cand[0]))[:retrieve]
                 acc[qi] = tuple(c[order] for c in cand)
         for qi in range(nq_l):
             if acc[qi] is None:
@@ -1083,15 +1176,19 @@ def ivf_pq_ann(
     w = Window.partitionBy("query_id").orderBy(
         cos_raw.desc(), F.col("neighbor_id")
     )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cos_raw, 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
+    ranked = local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= retrieve
+    )
+    if refine:
+        short = ranked.select("query_id", "neighbor_id")
+        return _exact_rerank(
+            short, corpus, queries, k, id_col, vec_col, query_id_col
         )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cos_raw, 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -1496,6 +1593,27 @@ def _hamming_shortlist_rerank(
         .filter(F.col("hrank") <= shortlist)
         .select("query_id", "neighbor_id")
     )
+    return _exact_rerank(
+        short, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+def _exact_rerank(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The shared retrieve-then-rerank TAIL (s07's contract): given a
+    bounded candidate shortlist of (query_id, neighbor_id) pairs —
+    n_queries x shortlist rows, metadata-scale — broadcast it and the
+    query vectors against the corpus and score the exact cosine, so
+    the corpus NEVER shuffles in the rerank. Deterministic ties:
+    (rounded cosine DESC, neighbor_id). Used by binary_ann /
+    query_binary_index and by pq_ann / ivf_pq_ann's ``refine=``."""
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )

@@ -716,16 +716,25 @@ def _ann_recall(spark, k: int = 5) -> dict:
         return out
 
     exact = topsets(similarity.cosine_topk_vectorized(embs, probes, k=k))
+    # the SAME tuned configs the wall-time entries run (r9 recall
+    # lift: trained coarse centroids + nprobe=9 for the IVF paths,
+    # refine=64 exact rerank for the PQ paths) — recall here certifies
+    # the path the bench actually times
+    ivf_cents = similarity.train_ivf_centroids(embs, n_cells=16, iters=4)
     variants = {
         "ann_lsh": lambda: similarity.hyperplane_lsh_ann(
             embs, probes, k=k
         ),
-        "ann_ivf": lambda: similarity.ivf_ann(embs, probes, k=k),
+        "ann_ivf": lambda: similarity.ivf_ann(
+            embs, probes, k=k, n_cells=16, nprobe=9,
+            centroids=ivf_cents,
+        ),
         "ann_pq": lambda: similarity.pq_ann(
-            embs, probes, k=k, m=16, ksub=64
+            embs, probes, k=k, m=16, ksub=64, refine=64
         ),
         "ann_ivfpq": lambda: similarity.ivf_pq_ann(
-            embs, probes, k=k, n_cells=16, nprobe=2, m=16, ksub=64
+            embs, probes, k=k, n_cells=16, nprobe=9, m=16, ksub=64,
+            centroids=ivf_cents, refine=64,
         ),
         "ann_sq8": lambda: similarity.sq8_ann(embs, probes, k=k),
         "ann_sq8_refine": lambda: similarity.sq8_refine_topk(

@@ -4,6 +4,7 @@ multimodal decode plumbing)."""
 
 import os
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -1581,6 +1582,96 @@ class TestPQANNDegenerate:
         empty = embs.filter(F.col("vec_id") < 0)
         with pytest.raises(ValueError, match="empty corpus"):
             similarity.pq_ann(empty, embs.limit(2))
+
+
+class TestANNRecallLift:
+    """r9 (r8 verdict item 1): the two levers the bench ANN path now
+    runs at — Lloyd-trained coarse centroids (``centroids=``) and the
+    exact-rerank tail (``refine=``). Pins (a) the refine identity
+    (full-corpus refine == exact top-k, the same identity binary_ann
+    uses), (b) recall ordering trained >= strided at equal nprobe,
+    (c) refine monotonicity, (d) argument validation."""
+
+    @staticmethod
+    def _topsets(df):
+        out = {}
+        for r in df.select("query_id", "neighbor_id").collect():
+            out.setdefault(r[0], set()).add(r[1])
+        return out
+
+    @classmethod
+    def _recall(cls, df, exact):
+        got = cls._topsets(df)
+        return sum(
+            len(got.get(q, set()) & s) / len(s) for q, s in exact.items()
+        ) / len(exact)
+
+    def test_pq_full_refine_equals_exact(self, spark, embs):
+        q = embs.filter(F.col("vec_id") < 10)
+        n = embs.count()
+        exact = similarity.cosine_topk(embs, q, k=5).collect()
+        got = similarity.pq_ann(
+            embs, q, k=5, m=16, ksub=64, refine=n
+        ).collect()
+        assert sorted(map(tuple, exact)) == sorted(map(tuple, got))
+
+    def test_ivfpq_full_probe_full_refine_equals_exact(self, spark, embs):
+        q = embs.filter(F.col("vec_id") < 10)
+        n = embs.count()
+        exact = similarity.cosine_topk(embs, q, k=5).collect()
+        got = similarity.ivf_pq_ann(
+            embs, q, k=5, n_cells=4, nprobe=4, m=16, ksub=64, refine=n
+        ).collect()
+        assert sorted(map(tuple, exact)) == sorted(map(tuple, got))
+
+    def test_refine_recall_monotone(self, spark, embs):
+        q = embs.filter(F.col("vec_id") < 20)
+        exact = self._topsets(similarity.cosine_topk(embs, q, k=5))
+        base = self._recall(
+            similarity.pq_ann(embs, q, k=5, m=16, ksub=64), exact
+        )
+        refined = self._recall(
+            similarity.pq_ann(embs, q, k=5, m=16, ksub=64, refine=64),
+            exact,
+        )
+        assert refined >= base - 1e-9
+        assert refined >= 0.8  # the r9 bench claim at suite scale
+
+    def test_trained_centroids_vs_strided_at_equal_nprobe(
+        self, spark, embs
+    ):
+        q = embs.filter(F.col("vec_id") < 20)
+        exact = self._topsets(similarity.cosine_topk(embs, q, k=5))
+        strided = self._recall(
+            similarity.ivf_ann(embs, q, k=5, n_cells=16, nprobe=4),
+            exact,
+        )
+        cents = similarity.train_ivf_centroids(embs, n_cells=16, iters=4)
+        assert cents.shape[0] == 16
+        trained = self._recall(
+            similarity.ivf_ann(
+                embs, q, k=5, n_cells=16, nprobe=4, centroids=cents
+            ),
+            exact,
+        )
+        # Lloyd's fits the corpus the strided pick only samples;
+        # measured 0.578 vs 0.48 at sf0.1 (nprobe=4)
+        assert trained >= strided - 0.05
+
+    def test_validation(self, spark, embs):
+        q = embs.filter(F.col("vec_id") < 5)
+        with pytest.raises(ValueError, match="refine"):
+            similarity.pq_ann(embs, q, k=10, m=16, ksub=64, refine=5)
+        with pytest.raises(ValueError, match="refine"):
+            similarity.ivf_pq_ann(embs, q, k=10, refine=5)
+        with pytest.raises(ValueError, match="centroids"):
+            similarity.ivf_ann(
+                embs, q, k=5, centroids=np.zeros((4, 4, 4))
+            )
+        with pytest.raises(ValueError, match="centroids"):
+            similarity.ivf_pq_ann(
+                embs, q, k=5, centroids=np.zeros(7)
+            )
 
 
 class TestPQTrainedCodebooks:
