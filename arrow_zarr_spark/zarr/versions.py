@@ -100,7 +100,23 @@ def _manifest_key(version: int) -> str:
     return f"{_MANIFEST_DIR}{version:08d}.json"
 
 
-def _read_manifest(store: Store, version: int) -> Dict:
+#: Keys per manifest block (format 2). The commit slices the SORTED
+#: live-key list into contiguous ranges of at most this many keys;
+#: each block is one content-addressed JSON object, so a pinned-scan
+#: task resolving one chunk key GETs one block, never the whole
+#: manifest — the stats-sidecar discipline applied to the version
+#: store (r8 verdict item 2: the monolithic manifest was the last
+#: O(n_objects) metadata document).
+MANIFEST_BLOCK_KEYS = 65536
+
+
+def _read_manifest_root(store: Store, version: int) -> Dict:
+    """The root manifest document, WITHOUT materializing blocks.
+
+    format 1 (pre-r9): ``objects`` inline — the migration path; every
+    reader accepts it forever. format 2: ``block_starts`` (first key
+    per block, ascending) + ``blocks`` (content sha per block) +
+    ``n_objects``."""
     raw = store.get(_manifest_key(version))
     if raw is None:
         raise ZarrFormatError(
@@ -108,10 +124,60 @@ def _read_manifest(store: Store, version: int) -> Dict:
             f"{_manifest_key(version)})"
         )
     doc = json.loads(raw)
-    if doc.get("format") != 1 or "objects" not in doc:
+    fmt = doc.get("format")
+    ok = (fmt == 1 and "objects" in doc) or (
+        fmt == 2
+        and isinstance(doc.get("blocks"), list)
+        and isinstance(doc.get("block_starts"), list)
+        and len(doc["blocks"]) == len(doc["block_starts"])
+    )
+    if not ok:
         raise ZarrFormatError(
             f"Malformed version manifest {_manifest_key(version)}"
         )
+    return doc
+
+
+def _manifest_block(store: Store, sha: str) -> Dict[str, str]:
+    raw = store.get(_object_key(sha))
+    if raw is None:
+        raise ZarrFormatError(
+            f"Version manifest block missing (sha256 {sha}) — was "
+            "vacuum_versions run with this version excluded?"
+        )
+    return json.loads(raw)
+
+
+def _manifest_objects(store: Store, doc: Dict) -> Dict[str, str]:
+    """Materialize the FULL key->sha mapping (loads every block for
+    format 2). Driver-side maintenance verbs use this; pinned-scan
+    tasks resolve per-key through covering blocks instead."""
+    if doc.get("format") == 1:
+        return doc["objects"]
+    objects: Dict[str, str] = {}
+    for sha in doc["blocks"]:
+        objects.update(_manifest_block(store, sha))
+    return objects
+
+
+def _manifest_all_shas(store: Store, doc: Dict) -> set:
+    """Every content sha a manifest pins: its data objects AND (format
+    2) its block objects — vacuum must keep both, sync must copy
+    both."""
+    out = set()
+    if doc.get("format") == 2:
+        out.update(doc["blocks"])
+    out.update(_manifest_objects(store, doc).values())
+    return out
+
+
+def _read_manifest(store: Store, version: int) -> Dict:
+    """Root manifest with ``objects`` materialized (both formats) —
+    the compatibility face every whole-manifest consumer reads."""
+    doc = _read_manifest_root(store, version)
+    if "objects" not in doc:
+        doc = dict(doc)
+        doc["objects"] = _manifest_objects(store, doc)
     return doc
 
 
@@ -133,6 +199,7 @@ def commit_version(
     path: str,
     message: str = "",
     expected_head: Optional[int] = None,
+    block_keys: Optional[int] = None,
 ) -> Dict:
     """Snapshot the live store state as the next version. Returns
     ``{"version", "n_objects", "n_new_objects", "message"}``.
@@ -154,6 +221,20 @@ def commit_version(
     turns last-writer-wins into first-writer-wins. Content objects
     are safe either way: they are content-addressed, so concurrent
     writers converge on identical bytes.
+
+    Manifest layout (format 2, r9): the sorted key list is sliced
+    into contiguous blocks of ``block_keys`` keys (default: ≤64
+    blocks until that would exceed :data:`MANIFEST_BLOCK_KEYS` keys
+    per block — deterministic in the key count, so identical stores
+    commit identical blocks and cross-version dedup applies to
+    unchanged key ranges). Each TASK writes its blocks' key->sha maps
+    as content-addressed objects and returns one summary row per
+    block, so the driver never materializes the (key, sha) mapping —
+    O(n_blocks) driver memory, not O(n_objects) — and CAS stays on
+    the tiny root document alone. (The driver still enumerates the
+    sorted key LIST — the same metadata class as consolidated
+    zarr.json; the lever is the same: bigger objects via
+    chunk_rows/shard_chunks.)
     """
     store = open_store(path)
     keys = _live_keys(store)
@@ -168,50 +249,82 @@ def commit_version(
             f"re-read, rebase the update onto version {head}, and retry"
         )
     version = head + 1
+    if block_keys is None:
+        # deterministic in the key count alone (NOT cluster
+        # parallelism): identical stores slice into identical blocks
+        block_keys = max(1, min(MANIFEST_BLOCK_KEYS, -(-len(keys) // 64)))
+    blocks = [
+        keys[i : i + block_keys]
+        for i in range(0, len(keys), block_keys)
+    ]
 
-    def snapshot(items: Iterator[str]):
+    def snapshot_blocks(items):
         task_store = open_store(path)
-        for key in items:
-            data = task_store.get(key)
-            if data is None:
-                # listed-then-deleted race: surface it — a snapshot
-                # must not silently omit a key it enumerated
-                raise ZarrFormatError(
-                    f"commit_version: key {key!r} vanished mid-commit"
-                )
-            sha = hashlib.sha256(data).hexdigest()
-            obj_key = _object_key(sha)
-            if task_store.exists(obj_key):
-                # git's loose-object freshening: a dedup hit must pull
-                # the object back inside vacuum's grace window — an
-                # OLD unreferenced object (e.g. from a dropped
-                # version) this commit is about to re-reference would
-                # otherwise be collectable right up to the manifest
-                # publish (r8 review finding)
-                task_store.touch(obj_key)
-                yield (key, sha, 0)
+        for bi, bkeys in items:
+            entries: Dict[str, str] = {}
+            n_new_b = 0
+            for key in bkeys:
+                data = task_store.get(key)
+                if data is None:
+                    # listed-then-deleted race: surface it — a
+                    # snapshot must not silently omit a key it
+                    # enumerated
+                    raise ZarrFormatError(
+                        f"commit_version: key {key!r} vanished "
+                        "mid-commit"
+                    )
+                sha = hashlib.sha256(data).hexdigest()
+                obj_key = _object_key(sha)
+                if task_store.exists(obj_key):
+                    # git's loose-object freshening: a dedup hit must
+                    # pull the object back inside vacuum's grace
+                    # window — an OLD unreferenced object (e.g. from
+                    # a dropped version) this commit is about to
+                    # re-reference would otherwise be collectable
+                    # right up to the manifest publish (r8 review
+                    # finding)
+                    task_store.touch(obj_key)
+                else:
+                    task_store.set(obj_key, data)
+                    n_new_b += 1
+                entries[key] = sha
+            # the block manifest is itself a content object: an
+            # unchanged key range dedups across versions, and vacuum's
+            # grace window protects pre-publish blocks exactly like
+            # pre-publish data objects
+            blob = json.dumps(entries, sort_keys=True).encode()
+            bsha = hashlib.sha256(blob).hexdigest()
+            bkey = _object_key(bsha)
+            if task_store.exists(bkey):
+                task_store.touch(bkey)
             else:
-                task_store.set(obj_key, data)
-                yield (key, sha, 1)
+                task_store.set(bkey, blob)
+            yield (bi, bkeys[0], bsha, len(entries), n_new_b)
 
+    work = list(enumerate(blocks))
     if spark is None:
         # serial fallback (tools, tests, non-Spark callers) — same
-        # code path per key, just undistributed
-        rows = list(snapshot(iter(keys)))
+        # code path per block, just undistributed
+        rows = list(snapshot_blocks(iter(work)))
     else:
         sc = spark.sparkContext
-        n_parts = max(1, min(len(keys), sc.defaultParallelism * 2))
+        n_parts = max(1, min(len(work), sc.defaultParallelism * 2))
         rows = (
-            sc.parallelize(keys, n_parts).mapPartitions(snapshot).collect()
+            sc.parallelize(work, n_parts)
+            .mapPartitions(snapshot_blocks)
+            .collect()
         )
-    objects = {k: sha for k, sha, _ in rows}
-    n_new = sum(new for _, _, new in rows)
+    rows.sort(key=lambda r: r[0])
+    n_objects = sum(r[3] for r in rows)
+    n_new = sum(r[4] for r in rows)
     manifest = {
-        "format": 1,
+        "format": 2,
         "version": version,
         "message": str(message),
         "created_unix": int(time.time()),
-        "objects": objects,
+        "n_objects": n_objects,
+        "block_starts": [r[1] for r in rows],
+        "blocks": [r[2] for r in rows],
     }
     try:
         store.set_exclusive(
@@ -229,7 +342,7 @@ def commit_version(
     store.set(_HEAD_KEY, json.dumps({"latest": version}).encode())
     return {
         "version": version,
-        "n_objects": len(objects),
+        "n_objects": n_objects,
         "n_new_objects": n_new,
         "message": str(message),
     }
@@ -242,13 +355,19 @@ def version_log(path: str) -> List[Dict]:
     store = open_store(path)
     out = []
     for v in _manifest_versions(store):
-        doc = _read_manifest(store, v)
+        # root-only read: the log of a billion-object history must
+        # not download every version's blocks
+        doc = _read_manifest_root(store, v)
         out.append(
             {
                 "version": doc["version"],
                 "message": doc.get("message", ""),
                 "created_unix": doc.get("created_unix"),
-                "n_objects": len(doc["objects"]),
+                "n_objects": (
+                    doc["n_objects"]
+                    if doc.get("format") == 2
+                    else len(doc["objects"])
+                ),
             }
         )
     return out
@@ -261,10 +380,14 @@ class VersionStoreView(Store):
     Pickles as (base store, version) ONLY — the manifest is O(n_objects)
     and shipping it inside every task closure would dominate dispatch on
     large stores (1M objects ≈ 10⁸ bytes per task). Instead each task
-    lazily re-reads the manifest from the store on first access: one
-    extra GET per task, amortized over every chunk the task decodes.
-    Ranged/suffix reads pass through to the base store's partial-read
-    support (shard indexes stay cheap)."""
+    lazily re-reads the ROOT manifest on first access and resolves
+    keys through their COVERING block only (format 2, r9): one small
+    root GET plus one block GET per touched key range — a pinned-scan
+    task over a billion-object store downloads kilobytes of manifest,
+    not the whole mapping. format-1 manifests (objects inline)
+    resolve from the root document directly. Ranged/suffix reads pass
+    through to the base store's partial-read support (shard indexes
+    stay cheap)."""
 
     def __init__(
         self,
@@ -275,14 +398,42 @@ class VersionStoreView(Store):
         self.base = base
         self.version = version
         self._manifest = dict(manifest) if manifest is not None else None
+        self._root: Optional[Dict] = None
+        self._blocks: Dict[int, Dict[str, str]] = {}
 
     @property
     def manifest(self) -> Dict[str, str]:
+        """The FULL mapping — whole-manifest consumers (walk_keys,
+        rollback extras) only; per-key reads go through _sha()."""
         if self._manifest is None:
             self._manifest = _read_manifest(self.base, self.version)[
                 "objects"
             ]
         return self._manifest
+
+    def _root_doc(self) -> Dict:
+        if self._root is None:
+            self._root = _read_manifest_root(self.base, self.version)
+        return self._root
+
+    def _sha(self, key: str) -> Optional[str]:
+        if self._manifest is not None:
+            return self._manifest.get(key)
+        doc = self._root_doc()
+        if doc.get("format") == 1:
+            self._manifest = doc["objects"]
+            return self._manifest.get(key)
+        import bisect
+
+        starts = doc["block_starts"]
+        i = bisect.bisect_right(starts, key) - 1
+        if i < 0:
+            return None
+        blk = self._blocks.get(i)
+        if blk is None:
+            blk = _manifest_block(self.base, doc["blocks"][i])
+            self._blocks[i] = blk
+        return blk.get(key)
 
     def __getstate__(self):
         return {"base": self.base, "version": self.version}
@@ -291,9 +442,11 @@ class VersionStoreView(Store):
         self.base = state["base"]
         self.version = state["version"]
         self._manifest = None
+        self._root = None
+        self._blocks = {}
 
     def _resolve(self, key: str) -> Optional[str]:
-        sha = self.manifest.get(key)
+        sha = self._sha(key)
         return None if sha is None else _object_key(sha)
 
     def get(self, key: str) -> Optional[bytes]:
@@ -311,7 +464,7 @@ class VersionStoreView(Store):
         return None if obj is None else self.base.get_suffix(obj, length)
 
     def exists(self, key: str) -> bool:
-        return key in self.manifest
+        return self._sha(key) is not None
 
     def walk_keys(self) -> Iterator[str]:
         yield from sorted(self.manifest)
@@ -336,8 +489,10 @@ def open_version(path: str, version: int) -> VersionStoreView:
     """Open a committed version for reading (the ``version`` reader
     option routes here)."""
     store = open_store(path)
-    doc = _read_manifest(store, int(version))
-    return VersionStoreView(store, doc["objects"], int(version))
+    # validate existence/shape only — per-key reads resolve through
+    # covering blocks, so the driver does not materialize the mapping
+    _read_manifest_root(store, int(version))
+    return VersionStoreView(store, None, int(version))
 
 
 def latest_version(path: str) -> int:
@@ -374,7 +529,7 @@ def resolve_as_of(path: str, as_of_unix: int) -> int:
     store = open_store(path)
     best = None
     for v in _manifest_versions(store):
-        doc = _read_manifest(store, v)
+        doc = _read_manifest_root(store, v)  # root-only: no blocks
         created = doc.get("created_unix")
         if created is not None and created <= int(as_of_unix):
             best = v
@@ -492,7 +647,9 @@ def vacuum_versions(
     dropped = [v for v in versions if v not in set(kept)]
     referenced = set()
     for v in kept:
-        referenced.update(_read_manifest(store, v)["objects"].values())
+        referenced.update(
+            _manifest_all_shas(store, _read_manifest_root(store, v))
+        )
     # manifests go FIRST: a crash mid-vacuum must leave unreferenced
     # objects (harmless garbage a re-run collects), never a readable
     # manifest whose objects are already gone (a version that opens
@@ -508,7 +665,7 @@ def vacuum_versions(
         if v not in kept and v not in dropped:
             try:
                 referenced.update(
-                    _read_manifest(store, v)["objects"].values()
+                    _manifest_all_shas(store, _read_manifest_root(store, v))
                 )
             except ZarrFormatError:
                 pass
@@ -564,7 +721,7 @@ def tag_version(path: str, tag: str, version: Optional[int] = None) -> Dict:
     if version is None:
         version = latest_version(path)
     else:
-        _read_manifest(store, int(version))  # must exist; raises if not
+        _read_manifest_root(store, int(version))  # must exist
     key = _tag_key(tag)
     if store.exists(key):
         raise ZarrFormatError(
@@ -625,7 +782,7 @@ def resolve_tag(path: str, tag: str) -> int:
         version = int(json.loads(raw)["version"])
     except (KeyError, TypeError, ValueError):
         raise ZarrFormatError(f"Malformed tag document for {tag!r}")
-    _read_manifest(store, version)
+    _read_manifest_root(store, version)
     return version
 
 
@@ -1007,19 +1164,23 @@ def sync_zarr(spark, src: str, dst: str) -> Dict:
         return receipt
 
     new_versions = [v for v in src_versions if v > v_dst]
-    manifests = {v: _read_manifest(src_store, v) for v in new_versions}
-    m_old: Dict[str, str] = _read_manifest(dst_store, v_dst)["objects"]
-    m_new: Dict[str, str] = manifests[v_src]["objects"]
+    roots = {v: _read_manifest_root(src_store, v) for v in new_versions}
+    m_old: Dict[str, str] = _manifest_objects(
+        dst_store, _read_manifest_root(dst_store, v_dst)
+    )
+    m_new: Dict[str, str] = _manifest_objects(src_store, roots[v_src])
 
     # object delta: shas referenced by the new manifests that the
     # replica can't already have (anything in its latest manifest it
-    # must hold) and doesn't hold on disk
+    # must hold) and doesn't hold on disk. _manifest_all_shas also
+    # carries the format-2 BLOCK objects — a replica whose root
+    # manifests reference blocks it never received would be unreadable
     known = set(m_old.values())
     candidates = sorted(
         {
             sha
-            for doc in manifests.values()
-            for sha in doc["objects"].values()
+            for doc in roots.values()
+            for sha in _manifest_all_shas(src_store, doc)
             if sha not in known
         }
     )
@@ -1116,10 +1277,15 @@ def sync_zarr(spark, src: str, dst: str) -> Dict:
     # finishes the job — publishing history first would make a
     # crashed sync look complete and permanently no-op every retry
     for v in new_versions:
-        dst_store.set(
-            _manifest_key(v),
-            json.dumps(manifests[v], sort_keys=True).encode(),
-        )
+        # copy the ROOT bytes verbatim (a re-serialized materialized
+        # doc would silently flatten a format-2 manifest back to the
+        # monolithic shape)
+        raw = src_store.get(_manifest_key(v))
+        if raw is None:
+            raise ZarrFormatError(
+                f"sync_zarr: source manifest {v} vanished mid-sync"
+            )
+        dst_store.set(_manifest_key(v), raw)
     receipt["n_manifests_copied"] = len(new_versions)
     src_tags = {
         k: src_store.get(k)

@@ -117,6 +117,148 @@ class TestCommitAndPinnedRead:
         assert log[1]["n_objects"] > log[0]["n_objects"]
 
 
+class TestShardedManifest:
+    """r9 (r8 verdict item 2): the manifest is content-addressed
+    BLOCKS by key range under a tiny CAS'd root — commit never
+    materializes the (key, sha) mapping on the driver, and a pinned
+    read resolving one key GETs one covering block, not the whole
+    manifest."""
+
+    def test_multi_block_layout_and_reads(self, spark, tmp_path):
+        import json
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 256), d, chunk_rows=16)
+        info = commit_version(spark, d, "sharded", block_keys=4)
+        store = open_store(d)
+        from arrow_zarr_spark.zarr.versions import (
+            _manifest_key,
+            _read_manifest_root,
+        )
+
+        root = json.loads(store.get(_manifest_key(1)))
+        assert root["format"] == 2
+        assert "objects" not in root  # O(n_blocks) root, no mapping
+        assert len(root["blocks"]) == len(root["block_starts"]) > 3
+        assert root["n_objects"] == info["n_objects"]
+        assert root["block_starts"] == sorted(root["block_starts"])
+        # full pinned scan still exact
+        v1 = read_zarr(spark, d, version=1)
+        assert v1.count() == 256
+        assert v1.agg(F.sum("v")).first()[0] == sum(
+            i * 2 for i in range(256)
+        )
+        # driver-side root validation loads no blocks
+        doc = _read_manifest_root(store, 1)
+        assert "objects" not in doc
+
+    def test_single_key_read_touches_one_block(self, spark, tmp_path):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 256), d, chunk_rows=16)
+        commit_version(spark, d, block_keys=4)
+        view = open_version(d, 1)
+        assert view._manifest is None  # nothing materialized yet
+        key = "k/zarr.json"
+        assert view.get(key) is not None
+        assert len(view._blocks) == 1  # exactly the covering block
+        assert view._manifest is None
+        # a miss resolves through a block too, without materializing
+        assert view.get("zzz/no-such-key") is None
+        assert view._manifest is None
+
+    def test_format1_manifest_migration(self, spark, tmp_path):
+        """Pre-r9 single-document manifests keep working everywhere:
+        pinned read, version_log, rollback, vacuum retention."""
+        import hashlib
+        import json
+
+        from arrow_zarr_spark.zarr.versions import (
+            _live_keys,
+            _manifest_key,
+            _object_key,
+        )
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        store = open_store(d)
+        # hand-publish a format-1 manifest exactly as pre-r9 commits did
+        objects = {}
+        for k in _live_keys(store):
+            data = store.get(k)
+            sha = hashlib.sha256(data).hexdigest()
+            store.set(_object_key(sha), data)
+            objects[k] = sha
+        store.set(
+            _manifest_key(1),
+            json.dumps(
+                {
+                    "format": 1,
+                    "version": 1,
+                    "message": "legacy",
+                    "created_unix": 1,
+                    "objects": objects,
+                }
+            ).encode(),
+        )
+        assert read_zarr(spark, d, version=1).count() == 64
+        assert version_log(d)[0]["n_objects"] == len(objects)
+        # a NEW commit on the legacy store publishes format 2 and both
+        # versions coexist
+        write_zarr(_table(spark, 64, 100), d, chunk_rows=16, mode="append")
+        info = commit_version(spark, d)
+        assert info["version"] == 2
+        assert read_zarr(spark, d, version=1).count() == 64
+        assert read_zarr(spark, d, version=2).count() == 100
+        rollback_zarr(spark, d, 1)
+        assert spark.read.format("zarr").load(d).count() == 64
+
+    def test_vacuum_keeps_kept_versions_block_objects(
+        self, spark, tmp_path
+    ):
+        """GC must treat a kept manifest's BLOCK objects as referenced
+        — collecting them would leave a root that opens but cannot
+        resolve any key."""
+        import os
+        import time as _time
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d, block_keys=4)
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16, mode="overwrite")
+        commit_version(spark, d, block_keys=4)
+        # age every object past the grace window, then vacuum to v2
+        from arrow_zarr_spark.zarr.versions import _OBJECTS_DIR
+
+        store = open_store(d)
+        old = _time.time() - 7200
+        for k in store.walk_prefix(_OBJECTS_DIR):
+            p = os.path.join(d, *k.split("/"))
+            os.utime(p, (old, old))
+        out = vacuum_versions(d, keep_last=1)
+        assert out["dropped_versions"] == [1]
+        assert out["deleted_objects"] > 0  # v1-only objects collected
+        assert read_zarr(spark, d, version=2).count() == 32
+
+    def test_unchanged_key_ranges_dedup_across_versions(
+        self, spark, tmp_path
+    ):
+        """Content-addressed blocks: committing an UNCHANGED store
+        re-publishes the same block shas and stores zero new objects."""
+        import json
+
+        from arrow_zarr_spark.zarr.versions import _manifest_key
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 256), d, chunk_rows=16)
+        commit_version(spark, d, block_keys=4)
+        info2 = commit_version(spark, d, block_keys=4)
+        assert info2["n_new_objects"] == 0
+        store = open_store(d)
+        r1 = json.loads(store.get(_manifest_key(1)))
+        r2 = json.loads(store.get(_manifest_key(2)))
+        assert r1["blocks"] == r2["blocks"]
+
+
 class TestAsOf:
     def test_as_of_resolves_to_newest_at_or_before(
         self, spark, tmp_path, monkeypatch
