@@ -1290,6 +1290,38 @@ class TestLeakageSafeSplit:
         with pytest.raises(ValueError, match="val_frac"):
             leakage_safe_split(docs, val_frac=0.6, test_frac=0.5)
 
+    def test_adaptive_generator_switches_to_lsh(
+        self, spark, docs, monkeypatch
+    ):
+        """r9 (r8 verdict item 4): above ``exact_max_docs`` the
+        default candidate generator is MinHash-LSH + exact verify
+        instead of d04's hot-shingle-quadratic exact join. On this
+        fixture (duplicate pairs well above the 0.7 detection knee,
+        P_detect ≈ 0.999+) the resulting split is IDENTICAL to the
+        exact path's."""
+        from arrow_zarr_spark.operators import dedup, pipelines
+
+        exact = {
+            (r.doc_id, r.component, r.split)
+            for r in pipelines.leakage_safe_split(docs).collect()
+        }
+        called = {}
+        real = dedup.minhash_lsh_pairs
+
+        def spy(*a, **k):
+            called["lsh"] = True
+            return real(*a, **k)
+
+        monkeypatch.setattr(dedup, "minhash_lsh_pairs", spy)
+        via_lsh = {
+            (r.doc_id, r.component, r.split)
+            for r in pipelines.leakage_safe_split(
+                docs, exact_max_docs=1
+            ).collect()
+        }
+        assert called.get("lsh")  # the switch actually happened
+        assert via_lsh == exact
+
 
 class TestFuzzyDedupPipeline:
     def test_partitions_corpus_and_keeps_best(self, spark, docs):
