@@ -359,23 +359,26 @@ def _stats_eligible(dtype: np.dtype) -> bool:
 #:   pruning pass, only for predicate columns (round-8; previously
 #:   stats were DROPPED past the cap, losing pruning on exactly the
 #:   billion-object stores that need it most);
-#: - the N-D grid verbs still skip stats past the cap with a warning
-#:   (their fill-cell bookkeeping is driver-side; grow the object
-#:   size via shard_shape — w13's 16x object-count lever is also a
-#:   16x stats lever).
+#: - fresh N-D grid creates assemble sidecar blocks distributed too
+#:   (r9); the grid APPEND/add-column verbs still skip stats past
+#:   STATS_GRID_MAX_OBJECTS with a warning (their old-ordinal
+#:   remapping is driver-side; grow the object size via shard_shape
+#:   — w13's 16x object-count lever is also a 16x stats lever).
 #:
 #: The reference records no statistics at all (opener.rs:171-173), so
 #: this extension carries its own scale story.
 STATS_MAX_OBJECTS = 65536
 
 
-#: Hard bound for the GRID verbs' statistics (write_zarr_grid, grid
-#: append, add-column): their entry lists assemble driver-side (the
-#: fill-cell bookkeeping needs the full grid in hand), so past the
+#: Hard bound for the GRID verbs' DRIVER-SIDE statistics assembly —
+#: since r9 that is the APPEND and add-column paths only (their
+#: old-ordinal remapping needs the prior grid in hand): past the
 #: inline cap they use the sidecar representation up to this bound
 #: (~100 B/entry transient driver memory — 4Mi cells ≈ 400 MB) and
-#: skip stats with a warning beyond it. The 1-D table writer has no
-#: such bound — its sidecar assembly is fully distributed.
+#: skip stats with a warning beyond it. FRESH grid creates assemble
+#: their sidecar blocks fully distributed (one task per 64Ki-ordinal
+#: block, absent cells bound to the fill pair in-task) and carry no
+#: bound at all — the same contract as the 1-D table writer.
 STATS_GRID_MAX_OBJECTS = 1 << 22
 
 
@@ -637,6 +640,102 @@ def _assemble_stats_sidecar(
             "n_entries": n_units,
             "block_entries": blk,
         }
+
+
+def _assemble_grid_stats_sidecar(
+    spark, store, path, committed, metas, data_cols, fills, n_cells
+) -> Dict[str, Dict]:
+    """Distributed statistics commit for a FRESH grid create past the
+    inline cap (r8 verdict item 6 — the fill-cell bookkeeping was the
+    grid writer's last driver-side O(n_cells) term): one task per
+    64Ki-ordinal sidecar block writes the COMPLETE block, splicing
+    written cells' pairs from the commit rows and binding absent
+    cells to the fill pair in-task (cells absent from the data never
+    got a chunk object; a scan materializes pure fill there, so the
+    fill value IS the bound). O(one block) memory anywhere — the
+    driver sees only the block count. Returns the sidecar marker per
+    eligible column. Appends keep the driver-side remap path (its
+    STATS_GRID_MAX_OBJECTS bound), because remapping old ordinals
+    onto the grown grid needs the prior grid in hand."""
+    import pandas as pd
+
+    from .zarr.stats import (
+        STATS_BLOCK_ENTRIES,
+        STATS_SIDECAR_PREFIX,
+        delete_sidecar,
+    )
+
+    blk = STATS_BLOCK_ENTRIES
+    eligible = [c for c in data_cols if _stats_eligible(metas[c].dtype)]
+    if not eligible:
+        return {}
+    fill_pairs = {}
+    for c in eligible:
+        fb = np.asarray(fills[c], dtype=metas[c].dtype)
+        fill_pairs[c] = [
+            _stat_encode(fb, metas[c].dtype),
+            _stat_encode(fb, metas[c].dtype, upper=True),
+        ]
+    n_blocks = -(-n_cells // blk)
+    for c in eligible:
+        delete_sidecar(store, c)  # clean slate on create
+
+    path_t = path
+    blk_t = blk
+    n_cells_t = int(n_cells)
+    eligible_t = list(eligible)
+    fills_t = dict(fill_pairs)
+    prefix_t = STATS_SIDECAR_PREFIX
+
+    def fill_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["__blk"].iloc[0])
+        base_len = min(blk_t, n_cells_t - b * blk_t)
+        task_store = open_store(path_t)
+        pairs = [
+            (int(c), json.loads(s))
+            for c, s in zip(pdf["cell"], pdf["stats"])
+            if s is not None
+        ]
+        for name in eligible_t:
+            entries = [fills_t[name]] * base_len
+            for cid, decoded in pairs:
+                slot = cid - b * blk_t
+                if not (0 <= slot < base_len):
+                    raise ZarrFormatError(
+                        f"grid stats sidecar: cell {cid} outside "
+                        f"block {b} (block_entries={blk_t}, "
+                        f"base_len={base_len})"
+                    )
+                if name in decoded:
+                    # slot assignment replaces the shared fill-pair
+                    # reference; the remaining aliases are never
+                    # mutated in place
+                    entries[slot] = decoded[name]
+            task_store.set(
+                f"{prefix_t}/{name}/{b}.json",
+                json.dumps(entries).encode(),
+            )
+        return pd.DataFrame({"blk": [b]})
+
+    # left-join one seed row per block so EMPTY blocks (ordinal
+    # ranges no data cell touched) still publish all-fill content —
+    # resolve_stats demands every block the marker advertises
+    blocks_df = spark.range(n_blocks).select(F.col("id").alias("__blk"))
+    rows = committed.select(
+        F.expr(f"cell div {int(blk)}").alias("__blk"), "cell", "stats"
+    )
+    (
+        blocks_df.join(rows, "__blk", "left")
+        .groupBy("__blk")
+        .applyInPandas(fill_block, "blk long")
+        .count()
+    )
+    marker = {
+        "sidecar": int(n_blocks),
+        "n_entries": int(n_cells),
+        "block_entries": int(blk),
+    }
+    return {c: dict(marker) for c in eligible}
 
 
 def _clear_store(store, keep_staging: bool = False) -> None:
@@ -1400,9 +1499,22 @@ def write_zarr_grid(
     _n_cells_planned = 1
     for _g in grid:
         _n_cells_planned *= _g
-    want_stats = bool(stats) and _stats_within_cap(
-        _n_cells_planned, "write_zarr_grid", cap=STATS_GRID_MAX_OBJECTS
+    # FRESH creates past the inline cap assemble sidecar blocks
+    # DISTRIBUTED (no bound); appends keep the driver-side remap path
+    # and its STATS_GRID_MAX_OBJECTS bound
+    sidecar_grid = (
+        bool(stats)
+        and not appending
+        and _n_cells_planned > STATS_MAX_OBJECTS
     )
+    if sidecar_grid:
+        want_stats = True
+    else:
+        want_stats = bool(stats) and _stats_within_cap(
+            _n_cells_planned,
+            "write_zarr_grid append" if appending else "write_zarr_grid",
+            cap=STATS_GRID_MAX_OBJECTS,
+        )
     if not want_stats:
         from .zarr.stats import delete_sidecar
 
@@ -1452,8 +1564,32 @@ def write_zarr_grid(
     committed = out.groupBy("__cell").applyInPandas(
         write_cell, schema="cell long, rows long, stats string"
     )
-    written, result_rows = _commit_totals(committed, want_stats)
-    if want_stats:
+    if sidecar_grid:
+        # server-side row total, then the distributed block job;
+        # persist so the chunk-writing stage runs exactly once
+        committed = committed.persist()
+        try:
+            written, _ = _commit_totals(committed, False)
+            markers = _assemble_grid_stats_sidecar(
+                spark, store, path, committed, metas, data_cols,
+                fills, _n_cells_planned,
+            )
+        finally:
+            committed.unpersist()
+        for c, marker in markers.items():
+            metas[c].attributes[STATS_ATTR_KEY] = marker
+            store.set(
+                f"{c}/zarr.json", json.dumps(metas[c].to_json()).encode()
+            )
+        result_rows = None
+    else:
+        written, result_rows = _commit_totals(committed, want_stats)
+    # driver-side assembly (inline lists / append remap) — the
+    # sidecar_grid path published its markers above. NOTE: want_stats
+    # itself must not be reassigned here: write_cell closes over it
+    # and a persisted-partition recompute would re-serialize the
+    # closure with the new value, silently dropping per-cell stats.
+    if want_stats and not sidecar_grid:
         import itertools as _it
 
         n_cells = 1

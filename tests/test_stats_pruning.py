@@ -871,6 +871,59 @@ class TestGridStats:
         back = spark.read.format("zarr").load(path)
         assert back.filter("v = -1.0").count() == 2
 
+    def test_fresh_create_past_old_cap_keeps_stats_distributed(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r9 (r8 verdict item 6): a FRESH grid create whose cell
+        count exceeds the old driver-side bound must still record
+        statistics — assembled as distributed sidecar blocks (one
+        task per block, absent cells fill-bound in-task), never a
+        driver-side entries list — and prune scans from them."""
+        import arrow_zarr_spark.io as io_mod
+        import arrow_zarr_spark.zarr.stats as stats_mod
+        from arrow_zarr_spark.io import write_zarr_grid
+        from arrow_zarr_spark.zarr.stats import (
+            is_sidecar_marker,
+            resolve_stats,
+        )
+
+        path = str(tmp_path / "g5")
+        rows = [
+            (float(x), float(y), float(x * 10 + y))
+            for x in range(8)
+            for y in range(8)
+        ]
+        # sparse: drop one cell entirely so the absent-cell fill
+        # bound is exercised on the distributed path
+        rows = [r for r in rows if not (r[0] >= 6 and r[1] >= 6)]
+        df = spark.createDataFrame(rows, ["x", "y", "v"])
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+        monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 4)
+        monkeypatch.setattr(stats_mod, "STATS_BLOCK_ENTRIES", 6)
+        write_zarr_grid(
+            df, path, dims=["x", "y"], chunk_shape=(2, 2),
+            fill_value=-1.0,
+        )  # 16 cells > old cap 4 — previously warned + skipped stats
+        store = open_store(path)
+        meta = {
+            a.meta.name: a.meta for a in infer_store_arrays(store)
+        }["v"]
+        marker = meta.attributes[STATS_ATTR_KEY]
+        assert is_sidecar_marker(marker)
+        assert marker["n_entries"] == 16 and marker["sidecar"] == 3
+        entries = resolve_stats(store, "v", marker)
+        assert entries[0] == [0.0, 11.0]  # x 0..1, y 0..1
+        assert entries[15] == [-1.0, -1.0]  # the absent cell: fill
+        assert entries[12] == [60.0, 71.0]  # x 6..7, y 0..1
+        # pruning works end-to-end off the sidecar blocks: row x=6..7
+        # keeps its three data cells (maxes 71/73/75); the absent
+        # cell (3,3) and every other row prune away
+        assert _reader_cells(path, [GreaterThan(("v",), 70.0)]) == [
+            (3, 0), (3, 1), (3, 2),
+        ]
+        back = spark.read.format("zarr").load(path)
+        assert back.filter("v = -1.0").count() == 4  # the fill cell
+
     def test_grid_stats_off(self, spark, tmp_path):
         from arrow_zarr_spark.io import write_zarr_grid
 
