@@ -259,6 +259,67 @@ class TestShardedManifest:
         assert r1["blocks"] == r2["blocks"]
 
 
+class TestSidecarStatsVersionLifecycle:
+    """r9 (r8 verdict item 7): the one seam that had no single test —
+    commit -> append (live sidecar blocks patched) -> pinned read at
+    the OLD version -> vacuum. The pinned scan must keep pruning
+    with the OLD sidecar blocks (resolved through the manifest) and
+    GC must never collect the content objects backing them."""
+
+    def test_commit_append_pinned_prune_vacuum(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from pyspark.sql.datasource import LessThan
+
+        import arrow_zarr_spark.io as io_mod
+        from arrow_zarr_spark.datasource import ZarrDataSource
+
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 800), d, chunk_rows=100)
+        store = open_store(d)
+        assert list(store.walk_prefix("__stats__"))  # sidecar form
+        commit_version(spark, d, "v1")
+        old_blocks = {
+            k: store.get(k) for k in store.walk_prefix("__stats__")
+        }
+        write_zarr(
+            _table(spark, 800, 1600), d, chunk_rows=100, mode="append"
+        )
+        commit_version(spark, d, "v2")
+        # the append patched the LIVE sidecar blocks in place
+        live_blocks = {
+            k: store.get(k) for k in store.walk_prefix("__stats__")
+        }
+        assert live_blocks != old_blocks
+        vacuum_versions(d, keep_last=2, grace_seconds=0)
+
+        def cells(version, filters):
+            ds = ZarrDataSource({"path": d, "version": str(version)})
+            reader = ds.reader(ds.schema())
+            list(reader.pushFilters(filters))
+            return [c for p in reader.partitions() for c in p.cells]
+
+        # pinned v1 scan prunes with the OLD stats: k < 100 keeps
+        # exactly chunk 0 of the 8 committed chunks
+        assert cells(1, [LessThan(("k",), 100)]) == [(0,)]
+        assert len(cells(1, [])) == 8
+        # and the live/v2 scan prunes against the grown store
+        assert cells(2, [LessThan(("k",), 100)]) == [(0,)]
+        assert len(cells(2, [])) == 16
+        # values exact through the pinned pruned path (unfiltered
+        # count FIRST — the pinned Spark-4.1 plan-reuse trap: a
+        # filtered run caches the pruned planned read for the
+        # relation, see TestPushdownPlanReuse)
+        v1 = read_zarr(spark, d, version=1)
+        assert v1.count() == 800
+        assert v1.filter("k < 100").count() == 100
+        # a second vacuum dropping v1 must keep v2's sidecar objects
+        vacuum_versions(d, keep_last=1, grace_seconds=0)
+        assert cells(2, [LessThan(("k",), 100)]) == [(0,)]
+        assert read_zarr(spark, d, version=2).count() == 1600
+
+
 class TestAsOf:
     def test_as_of_resolves_to_newest_at_or_before(
         self, spark, tmp_path, monkeypatch
