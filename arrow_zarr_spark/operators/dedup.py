@@ -514,6 +514,80 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    candidate_pairs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """DIRECTIONAL shingle containment ``|A ∩ B| / |A|`` (d19) — the
+    near-SUBSET detector symmetric Jaccard misses: a document quoted
+    wholesale inside a much longer one scores J ≈ |A|/|B| (arbitrarily
+    low) but containment ≈ 1. The standard second axis of fuzzy dedup
+    (Broder's containment, the quote/boilerplate/newswire-wrap case).
+
+    Returns (id_a, id_b, containment): id_a is the CONTAINED document
+    — both directions are emitted independently when each clears
+    ``threshold``, so a true subset pair yields one row and two
+    near-identical docs yield two. Rounded to 6 for deterministic
+    comparison (engine-replayable: integer shingle counts + one
+    correctly-rounded divide).
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — the
+    shared-shingle count is computed ONCE per unordered pair via the
+    shingle equi-join (confined to docs sharing a shingle; the
+    hot-shingle caveat and its LSH mitigation apply the same way),
+    then both directions project from that one count.
+    ``candidate_pairs`` restricts scoring to a precomputed candidate
+    set, unordered (id_a < id_b), same as d04's verification mode."""
+    sh = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    )
+    if candidate_pairs is not None:
+        cand_ids = (
+            candidate_pairs.select(F.col("id_a").alias("sid"))
+            .unionAll(candidate_pairs.select(F.col("id_b").alias("sid")))
+            .distinct()
+        )
+        sh = sh.join(
+            F.broadcast(cand_ids), "sid", "left_semi"
+        ).localCheckpoint(eager=True)
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .groupBy(
+            F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    if candidate_pairs is not None:
+        shared = candidate_pairs.select("id_a", "id_b").join(
+            shared, ["id_a", "id_b"], "left"
+        ).withColumn("shared", F.coalesce(F.col("shared"), F.lit(0)))
+    both = shared.select("id_a", "id_b", "shared").unionAll(
+        shared.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "shared",
+        )
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_sh").alias("n_a"))
+    out = both.join(sa, "id_a").select(
+        "id_a",
+        "id_b",
+        F.round(F.col("shared") / F.col("n_a"), 6).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= threshold)
+
+
 def dedup_against_corpus(
     new_df: DataFrame,
     corpus_df: DataFrame,

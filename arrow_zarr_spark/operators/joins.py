@@ -151,6 +151,19 @@ def range_join(
     )
 
 
+def _as_seconds(col, dtype):
+    """Numeric seconds for time arithmetic across the 'on' column's
+    possible types: Spark 4.1 refuses TIMESTAMP_NTZ -> DOUBLE
+    directly, so NTZ routes through TIMESTAMP first (the session tz
+    is pinned UTC repo-wide; the offset cancels in every difference
+    anyway). Plain timestamps and numerics cast directly."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(dtype, TimestampNTZType):
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -227,8 +240,10 @@ def asof_join(
     )
     out = carried.filter(F.col("__is_left") == 1)
     if tolerance_seconds is not None:
+        _tt = left.schema[on].dataType
         within = (
-            F.col("__t").cast("double") - F.col("__r_t").cast("double")
+            _as_seconds(F.col("__t"), _tt)
+            - _as_seconds(F.col("__r_t"), _tt)
             <= tolerance_seconds
         )
         out = out.select(
@@ -253,6 +268,130 @@ def asof_join(
             *[F.col(f"{right_prefix}{c}") for c in r_cols],
             F.col("__r_t").alias(f"{right_prefix}{on}"),
         )
+    return out.withColumnRenamed("__t", on)
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Optional[Sequence[str]] = None,
+    tolerance_seconds: Optional[float] = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """For each left row, attach the right row whose ``on`` time is
+    CLOSEST in EITHER direction (j08) — pandas ``merge_asof(...,
+    direction='nearest')`` semantics, distributed. :func:`asof_join`
+    is backward-only (the "state as of" read); nearest is the sensor-
+    alignment join (match a reading to the closest calibration event,
+    before or after). Ties (equidistant before/after) resolve to the
+    EARLIER right row, pandas's rule.
+
+    Plan: the asof_join shape run once in each direction over ONE
+    union + ONE shuffle on ``by`` — the backward pass carries the
+    latest right values forward (last over preceding rows), the
+    forward pass the next right values backward (first over following
+    rows), and a null-safe comparison picks the nearer side. At equal
+    timestamps the right row orders before the left row, so it lands
+    in the backward carry with distance 0 and always wins.
+
+    ``tolerance_seconds`` bounds |dt|; out-of-tolerance matches null
+    out (left rows always survive — left-outer semantics)."""
+    time_type = left.schema[on].dataType
+    by = list(by or [])
+    l_cols = [c for c in left.columns if c != on and c not in by]
+    r_cols = [c for c in right.columns if c != on and c not in by]
+
+    lhs = left.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in l_cols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}")
+            for c in r_cols
+        ],
+        F.lit(None).cast(left.schema[on].dataType).alias("__rt"),
+    )
+    rhs = right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_cols
+        ],
+        *[F.col(c).alias(f"__rv_{c}") for c in r_cols],
+        F.col(on).alias("__rt"),
+    )
+    unioned = lhs.unionByName(rhs)
+    if not by:
+        import warnings
+
+        warnings.warn(
+            "nearest_join without 'by' keys needs a global time order "
+            "and collapses to a single partition — fine for small "
+            "inputs, not for the 100-TB path; provide per-entity keys",
+            stacklevel=2,
+        )
+    base = (
+        Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    ).orderBy(F.col("__t"), F.col("__is_left"))
+    w_back = base.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    carried = unioned.select(
+        *by,
+        "__t",
+        "__is_left",
+        *l_cols,
+        *[
+            F.last(f"__rv_{c}", ignorenulls=True).over(w_back).alias(
+                f"__b_{c}"
+            )
+            for c in r_cols
+        ],
+        F.last("__rt", ignorenulls=True).over(w_back).alias("__bt"),
+        *[
+            F.first(f"__rv_{c}", ignorenulls=True).over(w_fwd).alias(
+                f"__f_{c}"
+            )
+            for c in r_cols
+        ],
+        F.first("__rt", ignorenulls=True).over(w_fwd).alias("__ft"),
+    ).filter(F.col("__is_left") == 1)
+    t_d = _as_seconds(F.col("__t"), time_type)
+    back_dt = t_d - _as_seconds(F.col("__bt"), time_type)
+    fwd_dt = _as_seconds(F.col("__ft"), time_type) - t_d
+    use_back = F.col("__bt").isNotNull() & (
+        F.col("__ft").isNull() | (back_dt <= fwd_dt)
+    )
+    chosen_t = F.when(use_back, F.col("__bt")).otherwise(F.col("__ft"))
+    if tolerance_seconds is not None:
+        within = (
+            F.abs(t_d - _as_seconds(chosen_t, time_type))
+            <= tolerance_seconds
+        )
+    else:
+        within = chosen_t.isNotNull()
+    out = carried.select(
+        *by,
+        "__t",
+        *l_cols,
+        *[
+            F.when(
+                within,
+                F.when(use_back, F.col(f"__b_{c}")).otherwise(
+                    F.col(f"__f_{c}")
+                ),
+            )
+            .otherwise(F.lit(None))
+            .alias(f"{right_prefix}{c}")
+            for c in r_cols
+        ],
+        F.when(within, chosen_t)
+        .otherwise(F.lit(None))
+        .alias(f"{right_prefix}{on}"),
+    )
     return out.withColumnRenamed("__t", on)
 
 

@@ -23,6 +23,7 @@ __all__ = [
     "fuzzy_dedup_pipeline",
     "snapshot_curation_pipeline",
     "leakage_safe_split",
+    "dataset_card",
 ]
 
 
@@ -366,4 +367,47 @@ def leakage_safe_split(
         .when(draw < val_cut, F.lit("val"))
         .otherwise(F.lit("train"))
         .alias("split"),
+    )
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: Sequence[str] = ("lang", "source"),
+) -> DataFrame:
+    """Per-group corpus report (x07) — the "dataset card" table a
+    training-data release ships: document counts, exact-duplicate
+    counts, whitespace-token totals, and length statistics per
+    (lang, source) stratum, from ONE narrow scan and ONE groupBy.
+    The operational face of the curation pipeline: run it before and
+    after x01/x02 and diff the strata.
+
+    All aggregates are engine-replayable: counts and token sums are
+    exact integers, avg is one correctly-rounded divide of an exact
+    integer sum, and the median is the exact interpolated percentile
+    (r32's convention — no sketch). Exact-dup counting reuses d01's
+    definition (identical raw text), per stratum:
+    ``n_docs - COUNT(DISTINCT text)`` counts the redundant copies.
+
+    Scale: one shuffle on the (low-cardinality) group key; the text
+    column never shuffles — only per-row derived integers do. The
+    exact median is the one non-map-side-combinable term; swap it
+    for percentile_approx at extreme stratum sizes if the sort
+    becomes the bottleneck (the card stays honest, the quantile gets
+    a documented error bound)."""
+    from .text import words_col
+
+    gcols = list(group_cols)
+    base = df.select(
+        *gcols,
+        F.col(text_col).alias("__txt"),
+        F.size(words_col(F.col(text_col))).cast("long").alias("__tok"),
+        F.length(text_col).cast("long").alias("__chars"),
+    )
+    return base.groupBy(*gcols).agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.countDistinct("__txt")).alias("n_dup_docs"),
+        F.sum("__tok").alias("total_tokens"),
+        F.round(F.avg("__chars"), 6).alias("avg_chars"),
+        F.expr("percentile(__chars, 0.5D)").alias("median_chars"),
     )

@@ -4078,3 +4078,99 @@ def populate_round8_split_queries(register) -> None:
         "((component % 1000003 + 42) * 2654435761) % 1000003 AS d "
         "FROM comp)",
     )
+
+
+def populate_round9_queries(register) -> None:
+    """Round-9 additions: d19 (directional shingle containment — the
+    near-subset detector symmetric Jaccard misses), j08 (nearest
+    temporal join — merge_asof direction='nearest', the sensor-
+    alignment join), x07 (dataset card — the per-stratum corpus
+    report a training-data release ships). All three claim the
+    round-9 window's reserved slots in the same round (the r8
+    discipline, so no z36-style gap recurs)."""
+
+    def d19(spark, sf_dir):
+        return dedup.containment_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+    register(
+        "d19_containment_pairs",
+        d19,
+        "WITH "
+        + _TRI_CTE
+        + ", sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tri GROUP BY doc_id)"
+        ", shared AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared"
+        "  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2)"
+        ", dirs AS (SELECT id_a, id_b, shared FROM shared"
+        "  UNION ALL SELECT id_b, id_a, shared FROM shared) "
+        "SELECT * FROM ("
+        "  SELECT dirs.id_a, dirs.id_b,"
+        "  ROUND(shared * 1.0 / s.n_sh, 6) AS containment"
+        "  FROM dirs JOIN sizes s ON s.doc_id = dirs.id_a"
+        ") WHERE containment >= 0.3",
+    )
+
+    def j08(spark, sf_dir):
+        from . import joins
+
+        ensure_views(spark, sf_dir)
+        events = spark.table("events")
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        views = events.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        out = joins.nearest_join(clicks, views, on="ts", by=["user_id"])
+        return out.select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("r_event_id").alias("view_id"),
+            F.col("r_value").alias("view_value"),
+        )
+
+    # the oracle composes DuckDB's native ASOF in BOTH directions and
+    # picks the nearer side (ties to the backward/earlier row —
+    # pandas's direction='nearest' rule, mirrored by the operator)
+    _near = (
+        "CASE WHEN b.ts IS NULL AND f.ts IS NULL THEN NULL "
+        "WHEN f.ts IS NULL THEN b.{c} WHEN b.ts IS NULL THEN f.{c} "
+        "WHEN (l.ts - b.ts) <= (f.ts - l.ts) THEN b.{c} "
+        "ELSE f.{c} END"
+    )
+    register(
+        "j08_nearest_join",
+        j08,
+        "SELECT l.user_id AS user_id, l.event_id AS click_id, "
+        + _near.format(c="event_id")
+        + " AS view_id, "
+        + _near.format(c="value")
+        + " AS view_value "
+        "FROM (SELECT user_id, ts, event_id FROM events "
+        "WHERE event_type = 'click') l "
+        "ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events "
+        "WHERE event_type = 'view') b "
+        "ON l.user_id = b.user_id AND b.ts <= l.ts "
+        "ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events "
+        "WHERE event_type = 'view') f "
+        "ON l.user_id = f.user_id AND f.ts >= l.ts",
+    )
+
+    def x07(spark, sf_dir):
+        from .pipelines import dataset_card
+
+        return dataset_card(_docs(spark, sf_dir))
+
+    register(
+        "x07_dataset_card",
+        x07,
+        "SELECT lang, source, COUNT(*) AS n_docs, "
+        "COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs, "
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) "
+        "AS total_tokens, "
+        "ROUND(AVG(LENGTH(text)), 6) AS avg_chars, "
+        "PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY LENGTH(text)) "
+        "AS median_chars "
+        "FROM documents GROUP BY lang, source",
+    )

@@ -1455,12 +1455,16 @@ DRIVER_WINDOW = [
     "t11_boilerplate_ngrams",
     "w02_writer_datetime_roundtrip",
     "z17_time_rollup",
-    # -- 3 spare slots for round-9 additions (placeholders are the
-    #    stalest-after-r4 core shapes; each cedes to a new query
-    #    registered this round) --
-    "z01_scan_full",
-    "z03_where_pushdown",
-    "x02_fuzzy_dedup_pipeline",
+    # -- the 3 reserved slots, claimed in-round by the round-9
+    #    additions (the r8 discipline): d19 directional containment,
+    #    j08 nearest temporal join, x07 dataset card. The displaced
+    #    placeholders (z01/z03/x02, all r6-green) stay
+    #    parity-enforced every round by tests/test_oracle_parity.py
+    #    and their shapes stay in-window via z05-z16, b04/b06 range
+    #    predicates, and x06's candidate+components pipeline. --
+    "d19_containment_pairs",
+    "j08_nearest_join",
+    "x07_dataset_card",
 ]
 
 
@@ -1509,6 +1513,7 @@ def _ensure_populated() -> None:
         populate_round8_binary_ann_queries,
         populate_round8_vector_index_queries,
         populate_round8_split_queries,
+        populate_round9_queries,
         populate_round7_repair_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
@@ -1563,6 +1568,7 @@ def _ensure_populated() -> None:
     populate_round8_binary_ann_queries(register_query)
     populate_round8_vector_index_queries(register_query)
     populate_round8_split_queries(register_query)
+    populate_round9_queries(register_query)
     # z36 registers OUTSIDE the (already all-fresh) 50-slot window —
     # the round-8 rotation picks it up; oracle parity enforces it
     # locally every round meanwhile

@@ -1323,6 +1323,173 @@ class TestLeakageSafeSplit:
         assert via_lsh == exact
 
 
+class TestContainmentPairs:
+    """d19 — directional shingle containment, the near-subset
+    detector symmetric Jaccard misses."""
+
+    def test_subset_scores_high_where_jaccard_scores_low(self, spark):
+        short = "alpha beta gamma delta epsilon zeta"
+        long = short + " " + " ".join(f"w{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(1, short), (2, long), (3, "totally unrelated text here")],
+            "doc_id long, text string",
+        )
+        cont = {
+            (r.id_a, r.id_b): r.containment
+            for r in dedup.containment_pairs(df, threshold=0.5).collect()
+        }
+        # the short doc is fully contained in the long one...
+        assert cont[(1, 2)] == 1.0
+        # ...directionally: the long doc is NOT contained in the short
+        assert (2, 1) not in cont
+        assert not any(3 in k for k in cont)
+        # and symmetric Jaccard would have missed the pair entirely
+        jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+        assert not any(
+            {r.id_a, r.id_b} == {1, 2} for r in jac
+        )
+
+    def test_two_near_identical_docs_emit_both_directions(self, spark):
+        t = "one two three four five six seven eight nine ten"
+        df = spark.createDataFrame(
+            [(1, t), (2, t + " eleven")], "doc_id long, text string"
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.containment_pairs(df, threshold=0.8).collect()
+        }
+        assert (1, 2) in got and (2, 1) in got
+
+    def test_candidate_mode_restricts_scoring(self, spark, docs):
+        full = {
+            (r.id_a, r.id_b): r.containment
+            for r in dedup.containment_pairs(docs, threshold=0.3).collect()
+        }
+        assert full  # fixture has containment pairs at 0.3
+        some = sorted(full)[:3]
+        cand = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in some],
+            "id_a long, id_b long",
+        )
+        got = {
+            (r.id_a, r.id_b): r.containment
+            for r in dedup.containment_pairs(
+                docs, threshold=0.3, candidate_pairs=cand
+            ).collect()
+        }
+        for k in some:
+            assert got[k] == full[k]
+        assert set(got) <= {
+            (a, b) for a, b in full if ((min(a, b), max(a, b))
+                                        in {(min(x, y), max(x, y))
+                                            for x, y in some})
+        }
+
+
+class TestNearestJoin:
+    """j08 — merge_asof(direction='nearest') semantics, distributed."""
+
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10.0, 100), (1, 24.0, 101), (2, 5.0, 102), (3, 7.0, 103)],
+            "k long, ts double, lid long",
+        )
+        right = spark.createDataFrame(
+            [(1, 8.0, 900), (1, 20.0, 901), (1, 28.0, 902), (2, 5.0, 903)],
+            "k long, ts double, rid long",
+        )
+        return left, right
+
+    def test_picks_nearer_side_and_tie_goes_earlier(self, spark):
+        from arrow_zarr_spark.operators.joins import nearest_join
+
+        left, right = self._frames(spark)
+        got = {
+            r.lid: (r.r_rid, r.r_ts)
+            for r in nearest_join(left, right, on="ts", by=["k"]).collect()
+        }
+        assert got[100] == (900, 8.0)   # 8 (d=2) beats 20 (d=10)
+        # lid 101 at t=24: 20 (d=4) vs 28 (d=4) — tie -> EARLIER
+        assert got[101] == (901, 20.0)
+        assert got[102] == (903, 5.0)   # equal time matches, d=0
+        assert got[103] == (None, None)  # key with no right rows
+
+    def test_tolerance_nulls_far_matches(self, spark):
+        from arrow_zarr_spark.operators.joins import nearest_join
+
+        left, right = self._frames(spark)
+        got = {
+            r.lid: r.r_rid
+            for r in nearest_join(
+                left, right, on="ts", by=["k"], tolerance_seconds=3.0
+            ).collect()
+        }
+        assert got[100] == 900  # d=2 within tolerance
+        assert got[101] is None  # d=4 out of tolerance
+        assert got[102] == 903
+        # left-outer: every left row survives
+        assert len(got) == 4
+
+    def test_matches_asof_when_no_future_rows(self, spark):
+        """With every right row in the past, nearest == asof."""
+        from arrow_zarr_spark.operators.joins import asof_join, nearest_join
+
+        left = spark.createDataFrame(
+            [(1, 100.0, 1), (1, 200.0, 2)], "k long, ts double, lid long"
+        )
+        right = spark.createDataFrame(
+            [(1, 50.0, 7), (1, 90.0, 8)], "k long, ts double, rid long"
+        )
+        near = {
+            r.lid: r.r_rid
+            for r in nearest_join(left, right, on="ts", by=["k"]).collect()
+        }
+        asof = {
+            r.lid: r.r_rid
+            for r in asof_join(left, right, on="ts", by=["k"]).collect()
+        }
+        assert near == asof == {1: 8, 2: 8}
+
+
+class TestDatasetCard:
+    """x07 — the per-stratum corpus report."""
+
+    def test_counts_and_dups(self, spark):
+        from arrow_zarr_spark.operators.pipelines import dataset_card
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c", "en", "s1"),
+                (2, "a b c", "en", "s1"),  # exact dup of 1
+                (3, "d e", "en", "s1"),
+                (4, "x y z w", "fr", "s2"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        got = {
+            (r.lang, r.source): r
+            for r in dataset_card(df).collect()
+        }
+        en = got[("en", "s1")]
+        assert en.n_docs == 3 and en.n_dup_docs == 1
+        assert en.total_tokens == 3 + 3 + 2
+        assert en.median_chars == 5.0  # lengths 5,5,3 -> median 5
+        fr = got[("fr", "s2")]
+        assert fr.n_docs == 1 and fr.n_dup_docs == 0
+        assert fr.total_tokens == 4
+
+    def test_fixture_card_covers_every_stratum(self, spark, docs):
+        from arrow_zarr_spark.operators.pipelines import dataset_card
+
+        card = dataset_card(docs).collect()
+        strata = {(r.lang, r.source) for r in card}
+        assert strata == {
+            (r.lang, r.source)
+            for r in docs.select("lang", "source").distinct().collect()
+        }
+        assert sum(r.n_docs for r in card) == docs.count()
+
+
 class TestFuzzyDedupPipeline:
     def test_partitions_corpus_and_keeps_best(self, spark, docs):
         """x02's invariants: the kept docs' member counts partition the
