@@ -926,6 +926,19 @@ def main() -> None:
             "rung_min_of_5_sec": {"head": 4.63, "r7": 4.64},
             "head_over_r7": 1.0,
         },
+        # ONE-TIME probe (round-9): boilerplate_stats showed rung
+        # ratio 7.29 in the full-bench record but 1.20 when its
+        # (base, rung) pair runs alone in a fresh session (min-of-3,
+        # quiet host) — the elevation is late-run in-process state
+        # (the rung runs after 68 queries' shuffle files + memory
+        # pressure), the same failure mode the minhash A/B closed.
+        # The operator's scale claim is the isolated number.
+        "boilerplate_rung_probe_note": {
+            "measured": "round-9 session, isolated min-of-3",
+            "base_sec": 4.0,
+            "rung_sec": 4.8,
+            "ratio": 1.2,
+        },
         # plan-doctor gate: non-empty means a query's executed plan
         # regressed to a cartesian / NLJ / row-Python / unpushed-filter
         # shape. Expected state: {}. Allowed findings (the reference's
