@@ -437,21 +437,19 @@ def simhash_dedup(
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_shared_counts(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    threshold: float = 0.2,
-    candidate_pairs: Optional[DataFrame] = None,
-) -> DataFrame:
-    """Exact word-k-gram Jaccard similarity pairs (id_a < id_b,
-    jaccard ≥ threshold, rounded to 6 for deterministic comparison).
-
-    Shared-shingle counting via equi-join on the shingle string: the
-    O(n²) blowup is confined to docs sharing a shingle. When
-    ``candidate_pairs`` is given (e.g. from LSH), only those pairs are
-    scored — the verification path of a dedup pipeline."""
+    id_col: str,
+    text_col: str,
+    k: int,
+    candidate_pairs: Optional[DataFrame],
+):
+    """The shared kernel under d04 (Jaccard) and d19 (containment):
+    per-doc distinct-shingle sizes plus the shared-shingle count per
+    unordered pair (id_a < id_b). Returns ``(sizes, shared)`` —
+    sizes (sid, n_sh); shared (id_a, id_b, shared). ONE definition
+    so a kernel fix (e.g. a hot-shingle mitigation) lands in both
+    scorers at once."""
     sh = df.select(
         F.col(id_col).alias("sid"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
@@ -492,10 +490,31 @@ def ngram_jaccard_pairs(
     )
     if candidate_pairs is not None:
         # outer-join the candidates so a pair with ZERO shared shingles
-        # still scores jaccard=0 instead of silently vanishing
+        # still scores 0 instead of silently vanishing
         shared = candidate_pairs.select("id_a", "id_b").join(
             shared, ["id_a", "id_b"], "left"
         ).withColumn("shared", F.coalesce(F.col("shared"), F.lit(0)))
+    return sizes, shared
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+    candidate_pairs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity pairs (id_a < id_b,
+    jaccard ≥ threshold, rounded to 6 for deterministic comparison).
+
+    Shared-shingle counting via equi-join on the shingle string: the
+    O(n²) blowup is confined to docs sharing a shingle. When
+    ``candidate_pairs`` is given (e.g. from LSH), only those pairs are
+    scored — the verification path of a dedup pipeline."""
+    sizes, shared = _shingle_shared_counts(
+        df, id_col, text_col, k, candidate_pairs
+    )
     sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
@@ -542,36 +561,9 @@ def containment_pairs(
     then both directions project from that one count.
     ``candidate_pairs`` restricts scoring to a precomputed candidate
     set, unordered (id_a < id_b), same as d04's verification mode."""
-    sh = df.select(
-        F.col(id_col).alias("sid"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    sizes, shared = _shingle_shared_counts(
+        df, id_col, text_col, k, candidate_pairs
     )
-    if candidate_pairs is not None:
-        cand_ids = (
-            candidate_pairs.select(F.col("id_a").alias("sid"))
-            .unionAll(candidate_pairs.select(F.col("id_b").alias("sid")))
-            .distinct()
-        )
-        sh = sh.join(
-            F.broadcast(cand_ids), "sid", "left_semi"
-        ).localCheckpoint(eager=True)
-    sizes = sh.groupBy("sid").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.sid") < F.col("b.sid")),
-        )
-        .groupBy(
-            F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b")
-        )
-        .agg(F.count("*").alias("shared"))
-    )
-    if candidate_pairs is not None:
-        shared = candidate_pairs.select("id_a", "id_b").join(
-            shared, ["id_a", "id_b"], "left"
-        ).withColumn("shared", F.coalesce(F.col("shared"), F.lit(0)))
     both = shared.select("id_a", "id_b", "shared").unionAll(
         shared.select(
             F.col("id_b").alias("id_a"),

@@ -151,17 +151,30 @@ def range_join(
     )
 
 
-def _as_seconds(col, dtype):
-    """Numeric seconds for time arithmetic across the 'on' column's
-    possible types: Spark 4.1 refuses TIMESTAMP_NTZ -> DOUBLE
-    directly, so NTZ routes through TIMESTAMP first (the session tz
-    is pinned UTC repo-wide; the offset cancels in every difference
-    anyway). Plain timestamps and numerics cast directly."""
-    from pyspark.sql.types import TimestampNTZType
+def _as_ticks(col, dtype):
+    """EXACT comparable ticks for time arithmetic: timestamps become
+    whole microseconds (``unix_micros`` — epoch-seconds DOUBLES round
+    independently per value and can flip an equidistant-tie
+    comparison by 1 ulp at modern epochs, silently breaking the
+    'earlier right row wins' rule); numeric time columns compare
+    natively. Spark 4.1 refuses TIMESTAMP_NTZ -> DOUBLE anyway, so
+    NTZ routes through TIMESTAMP (session tz pinned UTC repo-wide;
+    the offset cancels in every difference)."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
 
     if isinstance(dtype, TimestampNTZType):
-        return col.cast("timestamp").cast("double")
-    return col.cast("double")
+        return F.unix_micros(col.cast("timestamp"))
+    if isinstance(dtype, TimestampType):
+        return F.unix_micros(col)
+    return col
+
+
+def _ticks_per_second(dtype) -> float:
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if isinstance(dtype, (TimestampNTZType, TimestampType)):
+        return 1_000_000.0
+    return 1.0
 
 
 def asof_join(
@@ -242,9 +255,9 @@ def asof_join(
     if tolerance_seconds is not None:
         _tt = left.schema[on].dataType
         within = (
-            _as_seconds(F.col("__t"), _tt)
-            - _as_seconds(F.col("__r_t"), _tt)
-            <= tolerance_seconds
+            _as_ticks(F.col("__t"), _tt)
+            - _as_ticks(F.col("__r_t"), _tt)
+            <= tolerance_seconds * _ticks_per_second(_tt)
         )
         out = out.select(
             *by,
@@ -297,21 +310,28 @@ def nearest_join(
 
     ``tolerance_seconds`` bounds |dt|; out-of-tolerance matches null
     out (left rows always survive — left-outer semantics)."""
+    from pyspark.sql.types import StructField, StructType
+
     time_type = left.schema[on].dataType
     by = list(by or [])
     l_cols = [c for c in left.columns if c != on and c not in by]
     r_cols = [c for c in right.columns if c != on and c not in by]
 
+    # the right row rides as ONE struct so the nearest match is
+    # atomic — carrying each value column independently with
+    # last/first(ignorenulls) would backfill a NULL field of the
+    # nearest row from a different, farther right row (a composite
+    # row no input ever contained)
+    r_struct = StructType(
+        [StructField("__rt", right.schema[on].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in r_cols]
+    )
     lhs = left.select(
         *by,
         F.col(on).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in l_cols],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}")
-            for c in r_cols
-        ],
-        F.lit(None).cast(left.schema[on].dataType).alias("__rt"),
+        F.lit(None).cast(r_struct).alias("__r"),
     )
     rhs = right.select(
         *by,
@@ -321,8 +341,9 @@ def nearest_join(
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in l_cols
         ],
-        *[F.col(c).alias(f"__rv_{c}") for c in r_cols],
-        F.col(on).alias("__rt"),
+        F.struct(
+            F.col(on).alias("__rt"), *[F.col(c) for c in r_cols]
+        ).alias("__r"),
     )
     unioned = lhs.unionByName(rhs)
     if not by:
@@ -344,53 +365,35 @@ def nearest_join(
         "__t",
         "__is_left",
         *l_cols,
-        *[
-            F.last(f"__rv_{c}", ignorenulls=True).over(w_back).alias(
-                f"__b_{c}"
-            )
-            for c in r_cols
-        ],
-        F.last("__rt", ignorenulls=True).over(w_back).alias("__bt"),
-        *[
-            F.first(f"__rv_{c}", ignorenulls=True).over(w_fwd).alias(
-                f"__f_{c}"
-            )
-            for c in r_cols
-        ],
-        F.first("__rt", ignorenulls=True).over(w_fwd).alias("__ft"),
+        F.last("__r", ignorenulls=True).over(w_back).alias("__b"),
+        F.first("__r", ignorenulls=True).over(w_fwd).alias("__f"),
     ).filter(F.col("__is_left") == 1)
-    t_d = _as_seconds(F.col("__t"), time_type)
-    back_dt = t_d - _as_seconds(F.col("__bt"), time_type)
-    fwd_dt = _as_seconds(F.col("__ft"), time_type) - t_d
-    use_back = F.col("__bt").isNotNull() & (
-        F.col("__ft").isNull() | (back_dt <= fwd_dt)
-    )
-    chosen_t = F.when(use_back, F.col("__bt")).otherwise(F.col("__ft"))
+    bt, ft = F.col("__b.__rt"), F.col("__f.__rt")
+    t_k = _as_ticks(F.col("__t"), time_type)
+    back_dt = t_k - _as_ticks(bt, time_type)
+    fwd_dt = _as_ticks(ft, time_type) - t_k
+    use_back = bt.isNotNull() & (ft.isNull() | (back_dt <= fwd_dt))
+    chosen = F.when(use_back, F.col("__b")).otherwise(F.col("__f"))
+    chosen_t = chosen.getField("__rt")
     if tolerance_seconds is not None:
         within = (
-            F.abs(t_d - _as_seconds(chosen_t, time_type))
-            <= tolerance_seconds
+            F.abs(t_k - _as_ticks(chosen_t, time_type))
+            <= tolerance_seconds * _ticks_per_second(time_type)
         )
     else:
         within = chosen_t.isNotNull()
+    picked = F.when(within, chosen).otherwise(
+        F.lit(None).cast(r_struct)
+    )
     out = carried.select(
         *by,
         "__t",
         *l_cols,
         *[
-            F.when(
-                within,
-                F.when(use_back, F.col(f"__b_{c}")).otherwise(
-                    F.col(f"__f_{c}")
-                ),
-            )
-            .otherwise(F.lit(None))
-            .alias(f"{right_prefix}{c}")
+            picked.getField(c).alias(f"{right_prefix}{c}")
             for c in r_cols
         ],
-        F.when(within, chosen_t)
-        .otherwise(F.lit(None))
-        .alias(f"{right_prefix}{on}"),
+        picked.getField("__rt").alias(f"{right_prefix}{on}"),
     )
     return out.withColumnRenamed("__t", on)
 

@@ -337,7 +337,9 @@ def leakage_safe_split(
             f"val_frac + test_frac < 1, got {val_frac}, {test_frac}"
         )
     if pairs is None:
-        if df.count() <= exact_max_docs:
+        # limit-bounded probe: deciding "<= exact_max_docs?" must not
+        # itself scan the corpus the switch exists to protect
+        if df.limit(exact_max_docs + 1).count() <= exact_max_docs:
             pairs = ngram_jaccard_pairs(
                 df, id_col=id_col, text_col=text_col,
                 threshold=jaccard_threshold,
@@ -387,10 +389,16 @@ def dataset_card(
     integer sum, and the median is the exact interpolated percentile
     (r32's convention — no sketch). Exact-dup counting reuses d01's
     definition (identical raw text), per stratum:
-    ``n_docs - COUNT(DISTINCT text)`` counts the redundant copies.
+    ``n_docs - COUNT(DISTINCT <32-byte sha256 of text>)`` counts the
+    redundant copies — the distinct runs on the digest so the TEXT
+    never shuffles (a distinct on the raw column would move the
+    whole corpus through the Expand exchange); a sha256 collision
+    would undercount by one, a risk cryptographically below the
+    hardware error rate, and the oracle's COUNT(DISTINCT text)
+    hash-verifies the equality on every checked corpus.
 
-    Scale: one shuffle on the (low-cardinality) group key; the text
-    column never shuffles — only per-row derived integers do. The
+    Scale: one shuffle on the (low-cardinality) group key carrying
+    per-row derived integers and 32-byte digests — never text. The
     exact median is the one non-map-side-combinable term; swap it
     for percentile_approx at extreme stratum sizes if the sort
     becomes the bottleneck (the card stays honest, the quantile gets
@@ -400,13 +408,13 @@ def dataset_card(
     gcols = list(group_cols)
     base = df.select(
         *gcols,
-        F.col(text_col).alias("__txt"),
+        F.sha2(F.col(text_col), 256).alias("__dig"),
         F.size(words_col(F.col(text_col))).cast("long").alias("__tok"),
         F.length(text_col).cast("long").alias("__chars"),
     )
     return base.groupBy(*gcols).agg(
         F.count("*").alias("n_docs"),
-        (F.count("*") - F.countDistinct("__txt")).alias("n_dup_docs"),
+        (F.count("*") - F.countDistinct("__dig")).alias("n_dup_docs"),
         F.sum("__tok").alias("total_tokens"),
         F.round(F.avg("__chars"), 6).alias("avg_chars"),
         F.expr("percentile(__chars, 0.5D)").alias("median_chars"),

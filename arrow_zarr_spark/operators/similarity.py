@@ -504,6 +504,13 @@ def ivf_ann(
         )
         return dot / (na * nb)
     if centroids is not None:
+        if np.asarray(centroids).shape[0] != n_cells:
+            raise ValueError(
+                f"ivf_ann: centroids carry "
+                f"{np.asarray(centroids).shape[0]} cells but "
+                f"n_cells={n_cells} — the nprobe/n_cells coverage "
+                "contract would silently change"
+            )
         cents = _centroid_frame(corpus.sparkSession, centroids)
     else:
         # Deterministic centroid pick WITHOUT a global window (a
@@ -996,6 +1003,12 @@ def ivf_pq_ann(
             raise ValueError(
                 f"ivf_pq_ann: centroids must be (n_cells, dim); got "
                 f"shape {cents.shape}"
+            )
+        if cents.shape[0] != n_cells:
+            raise ValueError(
+                f"ivf_pq_ann: centroids carry {cents.shape[0]} cells "
+                f"but n_cells={n_cells} — the nprobe/n_cells coverage "
+                "contract would silently change"
             )
     else:
         # coarse centroids: deterministic strided pick (ivf_ann

@@ -130,6 +130,10 @@ def _read_manifest_root(store: Store, version: int) -> Dict:
         and isinstance(doc.get("blocks"), list)
         and isinstance(doc.get("block_starts"), list)
         and len(doc["blocks"]) == len(doc["block_starts"])
+        # consumers read these unguarded (version_log) — a corrupt
+        # root must fail HERE with the module's ZarrFormatError, not
+        # leak a KeyError downstream
+        and isinstance(doc.get("n_objects"), int)
     )
     if not ok:
         raise ZarrFormatError(

@@ -728,8 +728,13 @@ def _ann_recall(spark, k: int = 5) -> dict:
     # the SAME tuned configs the wall-time entries run (r9 recall
     # lift: trained coarse centroids + nprobe=9 for the IVF paths,
     # refine=64 exact rerank for the PQ paths) — recall here certifies
-    # the path the bench actually times
-    ivf_cents = similarity.train_ivf_centroids(embs, n_cells=16, iters=4)
+    # the path the bench actually times, with the SAME memoized
+    # codebook the wall entries trained (never a second training pass)
+    from arrow_zarr_spark.operators.bench_entries import (
+        bench_ivf_centroids,
+    )
+
+    ivf_cents = bench_ivf_centroids(embs)
     variants = {
         "ann_lsh": lambda: similarity.hyperplane_lsh_ann(
             embs, probes, k=k

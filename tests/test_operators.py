@@ -1430,6 +1430,24 @@ class TestNearestJoin:
         # left-outer: every left row survives
         assert len(got) == 4
 
+    def test_null_right_fields_never_tear(self, spark):
+        """r9 review fix: the matched right row is ATOMIC — a NULL
+        field of the nearest row must come through as NULL, never
+        backfilled from a farther right row (the per-column
+        last/first(ignorenulls) composite bug)."""
+        from arrow_zarr_spark.operators.joins import nearest_join
+
+        left = spark.createDataFrame(
+            [(1, 11.0, 100)], "k long, ts double, lid long"
+        )
+        right = spark.createDataFrame(
+            [(1, 5.0, 899, 7.0), (1, 10.0, 900, None)],
+            "k long, ts double, rid long, val double",
+        )
+        [row] = nearest_join(left, right, on="ts", by=["k"]).collect()
+        assert row.r_rid == 900  # the ts=10 row is nearest
+        assert row.r_val is None  # ITS value — not ts=5's 7.0
+
     def test_matches_asof_when_no_future_rows(self, spark):
         """With every right row in the past, nearest == asof."""
         from arrow_zarr_spark.operators.joins import asof_join, nearest_join
