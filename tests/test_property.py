@@ -621,3 +621,66 @@ class TestInterpolationFormula:
             got = pv + (nv - pv) * (t - pt) / (nt - pt)
         want = float(np.interp(t, ts, vs))
         assert got == pytest.approx(want, rel=1e-12, abs=1e-9)
+
+
+# ---------------------------------------------------------------- j08
+@st.composite
+def nearest_inputs(draw):
+    """(left rows, right rows, tolerance) for nearest_join: integer
+    times (exact in doubles), right times UNIQUE per key (the
+    operator's determinism assumption, same as the events fixture)."""
+    n_keys = draw(st.integers(1, 3))
+    lefts, rights = [], []
+    lid, rid = 0, 1000
+    for k in range(n_keys):
+        for t in draw(
+            st.lists(st.integers(0, 30), min_size=0, max_size=5)
+        ):
+            lid += 1
+            lefts.append((k, float(t), lid))
+        for t in draw(
+            st.lists(
+                st.integers(0, 30), min_size=0, max_size=5, unique=True
+            )
+        ):
+            rid += 1
+            rights.append((k, float(t), rid))
+    tol = draw(st.one_of(st.none(), st.integers(0, 10)))
+    return lefts, rights, tol
+
+
+@given(nearest_inputs())
+@settings(max_examples=12, deadline=None)
+def test_nearest_join_matches_reference(spark, case):
+    """j08 vs a brute-force reference of its documented contract:
+    nearest by |dt|, ties to the EARLIER right time, tolerance nulls
+    far matches, left-outer (every left row survives)."""
+    from arrow_zarr_spark.operators.joins import nearest_join
+
+    lefts, rights, tol = case
+    if not lefts:
+        return
+    left = spark.createDataFrame(
+        lefts, "k long, ts double, lid long"
+    )
+    right = spark.createDataFrame(
+        rights or [(None, None, None)], "k long, ts double, rid long"
+    )
+    if not rights:
+        right = right.filter("k IS NOT NULL")
+    got = {
+        r.lid: r.r_rid
+        for r in nearest_join(
+            left, right, on="ts", by=["k"],
+            tolerance_seconds=float(tol) if tol is not None else None,
+        ).collect()
+    }
+    expect = {}
+    for k, t, lid in lefts:
+        cands = [
+            (abs(t - rt), rt, rr) for (kk, rt, rr) in rights if kk == k
+        ]
+        if tol is not None:
+            cands = [c for c in cands if c[0] <= tol]
+        expect[lid] = min(cands)[2] if cands else None
+    assert got == expect
