@@ -755,7 +755,7 @@ def _ann_recall(spark, k: int = 5) -> dict:
             embs, probes, k=k, shortlist=32
         ),
         "ann_binary": lambda: similarity.binary_ann(
-            embs, probes, k=k
+            embs, probes, k=k, shortlist=256
         ),
     }
     out = {}
