@@ -763,3 +763,51 @@ class TestPlanDoctor:
         )
         got = {r["check"]: r for r in audit_plan(blocked)}
         assert got["filescan_without_pushed_filters"]["value"] >= 1
+
+
+class TestRound9OperatorContracts:
+    def test_nearest_join_single_exchange_no_join_operator(self, views):
+        """j08's contract: the union+window shape costs exactly ONE
+        hash exchange on the by-key and contains NO join operator at
+        all — both direction carries ride the same sorted partition."""
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.operators.joins import nearest_join
+
+        events = views.table("events")
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        vw = events.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        plan = _plan(nearest_join(clicks, vw, on="ts", by=["user_id"]))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan  # no join operator anywhere
+        assert "CartesianProduct" not in plan
+
+    def test_dataset_card_never_shuffles_text(self, views):
+        """x07's contract: the exchanges carry group keys + derived
+        integers + 32-byte digests — the text column must not appear
+        in any exchange/aggregate output (the review finding: a
+        distinct on raw text would move the corpus through the
+        Expand)."""
+        from arrow_zarr_spark.operators.pipelines import dataset_card
+
+        plan = _plan(dataset_card(views.table("documents")))
+        for line in plan.splitlines():
+            if "Exchange" in line or "HashAggregate" in line:
+                assert "text#" not in line, line
+
+    def test_containment_no_cartesian_and_shared_kernel_shape(
+        self, views
+    ):
+        """d19's contract: candidate discovery is the shingle
+        EQUI-join (hash join on the shingle string), never a
+        cartesian/NLJ; the directional projection adds no extra
+        corpus-wide exchange beyond d04's kernel + the sizes join."""
+        from arrow_zarr_spark.operators.dedup import containment_pairs
+
+        plan = _plan(containment_pairs(views.table("documents")))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
