@@ -255,8 +255,13 @@ def commit_version(
     version = head + 1
     if block_keys is None:
         # deterministic in the key count alone (NOT cluster
-        # parallelism): identical stores slice into identical blocks
-        block_keys = max(1, min(MANIFEST_BLOCK_KEYS, -(-len(keys) // 64)))
+        # parallelism): identical stores slice into identical blocks.
+        # Floor of 64 keys/block so a tiny store publishes one or two
+        # block objects, not one per key; ceiling of
+        # MANIFEST_BLOCK_KEYS so huge stores stay ~64+ blocks wide.
+        block_keys = min(
+            MANIFEST_BLOCK_KEYS, max(64, -(-len(keys) // 64))
+        )
     blocks = [
         keys[i : i + block_keys]
         for i in range(0, len(keys), block_keys)

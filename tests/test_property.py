@@ -684,3 +684,56 @@ def test_nearest_join_matches_reference(spark, case):
             cands = [c for c in cands if c[0] <= tol]
         expect[lid] = min(cands)[2] if cands else None
     assert got == expect
+
+
+# ---------------------------------------------------------------- d19
+@st.composite
+def containment_corpora(draw):
+    """Small random corpora with engineered overlap: documents are
+    word sequences over a 12-word vocabulary, so shared trigrams are
+    common and the containment/Jaccard distinction gets exercised."""
+    vocab = [f"w{i}" for i in range(12)]
+    n_docs = draw(st.integers(2, 6))
+    docs = []
+    for i in range(n_docs):
+        words = draw(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=12)
+        )
+        docs.append((i, " ".join(words)))
+    thr = draw(st.sampled_from([0.2, 0.5, 0.8]))
+    return docs, thr
+
+
+@given(containment_corpora())
+@settings(max_examples=12, deadline=None)
+def test_containment_pairs_matches_reference(spark, case):
+    """d19 vs a brute-force reference of its documented contract:
+    directional |A ∩ B| / |A| over distinct word-trigrams, rounded to
+    6, threshold-filtered, id_a = the contained doc."""
+    from arrow_zarr_spark.operators.dedup import containment_pairs
+
+    docs, thr = case
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, threshold=thr).collect()
+    }
+
+    def tri(text):
+        ws = text.split(" ")  # single-space split, the engine's rule
+        return {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        } if len(ws) >= 3 else set()
+
+    sets = {i: tri(t) for i, t in docs}
+    expect = {}
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = round(len(sa & sb) / len(sa), 6)
+            if c >= thr:
+                expect[(a, b)] = c
+    assert got == expect

@@ -228,7 +228,10 @@ class TestInterleavedStorm:
                     f"k/c/{i % 4}", f"gen-{i}-{time.time()}".encode()
                 )
                 try:
-                    commit_version(None, src, f"gen {i}")
+                    # block_keys=2 forces MULTI-BLOCK (format-2)
+                    # manifests so the storm also races vacuum
+                    # against block-object publication/freshening
+                    commit_version(None, src, f"gen {i}", block_keys=2)
                     n_commits[0] += 1
                 except VersionConflictError:
                     continue  # CAS loser: rebase (re-read) and retry
