@@ -664,10 +664,8 @@ def test_nearest_join_matches_reference(spark, case):
         lefts, "k long, ts double, lid long"
     )
     right = spark.createDataFrame(
-        rights or [(None, None, None)], "k long, ts double, rid long"
+        rights, "k long, ts double, rid long"
     )
-    if not rights:
-        right = right.filter("k IS NOT NULL")
     got = {
         r.lid: r.r_rid
         for r in nearest_join(

@@ -425,11 +425,38 @@ class TestRollback:
         write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
         commit_version(spark, d)
         store = open_store(d)
-        victim = next(
-            k for k in store.walk_keys() if k.startswith(".versions/objects/")
+        # delete a DATA content object, resolved through the
+        # manifest's mapping — the first walked objects/ key can be
+        # a format-2 manifest BLOCK (different error text)
+        from arrow_zarr_spark.zarr.versions import (
+            _object_key,
+            _read_manifest,
         )
-        store.delete(victim)
+
+        sha = next(iter(_read_manifest(store, 1)["objects"].values()))
+        store.delete(_object_key(sha))
         with pytest.raises(Exception, match="content object"):
+            rollback_zarr(spark, d, 1)
+
+    def test_rollback_missing_manifest_block_raises(
+        self, spark, tmp_path
+    ):
+        """The format-2 counterpart: a vacuumed/damaged manifest
+        BLOCK must also fail a rollback loudly, with the block error."""
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 32), d, chunk_rows=16)
+        commit_version(spark, d, block_keys=2)
+        store = open_store(d)
+        import json as _json
+
+        from arrow_zarr_spark.zarr.versions import (
+            _manifest_key,
+            _object_key,
+        )
+
+        root = _json.loads(store.get(_manifest_key(1)))
+        store.delete(_object_key(root["blocks"][0]))
+        with pytest.raises(Exception, match="manifest block missing"):
             rollback_zarr(spark, d, 1)
 
 
