@@ -108,6 +108,21 @@ class Store:
             if key.startswith(p):
                 yield key
 
+    def list_root(self):
+        """Top-level entries as ``[(name, is_dir), ...]`` — the
+        metadata-scale work list a DISTRIBUTED store walk fans out
+        over (one task lists one subtree). Default derives it from
+        the full listing (driver O(n) — no worse than walk_keys);
+        LocalStore overrides with one scandir, and an object-store
+        backend would use a delimiter listing."""
+        dirs, files = set(), set()
+        for key in self.walk_keys():
+            head, sep, _ = key.partition("/")
+            (dirs if sep else files).add(head)
+        return sorted(
+            [(d, True) for d in dirs] + [(f, False) for f in files]
+        )
+
     def list_array_names(self) -> list:
         """Immediate array nodes: keys ``<name>/zarr.json`` (v3) or
         ``<name>/.zarray`` (v2) one level down.
@@ -232,6 +247,16 @@ class LocalStore(Store):
                     yield fn
                 else:
                     yield "/".join(rel.split(os.sep) + [fn])
+
+    def list_root(self):
+        try:
+            with os.scandir(self.root) as it:
+                return sorted(
+                    (e.name, e.is_dir(follow_symlinks=False))
+                    for e in it
+                )
+        except FileNotFoundError:
+            return []
 
     def walk_prefix(self, prefix: str) -> Iterator[str]:
         # walk only the prefix subtree — a manifest listing on a

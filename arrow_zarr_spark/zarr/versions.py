@@ -198,6 +198,127 @@ def _manifest_versions(store: Store) -> List[int]:
     return sorted(out)
 
 
+def _default_block_keys(n_keys: int) -> int:
+    """Deterministic in the key count alone (NOT cluster
+    parallelism): identical stores slice into identical blocks.
+    Floor of 64 keys/block so a tiny store publishes one or two
+    block objects, not one per key; ceiling of MANIFEST_BLOCK_KEYS
+    so huge stores stay ~64+ blocks wide."""
+    return min(MANIFEST_BLOCK_KEYS, max(64, -(-n_keys // 64)))
+
+
+def _snapshot_block(task_store: Store, bi: int, bkeys: List[str]):
+    """Hash + conditionally copy one block's objects and publish the
+    block manifest as a content object. ONE definition shared by the
+    serial and distributed commit paths (they must publish
+    bit-identical blocks). Returns
+    ``(block_index, start_key, block_sha, n_entries, n_new)``."""
+    entries: Dict[str, str] = {}
+    n_new_b = 0
+    for key in bkeys:
+        data = task_store.get(key)
+        if data is None:
+            # listed-then-deleted race: surface it — a snapshot must
+            # not silently omit a key it enumerated
+            raise ZarrFormatError(
+                f"commit_version: key {key!r} vanished mid-commit"
+            )
+        sha = hashlib.sha256(data).hexdigest()
+        obj_key = _object_key(sha)
+        if task_store.exists(obj_key):
+            # git's loose-object freshening: a dedup hit must pull
+            # the object back inside vacuum's grace window — an OLD
+            # unreferenced object (e.g. from a dropped version) this
+            # commit is about to re-reference would otherwise be
+            # collectable right up to the manifest publish (r8
+            # review finding)
+            task_store.touch(obj_key)
+        else:
+            task_store.set(obj_key, data)
+            n_new_b += 1
+        entries[key] = sha
+    # the block manifest is itself a content object: an unchanged key
+    # range dedups across versions, and vacuum's grace window
+    # protects pre-publish blocks exactly like pre-publish data
+    # objects
+    blob = json.dumps(entries, sort_keys=True).encode()
+    bsha = hashlib.sha256(blob).hexdigest()
+    bkey = _object_key(bsha)
+    if task_store.exists(bkey):
+        task_store.touch(bkey)
+    else:
+        task_store.set(bkey, blob)
+    return (bi, bkeys[0], bsha, len(entries), n_new_b)
+
+
+def _snapshot_distributed(
+    spark, path: str, store: Store, block_keys: Optional[int]
+) -> List:
+    """The fully distributed commit pass: NO driver key list.
+
+    1. the driver reads only the store's TOP-LEVEL entries
+       (``Store.list_root`` — one delimiter listing);
+    2. tasks list one subtree each (``walk_prefix``);
+    3. a distributed sort + ``zipWithIndex`` assigns each key its
+       global ordinal — keys shuffle between executors, never
+       through the driver;
+    4. keys group by ``ordinal div block_keys`` (one more keys-only
+       shuffle) and one task per block hashes its objects and writes
+       its block manifest via the shared :func:`_snapshot_block`.
+
+    Ordinal-derived boundaries equal the serial path's sorted-slice
+    boundaries exactly, so both paths publish bit-identical
+    manifests. Driver memory: top-level entries + one summary row
+    per block."""
+    sc = spark.sparkContext
+    groups = [
+        (name, is_dir)
+        for name, is_dir in store.list_root()
+        if name != VERSIONS_PREFIX.rstrip("/")
+        and not name.startswith("__stage__")
+    ]
+    if not groups:
+        raise ZarrFormatError(f"commit_version: empty store at {path!r}")
+
+    def list_group(items):
+        task_store = open_store(path)
+        for name, is_dir in items:
+            if is_dir:
+                yield from task_store.walk_prefix(name)
+            else:
+                yield name
+
+    n_g = max(1, min(len(groups), sc.defaultParallelism * 2))
+    keys_rdd = sc.parallelize(groups, n_g).mapPartitions(list_group)
+    n_parts = max(1, sc.defaultParallelism * 2)
+    indexed = keys_rdd.sortBy(
+        lambda k: k, numPartitions=n_parts
+    ).zipWithIndex()
+    indexed = indexed.persist()
+    try:
+        total = indexed.count()
+        if total == 0:
+            raise ZarrFormatError(
+                f"commit_version: empty store at {path!r}"
+            )
+        blk = block_keys or _default_block_keys(total)
+
+        def one_block(pair):
+            bid, idx_keys = pair
+            bkeys = [k for _, k in sorted(idx_keys)]
+            return _snapshot_block(open_store(path), bid, bkeys)
+
+        rows = (
+            indexed.map(lambda ki: (ki[1] // blk, (ki[1], ki[0])))
+            .groupByKey(numPartitions=n_parts)
+            .map(one_block)
+            .collect()  # one summary row per block
+        )
+    finally:
+        indexed.unpersist()
+    return rows
+
+
 def commit_version(
     spark,
     path: str,
@@ -235,15 +356,19 @@ def commit_version(
     as content-addressed objects and returns one summary row per
     block, so the driver never materializes the (key, sha) mapping —
     O(n_blocks) driver memory, not O(n_objects) — and CAS stays on
-    the tiny root document alone. (The driver still enumerates the
-    sorted key LIST — the same metadata class as consolidated
-    zarr.json; the lever is the same: bigger objects via
-    chunk_rows/shard_chunks.)
+    the tiny root document alone.
+
+    With ``spark`` the LISTING is distributed too (r9, second pass):
+    the driver holds only the store's top-level entries; tasks list
+    one subtree each, a distributed sort + zipWithIndex assigns
+    global ordinals (keys shuffle, never the driver), and one task
+    per ``idx div block_keys`` block hashes its objects and writes
+    its block — end-to-end O(n_blocks) driver memory, no driver key
+    list. Block boundaries come from the global ordinal, so the
+    distributed and serial paths publish BIT-IDENTICAL manifests
+    (test-pinned) and cross-version block dedup is preserved.
     """
     store = open_store(path)
-    keys = _live_keys(store)
-    if not keys:
-        raise ZarrFormatError(f"commit_version: empty store at {path!r}")
     existing = _manifest_versions(store)
     head = existing[-1] if existing else 0
     if expected_head is not None and head != int(expected_head):
@@ -253,76 +378,23 @@ def commit_version(
             f"re-read, rebase the update onto version {head}, and retry"
         )
     version = head + 1
-    if block_keys is None:
-        # deterministic in the key count alone (NOT cluster
-        # parallelism): identical stores slice into identical blocks.
-        # Floor of 64 keys/block so a tiny store publishes one or two
-        # block objects, not one per key; ceiling of
-        # MANIFEST_BLOCK_KEYS so huge stores stay ~64+ blocks wide.
-        block_keys = min(
-            MANIFEST_BLOCK_KEYS, max(64, -(-len(keys) // 64))
-        )
-    blocks = [
-        keys[i : i + block_keys]
-        for i in range(0, len(keys), block_keys)
-    ]
-
-    def snapshot_blocks(items):
-        task_store = open_store(path)
-        for bi, bkeys in items:
-            entries: Dict[str, str] = {}
-            n_new_b = 0
-            for key in bkeys:
-                data = task_store.get(key)
-                if data is None:
-                    # listed-then-deleted race: surface it — a
-                    # snapshot must not silently omit a key it
-                    # enumerated
-                    raise ZarrFormatError(
-                        f"commit_version: key {key!r} vanished "
-                        "mid-commit"
-                    )
-                sha = hashlib.sha256(data).hexdigest()
-                obj_key = _object_key(sha)
-                if task_store.exists(obj_key):
-                    # git's loose-object freshening: a dedup hit must
-                    # pull the object back inside vacuum's grace
-                    # window — an OLD unreferenced object (e.g. from
-                    # a dropped version) this commit is about to
-                    # re-reference would otherwise be collectable
-                    # right up to the manifest publish (r8 review
-                    # finding)
-                    task_store.touch(obj_key)
-                else:
-                    task_store.set(obj_key, data)
-                    n_new_b += 1
-                entries[key] = sha
-            # the block manifest is itself a content object: an
-            # unchanged key range dedups across versions, and vacuum's
-            # grace window protects pre-publish blocks exactly like
-            # pre-publish data objects
-            blob = json.dumps(entries, sort_keys=True).encode()
-            bsha = hashlib.sha256(blob).hexdigest()
-            bkey = _object_key(bsha)
-            if task_store.exists(bkey):
-                task_store.touch(bkey)
-            else:
-                task_store.set(bkey, blob)
-            yield (bi, bkeys[0], bsha, len(entries), n_new_b)
-
-    work = list(enumerate(blocks))
     if spark is None:
         # serial fallback (tools, tests, non-Spark callers) — same
-        # code path per block, just undistributed
-        rows = list(snapshot_blocks(iter(work)))
+        # per-key and per-block code paths, just undistributed
+        keys = _live_keys(store)
+        if not keys:
+            raise ZarrFormatError(
+                f"commit_version: empty store at {path!r}"
+            )
+        blk = block_keys or _default_block_keys(len(keys))
+        rows = [
+            _snapshot_block(
+                store, bi, keys[i : i + blk]
+            )
+            for bi, i in enumerate(range(0, len(keys), blk))
+        ]
     else:
-        sc = spark.sparkContext
-        n_parts = max(1, min(len(work), sc.defaultParallelism * 2))
-        rows = (
-            sc.parallelize(work, n_parts)
-            .mapPartitions(snapshot_blocks)
-            .collect()
-        )
+        rows = _snapshot_distributed(spark, path, store, block_keys)
     rows.sort(key=lambda r: r[0])
     n_objects = sum(r[3] for r in rows)
     n_new = sum(r[4] for r in rows)

@@ -239,6 +239,42 @@ class TestShardedManifest:
         assert out["deleted_objects"] > 0  # v1-only objects collected
         assert read_zarr(spark, d, version=2).count() == 32
 
+    def test_distributed_and_serial_commits_publish_identical_manifests(
+        self, spark, tmp_path
+    ):
+        """r9 second pass: the fully distributed commit (top-level
+        fan-out -> distributed sort -> ordinal blocks; NO driver key
+        list) must publish a BIT-IDENTICAL manifest to the serial
+        path on the same store — same block boundaries, same block
+        shas, same root bytes (modulo created_unix)."""
+        import json
+
+        from arrow_zarr_spark.zarr.versions import _manifest_key
+
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        for d in (a, b):
+            write_zarr(_table(spark, 0, 500), d, chunk_rows=16)
+        commit_version(spark, a, "m")   # distributed listing
+        commit_version(None, b, "m")    # serial listing
+        ra = json.loads(open_store(a).get(_manifest_key(1)))
+        rb = json.loads(open_store(b).get(_manifest_key(1)))
+        for k in ("format", "n_objects", "block_starts", "blocks"):
+            assert ra[k] == rb[k], k
+        # and with an explicit (multi-)block size too
+        a2 = str(tmp_path / "a2")
+        b2 = str(tmp_path / "b2")
+        for d in (a2, b2):
+            write_zarr(_table(spark, 0, 500), d, chunk_rows=16)
+        commit_version(spark, a2, "m", block_keys=7)
+        commit_version(None, b2, "m", block_keys=7)
+        ra = json.loads(open_store(a2).get(_manifest_key(1)))
+        rb = json.loads(open_store(b2).get(_manifest_key(1)))
+        assert ra["blocks"] == rb["blocks"]
+        assert ra["block_starts"] == rb["block_starts"]
+        assert len(ra["blocks"]) > 3
+        assert read_zarr(spark, a2, version=1).count() == 500
+
     def test_unchanged_key_ranges_dedup_across_versions(
         self, spark, tmp_path
     ):
