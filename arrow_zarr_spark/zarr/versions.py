@@ -198,6 +198,17 @@ def _manifest_versions(store: Store) -> List[int]:
     return sorted(out)
 
 
+#: Key-count cutover between commit_version's two spark tiers: up to
+#: this many live keys the driver lists them itself and fans out one
+#: task per BLOCK (one Spark job — ~130k keys is a few MB of driver
+#: strings); beyond it the listing itself distributes
+#: (_snapshot_distributed's sort/ordinal pipeline, ~4 keys-only jobs
+#: whose fixed overhead would be a 7x regression on small commits but
+#: is noise at the scale that needs it). The probe is a BOUNDED walk
+#: (islice of cap+1), so deciding the tier never lists a huge store.
+COMMIT_DRIVER_LIST_MAX = 1 << 17
+
+
 def _default_block_keys(n_keys: int) -> int:
     """Deterministic in the key count alone (NOT cluster
     parallelism): identical stores slice into identical blocks.
@@ -388,13 +399,54 @@ def commit_version(
             )
         blk = block_keys or _default_block_keys(len(keys))
         rows = [
-            _snapshot_block(
-                store, bi, keys[i : i + blk]
-            )
+            _snapshot_block(store, bi, keys[i : i + blk])
             for bi, i in enumerate(range(0, len(keys), blk))
         ]
     else:
-        rows = _snapshot_distributed(spark, path, store, block_keys)
+        # bounded probe picks the tier: the driver-list path is ONE
+        # Spark job (right for small commits); the fully distributed
+        # path never materializes a key list anywhere (right past the
+        # cap). Both slice by the same sorted-ordinal rule, so all
+        # three paths publish bit-identical manifests.
+        import itertools
+
+        probe = list(
+            itertools.islice(
+                (
+                    k
+                    for k in store.walk_keys()
+                    if not k.startswith(VERSIONS_PREFIX)
+                    and not k.startswith("__stage__")
+                ),
+                COMMIT_DRIVER_LIST_MAX + 1,
+            )
+        )
+        if len(probe) <= COMMIT_DRIVER_LIST_MAX:
+            keys = sorted(probe)
+            if not keys:
+                raise ZarrFormatError(
+                    f"commit_version: empty store at {path!r}"
+                )
+            blk = block_keys or _default_block_keys(len(keys))
+            work = [
+                (bi, keys[i : i + blk])
+                for bi, i in enumerate(range(0, len(keys), blk))
+            ]
+            sc = spark.sparkContext
+            n_parts = max(1, min(len(work), sc.defaultParallelism * 2))
+
+            def snap(items):
+                task_store = open_store(path)
+                for bi, bkeys in items:
+                    yield _snapshot_block(task_store, bi, bkeys)
+
+            rows = (
+                sc.parallelize(work, n_parts)
+                .mapPartitions(snap)
+                .collect()
+            )
+        else:
+            rows = _snapshot_distributed(spark, path, store, block_keys)
     rows.sort(key=lambda r: r[0])
     n_objects = sum(r[3] for r in rows)
     n_new = sum(r[4] for r in rows)

@@ -240,34 +240,40 @@ class TestShardedManifest:
         assert read_zarr(spark, d, version=2).count() == 32
 
     def test_distributed_and_serial_commits_publish_identical_manifests(
-        self, spark, tmp_path
+        self, spark, tmp_path, monkeypatch
     ):
-        """r9 second pass: the fully distributed commit (top-level
-        fan-out -> distributed sort -> ordinal blocks; NO driver key
-        list) must publish a BIT-IDENTICAL manifest to the serial
-        path on the same store — same block boundaries, same block
-        shas, same root bytes (modulo created_unix)."""
+        """r9 second pass: all three commit tiers — serial, spark
+        driver-list (small stores), and FULLY distributed (top-level
+        fan-out -> distributed sort -> ordinal blocks; no driver key
+        list, forced here by zeroing the tier cutover) — must publish
+        BIT-IDENTICAL manifests on the same store."""
         import json
 
+        import arrow_zarr_spark.zarr.versions as V
         from arrow_zarr_spark.zarr.versions import _manifest_key
 
         a = str(tmp_path / "a")
         b = str(tmp_path / "b")
-        for d in (a, b):
+        c = str(tmp_path / "c")
+        for d in (a, b, c):
             write_zarr(_table(spark, 0, 500), d, chunk_rows=16)
-        commit_version(spark, a, "m")   # distributed listing
-        commit_version(None, b, "m")    # serial listing
+        commit_version(spark, a, "m")   # spark, driver-list tier
+        commit_version(None, b, "m")    # serial
+        monkeypatch.setattr(V, "COMMIT_DRIVER_LIST_MAX", 0)
+        commit_version(spark, c, "m")   # spark, fully distributed
         ra = json.loads(open_store(a).get(_manifest_key(1)))
         rb = json.loads(open_store(b).get(_manifest_key(1)))
+        rc = json.loads(open_store(c).get(_manifest_key(1)))
         for k in ("format", "n_objects", "block_starts", "blocks"):
-            assert ra[k] == rb[k], k
-        # and with an explicit (multi-)block size too
+            assert ra[k] == rb[k] == rc[k], k
+        # and with an explicit (multi-)block size on the fully
+        # distributed tier
         a2 = str(tmp_path / "a2")
         b2 = str(tmp_path / "b2")
         for d in (a2, b2):
             write_zarr(_table(spark, 0, 500), d, chunk_rows=16)
-        commit_version(spark, a2, "m", block_keys=7)
-        commit_version(None, b2, "m", block_keys=7)
+        commit_version(spark, a2, "m", block_keys=7)  # distributed
+        commit_version(None, b2, "m", block_keys=7)   # serial
         ra = json.loads(open_store(a2).get(_manifest_key(1)))
         rb = json.loads(open_store(b2).get(_manifest_key(1)))
         assert ra["blocks"] == rb["blocks"]
