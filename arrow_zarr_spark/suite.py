@@ -1393,78 +1393,80 @@ _populated = False
 #: Everything rotated out stays parity-enforced every round by
 #: tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # ROUND-9 ROTATION: CORRECTNESS_r08 landed 50/50 green on the
-    # round-8 window, so every prior window entry has a fresh row and
-    # the stalest oracle-backed rows are now the 47 queries last
-    # driver-checked in ROUND 4 (VERDICT r8 "What's wrong" #5 /
-    # "Next round" #3 names them exactly).  This window takes all 47,
-    # leaving 3 slots that round-9 additions MUST claim in-round (the
-    # r8 discipline; the placeholders below are the three core r6-era
-    # shapes z01/z03/x02 and each notes who displaces it).  After this
-    # window lands green no oracle-backed row is older than round 6.
-    # The four deliberately rows-only kernels (d03/d05/t05/r26) stay
-    # out per the window policy (every slot must carry a full
-    # rows+schema+hash oracle; their oracle-proven twins
-    # d13/d15/t14/r32 are all green) and stay parity-enforced by
-    # tests/test_oracle_parity.py, as does everything rotated out.
-    # -- the 47 round-4-stale rows --
-    "b05_comparisons_or",
-    "b07_modulo_pred",
-    "d02_normalized_dedup",
-    "d11_contamination_purge",
-    "d12_dedup_against_corpus",
-    "e01_stream_enrich_batchform",
-    "e02_interval_join_batchform",
-    "p06_quantile_gate",
-    "p07_train_val_test_split",
-    "r01_groupby_agg",
-    "r02_count_distinct",
-    "r03_avg_minmax",
-    "r04_having",
-    "r05_distinct",
-    "r06_window_topk_per_group",
-    "r07_window_running_sum",
-    "r08_window_lag_rank",
-    "r09_left_outer_join",
-    "r10_semi_join",
-    "r11_anti_join",
-    "r12_intersect",
-    "r13_except",
-    "r14_union_distinct",
-    "r15_scalar_subquery",
-    "r16_in_subquery",
-    "r17_rollup",
-    "r18_string_funcs",
-    "r19_date_parts",
-    "r20_math_case",
-    "r21_multiway_join_agg",
-    "r22_events_time_agg",
-    "r23_events_user_sessions",
-    "r24_pivot_conditional",
-    "r27_count_distribution",
-    "r28_having_in_subquery",
-    "r29_correlated_min",
-    "r30_cube",
-    "r31_stddev_from_moments",
-    "r32_percentile_cont",
-    "r33_regexp_extract",
-    "r34_array_functions",
-    "r35_json_extract",
-    "r36_grouping_sets",
-    "r37_not_exists",
-    "t11_boilerplate_ngrams",
-    "w02_writer_datetime_roundtrip",
-    "z17_time_rollup",
-    # -- the 3 reserved slots, claimed in-round by the round-9
-    #    additions (the r8 discipline): d19 directional containment,
-    #    j08 nearest temporal join, x07 dataset card. The displaced
-    #    placeholders (z01/z03/x02, all r6-green) stay
-    #    parity-enforced every round by tests/test_oracle_parity.py
-    #    and their shapes stay in-window via z05-z16, b04/b06 range
-    #    predicates, and x06's candidate+components pipeline. --
-    "d19_containment_pairs",
-    "j08_nearest_join",
-    "x07_dataset_card",
+    # ROUND-10 ROTATION: CORRECTNESS_r09 landed 50/50 green on the
+    # round-9 window, so every prior window entry has a fresh row and
+    # the stalest oracle-backed rows are now exactly the 50 queries
+    # last driver-checked in ROUND 6 (staleness computed from every
+    # CORRECTNESS_r*.json at round start; histogram r6=50, nothing
+    # older except the four deliberately rows-only kernels
+    # d03/d05/t05/r26, which stay out per the window policy — their
+    # oracle-proven twins d13/d15/t14/r32 are in or near the window —
+    # and stay parity-enforced by tests/test_oracle_parity.py).
+    # This window takes 48 of the 50 and reserves 2 slots that the
+    # round-10 additions MUST claim in-round (the r8/r9 discipline):
+    # the placeholders below are b13_limit_topk and b14_select_star,
+    # whose shapes stay in-window via z07_order_limit's r8-green
+    # LIMIT row and z01_scan_full / b01_projection (both in this
+    # window).  Everything rotated out or displaced stays
+    # parity-enforced every round by tests/test_oracle_parity.py.
+    # -- 48 of the 50 round-6-stale rows --
+    "b01_projection",
+    "b02_scalar_expr_alias",
+    "b04_where_range_conj",
+    "b09_theta_self_join",
+    "b10_cte_self_join",
+    "b11_self_join_equi",
+    "b12_union_all",
+    "d06_embedding_neardup",
+    "d13_minhash_wordcode",
+    "d14_duplicated_spans",
+    "d15_simhash_wordcode",
+    "e03_windowed_stats_batchform",
+    "e04_interval_left_join_batchform",
+    "j01_range_join",
+    "j05_bucketed_join",
+    "m05_decode_audio_fake",
+    "p08_token_budget_sharded",
+    "p09_quantile_gate_approx",
+    "p10_deterministic_shuffle",
+    "p11_weighted_sample",
+    "p12_temperature_mixture",
+    "r38_range_frame",
+    "r39_exists",
+    "r40_ntile",
+    "r41_first_last_value",
+    "r42_filtered_agg",
+    "r43_lateral_join",
+    "r44_listagg",
+    "r45_time_range_frame",
+    "s03_ivf_ann_topk",
+    "t12_unigram_logprob",
+    "t13_corpus_vocab_stats",
+    "w03_sharded_writer_roundtrip",
+    "w04_string_writer_roundtrip",
+    "w05_partitioned_writer_roundtrip",
+    "w06_rechunk_roundtrip",
+    "w07_format_sink_roundtrip",
+    "x01_pretraining_pipeline",
+    "x02_fuzzy_dedup_pipeline",
+    "z01_scan_full",
+    "z02_coords_cartesian",
+    "z03_where_pushdown",
+    "z06_mixed_dims",
+    "z11_theta_self_join",
+    "z15_v2_store_scan",
+    "z18_3d_scan",
+    "z19_multi_store_union",
+    "z20_stats_pruned_scan",
+    # -- the 2 reserved slots, claimed in-round by the round-10
+    #    additions: z37 (vacuum/GC correctness atop the DISTRIBUTED
+    #    maintenance listing built this round) and w17 (grid APPEND
+    #    with the distributed stats remap, proven by a stats-pruned
+    #    scan).  Until those land, the placeholders are the two
+    #    remaining r6-stale rows b13/b14 (shapes covered as noted
+    #    above). --
+    "b13_limit_topk",
+    "b14_select_star",
 ]
 
 
