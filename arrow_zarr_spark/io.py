@@ -2110,6 +2110,7 @@ def refresh_stats(
     path: str,
     columns: Optional[Sequence[str]] = None,
     n_partitions: Optional[int] = None,
+    preserve_past_cap: bool = False,
 ) -> int:
     """(Re)compute per-object [min, max] statistics for an EXISTING
     table-layout store — the retrofit path: stores written before
@@ -2123,7 +2124,13 @@ def refresh_stats(
     consolidated root. Missing objects bound to the fill value they
     materialize as. Returns the number of (array, object) pairs
     computed. 1-D arrays only (the table layout; grid stores get
-    their stats from :func:`write_zarr_grid`)."""
+    their stats from :func:`write_zarr_grid`).
+
+    Arrays past the driver-assembly cap (STATS_GRID_MAX_OBJECTS)
+    can't be recomputed here; their EXISTING stats are stripped by
+    default — a third-party writer may have changed the data, and a
+    stale [min,max] prunes wrongly — unless ``preserve_past_cap=True``
+    asserts the data is unchanged."""
     from .zarr.array import ZarrArray, infer_store_arrays_authoritative
 
     store = open_store(path)
@@ -2161,10 +2168,17 @@ def refresh_stats(
         ):
             targets.append(a)
         else:
-            # past-cap arrays are SKIPPED, not stripped: an existing
-            # attribute/sidecar (e.g. from write_zarr's distributed,
-            # uncapped assembly) stays valid and must survive a
-            # refresh that merely can't recompute it driver-side
+            # past-cap arrays can't be recomputed driver-side. By
+            # DEFAULT their existing stats are STRIPPED like any
+            # other column refresh couldn't compute: refresh_stats is
+            # the retrofit verb for stores mutated by third-party
+            # writers, and a preserved stale [min,max] would let
+            # planning-time pruning silently DROP matching rows —
+            # wrong results, versus the conservative cost of losing
+            # pruning (r10 ADVICE). A caller who KNOWS the data is
+            # unchanged (e.g. re-publishing metadata after a
+            # write_zarr whose distributed assembly built the stats)
+            # passes preserve_past_cap=True to keep them.
             skipped_past_cap.add(a.meta.name)
     work = [
         (a.meta.name, i)
@@ -2217,8 +2231,11 @@ def refresh_stats(
     }
     for a in arrays:
         m = a.meta
-        if m.name in skipped_past_cap:
-            continue  # leave existing stats (attr + sidecar) intact
+        if m.name in skipped_past_cap and preserve_past_cap:
+            continue  # caller asserted the data is unchanged
+        # (a skipped array WITHOUT the flag falls through to the
+        # not-in-per_col branch below: attr popped, sidecar deleted,
+        # metadata republished — stale bounds must not stay live)
         if m.name in per_col:
             m.attributes[STATS_ATTR_KEY] = attr_vals[m.name]
         else:

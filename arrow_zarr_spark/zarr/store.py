@@ -123,6 +123,27 @@ class Store:
             [(d, True) for d in dirs] + [(f, False) for f in files]
         )
 
+    def probe_keys(self, cap: int, skip_prefixes=()):
+        """Bounded tier probe: the full key list (excluding
+        ``skip_prefixes``) when the store holds at most ``cap`` such
+        keys, else ``None`` after seeing ``cap + 1`` — the caller must
+        then take a distributed path. The laziness contract is on
+        ``walk_keys``: every backend's walk must be INCREMENTAL
+        (LocalStore: os.walk; HttpStore: per-index-page recursion;
+        FsspecStore: per-directory delimiter listings) so deciding the
+        tier never materializes a huge store's listing on the driver
+        (r9 ADVICE: fsspec's eager ``fs.find`` made the islice probe
+        O(n_keys) in driver time and memory on exactly the stores the
+        distributed tier exists for)."""
+        out = []
+        for k in self.walk_keys():
+            if any(k.startswith(p) for p in skip_prefixes):
+                continue
+            out.append(k)
+            if len(out) > cap:
+                return None
+        return out
+
     def list_array_names(self) -> list:
         """Immediate array nodes: keys ``<name>/zarr.json`` (v3) or
         ``<name>/.zarray`` (v2) one level down.
@@ -392,7 +413,12 @@ class HttpStore(Store):
     def delete(self, key: str) -> None:
         raise ZarrFormatError("HTTP stores are read-only (scan-only backend)")
 
-    def walk_keys(self) -> Iterator[str]:
+    def _page_entries(self, prefix: str):
+        """ONE directory-index page, parsed: ``(files, dirs)`` as
+        root-relative paths (dirs keep their trailing '/'). This is
+        the HTTP analogue of an object store's delimiter listing —
+        list_root and the bounded tier probe must cost one page, not
+        a full-store walk."""
         from html.parser import HTMLParser
 
         class _Links(HTMLParser):
@@ -410,46 +436,77 @@ class HttpStore(Store):
 
         root = urlsplit(f"{self.url}/")
         root_path = unquote(root.path)
+        page = self._fetch(f"{self.url}/{prefix}" if prefix else self.url)
+        files, dirs = [], []
+        if page is None:
+            return files, dirs
+        parser = _Links()
+        try:
+            parser.feed(page.decode("utf-8", "replace"))
+        except Exception as e:
+            raise ZarrFormatError(
+                f"HTTP store listing at {self.url}/{prefix} is not an "
+                f"HTML index: {e}"
+            ) from e
+        base = f"{self.url}/{prefix}"
+        for href in parser.hrefs:
+            # Resolve against the page URL: auto-index pages emit
+            # relative names (http.server), absolute paths
+            # (common Apache/nginx setups), or full URLs — all are
+            # equivalent; only the resolved location matters.
+            res = urlsplit(urljoin(base, href.split("#")[0]))
+            if (res.scheme, res.netloc) != (root.scheme, root.netloc):
+                continue  # different host/scheme
+            path = unquote(res.path)
+            if any(seg in (".", "..") for seg in path.split("/")):
+                continue  # unnormalized traversal survived urljoin
+            if not path.startswith(root_path):
+                continue  # parent links / outside the store root
+            rel = path[len(root_path):]
+            if len(rel) <= len(prefix) or not rel.startswith(prefix):
+                continue  # self links, sort links (?C=N), ancestors
+                # (plain dotfiles like .zarray must NOT be skipped)
+            (dirs if rel.endswith("/") else files).append(rel)
+        return files, dirs
+
+    def walk_keys(self) -> Iterator[str]:
         seen_dirs = set()
 
         def walk(prefix: str) -> Iterator[str]:
-            page = self._fetch(f"{self.url}/{prefix}" if prefix else self.url)
-            if page is None:
-                return
-            parser = _Links()
-            try:
-                parser.feed(page.decode("utf-8", "replace"))
-            except Exception as e:
-                raise ZarrFormatError(
-                    f"HTTP store listing at {self.url}/{prefix} is not an "
-                    f"HTML index: {e}"
-                ) from e
-            base = f"{self.url}/{prefix}"
-            for href in parser.hrefs:
-                # Resolve against the page URL: auto-index pages emit
-                # relative names (http.server), absolute paths
-                # (common Apache/nginx setups), or full URLs — all are
-                # equivalent; only the resolved location matters.
-                res = urlsplit(urljoin(base, href.split("#")[0]))
-                if (res.scheme, res.netloc) != (root.scheme, root.netloc):
-                    continue  # different host/scheme
-                path = unquote(res.path)
-                if any(seg in (".", "..") for seg in path.split("/")):
-                    continue  # unnormalized traversal survived urljoin
-                if not path.startswith(root_path):
-                    continue  # parent links / outside the store root
-                rel = path[len(root_path):]
-                if len(rel) <= len(prefix) or not rel.startswith(prefix):
-                    continue  # self links, sort links (?C=N), ancestors
-                    # (plain dotfiles like .zarray must NOT be skipped)
-                if rel.endswith("/"):
-                    if rel not in seen_dirs:
-                        seen_dirs.add(rel)
-                        yield from walk(rel)
-                else:
-                    yield rel
+            files, dirs = self._page_entries(prefix)
+            yield from files
+            for rel in dirs:
+                if rel not in seen_dirs:
+                    seen_dirs.add(rel)
+                    yield from walk(rel)
 
         yield from walk("")
+
+    def list_root(self):
+        """ONE index page — never the base class's full walk (the
+        r9 ADVICE finding's HTTP analogue): the distributed store
+        walk fans out from this, so it must stay O(top-level)."""
+        files, dirs = self._page_entries("")
+        return sorted(
+            [(d.rstrip("/"), True) for d in dirs]
+            + [(f, False) for f in files]
+        )
+
+    def walk_prefix(self, prefix: str) -> Iterator[str]:
+        # subtree pages only — the base default would walk the WHOLE
+        # store and filter, defeating the per-subtree task fan-out
+        p = prefix if prefix.endswith("/") else prefix + "/"
+        seen_dirs = set()
+
+        def walk(pre: str) -> Iterator[str]:
+            files, dirs = self._page_entries(pre)
+            yield from files
+            for rel in dirs:
+                if rel not in seen_dirs:
+                    seen_dirs.add(rel)
+                    yield from walk(rel)
+
+        yield from walk(p)
 
 
 class FsspecStore(Store):
@@ -491,8 +548,50 @@ class FsspecStore(Store):
         except FileNotFoundError:
             pass
 
+    def _ls(self, path: str):
+        """One delimiter listing (``fs.ls(detail=True)``) — the unit
+        of incremental walking. Returns ``[(full_path, is_dir)]``."""
+        try:
+            infos = self.fs.ls(path, detail=True)
+        except FileNotFoundError:
+            return []
+        out = []
+        for info in infos:
+            name = info["name"] if isinstance(info, dict) else str(info)
+            is_dir = (
+                info.get("type") == "directory"
+                if isinstance(info, dict)
+                else False
+            )
+            if name.rstrip("/") == path.rstrip("/"):
+                continue  # some backends echo the listed path itself
+            out.append((name.rstrip("/"), is_dir))
+        return out
+
+    def _walk_ls(self, sub: str) -> Iterator[str]:
+        """Lazy per-directory DFS over delimiter listings. fsspec's
+        ``fs.find`` eagerly materializes the FULL subtree before
+        returning (r9 ADVICE finding: it made the bounded commit-tier
+        probe O(n_keys) on the driver); walking one ``fs.ls`` page at
+        a time keeps early-stopping consumers (``probe_keys``,
+        ``next(iter(...))`` presence checks) bounded by directories
+        actually visited. Residual: a single flat directory larger
+        than the cap still costs that one directory's listing — only
+        a raw paginated LIST in a backend-specific subclass can do
+        better."""
+        from collections import deque
+
+        queue = deque([sub.rstrip("/")])
+        while queue:
+            d = queue.popleft()
+            for name, is_dir in self._ls(d):
+                if is_dir:
+                    queue.append(name)
+                else:
+                    yield name
+
     def walk_keys(self) -> Iterator[str]:  # pragma: no cover
-        for path in self.fs.find(self.root):
+        for path in self._walk_ls(self.root):
             yield path[len(self.root) :].lstrip("/")
 
     def walk_prefix(self, prefix: str) -> Iterator[str]:  # pragma: no cover
@@ -501,12 +600,19 @@ class FsspecStore(Store):
         # (delete_sidecar runs per microbatch in the streaming sink's
         # steady state) into an O(total keys) walk on object stores
         sub = f"{self.root}/{prefix.strip('/')}"
-        try:
-            paths = self.fs.find(sub)
-        except FileNotFoundError:
-            return
-        for path in paths:
+        for path in self._walk_ls(sub):
             yield path[len(self.root) :].lstrip("/")
+
+    def list_root(self):  # pragma: no cover
+        """ONE delimiter listing (the r9 ADVICE fix): the distributed
+        store walk and the commit-tier probe fan out from this, so it
+        must never inherit the base class's full-walk default."""
+        n = len(self.root.rstrip("/")) + 1
+        return sorted(
+            (name[n:], is_dir)
+            for name, is_dir in self._ls(self.root)
+            if name[n:]
+        )
 
     def set_exclusive(self, key: str, value: bytes) -> None:  # pragma: no cover
         """Refused LOUDLY: fsspec has no portable conditional put.

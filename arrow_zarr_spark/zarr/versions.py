@@ -205,7 +205,8 @@ def _manifest_versions(store: Store) -> List[int]:
 #: (_snapshot_distributed's sort/ordinal pipeline, ~4 keys-only jobs
 #: whose fixed overhead would be a 7x regression on small commits but
 #: is noise at the scale that needs it). The probe is a BOUNDED walk
-#: (islice of cap+1), so deciding the tier never lists a huge store.
+#: (``Store.probe_keys``, cap+1 keys through an incremental backend
+#: walk), so deciding the tier never lists a huge store.
 COMMIT_DRIVER_LIST_MAX = 1 << 17
 
 
@@ -407,21 +408,16 @@ def commit_version(
         # Spark job (right for small commits); the fully distributed
         # path never materializes a key list anywhere (right past the
         # cap). Both slice by the same sorted-ordinal rule, so all
-        # three paths publish bit-identical manifests.
-        import itertools
-
-        probe = list(
-            itertools.islice(
-                (
-                    k
-                    for k in store.walk_keys()
-                    if not k.startswith(VERSIONS_PREFIX)
-                    and not k.startswith("__stage__")
-                ),
-                COMMIT_DRIVER_LIST_MAX + 1,
-            )
+        # three paths publish bit-identical manifests. probe_keys is
+        # the Store-level bounded walk — every backend's walk_keys is
+        # incremental (fsspec included, via per-directory delimiter
+        # listings: the r9 ADVICE fix), so the probe's driver cost is
+        # capped regardless of store size.
+        probe = store.probe_keys(
+            COMMIT_DRIVER_LIST_MAX,
+            skip_prefixes=(VERSIONS_PREFIX, "__stage__"),
         )
-        if len(probe) <= COMMIT_DRIVER_LIST_MAX:
+        if probe is not None:
             keys = sorted(probe)
             if not keys:
                 raise ZarrFormatError(

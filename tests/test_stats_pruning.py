@@ -1023,38 +1023,67 @@ class TestRefreshStats:
         ]
         assert ks == [[0, 99], [100, 199]]
 
-    def test_refresh_past_cap_preserves_existing_stats(
+    def test_refresh_past_cap_strips_by_default(
         self, spark, tmp_path, monkeypatch
     ):
-        """r9 fix (r8 ADVICE, medium): refresh_stats on an array past
-        STATS_GRID_MAX_OBJECTS SKIPS the recompute — it must leave an
-        existing valid attribute untouched, not strip the stats that
-        write_zarr's distributed (uncapped) assembly created."""
+        """r10 fix (r9 ADVICE, medium): refresh_stats is the retrofit
+        verb for stores a third-party writer may have MUTATED. On an
+        array past STATS_GRID_MAX_OBJECTS it can't recompute, and a
+        preserved stale [min,max] would let pruning silently drop
+        matching rows — so the default now STRIPS the existing stats
+        (losing pruning, never correctness)."""
         import arrow_zarr_spark.io as io_mod
         from arrow_zarr_spark.io import refresh_stats
 
         path = str(tmp_path / "rf5")
         df = spark.range(0, 600, 1, 2).select(F.col("id").alias("k"))
         write_zarr(df, path, chunk_rows=100)  # stats on: 6 objects
-        before = infer_store_arrays(open_store(path))[0].meta.attributes[
-            STATS_ATTR_KEY
+        attrs = infer_store_arrays(open_store(path))[0].meta.attributes
+        assert attrs[STATS_ATTR_KEY] == [
+            [i * 100, i * 100 + 99] for i in range(6)
         ]
-        assert before == [[i * 100, i * 100 + 99] for i in range(6)]
         monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 4)
         with pytest.warns(UserWarning, match="statistics cap"):
             assert refresh_stats(spark, path) == 0  # skipped
+        after = infer_store_arrays(open_store(path))[0].meta.attributes
+        assert STATS_ATTR_KEY not in after  # stale bounds are GONE
+        # no pruning, but every cell scans — correct without stats
+        assert _reader_cells(path, [LessThan(("k",), 50)]) == [
+            (i,) for i in range(6)
+        ]
+
+    def test_refresh_past_cap_preserve_flag_keeps_stats(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """preserve_past_cap=True is the caller's assertion that the
+        data is unchanged (e.g. republishing after write_zarr's
+        distributed uncapped assembly): existing stats survive."""
+        import arrow_zarr_spark.io as io_mod
+        from arrow_zarr_spark.io import refresh_stats
+
+        path = str(tmp_path / "rf5b")
+        df = spark.range(0, 600, 1, 2).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=100)
+        before = infer_store_arrays(open_store(path))[0].meta.attributes[
+            STATS_ATTR_KEY
+        ]
+        monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 4)
+        with pytest.warns(UserWarning, match="statistics cap"):
+            assert (
+                refresh_stats(spark, path, preserve_past_cap=True) == 0
+            )
         after = infer_store_arrays(open_store(path))[0].meta.attributes[
             STATS_ATTR_KEY
         ]
         assert after == before  # stats survived the skip
         assert _reader_cells(path, [LessThan(("k",), 50)]) == [(0,)]
 
-    def test_refresh_past_cap_preserves_existing_sidecar(
+    def test_refresh_past_cap_strips_sidecar_by_default(
         self, spark, tmp_path, monkeypatch
     ):
-        """Same guarantee for the SIDECAR representation: a past-cap
-        refresh must not delete_sidecar the blocks a prior in-cap
-        refresh (or the distributed writer) published."""
+        """Same default for the SIDECAR representation: a past-cap
+        refresh deletes the marker AND the sidecar blocks unless the
+        caller passes preserve_past_cap=True."""
         import arrow_zarr_spark.io as io_mod
         from arrow_zarr_spark.io import refresh_stats
         from arrow_zarr_spark.zarr.stats import (
@@ -1074,14 +1103,22 @@ class TestRefreshStats:
         assert is_sidecar_marker(marker)
         monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 4)
         with pytest.warns(UserWarning, match="statistics cap"):
-            assert refresh_stats(spark, path) == 0  # skipped
+            assert (
+                refresh_stats(spark, path, preserve_past_cap=True) == 0
+            )
         store = open_store(path)
         after = infer_store_arrays(store)[0].meta.attributes[
             STATS_ATTR_KEY
         ]
-        assert after == marker
+        assert after == marker  # the flag keeps marker + blocks
         entries = resolve_stats(store, "k", after)
         assert entries[0] == [0, 99] and entries[7] == [700, 799]
+        with pytest.warns(UserWarning, match="statistics cap"):
+            assert refresh_stats(spark, path) == 0  # default: strip
+        store = open_store(path)
+        attrs = infer_store_arrays(store)[0].meta.attributes
+        assert STATS_ATTR_KEY not in attrs
+        assert not list(store.walk_prefix("__stats__"))  # blocks gone
 
     def test_unknown_column_rejected(self, spark, tmp_path):
         from arrow_zarr_spark.io import refresh_stats
