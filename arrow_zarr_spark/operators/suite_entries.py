@@ -1740,6 +1740,24 @@ def populate_deferred_queries(register) -> None:
     # verified against a python reference
     register("t05_pack_sequences", t05, None)
 
+    def x08(spark, sf_dir):
+        from .pipelines import leakage_safe_split
+
+        # the SIZE-ADAPTIVE default path (r10 ADVICE: split out of
+        # x06, whose oracle replays exact trigram-Jaccard pairs):
+        # exact_max_docs=0 forces the MinHash-LSH candidate route on
+        # any corpus, so the scale path itself gets a driver row.
+        # Rows-only by design — the LSH generator's xxhash64
+        # signatures aren't oracle-reproducible and its per-pair
+        # candidate recall (~0.988 at J=0.7) admits component drift
+        # vs the exact graph; the identical-split-when-recall-holds
+        # property is pytest-pinned instead.
+        return leakage_safe_split(
+            _docs(spark, sf_dir), exact_max_docs=0
+        )
+
+    register("x08_leakage_split_adaptive", x08, None)
+
 
 def populate_round6_queries(register) -> None:
     """Round-6 operator additions, every entry oracle-backed.
@@ -4043,9 +4061,21 @@ def populate_round8_split_queries(register) -> None:
     group-then-split pipeline is hash-verified end to end."""
 
     def x06(spark, sf_dir):
+        from .dedup import ngram_jaccard_pairs
         from .pipelines import leakage_safe_split
 
-        return leakage_safe_split(_docs(spark, sf_dir))
+        # the EXACT trigram-Jaccard generator is pinned explicitly:
+        # the registered oracle below replays exact pairs, while the
+        # function's size-adaptive default switches to LSH candidates
+        # (recall ≈ 0.988/pair) past exact_max_docs — on a >4096-doc
+        # corpus that could drop an edge and change a component, so
+        # defaults here would make this row nondeterministic at scale
+        # (r10 ADVICE). The adaptive default is exercised by the
+        # rows-only x08 entry instead.
+        docs = _docs(spark, sf_dir)
+        return leakage_safe_split(
+            docs, pairs=ngram_jaccard_pairs(docs, threshold=0.7)
+        )
 
     register(
         "x06_leakage_safe_split",
