@@ -359,26 +359,23 @@ def _stats_eligible(dtype: np.dtype) -> bool:
 #:   pruning pass, only for predicate columns (round-8; previously
 #:   stats were DROPPED past the cap, losing pruning on exactly the
 #:   billion-object stores that need it most);
-#: - fresh N-D grid creates assemble sidecar blocks distributed too
-#:   (r9); the grid APPEND/add-column verbs still skip stats past
-#:   STATS_GRID_MAX_OBJECTS with a warning (their old-ordinal
-#:   remapping is driver-side; grow the object size via shard_shape
-#:   — w13's 16x object-count lever is also a 16x stats lever).
+#: - N-D grid creates (r9), appends, and add-column (both r10)
+#:   assemble sidecar blocks distributed too — the append's
+#:   old-ordinal remap runs as a keys-only Spark job
+#:   (_assemble_grid_append_stats_sidecar), so no grid write verb
+#:   carries a driver-side stats bound anymore.
 #:
 #: The reference records no statistics at all (opener.rs:171-173), so
 #: this extension carries its own scale story.
 STATS_MAX_OBJECTS = 65536
 
 
-#: Hard bound for the GRID verbs' DRIVER-SIDE statistics assembly —
-#: since r9 that is the APPEND and add-column paths only (their
-#: old-ordinal remapping needs the prior grid in hand): past the
-#: inline cap they use the sidecar representation up to this bound
-#: (~100 B/entry transient driver memory — 4Mi cells ≈ 400 MB) and
-#: skip stats with a warning beyond it. FRESH grid creates assemble
-#: their sidecar blocks fully distributed (one task per 64Ki-ordinal
-#: block, absent cells bound to the fill pair in-task) and carry no
-#: bound at all — the same contract as the 1-D table writer.
+#: Hard bound for DRIVER-SIDE statistics recomputation — since r10
+#: that is :func:`refresh_stats` only (its per-object recompute work
+#: list and collected rows are genuinely driver-assembled). Every
+#: grid WRITE verb (create r9; append + add-column r10) assembles
+#: sidecar blocks fully distributed past the inline cap and carries
+#: no bound at all — the same contract as the 1-D table writer.
 STATS_GRID_MAX_OBJECTS = 1 << 22
 
 
@@ -654,9 +651,9 @@ def _assemble_grid_stats_sidecar(
     got a chunk object; a scan materializes pure fill there, so the
     fill value IS the bound). O(one block) memory anywhere — the
     driver sees only the block count. Returns the sidecar marker per
-    eligible column. Appends keep the driver-side remap path (its
-    STATS_GRID_MAX_OBJECTS bound), because remapping old ordinals
-    onto the grown grid needs the prior grid in hand."""
+    eligible column. Appends route through
+    :func:`_assemble_grid_append_stats_sidecar` instead (r10), whose
+    old-ordinal remap runs as a keys-only Spark job."""
     import pandas as pd
 
     from .zarr.stats import (
@@ -730,6 +727,270 @@ def _assemble_grid_stats_sidecar(
         .applyInPandas(fill_block, "blk long")
         .count()
     )
+    marker = {
+        "sidecar": int(n_blocks),
+        "n_entries": int(n_cells),
+        "block_entries": int(blk),
+    }
+    return {c: dict(marker) for c in eligible}
+
+
+def _assemble_grid_append_stats_sidecar(
+    spark, store, path, committed, metas, data_cols, fills,
+    grid_new, grid_old, ax_i, cs_a, old_len_a, old_stats_raw,
+) -> Dict[str, Dict]:
+    """Distributed statistics commit for a grid APPEND past the
+    inline cap — r10, closing the writer family's last driver-memory
+    term (the r9 driver-side remap and its STATS_GRID_MAX_OBJECTS
+    bound): no key/entry list ever materializes on the driver.
+
+    Only the append axis's grid count changes (``grid_old[ax_i]`` →
+    ``grid_new[ax_i]``; layout validation pins every other radix), so
+    the old→new C-order ordinal remap is pure mixed-radix integer
+    arithmetic and runs JVM-side as Spark SQL expressions:
+
+        suffix = old_ord %  P          (P = ∏ radices behind ax_i)
+        a      = (old_ord div P) %  g_old_a
+        prefix = (old_ord div P) div g_old_a
+        new    = (prefix * g_new_a + a) * P + suffix
+
+    Pipeline: old sidecar blocks read one-per-task (old INLINE lists,
+    ≤ the 64Ki inline cap, parallelize from the driver — the one
+    crossing-the-cap append) → remap to new ordinals + boundary flag
+    (JVM) → union with this append's committed cell stats → group by
+    new 64Ki-ordinal block → one task writes each COMPLETE block.
+    Per-slot defaults are recomputed in-task from the same
+    arithmetic: old-region slots with no surviving entry are UNKNOWN
+    (None — old data exists there; calling it fill would prune
+    wrongly), new-region slots are the fill pair (no chunk object →
+    a scan materializes pure fill), and the partial old boundary
+    cell's bounds union with the fill its extension materializes.
+    Committed cells win outright (their write task read-merged the
+    old chunk and bounded the full new block). Slicing matches the
+    driver path bit-for-bit — both publish identical blocks.
+
+    Same in-place block-overwrite visibility caveat as the driver
+    path it replaces: a reader holding pre-append metadata that
+    resolves its sidecar mid-rewrite can fetch a remapped block;
+    stats are advisory planning metadata republished atomically with
+    the metadata-last commit."""
+    import pandas as pd
+
+    from .zarr.stats import (
+        STATS_BLOCK_ENTRIES,
+        block_key,
+        is_sidecar_marker,
+    )
+
+    blk = STATS_BLOCK_ENTRIES
+    eligible = [c for c in data_cols if _stats_eligible(metas[c].dtype)]
+    if not eligible:
+        return {}
+    n_cells = 1
+    for g in grid_new:
+        n_cells *= int(g)
+    n_old = 1
+    for g in grid_old:
+        n_old *= int(g)
+    n_blocks = -(-n_cells // blk)
+    g_old_a = int(grid_old[ax_i])
+    g_new_a = int(grid_new[ax_i])
+    p_behind = 1
+    for g in grid_new[ax_i + 1 :]:
+        p_behind *= int(g)
+    # the partial old cell along the append axis (its extension
+    # materializes fill, so its bounds union with the fill pair)
+    boundary = old_len_a // cs_a if old_len_a % cs_a else -1
+    fill_pairs = {}
+    for c in eligible:
+        fb = np.asarray(fills[c], dtype=metas[c].dtype)
+        fill_pairs[c] = [
+            _stat_encode(fb, metas[c].dtype),
+            _stat_encode(fb, metas[c].dtype, upper=True),
+        ]
+
+    old_schema = "col string, old_ord long, pair string"
+    old_frames = []
+    inline_rows = []
+    sidecar_work = []
+    for c in eligible:
+        raw = old_stats_raw.get(c)
+        if isinstance(raw, list) and len(raw) == n_old:
+            inline_rows.extend(
+                (c, i, json.dumps(p))
+                for i, p in enumerate(raw)
+                if p is not None
+            )
+        elif is_sidecar_marker(raw) and raw.get("n_entries") == n_old:
+            be = int(raw["block_entries"])
+            sidecar_work.extend(
+                (c, b, be) for b in range(int(raw["sidecar"]))
+            )
+        # else: no / stale old stats — the whole old region stays
+        # UNKNOWN for this column via the in-task default
+    if inline_rows:
+        old_frames.append(spark.createDataFrame(inline_rows, old_schema))
+    if sidecar_work:
+        path_t0 = path
+
+        def read_old_blocks(batches):
+            task_store = open_store(path_t0)
+            for pdf in batches:
+                for c, b, be in zip(
+                    pdf["col"], pdf["blk"], pdf["be"]
+                ):
+                    raw = task_store.get(block_key(str(c), int(b)))
+                    entries = json.loads(raw) if raw is not None else []
+                    ords, pairs = [], []
+                    for i, p in enumerate(entries):
+                        if p is not None:
+                            ords.append(int(b) * int(be) + i)
+                            pairs.append(json.dumps(p))
+                    yield pd.DataFrame(
+                        {
+                            "col": [str(c)] * len(ords),
+                            "old_ord": pd.Series(
+                                ords, dtype="int64"
+                            ),
+                            "pair": pairs,
+                        }
+                    )
+
+        work_df = spark.createDataFrame(
+            sidecar_work, "col string, blk long, be long"
+        ).repartition(
+            max(
+                1,
+                min(
+                    len(sidecar_work),
+                    spark.sparkContext.defaultParallelism * 2,
+                ),
+            )
+        )
+        old_frames.append(
+            work_df.mapInPandas(read_old_blocks, old_schema)
+        )
+
+    # JVM-side remap + boundary flag; prio 0 (committed rows win)
+    remapped = None
+    old_df = None
+    if old_frames:
+        old_df = old_frames[0]
+        for f in old_frames[1:]:
+            old_df = old_df.unionByName(f)
+        # MATERIALIZE the old entries before any new block is
+        # written: the final job OVERWRITES old sidecar block keys in
+        # place, and without this barrier a read_old_blocks task
+        # could race a write_block task inside the same action and
+        # read remapped content as if it were pre-append.
+        # localCheckpoint TRUNCATES lineage — a lost partition can
+        # never silently recompute from the (by then rewritten)
+        # source files; executor loss fails the append instead
+        # (the dedup.py:288 tradeoff; a fault-tolerant deployment
+        # sets a reliable checkpoint dir and swaps to checkpoint()).
+        old_df = old_df.localCheckpoint(eager=True)
+        rest = F.expr(f"old_ord div {p_behind}")
+        a_dig = rest % F.lit(g_old_a)
+        prefix = F.expr(f"(old_ord div {p_behind}) div {g_old_a}")
+        new_ord = (
+            (prefix * F.lit(g_new_a) + a_dig) * F.lit(p_behind)
+            + F.col("old_ord") % F.lit(p_behind)
+        )
+        remapped = old_df.select(
+            "col",
+            new_ord.cast("long").alias("cell"),
+            "pair",
+            (a_dig == F.lit(boundary)).alias("at_boundary"),
+            F.lit(0).alias("prio"),
+        )
+    commit_rows = committed.select(
+        F.lit(None).cast("string").alias("col"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("stats").alias("pair"),
+        F.lit(False).alias("at_boundary"),
+        F.lit(1).alias("prio"),
+    )
+    all_rows = (
+        commit_rows.unionByName(remapped)
+        if remapped is not None
+        else commit_rows
+    )
+    all_rows = all_rows.withColumn("__blk", F.expr(f"cell div {blk}"))
+
+    path_t = path
+    blk_t = blk
+    n_cells_t = int(n_cells)
+    g_old_a_t = g_old_a
+    g_new_a_t = g_new_a
+    p_behind_t = p_behind
+    eligible_t = list(eligible)
+    fills_t = dict(fill_pairs)
+
+    def write_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["__blk"].iloc[0])
+        base_len = min(blk_t, n_cells_t - b * blk_t)
+        # per-slot defaults from the same arithmetic the remap used:
+        # old-region (append-axis digit < g_old_a) → unknown;
+        # new-region → fill pair
+        ords = b * blk_t + np.arange(base_len, dtype=np.int64)
+        a_dig = (ords // p_behind_t) % g_new_a_t
+        in_old = a_dig < g_old_a_t
+        entries = {
+            c: [None if o else fills_t[c] for o in in_old]
+            for c in eligible_t
+        }
+        pdf = pdf.sort_values("prio")
+        for cell, col, pair, at_b, prio in zip(
+            pdf["cell"], pdf["col"], pdf["pair"],
+            pdf["at_boundary"], pdf["prio"],
+        ):
+            if pair is None:  # the left-join seed row of an empty block
+                continue
+            slot = int(cell) - b * blk_t
+            if not (0 <= slot < base_len):
+                raise ZarrFormatError(
+                    f"append stats sidecar: cell {int(cell)} outside "
+                    f"block {b} (block_entries={blk_t}, "
+                    f"base_len={base_len})"
+                )
+            if int(prio) == 0:
+                p = json.loads(pair)
+                if bool(at_b):
+                    p = _union_stat_bounds(p, fills_t[str(col)])
+                entries[str(col)][slot] = p
+            else:
+                for c, p in json.loads(pair).items():
+                    if c in entries:
+                        entries[c][slot] = p
+        task_store = open_store(path_t)
+        from .zarr.stats import block_key as _bk
+
+        for c in eligible_t:
+            task_store.set(
+                _bk(c, b), json.dumps(entries[c]).encode()
+            )
+        return pd.DataFrame({"blk": [b]})
+
+    # left-join one seed row per block so EMPTY new blocks (ordinal
+    # ranges neither old entries nor this append touched) still
+    # publish their default content — resolve_stats demands every
+    # block the marker advertises
+    blocks_df = spark.range(n_blocks).select(F.col("id").alias("__blk"))
+    (
+        blocks_df.join(all_rows, "__blk", "left")
+        .groupBy("__blk")
+        .applyInPandas(write_block, "blk long")
+        .count()
+    )
+    # defensive: an old sidecar written with a SMALLER block_entries
+    # constant could hold more blocks than the grown marker
+    # advertises — delete the unreferenced tail so no debris survives
+    # (block-count arithmetic; never an entry list)
+    for c in eligible:
+        raw = old_stats_raw.get(c)
+        if is_sidecar_marker(raw):
+            for b in range(n_blocks, int(raw["sidecar"])):
+                store.delete(block_key(c, b))
     marker = {
         "sidecar": int(n_blocks),
         "n_entries": int(n_cells),
@@ -1254,10 +1515,13 @@ def _validate_grid_append_target(
             c, m, tuple(int(x) for x in chunk_shape), tuple(dims),
             shard=shard_shape,
         )
-        from .zarr.stats import resolve_stats
-
-        s = resolve_stats(store, c, m.attributes.get(STATS_ATTR_KEY))
-        old_stats[c] = s if isinstance(s, list) else None
+        # RAW attribute value (inline list / sidecar marker / None):
+        # the caller resolves it driver-side only on the small inline
+        # path; the distributed append assembly reads old sidecar
+        # blocks task-side, so the full entry list never materializes
+        # on the driver (r10 — the writer family's last driver-memory
+        # term)
+        old_stats[c] = m.attributes.get(STATS_ATTR_KEY)
     return old_axes, old_stats, shard_shape
 
 
@@ -1499,22 +1763,14 @@ def write_zarr_grid(
     _n_cells_planned = 1
     for _g in grid:
         _n_cells_planned *= _g
-    # FRESH creates past the inline cap assemble sidecar blocks
-    # DISTRIBUTED (no bound); appends keep the driver-side remap path
-    # and its STATS_GRID_MAX_OBJECTS bound
-    sidecar_grid = (
-        bool(stats)
-        and not appending
-        and _n_cells_planned > STATS_MAX_OBJECTS
-    )
-    if sidecar_grid:
-        want_stats = True
-    else:
-        want_stats = bool(stats) and _stats_within_cap(
-            _n_cells_planned,
-            "write_zarr_grid append" if appending else "write_zarr_grid",
-            cap=STATS_GRID_MAX_OBJECTS,
-        )
+    # past the inline cap the sidecar blocks assemble DISTRIBUTED —
+    # fresh creates since r9, appends since r10 (the old-ordinal
+    # remap now runs as a keys-only Spark remap job, so the writer
+    # family carries NO driver-side stats bound at all; the
+    # STATS_GRID_MAX_OBJECTS cap survives only in refresh_stats,
+    # whose recompute work list is genuinely driver-assembled)
+    sidecar_grid = bool(stats) and _n_cells_planned > STATS_MAX_OBJECTS
+    want_stats = bool(stats)
     if not want_stats:
         from .zarr.stats import delete_sidecar
 
@@ -1570,17 +1826,34 @@ def write_zarr_grid(
         committed = committed.persist()
         try:
             written, _ = _commit_totals(committed, False)
-            markers = _assemble_grid_stats_sidecar(
-                spark, store, path, committed, metas, data_cols,
-                fills, _n_cells_planned,
-            )
+            if appending:
+                markers = _assemble_grid_append_stats_sidecar(
+                    spark, store, path, committed, metas, data_cols,
+                    fills, grid,
+                    [
+                        -(-len(old_axes[d]) // int(cs))
+                        for d, cs in zip(dims, cell_shape)
+                    ],
+                    ax_i, int(cell_shape[ax_i]),
+                    len(old_axes[append_dim]), old_stats,
+                )
+            else:
+                markers = _assemble_grid_stats_sidecar(
+                    spark, store, path, committed, metas, data_cols,
+                    fills, _n_cells_planned,
+                )
         finally:
             committed.unpersist()
         for c, marker in markers.items():
             metas[c].attributes[STATS_ATTR_KEY] = marker
-            store.set(
-                f"{c}/zarr.json", json.dumps(metas[c].to_json()).encode()
-            )
+            if not appending:
+                # append republishes EVERY array's metadata in the
+                # metadata-last block below; writing it here would
+                # expose the grown marker before the grown shape
+                store.set(
+                    f"{c}/zarr.json",
+                    json.dumps(metas[c].to_json()).encode(),
+                )
         result_rows = None
     else:
         written, result_rows = _commit_totals(committed, want_stats)
@@ -1619,7 +1892,10 @@ def write_zarr_grid(
                     -(-len(old_axes[d]) // int(cs))
                     for d, cs in zip(dims, cell_shape)
                 ]
-                old_entries = old_stats.get(c)
+                from .zarr.stats import resolve_stats as _resolve
+
+                s = _resolve(store, c, old_stats.get(c))
+                old_entries = s if isinstance(s, list) else None
                 n_old = 1
                 for g in g_old:
                     n_old *= g
@@ -3091,9 +3367,12 @@ def add_zarr_arrays(
     _n_cells_planned = 1
     for _g in grid:
         _n_cells_planned *= _g
-    want_stats = bool(stats) and _stats_within_cap(
-        _n_cells_planned, "add column", cap=STATS_GRID_MAX_OBJECTS
-    )
+    # past the inline cap the sidecar assembles DISTRIBUTED (r10 —
+    # add-column has no old-ordinal remap: the grid is unchanged, so
+    # the fresh-create block assembly applies verbatim); no driver
+    # bound remains on this verb either
+    sidecar_grid = bool(stats) and _n_cells_planned > STATS_MAX_OBJECTS
+    want_stats = bool(stats)
 
     def write_new_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["__cell"].iloc[0])
@@ -3128,12 +3407,28 @@ def add_zarr_arrays(
     committed = out.groupBy("__cell").applyInPandas(
         write_new_cell, schema="cell long, rows long, stats string"
     )
-    written, result_rows = _commit_totals(committed, want_stats)
+    if sidecar_grid:
+        # distributed block assembly, fresh-create shape (persist so
+        # the chunk-writing stage runs exactly once)
+        committed = committed.persist()
+        try:
+            written, _ = _commit_totals(committed, False)
+            markers = _assemble_grid_stats_sidecar(
+                spark, store, path, committed, metas, data_cols,
+                fills, _n_cells_planned,
+            )
+        finally:
+            committed.unpersist()
+        for c, marker in markers.items():
+            metas[c].attributes[STATS_ATTR_KEY] = marker
+        result_rows = None
+    else:
+        written, result_rows = _commit_totals(committed, want_stats)
 
     # every chunk has landed — NOW publish: per-array metadata (with
     # stats: provided cells from the tasks, absent cells are pure
     # fill, exactly what a reader materializes), then the root cache
-    if want_stats:
+    if want_stats and not sidecar_grid:
         n_cells = 1
         for g in grid:
             n_cells *= g

@@ -229,12 +229,24 @@ class TestStatsObjectCap:
             == (7.0, 3.0)
         )
 
-    def test_grid_write_past_grid_bound_skips(
+    def test_grid_write_past_old_grid_bound_keeps_stats(
         self, spark, tmp_path, monkeypatch
     ):
+        """r10: the grid WRITE verbs carry no driver-side stats bound
+        anymore — past what used to be STATS_GRID_MAX_OBJECTS the
+        sidecar assembles distributed instead of skipping (the bound
+        survives only in refresh_stats, whose recompute is genuinely
+        driver-assembled)."""
+        import warnings as _warnings
+
         import arrow_zarr_spark.io as io_mod
         from arrow_zarr_spark.io import write_zarr_grid
+        from arrow_zarr_spark.zarr.stats import (
+            is_sidecar_marker,
+            resolve_stats,
+        )
 
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
         monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 4)
         path = str(tmp_path / "cap3b")
         rows = [
@@ -243,15 +255,18 @@ class TestStatsObjectCap:
             for y in range(8)
         ]
         df = spark.createDataFrame(rows, ["x", "y", "val"])
-        with pytest.warns(UserWarning, match="statistics cap"):
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error", UserWarning)  # no cap warning
             write_zarr_grid(
                 df, path, dims=("x", "y"), chunk_shape=(2, 2)
-            )  # 16 cells > grid bound 4 -> skip
+            )  # 16 cells > both caps -> distributed sidecar
+        store = open_store(path)
         metas = {
-            a.meta.name: a.meta
-            for a in infer_store_arrays(open_store(path))
+            a.meta.name: a.meta for a in infer_store_arrays(store)
         }
-        assert STATS_ATTR_KEY not in metas["val"].attributes
+        marker = metas["val"].attributes[STATS_ATTR_KEY]
+        assert is_sidecar_marker(marker)
+        assert len(resolve_stats(store, "val", marker)) == 16
         assert spark.read.format("zarr").load(path).count() == 64
 
     def test_refresh_stats_builds_sidecar_past_cap(

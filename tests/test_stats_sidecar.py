@@ -570,3 +570,197 @@ class TestBlockStreaming:
         assert len(walked) == 2  # block 0 then the sentinel
         # non-marker input degrades immediately
         assert list(iter_stats_blocks(store, "a", entries)) == [None]
+
+
+class TestDistributedAppendStats:
+    """r10: the grid APPEND's stats assembly past the inline cap runs
+    fully distributed (_assemble_grid_append_stats_sidecar) — the
+    old-ordinal remap is a keys-only Spark job, no entry list ever
+    materializes on the driver, and the former STATS_GRID_MAX_OBJECTS
+    skip is gone from every grid write verb."""
+
+    @staticmethod
+    def _grid(spark, xs, ys):
+        return spark.createDataFrame(
+            [
+                (float(x), float(y), float(x * 100 + y))
+                for x in xs
+                for y in ys
+            ],
+            ["x", "y", "val"],
+        )
+
+    def _write(self, spark, path, df, **kw):
+        from arrow_zarr_spark.io import write_zarr_grid
+
+        return write_zarr_grid(
+            df, path, dims=("x", "y"), chunk_shape=(2, 2), **kw
+        )
+
+    def test_crossing_cap_remaps_inline_boundary_and_fill(
+        self, spark, tmp_path, small_caps
+    ):
+        """Inline old stats (4 cells) -> appended store past the cap
+        (6 cells, 2 sidecar blocks at block size 4). Exercises every
+        slot class at once: remapped old cells, a written boundary
+        cell (committed wins), an UNWRITTEN boundary cell (old bounds
+        union the fill its extension materializes), an unwritten
+        new-region cell (pure fill pair), and a written new cell."""
+        path = str(tmp_path / "ap1")
+        # old: x 0..2 (partial second x-cell), y 0..3
+        self._write(spark, path, self._grid(spark, range(3), range(4)))
+        store = open_store(path)
+        m0 = {a.meta.name: a.meta for a in infer_store_arrays(store)}
+        assert not is_sidecar_marker(m0["val"].attributes[STATS_ATTR_KEY])
+        # append x 3..5; sparse: x=3 rows only y 0..1 (so boundary
+        # cell (1,1) is untouched), x in 4..5 rows only y 2..3 (so
+        # new cell (2,0) is untouched)
+        sparse = self._grid(spark, [3], [0, 1]).unionByName(
+            self._grid(spark, [4, 5], [2, 3])
+        )
+        self._write(
+            spark, path, sparse, mode="append", append_dim="x"
+        )
+        store = open_store(path)
+        meta = {a.meta.name: a.meta for a in infer_store_arrays(store)}[
+            "val"
+        ]
+        marker = meta.attributes[STATS_ATTR_KEY]
+        assert is_sidecar_marker(marker) and marker["sidecar"] == 2
+        e = resolve_stats(store, "val", marker)
+        assert e == [
+            [0.0, 101.0],    # (0,0) remapped old
+            [2.0, 103.0],    # (0,1) remapped old
+            [200.0, 301.0],  # (1,0) boundary, WRITTEN: read-merge
+            [0.0, 203.0],    # (1,1) boundary, untouched: old ∪ fill
+            [0.0, 0.0],      # (2,0) new region, untouched: fill
+            [402.0, 503.0],  # (2,1) new region, written
+        ]
+        # end-to-end: pruning through the real reader stays sound
+        kept = _reader_cells(path, [GreaterThan(("val",), 400.0)])
+        assert kept == [(2, 1)]
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 6 * 4
+        assert back.filter(F.col("val") == 503.0).count() == 1
+
+    def test_sidecar_to_sidecar_remap_reads_old_blocks_in_tasks(
+        self, spark, tmp_path, small_caps
+    ):
+        """Old store already sidecar-backed (6 cells, 2 blocks): the
+        append job reads old blocks task-side and republishes the
+        grown store's 8 cells across 2 blocks."""
+        path = str(tmp_path / "ap2")
+        self._write(spark, path, self._grid(spark, range(6), range(4)))
+        store = open_store(path)
+        m0 = {a.meta.name: a.meta for a in infer_store_arrays(store)}[
+            "val"
+        ]
+        assert is_sidecar_marker(m0.attributes[STATS_ATTR_KEY])
+        self._write(
+            spark, path, self._grid(spark, [6, 7], range(4)),
+            mode="append", append_dim="x",
+        )
+        store = open_store(path)
+        meta = {a.meta.name: a.meta for a in infer_store_arrays(store)}[
+            "val"
+        ]
+        marker = meta.attributes[STATS_ATTR_KEY]
+        assert is_sidecar_marker(marker)
+        assert marker["n_entries"] == 8 and marker["sidecar"] == 2
+        e = resolve_stats(store, "val", marker)
+        # old cells remapped verbatim (x len 6 divides evenly: no
+        # boundary), new x-cell written
+        assert e[0] == [0.0, 101.0]
+        assert e[5] == [402.0, 503.0]
+        assert e[6] == [600.0, 701.0] and e[7] == [602.0, 703.0]
+        kept = _reader_cells(path, [GreaterThan(("val",), 650.0)])
+        assert kept == [(3, 0), (3, 1)]
+
+    def test_statless_old_region_stays_unknown(
+        self, spark, tmp_path, small_caps
+    ):
+        """Appending WITH stats onto a stats=False store: old cells
+        must resolve to None (unknown — old data lives there; calling
+        it fill would prune wrongly), and pruning keeps them."""
+        path = str(tmp_path / "ap3")
+        self._write(
+            spark, path, self._grid(spark, range(4), range(4)),
+            stats=False,
+        )
+        self._write(
+            spark, path, self._grid(spark, [4, 5], range(4)),
+            mode="append", append_dim="x",
+        )
+        store = open_store(path)
+        meta = {a.meta.name: a.meta for a in infer_store_arrays(store)}[
+            "val"
+        ]
+        e = resolve_stats(store, "val", meta.attributes[STATS_ATTR_KEY])
+        assert e[:4] == [None, None, None, None]  # old region unknown
+        assert e[4] == [400.0, 501.0] and e[5] == [402.0, 503.0]
+        # a predicate excluding every NEW cell still keeps all OLD
+        # cells: unknown never prunes
+        kept = _reader_cells(path, [LessThan(("val",), 350.0)])
+        assert kept == [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+    def test_distributed_path_matches_driver_path_bit_for_bit(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The same append written through the driver inline path
+        (default caps) and the distributed sidecar path (shrunk caps)
+        must publish IDENTICAL entry lists — the slicing contract the
+        three-tier commit already pins, applied to stats."""
+        import arrow_zarr_spark.io as io_mod
+        import arrow_zarr_spark.zarr.stats as stats_mod
+
+        old = self._grid(spark, range(3), range(4))
+        new = self._grid(spark, [3], [0, 1]).unionByName(
+            self._grid(spark, [4, 5], [2, 3])
+        )
+        p_drv = str(tmp_path / "drv")
+        self._write(spark, p_drv, old)
+        self._write(spark, p_drv, new, mode="append", append_dim="x")
+        s = open_store(p_drv)
+        m = {a.meta.name: a.meta for a in infer_store_arrays(s)}["val"]
+        e_driver = resolve_stats(s, "val", m.attributes[STATS_ATTR_KEY])
+        assert not is_sidecar_marker(m.attributes[STATS_ATTR_KEY])
+
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+        monkeypatch.setattr(stats_mod, "STATS_BLOCK_ENTRIES", 4)
+        p_dist = str(tmp_path / "dist")
+        self._write(spark, p_dist, old)
+        self._write(spark, p_dist, new, mode="append", append_dim="x")
+        s = open_store(p_dist)
+        m = {a.meta.name: a.meta for a in infer_store_arrays(s)}["val"]
+        assert is_sidecar_marker(m.attributes[STATS_ATTR_KEY])
+        e_dist = resolve_stats(s, "val", m.attributes[STATS_ATTR_KEY])
+        assert e_dist == e_driver
+
+    def test_add_column_past_cap_assembles_sidecar(
+        self, spark, tmp_path, small_caps
+    ):
+        """r10: add_zarr_arrays past the inline cap assembles its
+        sidecar distributed (the fresh-create block job — the grid is
+        unchanged, so no remap) instead of skipping stats."""
+        import warnings as _warnings
+
+        from arrow_zarr_spark.io import add_zarr_arrays
+
+        path = str(tmp_path / "ap4")
+        self._write(spark, path, self._grid(spark, range(6), range(4)))
+        newcol = self._grid(spark, range(3), range(4)).select(
+            "x", "y", (F.col("x") + F.col("y")).alias("q")
+        )
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error", UserWarning)  # no cap warning
+            add_zarr_arrays(newcol, path, dims=["x", "y"], fill_value=-1)
+        store = open_store(path)
+        meta = {a.meta.name: a.meta for a in infer_store_arrays(store)}[
+            "q"
+        ]
+        marker = meta.attributes[STATS_ATTR_KEY]
+        assert is_sidecar_marker(marker) and marker["n_entries"] == 6
+        e = resolve_stats(store, "q", marker)
+        assert e[0] == [0, 2] and e[4] == [-1, -1]  # fill cell known
+        kept = _reader_cells(path, [GreaterThan(("q",), 100.0)])
+        assert kept == []  # nothing matches -> everything pruned
