@@ -3564,7 +3564,7 @@ def drop_zarr_array(path: str, name: str) -> int:
     return len(doomed)
 
 
-def vacuum_zarr(path: str, dry_run: bool = True) -> dict:
+def vacuum_zarr(path: str, dry_run: bool = True, *, spark=None) -> dict:
     """Garbage-collect a store: find (and with ``dry_run=False``
     delete) keys unreachable from the CURRENT metadata — staging
     leftovers from interrupted sink writes, chunk objects beyond the
@@ -3644,11 +3644,61 @@ def vacuum_zarr(path: str, dry_run: bool = True) -> dict:
             return False
         return rest == m.chunk_key(idx)
 
-    orphans = sorted(k for k in store.walk_keys() if not reachable(k))
-    if not dry_run:
-        for k in orphans:
-            store.delete(k)
-    return {"orphans": orphans, "deleted": not dry_run}
+    from .zarr import versions as _V
+
+    probe = (
+        None
+        if spark is None
+        else store.probe_keys(
+            _V.MAINT_DRIVER_LIST_MAX, skip_prefixes=(VERSIONS_PREFIX,)
+        )
+    )
+    if spark is None or probe is not None:
+        keys = (
+            probe
+            if probe is not None
+            else (
+                k
+                for k in store.walk_keys()
+                if not k.startswith(VERSIONS_PREFIX)
+            )
+        )
+        orphans = sorted(k for k in keys if not reachable(k))
+        if not dry_run:
+            for k in orphans:
+                store.delete(k)
+        return {
+            "orphans": orphans,
+            "n_orphans": len(orphans),
+            "deleted": not dry_run,
+        }
+    # r10 distributed tier: past the maintenance cap the listing fans
+    # out per top-level subtree, reachability evaluates inside the
+    # tasks (metas are metadata-scale and ride the closure), deletes
+    # run executor-parallel, and the receipt carries a count plus a
+    # 100-key sample instead of the full orphan list. ``.versions/``
+    # is skipped at the listing (reachable by definition).
+    orphan_rdd = (
+        _V._live_keys_rdd(spark, path, include_staging=True).filter(
+            lambda k: not reachable(k)
+        )
+    ).persist()
+    try:
+        sample = sorted(orphan_rdd.take(100))
+        if dry_run:
+            n = orphan_rdd.count()
+        else:
+
+            def sweep(keys):
+                task_store = open_store(path)
+                for k in keys:
+                    task_store.delete(k)
+                    yield 1
+
+            n = orphan_rdd.mapPartitions(sweep).count()
+    finally:
+        orphan_rdd.unpersist()
+    return {"orphans": sample, "n_orphans": n, "deleted": not dry_run}
 
 
 def replicate_zarr(
@@ -3714,30 +3764,23 @@ def replicate_zarr(
     version_tag_prefix = VERSIONS_PREFIX + "tags/"
     version_head = VERSIONS_PREFIX + "HEAD.json"
 
-    data_keys: List[str] = []
-    meta_keys: List[str] = []
-    for k in sorted(src_store.walk_keys()):
-        if k.startswith("__stage__"):
-            continue  # in-flight sink staging is not committed state
+    def is_meta(k: str) -> bool:
         if k.startswith(VERSIONS_PREFIX):
-            if not include_versions:
-                continue
-            if (
+            return (
                 k.startswith(version_meta_prefix)
                 or k.startswith(version_tag_prefix)
                 or k == version_head
-            ):
-                meta_keys.append(k)
-            else:
-                data_keys.append(k)
-        elif k.split("/")[-1] in meta_basenames:
-            meta_keys.append(k)
-        else:
-            data_keys.append(k)
+            )
+        return k.split("/")[-1] in meta_basenames
 
     def copy_batch(keys: Iterator[str]):
+        """One summary row per partition — the driver aggregates
+        counts, never a per-key row (r10: the old per-key collect was
+        the one O(n_keys) driver term left in this verb)."""
         s_store = open_store(src)
         d_store = open_store(dst)
+        n = n_bytes = n_verified = n_bad = 0
+        bad_sample: List[str] = []
         for key in keys:
             data = s_store.get(key)
             if data is None:
@@ -3746,26 +3789,81 @@ def replicate_zarr(
                     f"replicate only quiesced stores"
                 )
             d_store.set(key, data)
-            # re-read and compare bytes directly — both buffers are
-            # already in memory, hashing them would just double CPU
-            ok = d_store.get(key) == data if verify else True
-            yield (key, len(data), int(verify), int(not ok))
+            n += 1
+            n_bytes += len(data)
+            if verify:
+                n_verified += 1
+                # re-read and compare bytes directly — both buffers
+                # are already in memory, hashing would double CPU
+                if d_store.get(key) != data:
+                    n_bad += 1
+                    if len(bad_sample) < 10:
+                        bad_sample.append(key)
+        yield (n, n_bytes, n_verified, n_bad, bad_sample)
 
-    if spark is None or not data_keys:
-        rows = list(copy_batch(iter(data_keys)))
+    from .zarr import versions as _V
+
+    skip = ("__stage__",) + (
+        () if include_versions else (VERSIONS_PREFIX,)
+    )
+    probe = (
+        None
+        if spark is None
+        else src_store.probe_keys(
+            _V.MAINT_DRIVER_LIST_MAX, skip_prefixes=skip
+        )
+    )
+    if spark is None or probe is not None:
+        # driver-list tier (spark=None keeps the unbounded serial walk
+        # for tools/tests; with spark the probe bounded it)
+        keys = (
+            probe
+            if probe is not None
+            else [
+                k
+                for k in src_store.walk_keys()
+                if not k.startswith("__stage__")
+                and (include_versions or not k.startswith(VERSIONS_PREFIX))
+            ]
+        )
+        data_keys = sorted(k for k in keys if not is_meta(k))
+        meta_keys = sorted(k for k in keys if is_meta(k))
+        if spark is None or not data_keys:
+            rows = list(copy_batch(iter(data_keys)))
+        else:
+            sc = spark.sparkContext
+            n_parts = n_partitions or max(
+                1, min(len(data_keys), sc.defaultParallelism * 2)
+            )
+            rows = (
+                sc.parallelize(data_keys, n_parts)
+                .mapPartitions(copy_batch)
+                .collect()
+            )
     else:
-        sc = spark.sparkContext
-        n_parts = n_partitions or max(
-            1, min(len(data_keys), sc.defaultParallelism * 2)
-        )
-        rows = (
-            sc.parallelize(data_keys, n_parts)
-            .mapPartitions(copy_batch)
-            .collect()
-        )
-    n_bytes = sum(b for _, b, _, _ in rows)
-    n_verified = sum(v for _, _, v, _ in rows)
-    mismatched = [k for k, _, _, bad in rows if bad]
+        # r10 distributed tier: no driver key list. Live keys fan out
+        # per top-level subtree; with include_versions the content-
+        # object area fans out per hash shard (objects/00..ff) and the
+        # metadata-scale manifests/tags/HEAD list from the driver.
+        live = _V._live_keys_rdd(spark, src)
+        data_rdd = live.filter(lambda k: not is_meta(k))
+        meta_keys = sorted(live.filter(is_meta).collect())  # per-array docs
+        if include_versions:
+            data_rdd = data_rdd.union(_V._object_keys_rdd(spark, src))
+            meta_keys += sorted(
+                src_store.walk_prefix(version_meta_prefix)
+            ) + sorted(src_store.walk_prefix(version_tag_prefix))
+            if src_store.exists(version_head):
+                meta_keys.append(version_head)
+        if n_partitions:
+            data_rdd = data_rdd.repartition(n_partitions)
+        rows = data_rdd.mapPartitions(copy_batch).collect()
+
+    n_data = sum(r[0] for r in rows)
+    n_bytes = sum(r[1] for r in rows)
+    n_verified = sum(r[2] for r in rows)
+    mismatched = [k for r in rows for k in r[4]]
+    n_mismatch = sum(r[3] for r in rows)
 
     # metadata publishes last, deepest paths first so root documents
     # (consolidated zarr.json / .zmetadata) land at the very end
@@ -3781,16 +3879,17 @@ def replicate_zarr(
             echo = dst_store.get(key)
             if echo != data:
                 mismatched.append(key)
+                n_mismatch += 1
             n_verified += 1
 
-    if mismatched:
+    if n_mismatch:
         raise ZarrFormatError(
-            f"replicate_zarr: {len(mismatched)} object(s) failed byte "
+            f"replicate_zarr: {n_mismatch} object(s) failed byte "
             f"verification at {dst!r} (first: {mismatched[0]!r}) — the "
             f"replica is NOT trustworthy"
         )
     return {
-        "n_objects": len(rows),
+        "n_objects": n_data,
         "n_bytes": n_bytes,
         "n_meta_docs": len(meta_keys),
         "n_verified": n_verified,

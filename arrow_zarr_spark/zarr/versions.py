@@ -331,6 +331,159 @@ def _snapshot_distributed(
     return rows
 
 
+# ---------------------------------------------------------------------------
+# Distributed listing machinery for the MAINTENANCE verbs (r10).
+#
+# commit_version got the three-tier listing in r9; these helpers give
+# the same shape to every other verb that walks a keyspace
+# (vacuum_versions / scrub / repair / sync / rollback-extras /
+# export, and io.replicate_zarr / io.vacuum_zarr): below the cap the
+# verb keeps its driver-list form (one Spark job, small-store
+# latency); past it the listing itself distributes and the driver
+# never holds a key list. The reference has no maintenance surface at
+# all (its store access is read-only scanning, config.rs:126-132) —
+# this family is original to this engine, so the scale discipline is
+# self-imposed: no verb may carry an O(n_objects) driver term.
+# ---------------------------------------------------------------------------
+
+#: Key-count cutover for the maintenance verbs' listings — same bound
+#: and probe discipline as COMMIT_DRIVER_LIST_MAX, separate name so
+#: tests can force each tier independently.
+MAINT_DRIVER_LIST_MAX = 1 << 17
+
+
+def _probe_prefix(store: Store, prefix: str, cap: int):
+    """Bounded probe of ONE subtree: the keys under ``prefix`` when
+    there are at most ``cap``, else ``None`` (the caller must take a
+    distributed path). ``walk_prefix`` is incremental on every
+    backend (the r9 ADVICE fix), so the probe's driver cost is capped
+    regardless of store size."""
+    import itertools
+
+    out = list(itertools.islice(store.walk_prefix(prefix), cap + 1))
+    return None if len(out) > cap else out
+
+
+def _live_keys_rdd(spark, path: str, include_staging: bool = False):
+    """Distributed live-key listing — the RDD analog of
+    :func:`_live_keys` with NO driver key list: the driver holds only
+    the store's top-level entries (``Store.list_root``, one delimiter
+    listing); tasks list one subtree each (the _snapshot_distributed
+    fan-out, steps 1-2). ``include_staging`` keeps ``__stage__``
+    (io.vacuum_zarr hunts staging debris; everything else treats it
+    as not-committed state)."""
+    sc = spark.sparkContext
+    store = open_store(path)
+    groups = [
+        (name, is_dir)
+        for name, is_dir in store.list_root()
+        if name != VERSIONS_PREFIX.rstrip("/")
+        and (include_staging or not name.startswith("__stage__"))
+    ]
+    if not groups:
+        return sc.parallelize([], 1)
+
+    def list_group(items):
+        task_store = open_store(path)
+        for name, is_dir in items:
+            if is_dir:
+                yield from task_store.walk_prefix(name)
+            else:
+                yield name
+
+    n_g = max(1, min(len(groups), sc.defaultParallelism * 2))
+    return sc.parallelize(groups, n_g).mapPartitions(list_group)
+
+
+def _object_keys_rdd(spark, path: str):
+    """Distributed listing of the content-object area: one task per
+    hash-prefix shard (``objects/00..ff`` — :func:`_object_key`'s
+    2-hex fan-out), so no driver key list however large the
+    history and no single-task skew."""
+    sc = spark.sparkContext
+    prefixes = [f"{_OBJECTS_DIR}{i:02x}" for i in range(256)]
+
+    def list_shard(items):
+        task_store = open_store(path)
+        for p in items:
+            yield from task_store.walk_prefix(p)
+
+    n = max(1, min(256, sc.defaultParallelism * 2))
+    return sc.parallelize(prefixes, n).mapPartitions(list_shard)
+
+
+def _manifest_entries_rdd(spark, path: str, root: Dict):
+    """One manifest's (key, sha) pairs as an RDD — O(n_blocks) driver
+    memory: tasks read the content-addressed block objects (format 2).
+    format-1 roots carry ``objects`` inline (legacy small commits —
+    the serial tier's class), parallelized as-is."""
+    sc = spark.sparkContext
+    if root.get("format") == 1:
+        items = list(root["objects"].items())
+        n = max(1, min(len(items) or 1, sc.defaultParallelism * 2))
+        return sc.parallelize(items, n)
+    blocks = list(root["blocks"])
+    if not blocks:
+        return sc.parallelize([], 1)
+
+    def read_blocks(shas):
+        task_store = open_store(path)
+        for sha in shas:
+            yield from _manifest_block(task_store, sha).items()
+
+    n = max(1, min(len(blocks), sc.defaultParallelism * 2))
+    return sc.parallelize(blocks, n).mapPartitions(read_blocks)
+
+
+def _manifest_shas_rdd(spark, path: str, roots: List[Dict]):
+    """Every content sha the given manifest ROOTS pin — data shas AND
+    (format 2) the block shas themselves, the exact set
+    :func:`_manifest_all_shas` returns — as an RDD. Driver memory:
+    the roots' block lists (O(n_blocks))."""
+    sc = spark.sparkContext
+    inline: List[str] = []
+    blocks: List[str] = []
+    for root in roots:
+        if root.get("format") == 1:
+            inline.extend(root["objects"].values())
+        else:
+            inline.extend(root["blocks"])
+            blocks.extend(root["blocks"])
+
+    def read_blocks(shas):
+        task_store = open_store(path)
+        for sha in shas:
+            yield from _manifest_block(task_store, sha).values()
+
+    n_i = max(1, min(len(inline) or 1, sc.defaultParallelism * 2))
+    rdd = sc.parallelize(inline, n_i)
+    if blocks:
+        n_b = max(1, min(len(blocks), sc.defaultParallelism * 2))
+        rdd = rdd.union(
+            sc.parallelize(blocks, n_b).mapPartitions(read_blocks)
+        )
+    return rdd
+
+
+def _is_meta_key(key: str) -> bool:
+    """Zarr metadata documents publish AFTER data objects in every
+    restore/copy protocol (readers mid-operation must never see
+    metadata advertising absent chunks). ONE definition for rollback
+    / sync / repair / export."""
+    leaf = key.rsplit("/", 1)[-1]
+    return leaf in (
+        "zarr.json", ".zarray", ".zattrs", ".zgroup", ".zmetadata",
+    )
+
+
+def _root_n_objects(root: Dict) -> int:
+    return (
+        len(root["objects"])
+        if root.get("format") == 1
+        else int(root["n_objects"])
+    )
+
+
 def commit_version(
     spark,
     path: str,
@@ -679,18 +832,22 @@ def rollback_zarr(spark, path: str, version: int) -> Dict:
     advertises rows whose objects aren't in place yet — and stray
     live keys not in the manifest are deleted last. The rollback does
     NOT create a commit; snapshot again after if the restored state
-    should be a version of its own."""
+    should be a version of its own.
+
+    Tiers (r10): up to MAINT_DRIVER_LIST_MAX manifest entries the
+    driver materializes the mapping and fans out one restore job
+    (small-store latency); past it the entries, the restore pass, and
+    the stray-key sweep all run as Spark jobs — the driver holds the
+    root's block list and the per-array metadata documents only."""
     store = open_store(path)
+    root = _read_manifest_root(store, int(version))
+    if spark is not None and _root_n_objects(root) > MAINT_DRIVER_LIST_MAX:
+        return _rollback_distributed(spark, path, store, root)
     doc = _read_manifest(store, int(version))
     objects: Dict[str, str] = doc["objects"]
 
-    def is_meta(key: str) -> bool:
-        leaf = key.rsplit("/", 1)[-1]
-        return leaf in ("zarr.json", ".zarray", ".zattrs", ".zgroup",
-                        ".zmetadata")
-
-    data_items = [(k, s) for k, s in objects.items() if not is_meta(k)]
-    meta_items = [(k, s) for k, s in objects.items() if is_meta(k)]
+    data_items = [(k, s) for k, s in objects.items() if not _is_meta_key(k)]
+    meta_items = [(k, s) for k, s in objects.items() if _is_meta_key(k)]
 
     def restore(items):
         task_store = open_store(path)
@@ -730,8 +887,69 @@ def rollback_zarr(spark, path: str, version: int) -> Dict:
     return {"restored": len(objects), "deleted": len(extras)}
 
 
+def _rollback_distributed(spark, path: str, store: Store, root: Dict):
+    """rollback_zarr past the maintenance cap: manifest entries stream
+    from their block objects, the restore pass and the stray-key
+    sweep run as Spark jobs — no driver key list anywhere. Same
+    restore order as the serial tier (data first, metadata after,
+    extras deleted last)."""
+    entries = _manifest_entries_rdd(spark, path, root).persist()
+    try:
+        def restore(items):
+            task_store = open_store(path)
+            for key, sha in items:
+                data = task_store.get(_object_key(sha))
+                if data is None:
+                    raise ZarrFormatError(
+                        f"rollback: content object for {key!r} missing "
+                        f"(sha256 {sha}) — was vacuum_versions run with "
+                        "this version excluded?"
+                    )
+                task_store.set(key, data)
+                yield 1
+
+        n_data = (
+            entries.filter(lambda kv: not _is_meta_key(kv[0]))
+            .mapPartitions(restore)
+            .count()
+        )
+        # per-array metadata documents: metadata-scale, publish from
+        # the driver AFTER every data object is in place
+        meta_items = entries.filter(
+            lambda kv: _is_meta_key(kv[0])
+        ).collect()
+        for key, sha in meta_items:
+            data = store.get(_object_key(sha))
+            if data is None:
+                raise ZarrFormatError(
+                    f"rollback: content object for {key!r} missing "
+                    f"(sha256 {sha})"
+                )
+            store.set(key, data)
+
+        def sweep(keys):
+            task_store = open_store(path)
+            for k in keys:
+                task_store.delete(k)
+                yield 1
+
+        n_deleted = (
+            _live_keys_rdd(spark, path)
+            .subtract(entries.map(lambda kv: kv[0]))
+            .mapPartitions(sweep)
+            .count()
+        )
+    finally:
+        entries.unpersist()
+    return {"restored": n_data + len(meta_items), "deleted": n_deleted}
+
+
 def vacuum_versions(
-    path: str, keep_last: int, grace_seconds: float = 3600.0
+    path: str,
+    keep_last: int,
+    grace_seconds: float = 3600.0,
+    *,
+    spark=None,
 ) -> Dict:
     """Drop all but the newest ``keep_last`` manifests and delete
     content objects no kept manifest references. TAGGED versions are
@@ -766,7 +984,14 @@ def vacuum_versions(
     ``grace_seconds`` must exceed the longest plausible commit
     duration; objects skipped as young are collected by the next
     aged vacuum. ``grace_seconds=0`` restores the unguarded behavior
-    (quiesced-store maintenance)."""
+    (quiesced-store maintenance).
+
+    Tiers (r10): with ``spark`` and a content-object area past
+    MAINT_DRIVER_LIST_MAX keys (bounded probe), the referenced-sha
+    set, the object listing (one task per ``objects/00..ff`` shard),
+    and the guarded sweep all run as Spark jobs — the driver holds
+    the kept roots' block lists and two counters. All three
+    concurrency guards apply unchanged inside the tasks."""
     if keep_last < 1:
         raise ZarrFormatError("vacuum_versions: keep_last must be >= 1")
     store = open_store(path)
@@ -774,11 +999,7 @@ def vacuum_versions(
     pinned = set(list_tags(path).values())
     kept = sorted(set(versions[-keep_last:]) | (pinned & set(versions)))
     dropped = [v for v in versions if v not in set(kept)]
-    referenced = set()
-    for v in kept:
-        referenced.update(
-            _manifest_all_shas(store, _read_manifest_root(store, v))
-        )
+    roots = [_read_manifest_root(store, v) for v in kept]
     # manifests go FIRST: a crash mid-vacuum must leave unreferenced
     # objects (harmless garbage a re-run collects), never a readable
     # manifest whose objects are already gone (a version that opens
@@ -793,11 +1014,26 @@ def vacuum_versions(
     for v in _manifest_versions(store):
         if v not in kept and v not in dropped:
             try:
-                referenced.update(
-                    _manifest_all_shas(store, _read_manifest_root(store, v))
-                )
+                roots.append(_read_manifest_root(store, v))
             except ZarrFormatError:
                 pass
+    if (
+        spark is not None
+        and _probe_prefix(store, _OBJECTS_DIR, MAINT_DRIVER_LIST_MAX)
+        is None
+    ):
+        deleted, skipped_young = _vacuum_sweep_distributed(
+            spark, path, roots, float(grace_seconds)
+        )
+        return {
+            "kept_versions": kept,
+            "dropped_versions": dropped,
+            "deleted_objects": deleted,
+            "skipped_young": skipped_young,
+        }
+    referenced = set()
+    for root in roots:
+        referenced.update(_manifest_all_shas(store, root))
     now = time.time()
     deleted = 0
     skipped_young = 0
@@ -828,6 +1064,49 @@ def vacuum_versions(
         "deleted_objects": deleted,
         "skipped_young": skipped_young,
     }
+
+
+def _vacuum_sweep_distributed(
+    spark, path: str, roots: List[Dict], grace_seconds: float
+):
+    """vacuum_versions' guarded object sweep past the maintenance
+    cap: referenced shas stream from the kept roots' block objects,
+    candidates come from a per-shard object listing minus the
+    referenced set (one keys-only shuffle), and each task applies the
+    grace-window guards (1 and 3) before its deletes — the driver
+    sees two counters. Returns ``(deleted, skipped_young)``."""
+    ref = _manifest_shas_rdd(spark, path, roots).map(lambda s: (s, None))
+    objs = _object_keys_rdd(spark, path).map(
+        lambda k: (k.rsplit("/", 1)[-1], k)
+    )
+    candidates = objs.subtractByKey(ref).values()
+
+    def sweep(keys):
+        task_store = open_store(path)
+        now = time.time()
+        deleted = 0
+        skipped_young = 0
+        for k in keys:
+            if grace_seconds > 0:
+                # guard 1: unknown or young age = an in-flight
+                # commit's pre-publish objects, never GC'd
+                age = task_store.mtime(k)
+                if age is None or now - age < grace_seconds:
+                    skipped_young += 1
+                    continue
+                # guard 3: re-check IMMEDIATELY before the delete —
+                # a dedup-hit touch() from an in-flight commit can
+                # land between the first mtime read and here
+                age = task_store.mtime(k)
+                if age is None or time.time() - age < grace_seconds:
+                    skipped_young += 1
+                    continue
+            task_store.delete(k)
+            deleted += 1
+        yield (deleted, skipped_young)
+
+    rows = candidates.mapPartitions(sweep).collect()
+    return (sum(r[0] for r in rows), sum(r[1] for r in rows))
 
 
 def tag_version(path: str, tag: str, version: Optional[int] = None) -> Dict:
@@ -938,7 +1217,13 @@ def export_version(
     area — the clone starts its own history.
 
     ``mode``: ``error`` (default) refuses a non-empty ``dest``;
-    ``overwrite`` clears it first."""
+    ``overwrite`` clears it first.
+
+    Tiers (r10): past MAINT_DRIVER_LIST_MAX manifest entries (with
+    ``spark``) the entries stream from their block objects and the
+    copy runs without any driver key list — the driver holds the
+    root's block list and the per-array metadata documents only; the
+    overwrite-clear distributes the same way."""
     if tag is not None and version is not None:
         raise ZarrFormatError(
             "export_version: pass either version or tag, not both"
@@ -948,33 +1233,53 @@ def export_version(
     elif version is None:
         version = latest_version(path)
     store = open_store(path)
-    doc = _read_manifest(store, int(version))
-    objects: Dict[str, str] = doc["objects"]
+    root = _read_manifest_root(store, int(version))
+    n_objects = _root_n_objects(root)
+    big = spark is not None and n_objects > MAINT_DRIVER_LIST_MAX
 
     dest_store = open_store(dest)
-    existing = list(dest_store.walk_keys())
-    if existing:
-        if mode == "overwrite":
-            for k in existing:
-                dest_store.delete(k)
-        elif mode == "error":
+    if mode not in ("error", "overwrite"):
+        raise ZarrFormatError(
+            f"export_version: unknown mode {mode!r} "
+            "(want 'error' or 'overwrite')"
+        )
+    existing = next(iter(dest_store.walk_keys()), None)
+    if existing is not None:
+        if mode == "error":
             raise ZarrFormatError(
                 f"export_version: destination {dest!r} is not empty "
                 "(pass mode='overwrite' to replace it)"
             )
+        dest_probe = dest_store.probe_keys(MAINT_DRIVER_LIST_MAX)
+        if dest_probe is not None or spark is None:
+            for k in (
+                dest_probe
+                if dest_probe is not None
+                else list(dest_store.walk_keys())
+            ):
+                dest_store.delete(k)
         else:
-            raise ZarrFormatError(
-                f"export_version: unknown mode {mode!r} "
-                "(want 'error' or 'overwrite')"
-            )
 
-    def is_meta(key: str) -> bool:
-        leaf = key.rsplit("/", 1)[-1]
-        return leaf in ("zarr.json", ".zarray", ".zattrs", ".zgroup",
-                        ".zmetadata")
+            def clear(keys):
+                d = open_store(dest)
+                for k in keys:
+                    d.delete(k)
+                    yield 1
 
-    data_items = [(k, s) for k, s in objects.items() if not is_meta(k)]
-    meta_items = [(k, s) for k, s in objects.items() if is_meta(k)]
+            sc0 = spark.sparkContext
+            groups = dest_store.list_root()
+
+            def list_all(items):
+                d = open_store(dest)
+                for name, is_dir in items:
+                    if is_dir:
+                        yield from d.walk_prefix(name)
+                    else:
+                        yield name
+
+            sc0.parallelize(
+                groups, max(1, min(len(groups), sc0.defaultParallelism))
+            ).mapPartitions(list_all).mapPartitions(clear).count()
 
     def copy(items):
         src = open_store(path)
@@ -989,6 +1294,32 @@ def export_version(
                 )
             dst.set(key, data)
             yield 1
+
+    if big:
+        entries = _manifest_entries_rdd(spark, path, root).persist()
+        try:
+            entries.filter(
+                lambda kv: not _is_meta_key(kv[0])
+            ).mapPartitions(copy).count()
+            meta_items = entries.filter(
+                lambda kv: _is_meta_key(kv[0])
+            ).collect()
+        finally:
+            entries.unpersist()
+        list(copy(iter(meta_items)))
+        return {
+            "version": int(version),
+            "n_objects": n_objects,
+            "dest": dest,
+        }
+
+    objects: Dict[str, str] = (
+        root["objects"]
+        if root.get("format") == 1
+        else _manifest_objects(store, root)
+    )
+    data_items = [(k, s) for k, s in objects.items() if not _is_meta_key(k)]
+    meta_items = [(k, s) for k, s in objects.items() if _is_meta_key(k)]
 
     if data_items:
         if spark is None:
@@ -1294,9 +1625,24 @@ def sync_zarr(spark, src: str, dst: str) -> Dict:
 
     new_versions = [v for v in src_versions if v > v_dst]
     roots = {v: _read_manifest_root(src_store, v) for v in new_versions}
-    m_old: Dict[str, str] = _manifest_objects(
-        dst_store, _read_manifest_root(dst_store, v_dst)
-    )
+    root_old = _read_manifest_root(dst_store, v_dst)
+    if (
+        spark is not None
+        and max(_root_n_objects(roots[v_src]), _root_n_objects(root_old))
+        > MAINT_DRIVER_LIST_MAX
+    ):
+        # r10 distributed tier: the object delta, the changed-key
+        # restore, and the stray-key sweep all run as Spark jobs —
+        # manifest entries stream from their block objects, the
+        # driver holds block lists, counters, and the per-array
+        # metadata documents only
+        _sync_delta_distributed(
+            spark, src, dst, receipt, roots, root_old, v_src
+        )
+        return _sync_publish_history(
+            src_store, dst_store, src, new_versions, receipt, v_src
+        )
+    m_old: Dict[str, str] = _manifest_objects(dst_store, root_old)
     m_new: Dict[str, str] = _manifest_objects(src_store, roots[v_src])
 
     # object delta: shas referenced by the new manifests that the
@@ -1399,12 +1745,27 @@ def sync_zarr(spark, src: str, dst: str) -> Dict:
     extras = [k for k in _live_keys(dst_store) if k not in m_new]
     for k in extras:
         dst_store.delete(k)
+    receipt["n_live_updated"] = len(changed)
+    receipt["n_live_deleted"] = len(extras)
+    return _sync_publish_history(
+        src_store, dst_store, src, new_versions, receipt, v_src
+    )
 
-    # the manifests/tags/HEAD publish LAST: a crash anywhere above
-    # leaves dst_versions at the OLD version, so the next sync_zarr
-    # recomputes the same (idempotent, content-addressed) delta and
-    # finishes the job — publishing history first would make a
-    # crashed sync look complete and permanently no-op every retry
+
+def _sync_publish_history(
+    src_store: Store,
+    dst_store: Store,
+    src: str,
+    new_versions: List[int],
+    receipt: Dict,
+    v_src: int,
+) -> Dict:
+    """sync_zarr's final phase, shared by both tiers. The
+    manifests/tags/HEAD publish LAST: a crash anywhere before this
+    leaves dst at the OLD version, so the next sync_zarr recomputes
+    the same (idempotent, content-addressed) delta and finishes the
+    job — publishing history first would make a crashed sync look
+    complete and permanently no-op every retry."""
     for v in new_versions:
         # copy the ROOT bytes verbatim (a re-serialized materialized
         # doc would silently flatten a format-2 manifest back to the
@@ -1431,10 +1792,134 @@ def sync_zarr(spark, src: str, dst: str) -> Dict:
     head = src_store.get(_HEAD_KEY)
     if head is not None:
         dst_store.set(_HEAD_KEY, head)
-    receipt["n_live_updated"] = len(changed)
-    receipt["n_live_deleted"] = len(extras)
     receipt["to_version"] = v_src
     return receipt
+
+
+def _sync_delta_distributed(
+    spark,
+    src: str,
+    dst: str,
+    receipt: Dict,
+    roots: Dict[int, Dict],
+    root_old: Dict,
+    v_src: int,
+) -> None:
+    """sync_zarr's object + live delta past the maintenance cap.
+
+    Object delta: shas pinned by the NEW roots (data + block shas)
+    minus shas the replica's latest manifest already pins, one
+    keys-only shuffle; each task copies its partition's objects with
+    the same content-address verification as the serial tier and
+    yields one summary row. Live delta: the src/dst latest manifests
+    join by key (entries stream from their block objects), changed
+    keys restore executor-parallel (data first, metadata documents
+    after, from the driver), and the stray-key sweep is a distributed
+    anti-join against the new manifest's keys."""
+    known = (
+        _manifest_shas_rdd(spark, dst, [root_old])
+        .distinct()
+        .map(lambda s: (s, None))
+    )
+    want = _manifest_shas_rdd(spark, src, list(roots.values())).distinct()
+
+    def copy_objects(shas):
+        s_store = open_store(src)
+        d_store = open_store(dst)
+        n = b = 0
+        for sha in shas:
+            okey = _object_key(sha)
+            if d_store.exists(okey):
+                continue
+            data = s_store.get(okey)
+            if data is None:
+                raise ZarrFormatError(
+                    f"sync_zarr: source content object {sha} missing — "
+                    f"was vacuum_versions run on the source past the "
+                    f"replica's version?"
+                )
+            if hashlib.sha256(data).hexdigest() != sha:
+                raise ZarrFormatError(
+                    f"sync_zarr: object {sha} failed its content "
+                    f"address on transfer — refusing to store "
+                    f"corrupted bytes"
+                )
+            d_store.set(okey, data)
+            n += 1
+            b += len(data)
+        yield (n, b)
+
+    rows = (
+        want.map(lambda s: (s, None))
+        .subtractByKey(known)
+        .keys()
+        .mapPartitions(copy_objects)
+        .collect()  # one summary row per partition
+    )
+    receipt["n_objects_copied"] = sum(r[0] for r in rows)
+    receipt["n_bytes_copied"] = sum(r[1] for r in rows)
+
+    new_e = _manifest_entries_rdd(spark, src, roots[v_src]).persist()
+    try:
+        old_e = _manifest_entries_rdd(spark, dst, root_old)
+        changed = (
+            new_e.leftOuterJoin(old_e)
+            .filter(lambda kv: kv[1][1] != kv[1][0])
+            .map(lambda kv: (kv[0], kv[1][0]))
+            .persist()
+        )
+        try:
+            def restore(items):
+                d_store = open_store(dst)
+                for key, sha in items:
+                    data = d_store.get(_object_key(sha))
+                    if data is None:
+                        raise ZarrFormatError(
+                            f"sync_zarr: content object for {key!r} "
+                            f"missing after the object pass "
+                            f"(sha256 {sha})"
+                        )
+                    d_store.set(key, data)
+                    yield 1
+
+            n_data = (
+                changed.filter(lambda kv: not _is_meta_key(kv[0]))
+                .mapPartitions(restore)
+                .count()
+            )
+            meta_items = changed.filter(
+                lambda kv: _is_meta_key(kv[0])
+            ).collect()
+        finally:
+            changed.unpersist()
+        dst_store = open_store(dst)
+        for key, sha in sorted(
+            meta_items, key=lambda t: (-t[0].count("/"), t[0])
+        ):
+            data = dst_store.get(_object_key(sha))
+            if data is None:
+                raise ZarrFormatError(
+                    f"sync_zarr: content object for {key!r} missing "
+                    f"after the object pass (sha256 {sha})"
+                )
+            dst_store.set(key, data)
+
+        def sweep(keys):
+            d_store = open_store(dst)
+            for k in keys:
+                d_store.delete(k)
+                yield 1
+
+        n_extras = (
+            _live_keys_rdd(spark, dst)
+            .subtract(new_e.map(lambda kv: kv[0]))
+            .mapPartitions(sweep)
+            .count()
+        )
+    finally:
+        new_e.unpersist()
+    receipt["n_live_updated"] = n_data + len(meta_items)
+    receipt["n_live_deleted"] = n_extras
 
 
 _CHUNK_STAT_SCHEMA = (
@@ -1614,13 +2099,44 @@ def scrub_zarr(spark, path: str, version: Optional[int] = None):
     with no live object), ``extra`` (live key the manifest never
     committed — debris or an uncommitted write).
 
-    Scale shape: the work list is the union of live keys and manifest
-    keys (metadata-sized); hashing runs executor-parallel, one GET +
-    sha256 per key, nothing through the driver but the listing and
-    the status rows."""
-    return spark.createDataFrame(
-        _scrub_rows(spark, path, version), "key string, status string"
-    )
+    Scale shape (r10): up to MAINT_DRIVER_LIST_MAX manifest entries
+    the driver builds the work list and fans out the hashing (one
+    Spark job); past it the live listing, the manifest entries, and
+    the status derivation all run as Spark jobs — a full-outer join
+    of live keys against manifest entries, one GET + sha256 per
+    present key inside the tasks, and the result DataFrame is never
+    materialized on the driver."""
+    store = open_store(path)
+    if version is None:
+        version = latest_version(path)
+    root = _read_manifest_root(store, int(version))
+    if _root_n_objects(root) <= MAINT_DRIVER_LIST_MAX:
+        return spark.createDataFrame(
+            _scrub_rows(spark, path, int(version)),
+            "key string, status string",
+        )
+    live = _live_keys_rdd(spark, path).map(lambda k: (k, True))
+    entries = _manifest_entries_rdd(spark, path, root)
+
+    def status(items):
+        task_store = open_store(path)
+        for key, (alive, sha) in items:
+            if sha is None:
+                yield (key, "extra")
+                continue
+            if alive is None:
+                yield (key, "missing")
+                continue
+            data = task_store.get(key)
+            if data is None:
+                yield (key, "missing")  # vanished between list and GET
+            elif hashlib.sha256(data).hexdigest() == sha:
+                yield (key, "ok")
+            else:
+                yield (key, "modified")
+
+    rows = live.fullOuterJoin(entries).mapPartitions(status)
+    return spark.createDataFrame(rows, "key string, status string")
 
 
 def _scrub_rows(spark, path: str, version: Optional[int] = None):
@@ -1683,27 +2199,43 @@ def repair_zarr(spark, path: str, version: Optional[int] = None) -> Dict:
     first (distributed), damaged metadata documents after — a reader
     mid-repair never sees metadata advertising objects that are still
     broken. Returns ``{"version", "n_scanned", "n_repaired",
-    "repaired": [keys...]}`` (keys capped at 100 in the receipt)."""
+    "repaired": [keys...]}`` (keys capped at 100 in the receipt).
+
+    Past MAINT_DRIVER_LIST_MAX manifest entries (r10) the scrub runs
+    on its distributed tier and only the DAMAGED rows come back to
+    the driver; their shas resolve through covering manifest blocks —
+    everything driver-side is damage-proportional."""
     store = open_store(path)
     if version is None:
         version = latest_version(path)
-    manifest: Dict[str, str] = _read_manifest(store, int(version))[
-        "objects"
-    ]
+    root = _read_manifest_root(store, int(version))
+    n_scanned = _root_n_objects(root)
+    if spark is not None and n_scanned > MAINT_DRIVER_LIST_MAX:
+        bad = [
+            (r["key"], r["status"])
+            for r in scrub_zarr(spark, path, int(version))
+            .where("status IN ('modified', 'missing')")
+            .collect()  # damage-proportional
+        ]
+    else:
+        bad = [
+            (key, status)
+            for key, status in _scrub_rows(
+                spark, path, version=int(version)
+            )
+            if status in ("modified", "missing")
+        ]
+    # resolve shas through covering blocks only — 'extra' rows never
+    # reach here and 'missing' rows outside the manifest cannot occur
+    view = VersionStoreView(store, None, int(version))
     damaged = [
-        (key, manifest[key])
-        for key, status in _scrub_rows(spark, path, version=int(version))
-        if status in ("modified", "missing") and key in manifest
+        (key, sha)
+        for key, _status in bad
+        if (sha := view._sha(key)) is not None
     ]
 
-    def is_meta(key: str) -> bool:
-        leaf = key.rsplit("/", 1)[-1]
-        return leaf in (
-            "zarr.json", ".zarray", ".zattrs", ".zgroup", ".zmetadata",
-        )
-
-    data_items = [(k, s) for k, s in damaged if not is_meta(k)]
-    meta_items = [(k, s) for k, s in damaged if is_meta(k)]
+    data_items = [(k, s) for k, s in damaged if not _is_meta_key(k)]
+    meta_items = [(k, s) for k, s in damaged if _is_meta_key(k)]
 
     # validate driver-side BEFORE moving anything: the clean error
     # beats a half-repaired store plus an executor stack trace
@@ -1749,7 +2281,7 @@ def repair_zarr(spark, path: str, version: Optional[int] = None) -> Dict:
         store.set(key, data)
     return {
         "version": int(version),
-        "n_scanned": len(manifest),
+        "n_scanned": n_scanned,
         "n_repaired": len(damaged),
         "repaired": sorted(k for k, _ in damaged)[:100],
     }

@@ -1,0 +1,302 @@
+"""r10: the maintenance verbs' DISTRIBUTED listing tier.
+
+commit_version got the no-driver-key-list discipline in r9; this file
+pins the same contract for every remaining maintenance verb —
+vacuum_versions / scrub / repair / rollback / sync / export
+(zarr/versions.py) and replicate_zarr / vacuum_zarr (io.py) — by
+forcing the tier cutover to 0 (the commit-tier test pattern:
+monkeypatch MAINT_DRIVER_LIST_MAX) and asserting the distributed tier
+produces results identical to the serial tier on twin stores.
+
+The reference has no maintenance surface at all (its store access is
+read-only scanning, config.rs:126-132); the scale discipline here is
+self-imposed: no verb may carry an O(n_objects) driver term.
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+import arrow_zarr_spark.zarr.versions as V
+from arrow_zarr_spark import read_zarr
+from arrow_zarr_spark.io import replicate_zarr, vacuum_zarr, write_zarr
+from arrow_zarr_spark.zarr import (
+    commit_version,
+    open_store,
+    rollback_zarr,
+    vacuum_versions,
+)
+from arrow_zarr_spark.zarr.versions import (
+    export_version,
+    repair_zarr,
+    scrub_zarr,
+    sync_zarr,
+)
+
+
+def _table(spark, lo, hi, mul=2):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * mul).alias("v")
+    )
+
+
+def _age_objects(path):
+    """Push every content object outside the default grace window."""
+    store = open_store(path)
+    old = time.time() - 7200
+    for k in list(store.walk_prefix(V._OBJECTS_DIR)):
+        p = os.path.join(path, *k.split("/"))
+        os.utime(p, (old, old))
+
+
+def _store_bytes(path, skip_versions=False):
+    store = open_store(path)
+    return {
+        k: store.get(k)
+        for k in store.walk_keys()
+        if not (skip_versions and k.startswith(V.VERSIONS_PREFIX))
+    }
+
+
+@pytest.fixture
+def force_distributed(monkeypatch):
+    monkeypatch.setattr(V, "MAINT_DRIVER_LIST_MAX", 0)
+
+
+class TestVacuumVersionsDistributed:
+    def test_sweep_matches_serial(
+        self, spark, tmp_path, force_distributed
+    ):
+        twins = []
+        for name in ("a", "b"):
+            d = str(tmp_path / name)
+            write_zarr(_table(spark, 0, 200), d, chunk_rows=16)
+            commit_version(spark, d, "v1")
+            write_zarr(
+                _table(spark, 0, 120, mul=-3), d, chunk_rows=16,
+                mode="overwrite",
+            )
+            commit_version(spark, d, "v2")
+            _age_objects(d)
+            twins.append(d)
+        out_d = vacuum_versions(twins[0], keep_last=1, spark=spark)
+        out_s = vacuum_versions(twins[1], keep_last=1)
+        assert out_d["dropped_versions"] == out_s["dropped_versions"] == [1]
+        assert out_d["deleted_objects"] == out_s["deleted_objects"] > 0
+        assert out_d["skipped_young"] == out_s["skipped_young"]
+        # the kept version still reads, the dropped one is gone
+        assert read_zarr(spark, twins[0], version=2).count() == 120
+        with pytest.raises(Exception):
+            read_zarr(spark, twins[0], version=1).count()
+
+    def test_grace_window_respected_in_tasks(
+        self, spark, tmp_path, force_distributed
+    ):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d, "v1")
+        write_zarr(
+            _table(spark, 0, 32, mul=5), d, chunk_rows=16, mode="overwrite"
+        )
+        commit_version(spark, d, "v2")
+        # objects are FRESH: guard 1 must keep every candidate
+        out = vacuum_versions(d, keep_last=1, spark=spark)
+        assert out["deleted_objects"] == 0
+        assert out["skipped_young"] > 0
+        assert read_zarr(spark, d, version=2).count() == 32
+
+
+class TestScrubRepairDistributed:
+    def test_statuses_match_serial(
+        self, spark, tmp_path, force_distributed
+    ):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 96), d, chunk_rows=16)
+        commit_version(spark, d, "baseline")
+        st = open_store(d)
+        st.set("v/c/2", b"\x00rot\x00")   # modified
+        st.delete("k/c/4")                 # missing
+        st.set("stray", b"x")              # extra
+        got = sorted(
+            (r["key"], r["status"])
+            for r in scrub_zarr(spark, d).collect()
+        )
+        want = sorted(V._scrub_rows(None, d))
+        assert got == want
+        assert ("v/c/2", "modified") in got
+        assert ("k/c/4", "missing") in got
+        assert ("stray", "extra") in got
+
+    def test_repair_heals_through_distributed_scrub(
+        self, spark, tmp_path, force_distributed
+    ):
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 96), d, chunk_rows=16)
+        commit_version(spark, d, "baseline")
+        st = open_store(d)
+        st.set("v/c/2", b"\x00rot\x00")
+        st.delete("k/c/4")
+        info = repair_zarr(spark, d)
+        assert info["n_repaired"] == 2
+        assert info["n_scanned"] > 0
+        df = spark.read.format("zarr").load(d)
+        assert df.count() == 96
+        assert df.agg(F.sum("v")).first()[0] == sum(
+            2 * i for i in range(96)
+        )
+
+
+class TestRollbackDistributed:
+    def test_rollback_matches_serial(
+        self, spark, tmp_path, force_distributed
+    ):
+        twins = []
+        for name in ("a", "b"):
+            d = str(tmp_path / name)
+            write_zarr(_table(spark, 0, 80), d, chunk_rows=16)
+            commit_version(spark, d, "v1")
+            write_zarr(
+                _table(spark, 0, 200, mul=-7), d, chunk_rows=16,
+                mode="overwrite",
+            )
+            twins.append(d)
+        out_d = rollback_zarr(spark, twins[0], 1)
+        out_s = rollback_zarr(None, twins[1], 1)
+        assert out_d == out_s
+        assert out_d["deleted"] > 0  # the 200-row store's extra chunks
+        for d in twins:
+            df = spark.read.format("zarr").load(d)
+            assert df.count() == 80
+            assert df.agg(F.sum("v")).first()[0] == sum(
+                2 * i for i in range(80)
+            )
+
+
+class TestSyncDistributed:
+    def test_sync_matches_serial(
+        self, spark, tmp_path, force_distributed
+    ):
+        pairs = []
+        for name in ("a", "b"):
+            src = str(tmp_path / f"src_{name}")
+            dst = str(tmp_path / f"dst_{name}")
+            write_zarr(_table(spark, 0, 64), src, chunk_rows=16)
+            commit_version(spark, src, "v1")
+            replicate_zarr(None, src, dst, include_versions=True)
+            write_zarr(
+                _table(spark, 0, 96, mul=3), src, chunk_rows=16,
+                mode="overwrite",
+            )
+            commit_version(spark, src, "v2")
+            pairs.append((src, dst))
+        out_d = sync_zarr(spark, *pairs[0])
+        out_s = sync_zarr(None, *pairs[1])
+        assert out_d == out_s
+        assert out_d["to_version"] == 2
+        assert out_d["n_objects_copied"] > 0
+        for src, dst in pairs:
+            assert _store_bytes(dst) == _store_bytes(src)
+
+    def test_sync_is_incremental_on_distributed_tier(
+        self, spark, tmp_path, force_distributed
+    ):
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        write_zarr(_table(spark, 0, 64), src, chunk_rows=16)
+        commit_version(spark, src, "v1")
+        replicate_zarr(None, src, dst, include_versions=True)
+        write_zarr(
+            _table(spark, 0, 80), src, chunk_rows=16, mode="append"
+        )
+        commit_version(spark, src, "v2")
+        out = sync_zarr(spark, src, dst)
+        # the append's delta, not the whole store: unchanged chunks
+        # are never re-sent
+        assert 0 < out["n_objects_copied"] < 20
+        rep = sync_zarr(spark, src, dst)
+        assert rep["to_version"] == rep["from_version"] == 2  # no-op
+
+
+class TestReplicateDistributed:
+    def test_replica_matches_serial(
+        self, spark, tmp_path, force_distributed
+    ):
+        src = str(tmp_path / "src")
+        write_zarr(_table(spark, 0, 128), src, chunk_rows=16)
+        commit_version(spark, src, "v1")
+        d_dist = str(tmp_path / "d_dist")
+        d_ser = str(tmp_path / "d_ser")
+        out_d = replicate_zarr(
+            spark, src, d_dist, include_versions=True, verify=True
+        )
+        out_s = replicate_zarr(
+            None, src, d_ser, include_versions=True, verify=True
+        )
+        assert out_d == out_s
+        assert out_d["n_mismatch"] == 0
+        assert _store_bytes(d_dist) == _store_bytes(d_ser) == _store_bytes(
+            src
+        )
+
+    def test_replicate_without_versions(
+        self, spark, tmp_path, force_distributed
+    ):
+        src = str(tmp_path / "src")
+        write_zarr(_table(spark, 0, 64), src, chunk_rows=16)
+        commit_version(spark, src, "v1")
+        dst = str(tmp_path / "dst")
+        replicate_zarr(spark, src, dst, include_versions=False)
+        assert _store_bytes(dst) == _store_bytes(src, skip_versions=True)
+
+
+class TestVacuumZarrDistributed:
+    def test_orphans_match_serial(
+        self, spark, tmp_path, force_distributed
+    ):
+        twins = []
+        for name in ("a", "b"):
+            d = str(tmp_path / name)
+            write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+            st = open_store(d)
+            st.set("__stage__/leftover", b"x")
+            st.set("v/c/99", b"beyond-grid")
+            st.set("nobody/zarr.bin", b"?")
+            twins.append(d)
+        out_d = vacuum_zarr(twins[0], dry_run=True, spark=spark)
+        out_s = vacuum_zarr(twins[1], dry_run=True)
+        assert out_d["orphans"] == out_s["orphans"]
+        assert out_d["n_orphans"] == out_s["n_orphans"] == 3
+        out_d = vacuum_zarr(twins[0], dry_run=False, spark=spark)
+        assert out_d["n_orphans"] == 3 and out_d["deleted"]
+        assert vacuum_zarr(twins[0], spark=spark)["orphans"] == []
+        assert spark.read.format("zarr").load(twins[0]).count() == 64
+
+
+class TestExportDistributed:
+    def test_export_matches_serial(
+        self, spark, tmp_path, force_distributed
+    ):
+        src = str(tmp_path / "src")
+        write_zarr(_table(spark, 0, 72), src, chunk_rows=16)
+        commit_version(spark, src, "v1")
+        write_zarr(
+            _table(spark, 0, 40, mul=9), src, chunk_rows=16,
+            mode="overwrite",
+        )
+        commit_version(spark, src, "v2")
+        e_dist = str(tmp_path / "e_dist")
+        e_ser = str(tmp_path / "e_ser")
+        out_d = export_version(spark, src, e_dist, version=1)
+        out_s = export_version(None, src, e_ser, version=1)
+        assert out_d["n_objects"] == out_s["n_objects"]
+        assert _store_bytes(e_dist) == _store_bytes(e_ser)
+        df = spark.read.format("zarr").load(e_dist)
+        assert df.count() == 72
+        # overwrite-clear on the distributed tier
+        out_d2 = export_version(
+            spark, src, e_dist, version=2, mode="overwrite"
+        )
+        assert out_d2["version"] == 2
+        assert spark.read.format("zarr").load(e_dist).count() == 40
