@@ -4204,3 +4204,143 @@ def populate_round9_queries(register) -> None:
         "AS median_chars "
         "FROM documents GROUP BY lang, source",
     )
+
+
+def populate_round10_maint_queries(register) -> None:
+    """r10: the distributed-maintenance tier proven through the read
+    path (z37) and the grid APPEND's distributed stats remap proven
+    through a stats-pruned scan (w17). Both claim reserved
+    DRIVER_WINDOW slots (the r8/r9 displacement discipline)."""
+
+    def z37(spark, sf_dir):
+        # z37: version GC + scrub atop the r10 DISTRIBUTED
+        # maintenance listing. Commit v1, overwrite + commit v2, then
+        # vacuum keep_last=1 and scrub — with the tier cutover forced
+        # to 0, so the referenced-sha set, the per-shard object
+        # listing, the guarded sweep, and the scrub's status join all
+        # run as Spark jobs (no driver key list anywhere). The scan
+        # after proves the kept version's bytes survived GC intact;
+        # the receipt columns pin that v1 was dropped, its objects
+        # were actually collected, and the scrub found zero drift.
+        # grace_seconds=0 is the documented quiesced-store mode (the
+        # grace-window guards are pinned in
+        # tests/test_versions_gc_concurrency.py and
+        # tests/test_maint_distributed.py).
+        import shutil
+
+        from ..io import write_zarr
+        from ..zarr import commit_version, vacuum_versions
+        from ..zarr import versions as V
+        from ..zarr.versions import scrub_zarr
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_z37_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+
+        def tbl(lo, hi, mul):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("k"),
+                (F.col("id") * mul).cast("double").alias("d"),
+            )
+
+        write_zarr(tbl(0, 96, 3), path, chunk_rows=16, mode="overwrite")
+        commit_version(spark, path, "v1")
+        write_zarr(tbl(0, 64, -5), path, chunk_rows=16, mode="overwrite")
+        commit_version(spark, path, "v2")
+        prev = V.MAINT_DRIVER_LIST_MAX
+        V.MAINT_DRIVER_LIST_MAX = 0
+        try:
+            out = vacuum_versions(
+                path, keep_last=1, grace_seconds=0, spark=spark
+            )
+            n_bad = (
+                scrub_zarr(spark, path)
+                .where("status <> 'ok'")
+                .count()
+            )
+        finally:
+            V.MAINT_DRIVER_LIST_MAX = prev
+        df = spark.read.format("zarr").load(path)
+        return df.select(
+            "k",
+            "d",
+            F.lit(len(out["dropped_versions"])).cast("long").alias(
+                "n_dropped"
+            ),
+            F.lit(1 if out["deleted_objects"] > 0 else 0)
+            .cast("long")
+            .alias("gc_flag"),
+            F.lit(n_bad).cast("long").alias("scrub_bad"),
+        )
+
+    register(
+        "z37_vacuum_scrub_scan",
+        z37,
+        "SELECT CAST(i AS BIGINT) AS k, CAST(i * -5 AS DOUBLE) AS d, "
+        "CAST(1 AS BIGINT) AS n_dropped, CAST(1 AS BIGINT) AS gc_flag, "
+        "CAST(0 AS BIGINT) AS scrub_bad FROM range(64) t(i)",
+    )
+
+    def w17(spark, sf_dir):
+        # w17: grid APPEND with the r10 DISTRIBUTED stats remap,
+        # proven by a stats-pruned scan. STATS_MAX_OBJECTS drops to 4
+        # so both writes cross the inline cap: the create assembles
+        # sidecar blocks distributed (r9) and the unaligned append
+        # routes through _assemble_grid_append_stats_sidecar — old
+        # ordinals remapped to the grown grid as a keys-only Spark
+        # job (mixed-radix arithmetic, io.py). The filter selects
+        # only the appended region, so a remap that misplaced or
+        # widened a bound flips rows (wrong prune = missing rows;
+        # stats are upper/lower bounds so extra rows are impossible
+        # without data corruption).
+        import shutil
+
+        from .. import io as io_mod
+        from ..io import write_zarr_grid
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_w17_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+
+        def gdf(t0, t1):
+            return (
+                spark.range(t0, t1)
+                .selectExpr("id as t")
+                .crossJoin(spark.range(0, 6).selectExpr("id as x"))
+                .select(
+                    "t",
+                    "x",
+                    (F.col("t") * 1000 + F.col("x") * 7)
+                    .cast("double")
+                    .alias("v"),
+                )
+            )
+
+        prev = io_mod.STATS_MAX_OBJECTS
+        io_mod.STATS_MAX_OBJECTS = 4
+        try:
+            write_zarr_grid(
+                gdf(0, 10), path, dims=["t", "x"], chunk_shape=(4, 3),
+                mode="overwrite",
+            )
+            # unaligned append (10 % 4 != 0): boundary chunk merges,
+            # boundary cell stats union, old cells remap
+            write_zarr_grid(
+                gdf(10, 17), path, dims=["t", "x"], chunk_shape=(4, 3),
+                mode="append", append_dim="t",
+            )
+        finally:
+            io_mod.STATS_MAX_OBJECTS = prev
+        df = spark.read.format("zarr").load(path)
+        # v >= 12000 <=> t >= 12 (x*7 <= 35): every pre-append chunk
+        # and the merged boundary chunk prune on the remapped stats
+        return df.filter(F.col("v") >= 12000)
+
+    register(
+        "w17_grid_append_stats_pruned_scan",
+        w17,
+        "SELECT r1.range AS t, r2.range AS x, "
+        "CAST(r1.range * 1000 + r2.range * 7 AS DOUBLE) AS v "
+        "FROM range(0, 17) r1, range(0, 6) r2 "
+        "WHERE r1.range * 1000 + r2.range * 7 >= 12000",
+    )

@@ -1458,15 +1458,17 @@ DRIVER_WINDOW = [
     "z18_3d_scan",
     "z19_multi_store_union",
     "z20_stats_pruned_scan",
-    # -- the 2 reserved slots, claimed in-round by the round-10
-    #    additions: z37 (vacuum/GC correctness atop the DISTRIBUTED
-    #    maintenance listing built this round) and w17 (grid APPEND
-    #    with the distributed stats remap, proven by a stats-pruned
-    #    scan).  Until those land, the placeholders are the two
-    #    remaining r6-stale rows b13/b14 (shapes covered as noted
-    #    above). --
-    "b13_limit_topk",
-    "b14_select_star",
+    # -- the 2 reserved slots, CLAIMED by the round-10 additions:
+    #    z37 (vacuum/GC + scrub atop the DISTRIBUTED maintenance
+    #    listing built this round, cutover forced to 0 in-query) and
+    #    w17 (grid APPEND with the distributed stats remap, proven by
+    #    a stats-pruned scan). Displaced: b13_limit_topk (LIMIT shape
+    #    covered by z07_order_limit's r8-green row) and
+    #    b14_select_star (covered by z01_scan_full / b01_projection,
+    #    both in this window); both stay parity-enforced every round
+    #    by tests/test_oracle_parity.py. --
+    "z37_vacuum_scrub_scan",
+    "w17_grid_append_stats_pruned_scan",
 ]
 
 
@@ -1516,6 +1518,7 @@ def _ensure_populated() -> None:
         populate_round8_vector_index_queries,
         populate_round8_split_queries,
         populate_round9_queries,
+        populate_round10_maint_queries,
         populate_round7_repair_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
@@ -1571,6 +1574,7 @@ def _ensure_populated() -> None:
     populate_round8_vector_index_queries(register_query)
     populate_round8_split_queries(register_query)
     populate_round9_queries(register_query)
+    populate_round10_maint_queries(register_query)
     # z36 registers OUTSIDE the (already all-fresh) 50-slot window —
     # the round-8 rotation picks it up; oracle parity enforces it
     # locally every round meanwhile
