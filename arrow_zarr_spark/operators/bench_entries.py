@@ -153,6 +153,25 @@ def add_bench_queries(qs: dict, spark, sf_dir: str, force=None) -> None:
     qs["phash64_near_dup"] = lambda: force(
         multimodal.phash64_near_dup_pairs(docs, max_hamming=3)
     )
+    # persisted-index form (m09, the x05 pattern applied to images):
+    # the decode+dHash pass — what dominates phash64_near_dup — runs
+    # ONCE here as the batch index build; the timed entry is the
+    # QUERY path, four band joins over the 7-integer-column code
+    # store through the zarr reader. Tracked against phash64_near_dup:
+    # the delta is decode-vs-scan, the number that decides whether
+    # persisting the hash index pays at a given near-dup query rate.
+    import atexit as _atexit2
+    import shutil as _shutil2
+    import tempfile as _tempfile2
+
+    _ph_root = _tempfile2.mkdtemp(prefix="azs_bench_phidx_")
+    _atexit2.register(_shutil2.rmtree, _ph_root, ignore_errors=True)
+    multimodal.build_phash64_index(docs, _ph_root + "/idx")
+    qs["phash64_index_near_dup"] = lambda: force(
+        multimodal.phash64_near_dup_pairs_indexed(
+            spark, _ph_root + "/idx", max_hamming=3
+        )
+    )
     # cross-modal alignment gate (m06): one Arrow decode pass + JVM
     # pooling + id equi-join + built-in cosine — tracked against
     # multimodal_features (the delta is the join + cosine tail)

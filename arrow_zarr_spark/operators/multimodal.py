@@ -44,6 +44,8 @@ __all__ = [
     "perceptual_hash64",
     "phash_near_dup_pairs",
     "phash64_near_dup_pairs",
+    "build_phash64_index",
+    "phash64_near_dup_pairs_indexed",
 ]
 
 #: Canonical multimodal column group: payload + typed metadata.
@@ -602,12 +604,16 @@ def phash64_near_dup_pairs(
     128-bit hash, same plan shape).
 
     Returns (id_a, id_b, hamming) with id_a < id_b."""
-    if not (0 <= max_hamming <= 3):
-        raise ValueError(
-            f"phash64_near_dup_pairs: 4 bands guarantee recall only "
-            f"for max_hamming <= 3, got {max_hamming}"
-        )
-    ph = perceptual_hash64(df, id_col, text_col).select(
+    ph = _phash64_with_bands(perceptual_hash64(df, id_col, text_col))
+    return _phash64_band_join_pairs(ph, max_hamming)
+
+
+def _phash64_with_bands(ph: DataFrame) -> DataFrame:
+    """(media_id, ph_lo, ph_hi) -> + the four 16-bit band columns
+    b0..b3 — ONE definition shared by the inline pipeline and the
+    persisted index build (their bytes must not drift: the shared
+    tail is what lets the m08 oracle replay the indexed query)."""
+    return ph.select(
         "media_id",
         "ph_lo",
         "ph_hi",
@@ -616,7 +622,19 @@ def phash64_near_dup_pairs(
         (F.col("ph_hi") % 65536).alias("b2"),
         F.shiftright("ph_hi", 16).alias("b3"),
     )
-    # four self-join arms would re-run the decode+hash pipeline four
+
+
+def _phash64_band_join_pairs(ph: DataFrame, max_hamming: int) -> DataFrame:
+    """The banded near-dup tail over a (media_id, ph_lo, ph_hi,
+    b0..b3) frame — shared by :func:`phash64_near_dup_pairs` (inline
+    decode+hash) and :func:`phash64_near_dup_pairs_indexed` (persisted
+    code store)."""
+    if not (0 <= max_hamming <= 3):
+        raise ValueError(
+            f"phash64_near_dup_pairs: 4 bands guarantee recall only "
+            f"for max_hamming <= 3, got {max_hamming}"
+        )
+    # four self-join arms would re-run the upstream pipeline four
     # times; the hash table is 7 small columns per doc — materialize
     # it once (the d14/d16 localCheckpoint convention)
     ph = ph.localCheckpoint()
@@ -644,4 +662,59 @@ def phash64_near_dup_pairs(
             F.col("media_id_b").alias("id_b"),
             "hamming",
         )
+    )
+
+
+def build_phash64_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_rows: int = 65536,
+    mode: str = "overwrite",
+) -> dict:
+    """Persist the corpus's 64-bit perceptual hashes (+ the four
+    16-bit band columns) as a zarr table store — the x05
+    (vector_index.build_binary_index) pattern applied to the image
+    near-dup path: the Arrow decode + dHash pass that dominates
+    :func:`phash64_near_dup_pairs`' wall time runs ONCE as a batch
+    index build; every near-dup query after scans 7 small integer
+    columns through the engine's own reader (statistics, audit,
+    replication, and versioning all apply to the index store).
+
+    Codes are deterministic JVM expressions over decode_image's
+    rounded pixel means, so a rebuilt index is byte-identical and the
+    m08 full-pipeline SQL replay remains the oracle for queries
+    against it. Returns ``{"path", "n_images"}``."""
+    from ..io import write_zarr
+
+    codes = _phash64_with_bands(
+        perceptual_hash64(df, id_col, text_col)
+    ).orderBy("media_id")
+    n = write_zarr(codes, path, chunk_rows=chunk_rows, mode=mode)
+    return {"path": path, "n_images": int(n)}
+
+
+def phash64_near_dup_pairs_indexed(
+    spark, index_path: str, max_hamming: int = 3
+) -> DataFrame:
+    """Perceptual near-duplicate pairs from a PERSISTED phash64 index
+    (:func:`build_phash64_index`): identical rows to
+    :func:`phash64_near_dup_pairs` over the same corpus — the decode
+    pipeline never runs, the four band equi-joins read the code store
+    (one ~56-byte row per image) through the zarr scan. Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    codes = spark.read.format("zarr").load(index_path)
+    want = {"media_id", "ph_lo", "ph_hi", "b0", "b1", "b2", "b3"}
+    if not want.issubset(set(codes.columns)):
+        raise ValueError(
+            f"phash64_near_dup_pairs_indexed: {index_path!r} is not a "
+            f"phash64 index store (want columns {sorted(want)}, got "
+            f"{codes.columns})"
+        )
+    return _phash64_band_join_pairs(
+        codes.select(
+            "media_id", "ph_lo", "ph_hi", "b0", "b1", "b2", "b3"
+        ),
+        max_hamming,
     )

@@ -3895,6 +3895,18 @@ def populate_round8_phash64_queries(register) -> None:
             _docs(spark, sf_dir), max_hamming=3
         )
 
+    register("m08_phash64_near_dup", m08, _phash64_oracle_sql())
+
+
+def _phash64_oracle_sql() -> str:
+    """The FULL-pipeline phash64 near-dup replay (m02 px_micro
+    thumbnail rebuild, all 64 dHash gradient bits, the four-band
+    first-matching-band candidate union, per-half xor/bit_count
+    verify at hamming <= 3) — ONE definition serving both m08
+    (inline phash64_near_dup_pairs) and m09 (the same query against a
+    PERSISTED index store): codes are deterministic JVM expressions,
+    so the two Spark paths must be row-identical and share this
+    oracle (the s08/x05 shared-tail pattern)."""
     # the 64 dHash bits over the 1-indexed 72-pixel row-major array,
     # exactly the bit layout of multimodal.perceptual_hash64:
     # bit r*8+c set iff arr[r*9+c] < arr[r*9+c+1] (0-indexed)
@@ -3920,9 +3932,7 @@ def populate_round8_phash64_queries(register) -> None:
             f"FROM hb a JOIN hb b ON {' AND '.join(conds)}"
         )
 
-    register(
-        "m08_phash64_near_dup",
-        m08,
+    return (
         "WITH d AS (SELECT doc_id, text, length(text) AS n "
         "FROM documents WHERE length(text) > 0), "
         "s AS (SELECT doc_id, text, n, CAST(i AS INT) AS px_idx, "
@@ -3949,7 +3959,7 @@ def populate_round8_phash64_queries(register) -> None:
         "CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) "
         "AS BIGINT) AS hamming "
         "FROM cand "
-        "WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3",
+        "WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3"
     )
 
 
@@ -4343,4 +4353,34 @@ def populate_round10_maint_queries(register) -> None:
         "CAST(r1.range * 1000 + r2.range * 7 AS DOUBLE) AS v "
         "FROM range(0, 17) r1, range(0, 6) r2 "
         "WHERE r1.range * 1000 + r2.range * 7 >= 12000",
+    )
+
+
+def populate_round10_phash_index_queries(register) -> None:
+    """m09: the persisted phash64 index (r9 verdict item 5 — m08 was
+    the most expensive bench entry two rounds running because it pays
+    the Arrow decode + dHash pass and four band joins every run).
+    build_phash64_index persists the codes + band columns in the
+    engine's own zarr format ONCE; the query path scans 7 small
+    integer columns. Codes are deterministic JVM expressions, so the
+    indexed query is row-identical to m08 and SHARES its
+    full-pipeline DuckDB replay as oracle (the s08/x05 shared-tail
+    pattern) — the roundtrip through the index store is exactly what
+    the hash check verifies."""
+
+    def m09(spark, sf_dir):
+        import shutil
+
+        token = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/arrow_zarr_spark_m09_{token}"
+        shutil.rmtree(path, ignore_errors=True)
+        multimodal.build_phash64_index(_docs(spark, sf_dir), path)
+        return multimodal.phash64_near_dup_pairs_indexed(
+            spark, path, max_hamming=3
+        )
+
+    register(
+        "m09_phash64_index_near_dup",
+        m09,
+        _phash64_oracle_sql(),
     )

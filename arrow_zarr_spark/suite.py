@@ -1519,6 +1519,7 @@ def _ensure_populated() -> None:
         populate_round8_split_queries,
         populate_round9_queries,
         populate_round10_maint_queries,
+        populate_round10_phash_index_queries,
         populate_round7_repair_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
@@ -1575,6 +1576,9 @@ def _ensure_populated() -> None:
     populate_round8_split_queries(register_query)
     populate_round9_queries(register_query)
     populate_round10_maint_queries(register_query)
+    # m09 registers OUTSIDE the (full) 50-slot window — oracle parity
+    # enforces it locally every round; a future rotation picks it up
+    populate_round10_phash_index_queries(register_query)
     # z36 registers OUTSIDE the (already all-fresh) 50-slot window —
     # the round-8 rotation picks it up; oracle parity enforces it
     # locally every round meanwhile

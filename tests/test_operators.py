@@ -2923,6 +2923,49 @@ class TestPhash64:
         with pytest.raises(ValueError, match="max_hamming"):
             phash64_near_dup_pairs(docs, max_hamming=4)
 
+    def test_indexed_pairs_equal_inline(self, spark, docs, tmp_path):
+        """m09 (r10): the persisted-index query path must be
+        row-identical to the inline pipeline — codes are
+        deterministic JVM expressions, so a roundtrip through the
+        zarr code store (build_phash64_index) changes nothing. This
+        equality is what lets m09 share m08's full-pipeline oracle."""
+        from arrow_zarr_spark.operators.multimodal import (
+            build_phash64_index,
+            phash64_near_dup_pairs,
+            phash64_near_dup_pairs_indexed,
+        )
+
+        path = str(tmp_path / "phidx")
+        info = build_phash64_index(docs, path)
+        assert info["n_images"] > 0
+        inline = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in phash64_near_dup_pairs(docs, max_hamming=3).collect()
+        )
+        indexed = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in phash64_near_dup_pairs_indexed(
+                spark, path, max_hamming=3
+            ).collect()
+        )
+        assert indexed == inline and len(inline) > 0
+
+    def test_indexed_rejects_non_index_store(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from arrow_zarr_spark.io import write_zarr
+        from arrow_zarr_spark.operators.multimodal import (
+            phash64_near_dup_pairs_indexed,
+        )
+
+        path = str(tmp_path / "notidx")
+        write_zarr(
+            spark.range(8).select(F.col("id").alias("k")), path,
+            chunk_rows=4,
+        )
+        with pytest.raises(ValueError, match="not a phash64 index"):
+            phash64_near_dup_pairs_indexed(spark, path)
+
     def test_band_occupancy_at_1e5_images(self, spark):
         """The r7 verdict's saturation bar: the 24-bit hash's 8-bit
         bands collapse at ~10^4 images (256 buckets/band -> band
