@@ -772,7 +772,66 @@ def _ann_recall(spark, k: int = 5) -> dict:
     return out
 
 
+def _suite_gate() -> dict:
+    """Round-seal gate (r9 verdict items 1/6): the FULL pytest suite
+    at BOTH the default sf0.001 and the driver's sf0.01 — the r9
+    lesson was a sealed "990/990" that had only run at the default SF
+    while one test failed deterministically at the driver's.
+
+    Runs only under ``SPARK_GRAFT_SEAL=1`` (the driver's per-round
+    bench keeps its time budget; two full suite runs are ~35 min);
+    WITHOUT it the record carries ``ran: false`` and the seal command,
+    so a seal that skipped the gate is visible in-record rather than
+    silently green. The seal is therefore one command:
+
+        SPARK_GRAFT_SEAL=1 python bench.py
+    """
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_SEAL", "") != "1":
+        return {
+            "ran": False,
+            "seal_command": "SPARK_GRAFT_SEAL=1 python bench.py",
+        }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    gate: dict = {"ran": True}
+    for label, sf_dir in (
+        ("sf0.001", "/root/testdata/sf0.001"),
+        ("sf0.01", "/root/testdata/sf0.01"),
+    ):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_TEST_SF_DIR"] = sf_dir
+        env.pop("SPARK_GRAFT_SEAL", None)
+        t0 = time.time()
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "pytest", "tests/", "-q",
+                "--tb=line", "-p", "no:cacheprovider",
+            ],
+            cwd=repo,
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        lines = (proc.stdout or "").strip().splitlines()
+        gate[label] = {
+            "exit": proc.returncode,
+            "summary": (lines[-1] if lines else "")[-160:],
+            "seconds": round(time.time() - t0, 1),
+        }
+    gate["green"] = all(
+        gate[lbl]["exit"] == 0 for lbl in ("sf0.001", "sf0.01")
+    )
+    return gate
+
+
 def main() -> None:
+    # the seal gate runs FIRST so a red suite surfaces before 20
+    # minutes of bench work (no-op unless SPARK_GRAFT_SEAL=1)
+    suite_gate = _suite_gate()
+    if suite_gate.get("ran") and not suite_gate.get("green"):
+        print(json.dumps({"error": "suite gate RED", **suite_gate}))
+        raise SystemExit(1)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count()
     spark = get_spark(app_name="arrow_zarr_spark_bench", cpus=cpus)
     # ERROR-only: WARN chatter between queries competes with the final
@@ -951,6 +1010,10 @@ def main() -> None:
         "plan_findings": plan_findings,
         "plan_findings_allowed": plan_findings_allowed,
         "plan_findings_n": sum(len(v) for v in plan_findings.values()),
+        # round-seal suite gate (r9 verdict 1/6): full pytest at BOTH
+        # SFs under SPARK_GRAFT_SEAL=1; ran=False otherwise so a
+        # skipped gate is visible in-record
+        "suite_gate": suite_gate,
     }
     # The result must survive the driver's finite tail capture.
     # BENCH_r05/r06/r07 all landed as `parsed: null` because the single
@@ -998,6 +1061,9 @@ def main() -> None:
         ),
         "recall": out.get("recall") or None,
         "plan_findings_n": out.get("plan_findings_n"),
+        "suite_gate_green": (
+            suite_gate.get("green") if suite_gate.get("ran") else None
+        ),
         "file": "BENCH_OUT.json",
     }
     spark.stop()
