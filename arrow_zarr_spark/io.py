@@ -999,16 +999,43 @@ def _assemble_grid_append_stats_sidecar(
     return {c: dict(marker) for c in eligible}
 
 
-def _clear_store(store, keep_staging: bool = False) -> None:
+def _clear_store(store, keep_staging: bool = False, spark=None) -> None:
+    """Delete every live key (committed snapshots under ``.versions/``
+    survive an overwrite — that is the point of versioning;
+    vacuum_versions is the way to drop history deliberately).
+
+    r10: with ``spark`` and a store past the maintenance cap the
+    listing + deletes distribute (the same no-driver-key-list tier as
+    the maintenance verbs — an overwrite of a multi-million-object
+    store must not buffer its key list on the driver); below it, one
+    incremental driver walk."""
+    from .zarr import versions as _V
     from .zarr.versions import VERSIONS_PREFIX
 
-    for key in list(store.walk_keys()):
+    skip = (VERSIONS_PREFIX,) + (("__stage__",) if keep_staging else ())
+    probe = (
+        None
+        if spark is None or not getattr(store, "root", None)
+        else store.probe_keys(_V.MAINT_DRIVER_LIST_MAX, skip_prefixes=skip)
+    )
+    if spark is not None and probe is None and hasattr(store, "root"):
+        path = store.root
+
+        def sweep(keys):
+            task_store = open_store(path)
+            for k in keys:
+                task_store.delete(k)
+                yield 1
+
+        _V._live_keys_rdd(
+            spark, path, include_staging=not keep_staging
+        ).mapPartitions(sweep).count()
+        return
+    keys = probe if probe is not None else list(store.walk_keys())
+    for key in keys:
         if keep_staging and key.startswith("__stage__"):
             continue
         if key.startswith(VERSIONS_PREFIX):
-            # committed snapshots survive an overwrite — that is the
-            # point of versioning; vacuum_versions is the way to drop
-            # history deliberately
             continue
         store.delete(key)
 
@@ -1117,7 +1144,7 @@ def write_zarr(
                 f"Store already exists at {path!r} (mode='error')"
             )
         else:
-            _clear_store(store)
+            _clear_store(store, spark=df.sparkSession)
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -1624,7 +1651,7 @@ def write_zarr_grid(
             raise ZarrFormatError(
                 f"Store already exists at {path!r} (mode='error')"
             )
-        _clear_store(store)
+        _clear_store(store, spark=df.sparkSession)
 
     spark = df.sparkSession
 
@@ -3752,8 +3779,30 @@ def replicate_zarr(
                 f"replicate_zarr: destination {dst!r} is not empty "
                 f"(found {existing!r}); pass mode='overwrite' to clear"
             )
-        _clear_store(dst_store)
-        # an overwritten replica must not inherit the old history
+        _clear_store(dst_store, spark=spark)
+        # an overwritten replica must not inherit the old history —
+        # its content-object area can be huge: sweep the object
+        # shards distributed past the cap (the manifests/tags/HEAD
+        # remainder is metadata-scale and driver-walks below)
+        from .zarr import versions as _Vc
+
+        if (
+            spark is not None
+            and _Vc._probe_prefix(
+                dst_store, VERSIONS_PREFIX, _Vc.MAINT_DRIVER_LIST_MAX
+            )
+            is None
+        ):
+
+            def _sweep_versions(keys):
+                d = open_store(dst)
+                for k in keys:
+                    d.delete(k)
+                    yield 1
+
+            _Vc._object_keys_rdd(spark, dst).mapPartitions(
+                _sweep_versions
+            ).count()
         for k in list(dst_store.walk_prefix(VERSIONS_PREFIX)):
             dst_store.delete(k)
 

@@ -300,3 +300,42 @@ class TestExportDistributed:
         )
         assert out_d2["version"] == 2
         assert spark.read.format("zarr").load(e_dist).count() == 40
+
+
+class TestClearStoreDistributed:
+    def test_overwrite_clears_distributed(
+        self, spark, tmp_path, force_distributed
+    ):
+        """write_zarr(mode='overwrite') past the maintenance cap must
+        clear the old keys through the distributed sweep (no driver
+        key list) and leave exactly the new store + its history."""
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 128), d, chunk_rows=16)
+        commit_version(spark, d, "v1")
+        write_zarr(
+            _table(spark, 0, 48, mul=11), d, chunk_rows=16,
+            mode="overwrite",
+        )
+        df = spark.read.format("zarr").load(d)
+        assert df.count() == 48
+        assert df.agg(F.sum("v")).first()[0] == sum(
+            11 * i for i in range(48)
+        )
+        # history survived the overwrite-clear
+        assert read_zarr(spark, d, version=1).count() == 128
+        # no stale chunk objects from the 128-row layout remain live
+        assert vacuum_zarr(d, spark=spark)["orphans"] == []
+
+    def test_replicate_overwrite_clears_history_distributed(
+        self, spark, tmp_path, force_distributed
+    ):
+        src = str(tmp_path / "src")
+        old = str(tmp_path / "old")
+        write_zarr(_table(spark, 0, 64), src, chunk_rows=16)
+        write_zarr(_table(spark, 0, 96, mul=7), old, chunk_rows=16)
+        commit_version(spark, old, "stale history")
+        out = replicate_zarr(spark, src, old, mode="overwrite")
+        assert out["n_mismatch"] == 0
+        # the overwritten replica carries neither old data nor the
+        # old store's version history
+        assert _store_bytes(old) == _store_bytes(src)
