@@ -1379,6 +1379,109 @@ def _cdc_chunk_work(name, meta_a, meta_b, man_a, man_b):
     return union_shape, work
 
 
+def _cdc_changed_rdd(
+    spark, path: str, va: int, vb: int, comparable: Dict,
+    n_partitions=None,
+):
+    """:func:`_cdc_chunk_work`'s decision, distributed (r10): one
+    global ordinal range over the arrays' union grids; tasks decode
+    ordinal -> chunk index (mixed-radix), resolve both versions' shas
+    through COVERING manifest blocks (cached per task; a contiguous
+    ordinal range maps to lexicographically clustered keys, so each
+    task touches few blocks), and emit only the (name, idx) pairs
+    whose hash or in-bounds coverage differs — the full (key, sha)
+    mappings never materialize anywhere. ``comparable``:
+    ``{name: (meta_a, meta_b, union_shape)}``."""
+    sc = spark.sparkContext
+    metas_b = sc.broadcast(comparable)
+    per = []
+    total = 0
+    for n in sorted(comparable):
+        _ma, mb, union_shape = comparable[n]
+        chunk = tuple(mb.chunk_shape)
+        ugrid = tuple(-(-s // c) for s, c in zip(union_shape, chunk))
+        cells = 1
+        for g in ugrid:
+            cells *= g
+        per.append((n, total, ugrid))
+        total += cells
+    if total == 0:
+        return sc.parallelize([], 1)
+    bounds_b = sc.broadcast(per)
+    p = path
+
+    def find_changed(ordinals):
+        import bisect
+
+        base = open_store(p)
+        view_a = VersionStoreView(base, None, va)
+        view_b = VersionStoreView(base, None, vb)
+        starts = [st for _, st, _ in bounds_b.value]
+        for o in ordinals:
+            i = bisect.bisect_right(starts, o) - 1
+            name, st, ugrid = bounds_b.value[i]
+            rel = int(o - st)
+            idx_rev = []
+            for g in reversed(ugrid):
+                idx_rev.append(rel % g)
+                rel //= g
+            idx = tuple(reversed(idx_rev))
+            ma, mb, _us = metas_b.value[name]
+            in_a = all(j < g for j, g in zip(idx, ma.chunk_grid_shape))
+            in_b = all(j < g for j, g in zip(idx, mb.chunk_grid_shape))
+            key = f"{name}/{mb.chunk_key(idx)}"
+            ha = view_a._sha(key) if in_a else None
+            hb = view_b._sha(key) if in_b else None
+            valid_a = ma.valid_chunk_shape(idx) if in_a else None
+            valid_b = mb.valid_chunk_shape(idx) if in_b else None
+            if ha != hb or valid_a != valid_b:
+                yield (name, idx)
+
+    n_slices = max(
+        1, min(total, int(n_partitions or sc.defaultParallelism * 2))
+    )
+    return sc.range(0, total, numSlices=n_slices).mapPartitions(
+        find_changed
+    )
+
+
+def _grid_work_rdd(spark, metas: Dict, names=None):
+    """(array, chunk_idx) pairs for the FULL chunk grids of the named
+    arrays as an RDD — ``sc.range`` over a global ordinal, decoded
+    mixed-radix in the tasks, so a billion-chunk grid never
+    enumerates on the driver. Metadata-only input (grid shapes)."""
+    sc = spark.sparkContext
+    per = []
+    total = 0
+    for n in sorted(names if names is not None else metas):
+        g = tuple(metas[n].chunk_grid_shape)
+        cells = 1
+        for x in g:
+            cells *= x
+        per.append((n, total, g))
+        total += cells
+    if total == 0:
+        return sc.parallelize([], 1)
+    bounds = sc.broadcast(per)
+
+    def decode(ordinals):
+        import bisect
+
+        starts = [st for _, st, _ in bounds.value]
+        for o in ordinals:
+            i = bisect.bisect_right(starts, o) - 1
+            name, st, g = bounds.value[i]
+            rel = int(o - st)
+            idx_rev = []
+            for x in reversed(g):
+                idx_rev.append(rel % x)
+                rel //= x
+            yield (name, tuple(reversed(idx_rev)))
+
+    n_slices = max(1, min(total, sc.defaultParallelism * 2))
+    return sc.range(0, total, numSlices=n_slices).mapPartitions(decode)
+
+
 def version_cdc(
     spark,
     path: str,
@@ -1426,8 +1529,20 @@ def version_cdc(
     if version_b is None:
         version_b = latest_version(path)
     va, vb = int(version_a), int(version_b)
-    man_a = _read_manifest(store, va)["objects"]
-    man_b = _read_manifest(store, vb)["objects"]
+    root_a = _read_manifest_root(store, va)
+    root_b = _read_manifest_root(store, vb)
+    # r10: past the maintenance cap the WORK-LIST build distributes
+    # too — chunk ordinals fan out over the union grids and tasks
+    # resolve both shas through covering manifest blocks, so the full
+    # (key, sha) mappings never materialize on the driver and the
+    # changed-chunk stream chains straight into the compare stage (no
+    # driver work list of any size, delta-proportional output)
+    big = (
+        max(_root_n_objects(root_a), _root_n_objects(root_b))
+        > MAINT_DRIVER_LIST_MAX
+    )
+    man_a: Dict[str, str] = {} if big else _manifest_objects(store, root_a)
+    man_b: Dict[str, str] = {} if big else _manifest_objects(store, root_b)
 
     def _metas(version):
         return {
@@ -1466,6 +1581,11 @@ def version_cdc(
             ma.chunk_shape
         ) != tuple(mb.chunk_shape):
             findings.append((n, None, None, "layout_differs", None, None))
+        elif big:
+            union_shape = tuple(
+                max(sa, sb) for sa, sb in zip(ma.shape, mb.shape)
+            )
+            comparable[n] = (ma, mb, union_shape)
         else:
             union_shape, idxs = _cdc_chunk_work(n, ma, mb, man_a, man_b)
             comparable[n] = (ma, mb, union_shape)
@@ -1547,7 +1667,20 @@ def version_cdc(
     if n_partitions is None:
         n_partitions = sc.defaultParallelism * 2
     parts = []
-    if work:
+    if big and comparable:
+        # distributed work-list tier: chunk ordinals fan out over the
+        # union grids, tasks resolve both shas through covering
+        # manifest blocks, and the changed-chunk stream chains
+        # straight into compare — no driver work list of any size
+        parts.append(
+            spark.createDataFrame(
+                _cdc_changed_rdd(
+                    spark, path, va, vb, comparable, n_partitions
+                ).mapPartitions(compare),
+                schema,
+            )
+        )
+    elif work:
         n_slices = max(1, min(len(work), int(n_partitions)))
         parts.append(
             spark.createDataFrame(
@@ -1971,6 +2104,10 @@ def _chunk_stats_rows(spark, path: str, version: int, work, metas):
                 s,
             )
 
+    if hasattr(work, "mapPartitions"):  # already an RDD (r10 tiers)
+        return spark.createDataFrame(
+            work.mapPartitions(kernel), _CHUNK_STAT_SCHEMA
+        )
     if not work:
         return spark.createDataFrame([], _CHUNK_STAT_SCHEMA)
     n_parts = max(1, min(len(work), sc.defaultParallelism * 2))
@@ -1992,13 +2129,25 @@ def chunk_stat_view(spark, path: str, version: int, columns=None):
 
     store = open_store(path)
     metas = _numeric_metas(store, version, columns)
-    work = [
-        (n, idx)
-        for n, m in metas.items()
-        for idx in itertools.product(
-            *(range(g) for g in m.chunk_grid_shape)
-        )
-    ]
+    total = 0
+    for m in metas.values():
+        cells = 1
+        for g in m.chunk_grid_shape:
+            cells *= g
+        total += cells
+    if total > MAINT_DRIVER_LIST_MAX:
+        # r10: a full-view build over a huge grid enumerates its work
+        # list in the tasks (sc.range + mixed-radix decode), never on
+        # the driver
+        work = _grid_work_rdd(spark, metas)
+    else:
+        work = [
+            (n, idx)
+            for n, m in metas.items()
+            for idx in itertools.product(
+                *(range(g) for g in m.chunk_grid_shape)
+            )
+        ]
     return _chunk_stats_rows(spark, path, version, work, metas)
 
 
@@ -2030,34 +2179,48 @@ def refresh_chunk_stat_view(
     if version_b is None:
         version_b = latest_version(path)
     va, vb = int(version_a), int(version_b)
-    man_a = _read_manifest(store, va)["objects"]
-    man_b = _read_manifest(store, vb)["objects"]
+    root_a = _read_manifest_root(store, va)
+    root_b = _read_manifest_root(store, vb)
+    # r10 tier: past the maintenance cap the changed-chunk decision
+    # distributes (covering-block sha resolution, _cdc_changed_rdd)
+    # and only the DELTA comes back to the driver — the full (key,
+    # sha) mappings never materialize; full-grid recomputes (added /
+    # relaid-out arrays) enumerate their work in the tasks too
+    big = (
+        max(_root_n_objects(root_a), _root_n_objects(root_b))
+        > MAINT_DRIVER_LIST_MAX
+    )
+    man_a: Dict[str, str] = {} if big else _manifest_objects(store, root_a)
+    man_b: Dict[str, str] = {} if big else _manifest_objects(store, root_b)
     metas_a = _numeric_metas(store, va, columns)
     metas_b = _numeric_metas(store, vb, columns)
 
     recompute = []  # (name, idx) to decode on version_b
     drop_pairs = []  # (name, chunk_pos) rows to remove from the base
     drop_arrays = []  # arrays whose every base row is stale
+    full_names = []  # arrays recomputing their WHOLE grid
+    comparable = {}  # big tier: chunk-level decision deferred to tasks
     for n in sorted(set(metas_a) | set(metas_b)):
         if n not in metas_b:
             drop_arrays.append(n)
             continue
         mb = metas_b[n]
-        full = [
-            (n, idx)
-            for idx in itertools.product(
-                *(range(g) for g in mb.chunk_grid_shape)
-            )
-        ]
         if n not in metas_a:
-            recompute.extend(full)
+            full_names.append(n)
             continue
         ma = metas_a[n]
         if ma.zarr_dtype != mb.zarr_dtype or len(ma.shape) != len(
             mb.shape
         ) or tuple(ma.chunk_shape) != tuple(mb.chunk_shape):
             drop_arrays.append(n)
-            recompute.extend(full)
+            full_names.append(n)
+            continue
+        if big:
+            comparable[n] = (
+                ma,
+                mb,
+                tuple(max(sa, sb) for sa, sb in zip(ma.shape, mb.shape)),
+            )
             continue
         _, idxs = _cdc_chunk_work(n, ma, mb, man_a, man_b)
         grid_b = mb.chunk_grid_shape
@@ -2069,7 +2232,41 @@ def refresh_chunk_stat_view(
         # chunks beyond b's grid entirely (a shrink) only appear in
         # idxs when coverage changed — which a shrink guarantees
 
-    fresh = _chunk_stats_rows(spark, path, vb, recompute, metas_b)
+    if comparable:
+        # delta-proportional collect: exactly the changed chunks
+        for n, idx in _cdc_changed_rdd(
+            spark, path, va, vb, comparable
+        ).collect():
+            key = "/".join(str(i) for i in idx)
+            if all(
+                i < g for i, g in zip(idx, metas_b[n].chunk_grid_shape)
+            ):
+                recompute.append((n, idx))
+            drop_pairs.append((n, key))
+
+    full_cells = 0
+    for n in full_names:
+        cells = 1
+        for g in metas_b[n].chunk_grid_shape:
+            cells *= g
+        full_cells += cells
+    if full_cells > MAINT_DRIVER_LIST_MAX:
+        sc = spark.sparkContext
+        work = sc.parallelize(
+            sorted(recompute),
+            max(1, min(len(recompute) or 1, sc.defaultParallelism * 2)),
+        ).union(_grid_work_rdd(spark, metas_b, full_names))
+    else:
+        for n in full_names:
+            recompute.extend(
+                (n, idx)
+                for idx in itertools.product(
+                    *(range(g) for g in metas_b[n].chunk_grid_shape)
+                )
+            )
+        work = recompute
+
+    fresh = _chunk_stats_rows(spark, path, vb, work, metas_b)
     keep = base_view
     if drop_arrays:
         keep = keep.filter(~F.col("array").isin(drop_arrays))

@@ -339,3 +339,98 @@ class TestClearStoreDistributed:
         # the overwritten replica carries neither old data nor the
         # old store's version history
         assert _store_bytes(old) == _store_bytes(src)
+
+
+class TestCdcDistributed:
+    def test_cdc_matches_small_tier(
+        self, spark, tmp_path, force_distributed
+    ):
+        """version_cdc past the cap builds its work list DISTRIBUTED
+        (ordinals -> covering-block sha resolution -> compare, no
+        driver work list); the rows must equal the small tier's on
+        the same history — append (added), overwrite-region
+        (modified), and byte-identical chunks never surfacing."""
+        from arrow_zarr_spark.zarr.versions import version_cdc
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d, "v1")
+        write_zarr(
+            _table(spark, 48, 96, mul=5), d, chunk_rows=16,
+            mode="append",
+        )
+        commit_version(spark, d, "v2")
+
+        def rows(df):
+            return sorted(
+                (
+                    r["array"], r["pos"], r["coords"], r["change"],
+                    r["old_value"], r["new_value"],
+                )
+                for r in df.collect()
+            )
+
+        got = rows(version_cdc(spark, d, 1, 2))  # forced distributed
+        V.MAINT_DRIVER_LIST_MAX = 1 << 17  # small tier for the twin run
+        want = rows(version_cdc(spark, d, 1, 2))
+        assert got == want
+        assert len(got) > 0
+        assert all(c == "added" for _, _, _, c, _, _ in got)
+
+    def test_cdc_distributed_modified_and_removed(
+        self, spark, tmp_path, force_distributed
+    ):
+        from arrow_zarr_spark.zarr.versions import version_cdc
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d, "v1")
+        # shrink + change values: removed positions AND modified ones
+        write_zarr(
+            _table(spark, 0, 40, mul=9), d, chunk_rows=16,
+            mode="overwrite",
+        )
+        commit_version(spark, d, "v2")
+        out = version_cdc(spark, d, 1, 2)
+        by_change = {
+            r["change"]: r["cnt"]
+            for r in out.groupBy("change").count()
+            .withColumnRenamed("count", "cnt").collect()
+        }
+        # v column: 40 modified in-range (2i -> 9i, i>0 differs; i=0
+        # equal), 24 removed per array; k identical in range
+        assert by_change.get("removed", 0) == 48  # k and v, 24 each
+        assert by_change.get("modified", 0) == 39  # v only, i=1..39
+
+    def test_stat_view_refresh_distributed_equals_scratch(
+        self, spark, tmp_path, force_distributed
+    ):
+        """refresh_chunk_stat_view past the cap: the changed-chunk
+        decision distributes (covering-block sha resolution) and
+        full-grid recomputes enumerate in the tasks; result must stay
+        row-for-row equal to a from-scratch chunk_stat_view(v2) —
+        which itself runs the sc.range work-list tier here."""
+        from arrow_zarr_spark.zarr.versions import (
+            chunk_stat_view,
+            refresh_chunk_stat_view,
+        )
+
+        d = str(tmp_path / "s")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        commit_version(spark, d, "v1")
+        base = chunk_stat_view(spark, d, 1).localCheckpoint()
+        write_zarr(
+            _table(spark, 48, 96, mul=5), d, chunk_rows=16,
+            mode="append",
+        )
+        commit_version(spark, d, "v2")
+
+        def rows(df):
+            return sorted(
+                (r["array"], r["chunk_pos"], r["n_values"], r["value_sum"])
+                for r in df.collect()
+            )
+
+        got = rows(refresh_chunk_stat_view(spark, d, base, 1, 2))
+        want = rows(chunk_stat_view(spark, d, 2))
+        assert got == want and len(want) > 0
