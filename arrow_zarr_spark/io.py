@@ -2188,13 +2188,26 @@ def audit_zarr(
             )
         arrays = [a for a in arrays if a.meta.name in wanted]
 
-    work = []
-    for a in arrays:
-        for idx in itertools.product(
-            *(range(g) for g in a.meta.chunk_grid_shape)
-        ):
-            work.append((a.meta.name, idx))
     metas = {a.meta.name: a.meta for a in arrays}
+    total_cells = 0
+    for m in metas.values():
+        cells = 1
+        for g in m.chunk_grid_shape:
+            cells *= g
+        total_cells += cells
+    from .zarr import versions as _Va
+
+    if total_cells > _Va.MAINT_DRIVER_LIST_MAX:
+        # r10: an fsck of a huge grid enumerates its work list in the
+        # tasks (sc.range + mixed-radix decode), never on the driver
+        work = _Va._grid_work_rdd(spark, metas)
+    else:
+        work = []
+        for a in arrays:
+            for idx in itertools.product(
+                *(range(g) for g in a.meta.chunk_grid_shape)
+            ):
+                work.append((a.meta.name, idx))
     sc = spark.sparkContext
     metas_b = sc.broadcast(metas)
     path_b = path
@@ -2234,8 +2247,11 @@ def audit_zarr(
         # wall time is stored-bytes / cluster only if every executor
         # gets work
         n_partitions = sc.defaultParallelism * 2
-    n_slices = max(1, min(len(work), int(n_partitions)))
-    rdd = sc.parallelize(work, n_slices).mapPartitions(check)
+    if hasattr(work, "mapPartitions"):  # sc.range tier
+        rdd = work.mapPartitions(check)
+    else:
+        n_slices = max(1, min(len(work), int(n_partitions)))
+        rdd = sc.parallelize(work, n_slices).mapPartitions(check)
     return spark.createDataFrame(rdd, schema)
 
 
@@ -2343,6 +2359,23 @@ def diff_zarr(
             findings.append((n, None, "layout_differs", None))
         else:
             comparable[n] = (ma, mb)
+
+    total_cells = 0
+    for ma, _mb in comparable.values():
+        cells = 1
+        for g in ma.chunk_grid_shape:
+            cells *= g
+        total_cells += cells
+    from .zarr import versions as _Vd
+
+    if total_cells > _Vd.MAINT_DRIVER_LIST_MAX:
+        # r10: a diff over a huge common grid enumerates its work
+        # list in the tasks, never on the driver
+        work = _Vd._grid_work_rdd(
+            spark, {n: ma for n, (ma, _mb) in comparable.items()}
+        )
+    else:
+        for n, (ma, _mb) in comparable.items():
             for idx in itertools.product(
                 *(range(g) for g in ma.chunk_grid_shape)
             ):
@@ -2390,7 +2423,11 @@ def diff_zarr(
     if n_partitions is None:
         n_partitions = sc.defaultParallelism * 2
     parts = []
-    if work:
+    if hasattr(work, "mapPartitions"):  # sc.range tier
+        parts.append(
+            spark.createDataFrame(work.mapPartitions(compare), schema)
+        )
+    elif work:
         n_slices = max(1, min(len(work), int(n_partitions)))
         parts.append(
             spark.createDataFrame(

@@ -434,3 +434,32 @@ class TestCdcDistributed:
         got = rows(refresh_chunk_stat_view(spark, d, base, 1, 2))
         want = rows(chunk_stat_view(spark, d, 2))
         assert got == want and len(want) > 0
+
+
+class TestAuditDiffDistributed:
+    def test_audit_and_diff_match_small_tier(
+        self, spark, tmp_path, force_distributed
+    ):
+        """audit_zarr (fsck) and diff_zarr over huge grids enumerate
+        their work lists in the tasks; rows must equal the small
+        tier's."""
+        from arrow_zarr_spark.io import audit_zarr, diff_zarr
+
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        bad = str(tmp_path / "bad")
+        write_zarr(_table(spark, 0, 64), a, chunk_rows=16)
+        write_zarr(_table(spark, 0, 64, mul=3), b, chunk_rows=16)
+        write_zarr(_table(spark, 0, 64), bad, chunk_rows=16)
+        open_store(bad).set("v/c/1", b"\x00broken")
+
+        def rows(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        got_audit = rows(audit_zarr(spark, bad))
+        got_diff = rows(diff_zarr(spark, a, b))
+        V.MAINT_DRIVER_LIST_MAX = 1 << 17
+        assert got_audit == rows(audit_zarr(spark, bad))
+        assert got_diff == rows(diff_zarr(spark, a, b))
+        assert any(not r[3] for r in got_audit)  # the broken chunk
+        assert any(r[2] == "changed" for r in got_diff)
