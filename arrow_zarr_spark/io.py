@@ -3412,11 +3412,13 @@ def add_zarr_arrays(
     # stranded chunk objects (metadata absent => provably debris, the
     # vacuum class); adopting them would publish another run's values
     # under stats claiming pure fill — purge before writing
-    new_set = set(data_cols)
-    for k in [
-        x for x in store.walk_keys() if x.split("/", 1)[0] in new_set
-    ]:
-        store.delete(k)
+    # prefix walks, not a full-store scan: only the NEW columns'
+    # subtrees can hold a crashed prior add's debris
+    for c in data_cols:
+        for k in list(store.walk_prefix(c)):
+            store.delete(k)
+        if store.exists(c):  # a bare file squatting the column name
+            store.delete(c)
 
     out, grid = _validated_cell_frame(
         spark, df, dims, axes, chunk_shape, "Add column"
@@ -3607,9 +3609,9 @@ def drop_zarr_array(path: str, name: str) -> int:
             f"Drop column: {name!r} is a dimension of {sorted(users)} "
             f"— drop those arrays first"
         )
-    doomed = [
-        k for k in store.walk_keys() if k.startswith(f"{name}/")
-    ]
+    # prefix walk, not a full-store scan: dropping one column of a
+    # million-object store must not list every other column's chunks
+    doomed = list(store.walk_prefix(name))
     meta_keys = [
         k
         for k in doomed
