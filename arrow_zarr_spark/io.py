@@ -370,12 +370,16 @@ def _stats_eligible(dtype: np.dtype) -> bool:
 STATS_MAX_OBJECTS = 65536
 
 
-#: Hard bound for DRIVER-SIDE statistics recomputation — since r10
-#: that is :func:`refresh_stats` only (its per-object recompute work
-#: list and collected rows are genuinely driver-assembled). Every
-#: grid WRITE verb (create r9; append + add-column r10) assembles
-#: sidecar blocks fully distributed past the inline cap and carries
-#: no bound at all — the same contract as the 1-D table writer.
+#: Tier CUTOVER for :func:`refresh_stats` (r11 — no longer a
+#: capability bound anywhere): at or under it the retrofit recompute
+#: keeps its driver-assembly form (one parallelize job, small-store
+#: latency); past it the work list is ``spark.range`` over chunk
+#: ordinals, per-object pairs compute in ``mapInPandas`` tasks, and
+#: one task per 64Ki-ordinal group writes each COMPLETE sidecar
+#: block — no per-object list ever materializes on the driver, so a
+#: billion-object third-party store CAN be retrofitted. Every grid
+#: WRITE verb (create r9; append + add-column r10) already assembles
+#: sidecar blocks fully distributed past the inline cap.
 STATS_GRID_MAX_OBJECTS = 1 << 22
 
 
@@ -1793,9 +1797,10 @@ def write_zarr_grid(
     # past the inline cap the sidecar blocks assemble DISTRIBUTED —
     # fresh creates since r9, appends since r10 (the old-ordinal
     # remap now runs as a keys-only Spark remap job, so the writer
-    # family carries NO driver-side stats bound at all; the
-    # STATS_GRID_MAX_OBJECTS cap survives only in refresh_stats,
-    # whose recompute work list is genuinely driver-assembled)
+    # family carries NO driver-side stats bound at all; since r11
+    # refresh_stats routes past-cap arrays through its own
+    # distributed recompute, so STATS_GRID_MAX_OBJECTS is a tier
+    # CUTOVER, not a capability bound, everywhere)
     sidecar_grid = bool(stats) and _n_cells_planned > STATS_MAX_OBJECTS
     want_stats = bool(stats)
     if not want_stats:
@@ -2445,12 +2450,141 @@ def diff_zarr(
     return out
 
 
+def _refresh_stats_distributed(spark, store, path: str, meta) -> Dict:
+    """The past-cutover tier of :func:`refresh_stats` for ONE array —
+    r11, closing the last writer-family driver-assembly term: no
+    per-object work list, collected row set, or entry list ever
+    materializes on the driver.
+
+    Shape (the grid writers' sidecar machinery,
+    :func:`_assemble_grid_stats_sidecar`): the work list is
+    ``spark.range`` over chunk ordinals (pure metadata arithmetic);
+    per-object [lo, hi] pairs compute in ``mapInPandas`` tasks (one
+    decode per object, missing objects bound to the fill value they
+    materialize as — ``read_chunk``'s contract); then one task per
+    64Ki-ordinal group writes each COMPLETE sidecar block — every
+    ordinal appears exactly once, so blocks need no seed/merge pass.
+    The only shuffle moves ~50-byte pair rows. Returns the attribute
+    value to publish — inline entries at or under STATS_MAX_OBJECTS
+    (a bounded collect), else the sidecar marker (the caller's
+    metadata-last commit makes it visible; until then a reader
+    resolves the OLD attribute — overwritten blocks are the append
+    path's documented advisory-metadata caveat)."""
+    import pandas as pd
+
+    from .zarr.array import ZarrArray
+    from .zarr.stats import (
+        STATS_BLOCK_ENTRIES,
+        block_key,
+        is_sidecar_marker,
+    )
+
+    blk = STATS_BLOCK_ENTRIES
+    n_obj = int(meta.chunk_grid_shape[0])
+    n_blocks = -(-n_obj // blk)
+    sc = spark.sparkContext
+    path_t = path
+    meta_b = sc.broadcast(meta)
+
+    def compute(batches):
+        task_store = open_store(path_t)
+        m = meta_b.value
+        arr = ZarrArray(task_store, m)
+        for pdf in batches:
+            ords, pairs = [], []
+            for i in pdf["id"]:
+                block = np.asarray(
+                    arr.read_chunk((int(i),)), dtype=m.dtype
+                )
+                ords.append(int(i))
+                pairs.append(
+                    json.dumps(
+                        [
+                            _stat_encode(np.min(block), m.dtype),
+                            _stat_encode(
+                                np.max(block), m.dtype, upper=True
+                            ),
+                        ]
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "ord": pd.Series(ords, dtype="int64"),
+                    "pair": pairs,
+                }
+            )
+
+    n_parts = max(1, min(n_obj, sc.defaultParallelism * 2))
+    rows = spark.range(0, n_obj, 1, n_parts).mapInPandas(
+        compute, "ord long, pair string"
+    )
+
+    if n_obj <= STATS_MAX_OBJECTS:
+        # representation invariant holds regardless of which tier
+        # computed: inline at or under the inline cap (a bounded
+        # collect — ≤ 64Ki pair rows — which is the cap's own bound,
+        # not an O(n_objects) term). Reachable when the tier cutover
+        # sits below the inline cap (tests force it to 0).
+        from .zarr.stats import store_stats
+
+        entries = [None] * n_obj
+        for r in rows.collect():
+            entries[int(r["ord"])] = json.loads(r["pair"])
+        return store_stats(store, meta.name, entries, STATS_MAX_OBJECTS)
+
+    blk_t = blk
+    n_obj_t = n_obj
+    name_t = meta.name
+
+    def write_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["__blk"].iloc[0])
+        base_len = min(blk_t, n_obj_t - b * blk_t)
+        entries = [None] * base_len
+        for o, p in zip(pdf["ord"], pdf["pair"]):
+            slot = int(o) - b * blk_t
+            if not (0 <= slot < base_len):
+                raise ZarrFormatError(
+                    f"refresh_stats sidecar: ordinal {int(o)} outside "
+                    f"block {b} (block_entries={blk_t}, "
+                    f"base_len={base_len})"
+                )
+            entries[slot] = json.loads(p)
+        if any(e is None for e in entries):
+            raise ZarrFormatError(
+                f"refresh_stats sidecar: block {b} incomplete "
+                f"({sum(e is None for e in entries)} missing slots)"
+            )
+        task_store = open_store(path_t)
+        task_store.set(
+            block_key(name_t, b), json.dumps(entries).encode()
+        )
+        return pd.DataFrame({"blk": [b]})
+
+    (
+        rows.withColumn("__blk", F.expr(f"ord div {blk}"))
+        .groupBy("__blk")
+        .applyInPandas(write_block, "blk long")
+        .count()
+    )
+    # a previous, LARGER sidecar leaves stale tail blocks the new
+    # marker no longer advertises — block-count arithmetic, never an
+    # entry list (the append path's same sweep)
+    old = meta.attributes.get(STATS_ATTR_KEY)
+    if is_sidecar_marker(old):
+        for b in range(n_blocks, int(old["sidecar"])):
+            store.delete(block_key(meta.name, b))
+    return {
+        "sidecar": int(n_blocks),
+        "n_entries": int(n_obj),
+        "block_entries": int(blk),
+    }
+
+
 def refresh_stats(
     spark,
     path: str,
     columns: Optional[Sequence[str]] = None,
     n_partitions: Optional[int] = None,
-    preserve_past_cap: bool = False,
 ) -> int:
     """(Re)compute per-object [min, max] statistics for an EXISTING
     table-layout store — the retrofit path: stores written before
@@ -2458,19 +2592,18 @@ def refresh_stats(
     were dropped (``stats=False`` / stale-length discard) gain
     planning-time pruning without a rewrite.
 
-    Each store object is decoded once, executor-parallel (the audit's
-    distribution shape); the driver assembles one [lo, hi] pair per
-    object per eligible column and republishes the array metadata +
-    consolidated root. Missing objects bound to the fill value they
-    materialize as. Returns the number of (array, object) pairs
-    computed. 1-D arrays only (the table layout; grid stores get
-    their stats from :func:`write_zarr_grid`).
+    Each store object is decoded once, executor-parallel; missing
+    objects bound to the fill value they materialize as. Returns the
+    number of (array, object) pairs computed. 1-D arrays only (the
+    table layout; grid stores get their stats from
+    :func:`write_zarr_grid`).
 
-    Arrays past the driver-assembly cap (STATS_GRID_MAX_OBJECTS)
-    can't be recomputed here; their EXISTING stats are stripped by
-    default — a third-party writer may have changed the data, and a
-    stale [min,max] prunes wrongly — unless ``preserve_past_cap=True``
-    asserts the data is unchanged."""
+    Two tiers on STATS_GRID_MAX_OBJECTS (r11 — a cutover, not a
+    capability bound): at or under it the per-object rows collect and
+    the driver assembles entry lists (one job, small-store latency);
+    past it :func:`_refresh_stats_distributed` writes complete
+    sidecar blocks executor-side with no driver list anywhere, so
+    arbitrarily large third-party stores can be retrofitted."""
     from .zarr.array import ZarrArray, infer_store_arrays_authoritative
 
     store = open_store(path)
@@ -2488,38 +2621,19 @@ def refresh_stats(
             )
         arrays = [a for a in arrays if a.meta.name in wanted]
     # past STATS_MAX_OBJECTS the recomputed entries land in sidecar
-    # blocks via store_stats (zarr/stats.py) instead of being skipped
-    # — refresh is also the MIGRATION verb between the two
-    # representations. Its assembly is DRIVER-side (work list,
-    # collected per-object rows, per-column entry lists), so the same
-    # driver-memory bound as the grid verbs applies; past it the
-    # array is skipped with a warning (r8 review finding — the
-    # unbounded path is write_zarr's distributed assembly, i.e. a
-    # rewrite)
+    # blocks (zarr/stats.py) — refresh is also the MIGRATION verb
+    # between the two representations. Tier split: small arrays keep
+    # the driver-assembly form; past STATS_GRID_MAX_OBJECTS the
+    # recompute distributes end-to-end (r11).
     targets = []
-    skipped_past_cap = set()
+    targets_dist = []
     for a in arrays:
         if not _stats_eligible(a.meta.dtype):
             continue
-        if _stats_within_cap(
-            a.meta.chunk_grid_shape[0],
-            "refresh_stats",
-            cap=STATS_GRID_MAX_OBJECTS,
-        ):
+        if a.meta.chunk_grid_shape[0] <= STATS_GRID_MAX_OBJECTS:
             targets.append(a)
         else:
-            # past-cap arrays can't be recomputed driver-side. By
-            # DEFAULT their existing stats are STRIPPED like any
-            # other column refresh couldn't compute: refresh_stats is
-            # the retrofit verb for stores mutated by third-party
-            # writers, and a preserved stale [min,max] would let
-            # planning-time pruning silently DROP matching rows —
-            # wrong results, versus the conservative cost of losing
-            # pruning (r10 ADVICE). A caller who KNOWS the data is
-            # unchanged (e.g. re-publishing metadata after a
-            # write_zarr whose distributed assembly built the stats)
-            # passes preserve_past_cap=True to keep them.
-            skipped_past_cap.add(a.meta.name)
+            targets_dist.append(a)
     work = [
         (a.meta.name, i)
         for a in targets
@@ -2569,14 +2683,15 @@ def refresh_stats(
         n: store_stats(store, n, entries, STATS_MAX_OBJECTS)
         for n, entries in per_col.items()
     }
+    n_computed_dist = 0
+    for a in targets_dist:
+        attr_vals[a.meta.name] = _refresh_stats_distributed(
+            spark, store, path, a.meta
+        )
+        n_computed_dist += int(a.meta.chunk_grid_shape[0])
     for a in arrays:
         m = a.meta
-        if m.name in skipped_past_cap and preserve_past_cap:
-            continue  # caller asserted the data is unchanged
-        # (a skipped array WITHOUT the flag falls through to the
-        # not-in-per_col branch below: attr popped, sidecar deleted,
-        # metadata republished — stale bounds must not stay live)
-        if m.name in per_col:
+        if m.name in attr_vals:
             m.attributes[STATS_ATTR_KEY] = attr_vals[m.name]
         else:
             m.attributes.pop(STATS_ATTR_KEY, None)
@@ -2587,7 +2702,7 @@ def refresh_stats(
             # zarr.json here would mix formats in one array dir
             raw = store.get(f"{m.name}/.zattrs")
             zattrs = json.loads(raw) if raw else {}
-            if m.name in per_col:
+            if m.name in attr_vals:
                 zattrs[STATS_ATTR_KEY] = attr_vals[m.name]
             else:
                 zattrs.pop(STATS_ATTR_KEY, None)
@@ -2599,7 +2714,7 @@ def refresh_stats(
                 f"{m.name}/zarr.json", json.dumps(m.to_json()).encode()
             )
     _refresh_store_cache(store)
-    return len(rows)
+    return len(rows) + n_computed_dist
 
 
 def describe_zarr(path: str) -> dict:

@@ -463,3 +463,106 @@ class TestAuditDiffDistributed:
         assert got_diff == rows(diff_zarr(spark, a, b))
         assert any(not r[3] for r in got_audit)  # the broken chunk
         assert any(r[2] == "changed" for r in got_diff)
+
+
+class TestRefreshStatsDistributed:
+    """r11 (VERDICT r10 item 2): refresh_stats's [lo, hi] assembly
+    past STATS_GRID_MAX_OBJECTS runs fully distributed — spark.range
+    work list, mapInPandas pair compute, complete-block sidecar
+    writes — with NO per-object driver list. Cutover forced to 0;
+    distributed results must be byte-identical to the driver tier's
+    on twin stores."""
+
+    def test_distributed_equals_serial_twin_stores(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import arrow_zarr_spark.io as io_mod
+        import arrow_zarr_spark.zarr.stats as stats_mod
+        from arrow_zarr_spark.io import refresh_stats
+
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+        monkeypatch.setattr(stats_mod, "STATS_BLOCK_ENTRIES", 3)
+        paths = {}
+        for name in ("serial", "dist"):
+            d = str(tmp_path / name)
+            write_zarr(
+                _table(spark, 0, 200, mul=-7), d, chunk_rows=16,
+                stats=False,
+            )
+            paths[name] = d
+        n_serial = refresh_stats(spark, paths["serial"])
+        monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 0)
+        n_dist = refresh_stats(spark, paths["dist"])
+        assert n_dist == n_serial > 0
+        assert _store_bytes(paths["dist"]) == {
+            k.replace(paths["serial"], paths["dist"]): v
+            for k, v in _store_bytes(paths["serial"]).items()
+        }
+
+    def test_distributed_inline_under_inline_cap(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Cutover 0 but n_objects under the inline cap: the
+        distributed tier's bounded collect publishes the INLINE
+        representation — same bytes as the driver tier."""
+        import arrow_zarr_spark.io as io_mod
+        from arrow_zarr_spark.io import refresh_stats
+        from arrow_zarr_spark.zarr.array import infer_store_arrays
+        from arrow_zarr_spark.zarr.stats import is_sidecar_marker
+
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        for d in (a, b):
+            write_zarr(
+                _table(spark, 0, 96), d, chunk_rows=16, stats=False
+            )
+        refresh_stats(spark, a)
+        monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 0)
+        refresh_stats(spark, b)
+        assert _store_bytes(b) == {
+            k.replace(a, b): v for k, v in _store_bytes(a).items()
+        }
+        from arrow_zarr_spark.io import STATS_ATTR_KEY
+
+        attrs = {
+            m.meta.name: m.meta.attributes.get(STATS_ATTR_KEY)
+            for m in infer_store_arrays(open_store(b))
+        }
+        assert isinstance(attrs["k"], list)  # inline, not a marker
+        assert not is_sidecar_marker(attrs["k"])
+
+    def test_distributed_deletes_stale_sidecar_tail(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A prior sidecar written with a SMALLER block size leaves
+        more blocks than the new marker advertises — the distributed
+        tier sweeps the tail (block-count arithmetic, no listing)."""
+        import arrow_zarr_spark.io as io_mod
+        import arrow_zarr_spark.zarr.stats as stats_mod
+        from arrow_zarr_spark.io import refresh_stats
+        from arrow_zarr_spark.zarr.array import infer_store_arrays
+        from arrow_zarr_spark.io import STATS_ATTR_KEY
+        from arrow_zarr_spark.zarr.stats import resolve_stats
+
+        d = str(tmp_path / "t")
+        write_zarr(
+            _table(spark, 0, 160), d, chunk_rows=16, stats=False
+        )  # 10 objects
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+        monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 0)
+        monkeypatch.setattr(stats_mod, "STATS_BLOCK_ENTRIES", 2)
+        assert refresh_stats(spark, d) == 20  # 10 objects x 2 columns
+        store = open_store(d)
+        assert len(list(store.walk_prefix("__stats__/k"))) == 5
+        monkeypatch.setattr(stats_mod, "STATS_BLOCK_ENTRIES", 8)
+        assert refresh_stats(spark, d) == 20
+        store = open_store(d)
+        assert len(list(store.walk_prefix("__stats__/k"))) == 2
+        meta = {
+            m.meta.name: m.meta
+            for m in infer_store_arrays(store)
+        }["k"]
+        entries = resolve_stats(
+            store, "k", meta.attributes[STATS_ATTR_KEY]
+        )
+        assert entries == [[i * 16, i * 16 + 15] for i in range(10)]

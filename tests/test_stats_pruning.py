@@ -133,8 +133,9 @@ class TestWriterStats:
 class TestStatsObjectCap:
     """STATS_MAX_OBJECTS: past the inline cap statistics move to the
     sharded sidecar (round 8 — pruning survives, zarr.json stays
-    planning-readable); only the grid verbs' driver-memory bound
-    (STATS_GRID_MAX_OBJECTS) still skips, with a warning."""
+    planning-readable); since r11 STATS_GRID_MAX_OBJECTS is a tier
+    cutover everywhere (refresh_stats distributes past it), never a
+    skip."""
 
     def test_write_past_cap_moves_stats_to_sidecar(
         self, spark, tmp_path, monkeypatch
@@ -234,9 +235,9 @@ class TestStatsObjectCap:
     ):
         """r10: the grid WRITE verbs carry no driver-side stats bound
         anymore — past what used to be STATS_GRID_MAX_OBJECTS the
-        sidecar assembles distributed instead of skipping (the bound
-        survives only in refresh_stats, whose recompute is genuinely
-        driver-assembled)."""
+        sidecar assembles distributed instead of skipping (and since
+        r11 refresh_stats distributes past the cutover too — no verb
+        skips stats anywhere)."""
         import warnings as _warnings
 
         import arrow_zarr_spark.io as io_mod
@@ -1038,67 +1039,40 @@ class TestRefreshStats:
         ]
         assert ks == [[0, 99], [100, 199]]
 
-    def test_refresh_past_cap_strips_by_default(
+    def test_refresh_past_cutover_recomputes_distributed(
         self, spark, tmp_path, monkeypatch
     ):
-        """r10 fix (r9 ADVICE, medium): refresh_stats is the retrofit
-        verb for stores a third-party writer may have MUTATED. On an
-        array past STATS_GRID_MAX_OBJECTS it can't recompute, and a
-        preserved stale [min,max] would let pruning silently drop
-        matching rows — so the default now STRIPS the existing stats
-        (losing pruning, never correctness)."""
+        """r11 (VERDICT r10 item 2): past STATS_GRID_MAX_OBJECTS the
+        retrofit no longer skips-and-strips — the recompute runs
+        fully distributed (spark.range work list, mapInPandas pair
+        compute, complete-block sidecar writes) and a mutated
+        third-party store gets FRESH, correct bounds. The cap is now
+        a tier cutover, not a capability bound."""
         import arrow_zarr_spark.io as io_mod
         from arrow_zarr_spark.io import refresh_stats
 
         path = str(tmp_path / "rf5")
         df = spark.range(0, 600, 1, 2).select(F.col("id").alias("k"))
         write_zarr(df, path, chunk_rows=100)  # stats on: 6 objects
-        attrs = infer_store_arrays(open_store(path))[0].meta.attributes
-        assert attrs[STATS_ATTR_KEY] == [
-            [i * 100, i * 100 + 99] for i in range(6)
-        ]
+        # a third-party writer mutated the data: poison the stats
+        store = open_store(path)
+        doc = json.loads(store.get("k/zarr.json"))
+        doc["attributes"][STATS_ATTR_KEY] = [[900, 999]] * 6  # stale
+        store.set("k/zarr.json", json.dumps(doc).encode())
         monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 4)
-        with pytest.warns(UserWarning, match="statistics cap"):
-            assert refresh_stats(spark, path) == 0  # skipped
+        assert refresh_stats(spark, path) == 6  # computed, not skipped
         after = infer_store_arrays(open_store(path))[0].meta.attributes
-        assert STATS_ATTR_KEY not in after  # stale bounds are GONE
-        # no pruning, but every cell scans — correct without stats
-        assert _reader_cells(path, [LessThan(("k",), 50)]) == [
-            (i,) for i in range(6)
-        ]
-
-    def test_refresh_past_cap_preserve_flag_keeps_stats(
-        self, spark, tmp_path, monkeypatch
-    ):
-        """preserve_past_cap=True is the caller's assertion that the
-        data is unchanged (e.g. republishing after write_zarr's
-        distributed uncapped assembly): existing stats survive."""
-        import arrow_zarr_spark.io as io_mod
-        from arrow_zarr_spark.io import refresh_stats
-
-        path = str(tmp_path / "rf5b")
-        df = spark.range(0, 600, 1, 2).select(F.col("id").alias("k"))
-        write_zarr(df, path, chunk_rows=100)
-        before = infer_store_arrays(open_store(path))[0].meta.attributes[
-            STATS_ATTR_KEY
-        ]
-        monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 4)
-        with pytest.warns(UserWarning, match="statistics cap"):
-            assert (
-                refresh_stats(spark, path, preserve_past_cap=True) == 0
-            )
-        after = infer_store_arrays(open_store(path))[0].meta.attributes[
-            STATS_ATTR_KEY
-        ]
-        assert after == before  # stats survived the skip
+        assert after[STATS_ATTR_KEY] == [
+            [i * 100, i * 100 + 99] for i in range(6)
+        ]  # fresh bounds, inline (6 <= STATS_MAX_OBJECTS)
         assert _reader_cells(path, [LessThan(("k",), 50)]) == [(0,)]
 
-    def test_refresh_past_cap_strips_sidecar_by_default(
+    def test_refresh_past_cutover_builds_sidecar(
         self, spark, tmp_path, monkeypatch
     ):
-        """Same default for the SIDECAR representation: a past-cap
-        refresh deletes the marker AND the sidecar blocks unless the
-        caller passes preserve_past_cap=True."""
+        """Distributed tier + past the INLINE cap: the complete-block
+        path writes the sidecar executor-side; resolve_stats sees the
+        same entries the driver tier would have assembled."""
         import arrow_zarr_spark.io as io_mod
         from arrow_zarr_spark.io import refresh_stats
         from arrow_zarr_spark.zarr.stats import (
@@ -1110,30 +1084,16 @@ class TestRefreshStats:
         df = spark.range(0, 800, 1, 4).select(F.col("id").alias("k"))
         write_zarr(df, path, chunk_rows=100, stats=False)
         monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
-        assert refresh_stats(spark, path) == 8  # builds the sidecar
+        monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 0)
+        assert refresh_stats(spark, path) == 8
         store = open_store(path)
         marker = infer_store_arrays(store)[0].meta.attributes[
             STATS_ATTR_KEY
         ]
         assert is_sidecar_marker(marker)
-        monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 4)
-        with pytest.warns(UserWarning, match="statistics cap"):
-            assert (
-                refresh_stats(spark, path, preserve_past_cap=True) == 0
-            )
-        store = open_store(path)
-        after = infer_store_arrays(store)[0].meta.attributes[
-            STATS_ATTR_KEY
-        ]
-        assert after == marker  # the flag keeps marker + blocks
-        entries = resolve_stats(store, "k", after)
+        entries = resolve_stats(store, "k", marker)
         assert entries[0] == [0, 99] and entries[7] == [700, 799]
-        with pytest.warns(UserWarning, match="statistics cap"):
-            assert refresh_stats(spark, path) == 0  # default: strip
-        store = open_store(path)
-        attrs = infer_store_arrays(store)[0].meta.attributes
-        assert STATS_ATTR_KEY not in attrs
-        assert not list(store.walk_prefix("__stats__"))  # blocks gone
+        assert _reader_cells(path, [LessThan(("k",), 50)]) == [(0,)]
 
     def test_unknown_column_rejected(self, spark, tmp_path):
         from arrow_zarr_spark.io import refresh_stats
