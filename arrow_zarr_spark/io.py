@@ -4127,9 +4127,19 @@ def rename_zarr_array(
     duplicate column remains for a re-run (or ``drop_zarr_array``).
     Returns the number of objects moved. Object-store note: copies
     are GET+PUT here; wire server-side copy into the Store backend
-    for a remote rename."""
+    for a remote rename.
+
+    Two tiers on MAINT_DRIVER_LIST_MAX (r11 — the last maintenance
+    verb outside the bounded-probe discipline): at or under it the
+    column's keys list on the driver (one probe, small-store
+    latency); past it NO driver key list exists anywhere — the copy
+    and delete work lists are chunk ORDINALS (``sc.range`` over the
+    grid, pure metadata arithmetic; never-written fill cells skip),
+    and the post-delete residual sweep walks only what the ordinal
+    jobs could not account for (O(debris), not O(n_objects))."""
     import json as _json
 
+    from .zarr import versions as _V
     from .zarr.array import open_array
 
     store = open_store(path)
@@ -4148,34 +4158,97 @@ def rename_zarr_array(
             f"Rename column: invalid target name {new!r}"
         )
 
-    all_old = sorted(store.walk_prefix(old))
     meta_leaves = ("zarr.json", ".zarray", ".zattrs")
-    meta_keys = [
-        k for k in all_old if k.split("/", 1)[1] in meta_leaves
-    ]
-    meta_set = set(meta_keys)
-    data_keys = [k for k in all_old if k not in meta_set]
-
-    # 1. chunk objects copy first (invisible until metadata lands)
-    def copy_keys(keys):
-        task_store = open_store(path)
-        for k in keys:
-            data = task_store.get(k)
-            if data is None:
-                raise ZarrFormatError(
-                    f"Rename column: key {k!r} vanished mid-rename"
-                )
-            task_store.set(f"{new}/{k.split('/', 1)[1]}", data)
-            yield 1
-
-    if spark is None or not data_keys:
-        list(copy_keys(iter(data_keys)))
-    else:
+    probe = (
+        _V._probe_prefix(store, old, _V.MAINT_DRIVER_LIST_MAX)
+        if spark is not None
+        else None
+    )
+    distributed = spark is not None and probe is None
+    if distributed:
+        # ordinal-driven tier: keys come from the chunk grid, never a
+        # listing. Fixed metadata leaves probe directly.
+        meta_keys = [
+            f"{old}/{leaf}"
+            for leaf in meta_leaves
+            if store.exists(f"{old}/{leaf}")
+        ]
+        data_keys = None
+        src_meta = open_array(store, old).meta
         sc = spark.sparkContext
-        n_parts = max(1, min(len(data_keys), sc.defaultParallelism * 2))
-        sc.parallelize(data_keys, n_parts).mapPartitions(
-            copy_keys
-        ).count()
+        n_obj = int(src_meta.n_chunks)
+        n_parts = max(
+            1,
+            min(
+                n_obj,
+                max(sc.defaultParallelism * 2, n_obj // (1 << 16)),
+            ),
+        )
+        meta_b = sc.broadcast(src_meta)
+        path_t, old_t, new_t = path, old, new
+
+        def _idx(ordinal, grid):
+            out = []
+            rem = int(ordinal)
+            for r in reversed(grid):
+                out.append(rem % r)
+                rem //= r
+            return tuple(reversed(out))
+
+        def copy_objects(ordinals):
+            task_store = open_store(path_t)
+            m = meta_b.value
+            grid = tuple(int(g) for g in m.chunk_grid_shape)
+            n = 0
+            for o in ordinals:
+                rel = m.chunk_key(_idx(o, grid))
+                data = task_store.get(f"{old_t}/{rel}")
+                if data is None:
+                    continue  # never-written chunk: a fill-value cell
+                task_store.set(f"{new_t}/{rel}", data)
+                n += 1
+            yield n
+
+        n_copied = sum(
+            sc.range(0, n_obj, numSlices=n_parts)
+            .mapPartitions(copy_objects)
+            .collect()
+        )
+    else:
+        all_old = sorted(
+            probe
+            if probe is not None
+            else store.walk_prefix(old)  # spark=None: serial caller
+        )
+        meta_set = {
+            k for k in all_old if k.split("/", 1)[1] in meta_leaves
+        }
+        meta_keys = sorted(meta_set)
+        data_keys = [k for k in all_old if k not in meta_set]
+
+        # 1. chunk objects copy first (invisible until metadata lands)
+        def copy_keys(keys):
+            task_store = open_store(path)
+            for k in keys:
+                data = task_store.get(k)
+                if data is None:
+                    raise ZarrFormatError(
+                        f"Rename column: key {k!r} vanished mid-rename"
+                    )
+                task_store.set(f"{new}/{k.split('/', 1)[1]}", data)
+                yield 1
+
+        if spark is None or not data_keys:
+            list(copy_keys(iter(data_keys)))
+        else:
+            sc = spark.sparkContext
+            n_parts = max(
+                1, min(len(data_keys), sc.defaultParallelism * 2)
+            )
+            sc.parallelize(data_keys, n_parts).mapPartitions(
+                copy_keys
+            ).count()
+        n_copied = len(data_keys)
 
     def renamed_dims(doc_key: str, raw: bytes) -> bytes:
         leaf = doc_key.rsplit("/", 1)[-1]
@@ -4228,6 +4301,45 @@ def rename_zarr_array(
     for k in meta_keys:
         store.delete(k)
     _refresh_store_cache(store)
-    for k in data_keys:
-        store.delete(k)
-    return len(all_old)
+    if not distributed:
+        for k in data_keys:
+            store.delete(k)
+        return len(data_keys) + len(meta_keys)
+
+    def delete_objects(ordinals):
+        task_store = open_store(path_t)
+        m = meta_b.value
+        grid = tuple(int(g) for g in m.chunk_grid_shape)
+        n = 0
+        for o in ordinals:
+            k = f"{old_t}/{m.chunk_key(_idx(o, grid))}"
+            if task_store.exists(k):
+                task_store.delete(k)
+                n += 1
+        yield n
+
+    sc.range(0, n_obj, numSlices=n_parts).mapPartitions(
+        delete_objects
+    ).count()
+    # residual sweep: with every enumerable chunk object and metadata
+    # leaf gone, whatever remains under old/ is foreign debris a
+    # third-party writer parked there — O(debris) by construction.
+    # Bounded for driver safety by a FLOORED cap (not the raw tier
+    # cutover: tests force that to 0 to pick the tier, which must not
+    # outlaw legitimate small debris). Moved, not dropped (the serial
+    # tier carries such keys across too).
+    import itertools as _it
+
+    residual_cap = max(_V.MAINT_DRIVER_LIST_MAX, 1 << 16)
+    residual = list(
+        _it.islice(store.walk_prefix(old), residual_cap + 1)
+    )
+    if len(residual) > residual_cap:
+        raise ZarrFormatError(
+            f"Rename column: more than {residual_cap} "
+            f"non-chunk keys remain under {old!r} after the ordinal "
+            "sweep — the store's layout does not match its metadata"
+        )
+    for k in residual:
+        store.move(k, f"{new}/{k.split('/', 1)[1]}")
+    return n_copied + len(meta_keys) + len(residual)

@@ -566,3 +566,115 @@ class TestRefreshStatsDistributed:
             store, "k", meta.attributes[STATS_ATTR_KEY]
         )
         assert entries == [[i * 16, i * 16 + 15] for i in range(10)]
+
+
+class TestRenameDistributed:
+    """r11 (VERDICT r10 item 3): rename_zarr_array's chunk-copy work
+    list past MAINT_DRIVER_LIST_MAX is chunk ORDINALS (sc.range over
+    the grid — metadata arithmetic, never a listing); the residual
+    sweep is O(debris). Cutover forced to 0; distributed bytes must
+    equal the serial tier's on twin stores."""
+
+    def test_table_rename_matches_serial(
+        self, spark, tmp_path, force_distributed
+    ):
+        from arrow_zarr_spark.io import rename_zarr_array
+
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        for d in (a, b):
+            write_zarr(_table(spark, 0, 200, mul=3), d, chunk_rows=16)
+        n_dist = rename_zarr_array(a, "v", "w", spark=spark)
+        V.MAINT_DRIVER_LIST_MAX = 1 << 17
+        try:
+            n_serial = rename_zarr_array(b, "v", "w", spark=spark)
+        finally:
+            V.MAINT_DRIVER_LIST_MAX = 0
+        assert n_dist == n_serial > 0
+        assert _store_bytes(a) == {
+            k.replace(b, a): v for k, v in _store_bytes(b).items()
+        }
+        back = read_zarr(spark, a)
+        assert back.filter(F.col("w") == 33).count() == 1
+
+    def test_grid_rename_skips_absent_cells(
+        self, spark, tmp_path, force_distributed
+    ):
+        """Grid store with an absent (pure-fill) cell: the ordinal
+        job's get returns None there and skips — no phantom object
+        appears under the new name."""
+        from arrow_zarr_spark.io import rename_zarr_array, write_zarr_grid
+
+        twins = []
+        for name in ("ga", "gb"):
+            d = str(tmp_path / name)
+            rows = [
+                (float(x), float(y), float(x * 10 + y))
+                for x in range(6)
+                for y in range(6)
+                if not (x >= 4 and y >= 4)  # absent corner cell
+            ]
+            df = spark.createDataFrame(rows, ["x", "y", "val"])
+            write_zarr_grid(
+                df, d, dims=("x", "y"), chunk_shape=(2, 2),
+                fill_value=-1.0,
+            )
+            twins.append(d)
+        a, b = twins
+        n_dist = rename_zarr_array(a, "val", "temp", spark=spark)
+        V.MAINT_DRIVER_LIST_MAX = 1 << 17
+        try:
+            n_serial = rename_zarr_array(b, "val", "temp", spark=spark)
+        finally:
+            V.MAINT_DRIVER_LIST_MAX = 0
+        assert n_dist == n_serial
+        assert _store_bytes(a) == {
+            k.replace(b, a): v for k, v in _store_bytes(b).items()
+        }
+        # fresh relation per action: the pinned Spark 4.1 plan-reuse
+        # caveat (tests/test_datasource.py::TestPushdownPlanReuse)
+        assert read_zarr(spark, a).filter("temp = -1.0").count() == 4
+        assert read_zarr(spark, a).count() == 36
+
+    def test_v2_rename_matches_serial(
+        self, spark, tmp_path, force_distributed
+    ):
+        from arrow_zarr_spark.io import rename_zarr_array
+
+        a = str(tmp_path / "v2a")
+        b = str(tmp_path / "v2b")
+        for d in (a, b):
+            write_zarr(
+                _table(spark, 0, 120), d, chunk_rows=16,
+                zarr_format=2,
+            )
+        n_dist = rename_zarr_array(a, "v", "vv", spark=spark)
+        V.MAINT_DRIVER_LIST_MAX = 1 << 17
+        try:
+            n_serial = rename_zarr_array(b, "v", "vv", spark=spark)
+        finally:
+            V.MAINT_DRIVER_LIST_MAX = 0
+        assert n_dist == n_serial > 0
+        assert _store_bytes(a) == {
+            k.replace(b, a): v for k, v in _store_bytes(b).items()
+        }
+
+    def test_residual_debris_moves_across(
+        self, spark, tmp_path, force_distributed
+    ):
+        """A foreign key a third-party writer parked under the old
+        column is not enumerable from the grid — the residual sweep
+        carries it to the new name (the serial tier's behavior)."""
+        from arrow_zarr_spark.io import rename_zarr_array
+
+        d = str(tmp_path / "deb")
+        write_zarr(_table(spark, 0, 64), d, chunk_rows=16)
+        store = open_store(d)
+        store.set("v/notes.txt", b"third-party debris")
+        n = rename_zarr_array(d, "v", "w", spark=spark)
+        store = open_store(d)
+        assert store.get("w/notes.txt") == b"third-party debris"
+        assert not list(store.walk_prefix("v"))
+        assert n == 4 + 1 + 1  # 4 chunk objects + zarr.json + debris
+        back = read_zarr(spark, d)
+        assert back.filter(F.col("w") == 10).count() == 1
