@@ -1393,82 +1393,80 @@ _populated = False
 #: Everything rotated out stays parity-enforced every round by
 #: tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # ROUND-10 ROTATION: CORRECTNESS_r09 landed 50/50 green on the
-    # round-9 window, so every prior window entry has a fresh row and
-    # the stalest oracle-backed rows are now exactly the 50 queries
-    # last driver-checked in ROUND 6 (staleness computed from every
-    # CORRECTNESS_r*.json at round start; histogram r6=50, nothing
-    # older except the four deliberately rows-only kernels
-    # d03/d05/t05/r26, which stay out per the window policy — their
-    # oracle-proven twins d13/d15/t14/r32 are in or near the window —
-    # and stay parity-enforced by tests/test_oracle_parity.py).
-    # This window takes 48 of the 50 and reserves 2 slots that the
-    # round-10 additions MUST claim in-round (the r8/r9 discipline):
-    # the placeholders below are b13_limit_topk and b14_select_star,
-    # whose shapes stay in-window via z07_order_limit's r8-green
-    # LIMIT row and z01_scan_full / b01_projection (both in this
-    # window).  Everything rotated out or displaced stays
-    # parity-enforced every round by tests/test_oracle_parity.py.
-    # -- 48 of the 50 round-6-stale rows --
-    "b01_projection",
-    "b02_scalar_expr_alias",
-    "b04_where_range_conj",
-    "b09_theta_self_join",
-    "b10_cte_self_join",
-    "b11_self_join_equi",
-    "b12_union_all",
-    "d06_embedding_neardup",
-    "d13_minhash_wordcode",
-    "d14_duplicated_spans",
-    "d15_simhash_wordcode",
-    "e03_windowed_stats_batchform",
-    "e04_interval_left_join_batchform",
-    "j01_range_join",
-    "j05_bucketed_join",
-    "m05_decode_audio_fake",
-    "p08_token_budget_sharded",
-    "p09_quantile_gate_approx",
-    "p10_deterministic_shuffle",
-    "p11_weighted_sample",
-    "p12_temperature_mixture",
-    "r38_range_frame",
-    "r39_exists",
-    "r40_ntile",
-    "r41_first_last_value",
-    "r42_filtered_agg",
-    "r43_lateral_join",
-    "r44_listagg",
-    "r45_time_range_frame",
-    "s03_ivf_ann_topk",
-    "t12_unigram_logprob",
-    "t13_corpus_vocab_stats",
-    "w03_sharded_writer_roundtrip",
-    "w04_string_writer_roundtrip",
-    "w05_partitioned_writer_roundtrip",
-    "w06_rechunk_roundtrip",
-    "w07_format_sink_roundtrip",
-    "x01_pretraining_pipeline",
-    "x02_fuzzy_dedup_pipeline",
-    "z01_scan_full",
-    "z02_coords_cartesian",
-    "z03_where_pushdown",
-    "z06_mixed_dims",
-    "z11_theta_self_join",
-    "z15_v2_store_scan",
-    "z18_3d_scan",
-    "z19_multi_store_union",
-    "z20_stats_pruned_scan",
-    # -- the 2 reserved slots, CLAIMED by the round-10 additions:
-    #    z37 (vacuum/GC + scrub atop the DISTRIBUTED maintenance
-    #    listing built this round, cutover forced to 0 in-query) and
-    #    w17 (grid APPEND with the distributed stats remap, proven by
-    #    a stats-pruned scan). Displaced: b13_limit_topk (LIMIT shape
-    #    covered by z07_order_limit's r8-green row) and
-    #    b14_select_star (covered by z01_scan_full / b01_projection,
-    #    both in this window); both stay parity-enforced every round
-    #    by tests/test_oracle_parity.py. --
-    "z37_vacuum_scrub_scan",
-    "w17_grid_append_stats_pruned_scan",
+    # ROUND-11 ROTATION: CORRECTNESS_r10 landed 50/50 green on the
+    # round-10 window, so the stalest oracle-backed rows are now
+    # exactly the 50 queries last driver-checked in ROUND 7
+    # (staleness computed from every CORRECTNESS_r*.json at round
+    # start; histogram r7=50, r8=50, r9=50, r10=50, nothing older —
+    # the deliberately rows-only kernels d03/d05/r26 stay out per the
+    # window policy, their oracle-proven twins d13/d15/r32 fresh, and
+    # stay parity-enforced by tests/test_oracle_parity.py).
+    # This window takes 47 of the 50 and gives 3 slots to the rows
+    # the VERDICT ordered in FIRST: m09 + x08 (the only two
+    # registered queries with no driver row ever) and t05 (graduated
+    # from rows-only to a recursive-CTE oracle this round — item 5).
+    # Displaced, each with its shape covered by a fresher family row:
+    #   m07_phash_near_dup    -> m09 itself runs the SAME banded
+    #     equi-join kernel over phash codes (and m08's 64-bit inline
+    #     form is green r8);
+    #   s04_pq_ann_topk       -> s05_ivf_pq_ann_topk (in this window)
+    #     contains the identical PQ codebook + ADC ranking kernel;
+    #   w09_grid_append_roundtrip -> w17_grid_append_stats_pruned_scan
+    #     (green r10) is the same grid append plus the stats remap.
+    # Everything rotated out or displaced stays parity-enforced every
+    # round by tests/test_oracle_parity.py.
+    # -- 47 of the 50 round-7-stale rows --
+    "d16_remove_frequent_segments",
+    "d17_bloom_gated_dedup",
+    "d18_embedding_dedup_corpus",
+    "e05_stream_distinct_batchform",
+    "e06_stream_topk_batchform",
+    "e07_stream_interp_batchform",
+    "j06_interval_overlap_join",
+    "j07_interpolation_join",
+    "m06_crossmodal_alignment",
+    "p13_quality_replication",
+    "r46_full_outer_join",
+    "r47_unpivot",
+    "r48_recursive_cte",
+    "r49_percent_rank_cume_dist",
+    "s05_ivf_pq_ann_topk",
+    "s06_sq8_ann_topk",
+    "s07_sq8_refine_topk",
+    "t14_assemble_chunks",
+    "t15_entropy_score",
+    "t16_heavy_hitters",
+    "t17_kmv_distinct",
+    "t18_exact_quantiles",
+    "w08_v2_writer_roundtrip",
+    "w10_grid_region_roundtrip",
+    "w11_grid_alter_roundtrip",
+    "w12_3d_grid_roundtrip",
+    "w13_sharded_grid_roundtrip",
+    "w14_upsert_roundtrip",
+    "w15_commit_cas",
+    "w16_rename_roundtrip",
+    "x03_snapshot_curation_pipeline",
+    "x04_incremental_view_refresh",
+    "z21_metadata_count",
+    "z22_audit_report",
+    "z23_store_diff_report",
+    "z24_string_coord_grid",
+    "z25_time_axis_grid",
+    "z26_ddl_validation_error",
+    "z27_version_pinned_read",
+    "z28_version_rollback",
+    "z29_version_log",
+    "z30_version_cdc",
+    "z31_tag_export_read",
+    "z32_replicated_scan",
+    "z33_incremental_sync_scan",
+    "z34_manifest_scrub",
+    "z35_plan_doctor",
+    # -- the 3 slots the round-11 work claims (verdict items 1/5/6):
+    "m09_phash64_index_near_dup",
+    "x08_leakage_split_adaptive",
+    "t05_pack_sequences",
 ]
 
 
@@ -1520,6 +1518,7 @@ def _ensure_populated() -> None:
         populate_round9_queries,
         populate_round10_maint_queries,
         populate_round10_phash_index_queries,
+        populate_round11_queries,
         populate_round7_repair_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
@@ -1579,6 +1578,9 @@ def _ensure_populated() -> None:
     # m09 registers OUTSIDE the (full) 50-slot window — oracle parity
     # enforces it locally every round; a future rotation picks it up
     populate_round10_phash_index_queries(register_query)
+    # r11 graduations: t05 (recursive-CTE packer replay) and x08
+    # (shares x06's oracle) — both claim r11 window slots
+    populate_round11_queries(register_query)
     # z36 registers OUTSIDE the (already all-fresh) 50-slot window —
     # the round-8 rotation picks it up; oracle parity enforces it
     # locally every round meanwhile
