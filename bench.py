@@ -1146,6 +1146,12 @@ def main() -> None:
             "base_sec": 4.0,
             "rung_sec": 4.8,
             "ratio": 1.2,
+            # r11 re-probe (verdict item 7: the sealed run showed
+            # 3.66 in-bench): isolated fresh-session min-of-3 pair,
+            # quiet host — base 4.01s / rung 4.64s, ratio 1.16. Code
+            # untouched since r9; the in-bench excess is the
+            # documented post-suite contention on this entry.
+            "r11_ratio": 1.16,
         },
         # plan-doctor gate: non-empty means a query's executed plan
         # regressed to a cartesian / NLJ / row-Python / unpushed-filter
