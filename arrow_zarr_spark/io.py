@@ -2717,7 +2717,7 @@ def refresh_stats(
     return len(rows) + n_computed_dist
 
 
-def describe_zarr(path: str) -> dict:
+def describe_zarr(path: str, stats_blocks: bool = False) -> dict:
     """Metadata-only store inspection — the ops-tooling complement of
     :func:`audit_zarr` (which reads every object): answers "what is
     this store and how big is it" from the PLANNING metadata alone
@@ -2736,13 +2736,26 @@ def describe_zarr(path: str) -> dict:
           "total_objects": int,          # chunk/shard object count
           "columns": {name: {"dtype", "shape", "chunk_shape",
                              "dimension_names", "n_objects",
+                             "stats_kind",          # "inline" |
+                             #  "sidecar" | None (no/stale stats)
                              "stats_coverage"}},   # coverage: fraction
-                             # of objects with known [min,max] bounds,
-                             # None when the array carries no stats
+                             # of objects with known [min,max] bounds;
+                             # None when the array carries no stats —
+                             # or carries SIDECAR stats and
+                             # stats_blocks=False (below)
         }
+
+    ``stats_blocks=True`` additionally walks sidecar statistics
+    blocks (O(one block) memory via ``iter_stats_blocks``) to report
+    exact coverage for sidecar-backed columns — r11, now that
+    refresh_stats retrofits arbitrarily large stores into the sidecar
+    representation. That is ~n_objects/65536 metadata GETs (a
+    billion-object column is ~16k), so it is OPT-IN: the default stays
+    strictly planning-metadata-priced.
     """
     store = open_store(path)
     from .zarr.array import infer_store_arrays
+    from .zarr.stats import is_sidecar_marker, iter_stats_blocks
 
     arrays = infer_store_arrays(store)
     v2 = any(a.meta.key_encoding == "v2" for a in arrays)
@@ -2756,6 +2769,15 @@ def describe_zarr(path: str) -> dict:
     if not consolidated:
         consolidated = store.get(".zmetadata") is not None
 
+    def _known(entries) -> int:
+        # same strictness as the pruning scan: an entry prunes only
+        # when it is a well-formed [lo, hi] pair
+        return sum(
+            1
+            for e in entries
+            if isinstance(e, list) and len(e) == 2 and None not in e
+        )
+
     cols = {}
     total_objects = 0
     data_shapes = set()
@@ -2765,21 +2787,31 @@ def describe_zarr(path: str) -> dict:
         total_objects += n_obj
         stats = m.attributes.get(STATS_ATTR_KEY)
         coverage = None
+        kind = None
         if isinstance(stats, list) and len(stats) == n_obj:
-            # same strictness as the pruning scan: an entry prunes
-            # only when it is a well-formed [lo, hi] pair
-            known = sum(
-                1
-                for e in stats
-                if isinstance(e, list) and len(e) == 2 and None not in e
-            )
-            coverage = round(known / n_obj, 4) if n_obj else 1.0
+            kind = "inline"
+            coverage = round(_known(stats) / n_obj, 4) if n_obj else 1.0
+        elif is_sidecar_marker(stats) and stats.get("n_entries") == n_obj:
+            kind = "sidecar"
+            if stats_blocks:
+                known = 0
+                n_seen = 0
+                for block in iter_stats_blocks(store, m.name, stats):
+                    if block is None:  # torn sidecar: unknown
+                        known, n_seen = 0, 0
+                        kind = None
+                        break
+                    known += _known(block)
+                    n_seen += len(block)
+                if kind == "sidecar" and n_seen == n_obj and n_obj:
+                    coverage = round(known / n_obj, 4)
         cols[m.name] = {
             "dtype": m.zarr_dtype,
             "shape": tuple(m.shape),
             "chunk_shape": tuple(m.chunk_shape),
             "dimension_names": m.dimension_names,
             "n_objects": n_obj,
+            "stats_kind": kind,
             "stats_coverage": coverage,
         }
         # coordinate arrays don't define the scan's row count; data

@@ -1315,6 +1315,65 @@ class TestDescribeZarr:
         assert info["zarr_format"] == 2 and info["consolidated"]
         assert info["n_rows"] == 500
 
+    def test_stats_kind_and_sidecar_coverage(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r11: describe distinguishes inline / sidecar / absent stats
+        (stats_kind), and stats_blocks=True walks the sidecar for
+        exact coverage — the ops tool no longer reports None for
+        exactly the big stores refresh_stats now retrofits."""
+        import arrow_zarr_spark.io as io_mod
+        from arrow_zarr_spark.io import describe_zarr
+
+        path = str(tmp_path / "dz4")
+        df = spark.range(0, 800, 1, 4).select(F.col("id").alias("k"))
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+        write_zarr(df, path, chunk_rows=100)  # 8 objects -> sidecar
+        info = describe_zarr(path)
+        assert info["columns"]["k"]["stats_kind"] == "sidecar"
+        assert info["columns"]["k"]["stats_coverage"] is None  # opt-in
+        deep = describe_zarr(path, stats_blocks=True)
+        assert deep["columns"]["k"]["stats_kind"] == "sidecar"
+        assert deep["columns"]["k"]["stats_coverage"] == 1.0
+
+        bare = str(tmp_path / "dz5")
+        write_zarr(df, bare, chunk_rows=100, stats=False)
+        info = describe_zarr(bare, stats_blocks=True)
+        assert info["columns"]["k"]["stats_kind"] is None
+        assert info["columns"]["k"]["stats_coverage"] is None
+
+        inline = str(tmp_path / "dz6")
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 65536)
+        write_zarr(df, inline, chunk_rows=100)
+        info = describe_zarr(inline)
+        assert info["columns"]["k"]["stats_kind"] == "inline"
+        assert info["columns"]["k"]["stats_coverage"] == 1.0
+
+    def test_sidecar_coverage_counts_unknown_slots(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An append past the inline cap leaves the old region's
+        uncovered slots as None (unknown, never wrong) — the deep
+        describe must count them as NOT covered."""
+        import json
+
+        import arrow_zarr_spark.io as io_mod
+        from arrow_zarr_spark.io import describe_zarr
+        from arrow_zarr_spark.zarr.stats import block_key
+
+        path = str(tmp_path / "dz7")
+        df = spark.range(0, 800, 1, 4).select(F.col("id").alias("k"))
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+        write_zarr(df, path, chunk_rows=100)
+        store = open_store(path)
+        # poison one sidecar slot to unknown, like an append's
+        # old-region default does
+        raw = json.loads(store.get(block_key("k", 0)))
+        raw[2] = None
+        store.set(block_key("k", 0), json.dumps(raw).encode())
+        deep = describe_zarr(path, stats_blocks=True)
+        assert deep["columns"]["k"]["stats_coverage"] == round(7 / 8, 4)
+
 
 class TestGridRegionWrite:
     """write_zarr_region — in-place updates of existing grid points."""
