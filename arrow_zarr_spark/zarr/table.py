@@ -171,6 +171,18 @@ class ChunkPlan:
             ordinal = ordinal * g + i
         return ordinal
 
+    def cell_of_ordinal(self, ordinal: int) -> Tuple[int, ...]:
+        """Inverse of :meth:`cell_ordinal` — the span-partition scan
+        tier (datasource.py, r11) enumerates cells from contiguous
+        ordinal ranges so a huge grid's planning never materializes
+        the cell list."""
+        out = []
+        rem = int(ordinal)
+        for g in reversed(self.grid_shape):
+            out.append(rem % g)
+            rem //= g
+        return tuple(reversed(out))
+
     def split_cells(
         self,
         n_partitions: int,

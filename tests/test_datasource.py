@@ -292,6 +292,40 @@ class TestPushdownPlanReuse:
         assert df.count() == 12  # reuse after a filtered query stays whole
         assert df.filter("v >= 3").count() == 9
 
+    def test_temp_view_is_one_relation(self, spark, store_12):
+        """The DDL story shares ONE relation per view, so the same
+        caveat applies across SQL statements (r11 audit: traced the
+        JVM planning exactly once for the filtered statement and
+        never re-entering Python for the later unfiltered one — no
+        reader-side fix can exist). pushdown 'false' in OPTIONS is
+        the view-level escape; re-creating the view re-plans."""
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW pv_caveat USING zarr "
+            f"OPTIONS (path '{store_12}')"
+        )
+        assert (
+            spark.sql("SELECT COUNT(*) c FROM pv_caveat").first().c == 12
+        )
+        assert (
+            spark.sql(
+                "SELECT COUNT(*) c FROM pv_caveat WHERE v >= 9"
+            ).first().c
+            == 3
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW pv_safe USING zarr "
+            f"OPTIONS (path '{store_12}', pushdown 'false')"
+        )
+        assert (
+            spark.sql(
+                "SELECT COUNT(*) c FROM pv_safe WHERE v >= 9"
+            ).first().c
+            == 3
+        )
+        assert (
+            spark.sql("SELECT COUNT(*) c FROM pv_safe").first().c == 12
+        )
+
 
 class TestReadZarrMany:
     def test_union_with_store_index(self, spark):
