@@ -32,7 +32,12 @@ Options: ``path``, ``columns`` (comma-separated projection),
 ``repartitioned()`` semantics; default one Spark partition per chunk
 — finer, and better for a 1000-executor cluster since Spark can
 schedule and steal at chunk granularity), ``io_threads`` (per-task
-decode pool), ``prefetch`` (chunk read-ahead depth).
+decode pool), ``prefetch`` (chunk read-ahead depth),
+``plan_cells_max`` (cell count above which planning switches to the
+span tier — ordinal-range partitions, executor-side static pruning;
+default ``PLAN_DRIVER_CELLS_MAX``), ``pushdown`` ('false' disables
+static pruning — the escape for relations/views reused by both
+filtered and unfiltered queries, see ``ZarrReader.pushFilters``).
 """
 
 from __future__ import annotations

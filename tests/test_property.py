@@ -740,3 +740,36 @@ def test_containment_pairs_matches_reference(spark, case):
             if c >= thr:
                 expect[(a, b)] = c
     assert got == expect
+
+
+@given(
+    grid=st.lists(st.integers(1, 9), min_size=1, max_size=4),
+    chunks_per=st.integers(1, 64),
+)
+@settings(max_examples=60, deadline=None)
+def test_span_ordinal_arithmetic_properties(grid, chunks_per):
+    """r11 span tier invariants on arbitrary grids: cell_of_ordinal is
+    the exact inverse of cell_ordinal over the whole ordinal space
+    (and matches cells()' enumeration order), and the span chopper's
+    ranges tile [0, n_cells) exactly once."""
+
+    class _P:
+        grid_shape = tuple(grid)
+
+    from arrow_zarr_spark.zarr.table import ChunkPlan
+
+    plan = _P()
+    n = 1
+    for g in grid:
+        n *= g
+    import itertools
+
+    cells = list(itertools.product(*(range(g) for g in grid)))
+    for i, cell in enumerate(cells):
+        assert ChunkPlan.cell_ordinal(plan, cell) == i
+        assert ChunkPlan.cell_of_ordinal(plan, i) == cell
+    spans = [
+        (s, min(s + chunks_per, n)) for s in range(0, n, chunks_per)
+    ]
+    covered = [o for s, e in spans for o in range(s, e)]
+    assert covered == list(range(n))
