@@ -324,3 +324,59 @@ class TestSpanEndToEnd:
         )
         assert got.rdd.getNumPartitions() == 4
         assert sorted(r.k for r in got.collect()) == list(range(600))
+
+
+class TestDefaultCutoverEngages:
+    def test_past_cap_grid_plans_as_spans_by_default(
+        self, spark, tmp_path
+    ):
+        """No option, real constant: a store whose chunk grid exceeds
+        PLAN_DRIVER_CELLS_MAX must plan via spans — the planner never
+        builds the cell list. The store is METADATA-declared (shape
+        grown after a tiny write; absent chunks are fill), because
+        writing 5M chunk objects just to test planning would miss the
+        point."""
+        import json
+        import time
+
+        from arrow_zarr_spark.datasource import (
+            PLAN_DRIVER_CELLS_MAX,
+            SPAN_PARTITIONS_MAX,
+        )
+
+        path = str(tmp_path / "huge")
+        df = spark.range(0, 4, 1, 1).select(F.col("id").alias("k"))
+        write_zarr(df, path, chunk_rows=1, stats=False)
+        n_declared = PLAN_DRIVER_CELLS_MAX + 1_000_000
+        store = open_store(path)
+        doc = json.loads(store.get("k/zarr.json"))
+        doc["shape"] = [n_declared]
+        store.set("k/zarr.json", json.dumps(doc).encode())
+        root = json.loads(store.get("zarr.json"))
+        root["consolidated_metadata"]["metadata"]["k"]["shape"] = [
+            n_declared
+        ]
+        store.set("zarr.json", json.dumps(root).encode())
+
+        t0 = time.perf_counter()
+        reader = _reader(path)  # no plan_cells_max option
+        parts = reader.partitions()
+        dt = time.perf_counter() - t0
+        assert all(p.cells is None and p.spans is not None for p in parts)
+        assert len(parts) <= SPAN_PARTITIONS_MAX
+        assert (
+            sum(e - s for p in parts for s, e in p.spans) == n_declared
+        )
+        # planning a 5M-cell grid must stay metadata-priced: the
+        # explicit tier's 5M-tuple enumeration took seconds and
+        # hundreds of MB; spans are sub-second
+        assert dt < 5.0
+        # the first cells still read correctly through a span task
+        first = parts[0]
+        sub = [(0, 4)]
+        rows = []
+        for batch in reader.read(
+            type(first)(None, spans=sub)
+        ):
+            rows.extend(batch.column(0).to_pylist())
+        assert rows == [0, 1, 2, 3]
