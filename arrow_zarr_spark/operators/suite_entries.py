@@ -1748,38 +1748,16 @@ def populate_round5_late2_queries(register) -> None:
 
 
 def populate_deferred_queries(register) -> None:
-    """Queries with genuinely engine-specific output (xxhash64 /
-    crc32-seeded signatures) — no SQL oracle is possible, so the
-    driver can only record a rows-only check. Down to d03/d05 since
-    r11 (t05/x08 graduated to oracles in populate_round11_queries);
-    both keep oracle-proven twins (d04 verifies d03's pair set,
-    d15 proves the simhash kernel). They register LAST, past the
-    50-query verification window, so every in-window slot goes to a
-    provable row; their semantics are pytest-verified
-    (tests/test_operators.py)."""
-
-    def d03(spark, sf_dir):
-        # LSH candidates verified with exact Jaccard (rows-only check:
-        # xxhash64-based signatures aren't reproducible in the oracle;
-        # d04 verifies the same pair set independently)
-        return dedup.minhash_lsh_pairs(
-            _docs(spark, sf_dir), jaccard_threshold=0.05
-        )
-
-    register("d03_minhash_lsh_pairs", d03, None)
-
-    def d05(spark, sf_dir):
-        return dedup.simhash_dedup(_docs(spark, sf_dir))
-
-    register("d05_simhash_dedup", d05, None)
-
-    # s03 moved to populate_round5_queries with a full oracle (the IVF
-    # pipeline was deterministic all along — strided centroids, rounded
-    # assignment cosines — it was only ever missing the SQL replay);
-    # t05 and x08 moved to populate_round11_queries with full oracles
-    # (r11: the greedy packer replays as a recursive CTE, and x08's
-    # LSH route is provably exact on this corpus — see
-    # _leakage_split_oracle_sql)
+    """EMPTY since r12: the rows-only set is r26 alone (approximate
+    aggregates — engine-specific by nature, correctly rows-only
+    forever; it registers with the relational tail). The function
+    stays as the ledger of the graduations: s03 (r5 — the IVF
+    pipeline was deterministic all along), t05/x08 (r11 — recursive-
+    CTE packer replay / exact-graph argument,
+    populate_round11_queries), and finally d03/d05 (r12 — the crc32
+    replay, populate_round12_queries: DuckDB reproduces zlib.crc32
+    via a 256-entry byte-table list_reduce, so the production
+    signatures themselves are oracle-checkable bit-for-bit)."""
 
 
 def populate_round6_queries(register) -> None:
@@ -4461,4 +4439,172 @@ def populate_round11_queries(register) -> None:
         "x08_leakage_split_adaptive",
         x08,
         _leakage_split_oracle_sql(),
+    )
+
+
+# ---------------------------------------------------------------------
+# Round 12: the crc32 replay — d03/d05 graduate with their PRODUCTION
+# kernels unchanged.
+# ---------------------------------------------------------------------
+
+def _crc32_table_sql() -> str:
+    """The standard CRC-32 (IEEE 802.3, poly 0xEDB88320 reflected)
+    byte table as a DuckDB BIGINT[256] literal — the same table zlib
+    consults, generated here from the polynomial so the oracle string
+    carries no copied constants."""
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tbl.append(c)
+    return "[" + ",".join(str(c) for c in tbl) + "]::BIGINT[]"
+
+
+def _crc32_sql(s: str) -> str:
+    """zlib.crc32 of the ASCII string expression ``s`` in pure DuckDB
+    SQL: byte-table CRC via ``list_reduce`` over the character codes,
+    init/final xor 0xFFFFFFFF. Requires a cross-joined CTE exposing
+    the :func:`_crc32_table_sql` list as ``tb``. Bit-for-bit equal to
+    zlib on ASCII input (the synthetic corpus is pure ASCII at every
+    SF — re-checked r12: length(text) == strlen(text) on every row)."""
+    # parenthesize: for a compound operand like "w || '#'" the
+    # subscript would otherwise bind to the literal ('#'[i]), not the
+    # concatenation — caught by the r12 vocab-level zlib comparison
+    return (
+        "xor(list_reduce([4294967295::BIGINT] || "
+        f"list_transform(range(1, length(({s}))+1), i -> ascii(({s})[i])), "
+        "(c, b) -> xor(c >> 8, tb[(xor(c, b) & 255) + 1])), 4294967295)"
+    )
+
+
+def _minhash_lsh_oracle_sql(
+    n_hashes: int = 64, bands: int = 16, threshold: float = 0.05
+) -> str:
+    """Replay of dedup.minhash_lsh_pairs' ENTIRE pipeline — crc32
+    shingle hashes (_crc32_sql), the 64 universal-hash permutation
+    minima, 16-band signature strings, the band equi-join, and the
+    exact-Jaccard verify — in one DuckDB statement. No corpus
+    assumption: unlike x08's escape-probability argument this is
+    bit-for-bit at ANY threshold, because the engine-specific part
+    (crc32) is itself replayed."""
+    from . import dedup as _dd
+
+    a, b = _dd._hash_params(n_hashes, 42)
+    rows_per_band = n_hashes // bands
+    m31 = 2147483647
+    mins = ", ".join(
+        f"MIN((h * {int(a[i])} + {int(b[i])}) % {m31}) AS mh_{i}"
+        for i in range(n_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {sig} AS sig FROM sigs".format(
+            bi=bi,
+            sig="||','||".join(
+                f"CAST(mh_{bi * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return (
+        f"WITH crct AS (SELECT {_crc32_table_sql()} AS tb), "
+        + _TRI_CTE
+        + ", dsh AS (SELECT DISTINCT sh FROM tri)"
+        f", shh AS (SELECT sh, ({_crc32_sql('sh')}) % {m31} AS h "
+        "FROM dsh, crct)"
+        ", trih AS (SELECT t.doc_id, s.h FROM tri t JOIN shh s USING (sh))"
+        f", sigs AS (SELECT doc_id, {mins} FROM trih GROUP BY doc_id)"
+        f", bands AS ({band_selects})"
+        ", cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b"
+        "  FROM bands l JOIN bands r ON l.band = r.band"
+        "  AND l.sig = r.sig AND l.doc_id < r.doc_id)"
+        ", sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tri GROUP BY doc_id)"
+        ", shared AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared"
+        "  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2) "
+        "SELECT id_a, id_b, j AS jaccard FROM ("
+        "  SELECT c.id_a, c.id_b,"
+        "  ROUND(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) AS j"
+        "  FROM cand c JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b"
+        "  JOIN sizes sa ON sa.doc_id = c.id_a"
+        f"  JOIN sizes sb ON sb.doc_id = c.id_b) WHERE j >= {threshold}"
+    )
+
+
+def _simhash64_oracle_sql() -> str:
+    """Replay of dedup._simhash64 — the 64-bit crc32-pair SimHash —
+    in one DuckDB statement: per-VOCAB-word crc32(w) / crc32(w||'#')
+    (the kernel's factorize-once shape), ±1 votes per token
+    OCCURRENCE, strict sign per bit, the sign bit composed as
+    (-2**63) so the BIGINT result equals the kernel's uint64→int64
+    reinterpretation. Grouping then replays simhash_dedup."""
+    bit_terms = []
+    for j in range(64):
+        src = f"(c2 >> {j})" if j < 32 else f"(c1 >> {j - 32})"
+        bit_terms.append(
+            f"SUM(CASE WHEN {src} & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        )
+    votes = ", ".join(bit_terms)
+    comp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(63)
+    ) + " + (CASE WHEN s63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+    c1_expr = _crc32_sql("w")
+    c2_expr = _crc32_sql("w || '#'")
+    return (
+        f"WITH crct AS (SELECT {_crc32_table_sql()} AS tb), "
+        "toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w"
+        "  FROM documents), "
+        "vocab AS (SELECT DISTINCT w FROM toks), "
+        f"vh AS (SELECT w, {c1_expr} AS c1, {c2_expr} AS c2 "
+        "FROM vocab, crct), "
+        "tv AS (SELECT t.doc_id, v.c1, v.c2 FROM toks t JOIN vh v USING (w)), "
+        f"acc AS (SELECT doc_id, {votes} FROM tv GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, CAST({comp} AS BIGINT) AS simhash FROM acc) "
+        "SELECT simhash, MIN(doc_id) AS doc_id, COUNT(*) AS n_docs "
+        "FROM sig GROUP BY simhash"
+    )
+
+
+def populate_round12_queries(register) -> None:
+    """Round-12 oracle graduations (VERDICT r11 item 5) — the last
+    two rows-only dedup kernels leave the rows-only set, and both
+    keep their PRODUCTION kernels unchanged (the verdict's suggested
+    construction — a seeded corpus where banding provably loses
+    nothing — turned out to be beatable: the engine-specific crc32
+    hash itself is replayable in DuckDB as a 256-entry byte-table
+    ``list_reduce``, so the oracle is bit-for-bit at any threshold,
+    with NO corpus assumption).
+
+    d03: minhash_lsh_pairs at its long-standing jaccard_threshold of
+    0.05 — signatures, bands, candidate join, and exact verify all
+    replayed (see _minhash_lsh_oracle_sql).
+
+    d05: simhash_dedup — the crc32-pair 64-bit signature replayed
+    bit-for-bit including the uint64→int64 sign reinterpretation
+    (see _simhash64_oracle_sql).
+
+    Rows-only is now r26 alone (approximate aggregates — engine-
+    specific by nature, correctly rows-only forever)."""
+
+    def d03(spark, sf_dir):
+        return dedup.minhash_lsh_pairs(
+            _docs(spark, sf_dir), jaccard_threshold=0.05
+        )
+
+    register(
+        "d03_minhash_lsh_pairs",
+        d03,
+        _minhash_lsh_oracle_sql(),
+    )
+
+    def d05(spark, sf_dir):
+        return dedup.simhash_dedup(_docs(spark, sf_dir))
+
+    register(
+        "d05_simhash_dedup",
+        d05,
+        _simhash64_oracle_sql(),
     )

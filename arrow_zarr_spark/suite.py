@@ -1393,80 +1393,82 @@ _populated = False
 #: Everything rotated out stays parity-enforced every round by
 #: tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # ROUND-11 ROTATION: CORRECTNESS_r10 landed 50/50 green on the
-    # round-10 window, so the stalest oracle-backed rows are now
-    # exactly the 50 queries last driver-checked in ROUND 7
-    # (staleness computed from every CORRECTNESS_r*.json at round
-    # start; histogram r7=50, r8=50, r9=50, r10=50, nothing older —
-    # the deliberately rows-only kernels d03/d05/r26 stay out per the
-    # window policy, their oracle-proven twins d13/d15/r32 fresh, and
-    # stay parity-enforced by tests/test_oracle_parity.py).
-    # This window takes 47 of the 50 and gives 3 slots to the rows
-    # the VERDICT ordered in FIRST: m09 + x08 (the only two
-    # registered queries with no driver row ever) and t05 (graduated
-    # from rows-only to a recursive-CTE oracle this round — item 5).
-    # Displaced, each with its shape covered by a fresher family row:
-    #   m07_phash_near_dup    -> m09 itself runs the SAME banded
-    #     equi-join kernel over phash codes (and m08's 64-bit inline
-    #     form is green r8);
-    #   s04_pq_ann_topk       -> s05_ivf_pq_ann_topk (in this window)
-    #     contains the identical PQ codebook + ADC ranking kernel;
-    #   w09_grid_append_roundtrip -> w17_grid_append_stats_pruned_scan
-    #     (green r10) is the same grid append plus the stats remap.
+    # ROUND-12 ROTATION: CORRECTNESS_r11 landed 50/50 green on the
+    # round-11 window, so the stalest oracle-backed rows are exactly
+    # the 50 queries last driver-checked in ROUND 8 (staleness from
+    # every CORRECTNESS_r*.json at round start; histogram r8=50,
+    # r9=50, r10=50, r11=50, plus the 5 named displacements parked at
+    # r6/r7 with in-family fresher coverage). This window takes 48 of
+    # the 50 and gives 2 slots to the rows the VERDICT ordered in
+    # (item 5): d03 and d05, GRADUATED from rows-only to full oracles
+    # this round — their production crc32 kernels unchanged, the
+    # oracle replaying crc32 itself as a 256-entry byte-table
+    # list_reduce in DuckDB (see operators/suite_entries.py
+    # populate_round12_queries). Displaced, each with its shape
+    # covered by a fresher family row:
+    #   d01_exact_dedup          -> d02_normalized_dedup (green r9)
+    #     is the same exact-hash groupBy dedup kernel plus the
+    #     normalization stage;
+    #   d04_ngram_jaccard_pairs  -> d03 (in THIS window) exact-
+    #     verifies its LSH candidates with the identical
+    #     ngram_jaccard_pairs kernel (candidate mode), and d03's
+    #     oracle embeds d04's exact-Jaccard SQL as its verify stage;
+    #     d19_containment_pairs (green r9) shares
+    #     _shingle_shared_counts.
     # Everything rotated out or displaced stays parity-enforced every
     # round by tests/test_oracle_parity.py.
-    # -- 47 of the 50 round-7-stale rows --
-    "d16_remove_frequent_segments",
-    "d17_bloom_gated_dedup",
-    "d18_embedding_dedup_corpus",
-    "e05_stream_distinct_batchform",
-    "e06_stream_topk_batchform",
-    "e07_stream_interp_batchform",
-    "j06_interval_overlap_join",
-    "j07_interpolation_join",
-    "m06_crossmodal_alignment",
-    "p13_quality_replication",
-    "r46_full_outer_join",
-    "r47_unpivot",
-    "r48_recursive_cte",
-    "r49_percent_rank_cume_dist",
-    "s05_ivf_pq_ann_topk",
-    "s06_sq8_ann_topk",
-    "s07_sq8_refine_topk",
-    "t14_assemble_chunks",
-    "t15_entropy_score",
-    "t16_heavy_hitters",
-    "t17_kmv_distinct",
-    "t18_exact_quantiles",
-    "w08_v2_writer_roundtrip",
-    "w10_grid_region_roundtrip",
-    "w11_grid_alter_roundtrip",
-    "w12_3d_grid_roundtrip",
-    "w13_sharded_grid_roundtrip",
-    "w14_upsert_roundtrip",
-    "w15_commit_cas",
-    "w16_rename_roundtrip",
-    "x03_snapshot_curation_pipeline",
-    "x04_incremental_view_refresh",
-    "z21_metadata_count",
-    "z22_audit_report",
-    "z23_store_diff_report",
-    "z24_string_coord_grid",
-    "z25_time_axis_grid",
-    "z26_ddl_validation_error",
-    "z27_version_pinned_read",
-    "z28_version_rollback",
-    "z29_version_log",
-    "z30_version_cdc",
-    "z31_tag_export_read",
-    "z32_replicated_scan",
-    "z33_incremental_sync_scan",
-    "z34_manifest_scrub",
-    "z35_plan_doctor",
-    # -- the 3 slots the round-11 work claims (verdict items 1/5/6):
-    "m09_phash64_index_near_dup",
-    "x08_leakage_split_adaptive",
-    "t05_pack_sequences",
+    # -- 48 of the 50 round-8-stale rows --
+    "b06_equality_pred",
+    "b08_equi_join",
+    "c01_kmeans_clusters",
+    "c02_semantic_neardup",
+    "d07_dedup_components",
+    "d08_streaming_dedup_batchform",
+    "d09_ngram_contamination",
+    "d10_canonical_docs",
+    "j02_asof_join",
+    "j03_theta_join_banded",
+    "j04_salted_join",
+    "m01_byte_features",
+    "m02_decode_image_fake",
+    "m03_resize_pixels",
+    "m04_sample_frames",
+    "m08_phash64_near_dup",
+    "p01_per_group_quota",
+    "p02_token_budget_sample",
+    "p03_stratified_sample",
+    "p04_rebalance_mixture",
+    "p05_shard_manifest",
+    "r25_sessionization",
+    "s01_cosine_topk",
+    "s02_lsh_ann_topk",
+    "s08_binary_ann_topk",
+    "t01_token_count",
+    "t02_language_id",
+    "t03_quality_score",
+    "t04_document_fingerprint",
+    "t06_top_bigrams",
+    "t07_tf_idf",
+    "t08_pii_redact",
+    "t09_repetition_signals",
+    "t10_chunk_documents",
+    "w01_writer_roundtrip",
+    "x05_binary_index_roundtrip",
+    "x06_leakage_safe_split",
+    "z04_cte_self_join",
+    "z05_missing_chunk_fill",
+    "z07_order_limit",
+    "z08_union_all",
+    "z09_no_coords",
+    "z10_type_map",
+    "z12_join_parquet_dim",
+    "z13_sharded_scan",
+    "z14_string_scan",
+    "z16_time_scan",
+    "z36_scrub_repair_scan",
+    # -- the 2 slots the round-12 graduations claim (verdict item 5):
+    "d03_minhash_lsh_pairs",
+    "d05_simhash_dedup",
 ]
 
 
@@ -1519,6 +1521,7 @@ def _ensure_populated() -> None:
         populate_round10_maint_queries,
         populate_round10_phash_index_queries,
         populate_round11_queries,
+        populate_round12_queries,
         populate_round7_repair_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
@@ -1581,6 +1584,10 @@ def _ensure_populated() -> None:
     # r11 graduations: t05 (recursive-CTE packer replay) and x08
     # (shares x06's oracle) — both claim r11 window slots
     populate_round11_queries(register_query)
+    # r12 graduations: d03/d05 leave the rows-only set with their
+    # production crc32 kernels unchanged (the oracle replays crc32
+    # itself) — both claim r12 window slots
+    populate_round12_queries(register_query)
     # z36 registers OUTSIDE the (already all-fresh) 50-slot window —
     # the round-8 rotation picks it up; oracle parity enforces it
     # locally every round meanwhile
