@@ -647,6 +647,12 @@ class ZarrReader(DataSourceReader):
         explicit tier's planning-time step) runs executor-side in
         :meth:`_span_cells` — distributed, against worker-cached
         bounds, with identical ``interval_possible`` semantics.
+        Since r12 a driver-side COORDINATE pre-prune
+        (:meth:`_span_coord_runs` — per-axis bounds, O(chunks per
+        axis), bounded run enumeration) shrinks the spans themselves
+        when predicates hit coordinate columns, so a mostly-pruned
+        scan schedules survivor tasks instead of no-op tasks; writer
+        stats still prune only in the tasks.
         ``num_partitions`` keeps the contiguous ceil(N/p) split, over
         the FULL ordinal space (survivors aren't known at planning in
         this tier — a documented boundary difference; results are
@@ -680,12 +686,120 @@ class ZarrReader(DataSourceReader):
                 rows_per_cell *= int(c)
             chunks_per = max(1, 65536 // max(rows_per_cell, 1))
         chunks_per = max(chunks_per, -(-n // SPAN_PARTITIONS_MAX))
+        runs = self._span_coord_runs()
+        if runs is not None:
+            # driver-side coordinate PRE-PRUNE (r12): pack the
+            # surviving ordinal runs into ~chunks_per-cell partitions.
+            # Survivor count <= n, so the partition count stays under
+            # SPAN_PARTITIONS_MAX with the same chunks_per.
+            parts: List[List[Tuple[int, int]]] = []
+            cur: List[Tuple[int, int]] = []
+            cur_n = 0
+            for s, e in runs:
+                while s < e:
+                    take = min(e - s, chunks_per - cur_n)
+                    cur.append((s, s + take))
+                    cur_n += take
+                    s += take
+                    if cur_n >= chunks_per:
+                        parts.append(cur)
+                        cur, cur_n = [], 0
+            if cur:
+                parts.append(cur)
+            if not parts:
+                parts = [[]]
+            return [ZarrInputPartition(None, spans=p) for p in parts]
         return [
             ZarrInputPartition(
                 None, spans=[(s, min(s + chunks_per, n))]
             )
             for s in range(0, n, chunks_per)
         ]
+
+    #: span-tier pre-prune budget: the driver enumerates at most this
+    #: many surviving ordinal RUNS (outer-lattice combos x last-axis
+    #: sub-runs) before falling back to unpruned full-range spans —
+    #: the bound that keeps span planning O(n_partitions + runs), not
+    #: O(n_cells), on any grid.
+    SPAN_PRUNE_RUNS_MAX = 1 << 16
+
+    def _span_coord_runs(self):
+        """Driver-side coordinate pre-pruning for the span tier
+        (r12): per-AXIS surviving grid-index sets from the SAME
+        ``_coord_bounds`` + ``interval_possible`` tests the explicit
+        tier and the executor-side span pruning use, composed into
+        contiguous C-order ordinal runs WITHOUT enumerating cells.
+
+        Legitimate under the no-O(n_cells)-driver-terms rule because
+        coordinate bounds are per-axis — O(chunks per axis), the
+        "axes ARE the metadata" class (and ``_coord_bounds`` is
+        already capped at 1M elements per axis). Writer STATS remain
+        executor-side: their per-cell bound lists are exactly the
+        O(n_cells) artifact this tier exists to keep off the driver.
+
+        Returns ``None`` when nothing prunes (no predicates, no
+        usable coordinate bounds, or the run enumeration would exceed
+        ``SPAN_PRUNE_RUNS_MAX``) — callers then plan unpruned spans,
+        and the executor-side pass still skips the I/O. A pruned cell
+        here is pruned by the SAME test the executor pass applies, so
+        results are identical either way. Returns ``[]`` for a
+        provably empty scan."""
+        if not self.predicates:
+            return None
+        import itertools
+
+        needed = {p.column for p in self.predicates}
+        axis_bounds = self._coord_bounds(needed)
+        if not axis_bounds:
+            return None
+        grid = list(self.plan.grid_shape)
+        nd = len(grid)
+        keep = [list(range(g)) for g in grid]
+        pruned_any = False
+        for name, (axis, blist) in axis_bounds.items():
+            preds = [p for p in self.predicates if p.column == name]
+            kept = [
+                i
+                for i in keep[axis]
+                if all(
+                    interval_possible(p, blist[i][0], blist[i][1])
+                    for p in preds
+                )
+            ]
+            if len(kept) < len(keep[axis]):
+                pruned_any = True
+            keep[axis] = kept
+        if not pruned_any:
+            return None
+        # contiguous sub-runs of the last axis's surviving indices
+        last_runs: List[Tuple[int, int]] = []  # (start, length)
+        for i in keep[-1]:
+            if last_runs and i == last_runs[-1][0] + last_runs[-1][1]:
+                last_runs[-1] = (last_runs[-1][0], last_runs[-1][1] + 1)
+            else:
+                last_runs.append((i, 1))
+        n_outer = 1
+        for ax in range(nd - 1):
+            n_outer *= len(keep[ax])
+        if n_outer * max(1, len(last_runs)) > self.SPAN_PRUNE_RUNS_MAX:
+            return None
+        if n_outer == 0 or not last_runs:
+            return []
+        strides = [1] * nd
+        for ax in range(nd - 2, -1, -1):
+            strides[ax] = strides[ax + 1] * grid[ax + 1]
+        runs: List[Tuple[int, int]] = []
+        # itertools.product over ascending keep lists yields combos in
+        # ascending base order, so adjacent-run merging works in-pass
+        for combo in itertools.product(*keep[:-1]):
+            base = sum(c * strides[ax] for ax, c in enumerate(combo))
+            for s, ln in last_runs:
+                start, stop = base + s, base + s + ln
+                if runs and runs[-1][1] == start:
+                    runs[-1] = (runs[-1][0], stop)
+                else:
+                    runs.append((start, stop))
+        return runs
 
     def _span_bound_sources(self) -> Dict[str, object]:
         """Per-predicate-column bound accessors for the span tier's

@@ -529,6 +529,37 @@ def bench_queries(spark):
     qs["zarr_coord_filter_static"] = lambda: _coord_filter(True)
     qs["zarr_coord_filter_dynamic"] = lambda: _coord_filter(False)
 
+    # span-tier trio (r12, VERDICT r11 item 2 — "the one scale claim
+    # without a number"): the same scans with plan_cells_max=0 forcing
+    # the r11 SPAN partition tier (datasource.py:642 _partitions_spans
+    # — O(n_partitions) driver memory, cells from mixed-radix
+    # arithmetic in tasks) so span planning and the EXECUTOR-side
+    # static pruning (datasource.py:690 _span_bound_sources, worker-
+    # cached bounds) get numbers against their explicit-tier twins:
+    #   zarr_span_full_scan    vs zarr_full_scan
+    #   zarr_span_stats_pruned vs zarr_stats_filter_pruned
+    #   zarr_span_coord_pruned vs zarr_coord_filter_static
+    # Expected ~flat pair ratios: the bounds fetch amortizes to one
+    # GET per executor/block (tests/test_span_partitions.py pins the
+    # GET counts; this makes the wall-clock claim falsifiable).
+    def _span_reader(path):
+        return (
+            spark.read.format("zarr")
+            .option("plan_cells_max", "0")
+            .load(path)
+        )
+
+    qs["zarr_span_full_scan"] = lambda: _force(_span_reader(zpath))
+
+    def _span_stats_pruned():
+        df = _span_reader(_st_dir + "/with")
+        return _force(df.filter(df.l_orderkey <= _st_cut))
+
+    qs["zarr_span_stats_pruned"] = _span_stats_pruned
+    qs["zarr_span_coord_pruned"] = lambda: _force(
+        _span_reader(_geo).filter("lat < 64 AND lon <= -1984")
+    )
+
     # -- data-pipeline operators (registered once implemented) --
     try:
         from arrow_zarr_spark.operators import bench_entries
@@ -833,6 +864,35 @@ def scale_rung_queries(spark, factor: int):
     qs["zarr_version_sync_delta"] = _seed_sync_pool(
         spark, cdc10, f"rung{factor}"
     )
+
+    # -- the span tier joins the rung (r12 verdict item 2): at
+    # factor x cells the O(n_partitions) planning claim and the
+    # executor-side pruning's I/O-skipping claim become numbers.
+    #   zarr_span_full_scan — the rung zarr store scanned via span
+    #     partitions: DATA-proportional (the zarr_full_scan class);
+    #     a span-planning driver term would surface here as a
+    #     super-data ratio at 10x cells;
+    #   zarr_span_coord_pruned — a factor-x-cells geo store where
+    #     the two-conjunct predicate keeps 2 of ~10.4k cells: the
+    #     pruned cells are executor-side NO-OPS against worker-cached
+    #     coordinate bounds, so the ratio tracks span TASK count
+    #     (scheduling), not data bytes — "task" class; an unpruned
+    #     span scan of the same store would be ~10x data.
+    qs["zarr_span_full_scan"] = lambda: _force(
+        spark.read.format("zarr")
+        .option("plan_cells_max", "0")
+        .load(zpath)
+    )
+    geo_side = int(2048 * factor**0.5 + 0.5)
+    gpath = fixtures.write_geo_bench_store(side=geo_side)
+    _lon_cut = -(geo_side - 64)
+    qs["zarr_span_coord_pruned"] = lambda: _force(
+        spark.read.format("zarr")
+        .option("plan_cells_max", "0")
+        .load(gpath)
+        .filter(f"lat < 64 AND lon <= {_lon_cut}")
+    )
+
     meta = {
         "factor": factor,
         "zarr_rows": side * side,
@@ -845,6 +905,9 @@ def scale_rung_queries(spark, factor: int):
             "zarr_version_commit_incremental": "data",
             "zarr_version_cdc": "flat",
             "zarr_version_sync_delta": "flat",
+            # r12: span tier — see the comment at the rung entries
+            "zarr_span_full_scan": "data",
+            "zarr_span_coord_pruned": "task",
         },
     }
     return qs, meta
