@@ -189,11 +189,13 @@ def minhash_signatures_wordcode(
     base-131 polynomial over the repo's word codes
     (:func:`arrow_zarr_spark.operators.text.word_code_sql` convention)
     instead of crc32/xxhash64, so a SQL oracle (DuckDB) can replay the
-    whole signature bit-for-bit — the driver-provable form of
-    :func:`minhash_signatures`, which stays the production kernel
-    (crc32 shingle hashes have far better dispersion; word codes
-    collide on same-length/same-first/last-letter words, which costs
-    signature quality, not determinism).
+    whole signature bit-for-bit with no hash machinery — historically
+    the driver-provable form of :func:`minhash_signatures`, which
+    stays the production kernel (crc32 shingle hashes have far better
+    dispersion; word codes collide on same-length/same-first/last-
+    letter words, which costs signature quality, not determinism).
+    Since r12 the production kernel is ALSO driver-provable: the
+    oracle replays crc32 itself (suite_entries._crc32_sql).
 
     Scale shape: pure per-row array arithmetic — ``transform`` +
     ``array_distinct`` + ``array_min`` over the words array. A narrow
@@ -1210,10 +1212,12 @@ def simhash_wordcode(
     seed: int = 42,
 ) -> DataFrame:
     """SimHash whose per-bit hash family is ENGINE-INDEPENDENT integer
-    arithmetic over the repo's word codes — the driver-provable form
-    of :func:`simhash` (which stays the production kernel: its crc32
-    base hash disperses far better than word codes, the same
-    tradeoff as :func:`minhash_signatures_wordcode` vs d03).
+    arithmetic over the repo's word codes — historically the driver-
+    provable form of :func:`simhash` (which stays the production
+    kernel: its crc32 base hash disperses far better than word codes,
+    the same tradeoff as :func:`minhash_signatures_wordcode` vs d03;
+    since r12 the crc32 kernel is also oracle-replayed bit-for-bit,
+    see suite_entries._simhash64_oracle_sql).
 
     Bit j of the signature is the sign of
     ``sum over words of (+1 if (wc(w)*a_j + b_j) mod M >= M/2 else -1)``

@@ -1,13 +1,13 @@
 """Correctness-harness registrations for the pipeline operators.
 
-Every SQL-expressible operator gets a DuckDB oracle (engine-
-independent arithmetic only — see :mod:`text` for the word-code
-convention). Operators built on engine-specific hashing (xxhash64
-MinHash, FNV SimHash) or seeded projections (LSH/IVF ANN) register
-without an oracle → the driver records the weaker rows-only check;
-their *verification* story is covered by the exact operators they
-approximate (d04 exact Jaccard verifies d03's candidates, s01 exact
-top-k verifies s02/s03)."""
+Every SQL-expressible operator gets a DuckDB oracle. Two replay
+families: engine-independent integer arithmetic (the :mod:`text`
+word-code convention), and — since r12 — the crc32 replay
+(:func:`_crc32_sql`): zlib.crc32 reproduced in pure DuckDB as a
+256-entry byte-table ``list_reduce``, which made the crc32-hashed
+production kernels (d03 MinHash-LSH, d05 SimHash) oracle-checkable
+bit-for-bit. The rows-only set is r26 alone (approximate aggregates,
+engine-specific by nature)."""
 
 from __future__ import annotations
 
