@@ -874,10 +874,11 @@ def scale_rung_queries(spark, factor: int):
     #     super-data ratio at 10x cells;
     #   zarr_span_coord_pruned — a factor-x-cells geo store where
     #     the two-conjunct predicate keeps 2 of ~10.4k cells: the
-    #     pruned cells are executor-side NO-OPS against worker-cached
-    #     coordinate bounds, so the ratio tracks span TASK count
-    #     (scheduling), not data bytes — "task" class; an unpruned
-    #     span scan of the same store would be ~10x data.
+    #     driver-side coordinate PRE-prune (r12, _span_coord_runs)
+    #     ships only the survivor spans, so the ratio is ~FLAT
+    #     (measured 1.1 at 10x); without the pre-prune this entry is
+    #     task-count class (the no-op-task scheduling the storm test
+    #     pins), and an unpruned span scan would be ~10x data.
     qs["zarr_span_full_scan"] = lambda: _force(
         spark.read.format("zarr")
         .option("plan_cells_max", "0")
@@ -907,7 +908,7 @@ def scale_rung_queries(spark, factor: int):
             "zarr_version_sync_delta": "flat",
             # r12: span tier — see the comment at the rung entries
             "zarr_span_full_scan": "data",
-            "zarr_span_coord_pruned": "task",
+            "zarr_span_coord_pruned": "flat",
         },
     }
     return qs, meta
@@ -1179,6 +1180,21 @@ def main() -> None:
                 "zarr_write_strings": 0.95,
                 "zarr_write_grid": 0.97,
             },
+        },
+        # ONE-TIME measurement (r11 verdict item 3): the r11 FINAL
+        # seal recorded zarr_write_sharded at 1.257s vs r10's 0.651s
+        # (1.93x) with writer code untouched — but the r11 FIRST seal
+        # measured 0.707s on the same tree, so the variance protocol
+        # ran: interleaved HEAD-vs-daa685d (the r10 final-seal commit)
+        # worktree A/B, 3 alternating process pairs x min-of-3 warmed
+        # in-process reps, quiet host (load ~0.7). min-of-9: HEAD
+        # 0.702s vs r10 0.720s -> HEAD/r10 = 0.98. Verdict: the 1.93x
+        # was in-session contention (the final seal ran fourth in the
+        # session), not a code regression.
+        "writer_ab_r12_note": {
+            "measured": "round-12 session, one-time interleaved A/B",
+            "sharded_min_of_9_sec": {"head": 0.702, "r10": 0.720},
+            "head_over_r10": 0.98,
         },
         # ONE-TIME measurement (r8 verdict item 4): the round-9
         # session A/B'd the dedup_minhash_lsh 10x-rung anomaly (7.54
