@@ -628,3 +628,147 @@ class TestSpanRealGridStorm:
         # warm rerun, same scan token: ZERO new bounds GETs
         rows2 = sum(sum(b.num_rows for b in r2.read(p)) for p in parts2)
         assert rows2 == 100 and n_gets(bounds_only) == warm
+
+
+class TestLatticeRuns:
+    """Property tests for the pre-prune's pure run-composition
+    arithmetic (_lattice_runs): against brute-force survivor
+    enumeration on random grids, the runs must cover EXACTLY the
+    cells whose every axis index survives — sorted, disjoint,
+    maximally merged — with [] for empty lattices and None only past
+    the budget."""
+
+    def test_property_random_lattices(self):
+        import itertools
+        import random
+
+        from arrow_zarr_spark.datasource import _lattice_runs
+
+        rng = random.Random(12)
+        for trial in range(300):
+            nd = rng.randint(1, 3)
+            grid = [rng.randint(1, 6) for _ in range(nd)]
+            keep = [
+                sorted(
+                    rng.sample(range(g), rng.randint(0, g))
+                )
+                for g in grid
+            ]
+            runs = _lattice_runs(keep, grid, 1 << 16)
+            assert runs is not None
+            # expand runs
+            got = []
+            for s, e in runs:
+                assert s < e
+                got.extend(range(s, e))
+            # sorted + disjoint + maximally merged
+            assert got == sorted(set(got))
+            for (s1, e1), (s2, e2) in zip(runs, runs[1:]):
+                assert e1 < s2  # a gap, else they'd have merged
+            # brute force survivors
+            want = [
+                i
+                for i, cell in enumerate(
+                    itertools.product(*(range(g) for g in grid))
+                )
+                if all(cell[ax] in keep[ax] for ax in range(nd))
+            ]
+            assert got == want, (grid, keep)
+
+    def test_budget_returns_none(self):
+        from arrow_zarr_spark.datasource import _lattice_runs
+
+        keep = [[0, 2, 4, 6], [0, 2]]  # 4 outer x 2 last-runs = 8
+        assert _lattice_runs(keep, [8, 4], 7) is None
+        assert _lattice_runs(keep, [8, 4], 8) is not None
+
+    def test_empty_axis_is_empty_not_none(self):
+        from arrow_zarr_spark.datasource import _lattice_runs
+
+        assert _lattice_runs([[], [0, 1]], [4, 4], 100) == []
+        assert _lattice_runs([[0], []], [4, 4], 100) == []
+
+
+class TestSpanPrePruneDims:
+    """The pre-prune across plan kinds and dimensionalities: a 3-D
+    data grid and an all-coords Cartesian plan must pre-prune
+    identically to the explicit tier."""
+
+    def test_3d_grid(self, spark, tmp_path):
+        import numpy as np
+
+        path = str(tmp_path / "pp3d")
+        write_store(
+            path,
+            arrays={
+                "v": np.arange(4096.0).reshape(16, 16, 16),
+                "x": np.arange(16, dtype=np.float64),
+                "y": np.arange(16, dtype=np.float64),
+                "z": np.arange(16, dtype=np.float64),
+            },
+            chunk_shapes={
+                "v": (4, 4, 4), "x": (4,), "y": (4,), "z": (4,)
+            },
+            dimension_names={
+                "v": ("x", "y", "z"),
+                "x": ("x",), "y": ("y",), "z": ("z",),
+            },
+        )
+        filters = [
+            LessThan(("x",), 4.0),      # x chunk 0
+            GreaterThan(("z",), 11.0),  # z chunk 3
+        ]
+        pruned = _reader(
+            path, filters, plan_cells_max="0", chunks_per_partition="2"
+        )
+        parts = pruned.partitions()
+        # 1 x 4 x 1 = 4 surviving cells in 2 partitions
+        assert len(parts) == 2
+        assert sorted(_span_surviving_cells(pruned)) == sorted(
+            _explicit_surviving_cells(_reader(path, filters))
+        )
+        pred = "x < 4 AND z > 11"
+        want = sorted(
+            tuple(r)
+            for r in spark.read.format("zarr")
+            .load(path).filter(pred).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in spark.read.format("zarr")
+            .option("plan_cells_max", "0")
+            .load(path).filter(pred).collect()
+        )
+        assert got == want and len(got) == 4 * 16 * 4
+
+    def test_all_coords_cartesian(self, spark, tmp_path):
+        import numpy as np
+
+        path = str(tmp_path / "ppac")
+        write_store(
+            path,
+            arrays={
+                "a": np.arange(12, dtype=np.float64),
+                "b": np.arange(8, dtype=np.float64) * 10.0,
+            },
+            chunk_shapes={"a": (3,), "b": (2,)},
+            dimension_names={"a": ("a",), "b": ("b",)},
+        )
+        filters = [GreaterThan(("a",), 8.0)]  # a chunks 2(partial),3
+        pruned = _reader(path, filters, plan_cells_max="0")
+        assert sorted(_span_surviving_cells(pruned)) == sorted(
+            _explicit_surviving_cells(_reader(path, filters))
+        )
+        pred = "a > 8"
+        want = sorted(
+            tuple(r)
+            for r in spark.read.format("zarr")
+            .load(path).filter(pred).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in spark.read.format("zarr")
+            .option("plan_cells_max", "0")
+            .load(path).filter(pred).collect()
+        )
+        assert got == want and len(got) == 3 * 8
