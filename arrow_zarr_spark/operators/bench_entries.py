@@ -215,6 +215,34 @@ def add_bench_queries(qs: dict, spark, sf_dir: str, force=None) -> None:
             docs.filter(F.col("doc_id") % 10 != 0),
         )
     )
+    # the PERSISTED-index form of the batch-vs-corpus flow (d20, r12 —
+    # the m09/x05 pattern): the signature store builds ONCE outside
+    # the timer (a batch job in production), the query reads 512 B/doc
+    # of signatures instead of re-shingling corpus text, and only
+    # exact-verify candidates touch text. Tracked against
+    # dedup_against_corpus: the delta is the repeated corpus
+    # shingle+hash pass the index amortizes across ingest batches.
+    from .minhash_index import build_minhash_index, query_minhash_index
+
+    _mh_root = _tempfile2.mkdtemp(prefix="azs_bench_mhidx_")
+    _atexit2.register(_shutil2.rmtree, _mh_root, ignore_errors=True)
+    build_minhash_index(
+        docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text"),
+        _mh_root + "/idx",
+    )
+    qs["dedup_minhash_index"] = lambda: force(
+        query_minhash_index(
+            spark,
+            _mh_root + "/idx",
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                "doc_id", "text"
+            ),
+            corpus=docs.filter(F.col("doc_id") % 10 != 0).select(
+                "doc_id", "text"
+            ),
+            jaccard_threshold=0.05,
+        )
+    )
     # Bloom-gated membership dedup (d17): one corpus pass building the
     # broadcast filter (per-partition bitmaps, driver OR), vectorized
     # probe on the batch, broadcast-bounded exact verify — tracked

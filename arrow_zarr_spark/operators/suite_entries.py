@@ -4608,3 +4608,96 @@ def populate_round12_queries(register) -> None:
         d05,
         _simhash64_oracle_sql(),
     )
+
+
+def _minhash_index_oracle_sql(
+    n_hashes: int = 64, bands: int = 16, threshold: float = 0.05
+) -> str:
+    """d20's oracle: the d03 crc32 replay extended to the CROSS-split
+    band join — signatures for every doc from the replayed crc32
+    shingle hashes, the batch split (doc_id % 10 = 0) banded against
+    the corpus split, exact-Jaccard verify on the candidates. The
+    Spark side reads corpus signatures from the persisted index
+    store; the oracle recomputes them from text — equal because
+    build_minhash_index persists exactly the production kernel's
+    output (pinned in tests/test_minhash_index.py)."""
+    from . import dedup as _dd
+
+    a, b = _dd._hash_params(n_hashes, 42)
+    rows_per_band = n_hashes // bands
+    m31 = 2147483647
+    mins = ", ".join(
+        f"MIN((h * {int(a[i])} + {int(b[i])}) % {m31}) AS mh_{i}"
+        for i in range(n_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {sig} AS sig FROM sigs".format(
+            bi=bi,
+            sig="||','||".join(
+                f"CAST(mh_{bi * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return (
+        f"WITH crct AS (SELECT {_crc32_table_sql()} AS tb), "
+        + _TRI_CTE
+        + ", dsh AS (SELECT DISTINCT sh FROM tri)"
+        f", shh AS (SELECT sh, ({_crc32_sql('sh')}) % {m31} AS h "
+        "FROM dsh, crct)"
+        ", trih AS (SELECT t.doc_id, s.h FROM tri t JOIN shh s USING (sh))"
+        f", sigs AS (SELECT doc_id, {mins} FROM trih GROUP BY doc_id)"
+        f", bands AS ({band_selects})"
+        ", cand AS (SELECT DISTINCT n.doc_id AS id_new,"
+        "  c.doc_id AS id_corpus"
+        "  FROM bands n JOIN bands c ON n.band = c.band"
+        "  AND n.sig = c.sig"
+        "  WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)"
+        ", sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tri GROUP BY doc_id)"
+        ", shared AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared"
+        "  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id"
+        "  GROUP BY 1, 2) "
+        "SELECT id_new, id_corpus, j AS jaccard FROM ("
+        "  SELECT c.id_new, c.id_corpus,"
+        "  ROUND(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) AS j"
+        "  FROM cand c JOIN shared s"
+        "  ON s.id_a = LEAST(c.id_new, c.id_corpus)"
+        "  AND s.id_b = GREATEST(c.id_new, c.id_corpus)"
+        "  JOIN sizes sa ON sa.doc_id = c.id_new"
+        f"  JOIN sizes sb ON sb.doc_id = c.id_corpus) WHERE j >= {threshold}"
+    )
+
+
+def populate_round12_index_queries(register) -> None:
+    """d20: incremental dedup against a PERSISTED MinHash signature
+    index (operators/minhash_index.py) — the x05/m09 persisted-index
+    pattern applied to the ingest-dedup flow. The registered query
+    builds the index store from the corpus split (a batch job in
+    production; deterministic, so the build is idempotent), then
+    answers the batch query from the SIGNATURE STORE — the corpus
+    text is never re-shingled; only exact-verify candidates touch it.
+    Oracle: the full crc32 replay across the split
+    (_minhash_index_oracle_sql)."""
+
+    def d20(spark, sf_dir):
+        import tempfile
+
+        from .minhash_index import build_minhash_index, query_minhash_index
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        token = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+        path = tempfile.gettempdir() + f"/azs_d20_{token}/idx"
+        build_minhash_index(corpus, path)
+        return query_minhash_index(
+            spark, path, batch, corpus=corpus, jaccard_threshold=0.05
+        )
+
+    register(
+        "d20_minhash_index_dedup",
+        d20,
+        _minhash_index_oracle_sql(),
+    )

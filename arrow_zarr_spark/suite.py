@@ -1522,6 +1522,7 @@ def _ensure_populated() -> None:
         populate_round10_phash_index_queries,
         populate_round11_queries,
         populate_round12_queries,
+        populate_round12_index_queries,
         populate_round7_repair_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
@@ -1588,6 +1589,10 @@ def _ensure_populated() -> None:
     # production crc32 kernels unchanged (the oracle replays crc32
     # itself) — both claim r12 window slots
     populate_round12_queries(register_query)
+    # d20 registers OUTSIDE the (full) 50-slot window — oracle
+    # parity enforces it locally every round; the r13 rotation
+    # picks it up (the m09/z36 precedent)
+    populate_round12_index_queries(register_query)
     # z36 registers OUTSIDE the (already all-fresh) 50-slot window —
     # the round-8 rotation picks it up; oracle parity enforces it
     # locally every round meanwhile

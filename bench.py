@@ -713,6 +713,36 @@ def scale_rung_queries(spark, factor: int):
             docs.filter(F.col("doc_id") % 10 != 0),
         )
     )
+    # the persisted-index twin (d20, r12): the 10x index builds
+    # OUTSIDE the timer (the m09 rung pattern); the timed query scans
+    # 512 B/doc of signatures instead of re-shingling 10x corpus
+    # text — data class with a far smaller constant than
+    # dedup_against_corpus
+    from arrow_zarr_spark.operators.minhash_index import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    import tempfile as _tf_mh
+
+    _mh10 = _tf_mh.mkdtemp(prefix="azs_rung_mhidx_") + "/idx"
+    build_minhash_index(
+        docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text"),
+        _mh10,
+    )
+    qs["dedup_minhash_index"] = lambda: _force(
+        query_minhash_index(
+            spark,
+            _mh10,
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                "doc_id", "text"
+            ),
+            corpus=docs.filter(F.col("doc_id") % 10 != 0).select(
+                "doc_id", "text"
+            ),
+            jaccard_threshold=0.05,
+        )
+    )
     qs["contamination_purge"] = lambda: _force(
         dedup.contamination_purge(
             docs.filter(F.col("source") != "src0"),
@@ -909,6 +939,10 @@ def scale_rung_queries(spark, factor: int):
             # r12: span tier — see the comment at the rung entries
             "zarr_span_full_scan": "data",
             "zarr_span_coord_pruned": "flat",
+            # r12: persisted minhash index — signature scan, data
+            # class with a small constant (vs dedup_against_corpus's
+            # full text re-shingle)
+            "dedup_minhash_index": "data",
         },
     }
     return qs, meta
