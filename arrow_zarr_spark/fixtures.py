@@ -512,3 +512,36 @@ def write_geo_bench_store(
     )
     _mark_done(path)
     return path
+
+
+def write_declared_span_store(n_declared: int = 16_777_216) -> str:
+    """A metadata-DECLARED huge 1-D store for pricing span PLANNING:
+    4 real rows written at chunk_rows=1, then the shape grown to
+    ``n_declared`` (absent chunks are fill — the
+    test_span_partitions.py trick). Planning it enumerates nothing:
+    the bench entry times ``partitions()`` alone, the O(n_partitions)
+    claim as a recorded number."""
+    import json
+
+    from .zarr.store import open_store
+
+    path = fixture_dir(f"declared_span_{n_declared}")
+    if _done(path):
+        return path
+    from .io import write_zarr
+    from .session import get_spark
+
+    spark = get_spark()
+    df = spark.range(0, 4, 1, 1).selectExpr("id AS k")
+    write_zarr(df, path, chunk_rows=1, stats=False)
+    store = open_store(path)
+    doc = json.loads(store.get("k/zarr.json"))
+    doc["shape"] = [n_declared]
+    store.set("k/zarr.json", json.dumps(doc).encode())
+    root = json.loads(store.get("zarr.json"))
+    root["consolidated_metadata"]["metadata"]["k"]["shape"] = [
+        n_declared
+    ]
+    store.set("zarr.json", json.dumps(root).encode())
+    _mark_done(path)
+    return path

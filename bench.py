@@ -559,6 +559,24 @@ def bench_queries(spark):
     qs["zarr_span_coord_pruned"] = lambda: _force(
         _span_reader(_geo).filter("lat < 64 AND lon <= -1984")
     )
+    # span PLANNING wall-clock on a metadata-DECLARED 16.8M-cell grid
+    # (no read ever happens — absent chunks are fill and the thunk
+    # only calls partitions()): the O(n_partitions) planning claim as
+    # a recorded number. 16.8M cells at chunk_rows=1 plan as 256
+    # spans; an explicit-tier enumeration of 16.8M cells would take
+    # seconds and ~GBs.
+    _decl_path = fixtures.write_declared_span_store()
+
+    def _span_plan_declared():
+        from arrow_zarr_spark.datasource import ZarrDataSource
+
+        ds = ZarrDataSource({"path": _decl_path})
+        r = ds.reader(ds.schema())
+        parts = r.partitions()
+        assert all(p.cells is None for p in parts)
+        return len(parts)
+
+    qs["zarr_span_plan_declared_16m"] = _span_plan_declared
 
     # -- data-pipeline operators (registered once implemented) --
     try:
