@@ -396,6 +396,24 @@ def add_bench_queries(qs: dict, spark, sf_dir: str, force=None) -> None:
             embs, embs.filter(F.col("vec_id") < 100), k=10, shortlist=32
         )
     )
+    # persisted IVF+SQ8 index (s09, r12): centroids/scales/codes are
+    # build-time artifacts; the timed QUERY scans the (cell,id)-sorted
+    # code store pruned to the probed cells by the writer's own cell
+    # statistics — IVF probing AS chunk pruning. Tracked against
+    # ann_sq8 (which re-encodes the corpus every run and scans all of
+    # it): the delta is encode+full-scan vs pruned code-store scan.
+    from .ivf_index import build_ivf_sq8_index, query_ivf_sq8_index
+
+    _ivf_root = _tempfile.mkdtemp(prefix="azs_bench_ivfsq8_")
+    _atexit.register(_shutil.rmtree, _ivf_root, ignore_errors=True)
+    build_ivf_sq8_index(embs, _ivf_root + "/idx", n_cells=16,
+                        chunk_rows=128)
+    qs["ann_ivf_sq8_index_query"] = lambda: force(
+        query_ivf_sq8_index(
+            spark, _ivf_root + "/idx",
+            embs.filter(F.col("vec_id") < 100), k=10, nprobe=4,
+        )
+    )
     # the snapshot-curation composition (x03): batch-bounded corpus
     # near-dup gate + digest purge + quality gate in one plan
     from .pipelines import snapshot_curation_pipeline

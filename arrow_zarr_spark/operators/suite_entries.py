@@ -4701,3 +4701,120 @@ def populate_round12_index_queries(register) -> None:
         d20,
         _minhash_index_oracle_sql(),
     )
+
+
+def _ivf_sq8_oracle_sql(
+    n_cells: int = 16, nprobe: int = 2, k: int = 5, n_queries: int = 20
+) -> str:
+    """s09's oracle: the s03 IVF replay (strided centroids off
+    MAX(vec_id), quantized-cosine assignment, cell tiebreak, nprobe
+    probes) COMPOSED with the s06 SQ8 replay (integer scales, half-
+    away-from-zero integer codes, exact-integer ADC dots) — scoring
+    restricted to each query's probed cells. The Spark side reads
+    codes from the persisted store; the oracle recomputes them from
+    the corpus — equal because the build persists exactly the
+    pipeline's intermediates (pinned from-scratch in
+    tests/test_ivf_index.py)."""
+    qv = "list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x * 32768, 0))"
+    qcos = (
+        "(list_inner_product({a}, {b}) / "
+        "(SQRT(list_inner_product({a}, {a})) * "
+        "SQRT(list_inner_product({b}, {b}))))"
+    )
+    return (
+        "WITH params AS ("
+        f"  SELECT GREATEST(1, (MAX(vec_id) + 1) // {n_cells}) AS stride"
+        "  FROM embeddings), "
+        f"corp AS (SELECT vec_id, {qv} AS v FROM embeddings), "
+        "cents AS ("
+        "  SELECT CAST(vec_id // stride AS INT) AS cell, v AS centroid"
+        "  FROM corp, params"
+        f"  WHERE vec_id % stride = 0 AND vec_id // stride < {n_cells}), "
+        "cassign AS ("
+        "  SELECT vec_id, cell FROM ("
+        "    SELECT c0.vec_id, ct.cell, ROW_NUMBER() OVER ("
+        "      PARTITION BY c0.vec_id ORDER BY "
+        + qcos.format(a="c0.v", b="ct.centroid")
+        + " DESC, ct.cell) AS rk"
+        "    FROM corp c0 CROSS JOIN cents ct"
+        "  ) WHERE rk = 1), "
+        "qassign AS ("
+        "  SELECT vec_id, cell FROM ("
+        "    SELECT c0.vec_id, ct.cell, ROW_NUMBER() OVER ("
+        "      PARTITION BY c0.vec_id ORDER BY "
+        + qcos.format(a="c0.v", b="ct.centroid")
+        + " DESC, ct.cell) AS rk"
+        f"    FROM corp c0 CROSS JOIN cents ct WHERE c0.vec_id < {n_queries}"
+        f"  ) WHERE rk <= {nprobe}), "
+        "ds AS (SELECT unnest(range(1, 65)) AS d), "
+        "el AS (SELECT vec_id, d, CAST(v[d] AS BIGINT) AS n FROM corp, ds), "
+        "sc AS (SELECT d, GREATEST(1, (MAX(ABS(n)) + 126) // 127) AS s "
+        "FROM el GROUP BY d), "
+        "enc AS (SELECT vec_id, d, "
+        "(CASE WHEN n >= 0 THEN 1 ELSE -1 END) * "
+        "((2 * ABS(n) + s) // (2 * s)) * s AS r "
+        "FROM el JOIN sc USING (d)), "
+        "nr AS (SELECT vec_id, SUM(r * r) AS nr_sq FROM enc "
+        "GROUP BY vec_id), "
+        f"qe AS (SELECT vec_id AS query_id, d, n AS qd FROM el "
+        f"WHERE vec_id < {n_queries}), "
+        "qn AS (SELECT query_id, SUM(qd * qd) AS nq_sq FROM qe "
+        "GROUP BY query_id), "
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, "
+        "a.vec_id AS neighbor_id "
+        "FROM qassign q JOIN cassign a USING (cell) "
+        "WHERE q.vec_id <> a.vec_id), "
+        "dots AS (SELECT c.query_id, c.neighbor_id, "
+        "SUM(qe.qd * e.r) AS dot "
+        "FROM cand c JOIN qe ON qe.query_id = c.query_id "
+        "JOIN enc e ON e.vec_id = c.neighbor_id AND e.d = qe.d "
+        "GROUP BY 1, 2), "
+        "scored AS (SELECT dt.query_id, dt.neighbor_id, "
+        "CAST(dt.dot AS DOUBLE) / "
+        "(SQRT(CASE WHEN qn.nq_sq > 0 THEN CAST(qn.nq_sq AS DOUBLE) "
+        "ELSE 1 END) * "
+        "SQRT(CASE WHEN nr.nr_sq > 0 THEN CAST(nr.nr_sq AS DOUBLE) "
+        "ELSE 1 END)) AS cos "
+        "FROM dots dt JOIN qn USING (query_id) "
+        "JOIN nr ON dt.neighbor_id = nr.vec_id) "
+        "SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, "
+        "CAST(rank AS BIGINT) AS rank FROM ("
+        "SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank "
+        f"FROM scored) WHERE rank <= {k}"
+    )
+
+
+def populate_round12_ivf_index_queries(register) -> None:
+    """s09: ANN against the PERSISTED IVF+SQ8 index
+    (operators/ivf_index.py) — the first index whose LAYOUT turns
+    routing into the engine's own statistics pruning: codes are
+    written (cell, id)-sorted, so the query's cell IN (probed...)
+    filter drops non-probed cells' chunks at planning. The registered
+    query builds the three index stores (codes/centroids/scales) from
+    the embeddings corpus, then answers the probe set from the code
+    store; the oracle replays the whole pipeline
+    (_ivf_sq8_oracle_sql)."""
+
+    def s09(spark, sf_dir):
+        import tempfile
+
+        from .ivf_index import build_ivf_sq8_index, query_ivf_sq8_index
+
+        embs = _embs(spark, sf_dir)
+        token = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+        path = tempfile.gettempdir() + f"/azs_s09_{token}/idx"
+        build_ivf_sq8_index(embs, path, n_cells=16, chunk_rows=32)
+        return query_ivf_sq8_index(
+            spark,
+            path,
+            embs.filter(F.col("vec_id") < 20),
+            k=5,
+            nprobe=2,
+        )
+
+    register(
+        "s09_ivf_sq8_index_topk",
+        s09,
+        _ivf_sq8_oracle_sql(),
+    )

@@ -1523,6 +1523,7 @@ def _ensure_populated() -> None:
         populate_round11_queries,
         populate_round12_queries,
         populate_round12_index_queries,
+        populate_round12_ivf_index_queries,
         populate_round7_repair_queries,
         populate_round7_version_queries,
         populate_round7_hh_queries,
@@ -1593,6 +1594,7 @@ def _ensure_populated() -> None:
     # parity enforces it locally every round; the r13 rotation
     # picks it up (the m09/z36 precedent)
     populate_round12_index_queries(register_query)
+    populate_round12_ivf_index_queries(register_query)
     # z36 registers OUTSIDE the (already all-fresh) 50-slot window —
     # the round-8 rotation picks it up; oracle parity enforces it
     # locally every round meanwhile
