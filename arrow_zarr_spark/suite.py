@@ -1393,82 +1393,85 @@ _populated = False
 #: Everything rotated out stays parity-enforced every round by
 #: tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # ROUND-12 ROTATION: CORRECTNESS_r11 landed 50/50 green on the
-    # round-11 window, so the stalest oracle-backed rows are exactly
-    # the 50 queries last driver-checked in ROUND 8 (staleness from
-    # every CORRECTNESS_r*.json at round start; histogram r8=50,
-    # r9=50, r10=50, r11=50, plus the 5 named displacements parked at
-    # r6/r7 with in-family fresher coverage). This window takes 48 of
-    # the 50 and gives 2 slots to the rows the VERDICT ordered in
-    # (item 5): d03 and d05, GRADUATED from rows-only to full oracles
-    # this round — their production crc32 kernels unchanged, the
-    # oracle replaying crc32 itself as a 256-entry byte-table
-    # list_reduce in DuckDB (see operators/suite_entries.py
-    # populate_round12_queries). Displaced, each with its shape
-    # covered by a fresher family row:
-    #   d01_exact_dedup          -> d02_normalized_dedup (green r9)
-    #     is the same exact-hash groupBy dedup kernel plus the
-    #     normalization stage;
-    #   d04_ngram_jaccard_pairs  -> d03 (in THIS window) exact-
-    #     verifies its LSH candidates with the identical
-    #     ngram_jaccard_pairs kernel (candidate mode), and d03's
-    #     oracle embeds d04's exact-Jaccard SQL as its verify stage;
-    #     d19_containment_pairs (green r9) shares
-    #     _shingle_shared_counts.
-    # Everything rotated out or displaced stays parity-enforced every
-    # round by tests/test_oracle_parity.py.
-    # -- 48 of the 50 round-8-stale rows --
-    "b06_equality_pred",
-    "b08_equi_join",
-    "c01_kmeans_clusters",
-    "c02_semantic_neardup",
-    "d07_dedup_components",
-    "d08_streaming_dedup_batchform",
-    "d09_ngram_contamination",
-    "d10_canonical_docs",
-    "j02_asof_join",
-    "j03_theta_join_banded",
-    "j04_salted_join",
-    "m01_byte_features",
-    "m02_decode_image_fake",
-    "m03_resize_pixels",
-    "m04_sample_frames",
-    "m08_phash64_near_dup",
-    "p01_per_group_quota",
-    "p02_token_budget_sample",
-    "p03_stratified_sample",
-    "p04_rebalance_mixture",
-    "p05_shard_manifest",
-    "r25_sessionization",
-    "s01_cosine_topk",
-    "s02_lsh_ann_topk",
-    "s08_binary_ann_topk",
-    "t01_token_count",
-    "t02_language_id",
-    "t03_quality_score",
-    "t04_document_fingerprint",
-    "t06_top_bigrams",
-    "t07_tf_idf",
-    "t08_pii_redact",
-    "t09_repetition_signals",
-    "t10_chunk_documents",
-    "w01_writer_roundtrip",
-    "x05_binary_index_roundtrip",
-    "x06_leakage_safe_split",
-    "z04_cte_self_join",
-    "z05_missing_chunk_fill",
-    "z07_order_limit",
-    "z08_union_all",
-    "z09_no_coords",
-    "z10_type_map",
-    "z12_join_parquet_dim",
-    "z13_sharded_scan",
-    "z14_string_scan",
-    "z16_time_scan",
-    "z36_scrub_repair_scan",
-    # -- the 2 slots the round-12 graduations claim (verdict item 5):
-    "d03_minhash_lsh_pairs",
-    "d05_simhash_dedup",
+    # ROUND-13 ROTATION: CORRECTNESS_r12 landed 50/50 green on the
+    # round-12 window, so the stalest oracle-backed rows are exactly
+    # the 50 queries last driver-checked in ROUND 9 (staleness from
+    # every CORRECTNESS_r*.json at round start; histogram r9=50,
+    # r10=50, r11=50, r12=50, plus the named displacements parked at
+    # r6/r7/r8 with in-family fresher coverage). Per the VERDICT's
+    # item 1, four slots are claimed first:
+    #   d20_minhash_index_dedup and s09_ivf_sq8_index_topk — the only
+    #     registered queries with NO driver row ever (both registered
+    #     late in r12 outside the window, fully oracle-backed, the
+    #     m09 precedent);
+    #   d01_exact_dedup and d04_ngram_jaccard_pairs — the stalest
+    #     oracle-backed rows anywhere (r8, displaced in r12).
+    # The remaining 46 slots take 46 of the 50 round-9-stale rows.
+    # Displaced (each with its shape covered by a fresher family
+    # row, and parity-enforced every round by
+    # tests/test_oracle_parity.py):
+    #   b05_comparisons_or  -> b06_equality_pred (green r12) and
+    #     b04_range_pred (r10) are the same pure-Catalyst suite.py
+    #     predicate family over the same zarr scan;
+    #   b07_modulo_pred     -> same cover (b06 r12 / b04 r10);
+    #   d19_containment_pairs -> d04 (in THIS window) shares the
+    #     exact _shingle_shared_counts kernel, and d03 (green r12)
+    #     embeds the same shingle-overlap SQL as its verify stage;
+    #   e02_interval_join_batchform -> j07_interval_join (green r11)
+    #     is the identical interval-join shape, and the streaming
+    #     family keeps e05-e07 (r11) + r25_sessionization (r12).
+    # -- the 4 slots the verdict ordered in first --
+    "d20_minhash_index_dedup",
+    "s09_ivf_sq8_index_topk",
+    "d01_exact_dedup",
+    "d04_ngram_jaccard_pairs",
+    # -- 46 of the 50 round-9-stale rows --
+    "d02_normalized_dedup",
+    "d11_contamination_purge",
+    "d12_dedup_against_corpus",
+    "e01_stream_enrich_batchform",
+    "j08_nearest_join",
+    "p06_quantile_gate",
+    "p07_train_val_test_split",
+    "r01_groupby_agg",
+    "r02_count_distinct",
+    "r03_avg_minmax",
+    "r04_having",
+    "r05_distinct",
+    "r06_window_topk_per_group",
+    "r07_window_running_sum",
+    "r08_window_lag_rank",
+    "r09_left_outer_join",
+    "r10_semi_join",
+    "r11_anti_join",
+    "r12_intersect",
+    "r13_except",
+    "r14_union_distinct",
+    "r15_scalar_subquery",
+    "r16_in_subquery",
+    "r17_rollup",
+    "r18_string_funcs",
+    "r19_date_parts",
+    "r20_math_case",
+    "r21_multiway_join_agg",
+    "r22_events_time_agg",
+    "r23_events_user_sessions",
+    "r24_pivot_conditional",
+    "r27_count_distribution",
+    "r28_having_in_subquery",
+    "r29_correlated_min",
+    "r30_cube",
+    "r31_stddev_from_moments",
+    "r32_percentile_cont",
+    "r33_regexp_extract",
+    "r34_array_functions",
+    "r35_json_extract",
+    "r36_grouping_sets",
+    "r37_not_exists",
+    "t11_boilerplate_ngrams",
+    "w02_writer_datetime_roundtrip",
+    "x07_dataset_card",
+    "z17_time_rollup",
 ]
 
 
