@@ -49,29 +49,6 @@ def _qvec(c):
     return F.transform(c, lambda x: F.round(x * F.lit(32768.0), 0))
 
 
-def _qcos(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return dot / (na * nb)
-
-
 def build_ivf_sq8_index(
     corpus: DataFrame,
     path: str,
@@ -94,10 +71,14 @@ def build_ivf_sq8_index(
       integers (metadata-scale);
     - ``<path>/scales`` — (d, s) the dim integer scales.
 
-    All stages are JVM expressions over the grid integers — no
-    Python worker, deterministic bytes, rebuilds are byte-identical.
+    Assignment + encode run in ONE Arrow-batched MapInPandas pass
+    over exact grid integers (no joins, no per-id window, no corpus
+    explode — see the kernel comment below); every sum is an exact
+    integer in double, so rebuilds are byte-identical.
     Returns ``{"path", "n_vectors", "dim", "n_cells", "chunk_rows"}``.
     """
+    import pandas as pd
+
     first = (
         corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
     )
@@ -108,30 +89,45 @@ def build_ivf_sq8_index(
     dim = len(first[0])
     from ..io import write_zarr
 
+    spark = corpus.sparkSession
     max_id = corpus.agg(F.max(id_col)).first()[0]
     stride = max(1, (int(max_id) + 1) // n_cells)
-    cents = corpus.filter(
-        (F.col(id_col) % stride == 0)
-        & (F.col(id_col) / stride < n_cells)
-    ).select(
-        (F.col(id_col) / stride).cast("int").alias("cell"),
-        _qvec(F.col(vec_col)).alias("centroid"),
+    # the n_cells centroid rows are metadata-scale: collect them ONCE
+    # (one filtered corpus pass) and reuse the rows for both the
+    # persisted centroid store and the assignment kernel's broadcast
+    # — the grid values are exact integers in doubles, so the
+    # driver round-trip loses nothing
+    cent_rows = sorted(
+        corpus.filter(
+            (F.col(id_col) % stride == 0)
+            & (F.col(id_col) / stride < n_cells)
+        )
+        .select(
+            (F.col(id_col) / stride).cast("int").alias("cell"),
+            _qvec(F.col(vec_col)).alias("centroid"),
+        )
+        .collect(),
+        key=lambda r: r["cell"],
+    )
+    if not cent_rows:
+        raise ValueError("build_ivf_sq8_index: empty corpus")
+    cent_mat = np.array(
+        [r["centroid"] for r in cent_rows], dtype=np.float64
     )
     write_zarr(
-        cents.select(
-            "cell",
-            *[
-                F.element_at("centroid", d + 1).cast("long").alias(f"g{d}")
-                for d in range(dim)
+        spark.createDataFrame(
+            [
+                (int(r["cell"]), *[int(x) for x in r["centroid"]])
+                for r in cent_rows
             ],
-        ).orderBy("cell"),
+            "cell int, " + ", ".join(f"g{d} long" for d in range(dim)),
+        ),
         path + "/centroids",
         chunk_rows=max(n_cells, 1),
         mode=mode,
     )
 
     scales = _sq8_scales(corpus, vec_col)
-    spark = corpus.sparkSession
     write_zarr(
         spark.createDataFrame(
             [(int(d), int(s)) for d, s in enumerate(scales)],
@@ -142,43 +138,61 @@ def build_ivf_sq8_index(
         mode=mode,
     )
 
-    # cell assignment: broadcast the k-row centroid table (the
-    # ivf_ann shape — a bounded-probe broadcast, not a scale risk)
-    assigned = (
+    # Cell assignment + SQ8 encode in ONE MapInPandas pass (the s05
+    # kernel shape, similarity.ivf_pq_ann): centroids are broadcast
+    # NumPy, each Arrow slab assigns its rows with one matmul
+    # (np.argmax's first-max tiebreak = the oracle's ORDER BY cc
+    # DESC, cell) and encodes with exact int64 arithmetic — the
+    # corpus is never joined, never exploded x n_cells, and never
+    # shuffled per-id; the only exchange left in the build is the
+    # final (cell, id) orderBy the layout requires. All dots/norms
+    # are exact-integer sums (< 2^53), so the matmul is
+    # order-independent and rebuilds stay byte-identical to the
+    # pre-r13 window build. Zero-norm guards follow the repo
+    # convention (safe denominator 1.0); a zero-norm CENTROID —
+    # impossible unless a strided corpus vector is all-zero — would
+    # be the one input where this differs from the oracle's
+    # unguarded NaN ordering.
+    cent_nsq = np.einsum("cd,cd->c", cent_mat, cent_mat)
+    b = spark.sparkContext.broadcast(
+        (cent_mat, cent_nsq, np.asarray(scales, dtype=np.int64))
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"cell int, {id_col} {id_type}, " + ", ".join(
+        f"q{d} byte" for d in range(dim)
+    )
+    qcols = [f"q{d}" for d in range(dim)]
+
+    def kernel(batches):
+        cents_l, cent_nsq_l, s_l = b.value
+        cn = np.sqrt(cent_nsq_l)
+        cn_safe = np.where(cn > 0, cn, 1.0)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_azs_id"]
+            X = np.array(list(pdf["v"]), dtype=np.float64)
+            xn = np.sqrt(np.einsum("nd,nd->n", X, X))
+            den = np.where(xn > 0, xn, 1.0)[:, None] * cn_safe[None, :]
+            cell = np.argmax((X @ cents_l.T) / den, axis=1)
+            # half-away-from-zero SQ8 in exact int64 (the sq8_ann
+            # expression): |n| <= 32768, s <= 259
+            n_int = X.astype(np.int64)
+            mag = (2 * np.abs(n_int) + s_l[None, :]) // (2 * s_l[None, :])
+            codes = np.where(n_int >= 0, mag, -mag).astype(np.int8)
+            out = {"cell": cell.astype(np.int32), id_col: ids}
+            for d, c in enumerate(qcols):
+                out[c] = codes[:, d]
+            yield pd.DataFrame(out)
+
+    codes = (
         corpus.select(
-            F.col(id_col), _qvec(F.col(vec_col)).alias("v")
+            F.col(id_col).alias("_azs_id"),
+            _qvec(F.col(vec_col)).alias("v"),
         )
-        .crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            "v",
-            "cell",
-            _qcos(F.col("v"), F.col("centroid")).alias("cc"),
-        )
+        .mapInPandas(kernel, schema=out_schema)
+        .orderBy("cell", id_col)
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cc").desc(), F.col("cell")
-    )
-    assigned = (
-        assigned.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select(id_col, "v", "cell")
-    )
-
-    # SQ8 encode, half-away-from-zero in exact integer arithmetic
-    # (the sq8_ann kernel's expression, JVM-side): values are tiny
-    # (|n| <= 32768, s <= 259), so the float floor-div is exact
-    def code(d):
-        n = F.element_at("v", d + 1).cast("long")
-        s = int(scales[d])
-        mag = F.floor((2 * F.abs(n) + F.lit(s)) / F.lit(2 * s))
-        return (
-            F.when(n >= 0, mag).otherwise(-mag).cast("byte").alias(f"q{d}")
-        )
-
-    codes = assigned.select(
-        F.col("cell"), F.col(id_col), *[code(d) for d in range(dim)]
-    ).orderBy("cell", id_col)
     n = write_zarr(codes, path + "/codes", chunk_rows=chunk_rows, mode=mode)
     return {
         "path": path,
@@ -267,6 +281,15 @@ def query_ivf_sq8_index(
             f"than max_query_rows={max_query_rows} rows"
         )
     q_ids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    if len(set(q_ids.tolist())) != len(q_ids):
+        # probe_map is keyed by query id: duplicates would silently
+        # collapse to one probe set while their candidate rows merge
+        # under one query_id in the rank window — refuse loudly (the
+        # function's other input guards' convention)
+        raise ValueError(
+            "query_ivf_sq8_index: duplicate ids in the query set "
+            f"('{query_id_col}' must be unique per query row)"
+        )
     q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
     if len(q_mat) and q_mat.shape[1] != dim:
         raise ValueError(
@@ -279,10 +302,17 @@ def query_ivf_sq8_index(
     # probe routing (driver, bounded): cos DESC, cell ASC — identical
     # to the assignment window's ordering
     cn = np.sqrt(np.einsum("cd,cd->c", cent_mat, cent_mat))
+    # zero-norm guard (the repo's safe-denominator convention, same
+    # as the assignment kernel and the final rank window): without
+    # it a zero-norm query yields all-NaN cosines and lexsort picks
+    # an arbitrary probe set
+    cn_safe = np.where(cn > 0, cn, 1.0)
     probe_cells = []
     for qi in range(len(q_ids)):
         qn = np.sqrt(q_nsq[qi])
-        cos = (q_mat[qi] @ cent_mat.T) / (qn * cn)
+        cos = (q_mat[qi] @ cent_mat.T) / (
+            (qn if qn > 0 else 1.0) * cn_safe
+        )
         order = np.lexsort((cent_cells, -cos))[:nprobe]
         probe_cells.append(cent_cells[order])
     probed = sorted({int(c) for pc in probe_cells for c in pc})

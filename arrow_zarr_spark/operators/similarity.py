@@ -503,23 +503,30 @@ def ivf_ann(
             )
         )
         return dot / (na * nb)
+    spark = corpus.sparkSession
     if centroids is not None:
-        if np.asarray(centroids).shape[0] != n_cells:
+        cmat = np.asarray(centroids, dtype=np.float64)
+        if cmat.shape[0] != n_cells:
             raise ValueError(
                 f"ivf_ann: centroids carry "
-                f"{np.asarray(centroids).shape[0]} cells but "
+                f"{cmat.shape[0]} cells but "
                 f"n_cells={n_cells} — the nprobe/n_cells coverage "
                 "contract would silently change"
             )
-        cents = _centroid_frame(corpus.sparkSession, centroids)
+        cent_cells = np.arange(cmat.shape[0], dtype=np.int64)
+        cents = _centroid_frame(spark, centroids)
     else:
         # Deterministic centroid pick WITHOUT a global window (a
         # row_number over an unpartitioned order collapses everything
         # to one partition — fatal at scale): stride the id space off
-        # a single max() agg.
+        # a single max() agg, then collect the <= n_cells rows ONCE
+        # (metadata-scale; grid values are exact ints in doubles, so
+        # the driver round-trip loses nothing)
         max_id = corpus.agg(F.max(id_col)).first()[0]
+        if max_id is None:
+            raise ValueError("ivf_ann: empty corpus")
         stride = max(1, (int(max_id) + 1) // n_cells)
-        cents = (
+        cent_rows = sorted(
             corpus.filter(
                 (F.col(id_col) % stride == 0)
                 & (F.col(id_col) / stride < n_cells)
@@ -528,9 +535,28 @@ def ivf_ann(
                 (F.col(id_col) / stride).cast("int").alias("cell"),
                 qvec(F.col(vec_col)).alias("centroid"),
             )
+            .collect(),
+            key=lambda r: r["cell"],
+        )
+        if not cent_rows:
+            raise ValueError("ivf_ann: empty corpus")
+        cent_cells = np.array(
+            [r["cell"] for r in cent_rows], dtype=np.int64
+        )
+        cmat = np.array(
+            [r["centroid"] for r in cent_rows], dtype=np.float64
+        )
+        cents = spark.createDataFrame(
+            [
+                (int(r["cell"]), [float(x) for x in r["centroid"]])
+                for r in cent_rows
+            ],
+            "cell int, centroid array<double>",
         )
 
     def assign(df, ident, idc, probes):
+        # the bounded (query) side: broadcast crossJoin x n_cells +
+        # per-id window — fine for a probe set, NOT for the corpus
         scored = df.select(
             F.col(idc).alias(ident), qvec(F.col(vec_col)).alias(f"{ident}_v")
         ).crossJoin(F.broadcast(cents)).select(
@@ -546,7 +572,45 @@ def ivf_ann(
             .drop("cc", "crank")
         )
 
-    cassign = assign(corpus, "neighbor_id", id_col, 1)
+    # Corpus-side assignment runs INSIDE an Arrow kernel (the s05
+    # ivf_pq_ann shape): broadcast NumPy centroids, one matmul per
+    # slab, argmax's first-max tiebreak = the window's (cc DESC,
+    # cell ASC) — so the corpus is never exploded x n_cells, never
+    # window-shuffled per id, and carries straight into the cell
+    # join. Exact-integer dots (< 2^53) make the matmul
+    # order-independent, so assignments are bit-identical to the
+    # crossJoin+window form (and the s03 oracle is unchanged); with
+    # FITTED float centroids (oracle-exempt recall path) near-tie
+    # assignments may differ from fold-order JVM sums in the last
+    # bit, as with every float kernel in this module. Zero-norm rows
+    # take the safe-denominator convention; a zero-norm CENTROID
+    # (impossible unless a strided corpus vector is all-zero) is the
+    # one input where argmax would diverge from the window's
+    # NaN-sorts-first ordering.
+    cent_nsq = np.einsum("cd,cd->c", cmat, cmat)
+    bc = spark.sparkContext.broadcast((cmat, cent_nsq, cent_cells))
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    cschema = (
+        f"neighbor_id {id_type}, neighbor_id_v array<double>, cell int"
+    )
+
+    def corpus_assign(batches):
+        cmat_l, cnsq_l, cells_l = bc.value
+        cn = np.sqrt(cnsq_l)
+        cn_safe = np.where(cn > 0, cn, 1.0)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["neighbor_id_v"]), dtype=np.float64)
+            xn = np.sqrt(np.einsum("nd,nd->n", X, X))
+            den = np.where(xn > 0, xn, 1.0)[:, None] * cn_safe[None, :]
+            cell = cells_l[np.argmax((X @ cmat_l.T) / den, axis=1)]
+            yield pdf.assign(cell=cell.astype(np.int32))
+
+    cassign = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        qvec(F.col(vec_col)).alias("neighbor_id_v"),
+    ).mapInPandas(corpus_assign, schema=cschema)
     qassign = assign(queries, "query_id", query_id_col, nprobe)
 
     scored = (

@@ -811,3 +811,57 @@ class TestRound9OperatorContracts:
         plan = _plan(containment_pairs(views.table("documents")))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound13OperatorContracts:
+    def test_ivf_sq8_build_zero_joins_zero_windows(
+        self, views, tmp_path, monkeypatch
+    ):
+        """s09 BUILD (r13, verdict item 2): the coarse assignment +
+        SQ8 encode must be ONE MapInPandas pass over the corpus —
+        no crossJoin x n_cells explode, no per-id row_number window,
+        no join of any kind; the only corpus-wide exchange left is
+        the (cell, id) range sort the persisted layout requires."""
+        from arrow_zarr_spark import io as azio
+        from arrow_zarr_spark.operators.ivf_index import (
+            build_ivf_sq8_index,
+        )
+
+        plans = []
+        real_write = azio.write_zarr
+
+        def spy(df, path, **kw):
+            plans.append((path, _plan(df)))
+            return real_write(df, path, **kw)
+
+        monkeypatch.setattr(azio, "write_zarr", spy)
+        embs = views.table("embeddings")
+        build_ivf_sq8_index(
+            embs, str(tmp_path / "idx"), n_cells=16, chunk_rows=32
+        )
+        codes_plans = [p for path, p in plans if path.endswith("/codes")]
+        assert codes_plans, "codes store was not written"
+        plan = codes_plans[0]
+        assert "MapInPandas" in plan
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert "Window" not in plan and "row_number" not in plan
+        # one range exchange for the (cell, id) layout sort, nothing else
+        assert plan.count("Exchange hashpartitioning") == 0
+
+    def test_ivf_ann_corpus_assignment_kernel_side(self, views):
+        """s03 (r13, verdict item 2): the corpus side gains its cell
+        INSIDE the Arrow kernel (broadcast NumPy centroids) — the
+        only windows left in the whole plan are the bounded query
+        probe rank and the final top-k rank, and nothing goes
+        cartesian (the query-side crossJoin is a broadcast NLJ over
+        the n_cells singleton, the whitelisted bounded-probe shape)."""
+        from arrow_zarr_spark.operators import similarity
+
+        embs = views.table("embeddings")
+        df = similarity.ivf_ann(
+            embs, embs.filter(F.col("vec_id") < 10), n_cells=16, nprobe=2
+        )
+        plan = _plan(df)
+        assert "MapInPandas" in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Window [") == 2
