@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import threading
 from collections import OrderedDict, deque
 from concurrent.futures import ThreadPoolExecutor
@@ -164,20 +165,55 @@ def _infer_struct(arrays: Sequence[ZarrArray]) -> StructType:
 #: and a later scan of a mutated store can't see stale bounds.
 _SPAN_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
 _SPAN_CACHE_CAP = 128
+#: entries are multi-MB decoded sidecar blocks invisible to Spark's
+#: memory manager, so the LRU is bounded by BYTES as well as count
+#: (the r11 ADVICE fix); 256 MiB is ~2 sidecar shards per executor
+#: core at the default shard geometry
+_SPAN_CACHE_MAX_BYTES = 256 * 1024 * 1024
+_SPAN_CACHE_BYTES = 0
+_SPAN_CACHE_SIZES: Dict[tuple, int] = {}
 _SPAN_CACHE_LOCK = threading.Lock()
 
 
+def _approx_bytes(val, _depth: int = 0) -> int:
+    """Estimate a cache entry's retained bytes: ndarray buffers +
+    container overhead, recursing two levels (sidecar blocks are
+    dict/list-of-ndarray shaped)."""
+    if isinstance(val, np.ndarray):
+        return int(val.nbytes) + 96
+    if isinstance(val, (bytes, bytearray)):
+        return len(val) + 48
+    if _depth < 3 and isinstance(val, dict):
+        return 64 + sum(
+            _approx_bytes(v, _depth + 1) + 64 for v in val.values()
+        )
+    if _depth < 3 and isinstance(val, (list, tuple)):
+        return 64 + sum(_approx_bytes(v, _depth + 1) + 8 for v in val)
+    return sys.getsizeof(val) if val is not None else 16
+
+
 def _span_cached(key: tuple, compute):
+    global _SPAN_CACHE_BYTES
     with _SPAN_CACHE_LOCK:
         if key in _SPAN_CACHE:
             _SPAN_CACHE.move_to_end(key)
             return _SPAN_CACHE[key]
     val = compute()  # outside the lock: duplicate fetches are benign
+    size = _approx_bytes(val)
     with _SPAN_CACHE_LOCK:
+        if key not in _SPAN_CACHE:
+            _SPAN_CACHE_BYTES += size
+            _SPAN_CACHE_SIZES[key] = size
         _SPAN_CACHE[key] = val
         _SPAN_CACHE.move_to_end(key)
-        while len(_SPAN_CACHE) > _SPAN_CACHE_CAP:
-            _SPAN_CACHE.popitem(last=False)
+        while _SPAN_CACHE and (
+            len(_SPAN_CACHE) > _SPAN_CACHE_CAP
+            or _SPAN_CACHE_BYTES > _SPAN_CACHE_MAX_BYTES
+        ):
+            old_key, _ = _SPAN_CACHE.popitem(last=False)
+            _SPAN_CACHE_BYTES -= _SPAN_CACHE_SIZES.pop(old_key, 0)
+            if old_key == key:  # the oversized newcomer itself
+                break
     return val
 
 
@@ -230,12 +266,20 @@ def _lattice_runs(keep, grid, budget):
     import itertools
 
     nd = len(grid)
-    last_runs = []  # (start, length) sub-runs of the last axis
-    for i in keep[-1]:
-        if last_runs and i == last_runs[-1][0] + last_runs[-1][1]:
-            last_runs[-1] = (last_runs[-1][0], last_runs[-1][1] + 1)
-        else:
-            last_runs.append((i, 1))
+    # unpruned axes arrive as lazy range objects (len() and product()
+    # both work on them) so a skewed grid never materializes an
+    # O(n_cells)-class index list on the driver; a step-1 range IS a
+    # single contiguous run
+    last = keep[-1]
+    if isinstance(last, range) and last.step == 1:
+        last_runs = [(last.start, len(last))] if len(last) else []
+    else:
+        last_runs = []  # (start, length) sub-runs of the last axis
+        for i in last:
+            if last_runs and i == last_runs[-1][0] + last_runs[-1][1]:
+                last_runs[-1] = (last_runs[-1][0], last_runs[-1][1] + 1)
+            else:
+                last_runs.append((i, 1))
     n_outer = 1
     for ax in range(nd - 1):
         n_outer *= len(keep[ax])
@@ -795,7 +839,12 @@ class ZarrReader(DataSourceReader):
             return None
         grid = list(self.plan.grid_shape)
         nd = len(grid)
-        keep = [list(range(g)) for g in grid]
+        # lazy ranges, NOT list(range(g)): on a skewed span-tier grid
+        # (e.g. 16M x 4 chunks with a predicate on the small axis)
+        # materializing every axis would be an O(n_cells)-class
+        # driver list — only axes that actually have coordinate
+        # bounds (O(chunks/axis), capped) ever become lists below
+        keep = [range(g) for g in grid]
         pruned_any = False
         for name, (axis, blist) in axis_bounds.items():
             preds = [p for p in self.predicates if p.column == name]
@@ -1010,25 +1059,30 @@ class ZarrReader(DataSourceReader):
             # Double-buffered prefetch: while batch k is being consumed
             # by Spark, chunks k+1..k+depth read/decode on the pool (the
             # reference's prefetch + I/O runtime,
-            # zarr_data_stream.rs:631-714).
+            # zarr_data_stream.rs:631-714). ``prefetch`` is an exact
+            # in-flight bound — submit ``first``, top up to depth, and
+            # only refill AFTER a cell's result is consumed — so
+            # prefetch=1 really does bound the task to one in-flight
+            # decoded chunk (the r11 ADVICE floor-of-2 fix).
+            queued = [second]  # already pulled for the singleton check
+
+            def nxt_cell():
+                return queued.pop() if queued else next(it, None)
+
+            depth = max(1, self.prefetch_depth)
             with ThreadPoolExecutor(max_workers=self.io_threads) as pool:
-                pending = deque(
-                    (
-                        pool.submit(self._load_cell, first),
-                        pool.submit(self._load_cell, second),
-                    )
-                )
-                for _ in range(max(0, self.prefetch_depth - 2)):
-                    nxt = next(it, None)
+                pending = deque((pool.submit(self._load_cell, first),))
+                while len(pending) < depth:
+                    nxt = nxt_cell()
                     if nxt is None:
                         break
                     pending.append(pool.submit(self._load_cell, nxt))
                 while pending:
-                    fut = pending.popleft()
-                    nxt = next(it, None)
+                    res = pending.popleft().result()
+                    nxt = nxt_cell()
                     if nxt is not None:
                         pending.append(pool.submit(self._load_cell, nxt))
-                    yield fut.result()
+                    yield res
 
         names = [a.meta.name for a in self.arrays]
         buffered: Dict[str, list] = {n: [] for n in names}

@@ -2566,13 +2566,26 @@ def _refresh_stats_distributed(spark, store, path: str, meta) -> Dict:
         .applyInPandas(write_block, "blk long")
         .count()
     )
-    # a previous, LARGER sidecar leaves stale tail blocks the new
-    # marker no longer advertises — block-count arithmetic, never an
-    # entry list (the append path's same sweep)
-    old = meta.attributes.get(STATS_ATTR_KEY)
-    if is_sidecar_marker(old):
-        for b in range(n_blocks, int(old["sidecar"])):
-            store.delete(block_key(meta.name, b))
+    # a previous, LARGER sidecar — or a TORN prior refresh that wrote
+    # blocks without ever updating the marker — leaves stale tail
+    # blocks the new marker doesn't advertise. Walk the array's
+    # sidecar prefix and drop every block past the new count: the
+    # walk is O(actual blocks), a store-listing term, never an entry
+    # list (r13, the r11 ADVICE fix — the old sweep trusted the OLD
+    # marker's count and missed unadvertised debris).
+    from .zarr.stats import STATS_SIDECAR_PREFIX
+
+    prefix = f"{STATS_SIDECAR_PREFIX}/{meta.name}/"
+    for key in list(store.walk_prefix(prefix)):
+        tail = key[len(prefix):]
+        if not tail.endswith(".json"):
+            continue
+        try:
+            b = int(tail[: -len(".json")])
+        except ValueError:
+            continue
+        if b >= n_blocks:
+            store.delete(key)
     return {
         "sidecar": int(n_blocks),
         "n_entries": int(n_obj),

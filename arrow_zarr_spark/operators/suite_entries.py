@@ -4553,16 +4553,23 @@ def _simhash64_oracle_sql() -> str:
     ) + " + (CASE WHEN s63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
     c1_expr = _crc32_sql("w")
     c2_expr = _crc32_sql("w || '#'")
+    # Degenerate docs mirror the kernel exactly (r13 ADVICE fix): an
+    # empty or NULL text emits signature 0 in _simhash64, so those
+    # doc_ids are EXCLUDED from tokenization (DuckDB's
+    # string_split('', ' ') would otherwise vote crc32('')/crc32('#'))
+    # and UNIONed back with simhash = 0.
     return (
         f"WITH crct AS (SELECT {_crc32_table_sql()} AS tb), "
         "toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w"
-        "  FROM documents), "
+        "  FROM documents WHERE text IS NOT NULL AND text <> ''), "
         "vocab AS (SELECT DISTINCT w FROM toks), "
         f"vh AS (SELECT w, {c1_expr} AS c1, {c2_expr} AS c2 "
         "FROM vocab, crct), "
         "tv AS (SELECT t.doc_id, v.c1, v.c2 FROM toks t JOIN vh v USING (w)), "
         f"acc AS (SELECT doc_id, {votes} FROM tv GROUP BY doc_id), "
-        f"sig AS (SELECT doc_id, CAST({comp} AS BIGINT) AS simhash FROM acc) "
+        f"sig AS (SELECT doc_id, CAST({comp} AS BIGINT) AS simhash FROM acc "
+        "UNION ALL SELECT doc_id, CAST(0 AS BIGINT) AS simhash "
+        "FROM documents WHERE text IS NULL OR text = '') "
         "SELECT simhash, MIN(doc_id) AS doc_id, COUNT(*) AS n_docs "
         "FROM sig GROUP BY simhash"
     )

@@ -668,10 +668,19 @@ def _seed_sync_pool(spark, src_path, tag, n_appends=3):
     from arrow_zarr_spark.io import replicate_zarr, write_zarr
     from arrow_zarr_spark.zarr.versions import commit_version, sync_zarr
 
+    # r13 (the r11 ADVICE): the appends go to a PRIVATE replica of
+    # the source, never to src_path itself — earlier rounds mutated
+    # the shared cdc store AFTER zarr_upsert_delta/zarr_version_export
+    # closures were registered, skewing their cross-round
+    # comparability (upsert timed a 20-object store, not the
+    # documented 17).
+    sync_src = f"/tmp/azs_sync_src_{tag}"
+    shutil.rmtree(sync_src, ignore_errors=True)
+    replicate_zarr(spark, src_path, sync_src, include_versions=True)
     seed = f"/tmp/azs_sync_seed_{tag}"
     shutil.rmtree(seed, ignore_errors=True)
-    replicate_zarr(spark, src_path, seed, include_versions=True)
-    rows = spark.read.format("zarr").load(src_path).count()
+    shutil.copytree(sync_src, seed)  # frozen at the pre-append head
+    rows = spark.read.format("zarr").load(sync_src).count()
     for i in range(n_appends):
         write_zarr(
             spark.range(rows + i * 16384, rows + (i + 1) * 16384)
@@ -679,9 +688,9 @@ def _seed_sync_pool(spark, src_path, tag, n_appends=3):
                 F.col("id").alias("k"),
                 (F.col("id") * 3).cast("double").alias("d"),
             ),
-            src_path, chunk_rows=16384, mode="append",
+            sync_src, chunk_rows=16384, mode="append",
         )
-        commit_version(spark, src_path, f"sync delta {i}")
+        commit_version(spark, sync_src, f"sync delta {i}")
     pool = []
     n_pool = int(
         os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3") or 3
@@ -698,7 +707,7 @@ def _seed_sync_pool(spark, src_path, tag, n_appends=3):
             work = f"/tmp/azs_sync_work_{tag}_x"
             shutil.rmtree(work, ignore_errors=True)
             shutil.copytree(seed, work)
-        return sync_zarr(spark, src_path, work)["n_objects_copied"]
+        return sync_zarr(spark, sync_src, work)["n_objects_copied"]
 
     return run
 
@@ -741,9 +750,15 @@ def scale_rung_queries(spark, factor: int):
         query_minhash_index,
     )
 
+    import atexit as _atexit_mh
+    import shutil as _shutil_mh
     import tempfile as _tf_mh
 
-    _mh10 = _tf_mh.mkdtemp(prefix="azs_rung_mhidx_") + "/idx"
+    _mh10_root = _tf_mh.mkdtemp(prefix="azs_rung_mhidx_")
+    _atexit_mh.register(
+        _shutil_mh.rmtree, _mh10_root, ignore_errors=True
+    )  # r13 ADVICE: repeated rung runs leaked the 10x signatures
+    _mh10 = _mh10_root + "/idx"
     build_minhash_index(
         docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text"),
         _mh10,
@@ -824,9 +839,15 @@ def scale_rung_queries(spark, factor: int):
     # (the decode+hash pass) runs ONCE here as setup, the timed entry
     # is the four band joins over the code store — the ratio should
     # track the code-store scan, near-linear in the image count
+    import atexit as _atexit_ph
+    import shutil as _shutil_ph
     import tempfile as _tf
 
-    _ph_idx = _tf.mkdtemp(prefix="azs_rung_phidx_") + "/idx"
+    _ph_root = _tf.mkdtemp(prefix="azs_rung_phidx_")
+    _atexit_ph.register(
+        _shutil_ph.rmtree, _ph_root, ignore_errors=True
+    )
+    _ph_idx = _ph_root + "/idx"
     _mm.build_phash64_index(docs, _ph_idx)
     qs["phash64_index_near_dup"] = lambda: _force(
         _mm.phash64_near_dup_pairs_indexed(spark, _ph_idx, max_hamming=3)

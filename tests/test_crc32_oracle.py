@@ -77,3 +77,48 @@ def test_compound_operand_parenthesized(duck):
     )
     assert duck.execute(q).fetchone()[0] == zlib.crc32(b"word#")
     assert _crc_of(duck, ["word"])["word"] == zlib.crc32(b"word")
+
+
+def test_simhash_oracle_degenerate_docs(spark, duck):
+    """r13 (the ADVICE latent-break fix): empty-text and NULL-text
+    docs must hash-match between the production kernel and the d05
+    oracle — the kernel emits signature 0 for both; the oracle now
+    excludes them from tokenization and unions them back at 0."""
+    from arrow_zarr_spark.operators import dedup
+    from arrow_zarr_spark.operators.suite_entries import (
+        _simhash64_oracle_sql,
+    )
+
+    rows = [
+        (0, "red fox jumps"),
+        (1, ""),
+        (2, None),
+        (3, "red fox jumps"),
+        (4, "lone"),
+        (5, ""),  # two empties + a NULL group together at 0
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["simhash"]: (r["doc_id"], r["n_docs"])
+        for r in dedup.simhash_dedup(sdf).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}, {'NULL' if t is None else repr(t)})"
+                for i, t in rows
+            )
+            + ") v(doc_id, text)"
+        )
+        want = {
+            sig: (doc, n)
+            for sig, doc, n in con.execute(
+                _simhash64_oracle_sql()
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
+    assert got[0] == (1, 3)  # the degenerate docs: min id 1, 3 docs

@@ -567,6 +567,53 @@ class TestRefreshStatsDistributed:
         )
         assert entries == [[i * 16, i * 16 + 15] for i in range(10)]
 
+    def test_torn_prior_refresh_debris_swept(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r13 (the r11 ADVICE): a TORN prior refresh can write
+        sidecar blocks without ever updating the marker — debris the
+        old marker-count sweep never saw. The sweep now walks the
+        array's actual sidecar prefix and drops every block past the
+        new count (O(actual blocks), a store-listing term)."""
+        import arrow_zarr_spark.io as io_mod
+        import arrow_zarr_spark.zarr.stats as stats_mod
+        from arrow_zarr_spark.io import refresh_stats
+
+        d = str(tmp_path / "torn")
+        write_zarr(
+            _table(spark, 0, 160), d, chunk_rows=16, stats=False
+        )  # 10 objects
+        monkeypatch.setattr(io_mod, "STATS_MAX_OBJECTS", 4)
+        monkeypatch.setattr(io_mod, "STATS_GRID_MAX_OBJECTS", 0)
+        monkeypatch.setattr(stats_mod, "STATS_BLOCK_ENTRIES", 8)
+        store = open_store(d)
+        # torn larger refresh: unadvertised tail blocks, NO marker
+        store.set("__stats__/k/7.json", b"[[0, 1]]")
+        store.set("__stats__/k/12.json", b"[[0, 1]]")
+        store.set("__stats__/k/not-a-block.txt", b"x")
+        assert refresh_stats(spark, d) == 20
+        store = open_store(d)
+        keys = sorted(store.walk_prefix("__stats__/k/"))
+        # 10 objects / 8 per block = 2 live blocks; debris gone,
+        # non-block keys untouched
+        assert keys == [
+            "__stats__/k/0.json",
+            "__stats__/k/1.json",
+            "__stats__/k/not-a-block.txt",
+        ]
+        from arrow_zarr_spark.io import STATS_ATTR_KEY
+        from arrow_zarr_spark.zarr.array import infer_store_arrays
+        from arrow_zarr_spark.zarr.stats import resolve_stats
+
+        meta = {
+            m.meta.name: m.meta
+            for m in infer_store_arrays(store)
+        }["k"]
+        entries = resolve_stats(
+            store, "k", meta.attributes[STATS_ATTR_KEY]
+        )
+        assert entries == [[i * 16, i * 16 + 15] for i in range(10)]
+
 
 class TestRenameDistributed:
     """r11 (VERDICT r10 item 3): rename_zarr_array's chunk-copy work

@@ -772,3 +772,209 @@ class TestSpanPrePruneDims:
             .load(path).filter(pred).collect()
         )
         assert got == want and len(got) == 3 * 8
+
+
+class TestLazyAxisRanges:
+    """r13 (the ADVICE medium): unpruned axes flow through the
+    pre-prune as lazy range objects — a skewed span-tier grid (one
+    huge axis, a predicate on the small one) must never materialize
+    an O(n_cells)-class index list on the driver, and a full step-1
+    range on the last axis composes as a single run in O(1)."""
+
+    def test_huge_last_axis_is_one_run(self):
+        import time
+
+        from arrow_zarr_spark.datasource import _lattice_runs
+
+        big = 16_000_000
+        t0 = time.perf_counter()
+        runs = _lattice_runs([[1, 3], range(big)], [4, big], 1 << 16)
+        dt = time.perf_counter() - t0
+        assert runs == [(big * 1, big * 2), (big * 3, big * 4)]
+        assert dt < 0.05  # arithmetic, not enumeration
+
+    def test_huge_outer_axis_hits_budget_instantly(self):
+        import time
+
+        from arrow_zarr_spark.datasource import _lattice_runs
+
+        big = 16_000_000
+        t0 = time.perf_counter()
+        # the pruned axis is LAST: the unpruned huge axis is outer,
+        # so n_outer = 16M blows the 64Ki budget — must return None
+        # without ever iterating the range
+        assert (
+            _lattice_runs([range(big), [1, 2]], [big, 4], 1 << 16)
+            is None
+        )
+        assert time.perf_counter() - t0 < 0.05
+
+    def test_range_and_list_agree(self):
+        from arrow_zarr_spark.datasource import _lattice_runs
+
+        for keep_l, grid in [
+            ([[0, 1, 2, 3], [1, 2]], [4, 4]),
+            ([[1], [0, 1, 2]], [3, 3]),
+            ([[0, 1], [0, 1, 2, 3], [2]], [2, 4, 5]),
+        ]:
+            keep_r = [
+                range(len(k)) if k == list(range(len(k))) else k
+                for k in keep_l
+            ]
+            assert _lattice_runs(keep_r, grid, 1 << 16) == _lattice_runs(
+                keep_l, grid, 1 << 16
+            )
+
+    def test_skewed_declared_grid_preprunes_fast(self, spark, tmp_path):
+        """End-to-end: a metadata-declared (32 x huge) grid with a
+        coordinate predicate on the SMALL axis plans pruned spans in
+        metadata time — the huge unpruned axis stays a lazy range all
+        the way through _span_coord_runs."""
+        import json
+        import time
+
+        import numpy as np
+
+        path = str(tmp_path / "skew")
+        write_store(
+            path,
+            arrays={
+                "data": np.arange(1024.0).reshape(32, 32),
+                "lat": np.arange(32, dtype=np.float64),
+                "lon": np.arange(32, dtype=np.float64),
+            },
+            chunk_shapes={"data": (4, 4), "lat": (4,), "lon": (4,)},
+            dimension_names={
+                "data": ("lat", "lon"),
+                "lat": ("lat",),
+                "lon": ("lon",),
+            },
+        )
+        # declare lon (the last data axis) huge: 4M chunks of 4
+        big_cols = 4_000_000 * 4
+        store = open_store(path)
+        for name, shape in [
+            ("data", [32, big_cols]),
+            ("lon", [big_cols]),
+        ]:
+            doc = json.loads(store.get(f"{name}/zarr.json"))
+            doc["shape"] = shape
+            store.set(f"{name}/zarr.json", json.dumps(doc).encode())
+            root = json.loads(store.get("zarr.json"))
+            cm = root.get("consolidated_metadata")
+            if cm:  # write_store roots may not consolidate
+                cm["metadata"][name]["shape"] = shape
+                store.set("zarr.json", json.dumps(root).encode())
+
+        filters = [LessThan(("lat",), 4.0)]  # keeps lat chunk 0 only
+        t0 = time.perf_counter()
+        reader = _reader(path, filters, plan_cells_max="0")
+        parts = reader.partitions()
+        dt = time.perf_counter() - t0
+        assert dt < 5.0
+        declared = sum(
+            e - s for p in parts for s, e in (p.spans or [])
+        )
+        # 1 surviving lat chunk x 4M lon chunks, of 8 x 4M declared
+        assert declared == 4_000_000
+
+
+class TestPrefetchBound:
+    """r13 (the r11 ADVICE floor-of-2): ``prefetch`` is an exact
+    in-flight bound on _load_cell — prefetch=1 really does bound a
+    task to ONE in-flight decoded chunk (the old seeding submitted
+    two before honoring depth)."""
+
+    def _store(self, tmp_path, n_chunks=12):
+        import numpy as np
+
+        path = str(tmp_path / "pf")
+        write_store(
+            path,
+            arrays={"k": np.arange(4.0 * n_chunks)},
+            chunk_shapes={"k": (4,)},
+        )
+        return path
+
+    def _max_inflight(self, reader, part):
+        import threading
+
+        lock = threading.Lock()
+        state = {"cur": 0, "peak": 0}
+        real = reader._load_cell
+
+        def tracked(*a, **kw):
+            with lock:
+                state["cur"] += 1
+                state["peak"] = max(state["peak"], state["cur"])
+            try:
+                return real(*a, **kw)
+            finally:
+                with lock:
+                    state["cur"] -= 1
+
+        reader._load_cell = tracked
+        try:
+            for _ in reader.read(part):
+                pass
+        finally:
+            reader._load_cell = real
+        return state["peak"]
+
+    def test_prefetch_one_bounds_to_one(self, tmp_path):
+        path = self._store(tmp_path)
+        reader = _reader(path, prefetch="1", io_threads="4")
+        for part in reader.partitions():
+            assert self._max_inflight(reader, part) <= 1
+
+    def test_prefetch_depth_still_overlaps(self, tmp_path):
+        path = self._store(tmp_path)
+        reader = _reader(
+            path, prefetch="3", io_threads="4",
+            chunks_per_partition="12",
+        )
+        peaks = [
+            self._max_inflight(reader, p) for p in reader.partitions()
+        ]
+        assert all(p <= 3 for p in peaks)
+
+
+class TestSpanCacheByteBound:
+    """r13 (the r11 ADVICE): the worker span cache holds multi-MB
+    decoded sidecar blocks invisible to Spark's memory manager — the
+    LRU must evict on BYTES, not only entry count."""
+
+    def test_byte_bound_evicts(self, monkeypatch):
+        import numpy as np
+
+        from arrow_zarr_spark import datasource as ds
+
+        monkeypatch.setattr(ds, "_SPAN_CACHE_MAX_BYTES", 1 << 20)
+        with ds._SPAN_CACHE_LOCK:
+            ds._SPAN_CACHE.clear()
+            ds._SPAN_CACHE_SIZES.clear()
+        ds._SPAN_CACHE_BYTES = 0
+        blk = lambda: np.zeros(64 * 1024, dtype=np.float64)  # 512 KiB
+        for i in range(8):
+            ds._span_cached(("t", i), blk)
+        assert len(ds._SPAN_CACHE) < 8  # count cap alone would keep all
+        assert ds._SPAN_CACHE_BYTES <= 1 << 20
+        # the newest entry survives
+        assert ("t", 7) in ds._SPAN_CACHE
+
+    def test_bytes_accounting_balances(self, monkeypatch):
+        import numpy as np
+
+        from arrow_zarr_spark import datasource as ds
+
+        with ds._SPAN_CACHE_LOCK:
+            ds._SPAN_CACHE.clear()
+            ds._SPAN_CACHE_SIZES.clear()
+        ds._SPAN_CACHE_BYTES = 0
+        for i in range(3):
+            ds._span_cached(
+                ("b", i), lambda: np.zeros(10, dtype=np.int64)
+            )
+        assert ds._SPAN_CACHE_BYTES == sum(
+            ds._SPAN_CACHE_SIZES.values()
+        )
