@@ -50,7 +50,11 @@ from .dedup import (
     ngram_jaccard_pairs,
 )
 
-__all__ = ["build_minhash_index", "query_minhash_index"]
+__all__ = [
+    "build_minhash_index",
+    "extend_minhash_index",
+    "query_minhash_index",
+]
 
 
 def build_minhash_index(
@@ -86,6 +90,100 @@ def build_minhash_index(
     return {
         "path": path,
         "n_docs": int(n),
+        "n_hashes": int(n_hashes),
+        "shingle_k": int(shingle_k),
+        "seed": int(seed),
+    }
+
+
+def extend_minhash_index(
+    corpus_delta: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    seed: int = 42,
+    chunk_rows: Optional[int] = None,
+) -> dict:
+    """Extend an existing index with an ingest delta at DELTA cost —
+    the module's whole pitch made a verb: only ``corpus_delta`` is
+    shingled+hashed (the production kernel, same ``shingle_k``/
+    ``seed`` identity as the build), and :func:`io.write_zarr`'s
+    ``mode="append"`` boundary-chunk merge rewrites ONE partial tail
+    object plus the new chunks — never the corpus signatures.
+
+    Delta ids must sit strictly ABOVE the stored max id (the
+    append-only ingest convention): that preserves the id-sorted
+    layout the per-object [min, max] statistics prune on, and makes
+    the extended store BYTE-IDENTICAL to a from-scratch rebuild over
+    corpus+delta (pinned in tests/test_minhash_index.py). The max-id
+    check reads the writer's own statistics — metadata-scale, no
+    corpus scan. ``n_hashes`` comes from the store schema. Returns
+    ``{"path", "n_new", "n_hashes", "shingle_k", "seed"}``."""
+    from ..zarr.array import infer_store_arrays
+    from ..zarr.meta import STATS_ATTR_KEY
+    from ..zarr.stats import resolve_stats
+    from ..zarr.store import open_store
+
+    store = open_store(path)
+    arrays = {a.meta.name: a for a in infer_store_arrays(store)}
+    mh_names = sorted(
+        (n for n in arrays if n.startswith("mh_") and n[3:].isdigit()),
+        key=lambda n: int(n[3:]),
+    )
+    if not mh_names or id_col not in arrays:
+        raise ValueError(
+            f"extend_minhash_index: {path!r} is not a minhash index "
+            f"store (want arrays ({id_col}, mh_0..mh_N), got "
+            f"{sorted(arrays)})"
+        )
+    n_hashes = len(mh_names)
+    id_meta = arrays[id_col].meta
+    if chunk_rows is None:
+        # the append validator requires the store's own object size —
+        # derive it rather than asking the caller to remember it
+        chunk_rows = int(id_meta.chunk_shape[0])
+    stored_max = None
+    entries = resolve_stats(
+        store, id_col, id_meta.attributes.get(STATS_ATTR_KEY)
+    )
+    if entries and all(e is not None for e in entries):
+        stored_max = max(e[1] for e in entries)
+    if stored_max is None:
+        # stats-less store (stats=False build): one id-column scan
+        spark = corpus_delta.sparkSession
+        stored_max = (
+            spark.read.format("zarr")
+            .load(path)
+            .agg(F.max(id_col))
+            .first()[0]
+        )
+    delta_min = corpus_delta.agg(F.min(id_col)).first()[0]
+    if delta_min is None:
+        return {
+            "path": path,
+            "n_new": 0,
+            "n_hashes": int(n_hashes),
+            "shingle_k": int(shingle_k),
+            "seed": int(seed),
+        }
+    if stored_max is not None and delta_min <= stored_max:
+        raise ValueError(
+            f"extend_minhash_index: delta min id {delta_min} is not "
+            f"above the stored max id {stored_max} — interleaved ids "
+            "would break the id-sorted layout (rebuild instead)"
+        )
+    sig = minhash_signatures(
+        corpus_delta, id_col, text_col, n_hashes, shingle_k, seed
+    )
+    from ..io import write_zarr
+
+    n = write_zarr(
+        sig.orderBy(id_col), path, chunk_rows=chunk_rows, mode="append"
+    )
+    return {
+        "path": path,
+        "n_new": int(n),
         "n_hashes": int(n_hashes),
         "shingle_k": int(shingle_k),
         "seed": int(seed),

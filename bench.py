@@ -776,6 +776,49 @@ def scale_rung_queries(spark, factor: int):
             jaccard_threshold=0.05,
         )
     )
+    # d20's incremental stage at the rung (r13): the SAME fixed ~4k-doc
+    # delta extended onto a 10x base index — signature compute is
+    # delta-sized and the append is one boundary merge, so the ratio
+    # vs base should be ~FLAT (the sync_delta class). Pool of pristine
+    # seed copies, the base entry's convention.
+    from arrow_zarr_spark.operators.minhash_index import (
+        extend_minhash_index as _ext_mh10,
+    )
+
+    _ext_max10 = docs.agg(F.max("doc_id")).first()[0]
+    _ext_cut10 = max(
+        int(_ext_max10) - 4095, int(_ext_max10) * 3 // 4
+    )
+    _ext_seed10 = _mh10_root + "/ext_seed"
+    build_minhash_index(
+        docs.filter(F.col("doc_id") < _ext_cut10).select(
+            "doc_id", "text"
+        ),
+        _ext_seed10,
+    )
+    _ext_delta10 = docs.filter(F.col("doc_id") >= _ext_cut10).select(
+        "doc_id", "text"
+    )
+    _ext_pool10 = []
+    for _i in range(
+        int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3") or 3) + 1
+    ):
+        _w = _mh10_root + f"/ext_work_{_i}"
+        _shutil_mh.copytree(_ext_seed10, _w)
+        _ext_pool10.append(_w)
+
+    def _extend_run10():
+        work = _ext_pool10.pop() if _ext_pool10 else None
+        if work is None:
+            work = _tf_mh.mkdtemp(prefix="azs_rung_mhext_")
+            _atexit_mh.register(
+                _shutil_mh.rmtree, work, ignore_errors=True
+            )
+            work += "/idx"
+            _shutil_mh.copytree(_ext_seed10, work)
+        return _ext_mh10(_ext_delta10, work)["n_new"]
+
+    qs["dedup_minhash_index_extend"] = _extend_run10
     qs["contamination_purge"] = lambda: _force(
         dedup.contamination_purge(
             docs.filter(F.col("source") != "src0"),
@@ -878,6 +921,20 @@ def scale_rung_queries(spark, factor: int):
             embs10.filter(F.col("vec_id") < 100), k=10,
         )
     )
+    # s09 build at the rung (r13 verdict item 5): one kernel pass over
+    # the 10x corpus + the (cell,id) sort + three writes — full-pass
+    # by nature, expected DATA shape (the ann_sq8 class).
+    from arrow_zarr_spark.operators.ivf_index import (
+        build_ivf_sq8_index as _bld_ivf10,
+    )
+
+    _ivf10_root = _tf.mkdtemp(prefix="azs_rung_ivfsq8_")
+    _atexit_ph.register(
+        _shutil_ph.rmtree, _ivf10_root, ignore_errors=True
+    )
+    qs["ann_ivf_sq8_index_build"] = lambda: _bld_ivf10(
+        embs10, _ivf10_root + "/idx", n_cells=16, chunk_rows=128
+    )["n_vectors"]
 
     # -- the version/maintenance family joins the rung (r11 verdict
     # item 4): the delta-proportionality claims (CDC decodes only
@@ -982,6 +1039,11 @@ def scale_rung_queries(spark, factor: int):
             # class with a small constant (vs dedup_against_corpus's
             # full text re-shingle)
             "dedup_minhash_index": "data",
+            # r13: the index lifecycle numbers — extend is
+            # delta-sized (fixed ~4k-doc delta at both scales);
+            # the s09 build is a full corpus pass
+            "dedup_minhash_index_extend": "flat",
+            "ann_ivf_sq8_index_build": "data",
         },
     }
     return qs, meta

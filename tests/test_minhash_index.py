@@ -124,3 +124,94 @@ class TestIndexStoreSurface:
         batch, _ = splits
         with pytest.raises(ValueError, match="not divisible"):
             query_minhash_index(spark, index_path, batch, bands=13)
+
+
+class TestExtendIndex:
+    """r13 (verdict item 4): the index's incremental pitch as a
+    verb — extend_minhash_index appends an ingest delta's signatures
+    at DELTA cost (boundary-chunk merge), and the extended store is
+    BYTE-IDENTICAL to a from-scratch rebuild over corpus+delta."""
+
+    def _store_bytes(self, path):
+        from arrow_zarr_spark.zarr.store import open_store
+
+        store = open_store(path)
+        return {k: store.get(k) for k in store.walk_keys()}
+
+    def test_extend_equals_rebuild_bytes(
+        self, spark, splits, tmp_path
+    ):
+        from arrow_zarr_spark.operators.minhash_index import (
+            extend_minhash_index,
+        )
+
+        _, corpus = splits
+        cut = 400
+        base = corpus.filter(F.col("doc_id") < cut)
+        delta = corpus.filter(F.col("doc_id") >= cut)
+        # chunk_rows NOT aligned to the split: the boundary object
+        # holds base tail rows and must merge with delta head rows
+        ext = str(tmp_path / "ext")
+        build_minhash_index(base, ext, chunk_rows=96)
+        meta = extend_minhash_index(delta, ext, chunk_rows=96)
+        assert meta["n_new"] > 0 and meta["n_hashes"] == 64
+        full = str(tmp_path / "full")
+        build_minhash_index(corpus, full, chunk_rows=96)
+        want = self._store_bytes(full)
+        got = self._store_bytes(ext)
+        assert got == {
+            k.replace(full, ext): v for k, v in want.items()
+        }
+
+    def test_extended_index_answers_queries(
+        self, spark, splits, tmp_path
+    ):
+        from arrow_zarr_spark.operators.minhash_index import (
+            extend_minhash_index,
+        )
+
+        batch, corpus = splits
+        cut = 400
+        ext = str(tmp_path / "q")
+        build_minhash_index(
+            corpus.filter(F.col("doc_id") < cut), ext, chunk_rows=96
+        )
+        extend_minhash_index(
+            corpus.filter(F.col("doc_id") >= cut), ext, chunk_rows=96
+        )
+        got = _rows(query_minhash_index(spark, ext, batch))
+        want = _rows(minhash_lsh_pairs_cross(batch, corpus))
+        assert got == want and len(got) > 0
+
+    def test_interleaved_ids_refused(self, spark, splits, tmp_path):
+        from arrow_zarr_spark.operators.minhash_index import (
+            extend_minhash_index,
+        )
+
+        _, corpus = splits
+        path = str(tmp_path / "ref")
+        build_minhash_index(corpus, path)
+        with pytest.raises(ValueError, match="not .*above.*max id"):
+            extend_minhash_index(
+                corpus.filter(F.col("doc_id") < 10), path
+            )
+
+    def test_not_an_index_refused(self, spark, tmp_path):
+        from arrow_zarr_spark.io import write_zarr
+        from arrow_zarr_spark.operators.minhash_index import (
+            extend_minhash_index,
+        )
+
+        path = str(tmp_path / "plain")
+        write_zarr(
+            spark.range(8).select(F.col("id").alias("doc_id")), path
+        )
+        with pytest.raises(ValueError, match="not a minhash index"):
+            extend_minhash_index(
+                spark.range(9, 12)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.lit("x y z w").alias("text"),
+                ),
+                path,
+            )
