@@ -772,8 +772,26 @@ class ZarrReader(DataSourceReader):
             ):
                 rows_per_cell *= int(c)
             chunks_per = max(1, 65536 // max(rows_per_cell, 1))
-        chunks_per = max(chunks_per, -(-n // SPAN_PARTITIONS_MAX))
         runs = self._span_coord_runs()
+        # r13 (verdict item 6 — the span pair's measured ~2x wall
+        # gap): the explicit tier floors its auto-grouping at one
+        # partition per local core; the span tier was missing the
+        # same floor, so a small-grid scan packed ~64Ki rows per task
+        # and left most cores idle. Floor on the SURVIVOR count when
+        # the pre-prune ran (n_surv is already known then), else on
+        # the full grid; the SPAN_PARTITIONS_MAX clamp is re-applied
+        # LAST so a billion-cell grid still caps the task count.
+        if not chunks_per_opt:  # auto-grouping only, like the
+            # explicit tier (an explicit chunks_per_partition wins)
+            min_parts = os.cpu_count() or 8
+            n_floor = (
+                sum(e - s for s, e in runs) if runs is not None else n
+            )
+            if n_floor >= min_parts:
+                chunks_per = min(
+                    chunks_per, max(1, n_floor // min_parts)
+                )
+        chunks_per = max(chunks_per, -(-n // SPAN_PARTITIONS_MAX))
         if runs is not None:
             # driver-side coordinate PRE-PRUNE (r12): pack the
             # surviving ordinal runs into ~chunks_per-cell partitions.
