@@ -4709,6 +4709,46 @@ def populate_round12_index_queries(register) -> None:
         _minhash_index_oracle_sql(),
     )
 
+    def d21(spark, sf_dir):
+        """d21 (r13): the d20 flow through the INCREMENTAL path —
+        the index is built on the corpus MINUS its id tail, then
+        extend_minhash_index appends the tail's signatures (boundary-
+        chunk merge, delta ids above the stored max), and the same
+        batch query runs against the extended store. The oracle is
+        EXACTLY d20's full crc32 replay: extend == rebuild is
+        byte-pinned in tests/test_minhash_index.py, so the extended
+        index must answer identically to one built on the full
+        corpus."""
+        import shutil
+        import tempfile
+
+        from .minhash_index import (
+            build_minhash_index,
+            extend_minhash_index,
+            query_minhash_index,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        cut = int(corpus.agg(F.max("doc_id")).first()[0]) * 3 // 4
+        token = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+        path = tempfile.gettempdir() + f"/azs_d21_{token}/idx"
+        shutil.rmtree(path, ignore_errors=True)
+        build_minhash_index(corpus.filter(F.col("doc_id") < cut), path)
+        extend_minhash_index(
+            corpus.filter(F.col("doc_id") >= cut), path
+        )
+        return query_minhash_index(
+            spark, path, batch, corpus=corpus, jaccard_threshold=0.05
+        )
+
+    register(
+        "d21_minhash_index_extend",
+        d21,
+        _minhash_index_oracle_sql(),
+    )
+
 
 def _ivf_sq8_oracle_sql(
     n_cells: int = 16, nprobe: int = 2, k: int = 5, n_queries: int = 20
