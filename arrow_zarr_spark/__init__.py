@@ -10,7 +10,15 @@ reference does not have.
 """
 
 from .datasource import ZarrDataSource, read_zarr, read_zarr_many, register
+from .pruning import zarr_sql
 
 __version__ = "0.1.0"
 
-__all__ = ["ZarrDataSource", "read_zarr", "read_zarr_many", "register", "__version__"]
+__all__ = [
+    "ZarrDataSource",
+    "read_zarr",
+    "read_zarr_many",
+    "register",
+    "zarr_sql",
+    "__version__",
+]

@@ -1151,6 +1151,34 @@ def _populate_zarr() -> None:
         "AND t1.data < t2.data + 1 AND t1.data >= t2.data - 1",
     )
 
+    def z38(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """z38 (r13): AUTOMATIC projection pruning (pruning.zarr_sql)
+        — the A4 mitigation promoted from a manual ``columns=`` option
+        to an analyzed rewrite: Catalyst's optimized plan names the
+        referenced columns, the view re-registers through
+        ``read_zarr(columns=...)``, and on this 11-array typed store
+        the scan reads 3 arrays (the two selected + the filter
+        column), not 11. Values must match the full-width plan
+        bit-for-bit (the rewrite's safety invariant, also pinned
+        across 19 shapes in tests/test_pruning.py). Reference
+        behavior: DataFusion's free ``scan(projection)``,
+        table_provider.rs:114-117."""
+        from .pruning import zarr_sql
+
+        path = fixtures.write_typed_store()
+        return zarr_sql(
+            spark,
+            "SELECT t_i64, t_f64 FROM zarr_autoprune WHERE t_i32 < 12",
+            {"zarr_autoprune": path},
+        )
+
+    register_query(
+        "z38_auto_prune_sql",
+        z38,
+        "SELECT CAST(i AS BIGINT) AS t_i64, CAST(i AS DOUBLE) AS t_f64 "
+        "FROM range(24) t(i) WHERE i < 12",
+    )
+
 
 def _populate_writer() -> None:
     def w01(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -310,6 +310,23 @@ def bench_queries(spark):
     narrow_pruned_df = read_zarr(spark, wide_path, columns=["var1"])
     qs["zarr_narrow_pruned"] = lambda: _force(narrow_pruned_df)
 
+    # r13: the AUTOMATIC form (pruning.zarr_sql) timed as the FULL
+    # verb — register view, analyze full-width, read required columns
+    # off the optimized plan, re-register pruned, execute. The honest
+    # end-to-end cost a user pays for writing plain SQL: expected
+    # ~zarr_narrow_pruned + a driver-only analysis pass (no job), so
+    # landing near the pruned side and far under the unpruned side is
+    # the feature working.
+    from arrow_zarr_spark.pruning import zarr_sql
+
+    qs["zarr_narrow_auto_pruned"] = lambda: _force(
+        zarr_sql(
+            spark,
+            "SELECT var1 FROM wide_auto",
+            {"wide_auto": wide_path},
+        )
+    )
+
     # -- relational headliners on the sf tables --
     qs["tpch_q1_agg"] = lambda: _force(
         spark.sql(
