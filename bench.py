@@ -1371,6 +1371,21 @@ def main() -> None:
             "span_over_explicit": 0.84,
             "per_row_us_profiled": {"span": 1.4, "explicit": 1.5},
         },
+        # ONE-TIME measurement (r13): a sealed run recorded the
+        # dedup_minhash_index_extend rung at ratio 3.1 against its
+        # declared FLAT shape. Interleaved A/B (same session, both
+        # seed indexes prebuilt, alternating base/10x extends of the
+        # SAME fixed 4096-doc delta, min-of-4): 10x/base = 0.99
+        # (2.626s vs 2.662s) — extend IS delta-proportional; the
+        # in-seal 3.1 was the rung's standing late-run contention
+        # signature (min-of-2 only, after the full bench's shuffle
+        # and temp-store churn). Phase-split timing agreed: the
+        # write/append phase bands overlap entirely across scales.
+        "extend_ab_r13_note": {
+            "measured": "round-13 session, one-time interleaved A/B",
+            "extend_min_of_4_sec": {"base": 2.662, "10x": 2.626},
+            "tenx_over_base": 0.99,
+        },
         # ONE-TIME measurement (r8 verdict item 4): the round-9
         # session A/B'd the dedup_minhash_lsh 10x-rung anomaly (7.54
         # recorded in BENCH_r08 vs 2.9 in r7, dedup.py unchanged) —
