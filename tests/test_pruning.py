@@ -272,6 +272,30 @@ def test_repeated_call_uses_cached_decision(spark, stores):
     assert sorted(spark.table("va").columns) == ["x", "y"]
 
 
+def test_mixed_zarr_and_parquet_tables(spark, stores, sf_dir):
+    """A statement joining a zarr view with a NON-zarr (parquet)
+    table: the parquet scan is a LogicalRelation, not a
+    DataSourceV2ScanRelation, so it never matches a zarr view — the
+    zarr side still prunes and values match the full-width run."""
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "prune_nation"
+    )
+    sql = (
+        "SELECT va.x AS x, n.n_name AS n_name FROM va "
+        "JOIN prune_nation n ON va.k = n.n_nationkey WHERE va.z > 10"
+    )
+    read_zarr(spark, stores["a"]).createOrReplaceTempView("va")
+    truth = sorted(map(tuple, spark.sql(sql).collect()))
+    got = sorted(
+        map(
+            tuple,
+            zarr_sql(spark, sql, {"va": stores["a"]}).collect(),
+        )
+    )
+    assert got == truth and len(got) > 0
+    assert sorted(spark.table("va").columns) == ["k", "x", "z"]
+
+
 def test_empty_tables_mapping_is_plain_sql(spark, stores):
     read_zarr(spark, stores["a"]).createOrReplaceTempView("va")
     df = zarr_sql(spark, "SELECT COUNT(*) AS n FROM va", {})
