@@ -27,6 +27,7 @@ __all__ = [
     "write_string_store",
     "write_v2_store",
     "fixture_dir",
+    "serve_s3_store",
 ]
 
 _FIXTURE_ROOT = os.environ.get(
@@ -545,3 +546,157 @@ def write_declared_span_store(n_declared: int = 16_777_216) -> str:
     store.set("zarr.json", json.dumps(root).encode())
     _mark_done(path)
     return path
+
+
+_S3_FACADES: dict = {}
+
+
+def serve_s3_store(path: str, store_name: str = "store") -> str:
+    """Serve an existing LOCAL store directory through a minimal
+    PUBLIC-READ S3 facade (unsigned GET/HEAD/ListObjectsV2, writes
+    rejected 403 — the public-bucket ACL shape) and return its
+    ``s3+http://host:port/bucket/...`` URL. Lets the correctness
+    harness scan through the real :class:`~.zarr.s3.S3Store` wire
+    path — anonymous ranged GETs per chunk from executor workers,
+    paginated XML listings for schema inference — without
+    credentials in the environment. The full SIGNED protocol
+    (SigV4 verification, conditional put, server-side copy) is
+    exercised by tests/test_s3_store.py's stricter emulator; this
+    facade is the read-only fixture twin, cached per served path
+    for the life of the process."""
+    import http.server
+    import threading
+    import urllib.parse
+    import xml.sax.saxutils as _sx
+
+    key = os.path.abspath(path)
+    hit = _S3_FACADES.get(key)
+    if hit:
+        return hit
+
+    root = key
+    bucket = "public"
+
+    class _Handler(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, body=b"", headers=()):
+            self.send_response(code)
+            for k, v in headers:
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if self.command != "HEAD":
+                self.wfile.write(body)
+
+        def _rel(self):
+            p = urllib.parse.unquote(self.path.partition("?")[0])
+            pre = f"/{bucket}/{store_name}/"
+            if p == f"/{bucket}":
+                return ""
+            if not p.startswith(pre):
+                return None
+            return p[len(pre):]
+
+        def _file(self, rel):
+            full = os.path.join(root, *rel.split("/"))
+            if not os.path.isfile(full):
+                return None
+            with open(full, "rb") as f:
+                return f.read()
+
+        def do_GET(self):
+            qs = dict(
+                urllib.parse.parse_qsl(
+                    self.path.partition("?")[2], keep_blank_values=True
+                )
+            )
+            if qs.get("list-type") == "2":
+                return self._list(qs)
+            rel = self._rel()
+            data = self._file(rel) if rel else None
+            if data is None:
+                return self._send(404, b"NoSuchKey")
+            rng = self.headers.get("Range")
+            if rng and rng.startswith("bytes="):
+                spec = rng[len("bytes="):]
+                if spec.startswith("-"):
+                    n = int(spec[1:])
+                    part = data[-n:] if n < len(data) else data
+                else:
+                    a, _, b = spec.partition("-")
+                    part = data[int(a): int(b) + 1 if b else None]
+                return self._send(206, part)
+            self._send(200, data)
+
+        do_HEAD = do_GET
+
+        def do_PUT(self):
+            self._send(403, b"AccessDenied: public-read bucket")
+
+        do_DELETE = do_PUT
+
+        def _list(self, qs):
+            prefix = qs.get("prefix", "")
+            delim = qs.get("delimiter")
+            after = qs.get("continuation-token", "")
+            pre = f"{store_name}/"
+            keys = []
+            for dirpath, _dirs, files in os.walk(root):
+                reld = os.path.relpath(dirpath, root)
+                for f in files:
+                    rel = f if reld == "." else f"{reld}/{f}"
+                    k = pre + rel.replace(os.sep, "/")
+                    if k.startswith(prefix):
+                        keys.append(k)
+            keys.sort()
+            if after:
+                keys = [k for k in keys if k > after]
+            page = 1000
+            contents, prefixes, last = [], [], None
+            for k in keys:
+                if len(contents) >= page:
+                    break
+                last = k
+                if delim:
+                    rest = k[len(prefix):]
+                    if delim in rest:
+                        p = prefix + rest.split(delim, 1)[0] + delim
+                        if p not in prefixes:
+                            prefixes.append(p)
+                        continue
+                contents.append(k)
+            truncated = bool(keys) and last != keys[-1]
+            xml = ['<?xml version="1.0"?><ListBucketResult>']
+            for k in contents:
+                xml.append(
+                    f"<Contents><Key>{_sx.escape(k)}</Key></Contents>"
+                )
+            for p in prefixes:
+                xml.append(
+                    "<CommonPrefixes><Prefix>"
+                    f"{_sx.escape(p)}</Prefix></CommonPrefixes>"
+                )
+            xml.append(
+                "<IsTruncated>"
+                + ("true" if truncated else "false")
+                + "</IsTruncated>"
+            )
+            if truncated:
+                xml.append(
+                    "<NextContinuationToken>"
+                    + _sx.escape(last)
+                    + "</NextContinuationToken>"
+                )
+            xml.append("</ListBucketResult>")
+            self._send(200, "".join(xml).encode())
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"s3+http://127.0.0.1:{port}/{bucket}/{store_name}"
+    _S3_FACADES[key] = url
+    return url

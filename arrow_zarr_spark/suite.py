@@ -1179,6 +1179,30 @@ def _populate_zarr() -> None:
         "FROM range(24) t(i) WHERE i < 12",
     )
 
+    def z39(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """z39 (r13): the F1 store scanned through the NATIVE S3
+        backend (zarr/s3.py — stdlib SigV4 client; the reference's
+        primary deployment, config.rs:126-132 / s3_bench.rs) against
+        a public-read S3 facade: anonymous ranged GETs per chunk
+        from executor workers, paginated ListObjectsV2 XML for
+        schema inference, a coordinate predicate pushed into the
+        scan. The signed half of the protocol (SigV4 verified
+        request-by-request by an independent derivation, conditional
+        PUT, server-side copy, distributed writes) is pinned in
+        tests/test_s3_store.py."""
+        path = fixtures.write_lat_lon_store()
+        url = fixtures.serve_s3_store(path)
+        df = _zarr_df(spark, url, "zarr_s3")
+        return df.filter(F.col("lat") < 38.1).select(
+            "data", "lat", "lon"
+        )
+
+    register_query(
+        "z39_s3_native_scan",
+        z39,
+        f"SELECT data, lat, lon FROM ({_F1_GEN}) WHERE lat < 38.1",
+    )
+
 
 def _populate_writer() -> None:
     def w01(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2,9 +2,11 @@
 
 Mirrors the reference's backend matrix (``table/config.rs:103-199``):
 local filesystem (``file://`` / bare paths) fully supported; ``s3://``
-and other remote schemes via fsspec when available (not installed in
-this environment — gated behind an import-try); Icechunk repos gated
-the same way.
+NATIVE since r13 (stdlib SigV4 client, :mod:`.s3` — the reference's
+primary backend, ``config.rs:126-132``/``s3_bench.rs``, no fsspec
+required); other remote schemes via fsspec when available (not
+installed in this environment — gated behind an import-try); Icechunk
+repos gated the same way.
 """
 
 from __future__ import annotations
@@ -658,6 +660,14 @@ def open_store(path: str, *, icechunk: bool = False) -> Store:
         return LocalStore(local)
     if scheme in ("http", "https"):
         return HttpStore(path)
-    if scheme in ("s3", "gs", "gcs", "abfs", "az"):
+    if scheme in ("s3", "s3+http", "s3+https"):
+        # native stdlib SigV4 client (r13) — fsspec no longer needed
+        # for S3; s3+http(s):// pins a custom endpoint in the URL
+        # (MinIO / emulator), which is how executors — who rebuild
+        # the store from the URL string alone — learn the endpoint
+        from .s3 import S3Store
+
+        return S3Store(path)
+    if scheme in ("gs", "gcs", "abfs", "az"):
         return FsspecStore(path)
     raise ZarrFormatError(f"Unsupported store scheme {scheme!r} for {path!r}")

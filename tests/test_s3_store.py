@@ -1,0 +1,467 @@
+"""Native S3 backend (zarr/s3.py) exercised end-to-end against a
+local S3 emulator that VERIFIES every request's SigV4 signature with
+its own independent derivation (parsing the raw request — not the
+client's helper), implements conditional PUT (If-None-Match: * ->
+412), ranged GETs, server-side copy, and paginated ListObjectsV2
+with a deliberately tiny page size so continuation tokens are
+exercised on every listing.
+
+The reference's primary backend is S3 (config.rs:126-132,
+s3_bench.rs); these tests run the same wire protocol: signed object
+GET/PUT per chunk from Spark executor workers, list-by-prefix for
+schema inference, and the conditional-put CAS that commit_version's
+multi-writer safety rides.
+"""
+
+import hashlib
+import hmac
+import http.server
+import threading
+import time
+import urllib.parse
+
+import numpy as np
+import pytest
+
+from arrow_zarr_spark.zarr.meta import ZarrFormatError
+from arrow_zarr_spark.zarr.s3 import S3Store
+from arrow_zarr_spark.zarr.store import open_store
+
+ACCESS = "azs-test-access"
+SECRET = "azs-test-secret"
+BUCKET = "testbucket"
+PAGE = 3  # ListObjectsV2 page size: tiny, so pagination always runs
+
+
+def _independent_sig(method, path, query_pairs, headers, auth):
+    """Re-derive the SigV4 signature from the RAW request pieces —
+    implemented from the published algorithm, separately from the
+    client's sign_v4 (mirrored bugs would still need to agree on the
+    exact canonical byte strings both ends construct from different
+    inputs)."""
+    cred = auth["Credential"].split("/")
+    _, datestamp, region, service, _ = cred
+    signed_names = auth["SignedHeaders"].split(";")
+    canonical_query = "&".join(
+        f"{urllib.parse.quote(k, safe='-._~')}="
+        f"{urllib.parse.quote(v, safe='-._~')}"
+        for k, v in sorted(query_pairs)
+    )
+    canonical_headers = "".join(
+        f"{n}:{headers.get(n, '').strip()}\n" for n in sorted(signed_names)
+    )
+    payload_hash = headers.get("x-amz-content-sha256", "")
+    canonical_request = "\n".join(
+        [
+            method,
+            path,
+            canonical_query,
+            canonical_headers,
+            ";".join(sorted(signed_names)),
+            payload_hash,
+        ]
+    )
+    string_to_sign = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            headers.get("x-amz-date", ""),
+            f"{datestamp}/{region}/{service}/aws4_request",
+            hashlib.sha256(canonical_request.encode()).hexdigest(),
+        ]
+    )
+
+    def h(key, msg):
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k = h(("AWS4" + SECRET).encode(), datestamp)
+    k = h(k, region)
+    k = h(k, service)
+    k = h(k, "aws4_request")
+    return hmac.new(k, string_to_sign.encode(), hashlib.sha256).hexdigest()
+
+
+class _S3Handler(http.server.BaseHTTPRequestHandler):
+    objects = {}  # key (bucket-relative) -> (bytes, mtime)
+    lock = threading.Lock()
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    # -- plumbing --------------------------------------------------------
+
+    def _fail(self, code, msg=""):
+        body = msg.encode()
+        self.send_response(code)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if self.command != "HEAD":  # HEAD: headers only, or the
+            self.wfile.write(body)  # keep-alive stream desyncs
+
+    def _auth_ok(self, body):
+        auth_hdr = self.headers.get("Authorization", "")
+        if not auth_hdr.startswith("AWS4-HMAC-SHA256 "):
+            self._fail(403, "missing signature")
+            return False
+        parts = {}
+        for piece in auth_hdr[len("AWS4-HMAC-SHA256 "):].split(","):
+            k, _, v = piece.strip().partition("=")
+            parts[k] = v
+        if not parts.get("Credential", "").startswith(ACCESS + "/"):
+            self._fail(403, "unknown access key")
+            return False
+        raw_path, _, raw_qs = self.path.partition("?")
+        pairs = urllib.parse.parse_qsl(
+            raw_qs, keep_blank_values=True
+        )
+        hdrs = {k.lower(): v for k, v in self.headers.items()}
+        want = _independent_sig(
+            self.command, raw_path, pairs, hdrs, parts
+        )
+        if parts.get("Signature") != want:
+            self._fail(403, "signature mismatch")
+            return False
+        declared = hdrs.get("x-amz-content-sha256", "")
+        if body is not None and declared != hashlib.sha256(body).hexdigest():
+            self._fail(400, "payload hash mismatch")
+            return False
+        return True
+
+    def _key(self):
+        raw_path = self.path.partition("?")[0]
+        path = urllib.parse.unquote(raw_path)
+        bucket_prefix = f"/{BUCKET}/"
+        if path == f"/{BUCKET}":
+            return ""
+        if not path.startswith(bucket_prefix):
+            self._fail(404, "no such bucket")
+            return None
+        return path[len(bucket_prefix):]
+
+    def _send(self, code, body=b"", headers=()):
+        self.send_response(code)
+        for k, v in headers:
+            self.send_header(k, v)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if self.command != "HEAD":
+            self.wfile.write(body)
+
+    # -- verbs -----------------------------------------------------------
+
+    def do_GET(self):
+        if not self._auth_ok(b""):
+            return
+        raw_qs = self.path.partition("?")[2]
+        q = dict(urllib.parse.parse_qsl(raw_qs, keep_blank_values=True))
+        if q.get("list-type") == "2":
+            return self._list(q)
+        key = self._key()
+        if key is None:
+            return
+        with self.lock:
+            hit = self.objects.get(key)
+        if hit is None:
+            return self._fail(404, "NoSuchKey")
+        data, mtime = hit
+        rng = self.headers.get("Range")
+        if rng and rng.startswith("bytes="):
+            spec = rng[len("bytes="):]
+            if spec.startswith("-"):
+                n = int(spec[1:])
+                part = data[-n:] if n < len(data) else data
+            else:
+                a, _, b = spec.partition("-")
+                part = data[int(a): int(b) + 1 if b else None]
+            return self._send(206, part)
+        self._send(200, data)
+
+    def do_HEAD(self):
+        if not self._auth_ok(b""):
+            return
+        key = self._key()
+        if key is None:
+            return
+        with self.lock:
+            hit = self.objects.get(key)
+        if hit is None:
+            return self._fail(404)
+        from email.utils import formatdate
+
+        self._send(
+            200,
+            b"",
+            headers=[("Last-Modified", formatdate(hit[1], usegmt=True))],
+        )
+
+    def do_PUT(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(n)
+        if not self._auth_ok(body):
+            return
+        key = self._key()
+        if key is None:
+            return
+        src = self.headers.get("x-amz-copy-source")
+        with self.lock:
+            if self.headers.get("If-None-Match") == "*" and key in self.objects:
+                return self._fail(412, "PreconditionFailed")
+            if src:
+                src_path = urllib.parse.unquote(src.partition("?")[0])
+                src_key = src_path.lstrip("/")
+                if src_key.startswith(BUCKET + "/"):
+                    src_key = src_key[len(BUCKET) + 1:]
+                hit = self.objects.get(src_key)
+                if hit is None:
+                    return self._fail(404, "NoSuchKey")
+                self.objects[key] = (hit[0], time.time())
+            else:
+                self.objects[key] = (body, time.time())
+        self._send(200)
+
+    def do_DELETE(self):
+        if not self._auth_ok(b""):
+            return
+        key = self._key()
+        if key is None:
+            return
+        with self.lock:
+            self.objects.pop(key, None)
+        self._send(204)
+
+    def _list(self, q):
+        if self._key() is None:
+            return
+        prefix = q.get("prefix", "")
+        delim = q.get("delimiter")
+        start_after = q.get("continuation-token", "")
+        with self.lock:
+            keys = sorted(
+                k for k in self.objects if k.startswith(prefix)
+            )
+        if start_after:
+            keys = [k for k in keys if k > start_after]
+        contents, prefixes, last = [], [], None
+        for k in keys:
+            if len(contents) >= PAGE:
+                break
+            last = k
+            if delim:
+                rest = k[len(prefix):]
+                if delim in rest:
+                    p = prefix + rest.split(delim, 1)[0] + delim
+                    if p not in prefixes:
+                        prefixes.append(p)
+                    continue
+            contents.append(k)
+        truncated = bool(last) and last != (keys[-1] if keys else None)
+        xml = ['<?xml version="1.0"?><ListBucketResult>']
+        for k in contents:
+            xml.append(f"<Contents><Key>{k}</Key></Contents>")
+        for p in prefixes:
+            xml.append(
+                f"<CommonPrefixes><Prefix>{p}</Prefix></CommonPrefixes>"
+            )
+        xml.append(
+            f"<IsTruncated>{'true' if truncated else 'false'}</IsTruncated>"
+        )
+        if truncated:
+            xml.append(
+                f"<NextContinuationToken>{last}</NextContinuationToken>"
+            )
+        xml.append("</ListBucketResult>")
+        self._send(200, "".join(xml).encode())
+
+
+@pytest.fixture(scope="module")
+def emulator(monkeypatch_module_env):
+    _S3Handler.objects = {}
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _S3Handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"s3+http://127.0.0.1:{port}/{BUCKET}"
+    httpd.shutdown()
+
+
+@pytest.fixture(scope="module")
+def monkeypatch_module_env():
+    # conftest exports the fixed test credentials before get_spark so
+    # executor workers inherit them; assert that contract here rather
+    # than silently depending on it
+    import os
+
+    assert os.environ.get("AWS_ACCESS_KEY_ID") == ACCESS
+    assert os.environ.get("AWS_SECRET_ACCESS_KEY") == SECRET
+    yield
+
+
+def test_open_store_routes_s3(emulator):
+    assert isinstance(open_store(emulator + "/store"), S3Store)
+    assert isinstance(open_store("s3://bucket/prefix"), S3Store)
+
+
+def test_roundtrip_and_missing(emulator):
+    s = open_store(emulator + "/rt")
+    s.set("a/zarr.json", b'{"x":1}')
+    assert s.get("a/zarr.json") == b'{"x":1}'
+    assert s.exists("a/zarr.json")
+    assert s.get("nope") is None
+    assert not s.exists("nope")
+    s.delete("a/zarr.json")
+    assert s.get("a/zarr.json") is None
+    s.delete("a/zarr.json")  # missing delete is a no-op
+
+
+def test_bad_signature_raises_not_missing(emulator):
+    s = open_store(emulator + "/rt")
+    s.set("k", b"v")
+    bad = open_store(emulator + "/rt")
+    bad.secret_key = "wrong-secret"
+    with pytest.raises(ZarrFormatError, match="403"):
+        bad.get("k")  # 403 must RAISE, never read as fill-value
+
+
+def test_payload_hash_is_checked(emulator):
+    # the emulator 400s when the declared body hash lies — prove the
+    # client sends the REAL sha256 of the payload
+    s = open_store(emulator + "/rt")
+    s.set("hash/probe", b"payload-bytes")
+    assert s.get("hash/probe") == b"payload-bytes"
+
+
+def test_set_exclusive_is_conditional_put(emulator):
+    s = open_store(emulator + "/cas")
+    s.set_exclusive("manifest", b"v1")
+    with pytest.raises(FileExistsError):
+        s.set_exclusive("manifest", b"v2")
+    assert s.get("manifest") == b"v1"
+
+
+def test_ranged_reads(emulator):
+    s = open_store(emulator + "/rng")
+    s.set("blob", bytes(range(100)))
+    assert s.get_range("blob", 10, 5) == bytes(range(10, 15))
+    assert s.get_suffix("blob", 4) == bytes(range(96, 100))
+    assert s.get_range("missing", 0, 4) is None
+    assert s.get_range("blob", 0, 0) == b""
+
+
+def test_listing_paginates(emulator):
+    s = open_store(emulator + "/lst")
+    keys = [f"arr{i}/c/{j}" for i in range(3) for j in range(3)]
+    for k in keys:
+        s.set(k, b"x")
+    s.set("zarr.json", b"{}")
+    assert PAGE < len(keys) + 1  # pagination genuinely exercised
+    assert sorted(s.walk_keys()) == sorted(keys + ["zarr.json"])
+    assert sorted(s.walk_prefix("arr1")) == [f"arr1/c/{j}" for j in range(3)]
+    assert s.list_root() == [
+        ("arr0", True),
+        ("arr1", True),
+        ("arr2", True),
+        ("zarr.json", False),
+    ]
+    assert s.list_array_names() == []  # no per-array zarr.json yet
+    s.set("arr0/zarr.json", b"{}")
+    assert s.list_array_names() == ["arr0"]
+
+
+def test_sibling_store_roots_do_not_bleed(emulator):
+    a = open_store(emulator + "/sib")
+    b = open_store(emulator + "/sibling")
+    a.set("k", b"a")
+    b.set("k", b"b")
+    assert list(a.walk_keys()) == ["k"]
+    assert a.get("k") == b"a"
+
+
+def test_mtime_and_touch(emulator):
+    s = open_store(emulator + "/mt")
+    s.set("obj", b"x")
+    m1 = s.mtime("obj")
+    assert m1 is not None
+    time.sleep(0.05)
+    s.touch("obj")
+    m2 = s.mtime("obj")
+    assert m2 is not None and m2 >= m1
+    assert s.get("obj") == b"x"  # self-copy preserved bytes
+    assert s.mtime("missing") is None
+
+
+def test_move_is_server_side(emulator):
+    s = open_store(emulator + "/mv")
+    s.set("src", b"payload")
+    s.move("src", "dst")
+    assert s.get("dst") == b"payload"
+    assert s.get("src") is None
+    with pytest.raises(ZarrFormatError, match="missing source"):
+        s.move("gone", "other")
+
+
+def test_probe_keys_bounded(emulator):
+    s = open_store(emulator + "/probe")
+    for i in range(5):
+        s.set(f"k{i}", b"x")
+    assert s.probe_keys(cap=2) is None
+    assert len(s.probe_keys(cap=10)) == 5
+
+
+# -- the engine end-to-end: distributed write + scan + versioned CAS --
+
+
+def test_engine_write_scan_version_on_s3(spark, emulator):
+    """The full stack against the object store: the DISTRIBUTED
+    writer PUTs chunk objects from executor workers (each request
+    signed and signature-verified), the scan reads them back through
+    the registered format, commit_version publishes its manifest via
+    the conditional-put CAS, and a pinned read resolves through it."""
+    from pyspark.sql import functions as F
+
+    from arrow_zarr_spark.io import write_zarr
+    from arrow_zarr_spark.zarr.versions import commit_version
+
+    url = emulator + "/engine"
+    src = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2.5).alias("v")
+    )
+    n = write_zarr(src, url, chunk_rows=64, mode="overwrite")
+    assert n == 500
+
+    df = spark.read.format("zarr").load(url)
+    assert df.count() == 500
+    got = df.agg(F.sum("v")).first()[0]
+    assert got == sum(i * 2.5 for i in range(500))
+
+    commit_version(spark, url, "first release")
+    # append, then prove the pinned read still sees the v1 rows
+    delta = spark.range(500, 600).select(
+        F.col("id").alias("k"), (F.col("id") * 2.5).alias("v")
+    )
+    write_zarr(delta, url, chunk_rows=64, mode="append")
+    assert spark.read.format("zarr").load(url).count() == 600
+    pinned = (
+        spark.read.format("zarr").option("version", "1").load(url)
+    )
+    assert pinned.count() == 500
+
+
+def test_engine_sql_ddl_on_s3(spark, emulator):
+    from pyspark.sql import functions as F
+
+    from arrow_zarr_spark.io import write_zarr
+
+    url = emulator + "/ddl"
+    src = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("m")
+    )
+    write_zarr(src, url, chunk_rows=32, mode="overwrite")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW s3ddl "
+        f"USING zarr OPTIONS (path '{url}')"
+    )
+    want = sum(1 for i in range(100) if i % 7 == 3)
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM s3ddl WHERE m = 3").first().n
+        == want
+    )
