@@ -151,10 +151,24 @@ class S3Store(Store):
     """S3 (or S3-compatible) store over a bucket/prefix. See the
     module docstring for addressing, credentials, and capabilities."""
 
-    def __init__(self, url: str, timeout: float = 60.0):
+    def __init__(
+        self,
+        url: str,
+        timeout: float = 60.0,
+        retries: int = 4,
+        backoff: float = 0.2,
+    ):
         parsed = urllib.parse.urlparse(url)
         scheme = parsed.scheme
         self.timeout = timeout
+        # throttling is a FACT of 100-TB request rates: S3 sheds load
+        # with 503 SlowDown (and the odd 500) and documents
+        # exponential backoff as the client's contract — a scan
+        # without it dies mid-job exactly when the cluster is big
+        # enough to matter. Bounded doubling delays, re-signed on
+        # every attempt (x-amz-date must stay fresh).
+        self.retries = max(0, int(retries))
+        self.backoff = backoff
         self.region = (
             os.environ.get("AWS_REGION")
             or os.environ.get("AWS_DEFAULT_REGION")
@@ -203,7 +217,41 @@ class S3Store(Store):
             _uri_encode(p, encode_slash=False) for p in parts
         )
 
+    #: response codes worth retrying: S3's load-shedding (503
+    #: SlowDown) and transient internal errors. 4xx (incl. 404/412,
+    #: which carry semantics) never retry.
+    _RETRY_CODES = (500, 502, 503, 504)
+
     def _request(
+        self,
+        method: str,
+        path: str,
+        query: dict,
+        headers: dict,
+        body: Optional[bytes],
+    ):
+        attempt = 0
+        while True:
+            try:
+                return self._attempt(method, path, query, headers, body)
+            except urllib.error.HTTPError as e:
+                if (
+                    e.code not in self._RETRY_CODES
+                    or attempt >= self.retries
+                ):
+                    raise
+            except urllib.error.URLError:
+                # connection resets / refused: same backoff ladder,
+                # but a host that never answers still fails fast at
+                # the retry bound
+                if attempt >= self.retries:
+                    raise
+            import time as _time
+
+            _time.sleep(min(self.backoff * (2 ** attempt), 5.0))
+            attempt += 1
+
+    def _attempt(
         self,
         method: str,
         path: str,
@@ -217,6 +265,7 @@ class S3Store(Store):
         )
         hdrs = dict(headers)
         if self.access_key and self.secret_key:
+            # signed per attempt: x-amz-date must be fresh on retries
             hdrs = sign_v4(
                 method,
                 self.host,
@@ -328,7 +377,13 @@ class S3Store(Store):
     def set_exclusive(self, key: str, value: bytes) -> None:
         """Conditional put: ``If-None-Match: *`` makes S3 reject the
         write with 412 when the key exists — a true atomic publish,
-        the primitive commit_version's CAS rides."""
+        the primitive commit_version's CAS rides. Known retry edge
+        (every S3 conditional-put client shares it): if the FIRST
+        attempt lands but its response is lost, the retry sees 412
+        and reports FileExistsError for a write we actually won —
+        safe-side (a publisher may believe it lost; nobody believes
+        a win that didn't happen), and the commit protocol's retry
+        recomputes an idempotent manifest anyway."""
         try:
             self._request(
                 "PUT",

@@ -407,6 +407,87 @@ def test_probe_keys_bounded(emulator):
     assert len(s.probe_keys(cap=10)) == 5
 
 
+class _ThrottlingHandler(_S3Handler):
+    """The flaky twin: sheds the next ``budget`` requests with 503
+    SlowDown — S3's documented load-shedding behavior at exactly the
+    request rates a 1000-executor scan produces."""
+
+    objects = {}
+    budget = 0
+
+    def _throttled(self):
+        cls = type(self)
+        with cls.lock:
+            if cls.budget > 0:
+                cls.budget -= 1
+                self._fail(503, "SlowDown")
+                return True
+        return False
+
+    def do_GET(self):
+        if not self._throttled():
+            super().do_GET()
+
+    def do_HEAD(self):
+        if not self._throttled():
+            super().do_HEAD()
+
+    def do_PUT(self):
+        if self._throttled():
+            # drain the body or the keep-alive stream desyncs
+            self.rfile.read(int(self.headers.get("Content-Length") or 0))
+            return
+        super().do_PUT()
+
+
+@pytest.fixture()
+def throttling_emulator(monkeypatch_module_env):
+    _ThrottlingHandler.objects = {}
+    _ThrottlingHandler.budget = 0
+    httpd = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), _ThrottlingHandler
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"s3+http://127.0.0.1:{port}/{BUCKET}"
+    httpd.shutdown()
+
+
+def test_retries_ride_out_throttling(throttling_emulator):
+    s = S3Store(throttling_emulator + "/thr", retries=4, backoff=0.01)
+    s.set("k", b"v")
+    _ThrottlingHandler.budget = 2  # two 503s, then success
+    assert s.get("k") == b"v"
+    assert _ThrottlingHandler.budget == 0
+    _ThrottlingHandler.budget = 3
+    s.set("k2", b"w")  # PUT retries too
+    assert s.get("k2") == b"w"
+
+
+def test_retry_bound_fails_fast(throttling_emulator):
+    s = S3Store(throttling_emulator + "/thr", retries=1, backoff=0.01)
+    s.set("k", b"v")
+    _ThrottlingHandler.budget = 10  # more 503s than retries
+    with pytest.raises(ZarrFormatError, match="503"):
+        s.get("k")
+    _ThrottlingHandler.budget = 0
+
+
+def test_semantic_codes_never_retry(throttling_emulator):
+    # 404 and 412 carry meaning; burning the backoff ladder on them
+    # would turn every missing-chunk fill into seconds of sleeping
+    s = S3Store(throttling_emulator + "/thr", retries=4, backoff=5.0)
+    t0 = time.perf_counter()
+    assert s.get("absent") is None
+    assert time.perf_counter() - t0 < 2.0  # no backoff ladder
+    s.set_exclusive("one", b"x")
+    t0 = time.perf_counter()
+    with pytest.raises(FileExistsError):
+        s.set_exclusive("one", b"y")
+    assert time.perf_counter() - t0 < 2.0
+
+
 # -- the engine end-to-end: distributed write + scan + versioned CAS --
 
 
