@@ -142,7 +142,15 @@ def decode_image(
     end-to-end); pixels are row-major span means rounded to 6
     decimals, the m02 px_micro replay convention. ``fake=False`` is
     the real-codec path: STUB, raises NotImplementedError (no Pillow
-    in this environment)."""
+    in this environment).
+
+    The kernel is batch-vectorized: all payloads of an Arrow batch
+    concatenate into one uint8 buffer, the ``np.array_split`` span
+    boundaries (``n % k`` longer spans first) are rebuilt
+    arithmetically, and span means come from one prefix-sum pass.
+    Byte sums are exact integers in float64 (< 2^53 per batch), so
+    each span mean is the same exact-sum / size IEEE divide the
+    per-row ``np.mean`` computed — bit-identical pixels."""
     w, h = int(thumb[0]), int(thumb[1])
     n_spans = w * h
 
@@ -153,19 +161,56 @@ def decode_image(
                     "real image decode requires Pillow; install it and "
                     "replace this kernel (see module docstring)"
                 )
-            rows = []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                if p is None or len(p) == 0:
-                    rows.append((mid, None, None, None))
-                    continue
-                buf = np.frombuffer(p, dtype=np.uint8)
-                # deterministic thumbnail: mean of n_spans equal byte
-                # spans (np.array_split: n % k longer spans first)
-                spans = np.array_split(buf.astype(np.float64), n_spans)
-                pix = [float(np.round(s.mean(), 6)) if s.size else 0.0 for s in spans]
-                rows.append((mid, pix, w, h))
+            mids = pdf["media_id"].to_numpy()
+            payloads = pdf["payload"]
+            lens = np.array(
+                [0 if p is None else len(p) for p in payloads],
+                dtype=np.int64,
+            )
+            live = np.nonzero(lens > 0)[0]
+            pix_col = [None] * len(pdf)
+            if len(live):
+                buf = np.frombuffer(
+                    b"".join(payloads.iloc[i] for i in live), dtype=np.uint8
+                )
+                # prefix sums of exact small ints: c[e]-c[s] is the
+                # exact span sum for any [s, e)
+                csum = np.zeros(buf.size + 1, dtype=np.float64)
+                np.cumsum(buf, dtype=np.float64, out=csum[1:])
+                n = lens[live]
+                div, mod = n // n_spans, n % n_spans
+                # array_split boundary j of a length-n row:
+                #   j*div + min(j, mod)
+                j = np.arange(n_spans + 1, dtype=np.int64)
+                bounds = div[:, None] * j[None, :] + np.minimum(
+                    j[None, :], mod[:, None]
+                )
+                row_off = np.zeros(len(live), dtype=np.int64)
+                np.cumsum(n[:-1], out=row_off[1:])
+                starts = (bounds[:, :-1] + row_off[:, None]).ravel()
+                ends = (bounds[:, 1:] + row_off[:, None]).ravel()
+                sizes = ends - starts
+                sums = csum[ends] - csum[starts]
+                means = np.divide(
+                    sums,
+                    sizes,
+                    out=np.zeros_like(sums),
+                    where=sizes > 0,
+                )
+                pix = np.round(means, 6).reshape(len(live), n_spans)
+                for k_i, row_i in enumerate(live):
+                    pix_col[row_i] = pix[k_i].tolist()
+            w_col = np.where(lens > 0, w, 0).astype(object)
+            h_col = np.where(lens > 0, h, 0).astype(object)
+            w_col[lens == 0] = None
+            h_col[lens == 0] = None
             yield pd.DataFrame(
-                rows, columns=["media_id", "pixels", "width", "height"]
+                {
+                    "media_id": mids,
+                    "pixels": pix_col,
+                    "width": w_col,
+                    "height": h_col,
+                }
             )
 
     return df.mapInPandas(decode, schema=_DECODE_SCHEMA)
