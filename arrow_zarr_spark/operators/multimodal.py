@@ -597,29 +597,25 @@ def perceptual_hash64(
         with_binary_payload(df, id_col, text_col), thumb=(9, 8)
     ).filter(F.col("pixels").isNotNull())
 
-    def p(i):
-        return F.element_at(F.col("pixels"), i + 1)
-
+    # one F.expr per half instead of 32 WHEN/otherwise Column chains:
+    # the identical IF(pix[i] < pix[i+1], 2^b, 0) sum, built as a SQL
+    # string so plan construction is one parse instead of ~200 py4j
+    # round trips (r13 optimization; null conditions = false, same as
+    # the WHEN form)
     lo_terms, hi_terms = [], []
     for r in range(8):
         for c in range(8):
             bi = r * 8 + c
-            term = F.when(
-                p(r * 9 + c) < p(r * 9 + c + 1),
-                F.lit(1 << (bi % 32)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
+            term = (
+                f"IF(pixels[{r * 9 + c}] < pixels[{r * 9 + c + 1}], "
+                f"{1 << (bi % 32)}L, 0L)"
+            )
             (lo_terms if bi < 32 else hi_terms).append(term)
-
-    def total(terms):
-        h = terms[0]
-        for t in terms[1:]:
-            h = h + t
-        return h
 
     return pix.select(
         "media_id",
-        total(lo_terms).alias("ph_lo"),
-        total(hi_terms).alias("ph_hi"),
+        F.expr(" + ".join(lo_terms)).alias("ph_lo"),
+        F.expr(" + ".join(hi_terms)).alias("ph_hi"),
     )
 
 

@@ -1280,9 +1280,12 @@ def _sq8_scales(corpus: DataFrame, vec_col: str) -> "np.ndarray":
         raise ValueError("sq8: empty corpus")
     dim = int(first["d"])
     gv = _pq_qvec(F.col(vec_col))
+    # one F.expr per dimension (SQL string, 0-based subscript ==
+    # element_at(d+1)) instead of 4 Column-API calls each — plan
+    # construction cost, not semantics (r13 optimization)
     row = corpus.select(gv.alias("v")).agg(
         *[
-            F.max(F.abs(F.element_at(F.col("v"), d + 1))).alias(f"m{d}")
+            F.expr(f"MAX(ABS(v[{d}]))").alias(f"m{d}")
             for d in range(dim)
         ]
     ).first()
@@ -1548,22 +1551,22 @@ def _sign_words(vec_col: str, dim: int, prefix: str):
     bit b is set iff vec[32w + b] >= 0. Pure JVM expressions (no
     Python worker anywhere), non-negative longs by construction —
     the same two-halves discipline as the 64-bit pHash, so Spark and
-    the DuckDB oracle replay every bit identically."""
+    the DuckDB oracle replay every bit identically.
+
+    Each word is ONE ``F.expr`` built from a SQL string rather than
+    ~6 Column-API calls per bit: the old form cost hundreds of py4j
+    round trips per plan construction (~2.5 s per binary_ann call at
+    the bench, profiled r13) for the identical expression —
+    ``IF(v[i] >= 0, 2^b, 0)`` sums, null condition = false, same as
+    WHEN/otherwise."""
     n_words = -(-dim // 32)
     words = []
     for w in range(n_words):
-        terms = []
-        for b in range(min(32, dim - 32 * w)):
-            terms.append(
-                F.when(
-                    F.element_at(F.col(vec_col), 32 * w + b + 1) >= 0,
-                    F.lit(1 << b).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-        h = terms[0]
-        for t in terms[1:]:
-            h = h + t
-        words.append(h.alias(f"{prefix}w{w}"))
+        terms = " + ".join(
+            f"IF(`{vec_col}`[{32 * w + b}] >= 0, {1 << b}L, 0L)"
+            for b in range(min(32, dim - 32 * w))
+        )
+        words.append(F.expr(terms).alias(f"{prefix}w{w}"))
     return words, n_words
 
 

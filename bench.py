@@ -737,8 +737,11 @@ def scale_rung_queries(spark, factor: int):
     from pyspark.sql import functions as F
 
     from arrow_zarr_spark.operators import dedup, text
+    from arrow_zarr_spark.operators.bench_entries import (
+        _with_scan_parallelism as _par,
+    )
 
-    docs = spark.read.parquet(_scale_docs(spark, factor))
+    docs = _par(spark, spark.read.parquet(_scale_docs(spark, factor)))
     # zarr store at ~factor x rows: side scales by sqrt(factor)
     side = int(512 * factor**0.5 + 0.5)
     zpath = fixtures.write_bench_store(side=side)
