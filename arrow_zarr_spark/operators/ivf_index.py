@@ -114,12 +114,21 @@ def build_ivf_sq8_index(
     cent_mat = np.array(
         [r["centroid"] for r in cent_rows], dtype=np.float64
     )
+    # single-slice parallelize: createDataFrame would spread even an
+    # n_cells-row list across defaultParallelism partitions, turning
+    # this metadata-scale write into 32-task jobs (~1 s of the build,
+    # profiled r13; coalesce(1) is WORSE — the merged task pays one
+    # sequential Python-worker round trip per parent slice). One
+    # partition from the start is the honest shape for <= n_cells rows.
     write_zarr(
         spark.createDataFrame(
-            [
-                (int(r["cell"]), *[int(x) for x in r["centroid"]])
-                for r in cent_rows
-            ],
+            spark.sparkContext.parallelize(
+                [
+                    (int(r["cell"]), *[int(x) for x in r["centroid"]])
+                    for r in cent_rows
+                ],
+                1,
+            ),
             "cell int, " + ", ".join(f"g{d} long" for d in range(dim)),
         ),
         path + "/centroids",
@@ -130,7 +139,9 @@ def build_ivf_sq8_index(
     scales = _sq8_scales(corpus, vec_col)
     write_zarr(
         spark.createDataFrame(
-            [(int(d), int(s)) for d, s in enumerate(scales)],
+            spark.sparkContext.parallelize(
+                [(int(d), int(s)) for d, s in enumerate(scales)], 1
+            ),
             "d int, s long",
         ),
         path + "/scales",

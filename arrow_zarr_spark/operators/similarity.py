@@ -613,6 +613,14 @@ def ivf_ann(
     ).mapInPandas(corpus_assign, schema=cschema)
     qassign = assign(queries, "query_id", query_id_col, nprobe)
 
+    # No distinct (r13): every corpus vector is assigned exactly ONE
+    # cell and a query's probed cells are distinct (row_number over
+    # the cell window), so each (query_id, neighbor_id) pair emerges
+    # from the cell join at most once — the dedup was a full shuffle
+    # of the scored set (the query's largest intermediate at corpus
+    # scale) that provably collapsed nothing. Contract note: with the
+    # documented unique-id probe set this is row-identical to the
+    # distinct form; the s03 oracle and tests pin it.
     scored = (
         qassign.join(cassign, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -623,7 +631,6 @@ def ivf_ann(
                 qcos(F.col("query_id_v"), F.col("neighbor_id_v")), 6
             ).alias("cosine"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
