@@ -28,9 +28,6 @@ def _prepare(spark: SparkSession) -> None:
         ("spark.sql.shuffle.partitions", str(os.cpu_count() or 32)),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
-        # shuffled-hash over sort-merge where the build side fits
-        # (guide §3.1; measured r13 — see session.py for the numbers)
-        ("spark.sql.join.preferSortMergeJoin", "false"),
     ]:
         try:
             spark.conf.set(key, value)

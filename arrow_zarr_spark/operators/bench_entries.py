@@ -126,7 +126,7 @@ def add_bench_queries(qs: dict, spark, sf_dir: str, force=None) -> None:
         )
     )
     qs["multimodal_features"] = lambda: force(
-        multimodal.byte_features(multimodal.with_binary_payload(docs_par))
+        multimodal.byte_features(multimodal.with_binary_payload(docs))
     )
     # interpolation join (j07): union + one exchange + four windows,
     # zero join operators; tracked because the window sorts are the

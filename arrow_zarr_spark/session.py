@@ -43,16 +43,6 @@ def get_spark(app_name: str = "arrow_zarr_spark", cpus: int | None = None) -> Sp
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Prefer shuffled-hash over sort-merge when Spark's build-side
-        # size conditions are met (optimization guide §3.1): the band/
-        # shingle equi-joins sort both sides for no benefit — measured
-        # r13 at sf0.1: dedup_minhash_lsh 2.8->1.9 s, banded theta
-        # 2.6->1.4 s, dedup_minhash_index 4.6->3.0 s, confirmed in
-        # reversed A/B order. SHJ is only chosen when the smaller
-        # side's per-partition build fits the planner's threshold, so
-        # cluster-scale joins with huge per-partition sides still get
-        # sort-merge; AQE skew handling stays on.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
