@@ -14,11 +14,13 @@ but Spark partitions only know local order. So:
 1. **Count pass** — one job computes per-partition row counts (a
    count-only scan; columnar sources prune to zero columns). The
    cumulative offsets are broadcast — thousands of longs, not data.
-2. **Write pass** — ``mapInPandas`` tags each row with
-   ``offset[partition] + local_position`` (TaskContext gives the
-   partition id), rows are hash-shuffled on their target chunk id, and
-   ``applyInPandas`` writes each chunk object directly from its
-   executor. No driver data movement; the only full shuffle is the
+2. **Write pass** — pure-JVM expressions tag each row with
+   ``offset[partition] + local_position`` (``spark_partition_id`` +
+   the low 33 bits of ``monotonically_increasing_id``, its documented
+   within-partition record number — no Python round trip of the data
+   just to add a counter), rows are hash-shuffled on their target
+   chunk id, and ``applyInPandas`` writes each chunk object directly
+   from its executor. No driver data movement; the only full shuffle is the
    chunk-id co-location, which is unavoidable for a deterministic
    global layout and is exactly one pass over the data.
 
@@ -1044,6 +1046,100 @@ def _clear_store(store, keep_staging: bool = False, spark=None) -> None:
         store.delete(key)
 
 
+def _write_zarr_driver_rows(
+    schema: T.StructType,
+    rows: Sequence[tuple],
+    path: str,
+    chunk_rows: int = 65536,
+    compression: str = "zstd",
+    mode: str = "error",
+    fill_value=0,
+) -> int:
+    """Driver-side twin of :func:`write_zarr` for METADATA-SCALE row
+    lists already resident on the driver (persisted-index centroid /
+    scale stores: tens of rows). Produces a BYTE-IDENTICAL store to
+    ``write_zarr`` on a single-partition DataFrame of the same rows —
+    same metas, same chunking (``eff_chunk = min(chunk_rows, n)``),
+    same codec chain, same inline [min, max] statistics, same
+    metadata-last publish order — without any Spark job (profiled
+    r13: each tiny write_zarr call was a ~1 s persist + count job +
+    shuffle + applyInPandas affair for a 16-row frame; optimization
+    guide §5 — the driver should do no DATA work, but these rows ARE
+    driver metadata). Byte equality is property-tested against
+    write_zarr in tests/test_ivf_index.py.
+
+    Supports the fresh-write surface those calls use: v3, unsharded,
+    non-string columns, mode error/overwrite (append keeps the
+    distributed path — boundary merges belong to write_zarr)."""
+    if mode not in ("error", "overwrite"):
+        raise ZarrFormatError(
+            "_write_zarr_driver_rows supports mode 'error'/'overwrite' "
+            f"only, got {mode!r} — use write_zarr for appends"
+        )
+    if chunk_rows <= 0:
+        raise ZarrFormatError("chunk_rows must be positive")
+    for field in schema.fields:
+        _zarr_dtype_for(field)  # validate before any work
+        if field.dataType == T.StringType():
+            raise ZarrFormatError(
+                "_write_zarr_driver_rows supports numeric/bool/datetime "
+                "columns only — use write_zarr for string columns"
+            )
+    store = open_store(path)
+    if store.exists("zarr.json") or store.exists(".zgroup"):
+        if mode != "overwrite":
+            raise ZarrFormatError(
+                f"Store already exists at {path!r} (mode='error')"
+            )
+        _clear_store(store)
+    total_rows = len(rows)
+    eff_chunk = min(chunk_rows, max(total_rows, 1))
+    metas = {
+        field.name: ArrayMeta(
+            name=field.name,
+            shape=(total_rows,),
+            chunk_shape=(eff_chunk,),
+            zarr_dtype=_zarr_dtype_for(field),
+            fill_value=fill_value,
+            codecs=_codecs_for_field(field, eff_chunk, None, compression),
+        )
+        for field in schema.fields
+    }
+    n_units = -(-total_rows // eff_chunk) if total_rows else 0
+    if not _stats_within_cap(n_units, "_write_zarr_driver_rows"):
+        raise ZarrFormatError(
+            "_write_zarr_driver_rows is for metadata-scale stores; "
+            f"{n_units} store objects need write_zarr's sidecar stats"
+        )
+    if total_rows:
+        pdf = pd.DataFrame(
+            rows, columns=[f.name for f in schema.fields]
+        )
+        for name, meta in metas.items():
+            data = _reject_nulls(pdf[name].values, meta.dtype, name)
+            entries = []
+            for cid in range(n_units):
+                part = data[cid * eff_chunk : (cid + 1) * eff_chunk]
+                write_chunk(store, meta, (cid,), part)
+                entries.append(
+                    [
+                        _stat_encode(np.min(part), meta.dtype),
+                        _stat_encode(np.max(part), meta.dtype, upper=True),
+                    ]
+                )
+            if _stats_eligible(meta.dtype):
+                meta.attributes[STATS_ATTR_KEY] = entries
+    # metadata LAST (write_zarr's publish order): per-array docs, then
+    # the consolidated root
+    for name, meta in metas.items():
+        store.set(f"{name}/zarr.json", json.dumps(meta.to_json()).encode())
+    write_root_group(
+        store,
+        consolidated={name: meta.to_json() for name, meta in metas.items()},
+    )
+    return total_rows
+
+
 def write_zarr(
     df: DataFrame,
     path: str,
@@ -1170,7 +1266,6 @@ def write_zarr(
         new_rows = total_rows - base_rows
 
         spark = df.sparkSession
-        b_offsets = spark.sparkContext.broadcast(offsets)
 
         # appends must keep the existing chunk size (validated); fresh
         # writes may shrink the chunk to the data size
@@ -1275,31 +1370,26 @@ def write_zarr(
             return 0
 
         # pass 2: global index -> chunk co-location -> chunk writes.
-        # All data fields are declared NULLABLE here regardless of
-        # Catalyst's inference: the Arrow serializer under mapInPandas
-        # surfaces float NaN as null, and a non-nullable declaration
-        # then crashes the JVM-side columnar read ("Value at index is
-        # null") — floats round-trip the null back to NaN in pandas,
-        # and _reject_nulls still guards every dtype that cannot.
-        idx_schema = T.StructType(
-            [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
-            + [T.StructField("__row_idx", T.LongType(), False)]
+        # The global row index is computed in PURE JVM expressions
+        # (r13, optimization guide §4): monotonically_increasing_id()
+        # is documented as (partition id << 33) | record number within
+        # the partition, so ``offsets[pid] + (mid & (2^33-1))`` is
+        # exactly the old mapInPandas assign_index — without shipping
+        # every data column through an Arrow round trip just to append
+        # one counter column. Rows always satisfy pid < len(offsets)
+        # (offsets covers every counted partition; empty partitions
+        # contribute no rows), and ANSI element_at fails loudly if
+        # that invariant ever broke.
+        off_arr = F.array(*[F.lit(int(o)) for o in offsets])
+        indexed = df.withColumn(
+            "__row_idx",
+            (
+                F.element_at(off_arr, F.spark_partition_id() + F.lit(1))
+                + F.monotonically_increasing_id().bitwiseAND(
+                    F.lit((1 << 33) - 1)
+                )
+            ).cast("long"),
         )
-
-        def assign_index(
-            batches: Iterator[pd.DataFrame],
-        ) -> Iterator[pd.DataFrame]:
-            pid = TaskContext.get().partitionId()
-            base = b_offsets.value[pid] if pid < len(b_offsets.value) else 0
-            seen = 0
-            for pdf in batches:
-                idx = base + seen + np.arange(len(pdf), dtype=np.int64)
-                seen += len(pdf)
-                out = pdf.copy()
-                out["__row_idx"] = idx
-                yield out
-
-        indexed = df.mapInPandas(assign_index, schema=idx_schema)
         with_cid = indexed.withColumn(
             "__cid", (F.col("__row_idx") / unit).cast("long")
         )

@@ -36,6 +36,7 @@ from typing import Optional
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .similarity import _sq8_scales
 
@@ -114,36 +115,38 @@ def build_ivf_sq8_index(
     cent_mat = np.array(
         [r["centroid"] for r in cent_rows], dtype=np.float64
     )
-    # single-slice parallelize: createDataFrame would spread even an
-    # n_cells-row list across defaultParallelism partitions, turning
-    # this metadata-scale write into 32-task jobs (~1 s of the build,
-    # profiled r13; coalesce(1) is WORSE — the merged task pays one
-    # sequential Python-worker round trip per parent slice). One
-    # partition from the start is the honest shape for <= n_cells rows.
-    write_zarr(
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [
-                    (int(r["cell"]), *[int(x) for x in r["centroid"]])
-                    for r in cent_rows
-                ],
-                1,
-            ),
-            "cell int, " + ", ".join(f"g{d} long" for d in range(dim)),
+    # centroid/scale stores are metadata-scale (n_cells / dim rows)
+    # and the rows are ALREADY on the driver: write them driver-side
+    # (io._write_zarr_driver_rows — byte-identical store to write_zarr
+    # on a single-partition frame, property-tested) instead of paying
+    # a ~1 s persist + count job + shuffle + applyInPandas round trip
+    # per store (profiled r13; even the single-slice parallelize form
+    # of that round trip cost ~0.7 s/store).
+    from ..io import _write_zarr_driver_rows
+
+    _write_zarr_driver_rows(
+        T.StructType(
+            [T.StructField("cell", T.IntegerType())]
+            + [T.StructField(f"g{d}", T.LongType()) for d in range(dim)]
         ),
+        [
+            (int(r["cell"]), *[int(x) for x in r["centroid"]])
+            for r in cent_rows
+        ],
         path + "/centroids",
         chunk_rows=max(n_cells, 1),
         mode=mode,
     )
 
     scales = _sq8_scales(corpus, vec_col)
-    write_zarr(
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [(int(d), int(s)) for d, s in enumerate(scales)], 1
-            ),
-            "d int, s long",
+    _write_zarr_driver_rows(
+        T.StructType(
+            [
+                T.StructField("d", T.IntegerType()),
+                T.StructField("s", T.LongType()),
+            ]
         ),
+        [(int(d), int(s)) for d, s in enumerate(scales)],
         path + "/scales",
         chunk_rows=max(dim, 1),
         mode=mode,

@@ -554,16 +554,36 @@ def ivf_ann(
             "cell int, centroid array<double>",
         )
 
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
     def assign(df, ident, idc, probes):
         # the bounded (query) side: broadcast crossJoin x n_cells +
-        # per-id window — fine for a probe set, NOT for the corpus
-        scored = df.select(
-            F.col(idc).alias(ident), qvec(F.col(vec_col)).alias(f"{ident}_v")
-        ).crossJoin(F.broadcast(cents)).select(
-            ident,
-            f"{ident}_v",
-            "cell",
-            qcos(F.col(f"{ident}_v"), F.col("centroid")).alias("cc"),
+        # per-id window — fine for a probe set, NOT for the corpus.
+        # The vector norm is computed ONCE per query row (r13): the
+        # candidate-scoring stage below otherwise re-folds it per
+        # candidate PAIR — the same exact-integer sum, hoisted above
+        # the join (a cross-join CSE the optimizer cannot do).
+        scored = (
+            df.select(
+                F.col(idc).alias(ident),
+                qvec(F.col(vec_col)).alias(f"{ident}_v"),
+            )
+            .withColumn(f"{ident}_na", norm(F.col(f"{ident}_v")))
+            .crossJoin(F.broadcast(cents))
+            .select(
+                ident,
+                f"{ident}_v",
+                f"{ident}_na",
+                "cell",
+                qcos(F.col(f"{ident}_v"), F.col("centroid")).alias("cc"),
+            )
         )
         w = Window.partitionBy(ident).orderBy(F.col("cc").desc(), F.col("cell"))
         return (
@@ -591,10 +611,17 @@ def ivf_ann(
     bc = spark.sparkContext.broadcast((cmat, cent_nsq, cent_cells))
     id_type = corpus.schema[id_col].dataType.simpleString()
     cschema = (
-        f"neighbor_id {id_type}, neighbor_id_v array<double>, cell int"
+        f"neighbor_id {id_type}, neighbor_id_v array<double>, "
+        "neighbor_nb double, cell int"
     )
 
     def corpus_assign(batches):
+        # also emits each vector's norm (r13): xn is already in hand
+        # from the assignment matmul, and it is BIT-identical to the
+        # JVM fold (exact-integer sum of squares < 2^53 in double is
+        # order-independent; sqrt is correctly rounded) — so the
+        # scoring stage below never re-folds a corpus norm per
+        # candidate pair
         cmat_l, cnsq_l, cells_l = bc.value
         cn = np.sqrt(cnsq_l)
         cn_safe = np.where(cn > 0, cn, 1.0)
@@ -605,7 +632,9 @@ def ivf_ann(
             xn = np.sqrt(np.einsum("nd,nd->n", X, X))
             den = np.where(xn > 0, xn, 1.0)[:, None] * cn_safe[None, :]
             cell = cells_l[np.argmax((X @ cmat_l.T) / den, axis=1)]
-            yield pdf.assign(cell=cell.astype(np.int32))
+            yield pdf.assign(
+                neighbor_nb=xn, cell=cell.astype(np.int32)
+            )
 
     cassign = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -621,6 +650,20 @@ def ivf_ann(
     # scale) that provably collapsed nothing. Contract note: with the
     # documented unique-id probe set this is row-identical to the
     # distinct form; the s03 oracle and tests pin it.
+    # per-pair work is the DOT only (r13): both norms were computed
+    # once per row upstream (query_na in assign, neighbor_nb in the
+    # corpus kernel) — identical doubles, so dot/(na*nb) is the same
+    # IEEE expression qcos evaluated, at a third of the interpreted
+    # per-candidate cost
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("query_id_v"),
+            F.col("neighbor_id_v"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     scored = (
         qassign.join(cassign, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -628,7 +671,7 @@ def ivf_ann(
             "query_id",
             "neighbor_id",
             F.round(
-                qcos(F.col("query_id_v"), F.col("neighbor_id_v")), 6
+                dot / (F.col("query_id_na") * F.col("neighbor_nb")), 6
             ).alias("cosine"),
         )
     )

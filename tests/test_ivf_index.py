@@ -156,3 +156,72 @@ class TestCellStatsPruneTheScan:
         full = survivors(())
         pruned = survivors([In(("cell",), (0, 1))])
         assert 0 < pruned < full
+
+
+class TestDriverRowsWriterByteParity:
+    """r13: the metadata-scale centroid/scale stores are written
+    driver-side (io._write_zarr_driver_rows, no Spark job). The pinned
+    claim: the produced store is BYTE-identical — every key, every
+    object — to write_zarr on a single-partition DataFrame of the same
+    rows, across chunking regimes (single chunk, multi chunk, edge
+    chunk) and dtypes (int/long/double incl. negatives)."""
+
+    @pytest.mark.parametrize("chunk_rows", [64, 7, 5])
+    def test_bytes_match_write_zarr(self, spark, tmp_path, chunk_rows):
+        from pyspark.sql import types as T
+
+        from arrow_zarr_spark.io import _write_zarr_driver_rows, write_zarr
+        from arrow_zarr_spark.zarr.store import open_store
+
+        rng = np.random.RandomState(chunk_rows)
+        rows = [
+            (
+                int(i),
+                int(rng.randint(-(2**40), 2**40)),
+                float(rng.randn()),
+            )
+            for i in range(17)
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("g0", T.LongType()),
+                T.StructField("x", T.DoubleType()),
+            ]
+        )
+        ref = str(tmp_path / f"ref{chunk_rows}")
+        got = str(tmp_path / f"got{chunk_rows}")
+        write_zarr(
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1), schema
+            ),
+            ref,
+            chunk_rows=chunk_rows,
+        )
+        n = _write_zarr_driver_rows(schema, rows, got, chunk_rows=chunk_rows)
+        assert n == len(rows)
+        sref, sgot = open_store(ref), open_store(got)
+        kref = sorted(sref.walk_keys())
+        assert kref == sorted(sgot.walk_keys())
+        for key in kref:
+            assert sref.get(key) == sgot.get(key), key
+
+    def test_mode_error_and_overwrite(self, tmp_path):
+        from pyspark.sql import types as T
+
+        from arrow_zarr_spark.io import _write_zarr_driver_rows
+        from arrow_zarr_spark.zarr import ZarrFormatError
+
+        schema = T.StructType([T.StructField("d", T.IntegerType())])
+        path = str(tmp_path / "ow")
+        _write_zarr_driver_rows(schema, [(1,), (2,)], path)
+        with pytest.raises(ZarrFormatError, match="already exists"):
+            _write_zarr_driver_rows(schema, [(3,)], path)
+        _write_zarr_driver_rows(schema, [(3,)], path, mode="overwrite")
+        from arrow_zarr_spark.zarr.array import infer_store_arrays
+        from arrow_zarr_spark.zarr.store import open_store
+
+        arrs = {
+            a.meta.name: a for a in infer_store_arrays(open_store(path))
+        }
+        assert list(arrs["d"].read_all()) == [3]
