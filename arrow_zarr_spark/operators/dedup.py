@@ -304,6 +304,24 @@ def minhash_lsh_pairs(
     return jac
 
 
+def _band_structs_sql(bands: int, rows_per_band: int) -> str:
+    """The banded-signature struct array as ONE SQL string: building it
+    column-by-column costs ~6 py4j round trips per band (~0.4 s of
+    driver time per call at the default 16x4 — profiled r13); a single
+    ``F.expr`` parse is the IDENTICAL expression (integer literal
+    band ids, the same ``concat_ws`` auto-casts) in one round trip."""
+    return "array(" + ", ".join(
+        "struct({bi} as band, concat_ws(',', {cols}) as sig)".format(
+            bi=bi,
+            cols=", ".join(
+                f"`mh_{bi * rows_per_band + r}`"
+                for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    ) + ")"
+
+
 def _banded_signatures(
     df: DataFrame,
     id_col: str,
@@ -316,21 +334,7 @@ def _banded_signatures(
     """(bid, band, sig) banded MinHash rows — the LSH bucket key."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{bi * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("sig"),
-            )
-            for bi in range(bands)
-        ]
-    )
+    band_structs = F.expr(_band_structs_sql(bands, rows_per_band))
     return sig.select(
         F.col(id_col).alias("bid"), F.explode(band_structs).alias("bs")
     ).select(
@@ -452,26 +456,36 @@ def _shingle_shared_counts(
     sizes (sid, n_sh); shared (id_a, id_b, shared). ONE definition
     so a kernel fix (e.g. a hot-shingle mitigation) lands in both
     scorers at once."""
-    sh = df.select(
-        F.col(id_col).alias("sid"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    base = df.select(
+        F.col(id_col).alias("sid"), F.col(text_col).alias("__sh_text")
     )
-
     if candidate_pairs is not None:
-        # Verification mode: shrink the shingle table to candidate docs
-        # BEFORE the pair join — scoring m candidate pairs must cost
-        # O(candidate docs), not O(all pairs sharing a shingle).
+        # Verification mode: shrink to candidate DOCS before the
+        # shingle explode — scoring m candidate pairs must cost
+        # O(candidate docs), not O(corpus). Filtering whole docs by id
+        # commutes with the per-doc explode (identical (sid, sh) rows),
+        # but puts the expensive shingle kernel AFTER the broadcast
+        # semi-join instead of corpus-wide before it (guide §3.2 —
+        # r13: the explode ran over the full corpus and only then was
+        # semi-joined down).
         cand_ids = (
             candidate_pairs.select(F.col("id_a").alias("sid"))
             .unionAll(candidate_pairs.select(F.col("id_b").alias("sid")))
             .distinct()
         )
+        base = base.join(F.broadcast(cand_ids), "sid", "left_semi")
+    sh = base.select(
+        "sid",
+        F.explode(
+            F.array_distinct(shingles(F.col("__sh_text"), k))
+        ).alias("sh"),
+    )
+    if candidate_pairs is not None:
         # The filtered shingle table feeds three subtrees (sizes + both
         # sides of the pair join); it is candidate-docs-sized, so an
-        # eager checkpoint beats re-exploding the corpus three times.
-        sh = sh.join(F.broadcast(cand_ids), "sid", "left_semi").localCheckpoint(
-            eager=True
-        )
+        # eager checkpoint beats re-exploding the candidate docs three
+        # times.
+        sh = sh.localCheckpoint(eager=True)
 
     # In candidate mode sizes come from the filtered table — a doc's
     # full shingle set survives the semi-join (only whole docs drop),

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import (
+    _band_structs_sql,
     _banded_signatures,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -241,21 +242,7 @@ def query_minhash_index(
             f"not divisible into {bands} bands"
         )
     rows_per_band = n_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{bi * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("sig"),
-            )
-            for bi in range(bands)
-        ]
-    )
+    band_structs = F.expr(_band_structs_sql(bands, rows_per_band))
     cb = codes.select(
         F.col(id_col).alias("cid"), F.explode(band_structs).alias("bs")
     ).select("cid", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
