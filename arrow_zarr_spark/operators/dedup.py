@@ -689,26 +689,29 @@ def ngram_contamination(
             "gram"
         )
     ).distinct()
-    hits = (
-        doc_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
+    # ONE corpus explode + ONE groupBy: a broadcast LEFT join against
+    # the (distinct) eval grams marks each gram row instead of a
+    # separate semi-join branch — the r13 two-branch form re-ran the
+    # corpus shingle explode for `totals` and paid a second shuffle +
+    # outer join to reconcile (guide §2.3). Distinct eval grams can
+    # never duplicate a row, so count(*) is the same n_grams and
+    # count(__hit) the same n_contaminated, zero-overlap docs
+    # included.
+    marked = doc_grams.join(
+        F.broadcast(eval_grams.withColumn("__hit", F.lit(1))),
+        "gram",
+        "left",
     )
-    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    return (
-        totals.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
-                "n_contaminated"
-            ),
-            F.round(
-                F.coalesce(F.col("n_contaminated"), F.lit(0))
-                / F.col("n_grams"),
-                6,
-            ).alias("contamination_frac"),
-        )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.count("__hit").alias("n_contaminated"),
+    ).select(
+        id_col,
+        "n_grams",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated") / F.col("n_grams"), 6
+        ).alias("contamination_frac"),
     )
 
 
@@ -892,13 +895,18 @@ def connected_components(
                     ).alias("changed"),
                 )
             ).persist()
-            changed = new_cached.filter("changed").count()
+            # the driver only needs "did ANY label change" — take(1)
+            # short-circuits the scan on every non-converged round
+            # (most rounds); only the final fixpoint round pays a full
+            # pass, and the persist still materializes lazily under
+            # the next round's join (r13, guide §5.2)
+            changed = bool(new_cached.filter("changed").take(1))
             # unpersist the PERSISTED frame, not a derived projection —
             # Spark uncaches by plan identity
             prev_cached.unpersist()
             prev_cached = new_cached
             labels = new_cached.drop("changed")
-            if changed == 0:
+            if not changed:
                 break
         # Hand back a self-contained result: checkpoint reads the still-
         # warm cache of the final round, then the cache entry is dropped

@@ -268,6 +268,14 @@ def snapshot_curation_pipeline(
     # (window cost ~ batch scan), kept for the multi-consumer
     # contract: recompute count grows with pipeline depth, the
     # materialization doesn't.
+    #
+    # NOT repartitioned before the checkpoint: AQE coalesces the
+    # window's small shuffle to one partition, and the batch-side
+    # shingle explode does run as a single task — but that task
+    # overlaps the corpus-side stages (broadcast-exchange thread), so
+    # wall time is unaffected, and an interleaved A/B (r13) showed the
+    # extra round-robin exchange LOSES ~0.35 s. Revisit only if the
+    # batch stops being small relative to the corpus.
     s1 = s1.localCheckpoint(eager=False)
     s2 = dedup_against_corpus(
         s1, corpus, id_col=id_col, text_col=text_col,

@@ -321,11 +321,18 @@ def hyperplane_lsh_ann(
         """(id, vec, tbl, sig) — one NumPy matmul per batch computes
         every table's bit signature at once (Arrow in/out, no
         shuffle). ``probe=True`` expands each signature to its probe
-        set (query side)."""
-        schema = (
-            f"{ident} long, {ident}_v array<float>, tbl int, sig long"
-        )
-        n_probe = len(masks_arr) if probe else 1
+        set (query side).
+
+        Each vector crosses the Python boundary ONCE (the kernel
+        emits the per-table signature ARRAY per row); the n_tables
+        fan-out is a JVM ``posexplode`` and the probe fan-out a JVM
+        ``transform`` over literal XOR masks — identical (tbl, sig)
+        rows, but the Arrow transfer no longer replicates the vector
+        n_tables×(1+probes) times (the query-side kernel was a 1.4 s
+        single task on the broadcast critical path at 448 copies per
+        vector — profiled r13; the corpus side saves 8× vector bytes
+        per scan at any scale, guide §4.3)."""
+        schema = f"{ident} long, {ident}_v array<float>, sigs array<long>"
 
         def kernel(batches):
             pl = b_planes.value
@@ -338,32 +345,39 @@ def hyperplane_lsh_ann(
                 sigs = (
                     bits.reshape(n, n_tables, n_planes) @ weights
                 ).astype(np.int64)  # (n, n_tables)
-                if probe and n_probe > 1:
-                    sigs = sigs[:, :, None] ^ masks_arr[None, None, :]
-                ids = pdf[idc].to_numpy()
-                rep = n_tables * n_probe
                 yield pd.DataFrame(
                     {
-                        ident: np.repeat(ids, rep),
-                        f"{ident}_v": [
-                            v
-                            for v in pdf[vec_col]
-                            for _ in range(rep)
-                        ],
-                        "tbl": np.tile(
-                            np.repeat(
-                                np.arange(n_tables, dtype=np.int32),
-                                n_probe,
-                            ),
-                            n,
-                        ),
-                        "sig": sigs.ravel(),
+                        ident: pdf[idc].to_numpy(),
+                        f"{ident}_v": list(pdf[vec_col]),
+                        "sigs": list(sigs),
                     }
                 )
 
-        return df.mapInPandas(kernel, schema=schema)
+        out = df.mapInPandas(kernel, schema=schema)
+        out = out.select(
+            ident,
+            f"{ident}_v",
+            F.posexplode("sigs").alias("tbl", "sig"),
+        )
+        if probe and len(masks_arr) > 1:
+            masks_sql = "array(" + ", ".join(
+                f"{int(m)}L" for m in masks_arr
+            ) + ")"
+            out = out.select(
+                ident,
+                f"{ident}_v",
+                "tbl",
+                F.explode(
+                    F.expr(f"transform({masks_sql}, m -> m ^ sig)")
+                ).alias("sig"),
+            )
+        return out
 
     csig = sig_table(corpus, "neighbor_id", id_col, probe=False)
+    # (the broadcast query side keeps its vector inline: an A/B of
+    # scalar signatures + a vector re-attach join measured ~0.3 s
+    # SLOWER — the per-candidate join costs more than the fatter
+    # broadcast at any queries-are-small scale)
     qsig = sig_table(queries, "query_id", query_id_col, probe=True)
 
     cand = (
@@ -1319,26 +1333,60 @@ def ivf_pq_ann(
     )
 
 
-def _sq8_scales(corpus: DataFrame, vec_col: str) -> "np.ndarray":
+def _sq8_scales(
+    corpus: DataFrame, vec_col: str, dim: Optional[int] = None
+) -> "np.ndarray":
     """Per-dimension SQ8 scales over the grid-quantized corpus:
     ``s_d = max(1, ceil(max|n_d| / 127))`` — integers, so the encode
     stays in exact integer arithmetic. One partial-aggregated reduce
     (no explode, no shuffle of data rows: ``dim`` max-abs columns
-    combine map-side)."""
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None or first["d"] is None:
-        raise ValueError("sq8: empty corpus")
-    dim = int(first["d"])
+    combine map-side).
+
+    Pass ``dim`` when the caller already knows it (e.g. from the
+    collected query matrix): the dimension-discovery ``first()`` then
+    folds into the maxes aggregate — ONE Spark action instead of two
+    (each extra Python-session action costs a ~0.2 s floor, profiled
+    r13). The folded aggregate carries min/max ``SIZE(v)`` and uses
+    ``TRY_ELEMENT_AT`` (never out-of-bounds under ANSI), so a
+    corpus/dim mismatch still fails with a named error and the scale
+    VALUES are identical either way."""
     gv = _pq_qvec(F.col(vec_col))
     # one F.expr per dimension (SQL string, 0-based subscript ==
     # element_at(d+1)) instead of 4 Column-API calls each — plan
     # construction cost, not semantics (r13 optimization)
-    row = corpus.select(gv.alias("v")).agg(
-        *[
-            F.expr(f"MAX(ABS(v[{d}]))").alias(f"m{d}")
-            for d in range(dim)
-        ]
-    ).first()
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None or first["d"] is None:
+            raise ValueError("sq8: empty corpus")
+        dim = int(first["d"])
+        row = corpus.select(gv.alias("v")).agg(
+            *[
+                F.expr(f"MAX(ABS(v[{d}]))").alias(f"m{d}")
+                for d in range(dim)
+            ]
+        ).first()
+    else:
+        row = corpus.select(gv.alias("v")).agg(
+            F.expr("MIN(SIZE(v))").alias("dmin"),
+            F.expr("MAX(SIZE(v))").alias("dmax"),
+            *[
+                F.expr(f"MAX(ABS(TRY_ELEMENT_AT(v, {d + 1})))").alias(
+                    f"m{d}"
+                )
+                for d in range(dim)
+            ],
+        ).first()
+        if row["dmin"] is None:
+            raise ValueError("sq8: empty corpus")
+        if int(row["dmin"]) != dim or int(row["dmax"]) != dim:
+            got = (
+                str(int(row["dmin"]))
+                if row["dmin"] == row["dmax"]
+                else f"{int(row['dmin'])}..{int(row['dmax'])}"
+            )
+            raise ValueError(
+                f"sq8_ann: query dim {dim} != corpus dim {got}"
+            )
     ma = np.array([int(row[f"m{d}"]) for d in range(dim)], dtype=np.int64)
     return np.maximum(1, (ma + 126) // 127)
 
@@ -1386,9 +1434,8 @@ def sq8_ann(
     spark = corpus.sparkSession
     qvec = _pq_qvec
 
-    scales = _sq8_scales(corpus, vec_col)
-    dim = len(scales)
-
+    # queries collect FIRST: their dimension seeds _sq8_scales' folded
+    # single-action form (r13 — one corpus action instead of two)
     qrows = (
         queries.select(
             F.col(query_id_col).alias("qid"), qvec(F.col(vec_col)).alias("qv")
@@ -1404,6 +1451,11 @@ def sq8_ann(
         )
     q_ids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+
+    scales = _sq8_scales(
+        corpus, vec_col, dim=q_mat.shape[1] if len(q_mat) else None
+    )
+    dim = len(scales)
     if len(q_mat) and q_mat.shape[1] != dim:
         raise ValueError(
             f"sq8_ann: query dim {q_mat.shape[1]} != corpus dim {dim}"
