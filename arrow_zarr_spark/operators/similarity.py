@@ -380,8 +380,13 @@ def hyperplane_lsh_ann(
     # broadcast at any queries-are-small scale)
     qsig = sig_table(queries, "query_id", query_id_col, probe=True)
 
+    # The broadcast hint pins the QUERY side as the build side: after
+    # the JVM-side fan-out restructure the optimizer's size estimate
+    # for the corpus branch shrank below the query branch's and it
+    # broadcast the CORPUS — fatal at scale (queries are the bounded
+    # side by contract; r13 plan audit).
     cand = (
-        qsig.join(csig, ["tbl", "sig"])
+        F.broadcast(qsig).join(csig, ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")
     )
