@@ -898,8 +898,12 @@ def connected_components(
             # the driver only needs "did ANY label change" — take(1)
             # short-circuits the scan on every non-converged round
             # (most rounds); only the final fixpoint round pays a full
-            # pass, and the persist still materializes lazily under
-            # the next round's join (r13, guide §5.2)
+            # pass. Partitions take(1) leaves unmaterialized are safe
+            # to fill in after prev's unpersist below: this round's
+            # join+groupBy shuffles both inputs, so the map outputs
+            # exist on disk and the remaining reduce partitions replay
+            # from shuffle files, never from prev's lineage (r13,
+            # guide §5.2)
             changed = bool(new_cached.filter("changed").take(1))
             # unpersist the PERSISTED frame, not a derived projection —
             # Spark uncaches by plan identity
