@@ -6,6 +6,8 @@ throughput matters as much as the relational queries'."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from . import dedup, multimodal, similarity, text
@@ -29,6 +31,19 @@ def bench_ivf_centroids(embs):
     return _IVF_BENCH_CENTROIDS["c"]
 
 
+#: size floor for the repartition wrapper below (r14, VERDICT r13 item
+#: 1 — "partitions ∝ input size, not core count"): the wrapper never
+#: slices an input below this many bytes per task, so a metadata-scale
+#: frame is not exploded into useless slivers while the sf fixtures'
+#: compute-dense tables (whose per-byte kernel cost is enormous — the
+#: shingle explode alone is a ~50x row expansion) keep full
+#: parallelism. Env-tunable for other hosts/layouts.
+_SCAN_TASK_MIN_BYTES = max(
+    1,
+    int(os.environ.get("SPARK_GRAFT_SCAN_TASK_MIN_BYTES") or 16 * 1024),
+)
+
+
 def _with_scan_parallelism(spark, df):
     """Scale-adaptive input parallelism (optimization guide §2.5): the
     sf fixture tables are single small parquet files with one row
@@ -38,11 +53,32 @@ def _with_scan_parallelism(spark, df):
     of its 5.0 s in a single-task explode, ann_binary 3.6 s in a
     single-task shortlist subtree). A keyless repartition immediately
     after the read restores scan-stage parallelism; it is a no-op
-    whenever the scan already has >= defaultParallelism partitions,
-    so a real many-file corpus at cluster scale never pays the extra
-    exchange. The exchange itself executes INSIDE each timed query
-    (repartition is lazy) — the bench still times everything."""
+    whenever the scan already has >= the target partitions, so a real
+    many-file corpus at cluster scale never pays the extra exchange.
+    The exchange itself executes INSIDE each timed query (repartition
+    is lazy) — the bench still times everything.
+
+    Size-aware since r14 (guide §2.6, VERDICT r13 item 1): the target
+    is ``min(defaultParallelism, input_bytes // _SCAN_TASK_MIN_BYTES)``
+    — partitions scale with the input, capped at the core count, so a
+    tiny input is never over-parallelized and a large one behaves
+    exactly as before (the byte count exceeds cores x floor almost
+    immediately; at cluster scale the wrapper stays the documented
+    no-op)."""
     par = spark.sparkContext.defaultParallelism
+    try:
+        from urllib.parse import urlparse
+
+        files = df.inputFiles()
+        bytes_in = (
+            sum(os.path.getsize(urlparse(f).path) for f in files)
+            if files
+            else None  # unknown size (non-file source): keep par
+        )
+    except Exception:
+        bytes_in = None
+    if bytes_in is not None:
+        par = min(par, max(1, bytes_in // _SCAN_TASK_MIN_BYTES))
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
@@ -208,14 +244,25 @@ def add_bench_queries(qs: dict, spark, sf_dir: str, force=None) -> None:
     from .text import chunk_documents
 
     # k-means (2 Lloyd's passes, 16 cells): per-iteration cost is one
-    # broadcast-join assignment + one posexplode centroid shuffle
+    # broadcast-join assignment + one posexplode centroid shuffle.
+    # RAW input since r14 (VERDICT r13 item 1): kmeans is multi-action
+    # (max-id agg, strided-centroid broadcast build, one assignment +
+    # one centroid collect per iteration), so a lazy repartition
+    # re-executes its exchange per action — the driver measured the
+    # wrapped form 20% SLOWER at 32 cores (1.71 s) than r12's raw
+    # (1.37 s) and faster at 8 cores than 32 (1.12 s); this session's
+    # interleaved min-of-5 agreed (raw 2.58 vs par 2.98 on a loaded
+    # host). The r13 opt-out rule ("multi-action operators keep the
+    # raw read") now applies to both clustering entries.
     qs["kmeans_embeddings"] = lambda: force(
-        clustering.kmeans(embs_par, n_clusters=16, n_iters=2)
+        clustering.kmeans(embs, n_clusters=16, n_iters=2)
     )
-    # SemDeDup shape: cluster gate (1 pass) then within-cell pairs
+    # SemDeDup shape: cluster gate (1 pass) then within-cell pairs —
+    # raw for the same reason (it wraps kmeans and re-joins the
+    # corpus; interleaved min-of-5: raw 3.34 vs par 4.24)
     qs["semantic_neardup"] = lambda: force(
         clustering.semantic_neardup_pairs(
-            embs_par, threshold=0.85, n_clusters=16, n_iters=1
+            embs, threshold=0.85, n_clusters=16, n_iters=1
         )
     )
     # chunking + shard manifest: the row-local training-prep tail

@@ -185,3 +185,67 @@ class TestShardManifest:
         """shard_assign adds no shuffle: the plan has no Exchange."""
         plan = packing.shard_assign(docs, 16)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestScanParallelismWrapper:
+    """bench_entries._with_scan_parallelism is SIZE-aware (r14): the
+    repartition target scales with input bytes and caps at
+    defaultParallelism, so tiny inputs are never over-parallelized."""
+
+    def _write(self, spark, tmp_path, n_rows):
+        path = str(tmp_path / f"t_{n_rows}")
+        # sha2 hex: incompressible payload, so file bytes track rows
+        spark.range(n_rows).selectExpr(
+            "id", "sha2(cast(id AS string), 256) AS pad"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    @staticmethod
+    def _file_bytes(df):
+        import os as _os
+        from urllib.parse import urlparse
+
+        return sum(
+            _os.path.getsize(urlparse(f).path) for f in df.inputFiles()
+        )
+
+    def test_large_input_gets_full_parallelism(self, spark, tmp_path):
+        from arrow_zarr_spark.operators.bench_entries import (
+            _SCAN_TASK_MIN_BYTES,
+            _with_scan_parallelism,
+        )
+
+        par = spark.sparkContext.defaultParallelism
+        # enough incompressible rows that the single file clears
+        # par * floor bytes with margin
+        need_rows = (par * _SCAN_TASK_MIN_BYTES) // 16
+        df = self._write(spark, tmp_path, need_rows)
+        assert self._file_bytes(df) >= par * _SCAN_TASK_MIN_BYTES
+        assert df.rdd.getNumPartitions() < par
+        out = _with_scan_parallelism(spark, df)
+        assert out.rdd.getNumPartitions() == par
+
+    def test_tiny_input_not_over_parallelized(self, spark, tmp_path):
+        from arrow_zarr_spark.operators.bench_entries import (
+            _SCAN_TASK_MIN_BYTES,
+            _with_scan_parallelism,
+        )
+
+        par = spark.sparkContext.defaultParallelism
+        df = self._write(spark, tmp_path, 8)  # a few hundred bytes
+        out = _with_scan_parallelism(spark, df)
+        nbytes = self._file_bytes(df)
+        target = min(par, max(1, nbytes // _SCAN_TASK_MIN_BYTES))
+        assert out.rdd.getNumPartitions() <= max(target, 1)
+        assert out.rdd.getNumPartitions() < par
+
+    def test_already_parallel_input_untouched(self, spark):
+        from arrow_zarr_spark.operators.bench_entries import (
+            _with_scan_parallelism,
+        )
+
+        par = spark.sparkContext.defaultParallelism
+        df = spark.range(0, 100000, 1, par + 4).selectExpr("id")
+        out = _with_scan_parallelism(spark, df)
+        # no inputFiles (range source) and already >= par: unchanged
+        assert out is df
