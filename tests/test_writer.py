@@ -2736,3 +2736,110 @@ class TestRenameArray:
         rename_zarr_array(d, "v", "w", spark=spark)
         got = spark.read.format("zarr").load(d).filter(F.col("w") < 10)
         assert got.count() == 5  # v = 2*k < 10 -> k in 0..4
+
+
+class TestSmallWriteFastPathParity:
+    """r14: frames at or under io.WRITE_DRIVER_ROWS_MAX rows take a
+    driver-side fast path through the SAME chunk-writer closure (no
+    chunk-id shuffle, no Python stage). The pinned claim: the produced
+    store is BYTE-identical — every key, every object — to the
+    distributed commit protocol, across chunking regimes, sharding,
+    string and datetime columns, zarr v2, and appends."""
+
+    @staticmethod
+    def _tree(path):
+        import os
+
+        out = {}
+        for dp, _, fns in os.walk(str(path)):
+            for fn in fns:
+                fp = os.path.join(dp, fn)
+                with open(fp, "rb") as fh:
+                    out[os.path.relpath(fp, str(path))] = fh.read()
+        return out
+
+    def _both(self, monkeypatch, frame, tmp_path, tag, **kw):
+        from arrow_zarr_spark import io as azio
+
+        fast = str(tmp_path / f"{tag}_fast")
+        dist = str(tmp_path / f"{tag}_dist")
+        monkeypatch.setattr(azio, "WRITE_DRIVER_ROWS_MAX", 1 << 40)
+        n_fast = azio.write_zarr(frame, fast, **kw)
+        monkeypatch.setattr(azio, "WRITE_DRIVER_ROWS_MAX", 0)
+        n_dist = azio.write_zarr(frame, dist, **kw)
+        assert n_fast == n_dist
+        a, b = self._tree(fast), self._tree(dist)
+        assert sorted(a) == sorted(b)
+        diff = [k for k in a if a[k] != b[k]]
+        assert diff == [], f"byte mismatch in {diff[:4]}"
+
+    @pytest.mark.parametrize("chunk_rows", [4096, 100, 7])
+    def test_numeric_chunkings(self, spark, tmp_path, monkeypatch,
+                               chunk_rows):
+        df = spark.range(0, 500, 1, 4).selectExpr(
+            "id",
+            "cast(id % 7 AS int) AS i32",
+            "cast(id * 1.5 - 250 AS double) AS x",
+            "cast(id % 2 = 0 AS boolean) AS b",
+            "cast(id * 0.25 AS float) AS f",
+        )
+        self._both(monkeypatch, df, tmp_path, f"num{chunk_rows}",
+                   chunk_rows=chunk_rows, mode="overwrite")
+
+    def test_sharded(self, spark, tmp_path, monkeypatch):
+        df = spark.range(0, 600, 1, 3).selectExpr(
+            "id", "cast(id AS double) AS x"
+        )
+        self._both(monkeypatch, df, tmp_path, "shard",
+                   chunk_rows=50, shard_chunks=4, mode="overwrite")
+
+    def test_strings_and_datetime(self, spark, tmp_path, monkeypatch):
+        df = spark.range(0, 300, 1, 2).selectExpr(
+            "id",
+            "concat('doc-', cast(id AS string)) AS name",
+            "timestampadd(SECOND, cast(id AS int), "
+            "timestamp_ntz'2024-01-01 00:00:00') AS ts",
+        )
+        self._both(monkeypatch, df, tmp_path, "strdt",
+                   chunk_rows=128, mode="overwrite")
+
+    def test_zarr_v2(self, spark, tmp_path, monkeypatch):
+        df = spark.range(0, 200, 1, 2).selectExpr(
+            "id", "cast(id AS double) AS x"
+        )
+        self._both(monkeypatch, df, tmp_path, "v2",
+                   chunk_rows=64, mode="overwrite", zarr_format=2)
+
+    def test_append_boundary_merge(self, spark, tmp_path, monkeypatch):
+        from arrow_zarr_spark import io as azio
+
+        base = spark.range(0, 333, 1, 3).selectExpr(
+            "id", "cast(id AS double) AS x"
+        )
+        delta = spark.range(333, 500, 1, 2).selectExpr(
+            "id", "cast(id AS double) AS x"
+        )
+        fast = str(tmp_path / "ap_fast")
+        dist = str(tmp_path / "ap_dist")
+        for path, cap in ((fast, 1 << 40), (dist, 0)):
+            monkeypatch.setattr(azio, "WRITE_DRIVER_ROWS_MAX", cap)
+            azio.write_zarr(base, path, chunk_rows=128, mode="overwrite")
+            azio.write_zarr(delta, path, chunk_rows=128, mode="append")
+        a, b = self._tree(fast), self._tree(dist)
+        assert sorted(a) == sorted(b)
+        assert [k for k in a if a[k] != b[k]] == []
+
+    def test_fast_path_roundtrip(self, spark, tmp_path):
+        """A tiny write lands on the fast path by default and the
+        store round-trips through the scan."""
+        from arrow_zarr_spark import io as azio
+
+        df = spark.range(0, 50, 1, 2).selectExpr(
+            "id", "cast(id AS double) AS x"
+        )
+        path = str(tmp_path / "tiny")
+        assert azio.write_zarr(df, path, chunk_rows=16,
+                               mode="overwrite") == 50
+        back = spark.read.format("zarr").load(path)
+        assert back.count() == 50
+        assert back.agg(F.sum("id")).first()[0] == sum(range(50))
