@@ -22,6 +22,7 @@ Design for 100 TB (the reason each shape was chosen):
 
 from __future__ import annotations
 
+import os as _os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -849,6 +850,93 @@ def canonical_docs(
     )
 
 
+#: r14 size gates for connected_components' driver-side fast path:
+#: graphs whose node AND pair counts fit these caps are solved with
+#: one union-find over two limit-collects instead of the ~4-jobs-per-
+#: round label-propagation loop (guide §5 — a dup-group graph this
+#: small IS driver metadata; profiled r14: the loop was ~1/3 of
+#: fuzzy_dedup_pipeline's job count). Env-tunable; 0 disables.
+CC_DRIVER_NODES_MAX = int(
+    _os.environ.get("SPARK_GRAFT_CC_DRIVER_NODES") or 65536
+)
+CC_DRIVER_PAIRS_MAX = int(
+    _os.environ.get("SPARK_GRAFT_CC_DRIVER_PAIRS") or 262144
+)
+
+#: integer id types for which python's ordering provably matches
+#: Spark's (the driver fast path computes min-id representatives in
+#: python; strings are excluded — UTF8 binary order vs codepoint
+#: order can differ off-ASCII)
+_CC_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _cc_driver_components(nodes, pairs, id_col):
+    """Size-gated driver twin of the label-propagation loop: returns
+    the (id, component) DataFrame, or None when the graph exceeds the
+    caps (or ids are not integers) and the distributed loop must run.
+
+    Semantics replicated exactly: components = min NODE id reachable
+    through node-only paths — pairs with an endpoint outside ``nodes``
+    do not propagate (the loop's labels table never contains them), so
+    such pairs are dropped before the union, and every node starts as
+    its own singleton component."""
+    if CC_DRIVER_NODES_MAX <= 0 or CC_DRIVER_PAIRS_MAX <= 0:
+        return None
+    id_type = nodes.schema[id_col].dataType
+    if id_type.simpleString() not in _CC_INT_TYPES:
+        return None
+    ids_probe = (
+        nodes.select(F.col(id_col).alias("id"))
+        .distinct()
+        .limit(CC_DRIVER_NODES_MAX + 1)
+        .collect()
+    )
+    if len(ids_probe) > CC_DRIVER_NODES_MAX:
+        return None
+    pairs_probe = (
+        pairs.select("id_a", "id_b")
+        .limit(CC_DRIVER_PAIRS_MAX + 1)
+        .collect()
+    )
+    if len(pairs_probe) > CC_DRIVER_PAIRS_MAX:
+        return None
+    node_ids = sorted(int(r["id"]) for r in ids_probe)
+    node_set = set(node_ids)
+    parent = {i: i for i in node_ids}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs_probe:
+        a, b = int(r["id_a"]), int(r["id_b"])
+        if a not in node_set or b not in node_set:
+            continue  # the loop never propagates through non-nodes
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id representative = the loop's min-label fixpoint
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("component", id_type),
+        ]
+    )
+    spark = nodes.sparkSession
+    return spark.createDataFrame(
+        [(i, find(i)) for i in node_ids], schema
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -863,7 +951,16 @@ def connected_components(
     itself and its neighbors; converges in O(diameter) rounds. Each
     round is one equi-join + groupBy — all shuffle-parallel, no driver
     data; rounds are capped and terminate early on fixpoint (the one
-    driver-side signal is the per-round change count)."""
+    driver-side signal is the per-round change count).
+
+    Metadata-scale graphs (node and pair counts within the
+    ``CC_DRIVER_*_MAX`` caps, integer ids) skip the loop: two bounded
+    limit-collects feed one driver-side union-find with min-id
+    representatives — the same fixpoint, computed without the
+    per-round persist/probe job churn (r14, guide §5)."""
+    small = _cc_driver_components(nodes, pairs, id_col)
+    if small is not None:
+        return small
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

@@ -3171,3 +3171,93 @@ class TestReviewRegressionsLateR7:
         assert len(got) == 1
         s = sorted(vals)
         assert got[0].value == s[max(1, math.ceil(0.3 * len(s))) - 1]
+
+
+class TestConnectedComponentsDriverFastPath:
+    """r14: metadata-scale graphs take a driver-side union-find with
+    min-id representatives instead of the label-propagation loop. The
+    pinned claim: both paths compute the identical (id, component)
+    set, including pairs whose endpoints are not nodes (the loop never
+    propagates through non-nodes) and singletons."""
+
+    def _paths_agree(self, spark, monkeypatch, nodes, pairs):
+        import random
+
+        from arrow_zarr_spark.operators import dedup as dd
+
+        fast = {
+            (r[0], r[1])
+            for r in dd.connected_components(nodes, pairs).collect()
+        }
+        monkeypatch.setattr(dd, "CC_DRIVER_NODES_MAX", 0)
+        slow = {
+            (r[0], r[1])
+            for r in dd.connected_components(nodes, pairs).collect()
+        }
+        assert fast == slow
+        return fast
+
+    def test_random_graph_parity(self, spark, monkeypatch):
+        # small-DIAMETER random graph (star-shaped clusters plus a few
+        # extra intra-cluster edges): the loop arm needs one round per
+        # propagation hop and its logical plan grows per round, so a
+        # long-chain graph would spend minutes in Catalyst — diameter,
+        # not node count, is what the loop arm can afford here
+        import random
+
+        rng = random.Random(42)
+        ids = rng.sample(range(1000), 120)
+        clusters = [ids[i::15] for i in range(15)]
+        edges = []
+        for cl in clusters:
+            hub = cl[0]
+            edges += [(hub, m) for m in cl[1:]]
+            edges += [
+                (rng.choice(cl), rng.choice(cl)) for _ in range(3)
+            ]
+        nodes = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        self._paths_agree(spark, monkeypatch, nodes, pairs)
+
+    def test_non_node_endpoints_do_not_bridge(self, spark, monkeypatch):
+        # 99 is NOT a node: pairs (1,99),(99,2) must NOT join 1 and 2
+        nodes = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
+        pairs = spark.createDataFrame(
+            [(1, 99), (99, 2), (2, 3)], ["id_a", "id_b"]
+        )
+        out = self._paths_agree(spark, monkeypatch, nodes, pairs)
+        comp = dict(out)
+        assert comp[1] == 1 and comp[2] == 2 and comp[3] == 2
+
+    def test_loop_used_past_caps(self, spark, monkeypatch):
+        from arrow_zarr_spark.operators import dedup as dd
+
+        monkeypatch.setattr(dd, "CC_DRIVER_NODES_MAX", 2)
+        nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+        pairs = spark.createDataFrame([(0, 5)], ["id_a", "id_b"])
+        out = {
+            r.doc_id: r.component
+            for r in dd.connected_components(nodes, pairs).collect()
+        }
+        assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 0}
+
+    def test_string_ids_keep_loop(self, spark, monkeypatch):
+        from arrow_zarr_spark.operators import dedup as dd
+
+        called = []
+        orig = dd._cc_driver_components
+
+        def spy(nodes, pairs, id_col):
+            r = orig(nodes, pairs, id_col)
+            called.append(r is not None)
+            return r
+
+        monkeypatch.setattr(dd, "_cc_driver_components", spy)
+        nodes = spark.createDataFrame([("a",), ("b",)], ["doc_id"])
+        pairs = spark.createDataFrame([("a", "b")], ["id_a", "id_b"])
+        out = {
+            r.doc_id: r.component
+            for r in dd.connected_components(nodes, pairs).collect()
+        }
+        assert out == {"a": "a", "b": "a"}
+        assert called == [False]
