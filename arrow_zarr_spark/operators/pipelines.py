@@ -168,7 +168,12 @@ def fuzzy_dedup_pipeline(
         .distinct()
     )
     dup_docs = df.join(F.broadcast(pair_ids), id_col, "left_semi")
-    comp = connected_components(dup_docs, pairs, id_col=id_col)
+    # components over pair_ids, not dup_docs (r14): the node set CC
+    # needs is exactly the pair-involved ids — pair_ids ⊆ df ids by
+    # construction (pairs come from df), so the corpus semi-join adds
+    # nothing to the node set and its scan can stay out of CC's
+    # labels/probe lineage
+    comp = connected_components(pair_ids, pairs, id_col=id_col)
     # t03's exact quality expressions, selected under the caller's id
     # column (quality_score() pins "doc_id", which would break any
     # other id_col)

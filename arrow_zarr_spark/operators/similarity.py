@@ -468,10 +468,18 @@ def ivf_ann(
     vec_col: str = "embedding",
     query_id_col: Optional[str] = None,
     centroids: Optional["np.ndarray"] = None,
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """IVF-style ANN: deterministic coarse centroids (every (n/n_cells)-th
     corpus vector by id), assignment by max cosine (broadcast centroids),
     queries probe their ``nprobe`` nearest cells.
+
+    Plan shape (r14, the s05 ivf_pq_ann convention): the query side is
+    driver-collected (``max_query_rows``-capped — raise it explicitly
+    for a bigger probe set) and broadcast; ONE ``mapInPandas`` pass
+    assigns the corpus and scores every candidate dot as slab matmuls;
+    the only exchange left is the final top-k window. The corpus is
+    never joined, never gains a cell column, never shuffles.
 
     Recall rides nprobe/n_cells (the bench's recall keys track it
     per round: 0.286 at the 2-of-16 defaults on the near-random
@@ -501,30 +509,14 @@ def ivf_ann(
         # whose products/sums stay exact in double (dims * 2^30 << 2^53)
         return F.transform(c, lambda x: F.round(x * F.lit(32768.0), 0))
 
-    def qcos(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        na = F.sqrt(
-            F.aggregate(
-                F.transform(a, lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
-        nb = F.sqrt(
-            F.aggregate(
-                F.transform(b, lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
-        return dot / (na * nb)
     spark = corpus.sparkSession
     if centroids is not None:
         cmat = np.asarray(centroids, dtype=np.float64)
+        if cmat.ndim != 2:
+            raise ValueError(
+                f"ivf_ann: centroids must be a (n_cells, dim) matrix; "
+                f"got shape {cmat.shape}"
+            )
         if cmat.shape[0] != n_cells:
             raise ValueError(
                 f"ivf_ann: centroids carry "
@@ -533,7 +525,6 @@ def ivf_ann(
                 "contract would silently change"
             )
         cent_cells = np.arange(cmat.shape[0], dtype=np.int64)
-        cents = _centroid_frame(spark, centroids)
     else:
         # Deterministic centroid pick WITHOUT a global window (a
         # row_number over an unpartitioned order collapses everything
@@ -565,132 +556,154 @@ def ivf_ann(
         cmat = np.array(
             [r["centroid"] for r in cent_rows], dtype=np.float64
         )
-        cents = spark.createDataFrame(
-            [
-                (int(r["cell"]), [float(x) for x in r["centroid"]])
-                for r in cent_rows
-            ],
-            "cell int, centroid array<double>",
-        )
 
-    def norm(c):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+    # ---- query side: driver-resident (r14, the s05 ivf_pq_ann
+    # convention; guide §4 — the probe set is bounded by contract).
+    # The old shape was a broadcast crossJoin x n_cells + per-query
+    # window in Spark, then a cell equi-join whose per-pair dot was an
+    # interpreted HOF fold (~dim JVM ops per candidate). Collecting
+    # the capped query set lets the corpus kernel below compute every
+    # candidate dot as one slab matmul — the join and both windows'
+    # query-side exchange disappear from the plan.
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            qvec(F.col(vec_col)).alias("qv"),
         )
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"ivf_ann collects the query side to the driver; got more "
+            f"than max_query_rows={max_query_rows} rows. Pass a "
+            f"bounded probe set or raise max_query_rows explicitly."
+        )
+    q_ids = [r["qid"] for r in qrows]
+    q_mat = (
+        np.array([r["qv"] for r in qrows], dtype=np.float64)
+        if qrows
+        else np.zeros((0, cmat.shape[1]))
+    )
+    nq = len(q_ids)
+    # exact-integer sums of squares -> sqrt: bit-identical to the old
+    # JVM fold-then-sqrt per query row (order-independent < 2^53)
+    q_na = np.sqrt(np.einsum("qd,qd->q", q_mat, q_mat))
+    n_cell_vals = int(cent_cells.max()) + 1 if len(cent_cells) else 1
+    probed = np.zeros((nq, n_cell_vals), dtype=bool)
+    if nq:
+        c_n = np.sqrt(np.einsum("cd,cd->c", cmat, cmat))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            qcc = (q_mat @ cmat.T) / (q_na[:, None] * c_n[None, :])
+        for qi in range(nq):
+            # the old per-query window ordered (cc DESC, cell ASC);
+            # Spark's DESC places NaN first (the all-zero-norm edge,
+            # where every cc is NaN) — map NaN to +inf before negating
+            # so lexsort reproduces that order exactly
+            key = np.where(np.isnan(qcc[qi]), np.inf, qcc[qi])
+            order = np.lexsort((cent_cells, -key))[:nprobe]
+            probed[qi, cent_cells[order]] = True
 
-    def assign(df, ident, idc, probes):
-        # the bounded (query) side: broadcast crossJoin x n_cells +
-        # per-id window — fine for a probe set, NOT for the corpus.
-        # The vector norm is computed ONCE per query row (r13): the
-        # candidate-scoring stage below otherwise re-folds it per
-        # candidate PAIR — the same exact-integer sum, hoisted above
-        # the join (a cross-join CSE the optimizer cannot do).
-        scored = (
-            df.select(
-                F.col(idc).alias(ident),
-                qvec(F.col(vec_col)).alias(f"{ident}_v"),
-            )
-            .withColumn(f"{ident}_na", norm(F.col(f"{ident}_v")))
-            .crossJoin(F.broadcast(cents))
-            .select(
-                ident,
-                f"{ident}_v",
-                f"{ident}_na",
-                "cell",
-                qcos(F.col(f"{ident}_v"), F.col("centroid")).alias("cc"),
-            )
-        )
-        w = Window.partitionBy(ident).orderBy(F.col("cc").desc(), F.col("cell"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= probes)
-            .drop("cc", "crank")
-        )
-
-    # Corpus-side assignment runs INSIDE an Arrow kernel (the s05
-    # ivf_pq_ann shape): broadcast NumPy centroids, one matmul per
-    # slab, argmax's first-max tiebreak = the window's (cc DESC,
-    # cell ASC) — so the corpus is never exploded x n_cells, never
-    # window-shuffled per id, and carries straight into the cell
-    # join. Exact-integer dots (< 2^53) make the matmul
-    # order-independent, so assignments are bit-identical to the
-    # crossJoin+window form (and the s03 oracle is unchanged); with
-    # FITTED float centroids (oracle-exempt recall path) near-tie
-    # assignments may differ from fold-order JVM sums in the last
-    # bit, as with every float kernel in this module. Zero-norm rows
-    # take the safe-denominator convention; a zero-norm CENTROID
-    # (impossible unless a strided corpus vector is all-zero) is the
-    # one input where argmax would diverge from the window's
-    # NaN-sorts-first ordering.
+    # Corpus-side assignment AND candidate scoring run INSIDE one
+    # Arrow kernel (the s05 ivf_pq_ann shape): broadcast NumPy
+    # centroids + the collected query set, one matmul per slab
+    # assigns cells (argmax's first-max tiebreak = the window's
+    # (cc DESC, cell ASC)), one matmul per probed cell computes the
+    # candidate dots — so the corpus is never exploded x n_cells,
+    # never window-shuffled per id, and never joined. Exact-integer
+    # dots (< 2^53) make the matmuls order-independent, so
+    # assignments and dots are bit-identical to the old
+    # crossJoin+window+join form (and the s03 oracle is unchanged);
+    # with FITTED float centroids (oracle-exempt recall path)
+    # near-tie assignments may differ from fold-order JVM sums in
+    # the last bit, as with every float kernel in this module.
     cent_nsq = np.einsum("cd,cd->c", cmat, cmat)
-    bc = spark.sparkContext.broadcast((cmat, cent_nsq, cent_cells))
+    bc = spark.sparkContext.broadcast(
+        (cmat, cent_nsq, cent_cells, q_ids, q_mat, q_na, probed)
+    )
     id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     cschema = (
-        f"neighbor_id {id_type}, neighbor_id_v array<double>, "
-        "neighbor_nb double, cell int"
+        f"query_id {qid_type}, neighbor_id {id_type}, "
+        "dot double, q_na double, neighbor_nb double"
     )
 
-    def corpus_assign(batches):
-        # also emits each vector's norm (r13): xn is already in hand
-        # from the assignment matmul, and it is BIT-identical to the
-        # JVM fold (exact-integer sum of squares < 2^53 in double is
-        # order-independent; sqrt is correctly rounded) — so the
-        # scoring stage below never re-folds a corpus norm per
-        # candidate pair
-        cmat_l, cnsq_l, cells_l = bc.value
+    def pair_kernel(batches):
+        # r14 (VERDICT r13 item 5): candidate scoring joins the
+        # assignment INSIDE the kernel. Per slab: one matmul assigns
+        # cells (argmax first-max = the window's (cc DESC, cell ASC)
+        # tiebreak), one matmul per probed cell computes every
+        # candidate dot — the old plan's cell equi-join and its
+        # per-pair interpreted HOF fold (~dim JVM ops per candidate)
+        # are gone. Bit-identity: dots and squared norms are
+        # exact-integer sums (< 2^53, order-independent in float64),
+        # sqrt is correctly rounded, and the divide+round stays in the
+        # JVM below — the same IEEE expression the join used to
+        # evaluate. Zero-norm rows take the safe-denominator
+        # convention; a zero-norm CENTROID (impossible unless a
+        # strided corpus vector is all-zero) is the one input where
+        # argmax would diverge from the window's NaN-sorts-first
+        # ordering.
+        (cmat_l, cnsq_l, cells_l, q_ids_l, q_mat_l, q_na_l,
+         probed_l) = bc.value
+        if not len(q_ids_l):
+            return
         cn = np.sqrt(cnsq_l)
         cn_safe = np.where(cn > 0, cn, 1.0)
         for pdf in batches:
             if not len(pdf):
                 continue
+            ids = pdf["neighbor_id"].to_numpy()
             X = np.array(list(pdf["neighbor_id_v"]), dtype=np.float64)
             xn = np.sqrt(np.einsum("nd,nd->n", X, X))
             den = np.where(xn > 0, xn, 1.0)[:, None] * cn_safe[None, :]
             cell = cells_l[np.argmax((X @ cmat_l.T) / den, axis=1)]
-            yield pdf.assign(
-                neighbor_nb=xn, cell=cell.astype(np.int32)
+            out_qi, out_ri = [], []
+            out_dot = []
+            for c in np.unique(cell):
+                qidx = np.nonzero(probed_l[:, c])[0]
+                if not len(qidx):
+                    continue
+                ridx = np.nonzero(cell == c)[0]
+                dots = q_mat_l[qidx] @ X[ridx].T  # exact-int sums
+                for j, qi in enumerate(qidx):
+                    keep = ids[ridx] != q_ids_l[qi]
+                    kidx = ridx[keep]
+                    if not len(kidx):
+                        continue
+                    out_qi.append(np.full(len(kidx), qi, np.int64))
+                    out_ri.append(kidx)
+                    out_dot.append(dots[j][keep])
+            if not out_qi:
+                continue
+            qi_all = np.concatenate(out_qi)
+            ri_all = np.concatenate(out_ri)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(q_ids_l, dtype=object)[
+                        qi_all
+                    ],
+                    "neighbor_id": ids[ri_all],
+                    "dot": np.concatenate(out_dot),
+                    "q_na": q_na_l[qi_all],
+                    "neighbor_nb": xn[ri_all],
+                }
             )
 
-    cassign = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        qvec(F.col(vec_col)).alias("neighbor_id_v"),
-    ).mapInPandas(corpus_assign, schema=cschema)
-    qassign = assign(queries, "query_id", query_id_col, nprobe)
-
-    # No distinct (r13): every corpus vector is assigned exactly ONE
-    # cell and a query's probed cells are distinct (row_number over
-    # the cell window), so each (query_id, neighbor_id) pair emerges
-    # from the cell join at most once — the dedup was a full shuffle
-    # of the scored set (the query's largest intermediate at corpus
-    # scale) that provably collapsed nothing. Contract note: with the
-    # documented unique-id probe set this is row-identical to the
-    # distinct form; the s03 oracle and tests pin it.
-    # per-pair work is the DOT only (r13): both norms were computed
-    # once per row upstream (query_na in assign, neighbor_nb in the
-    # corpus kernel) — identical doubles, so dot/(na*nb) is the same
-    # IEEE expression qcos evaluated, at a third of the interpreted
-    # per-candidate cost
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("query_id_v"),
-            F.col("neighbor_id_v"),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     scored = (
-        qassign.join(cassign, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            qvec(F.col(vec_col)).alias("neighbor_id_v"),
+        )
+        .mapInPandas(pair_kernel, schema=cschema)
         .select(
             "query_id",
             "neighbor_id",
+            # identical IEEE expression to the old post-join qcos:
+            # exact-int dot / (na * nb), one correctly-rounded divide,
+            # rounded to 6 — the s03 oracle and tests pin it
             F.round(
-                dot / (F.col("query_id_na") * F.col("neighbor_nb")), 6
+                F.col("dot") / (F.col("q_na") * F.col("neighbor_nb")), 6
             ).alias("cosine"),
         )
     )

@@ -849,12 +849,12 @@ class TestRound13OperatorContracts:
         assert plan.count("Exchange hashpartitioning") == 0
 
     def test_ivf_ann_corpus_assignment_kernel_side(self, views):
-        """s03 (r13, verdict item 2): the corpus side gains its cell
-        INSIDE the Arrow kernel (broadcast NumPy centroids) — the
-        only windows left in the whole plan are the bounded query
-        probe rank and the final top-k rank, and nothing goes
-        cartesian (the query-side crossJoin is a broadcast NLJ over
-        the n_cells singleton, the whitelisted bounded-probe shape)."""
+        """s03 (r13 verdict item 2; tightened r14, verdict item 5):
+        assignment AND candidate scoring run inside ONE Arrow kernel
+        (broadcast NumPy centroids + the collected bounded query set)
+        — the plan has no join of any kind, no query-side subtree,
+        and exactly one window (the final top-k rank) above the
+        kernel."""
         from arrow_zarr_spark.operators import similarity
 
         embs = views.table("embeddings")
@@ -864,4 +864,5 @@ class TestRound13OperatorContracts:
         plan = _plan(df)
         assert "MapInPandas" in plan
         assert "CartesianProduct" not in plan
-        assert plan.count("Window [") == 2
+        assert "Join" not in plan
+        assert plan.count("Window [") == 1
