@@ -138,7 +138,7 @@ def build_ivf_sq8_index(
         mode=mode,
     )
 
-    scales = _sq8_scales(corpus, vec_col)
+    scales = _sq8_scales(corpus, vec_col, who="build_ivf_sq8_index")
     _write_zarr_driver_rows(
         T.StructType(
             [

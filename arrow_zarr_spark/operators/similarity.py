@@ -281,7 +281,16 @@ def hyperplane_lsh_ann(
     recall keys track this per round. Probing multiplies query-side
     signature rows by 1 + C(p,1) + C(p,2) (56 at the defaults), a
     per-query planning cost that is invisible next to the corpus
-    scan; the corpus-side cost lever remains n_tables."""
+    scan; the corpus-side cost lever remains n_tables.
+
+    Precondition (r14 ADVICE): ``queries`` must be a BOUNDED probe
+    set — its probe-expanded signatures (n_queries x n_tables x ~56
+    rows, vectors inline) are force-broadcast as the join's build
+    side, because the optimizer otherwise misestimates the corpus
+    branch as the smaller side and broadcasts the corpus (fatal at
+    scale). A query set too large to broadcast needs
+    :func:`cosine_topk_vectorized`'s batching or a shuffle join —
+    not this operator."""
     import pandas as pd
 
     if not (0 <= int(multiprobe) <= 2):
@@ -1352,7 +1361,10 @@ def ivf_pq_ann(
 
 
 def _sq8_scales(
-    corpus: DataFrame, vec_col: str, dim: Optional[int] = None
+    corpus: DataFrame,
+    vec_col: str,
+    dim: Optional[int] = None,
+    who: str = "sq8",
 ) -> "np.ndarray":
     """Per-dimension SQ8 scales over the grid-quantized corpus:
     ``s_d = max(1, ceil(max|n_d| / 127))`` — integers, so the encode
@@ -1375,7 +1387,7 @@ def _sq8_scales(
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None or first["d"] is None:
-            raise ValueError("sq8: empty corpus")
+            raise ValueError(f"{who}: empty corpus")
         dim = int(first["d"])
         row = corpus.select(gv.alias("v")).agg(
             *[
@@ -1395,15 +1407,18 @@ def _sq8_scales(
             ],
         ).first()
         if row["dmin"] is None:
-            raise ValueError("sq8: empty corpus")
+            raise ValueError(f"{who}: empty corpus")
         if int(row["dmin"]) != dim or int(row["dmax"]) != dim:
             got = (
                 str(int(row["dmin"]))
                 if row["dmin"] == row["dmax"]
                 else f"{int(row['dmin'])}..{int(row['dmax'])}"
             )
+            # named after the CALLER (r14 ADVICE: the helper is shared
+            # with build_ivf_sq8_index — a hardcoded "sq8_ann:" would
+            # misattribute a dim-passing caller's error)
             raise ValueError(
-                f"sq8_ann: query dim {dim} != corpus dim {got}"
+                f"{who}: query dim {dim} != corpus dim {got}"
             )
     ma = np.array([int(row[f"m{d}"]) for d in range(dim)], dtype=np.int64)
     return np.maximum(1, (ma + 126) // 127)
@@ -1471,7 +1486,10 @@ def sq8_ann(
     q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
 
     scales = _sq8_scales(
-        corpus, vec_col, dim=q_mat.shape[1] if len(q_mat) else None
+        corpus,
+        vec_col,
+        dim=q_mat.shape[1] if len(q_mat) else None,
+        who="sq8_ann",
     )
     dim = len(scales)
     if len(q_mat) and q_mat.shape[1] != dim:

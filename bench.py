@@ -1277,6 +1277,7 @@ def main() -> None:
         sqs, smeta = scale_rung_queries(spark, factor)
         srepeat = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "2") or 2)
         stimings = {}
+        base_retimed = {}
         for name, thunk in sqs.items():
             best = None
             for _ in range(max(srepeat, 1)):
@@ -1285,6 +1286,21 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             stimings[name] = round(best, 3)
+            # PAIRED base re-time (r14, additions-only; VERDICT r13
+            # item 6): the rung runs LAST, after the full bench's
+            # shuffle/temp churn, and this host's documented
+            # contention swings make a rung-vs-main-loop ratio
+            # irreproducible (r13 recorded 2.97 -> 4.58 -> 41.6 on
+            # unchanged plans). Re-timing the BASE entry immediately
+            # next to its rung draw puts both arms in the same
+            # contention window so the ratio cancels host state. The
+            # original ratio_vs_base (and the headline rung_max_ratio
+            # derived from it) is kept unchanged for cross-round
+            # comparability.
+            if name in qs:
+                t0 = time.perf_counter()
+                qs[name]()
+                base_retimed[name] = round(time.perf_counter() - t0, 3)
         scale_out = {
             **smeta,
             "queries": stimings,
@@ -1292,6 +1308,12 @@ def main() -> None:
                 n: round(stimings[n] / timings[n], 2)
                 for n in stimings
                 if timings.get(n)
+            },
+            "base_retimed": base_retimed,
+            "ratio_vs_base_paired": {
+                n: round(stimings[n] / base_retimed[n], 2)
+                for n in stimings
+                if base_retimed.get(n)
             },
         }
 
@@ -1480,6 +1502,12 @@ def main() -> None:
         "rung_max_ratio": (
             max(scale_out["ratio_vs_base"].values())
             if scale_out.get("ratio_vs_base") else None
+        ),
+        # contention-cancelled twin (r14): rung vs a base re-run drawn
+        # in the SAME late-run window — the reproducible scale signal
+        "rung_max_ratio_paired": (
+            max(scale_out["ratio_vs_base_paired"].values())
+            if scale_out.get("ratio_vs_base_paired") else None
         ),
         "recall": out.get("recall") or None,
         "plan_findings_n": out.get("plan_findings_n"),
