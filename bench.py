@@ -51,7 +51,9 @@ _PLAN_ALLOWED = {
         "broadcast_nested_loop_join",  # the theta predicate itself
         "cartesian_product",  # AQE may plan the tiny side cartesian
     },
-    "ann_ivf": {"broadcast_nested_loop_join"},  # k-row centroid xjoin
+    # (ann_ivf's centroid crossJoin whitelist removed r14: assignment
+    # and scoring run inside the Arrow kernel now — a reappearing NLJ
+    # there should FAIL the gate)
     # bounded probe set broadcast against the corpus encode pass —
     # the same shape as s01's exact kernel, n_queries rows by contract
     "ann_binary": {"broadcast_nested_loop_join"},
